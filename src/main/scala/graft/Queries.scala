@@ -1,0 +1,702 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Conversions, Tables}
+import graft.operators.{Dedup, Similarity, TextAnalysis, Upsert}
+
+/** The engine's query catalog: one entry per operator from SURVEY.md §2
+  * plus the training-data-pipeline extensions, each paired (where SQL
+  * can express it) with a DuckDB oracle in [[oracleSql]].
+  *
+  * Determinism rules used throughout so the driver's hash compare holds
+  * across Spark and DuckDB:
+  *  - sums of doubles go through DECIMAL (exact, order-independent),
+  *    then cast back to double and round — `dsum`;
+  *  - raw doubles pass through untouched (bit-identical in parquet);
+  *  - timestamps/dates are emitted as formatted strings;
+  *  - every computed column is aliased identically on both sides.
+  */
+object Queries {
+
+  /** Order-independent, cross-engine-deterministic sum of a double
+    * column: route through DECIMAL(18,4) (exact integer arithmetic),
+    * back to double, round. */
+  private def dsum(c: Column, scale: Int = 4): Column =
+    round(sum(c.cast(DecimalType(18, scale))).cast(DoubleType), scale)
+
+  private def davg(c: Column, sumScale: Int = 6): Column =
+    round(sum(c.cast(DecimalType(18, sumScale))).cast(DoubleType) /
+      count(lit(1)), 6)
+
+  private def tsFmt(c: Column): Column =
+    date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  private def dateFmt(c: Column): Column = date_format(c, "yyyy-MM-dd")
+
+  /** orders with the reference's NULL-routing column: the incremental
+    * timestamp is NULL for one slice of rows (status 'P' stands in for
+    * the reference's incomplete orders — SURVEY.md §2.2 F2). */
+  private def routedOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).withColumn(
+      "created_at",
+      when(col("o_orderstatus") === "P", lit(null).cast(TimestampType))
+        .otherwise(col("o_orderdate")))
+
+  private def eventsFirstHalf(c: Column): Column = c < lit("2024-01-16")
+  private val SplitTs = "2024-01-16"
+
+  /** Latest event per user within a predicate window, with the
+    * first-seen timestamp carried along (feeds the upsert family). */
+  private def latestEventPerUser(
+      events: DataFrame,
+      pred: Column): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
+    events.filter(pred)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__min_ts",
+        min(col("ts")).over(Window.partitionBy("user_id")))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), tsFmt(col("ts")).as("ts"),
+        tsFmt(col("__min_ts")).as("first_seen"),
+        col("ts_ns").as("raw_ts"))
+  }
+
+  // ===========================================================
+  // Query catalog
+  // ===========================================================
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- reference parity: scans / filters / projections ---------------
+    "q_date_slice" -> ((s, dir) => {
+      // S1/F1: incremental date-slice scan, half-open range (SURVEY §7.4
+      // risk 2: index/pushdown-friendly form of CAST(ts AS DATE) = d).
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-03-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1996-04-01").cast(TimestampType))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          dateFmt(col("o_orderdate")).as("o_orderdate"))
+    }),
+    "q_null_route_incomplete" -> ((s, dir) => {
+      // S2/F2: IS NULL branch → side table (full-refresh payload).
+      routedOrders(s, dir)
+        .filter(col("created_at").isNull)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+    }),
+    "q_null_route_complete" -> ((s, dir) => {
+      // F2 complement: IS NOT NULL branch → upsert payload.
+      routedOrders(s, dir)
+        .filter(col("created_at").isNotNull)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          dateFmt(col("created_at")).as("created_at"))
+    }),
+    "q_critical_null_drop" -> ((s, dir) => {
+      // F3: na.drop on upsert-key columns, then survivor counts.
+      routedOrders(s, dir)
+        .na.drop("any", Seq("o_orderkey", "created_at"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "q_align_lowercase" -> ((s, dir) => {
+      // F5/F6: case-insensitive schema align with typed NULL padding.
+      val src = Tables.customer(s, dir)
+      val upper = src.toDF(src.columns.map(_.toUpperCase): _*)
+      val expected = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_acctbal", DoubleType),
+        StructField("c_comment", StringType)))
+      Conversions.alignToSchema(Conversions.lowercaseColumns(upper), expected)
+    }),
+
+    // --- reference parity: scalar conversions ---------------------------
+    "q_cast_coercion" -> ((s, dir) => {
+      // C1/C2 + A3: JSON-string extraction + try-cast coercion with
+      // per-column loss audit (errors → NULL, counted).
+      val e = Tables.events(s, dir)
+        .withColumn("k_raw", get_json_object(col("props"), "$.k"))
+        .withColumn("k", Conversions.tryToLong(col("k_raw")))
+        .withColumn("bad", Conversions.tryToInt(col("event_type")))
+      e.groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("k_sum"),
+          Conversions.coercionLossCount(col("k_raw"), col("k")).as("k_lost"),
+          Conversions.coercionLossCount(col("event_type"), col("bad"))
+            .as("bad_lost"))
+    }),
+    "q_ts_multiformat" -> ((s, dir) => {
+      // C4: ordered-fallback multi-format timestamp parse; every third
+      // row is unparseable garbage (reference: errors='coerce' → NaT).
+      val e = Tables.events(s, dir).withColumn(
+        "raw",
+        when(col("event_id") % 3 === 0, lit("not a timestamp"))
+          .when(col("event_id") % 3 === 1,
+            date_format(col("ts"), "M/d/yyyy H:mm"))
+          .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")))
+      val parsed = Conversions.parseTimestampMulti(col("raw"))
+      e.select(col("event_id"), parsed.as("parsed"))
+        .groupBy(coalesce(dateFmt(col("parsed")), lit("unparsed")).as("day"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "q_bool_parse" -> ((s, dir) => {
+      // C5: permissive boolean parse over a derived token column.
+      val token = when(col("event_type") === "click", lit("TRUE"))
+        .when(col("event_type") === "view", lit("1"))
+        .when(col("event_type") === "purchase", lit("no"))
+        .when(col("event_type") === "error", lit("F"))
+        .otherwise(lit("maybe"))
+      Tables.events(s, dir)
+        .select(Conversions.parseBoolean(token).cast(StringType).as("parsed"))
+        .groupBy(col("parsed"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "q_null_count_audit" -> ((s, dir) => {
+      // A3: one-row per-column NULL audit.
+      val df = routedOrders(s, dir).select(
+        col("created_at"),
+        Conversions.tryToInt(substring(col("o_orderpriority"), 1, 1))
+          .as("prio_num"),
+        Conversions.tryToInt(col("o_orderstatus")).as("bad_cast"))
+      Conversions.nullCounts(df)
+    }),
+
+    // --- reference parity: upsert/merge family (SURVEY §2.5) ------------
+    "q_upsert_unconditional" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val target = latestEventPerUser(ev, eventsFirstHalf(col("ts")))
+      val source = latestEventPerUser(ev, !eventsFirstHalf(col("ts")))
+      Upsert(target, source, Seq("user_id"), Upsert.Unconditional)
+        .drop("raw_ts")
+    }),
+    "q_upsert_lww" -> ((s, dir) => {
+      // Conditional upsert, last-write-wins on ts (S7): the source batch
+      // (latest purchase per user) only overwrites when strictly newer.
+      val ev = Tables.events(s, dir)
+      val target = latestEventPerUser(ev, lit(true))
+      val source = latestEventPerUser(ev, col("event_type") === "purchase")
+      Upsert(target, source, Seq("user_id"),
+        Upsert.LastWriteWins("raw_ts")).drop("raw_ts")
+    }),
+    "q_upsert_insert_only" -> ((s, dir) => {
+      // MERGE with set-once column (S10): first_seen is never updated.
+      val ev = Tables.events(s, dir)
+      val target = latestEventPerUser(ev, eventsFirstHalf(col("ts")))
+      val source = latestEventPerUser(ev, !eventsFirstHalf(col("ts")))
+      Upsert(target, source, Seq("user_id"),
+        Upsert.InsertOnly(Seq("first_seen"))).drop("raw_ts")
+    }),
+
+    // --- reference parity: validation / aggregation ---------------------
+    "q_range_validation" -> ((s, dir) => {
+      // A1/A2/O3: per-date count reconciliation over a backfill range —
+      // one scan + one groupBy instead of the reference's per-date tasks.
+      Tables.events(s, dir)
+        .filter(col("ts") >= lit("2024-01-05").cast(TimestampType) &&
+          col("ts") < lit("2024-01-12").cast(TimestampType))
+        .groupBy(dateFmt(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+    }),
+
+    // --- analytics core: agg / join / window / set ----------------------
+    "q_agg_pricing" -> ((s, dir) => {
+      // TPC-H Q1 shape: wide aggregate with derived decimal measures.
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      val e  = col("l_extendedprice").cast(DecimalType(12, 4))
+      val d1 = (lit(1) - col("l_discount").cast(DecimalType(8, 4)))
+        .cast(DecimalType(8, 4))
+      val t1 = (lit(1) + col("l_tax").cast(DecimalType(8, 4)))
+        .cast(DecimalType(8, 4))
+      val discPrice = (e * d1).cast(DecimalType(20, 8))
+      val charge = (discPrice * t1).cast(DecimalType(28, 12))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity").cast(DecimalType(18, 4)))
+            .cast(DoubleType), 4).as("sum_qty"),
+          round(sum(e).cast(DoubleType), 4).as("sum_base_price"),
+          round(sum(discPrice).cast(DoubleType), 4).as("sum_disc_price"),
+          round(sum(charge).cast(DoubleType), 4).as("sum_charge"),
+          round(sum(col("l_quantity").cast(DecimalType(18, 4)))
+            .cast(DoubleType) / count(lit(1)), 6).as("avg_qty"),
+          round(sum(col("l_discount").cast(DecimalType(18, 6)))
+            .cast(DoubleType) / count(lit(1)), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+    "q_join_star" -> ((s, dir) => {
+      // Star join: fact ⋈ orders ⋈ customer ⋈ broadcast dims.
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      val e  = col("l_extendedprice").cast(DecimalType(12, 4))
+      val d1 = (lit(1) - col("l_discount").cast(DecimalType(8, 4)))
+        .cast(DecimalType(8, 4))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum((e * d1).cast(DecimalType(20, 8)))
+          .cast(DoubleType), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+    "q_window_topn" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+    }),
+    "q_distinct_set" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.filter(eventsFirstHalf(col("ts"))).select("event_type").distinct()
+        .intersect(
+          ev.filter(!eventsFirstHalf(col("ts")))
+            .select("event_type").distinct())
+    }),
+    "q_event_windows" -> ((s, dir) => {
+      // Tumbling 5-minute windows — the batch-equivalent of the
+      // Structured Streaming aggregation in graft.streaming.
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+        .select(tsFmt(col("window.start")).as("window_start"),
+          col("event_type"), col("n"), col("value_sum"))
+    }),
+
+    // --- training-data pipeline: dedup ----------------------------------
+    "q_dedup_exact" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"))
+    }),
+    "q_dedup_minhash" -> ((s, dir) => {
+      // Rows-only check (xxhash64 signatures are not SQL-replicable):
+      // per-doc MinHash signature head + estimated-Jaccard near-dup
+      // candidate count for the whole corpus.
+      val docs = Tables.documents(s, dir)
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", col("text"))
+      sigs.select(col("doc_id"), col("signature")(0).as("sig0"),
+        col("signature")(1).as("sig1"))
+    }),
+    "q_dedup_minhash_pairs" -> ((s, dir) => {
+      // LSH candidate pairs + exact-Jaccard verification, low threshold
+      // so the synthetic corpus yields a non-empty answer.
+      val docs = Tables.documents(s, dir)
+      Dedup.minhashNearDupPairs(docs, "doc_id", col("text"),
+        threshold = 0.2, numHashes = 64, bands = 32)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+    "q_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhash(Tables.documents(s, dir), "doc_id", col("text"))
+    }),
+    "q_dedup_ngram" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id",
+        col("text"), threshold = 0.2, shingleSize = 3, dfCap = 200)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // --- training-data pipeline: similarity search ----------------------
+    "q_sim_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.topKPerQuery(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cos"), 6).as("cos"))
+    }),
+    "q_sim_lsh" -> ((s, dir) => {
+      // Rows-only: SRP-LSH approximate variant of q_sim_topk.
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopKPerQuery(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cos"), 6).as("cos"))
+    }),
+    "q_embedding_norms" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("label"),
+          Similarity.norm(col("embedding")).as("nrm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("nrm").cast(DecimalType(18, 9))).cast(DoubleType) /
+            count(lit(1)), 6).as("avg_norm"))
+    }),
+
+    // --- training-data pipeline: text analysis --------------------------
+    "q_token_stats" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast(LongType))
+            .as("tokens"),
+          sum(TextAnalysis.bpeishTokenCount(col("text")).cast(LongType))
+            .as("bpeish_tokens"),
+          max(col("n_chars")).as("max_chars"))
+    }),
+    "q_quality_by_lang" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("q").cast(DecimalType(12, 6))).cast(DoubleType) /
+            count(lit(1)), 6).as("avg_quality"))
+    }),
+    "q_lang_id" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          TextAnalysis.langId(col("text")).as("pred"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
+            .as("n_correct"))
+    }),
+    "q_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(countDistinct(TextAnalysis.fingerprintMd5(col("text")))
+          .as("distinct_md5"),
+          countDistinct(TextAnalysis.fingerprintRolling(col("text")))
+            .as("distinct_rolling"))
+    }),
+
+    // --- training-data pipeline: multimodal plumbing --------------------
+    "q_multimodal_meta" -> ((s, dir) => {
+      // Binary payload columns with typed metadata; the decode itself is
+      // the stubbed step (graft.operators.Multimodal), the schema and
+      // partition-parallel byte accounting are real.
+      Tables.documents(s, dir)
+        .select(col("source"), octet_length(col("text")).as("bytes"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("bytes").cast(LongType)).as("total_bytes"),
+          max(col("bytes")).as("max_bytes"))
+    })
+  )
+
+  // ===========================================================
+  // DuckDB oracles
+  // ===========================================================
+
+  val oracleSql: Map[String, String] = Map(
+    "q_date_slice" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        | strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-03-01'
+        |  AND o_orderdate <  TIMESTAMP '1996-04-01'""".stripMargin,
+    "q_null_route_incomplete" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders
+        |WHERE (CASE WHEN o_orderstatus = 'P' THEN NULL
+        |       ELSE o_orderdate END) IS NULL""".stripMargin,
+    "q_null_route_complete" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        | strftime(o_orderdate, '%Y-%m-%d') AS created_at
+        |FROM orders
+        |WHERE (CASE WHEN o_orderstatus = 'P' THEN NULL
+        |       ELSE o_orderdate END) IS NOT NULL""".stripMargin,
+    "q_critical_null_drop" ->
+      """SELECT o_orderstatus, count(*) AS n
+        |FROM orders
+        |WHERE o_orderkey IS NOT NULL
+        |  AND (CASE WHEN o_orderstatus = 'P' THEN NULL
+        |       ELSE o_orderdate END) IS NOT NULL
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q_align_lowercase" ->
+      """SELECT c_custkey, c_name, c_acctbal,
+        | CAST(NULL AS VARCHAR) AS c_comment
+        |FROM customer""".stripMargin,
+    "q_cast_coercion" ->
+      """SELECT event_type, count(*) AS n,
+        | sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        | CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+        |   AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS k_lost,
+        | CAST(sum(CASE WHEN event_type IS NOT NULL
+        |   AND TRY_CAST(event_type AS INT) IS NULL
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS bad_lost
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_ts_multiformat" ->
+      """WITH raw AS (
+        | SELECT CASE
+        |   WHEN event_id % 3 = 0 THEN 'not a timestamp'
+        |   WHEN event_id % 3 = 1 THEN strftime(ts, '%-m/%-d/%Y %-H:%M')
+        |   ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS r
+        | FROM events),
+        |parsed AS (
+        | SELECT coalesce(try_strptime(r, '%-m/%-d/%Y %-H:%M'),
+        |                 try_strptime(r, '%Y-%m-%d %H:%M:%S')) AS p
+        | FROM raw)
+        |SELECT coalesce(strftime(p, '%Y-%m-%d'), 'unparsed') AS day,
+        | count(*) AS n
+        |FROM parsed GROUP BY 1""".stripMargin,
+    "q_bool_parse" ->
+      """WITH tok AS (
+        | SELECT CASE event_type
+        |   WHEN 'click' THEN 'TRUE' WHEN 'view' THEN '1'
+        |   WHEN 'purchase' THEN 'no' WHEN 'error' THEN 'F'
+        |   ELSE 'maybe' END AS t
+        | FROM events)
+        |SELECT CASE
+        |  WHEN upper(trim(t)) IN ('TRUE','1','YES','T','Y') THEN 'true'
+        |  WHEN upper(trim(t)) IN ('FALSE','0','NO','F','N') THEN 'false'
+        |  ELSE NULL END AS parsed, count(*) AS n
+        |FROM tok GROUP BY 1""".stripMargin,
+    "q_null_count_audit" ->
+      """SELECT
+        | CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS created_at_nulls,
+        | CAST(sum(CASE WHEN TRY_CAST(substr(o_orderpriority, 1, 1) AS INT)
+        |   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS prio_num_nulls,
+        | CAST(sum(CASE WHEN TRY_CAST(o_orderstatus AS INT) IS NULL
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS bad_cast_nulls
+        |FROM orders""".stripMargin,
+    "q_upsert_unconditional" -> upsertOracle(mode = "unconditional"),
+    "q_upsert_lww" -> upsertOracle(mode = "lww"),
+    "q_upsert_insert_only" -> upsertOracle(mode = "insert_only"),
+    "q_range_validation" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |   AS value_sum
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-12'
+        |GROUP BY 1""".stripMargin,
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |   AS sum_qty,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE), 4)
+        |   AS sum_base_price,
+        | round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) *
+        |   CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))
+        |   AS DECIMAL(20,8))) AS DOUBLE), 4) AS sum_disc_price,
+        | round(CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) *
+        |   CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))
+        |   AS DECIMAL(20,8)) * CAST(1 + CAST(l_tax AS DECIMAL(8,4))
+        |   AS DECIMAL(8,4)) AS DECIMAL(28,12))) AS DOUBLE), 4) AS sum_charge,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |   / count(*), 6) AS avg_qty,
+        | round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+        |   / count(*), 6) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_star" ->
+      """SELECT r_name, n_name,
+        | round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) *
+        |   CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))
+        |   AS DECIMAL(20,8))) AS DOUBLE), 4) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q_window_topn" ->
+      """SELECT user_id, event_id, value, rn FROM (
+        | SELECT user_id, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY value DESC, event_id ASC) AS rn
+        | FROM events) WHERE rn <= 3""".stripMargin,
+    "q_distinct_set" ->
+      """SELECT DISTINCT event_type FROM events
+        |WHERE ts < TIMESTAMP '2024-01-16'
+        |INTERSECT
+        |SELECT DISTINCT event_type FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-16'""".stripMargin,
+    "q_event_windows" ->
+      """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts),
+        |   '%Y-%m-%d %H:%M:%S') AS window_start,
+        | event_type, count(*) AS n,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |   AS value_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"""
+        .stripMargin,
+    "q_sim_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+        |      FROM embeddings),
+        |s AS (SELECT qid, cid,
+        |  CASE WHEN sqrt(list_dot_product(ce, ce)) *
+        |            sqrt(list_dot_product(qe, qe)) > 0
+        |    THEN list_dot_product(ce, qe) /
+        |      (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(qe, qe)))
+        |    ELSE 0.0 END AS cos
+        |  FROM c, q)
+        |SELECT query_id, corpus_id, round(cos, 6) AS cos FROM (
+        | SELECT qid AS query_id, cid AS corpus_id, cos,
+        |  row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos DESC, cid ASC) AS rn
+        | FROM s) WHERE rn <= 10""".stripMargin,
+    "q_embedding_norms" ->
+      """SELECT label, count(*) AS n,
+        | round(CAST(sum(CAST(sqrt(list_dot_product(
+        |     embedding::DOUBLE[], embedding::DOUBLE[]))
+        |   AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS avg_norm
+        |FROM embeddings GROUP BY label""".stripMargin,
+    "q_token_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |   x -> len(x) > 0))) AS BIGINT) AS tokens,
+        | CAST(sum(len(regexp_extract_all(text,
+        |   '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]'))) AS BIGINT) AS bpeish_tokens,
+        | max(n_chars) AS max_chars
+        |FROM documents GROUP BY source""".stripMargin,
+    "q_quality_by_lang" -> qualityOracle,
+    "q_lang_id" -> langIdOracle,
+    "q_fingerprint" ->
+      """WITH fp AS (
+        | SELECT source,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS m,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        list_filter(string_split(
+        |          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''),
+        |          c -> len(c) > 0),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS r
+        | FROM documents)
+        |SELECT source, count(DISTINCT m) AS distinct_md5,
+        | count(DISTINCT r) AS distinct_rolling
+        |FROM fp GROUP BY source""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT source, count(*) AS n,
+        | CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        | max(octet_length(encode(text))) AS max_bytes
+        |FROM documents GROUP BY source""".stripMargin
+  )
+
+  /** Shared CTE prelude for the three upsert oracles: t = latest event
+    * per user in the first half / whole range, s = source batch. */
+  private def upsertOracle(mode: String): String = {
+    def latest(pred: String): String =
+      s"""SELECT user_id, event_id, event_type, value,
+         | strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+         | strftime(min_ts, '%Y-%m-%d %H:%M:%S') AS first_seen,
+         | ts AS raw_ts
+         |FROM (SELECT *,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) AS rn,
+         |  min(ts) OVER (PARTITION BY user_id) AS min_ts
+         | FROM events WHERE $pred) WHERE rn = 1""".stripMargin
+    val (tPred, sPred, winCond, frozenFirstSeen) = mode match {
+      case "unconditional" =>
+        ("ts < TIMESTAMP '2024-01-16'", "ts >= TIMESTAMP '2024-01-16'",
+          "TRUE", false)
+      case "lww" =>
+        ("TRUE", "event_type = 'purchase'",
+          "(t.raw_ts IS NULL OR s.raw_ts > t.raw_ts)", false)
+      case "insert_only" =>
+        ("ts < TIMESTAMP '2024-01-16'", "ts >= TIMESTAMP '2024-01-16'",
+          "TRUE", true)
+    }
+    def pick(c: String): String =
+      s"CASE WHEN s.user_id IS NOT NULL AND t.user_id IS NULL THEN s.$c " +
+        s"WHEN s.user_id IS NOT NULL AND $winCond THEN s.$c " +
+        s"ELSE t.$c END AS $c"
+    val firstSeen =
+      if (frozenFirstSeen)
+        "CASE WHEN s.user_id IS NOT NULL AND t.user_id IS NULL " +
+          "THEN s.first_seen ELSE t.first_seen END AS first_seen"
+      else pick("first_seen")
+    s"""WITH t AS (${latest(tPred)}),
+       |s AS (${latest(sPred)})
+       |SELECT coalesce(t.user_id, s.user_id) AS user_id,
+       | ${pick("event_id")},
+       | ${pick("event_type")},
+       | ${pick("value")},
+       | ${pick("ts")},
+       | $firstSeen
+       |FROM t FULL OUTER JOIN s ON t.user_id = s.user_id""".stripMargin
+  }
+
+  private def qualityOracle: String =
+    """WITH m AS (
+      | SELECT lang,
+      |  len(list_filter(regexp_split_to_array(text, '\s+'),
+      |    x -> len(x) > 0)) AS n_tok,
+      |  CAST(list_sum(list_transform(
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0),
+      |    x -> len(x))) AS DOUBLE) AS tok_chars,
+      |  len(text) AS n_chars,
+      |  len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g'))
+      |    AS n_punct
+      | FROM documents),
+      |q AS (
+      | SELECT lang, round((
+      |  (CASE WHEN n_tok BETWEEN 10 AND 1000 THEN 1.0
+      |        WHEN n_tok > 0 THEN 0.5 ELSE 0.0 END) +
+      |  (CASE WHEN n_tok > 0 AND tok_chars / n_tok >= 3
+      |         AND tok_chars / n_tok <= 10 THEN 1.0 ELSE 0.5 END) +
+      |  (1.0 - least((CASE WHEN n_chars > 0
+      |     THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 5, 1.0))
+      |  ) / 3.0, 6) AS q
+      | FROM m)
+      |SELECT lang, count(*) AS n,
+      | round(CAST(sum(CAST(q AS DECIMAL(12,6))) AS DOUBLE) / count(*), 6)
+      |   AS avg_quality
+      |FROM q GROUP BY lang""".stripMargin
+
+  private def langIdOracle: String = {
+    val scoreExprs = TextAnalysis.StopwordsByLang.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, x -> list_contains($list, x))) AS s_$lang"
+    }.mkString(",\n  ")
+    val langs = TextAnalysis.StopwordsByLang.map(_._1)
+    val g = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l => s"WHEN s_$l = $g THEN '$l'").mkString(" ")
+    s"""WITH t AS (
+       | SELECT lang, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |   x -> len(x) > 0) AS toks
+       | FROM documents),
+       |sc AS (
+       | SELECT lang,
+       |  $scoreExprs
+       | FROM t),
+       |p AS (
+       | SELECT lang,
+       |  CASE WHEN $g <= 0 THEN 'und' $cases ELSE 'und' END AS pred
+       | FROM sc)
+       |SELECT lang, count(*) AS n,
+       | CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_correct
+       |FROM p GROUP BY lang""".stripMargin
+  }
+
+  /** Flagship pipeline for the driver's smoke check. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast(DecimalType(18, 4)))
+          .cast(DoubleType), 4).as("total"))
+  }
+}

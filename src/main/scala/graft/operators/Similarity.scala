@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Brute-force cosine top-k is the exact baseline: one scan, per-row
+  * dot products inside codegen'd higher-order functions, then a
+  * `TakeOrderedAndProject` (Spark's top-k never sorts the full data —
+  * each partition keeps k rows, the driver merges P·k). At 100 TB the
+  * scale path is LSH bucketing (random hyperplanes): corpus and queries
+  * hash to the same buckets, the join touches only colliding pairs.
+  *
+  * All math is promoted to double before multiplying — float32 inputs,
+  * float64 accumulation — matching what a DuckDB/NumPy oracle computes.
+  */
+object Similarity {
+
+  /** Dot product of two array<float/double> columns (double math). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; NULL-safe zero-vector guard. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
+  }
+
+  /** Exact brute-force top-k by cosine against one query vector
+    * (a local array literal, baked into the plan as a literal so it
+    * broadcasts with the task binaries — no join, no shuffle; the only
+    * cross-partition traffic is P·k candidate rows). */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      query: Seq[Float],
+      k: Int): DataFrame = {
+    val q = lit(query.toArray)
+    corpus
+      .select(col(idCol), cosine(col(embCol), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Exact top-k per query row: broadcast the (small) query set, score
+    * every (query, corpus) pair, keep k per query with a window. The
+    * corpus is scanned once; no corpus shuffle. */
+  def topKPerQuery(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(embCol).as("c_emb"))
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val scored = c
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("c_emb"), col("q_emb")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: plane p, dim d weight =
+    * a double in [-1, 1) derived from xxhash64(seed, p, d). Generated as
+    * a plan-time literal-free expression so the same planes exist on
+    * every executor with zero driver→executor data movement. */
+  private def planeWeight(p: Column, d: Column, seed: Int): Column =
+    (xxhash64(lit(seed), p, d).cast(DoubleType) / lit(Long.MaxValue.toDouble))
+
+  /** Random-hyperplane (SRP) LSH signature: `bits` sign bits packed into
+    * a long. Two vectors with small angle agree on most bits. */
+  def srpSignature(emb: Column, bits: Int = 16, seed: Int = 42): Column = {
+    require(bits <= 63, "signature must fit a long")
+    aggregate(
+      transform(sequence(lit(0), lit(bits - 1)), p => {
+        val proj = aggregate(
+          zip_with(emb, sequence(lit(0), size(emb) - 1),
+            (x, d) => x.cast(DoubleType) * planeWeight(p, d, seed)),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0, call_function("shiftleft", lit(1L), p.cast(IntegerType))).otherwise(lit(0L))
+      }),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Approximate NN via SRP-LSH with multi-probe over band keys: both
+    * sides bucket on `bands` sub-signatures; candidates sharing any
+    * band get exact cosine verification, then top-k per query.
+    * The corpus shuffles once on (band, key) — at 100 TB this replaces
+    * the full cross join with |bucket|-local joins. */
+  def lshTopKPerQuery(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      bits: Int = 32,
+      bands: Int = 4,
+      seed: Int = 42): DataFrame = {
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    def withBands(df: DataFrame, side: String): DataFrame = {
+      val sig = srpSignature(col(embCol), bits, seed)
+      df.select(col(idCol).as(s"${side}_id"), col(embCol).as(s"${side}_emb"),
+          sig.as("__sig"))
+        .select(col(s"${side}_id"), col(s"${side}_emb"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => call_function("shiftrightunsigned", col("__sig"),
+              b.cast(IntegerType) * lit(bandBits))
+              .bitwiseAND(mask))).as(Seq("band", "key")))
+    }
+    val c = withBands(corpus, "corpus")
+    val q = withBands(queries, "query")
+    val cand = c.join(q, Seq("band", "key"))
+      .select(col("query_id"), col("corpus_id"),
+        col("query_emb"), col("corpus_emb"))
+      .distinct()
+    val scored = cand.select(col("query_id"), col("corpus_id"),
+      cosine(col("corpus_emb"), col("query_emb")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (dedup by embedding): LSH
+    * buckets within one dataset, exact cosine ≥ threshold verification. */
+  def cosineNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double = 0.95,
+      bits: Int = 32,
+      bands: Int = 8,
+      seed: Int = 42): DataFrame = {
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val sig = df.select(col(idCol).as("__id"), col(embCol).as("__emb"),
+        srpSignature(col(embCol), bits, seed).as("__sig"))
+      .select(col("__id"), col("__emb"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => call_function("shiftrightunsigned", col("__sig"),
+            b.cast(IntegerType) * lit(bandBits))
+            .bitwiseAND(mask))).as(Seq("band", "key")))
+    val l = sig.select(col("band"), col("key"), col("__id").as("a"),
+      col("__emb").as("emb_a"))
+    val r = sig.select(col("band"), col("key"), col("__id").as("b"),
+      col("__emb").as("emb_b"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("emb_a"), col("emb_b"))
+      .distinct()
+      .select(col("a"), col("b"), cosine(col("emb_a"), col("emb_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select("a", "b", "cos")
+  }
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, language ID, quality scoring, and
+  * document fingerprinting. All pure `Column` compositions of built-in
+  * (codegen'd) functions — no UDFs — so they stay inside whole-stage
+  * codegen and scale embarrassingly parallel: every operator is
+  * per-row, no shuffle at all until a caller aggregates.
+  *
+  * New-capability work beyond the reference surface (SURVEY.md §7.2
+  * step 7); the reference's only text handling is CSV type coercion.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization; empty tokens removed. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word token count: runs of letters, runs of digits, and
+    * single non-space symbols each count as one token — a cheap,
+    * deterministic proxy for a BPE tokenizer's token count. */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"))
+
+  /** Mean whitespace-token length in characters (0 for empty docs). */
+  def meanTokenLength(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n > 0,
+      aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t))
+        .cast(DoubleType) / n)
+      .otherwise(lit(0.0))
+  }
+
+  /** Punctuation-character ratio (punctuation chars / total chars). */
+  def punctRatio(text: Column): Column = {
+    val total = length(text)
+    when(total > 0,
+      (total - length(regexp_replace(text, "\\p{Punct}", "")))
+        .cast(DoubleType) / total)
+      .otherwise(lit(0.0))
+  }
+
+  /** A small function-word table per language for the n-gram/stopword
+    * language-ID heuristic. Deterministic and SQL-expressible so the
+    * DuckDB oracle can replicate it verbatim. */
+  val StopwordsByLang: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "que", "les", "des"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "nicht"),
+    "zh" -> Seq("的", "是", "了", "在", "我")
+  )
+
+  /** Stopword-hit ratio against one language's function words. */
+  def stopwordRatio(text: Column, words: Seq[String]): Column = {
+    val toks = tokens(lower(text))
+    val hits = size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+    when(size(toks) > 0, hits.cast(DoubleType) / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Language-ID heuristic: score each candidate language by its
+    * function-word hit count; pick the argmax (ties resolved by the
+    * fixed language order above; all-zero → "und"). */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores = StopwordsByLang.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best <= 0, lit("und"))) { case (acc, (lang, s)) =>
+      acc.when(s === best, lit(lang))
+    }.otherwise(lit("und"))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, healthy
+    * mean token length, low punctuation density. Deterministic,
+    * SQL-expressible; thresholds are Gopher-rules-inspired. */
+  def qualityScore(text: Column): Column = {
+    val n       = tokenCount(text).cast(DoubleType)
+    val lenOk   = when(n >= 10 && n <= 1000, lit(1.0))
+      .when(n > 0, lit(0.5)).otherwise(lit(0.0))
+    val mtl     = meanTokenLength(text)
+    val mtlOk   = when(mtl >= 3 && mtl <= 10, lit(1.0)).otherwise(lit(0.5))
+    val punctOk = lit(1.0) - least(punctRatio(text) * 5, lit(1.0))
+    round((lenOk + mtlOk + punctOk) / 3.0, 6)
+  }
+
+  /** Exact-content fingerprint: md5 of whitespace-normalized, lowercased
+    * text. Identical function exists in DuckDB, so it doubles as the
+    * oracle-compatible dedup key. */
+  def fingerprintMd5(text: Column): Column =
+    md5(to_binary(regexp_replace(lower(trim(text)), "\\s+", " "), lit("utf-8")))
+
+  /** Rolling polynomial hash over characters (base 31, mod 1e9+7),
+    * computed with higher-order functions over the code-point array —
+    * a driver-free, shuffle-free content fingerprint. Arithmetic stays
+    * below 2^40 so ANSI-mode overflow checks never trip. */
+  def fingerprintRolling(text: Column): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val chars = split(norm, "")
+    aggregate(
+      filter(chars, c => length(c) > 0),
+      lit(0L),
+      (acc, c) => pmod(acc * 31L + ascii(c), lit(1000000007L)))
+  }
+}

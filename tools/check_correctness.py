@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB correctness gate.
+
+Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
+
+For each query dir under verifyOutDir: load the Spark parquet result,
+run the corresponding oracle SQL (oracle_sql.json) in DuckDB with the
+sf tables registered as views, sort columns by name and rows by value,
+and compare cell-by-cell. Queries without an oracle get a rows-only
+check (>0 rows).
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    if v is None:
+        return ("null",)
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("nan",)
+        return ("num", float(v))
+    if isinstance(v, int):
+        return ("num", float(v)) if abs(v) < 2**52 else ("int", v)
+    try:  # Decimal
+        import decimal
+        if isinstance(v, decimal.Decimal):
+            return ("num", float(v))
+    except Exception:
+        pass
+    return ("other", str(v))
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: str(t))
+    return [cols[i] for i in order], out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    import glob
+    qdirs = sorted(
+        d.split("/")[-1] for d in glob.glob(f"{out_dir}/q_*") )
+    n_pass = n_fail = 0
+    for q in qdirs:
+        got = con.execute(
+            f"SELECT * FROM '{out_dir}/{q}/*.parquet'")
+        gcols = [d[0] for d in got.description]
+        grows = got.fetchall()
+        if q not in oracles:
+            ok = len(grows) > 0
+            print(f"{'PASS' if ok else 'FAIL'} {q} (rows-only: {len(grows)})")
+            n_pass += ok; n_fail += (not ok)
+            continue
+        try:
+            exp = con.execute(oracles[q])
+            ecols = [d[0] for d in exp.description]
+            erows = exp.fetchall()
+        except Exception as e:
+            print(f"FAIL {q} oracle error: {e}")
+            n_fail += 1
+            continue
+        gc, gr = norm_rows(gcols, grows)
+        ec, er = norm_rows(ecols, erows)
+        if gc != ec:
+            print(f"FAIL {q} columns: spark={gc} oracle={ec}")
+            n_fail += 1
+            continue
+        if len(gr) != len(er):
+            print(f"FAIL {q} rowcount: spark={len(gr)} oracle={len(er)}")
+            n_fail += 1
+            continue
+        bad = [(a, b) for a, b in zip(gr, er) if a != b]
+        if bad:
+            print(f"FAIL {q} {len(bad)}/{len(gr)} rows differ; first:")
+            print(f"  spark : {bad[0][0]}")
+            print(f"  oracle: {bad[0][1]}")
+            n_fail += 1
+        else:
+            print(f"PASS {q} ({len(gr)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
