@@ -421,7 +421,8 @@ object Queries {
         |FROM customer""".stripMargin,
     "q_cast_coercion" ->
       """SELECT event_type, count(*) AS n,
-        | sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        | CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |   AS BIGINT) AS k_sum,
         | CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
         |   AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL
         |   THEN 1 ELSE 0 END) AS BIGINT) AS k_lost,

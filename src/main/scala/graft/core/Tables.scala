@@ -21,12 +21,23 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects; read it as a raw long (legacy conf), keep the exact
-    * nanosecond value as `ts_ns` for ordering, and expose a
-    * micro-truncated TimestampType `ts` for date math/formatting. */
+  /** Session conf every graft session needs, applied once at build time
+    * (a loader mutating session conf mid-query would silently change the
+    * behavior of later reads): `events.ts` is parquet TIMESTAMP(NANOS),
+    * which Spark's vectorized reader rejects — read it as a raw long. */
+  val RequiredConf: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS) (read as raw long via
+    * [[RequiredConf]]); keep the exact nanosecond value as `ts_ns` for
+    * ordering, and expose a micro-truncated TimestampType `ts` for date
+    * math/formatting. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        .contains("true"),
+      "set graft.core.Tables.RequiredConf on the SparkSession builder")
     load(s, d, "events")
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts",

@@ -19,6 +19,9 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm_cell(v):
+    # Typed compare: ints stay ints, floats stay floats, so type-level
+    # mismatches (e.g. DuckDB HUGEINT sum vs Spark BIGINT) FAIL here the
+    # same way they fail the driver's typed hash gate (ADVICE r1).
     if v is None:
         return ("null",)
     if isinstance(v, bool):
@@ -26,16 +29,26 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return ("nan",)
-        return ("num", float(v))
+        return ("float", v)
     if isinstance(v, int):
-        return ("num", float(v)) if abs(v) < 2**52 else ("int", v)
-    try:  # Decimal
+        return ("int", v)
+    try:  # Decimal: distinct from float, normalized textual form
         import decimal
         if isinstance(v, decimal.Decimal):
-            return ("num", float(v))
+            return ("decimal", str(v.normalize()))
     except Exception:
         pass
     return ("other", str(v))
+
+
+def canon_type(t):
+    t = t.upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER"):
+        return "int"
+    if t in ("FLOAT", "DOUBLE"):
+        return "float"
+    return t  # HUGEINT, DECIMAL(p,s), VARCHAR, BOOLEAN, TIMESTAMP, ...
 
 
 def norm_rows(cols, rows):
@@ -70,6 +83,24 @@ def main():
             exp = con.execute(oracles[q])
             ecols = [d[0] for d in exp.description]
             erows = exp.fetchall()
+            # Type-level compare: the duckdb client returns HUGEINT as a
+            # plain int, hiding exactly the type mismatch that fails the
+            # driver's typed hash (q_cast_coercion, r1). Canonicalize
+            # both sides' column types via DESCRIBE and require equality.
+            etypes = dict(
+                (r[0], canon_type(r[1])) for r in
+                con.execute(f"DESCRIBE {oracles[q]}").fetchall())
+            gtypes = dict(
+                (r[0], canon_type(r[1])) for r in con.execute(
+                    f"DESCRIBE SELECT * FROM '{out_dir}/{q}/*.parquet'"
+                ).fetchall())
+            tdiff = {c: (gtypes.get(c), etypes.get(c))
+                     for c in set(etypes) | set(gtypes)
+                     if gtypes.get(c) != etypes.get(c)}
+            if tdiff:
+                print(f"FAIL {q} column types differ (spark, oracle): {tdiff}")
+                n_fail += 1
+                continue
         except Exception as e:
             print(f"FAIL {q} oracle error: {e}")
             n_fail += 1
