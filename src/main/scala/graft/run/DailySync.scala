@@ -1,0 +1,108 @@
+package graft.run
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Sessions
+import graft.operators.Upsert
+
+/** Entry point 1 (O1/O2, SURVEY §3.1): run one logical day of the
+  * orders sync — extract the day slice, route complete/incomplete on
+  * the NULL incremental timestamp, upsert the complete branch, fully
+  * refresh the incomplete side table, and reconcile counts.
+  *
+  * Usage:
+  *   sbt "runMain graft.run.DailySync --run-date 1996-03-15 \
+  *        [--sf-dir /root/testdata/sf0.001] [--target-url jdbc:...] \
+  *        [--catchup-from 1996-03-13]"
+  *
+  * `--catchup-from` replays each day from that date up to --run-date in
+  * order — the reference's `catchup=True` + `depends_on_past` driver
+  * loop (orders_daily.py:129-135). Idempotent upsert makes replays
+  * safe (O5).
+  *
+  * The whole day is ONE Spark job: the reference's extract ≫ load ≫
+  * validate task DAG with CSV/XCom handoffs collapses into cached
+  * DataFrame branches (SURVEY §2.1 S5 — the handoff layer is
+  * unnecessary in Spark's lazy DAG).
+  */
+object DailySync {
+
+  def main(args: Array[String]): Unit = {
+    val opts = Args.parse(args)
+    val runDate = opts.required("run-date")
+    val sfDir = opts.sfDir
+    val cfg = opts.config
+    val spark = Sessions.local("graft-daily-sync")
+
+    Pipeline.ensureTargetTables(cfg)
+    val dates = opts.get("catchup-from") match {
+      case Some(from) => Args.dateRange(from, runDate)
+      case None       => Seq(runDate)
+    }
+    var allOk = true
+    for (date <- dates) {
+      println(s"[daily-sync] === logical date $date ===")
+      val source = Pipeline.ordersSource(spark, sfDir).cache()
+
+      // Flow 1: complete orders for the day → upsert (S1+F1+F2, S6)
+      val complete = source
+        .filter(Pipeline.daySlice(col("order_created_at"), date))
+      val extracted = complete.count()
+      Pipeline.upsertBatch(cfg, complete, Upsert.Unconditional)
+      val loaded = Pipeline.countLoadedForDay(cfg, date)
+
+      // Flow 2: incomplete orders (full-table IS NULL scan) → full
+      // refresh of the side table (S2+F2, S8)
+      val incomplete = source.filter(col("order_created_at").isNull)
+      val extractedNull = incomplete.count()
+      graft.io.RefreshSink.write(incomplete, cfg.targetJdbc,
+        cfg.targetDialect,
+        cfg.targetDialect.table(cfg.targetSchemaName,
+          cfg.targetIncompleteTable))
+      val loadedNull = graft.io.JdbcSources.countWhere(cfg.targetJdbc,
+        cfg.targetDialect.table(cfg.targetSchemaName,
+          cfg.targetIncompleteTable), "1=1")
+
+      // Validation is log-only, like the reference (:580-584)
+      val ok1 = Pipeline.reconcile(s"complete $date", extracted, loaded)
+      val ok2 = Pipeline.reconcile("incomplete (full refresh)",
+        extractedNull, loadedNull)
+      allOk &= ok1 && ok2
+      source.unpersist()
+    }
+    println(s"[daily-sync] done: ${dates.size} day(s), " +
+      (if (allOk) "all counts reconciled" else "MISMATCHES logged above"))
+    spark.stop()
+  }
+}
+
+/** Minimal `--key value` CLI parsing shared by the entry points. */
+private[run] final case class Args(kv: Map[String, String]) {
+  def get(k: String): Option[String] = kv.get(k)
+  def required(k: String): String =
+    kv.getOrElse(k, sys.error(s"missing required --$k"))
+  def sfDir: String = kv.getOrElse("sf-dir",
+    sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+  def config: Config = {
+    val env = sys.env ++
+      kv.get("target-url").map("GRAFT_TARGET_URL" -> _) ++
+      kv.get("target-dialect").map("GRAFT_TARGET_DIALECT" -> _)
+    Config.fromEnv(env)
+  }
+}
+
+private[run] object Args {
+  def parse(args: Array[String]): Args = {
+    val kv = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    Args(kv)
+  }
+  def dateRange(start: String, end: String): Seq[String] = {
+    val s = java.time.LocalDate.parse(start)
+    val e = java.time.LocalDate.parse(end)
+    require(!s.isAfter(e), s"start $start after end $end")
+    Iterator.iterate(s)(_.plusDays(1)).takeWhile(!_.isAfter(e))
+      .map(_.toString).toSeq
+  }
+}

@@ -1,0 +1,104 @@
+package graft.run
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.Tables
+import graft.io._
+
+/** Shared extract/load/validate stages for the entry points (O2: the
+  * reference's task DAG collapsed into one Spark job's stage
+  * functions).
+  */
+object Pipeline {
+
+  /** The orders source entity. In a deployed sync this is the MSSQL
+    * JDBC scan (JdbcSources.dateSlice); in the sandbox the driver
+    * parquet `orders` table stands in, with the reference's NULL-bearing
+    * incremental timestamp derived (status 'P' rows model incomplete
+    * orders — the same stand-in the query catalog uses).
+    * Output columns are lowercased (F5) target-entity names. */
+  def ordersSource(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .withColumn("created_at",
+        when(col("o_orderstatus") === "P", lit(null).cast(TimestampType))
+          .otherwise(col("o_orderdate")))
+      .select(
+        col("o_orderkey").as("order_id"),
+        col("o_custkey").as("user_id"),
+        col("created_at").as("order_created_at"),
+        col("o_totalprice").cast(DecimalType(18, 4)).as("amount"),
+        col("o_orderpriority").as("product"))
+
+  val targetSchema: StructType = StructType(Seq(
+    StructField("order_id", LongType),
+    StructField("user_id", LongType),
+    StructField("order_created_at", TimestampType),
+    StructField("amount", DecimalType(18, 4)),
+    StructField("product", StringType)))
+
+  /** Half-open day predicate [date, date+1) — SURVEY §7.4 risk 2. */
+  def daySlice(c: org.apache.spark.sql.Column, date: String) =
+    c >= lit(date).cast(TimestampType) &&
+      c < date_add(lit(date).cast(DateType), 1).cast(TimestampType)
+
+  /** Bootstrap the three target tables (stands in for
+    * postgres_init/init.sql + mssql_init DDL). */
+  def ensureTargetTables(cfg: Config): Unit = {
+    val jdbc = cfg.targetJdbc; val d = cfg.targetDialect
+    JdbcWrite.ensureTable(jdbc, d, cfg.targetSchemaName, cfg.targetTable,
+      targetSchema)
+    JdbcWrite.ensureTable(jdbc, d, cfg.targetSchemaName,
+      cfg.targetIncompleteTable, targetSchema)
+    JdbcWrite.ensureTable(jdbc, d, cfg.targetSchemaName, cfg.stagingTable,
+      targetSchema)
+  }
+
+  /** Upsert a batch into the target. Dialect-routed: PG takes the
+    * row-streamed `ON CONFLICT` sink, SQL Server and Derby take the
+    * stage+MERGE sink (MERGE is their native upsert; Derby has no ON
+    * CONFLICT). */
+  def upsertBatch(cfg: Config, batch: DataFrame,
+      mode: graft.operators.Upsert.Mode): Unit = {
+    val d = cfg.targetDialect
+    val target = d.table(cfg.targetSchemaName, cfg.targetTable)
+    d match {
+      case SqlDialect.Postgres =>
+        UpsertSink.write(batch, cfg.targetJdbc, d, target, cfg.targetTable,
+          cfg.uniqueKeyColumns, mode)
+      case _ =>
+        val staging = d.table(cfg.targetSchemaName, cfg.stagingTable)
+        MergeSink.write(batch, cfg.targetJdbc, d, target, staging,
+          cfg.uniqueKeyColumns, mode,
+          withByTarget = d == SqlDialect.SqlServer)
+    }
+  }
+
+  /** Count-back validation (S11/A1): rows in the target for one day,
+    * pushed to the DB as a COUNT subquery. `{ts '...'}` is the JDBC
+    * escape — portable across PG/MSSQL/Derby. */
+  def countLoadedForDay(cfg: Config, date: String): Long = {
+    val d = cfg.targetDialect
+    val c = d.quote("order_created_at")
+    val next = java.time.LocalDate.parse(date).plusDays(1)
+    JdbcSources.countWhere(
+      cfg.targetJdbc,
+      d.table(cfg.targetSchemaName, cfg.targetTable),
+      s"$c >= {ts '$date 00:00:00'} AND $c < {ts '$next 00:00:00'}")
+  }
+
+  /** Whole target table back into Spark (validation joins). */
+  def readTarget(spark: SparkSession, cfg: Config, table: String): DataFrame =
+    JdbcSources.readTable(spark, cfg.targetJdbc,
+      cfg.targetDialect.table(cfg.targetSchemaName, table))
+
+  /** A2/A1 reconciliation line, log-only on mismatch exactly like the
+    * reference (orders_daily.py:580-584). Returns match. */
+  def reconcile(label: String, extracted: Long, loaded: Long): Boolean = {
+    val ok = extracted == loaded
+    val mark = if (ok) "OK" else "MISMATCH"
+    println(s"[validate] $label: extracted=$extracted loaded=$loaded $mark")
+    ok
+  }
+}

@@ -1,0 +1,69 @@
+package graft.run
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Sessions
+import graft.operators.Upsert
+
+/** Entry point 2 (O3, SURVEY §3.2): historical/backfill range sync.
+  *
+  * Usage:
+  *   sbt "runMain graft.run.RangeSync --start-date 1996-03-01 \
+  *        --end-date 1996-03-07 [--sf-dir ...] [--target-url jdbc:...]"
+  *
+  * Where the reference fans out one Airflow task per date (Dynamic Task
+  * Mapping, `_historical` pyc), this is ONE scan + ONE upsert over the
+  * whole range — Spark's task parallelism replaces the per-date task
+  * fan-out and beats it (one pass instead of N) — with the per-date
+  * validation recovered by a single `groupBy(to_date(ts)).count()` on
+  * each side (SURVEY §3.2).
+  */
+object RangeSync {
+
+  def main(args: Array[String]): Unit = {
+    val opts = Args.parse(args)
+    val start = opts.required("start-date")
+    val end = opts.required("end-date")
+    val dates = Args.dateRange(start, end) // validates start <= end
+    val cfg = opts.config
+    val spark = Sessions.local("graft-range-sync")
+
+    Pipeline.ensureTargetTables(cfg)
+    val source = Pipeline.ordersSource(spark, opts.sfDir)
+    val slice = source.filter(
+      col("order_created_at") >= lit(start).cast("timestamp") &&
+        col("order_created_at") <
+          date_add(lit(end).cast("date"), 1).cast("timestamp"))
+      .cache()
+
+    // per-date extracted counts, one aggregation (A2)
+    val extracted = slice
+      .groupBy(to_date(col("order_created_at")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+
+    Pipeline.upsertBatch(cfg, slice, Upsert.Unconditional)
+    slice.unpersist()
+
+    // per-date loaded counts from the target, one aggregation (S11/A1)
+    val loadedDf = Pipeline.readTarget(spark, cfg, cfg.targetTable)
+      .filter(
+        col("order_created_at") >= lit(start).cast("timestamp") &&
+          col("order_created_at") <
+            date_add(lit(end).cast("date"), 1).cast("timestamp"))
+      .groupBy(to_date(col("order_created_at")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val loaded = loadedDf.collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+
+    var allOk = true
+    for (d <- dates) {
+      val ok = Pipeline.reconcile(
+        s"range $d", extracted.getOrElse(d, 0L), loaded.getOrElse(d, 0L))
+      allOk &= ok
+    }
+    println(s"[range-sync] done: ${dates.size} day(s), " +
+      (if (allOk) "all counts reconciled" else "MISMATCHES logged above"))
+    spark.stop()
+  }
+}

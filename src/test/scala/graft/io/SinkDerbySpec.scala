@@ -1,0 +1,161 @@
+package graft.io
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row}
+
+import graft.SparkSpecBase
+import graft.operators.Upsert
+
+/** End-to-end sink tests against embedded Derby (the JDBC database that
+  * ships with Spark) — a real multi-connection JDBC target inside the
+  * test JVM. Exercises the full distributed write path: DataFrame
+  * partitions → per-partition connections/transactions → batched
+  * prepared statements → set-based MERGE → JDBC read-back.
+  *
+  * Derby has no `ON CONFLICT`, so [[UpsertSink]]'s PG statement is
+  * pinned textually in [[SqlGenSpec]]; the shared machinery it runs on
+  * ([[JdbcWrite.run]]) and all three upsert-mode semantics are proven
+  * here through [[MergeSink]]/[[RefreshSink]] against the
+  * [[Upsert.apply]] oracle.
+  */
+class SinkDerbySpec extends SparkSpecBase {
+
+  private val dialect = SqlDialect.Derby
+  private val cfg = JdbcConfig("jdbc:derby:memory:graftdb;create=true",
+    batchSize = 2) // tiny batch: force multiple executeBatch flushes
+
+  private val schema = StructType(Seq(
+    StructField("orderid", LongType),
+    StructField("userid", LongType),
+    StructField("ordercreatedat", TimestampType),
+    StructField("amount", DecimalType(18, 4)),
+    StructField("product", StringType),
+    StructField("isdelivered", BooleanType)))
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+  private def dec(s: String): java.math.BigDecimal =
+    new java.math.BigDecimal(s).setScale(4)
+
+  private def df(rows: Row*): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, numSlices = 3), schema)
+
+  // Target snapshot: 4 keys, one with NULL timestamp.
+  private def targetRows = Seq(
+    Row(1L, 10L, ts("2025-01-01 10:00:00"), dec("5.0000"), "a", true),
+    Row(2L, 20L, ts("2025-01-02 10:00:00"), dec("6.0000"), "b", false),
+    Row(3L, 30L, null, dec("7.0000"), "c", false),
+    Row(4L, 40L, ts("2025-01-04 10:00:00"), dec("8.0000"), "d", true))
+
+  // Batch: updates keys 1 (newer ts), 2 (older ts), 3 (ts onto NULL),
+  // inserts key 5, carries a NULL data column.
+  private def batchRows = Seq(
+    Row(1L, 11L, ts("2025-02-01 10:00:00"), dec("50.0000"), "a2", false),
+    Row(2L, 22L, ts("2024-12-01 10:00:00"), dec("60.0000"), null, true),
+    Row(3L, 33L, ts("2025-02-03 10:00:00"), dec("70.0000"), "c2", true),
+    Row(5L, 55L, ts("2025-02-05 10:00:00"), dec("90.0000"), "e", false))
+
+  private val tbl = dialect.table("APP", "orders")
+  private val stg = dialect.table("APP", "orders_staging")
+
+  private def ensureTables(): Unit = {
+    val conn = JdbcWrite.connect(cfg)
+    try {
+      val st = conn.createStatement()
+      val existing = {
+        val rs = conn.getMetaData.getTables(null, "APP", "%", null)
+        Iterator.continually(rs).takeWhile(_.next()).map(_.getString(3)).toSet
+      }
+      if (!existing.contains("orders"))
+        st.execute(SqlGen.createTable(dialect, tbl, schema))
+      if (!existing.contains("orders_staging"))
+        st.execute(SqlGen.createTable(dialect, stg, schema))
+      st.close()
+    } finally conn.close()
+  }
+
+  private def sortedRows(d: DataFrame): Seq[Row] =
+    d.select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      .collect().toSeq.sortBy(_.getLong(0))
+
+  private def checkMode(mode: Upsert.Mode): Unit = {
+    ensureTables()
+    val target = df(targetRows: _*)
+    val batch = df(batchRows: _*)
+    RefreshSink.write(target, cfg, dialect, tbl) // seed target state
+    MergeSink.write(batch, cfg, dialect, tbl, stg, Seq("orderid"), mode,
+      withByTarget = false)
+    val got = sortedRows(JdbcSources.readTable(spark, cfg, tbl))
+    val want = sortedRows(Upsert(target, batch, Seq("orderid"), mode))
+    assert(got == want, s"mode $mode: JDBC state diverges from Upsert oracle")
+  }
+
+  test("RefreshSink truncate+insert rebuilds exact state (S8)") {
+    ensureTables()
+    RefreshSink.write(df(targetRows: _*), cfg, dialect, tbl)
+    // overwrite with the batch; previous state must be gone
+    RefreshSink.write(df(batchRows: _*), cfg, dialect, tbl)
+    val got = sortedRows(JdbcSources.readTable(spark, cfg, tbl))
+    assert(got == sortedRows(df(batchRows: _*)))
+  }
+
+  test("MergeSink unconditional mode matches Upsert oracle (S9+S10/S6)") {
+    checkMode(Upsert.Unconditional)
+  }
+
+  test("MergeSink last-write-wins mode matches Upsert oracle (S7)") {
+    checkMode(Upsert.LastWriteWins("ordercreatedat"))
+  }
+
+  test("MergeSink insert-only mode freezes ordercreatedat (S10)") {
+    checkMode(Upsert.InsertOnly(Seq("ordercreatedat")))
+  }
+
+  test("MergeSink is idempotent: re-running a batch changes nothing (O5)") {
+    ensureTables()
+    val target = df(targetRows: _*)
+    val batch = df(batchRows: _*)
+    RefreshSink.write(target, cfg, dialect, tbl)
+    MergeSink.write(batch, cfg, dialect, tbl, stg, Seq("orderid"),
+      Upsert.Unconditional, withByTarget = false)
+    val once = sortedRows(JdbcSources.readTable(spark, cfg, tbl))
+    MergeSink.write(batch, cfg, dialect, tbl, stg, Seq("orderid"),
+      Upsert.Unconditional, withByTarget = false)
+    val twice = sortedRows(JdbcSources.readTable(spark, cfg, tbl))
+    assert(once == twice)
+  }
+
+  test("mid-batch failure rolls back the whole partition transaction") {
+    val ck = dialect.table("APP", "orders_ck")
+    val conn = JdbcWrite.connect(cfg)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE \"APP\".\"orders_ck\"")
+      catch { case _: Exception => () }
+      st.execute(SqlGen.createTable(dialect, ck, schema)
+        + "" /* base table */)
+      st.execute(
+        """ALTER TABLE "APP"."orders_ck" ADD CONSTRAINT uid_small CHECK ("userid" < 50)""")
+      st.close()
+    } finally conn.close()
+    // single partition, batchSize=2: rows (1,2) flush fine, the flush
+    // containing userid=55 violates the CHECK → the earlier,
+    // already-executed-but-uncommitted batch must roll back too.
+    val data = df(batchRows: _*).coalesce(1)
+    intercept[Exception] {
+      JdbcWrite.run(data, cfg,
+        SqlGen.insert(dialect, ck, schema.fieldNames.toSeq))
+    }
+    assert(sortedRows(JdbcSources.readTable(spark, cfg, ck)).isEmpty)
+  }
+
+  test("JdbcSources.countWhere pushes the aggregate to the DB (S11)") {
+    ensureTables()
+    RefreshSink.write(df(targetRows: _*), cfg, dialect, tbl)
+    val n = JdbcSources.countWhere(cfg, tbl,
+      """"ordercreatedat" IS NOT NULL""")
+    assert(n == 3L)
+  }
+}

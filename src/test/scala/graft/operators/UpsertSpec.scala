@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpecBase
+
+/** Property tests for the three upsert modes against an independent
+  * in-memory (Scala Map) model, plus the reference's documented
+  * invariants (SURVEY.md §2.5, §5): idempotency
+  * `apply(apply(t,b),b) == apply(t,b)` and last-write-wins
+  * batch-order commutativity.
+  *
+  * Generators are driven with explicit seeds (the scalatest-scalacheck
+  * bridge isn't on the offline classpath) — deterministic, replayable
+  * cases.
+  */
+class UpsertSpec extends SparkSpecBase {
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType),
+    StructField("ts", LongType),   // ordering column (nullable)
+    StructField("v", StringType)))
+
+  private case class R(k: Long, ts: Option[Long], v: String) {
+    def row: Row = Row(k, ts.map(Long.box).orNull, v)
+  }
+
+  private val genRow: Gen[R] = for {
+    k <- Gen.choose(0L, 12L) // small key space forces collisions
+    ts <- Gen.option(Gen.choose(0L, 5L))
+    v <- Gen.alphaStr.map(_.take(4))
+  } yield R(k, ts, v)
+
+  /** unique keys per side, like the reference's one-row-per-PK batches */
+  private val genSide: Gen[Seq[R]] =
+    Gen.listOf(genRow).map(_.groupBy(_.k).map(_._2.head).toSeq)
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed))
+      .getOrElse(sys.error("generator failed"))
+
+  private def df(rows: Seq[R]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(_.row), 2), schema)
+
+  private def collect(d: DataFrame): Set[(Long, Option[Long], String)] =
+    d.collect().toSet.map { r: Row =>
+      (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]), r.getString(2))
+    }
+
+  /** Independent model: plain Map merge per mode. */
+  private def model(
+      target: Seq[R], batch: Seq[R],
+      mode: Upsert.Mode): Set[(Long, Option[Long], String)] = {
+    val t = target.map(r => r.k -> r).toMap
+    val merged = batch.foldLeft(t) { (acc, s) =>
+      acc.get(s.k) match {
+        case None => acc + (s.k -> s)
+        case Some(old) =>
+          mode match {
+            case Upsert.Unconditional => acc + (s.k -> s)
+            case Upsert.LastWriteWins(_) =>
+              val wins = old.ts.isEmpty ||
+                (s.ts.nonEmpty && s.ts.get > old.ts.get)
+              acc + (s.k -> (if (wins) s else old))
+            case Upsert.InsertOnly(frozen) =>
+              val nv = if (frozen.contains("v")) old.v else s.v
+              val nts = if (frozen.contains("ts")) old.ts else s.ts
+              acc + (s.k -> R(s.k, nts, nv))
+          }
+      }
+    }
+    merged.values.map(r => (r.k, r.ts, r.v)).toSet
+  }
+
+  private val modes = Seq[Upsert.Mode](
+    Upsert.Unconditional,
+    Upsert.LastWriteWins("ts"),
+    Upsert.InsertOnly(Seq("v")))
+
+  test("all modes match the independent Map model") {
+    for (seed <- 1L to 12L; mode <- modes) {
+      val t = sample(genSide, seed); val b = sample(genSide, seed + 100)
+      val got = collect(Upsert(df(t), df(b), Seq("k"), mode))
+      assert(got == model(t, b, mode),
+        s"seed=$seed mode=$mode target=$t batch=$b")
+    }
+  }
+
+  test("idempotency: applying the same batch twice is a no-op (O5)") {
+    for (seed <- 1L to 8L; mode <- modes) {
+      val t = sample(genSide, seed); val b = sample(genSide, seed + 200)
+      val once = Upsert(df(t), df(b), Seq("k"), mode)
+      val twice = Upsert(once, df(b), Seq("k"), mode)
+      assert(collect(twice) == collect(once), s"seed=$seed mode=$mode")
+    }
+  }
+
+  test("LWW: for ts-total batches, application order does not matter") {
+    // rows with ts always defined and distinct per key across batches —
+    // the guarantee surface (NULL/tie cases resolve toward the target)
+    val genTsRow = for {
+      k <- Gen.choose(0L, 6L); ts <- Gen.choose(0L, 100L)
+      v <- Gen.alphaStr.map(_.take(3))
+    } yield R(k, Some(ts), v)
+    val genTsSide = Gen.listOf(genTsRow).map(
+      _.groupBy(_.k).map(_._2.head).toSeq)
+    var checked = 0
+    var seed = 0L
+    while (checked < 8 && seed < 60) {
+      seed += 1
+      val t = sample(genTsSide, seed)
+      val b1 = sample(genTsSide, seed + 300)
+      val b2 = sample(genTsSide, seed + 600)
+      val clash = (b1 ++ b2).groupBy(_.k).values
+        .exists(g => g.map(_.ts).distinct.size != g.size)
+      if (!clash) {
+        checked += 1
+        val m = Upsert.LastWriteWins("ts")
+        val ab = Upsert(Upsert(df(t), df(b1), Seq("k"), m), df(b2), Seq("k"), m)
+        val ba = Upsert(Upsert(df(t), df(b2), Seq("k"), m), df(b1), Seq("k"), m)
+        assert(collect(ab) == collect(ba), s"seed=$seed")
+      }
+    }
+    assert(checked >= 8, "not enough clash-free samples generated")
+  }
+
+  test("latestPerKey keeps the newest row per key") {
+    val rows = Seq(
+      R(1, Some(1), "old"), R(1, Some(5), "new"),
+      R(2, Some(2), "only"), R(3, None, "nullts"), R(3, Some(1), "real"))
+    val got = collect(Upsert.latestPerKey(df(rows), Seq("k"), "ts"))
+    assert(got == Set(
+      (1L, Some(5L), "new"), (2L, Some(2L), "only"), (3L, Some(1L), "real")))
+  }
+}
