@@ -283,28 +283,33 @@ object Queries {
         .select(col("doc_id"), col("n_copies"))
     }),
     "q_dedup_minhash" -> ((s, dir) => {
-      // Rows-only check (xxhash64 signatures are not SQL-replicable):
-      // per-doc MinHash signature head + estimated-Jaccard near-dup
-      // candidate count for the whole corpus.
+      // Portable-hash mode: the polynomial hash family is replicated in
+      // DuckDB, so signatures get a full value-level oracle.
       val docs = Tables.documents(s, dir)
-      val sigs = Dedup.minhashSignatures(docs, "doc_id", col("text"))
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", col("text"),
+        portable = true)
       sigs.select(col("doc_id"), col("signature")(0).as("sig0"),
         col("signature")(1).as("sig1"))
     }),
     "q_dedup_minhash_pairs" -> ((s, dir) => {
       // LSH candidate pairs + exact-Jaccard verification, low threshold
-      // so the synthetic corpus yields a non-empty answer.
+      // so the synthetic corpus yields a non-empty answer. Portable
+      // hashes → the banding itself is oracle-replicated.
       val docs = Tables.documents(s, dir)
       Dedup.minhashNearDupPairs(docs, "doc_id", col("text"),
-        threshold = 0.2, numHashes = 64, bands = 32)
+        threshold = 0.2, numHashes = 64, bands = 32, portable = true)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
     }),
     "q_dedup_simhash" -> ((s, dir) => {
-      Dedup.simhash(Tables.documents(s, dir), "doc_id", col("text"))
+      Dedup.simhash(Tables.documents(s, dir), "doc_id", col("text"),
+        portable = true)
     }),
     "q_dedup_ngram" -> ((s, dir) => {
+      // dfCap = 0: exact mode — prefix filtering alone bounds the
+      // candidate set, and the result provably equals the brute-force
+      // Jaccard join the oracle runs.
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id",
-        col("text"), threshold = 0.2, shingleSize = 3, dfCap = 200)
+        col("text"), threshold = 0.2, shingleSize = 3)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
@@ -587,8 +592,108 @@ object Queries {
       """SELECT source, count(*) AS n,
         | CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         | max(octet_length(encode(text))) AS max_bytes
-        |FROM documents GROUP BY source""".stripMargin
+        |FROM documents GROUP BY source""".stripMargin,
+    "q_dedup_minhash" -> minhashSigOracle,
+    "q_dedup_minhash_pairs" -> minhashPairsOracle,
+    "q_dedup_simhash" -> simhashOracle,
+    "q_dedup_ngram" -> ngramOracle
   )
+
+  // --- DuckDB replicas of the portable-hash dedup family --------------
+  // Shared fragments mirror graft.operators.Dedup exactly: same token
+  // split, same 3-word shingles, same base-31 mod-1e9+7 polynomial
+  // hash, same affine constants (generated from the same Scala fns).
+
+  private def M: Long = Dedup.PortableMod
+
+  /** whitespace tokens of lower(text), empties removed */
+  private def toksSql: String =
+    """list_filter(regexp_split_to_array(lower(text), '\s+'),
+      | x -> x <> '')""".stripMargin
+
+  /** distinct 3-word shingles over a `toks` column */
+  private def shinglesSql: String =
+    """CASE WHEN len(toks) >= 3
+      | THEN list_distinct(list_transform(range(1, len(toks) - 1),
+      |   i -> array_to_string(toks[i:i+2], ' ')))
+      | ELSE [array_to_string(toks, ' ')] END""".stripMargin
+
+  /** rolling polynomial hash of a string expression */
+  private def polySql(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(list_filter(string_split($e, ''),
+       |    c -> len(c) > 0), c -> CAST(ascii(c) AS BIGINT))),
+       |  (acc, c) -> (acc * 31 + c) % $M)""".stripMargin
+
+  private def affineSql(i: Int, h: String): String =
+    s"(($h * ${Dedup.affineA(i)} + ${Dedup.affineB(i)}) % $M)"
+
+  private def minhashSigOracle: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |e AS (SELECT doc_id, unnest($shinglesSql) AS s FROM t),
+       |h AS (SELECT doc_id, ${polySql("s")} AS h FROM e)
+       |SELECT doc_id,
+       | min(${affineSql(0, "h")}) AS sig0,
+       | min(${affineSql(1, "h")}) AS sig1
+       |FROM h GROUP BY doc_id""".stripMargin
+
+  /** exact Jaccard between two shingle-list columns, as DOUBLE */
+  private def jaccardSql(a: String, b: String): String =
+    s"""CAST(len(list_intersect($a, $b)) AS DOUBLE) /
+       | (len($a) + len($b) - len(list_intersect($a, $b)))""".stripMargin
+
+  private def minhashPairsOracle: String = {
+    val sigCols = (0 until 64)
+      .map(i => s"min(${affineSql(i, "h")}) AS s$i").mkString(",\n ")
+    // a pair is an LSH candidate iff some band of 2 consecutive
+    // signature rows agrees entirely (numHashes=64, bands=32)
+    val bandOr = (0 until 32)
+      .map(b => s"(x.s${2 * b} = y.s${2 * b} AND " +
+        s"x.s${2 * b + 1} = y.s${2 * b + 1})")
+      .mkString("(", " OR ", ")")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sl AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+       |e AS (SELECT doc_id, unnest(sh) AS s FROM sl),
+       |h AS (SELECT doc_id, ${polySql("s")} AS h FROM e),
+       |sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id),
+       |cand AS (SELECT x.doc_id AS a, y.doc_id AS b FROM sig x
+       | JOIN sig y ON x.doc_id < y.doc_id AND $bandOr),
+       |j AS (SELECT c.a, c.b,
+       |  ${jaccardSql("sa.sh", "sb.sh")} AS jac
+       | FROM cand c
+       | JOIN sl sa ON sa.doc_id = c.a
+       | JOIN sl sb ON sb.doc_id = c.b)
+       |SELECT a, b, round(jac, 6) AS jaccard FROM j
+       |WHERE jac >= 0.2""".stripMargin
+  }
+
+  private def simhashOracle: String = {
+    val laneCols = (0 until 64)
+      .map(i => s"sum(CASE WHEN ${affineSql(i, "h")} & 1 = 1 " +
+        s"THEN 1 ELSE -1 END) AS b$i").mkString(",\n ")
+    // disjoint bit positions: summing the per-lane terms equals the OR
+    // (lane 63 contributes the two's-complement sign term)
+    val assemble = (0 until 64).map { i =>
+      val bit = if (i == 63) "-9223372036854775808"
+                else (1L << i).toString
+      s"(CASE WHEN b$i > 0 THEN CAST($bit AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok
+       | FROM documents),
+       |h AS (SELECT doc_id, ${polySql("tok")} AS h FROM tk),
+       |lanes AS (SELECT doc_id, $laneCols FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash
+       |FROM lanes""".stripMargin
+  }
+
+  private def ngramOracle: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sl AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+       |j AS (SELECT x.doc_id AS a, y.doc_id AS b,
+       |  ${jaccardSql("x.sh", "y.sh")} AS jac
+       | FROM sl x JOIN sl y ON x.doc_id < y.doc_id)
+       |SELECT a, b, round(jac, 6) AS jaccard FROM j
+       |WHERE jac >= 0.2""".stripMargin
 
   /** Shared CTE prelude for the three upsert oracles: t = latest event
     * per user in the first half / whole range, s = source batch. */

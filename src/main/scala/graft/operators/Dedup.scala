@@ -1,27 +1,63 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Deduplication family for training-data pipelines: exact,
   * MinHash+LSH, SimHash, and n-gram Jaccard. Designed for the
   * 100 TB regime:
   *
   *  - exact dedup shuffles once on the content hash (never on the raw
-  *    text when `keyExpr` is a digest), then semi-joins winners back;
+  *    text when `keyExpr` is a digest);
   *  - MinHash signatures are computed with one explode + one groupBy
   *    (map-side combined `min` per hash function — the shuffle carries
   *    only `numHashes` longs per doc, not the shingle set);
   *  - LSH banding turns the quadratic all-pairs problem into a
-  *    per-bucket join; hot buckets are capped to keep worst-case skew
-  *    bounded;
-  *  - n-gram Jaccard verification joins candidates on doc_id only.
+  *    per-bucket join; bucket sizes are counted BEFORE any per-bucket
+  *    materialization, so a degenerate hot bucket is dropped by a
+  *    semi-join without ever building its member list (no
+  *    collect_list OOM risk);
+  *  - n-gram Jaccard uses AllPairs-style prefix filtering over
+  *    hashed shingles: the candidate join carries 8-byte longs, never
+  *    shingle text, and the prefix + length filters are provably
+  *    complete for the threshold (no missed pairs).
+  *
+  * Hashing comes in two modes: `xxhash64` (native, codegen'd — the
+  * 100 TB path) and a "portable" polynomial hash (base 31 mod 1e9+7)
+  * that DuckDB can replicate exactly, which the correctness-gate
+  * queries use so the approximate family gets full value-level
+  * oracles instead of rows-only checks.
   *
   * All-new capability beyond the reference (SURVEY.md §7.2 step 7).
   */
 object Dedup {
+
+  /** Modulus shared by the portable hash family (fits in 30 bits, so
+    * affine transforms stay far from Long overflow under ANSI mode). */
+  val PortableMod = 1000000007L
+
+  /** Affine hash-family constants, derived arithmetically so the DuckDB
+    * oracle generator reproduces them from the same formulas. */
+  def affineA(i: Int): Long = ((2L * i + 1) * 104729L) % PortableMod
+  def affineB(i: Int): Long = (i.toLong * 94906249L + 12345L) % PortableMod
+
+  /** Portable 64-bit-safe string hash: rolling polynomial over code
+    * points, base 31 mod 1e9+7 — the same construction as
+    * [[TextAnalysis.fingerprintRolling]] (whose DuckDB twin is proven
+    * hash-identical by the q_fingerprint gate), minus the whitespace
+    * normalization (inputs here are already-normalized tokens). */
+  def polyHash(c: Column): Column =
+    aggregate(
+      filter(split(c, ""), ch => length(ch) > 0),
+      lit(0L),
+      (acc, ch) => pmod(acc * 31L + ascii(ch), lit(PortableMod)))
+
+  /** i-th portable hash function over a pre-hashed value. */
+  private def affine(i: Int, h: Column): Column =
+    pmod(h * affineA(i) + affineB(i), lit(PortableMod))
 
   /** Exact dedup: keep, per distinct value of `key`, the single row with
     * the smallest `tieBreaker`. One hash-partitioned shuffle on the key.
@@ -33,9 +69,11 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Word n-gram shingles (default 3-word), distinct, as an array. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(lower(text))
+  /** Word n-gram shingles (default 3-word), distinct, as an array.
+    * `toks` should be an attribute (a staged column), not an inline
+    * expression — HOFs defeat subexpression elimination, so an inline
+    * token array gets recomputed once per shingle. */
+  def shinglesOfTokens(toks: Column, n: Int = 3): Column = {
     val count = size(toks)
     when(count >= n,
       array_distinct(transform(
@@ -44,40 +82,129 @@ object Dedup {
       .otherwise(array(array_join(toks, " ")))
   }
 
-  /** MinHash signature: `numHashes` 64-bit min-hashes over the shingle
-    * set, seeded per hash function via xxhash64(seed, shingle).
-    * Returns (idCol, signature array<long>). The explode→groupBy(min)
-    * pattern map-side-combines, so the shuffle carries one row of
-    * `numHashes` longs per document. */
+  /** Convenience inline form — prefer [[shingleFrame]] /
+    * [[hashedShingleFrame]] (staged + cached) in pipelines. */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesOfTokens(TextAnalysis.tokens(lower(text)), n)
+
+  /** (id, shingle-array) frame, cached — every dedup pipeline branches
+    * off this at least twice (index build + verification joins), and
+    * re-shingling the corpus per branch was the dominant waste in the
+    * r1 bench. Callers owning the lifecycle can `unpersist()` it. */
+  def shingleFrame(
+      docs: DataFrame,
+      idCol: String,
+      text: Column,
+      shingleSize: Int = 3): DataFrame =
+    docs
+      .select(col(idCol).as("__id"),
+        TextAnalysis.tokens(lower(text)).as("__tk"))
+      .select(col("__id"),
+        shinglesOfTokens(col("__tk"), shingleSize).as("__sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Hashed-shingle arrays: each distinct shingle as one xxhash64 long,
+    * built WITHOUT materializing shingle strings — tokens are hashed
+    * once, and a shingle hash is the hash of its n-token hash slice.
+    * An order of magnitude cheaper than string shingles to build AND to
+    * intersect (long equality vs string hashing), at the cost of a
+    * ~2⁻⁶⁴ per-pair collision probability — the right trade at scale.
+    * Cached for the same reason as [[shingleFrame]]. */
+  def hashedShingleFrame(
+      docs: DataFrame,
+      idCol: String,
+      text: Column,
+      shingleSize: Int = 3): DataFrame = {
+    // Stage the token-hash array as an ATTRIBUTE before fanning out:
+    // higher-order functions defeat subexpression elimination, so an
+    // inline `th` referenced once per shingle would re-hash every token
+    // O(shingles) times.
+    val th = col("__th")
+    val n = size(th)
+    val arr = when(n >= shingleSize,
+      array_distinct(transform(
+        sequence(lit(0), n - shingleSize),
+        i => xxhash64(slice(th, i + 1, lit(shingleSize))))))
+      .otherwise(array(xxhash64(th)))
+    docs
+      .select(col(idCol).as("__id"),
+        transform(TextAnalysis.tokens(lower(text)), t => xxhash64(t))
+          .as("__th"))
+      .select(col("__id"), arr.as("__sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** MinHash signature: `numHashes` min-hashes over the shingle set.
+    * Native mode seeds xxhash64 per hash function; portable mode
+    * applies the affine family to one polyHash per shingle (cheaper:
+    * the string is hashed once, not `numHashes` times — and DuckDB-
+    * replicable). The explode→groupBy(min) pattern map-side-combines,
+    * so the shuffle carries one row of `numHashes` longs per document.
+    */
   def minhashSignatures(
       docs: DataFrame,
       idCol: String,
       text: Column,
       numHashes: Int = 64,
-      shingleSize: Int = 3): DataFrame = {
-    val exploded = docs
-      .select(col(idCol), explode(shingles(text, shingleSize)).as("__sh"))
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("__sh"))).as(s"h$i"))
-    exploded
+      shingleSize: Int = 3,
+      portable: Boolean = false): DataFrame = {
+    val sh = docs
+      .select(col(idCol), TextAnalysis.tokens(lower(text)).as("__tk"))
+      .select(col(idCol),
+        explode(shinglesOfTokens(col("__tk"), shingleSize)).as("__sh"))
+    signaturesFromExploded(sh, idCol, numHashes, portable)
+  }
+
+  private def signaturesFromExploded(
+      exploded: DataFrame, // (idCol, __sh string)
+      idCol: String,
+      numHashes: Int,
+      portable: Boolean): DataFrame = {
+    // Portable mode: the polynomial hash walks the string per character
+    // (non-codegen HOF), so hash each DISTINCT shingle once and join
+    // back — corpora repeat shingles heavily, and the join key is the
+    // shingle the explode already shuffles on.
+    val withBase =
+      if (portable) exploded.join(
+        exploded.select(col("__sh")).distinct()
+          .withColumn("__h", polyHash(col("__sh"))),
+        Seq("__sh"))
+      else exploded
+    val mins = (0 until numHashes).map { i =>
+      val h = if (portable) affine(i, col("__h"))
+              else xxhash64(lit(i), col("__sh"))
+      min(h).as(s"h$i")
+    }
+    withBase
       .groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
       .select(col(idCol),
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))
   }
 
-  /** LSH candidate pairs from MinHash signatures: split the signature
-    * into `bands` bands, hash each band, explode to (band, bandHash)
-    * buckets, and pair up documents sharing a bucket. Buckets larger
-    * than `maxBucket` are dropped (skew guard: a degenerate bucket of
-    * B docs would emit B² pairs). Output: (a, b) with a < b, distinct.
+  /** LSH candidate pairs from MinHash signatures: split each signature
+    * into `bands` bands of `numHashes / bands` rows, bucket docs by
+    * band value, and pair up docs sharing a bucket.
+    *
+    * `numHashes` must divide evenly into `bands` (explicit integer
+    * math — a fractional band width would silently overlap bands).
+    *
+    * Skew guard: bucket sizes come from a count-only aggregation
+    * (map-side combined longs), and only buckets with 2..maxBucket
+    * members survive into the pair-generating self-join — a degenerate
+    * bucket (B docs → B² pairs) is dropped before anything per-member
+    * is materialized. Output: (a, b) with a < b, distinct.
     */
   def lshCandidatePairs(
       signatures: DataFrame,
       idCol: String,
+      numHashes: Int,
       bands: Int,
       maxBucket: Int = 1000): DataFrame = {
-    require(bands > 0)
+    require(bands > 0, "bands must be positive")
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a multiple of bands ($bands)")
+    val width = numHashes / bands
     val banded = signatures.select(
       col(idCol),
       posexplode(transform(
@@ -85,19 +212,21 @@ object Dedup {
         b => xxhash64(
           b,
           array_join(transform(
-            slice(col("signature"),
-              b * (size(col("signature")) / bands) + 1,
-              size(col("signature")) / bands),
+            slice(col("signature"), b * lit(width) + lit(1), lit(width)),
             _.cast(StringType)), ","))))
         .as(Seq("band", "bucket")))
-    val buckets = banded
+    val keepBuckets = banded
       .groupBy("band", "bucket")
-      .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-    buckets
-      .select(explode(col("ids")).as("a"), col("ids"))
-      .select(col("a"), explode(col("ids")).as("b"))
+      .agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc").between(2, maxBucket))
+      .select("band", "bucket")
+    val kept = banded.join(keepBuckets, Seq("band", "bucket"))
+    kept.select(col("band"), col("bucket"), col(idCol).as("a"))
+      .join(
+        kept.select(col("band"), col("bucket"), col(idCol).as("b")),
+        Seq("band", "bucket"))
       .filter(col("a") < col("b"))
+      .select("a", "b")
       .distinct()
   }
 
@@ -116,9 +245,8 @@ object Dedup {
 
   /** End-to-end MinHash-LSH near-dup pairs: signature → banded LSH →
     * candidate pairs → exact n-gram-Jaccard verification ≥ threshold.
-    * Returns (a, b, jaccard). The verify join rejoins the raw shingle
-    * arrays by id (two hash joins on the id column — cheap relative to
-    * the pair blowup it avoids). */
+    * Returns (a, b, jaccard). The shingle frame is computed once and
+    * cached; the verify join carries ids only. */
   def minhashNearDupPairs(
       docs: DataFrame,
       idCol: String,
@@ -126,11 +254,13 @@ object Dedup {
       threshold: Double = 0.8,
       numHashes: Int = 64,
       bands: Int = 16,
-      shingleSize: Int = 3): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, text, numHashes, shingleSize)
-    val cand = lshCandidatePairs(sigs, idCol, bands)
-    val sh = docs.select(col(idCol).as("__id"),
-      shingles(text, shingleSize).as("__sh"))
+      shingleSize: Int = 3,
+      portable: Boolean = false): DataFrame = {
+    val sh = shingleFrame(docs, idCol, text, shingleSize)
+    val sigs = signaturesFromExploded(
+      sh.select(col("__id").as(idCol), explode(col("__sh")).as("__sh")),
+      idCol, numHashes, portable)
+    val cand = lshCandidatePairs(sigs, idCol, numHashes, bands)
     cand
       .join(sh.select(col("__id").as("a"), col("__sh").as("sh_a")), Seq("a"))
       .join(sh.select(col("__id").as("b"), col("__sh").as("sh_b")), Seq("b"))
@@ -139,23 +269,33 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash over whitespace tokens: per token, xxhash64; each
-    * bit contributes +1/-1 to its lane; sign of the lane sum is the
-    * output bit. Implemented as 64 map-side-combined SUM aggregates —
-    * one shuffle of 64 longs per doc. */
+  /** 64-bit SimHash over whitespace tokens. Native mode: bit i of the
+    * token's xxhash64 contributes ±1 to lane i. Portable mode: lane i's
+    * contribution is the parity of the i-th affine transform of the
+    * token's polyHash — same statistics, DuckDB-replicable. Implemented
+    * as 64 map-side-combined SUM aggregates — one shuffle of 64 longs
+    * per doc. */
   def simhash(
       docs: DataFrame,
       idCol: String,
-      text: Column): DataFrame = {
-    val tok = docs.select(col(idCol),
+      text: Column,
+      portable: Boolean = false): DataFrame = {
+    val tok0 = docs.select(col(idCol),
       explode(TextAnalysis.tokens(lower(text))).as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
+    val tok =
+      if (portable) tok0.join(
+        tok0.select(col("__t")).distinct()
+          .withColumn("__h", polyHash(col("__t"))),
+        Seq("__t"))
+      else tok0.withColumn("__h", xxhash64(col("__t")))
     val laneSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("__h"), i).bitwiseAND(1L) === 1L, 1)
-        .otherwise(-1)).as(s"b$i")
+      val bit =
+        if (portable) affine(i, col("__h")).bitwiseAND(1L)
+        else shiftright(col("__h"), i).bitwiseAND(1L)
+      sum(when(bit === 1L, 1).otherwise(-1)).as(s"b$i")
     }
     val lanes = tok.groupBy(col(idCol)).agg(laneSums.head, laneSums.tail: _*)
-    // assemble sign bits into one long: sum of (bit_i << i) via bitwise OR
+    // assemble sign bits into one long (lane 63 sets the sign bit)
     val sim = (0 until 64)
       .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
@@ -173,9 +313,10 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       text: Column,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      portable: Boolean = false): DataFrame = {
     require(maxHamming < 16, "quadrant blocking needs maxHamming < 16")
-    val sh = simhash(docs, idCol, text)
+    val sh = simhash(docs, idCol, text, portable)
     val blocked = sh.select(
       col(idCol),
       col("simhash"),
@@ -194,34 +335,64 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram-Jaccard near-dup pairs via a shingle inverted index:
-    * docs sharing ≥1 shingle become candidates; stop-shingles (document
-    * frequency > dfCap) are excluded from candidate generation (they
-    * still count in the verification Jaccard). Classic
-    * prefix-filter-style pruning: the index join emits each pair once
-    * per shared rare shingle, and the final Jaccard is recomputed
-    * exactly from the full shingle arrays. */
+  /** Exact n-gram-Jaccard near-dup pairs via AllPairs-style prefix
+    * filtering (Bayardo et al., WWW'07 — public algorithm):
+    *
+    *  1. shingles are hashed to longs immediately — the index join
+    *     shuffles 8-byte keys, never shingle text;
+    *  2. each doc indexes only its prefix: the `n - ceil(t*n) + 1`
+    *     rarest shingles under the global (document-frequency, hash)
+    *     order. Any pair with Jaccard ≥ t provably shares an indexed
+    *     shingle (its globally-smallest common shingle sits in both
+    *     prefixes), so candidate generation is COMPLETE — the exact
+    *     verification step loses nothing;
+    *  3. a length filter (t·|a| ≤ |b| ∧ t·|b| ≤ |a|) prunes candidates
+    *     before the verify join. Threshold arithmetic runs in DECIMAL
+    *     so prefix lengths can't be off-by-one from FP rounding;
+    *  4. optional `dfCap > 0` drops shingles with document frequency
+    *     above the cap from the index — the stop-shingle guard for
+    *     boilerplate-heavy corpora. It bounds the worst-case Σdf² pair
+    *     blowup but makes recall approximate (pairs sharing ONLY
+    *     stop-shingles are missed); leave 0 for exact results.
+    *
+    * Returns (a, b, jaccard) with a < b and jaccard ≥ threshold.
+    */
   def ngramJaccardPairs(
       docs: DataFrame,
       idCol: String,
       text: Column,
       threshold: Double = 0.5,
       shingleSize: Int = 3,
-      dfCap: Int = 100): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("__id"), shingles(text, shingleSize).as("__sh"))
-    val inv = sh.select(col("__id"), explode(col("__sh")).as("__s"))
-    val rare = inv.groupBy("__s").count().filter(col("count") <= dfCap)
-      .select("__s")
-    val rareInv = inv.join(rare, Seq("__s"))
-    val cand = rareInv.select(col("__s"), col("__id").as("a"))
-      .join(rareInv.select(col("__s"), col("__id").as("b")), Seq("__s"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+      dfCap: Int = 0): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val thr = lit(new java.math.BigDecimal(threshold.toString))
+    val sh = hashedShingleFrame(docs, idCol, text, shingleSize)
+    val inv = sh
+      .select(col("__id"), size(col("__sh")).as("__n"),
+        explode(col("__sh")).as("__h"))
+    val docFreq = inv.groupBy("__h").agg(count(lit(1)).as("__df"))
+    val indexable =
+      if (dfCap > 0) docFreq.filter(col("__df") <= dfCap) else docFreq
+    val prefix = inv
+      .join(indexable, Seq("__h"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("__id").orderBy(col("__df").asc, col("__h").asc)))
+      .filter(col("__rk") <= col("__n") - ceil(thr * col("__n")) + lit(1))
+      .select(col("__h"), col("__id"), col("__n"))
+    val cand = prefix.select(col("__h"), col("__id").as("a"), col("__n").as("na"))
+      .join(
+        prefix.select(col("__h"), col("__id").as("b"), col("__n").as("nb")),
+        Seq("__h"))
+      .filter(col("a") < col("b") &&
+        col("nb") >= ceil(thr * col("na")) &&
+        col("na") >= ceil(thr * col("nb")))
+      .select("a", "b")
+      .distinct()
     cand
       .join(sh.select(col("__id").as("a"), col("__sh").as("sh_a")), Seq("a"))
       .join(sh.select(col("__id").as("b"), col("__sh").as("sh_b")), Seq("b"))
-      .select(col("a"), col("b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("a"), col("b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

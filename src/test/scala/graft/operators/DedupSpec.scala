@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpecBase
+
+/** Dedup-family invariants:
+  *  - prefix-filtered n-gram pairs EQUAL the brute-force Jaccard join
+  *    (the completeness claim the oracle gate relies on);
+  *  - hashed shingles preserve set cardinalities;
+  *  - portable MinHash matches an independent Scala reimplementation;
+  *  - LSH band math rejects non-divisible configurations.
+  */
+class DedupSpec extends SparkSpecBase {
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta")
+
+  /** Overlap-heavy corpus: random short docs over a 4-word vocabulary,
+    * plus mutated near-copies of the first few docs, so every threshold
+    * level has qualifying pairs. */
+  private def corpus(seed: Long, nDocs: Int): Seq[(Long, String)] = {
+    val g = for {
+      len <- Gen.choose(3, 10)
+      ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    val base = (0 until nDocs).map { i =>
+      (i.toLong,
+        g.apply(Gen.Parameters.default, Seed(seed + i)).getOrElse("alpha"))
+    }
+    val nearDups = base.take(5).map { case (i, t) =>
+      (i + nDocs, t + " alpha")
+    }
+    base ++ nearDups
+  }
+
+  private def docsDf(rows: Seq[(Long, String)]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (i, t) => Row(i, t) }, 3),
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+
+  /** brute-force exact pairs over string shingles */
+  private def brute(docs: DataFrame, t: Double): Set[(Long, Long, Double)] = {
+    val sh = Dedup.shingleFrame(docs, "doc_id", col("text"))
+    val out = sh.select(col("__id").as("a"), col("__sh").as("sa"))
+      .crossJoin(sh.select(col("__id").as("b"), col("__sh").as("sb")))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), Dedup.jaccard(col("sa"), col("sb")).as("j"))
+      .filter(col("j") >= t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    sh.unpersist()
+    out
+  }
+
+  test("ngramJaccardPairs equals brute force for several thresholds") {
+    for ((seed, t) <- Seq((11L, 0.2), (23L, 0.5), (37L, 0.8))) {
+      val docs = docsDf(corpus(seed, 40))
+      val got = Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = brute(docs, t)
+      assert(got == want, s"seed=$seed t=$t: got ${got.size}, want ${want.size}")
+      assert(want.nonEmpty || t > 0.5, s"degenerate case seed=$seed t=$t")
+    }
+  }
+
+  test("hashed shingles preserve per-doc set size") {
+    val docs = docsDf(corpus(5L, 30))
+    val s1 = Dedup.shingleFrame(docs, "doc_id", col("text"))
+      .select(col("__id"), size(col("__sh")).as("n"))
+    val s2 = Dedup.hashedShingleFrame(docs, "doc_id", col("text"))
+      .select(col("__id"), size(col("__sh")).as("n"))
+    assert(s1.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      == s2.collect().map(r => (r.getLong(0), r.getInt(1))).toSet)
+  }
+
+  test("portable MinHash matches independent Scala model") {
+    val text = "alpha beta gamma alpha beta gamma delta"
+    val docs = docsDf(Seq((1L, text)))
+    val sig = Dedup.minhashSignatures(docs, "doc_id", col("text"),
+      numHashes = 8, portable = true)
+      .collect()(0).getSeq[Long](1)
+    // independent model: same shingles, polynomial hash, affine family
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val shingles = toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+    def poly(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % Dedup.PortableMod)
+    val want = (0 until 8).map { i =>
+      shingles.map(s =>
+        (poly(s) * Dedup.affineA(i) + Dedup.affineB(i)) % Dedup.PortableMod).min
+    }
+    assert(sig == want)
+  }
+
+  test("lshCandidatePairs rejects numHashes not divisible by bands") {
+    val docs = docsDf(corpus(7L, 5))
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", col("text"),
+      numHashes = 10)
+    assertThrows[IllegalArgumentException] {
+      Dedup.lshCandidatePairs(sigs, "doc_id", numHashes = 10, bands = 3)
+    }
+  }
+
+  test("simhash portable vs native both produce full-width hashes") {
+    val rows = corpus(9L, 10)
+    val docs = docsDf(rows)
+    for (portable <- Seq(true, false)) {
+      val out = Dedup.simhash(docs, "doc_id", col("text"), portable)
+        .collect().map(_.getLong(1))
+      assert(out.length == rows.size)
+      assert(out.distinct.length > 1, "degenerate simhash output")
+    }
+  }
+}
