@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.{Conversions, Tables}
-import graft.operators.{Dedup, Similarity, TextAnalysis, Upsert}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, Upsert}
 
 /** The engine's query catalog: one entry per operator from SURVEY.md §2
   * plus the training-data-pipeline extensions, each paired (where SQL
@@ -379,17 +379,67 @@ object Queries {
 
     // --- training-data pipeline: multimodal plumbing --------------------
     "q_multimodal_meta" -> ((s, dir) => {
-      // Binary payload columns with typed metadata; the decode itself is
-      // the stubbed step (graft.operators.Multimodal), the schema and
-      // partition-parallel byte accounting are real.
       Tables.documents(s, dir)
         .select(col("source"), octet_length(col("text")).as("bytes"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n"),
           sum(col("bytes").cast(LongType)).as("total_bytes"),
           max(col("bytes")).as("max_bytes"))
+    }),
+    "q_multimodal_decode" -> ((s, dir) => {
+      // Synthesize per-doc media binaries (PNG with real IHDR fields /
+      // JPEG / GIF / WAV / MP3 magic + the doc's bytes as payload),
+      // then recover mime + dimensions by PARSING THE BYTES with
+      // Multimodal's codegen'd expressions, and byte statistics through
+      // the typed mapPartitions decode plumbing. The oracle computes
+      // the expected values arithmetically — if the binary parsing or
+      // the partition decode is wrong, the hashes diverge.
+      val docs = Tables.documents(s, dir)
+      val withBin = docs.withColumn("bin", synthMediaBinary)
+      val meta = withBin.select(col("doc_id"),
+        Multimodal.mediaMeta(col("bin")).as("m"))
+        .select(col("doc_id"), col("m.mime").as("mime"),
+          col("m.n_bytes").as("n_bytes"),
+          col("m.width").as("width"), col("m.height").as("height"))
+      val feats = Multimodal.extractFeatures(withBin, "doc_id", "bin")
+        .select(col("doc_id"), round(col("mean_byte"), 6).as("mean_byte"))
+      meta.join(feats, Seq("doc_id"))
+    }),
+    "q_json_extract" -> ((s, dir) => {
+      // JSON-in-string columns (the transactions entity's
+      // TxAdditionalDataJson path, SURVEY §1.2): typed from_json with a
+      // declared schema, then aggregation over the extracted field.
+      val parsed = from_json(col("props"),
+        StructType(Seq(StructField("k", LongType))))
+      Tables.events(s, dir)
+        .withColumn("k", parsed.getField("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_k"),
+          sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"),
+          max(col("k")).as("k_max"))
     })
   )
+
+  /** Deterministic synthetic media binary per doc: magic header chosen
+    * by doc_id % 5, PNG rows carry a real IHDR with arithmetic
+    * width/height, payload = the doc's (ASCII-safe) text bytes. */
+  private def synthMediaBinary: Column = {
+    val payload = encode(
+      regexp_replace(col("text"), "[^\\x20-\\x7e]", ""), "utf-8")
+    val w = lit(100L) + col("doc_id") % 50
+    val h = lit(50L) + col("doc_id") % 30
+    val pngHdr = concat(
+      unhex(lit("89504E470D0A1A0A0000000D49484452")),
+      unhex(lpad(hex(w), 8, "0")), unhex(lpad(hex(h), 8, "0")))
+    val m = col("doc_id") % 5
+    when(m === 0, concat(pngHdr, payload))
+      .when(m === 1, concat(unhex(lit("FFD8FFE0")), payload))
+      .when(m === 2, concat(lit("GIF89a".getBytes("UTF-8")), payload))
+      .when(m === 3, concat(lit("RIFF".getBytes("UTF-8")),
+        unhex(lit("00000000")), lit("WAVE".getBytes("UTF-8")), payload))
+      .otherwise(concat(lit("ID3".getBytes("UTF-8")), payload))
+  }
 
   // ===========================================================
   // DuckDB oracles
@@ -596,8 +646,59 @@ object Queries {
     "q_dedup_minhash" -> minhashSigOracle,
     "q_dedup_minhash_pairs" -> minhashPairsOracle,
     "q_dedup_simhash" -> simhashOracle,
-    "q_dedup_ngram" -> ngramOracle
+    "q_dedup_ngram" -> ngramOracle,
+    "q_multimodal_decode" -> multimodalDecodeOracle,
+    "q_json_extract" ->
+      """SELECT event_type,
+        | count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |   AS n_k,
+        | CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |   AS BIGINT) AS k_sum,
+        | min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |   AS k_min,
+        | max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |   AS k_max
+        |FROM events GROUP BY event_type""".stripMargin
   )
+
+  /** Arithmetic replica of q_multimodal_decode: expected mime, sizes,
+    * dimensions, and mean byte value computed WITHOUT parsing any
+    * binary — header byte sums come from the same Scala constants that
+    * build the binaries. */
+  private def multimodalDecodeOracle: String = {
+    def byteSum(bs: Array[Byte]): Long = bs.map(_ & 0xFF).map(_.toLong).sum
+    val pngConst = graft.operators.Multimodal.pngSignature ++
+      Array[Byte](0, 0, 0, 13) ++ "IHDR".getBytes("UTF-8")
+    val pngConstSum = byteSum(pngConst) // + w + h (both < 256)
+    val jpegSum = 0xFF + 0xD8 + 0xFF + 0xE0
+    val gifSum = byteSum("GIF89a".getBytes("UTF-8"))
+    val wavSum = byteSum("RIFF".getBytes("UTF-8")) +
+      byteSum("WAVE".getBytes("UTF-8"))
+    val id3Sum = byteSum("ID3".getBytes("UTF-8"))
+    s"""WITH p AS (SELECT doc_id,
+       |  doc_id % 5 AS m,
+       |  100 + doc_id % 50 AS w, 50 + doc_id % 30 AS h,
+       |  octet_length(encode(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g')))
+       |    AS plen,
+       |  coalesce(list_aggregate(list_transform(
+       |    string_split(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g'), ''),
+       |    c -> CAST(ascii(c) AS BIGINT)), 'sum'), 0) AS psum
+       | FROM documents)
+       |SELECT doc_id,
+       | CASE m WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+       |  WHEN 2 THEN 'image/gif' WHEN 3 THEN 'audio/wav'
+       |  ELSE 'audio/mpeg' END AS mime,
+       | CAST(plen + CASE m WHEN 0 THEN 24 WHEN 1 THEN 4 WHEN 2 THEN 6
+       |  WHEN 3 THEN 12 ELSE 3 END AS BIGINT) AS n_bytes,
+       | CASE WHEN m = 0 THEN CAST(w AS BIGINT) ELSE NULL END AS width,
+       | CASE WHEN m = 0 THEN CAST(h AS BIGINT) ELSE NULL END AS height,
+       | round((psum + CASE m WHEN 0 THEN $pngConstSum + w + h
+       |   WHEN 1 THEN $jpegSum WHEN 2 THEN $gifSum
+       |   WHEN 3 THEN $wavSum ELSE $id3Sum END) /
+       |  (plen + CASE m WHEN 0 THEN 24 WHEN 1 THEN 4 WHEN 2 THEN 6
+       |   WHEN 3 THEN 12 ELSE 3 END), 6) AS mean_byte
+       |FROM p""".stripMargin
+  }
 
   // --- DuckDB replicas of the portable-hash dedup family --------------
   // Shared fragments mirror graft.operators.Dedup exactly: same token

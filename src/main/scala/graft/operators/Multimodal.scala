@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Multimodal-column plumbing for training-data pipelines: media
+  * payloads ride through the engine as opaque `binary` columns with a
+  * typed metadata struct, and every metadata operation is a pure
+  * `Column` expression over the bytes — magic-byte MIME sniffing,
+  * container-header field extraction (PNG IHDR dimensions), byte
+  * accounting — so scans stay codegen'd and partition-parallel with no
+  * decode library in the hot path.
+  *
+  * The actual pixel/sample decode is the one step that needs a native
+  * library (not present in this environment): [[decodePixels]] is the
+  * clearly-marked STUB — a deterministic fake so the downstream
+  * plumbing (typed mapPartitions batch shape, fixed-width feature
+  * vectors, schema) is real and testable end-to-end.
+  *
+  * New-capability work beyond the reference surface (the reference has
+  * no binary columns at all); at 100 TB the design point is that
+  * metadata predicates (mime, dims, size) prune BEFORE any decode, and
+  * decode runs once per surviving row inside a partition iterator.
+  */
+object Multimodal {
+
+  /** Magic-byte MIME sniffing over the first bytes of a binary column
+    * — pure codegen'd expressions, no UDF. Recognizes the common
+    * containers by their published signatures. */
+  def sniffMime(bin: Column): Column =
+    when(substring(bin, 1, 8) === lit(pngSignature), "image/png")
+      .when(substring(bin, 1, 3) ===
+        lit(Array(0xFF, 0xD8, 0xFF).map(_.toByte)), "image/jpeg")
+      .when(substring(bin, 1, 4) === lit("GIF8".getBytes("UTF-8")), "image/gif")
+      .when(substring(bin, 1, 4) === lit("RIFF".getBytes("UTF-8")) &&
+        substring(bin, 9, 4) === lit("WAVE".getBytes("UTF-8")), "audio/wav")
+      .when(substring(bin, 1, 3) === lit("ID3".getBytes("UTF-8")), "audio/mpeg")
+      .otherwise("application/octet-stream")
+
+  /** The 8-byte PNG signature. */
+  val pngSignature: Array[Byte] =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** Big-endian unsigned int read from 4 bytes at `pos` (1-based). */
+  def beInt(bin: Column, pos: Int): Column =
+    conv(hex(substring(bin, pos, 4)), 16, 10).cast(LongType)
+
+  /** PNG IHDR width/height (bytes 17-20 / 21-24: after the 8-byte
+    * signature and the 8-byte chunk length+type). NULL for non-PNG. */
+  def pngWidth(bin: Column): Column =
+    when(sniffMime(bin) === "image/png", beInt(bin, 17))
+      .otherwise(lit(null).cast(LongType))
+  def pngHeight(bin: Column): Column =
+    when(sniffMime(bin) === "image/png", beInt(bin, 21))
+      .otherwise(lit(null).cast(LongType))
+
+  /** Typed metadata struct for a media column: one expression, usable
+    * as a pruning predicate source before any decode. */
+  def mediaMeta(bin: Column): Column = struct(
+    sniffMime(bin).as("mime"),
+    octet_length(bin).cast(LongType).as("n_bytes"),
+    pngWidth(bin).as("width"),
+    pngHeight(bin).as("height"))
+
+  /** STUB — the real decoder (libjpeg/libpng/ffmpeg) is not available
+    * in this environment. Deterministic fake: "pixels" are the payload
+    * bytes themselves, so every downstream shape (fixed-width feature
+    * vector, per-partition batching) is exercised with reproducible
+    * values. Swap this single function for a real decode in
+    * production. */
+  private def decodePixels(bytes: Array[Byte]): Array[Int] =
+    bytes.map(_ & 0xFF)
+
+  /** Per-doc media features via typed mapPartitions — the decode
+    * batch shape: one iterator per partition, decode invoked per row,
+    * output rows fixed-width. Emits (id, n_bytes, mean_byte,
+    * histogram[16]) where the histogram buckets the decoded values —
+    * with the stub decoder these are exact byte statistics. */
+  def extractFeatures(
+      df: DataFrame,
+      idCol: String,
+      binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val px = decodePixels(if (bytes == null) Array.empty else bytes)
+          val hist = new Array[Long](16)
+          var s = 0L
+          px.foreach { v => hist(v / 16) += 1; s += v }
+          val mean = if (px.isEmpty) 0.0 else s.toDouble / px.length
+          (id, px.length.toLong, mean, hist.toSeq)
+        }
+      }
+      .toDF(idCol, "n_bytes", "mean_byte", "histogram")
+  }
+}

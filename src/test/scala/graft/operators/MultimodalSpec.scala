@@ -1,0 +1,83 @@
+package graft.operators
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpecBase
+
+/** Multimodal metadata expressions against hand-built binaries with
+  * known headers, and the decode-plumbing feature statistics against
+  * direct Scala computation. */
+class MultimodalSpec extends SparkSpecBase {
+
+  private def png(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(24 + payload.length)
+    bb.put(Multimodal.pngSignature)
+    bb.putInt(13).put("IHDR".getBytes("UTF-8"))
+    bb.putInt(w).putInt(h)
+    bb.put(payload)
+    bb.array()
+  }
+
+  private def df(rows: (Long, Array[Byte])*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (i, b) => Row(i, b) }, 2),
+      StructType(Seq(
+        StructField("id", LongType), StructField("bin", BinaryType))))
+
+  test("sniffMime recognizes the published magic bytes") {
+    val cases = Seq(
+      1L -> png(640, 480, Array[Byte](1, 2)),
+      2L -> (Array(0xFF, 0xD8, 0xFF, 0xE1).map(_.toByte) ++ Array[Byte](0)),
+      3L -> "GIF89a trailing".getBytes("UTF-8"),
+      4L -> ("RIFF".getBytes("UTF-8") ++ Array[Byte](1, 2, 3, 4) ++
+        "WAVEdata".getBytes("UTF-8")),
+      5L -> "ID3v2".getBytes("UTF-8"),
+      6L -> "plain text".getBytes("UTF-8"))
+    val got = df(cases: _*)
+      .select(col("id"), Multimodal.sniffMime(col("bin")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "image/png", 2L -> "image/jpeg", 3L -> "image/gif",
+      4L -> "audio/wav", 5L -> "audio/mpeg",
+      6L -> "application/octet-stream"))
+  }
+
+  test("pngWidth/pngHeight parse IHDR big-endian, NULL for non-PNG") {
+    val d = df(
+      1L -> png(70000, 3, Array.empty), // width beyond 16 bits
+      2L -> "not png".getBytes("UTF-8"))
+    val got = d.select(col("id"),
+      Multimodal.pngWidth(col("bin")).as("w"),
+      Multimodal.pngHeight(col("bin")).as("h"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+      .toSet
+    assert(got == Set(
+      (1L, Some(70000L), Some(3L)), (2L, None, None)))
+  }
+
+  test("extractFeatures matches direct byte statistics") {
+    val bytes = Array[Byte](0, 15, 16, -1, 100) // unsigned: 0,15,16,255,100
+    val got = Multimodal.extractFeatures(df(1L -> bytes), "id", "bin")
+      .collect()(0)
+    assert(got.getLong(1) == 5L)
+    assert(math.abs(got.getDouble(2) - (0 + 15 + 16 + 255 + 100) / 5.0) < 1e-12)
+    val hist = got.getSeq[Long](3)
+    assert(hist(0) == 2L && hist(1) == 1L && hist(15) == 1L && hist(6) == 1L)
+    assert(hist.sum == 5L)
+  }
+
+  test("mediaMeta prunes before decode: predicate on the struct") {
+    val d = df(
+      1L -> png(10, 10, Array[Byte](1)),
+      2L -> "ID3x".getBytes("UTF-8"))
+    val onlyImages = d
+      .withColumn("m", Multimodal.mediaMeta(col("bin")))
+      .filter(col("m.mime").startsWith("image/"))
+    assert(onlyImages.count() == 1L)
+  }
+}
