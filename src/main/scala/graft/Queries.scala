@@ -322,10 +322,11 @@ object Queries {
           round(col("cos"), 6).as("cos"))
     }),
     "q_sim_lsh" -> ((s, dir) => {
-      // Rows-only: SRP-LSH approximate variant of q_sim_topk.
+      // SRP-LSH approximate variant of q_sim_topk, portable plane
+      // family → the banding and verification are oracle-replicated.
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopKPerQuery(emb, emb.filter(col("vec_id") < 5),
-          "vec_id", "embedding", k = 10)
+          "vec_id", "embedding", k = 10, portable = true)
         .select(col("query_id"), col("corpus_id"),
           round(col("cos"), 6).as("cos"))
     }),
@@ -648,6 +649,7 @@ object Queries {
     "q_dedup_simhash" -> simhashOracle,
     "q_dedup_ngram" -> ngramOracle,
     "q_multimodal_decode" -> multimodalDecodeOracle,
+    "q_sim_lsh" -> simLshOracle,
     "q_json_extract" ->
       """SELECT event_type,
         | count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
@@ -785,6 +787,49 @@ object Queries {
        |lanes AS (SELECT doc_id, $laneCols FROM h GROUP BY doc_id)
        |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash
        |FROM lanes""".stripMargin
+  }
+
+  /** DuckDB replica of the portable SRP-LSH top-k (q_sim_lsh):
+    * 32 sign-bit projections against the SAME integer plane family
+    * (literal arrays generated from Similarity.planeWeightPortable),
+    * 4×8-bit band bucketing, candidate join, exact cosine verify,
+    * top-10 per query. Embedding dim pinned to the testdata's 64. */
+  private def simLshOracle: String = {
+    val dim = 64; val bits = 32; val bands = 4; val bandBits = 8
+    def planeList(p: Int): String =
+      (0 until dim).map(d =>
+        graft.operators.Similarity.planeWeightPortable(p, d).toString)
+        .mkString("[", ",", "]::DOUBLE[]")
+    def sigExpr(e: String): String =
+      (0 until bits).map(p =>
+        s"(CASE WHEN list_dot_product($e, ${planeList(p)}) >= 0 " +
+          s"THEN ${1L << p} ELSE 0 END)").mkString(" + ")
+    val bandKeys = (0 until bands).map(b =>
+      s"SELECT $b AS band, (sig >> ${b * bandBits}) & 255 AS key")
+    s"""WITH q0 AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+       |            FROM embeddings WHERE vec_id < 5),
+       |c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+       |       FROM embeddings),
+       |qsig AS (SELECT qid, CAST(${sigExpr("qe")} AS BIGINT) AS sig FROM q0),
+       |csig AS (SELECT cid, CAST(${sigExpr("ce")} AS BIGINT) AS sig FROM c0),
+       |qb AS (SELECT qid, band, key FROM qsig,
+       |  LATERAL (${bandKeys.mkString(" UNION ALL ")})),
+       |cb AS (SELECT cid, band, key FROM csig,
+       |  LATERAL (${bandKeys.mkString(" UNION ALL ")})),
+       |cand AS (SELECT DISTINCT qid, cid FROM qb
+       |  JOIN cb ON qb.band = cb.band AND qb.key = cb.key),
+       |scored AS (SELECT qid, cid,
+       |  CASE WHEN sqrt(list_dot_product(ce, ce)) *
+       |            sqrt(list_dot_product(qe, qe)) > 0
+       |    THEN list_dot_product(ce, qe) /
+       |      (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(qe, qe)))
+       |    ELSE 0.0 END AS cos
+       |  FROM cand JOIN q0 USING (qid) JOIN c0 USING (cid))
+       |SELECT query_id, corpus_id, round(cos, 6) AS cos FROM (
+       | SELECT qid AS query_id, cid AS corpus_id, cos,
+       |  row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, cid ASC) AS rn
+       | FROM scored) WHERE rn <= 10""".stripMargin
   }
 
   private def ngramOracle: String =

@@ -81,15 +81,33 @@ object Similarity {
   private def planeWeight(p: Column, d: Column, seed: Int): Column =
     (xxhash64(lit(seed), p, d).cast(DoubleType) / lit(Long.MaxValue.toDouble))
 
-  /** Random-hyperplane (SRP) LSH signature: `bits` sign bits packed into
-    * a long. Two vectors with small angle agree on most bits. */
-  def srpSignature(emb: Column, bits: Int = 16, seed: Int = 42): Column = {
+  /** Portable plane weight (integer-valued, ~uniform in [-1001, 1001]):
+    * the same arithmetic generates the literal plane arrays in the
+    * DuckDB oracle, so SRP signatures become value-checkable.
+    * Hyperplane quality only needs sign-symmetry and independence
+    * across (p, d) — integer weights are as good as floats for that. */
+  def planeWeightPortable(p: Int, d: Int): Long =
+    ((p.toLong * 73 + d) * 104729) % 2003 - 1001
+
+  private def planeWeightPortableCol(p: Column, d: Column): Column =
+    pmod((p.cast(LongType) * 73L + d) * 104729L, lit(2003L)) - 1001L
+
+  /** Random-hyperplane (SRP) LSH signature: `bits` sign bits packed
+    * into a long. Two vectors with small angle agree on most bits.
+    * `portable = true` switches to the oracle-replicable plane family. */
+  def srpSignature(
+      emb: Column,
+      bits: Int = 16,
+      seed: Int = 42,
+      portable: Boolean = false): Column = {
     require(bits <= 63, "signature must fit a long")
     aggregate(
       transform(sequence(lit(0), lit(bits - 1)), p => {
         val proj = aggregate(
           zip_with(emb, sequence(lit(0), size(emb) - 1),
-            (x, d) => x.cast(DoubleType) * planeWeight(p, d, seed)),
+            (x, d) => x.cast(DoubleType) * (
+              if (portable) planeWeightPortableCol(p, d).cast(DoubleType)
+              else planeWeight(p, d, seed))),
           lit(0.0), (acc, x) => acc + x)
         when(proj >= 0, call_function("shiftleft", lit(1L), p.cast(IntegerType))).otherwise(lit(0L))
       }),
@@ -110,11 +128,12 @@ object Similarity {
       k: Int,
       bits: Int = 32,
       bands: Int = 4,
-      seed: Int = 42): DataFrame = {
+      seed: Int = 42,
+      portable: Boolean = false): DataFrame = {
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
     def withBands(df: DataFrame, side: String): DataFrame = {
-      val sig = srpSignature(col(embCol), bits, seed)
+      val sig = srpSignature(col(embCol), bits, seed, portable)
       df.select(col(idCol).as(s"${side}_id"), col(embCol).as(s"${side}_emb"),
           sig.as("__sig"))
         .select(col(s"${side}_id"), col(s"${side}_emb"),
