@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Structured Streaming surface of the engine: the daily-batch
+  * semantics of the reference re-expressed as streams, plus the
+  * training-pipeline stateful operators.
+  *
+  * Design (brief: "readStream → transforms → writeStream; watermarks +
+  * windowed aggs; mapGroupsWithState for custom state"):
+  *  - the file source replays a directory of parquet drops — the
+  *    streaming twin of the reference's daily extract; with
+  *    `Trigger.AvailableNow` a run drains everything pending and stops,
+  *    which IS the reference's catchup loop (O1) without the scheduler;
+  *  - watermarked windowed aggregation gives the per-window counts the
+  *    reference computes per-day (A1/A2), incrementally;
+  *  - `flatMapGroupsWithState` carries per-key state across batches —
+  *    the streaming form of the upsert target (latest row per key).
+  *
+  * At 100 TB the same topology holds: state is hash-partitioned by key
+  * across executors (RocksDB state store in production), and the file
+  * source scales by listing partitioned directories.
+  */
+object Streams {
+
+  /** events.parquet physical schema — `ts` is parquet TIMESTAMP(NANOS),
+    * surfaced as a raw long (see [[graft.core.Tables.RequiredConf]]). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of an events directory (the driver testdata file
+    * works as a one-file stream); emits the same shape as
+    * `Tables.events`: micro-truncated `ts` + exact `ts_ns`. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+
+  /** Watermarked 5-minute windowed aggregation per event type — the
+    * incremental form of the engine's q_event_windows batch query.
+    * Late data beyond `watermark` is dropped deterministically. */
+  def windowedCounts(
+      events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).as("value_sum"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("event_type"), col("n"),
+        round(col("value_sum").cast(DoubleType), 4).as("value_sum"))
+
+  /** Per-user running state carried across micro-batches. */
+  final case class UserState(nEvents: Long, lastTsNs: Long, lastType: String)
+  final case class UserUpdate(
+      user_id: Long, n_events: Long, last_ts_ns: Long, last_type: String)
+
+  /** Streaming upsert-target semantics: one state row per key, updated
+    * as events arrive — `flatMapGroupsWithState` is the custom-state
+    * path the brief calls for (the reference's nightly MERGE becomes a
+    * continuously-maintained keyed state). Emits the refreshed state of
+    * every key touched in the micro-batch. */
+  def runningUserState(
+      events: DataFrame)(implicit spark: SparkSession): Dataset[UserUpdate] = {
+    import spark.implicits._
+    events
+      .select(col("user_id").as[Long],
+        struct(col("ts_ns"), col("event_type")).as("e"))
+      .as[(Long, (Long, String))]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, (Long, String))],
+         state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, Long.MinValue, ""))
+          val next = rows.foldLeft(prev) { case (acc, (_, (tsNs, tpe))) =>
+            // last-write-wins on the event timestamp (S7 semantics)
+            if (tsNs >= acc.lastTsNs)
+              UserState(acc.nEvents + 1, tsNs, tpe)
+            else acc.copy(nEvents = acc.nEvents + 1)
+          }
+          state.update(next)
+          Iterator(UserUpdate(user, next.nEvents, next.lastTsNs, next.lastType))
+      }
+  }
+
+  /** Drain every pending file and stop (Trigger.AvailableNow) into an
+    * in-memory table; returns the collected result. The streaming
+    * equivalent of one catchup run. */
+  def runAvailableNow(df: DataFrame, queryName: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(queryName)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.core.Tables
+
+/** Streaming results must equal their batch twins: the file-source
+  * replay with Trigger.AvailableNow is the catchup loop, so one drain
+  * over the testdata must reproduce exactly what the batch engine
+  * computes from the same files. */
+class StreamsSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("windowed streaming aggregation equals the batch aggregation") {
+    val streamed = Streams.runAvailableNow(
+      Streams.windowedCounts(Streams.eventsStream(spark, dir)),
+      "win_counts")
+    val batch = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .as("value_sum"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("event_type"), col("n"),
+        round(col("value_sum")
+          .cast(org.apache.spark.sql.types.DoubleType), 4).as("value_sum"))
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s.nonEmpty)
+    assert(s == b)
+  }
+
+  test("flatMapGroupsWithState carries per-user LWW state") {
+    implicit val s = spark
+    val out = Streams.runAvailableNow(
+      Streams.runningUserState(Streams.eventsStream(spark, dir)).toDF(),
+      "user_state")
+    // one state row per user, counts sum to the total event count,
+    // last_ts matches the batch max per user
+    val batch = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), max(col("ts_ns")).as("mx"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == batch.keySet)
+    assert(got.view.mapValues(_._1).toMap
+      == batch.view.mapValues(_._1).toMap, "event counts per user")
+    assert(got.view.mapValues(_._2).toMap
+      == batch.view.mapValues(_._2).toMap, "LWW timestamp per user")
+  }
+}
