@@ -330,6 +330,14 @@ object Queries {
         .select(col("query_id"), col("corpus_id"),
           round(col("cos"), 6).as("cos"))
     }),
+    "q_sim_cosine_dedup" -> ((s, dir) => {
+      // Embedding-cosine near-dup pairs: SRP-LSH blocking (portable
+      // plane family) + exact cosine verification within one dataset.
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
+          "vec_id", "embedding", threshold = 0.45,
+          bits = 48, bands = 8, portable = true)
+        .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+    }),
     "q_embedding_norms" -> ((s, dir) => {
       Tables.embeddings(s, dir)
         .select(col("label"),
@@ -650,6 +658,7 @@ object Queries {
     "q_dedup_ngram" -> ngramOracle,
     "q_multimodal_decode" -> multimodalDecodeOracle,
     "q_sim_lsh" -> simLshOracle,
+    "q_sim_cosine_dedup" -> simCosineDedupOracle,
     "q_json_extract" ->
       """SELECT event_type,
         | count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
@@ -830,6 +839,40 @@ object Queries {
        |  row_number() OVER (PARTITION BY qid
        |    ORDER BY cos DESC, cid ASC) AS rn
        | FROM scored) WHERE rn <= 10""".stripMargin
+  }
+
+  /** DuckDB replica of q_sim_cosine_dedup: portable SRP signatures,
+    * 8×4-bit band self-join blocking, exact cosine ≥ 0.45 verify. */
+  private def simCosineDedupOracle: String = {
+    val dim = 64; val bits = 48; val bands = 8; val bandBits = 6
+    def planeList(p: Int): String =
+      (0 until dim).map(d =>
+        graft.operators.Similarity.planeWeightPortable(p, d).toString)
+        .mkString("[", ",", "]::DOUBLE[]")
+    def sigExpr(e: String): String =
+      (0 until bits).map(p =>
+        s"(CASE WHEN list_dot_product($e, ${planeList(p)}) >= 0 " +
+          s"THEN ${1L << p} ELSE 0 END)").mkString(" + ")
+    val bandKeys = (0 until bands).map(b =>
+      s"SELECT $b AS band, (sig >> ${b * bandBits}) & ${(1 << bandBits) - 1} AS key")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       |           FROM embeddings),
+       |sg AS (SELECT vec_id, CAST(${sigExpr("v")} AS BIGINT) AS sig FROM e),
+       |bk AS (SELECT vec_id, band, key FROM sg,
+       |  LATERAL (${bandKeys.mkString(" UNION ALL ")})),
+       |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b FROM bk x
+       |  JOIN bk y ON x.band = y.band AND x.key = y.key
+       |    AND x.vec_id < y.vec_id),
+       |scored AS (SELECT a, b,
+       |  CASE WHEN sqrt(list_dot_product(ea.v, ea.v)) *
+       |            sqrt(list_dot_product(eb.v, eb.v)) > 0
+       |    THEN list_dot_product(ea.v, eb.v) /
+       |      (sqrt(list_dot_product(ea.v, ea.v)) *
+       |       sqrt(list_dot_product(eb.v, eb.v)))
+       |    ELSE 0.0 END AS cos
+       |  FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b)
+       |SELECT a, b, round(cos, 6) AS cos FROM scored
+       |WHERE cos >= 0.45""".stripMargin
   }
 
   private def ngramOracle: String =

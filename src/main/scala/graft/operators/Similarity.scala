@@ -81,16 +81,22 @@ object Similarity {
   private def planeWeight(p: Column, d: Column, seed: Int): Column =
     (xxhash64(lit(seed), p, d).cast(DoubleType) / lit(Long.MaxValue.toDouble))
 
-  /** Portable plane weight (integer-valued, ~uniform in [-1001, 1001]):
+  /** Portable plane weight (integer-valued, ~uniform in [-2000, 2000]):
     * the same arithmetic generates the literal plane arrays in the
     * DuckDB oracle, so SRP signatures become value-checkable.
-    * Hyperplane quality only needs sign-symmetry and independence
-    * across (p, d) — integer weights are as good as floats for that. */
-  def planeWeightPortable(p: Int, d: Int): Long =
-    ((p.toLong * 73 + d) * 104729) % 2003 - 1001
+    * Quadratic mixing matters: a LINEAR formula in (p, d) makes every
+    * plane a cyclic shift of one arithmetic progression — correlated
+    * planes, recall collapse. Squaring the seed decorrelates them
+    * while staying exact 64-bit integer math both engines reproduce. */
+  def planeWeightPortable(p: Int, d: Int): Long = {
+    val v = p.toLong * 1009 + d.toLong * 2003 + 12345
+    (v * v) % 4001 - 2000
+  }
 
-  private def planeWeightPortableCol(p: Column, d: Column): Column =
-    pmod((p.cast(LongType) * 73L + d) * 104729L, lit(2003L)) - 1001L
+  private def planeWeightPortableCol(p: Column, d: Column): Column = {
+    val v = p.cast(LongType) * 1009L + d.cast(LongType) * 2003L + 12345L
+    pmod(v * v, lit(4001L)) - 2000L
+  }
 
   /** Random-hyperplane (SRP) LSH signature: `bits` sign bits packed
     * into a long. Two vectors with small angle agree on most bits.
@@ -158,34 +164,53 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (dedup by embedding): LSH
-    * buckets within one dataset, exact cosine ≥ threshold verification. */
+    * buckets within one dataset, exact cosine ≥ threshold verification.
+    *
+    * Scale shape: the banded self-join and the distinct both carry ID
+    * PAIRS only (16 bytes/row) — embeddings rejoin by id afterwards, so
+    * the candidate shuffle never moves vectors. Band keys default to
+    * 8 bits (bits/bands): wide enough that random collisions are 1/256
+    * per band instead of flooding the verify stage. */
   def cosineNearDupPairs(
       df: DataFrame,
       idCol: String,
       embCol: String,
       threshold: Double = 0.95,
       bits: Int = 32,
-      bands: Int = 8,
-      seed: Int = 42): DataFrame = {
+      bands: Int = 4,
+      seed: Int = 42,
+      portable: Boolean = false): DataFrame = {
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
-    val sig = df.select(col(idCol).as("__id"), col(embCol).as("__emb"),
-        srpSignature(col(embCol), bits, seed).as("__sig"))
-      .select(col("__id"), col("__emb"),
+    val emb = df.select(col(idCol).as("__id"), col(embCol).as("__emb"))
+    val sig = df.select(col(idCol).as("__id"),
+        srpSignature(col(embCol), bits, seed, portable).as("__sig"))
+      .select(col("__id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => call_function("shiftrightunsigned", col("__sig"),
             b.cast(IntegerType) * lit(bandBits))
             .bitwiseAND(mask))).as(Seq("band", "key")))
-    val l = sig.select(col("band"), col("key"), col("__id").as("a"),
-      col("__emb").as("emb_a"))
-    val r = sig.select(col("band"), col("key"), col("__id").as("b"),
-      col("__emb").as("emb_b"))
-    l.join(r, Seq("band", "key"))
+    val cand = sig.select(col("band"), col("key"), col("__id").as("a"))
+      .join(sig.select(col("band"), col("key"), col("__id").as("b")),
+        Seq("band", "key"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("emb_a"), col("emb_b"))
+      .select("a", "b")
       .distinct()
-      .select(col("a"), col("b"), cosine(col("emb_a"), col("emb_b")).as("cos"))
+    // Precompute each vector's norm ONCE — per-pair verification is
+    // then a single dot product. sqrt(dot(v,v)) per vector is the same
+    // IEEE value whether computed here or per pair, so results are
+    // bit-identical to the naive form.
+    val withNorm = emb.select(col("__id"), col("__emb"),
+      norm(col("__emb")).as("__nrm"))
+    val d = col("nrm_a") * col("nrm_b")
+    cand
+      .join(withNorm.select(col("__id").as("a"), col("__emb").as("emb_a"),
+        col("__nrm").as("nrm_a")), Seq("a"))
+      .join(withNorm.select(col("__id").as("b"), col("__emb").as("emb_b"),
+        col("__nrm").as("nrm_b")), Seq("b"))
+      .select(col("a"), col("b"),
+        when(d > 0, dot(col("emb_a"), col("emb_b")) / d)
+          .otherwise(lit(0.0)).as("cos"))
       .filter(col("cos") >= threshold)
-      .select("a", "b", "cos")
   }
 }
