@@ -21,7 +21,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object JdbcSources {
 
   /** One day's slice of a table: `WHERE tsCol >= date AND
-    * tsCol < date + 1 day` pushed into the source DB. */
+    * tsCol < date + 1 day` pushed into the source DB. Bounds use the
+    * JDBC `{ts '...'}` escape with the next-day computed driver-side,
+    * so the same predicate text runs on PG, SQL Server, and Derby. */
   def dateSlice(
       spark: SparkSession,
       cfg: JdbcConfig,
@@ -29,11 +31,13 @@ object JdbcSources {
       tsCol: String,
       date: String,
       numPartitions: Int = 1,
-      fetchSize: Int = 5000): DataFrame =
+      fetchSize: Int = 5000): DataFrame = {
+    val next = java.time.LocalDate.parse(date).plusDays(1)
     datePredicate(
       spark, cfg, table,
-      s"$tsCol >= '$date' AND $tsCol < CAST('$date' AS DATE) + INTERVAL '1' DAY",
+      s"$tsCol >= {ts '$date 00:00:00'} AND $tsCol < {ts '$next 00:00:00'}",
       tsCol, numPartitions, fetchSize)
+  }
 
   /** Full-table NULL-predicate scan (S2):
     * `WHERE tsCol IS NULL` (mssql_to_postgresql_orders_daily.py:373). */
