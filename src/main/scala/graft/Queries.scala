@@ -313,6 +313,39 @@ object Queries {
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    "q_dedup_apply" -> ((s, dir) => {
+      // The end-user dedup operation: remove near-duplicates (ngram
+      // Jaccard >= 0.2, keep-smallest-id) and report survivors.
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", col("text"),
+        threshold = 0.2)
+      Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("chars_kept"))
+    }),
+    "q_text_redact" -> ((s, dir) => {
+      // PII scrubbing: inject deterministic synthetic PII per doc, then
+      // redact and count the placeholders the scrubber produced.
+      val withPii = Tables.documents(s, dir).withColumn("t",
+        concat(col("text"),
+          lit(" reach me at user"), col("doc_id"),
+          lit("@example.com or +1 555 123 4567 host 10.0.0."),
+          col("doc_id") % 256))
+      withPii
+        .select(col("source"),
+          TextAnalysis.redactPii(col("t")).as("red"))
+        .groupBy(col("source"))
+        .agg(
+          sum(regexp_count(col("red"), lit("<EMAIL>")).cast(LongType))
+            .as("emails"),
+          sum(regexp_count(col("red"), lit("<PHONE>")).cast(LongType))
+            .as("phones"),
+          sum(regexp_count(col("red"), lit("<IP>")).cast(LongType))
+            .as("ips"),
+          sum(length(col("red")).cast(LongType)).as("red_chars"))
+    }),
+
     // --- training-data pipeline: similarity search ----------------------
     "q_sim_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -657,6 +690,26 @@ object Queries {
     "q_dedup_simhash" -> simhashOracle,
     "q_dedup_ngram" -> ngramOracle,
     "q_multimodal_decode" -> multimodalDecodeOracle,
+    "q_dedup_apply" -> dedupApplyOracle,
+    "q_text_redact" ->
+      """WITH r AS (SELECT source,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' reach me at user' || doc_id ||
+        |      '@example.com or +1 555 123 4567 host 10.0.0.' ||
+        |      (doc_id % 256),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS red
+        | FROM documents)
+        |SELECT source,
+        | CAST(sum(len(regexp_extract_all(red, '<EMAIL>'))) AS BIGINT)
+        |   AS emails,
+        | CAST(sum(len(regexp_extract_all(red, '<PHONE>'))) AS BIGINT)
+        |   AS phones,
+        | CAST(sum(len(regexp_extract_all(red, '<IP>'))) AS BIGINT) AS ips,
+        | CAST(sum(len(red)) AS BIGINT) AS red_chars
+        |FROM r GROUP BY source""".stripMargin,
     "q_sim_lsh" -> simLshOracle,
     "q_sim_cosine_dedup" -> simCosineDedupOracle,
     "q_json_extract" ->
@@ -883,6 +936,17 @@ object Queries {
        | FROM sl x JOIN sl y ON x.doc_id < y.doc_id)
        |SELECT a, b, round(jac, 6) AS jaccard FROM j
        |WHERE jac >= 0.2""".stripMargin
+
+  private def dedupApplyOracle: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sl AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+       |dupes AS (SELECT DISTINCT y.doc_id AS b
+       | FROM sl x JOIN sl y ON x.doc_id < y.doc_id
+       | WHERE ${jaccardSql("x.sh", "y.sh")} >= 0.2)
+       |SELECT source, count(*) AS n_kept,
+       | CAST(sum(n_chars) AS BIGINT) AS chars_kept
+       |FROM documents WHERE doc_id NOT IN (SELECT b FROM dupes)
+       |GROUP BY source""".stripMargin
 
   /** Shared CTE prelude for the three upsert oracles: t = latest event
     * per user in the first half / whole range, s = source batch. */

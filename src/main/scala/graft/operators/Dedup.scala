@@ -230,6 +230,18 @@ object Dedup {
       .distinct()
   }
 
+  /** Apply a dedup decision: drop every doc appearing as the larger id
+    * of a near-dup pair (keep-smallest-id policy — pairs are emitted
+    * with a < b by every pair generator here). One broadcast-friendly
+    * anti-join; the pair set is tiny relative to the corpus. */
+  def dropNearDuplicates(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame): DataFrame =
+    docs.join(
+      broadcast(pairs.select(col("b").as(idCol)).distinct()),
+      Seq(idCol), "left_anti")
+
   /** Estimated Jaccard similarity from two MinHash signatures:
     * fraction of agreeing hash positions. */
   def minhashJaccard(sigA: Column, sigB: Column): Column =

@@ -93,6 +93,22 @@ object TextAnalysis {
     round((lenOk + mtlOk + punctOk) / 3.0, 6)
   }
 
+  /** PII redaction for training corpora: emails, international-ish
+    * phone numbers, and bare IPv4 addresses become fixed placeholder
+    * tokens. Pure regexp_replace chain — codegen'd, shuffle-free, and
+    * replicable in any SQL engine with RE2-compatible regexes. The
+    * patterns are deliberately simple and documented: recall-oriented
+    * scrubbing, not validation. */
+  def redactPii(text: Column): Column = {
+    // order is load-bearing: IPs are digit-and-dot strings the phone
+    // pattern would otherwise swallow, so they redact first
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\+?\\d[\\d\\s().-]{7,}\\d", "<PHONE>")
+  }
+
   /** Exact-content fingerprint: md5 of whitespace-normalized, lowercased
     * text. Identical function exists in DuckDB, so it doubles as the
     * oracle-compatible dedup key. */

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpecBase
+
+class TextAnalysisSpec extends SparkSpecBase {
+
+  private def redact(s: String): String = {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(s)), 1),
+      StructType(Seq(StructField("t", StringType))))
+    df.select(TextAnalysis.redactPii(col("t"))).collect()(0).getString(0)
+  }
+
+  test("redactPii scrubs emails, phones, and IPs with placeholders") {
+    assert(redact("mail a.b+c@ex-ample.co.uk now")
+      == "mail <EMAIL> now")
+    assert(redact("call +1 (555) 123-4567 today")
+      == "call <PHONE> today")
+    assert(redact("srv at 192.168.001.1 up") == "srv at <IP> up")
+    assert(redact("x@y.io or 10.0.0.7 or +44 20 7946 0958")
+      == "<EMAIL> or <IP> or <PHONE>")
+  }
+
+  test("redactPii leaves clean text and short digit runs alone") {
+    assert(redact("a plain sentence with 42 and 3.14 in it")
+      == "a plain sentence with 42 and 3.14 in it")
+  }
+
+  test("dropNearDuplicates removes only the larger side of pairs") {
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "x"), Row(2L, "x"), Row(3L, "y"), Row(4L, "x")), 2),
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+    val pairs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, 2L), Row(1L, 4L)), 1),
+      StructType(Seq(StructField("a", LongType), StructField("b", LongType))))
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+}
