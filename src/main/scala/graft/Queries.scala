@@ -363,6 +363,15 @@ object Queries {
         .select(col("query_id"), col("corpus_id"),
           round(col("cos"), 6).as("cos"))
     }),
+    "q_sim_ivf" -> ((s, dir) => {
+      // IVF-flat approximate top-k — the inverted-file scale path next
+      // to the SRP-LSH one; deterministic centroids → full oracle.
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopKPerQuery(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, nCells = 16, nProbe = 4)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cos"), 6).as("cos"))
+    }),
     "q_sim_cosine_dedup" -> ((s, dir) => {
       // Embedding-cosine near-dup pairs: SRP-LSH blocking (portable
       // plane family) + exact cosine verification within one dataset.
@@ -712,6 +721,7 @@ object Queries {
         |FROM r GROUP BY source""".stripMargin,
     "q_sim_lsh" -> simLshOracle,
     "q_sim_cosine_dedup" -> simCosineDedupOracle,
+    "q_sim_ivf" -> simIvfOracle,
     "q_json_extract" ->
       """SELECT event_type,
         | count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
@@ -892,6 +902,45 @@ object Queries {
        |  row_number() OVER (PARTITION BY qid
        |    ORDER BY cos DESC, cid ASC) AS rn
        | FROM scored) WHERE rn <= 10""".stripMargin
+  }
+
+  /** guarded cosine between two DOUBLE[] columns (DuckDB) */
+  private def cosSql(a: String, b: String): String =
+    s"""CASE WHEN sqrt(list_dot_product($a, $a)) *
+       |          sqrt(list_dot_product($b, $b)) > 0
+       |  THEN list_dot_product($a, $b) /
+       |    (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
+       |  ELSE 0.0 END""".stripMargin
+
+  /** DuckDB replica of q_sim_ivf: 16 lowest-id centroids, nearest-cell
+    * assignment (ties to lower centroid id), 4-cell probing, exact
+    * cosine, top-10 per query. */
+  private def simIvfOracle: String = {
+    val nCells = 16; val nProbe = 4; val k = 10
+    s"""WITH c0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |            FROM embeddings),
+       |q0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |       FROM embeddings WHERE vec_id < 5),
+       |cent AS (SELECT id AS cid, v AS cv FROM c0
+       |         ORDER BY id LIMIT $nCells),
+       |ca AS (SELECT id, v, cid FROM (
+       |  SELECT c0.id, c0.v, cent.cid,
+       |   row_number() OVER (PARTITION BY c0.id
+       |     ORDER BY ${cosSql("c0.v", "cent.cv")} DESC, cent.cid ASC) AS rn
+       |  FROM c0 CROSS JOIN cent) WHERE rn = 1),
+       |qp AS (SELECT id, v, cid FROM (
+       |  SELECT q0.id, q0.v, cent.cid,
+       |   row_number() OVER (PARTITION BY q0.id
+       |     ORDER BY ${cosSql("q0.v", "cent.cv")} DESC, cent.cid ASC) AS rn
+       |  FROM q0 CROSS JOIN cent) WHERE rn <= $nProbe),
+       |scored AS (SELECT qp.id AS query_id, ca.id AS corpus_id,
+       |  ${cosSql("ca.v", "qp.v")} AS cos
+       | FROM qp JOIN ca ON qp.cid = ca.cid)
+       |SELECT query_id, corpus_id, round(cos, 6) AS cos FROM (
+       | SELECT query_id, corpus_id, cos,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, corpus_id ASC) AS rn
+       | FROM scored) WHERE rn <= $k""".stripMargin
   }
 
   /** DuckDB replica of q_sim_cosine_dedup: portable SRP signatures,

@@ -163,6 +163,58 @@ object Similarity {
       .drop("__rn")
   }
 
+  /** IVF-flat approximate top-k: the "inverted file" scale path.
+    *
+    *  1. coarse centroids = the `nCells` lowest-id corpus vectors
+    *     (deterministic sampling; at 100 TB you'd k-means-refine them,
+    *     which only changes this CTE — the topology stays);
+    *  2. every corpus vector is assigned to its nearest centroid (one
+    *     broadcast cross join, N·nCells dots, embarrassingly parallel);
+    *  3. each query probes its `nProbe` nearest cells and scores ONLY
+    *     vectors in those cells — the candidate join replaces the full
+    *     cross join, touching ~nProbe/nCells of the corpus.
+    *
+    * Assignment ties break by centroid id; fully deterministic, so the
+    * DuckDB oracle replicates the whole pipeline value-for-value.
+    */
+  def ivfTopKPerQuery(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val cent = corpus
+      .select(col(idCol).as("cid"), col(embCol).as("cemb"))
+      .orderBy(col("cid").asc)
+      .limit(nCells)
+    def nearestCells(df: DataFrame, side: String, keep: Int): DataFrame = {
+      val scored = df
+        .select(col(idCol).as(s"${side}_id"), col(embCol).as(s"${side}_emb"))
+        .crossJoin(broadcast(cent))
+        .select(col(s"${side}_id"), col(s"${side}_emb"), col("cid"),
+          cosine(col(s"${side}_emb"), col("cemb")).as("__d"))
+      val w = Window.partitionBy(col(s"${side}_id"))
+        .orderBy(col("__d").desc, col("cid").asc)
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= keep)
+        .select(col(s"${side}_id"), col(s"${side}_emb"), col("cid"))
+    }
+    val assigned = nearestCells(corpus, "corpus", 1)
+    val probed = nearestCells(queries, "query", nProbe)
+    // no distinct needed: each corpus vector lives in exactly one cell,
+    // so a (query, corpus) pair matches at most one probed cell
+    val scored = probed.join(assigned, Seq("cid"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("corpus_emb"), col("query_emb")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup by embedding): LSH
     * buckets within one dataset, exact cosine ≥ threshold verification.
     *
