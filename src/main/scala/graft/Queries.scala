@@ -313,6 +313,22 @@ object Queries {
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    "q_join_salted" -> ((s, dir) => {
+      // Skew-salted join: lineitem collapsed onto 3 hot keys joins a
+      // small side spread over 8 salts; result must equal the plain
+      // join (the oracle computes it unsalted).
+      val large = Tables.lineitem(s, dir)
+        .withColumn("k", col("l_orderkey") % 3)
+      val small = Tables.orders(s, dir)
+        .filter(col("o_orderkey") < 50)
+        .withColumn("k", col("o_orderkey") % 3)
+        .select(col("k"), col("o_orderkey"))
+      graft.operators.Joins.saltedJoin(large, small, Seq("k"),
+          saltSource = col("l_orderkey"), nSalts = 8)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice")).as("price_sum"))
+    }),
     "q_dedup_apply" -> ((s, dir) => {
       // The end-user dedup operation: remove near-duplicates (ngram
       // Jaccard >= 0.2, keep-smallest-id) and report survivors.
@@ -722,6 +738,16 @@ object Queries {
     "q_sim_lsh" -> simLshOracle,
     "q_sim_cosine_dedup" -> simCosineDedupOracle,
     "q_sim_ivf" -> simIvfOracle,
+    "q_join_salted" ->
+      """SELECT o.o_orderkey,
+        | count(*) AS n,
+        | round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+        |   AS DOUBLE), 4) AS price_sum
+        |FROM (SELECT l_orderkey % 3 AS k, l_extendedprice
+        |      FROM lineitem) l
+        |JOIN (SELECT o_orderkey % 3 AS k, o_orderkey
+        |      FROM orders WHERE o_orderkey < 50) o ON l.k = o.k
+        |GROUP BY o.o_orderkey""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type,
         | count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
