@@ -258,6 +258,55 @@ object Queries {
           row_number().over(w).as("rn"))
         .filter(col("rn") <= 3)
     }),
+    "q_rollup" -> ((s, dir) => {
+      // Hierarchical totals: ROLLUP(returnflag, linestatus) — subtotal
+      // and grand-total rows with NULL-marked levels.
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("<all>")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("l_linestatus"),
+          col("n"), col("qty"))
+    }),
+    "q_window_running" -> ((s, dir) => {
+      // Running analytics per user ordered by event time: cumulative
+      // count, running value sum (exact via DECIMAL), and the previous
+      // event's type (lag). Ordering uses the µs-truncated ts (+ id
+      // tie-break) — the precision the oracle sees.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .filter(col("user_id") < 10)
+        .select(col("user_id"), col("event_id"),
+          row_number().over(w).as("seq"),
+          round(sum(col("value").cast(DecimalType(18, 4))).over(w)
+            .cast(DoubleType), 4).as("running_value"),
+          coalesce(lag(col("event_type"), 1).over(w), lit("<none>"))
+            .as("prev_type"))
+    }),
+    "q_sessionize" -> ((s, dir) => {
+      // Gap-based sessionization (30-minute inactivity): the classic
+      // events-pipeline operator — a session starts where the gap from
+      // the previous event exceeds the threshold; session id = running
+      // count of session starts. One shuffle on user_id. Gap math in
+      // µs (unix_micros) so the DuckDB oracle computes identically.
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val gapUs = lit(30L * 60 * 1000 * 1000)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("__us"), col("ts"), col("value"))
+        .withColumn("__new_session",
+          when(col("__us") - lag(col("__us"), 1).over(byUser) > gapUs ||
+            lag(col("__us"), 1).over(byUser).isNull, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("__new_session")).over(byUser))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          tsFmt(min(col("ts"))).as("session_start"),
+          tsFmt(max(col("ts"))).as("session_end"),
+          dsum(col("value")).as("value_sum"))
+    }),
     "q_distinct_set" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       ev.filter(eventsFirstHalf(col("ts"))).select("event_type").distinct()
@@ -738,6 +787,43 @@ object Queries {
     "q_sim_lsh" -> simLshOracle,
     "q_sim_cosine_dedup" -> simCosineDedupOracle,
     "q_sim_ivf" -> simIvfOracle,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+        | coalesce(l_linestatus, '<all>') AS l_linestatus,
+        | count(*) AS n,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |   AS qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_window_running" ->
+      """SELECT user_id, event_id,
+        | row_number() OVER w AS seq,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE), 4)
+        |   AS running_value,
+        | coalesce(lag(event_type, 1) OVER w, '<none>') AS prev_type
+        |FROM events WHERE user_id < 10
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY ts ASC, event_id ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(ts, 1) OVER w IS NULL
+        |    OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000
+        |   THEN 1 ELSE 0 END AS new_session
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |s AS (SELECT user_id, event_id, ts, value,
+        |  sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        | count(*) AS n_events,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        | strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |   AS value_sum
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
     "q_join_salted" ->
       """SELECT o.o_orderkey,
         | count(*) AS n,
