@@ -101,11 +101,6 @@ object Upsert {
     joined.select(out: _*)
   }
 
-  /** Full refresh (TRUNCATE + INSERT): the new state is simply the
-    * source batch. Kept for API symmetry with the reference's side-table
-    * flow. */
-  def fullRefresh(source: DataFrame): DataFrame = source
-
   /** Collapse a batch to one row per key, keeping the row with the
     * greatest `orderCol` (ties broken by the remaining columns for
     * determinism). The reference achieves this implicitly because its
