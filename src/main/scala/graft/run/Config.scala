@@ -41,7 +41,9 @@ final case class Config(
     // GRAFT sandbox overrides
     targetUrlOverride: Option[String],
     targetDialectName: String,
-    sourceParquetDir: Option[String]) {
+    sourceParquetDir: Option[String],
+    sourceUrlOverride: Option[String] = None,
+    sourceDialectName: String = "sqlserver") {
 
   /** JDBC config for the PG target — or the override URL (Derby in the
     * sandbox demo). Batch size maps PG_PAGE_SIZE (the reference's
@@ -55,12 +57,31 @@ final case class Config(
       batchSize = pgPageSize)
   }
 
-  /** JDBC config for the MSSQL source/seed target. */
-  def mssqlJdbc: JdbcConfig = JdbcConfig(
-    s"jdbc:sqlserver://$dbServer;databaseName=$dbDatabase",
-    Map("user" -> dbUsername, "password" -> dbPassword,
-      "loginTimeout" -> mssqlTimeout.toString),
-    batchSize = stagingLoadChunkSize)
+  /** JDBC config for the MSSQL source/seed target — or the override
+    * URL (Derby in the sandbox demo). */
+  def sourceJdbc: JdbcConfig = sourceUrlOverride match {
+    case Some(url) => JdbcConfig(url, batchSize = stagingLoadChunkSize)
+    case None => JdbcConfig(
+      s"jdbc:sqlserver://$dbServer;databaseName=$dbDatabase",
+      Map("user" -> dbUsername, "password" -> dbPassword,
+        "loginTimeout" -> mssqlTimeout.toString),
+      batchSize = stagingLoadChunkSize)
+  }
+
+  def sourceDialect: SqlDialect = sourceUrlOverride match {
+    case Some(_) => SqlDialect.Derby
+    case None => sourceDialectName.toLowerCase match {
+      case "postgres" | "postgresql" => SqlDialect.Postgres
+      case "derby"                   => SqlDialect.Derby
+      case _                         => SqlDialect.SqlServer
+    }
+  }
+
+  def sourceSchemaName: String = sourceDialect match {
+    case SqlDialect.Postgres  => "public"
+    case SqlDialect.SqlServer => "dbo"
+    case SqlDialect.Derby     => "APP"
+  }
 
   def targetDialect: SqlDialect = targetDialectName.toLowerCase match {
     case "postgres" | "postgresql" => SqlDialect.Postgres
@@ -112,6 +133,8 @@ object Config {
       targetDialectName = get("GRAFT_TARGET_DIALECT",
         if (env.contains("GRAFT_TARGET_URL")) "derby" else "postgres"),
       sourceParquetDir = env.get("GRAFT_SOURCE_PARQUET_DIR")
-        .orElse(env.get("SPARK_GRAFT_SF_DIR")))
+        .orElse(env.get("SPARK_GRAFT_SF_DIR")),
+      sourceUrlOverride = env.get("GRAFT_SOURCE_URL"),
+      sourceDialectName = get("GRAFT_SOURCE_DIALECT", "sqlserver"))
   }
 }

@@ -42,18 +42,16 @@ object DailySync {
     var allOk = true
     for (date <- dates) {
       println(s"[daily-sync] === logical date $date ===")
-      val source = Pipeline.ordersSource(spark, sfDir).cache()
+      val (complete, incomplete) =
+        Pipeline.extractForDay(spark, cfg, sfDir, date)
 
       // Flow 1: complete orders for the day → upsert (S1+F1+F2, S6)
-      val complete = source
-        .filter(Pipeline.daySlice(col("order_created_at"), date))
       val extracted = complete.count()
       Pipeline.upsertBatch(cfg, complete, Upsert.Unconditional)
       val loaded = Pipeline.countLoadedForDay(cfg, date)
 
       // Flow 2: incomplete orders (full-table IS NULL scan) → full
       // refresh of the side table (S2+F2, S8)
-      val incomplete = source.filter(col("order_created_at").isNull)
       val extractedNull = incomplete.count()
       graft.io.RefreshSink.write(incomplete, cfg.targetJdbc,
         cfg.targetDialect,
@@ -68,7 +66,6 @@ object DailySync {
       val ok2 = Pipeline.reconcile("incomplete (full refresh)",
         extractedNull, loadedNull)
       allOk &= ok1 && ok2
-      source.unpersist()
     }
     println(s"[daily-sync] done: ${dates.size} day(s), " +
       (if (allOk) "all counts reconciled" else "MISMATCHES logged above"))
@@ -86,7 +83,8 @@ private[run] final case class Args(kv: Map[String, String]) {
   def config: Config = {
     val env = sys.env ++
       kv.get("target-url").map("GRAFT_TARGET_URL" -> _) ++
-      kv.get("target-dialect").map("GRAFT_TARGET_DIALECT" -> _)
+      kv.get("target-dialect").map("GRAFT_TARGET_DIALECT" -> _) ++
+      kv.get("source-url").map("GRAFT_SOURCE_URL" -> _)
     Config.fromEnv(env)
   }
 }

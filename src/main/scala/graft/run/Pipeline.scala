@@ -43,6 +43,33 @@ object Pipeline {
     c >= lit(date).cast(TimestampType) &&
       c < date_add(lit(date).cast(DateType), 1).cast(TimestampType)
 
+  /** The two extract branches for one logical day. With a JDBC source
+    * configured (GRAFT_SOURCE_URL, or the MSSQL DB_* keys in a real
+    * deployment) both predicates push into the source database (S1/S2);
+    * otherwise the parquet stand-in is sliced by Catalyst pushdown. */
+  def extractForDay(
+      spark: SparkSession,
+      cfg: Config,
+      sfDir: String,
+      date: String): (DataFrame, DataFrame) =
+    cfg.sourceUrlOverride match {
+      case Some(_) =>
+        val d = cfg.sourceDialect
+        val table = d.table(cfg.sourceSchemaName, cfg.sourceTable)
+        val tsCol = d.quote("order_created_at")
+        val complete = JdbcSources.dateSlice(
+          spark, cfg.sourceJdbc, table, tsCol, date,
+          fetchSize = cfg.extractChunkSize)
+        val incomplete = JdbcSources.nullSlice(
+          spark, cfg.sourceJdbc, table, tsCol,
+          fetchSize = cfg.extractChunkSize)
+        (complete, incomplete)
+      case None =>
+        val src = ordersSource(spark, sfDir)
+        (src.filter(daySlice(col("order_created_at"), date)),
+          src.filter(col("order_created_at").isNull))
+    }
+
   /** Bootstrap the three target tables (stands in for
     * postgres_init/init.sql + mssql_init DDL). */
   def ensureTargetTables(cfg: Config): Unit = {
