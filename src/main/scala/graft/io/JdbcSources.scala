@@ -39,6 +39,23 @@ object JdbcSources {
       tsCol, numPartitions, fetchSize)
   }
 
+  /** Half-open timestamp range [start, endExclusive) — the backfill
+    * extract (O3); same portable `{ts}` bounds as [[dateSlice]]. */
+  def rangeSlice(
+      spark: SparkSession,
+      cfg: JdbcConfig,
+      table: String,
+      tsCol: String,
+      start: String,
+      endExclusive: String,
+      numPartitions: Int = 1,
+      fetchSize: Int = 5000): DataFrame =
+    datePredicate(
+      spark, cfg, table,
+      s"$tsCol >= {ts '$start 00:00:00'} AND " +
+        s"$tsCol < {ts '$endExclusive 00:00:00'}",
+      tsCol, numPartitions, fetchSize)
+
   /** Full-table NULL-predicate scan (S2):
     * `WHERE tsCol IS NULL` (mssql_to_postgresql_orders_daily.py:373). */
   def nullSlice(

@@ -70,6 +70,32 @@ object Pipeline {
           src.filter(col("order_created_at").isNull))
     }
 
+  /** Range extract [start, end] (inclusive dates) — one pushed scan
+    * whether the source is JDBC or parquet (O3's single-scan shape). */
+  def extractForRange(
+      spark: SparkSession,
+      cfg: Config,
+      sfDir: String,
+      start: String,
+      end: String): DataFrame = {
+    val endNext = java.time.LocalDate.parse(end).plusDays(1)
+    cfg.sourceUrlOverride match {
+      case Some(_) =>
+        val d = cfg.sourceDialect
+        val tsCol = d.quote("order_created_at")
+        JdbcSources.rangeSlice(
+          spark, cfg.sourceJdbc,
+          d.table(cfg.sourceSchemaName, cfg.sourceTable),
+          tsCol, start, endNext.toString,
+          fetchSize = cfg.extractChunkSize)
+      case None =>
+        ordersSource(spark, sfDir).filter(
+          col("order_created_at") >= lit(start).cast(TimestampType) &&
+            col("order_created_at") <
+              lit(endNext.toString).cast(TimestampType))
+    }
+  }
+
   /** Bootstrap the three target tables (stands in for
     * postgres_init/init.sql + mssql_init DDL). */
   def ensureTargetTables(cfg: Config): Unit = {

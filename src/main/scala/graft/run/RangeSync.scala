@@ -29,11 +29,8 @@ object RangeSync {
     val spark = Sessions.local("graft-range-sync")
 
     Pipeline.ensureTargetTables(cfg)
-    val source = Pipeline.ordersSource(spark, opts.sfDir)
-    val slice = source.filter(
-      col("order_created_at") >= lit(start).cast("timestamp") &&
-        col("order_created_at") <
-          date_add(lit(end).cast("date"), 1).cast("timestamp"))
+    val slice = Pipeline
+      .extractForRange(spark, cfg, opts.sfDir, start, end)
       .cache()
 
     // per-date extracted counts, one aggregation (A2)
