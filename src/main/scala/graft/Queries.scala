@@ -364,8 +364,9 @@ object Queries {
 
     "q_join_salted" -> ((s, dir) => {
       // Skew-salted join: lineitem collapsed onto 3 hot keys joins a
-      // small side spread over 8 salts; result must equal the plain
-      // join (the oracle computes it unsalted).
+      // small side spread over session-derived salts (one per shuffle
+      // partition, so the 3 hot keys can occupy every reducer); result
+      // must equal the plain join (the oracle computes it unsalted).
       val large = Tables.lineitem(s, dir)
         .withColumn("k", col("l_orderkey") % 3)
       val small = Tables.orders(s, dir)
@@ -373,7 +374,7 @@ object Queries {
         .withColumn("k", col("o_orderkey") % 3)
         .select(col("k"), col("o_orderkey"))
       graft.operators.Joins.saltedJoin(large, small, Seq("k"),
-          saltSource = col("l_orderkey"), nSalts = 8)
+          saltSource = col("l_orderkey"))
         .groupBy(col("o_orderkey"))
         .agg(count(lit(1)).as("n"),
           dsum(col("l_extendedprice")).as("price_sum"))

@@ -17,17 +17,24 @@ object Joins {
     * identical placement); the small side replicates every row
     * `nSalts` times. Result equals `large.join(small, keys)` exactly —
     * the salt only changes WHERE rows meet, never which rows match.
+    *
+    * `nSalts ≤ 0` (the default) derives the fan-out from
+    * `spark.sql.shuffle.partitions`: a hot key should be able to occupy
+    * every reducer, not a hardcoded handful (VERDICT r2 perf #3).
     */
   def saltedJoin(
       large: DataFrame,
       small: DataFrame,
       keys: Seq[String],
       saltSource: Column,
-      nSalts: Int = 16): DataFrame = {
-    require(nSalts > 0)
-    val l = large.withColumn("__salt", pmod(xxhash64(saltSource), lit(nSalts)))
+      nSalts: Int = 0): DataFrame = {
+    val n =
+      if (nSalts > 0) nSalts
+      else large.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    require(n > 0, s"derived nSalts must be positive, got $n")
+    val l = large.withColumn("__salt", pmod(xxhash64(saltSource), lit(n)))
     val s = small.withColumn("__salt",
-      explode(sequence(lit(0L), lit(nSalts - 1L))))
+      explode(sequence(lit(0L), lit(n - 1L))))
     l.join(s, keys :+ "__salt").drop("__salt")
   }
 
