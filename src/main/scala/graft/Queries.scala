@@ -535,8 +535,83 @@ object Queries {
           sum(col("k")).as("k_sum"),
           min(col("k")).as("k_min"),
           max(col("k")).as("k_max"))
+    }),
+    "q_tx_lww" -> ((s, dir) => {
+      // The transactions entity's composite-key LWW semantics (S3+S7,
+      // mssql_to_postgres_sync pyc) as a distributed operator: a
+      // tx-shaped frame derived from orders, a simulated re-extract
+      // where 1-in-5 keys changed (half with a NEWER updateddateutc,
+      // half with an out-of-order OLDER one), resolved by
+      // Upsert.LastWriteWins on the 4-column composite key. The score
+      // rides inside txadditionaldatajson and is recovered with typed
+      // from_json; the oracle computes it arithmetically, so a broken
+      // JSON round-trip diverges the hash.
+      val merged = Upsert(txBase(s, dir), txReExtract(s, dir), TxKey,
+        Upsert.LastWriteWins("updateddateutc"))
+      val score = from_json(col("txadditionaldatajson"),
+        StructType(Seq(StructField("ch", StringType),
+          StructField("score", LongType)))).getField("score")
+      merged
+        .withColumn("score", score)
+        .groupBy(col("tenantid"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("txbaseamount")).as("amount_sum"),
+          sum(col("score")).as("score_sum"),
+          tsFmt(max(col("updateddateutc"))).as("last_update"))
     })
   )
+
+  /** Composite transactions conflict key, target casing
+    * (mssql_to_postgresql_daily pyc strings). */
+  private val TxKey = Seq("txcorrelationid", "tenantid",
+    "txgroupcorrelationid", "txrefcorrelationid")
+
+  /** Deterministic transactions-shaped frame derived from orders (the
+    * parquet stand-in for the wide entity's sync columns): composite
+    * string/long key, DECIMAL amount, an updateddateutc offset hours
+    * after the order date, and the JSON-in-string payload. */
+  private def txBase(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      concat(lit("tx-"), col("o_orderkey").cast(StringType))
+        .as("txcorrelationid"),
+      (col("o_custkey") % 10).as("tenantid"),
+      concat(lit("g-"), (col("o_orderkey") % 97).cast(StringType))
+        .as("txgroupcorrelationid"),
+      concat(lit("r-"), col("o_orderkey").cast(StringType))
+        .as("txrefcorrelationid"),
+      col("o_totalprice").cast(DecimalType(18, 4)).as("txbaseamount"),
+      timestamp_micros(unix_micros(col("o_orderdate").cast(TimestampType)) +
+        (col("o_orderkey") % 48) * lit(3600000000L)).as("updateddateutc"),
+      concat(lit("{\"ch\":\"c"), (col("o_orderkey") % 3).cast(StringType),
+        lit("\",\"score\":"), (col("o_orderkey") % 11).cast(StringType),
+        lit("}")).as("txadditionaldatajson"))
+
+  /** The simulated re-extract batch: every o_orderkey % 5 == 0 row
+    * changed — amount +1.5, score +1, and updateddateutc shifted +72h
+    * (keys % 10 == 0: LWW must apply) or -72h (keys % 10 == 5: LWW
+    * must reject). */
+  private def txReExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 5 === 0)
+      .select(
+        concat(lit("tx-"), col("o_orderkey").cast(StringType))
+          .as("txcorrelationid"),
+        (col("o_custkey") % 10).as("tenantid"),
+        concat(lit("g-"), (col("o_orderkey") % 97).cast(StringType))
+          .as("txgroupcorrelationid"),
+        concat(lit("r-"), col("o_orderkey").cast(StringType))
+          .as("txrefcorrelationid"),
+        (col("o_totalprice").cast(DecimalType(18, 4)) +
+          lit(new java.math.BigDecimal("1.5")))
+          .cast(DecimalType(18, 4)).as("txbaseamount"),
+        timestamp_micros(unix_micros(col("o_orderdate").cast(TimestampType)) +
+          (col("o_orderkey") % 48) * lit(3600000000L) +
+          when(col("o_orderkey") % 10 === 0, lit(72L))
+            .otherwise(lit(-72L)) * lit(3600000000L)).as("updateddateutc"),
+        concat(lit("{\"ch\":\"c"), (col("o_orderkey") % 3).cast(StringType),
+          lit("\",\"score\":"),
+          (col("o_orderkey") % 11 + 1).cast(StringType),
+          lit("}")).as("txadditionaldatajson"))
 
   /** Deterministic synthetic media binary per doc: magic header chosen
     * by doc_id % 5, PNG rows carry a real IHDR with arithmetic
@@ -845,7 +920,53 @@ object Queries {
         |   AS k_min,
         | max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
         |   AS k_max
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+    // LWW replica as a LEFT JOIN + CASE (every re-extract key exists in
+    // base); score computed arithmetically, NOT via JSON — an
+    // independent check on Spark's JSON round-trip.
+    "q_tx_lww" ->
+      """WITH base AS (
+        | SELECT concat('tx-', o_orderkey) AS txcorrelationid,
+        |   o_custkey % 10 AS tenantid,
+        |   concat('g-', o_orderkey % 97) AS txgroupcorrelationid,
+        |   concat('r-', o_orderkey) AS txrefcorrelationid,
+        |   CAST(o_totalprice AS DECIMAL(18,4)) AS txbaseamount,
+        |   make_timestamp(epoch_us(o_orderdate) +
+        |     (o_orderkey % 48) * 3600000000) AS updateddateutc,
+        |   o_orderkey % 11 AS score
+        | FROM orders),
+        |upd AS (
+        | SELECT concat('tx-', o_orderkey) AS txcorrelationid,
+        |   o_custkey % 10 AS tenantid,
+        |   concat('g-', o_orderkey % 97) AS txgroupcorrelationid,
+        |   concat('r-', o_orderkey) AS txrefcorrelationid,
+        |   CAST(CAST(o_totalprice AS DECIMAL(18,4)) + 1.5
+        |     AS DECIMAL(18,4)) AS txbaseamount,
+        |   make_timestamp(epoch_us(o_orderdate) +
+        |     (o_orderkey % 48) * 3600000000 +
+        |     (CASE WHEN o_orderkey % 10 = 0 THEN 72 ELSE -72 END)
+        |       * 3600000000) AS updateddateutc,
+        |   o_orderkey % 11 + 1 AS score
+        | FROM orders WHERE o_orderkey % 5 = 0),
+        |merged AS (
+        | SELECT b.tenantid,
+        |   CASE WHEN u.updateddateutc > b.updateddateutc
+        |     THEN u.txbaseamount ELSE b.txbaseamount END AS txbaseamount,
+        |   CASE WHEN u.updateddateutc > b.updateddateutc
+        |     THEN u.updateddateutc ELSE b.updateddateutc
+        |     END AS updateddateutc,
+        |   CASE WHEN u.updateddateutc > b.updateddateutc
+        |     THEN u.score ELSE b.score END AS score
+        | FROM base b LEFT JOIN upd u
+        |   ON b.txcorrelationid = u.txcorrelationid
+        |   AND b.tenantid = u.tenantid
+        |   AND b.txgroupcorrelationid = u.txgroupcorrelationid
+        |   AND b.txrefcorrelationid = u.txrefcorrelationid)
+        |SELECT tenantid, count(*) AS n,
+        | CAST(sum(txbaseamount) AS DECIMAL(28,4)) AS amount_sum,
+        | CAST(sum(score) AS BIGINT) AS score_sum,
+        | strftime(max(updateddateutc), '%Y-%m-%d %H:%M:%S') AS last_update
+        |FROM merged GROUP BY tenantid""".stripMargin
   )
 
   /** Arithmetic replica of q_multimodal_decode: expected mime, sizes,

@@ -13,7 +13,12 @@ import graft.operators.Upsert
   * Usage:
   *   sbt "runMain graft.run.DailySync --run-date 1996-03-15 \
   *        [--sf-dir /root/testdata/sf0.001] [--target-url jdbc:...] \
-  *        [--catchup-from 1996-03-13]"
+  *        [--catchup-from 1996-03-13] [--entity transactions \
+  *        --source-url jdbc:...]"
+  *
+  * `--entity transactions` runs the generic entity sync for the wide
+  * 57-column entity instead (composite-key LWW — the
+  * mssql_to_postgres_sync pyc DAG); it requires a JDBC `--source-url`.
   *
   * `--catchup-from` replays each day from that date up to --run-date in
   * order — the reference's `catchup=True` + `depends_on_past` driver
@@ -31,14 +36,66 @@ object DailySync {
     val opts = Args.parse(args)
     val runDate = opts.required("run-date")
     val sfDir = opts.sfDir
-    val cfg = opts.config
     val spark = Sessions.local("graft-daily-sync")
-
-    Pipeline.ensureTargetTables(cfg)
     val dates = opts.get("catchup-from") match {
       case Some(from) => Args.dateRange(from, runDate)
       case None       => Seq(runDate)
     }
+    opts.get("entity").getOrElse("orders") match {
+      case "orders"       => ordersSync(spark, opts, sfDir, dates)
+      case "transactions" => entitySync(
+        spark, graft.core.Entities.transactions, opts, dates)
+      case other => sys.error(s"unknown --entity $other " +
+        "(orders | transactions)")
+    }
+    spark.stop()
+  }
+
+  /** The generic entity sync (`--entity transactions`): the
+    * mssql_to_postgres_sync / mssql_to_postgresql_daily pyc DAGs —
+    * extract the day slice on the entity's incremental column from a
+    * JDBC source, lowercase-align, LWW-upsert on the composite key,
+    * count-back validate. DB-to-DB only: there is no parquet stand-in
+    * for the wide entity, so `--source-url` is required. */
+  private def entitySync(
+      spark: org.apache.spark.sql.SparkSession,
+      e: graft.core.Entity,
+      opts: Args,
+      dates: Seq[String]): Unit = {
+    val base = opts.config
+    require(base.sourceUrlOverride.nonEmpty,
+      s"--entity ${e.name} syncs DB-to-DB: pass --source-url " +
+        "(or GRAFT_SOURCE_URL)")
+    // Env defaults name the orders tables; an entity sync that wasn't
+    // given explicit names uses the entity's own.
+    val cfg = base.copy(
+      sourceTable =
+        if (base.sourceTable == "orders") e.name else base.sourceTable,
+      targetTable =
+        if (base.targetTable == "orders") e.name else base.targetTable,
+      stagingTable = if (base.stagingTable == "orders_staging")
+        s"${e.name}_staging" else base.stagingTable)
+    Pipeline.ensureEntityTables(cfg, e)
+    var allOk = true
+    for (date <- dates) {
+      println(s"[daily-sync] === ${e.name} logical date $date ===")
+      val slice = Pipeline.extractEntityForDay(spark, cfg, e, date)
+      val extracted = slice.count()
+      Pipeline.loadEntityBatch(cfg, e, slice)
+      val loaded = Pipeline.countEntityLoadedForDay(cfg, e, date)
+      allOk &= Pipeline.reconcile(s"${e.name} $date", extracted, loaded)
+    }
+    println(s"[daily-sync] done: ${dates.size} day(s), " +
+      (if (allOk) "all counts reconciled" else "MISMATCHES logged above"))
+  }
+
+  private def ordersSync(
+      spark: org.apache.spark.sql.SparkSession,
+      opts: Args,
+      sfDir: String,
+      dates: Seq[String]): Unit = {
+    val cfg = opts.config
+    Pipeline.ensureTargetTables(cfg)
     var allOk = true
     for (date <- dates) {
       println(s"[daily-sync] === logical date $date ===")
@@ -69,7 +126,6 @@ object DailySync {
     }
     println(s"[daily-sync] done: ${dates.size} day(s), " +
       (if (allOk) "all counts reconciled" else "MISMATCHES logged above"))
-    spark.stop()
   }
 }
 
@@ -84,7 +140,10 @@ private[run] final case class Args(kv: Map[String, String]) {
     val env = sys.env ++
       kv.get("target-url").map("GRAFT_TARGET_URL" -> _) ++
       kv.get("target-dialect").map("GRAFT_TARGET_DIALECT" -> _) ++
-      kv.get("source-url").map("GRAFT_SOURCE_URL" -> _)
+      kv.get("source-url").map("GRAFT_SOURCE_URL" -> _) ++
+      kv.get("source-table").map("SOURCE_TABLE_NAME" -> _) ++
+      kv.get("target-table").map("TARGET_TABLE_NAME" -> _) ++
+      kv.get("staging-table").map("STAGING_TABLE_NAME" -> _)
     Config.fromEnv(env)
   }
 }

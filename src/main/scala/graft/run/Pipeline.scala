@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.core.Tables
+import graft.core.{Conversions, Entity, Tables}
 import graft.io._
 
 /** Shared extract/load/validate stages for the entry points (O2: the
@@ -31,12 +31,7 @@ object Pipeline {
         col("o_totalprice").cast(DecimalType(18, 4)).as("amount"),
         col("o_orderpriority").as("product"))
 
-  val targetSchema: StructType = StructType(Seq(
-    StructField("order_id", LongType),
-    StructField("user_id", LongType),
-    StructField("order_created_at", TimestampType),
-    StructField("amount", DecimalType(18, 4)),
-    StructField("product", StringType)))
+  val targetSchema: StructType = graft.core.Entities.orders.targetSchema
 
   /** Half-open day predicate [date, date+1) — SURVEY §7.4 risk 2. */
   def daySlice(c: org.apache.spark.sql.Column, date: String) =
@@ -145,6 +140,78 @@ object Pipeline {
   def readTarget(spark: SparkSession, cfg: Config, table: String): DataFrame =
     JdbcSources.readTable(spark, cfg.targetJdbc,
       cfg.targetDialect.table(cfg.targetSchemaName, table))
+
+  // ===================================================================
+  // Entity-parametric stages: the same extract → lowercase → upsert →
+  // count-back flow for ANY declared [[Entity]] (the reference clones
+  // its DAG body per table; here the entity is a parameter). The
+  // orders-specific functions above remain for orders' extra
+  // complete/incomplete NULL-routing flow; the transactions sync
+  // (mssql_to_postgres_sync / mssql_to_postgresql_daily pycs) runs
+  // entirely on these.
+  // ===================================================================
+
+  /** Bootstrap the entity's target + staging tables with the
+    * lowercased target schema. */
+  def ensureEntityTables(cfg: Config, e: Entity): Unit = {
+    val jdbc = cfg.targetJdbc; val d = cfg.targetDialect
+    JdbcWrite.ensureTable(jdbc, d, cfg.targetSchemaName, cfg.targetTable,
+      e.targetSchema)
+    JdbcWrite.ensureTable(jdbc, d, cfg.targetSchemaName, cfg.stagingTable,
+      e.targetSchema)
+  }
+
+  /** S3: one day's slice of the entity from the JDBC source, pushed
+    * down on the entity's incremental column (the pyc's
+    * `WHERE CAST(CreatedDateUtc AS DATE) = ?` in sargable half-open
+    * form). Source-edge casing. */
+  def extractEntityForDay(
+      spark: SparkSession,
+      cfg: Config,
+      e: Entity,
+      date: String): DataFrame = {
+    val d = cfg.sourceDialect
+    JdbcSources.dateSlice(
+      spark, cfg.sourceJdbc,
+      d.table(cfg.sourceSchemaName, cfg.sourceTable),
+      d.quote(e.incrementalColumn), date,
+      fetchSize = cfg.extractChunkSize)
+  }
+
+  /** Lowercase-rename (F5), align to the target schema (F6), then
+    * upsert with the entity's mode and composite key — dialect-routed
+    * like [[upsertBatch]]: PG takes the row-streamed `ON CONFLICT`
+    * sink (S7's conditional form for LWW entities), everything else
+    * the stage+MERGE sink. */
+  def loadEntityBatch(cfg: Config, e: Entity, batch: DataFrame): Unit = {
+    val aligned = Conversions.alignToSchema(
+      Conversions.lowercaseColumns(batch), e.targetSchema)
+    val d = cfg.targetDialect
+    val target = d.table(cfg.targetSchemaName, cfg.targetTable)
+    d match {
+      case SqlDialect.Postgres =>
+        UpsertSink.write(aligned, cfg.targetJdbc, d, target,
+          cfg.targetTable, e.targetKey, e.mode)
+      case _ =>
+        MergeSink.write(aligned, cfg.targetJdbc, d, target,
+          d.table(cfg.targetSchemaName, cfg.stagingTable),
+          e.targetKey, e.mode,
+          withByTarget = d == SqlDialect.SqlServer)
+    }
+  }
+
+  /** S11 for the entity: count-back on the lowercased incremental
+    * column (the `_historical` pyc's
+    * `WHERE CAST(createddateutc AS DATE) = %s`). */
+  def countEntityLoadedForDay(cfg: Config, e: Entity, date: String): Long = {
+    val d = cfg.targetDialect
+    val c = d.quote(e.targetIncrementalColumn)
+    val next = java.time.LocalDate.parse(date).plusDays(1)
+    JdbcSources.countWhere(
+      cfg.targetJdbc,
+      d.table(cfg.targetSchemaName, cfg.targetTable),
+      s"$c >= {ts '$date 00:00:00'} AND $c < {ts '$next 00:00:00'}")
+  }
 
   /** A2/A1 reconciliation line, log-only on mismatch exactly like the
     * reference (orders_daily.py:580-584). Returns match. */
