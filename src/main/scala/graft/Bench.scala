@@ -42,6 +42,11 @@ object Bench {
           catch { case e: Throwable =>
             Some(Option(e.getMessage).getOrElse(e.getClass.getName))
           }
+        // No harness-level cache clearing: operators own and release
+        // their corpus-scale input caches (Dedup.ownResult); what stays
+        // cached across queries is only tiny, explicitly-shared result
+        // frames (the dedup pair set q_dedup_apply reuses — its cost is
+        // attributed to whichever dedup query runs first).
         (name, (System.nanoTime() - t0) / 1e9, err)
     }
 

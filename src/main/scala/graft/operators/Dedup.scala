@@ -59,6 +59,38 @@ object Dedup {
   private def affine(i: Int, h: Column): Column =
     pmod(h * affineA(i) + affineB(i), lit(PortableMod))
 
+  /** Bands for an LSH banding of `numHashes` rows targeted at
+    * `threshold`: the S-curve midpoint of (b bands × r rows) sits at
+    * (1/b)^(1/r), so pick the LARGEST r (fewest, widest bands — the
+    * cheapest banding, candidates ∝ collision probability) whose
+    * midpoint still sits at or below the threshold; pairs at the
+    * threshold then land on the high-recall side of the curve. E.g.
+    * 64 hashes: t=0.8 → 8×8 (midpoint 0.77), t=0.5 → 16×4 (0.5),
+    * t=0.2 → 32×2 (0.18 — a stress regime: nearly everything
+    * collides; prefer t ≥ 0.5 or accept the candidate flood). */
+  def lshBanding(numHashes: Int, threshold: Double): Int = {
+    require(numHashes > 0 && threshold > 0 && threshold <= 1)
+    val rs = (1 to numHashes).filter(numHashes % _ == 0)
+    val r = rs
+      .filter(r => math.pow(1.0 / (numHashes / r), 1.0 / r) <= threshold)
+      .lastOption
+      .getOrElse(1)
+    numHashes / r
+  }
+
+  /** Persist-and-force `result`, then release the operator-owned input
+    * caches: the pair set a dedup pipeline returns is tiny (near-dup
+    * pairs above threshold) while its inputs are corpus-sized shingle
+    * caches — forcing the small output lets the operator drop the big
+    * inputs instead of leaking them to the session (the caller owns
+    * ONLY the returned frame and can `unpersist()` it when done). */
+  private def ownResult(result: DataFrame, inputs: DataFrame*): DataFrame = {
+    val out = result.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    inputs.foreach(_.unpersist(false))
+    out
+  }
+
   /** Exact dedup: keep, per distinct value of `key`, the single row with
     * the smallest `tieBreaker`. One hash-partitioned shuffle on the key.
     */
@@ -257,28 +289,33 @@ object Dedup {
 
   /** End-to-end MinHash-LSH near-dup pairs: signature → banded LSH →
     * candidate pairs → exact n-gram-Jaccard verification ≥ threshold.
-    * Returns (a, b, jaccard). The shingle frame is computed once and
-    * cached; the verify join carries ids only. */
+    * Returns (a, b, jaccard), small, persisted and forced — the
+    * corpus-sized shingle cache is released before returning (the
+    * caller owns only the result; `unpersist()` it when done).
+    * `bands ≤ 0` derives the banding from the threshold via
+    * [[lshBanding]]. */
   def minhashNearDupPairs(
       docs: DataFrame,
       idCol: String,
       text: Column,
       threshold: Double = 0.8,
       numHashes: Int = 64,
-      bands: Int = 16,
+      bands: Int = 0,
       shingleSize: Int = 3,
       portable: Boolean = false): DataFrame = {
+    val b = if (bands > 0) bands else lshBanding(numHashes, threshold)
     val sh = shingleFrame(docs, idCol, text, shingleSize)
     val sigs = signaturesFromExploded(
       sh.select(col("__id").as(idCol), explode(col("__sh")).as("__sh")),
       idCol, numHashes, portable)
-    val cand = lshCandidatePairs(sigs, idCol, numHashes, bands)
-    cand
+    val cand = lshCandidatePairs(sigs, idCol, numHashes, b)
+    val pairs = cand
       .join(sh.select(col("__id").as("a"), col("__sh").as("sh_a")), Seq("a"))
       .join(sh.select(col("__id").as("b"), col("__sh").as("sh_b")), Seq("b"))
       .select(col("a"), col("b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    ownResult(pairs, sh)
   }
 
   /** 64-bit SimHash over whitespace tokens. Native mode: bit i of the
@@ -367,7 +404,9 @@ object Dedup {
     *     blowup but makes recall approximate (pairs sharing ONLY
     *     stop-shingles are missed); leave 0 for exact results.
     *
-    * Returns (a, b, jaccard) with a < b and jaccard ≥ threshold.
+    * Returns (a, b, jaccard) with a < b and jaccard ≥ threshold —
+    * small, persisted and forced; the corpus-sized hashed-shingle
+    * cache is released before returning (caller owns the result).
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -400,11 +439,12 @@ object Dedup {
         col("na") >= ceil(thr * col("nb")))
       .select("a", "b")
       .distinct()
-    cand
+    val pairs = cand
       .join(sh.select(col("__id").as("a"), col("__sh").as("sh_a")), Seq("a"))
       .join(sh.select(col("__id").as("b"), col("__sh").as("sh_b")), Seq("b"))
       .select(col("a"), col("b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    ownResult(pairs, sh)
   }
 }

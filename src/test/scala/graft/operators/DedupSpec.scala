@@ -96,6 +96,32 @@ class DedupSpec extends SparkSpecBase {
     assert(sig == want)
   }
 
+  test("lshBanding picks widest bands whose S-curve midpoint <= t") {
+    // midpoint (1/b)^(1/r): 8x8 -> 0.771, 16x4 -> 0.5, 32x2 -> 0.177
+    assert(Dedup.lshBanding(64, 0.8) == 8)
+    assert(Dedup.lshBanding(64, 0.5) == 16)
+    assert(Dedup.lshBanding(64, 0.2) == 32)
+    assert(Dedup.lshBanding(64, 0.01) == 64) // no r qualifies -> r=1
+    // 16 hashes at t=0.5: 4x4 midpoint 0.707 > t, 8x2 midpoint 0.354 ok
+    assert(Dedup.lshBanding(16, 0.5) == 8)
+  }
+
+  test("pair operators release their corpus caches (r2 advice)") {
+    spark.catalog.clearCache() // drop caches owned by earlier tests
+    val docs = docsDf(corpus(13L, 30))
+    for (mk <- Seq(
+        () => Dedup.minhashNearDupPairs(docs, "doc_id", col("text"),
+          threshold = 0.8, portable = false),
+        () => Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), 0.8))) {
+      val pairs = mk()
+      pairs.count() // consume
+      pairs.unpersist(true)
+      val lingering = spark.sparkContext.getPersistentRDDs
+      assert(lingering.isEmpty,
+        s"cached RDDs leaked: ${lingering.values.map(_.name).mkString(",")}")
+    }
+  }
+
   test("lshCandidatePairs rejects numHashes not divisible by bands") {
     val docs = docsDf(corpus(7L, 5))
     val sigs = Dedup.minhashSignatures(docs, "doc_id", col("text"),
