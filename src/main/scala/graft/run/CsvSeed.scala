@@ -13,7 +13,8 @@ import graft.operators.Upsert
   *
   * Usage:
   *   sbt "runMain graft.run.CsvSeed --csv /path/orders.csv \
-  *        [--target-url jdbc:...] [--target-dialect derby]"
+  *        [--target-url jdbc:...] [--target-dialect derby] \
+  *        [--run-date 2025-05-11]"
   *
   * Stages (each mirrors a reference step):
   *  1. read CSV with the DECLARED all-string schema — no inference
@@ -63,11 +64,19 @@ object CsvSeed {
   }
 
   /** The full read-and-transform stage (csv_to_mssqldb.py:183-370),
-    * returned with its audit so tests can pin the fixture behavior. */
+    * returned with its audit so tests can pin the fixture behavior.
+    *
+    * `runDate` (F7): keep only rows whose parsed OrderCreatedAt falls
+    * on that logical date — the per-logical-date CSV filter of
+    * deneme_3_case.pyc ("Filtering data for CreatedDateUtc =="),
+    * applied AFTER coercion so the filter sees typed timestamps, in
+    * the sargable half-open form. NULL timestamps drop out of a dated
+    * run, like the reference's equality filter. */
   def readAndTransform(
       spark: SparkSession,
       path: String,
-      keys: Seq[String]): (DataFrame, Map[String, Long], Long) = {
+      keys: Seq[String],
+      runDate: Option[String] = None): (DataFrame, Map[String, Long], Long) = {
     val raw = spark.read
       .option("header", "true")
       .option("quote", "\"")
@@ -75,8 +84,13 @@ object CsvSeed {
       .csv(path)
     val aligned = Conversions.alignToSchema(raw, Schemas.ordersCsvRaw)
     val (typed, audit) = coerceWithAudit(aligned, Schemas.orders)
-    val kept = typed.na.drop("any", keys)
-    val dropped = typed.count() - kept.count()
+    val sliced = runDate match {
+      case Some(d) => typed.filter(
+        Pipeline.daySlice(col("OrderCreatedAt"), d))
+      case None => typed
+    }
+    val kept = sliced.na.drop("any", keys)
+    val dropped = sliced.count() - kept.count()
     (kept, audit, dropped)
   }
 
@@ -95,8 +109,11 @@ object CsvSeed {
     }
     val spark = Sessions.local("graft-csv-seed")
 
+    val runDate = opts.get("run-date")
+    runDate.foreach(d =>
+      println(s"[csv-seed] filtering data for OrderCreatedAt == $d"))
     val (batch, audit, droppedKeys) =
-      readAndTransform(spark, path, keys)
+      readAndTransform(spark, path, keys, runDate)
     audit.toSeq.sortBy(_._1).foreach { case (c, n) =>
       if (n > 0) println(s"[csv-seed] coercion losses in $c: $n")
     }

@@ -34,4 +34,21 @@ class CsvSeedSpec extends SparkSpecBase {
       == new java.math.BigDecimal("337.6900"))
     assert(!r1.getAs[Boolean]("IsDelivered"))
   }
+
+  test("--run-date filters to one logical day of OrderCreatedAt (F7)") {
+    assume(new java.io.File(fixture).exists(), s"fixture $fixture absent")
+    // 2025-05-11 holds exactly 10 fixture rows (independently counted
+    // from the CSV text); NULL timestamps drop out of a dated run.
+    val (kept, _, dropped) = CsvSeed.readAndTransform(
+      spark, fixture, Seq("OrderID"), runDate = Some("2025-05-11"))
+    assert(kept.count() == 10L)
+    assert(dropped == 0L)
+    assert(kept.filter(kept("OrderCreatedAt").isNull).count() == 0L)
+    // half-open bound: a row on the next day is excluded
+    val next = CsvSeed.readAndTransform(
+      spark, fixture, Seq("OrderID"), runDate = Some("2025-05-12"))._1
+    assert(next.filter(next("OrderCreatedAt") <
+      org.apache.spark.sql.functions.lit("2025-05-12")
+        .cast(org.apache.spark.sql.types.TimestampType)).count() == 0L)
+  }
 }
