@@ -45,6 +45,10 @@ object Queries {
     * already released. */
   private val pairMemo =
     scala.collection.mutable.HashMap[(SparkSession, String), DataFrame]()
+
+  /** Unique memory-sink name per streaming-query run (a session forbids
+    * two active queries with one name). */
+  private val streamRun = new java.util.concurrent.atomic.AtomicInteger
   private def lshPairs(s: SparkSession, dir: String): DataFrame =
     pairMemo.synchronized {
       pairMemo.getOrElseUpdate((s, dir),
@@ -337,6 +341,43 @@ object Queries {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
         .select(tsFmt(col("window.start")).as("window_start"),
           col("event_type"), col("n"), col("value_sum"))
+    }),
+    "q_stream_windows" -> ((s, dir) => {
+      // The STREAMING twin of q_event_windows, against the same batch
+      // oracle: drain the events directory with Trigger.AvailableNow
+      // (one catchup run, O1) through the watermarked windowed
+      // aggregation and read the memory sink back. One pending file ⇒
+      // one micro-batch ⇒ the watermark drops nothing, so streaming
+      // output must equal the batch aggregation value-for-value.
+      val name = s"q_stream_windows_${streamRun.incrementAndGet()}"
+      graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.windowedCounts(
+          graft.streaming.Streams.eventsStream(s, dir)), name)
+    }),
+    "q_join_bucketed" -> ((s, dir) => {
+      // Bucketed co-located join: pay one bucketed write per side on
+      // the join key, and the repeated join runs with NO shuffle — the
+      // query itself asserts the executed plan is Exchange-free (the
+      // merge hint keeps the small side out of a broadcast so the
+      // bucketed SMJ topology is what's proven). The oracle computes
+      // the same join+aggregate from the raw parquet.
+      graft.operators.Joins.writeBucketed(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        "graft_b_orders", Seq("o_orderkey"))
+      graft.operators.Joins.writeBucketed(
+        Tables.lineitem(s, dir).select(col("l_orderkey"),
+          col("l_extendedprice"), col("l_quantity")),
+        "graft_b_lineitem", Seq("l_orderkey"))
+      val j = s.table("graft_b_orders").hint("merge")
+        .join(s.table("graft_b_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+      val joinPlan = j.queryExecution.executedPlan.toString
+      require(!joinPlan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$joinPlan")
+      j.groupBy((col("o_custkey") % 100).as("cust_mod"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice")).as("price_sum"),
+          dsum(col("l_quantity")).as("qty_sum"))
     }),
 
     // --- training-data pipeline: dedup ----------------------------------
@@ -809,6 +850,22 @@ object Queries {
         | round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
         |   AS value_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // the streaming drain must equal the batch window aggregation
+    "q_stream_windows" ->
+      """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts),
+        |   '%Y-%m-%d %H:%M:%S') AS window_start,
+        | event_type, count(*) AS n,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |   AS value_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_join_bucketed" ->
+      """SELECT o_custkey % 100 AS cust_mod, count(*) AS n,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |   AS DOUBLE), 4) AS price_sum,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4)))
+        |   AS DOUBLE), 4) AS qty_sum
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents
