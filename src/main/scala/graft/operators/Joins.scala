@@ -47,11 +47,23 @@ object Joins {
       df: DataFrame,
       table: String,
       bucketKeys: Seq[String],
-      nBuckets: Int = 32): Unit =
+      nBuckets: Int = 32): Unit = {
+    val spark = df.sparkSession
+    // A fresh session's catalog doesn't know tables a PREVIOUS JVM left
+    // in the warehouse directory, but saveAsTable still refuses the
+    // on-disk location (LOCATION_ALREADY_EXISTS). Drop both the catalog
+    // entry and any orphaned location so the write is idempotent across
+    // JVMs, like every other sink here.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(nBuckets, bucketKeys.head, bucketKeys.tail: _*)
       .sortBy(bucketKeys.head, bucketKeys.tail: _*)
       .saveAsTable(table)
+  }
 }
