@@ -1,0 +1,202 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the engine's hash-heavy hot paths.
+  *
+  * The portable polynomial hash (base 31 mod 1e9+7 over code points —
+  * the family every approximate-dedup oracle replicates in DuckDB) was
+  * originally built from built-ins as
+  * `aggregate(filter(split(s, ""), ...), 0L, (acc, c) -> pmod(acc*31 +
+  * ascii(c), M))`. That chain materializes one single-char STRING per
+  * character and evaluates three interpreted lambda frames per step —
+  * the dominant cost of every portable-mode dedup query. This
+  * expression computes the identical value in a tight codegen'd loop
+  * over the string's code points: no per-char allocation, no lambda
+  * dispatch, stays inside whole-stage codegen.
+  *
+  * Value-equivalence to the old chain holds for ALL inputs, not just
+  * the gate corpus: `split(s, '')` yields one element per code point
+  * (Java's regex engine never splits surrogate pairs) and Spark's
+  * `ascii` returns `codePointAt(0)` (verified against the 4.1.2
+  * bytecode), so folding `codePointAt` in order is the same sequence of
+  * (acc * 31 + cp) % 1e9+7 steps. The empty string folds zero steps →
+  * 0, matching the filtered-empty-array fold.
+  */
+case class PolyHash(child: Expression) extends UnaryExpression {
+
+  // input must be a string column (AbstractDataType/ExpectsInputTypes
+  // are private[sql], so the contract is asserted here instead)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[org.apache.spark.sql.types.StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_poly_hash requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_poly_hash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("phStr")
+      val acc = ctx.freshName("phAcc")
+      val i = ctx.freshName("phI")
+      val cp = ctx.freshName("phCp")
+      s"""
+         |java.lang.String $s = $c.toString();
+         |long $acc = 0L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  $acc = ($acc * 31L + $cp) % 1000000007L;
+         |  $i += java.lang.Character.charCount($cp);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+/** Portable SRP-LSH signature (random-hyperplane sign bits packed into
+  * a long) over an `array<float|double>` embedding, computed in one
+  * codegen'd double loop.
+  *
+  * Replaces the nested-HOF formulation in [[graft.operators.Similarity]]
+  * (`aggregate(transform(sequence(...), p -> aggregate(zip_with(...`)
+  * which evaluates bits × dims interpreted lambda frames per row — the
+  * dominant cost of every SRP-based similarity query.
+  *
+  * Exact-equivalence contract (the DuckDB oracles replicate this
+  * arithmetic, so it must not drift):
+  *  - plane weight w(p,d) = ((p·1009 + d·2003 + 12345)² mod 4001) −
+  *    2000, exact 64-bit integer math — identical to
+  *    [[graft.operators.Similarity.planeWeightPortable]];
+  *  - projection = Σ_d emb[d]·w(p,d), accumulated LEFT-TO-RIGHT in
+  *    ascending d as doubles — the same IEEE-754 addition order as the
+  *    zip_with/aggregate fold it replaces, so results are
+  *    bit-identical;
+  *  - a NULL element poisons that plane's projection to NULL → bit 0
+  *    (the `when(proj >= 0, ...)` otherwise-branch), and NaN ≥ 0 is
+  *    false in both Java and Catalyst — both edge cases preserved.
+  */
+case class SrpSignaturePortable(child: Expression, bits: Int)
+    extends UnaryExpression {
+  require(bits > 0 && bits <= 63, "signature must fit a long")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(et, _)
+          if et == org.apache.spark.sql.types.FloatType ||
+            et == org.apache.spark.sql.types.DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_srp_signature requires array<float|double>, got $other")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_srp_signature"
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.FloatType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    // empty embedding: the HOF chain zips against sequence(0,-1) =
+    // [0,-1], null-pads, and every plane's projection goes NULL → no
+    // bit set. Replicate: signature 0.
+    if (n == 0) return 0L
+    var sig = 0L
+    var p = 0
+    while (p < bits) {
+      var proj = 0.0
+      var nullSeen = false
+      var d = 0
+      while (d < n && !nullSeen) {
+        if (arr.isNullAt(d)) nullSeen = true
+        else {
+          val x = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+          val v = p.toLong * 1009L + d.toLong * 2003L + 12345L
+          val w = ((v * v) % 4001L - 2000L).toDouble
+          proj += x * w
+        }
+        d += 1
+      }
+      if (!nullSeen && proj >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("srpN")
+      val sig = ctx.freshName("srpSig")
+      val p = ctx.freshName("srpP")
+      val d = ctx.freshName("srpD")
+      val proj = ctx.freshName("srpProj")
+      val nul = ctx.freshName("srpNull")
+      val v = ctx.freshName("srpV")
+      val get = if (isFloat) s"(double) $c.getFloat($d)" else s"$c.getDouble($d)"
+      s"""
+         |int $n = $c.numElements();
+         |long $sig = 0L;
+         |if ($n > 0)
+         |for (int $p = 0; $p < $bits; $p++) {
+         |  double $proj = 0.0;
+         |  boolean $nul = false;
+         |  for (int $d = 0; $d < $n && !$nul; $d++) {
+         |    if ($c.isNullAt($d)) { $nul = true; }
+         |    else {
+         |      long $v = ((long) $p) * 1009L + ((long) $d) * 2003L + 12345L;
+         |      $proj += ($get) * (double) (($v * $v) % 4001L - 2000L);
+         |    }
+         |  }
+         |  if (!$nul && $proj >= 0) $sig |= (1L << $p);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SrpSignaturePortable =
+    copy(child = newChild)
+}
+
+object GraftFunctions {
+  /** Portable rolling hash as a Column (see [[PolyHash]]). */
+  def polyHash(c: Column): Column =
+    GraftColumnBridge.column(PolyHash(GraftColumnBridge.expression(c)))
+
+  /** Portable SRP signature as a Column (see [[SrpSignaturePortable]]).
+    * A NULL embedding yields 0, matching the HOF fold it replaced
+    * (there the null only poisoned the inner per-plane projection, and
+    * the outer OR-fold of 32 zero bits still produced 0L). */
+  def srpSignaturePortable(c: Column, bits: Int): Column =
+    org.apache.spark.sql.functions.coalesce(
+      GraftColumnBridge.column(
+        SrpSignaturePortable(GraftColumnBridge.expression(c), bits)),
+      org.apache.spark.sql.functions.lit(0L))
+}

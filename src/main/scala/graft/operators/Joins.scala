@@ -1,15 +1,89 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 
-/** Join shapes for the 100 TB regime: skew salting and bucketed
-  * co-location. AQE's skew-join split handles moderate skew at runtime;
-  * explicit salting is for the pathological keys AQE can't split (one
-  * key = one reducer's entire input), and bucketing removes the
-  * shuffle entirely for joins repeated on the same key.
+/** Join shapes for the 100 TB regime: skew salting, bucketed
+  * co-location, and the as-of (point-in-time) join. AQE's skew-join
+  * split handles moderate skew at runtime; explicit salting is for the
+  * pathological keys AQE can't split (one key = one reducer's entire
+  * input), and bucketing removes the shuffle entirely for joins
+  * repeated on the same key.
   */
 object Joins {
+
+  /** As-of (point-in-time) LEFT join: for every left row, attach the
+    * right row with the LARGEST `rightTs` ≤ the left row's `leftTs`
+    * within the same `keys` group (backward-looking match, inclusive —
+    * the semantics of DuckDB/QuestDB `ASOF JOIN` and pandas
+    * `merge_asof`). Left rows with no preceding right row keep NULL
+    * right columns.
+    *
+    * Spark has no as-of join operator; the naive formulations are a
+    * range join (O(n·m) BNLJ) or a per-key `collect_list` (OOM on hot
+    * keys). This is the scale-correct merge formulation instead:
+    * UNION the two sides, one hash shuffle on `keys`, one sort by
+    * (ts, side), and a running `last(right-payload, ignoreNulls)`
+    * window carries each right row forward to the left rows it
+    * matches. Cost = one shuffle + one sort of |L|+|R| rows, the same
+    * shape as a sort-merge join — no candidate blowup at any key
+    * skew, so it survives 100 TB where a range join would not.
+    *
+    * Determinism: right rows must be unique per (keys, rightTs) —
+    * pre-aggregate duplicates away (the window's `last` over ties is
+    * otherwise order-dependent). Right rows with NULL `rightTs` are
+    * dropped (a NULL comparison can never match); left rows with NULL
+    * `leftTs` match nothing.
+    *
+    * Column contract: left and right column sets must be disjoint
+    * apart from `keys`; every right non-key column (its timestamp
+    * included) lands on the output nullable.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String): DataFrame = {
+    // leftTs travels as __ts and is restored under its own name at the
+    // end, so it is excluded from the pass-through payload list
+    val leftOnly = left.columns
+      .filterNot(keys.contains).filterNot(_ == leftTs).toSeq
+    val rightOnly = right.columns.filterNot(keys.contains).toSeq
+    require(leftOnly.intersect(rightOnly).isEmpty,
+      s"left/right columns must be disjoint besides keys: " +
+        s"${leftOnly.intersect(rightOnly).mkString(",")}")
+    val rStruct = StructType(right.schema.fields.filter(f =>
+      rightOnly.contains(f.name)))
+    val lSide = left.select(
+      keys.map(col) ++
+        Seq(col(leftTs).as("__ts"), lit(1).as("__side"),
+          lit(null).cast(rStruct).as("__r")) ++
+        leftOnly.map(col): _*)
+    val rSide = right
+      .filter(col(rightTs).isNotNull)
+      .select(
+        keys.map(col) ++
+          Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
+            struct(rightOnly.map(col): _*).as("__r")) ++
+          left.schema.fields.filter(f => leftOnly.contains(f.name)).map(f =>
+            lit(null).cast(f.dataType).as(f.name)): _*)
+    // right (side 0) sorts before left (side 1) at equal ts → the
+    // inclusive (≤) match; NULL left ts sorts first → sees no right row
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lSide.unionByName(rSide)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(
+        keys.map(col) ++
+          Seq(col("__ts").as(leftTs)) ++
+          leftOnly.map(col) ++
+          rightOnly.map(n => col("__m").getField(n).as(n)): _*)
+  }
 
   /** Salted equi-join of a skew-heavy `large` side against a `small`
     * side. The large side spreads each hot key over `nSalts` partitions
@@ -59,7 +133,14 @@ object Joins {
     val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write
+    // Align the write's partitioning with the bucket function
+    // (HashPartitioning's murmur3-pmod IS the bucket-id function): each
+    // task then holds exactly one bucket's keys and writes ONE file,
+    // nBuckets files total instead of tasks×buckets small files — at
+    // 100 TB the difference between a clean bucketed table and a
+    // small-file explosion.
+    df.repartition(nBuckets, bucketKeys.map(col): _*)
+      .write
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(nBuckets, bucketKeys.head, bucketKeys.tail: _*)

@@ -93,11 +93,6 @@ object Similarity {
     (v * v) % 4001 - 2000
   }
 
-  private def planeWeightPortableCol(p: Column, d: Column): Column = {
-    val v = p.cast(LongType) * 1009L + d.cast(LongType) * 2003L + 12345L
-    pmod(v * v, lit(4001L)) - 2000L
-  }
-
   /** Random-hyperplane (SRP) LSH signature: `bits` sign bits packed
     * into a long. Two vectors with small angle agree on most bits.
     * `portable = true` switches to the oracle-replicable plane family. */
@@ -107,18 +102,26 @@ object Similarity {
       seed: Int = 42,
       portable: Boolean = false): Column = {
     require(bits <= 63, "signature must fit a long")
-    aggregate(
-      transform(sequence(lit(0), lit(bits - 1)), p => {
-        val proj = aggregate(
-          zip_with(emb, sequence(lit(0), size(emb) - 1),
-            (x, d) => x.cast(DoubleType) * (
-              if (portable) planeWeightPortableCol(p, d).cast(DoubleType)
-              else planeWeight(p, d, seed))),
-          lit(0.0), (acc, x) => acc + x)
-        when(proj >= 0, call_function("shiftleft", lit(1L), p.cast(IntegerType))).otherwise(lit(0L))
-      }),
-      lit(0L),
-      (acc, x) => acc.bitwiseOR(x))
+    // Portable mode runs the native codegen'd expression — one tight
+    // bits×dims double loop, bit-identical to the HOF fold it replaced
+    // (same weights, same left-to-right IEEE accumulation; equivalence
+    // pinned by ExpressionsSpec and the q_sim_lsh/q_sim_cosine_dedup
+    // oracles). Native (xxhash64-seeded) mode keeps the HOF form.
+    if (portable)
+      graft.functions.GraftFunctions.srpSignaturePortable(emb, bits)
+    else
+      aggregate(
+        transform(sequence(lit(0), lit(bits - 1)), p => {
+          val proj = aggregate(
+            zip_with(emb, sequence(lit(0), size(emb) - 1),
+              (x, d) => x.cast(DoubleType) * planeWeight(p, d, seed)),
+            lit(0.0), (acc, x) => acc + x)
+          when(proj >= 0,
+            call_function("shiftleft", lit(1L), p.cast(IntegerType)))
+            .otherwise(lit(0L))
+        }),
+        lit(0L),
+        (acc, x) => acc.bitwiseOR(x))
   }
 
   /** Approximate NN via SRP-LSH with multi-probe over band keys: both

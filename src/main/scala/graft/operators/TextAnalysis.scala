@@ -115,16 +115,12 @@ object TextAnalysis {
   def fingerprintMd5(text: Column): Column =
     md5(to_binary(regexp_replace(lower(trim(text)), "\\s+", " "), lit("utf-8")))
 
-  /** Rolling polynomial hash over characters (base 31, mod 1e9+7),
-    * computed with higher-order functions over the code-point array —
-    * a driver-free, shuffle-free content fingerprint. Arithmetic stays
-    * below 2^40 so ANSI-mode overflow checks never trip. */
-  def fingerprintRolling(text: Column): Column = {
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
-    val chars = split(norm, "")
-    aggregate(
-      filter(chars, c => length(c) > 0),
-      lit(0L),
-      (acc, c) => pmod(acc * 31L + ascii(c), lit(1000000007L)))
-  }
+  /** Rolling polynomial hash over characters (base 31, mod 1e9+7) of
+    * the whitespace-normalized, lowercased text — a driver-free,
+    * shuffle-free content fingerprint, computed by the native
+    * codegen'd [[graft.functions.PolyHash]] expression (value-identical
+    * to the original split/ascii HOF fold; see its scaladoc). */
+  def fingerprintRolling(text: Column): Column =
+    graft.functions.GraftFunctions.polyHash(
+      regexp_replace(lower(trim(text)), "\\s+", " "))
 }
