@@ -380,6 +380,31 @@ object Queries {
           dsum(col("l_quantity")).as("qty_sum"))
     }),
 
+    "q_join_asof" -> ((s, dir) => {
+      // As-of (point-in-time) join: every click event matched to the
+      // same user's LATEST purchase at-or-before it — the classic
+      // feature-engineering/backtest join Spark lacks natively. The
+      // merge formulation in Joins.asofJoin does it with one shuffle
+      // on user_id (no range-join candidate blowup); the oracle is
+      // DuckDB's native ASOF LEFT JOIN. Purchases are pre-deduped per
+      // (user, ts) so the match is deterministic in both engines.
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("value").as("click_value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+        .withColumnRenamed("ts", "purchase_ts")
+      graft.operators.Joins.asofJoin(clicks, purchases,
+          Seq("user_id"), "click_ts", "purchase_ts")
+        .groupBy((col("user_id") % 50).as("user_mod"))
+        .agg(count(lit(1)).as("n_clicks"),
+          count(col("purchase_ts")).as("n_matched"),
+          dsum(col("click_value")).as("click_sum"),
+          dsum(col("purchase_value")).as("purchase_sum"))
+    }),
+
     // --- training-data pipeline: dedup ----------------------------------
     "q_dedup_exact" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -866,6 +891,24 @@ object Queries {
         |   AS DOUBLE), 4) AS qty_sum
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1""".stripMargin,
+    "q_join_asof" ->
+      """WITH clicks AS (
+        | SELECT user_id, ts AS click_ts, value AS click_value
+        | FROM events WHERE event_type = 'click'),
+        |purch AS (
+        | SELECT user_id, ts AS purchase_ts, max(value) AS purchase_value
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |j AS (
+        | SELECT c.user_id, c.click_value, p.purchase_ts, p.purchase_value
+        | FROM clicks c ASOF LEFT JOIN purch p
+        |   ON c.user_id = p.user_id AND c.click_ts >= p.purchase_ts)
+        |SELECT user_id % 50 AS user_mod, count(*) AS n_clicks,
+        | count(purchase_ts) AS n_matched,
+        | round(CAST(sum(CAST(click_value AS DECIMAL(18,4)))
+        |   AS DOUBLE), 4) AS click_sum,
+        | round(CAST(sum(CAST(purchase_value AS DECIMAL(18,4)))
+        |   AS DOUBLE), 4) AS purchase_sum
+        |FROM j GROUP BY 1""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents
