@@ -405,6 +405,30 @@ object Queries {
           dsum(col("purchase_value")).as("purchase_sum"))
     }),
 
+    "q_join_range" -> ((s, dir) => {
+      // Pure interval join (no equi key): count the events falling
+      // inside any "error burst" window — [ts, ts+10min] of every
+      // high-value error. Catalyst would plan the raw inequality join
+      // as a nested loop; Joins.rangeJoin bins the time axis so it
+      // becomes an equi-join on the bin id. The oracle runs the naive
+      // BETWEEN join (DuckDB's IEJoin handles it at sf scale).
+      val ev = Tables.events(s, dir)
+      val bursts = ev
+        .filter(col("event_type") === "error" && col("value") >= 200)
+        .select(col("event_id").as("burst_id"),
+          col("ts").as("burst_start"))
+        .withColumn("burst_end",
+          col("burst_start") + expr("INTERVAL 10 MINUTES"))
+      val points = ev.select(col("event_id"), col("event_type"),
+        col("ts"), col("value"))
+      graft.operators.Joins.rangeJoin(points, "ts", bursts,
+          "burst_start", "burst_end", binSeconds = 600L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hits"),
+          countDistinct(col("event_id")).as("n_events"),
+          dsum(col("value")).as("value_sum"))
+    }),
+
     // --- training-data pipeline: dedup ----------------------------------
     "q_dedup_exact" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -908,6 +932,18 @@ object Queries {
         |   AS DOUBLE), 4) AS click_sum,
         | round(CAST(sum(CAST(purchase_value AS DECIMAL(18,4)))
         |   AS DOUBLE), 4) AS purchase_sum
+        |FROM j GROUP BY 1""".stripMargin,
+    "q_join_range" ->
+      """WITH bursts AS (
+        | SELECT event_id AS burst_id, ts AS s, ts + INTERVAL 10 MINUTE AS e
+        | FROM events WHERE event_type = 'error' AND value >= 200),
+        |j AS (
+        | SELECT ev.event_type, ev.event_id, ev.value
+        | FROM events ev JOIN bursts b ON ev.ts BETWEEN b.s AND b.e)
+        |SELECT event_type, count(*) AS n_hits,
+        | count(DISTINCT event_id) AS n_events,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |   AS value_sum
         |FROM j GROUP BY 1""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies

@@ -85,6 +85,49 @@ object Joins {
           rightOnly.map(n => col("__m").getField(n).as(n)): _*)
   }
 
+  /** Interval (range) join with NO equi key: every `points` row whose
+    * `ptsTs` falls inside a `[startCol, endCol]` interval (inclusive
+    * both ends) joins that interval's row. Catalyst plans a pure
+    * inequality join as a broadcast nested loop — |P|·|I| comparisons,
+    * a scale-killer. This operator bins the time axis instead: each
+    * interval replicates to the `binSeconds`-wide bins it covers, each
+    * point hashes to exactly one bin, and the match becomes an
+    * equi-join on the bin id plus a residual between-filter. Cost is
+    * |P| + Σ(interval span)/bin shuffled rows — linear, hash
+    * partitioned, AQE-splittable, and a point matching an interval
+    * lands in exactly one shared bin, so no dedup pass is needed.
+    *
+    * Pick `binSeconds` near the typical interval length: much smaller
+    * multiplies interval replication; much larger grows the residual
+    * filter's candidate lists. Column sets must be disjoint.
+    */
+  def rangeJoin(
+      points: DataFrame,
+      ptsTs: String,
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String,
+      binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"point/interval columns must be disjoint: ${overlap.mkString(",")}")
+    // bin = trunc(micros / width). Truncation and IEEE division are
+    // both monotone in the numerator, so a point inside [start, end]
+    // always lands in a bin the interval also covers — completeness
+    // holds even at bin boundaries.
+    val w = binSeconds * 1000000L // micros
+    val i = intervals.withColumn("__bin",
+      explode(sequence(
+        (unix_micros(col(startCol)) / w).cast("long"),
+        (unix_micros(col(endCol)) / w).cast("long"))))
+    val p = points.withColumn("__bin",
+      (unix_micros(col(ptsTs)) / w).cast("long"))
+    p.join(i, Seq("__bin"))
+      .filter(col(ptsTs) >= col(startCol) && col(ptsTs) <= col(endCol))
+      .drop("__bin")
+  }
+
   /** Salted equi-join of a skew-heavy `large` side against a `small`
     * side. The large side spreads each hot key over `nSalts` partitions
     * (salt = deterministic hash of `saltSource`, so replays produce

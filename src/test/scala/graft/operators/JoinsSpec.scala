@@ -86,6 +86,29 @@ class JoinsSpec extends SparkSpecBase {
     assert(got.count() == 200)
   }
 
+  test("rangeJoin equals the naive inequality join across bin widths") {
+    import spark.implicits._
+    val points = spark.range(500).select(
+      col("id").as("pid"),
+      timestamp_seconds(lit(1700000000L) +
+        pmod(xxhash64(col("id"), lit("p")), lit(50000L))).as("pts"))
+    val intervals = spark.range(40).select(
+      col("id").as("iid"),
+      timestamp_seconds(lit(1700000000L) +
+        pmod(xxhash64(col("id"), lit("i")), lit(50000L))).as("s"))
+      .withColumn("e", col("s") + expr("INTERVAL 37 MINUTES"))
+    val naive = points.join(intervals,
+        col("pts") >= col("s") && col("pts") <= col("e"))
+      .select("pid", "iid")
+    for (binSec <- Seq(60L, 600L, 2220L, 7200L)) {
+      val got = Joins.rangeJoin(points, "pts", intervals, "s", "e", binSec)
+        .select("pid", "iid")
+      assert(got.exceptAll(naive).count() == 0, s"extra rows at bin=$binSec")
+      assert(naive.exceptAll(got).count() == 0, s"missing rows at bin=$binSec")
+    }
+    assert(naive.count() > 0)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
