@@ -618,6 +618,26 @@ object Queries {
     }),
 
     // --- training-data pipeline: multimodal plumbing --------------------
+    "q_sketch_distinct" -> ((s, dir) => {
+      // KMV distinct-count sketch (k-minimum-values, Bar-Yossef et al.
+      // RANDOM'02): O(k) state per group vs the full shuffle of an
+      // exact distinct — the 100 TB path for approximate
+      // COUNT(DISTINCT). Portable hash family ⇒ the k-th minimum, and
+      // with it the ESTIMATE itself, is replicated exactly in the
+      // DuckDB oracle (unlike HLL++, whose register state no external
+      // engine can reproduce). Exact distinct computed alongside as
+      // the accuracy reference.
+      val k = 64
+      val h = graft.functions.KmvSketch.uniformize(
+        TextAnalysis.fingerprintRolling(col("text")))
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(countDistinct(h).as("exact_distinct"),
+          graft.functions.KmvSketch.kmvAgg(h, k).as("kmv"))
+        .select(col("source"), col("exact_distinct"),
+          graft.functions.KmvSketch.estimate(col("kmv"), k, Dedup.PortableMod)
+            .as("kmv_estimate"))
+    }),
     "q_multimodal_meta" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("source"), octet_length(col("text")).as("bytes"))
@@ -999,6 +1019,32 @@ object Queries {
         |SELECT source, count(DISTINCT m) AS distinct_md5,
         | count(DISTINCT r) AS distinct_rolling
         |FROM fp GROUP BY source""".stripMargin,
+    "q_sketch_distinct" ->
+      """WITH h AS (
+        | SELECT DISTINCT source,
+        |  (list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        list_filter(string_split(
+        |          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''),
+        |          c -> len(c) > 0),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) * 104729 + 12345)
+        |    % 1000000007 AS h
+        | FROM documents),
+        |r AS (
+        | SELECT source, h,
+        |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+        |  count(*) OVER (PARTITION BY source) AS nd
+        | FROM h),
+        |s AS (
+        | SELECT source, max(nd) AS nd,
+        |  max(CASE WHEN rn = 64 THEN h END) AS kth
+        | FROM r GROUP BY source)
+        |SELECT source, nd AS exact_distinct,
+        | CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+        |      ELSE round(63.0 * 1000000007 / kth, 6) END AS kmv_estimate
+        |FROM s""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT source, count(*) AS n,
         | CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
