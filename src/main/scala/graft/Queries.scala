@@ -354,6 +354,22 @@ object Queries {
         graft.streaming.Streams.windowedCounts(
           graft.streaming.Streams.eventsStream(s, dir)), name)
     }),
+    "q_stream_dedup" -> ((s, dir) => {
+      // Streaming exact dedup drained with Trigger.AvailableNow: one
+      // pending file ⇒ one micro-batch ⇒ the watermark releases
+      // nothing early, so the survivors are exactly the distinct
+      // (user_id, event_type) pairs — aggregated on key-functional
+      // columns only (which duplicate survives is order-dependent),
+      // the result must equal the batch DISTINCT the oracle runs.
+      val name = s"q_stream_dedup_${streamRun.incrementAndGet()}"
+      graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.dedupWithinWatermark(
+          graft.streaming.Streams.eventsStream(s, dir),
+          Seq("user_id", "event_type")), name)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_keys"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
     "q_join_bucketed" -> ((s, dir) => {
       // Bucketed co-located join: pay one bucketed write per side on
       // the join key, and the repeated join runs with NO shuffle — the
@@ -927,6 +943,12 @@ object Queries {
         | round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
         |   AS value_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // streaming dedup survivors = batch DISTINCT pairs
+    "q_stream_dedup" ->
+      """SELECT event_type,
+        | count(DISTINCT user_id) AS n_keys,
+        | count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
     "q_join_bucketed" ->
       """SELECT o_custkey % 100 AS cust_mod, count(*) AS n,
         | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))

@@ -98,6 +98,24 @@ object Streams {
       }
   }
 
+  /** Streaming exact deduplication: first arrival per key survives,
+    * later duplicates are suppressed, and — the part a plain streaming
+    * `dropDuplicates` gets wrong at scale — state for a key is RELEASED
+    * once the watermark passes it, so the state store holds only the
+    * active horizon instead of growing forever. The streaming form of
+    * the exact-dedup operator ([[graft.operators.Dedup.exact]]); at
+    * 100 TB the state is hash-partitioned by key across executors.
+    * Emits one deterministic row per distinct key per horizon (WHICH
+    * duplicate survives is arrival-order-dependent — downstream
+    * consumers should aggregate key-functional columns only). */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      keys: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Drain every pending file and stop (Trigger.AvailableNow) into an
     * in-memory table; returns the collected result. The streaming
     * equivalent of one catchup run. */

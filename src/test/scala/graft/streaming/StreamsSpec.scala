@@ -34,6 +34,19 @@ class StreamsSpec extends SparkSpecBase {
     assert(s == b)
   }
 
+  test("streaming dedup survivors equal the batch distinct key set") {
+    val deduped = Streams.runAvailableNow(
+      Streams.dedupWithinWatermark(
+        Streams.eventsStream(spark, dir), Seq("user_id", "event_type")),
+      "dedup_drain")
+      .select("user_id", "event_type")
+    val batch = Tables.events(spark, dir)
+      .select("user_id", "event_type").distinct()
+    assert(deduped.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(deduped).count() == 0)
+    assert(deduped.count() == deduped.distinct().count()) // no dup survives
+  }
+
   test("flatMapGroupsWithState carries per-user LWW state") {
     implicit val s = spark
     val out = Streams.runAvailableNow(
