@@ -213,6 +213,22 @@ object Queries {
     }),
 
     // --- reference parity: validation / aggregation ---------------------
+    "q_upsert_scd2" -> ((s, dir) => {
+      // Type-2 SCD history: the keep-history counterpart of the LWW
+      // upsert (type 1). Each user's purchase timeline becomes
+      // versioned validity intervals via one per-key lead(); the
+      // aggregate checks version counts, current-row counts, and the
+      // summed closed-interval durations value-for-value.
+      val changes = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts")).distinct()
+      graft.operators.Upsert.scd2History(changes, Seq("user_id"), "ts")
+        .groupBy((col("user_id") % 25).as("user_mod"))
+        .agg(count(lit(1)).as("n_versions"),
+          sum(when(col("is_current"), 1L).otherwise(0L)).as("n_current"),
+          sum(unix_micros(col("valid_to")) - unix_micros(col("valid_from")))
+            .as("closed_micros"))
+    }),
     "q_range_validation" -> ((s, dir) => {
       // A1/A2/O3: per-date count reconciliation over a backfill range —
       // one scan + one groupBy instead of the reference's per-date tasks.
@@ -874,6 +890,20 @@ object Queries {
     "q_upsert_unconditional" -> upsertOracle(mode = "unconditional"),
     "q_upsert_lww" -> upsertOracle(mode = "lww"),
     "q_upsert_insert_only" -> upsertOracle(mode = "insert_only"),
+    "q_upsert_scd2" ->
+      """WITH c AS (
+        | SELECT DISTINCT user_id, ts
+        | FROM events WHERE event_type = 'purchase'),
+        |h AS (
+        | SELECT user_id, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+        | FROM c)
+        |SELECT user_id % 25 AS user_mod, count(*) AS n_versions,
+        | CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_current,
+        | CAST(sum(epoch_us(valid_to) - epoch_us(valid_from))
+        |   AS BIGINT) AS closed_micros
+        |FROM h GROUP BY 1""".stripMargin,
     "q_range_validation" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
         | round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)

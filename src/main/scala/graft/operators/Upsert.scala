@@ -101,6 +101,26 @@ object Upsert {
     joined.select(out: _*)
   }
 
+  /** Type-2 slowly-changing-dimension history from a change stream:
+    * every (key, change-ts) version becomes one history row with
+    * `valid_from` = its timestamp, `valid_to` = the NEXT version's
+    * timestamp (NULL for the current row), and `is_current`. The
+    * "keep history" counterpart of the LWW upsert (which is SCD
+    * type 1 — overwrite). One hash shuffle on the keys, one
+    * partition-local sort for the `lead` — the same cost shape as
+    * `latestPerKey`. Changes must be unique per (keys, tsCol);
+    * pre-collapse with [[latestPerKey]] otherwise. */
+  def scd2History(
+      changes: DataFrame,
+      keys: Seq[String],
+      tsCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol).asc)
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** Collapse a batch to one row per key, keeping the row with the
     * greatest `orderCol` (ties broken by the remaining columns for
     * determinism). The reference achieves this implicitly because its

@@ -99,6 +99,29 @@ class UpsertSpec extends SparkSpecBase {
     }
   }
 
+  test("scd2History: versions chain, exactly one current row per key") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val changes = Seq(
+      (1L, "2024-01-01 10:00:00"),
+      (1L, "2024-01-02 10:00:00"),
+      (1L, "2024-01-05 10:00:00"),
+      (2L, "2024-01-03 10:00:00"))
+      .toDF("k", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val h = Upsert.scd2History(changes, Seq("k"), "ts")
+    // one current row per key; every non-current valid_to equals the
+    // next version's valid_from; intervals never overlap
+    assert(h.filter(col("is_current")).count() == 2)
+    assert(h.filter(col("is_current") && col("valid_to").isNotNull)
+      .count() == 0)
+    val k1 = h.filter(col("k") === 1).orderBy(col("valid_from"))
+      .select(date_format(col("valid_from"), "MM-dd").as("f"),
+        date_format(col("valid_to"), "MM-dd").as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(k1 == Seq(("01-01", "01-02"), ("01-02", "01-05"),
+      ("01-05", null)))
+  }
+
   test("LWW: for ts-total batches, application order does not matter") {
     // rows with ts always defined and distinct per key across batches —
     // the guarantee surface (NULL/tie cases resolve toward the target)
