@@ -15,7 +15,11 @@ object Sessions {
     * driver's contract); at 100 TB shuffle partitions would instead be
     * sized to ~128MB per partition, with AQE coalescing downward. */
   def local(appName: String): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default = every core (the driver contract is local[32] with
+    // shuffle partitions 32 on the 32-core bench box; a fixed small
+    // default would silently run the bench 8× under-parallelized)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
     val b = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")
