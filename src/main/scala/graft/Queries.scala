@@ -650,6 +650,43 @@ object Queries {
     }),
 
     // --- training-data pipeline: multimodal plumbing --------------------
+    "q_text_repetition" -> ((s, dir) => {
+      // Gopher-style repetition signal: 1 − distinct/total 3-gram
+      // shingles per doc (boilerplate and looped text score high).
+      // Shuffle-free per-doc math; the integer shingle counts are
+      // summed exactly and the per-doc ratio averages through the
+      // DECIMAL route.
+      val staged = Tables.documents(s, dir)
+        .select(col("source"),
+          TextAnalysis.tokens(lower(col("text"))).as("__tk"))
+        .select(col("source"), size(col("__tk")).as("n"),
+          size(Dedup.shinglesOfTokens(col("__tk"), 3)).as("d"))
+        .withColumn("total",
+          when(col("n") >= 3, col("n") - 2).otherwise(lit(1)))
+        .withColumn("rep",
+          round(lit(1.0) - col("d").cast(DoubleType) / col("total"), 6))
+      staged.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("d")).as("distinct_shingles"),
+          sum(col("total")).as("total_shingles"),
+          round(sum(col("rep").cast(DecimalType(12, 6))).cast(DoubleType) /
+            count(lit(1)), 6).as("avg_repetition"))
+    }),
+    "q_session_window" -> ((s, dir) => {
+      // Spark's built-in session_window (gap-based session assignment,
+      // end-exclusive: a gap ≥ 10min starts a new session) — the
+      // operator form of the hand-rolled q_sessionize. Aggregated to
+      // session-count / max-size / sum-of-squares per user bucket:
+      // sum(n²) is grouping-sensitive, so a wrong session split can't
+      // hash-collide its way past the gate.
+      val sess = Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      sess.groupBy((col("user_id") % 40).as("user_mod"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n")).as("max_session_events"),
+          sum(col("n") * col("n")).as("sum_sq"))
+    }),
     "q_sketch_distinct" -> ((s, dir) => {
       // KMV distinct-count sketch (k-minimum-values, Bar-Yossef et al.
       // RANDOM'02): O(k) state per group vs the full shuffle of an
@@ -1071,6 +1108,39 @@ object Queries {
         |SELECT source, count(DISTINCT m) AS distinct_md5,
         | count(DISTINCT r) AS distinct_rolling
         |FROM fp GROUP BY source""".stripMargin,
+    "q_text_repetition" ->
+      s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+        |x AS (SELECT source, len(toks) AS n, len($shinglesSql) AS d,
+        |  CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 1 END AS total
+        | FROM t),
+        |r AS (SELECT source, d, total,
+        |  round(1.0 - CAST(d AS DOUBLE) / total, 6) AS rep FROM x)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(d) AS BIGINT) AS distinct_shingles,
+        | CAST(sum(total) AS BIGINT) AS total_shingles,
+        | round(CAST(sum(CAST(rep AS DECIMAL(12,6))) AS DOUBLE) / count(*),
+        |   6) AS avg_repetition
+        |FROM r GROUP BY source""".stripMargin,
+    "q_session_window" ->
+      """WITH m AS (
+        | SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |        IS NULL
+        |    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |        >= INTERVAL 10 MINUTE
+        |   THEN 1 ELSE 0 END AS brk
+        | FROM events),
+        |s AS (
+        | SELECT user_id,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM m),
+        |g AS (SELECT user_id, sid, count(*) AS n
+        |      FROM s GROUP BY user_id, sid)
+        |SELECT user_id % 40 AS user_mod, count(*) AS n_sessions,
+        | max(n) AS max_session_events,
+        | CAST(sum(n * n) AS BIGINT) AS sum_sq
+        |FROM g GROUP BY 1""".stripMargin,
     "q_sketch_distinct" ->
       """WITH h AS (
         | SELECT DISTINCT source,
