@@ -593,6 +593,19 @@ object Queries {
         .select(col("query_id"), col("corpus_id"),
           round(col("cos"), 6).as("cos"))
     }),
+    "q_sim_ivf_refined" -> ((s, dir) => {
+      // IVF with one deterministic Lloyd refinement round — closes the
+      // "centroid choice is the refine-later seam" note on q_sim_ivf:
+      // assignment, per-cell DECIMAL-routed means, empty-cell
+      // carry-over, probing, and the final top-k are ALL replicated
+      // arithmetically in the DuckDB oracle.
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopKPerQuery(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, nCells = 16, nProbe = 4,
+          refineIters = 1)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cos"), 6).as("cos"))
+    }),
     "q_sim_cosine_dedup" -> ((s, dir) => {
       // Embedding-cosine near-dup pairs: SRP-LSH blocking (portable
       // plane family) + exact cosine verification within one dataset.
@@ -1201,6 +1214,7 @@ object Queries {
     "q_sim_lsh" -> simLshOracle,
     "q_sim_cosine_dedup" -> simCosineDedupOracle,
     "q_sim_ivf" -> simIvfOracle,
+    "q_sim_ivf_refined" -> simIvfRefinedOracle,
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
         | coalesce(l_linestatus, '<all>') AS l_linestatus,
@@ -1526,6 +1540,54 @@ object Queries {
        |       FROM embeddings WHERE vec_id < 5),
        |cent AS (SELECT id AS cid, v AS cv FROM c0
        |         ORDER BY id LIMIT $nCells),
+       |ca AS (SELECT id, v, cid FROM (
+       |  SELECT c0.id, c0.v, cent.cid,
+       |   row_number() OVER (PARTITION BY c0.id
+       |     ORDER BY ${cosSql("c0.v", "cent.cv")} DESC, cent.cid ASC) AS rn
+       |  FROM c0 CROSS JOIN cent) WHERE rn = 1),
+       |qp AS (SELECT id, v, cid FROM (
+       |  SELECT q0.id, q0.v, cent.cid,
+       |   row_number() OVER (PARTITION BY q0.id
+       |     ORDER BY ${cosSql("q0.v", "cent.cv")} DESC, cent.cid ASC) AS rn
+       |  FROM q0 CROSS JOIN cent) WHERE rn <= $nProbe),
+       |scored AS (SELECT qp.id AS query_id, ca.id AS corpus_id,
+       |  ${cosSql("ca.v", "qp.v")} AS cos
+       | FROM qp JOIN ca ON qp.cid = ca.cid)
+       |SELECT query_id, corpus_id, round(cos, 6) AS cos FROM (
+       | SELECT query_id, corpus_id, cos,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, corpus_id ASC) AS rn
+       | FROM scored) WHERE rn <= $k""".stripMargin
+  }
+
+  /** q_sim_ivf with one Lloyd round: assignment to the seed centroids,
+    * per-(cell, dim) DECIMAL mean (generate_subscripts keeps the
+    * coordinate order), empty cells keep the seed centroid, then the
+    * probe/score/top-k tail identical to [[simIvfOracle]]. */
+  private def simIvfRefinedOracle: String = {
+    val nCells = 16; val nProbe = 4; val k = 10
+    s"""WITH c0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |            FROM embeddings),
+       |q0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |       FROM embeddings WHERE vec_id < 5),
+       |cent0 AS (SELECT id AS cid, v AS cv FROM c0
+       |          ORDER BY id LIMIT $nCells),
+       |a0 AS (SELECT id, v, cid FROM (
+       |  SELECT c0.id, c0.v, cent0.cid,
+       |   row_number() OVER (PARTITION BY c0.id
+       |     ORDER BY ${cosSql("c0.v", "cent0.cv")} DESC, cent0.cid ASC)
+       |     AS rn
+       |  FROM c0 CROSS JOIN cent0) WHERE rn = 1),
+       |flat AS (SELECT cid, unnest(v) AS x,
+       |   generate_subscripts(v, 1) AS ord FROM a0),
+       |mean AS (SELECT cid, ord,
+       |  round(CAST(sum(CAST(x AS DECIMAL(27,12))) AS DOUBLE)
+       |    / count(*), 9) AS m
+       | FROM flat GROUP BY cid, ord),
+       |nm AS (SELECT cid, list(m ORDER BY ord) AS cv
+       |       FROM mean GROUP BY cid),
+       |cent AS (SELECT cent0.cid, coalesce(nm.cv, cent0.cv) AS cv
+       |         FROM cent0 LEFT JOIN nm USING (cid)),
        |ca AS (SELECT id, v, cid FROM (
        |  SELECT c0.id, c0.v, cent.cid,
        |   row_number() OVER (PARTITION BY c0.id

@@ -180,6 +180,55 @@ object Similarity {
     * Assignment ties break by centroid id; fully deterministic, so the
     * DuckDB oracle replicates the whole pipeline value-for-value.
     */
+  /** Deterministic Lloyd (k-means) refinement of the IVF coarse
+    * centroids: `iters` rounds of assign-to-nearest (cosine, ties by
+    * cid asc) then per-cell element-wise mean. Cells that lose every
+    * member keep their previous centroid. Fully reproducible across
+    * engines: the mean routes each coordinate through DECIMAL(27,12)
+    * (exact, order-independent summation — a raw double sum would
+    * depend on partition order), divides by the exact member count,
+    * and rounds to 9 dp. Shuffle shape per iteration: one broadcast
+    * assignment pass + one (cell, dim)-keyed aggregation of |corpus|·D
+    * rows — the standard distributed k-means topology.
+    */
+  def kmeansRefine(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      nCells: Int,
+      iters: Int = 1): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("__vid"),
+      transform(col(embCol), x => x.cast(DoubleType)).as("__v"))
+    var cent = vecs
+      .select(col("__vid").as("cid"), col("__v").as("cemb"))
+      .orderBy(col("cid").asc)
+      .limit(nCells)
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy(col("__vid"))
+        .orderBy(col("__d").desc, col("cid").asc)
+      val assigned = vecs
+        .crossJoin(broadcast(cent))
+        .select(col("__vid"), col("__v"), col("cid"),
+          cosine(col("__v"), col("cemb")).as("__d"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+      val means = assigned
+        .select(col("cid"), posexplode(col("__v")).as(Seq("d", "x")))
+        .groupBy(col("cid"), col("d"))
+        .agg(round(
+          sum(col("x").cast(DecimalType(27, 12))).cast(DoubleType) /
+            count(lit(1)), 9).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("d"), col("m")))),
+          s => s.getField("m")).as("cemb"))
+      cent = cent.select(col("cid"), col("cemb").as("__old"))
+        .join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cemb"), col("__old")).as("cemb"))
+    }
+    cent
+  }
+
   def ivfTopKPerQuery(
       corpus: DataFrame,
       queries: DataFrame,
@@ -187,11 +236,15 @@ object Similarity {
       embCol: String,
       k: Int,
       nCells: Int = 16,
-      nProbe: Int = 4): DataFrame = {
-    val cent = corpus
-      .select(col(idCol).as("cid"), col(embCol).as("cemb"))
-      .orderBy(col("cid").asc)
-      .limit(nCells)
+      nProbe: Int = 4,
+      refineIters: Int = 0): DataFrame = {
+    val cent =
+      if (refineIters > 0)
+        kmeansRefine(corpus, idCol, embCol, nCells, refineIters)
+      else corpus
+        .select(col(idCol).as("cid"), col(embCol).as("cemb"))
+        .orderBy(col("cid").asc)
+        .limit(nCells)
     def nearestCells(df: DataFrame, side: String, keep: Int): DataFrame = {
       val scored = df
         .select(col(idCol).as(s"${side}_id"), col(embCol).as(s"${side}_emb"))

@@ -16,6 +16,35 @@ class SimilaritySpec extends SparkSpecBase {
     df.select("query_id", "corpus_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("kmeansRefine pulls centroids onto planted cluster means") {
+    import spark.implicits._
+    // two well-separated planted clusters in 4-d; seeds = the two
+    // lowest-id vectors (one from each cluster by construction)
+    val rows = (0 until 40).map { i =>
+      val c = i % 2
+      val base = if (c == 0) Seq(10f, 0f, 0f, 0f) else Seq(0f, 10f, 0f, 0f)
+      val jit = (i / 2) * 0.01f
+      (i.toLong, base.map(_ + jit))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansRefine(df, "vec_id", "embedding",
+        nCells = 2, iters = 2)
+      .orderBy(org.apache.spark.sql.functions.col("cid"))
+      .collect()
+    assert(cents.length == 2)
+    val c0 = cents(0).getSeq[Double](1)
+    val c1 = cents(1).getSeq[Double](1)
+    // cluster 0 mean ≈ (10.095, 0.095, ...), cluster 1 ≈ (0.095, 10.095)
+    assert(math.abs(c0(0) - 10.095) < 1e-6 && math.abs(c0(1) - 0.095) < 1e-6)
+    assert(math.abs(c1(1) - 10.095) < 1e-6 && math.abs(c1(0) - 0.095) < 1e-6)
+    // refinement is idempotent once converged: one more iter, same cells
+    val again = Similarity.kmeansRefine(df, "vec_id", "embedding",
+        nCells = 2, iters = 3)
+      .orderBy(org.apache.spark.sql.functions.col("cid")).collect()
+    assert(again.map(_.getSeq[Double](1)).toSeq ==
+      cents.map(_.getSeq[Double](1)).toSeq)
+  }
+
   test("IVF top-k recalls a substantial share of exact top-k") {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") < 5)
