@@ -614,6 +614,27 @@ object Queries {
           bits = 48, bands = 8, portable = true)
         .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
     }),
+    "q_sim_quantize" -> ((s, dir) => {
+      // Int8 scalar quantization audit: exact integer sum of all
+      // quantized cells per label (any drift in scale/round/clamp
+      // changes it), plus the DECIMAL-routed average of per-vector max
+      // reconstruction error. 4× memory/shuffle compression is the
+      // 100 TB lever; shuffle-free per-row math here.
+      val emb = Tables.embeddings(s, dir)
+      val staged = emb.select(col("label"),
+          col("embedding").as("v"),
+          Similarity.int8Scale(col("embedding")).as("s"))
+        .select(col("label"),
+          aggregate(Similarity.quantizeInt8(col("v"), col("s")),
+            lit(0L), (a, x) => a + x.cast(LongType)).as("qsum"),
+          round(Similarity.quantizeError(col("v"), col("s")), 9)
+            .as("err"))
+      staged.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("qsum")).as("cell_sum"),
+          round(sum(col("err").cast(DecimalType(18, 9))).cast(DoubleType) /
+            count(lit(1)), 6).as("avg_max_err"))
+    }),
     "q_embedding_norms" -> ((s, dir) => {
       Tables.embeddings(s, dir)
         .select(col("label"),
@@ -1089,6 +1110,30 @@ object Queries {
         |  row_number() OVER (PARTITION BY qid
         |    ORDER BY cos DESC, cid ASC) AS rn
         | FROM s) WHERE rn <= 10""".stripMargin,
+    "q_sim_quantize" ->
+      """WITH e AS (
+        | SELECT label, embedding::DOUBLE[] AS v,
+        |  list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+        |    / 127 AS s
+        | FROM embeddings),
+        |q AS (
+        | SELECT label,
+        |  CASE WHEN s > 0 THEN
+        |   list_sum(list_transform(v,
+        |     x -> CAST(least(greatest(round(x / s, 0), -127), 127)
+        |       AS BIGINT)))
+        |  ELSE 0 END AS qsum,
+        |  CASE WHEN s > 0 THEN
+        |   round(list_max(list_transform(v,
+        |     x -> abs(x - least(greatest(round(x / s, 0), -127), 127)
+        |       * s))), 9)
+        |  ELSE 0.0 END AS err
+        | FROM e)
+        |SELECT label, count(*) AS n,
+        | CAST(sum(qsum) AS BIGINT) AS cell_sum,
+        | round(CAST(sum(CAST(err AS DECIMAL(18,9))) AS DOUBLE)
+        |   / count(*), 6) AS avg_max_err
+        |FROM q GROUP BY label""".stripMargin,
     "q_embedding_norms" ->
       """SELECT label, count(*) AS n,
         | round(CAST(sum(CAST(sqrt(list_dot_product(

@@ -271,6 +271,35 @@ object Similarity {
       .drop("__rn")
   }
 
+  /** Symmetric per-vector int8 scale: max|x| / 127 (0 for the zero
+    * vector). Scalar quantization is the memory lever for vector
+    * corpora — int8 cells cut storage and shuffle width 4× vs float32
+    * at ~1% cosine error, which at 100 TB decides whether an index
+    * fits the cluster at all. */
+  def int8Scale(emb: Column): Column =
+    array_max(transform(emb, x => abs(x.cast(DoubleType)))) / 127d
+
+  /** Quantize to int8 cells under `scale` (round half-up, clamped to
+    * ±127; the zero-scale vector quantizes to zeros). Dequantization
+    * is `q * scale`. Pure codegen'd HOF arithmetic, replicable in any
+    * SQL engine. */
+  def quantizeInt8(emb: Column, scale: Column): Column =
+    when(scale > 0,
+      transform(emb, x =>
+        least(greatest(round(x.cast(DoubleType) / scale, 0), lit(-127d)),
+          lit(127d)).cast(IntegerType)))
+      .otherwise(transform(emb, _ => lit(0)))
+
+  /** Per-vector max absolute reconstruction error |x − dequant(q(x))|. */
+  def quantizeError(emb: Column, scale: Column): Column =
+    when(scale > 0,
+      array_max(transform(emb, x => {
+        val xd = x.cast(DoubleType)
+        val q = least(greatest(round(xd / scale, 0), lit(-127d)), lit(127d))
+        abs(xd - q * scale)
+      })))
+      .otherwise(lit(0.0))
+
   /** Embedding-cosine near-duplicate pairs (dedup by embedding): LSH
     * buckets within one dataset, exact cosine ≥ threshold verification.
     *

@@ -45,6 +45,27 @@ class SimilaritySpec extends SparkSpecBase {
       cents.map(_.getSeq[Double](1)).toSeq)
   }
 
+  test("int8 quantization: round-trip error bounded, zero vector safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.125f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = df.select(col("vec_id"),
+      Similarity.int8Scale(col("embedding")).as("s"))
+      .join(df, "vec_id")
+      .select(col("vec_id"),
+        Similarity.quantizeInt8(col("embedding"), col("s")).as("q"),
+        Similarity.quantizeError(col("embedding"), col("s")).as("e"))
+      .orderBy("vec_id").collect()
+    // scale = 1/127; x=1.0 -> 127, -0.5 -> -64 (round .5 away), etc.
+    assert(r(0).getSeq[Int](1) == Seq(127, -64, 32, 16))
+    // max error bounded by half a cell (scale/2)
+    assert(r(0).getDouble(2) <= (1.0 / 127) / 2 + 1e-12)
+    assert(r(1).getSeq[Int](1) == Seq(0, 0, 0, 0))
+    assert(r(1).getDouble(2) == 0.0)
+  }
+
   test("IVF top-k recalls a substantial share of exact top-k") {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") < 5)
