@@ -768,6 +768,31 @@ object Queries {
         .select(col("doc_id"), round(col("mean_byte"), 6).as("mean_byte"))
       meta.join(feats, Seq("doc_id"))
     }),
+    "q_multimodal_audio" -> ((s, dir) => {
+      // Audio-container metadata: synthesize canonical PCM WAV
+      // binaries (per-doc channel count and sample rate, the doc's
+      // bytes as the data chunk), then recover every fmt/data field BY
+      // PARSING THE LITTLE-ENDIAN BYTES with Multimodal's expressions.
+      // The oracle computes the same fields arithmetically from
+      // doc_id/text — any drift in the byte layout or the LE decode
+      // fails the hash.
+      val withBin = Tables.documents(s, dir)
+        .withColumn("bin", synthWavBinary)
+      withBin.select(col("source"),
+          Multimodal.wavChannels(col("bin")).as("ch"),
+          Multimodal.wavSampleRate(col("bin")).as("sr"),
+          Multimodal.wavBitsPerSample(col("bin")).as("bits"),
+          Multimodal.wavDataBytes(col("bin")).as("db"),
+          Multimodal.wavDurationMs(col("bin")).as("dur"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("ch")).as("channels_sum"),
+          sum(col("sr")).as("rate_sum"),
+          min(col("bits")).as("bits_min"),
+          max(col("bits")).as("bits_max"),
+          sum(col("db")).as("data_bytes_sum"),
+          sum(col("dur")).as("duration_ms_sum"))
+    }),
     "q_json_extract" -> ((s, dir) => {
       // JSON-in-string columns (the transactions entity's
       // TxAdditionalDataJson path, SURVEY §1.2): typed from_json with a
@@ -862,6 +887,29 @@ object Queries {
   /** Deterministic synthetic media binary per doc: magic header chosen
     * by doc_id % 5, PNG rows carry a real IHDR with arithmetic
     * width/height, payload = the doc's (ASCII-safe) text bytes. */
+  /** `len` little-endian bytes of a long Column (RIFF sizes). */
+  private def leBytes(v: Column, len: Int): Column =
+    concat((0 until len).map(i =>
+      unhex(lpad(hex(shiftright(v, 8 * i).bitwiseAND(255L)), 2, "0"))): _*)
+
+  /** Canonical PCM WAV: RIFF size + WAVE + 16-byte fmt chunk (format 1,
+    * per-doc channels/sample-rate, 16-bit) + data chunk with the doc's
+    * printable bytes as payload. */
+  private def synthWavBinary: Column = {
+    val payload = encode(
+      regexp_replace(col("text"), "[^\\x20-\\x7e]", ""), "utf-8")
+    val dataLen = octet_length(payload).cast(LongType)
+    val ch = lit(1L) + col("doc_id") % 2
+    val sr = lit(8000L) + (col("doc_id") % 4) * 4000L
+    concat(
+      lit("RIFF".getBytes("UTF-8")), leBytes(dataLen + 36L, 4),
+      lit("WAVE".getBytes("UTF-8")),
+      lit("fmt ".getBytes("UTF-8")), leBytes(lit(16L), 4),
+      leBytes(lit(1L), 2), leBytes(ch, 2), leBytes(sr, 4),
+      leBytes(sr * ch * 2L, 4), leBytes(ch * 2L, 2), leBytes(lit(16L), 2),
+      lit("data".getBytes("UTF-8")), leBytes(dataLen, 4), payload)
+  }
+
   private def synthMediaBinary: Column = {
     val payload = encode(
       regexp_replace(col("text"), "[^\\x20-\\x7e]", ""), "utf-8")
@@ -1260,6 +1308,23 @@ object Queries {
     "q_sim_cosine_dedup" -> simCosineDedupOracle,
     "q_sim_ivf" -> simIvfOracle,
     "q_sim_ivf_refined" -> simIvfRefinedOracle,
+    "q_multimodal_audio" ->
+      """WITH p AS (
+        | SELECT source,
+        |  1 + doc_id % 2 AS ch,
+        |  8000 + (doc_id % 4) * 4000 AS sr,
+        |  octet_length(encode(
+        |    regexp_replace(text, '[^\x20-\x7e]', '', 'g'))) AS db
+        | FROM documents)
+        |SELECT source, count(*) AS n,
+        | CAST(sum(ch) AS BIGINT) AS channels_sum,
+        | CAST(sum(sr) AS BIGINT) AS rate_sum,
+        | CAST(min(16) AS BIGINT) AS bits_min,
+        | CAST(max(16) AS BIGINT) AS bits_max,
+        | CAST(sum(db) AS BIGINT) AS data_bytes_sum,
+        | CAST(sum(CAST(floor(CAST(db AS DOUBLE) * 1000 / (sr * ch * 2))
+        |   AS BIGINT)) AS BIGINT) AS duration_ms_sum
+        |FROM p GROUP BY source""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
         | coalesce(l_linestatus, '<all>') AS l_linestatus,

@@ -55,6 +55,44 @@ object Multimodal {
     when(sniffMime(bin) === "image/png", beInt(bin, 21))
       .otherwise(lit(null).cast(LongType))
 
+  /** Little-endian unsigned int over `len` bytes at `pos` (1-based) —
+    * RIFF-family containers store all sizes little-endian. */
+  def leInt(bin: Column, pos: Int, len: Int): Column =
+    (0 until len).map(i =>
+      conv(hex(substring(bin, pos + i, 1)), 16, 10).cast(LongType) *
+        lit(1L << (8 * i))).reduce(_ + _)
+
+  private def isWav(bin: Column): Column =
+    sniffMime(bin) === "audio/wav" &&
+      substring(bin, 13, 4) === lit("fmt ".getBytes("UTF-8"))
+
+  /** Canonical-WAV (RIFF → fmt → data chunk order) field extraction:
+    * channel count, sample rate, bits/sample, data-chunk bytes, and a
+    * derived duration — all pure byte arithmetic, NULL for non-WAV.
+    * Non-canonical chunk orders would need a real parser; the
+    * metadata-prunes-before-decode posture is identical to the PNG
+    * path. */
+  def wavChannels(bin: Column): Column =
+    when(isWav(bin), leInt(bin, 23, 2)).otherwise(lit(null).cast(LongType))
+  def wavSampleRate(bin: Column): Column =
+    when(isWav(bin), leInt(bin, 25, 4)).otherwise(lit(null).cast(LongType))
+  def wavBitsPerSample(bin: Column): Column =
+    when(isWav(bin), leInt(bin, 35, 2)).otherwise(lit(null).cast(LongType))
+  def wavDataBytes(bin: Column): Column =
+    when(isWav(bin) && substring(bin, 37, 4) === lit("data".getBytes("UTF-8")),
+      leInt(bin, 41, 4)).otherwise(lit(null).cast(LongType))
+
+  /** Playback duration in milliseconds, floored: dataBytes · 1000 /
+    * (rate · channels · bytesPerSample). */
+  def wavDurationMs(bin: Column): Column = {
+    val denom = wavSampleRate(bin) * wavChannels(bin) *
+      (wavBitsPerSample(bin) / 8)
+    when(denom > 0,
+      floor(wavDataBytes(bin).cast(DoubleType) * 1000d /
+        denom.cast(DoubleType)).cast(LongType))
+      .otherwise(lit(null).cast(LongType))
+  }
+
   /** Typed metadata struct for a media column: one expression, usable
     * as a pruning predicate source before any decode. */
   def mediaMeta(bin: Column): Column = struct(

@@ -80,4 +80,28 @@ class MultimodalSpec extends SparkSpecBase {
       .filter(col("m.mime").startsWith("image/"))
     assert(onlyImages.count() == 1L)
   }
+  test("WAV fmt/data parsing recovers a hand-built canonical header") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xFF).toByte).toArray
+    val payload = Array.fill[Byte](2000)(7)
+    val wav = "RIFF".getBytes ++ le(36L + 2000, 4) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le(16, 4) ++ le(1, 2) ++ le(2, 2) ++
+      le(44100, 4) ++ le(44100L * 2 * 2, 4) ++ le(4, 2) ++ le(16, 2) ++
+      "data".getBytes ++ le(2000, 4) ++ payload
+    val df = Seq((1L, wav), (2L, "notawav".getBytes)).toDF("id", "bin")
+    val r = df.select(col("id"),
+      Multimodal.wavChannels(col("bin")).as("ch"),
+      Multimodal.wavSampleRate(col("bin")).as("sr"),
+      Multimodal.wavBitsPerSample(col("bin")).as("bits"),
+      Multimodal.wavDataBytes(col("bin")).as("db"),
+      Multimodal.wavDurationMs(col("bin")).as("dur"))
+      .orderBy("id").collect()
+    assert(r(0).getLong(1) == 2L && r(0).getLong(2) == 44100L)
+    assert(r(0).getLong(3) == 16L && r(0).getLong(4) == 2000L)
+    // 2000 bytes / (44100 * 2ch * 2B) = 11.33ms -> floor 11
+    assert(r(0).getLong(5) == 11L)
+    assert((1 to 5).forall(r(1).isNullAt))
+  }
 }
