@@ -370,6 +370,23 @@ object Queries {
         graft.streaming.Streams.windowedCounts(
           graft.streaming.Streams.eventsStream(s, dir)), name)
     }),
+    "q_stream_sessions" -> ((s, dir) => {
+      // Streaming sessionization via flatMapGroupsWithState (the
+      // custom-state path — built-in session_window cannot flush its
+      // final sessions in a bounded APPEND drain), AvailableNow: one
+      // micro-batch ⇒ every session reaches its final extent, so the
+      // drain must equal the batch session assignment — same
+      // aggregate, same oracle as q_session_window.
+      val name = s"q_stream_sessions_${streamRun.incrementAndGet()}"
+      implicit val sp: SparkSession = s
+      graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.sessionCountsState(
+          graft.streaming.Streams.eventsStream(s, dir)).toDF, name)
+        .groupBy((col("user_id") % 40).as("user_mod"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n")).as("max_session_events"),
+          sum(col("n") * col("n")).as("sum_sq"))
+    }),
     "q_stream_dedup" -> ((s, dir) => {
       // Streaming exact dedup drained with Trigger.AvailableNow: one
       // pending file ⇒ one micro-batch ⇒ the watermark releases
@@ -931,6 +948,29 @@ object Queries {
   // DuckDB oracles
   // ===========================================================
 
+  /** Shared by q_session_window (batch) and q_stream_sessions
+    * (AvailableNow drain): lag/cumsum session reconstruction. */
+  private def sessionWindowOracle: String =
+    """WITH m AS (
+        | SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |        IS NULL
+        |    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |        >= INTERVAL 10 MINUTE
+        |   THEN 1 ELSE 0 END AS brk
+        | FROM events),
+        |s AS (
+        | SELECT user_id,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM m),
+        |g AS (SELECT user_id, sid, count(*) AS n
+        |      FROM s GROUP BY user_id, sid)
+        |SELECT user_id % 40 AS user_mod, count(*) AS n_sessions,
+        | max(n) AS max_session_events,
+        | CAST(sum(n * n) AS BIGINT) AS sum_sq
+        |FROM g GROUP BY 1""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_date_slice" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
@@ -1092,6 +1132,8 @@ object Queries {
         | round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
         |   AS value_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // streaming session drain = batch session assignment
+    "q_stream_sessions" -> sessionWindowOracle,
     // streaming dedup survivors = batch DISTINCT pairs
     "q_stream_dedup" ->
       """SELECT event_type,
@@ -1227,26 +1269,8 @@ object Queries {
         | round(CAST(sum(CAST(rep AS DECIMAL(12,6))) AS DOUBLE) / count(*),
         |   6) AS avg_repetition
         |FROM r GROUP BY source""".stripMargin,
-    "q_session_window" ->
-      """WITH m AS (
-        | SELECT user_id, ts,
-        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |        IS NULL
-        |    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |        >= INTERVAL 10 MINUTE
-        |   THEN 1 ELSE 0 END AS brk
-        | FROM events),
-        |s AS (
-        | SELECT user_id,
-        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-        |    ROWS UNBOUNDED PRECEDING) AS sid
-        | FROM m),
-        |g AS (SELECT user_id, sid, count(*) AS n
-        |      FROM s GROUP BY user_id, sid)
-        |SELECT user_id % 40 AS user_mod, count(*) AS n_sessions,
-        | max(n) AS max_session_events,
-        | CAST(sum(n * n) AS BIGINT) AS sum_sq
-        |FROM g GROUP BY 1""".stripMargin,
+    "q_session_window" -> sessionWindowOracle,
+
     "q_sketch_distinct" ->
       """WITH h AS (
         | SELECT DISTINCT source,

@@ -98,6 +98,54 @@ object Streams {
       }
   }
 
+  final case class SessionOut(user_id: Long, n: Long)
+
+  /** Gap-based streaming sessionization via flatMapGroupsWithState —
+    * the custom-state path. Spark's built-in `session_window` only
+    * streams in APPEND mode, which emits a session only after the
+    * watermark passes its close: in a bounded drain (AvailableNow)
+    * the final sessions can never flush. This operator instead emits
+    * every session of the micro-batch immediately (update-mode
+    * semantics: later batches may re-emit a session extended by new
+    * events; `lastTsUs` state carries the continuation point).
+    *
+    * Break rule matches the batch `session_window` exactly: a gap ≥
+    * `gapMs` starts a new session, compared at MICROsecond precision
+    * (the grain of the batch query's `ts`). Per-user batch events are
+    * sorted in memory — bounded by one user's events per micro-batch,
+    * hash-partitioned across executors. */
+  def sessionCountsState(
+      events: DataFrame,
+      gapMs: Long = 10 * 60 * 1000L)(
+      implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = gapMs * 1000L
+    events
+      // integer division: ts_ns exceeds 2^53, a double round-trip
+      // would corrupt the microsecond value
+      .select(col("user_id").as[Long],
+        expr("ts_ns div 1000").as[Long])
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[Long]) =>
+          val ts = rows.map(_._2).toArray.sorted
+          val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var n = 0L
+          var prev = Long.MinValue
+          ts.foreach { t =>
+            if (n > 0 && t - prev >= gapUs) { out += n; n = 0 }
+            n += 1
+            prev = t
+          }
+          if (n > 0) out += n
+          if (ts.nonEmpty) state.update(ts.last)
+          out.iterator.map(c => SessionOut(user, c))
+      }
+  }
+
   /** Streaming exact deduplication: first arrival per key survives,
     * later duplicates are suppressed, and — the part a plain streaming
     * `dropDuplicates` gets wrong at scale — state for a key is RELEASED

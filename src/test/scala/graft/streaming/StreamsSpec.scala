@@ -47,6 +47,26 @@ class StreamsSpec extends SparkSpecBase {
     assert(deduped.count() == deduped.distinct().count()) // no dup survives
   }
 
+  test("state-based streaming sessionization equals the batch " +
+    "session_window assignment") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val streamed = Streams.runAvailableNow(
+      Streams.sessionCountsState(Streams.eventsStream(spark, dir)).toDF,
+      "sess_drain")
+      .groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n")).as("n_events"))
+    val batch = Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n")).as("n_events"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(streamed.count() > 0)
+  }
+
   test("flatMapGroupsWithState carries per-user LWW state") {
     implicit val s = spark
     val out = Streams.runAvailableNow(
