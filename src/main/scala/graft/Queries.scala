@@ -429,6 +429,21 @@ object Queries {
           dsum(col("l_quantity")).as("qty_sum"))
     }),
 
+    "q_zorder" -> ((s, dir) => {
+      // Morton (Z-order) codes over (custkey, orderkey): the
+      // data-layout lever for multi-dimensional data skipping (see
+      // Lakehouse.writeZOrdered). The bit-interleave arithmetic is
+      // replicated verbatim in the oracle; sum/min/max per bucket
+      // pin every code value.
+      val z = graft.io.Lakehouse.morton2(
+        col("o_custkey").bitwiseAND(0xFFFFL),
+        col("o_orderkey").bitwiseAND(0xFFFFL))
+      Tables.orders(s, dir)
+        .select(z.as("z"))
+        .groupBy((col("z") % 64).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("z")).as("z_sum"),
+          min(col("z")).as("z_min"), max(col("z")).as("z_max"))
+    }),
     "q_join_asof" -> ((s, dir) => {
       // As-of (point-in-time) join: every click event matched to the
       // same user's LATEST purchase at-or-before it — the classic
@@ -971,6 +986,12 @@ object Queries {
         | CAST(sum(n * n) AS BIGINT) AS sum_sq
         |FROM g GROUP BY 1""".stripMargin
 
+  /** DuckDB replica of Lakehouse.morton2's bit interleave. */
+  private def mortonSql(a: String, b: String, bits: Int = 16): String =
+    (0 until bits).map(i =>
+      s"((($a >> $i) & 1) << ${2 * i}) | ((($b >> $i) & 1) << ${2 * i + 1})")
+      .mkString("(", " | ", ")")
+
   val oracleSql: Map[String, String] = Map(
     "q_date_slice" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
@@ -1148,6 +1169,13 @@ object Queries {
         |   AS DOUBLE), 4) AS qty_sum
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1""".stripMargin,
+    "q_zorder" ->
+      s"""WITH z AS (SELECT ${mortonSql("(o_custkey & 65535)",
+             "(o_orderkey & 65535)")} AS z FROM orders)
+        |SELECT z % 64 AS bucket, count(*) AS n,
+        | CAST(sum(z) AS BIGINT) AS z_sum,
+        | min(z) AS z_min, max(z) AS z_max
+        |FROM z GROUP BY 1""".stripMargin,
     "q_join_asof" ->
       """WITH clicks AS (
         | SELECT user_id, ts AS click_ts, value AS click_value

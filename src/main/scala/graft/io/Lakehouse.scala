@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Date-partitioned parquet layout — the lakehouse form of the
   * reference's daily slicing (SURVEY §1.4 option b): the run-date
@@ -28,4 +28,51 @@ object Lakehouse {
     * (ds), (ds = ...)]` and one partition scanned. */
   def readDay(spark: SparkSession, path: String, date: String): DataFrame =
     spark.read.parquet(path).filter(col("ds") === lit(date))
+
+  /** Morton (Z-order) code of two non-negative dimension values: the
+    * low `bits` of each interleave into one long (a bit of `a` in the
+    * even positions, `b` odd). Range-sorting by this code clusters
+    * rows so BOTH dimensions' per-file min/max stay narrow — parquet
+    * row-group statistics then skip files for predicates on EITHER
+    * column, where a plain sort only serves its leading column. Pure
+    * codegen'd bit arithmetic, replicable in any SQL engine. */
+  def morton2(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "morton2 supports 1..31 bits/dim")
+    (0 until bits).map { i =>
+      val abit = shiftleft(shiftright(a, i).bitwiseAND(1L), 2 * i)
+      val bbit = shiftleft(shiftright(b, i).bitwiseAND(1L), 2 * i + 1)
+      abit.bitwiseOR(bbit)
+    }.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** Z-order write: range-sort by the Morton code of two columns so
+    * each output file covers a small rectangle of the (c1, c2) space.
+    * `repartitionByRange` is the multi-file form (N files, disjoint
+    * z-ranges); parquet min/max stats do the rest at read time. */
+  def writeZOrdered(
+      df: DataFrame,
+      c1: String,
+      c2: String,
+      path: String,
+      nFiles: Int = 8,
+      bits: Int = 16): Unit =
+    df.withColumn("__z", morton2(col(c1), col(c2), bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
+  /** Compact a fragmented parquet directory to `nFiles` outputs —
+    * small-file management, the perpetual lakehouse chore: a directory
+    * with thousands of tiny files wastes scan tasks and footer reads.
+    * Round-trips the data unchanged (coalesce, no shuffle). */
+  def compact(spark: SparkSession, path: String, nFiles: Int): Unit = {
+    val tmp = path + "__compact_tmp"
+    spark.read.parquet(path).coalesce(nFiles)
+      .write.mode("overwrite").parquet(tmp)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath)
+  }
 }

@@ -28,4 +28,49 @@ class LakehouseSpec extends SparkSpecBase {
         f.selectedPartitions.partitionCount }
     assert(scanned == Seq(1), s"expected exactly one partition, got $scanned")
   }
+  test("morton2 interleaves bits; z-ordered files cover narrow " +
+    "rectangles in BOTH dimensions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // pinned values: a=3 (bits 0,1 -> positions 0,2), b=1 (bit 0 -> 1)
+    val m = Seq((3L, 1L)).toDF("a", "b")
+      .select(Lakehouse.morton2(col("a"), col("b")).as("z"))
+      .collect()(0).getLong(0)
+    assert(m == 7L)
+    val m2 = Seq((0L, 5L)).toDF("a", "b")
+      .select(Lakehouse.morton2(col("a"), col("b")).as("z"))
+      .collect()(0).getLong(0)
+    assert(m2 == ((1L << 1) | (1L << 5))) // b bits 0,2 -> positions 1,5
+
+    // clustering: 64x64 grid, z-order into 16 files; every file's
+    // bounding rectangle must be far smaller than the full domain in
+    // BOTH dims (a plain sort achieves this only for its lead column)
+    val path = java.nio.file.Files.createTempDirectory("zord").toString + "/g"
+    val grid = spark.range(4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    Lakehouse.writeZOrdered(grid, "x", "y", path, nFiles = 16, bits = 6)
+    val perFile = spark.read.parquet(path)
+      .groupBy(input_file_name()).agg(
+        (max(col("x")) - min(col("x"))).as("xr"),
+        (max(col("y")) - min(col("y"))).as("yr"))
+      .agg(avg(col("xr")), avg(col("yr"))).collect()(0)
+    assert(perFile.getDouble(0) < 32.0, s"x range ${perFile.getDouble(0)}")
+    assert(perFile.getDouble(1) < 32.0, s"y range ${perFile.getDouble(1)}")
+  }
+
+  test("compact folds a fragmented directory without changing data") {
+    val path = java.nio.file.Files.createTempDirectory("cmp").toString + "/t"
+    val src = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_orderkey", "o_totalprice")
+    src.repartition(20).write.parquet(path)
+    def files = new java.io.File(path).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == 20)
+    val before = src.count()
+    Lakehouse.compact(spark, path, 2)
+    assert(files <= 2)
+    val after = spark.read.parquet(path)
+    assert(after.count() == before)
+    assert(after.exceptAll(src).count() == 0)
+  }
 }
