@@ -429,6 +429,17 @@ object Queries {
           dsum(col("l_quantity")).as("qty_sum"))
     }),
 
+    "q_sketch_quantile" -> ((s, dir) => {
+      // Fixed-bin histogram quantiles: the deterministic, bounded-state
+      // alternative to approx_percentile (whose KLL estimate no
+      // external engine can replicate). Shuffle carries ≤ groups×bins
+      // integer triples; the interpolation is closed-form, so p50/p90/
+      // p99 hash-match the DuckDB replica exactly.
+      graft.operators.Stats.histogramQuantiles(
+        Tables.lineitem(s, dir), "l_extendedprice", Seq("l_returnflag"),
+        qs = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99),
+        lo = 900.0, hi = 106000.0, nBins = 100)
+    }),
     "q_zorder" -> ((s, dir) => {
       // Morton (Z-order) codes over (custkey, orderkey): the
       // data-layout lever for multi-dimensional data skipping (see
@@ -1169,6 +1180,29 @@ object Queries {
         |   AS DOUBLE), 4) AS qty_sum
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1""".stripMargin,
+    "q_sketch_quantile" ->
+      """WITH b AS (
+        | SELECT l_returnflag,
+        |  least(99, greatest(0, CAST(floor(
+        |    (CAST(l_extendedprice AS DOUBLE) - 900) / 1051.0) AS INT)))
+        |    AS bin
+        | FROM lineitem),
+        |c AS (SELECT l_returnflag, bin, count(*) AS c FROM b GROUP BY 1, 2),
+        |m AS (SELECT l_returnflag, bin, c,
+        |  sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |  sum(c) OVER (PARTITION BY l_returnflag) AS n FROM c)
+        |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+        | min(CASE WHEN cum >= 0.5 * n AND cum - c < 0.5 * n THEN
+        |  round(900 + 1051.0 * (bin + (0.5 * n - (cum - c)) / c), 6)
+        |  END) AS q_p50,
+        | min(CASE WHEN cum >= 0.9 * n AND cum - c < 0.9 * n THEN
+        |  round(900 + 1051.0 * (bin + (0.9 * n - (cum - c)) / c), 6)
+        |  END) AS q_p90,
+        | min(CASE WHEN cum >= 0.99 * n AND cum - c < 0.99 * n THEN
+        |  round(900 + 1051.0 * (bin + (0.99 * n - (cum - c)) / c), 6)
+        |  END) AS q_p99
+        |FROM m GROUP BY 1""".stripMargin,
     "q_zorder" ->
       s"""WITH z AS (SELECT ${mortonSql("(o_custkey & 65535)",
              "(o_orderkey & 65535)")} AS z FROM orders)
