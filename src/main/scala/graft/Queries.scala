@@ -429,6 +429,27 @@ object Queries {
           dsum(col("l_quantity")).as("qty_sum"))
     }),
 
+    "q_pivot" -> ((s, dir) => {
+      // Pivot: event counts per user bucket spread into one column per
+      // event type (explicit value list — at scale an unlisted pivot
+      // forces a distinct-scan planning pass). Oracle: CASE-filtered
+      // sums, the relational form of the same rotation.
+      Tables.events(s, dir)
+        .groupBy((col("user_id") % 20).as("user_mod"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
+    "q_cube" -> ((s, dir) => {
+      // CUBE over (returnflag, linestatus) with grouping_id — all four
+      // grouping sets in one pass (Spark expands to a single Expand +
+      // aggregate; no per-set rescan).
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty_sum"),
+          grouping_id().as("gid"))
+    }),
     "q_sketch_quantile" -> ((s, dir) => {
       // Fixed-bin histogram quantiles: the deterministic, bounded-state
       // alternative to approx_percentile (whose KLL estimate no
@@ -1180,6 +1201,22 @@ object Queries {
         |   AS DOUBLE), 4) AS qty_sum
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id % 20 AS user_mod,
+        | count(*) FILTER (event_type = 'click') AS click,
+        | count(*) FILTER (event_type = 'error') AS error,
+        | count(*) FILTER (event_type = 'purchase') AS purchase,
+        | count(*) FILTER (event_type = 'signup') AS signup,
+        | count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4)))
+        |   AS DOUBLE), 4) AS qty_sum,
+        | CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+        |   AS BIGINT) AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""
+      .stripMargin,
     "q_sketch_quantile" ->
       """WITH b AS (
         | SELECT l_returnflag,

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class StatsSpec extends SparkSpecBase {
+
+  test("histogram quantiles are exact when bins have width 1") {
+    import spark.implicits._
+    // values 0..99 once each, bins [0,100) width 1: the q-quantile
+    // interpolates to exactly q*100 (cumBefore = bin, c = 1)
+    val df = spark.range(100).select(lit("g").as("g"),
+      col("id").cast("double").as("v"))
+    val r = Stats.histogramQuantiles(df, "v", Seq("g"),
+      Seq("p50" -> 0.5, "p90" -> 0.9), lo = 0.0, hi = 100.0, nBins = 100)
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 100L)
+    assert(r.getAs[Double]("q_p50") == 50.0)
+    assert(r.getAs[Double]("q_p90") == 90.0)
+  }
+
+  test("estimates stay within one bin width of the exact quantile") {
+    import spark.implicits._
+    val df = spark.range(10000).select(
+      (col("id") % 3).cast("string").as("g"),
+      (pmod(xxhash64(col("id")), lit(100000L)) / 100.0).as("v"))
+    val est = Stats.histogramQuantiles(df, "v", Seq("g"),
+      Seq("p50" -> 0.5), lo = 0.0, hi = 1000.0, nBins = 50)
+    val binWidth = 1000.0 / 50
+    est.collect().foreach { r =>
+      val g = r.getString(0)
+      val exact = df.filter(col("g") === g)
+        .stat.approxQuantile("v", Array(0.5), 0.0)(0) // exact at rel=0
+      assert(math.abs(r.getAs[Double]("q_p50") - exact) <= binWidth,
+        s"group $g: est ${r.getAs[Double]("q_p50")} vs exact $exact")
+    }
+  }
+}
