@@ -98,6 +98,13 @@ object RefreshSink {
   * — task retry, stage retry, whole-job re-run — never duplicates a
   * row. This upgrades the engine's JDBC append path from
   * per-partition-atomic (SURVEY §7.4 risk 1) to exactly-once.
+  *
+  * CONTRACT: a re-run of a batch id must present the SAME partitioning
+  * (same row→partition assignment and count — i.e. the same
+  * deterministic input and plan). Spark's own task/stage retries
+  * always satisfy this; a manual re-submission under a different
+  * `spark.sql.shuffle.partitions` would not, and needs a fresh batch
+  * id against an idempotent (upsert) sink instead.
   */
 object LedgerSink {
 

@@ -62,8 +62,14 @@ object Joins {
         Seq(col(leftTs).as("__ts"), lit(1).as("__side"),
           lit(null).cast(rStruct).as("__r")) ++
         leftOnly.map(col): _*)
+    // SQL join semantics: a NULL key never matches. The union+window
+    // formulation would otherwise co-partition NULL-key left rows with
+    // NULL-key right rows (groupBy treats NULL = NULL), so strip
+    // NULL-key right rows — NULL-key left rows then match nothing and
+    // come out NULL-extended, exactly like ASOF LEFT JOIN.
     val rSide = right
-      .filter(col(rightTs).isNotNull)
+      .filter(col(rightTs).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
       .select(
         keys.map(col) ++
           Seq(col(rightTs).as("__ts"), lit(0).as("__side"),

@@ -56,6 +56,25 @@ class JoinsSpec extends SparkSpecBase {
       (2, 3, -1)))
   }
 
+  test("asofJoin: NULL keys never match (SQL join semantics)") {
+    import spark.implicits._
+    val left = Seq(
+      (Some(1), "2024-01-01 10:00:00", 1),
+      (None, "2024-01-01 10:00:00", 2)) // NULL key matches nothing
+      .toDF("k", "lts", "lv")
+      .withColumn("lts", col("lts").cast("timestamp"))
+    val right = Seq(
+      (Some(1), "2024-01-01 09:00:00", 10),
+      (None, "2024-01-01 09:00:00", 99)) // NULL-key right row ignored
+      .toDF("k", "rts", "rv")
+      .withColumn("rts", col("rts").cast("timestamp"))
+    val got = Joins.asofJoin(left, right, Seq("k"), "lts", "rts")
+      .select("lv", "rv").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+      .sorted.toSeq
+    assert(got == Seq((1, 10), (2, -1)))
+  }
+
   test("asofJoin agrees with the quadratic reference implementation") {
     // Property-style check on a pseudo-random dataset: the merge
     // formulation must equal the obvious O(n·m) definition.
