@@ -595,6 +595,19 @@ object Queries {
         .agg(count(lit(1)).as("n"),
           dsum(col("l_extendedprice")).as("price_sum"))
     }),
+    "q_dedup_components" -> ((s, dir) => {
+      // Transitive near-dup clusters: connected components over the
+      // session-shared LSH pair set via min-label propagation — the
+      // semantics a pairwise drop policy gets wrong on chains (pairs
+      // (1,5),(3,5) are ONE cluster {1,3,5}). The oracle reconstructs
+      // the same components with a recursive closure over the
+      // arithmetically-replicated pair set.
+      Dedup.connectedComponents(lshPairs(s, dir))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("id")).as("id_sum"),
+          max(col("id")).as("max_id"))
+    }),
     "q_dedup_apply" -> ((s, dir) => {
       // The end-user dedup operation: remove near-duplicates
       // (keep-smallest-id) and report survivors. Pairs come from the
@@ -1403,6 +1416,7 @@ object Queries {
         |FROM documents GROUP BY source""".stripMargin,
     "q_dedup_minhash" -> minhashSigOracle,
     "q_dedup_minhash_pairs" -> minhashPairsOracle,
+    "q_dedup_components" -> dedupComponentsOracle,
     "q_dedup_simhash" -> simhashOracle,
     "q_dedup_simhash_pairs" -> simhashPairsOracle,
     "q_dedup_ngram" -> ngramOracle,
@@ -1666,6 +1680,23 @@ object Queries {
        | JOIN sl sa ON sa.doc_id = c.a
        | JOIN sl sb ON sb.doc_id = c.b)""".stripMargin
   }
+
+  private def dedupComponentsOracle: String =
+    s"""${minhashPairsCte(0.8)},
+       |p AS (SELECT a, b FROM j WHERE jac >= 0.8),
+       |pe AS (SELECT a AS src, b AS dst FROM p
+       |       UNION SELECT b, a FROM p),
+       |cc AS (
+       | SELECT n AS id, min(m) AS component FROM (
+       |  WITH RECURSIVE r(n, m) AS (
+       |    SELECT src, src FROM pe
+       |    UNION
+       |    SELECT pe.src, r.m FROM pe JOIN r ON pe.dst = r.n
+       |  ) SELECT n, m FROM r
+       | ) GROUP BY n)
+       |SELECT component, count(*) AS n_members,
+       | CAST(sum(id) AS BIGINT) AS id_sum, max(id) AS max_id
+       |FROM cc GROUP BY component""".stripMargin
 
   private def minhashPairsOracle: String =
     s"""${minhashPairsCte(0.8)}

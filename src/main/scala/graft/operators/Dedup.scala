@@ -258,6 +258,58 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected pair set — the CORRECT
+    * cluster semantics for transitive near-duplicates: pairs (1,5) and
+    * (3,5) form ONE cluster {1,3,5}, where the pairwise
+    * drop-the-larger policy of [[dropNearDuplicates]] would keep both
+    * 1 and 3. Returns (id, component) with component = the smallest id
+    * reachable from `id`.
+    *
+    * Iterative min-label propagation: each round every node adopts the
+    * minimum label among itself and its neighbors; converges in
+    * O(component diameter) rounds — near-dup clusters are shallow, so
+    * a handful of rounds suffices at any corpus size. Each round is
+    * one hash join + one groupBy on ids (8-byte shuffles); the driver
+    * only checks the scalar changed-count between rounds. The fixpoint
+    * is independent of iteration order, so results are deterministic.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Each round's frame is localCheckpoint'ed (eager): without lineage
+    // truncation the lazy plan references the previous round TWICE
+    // (next labels + changed-count join) and doubles per iteration —
+    // exponential plan blowup. On a cluster a reliable checkpoint dir
+    // serves the same role.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      iter += 1
+      val fromNeighbors = labels
+        .join(edges, col("id") === col("src"))
+        .groupBy(col("dst").as("id2"))
+        .agg(min(col("component")).as("nbMin"))
+      val next = labels
+        .join(fromNeighbors, col("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbMin"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("component", "old"),
+          Seq("id"))
+        .filter(col("component") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+    }
+    edges.unpersist(false)
+    require(converged, s"label propagation did not converge in $maxIter rounds")
+    labels
+  }
+
   /** Apply a dedup decision: drop every doc appearing as the larger id
     * of a near-dup pair (keep-smallest-id policy — pairs are emitted
     * with a < b by every pair generator here). One broadcast-friendly
