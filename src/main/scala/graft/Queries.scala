@@ -608,6 +608,20 @@ object Queries {
           sum(col("id")).as("id_sum"),
           max(col("id")).as("max_id"))
     }),
+    "q_dedup_apply_cc" -> ((s, dir) => {
+      // Component-correct dedup apply: keep exactly ONE doc (the
+      // smallest id) per transitive near-dup cluster. On chains this
+      // drops more than the pairwise policy of q_dedup_apply — the
+      // difference between the two queries is itself gate-checked,
+      // since both oracles derive from the same replicated pair set.
+      val cc = Dedup.connectedComponents(lshPairs(s, dir))
+      Dedup.dropNearDuplicates(Tables.documents(s, dir), "doc_id",
+          cc.filter(col("id") =!= col("component"))
+            .select(col("component").as("a"), col("id").as("b")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("chars_kept"))
+    }),
     "q_dedup_apply" -> ((s, dir) => {
       // The end-user dedup operation: remove near-duplicates
       // (keep-smallest-id) and report survivors. Pairs come from the
@@ -1417,6 +1431,7 @@ object Queries {
     "q_dedup_minhash" -> minhashSigOracle,
     "q_dedup_minhash_pairs" -> minhashPairsOracle,
     "q_dedup_components" -> dedupComponentsOracle,
+    "q_dedup_apply_cc" -> dedupApplyCcOracle,
     "q_dedup_simhash" -> simhashOracle,
     "q_dedup_simhash_pairs" -> simhashPairsOracle,
     "q_dedup_ngram" -> ngramOracle,
@@ -1680,6 +1695,25 @@ object Queries {
        | JOIN sl sa ON sa.doc_id = c.a
        | JOIN sl sb ON sb.doc_id = c.b)""".stripMargin
   }
+
+  private def dedupApplyCcOracle: String =
+    s"""${minhashPairsCte(0.8)},
+       |p AS (SELECT a, b FROM j WHERE jac >= 0.8),
+       |pe AS (SELECT a AS src, b AS dst FROM p
+       |       UNION SELECT b, a FROM p),
+       |cc AS (
+       | SELECT n AS id, min(m) AS component FROM (
+       |  WITH RECURSIVE r(n, m) AS (
+       |    SELECT src, src FROM pe
+       |    UNION
+       |    SELECT pe.src, r.m FROM pe JOIN r ON pe.dst = r.n
+       |  ) SELECT n, m FROM r
+       | ) GROUP BY n)
+       |SELECT source, count(*) AS n_kept,
+       | CAST(sum(n_chars) AS BIGINT) AS chars_kept
+       |FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM cc WHERE id != component)
+       |GROUP BY source""".stripMargin
 
   private def dedupComponentsOracle: String =
     s"""${minhashPairsCte(0.8)},
