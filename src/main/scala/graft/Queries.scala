@@ -56,6 +56,18 @@ object Queries {
           col("text"), threshold = 0.8, numHashes = 64, portable = true))
     }
 
+  /** Session-shared connected components over [[lshPairs]] — the
+    * propagation loop runs once; q_dedup_components and
+    * q_dedup_apply_cc both consume it (same sharing rationale as the
+    * pair set itself). */
+  private val ccMemo =
+    scala.collection.mutable.HashMap[(SparkSession, String), DataFrame]()
+  private def lshComponents(s: SparkSession, dir: String): DataFrame =
+    ccMemo.synchronized {
+      ccMemo.getOrElseUpdate((s, dir),
+        Dedup.connectedComponents(lshPairs(s, dir)))
+    }
+
   /** orders with the reference's NULL-routing column: the incremental
     * timestamp is NULL for one slice of rows (status 'P' stands in for
     * the reference's incomplete orders — SURVEY.md §2.2 F2). */
@@ -602,7 +614,7 @@ object Queries {
       // (1,5),(3,5) are ONE cluster {1,3,5}). The oracle reconstructs
       // the same components with a recursive closure over the
       // arithmetically-replicated pair set.
-      Dedup.connectedComponents(lshPairs(s, dir))
+      lshComponents(s, dir)
         .groupBy(col("component"))
         .agg(count(lit(1)).as("n_members"),
           sum(col("id")).as("id_sum"),
@@ -614,7 +626,7 @@ object Queries {
       // drops more than the pairwise policy of q_dedup_apply — the
       // difference between the two queries is itself gate-checked,
       // since both oracles derive from the same replicated pair set.
-      val cc = Dedup.connectedComponents(lshPairs(s, dir))
+      val cc = lshComponents(s, dir)
       Dedup.dropNearDuplicates(Tables.documents(s, dir), "doc_id",
           cc.filter(col("id") =!= col("component"))
             .select(col("component").as("a"), col("id").as("b")))
