@@ -65,7 +65,9 @@ object Queries {
   private def lshComponents(s: SparkSession, dir: String): DataFrame =
     ccMemo.synchronized {
       ccMemo.getOrElseUpdate((s, dir),
-        Dedup.connectedComponents(lshPairs(s, dir)))
+        // verified pair sets are tiny — single-partition propagation
+        // avoids paying 32-way scheduling per micro-round
+        Dedup.connectedComponents(lshPairs(s, dir), numPartitions = 1))
     }
 
   /** orders with the reference's NULL-routing column: the incremental

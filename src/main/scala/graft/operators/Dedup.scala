@@ -273,9 +273,20 @@ object Dedup {
     * only checks the scalar changed-count between rounds. The fixpoint
     * is independent of iteration order, so results are deterministic.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIter: Int = 20,
+      numPartitions: Int = 0): DataFrame = {
+    // Near-dup pair sets are usually TINY relative to the corpus (the
+    // whole point of dedup); at the default 32+ shuffle partitions
+    // every propagation round pays ~full-cluster scheduling overhead
+    // for micro-tasks. `numPartitions > 0` pins the loop's parallelism
+    // to the pair set's actual size (callers know it: the pair frame
+    // is persisted+counted by the pair operators).
+    val edges0 = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val edges = (if (numPartitions > 0) edges0.repartition(numPartitions)
+                 else edges0)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Each round's frame is localCheckpoint'ed (eager): without lineage
     // truncation the lazy plan references the previous round TWICE
@@ -293,12 +304,13 @@ object Dedup {
         .join(edges, col("id") === col("src"))
         .groupBy(col("dst").as("id2"))
         .agg(min(col("component")).as("nbMin"))
-      val next = labels
+      val next0 = labels
         .join(fromNeighbors, col("id") === col("id2"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbMin"), col("component")))
             .as("component"))
-        .localCheckpoint(true)
+      val next = (if (numPartitions > 0) next0.repartition(numPartitions)
+                  else next0).localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("component", "old"),
           Seq("id"))
         .filter(col("component") =!= col("old")).count()
