@@ -276,11 +276,18 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame,
       maxIter: Int = 20,
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0,
+      localThreshold: Long = 1L << 20): DataFrame = {
     // Near-dup pair sets are usually TINY relative to the corpus (the
-    // whole point of dedup); at the default 32+ shuffle partitions
-    // every propagation round pays ~full-cluster scheduling overhead
-    // for micro-tasks. `numPartitions > 0` pins the loop's parallelism
+    // whole point of dedup). Below `localThreshold` edges the graph is
+    // a bounded control-plane object (≤16 MiB of id pairs at the
+    // default 2^20), and a driver-side union-find beats N propagation
+    // rounds × 2 Spark jobs each by orders of magnitude in fixed
+    // overhead. Above the threshold — the genuine 100 TB regime —
+    // the distributed propagation loop below runs unchanged.
+    if (localThreshold > 0 && pairs.count() <= localThreshold)
+      return localComponents(pairs)
+    // `numPartitions > 0` pins the loop's parallelism
     // to the pair set's actual size (callers know it: the pair frame
     // is persisted+counted by the pair operators).
     val edges0 = pairs.select(col("a").as("src"), col("b").as("dst"))
@@ -320,6 +327,36 @@ object Dedup {
     edges.unpersist(false)
     require(converged, s"label propagation did not converge in $maxIter rounds")
     labels
+  }
+
+  /** Driver-side union-find for pair sets under the control-plane
+    * bound (see [[connectedComponents]]). Same contract: (id,
+    * component) with component = the smallest id in the cluster, id
+    * type preserved from the pair columns. */
+  private def localComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val idType = pairs.schema("a").dataType
+    val edges = pairs.select(col("a").cast(LongType), col("b").cast(LongType))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // roots are unioned min-first, so find() already yields the
+    // smallest id of each cluster
+    val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+    spark.createDataFrame(rows).toDF("id", "component")
+      .select(col("id").cast(idType).as("id"),
+        col("component").cast(idType).as("component"))
   }
 
   /** Apply a dedup decision: drop every doc appearing as the larger id

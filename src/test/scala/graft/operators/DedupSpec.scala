@@ -141,18 +141,22 @@ class DedupSpec extends SparkSpecBase {
       assert(out.distinct.length > 1, "degenerate simhash output")
     }
   }
-  test("connectedComponents: transitive chains collapse to min label") {
-    import spark.implicits._
-    import org.apache.spark.sql.functions._
-    // chain {1,5,3} via (1,5),(3,5); separate pair {7,8}; and a long
-    // path 10-11-...-19 (diameter 9 — propagation must still converge)
-    val path = (10L until 19L).map(i => (i, i + 1))
-    val pairs = (Seq((1L, 5L), (3L, 5L), (7L, 8L)) ++ path).toDF("a", "b")
-    val got = Dedup.connectedComponents(pairs)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(got(1L) == 1L && got(3L) == 1L && got(5L) == 1L)
-    assert(got(7L) == 7L && got(8L) == 7L)
-    (10L to 19L).foreach(i => assert(got(i) == 10L, s"node $i"))
-    assert(got.size == 15)
-  }
+  // both execution paths must agree: driver union-find (small graphs)
+  // and distributed label propagation (localThreshold = 0 forces it)
+  for ((label, threshold) <- Seq(("local union-find", 1L << 20),
+                                 ("distributed propagation", 0L)))
+    test(s"connectedComponents ($label): transitive chains collapse to min label") {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      // chain {1,5,3} via (1,5),(3,5); separate pair {7,8}; and a long
+      // path 10-11-...-19 (diameter 9 — propagation must still converge)
+      val path = (10L until 19L).map(i => (i, i + 1))
+      val pairs = (Seq((1L, 5L), (3L, 5L), (7L, 8L)) ++ path).toDF("a", "b")
+      val got = Dedup.connectedComponents(pairs, localThreshold = threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got(1L) == 1L && got(3L) == 1L && got(5L) == 1L)
+      assert(got(7L) == 7L && got(8L) == 7L)
+      (10L to 19L).foreach(i => assert(got(i) == 10L, s"node $i"))
+      assert(got.size == 15)
+    }
 }
