@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.{Conversions, Tables}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, Upsert}
+import graft.operators.{Dedup, Multimodal, Similarity, Stats, TextAnalysis, Upsert}
 
 /** The engine's query catalog: one entry per operator from SURVEY.md §2
   * plus the training-data-pipeline extensions, each paired (where SQL
@@ -846,6 +846,29 @@ object Queries {
           graft.functions.KmvSketch.estimate(col("kmv"), k, Dedup.PortableMod)
             .as("kmv_estimate"))
     }),
+    "q_sketch_heavy_hitters" -> ((s, dir) => {
+      // CountMin heavy hitters over the corpus token stream: the
+      // bounded-state path to "which tokens dominate the corpus" at
+      // 100 TB (vocab stats without shuffling the full distinct
+      // domain). Width 16 is deliberately TINY for the gate: every
+      // counter collides, so the oracle must replicate the collision
+      // overcounts cell-for-cell, not just the true frequencies —
+      // production width is 2^20. The heavy-hitter cut est·50 ≥ N is
+      // integer arithmetic (no float threshold).
+      val depth = 4; val width = 16
+      val occ = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(lower(col("text"))))
+          .as("token"))
+      val sketch = Stats.countMinSketch(occ, col("token"), depth, width)
+      val vocab = occ.groupBy(col("token"))
+        .agg(count(lit(1)).as("true_count"))
+      val total = occ.agg(count(lit(1)).as("__n"))
+      Stats.cmsEstimate(sketch, vocab, col("token"), "est_count",
+          depth, width)
+        .crossJoin(broadcast(total))
+        .filter(col("est_count") * 50 >= col("__n"))
+        .select(col("token"), col("true_count"), col("est_count"))
+    }),
     "q_multimodal_meta" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("source"), octet_length(col("text")).as("bytes"))
@@ -1410,6 +1433,7 @@ object Queries {
         |   6) AS avg_repetition
         |FROM r GROUP BY source""".stripMargin,
     "q_session_window" -> sessionWindowOracle,
+    "q_sketch_heavy_hitters" -> cmsHeavyHittersOracle,
 
     "q_sketch_distinct" ->
       """WITH h AS (
@@ -1664,6 +1688,33 @@ object Queries {
 
   private def affineSql(i: Int, h: String): String =
     s"(($h * ${Dedup.affineA(i)} + ${Dedup.affineB(i)}) % $M)"
+
+  /** Cell-exact replica of the CountMin sketch: per-depth counter
+    * tables built with the same affine hash family, estimates as the
+    * least over depths, same integer heavy-hitter cut. Collisions at
+    * width 16 mean est_count ≠ true_count for most tokens — the gate
+    * proves the sketch arithmetic, not just the frequencies. */
+  private def cmsHeavyHittersOracle: String = {
+    val depth = 4; val width = 16
+    val cellCtes = (0 until depth).map { j =>
+      s"""c$j AS (SELECT ${affineSql(j, "hh")} % $width AS bucket,
+         | CAST(sum(c) AS BIGINT) AS cnt FROM h GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val joins = (0 until depth)
+      .map(j => s"JOIN c$j ON c$j.bucket = ${affineSql(j, "h.hh")} % $width")
+      .mkString("\n ")
+    val minExpr = (0 until depth).map(j => s"c$j.cnt")
+      .mkString("least(", ", ", ")")
+    s"""WITH t AS (SELECT unnest($toksSql) AS tok FROM documents),
+       |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY tok),
+       |h AS (SELECT tok, c, ${polySql("tok")} AS hh FROM f),
+       |$cellCtes
+       |SELECT h.tok AS token, h.c AS true_count, $minExpr AS est_count
+       |FROM h
+       | $joins
+       |WHERE $minExpr * 50 >=
+       | (SELECT CAST(sum(c) AS BIGINT) FROM f)""".stripMargin
+  }
 
   private def minhashSigOracle: String =
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

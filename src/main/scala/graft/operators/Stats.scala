@@ -66,4 +66,67 @@ object Stats {
     cum.groupBy(groupCols.map(col): _*)
       .agg(max(col("__n")).as("n"), qCols: _*)
   }
+
+  /** CountMin sketch over an item stream — the bounded-state answer to
+    * "which items are frequent?" at 100 TB, where an exact
+    * groupBy(item) shuffles the full distinct domain (for tokens:
+    * billions of keys). The sketch is a (depth × width) grid of
+    * counters; every occurrence increments one counter per row, chosen
+    * by that row's hash of the item. The shuffle carries at most
+    * depth·width counter cells per map partition (map-side combined),
+    * REGARDLESS of domain size; estimates overcount on collision,
+    * never undercount.
+    *
+    * The hash family is the portable one ([[Dedup.polyHash]] +
+    * per-depth affine transforms), so a DuckDB oracle can replicate
+    * every counter and estimate exactly — including the collision
+    * overcounts, which is what makes the gate meaningful.
+    *
+    * Returns the sketch as a frame of (depth, bucket, cnt) cells —
+    * cells never touched stay absent (zero).
+    */
+  def countMinSketch(
+      items: DataFrame,
+      item: Column,
+      depth: Int = 4,
+      width: Int = 1 << 20,
+      weight: Column = lit(1L)): DataFrame = {
+    require(depth > 0 && width > 0)
+    val cells = array((0 until depth).map { j =>
+      pmod(col("__h") * Dedup.affineA(j) + Dedup.affineB(j),
+        lit(Dedup.PortableMod)) % width
+    }: _*)
+    items
+      .select(Dedup.polyHash(item).as("__h"),
+        weight.cast(LongType).as("__w"))
+      .select(posexplode(cells).as(Seq("depth", "bucket")), col("__w"))
+      .groupBy(col("depth"), col("bucket"))
+      .agg(sum(col("__w")).as("cnt"))
+  }
+
+  /** Point-estimate item counts from a [[countMinSketch]]: the minimum
+    * over depths of the counter each depth hashes the item into
+    * (absent cell = 0). The sketch side is depth·width rows at most —
+    * broadcast; the candidate side streams. Appends `estCol` to
+    * `candidates`. */
+  def cmsEstimate(
+      sketch: DataFrame,
+      candidates: DataFrame,
+      item: Column,
+      estCol: String,
+      depth: Int = 4,
+      width: Int = 1 << 20): DataFrame = {
+    val cells = array((0 until depth).map { j =>
+      pmod(col("__h") * Dedup.affineA(j) + Dedup.affineB(j),
+        lit(Dedup.PortableMod)) % width
+    }: _*)
+    val passThrough = candidates.columns.map(col)
+    candidates
+      .withColumn("__h", Dedup.polyHash(item))
+      .select((passThrough :+
+        posexplode(cells).as(Seq("depth", "bucket"))): _*)
+      .join(broadcast(sketch), Seq("depth", "bucket"), "left")
+      .groupBy(passThrough: _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as(estCol))
+  }
 }
