@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.{Conversions, Tables}
-import graft.operators.{Dedup, Multimodal, Similarity, Stats, TextAnalysis, Upsert}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, Stats, TextAnalysis, Upsert}
 
 /** The engine's query catalog: one entry per operator from SURVEY.md §2
   * plus the training-data-pipeline extensions, each paired (where SQL
@@ -869,6 +869,16 @@ object Queries {
         .filter(col("est_count") * 50 >= col("__n"))
         .select(col("token"), col("true_count"), col("est_count"))
     }),
+    "q_sample_stratified" -> ((s, dir) => {
+      // Data mixing: downsample every language to ≈60 docs by
+      // deterministic id-hash membership — reproducible across runs,
+      // retries, and engines (no rand()). The only shuffle is the
+      // 5-row per-lang count; the corpus itself is filtered in place
+      // by a codegen'd integer predicate.
+      Sampling.stratifiedSample(Tables.documents(s, dir), Seq("lang"),
+          col("doc_id"), target = 60, seed = 9)
+        .select(col("doc_id"), col("lang"))
+    }),
     "q_multimodal_meta" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("source"), octet_length(col("text")).as("bytes"))
@@ -1434,6 +1444,7 @@ object Queries {
         |FROM r GROUP BY source""".stripMargin,
     "q_session_window" -> sessionWindowOracle,
     "q_sketch_heavy_hitters" -> cmsHeavyHittersOracle,
+    "q_sample_stratified" -> stratifiedSampleOracle,
 
     "q_sketch_distinct" ->
       """WITH h AS (
@@ -1688,6 +1699,20 @@ object Queries {
 
   private def affineSql(i: Int, h: String): String =
     s"(($h * ${Dedup.affineA(i)} + ${Dedup.affineB(i)}) % $M)"
+
+  /** Replica of the deterministic stratified sampler: same affine
+    * bucket of doc_id (seed 9), same integer floor-division keep
+    * threshold (DuckDB `//` = Spark `div` on BIGINT). */
+  private def stratifiedSampleOracle: String = {
+    val bucket =
+      s"(${affineSql(9, s"(doc_id % $M)")} % ${graft.operators.Sampling.Buckets})"
+    s"""WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS ns
+       | FROM documents GROUP BY lang)
+       |SELECT d.doc_id, d.lang
+       |FROM documents d JOIN n USING (lang)
+       |WHERE $bucket < (${60 * graft.operators.Sampling.Buckets} // ns)"""
+      .stripMargin
+  }
 
   /** Cell-exact replica of the CountMin sketch: per-depth counter
     * tables built with the same affine hash family, estimates as the
