@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.{Conversions, Tables}
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, Stats, TextAnalysis, Upsert}
+import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, Stats, TextAnalysis, Upsert}
 
 /** The engine's query catalog: one entry per operator from SURVEY.md §2
   * plus the training-data-pipeline extensions, each paired (where SQL
@@ -869,6 +869,19 @@ object Queries {
         .filter(col("est_count") * 50 >= col("__n"))
         .select(col("token"), col("true_count"), col("est_count"))
     }),
+    "q_pack_sequences" -> ((s, dir) => {
+      // Sequence packing into 256-token context windows: deterministic
+      // id-hash sharding (8 shards — embarrassingly parallel at any
+      // scale), greedy next-fit walk per shard in id order. The oracle
+      // replays the same walk as a recursive CTE — every (shard, bin)
+      // assignment must match step-for-step.
+      Packing.packSequences(
+          Tables.documents(s, dir).withColumn("n_tok",
+            TextAnalysis.tokenCount(col("text"))),
+          "doc_id", "n_tok", capacity = 256, nShards = 8, seed = 3)
+        .select(col("id").as("doc_id"), col("shard"), col("bin"),
+          col("n_tok"))
+    }),
     "q_sample_stratified" -> ((s, dir) => {
       // Data mixing: downsample every language to ≈60 docs by
       // deterministic id-hash membership — reproducible across runs,
@@ -1445,6 +1458,7 @@ object Queries {
     "q_session_window" -> sessionWindowOracle,
     "q_sketch_heavy_hitters" -> cmsHeavyHittersOracle,
     "q_sample_stratified" -> stratifiedSampleOracle,
+    "q_pack_sequences" -> packSequencesOracle,
 
     "q_sketch_distinct" ->
       """WITH h AS (
@@ -1699,6 +1713,33 @@ object Queries {
 
   private def affineSql(i: Int, h: String): String =
     s"(($h * ${Dedup.affineA(i)} + ${Dedup.affineB(i)}) % $M)"
+
+  /** Replays the next-fit packing walk as a recursive CTE: same
+    * affine shard hash (seed 3), same id order, same overflow rule —
+    * every (shard, bin) assignment must match the mapPartitions walk
+    * step-for-step. */
+  private def packSequencesOracle: String = {
+    val cap = 256; val shards = 8
+    val shardExpr =
+      s"""CAST(${affineSql(3, s"(doc_id % $M)")}
+         | % ${graft.operators.Sampling.Buckets} % $shards AS BIGINT)"""
+        .stripMargin
+    s"""WITH RECURSIVE d AS (
+       | SELECT doc_id, $shardExpr AS shard,
+       |  CAST(len($toksSql) AS BIGINT) AS n_tok FROM documents),
+       |o AS (SELECT d.*, row_number()
+       |  OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM d),
+       |r(doc_id, shard, n_tok, rn, bin, fill) AS (
+       | SELECT doc_id, shard, n_tok, rn, CAST(0 AS BIGINT), n_tok
+       |  FROM o WHERE rn = 1
+       | UNION ALL
+       | SELECT o.doc_id, o.shard, o.n_tok, o.rn,
+       |  CASE WHEN r.fill + o.n_tok > $cap THEN r.bin + 1 ELSE r.bin END,
+       |  CASE WHEN r.fill + o.n_tok > $cap THEN o.n_tok
+       |   ELSE r.fill + o.n_tok END
+       | FROM r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1)
+       |SELECT doc_id, shard, bin, n_tok FROM r""".stripMargin
+  }
 
   /** Replica of the deterministic stratified sampler: same affine
     * bucket of doc_id (seed 9), same integer floor-division keep

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** Edge cases of the curation operators (Sampling, Packing, Stats CMS)
+  * that the catalog's corpus queries don't necessarily exercise. */
+class CurationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("stratifiedSample: strata at or under target pass through whole") {
+    val df = ((1L to 100L).map(i => (i, "big")) ++
+      (101L to 110L).map(i => (i, "small"))).toDF("id", "s")
+    val out = Sampling.stratifiedSample(df, Seq("s"), col("id"), target = 20)
+      .groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("small") == 10, "under-target stratum must be kept whole")
+    // hash-membership keeps ≈20 of 100; exact value is deterministic
+    val big = out("big")
+    assert(big > 5 && big < 40, s"big stratum kept $big of 100, expected ≈20")
+    // determinism: same input, same sample
+    val again = Sampling.stratifiedSample(df, Seq("s"), col("id"), 20)
+      .agg(sum("id")).as[Long].head
+    val first = Sampling.stratifiedSample(df, Seq("s"), col("id"), 20)
+      .agg(sum("id")).as[Long].head
+    assert(again == first)
+  }
+
+  test("packSequences: overflow opens a new bin; oversized doc gets its own") {
+    // one shard (nShards=1): ids in order with token counts
+    // 6,5,12,2,3 at capacity 10 → bins [6],[5],[12],[2,3]
+    val df = Seq((1L, 6L), (2L, 5L), (3L, 12L), (4L, 2L), (5L, 3L))
+      .toDF("doc_id", "n")
+    val out = Packing.packSequences(df, "doc_id", "n",
+        capacity = 10, nShards = 1)
+      .orderBy("id").select("id", "bin").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L), (5L, 3L)))
+  }
+
+  test("packSequences: bin index resets at shard boundaries") {
+    val df = (1L to 40L).map(i => (i, 7L)).toDF("doc_id", "n")
+    val out = Packing.packSequences(df, "doc_id", "n",
+      capacity = 14, nShards = 4)
+    val perShard = out.groupBy("shard")
+      .agg(min("bin").as("lo"), countDistinct("bin").as("bins"),
+        count(lit(1)).as("docs"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(perShard.length == 4, "expected all 4 shards populated")
+    perShard.foreach { case (shard, lo, bins, docs) =>
+      assert(lo == 0L, s"shard $shard must start at bin 0")
+      // capacity 14 fits exactly two 7-token docs per bin
+      assert(bins == (docs + 1) / 2, s"shard $shard: $docs docs, $bins bins")
+    }
+  }
+
+  test("countMinSketch estimates are exact when width avoids collisions") {
+    val occ = (Seq.fill(30)("alpha") ++ Seq.fill(7)("beta") ++ Seq("gamma"))
+      .toDF("w")
+    val sketch = Stats.countMinSketch(occ, col("w"), depth = 4, width = 4096)
+    val cand = occ.distinct()
+    val est = Stats.cmsEstimate(sketch, cand, col("w"), "est",
+        depth = 4, width = 4096)
+      .as[(String, Long)].collect().toMap
+    assert(est == Map("alpha" -> 30L, "beta" -> 7L, "gamma" -> 1L))
+  }
+
+  test("countMinSketch never undercounts, even at colliding width") {
+    val occ = (1 to 200).map(i => s"tok$i").toDF("w")
+    val sketch = Stats.countMinSketch(occ, col("w"), depth = 2, width = 8)
+    val est = Stats.cmsEstimate(sketch, occ.distinct(), col("w"), "est",
+        depth = 2, width = 8)
+      .as[(String, Long)].collect()
+    assert(est.length == 200)
+    est.foreach { case (w, e) => assert(e >= 1L, s"$w undercounted: $e") }
+  }
+}
