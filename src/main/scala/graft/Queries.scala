@@ -869,6 +869,19 @@ object Queries {
         .filter(col("est_count") * 50 >= col("__n"))
         .select(col("token"), col("true_count"), col("est_count"))
     }),
+    "q_text_chunks" -> ((s, dir) => {
+      // Retrieval-prep chunking: 12-token windows every 8 tokens,
+      // last window clamped (never an empty tail chunk). Row-local
+      // array expressions + one explode — shuffle-free at any scale.
+      Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(TextAnalysis.chunkTokens(
+            TextAnalysis.tokens(lower(col("text"))), 12, 8))
+          .as(Seq("chunk_id", "chunk")))
+        .select(col("doc_id"),
+          col("chunk_id").cast(LongType).as("chunk_id"),
+          array_join(col("chunk"), " ").as("chunk_text"),
+          size(col("chunk")).cast(LongType).as("n_tok"))
+    }),
     "q_pack_sequences" -> ((s, dir) => {
       // Sequence packing into 256-token context windows: deterministic
       // id-hash sharding (8 shards — embarrassingly parallel at any
@@ -1459,6 +1472,7 @@ object Queries {
     "q_sketch_heavy_hitters" -> cmsHeavyHittersOracle,
     "q_sample_stratified" -> stratifiedSampleOracle,
     "q_pack_sequences" -> packSequencesOracle,
+    "q_text_chunks" -> textChunksOracle,
 
     "q_sketch_distinct" ->
       """WITH h AS (
@@ -1713,6 +1727,21 @@ object Queries {
 
   private def affineSql(i: Int, h: String): String =
     s"(($h * ${Dedup.affineA(i)} + ${Dedup.affineB(i)}) % $M)"
+
+  /** Replica of the sliding-window chunker: DuckDB's 1-based inclusive
+    * clamping list slice equals Spark's slice(toks, s+1, window). */
+  private def textChunksOracle: String = {
+    val w = 12; val st = 8
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |x AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+       |s AS (SELECT doc_id, toks,
+       |  unnest(range(0, CASE WHEN n <= $w THEN 1
+       |    ELSE ((n - $w + $st - 1) // $st) + 1 END)) AS k FROM x)
+       |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+       | array_to_string(toks[k*$st+1 : k*$st+$w], ' ') AS chunk_text,
+       | CAST(len(toks[k*$st+1 : k*$st+$w]) AS BIGINT) AS n_tok
+       |FROM s""".stripMargin
+  }
 
   /** Replays the next-fit packing walk as a recursive CTE: same
     * affine shard hash (seed 3), same id order, same overflow rule —

@@ -123,4 +123,21 @@ object TextAnalysis {
   def fingerprintRolling(text: Column): Column =
     graft.functions.GraftFunctions.polyHash(
       regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Sliding token windows for retrieval/context prep: chunks of
+    * `window` tokens every `stride` tokens, the last window clamped at
+    * the end (never an empty trailing chunk; a doc at or under
+    * `window` tokens is one chunk). Pure array expressions — row-local,
+    * shuffle-free, codegen'd; explode downstream to one row per
+    * chunk. Returns `array<array<string>>`. */
+  def chunkTokens(toks: Column, window: Int, stride: Int): Column = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    val n = size(toks)
+    // number of extra windows past the first: ceil((n - window)/stride)
+    val k = when(n <= window, lit(0L)).otherwise(
+      floor((n - window + stride - 1).cast(DoubleType) / stride).cast(LongType))
+    transform(
+      sequence(lit(0L), k * stride, lit(stride.toLong)),
+      s => slice(toks, (s + 1).cast(IntegerType), lit(window)))
+  }
 }
