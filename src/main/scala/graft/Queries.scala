@@ -869,6 +869,30 @@ object Queries {
         .filter(col("est_count") * 50 >= col("__n"))
         .select(col("token"), col("true_count"), col("est_count"))
     }),
+    "q_io_roundtrip" -> ((s, dir) => {
+      // Source/sink format coverage beyond parquet/CSV/JDBC: one
+      // slice written as ORC and as JSON-lines, read back under the
+      // declared schema, aggregated per format — any lossy roundtrip
+      // (type, precision, null) diverges from the parquet-truth
+      // oracle. Timestamps are pre-formatted to strings so the JSON
+      // path has no representation ambiguity.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_io").toString
+      val slice = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"), dateFmt(col("o_orderdate")).as("o_orderdate"))
+      slice.write.mode("overwrite").orc(s"$tmp/orc")
+      slice.write.mode("overwrite").json(s"$tmp/json")
+      val back = s.read.schema(slice.schema).orc(s"$tmp/orc")
+        .withColumn("fmt", lit("orc"))
+        .unionAll(s.read.schema(slice.schema).json(s"$tmp/json")
+          .withColumn("fmt", lit("json")))
+      back.groupBy(col("fmt"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          dsum(col("o_totalprice")).as("price_sum"),
+          max(col("o_orderdate")).as("last_date"))
+    }),
     "q_text_chunks" -> ((s, dir) => {
       // Retrieval-prep chunking: 12-token windows every 8 tokens,
       // last window clamped (never an empty tail chunk). Row-local
@@ -1473,6 +1497,16 @@ object Queries {
     "q_sample_stratified" -> stratifiedSampleOracle,
     "q_pack_sequences" -> packSequencesOracle,
     "q_text_chunks" -> textChunksOracle,
+    "q_io_roundtrip" ->
+      """SELECT f.fmt, o_orderstatus,
+        | count(*) AS n,
+        | CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |  AS price_sum,
+        | max(strftime(o_orderdate, '%Y-%m-%d')) AS last_date
+        |FROM orders, (VALUES ('orc'), ('json')) f(fmt)
+        |WHERE o_orderkey % 7 = 0
+        |GROUP BY f.fmt, o_orderstatus""".stripMargin,
 
     "q_sketch_distinct" ->
       """WITH h AS (
