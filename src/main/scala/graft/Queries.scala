@@ -869,6 +869,19 @@ object Queries {
         .filter(col("est_count") * 50 >= col("__n"))
         .select(col("token"), col("true_count"), col("est_count"))
     }),
+    "q_decontaminate" -> ((s, dir) => {
+      // Benchmark decontamination: training docs sharing ≥4 distinct
+      // 3-gram shingles with the held-out eval slice (doc_id % 10 = 0).
+      // Containment, not Jaccard — an eval prompt inside a long train
+      // doc must be caught even when symmetric similarity is ~0. The
+      // eval shingle index broadcasts; the corpus never shuffles.
+      val docs = Tables.documents(s, dir)
+      Dedup.containmentPairs(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", col("text"), shingleSize = 3, minShared = 4,
+        portable = true)
+    }),
     "q_io_roundtrip" -> ((s, dir) => {
       // Source/sink format coverage beyond parquet/CSV/JDBC: one
       // slice written as ORC and as JSON-lines, read back under the
@@ -1497,6 +1510,7 @@ object Queries {
     "q_sample_stratified" -> stratifiedSampleOracle,
     "q_pack_sequences" -> packSequencesOracle,
     "q_text_chunks" -> textChunksOracle,
+    "q_decontaminate" -> decontaminateOracle,
     "q_io_roundtrip" ->
       """SELECT f.fmt, o_orderstatus,
         | count(*) AS n,
@@ -1761,6 +1775,22 @@ object Queries {
 
   private def affineSql(i: Int, h: String): String =
     s"(($h * ${Dedup.affineA(i)} + ${Dedup.affineB(i)}) % $M)"
+
+  /** Replica of the containment decontaminator: same 3-gram shingles,
+    * same portable hash (so even hash collisions replicate), same
+    * distinct-per-doc semantics and ≥4 shared cut. */
+  private def decontaminateOracle: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sl AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+       |e AS (SELECT DISTINCT doc_id, h FROM (
+       |  SELECT doc_id, unnest(list_transform(sh, s -> ${polySql("s")}))
+       |   AS h FROM sl)),
+       |tr AS (SELECT doc_id AS train_id, h FROM e WHERE doc_id % 10 <> 0),
+       |ev AS (SELECT doc_id AS eval_id, h FROM e WHERE doc_id % 10 = 0)
+       |SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM tr JOIN ev USING (h)
+       |GROUP BY train_id, eval_id
+       |HAVING count(*) >= 4""".stripMargin
 
   /** Replica of the sliding-window chunker: DuckDB's 1-based inclusive
     * clamping list slice equals Spark's slice(toks, s+1, window). */

@@ -359,6 +359,49 @@ object Dedup {
         col("component").cast(idType).as("component"))
   }
 
+  /** Benchmark decontamination: which training docs share at least
+    * `minShared` distinct `shingleSize`-gram shingles with an
+    * evaluation document? (Containment, not symmetric Jaccard — a
+    * short eval prompt embedded in a long train doc is exactly what
+    * must be caught, and its Jaccard is near zero.)
+    *
+    * Scale shape: the eval set is tiny next to a 100 TB corpus, so
+    * its shingle index broadcasts (`broadcastEval`) and the corpus
+    * streams through one map-side hash join — no corpus shuffle at
+    * all. Shingles travel as 8-byte hashes, never strings. With a
+    * large right side, disable the broadcast and it degrades to one
+    * shuffle on the shingle hash.
+    *
+    * Returns (train_id, eval_id, n_shared), n_shared ≥ minShared.
+    */
+  def containmentPairs(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      text: Column,
+      shingleSize: Int = 3,
+      minShared: Int = 2,
+      portable: Boolean = false,
+      broadcastEval: Boolean = true): DataFrame = {
+    require(minShared > 0)
+    def shingleHashes(df: DataFrame, out: String): DataFrame = {
+      val h =
+        if (portable) polyHash(col("__s"))
+        else xxhash64(col("__s"))
+      df.select(col(idCol).as(out), explode(shingles(text, shingleSize))
+          .as("__s"))
+        .select(col(out), h.as("__h"))
+        .distinct()
+    }
+    val trainSh = shingleHashes(corpus, "train_id")
+    val evalSh0 = shingleHashes(evalSet, "eval_id")
+    val evalSh = if (broadcastEval) broadcast(evalSh0) else evalSh0
+    trainSh.join(evalSh, Seq("__h"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Apply a dedup decision: drop every doc appearing as the larger id
     * of a near-dup pair (keep-smallest-id policy — pairs are emitted
     * with a < b by every pair generator here). One broadcast-friendly
