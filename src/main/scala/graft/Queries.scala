@@ -599,13 +599,21 @@ object Queries {
       // must equal the plain join (the oracle computes it unsalted).
       val large = Tables.lineitem(s, dir)
         .withColumn("k", col("l_orderkey") % 3)
+      // the shuffle-hash hint keeps the (deliberately tiny) small side
+      // out of a broadcast: a broadcast join has no shuffle to salt,
+      // and the topology under test is the large side spreading its 3
+      // hot keys across every reducer via (key, salt)
       val small = Tables.orders(s, dir)
         .filter(col("o_orderkey") < 50)
         .withColumn("k", col("o_orderkey") % 3)
         .select(col("k"), col("o_orderkey"))
-      graft.operators.Joins.saltedJoin(large, small, Seq("k"),
-          saltSource = col("l_orderkey"))
-        .groupBy(col("o_orderkey"))
+        .hint("shuffle_hash")
+      val j = graft.operators.Joins.saltedJoin(large, small, Seq("k"),
+        saltSource = col("l_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      require(plan.contains("ShuffledHashJoin"),
+        s"salted join demo must shuffle, not broadcast:\n$plan")
+      j.groupBy(col("o_orderkey"))
         .agg(count(lit(1)).as("n"),
           dsum(col("l_extendedprice")).as("price_sum"))
     }),

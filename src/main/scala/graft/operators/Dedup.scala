@@ -388,8 +388,13 @@ object Dedup {
       val h =
         if (portable) polyHash(col("__s"))
         else xxhash64(col("__s"))
-      df.select(col(idCol).as(out), explode(shingles(text, shingleSize))
-          .as("__s"))
+      // stage the token array as an attribute BEFORE shingling — the
+      // inline form re-tokenizes once per shingle (HOFs defeat
+      // subexpression elimination; same trap shingleFrame documents)
+      df.select(col(idCol).as(out),
+          TextAnalysis.tokens(lower(text)).as("__tk"))
+        .select(col(out),
+          explode(shinglesOfTokens(col("__tk"), shingleSize)).as("__s"))
         .select(col(out), h.as("__h"))
         .distinct()
     }
