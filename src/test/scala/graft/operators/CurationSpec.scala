@@ -54,6 +54,43 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("containmentPairs: catches an embedded prompt; below-threshold overlap drops") {
+    val train = Seq(
+      (1L, "aa bb cc dd ee ff gg hh ii jj kk ll"), // contains eval 10's text
+      (2L, "zz yy xx ww vv uu tt ss"),             // disjoint
+      (3L, "aa bb cc dd mm nn oo pp")              // only 2 shared shingles
+    ).toDF("doc_id", "text")
+    val ev = Seq((10L, "cc dd ee ff gg hh")).toDF("doc_id", "text")
+    // eval 10 has shingles {cc dd ee, dd ee ff, ee ff gg, ff gg hh}; all
+    // 4 appear in doc 1; doc 3 shares none of them (its overlap with
+    // eval is only the 2-gram region) — both hash modes must agree
+    for (portable <- Seq(true, false)) {
+      val got = Dedup.containmentPairs(train, ev, "doc_id", col("text"),
+          shingleSize = 3, minShared = 3, portable = portable)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 10L, 4L)), s"portable=$portable: $got")
+    }
+    // broadcast off: same answer through the shuffled-join path
+    val shuffled = Dedup.containmentPairs(train, ev, "doc_id", col("text"),
+        shingleSize = 3, minShared = 3, broadcastEval = false)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(shuffled == Set((1L, 10L, 4L)))
+  }
+
+  test("chunkTokens: short doc is one chunk; stride windows clamp at the end") {
+    val df = Seq((1L, "a b c"), (2L, (1 to 10).map("t" + _).mkString(" ")))
+      .toDF("id", "text")
+    val out = df.select(col("id"),
+        posexplode(TextAnalysis.chunkTokens(
+          TextAnalysis.tokens(col("text")), 4, 3)))
+      .select(col("id"), col("pos"), array_join(col("col"), " "))
+      .as[(Long, Int, String)].collect().toSet
+    assert(out == Set(
+      (1L, 0, "a b c"),                       // n <= window: whole doc
+      (2L, 0, "t1 t2 t3 t4"), (2L, 1, "t4 t5 t6 t7"),
+      (2L, 2, "t7 t8 t9 t10")))               // clamped final window
+  }
+
   test("countMinSketch estimates are exact when width avoids collisions") {
     val occ = (Seq.fill(30)("alpha") ++ Seq.fill(7)("beta") ++ Seq("gamma"))
       .toDF("w")
