@@ -115,6 +115,24 @@ object Queries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           dateFmt(col("o_orderdate")).as("o_orderdate"))
     }),
+    "q_date_slice_cast" -> ((s, dir) => {
+      // F1 in the reference's OWN index-defeating form — CAST(ts AS
+      // DATE) = d (mssql_to_postgresql_orders_daily.py:199). The
+      // injected optimizer rule (plans.RewriteDateCastEquality, wired
+      // via SparkSessionExtensions) rewrites it to the sargable
+      // half-open range; the query proves the predicate reached the
+      // parquet scan's PushedFilters, which the cast form never does.
+      val q = Tables.orders(s, dir)
+        .filter(col("o_orderdate").cast(DateType) ===
+          lit("1996-03-15").cast(DateType))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          dateFmt(col("o_orderdate")).as("o_orderdate"))
+      val plan = q.queryExecution.executedPlan.toString
+      require(plan.contains("GreaterThanOrEqual(o_orderdate") &&
+        plan.contains("LessThan(o_orderdate"),
+        s"date-cast rewrite must reach PushedFilters:\n$plan")
+      q
+    }),
     "q_null_route_incomplete" -> ((s, dir) => {
       // S2/F2: IS NULL branch → side table (full-refresh payload).
       routedOrders(s, dir)
@@ -1519,6 +1537,12 @@ object Queries {
     "q_pack_sequences" -> packSequencesOracle,
     "q_text_chunks" -> textChunksOracle,
     "q_decontaminate" -> decontaminateOracle,
+    "q_date_slice_cast" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        | strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) = DATE '1996-03-15'"""
+        .stripMargin,
     "q_io_roundtrip" ->
       """SELECT f.fmt, o_orderstatus,
         | count(*) AS n,
