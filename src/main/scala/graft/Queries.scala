@@ -932,6 +932,15 @@ object Queries {
           dsum(col("o_totalprice")).as("price_sum"),
           max(col("o_orderdate")).as("last_date"))
     }),
+    "q_text_surprisal" -> ((s, dir) => {
+      // Unigram-LM quality score: per-doc mean −ln p(tok) under the
+      // corpus's own token distribution (low = boilerplate, high =
+      // rare-token noise; pipelines threshold both tails). Per-token
+      // surprisals round to 6 dp then sum as DECIMAL, so the mean is
+      // order-independent and the DuckDB ln() replica matches.
+      TextAnalysis.unigramSurprisal(
+        Tables.documents(s, dir), "doc_id", col("text"))
+    }),
     "q_text_chunks" -> ((s, dir) => {
       // Retrieval-prep chunking: 12-token windows every 8 tokens,
       // last window clamped (never an empty tail chunk). Row-local
@@ -1537,6 +1546,17 @@ object Queries {
     "q_pack_sequences" -> packSequencesOracle,
     "q_text_chunks" -> textChunksOracle,
     "q_decontaminate" -> decontaminateOracle,
+    "q_text_surprisal" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY tok),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+         |s AS (SELECT doc_id,
+         |  CAST(round(ln(CAST(n.n AS DOUBLE)) - ln(CAST(f.c AS DOUBLE)), 6)
+         |   AS DECIMAL(18,6)) AS s
+         | FROM t JOIN f USING (tok) CROSS JOIN n)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         | round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS mean_surprisal
+         |FROM s GROUP BY doc_id""".stripMargin,
     "q_date_slice_cast" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
         | strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate

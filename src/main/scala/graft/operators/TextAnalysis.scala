@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -123,6 +123,39 @@ object TextAnalysis {
   def fingerprintRolling(text: Column): Column =
     graft.functions.GraftFunctions.polyHash(
       regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Per-document mean unigram surprisal — the simplest
+    * language-model quality score: how "surprising" a doc's tokens
+    * are under the corpus's own unigram distribution
+    * (mean of −ln p(tok) = ln N − ln c_tok over token occurrences).
+    * Boilerplate and keyword-stuffed docs score low, rare-token noise
+    * scores high; real pipelines threshold both tails.
+    *
+    * Scale shape: one groupBy(token) for the frequency table, one
+    * join back on token (broadcast when the vocab is small, shuffle
+    * otherwise), one groupBy(doc). Determinism: each token's
+    * surprisal is rounded to 6 dp then summed as DECIMAL — the mean
+    * is order-independent and engine-portable (the dsum rule).
+    *
+    * Returns (idCol, n_tok, mean_surprisal). */
+  def unigramSurprisal(
+      docs: DataFrame,
+      idCol: String,
+      text: Column): DataFrame = {
+    val occ = docs.select(col(idCol), explode(tokens(lower(text))).as("__tok"))
+    val freq = occ.groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+    val total = occ.agg(count(lit(1)).as("__n"))
+    occ.join(freq, "__tok")
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        round(log(col("__n").cast(DoubleType)) -
+          log(col("__c").cast(DoubleType)), 6)
+          .cast(DecimalType(18, 6)).as("__s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        round(sum(col("__s")).cast(DoubleType) / count(lit(1)), 6)
+          .as("mean_surprisal"))
+  }
 
   /** Sliding token windows for retrieval/context prep: chunks of
     * `window` tokens every `stride` tokens, the last window clamped at
