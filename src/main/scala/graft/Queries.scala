@@ -115,6 +115,22 @@ object Queries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           dateFmt(col("o_orderdate")).as("o_orderdate"))
     }),
+    "q_sort_topk_global" -> ((s, dir) => {
+      // Global top-k without a global sort: orderBy+limit plans as
+      // TakeOrderedAndProject (per-partition heaps, driver merges k
+      // rows) — the scale-safe form of "highest-value 100 orders";
+      // a full orderBy would range-shuffle the entire table. Ties
+      // broken by key so the k-set is deterministic. Asserted on the
+      // plan.
+      val q = Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val plan = q.queryExecution.executedPlan.toString
+      require(plan.contains("TakeOrderedAndProject"),
+        s"global top-k must not full-sort:\n$plan")
+      q
+    }),
     "q_date_slice_cast" -> ((s, dir) => {
       // F1 in the reference's OWN index-defeating form — CAST(ts AS
       // DATE) = d (mssql_to_postgresql_orders_daily.py:199). The
@@ -1557,6 +1573,10 @@ object Queries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
          | round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS mean_surprisal
          |FROM s GROUP BY doc_id""".stripMargin,
+    "q_sort_topk_global" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"""
+        .stripMargin,
     "q_date_slice_cast" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
         | strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
