@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
@@ -185,6 +185,95 @@ case class SrpSignaturePortable(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** Native dot product over two `array<float|double>` columns, double
+  * math, one codegen'd loop.
+  *
+  * Replaces `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, +)` — two
+  * interpreted lambda frames per element and a materialized product
+  * array per row — as the kernel under every cosine/norm in
+  * [[graft.operators.Similarity]].
+  *
+  * Exact-equivalence contract with the HOF chain it replaces (the
+  * oracles replicate that arithmetic):
+  *  - element products and the sum accumulate LEFT-TO-RIGHT in
+  *    ascending index as doubles — identical IEEE-754 order;
+  *  - mismatched lengths → NULL (zip_with null-pads the shorter side,
+  *    the null product poisons the fold);
+  *  - a NULL element → NULL (same poisoning);
+  *  - two empty arrays → 0.0 (empty fold = the seed).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ArrayType(et, _) =>
+      et == org.apache.spark.sql.types.FloatType ||
+        et == org.apache.spark.sql.types.DoubleType
+    case _ => false
+  }
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_dot requires two array<float|double> arguments, got " +
+          s"${left.dataType} and ${right.dataType}")
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.FloatType
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (isFloat(left)) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (isFloat(right)) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c1, c2) => {
+      val n = ctx.freshName("dotN")
+      val i = ctx.freshName("dotI")
+      val acc = ctx.freshName("dotAcc")
+      val bad = ctx.freshName("dotNull")
+      val getA = if (isFloat(left)) s"(double) $c1.getFloat($i)"
+        else s"$c1.getDouble($i)"
+      val getB = if (isFloat(right)) s"(double) $c2.getFloat($i)"
+        else s"$c2.getDouble($i)"
+      s"""
+         |int $n = $c1.numElements();
+         |double $acc = 0.0;
+         |boolean $bad = ($c2.numElements() != $n);
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($c1.isNullAt($i) || $c2.isNullAt($i)) { $bad = true; break; }
+         |    $acc += ($getA) * ($getB);
+         |  }
+         |}
+         |${ev.isNull} = $bad;
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftFunctions {
   /** Portable rolling hash as a Column (see [[PolyHash]]). */
   def polyHash(c: Column): Column =
@@ -199,4 +288,9 @@ object GraftFunctions {
       GraftColumnBridge.column(
         SrpSignaturePortable(GraftColumnBridge.expression(c), bits)),
       org.apache.spark.sql.functions.lit(0L))
+
+  /** Native dot product as a Column (see [[DotProduct]]). */
+  def dot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotProduct(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

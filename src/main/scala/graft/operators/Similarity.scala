@@ -19,12 +19,12 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Dot product of two array<float/double> columns (double math). */
+  /** Dot product of two array<float/double> columns (double math) —
+    * the native codegen'd [[graft.functions.DotProduct]] kernel,
+    * value-identical (same left-to-right IEEE order, same NULL
+    * poisoning) to the `aggregate(zip_with(...))` fold it replaced. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0),
-      (acc, x) => acc + x)
+    graft.functions.GraftFunctions.dot(a, b)
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))

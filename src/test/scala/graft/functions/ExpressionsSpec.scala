@@ -86,6 +86,40 @@ class ExpressionsSpec extends SparkSpecBase {
     assert(cmp.count(_.isNullAt(0)) == 0)
   }
 
+  test("DotProduct equals the zip_with/aggregate fold, incl. edge cases") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val rows: Seq[(Array[Float], Array[Float])] =
+      Seq.tabulate(50)(i =>
+        (Array.fill(64)(rnd.nextFloat() * 2 - 1),
+         Array.fill(64)(rnd.nextFloat() * 2 - 1))) ++ Seq(
+        (Array.empty[Float], Array.empty[Float]),   // empty → 0.0
+        (Array(1f, 2f), Array(3f)),                 // length mismatch → NULL
+        (null, Array(1f, 2f)))                      // NULL array → NULL
+    val df = rows.toDF("a", "b")
+    val hof = aggregate(
+      zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val cmp = df.select(
+      GraftFunctions.dot(col("a"), col("b")).as("native"), hof.as("old"))
+      .collect()
+    cmp.zipWithIndex.foreach { case (r, i) =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"row $i nullability differs")
+      if (!r.isNullAt(0))
+        // bit-identical, not approximately equal: same IEEE fold order
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)), s"row $i")
+    }
+    // null ELEMENT poisons: build via sql to get a null-containing array
+    val withNullElem = spark.sql(
+      "SELECT array(CAST(1.0 AS DOUBLE), NULL) AS a, " +
+        "array(CAST(2.0 AS DOUBLE), CAST(3.0 AS DOUBLE)) AS b")
+    assert(withNullElem
+      .select(GraftFunctions.dot(col("a"), col("b"))).collect()(0).isNullAt(0))
+  }
+
   test("interpreted eval agrees with the codegen path") {
     // Literal folding runs the interpreted eval; a column over a
     // DataFrame runs whole-stage codegen — both must agree.
