@@ -397,6 +397,39 @@ object Queries {
           ev.filter(!eventsFirstHalf(col("ts")))
             .select("event_type").distinct())
     }),
+    "q_join_semi_anti" -> ((s, dir) => {
+      // LEFT SEMI + LEFT ANTI in one flow: customers active in March
+      // 1996 (semi — no row multiplication, the build side dedups)
+      // who went silent in April (anti). The reference's "match
+      // exists" checks are exactly this shape done in SQL strings.
+      val orders = Tables.orders(s, dir)
+      def monthKeys(m: String, next: String) = orders
+        .filter(col("o_orderdate") >= lit(m).cast(TimestampType) &&
+          col("o_orderdate") < lit(next).cast(TimestampType))
+        .select(col("o_custkey"))
+      Tables.customer(s, dir)
+        .join(monthKeys("1996-03-01", "1996-04-01"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .join(monthKeys("1996-04-01", "1996-05-01"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("bal_sum"))
+    }),
+    "q_set_except" -> ((s, dir) => {
+      // EXCEPT (set difference with dedup): (event_type, user bucket)
+      // combinations seen in the first half of the stream but never
+      // again — churn detection as a set operation. Spark plans
+      // EXCEPT as a left-anti join over distincts; the oracle uses
+      // native EXCEPT.
+      val ev = Tables.events(s, dir)
+      def half(pred: Column) = ev.filter(pred)
+        .select(col("event_type"), (col("user_id") % 50).as("user_bucket"))
+        .distinct()
+      half(eventsFirstHalf(col("ts")))
+        .except(half(!eventsFirstHalf(col("ts"))))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_churned_buckets"))
+    }),
     "q_event_windows" -> ((s, dir) => {
       // Tumbling 5-minute windows — the batch-equivalent of the
       // Structured Streaming aggregation in graft.streaming.
