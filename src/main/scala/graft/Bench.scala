@@ -28,13 +28,21 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-bench")
 
+    // Optional args = regexes; run only matching queries (iteration aid
+    // — the driver passes no args and times the full catalog).
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) =>
+        args.exists(a => n.matches(a) || n.contains(a))
+      }
+
     // Warm-up: a representative scan+shuffle, untimed.
     try force(SparkEntry.queries("q_agg_pricing")(spark, sfDir))
     catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up failed: ${e.getMessage}")
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         val err =

@@ -416,19 +416,21 @@ object Queries {
         .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("bal_sum"))
     }),
     "q_set_except" -> ((s, dir) => {
-      // EXCEPT (set difference with dedup): (event_type, user bucket)
-      // combinations seen in the first half of the stream but never
-      // again — churn detection as a set operation. Spark plans
-      // EXCEPT as a left-anti join over distincts; the oracle uses
-      // native EXCEPT.
+      // EXCEPT (set difference with dedup): (event_type, user)
+      // combinations with a high-value event in the first half of the
+      // stream but never again — churn detection as a set operation.
+      // The value floor keeps membership sparse (users emit every
+      // event type in both halves, so an unthresholded difference is
+      // empty at every SF — ADVICE r3). Spark plans EXCEPT as a
+      // left-anti join over distincts; the oracle uses native EXCEPT.
       val ev = Tables.events(s, dir)
-      def half(pred: Column) = ev.filter(pred)
-        .select(col("event_type"), (col("user_id") % 50).as("user_bucket"))
+      def half(pred: Column) = ev.filter(pred && col("value") >= 95)
+        .select(col("event_type"), col("user_id"))
         .distinct()
       half(eventsFirstHalf(col("ts")))
         .except(half(!eventsFirstHalf(col("ts"))))
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_churned_buckets"))
+        .agg(count(lit(1)).as("n_churned_users"))
     }),
     "q_event_windows" -> ((s, dir) => {
       // Tumbling 5-minute windows — the batch-equivalent of the
@@ -463,6 +465,10 @@ object Queries {
       graft.streaming.Streams.runAvailableNow(
         graft.streaming.Streams.sessionCountsState(
           graft.streaming.Streams.eventsStream(s, dir)).toDF, name)
+        // update-mode drain: a session extended across micro-batches is
+        // re-emitted under its (user, start) key — latest extent = max
+        .groupBy(col("user_id"), col("session_start_us"))
+        .agg(max(col("n")).as("n"))
         .groupBy((col("user_id") % 40).as("user_mod"))
         .agg(count(lit(1)).as("n_sessions"),
           max(col("n")).as("max_session_events"),
@@ -1391,6 +1397,28 @@ object Queries {
         |INTERSECT
         |SELECT DISTINCT event_type FROM events
         |WHERE ts >= TIMESTAMP '2024-01-16'""".stripMargin,
+    "q_set_except" ->
+      """SELECT event_type, count(*) AS n_churned_users FROM (
+        | SELECT DISTINCT event_type, user_id FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-16' AND value >= 95
+        | EXCEPT
+        | SELECT DISTINCT event_type, user_id FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-16' AND value >= 95)
+        |GROUP BY 1""".stripMargin,
+    "q_join_semi_anti" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        | round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4)))
+        |   AS DOUBLE), 4) AS bal_sum
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |   AND o.o_orderdate >= TIMESTAMP '1996-03-01'
+        |   AND o.o_orderdate <  TIMESTAMP '1996-04-01')
+        | AND NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |   AND o.o_orderdate >= TIMESTAMP '1996-04-01'
+        |   AND o.o_orderdate <  TIMESTAMP '1996-05-01')
+        |GROUP BY 1""".stripMargin,
     "q_event_windows" ->
       """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts),
         |   '%Y-%m-%d %H:%M:%S') AS window_start,

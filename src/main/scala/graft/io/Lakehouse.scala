@@ -72,7 +72,18 @@ object Lakehouse {
       .write.mode("overwrite").parquet(tmp)
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(hPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath)
+    // Swap via rename-aside, not delete-then-rename: every crash point
+    // leaves a recoverable full copy (old under __compact_old or new
+    // under __compact_tmp) instead of a window where `path` is gone
+    // (ADVICE r3). Directory renames are atomic on HDFS-like stores.
+    val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    if (fs.exists(old)) fs.delete(old, true) // leftover from a crash
+    if (!fs.rename(hPath, old))
+      throw new java.io.IOException(s"compact: rename aside failed: $hPath")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath)) {
+      fs.rename(old, hPath) // restore the canonical location
+      throw new java.io.IOException(s"compact: swap-in failed: $tmp")
+    }
+    fs.delete(old, true)
   }
 }

@@ -332,14 +332,29 @@ object Dedup {
   /** Driver-side union-find for pair sets under the control-plane
     * bound (see [[connectedComponents]]). Same contract: (id,
     * component) with component = the smallest id in the cluster, id
-    * type preserved from the pair columns. */
+    * type preserved from the pair columns. Ids are collected AS-IS —
+    * a LongType cast would null out string ids and diverge from the
+    * distributed path (ADVICE r3); "smallest" uses the same ordering
+    * Spark's `min`/`least` applies to that type. */
   private def localComponents(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     val idType = pairs.schema("a").dataType
-    val edges = pairs.select(col("a").cast(LongType), col("b").cast(LongType))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val parent = scala.collection.mutable.HashMap[Long, Long]()
-    def find(x: Long): Long = {
+    val ord: Ordering[Any] = idType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Ordering.by((x: Any) => x.asInstanceOf[Number].longValue)
+      case FloatType | DoubleType =>
+        Ordering.by((x: Any) => x.asInstanceOf[Number].doubleValue)
+      case StringType => Ordering.by((x: Any) => x.asInstanceOf[String])
+      case _: DecimalType =>
+        Ordering.by((x: Any) => x.asInstanceOf[java.math.BigDecimal])
+      case t => throw new IllegalArgumentException(
+        s"connectedComponents: unsupported id type $t " +
+          "(integral, floating, decimal, or string ids)")
+    }
+    val edges = pairs.select(col("a"), col("b"))
+      .collect().map(r => (r.get(0), r.get(1)))
+    val parent = scala.collection.mutable.HashMap[Any, Any]()
+    def find(x: Any): Any = {
       var r = x
       while (parent.getOrElse(r, r) != r) r = parent(r)
       var c = x // path compression
@@ -349,14 +364,18 @@ object Dedup {
     edges.foreach { case (a, b) =>
       parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
       val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      if (ra != rb) {
+        if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
     }
     // roots are unioned min-first, so find() already yields the
     // smallest id of each cluster
-    val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
-    spark.createDataFrame(rows).toDF("id", "component")
-      .select(col("id").cast(idType).as("id"),
-        col("component").cast(idType).as("component"))
+    import scala.jdk.CollectionConverters._
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      parent.keys.toSeq.sorted(ord)
+        .map(id => org.apache.spark.sql.Row(id, find(id))).asJava
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("id", idType), StructField("component", idType))))
   }
 
   /** Benchmark decontamination: which training docs share at least

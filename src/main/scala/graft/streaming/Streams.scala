@@ -39,13 +39,22 @@ object Streams {
   /** Streaming read of an events directory (the driver testdata file
     * works as a one-file stream); emits the same shape as
     * `Tables.events`: micro-truncated `ts` + exact `ts_ns`. */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
+  def eventsStream(
+      spark: SparkSession,
+      dir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r = spark.readStream
       .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+      .option("pathGlobFilter", glob)
+    // >0 caps files per micro-batch — lets tests drive a multi-batch
+    // drain (one file = one batch) through the stateful operators
+    val r2 = if (maxFilesPerTrigger > 0)
+      r.option("maxFilesPerTrigger", maxFilesPerTrigger) else r
+    r2.parquet(dir)
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
 
   /** Watermarked 5-minute windowed aggregation per event type — the
     * incremental form of the engine's q_event_windows batch query.
@@ -98,22 +107,33 @@ object Streams {
       }
   }
 
-  final case class SessionOut(user_id: Long, n: Long)
+  final case class SessionOut(user_id: Long, session_start_us: Long, n: Long)
+
+  /** The open trailing session carried across micro-batches. */
+  final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
 
   /** Gap-based streaming sessionization via flatMapGroupsWithState —
     * the custom-state path. Spark's built-in `session_window` only
     * streams in APPEND mode, which emits a session only after the
     * watermark passes its close: in a bounded drain (AvailableNow)
     * the final sessions can never flush. This operator instead emits
-    * every session of the micro-batch immediately (update-mode
-    * semantics: later batches may re-emit a session extended by new
-    * events; `lastTsUs` state carries the continuation point).
+    * every session the micro-batch touched immediately, keyed by
+    * `(user_id, session_start_us)` — update-mode semantics: a session
+    * extended by a later batch is RE-emitted under the same key with a
+    * larger `n`, so consumers take the latest (= max) `n` per key. The
+    * carried [[OpenSession]] state makes a session spanning two
+    * micro-batches ONE session (ADVICE r3: the state must be read, not
+    * just written).
     *
     * Break rule matches the batch `session_window` exactly: a gap ≥
     * `gapMs` starts a new session, compared at MICROsecond precision
-    * (the grain of the batch query's `ts`). Per-user batch events are
-    * sorted in memory — bounded by one user's events per micro-batch,
-    * hash-partitioned across executors. */
+    * (the grain of the batch query's `ts`). Batches are assumed
+    * time-ordered across files (the daily-extract replay shape); a
+    * late event older than the carried continuation point joins the
+    * open session rather than retroactively splitting closed ones.
+    * Per-user batch events are sorted in memory — bounded by one
+    * user's events per micro-batch, hash-partitioned across
+    * executors. */
   def sessionCountsState(
       events: DataFrame,
       gapMs: Long = 10 * 60 * 1000L)(
@@ -130,19 +150,23 @@ object Streams {
       .flatMapGroupsWithState(
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (user: Long, rows: Iterator[(Long, Long)],
-         state: GroupState[Long]) =>
+         state: GroupState[OpenSession]) =>
           val ts = rows.map(_._2).toArray.sorted
-          val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-          var n = 0L
-          var prev = Long.MinValue
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var cur: OpenSession = state.getOption.orNull
           ts.foreach { t =>
-            if (n > 0 && t - prev >= gapUs) { out += n; n = 0 }
-            n += 1
-            prev = t
+            if (cur == null) cur = OpenSession(t, t, 1L)
+            else if (t - cur.lastUs >= gapUs) {
+              out += SessionOut(user, cur.startUs, cur.n) // closed final
+              cur = OpenSession(t, t, 1L)
+            } else cur = OpenSession(cur.startUs, math.max(cur.lastUs, t),
+              cur.n + 1L)
           }
-          if (n > 0) out += n
-          if (ts.nonEmpty) state.update(ts.last)
-          out.iterator.map(c => SessionOut(user, c))
+          if (cur != null) {
+            out += SessionOut(user, cur.startUs, cur.n) // current extent
+            state.update(cur)
+          }
+          out.iterator
       }
   }
 

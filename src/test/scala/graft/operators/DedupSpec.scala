@@ -159,4 +159,18 @@ class DedupSpec extends SparkSpecBase {
       (10L to 19L).foreach(i => assert(got(i) == 10L, s"node $i"))
       assert(got.size == 15)
     }
+
+  // string ids must work identically on BOTH paths (ADVICE r3: the
+  // local path used to cast ids to long, nulling out strings)
+  for ((label, threshold) <- Seq(("local union-find", 1L << 20),
+                                 ("distributed propagation", 0L)))
+    test(s"connectedComponents ($label): string ids, lexicographic min label") {
+      import spark.implicits._
+      val pairs = Seq(("docB", "docE"), ("docC", "docE"), ("docX", "docY"))
+        .toDF("a", "b")
+      val got = Dedup.connectedComponents(pairs, localThreshold = threshold)
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      assert(got == Map("docB" -> "docB", "docC" -> "docB",
+        "docE" -> "docB", "docX" -> "docX", "docY" -> "docX"))
+    }
 }

@@ -53,6 +53,9 @@ class StreamsSpec extends SparkSpecBase {
     val streamed = Streams.runAvailableNow(
       Streams.sessionCountsState(Streams.eventsStream(spark, dir)).toDF,
       "sess_drain")
+      // latest extent per (user, session start) supersedes re-emissions
+      .groupBy(col("user_id"), col("session_start_us"))
+      .agg(max(col("n")).as("n"))
       .groupBy(col("user_id")).agg(
         count(lit(1)).as("n_sessions"),
         sum(col("n")).as("n_events"))
@@ -65,6 +68,46 @@ class StreamsSpec extends SparkSpecBase {
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
     assert(streamed.count() > 0)
+  }
+
+  test("a session spanning two micro-batches is ONE session " +
+    "(carried OpenSession state merges across the batch boundary)") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("sess_mb").toFile
+    val min = 60L * 1000 * 1000 * 1000 // ns
+    def writeFile(name: String, tsNs: Seq[Long], modTime: Long): Unit = {
+      val stage = new java.io.File(tmp, s"__stage_$name")
+      tsNs.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, 7L, "click", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage.getPath)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(tmp, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(modTime)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    // batch 1: events at 0min, 1min — open session carried in state;
+    // batch 2: 2min continues it (gap 1min < 10min), 20min breaks it
+    val t0 = System.currentTimeMillis()
+    writeFile("a.parquet", Seq(0L * min, 1L * min), t0 - 60000)
+    writeFile("b.parquet", Seq(2L * min, 20L * min), t0)
+    val raw = Streams.runAvailableNow(
+      Streams.sessionCountsState(Streams.eventsStream(
+        spark, tmp.getPath, glob = "*.parquet", maxFilesPerTrigger = 1)).toDF,
+      "sess_multibatch")
+    // the drain really split into ≥2 micro-batches: the spanning
+    // session was emitted more than once under its key (n=2 then n=3)
+    assert(raw.filter(col("session_start_us") === 0L).count() >= 2,
+      s"expected re-emission across batches:\n${raw.collect().mkString("\n")}")
+    val finalSessions = raw
+      .groupBy(col("session_start_us")).agg(max(col("n")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ONE merged session of 3 events + one singleton — NOT (2,1,1)
+    assert(finalSessions == Map(0L -> 3L, 20L * min / 1000 -> 1L),
+      s"got $finalSessions")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
   test("flatMapGroupsWithState carries per-user LWW state") {
