@@ -1032,6 +1032,53 @@ object Queries {
           col("doc_id"), target = 60, seed = 9)
         .select(col("doc_id"), col("lang"))
     }),
+    "q_sample_cap" -> ((s, dir) => {
+      // Domain capping: at most 10 docs per source, survivors chosen
+      // by deterministic id-hash rank (no rand()) — no single domain
+      // may dominate the mix, and the exact member set replays on any
+      // engine. One shuffle on source + a per-partition rank.
+      Sampling.capPerStratum(Tables.documents(s, dir), Seq("source"),
+          col("doc_id"), cap = 10, seed = 11)
+        .select(col("source"), col("doc_id"))
+    }),
+    "q_text_tfidf" -> ((s, dir) => {
+      // TF-IDF keyword extraction: top-3 terms per doc. The idf is
+      // rounded and FIXED as DECIMAL before the tf multiply, so
+      // scores — and therefore ranks — are exact decimal arithmetic,
+      // engine-portable (ties break by term asc).
+      TextAnalysis.tfIdfTopK(Tables.documents(s, dir), "doc_id",
+        col("text"), k = 3)
+    }),
+    "q_text_pmi" -> ((s, dir) => {
+      // Collocation mining: global top-30 bigrams by PMI (≥5
+      // occurrences). Five ln-of-exact-integer terms summed then
+      // rounded 6 dp; top-k is a TakeOrderedAndProject, not a full
+      // sort.
+      TextAnalysis.pmiCollocations(Tables.documents(s, dir), col("text"),
+        minCount = 5, k = 30)
+    }),
+    "q_partition_prune" -> ((s, dir) => {
+      // Partition pruning end-to-end: write orders Hive-partitioned by
+      // month (one file per partition — writePartitioned's small-file
+      // discipline), read back filtered on the partition column, and
+      // PROVE the scan pruned (PartitionFilters in the executed plan)
+      // before aggregating. The oracle recomputes from the raw
+      // parquet, so a partition-mangled value (type inference, NULL
+      // dir) would diverge.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+      graft.io.Lakehouse.writePartitioned(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("o_month")),
+        tmp, Seq("o_month"))
+      val back = s.read.parquet(tmp).filter(col("o_month") === "1996-03")
+      val plan = back.queryExecution.executedPlan.toString
+      require(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*o_month[^\\]]*\\].*"),
+        s"partitioned read must prune on o_month:\n$plan")
+      back.groupBy(col("o_month"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
+          dsum(col("o_totalprice")).as("price_sum"))
+    }),
     "q_multimodal_meta" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("source"), octet_length(col("text")).as("bytes"))
@@ -1620,6 +1667,17 @@ object Queries {
     "q_session_window" -> sessionWindowOracle,
     "q_sketch_heavy_hitters" -> cmsHeavyHittersOracle,
     "q_sample_stratified" -> stratifiedSampleOracle,
+    "q_sample_cap" -> sampleCapOracle,
+    "q_text_tfidf" -> tfIdfOracle,
+    "q_text_pmi" -> pmiOracle,
+    "q_partition_prune" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderstatus,
+        | count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |  AS price_sum
+        |FROM orders
+        |WHERE strftime(o_orderdate, '%Y-%m') = '1996-03'
+        |GROUP BY 1, 2""".stripMargin,
     "q_pack_sequences" -> packSequencesOracle,
     "q_text_chunks" -> textChunksOracle,
     "q_decontaminate" -> decontaminateOracle,
@@ -1970,6 +2028,66 @@ object Queries {
   /** Replica of the deterministic stratified sampler: same affine
     * bucket of doc_id (seed 9), same integer floor-division keep
     * threshold (DuckDB `//` = Spark `div` on BIGINT). */
+  /** Replica of capPerStratum: same affine id-bucket (seed 11), same
+    * (bucket, id) rank, same cap-10 cut. */
+  private def sampleCapOracle: String = {
+    val bucket =
+      s"(${affineSql(11, s"(doc_id % $M)")} % ${graft.operators.Sampling.Buckets})"
+    s"""SELECT source, doc_id FROM (
+       | SELECT source, doc_id,
+       |  row_number() OVER (PARTITION BY source
+       |   ORDER BY $bucket ASC, doc_id ASC) AS rk
+       | FROM documents) WHERE rk <= 10""".stripMargin
+  }
+
+  /** Replica of tfIdfTopK: same tokenization, the idf rounded and
+    * fixed as DECIMAL(18,6) before the integral tf multiply (exact
+    * decimal scores ⇒ identical ranks), same (score desc, term asc)
+    * top-3 window. */
+  private def tfIdfOracle: String =
+    s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       | FROM t GROUP BY 1, 2),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+       | FROM documents),
+       |s AS (SELECT doc_id, term, tf, df,
+       |  CAST(tf * CAST(round(ln(CAST(n.n AS DOUBLE)) -
+       |    ln(CAST(df AS DOUBLE)), 6) AS DECIMAL(18,6)) AS DECIMAL(18,6))
+       |   AS sc
+       | FROM tf JOIN df USING (term) CROSS JOIN n),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |  ORDER BY sc DESC, term ASC) AS rk FROM s)
+       |SELECT doc_id, term, tf, df, CAST(sc AS DOUBLE) AS score,
+       | CAST(rk AS BIGINT) AS rk
+       |FROM r WHERE rk <= 3""".stripMargin
+
+  /** Replica of pmiCollocations: same bigram extraction (adjacent
+    * token pairs with multiplicity), same five-ln formula in the same
+    * left-associative order, same ≥5 cut and (pmi desc, w1, w2)
+    * top-30. */
+  private def pmiOracle: String =
+    s"""WITH tk AS (SELECT $toksSql AS toks FROM documents),
+       |bgf AS (SELECT bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+       |  SELECT unnest(list_transform(range(1, len(toks)),
+       |    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg
+       |  FROM tk WHERE len(toks) >= 2)),
+       |u AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS cw FROM (
+       |  SELECT unnest(toks) AS tok FROM tk) GROUP BY 1),
+       |cab AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab
+       | FROM bgf GROUP BY 1, 2 HAVING count(*) >= 5),
+       |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM bgf),
+       |uu AS (SELECT CAST(sum(cw) AS BIGINT) AS u FROM u)
+       |SELECT w1, w2, n_ab,
+       | round(ln(CAST(n_ab AS DOUBLE)) + 2 * ln(CAST(uu.u AS DOUBLE)) -
+       |  ln(CAST(tt.t AS DOUBLE)) - ln(CAST(ca.cw AS DOUBLE)) -
+       |  ln(CAST(cb.cw AS DOUBLE)), 6) AS pmi
+       |FROM cab
+       | JOIN u ca ON cab.w1 = ca.w
+       | JOIN u cb ON cab.w2 = cb.w
+       | CROSS JOIN tt CROSS JOIN uu
+       |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 30""".stripMargin
+
   private def stratifiedSampleOracle: String = {
     val bucket =
       s"(${affineSql(9, s"(doc_id % $M)")} % ${graft.operators.Sampling.Buckets})"

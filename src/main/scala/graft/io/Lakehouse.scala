@@ -62,6 +62,23 @@ object Lakehouse {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
 
+  /** Hive-style partitioned parquet write with small-file discipline:
+    * repartitioning ON the partition columns first lands each
+    * partition's rows in one task, so the layout is one file per
+    * partition instead of tasks×partitions fragments — at 100 TB the
+    * difference between a prunable table and a small-file explosion.
+    * Readers filtering on the partition columns scan only matching
+    * directories (`PartitionFilters` in the plan; no data files of
+    * other partitions are even listed). */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partCols: Seq[String]): Unit =
+    df.repartition(partCols.map(col): _*)
+      .write.mode("overwrite")
+      .partitionBy(partCols: _*)
+      .parquet(path)
+
   /** Compact a fragmented parquet directory to `nFiles` outputs —
     * small-file management, the perpetual lakehouse chore: a directory
     * with thousands of tiny files wastes scan tasks and footer reads.

@@ -59,4 +59,33 @@ object Sampling {
       .filter(idBucket(idCol, seed) < thr)
       .drop("__ns")
   }
+
+  /** Keep at most `cap` rows per stratum — EXACTLY `cap` for strata
+    * over it (domain capping: no single domain/source may dominate the
+    * training mix, the complement of [[stratifiedSample]]'s rate-based
+    * thinning). Which rows survive is a pure function of the row id:
+    * rows rank by ([[idBucket]], id) inside their stratum and the
+    * first `cap` win — reproducible across runs, retries, and engines.
+    *
+    * Cost = one hash shuffle on the strata columns + a per-partition
+    * sort (the `row_number` window); no second pass, no rate
+    * estimation. A stratum's rows sort within one task — fine while
+    * every stratum fits a task's spill budget (domains at 100 TB:
+    * millions of rows, sorts fine); a pathological mega-stratum would
+    * call for a two-level pre-cap (cap per (stratum, idBucket band))
+    * before the exact rank. */
+  def capPerStratum(
+      df: DataFrame,
+      strataCols: Seq[String],
+      idCol: Column,
+      cap: Int,
+      seed: Int = 0): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(idBucket(idCol, seed).asc, idCol.asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap)
+      .drop("__rk")
+  }
 }

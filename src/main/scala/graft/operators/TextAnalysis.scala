@@ -173,4 +173,99 @@ object TextAnalysis {
       sequence(lit(0L), k * stride, lit(stride.toLong)),
       s => slice(toks, (s + 1).cast(IntegerType), lit(window)))
   }
+
+  /** TF-IDF keyword extraction: the top-`k` terms of every document by
+    * `tf · (ln N − ln df)` (N = corpus doc count, df = docs containing
+    * the term), ties broken by term ascending.
+    *
+    * Scale shape: term frequencies are one map-side-combined shuffle
+    * on (doc, term); document frequencies aggregate FROM the tf frame
+    * (term-level, far smaller than the token stream) and join back on
+    * term — vocabulary-sized, so it stays a shuffle join (a 100 TB
+    * corpus's vocab does not broadcast); the scalar N broadcasts. The
+    * final per-doc top-k is one row_number window on the doc key.
+    *
+    * Determinism (the dsum discipline): the idf is rounded to 6 dp
+    * and fixed as DECIMAL(18,6), then multiplied by the integral tf —
+    * exact decimal arithmetic, so scores and therefore ranks are
+    * engine-portable; only the display cast back to double rounds.
+    *
+    * Returns (idCol, term, tf, df, score, rk), rk ∈ [1, k]. */
+  def tfIdfTopK(
+      docs: DataFrame,
+      idCol: String,
+      text: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val tf = docs
+      .select(col(idCol), explode(tokens(lower(text))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct(col(idCol)).as("__n"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("__score",
+        (col("tf") * round(log(col("__n").cast(DoubleType)) -
+          log(col("df").cast(DoubleType)), 6).cast(DecimalType(18, 6)))
+          .cast(DecimalType(18, 6)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("__score").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("__score").cast(DoubleType).as("score"),
+        col("rk").cast(LongType).as("rk"))
+  }
+
+  /** Bigram collocation mining by pointwise mutual information:
+    * PMI(a,b) = ln p(a,b) − ln p(a) − ln p(b) computed from corpus
+    * unigram/bigram counts as `ln c_ab + 2·ln U − ln T − ln c_a −
+    * ln c_b` (U = total unigram occurrences, T = total bigram
+    * occurrences) — all five terms are ln of exact integers, summed
+    * then rounded to 6 dp, so both engines see identical values.
+    * Bigrams under `minCount` occurrences are cut (PMI of rare pairs
+    * is noise), and the global top-`k` is ordered (pmi desc, bigram
+    * asc) — a TakeOrderedAndProject, never a full result sort.
+    *
+    * Scale shape: one shuffle each for bigram and unigram counts
+    * (both map-side combined); the unigram table joins the
+    * `minCount`-filtered bigram table twice on a word key —
+    * vocabulary-sized shuffle joins; the two scalar totals broadcast.
+    *
+    * Returns (w1, w2, n_ab, pmi) — the top-`k` collocations. */
+  def pmiCollocations(
+      docs: DataFrame,
+      text: Column,
+      minCount: Int,
+      k: Int): DataFrame = {
+    require(minCount > 0 && k > 0, "minCount and k must be positive")
+    val toks = docs.select(tokens(lower(text)).as("__tk"))
+      .filter(size(col("__tk")) >= 2)
+    val bigrams = toks.select(explode(expr(
+        "transform(sequence(0, size(__tk) - 2), " +
+          "i -> struct(__tk[i] AS w1, __tk[i + 1] AS w2))")).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+    val uni = docs.select(explode(tokens(lower(text))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val bg = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val totals = bigrams.agg(count(lit(1)).as("__t"))
+      .crossJoin(uni.agg(sum(col("cw")).as("__u")))
+    bg.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("cw", "ca"),
+        Seq("w1"))
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("cw", "cb"),
+        Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_ab"),
+        round(log(col("n_ab").cast(DoubleType)) +
+          lit(2d) * log(col("__u").cast(DoubleType)) -
+          log(col("__t").cast(DoubleType)) -
+          log(col("ca").cast(DoubleType)) -
+          log(col("cb").cast(DoubleType)), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
 }

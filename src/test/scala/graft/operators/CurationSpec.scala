@@ -27,6 +27,51 @@ class CurationSpec extends SparkSpecBase {
     assert(again == first)
   }
 
+  test("capPerStratum: over-cap strata cut to exactly cap, small kept whole") {
+    val df = ((1L to 100L).map(i => (i, "big")) ++
+      (101L to 103L).map(i => (i, "small"))).toDF("id", "s")
+    val out = Sampling.capPerStratum(df, Seq("s"), col("id"), cap = 10)
+      .groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("big" -> 10L, "small" -> 3L))
+    // determinism: the survivor SET replays exactly
+    def ids() = Sampling.capPerStratum(df, Seq("s"), col("id"), 10)
+      .select("id").as[Long].collect().toSet
+    assert(ids() == ids())
+  }
+
+  test("tfIdfTopK: corpus-wide terms score zero, rare terms rank first") {
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "the dog ran"), (3L, "the cat ran"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfTopK(docs, "doc_id", col("text"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(4),
+        r.getLong(5)))
+    // "the" appears in every doc → idf = ln(3/3) = 0 → never top-ranked
+    assert(!out.exists { case (_, t, _, rk) => t == "the" && rk == 1 })
+    // doc 1's rank-1 term is its unique word "sat" (df=1, max idf)
+    assert(out.collect { case (1L, t, _, 1L) => t }.head == "sat")
+    // scores are non-increasing within a doc
+    out.groupBy(_._1).values.foreach { rows =>
+      val byRank = rows.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("pmiCollocations: a fixed phrase outranks independent pairs") {
+    // "new york" adjacent in every doc; "a b" adjacent in only half
+    val rows = (1 to 10).map(i => (i.toLong, "new york a b x")) ++
+      (11 to 20).map(i => (i.toLong, "a new york b x"))
+    val docs = rows.toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, col("text"),
+        minCount = 5, k = 5)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(3)))
+    val m = out.toMap
+    assert(m.contains(("new", "york")), s"got ${out.mkString(",")}")
+    // the always-adjacent pair beats the half-the-time pair
+    assert(m(("new", "york")) > m.getOrElse(("a", "b"), Double.MinValue))
+  }
+
   test("packSequences: overflow opens a new bin; oversized doc gets its own") {
     // one shard (nShards=1): ids in order with token counts
     // 6,5,12,2,3 at capacity 10 → bins [6],[5],[12],[2,3]
