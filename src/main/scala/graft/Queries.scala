@@ -927,6 +927,56 @@ object Queries {
           graft.functions.KmvSketch.estimate(col("kmv"), k, Dedup.PortableMod)
             .as("kmv_estimate"))
     }),
+    "q_sketch_union" -> ((s, dir) => {
+      // KMV mergeability — WHY sketches are the 100 TB shape: the
+      // global sketch is assembled from per-source sketches alone
+      // (explode → distinct → k smallest), never re-touching the
+      // corpus; partial sketches combine associatively across
+      // partitions, days, tiers. The merged estimate is provably the
+      // sketch of the union (any of the union's k minima is among its
+      // source's k minima), which is exactly what the oracle computes
+      // directly from the global hash set.
+      val k = 64
+      val h = graft.functions.KmvSketch.uniformize(
+        TextAnalysis.fingerprintRolling(col("text")))
+      val docs = Tables.documents(s, dir)
+      val perSource = docs.groupBy(col("source"))
+        .agg(graft.functions.KmvSketch.kmvSketchAgg(h, k).as("sk"))
+      val merged = perSource
+        .select(explode(col("sk")).as("h")).distinct()
+        .orderBy(col("h").asc).limit(k)
+        .agg(count(lit(1)).as("__n"), max(col("h")).as("__kth"))
+      val exact = docs.select(h.as("__h")).distinct()
+        .agg(count(lit(1)).as("exact_distinct"))
+      exact.crossJoin(merged)
+        .select(col("exact_distinct"),
+          when(col("__n") < k, col("__n").cast(DoubleType))
+            .otherwise(round(lit((k - 1).toDouble) * Dedup.PortableMod /
+              col("__kth").cast(DoubleType), 6))
+            .as("kmv_estimate"))
+    }),
+    "q_schema_evolution" -> ((s, dir) => {
+      // Schema evolution across parquet generations: generation 1
+      // lacks a column generation 2 added; a mergeSchema read unifies
+      // them with typed NULL padding — the lakehouse form of the
+      // reference's column-alignment step (F6), where new source
+      // columns appear mid-history. The oracle recomputes from the
+      // raw table, so a dropped row or mistyped pad diverges.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toString
+      val orders = Tables.orders(s, dir)
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$tmp/gen=1")
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$tmp/gen=2")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .groupBy(coalesce(col("o_orderstatus"), lit("<pre-evolution>"))
+          .as("status"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
+          dsum(col("o_totalprice")).as("price_sum"))
+    }),
     "q_sketch_heavy_hitters" -> ((s, dir) => {
       // CountMin heavy hitters over the corpus token stream: the
       // bounded-state path to "which tokens dominate the corpus" at
@@ -1739,6 +1789,38 @@ object Queries {
         | CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
         |      ELSE round(63.0 * 1000000007 / kth, 6) END AS kmv_estimate
         |FROM s""".stripMargin,
+    // merged-sketch estimate = sketch of the union (mergeability),
+    // so the oracle computes straight from the global hash set
+    "q_sketch_union" ->
+      """WITH h AS (
+        | SELECT DISTINCT
+        |  (list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        list_filter(string_split(
+        |          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''),
+        |          c -> len(c) > 0),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) * 104729 + 12345)
+        |    % 1000000007 AS h
+        | FROM documents),
+        |r AS (
+        | SELECT h, row_number() OVER (ORDER BY h) AS rn,
+        |  count(*) OVER () AS nd
+        | FROM h),
+        |s AS (SELECT max(nd) AS nd,
+        |  max(CASE WHEN rn = 64 THEN h END) AS kth FROM r)
+        |SELECT nd AS exact_distinct,
+        | CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+        |      ELSE round(63.0 * 1000000007 / kth, 6) END AS kmv_estimate
+        |FROM s""".stripMargin,
+    "q_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
+        |  ELSE '<pre-evolution>' END AS status,
+        | count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |  AS price_sum
+        |FROM orders GROUP BY 1""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT source, count(*) AS n,
         | CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,

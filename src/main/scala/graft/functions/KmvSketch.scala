@@ -91,6 +91,32 @@ object KmvSketch {
   def kmvAgg(hashCol: Column, k: Int): Column =
     udaf(new KmvAggregator(k), Encoders.scalaLong).apply(hashCol)
 
+  /** Variant that FINISHES with the sketch itself (the sorted ≤k min
+    * hashes) instead of the (n, kth) summary — the mergeable form: a
+    * downstream stage unions per-group sketches (explode → distinct →
+    * k smallest) into the sketch of the union without touching the
+    * data again. Mergeability is WHY sketches are the 100 TB shape:
+    * partial sketches combine associatively across partitions, days,
+    * and tiers. */
+  class KmvSketchAggregator(k: Int)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    private val inner = new KmvAggregator(k)
+    override def zero: Array[Long] = inner.zero
+    override def reduce(b: Array[Long], h: Long): Array[Long] =
+      inner.reduce(b, h)
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      inner.merge(a, b)
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: Encoder[Array[Long]] = inner.bufferEncoder
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Aggregate Column: the raw sorted min-hash array (see
+    * [[KmvSketchAggregator]]). */
+  def kmvSketchAgg(hashCol: Column, k: Int): Column =
+    udaf(new KmvSketchAggregator(k), Encoders.scalaLong).apply(hashCol)
+
   /** Distinct-count estimate from the raw sketch struct:
     * exact below k, (k−1)·M/h_k at or above. Plain Column arithmetic so
     * the DuckDB oracle states the same formula. */

@@ -54,4 +54,24 @@ class KmvSketchSpec extends SparkSpecBase {
       .collect()(0).getDouble(0)
     assert(est > 1201 * 0.75 && est < 1201 * 1.25, s"estimate $est")
   }
+
+  test("mergeability: union-and-trim of group sketches equals the " +
+    "sketch of the whole set") {
+    import spark.implicits._
+    val hashed = spark.range(5000)
+      .select((col("id") % 10).as("g"),
+        KmvSketch.uniformize(GraftFunctions.polyHash(
+          pmod(col("id") * 37L, lit(1201L)).cast("string"))).as("h"))
+    // merge per-group sketch ARRAYS relationally: explode → distinct →
+    // 64 smallest — never re-reading the data
+    val merged = hashed.groupBy(col("g"))
+      .agg(KmvSketch.kmvSketchAgg(col("h"), 64).as("sk"))
+      .select(explode(col("sk")).as("h")).distinct()
+      .orderBy(col("h").asc).limit(64)
+      .agg(count(lit(1)), max(col("h"))).collect()(0)
+    val whole = hashed.agg(KmvSketch.kmvAgg(col("h"), 64).as("kmv"))
+      .select(col("kmv.n"), col("kmv.kth")).collect()(0)
+    assert(merged.getLong(0) == whole.getLong(0))
+    assert(merged.getLong(1) == whole.getLong(1))
+  }
 }
