@@ -474,6 +474,23 @@ object Queries {
           max(col("n")).as("max_session_events"),
           sum(col("n") * col("n")).as("sum_sq"))
     }),
+    "q_stream_join" -> ((s, dir) => {
+      // Stream-stream attribution join (clicks ⋈ purchases within 30
+      // minutes, per user), drained with AvailableNow: one pending
+      // file ⇒ one micro-batch ⇒ no watermark eviction before the
+      // join, so the streamed result must equal the batch interval
+      // join the oracle runs. The time-range predicate bounds the
+      // join state at scale (see Streams.clickPurchaseJoin).
+      val name = s"q_stream_join_${streamRun.incrementAndGet()}"
+      graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.clickPurchaseJoin(
+          graft.streaming.Streams.eventsStream(s, dir)), name,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+        .groupBy((col("user_id") % 25).as("user_mod"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("click_id")).as("n_clicks"),
+          dsum(col("purchase_value")).as("value_sum"))
+    }),
     "q_stream_dedup" -> ((s, dir) => {
       // Streaming exact dedup drained with Trigger.AvailableNow: one
       // pending file ⇒ one micro-batch ⇒ the watermark releases
@@ -1533,6 +1550,16 @@ object Queries {
         |FROM events GROUP BY 1, 2""".stripMargin,
     // streaming session drain = batch session assignment
     "q_stream_sessions" -> sessionWindowOracle,
+    // streaming inner interval join = the batch interval join
+    "q_stream_join" ->
+      """SELECT c.user_id % 25 AS user_mod, count(*) AS n_pairs,
+        | count(DISTINCT c.event_id) AS n_clicks,
+        | round(CAST(sum(CAST(p.value AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |  AS value_sum
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |GROUP BY 1""".stripMargin,
     // streaming dedup survivors = batch DISTINCT pairs
     "q_stream_dedup" ->
       """SELECT event_type,

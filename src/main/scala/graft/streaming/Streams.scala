@@ -188,14 +188,87 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Watermarked stream-stream self-join: every click joined to the
+    * same user's purchases within `withinMinutes` AFTER it — the
+    * attribution join, streaming against streaming (neither side is a
+    * static table). The time-range predicate between the two event
+    * times is what lets Spark BOUND the join state: each side keeps
+    * only `watermark + within` of history per key, evicting as the
+    * watermark advances — without it, stream-stream join state grows
+    * forever. Inner joins emit on match (append mode); at 100 TB the
+    * state is hash-partitioned on user_id across executors. */
+  def clickPurchaseJoin(
+      events: DataFrame,
+      withinMinutes: Int = 30,
+      watermark: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("__pu"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+      col("user_id") === col("__pu") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <=
+          col("click_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .drop("__pu")
+  }
+
+  /** Continuous JDBC upsert via foreachBatch: each micro-batch MERGEs
+    * into the target with the daily pipeline's upsert semantics — the
+    * streaming form of the reference's nightly MERGE (the same sync,
+    * continuously instead of on a schedule). foreachBatch hands the
+    * engine's BATCH sink an ordinary DataFrame, so the whole sink
+    * stack — staging table, per-partition transactions, LWW/insert-only
+    * clause generation — is reused unchanged.
+    *
+    * Delivery: the checkpoint makes each micro-batch at-least-once,
+    * and the keyed MERGE is idempotent per key, so a replayed batch
+    * (crash between sink commit and checkpoint write) converges to
+    * the same target state — effective exactly-once, the same
+    * invariant the reference's daily re-runs rely on (O5).
+    *
+    * Blocks until the AvailableNow drain finishes. */
+  def upsertStreamAvailableNow(
+      updates: DataFrame,
+      cfg: graft.io.JdbcConfig,
+      dialect: graft.io.SqlDialect,
+      target: String,
+      staging: String,
+      keys: Seq[String],
+      mode: graft.operators.Upsert.Mode,
+      checkpoint: String,
+      queryName: String): Unit = {
+    val q = updates.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.io.MergeSink.write(
+          batch, cfg, dialect, target, staging, keys, mode,
+          // `NOT MATCHED BY TARGET` is T-SQL-only spelling
+          withByTarget = dialect == graft.io.SqlDialect.SqlServer)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain every pending file and stop (Trigger.AvailableNow) into an
     * in-memory table; returns the collected result. The streaming
-    * equivalent of one catchup run. */
-  def runAvailableNow(df: DataFrame, queryName: String): DataFrame = {
+    * equivalent of one catchup run. Stream-stream joins only support
+    * Append — pass `mode` accordingly. */
+  def runAvailableNow(
+      df: DataFrame,
+      queryName: String,
+      mode: OutputMode = OutputMode.Update()): DataFrame = {
     val q = df.writeStream
       .format("memory")
       .queryName(queryName)
-      .outputMode(OutputMode.Update())
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

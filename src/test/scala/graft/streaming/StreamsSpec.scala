@@ -70,29 +70,41 @@ class StreamsSpec extends SparkSpecBase {
     assert(streamed.count() > 0)
   }
 
+  private val min = 60L * 1000 * 1000 * 1000 // ns
+
+  /** One parquet file of (event_id, ts_ns, user_id) click events —
+    * building block for multi-batch drains (one file = one batch
+    * under maxFilesPerTrigger=1; modTime orders the batches). */
+  private def writeEventsFile(
+      dir: java.io.File,
+      name: String,
+      events: Seq[(Long, Long)], // (tsNs, userId)
+      modTime: Long): Unit = {
+    import spark.implicits._
+    val stage = new java.io.File(dir, s"__stage_$name")
+    events.zipWithIndex
+      .map { case ((t, u), i) => (i.toLong, t, u, "click", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(stage.getPath)
+    val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+    val dst = new java.io.File(dir, name)
+    java.nio.file.Files.move(part.toPath, dst.toPath)
+    dst.setLastModified(modTime)
+    org.apache.commons.io.FileUtils.deleteDirectory(stage)
+  }
+
   test("a session spanning two micro-batches is ONE session " +
     "(carried OpenSession state merges across the batch boundary)") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("sess_mb").toFile
-    val min = 60L * 1000 * 1000 * 1000 // ns
-    def writeFile(name: String, tsNs: Seq[Long], modTime: Long): Unit = {
-      val stage = new java.io.File(tmp, s"__stage_$name")
-      tsNs.zipWithIndex
-        .map { case (t, i) => (i.toLong, t, 7L, "click", 1.0, "{}") }
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.mode("overwrite").parquet(stage.getPath)
-      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(tmp, name)
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(modTime)
-      org.apache.commons.io.FileUtils.deleteDirectory(stage)
-    }
     // batch 1: events at 0min, 1min — open session carried in state;
     // batch 2: 2min continues it (gap 1min < 10min), 20min breaks it
     val t0 = System.currentTimeMillis()
-    writeFile("a.parquet", Seq(0L * min, 1L * min), t0 - 60000)
-    writeFile("b.parquet", Seq(2L * min, 20L * min), t0)
+    writeEventsFile(tmp, "a.parquet",
+      Seq((0L * min, 7L), (1L * min, 7L)), t0 - 60000)
+    writeEventsFile(tmp, "b.parquet",
+      Seq((2L * min, 7L), (20L * min, 7L)), t0)
     val raw = Streams.runAvailableNow(
       Streams.sessionCountsState(Streams.eventsStream(
         spark, tmp.getPath, glob = "*.parquet", maxFilesPerTrigger = 1)).toDF,
@@ -107,6 +119,58 @@ class StreamsSpec extends SparkSpecBase {
     // ONE merged session of 3 events + one singleton — NOT (2,1,1)
     assert(finalSessions == Map(0L -> 3L, 20L * min / 1000 -> 1L),
       s"got $finalSessions")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
+  test("foreachBatch streaming upsert into Derby: micro-batches MERGE " +
+    "into the target; checkpoint replay is a no-op (O5)") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import graft.io._
+    val dialect = SqlDialect.Derby
+    val cfg = JdbcConfig("jdbc:derby:memory:graftstream;create=true",
+      batchSize = 2)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_events",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("last_ts_ns",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("last_type",
+        org.apache.spark.sql.types.StringType)))
+    val target = dialect.table("APP", "user_state")
+    val staging = dialect.table("APP", "user_state_stg")
+    JdbcWrite.execute(cfg, SqlGen.createTable(dialect, target, schema))
+    JdbcWrite.execute(cfg, SqlGen.createTable(dialect, staging, schema))
+
+    val tmp = java.nio.file.Files.createTempDirectory("stream_up").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_up_ck")
+      .toString
+    val t0 = System.currentTimeMillis()
+    // batch 1: user 7 twice; batch 2: user 7 again (row must UPDATE
+    // to n=3) + new user 8 (must INSERT)
+    writeEventsFile(tmp, "a.parquet",
+      Seq((1L * min, 7L), (2L * min, 7L)), t0 - 60000)
+    writeEventsFile(tmp, "b.parquet",
+      Seq((3L * min, 7L), (1L * min, 8L)), t0)
+
+    def drain(): Unit = Streams.upsertStreamAvailableNow(
+      Streams.runningUserState(Streams.eventsStream(
+        spark, tmp.getPath, glob = "*.parquet", maxFilesPerTrigger = 1))
+        .toDF(),
+      cfg, dialect, target, staging, Seq("user_id"),
+      graft.operators.Upsert.Unconditional, ckpt, "stream_upsert")
+    drain()
+    def readBack() = spark.read.jdbc(cfg.url, target, cfg.properties)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val got = readBack()
+    assert(got == Map(7L -> (3L, 3L * min), 8L -> (1L, 1L * min)),
+      s"got $got")
+    // replay with the same checkpoint: no pending files ⇒ no batch ⇒
+    // target unchanged — the daily re-run invariant on streams
+    drain()
+    assert(readBack() == got)
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
