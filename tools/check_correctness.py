@@ -60,6 +60,8 @@ def norm_rows(cols, rows):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    json_out = sys.argv[3] if len(sys.argv) > 3 else None
+    records = {}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -77,6 +79,9 @@ def main():
         if q not in oracles:
             ok = len(grows) > 0
             print(f"{'PASS' if ok else 'FAIL'} {q} (rows-only: {len(grows)})")
+            records[q] = {"rows_match": None, "schema_match": None,
+                          "hash_match": None, "spark_rows": len(grows),
+                          "oracle_rows": None, "err": "no_oracle"}
             n_pass += ok; n_fail += (not ok)
             continue
         try:
@@ -99,14 +104,26 @@ def main():
                      if gtypes.get(c) != etypes.get(c)}
             if tdiff:
                 print(f"FAIL {q} column types differ (spark, oracle): {tdiff}")
+                records[q] = {"rows_match": len(grows) == len(erows),
+                              "schema_match": False, "hash_match": False,
+                              "spark_rows": len(grows),
+                              "oracle_rows": len(erows), "err": None}
                 n_fail += 1
                 continue
         except Exception as e:
             print(f"FAIL {q} oracle error: {e}")
+            records[q] = {"rows_match": None, "schema_match": None,
+                          "hash_match": None, "spark_rows": len(grows),
+                          "oracle_rows": None, "err": str(e)[:200]}
             n_fail += 1
             continue
         gc, gr = norm_rows(gcols, grows)
         ec, er = norm_rows(ecols, erows)
+        records[q] = {"rows_match": len(gr) == len(er),
+                      "schema_match": gc == ec,
+                      "hash_match": gc == ec and gr == er,
+                      "spark_rows": len(gr), "oracle_rows": len(er),
+                      "err": None}
         if gc != ec:
             print(f"FAIL {q} columns: spark={gc} oracle={ec}")
             n_fail += 1
@@ -125,6 +142,9 @@ def main():
             print(f"PASS {q} ({len(gr)} rows)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        # driver-format per-query record, for artifact refreshes
+        json.dump(records, open(json_out, "w"), indent=2)
     sys.exit(1 if n_fail else 0)
 
 
