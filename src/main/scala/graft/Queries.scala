@@ -636,6 +636,29 @@ object Queries {
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
         .select(col("doc_id"), col("n_copies"))
     }),
+    "q_dedup_incremental" -> ((s, dir) => {
+      // The daily-sync pattern applied to curation: today's batch
+      // (doc_id ≡ 0 mod 5) dedups within itself, then against the
+      // HISTORY digest set (16-byte fingerprints of all other docs) —
+      // the historical corpus is never re-read. Survivors aggregate
+      // per source.
+      val docs = Tables.documents(s, dir)
+      val history = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      Dedup.incrementalExact(
+          docs.filter(col("doc_id") % 5 === 0), history, "doc_id",
+          col("text"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_new"), sum(col("doc_id")).as("id_sum"))
+    }),
+    "q_dedup_fuzzy" -> ((s, dir) => {
+      // Entity resolution on a dirty key domain: distinct part names
+      // within ONE edit (substitution/insert/delete) paired via
+      // deletion-neighborhood blocking — provably complete at
+      // distance 1, so the result must EQUAL the brute-force
+      // quadratic join the oracle runs.
+      Dedup.fuzzyPairsEditDistance(Tables.part(s, dir), col("p_name"))
+    }),
     "q_dedup_minhash" -> ((s, dir) => {
       // Portable-hash mode: the polynomial hash family is replicated in
       // DuckDB, so signatures get a full value-level oracle.
@@ -1655,6 +1678,26 @@ object Queries {
         |FROM documents
         |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"""
         .stripMargin,
+    "q_dedup_incremental" ->
+      """WITH fp AS (SELECT doc_id, source,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        | FROM documents),
+        |batch AS (SELECT * FROM fp WHERE doc_id % 5 = 0),
+        |hist AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 5 <> 0),
+        |first AS (SELECT * FROM (SELECT *, row_number() OVER (
+        |  PARTITION BY fp ORDER BY doc_id) AS rk FROM batch)
+        | WHERE rk = 1),
+        |surv AS (SELECT * FROM first
+        | WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.fp = first.fp))
+        |SELECT source, count(*) AS n_new,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM surv GROUP BY 1""".stripMargin,
+    // blocked fuzzy join must EQUAL the brute-force quadratic join
+    "q_dedup_fuzzy" ->
+      """WITH n AS (SELECT DISTINCT p_name AS s FROM part
+        |           WHERE p_name IS NOT NULL)
+        |SELECT a.s AS a, b.s AS b FROM n a, n b
+        |WHERE a.s < b.s AND levenshtein(a.s, b.s) <= 1""".stripMargin,
     "q_sim_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
         |           FROM embeddings WHERE vec_id < 5),

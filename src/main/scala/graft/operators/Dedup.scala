@@ -100,6 +100,70 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Incremental exact dedup — the daily-sync pattern applied to
+    * curation: a new batch is deduplicated (a) within itself
+    * (keep-smallest-id per content fingerprint) and (b) against the
+    * accumulated HISTORY of fingerprints, without ever re-reading the
+    * historical corpus. At 100 TB the history is a compact digest
+    * table (16 bytes/doc) maintained append-only by each run — the
+    * same incremental-state shape as the reference's daily upsert
+    * ledger. One shuffle on the digest for (a); (b) is an anti-join
+    * that broadcasts when the day's history partition is small, or
+    * shuffles both sides on the digest otherwise.
+    *
+    * `history` must expose a `fp` column of the same fingerprint
+    * family. Returns the surviving new rows (original columns). */
+  def incrementalExact(
+      newDocs: DataFrame,
+      history: DataFrame,
+      idCol: String,
+      text: Column): DataFrame = {
+    val fp = TextAnalysis.fingerprintMd5(text)
+    exact(newDocs.withColumn("__fp", fp), col("__fp"), idCol)
+      .join(history.select(col("fp").as("__fp")).distinct(),
+        Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
+  /** All UNORDERED pairs of distinct `strCol` values within edit
+    * distance 1 (substitution, insertion, or deletion) — entity
+    * resolution for dirty key domains (product names, vendor strings).
+    *
+    * Blocking is the single-DELETION neighborhood: each value keys to
+    * itself plus every one-char-deleted variant, and two values within
+    * edit distance 1 PROVABLY share a key (substitution: delete the
+    * differing position from both; insert/delete: the deletion variant
+    * of the longer IS the shorter). So the blocked join is COMPLETE —
+    * the exhaustive-verify filter only removes false candidates, never
+    * misses a pair; the gate compares against a brute-force oracle.
+    *
+    * Scale shape: the value domain is deduplicated first (the pair
+    * semantics live on values, not rows), block keys travel as 8-byte
+    * hashes, and the self-join shuffles |s|·(len+1) keys — linear in
+    * the domain, vs the quadratic brute force. A pathological block
+    * (thousands of values one deletion apart) would need the LSH-style
+    * bucket-size guard; real key domains are nowhere near it. */
+  def fuzzyPairsEditDistance(df: DataFrame, strCol: Column): DataFrame = {
+    val names = df.select(strCol.as("s")).filter(col("s").isNotNull)
+      .distinct()
+    val keyed = names
+      .select(col("s"), explode(array_union(
+        array(col("s")),
+        when(length(col("s")) > 0, expr(
+          "transform(sequence(1, length(s)), i -> " +
+            "concat(substring(s, 1, i - 1), " +
+            "substring(s, i + 1, length(s) - i)))"))
+          .otherwise(array()))).as("__v"))
+      .select(col("s"), xxhash64(col("__v")).as("__b"))
+      .distinct()
+    keyed.as("l")
+      .join(keyed.as("r"),
+        col("l.__b") === col("r.__b") && col("l.s") < col("r.s"))
+      .select(col("l.s").as("a"), col("r.s").as("b"))
+      .distinct()
+      .filter(levenshtein(col("a"), col("b")) <= 1)
+  }
+
   /** Word n-gram shingles (default 3-word), distinct, as an array.
     * `toks` should be an attribute (a staged column), not an inline
     * expression — HOFs defeat subexpression elimination, so an inline

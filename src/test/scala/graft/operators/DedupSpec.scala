@@ -160,6 +160,37 @@ class DedupSpec extends SparkSpecBase {
       assert(got.size == 15)
     }
 
+  test("fuzzyPairsEditDistance: blocked join equals brute force on " +
+    "substitution, insertion, and deletion cases") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.levenshtein
+    val vals = Seq("cat", "car", "cart", "at", "dog", "dig", "dogs",
+      "elephant", "elephants", "banana", "bandana", "x", "", "xy")
+    val df = vals.toDF("v")
+    val got = Dedup.fuzzyPairsEditDistance(df, col("v"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = df.as("a").crossJoin(df.withColumnRenamed("v", "w"))
+      .filter(col("v") < col("w") && levenshtein(col("v"), col("w")) <= 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+    assert(got.contains(("car", "cat")))      // substitution
+    assert(got.contains(("car", "cart")))     // insertion at end
+    assert(got.contains(("at", "cat")))       // insertion at front
+    assert(got.contains(("", "x")))           // empty-string edge
+  }
+
+  test("incrementalExact: in-batch keep-min-id, then history anti-join") {
+    import spark.implicits._
+    val batch = Seq((10L, "AA"), (12L, "aa"), (14L, "BB"), (16L, "CC"))
+      .toDF("doc_id", "text") // 10/12 duplicate under normalization
+    val history = Seq("bb").toDF("t")
+      .select(TextAnalysis.fingerprintMd5(col("t")).as("fp"))
+    val out = Dedup.incrementalExact(batch, history, "doc_id", col("text"))
+      .select("doc_id").as[Long].collect().toSet
+    // 12 drops (in-batch dup of 10), 14 drops (fingerprint in history)
+    assert(out == Set(10L, 16L))
+  }
+
   // string ids must work identically on BOTH paths (ADVICE r3: the
   // local path used to cast ids to long, nulling out strings)
   for ((label, threshold) <- Seq(("local union-find", 1L << 20),
