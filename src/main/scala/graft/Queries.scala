@@ -341,6 +341,44 @@ object Queries {
           row_number().over(w).as("rn"))
         .filter(col("rn") <= 3)
     }),
+    "q_anomaly_zscore" -> ((s, dir) => {
+      // Data-quality audit: events more than 3σ from their type's mean
+      // — two passes (5-row stats broadcast back), corpus never
+      // shuffled. Determinism: mean and variance derive from EXACT
+      // decimal sums (value and value² at fixed scale); every
+      // subsequent double op (cast, divide, sqrt, compare) is
+      // correctly-rounded IEEE, so the outlier SET is engine-portable
+      // with no rounding slack needed.
+      val dec = col("value").cast(DecimalType(18, 4))
+      val stats = Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("__n"), sum(dec).as("__s"),
+          sum(dec * dec).as("__s2"))
+      Tables.events(s, dir)
+        .join(broadcast(stats), Seq("event_type"))
+        .withColumn("__m", col("__s").cast(DoubleType) / col("__n"))
+        .withColumn("__sd", sqrt(col("__s2").cast(DoubleType) / col("__n")
+          - col("__m") * col("__m")))
+        .filter(abs(col("value") - col("__m")) > lit(3d) * col("__sd"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_outliers"),
+          min(col("value")).as("min_val"), max(col("value")).as("max_val"))
+    }),
+    "q_topk_grouped" -> ((s, dir) => {
+      // Same result as q_window_topn, via the bounded-heap aggregator
+      // instead of a window: the window formulation SORTS every row of
+      // every key to keep 3; this ships ≤3 entries per (user,
+      // partition) through the shuffle (map-side combined) — the
+      // per-key TakeOrderedAndProject. Gate: identical oracle.
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(graft.functions.TopK.topKAgg(col("value"), col("event_id"), 3)
+          .as("tk"))
+        .select(col("user_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("user_id"), col("e.id").as("event_id"),
+          col("e.score").as("value"),
+          (col("pos") + 1).cast(IntegerType).as("rn"))
+    }),
     "q_rollup" -> ((s, dir) => {
       // Hierarchical totals: ROLLUP(returnflag, linestatus) — subtotal
       // and grand-total rows with NULL-marked levels.
@@ -1523,6 +1561,25 @@ object Queries {
         |  AND o_orderdate <  TIMESTAMP '1997-01-01'
         |GROUP BY r_name, n_name""".stripMargin,
     "q_window_topn" ->
+      """SELECT user_id, event_id, value, rn FROM (
+        | SELECT user_id, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY value DESC, event_id ASC) AS rn
+        | FROM events) WHERE rn <= 3""".stripMargin,
+    "q_anomaly_zscore" ->
+      """WITH s AS (SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4)) *
+        |    CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv2
+        | FROM events GROUP BY 1),
+        |j AS (SELECT e.event_type, e.value, s.sv / s.n AS m,
+        |  sqrt(s.sv2 / s.n - (s.sv / s.n) * (s.sv / s.n)) AS sd
+        | FROM events e JOIN s USING (event_type))
+        |SELECT event_type, count(*) AS n_outliers,
+        | min(value) AS min_val, max(value) AS max_val
+        |FROM j WHERE abs(value - m) > 3 * sd GROUP BY 1""".stripMargin,
+    // bounded-heap grouped top-k must equal the window formulation
+    "q_topk_grouped" ->
       """SELECT user_id, event_id, value, rn FROM (
         | SELECT user_id, event_id, value,
         |  row_number() OVER (PARTITION BY user_id
