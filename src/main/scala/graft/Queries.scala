@@ -1215,6 +1215,31 @@ object Queries {
           sum(col("bytes").cast(LongType)).as("total_bytes"),
           max(col("bytes")).as("max_bytes"))
     }),
+    "q_multimodal_frames" -> ((s, dir) => {
+      // Frame sampling over an opaque media payload (here: the doc's
+      // ASCII bytes, so the oracle replays byte sums as character
+      // codes): 32-byte frames, every 2nd one — one row fans out to
+      // its sampled frames inside a partition, shuffle-free.
+      Multimodal.frameSample(
+        Tables.documents(s, dir).withColumn("bin",
+          encode(col("text"), "utf-8")),
+        "doc_id", "bin", frameSize = 32, every = 2)
+    }),
+    "q_multimodal_resize" -> ((s, dir) => {
+      // Nearest-neighbor resize to a fixed 16-sample vector: the
+      // integer-exact index map floor(j·n/k), replayed by the oracle
+      // on character codes. Aggregated per source to keep the gate
+      // row-light while pinning every sample via the sum.
+      Multimodal.resizeNearest(
+          Tables.documents(s, dir).withColumn("bin",
+            encode(col("text"), "utf-8")),
+          "doc_id", "bin", k = 16)
+        .groupBy((col("doc_id") % 10).as("doc_mod"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("sample_sum")).as("sum_all"),
+          sum(col("first_sample")).as("sum_first"),
+          sum(col("last_sample")).as("sum_last"))
+    }),
     "q_multimodal_decode" -> ((s, dir) => {
       // Synthesize per-doc media binaries (PNG with real IHDR fields /
       // JPEG / GIF / WAV / MP3 magic + the doc's bytes as payload),
@@ -1948,6 +1973,30 @@ object Queries {
         | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
         |  AS price_sum
         |FROM orders GROUP BY 1""".stripMargin,
+    // ASCII corpus: byte sums replay as character-code sums
+    "q_multimodal_frames" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
+        |f AS (SELECT doc_id, text, unnest(range(0, n // 32)) AS i FROM d),
+        |sel AS (SELECT doc_id, i,
+        |  substring(text, CAST(i * 32 + 1 AS INT), 32) AS fr
+        | FROM f WHERE i % 2 = 0)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        | CAST(32 AS BIGINT) AS n_bytes,
+        | CAST(list_sum(list_transform(string_split(fr, ''),
+        |   c -> ascii(c))) AS BIGINT) AS byte_sum
+        |FROM sel""".stripMargin,
+    "q_multimodal_resize" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
+        |r AS (SELECT doc_id,
+        |  list_transform(range(0, 16), j -> CASE WHEN n = 0 THEN 0
+        |    ELSE ascii(substring(text,
+        |      CAST((j * n) // 16 + 1 AS INT), 1)) END) AS s
+        | FROM d)
+        |SELECT doc_id % 10 AS doc_mod, count(*) AS n,
+        | CAST(sum(list_sum(s)) AS BIGINT) AS sum_all,
+        | CAST(sum(s[1]) AS BIGINT) AS sum_first,
+        | CAST(sum(s[16]) AS BIGINT) AS sum_last
+        |FROM r GROUP BY 1""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT source, count(*) AS n,
         | CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,

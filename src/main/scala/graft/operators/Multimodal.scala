@@ -135,4 +135,67 @@ object Multimodal {
       }
       .toDF(idCol, "n_bytes", "mean_byte", "histogram")
   }
+
+  /** Video-style frame sampling: the payload is treated as consecutive
+    * `frameSize`-byte frames and every `every`-th frame is emitted
+    * with its features (stub decode: the frame's byte sum — swap
+    * [[decodePixels]] for a real codec and these become pixel
+    * features). The PLUMBING is the real part: typed mapPartitions,
+    * one input row fanning out to a bounded set of frame rows,
+    * trailing partial frame dropped — shuffle-free, embarrassingly
+    * parallel at any corpus size. */
+  def frameSample(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      frameSize: Int,
+      every: Int): DataFrame = {
+    require(frameSize > 0 && every > 0, "frameSize and every must be > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes0) =>
+          val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+          val nFrames = bytes.length / frameSize
+          (0 until nFrames).iterator.filter(_ % every == 0).map { i =>
+            var s = 0L
+            var j = i * frameSize
+            val end = j + frameSize
+            while (j < end) { s += bytes(j) & 0xFF; j += 1 }
+            (id, i.toLong, frameSize.toLong, s)
+          }
+        }
+      }
+      .toDF(idCol, "frame_idx", "n_bytes", "byte_sum")
+  }
+
+  /** Nearest-neighbor resize to a fixed `k`-sample vector: sample j
+    * of k reads decoded value floor(j·n/k) — the standard
+    * integer-exact nearest-neighbor index map, so the result is
+    * engine-replicable (with the stub decoder, samples are payload
+    * bytes). Returns (id, n_bytes, sample_sum, first, last); empty
+    * payloads yield an all-zero vector. Row-local, shuffle-free. */
+  def resizeNearest(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes0) =>
+          val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+          val n = bytes.length
+          val samples = Array.tabulate(k)(j =>
+            if (n == 0) 0L else (bytes((j.toLong * n / k).toInt) & 0xFF).toLong)
+          (id, n.toLong, samples.sum, samples.head, samples.last)
+        }
+      }
+      .toDF(idCol, "n_bytes", "sample_sum", "first_sample", "last_sample")
+  }
 }

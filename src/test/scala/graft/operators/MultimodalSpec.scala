@@ -104,4 +104,30 @@ class MultimodalSpec extends SparkSpecBase {
     assert(r(0).getLong(5) == 11L)
     assert((1 to 5).forall(r(1).isNullAt))
   }
+
+  test("frameSample: every-Nth frames, trailing partial dropped, " +
+    "short payload yields none") {
+    import spark.implicits._
+    val bytes = Array.tabulate(25)(_.toByte) // frames of 8: 0-7, 8-15, 16-23
+    val df = Seq((1L, bytes), (2L, Array[Byte](1, 2))).toDF("id", "bin")
+    val got = Multimodal.frameSample(df, "id", "bin", frameSize = 8,
+        every = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .toSet
+    // frames 0 and 2 sampled (every=2); frame 1 skipped; byte 24 dropped
+    assert(got == Set((1L, 0L, (0 to 7).sum.toLong),
+      (1L, 2L, (16 to 23).sum.toLong)))
+  }
+
+  test("resizeNearest: exact index map, empty payload -> zero vector") {
+    import spark.implicits._
+    val bytes = Array.tabulate(10)(i => (i * 10).toByte) // 0,10,...,90
+    val df = Seq((1L, bytes), (2L, Array.emptyByteArray)).toDF("id", "bin")
+    val got = Multimodal.resizeNearest(df, "id", "bin", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // indices floor(j*10/4) = 0,2,5,7 -> values 0,20,50,70
+    assert(got(1L) == (140L, 0L, 70L))
+    assert(got(2L) == (0L, 0L, 0L))
+  }
 }
