@@ -341,6 +341,55 @@ object Queries {
           row_number().over(w).as("rn"))
         .filter(col("rn") <= 3)
     }),
+    "q_funnel" -> ((s, dir) => {
+      // Ordered 3-step funnel (view → click → purchase, strictly
+      // later at each step, earliest-completion semantics): per-stage
+      // user counts with the stage's first/last completion times.
+      // Three aggregations on user_id + two joins — each stage's
+      // frame is |users| rows, so the joins broadcast at any corpus
+      // size; the corpus itself is scanned once per stage filter.
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1.withColumnRenamed("t", "__p"), Seq("user_id"))
+        .filter(col("ts") > col("__p"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2.withColumnRenamed("t", "__p"), Seq("user_id"))
+        .filter(col("ts") > col("__p"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+      def stage(name: String, df: DataFrame) = df.agg(
+        count(lit(1)).as("n_users"),
+        tsFmt(min(col("t"))).as("first_done"),
+        tsFmt(max(col("t"))).as("last_done"))
+        .select(lit(name).as("stage"), col("n_users"),
+          col("first_done"), col("last_done"))
+      stage("1_view", t1)
+        .unionByName(stage("2_click", t2))
+        .unionByName(stage("3_purchase", t3))
+    }),
+    "q_cohort_retention" -> ((s, dir) => {
+      // Weekly cohort retention: users active in week w who are also
+      // active in w+1. The distinct (week, user) frame is tiny next
+      // to the event stream (one map-side-combined distinct), and the
+      // self-join keys on (user, week) — classic retention matrix,
+      // one row per week.
+      val uw = Tables.events(s, dir)
+        .select(date_trunc("week", col("ts")).as("wk"), col("user_id"))
+        .distinct()
+      uw.as("a")
+        .join(uw.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("b.wk") === col("a.wk") + expr("INTERVAL 7 DAYS"),
+          "left")
+        .groupBy(col("a.wk"))
+        .agg(countDistinct(col("a.user_id")).as("n_active"),
+          countDistinct(col("b.user_id")).as("n_retained"))
+        .select(dateFmt(col("wk")).as("week"), col("n_active"),
+          col("n_retained"))
+    }),
     "q_anomaly_zscore" -> ((s, dir) => {
       // Data-quality audit: events more than 3σ from their type's mean
       // — two passes (5-row stats broadcast back), corpus never
@@ -1591,6 +1640,35 @@ object Queries {
         |  row_number() OVER (PARTITION BY user_id
         |    ORDER BY value DESC, event_id ASC) AS rn
         | FROM events) WHERE rn <= 3""".stripMargin,
+    "q_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT '1_view' AS stage, count(*) AS n_users,
+        | strftime(min(t), '%Y-%m-%d %H:%M:%S') AS first_done,
+        | strftime(max(t), '%Y-%m-%d %H:%M:%S') AS last_done FROM t1
+        |UNION ALL
+        |SELECT '2_click', count(*),
+        | strftime(min(t), '%Y-%m-%d %H:%M:%S'),
+        | strftime(max(t), '%Y-%m-%d %H:%M:%S') FROM t2
+        |UNION ALL
+        |SELECT '3_purchase', count(*),
+        | strftime(min(t), '%Y-%m-%d %H:%M:%S'),
+        | strftime(max(t), '%Y-%m-%d %H:%M:%S') FROM t3""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH uw AS (SELECT DISTINCT date_trunc('week', ts) AS wk,
+        |  user_id FROM events)
+        |SELECT strftime(a.wk, '%Y-%m-%d') AS week,
+        | count(DISTINCT a.user_id) AS n_active,
+        | count(DISTINCT b.user_id) AS n_retained
+        |FROM uw a LEFT JOIN uw b ON a.user_id = b.user_id
+        | AND b.wk = a.wk + INTERVAL 7 DAY
+        |GROUP BY a.wk""".stripMargin,
     "q_anomaly_zscore" ->
       """WITH s AS (SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv,
