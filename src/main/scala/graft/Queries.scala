@@ -1226,6 +1226,17 @@ object Queries {
       TextAnalysis.tfIdfTopK(Tables.documents(s, dir), "doc_id",
         col("text"), k = 3)
     }),
+    "q_text_boilerplate" -> ((s, dir) => {
+      // Segment-level boilerplate removal (C4's repeated-line rule at
+      // 8-token granularity — this corpus has no lines): segments
+      // seen more than twice corpus-wide are dropped; survivors
+      // aggregate per doc. Docs that were ALL boilerplate vanish.
+      TextAnalysis.removeBoilerplateSegments(Tables.documents(s, dir),
+          "doc_id", col("text"), segTokens = 8, maxDf = 2)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(length(col("seg_text")).cast(LongType)).as("kept_chars"))
+    }),
     "q_text_pmi" -> ((s, dir) => {
       // Collocation mining: global top-30 bigrams by PMI (≥5
       // occurrences). Five ln-of-exact-integer terms summed then
@@ -1960,6 +1971,7 @@ object Queries {
         |GROUP BY 1, 2""".stripMargin,
     "q_pack_sequences" -> packSequencesOracle,
     "q_text_chunks" -> textChunksOracle,
+    "q_text_boilerplate" -> boilerplateOracle,
     "q_decontaminate" -> decontaminateOracle,
     "q_text_surprisal" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
@@ -2321,6 +2333,26 @@ object Queries {
 
   /** Replica of the sliding-window chunker: DuckDB's 1-based inclusive
     * clamping list slice equals Spark's slice(toks, s+1, window). */
+  /** Replica of removeBoilerplateSegments: same 8/8 chunk arithmetic
+    * as the chunking oracle, segment df counted corpus-wide, df ≤ 2
+    * survivors aggregated per doc. */
+  private def boilerplateOracle: String = {
+    val w = 8
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |x AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+       |s AS (SELECT doc_id, toks,
+       |  unnest(range(0, CASE WHEN n <= $w THEN 1
+       |    ELSE ((n - $w + $w - 1) // $w) + 1 END)) AS k FROM x),
+       |seg AS (SELECT doc_id, k,
+       |  array_to_string(toks[k*$w+1 : k*$w+$w], ' ') AS seg_text FROM s),
+       |f AS (SELECT seg_text, CAST(count(*) AS BIGINT) AS df
+       | FROM seg GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_kept,
+       | CAST(sum(len(seg_text)) AS BIGINT) AS kept_chars
+       |FROM seg JOIN f USING (seg_text) WHERE df <= 2
+       |GROUP BY 1""".stripMargin
+  }
+
   private def textChunksOracle: String = {
     val w = 12; val st = 8
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -174,6 +174,43 @@ object TextAnalysis {
       s => slice(toks, (s + 1).cast(IntegerType), lit(window)))
   }
 
+  /** C4-style boilerplate removal at fixed segment granularity: every
+    * doc is cut into consecutive `segTokens`-token segments (the
+    * corpus has no line structure, so segments stand in for lines) and
+    * segments occurring more than `maxDf` times ACROSS THE CORPUS are
+    * dropped — repeated navigation chrome, disclaimers, and templated
+    * spans disappear while unique content survives.
+    *
+    * Scale shape: one explode + one map-side-combined count on the
+    * segment key, one join back — the same two-shuffle topology as
+    * every corpus-statistics operator here. Segments join by text for
+    * oracle replication; at 100 TB the join key would be the segment's
+    * 8-byte hash ([[graft.operators.Dedup.hashedShingleFrame]]'s
+    * trade).
+    *
+    * Returns surviving (idCol, seg_id, seg_text, seg_df) rows;
+    * reassemble with array_join over seg_id order if full text is
+    * needed. */
+  def removeBoilerplateSegments(
+      docs: DataFrame,
+      idCol: String,
+      text: Column,
+      segTokens: Int = 8,
+      maxDf: Int = 2): DataFrame = {
+    require(segTokens > 0 && maxDf > 0, "segTokens and maxDf must be > 0")
+    val segs = docs
+      .select(col(idCol),
+        posexplode(chunkTokens(tokens(lower(text)), segTokens, segTokens))
+          .as(Seq("seg_id", "seg")))
+      .select(col(idCol), col("seg_id"),
+        array_join(col("seg"), " ").as("seg_text"))
+    val freq = segs.groupBy(col("seg_text"))
+      .agg(count(lit(1)).as("seg_df"))
+    segs.join(freq, Seq("seg_text"))
+      .filter(col("seg_df") <= maxDf)
+      .select(col(idCol), col("seg_id"), col("seg_text"), col("seg_df"))
+  }
+
   /** TF-IDF keyword extraction: the top-`k` terms of every document by
     * `tf · (ln N − ln df)` (N = corpus doc count, df = docs containing
     * the term), ties broken by term ascending.

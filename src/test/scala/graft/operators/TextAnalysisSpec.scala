@@ -30,6 +30,24 @@ class TextAnalysisSpec extends SparkSpecBase {
       == "a plain sentence with 42 and 3.14 in it")
   }
 
+  test("removeBoilerplateSegments drops corpus-frequent segments; " +
+    "all-boilerplate docs vanish") {
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "the quick fox jumps over dogs"),
+        Row(2L, "the quick fox likes warm sun"),
+        Row(3L, "the quick fox")), 2),
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+    val kept = TextAnalysis
+      .removeBoilerplateSegments(docs, "doc_id", col("text"),
+        segTokens = 3, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    // "the quick fox" occurs in all 3 docs (df=3 > maxDf=2) → dropped
+    // everywhere; doc 3 was ALL boilerplate and vanishes entirely.
+    assert(kept == Set(1L -> "jumps over dogs", 2L -> "likes warm sun"))
+  }
+
   test("dropNearDuplicates removes only the larger side of pairs") {
     val docs = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
