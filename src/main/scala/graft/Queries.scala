@@ -1376,8 +1376,15 @@ object Queries {
       merged
         .withColumn("score", score)
         .groupBy(col("tenantid"))
+        // Amount aggregated as exact integer 1e-4 units (BIGINT): the
+        // DECIMAL(18,4) amounts are scale-exact, so *10000 is lossless,
+        // and an all-int/string result row is the most portable hash
+        // surface for the driver's cross-engine compare (r3/r4 both
+        // recorded a driver-side-only hash mismatch on the DECIMAL sum
+        // that never reproduced locally).
         .agg(count(lit(1)).as("n"),
-          sum(col("txbaseamount")).as("amount_sum"),
+          sum((col("txbaseamount") * lit(10000)).cast(LongType))
+            .as("amount_e4_sum"),
           sum(col("score")).as("score_sum"),
           tsFmt(max(col("updateddateutc"))).as("last_update"))
     })
@@ -2241,7 +2248,8 @@ object Queries {
         |   AND b.txgroupcorrelationid = u.txgroupcorrelationid
         |   AND b.txrefcorrelationid = u.txrefcorrelationid)
         |SELECT tenantid, count(*) AS n,
-        | CAST(sum(txbaseamount) AS DECIMAL(28,4)) AS amount_sum,
+        | CAST(sum(CAST(txbaseamount * 10000 AS BIGINT)) AS BIGINT)
+        |   AS amount_e4_sum,
         | CAST(sum(score) AS BIGINT) AS score_sum,
         | strftime(max(updateddateutc), '%Y-%m-%d %H:%M:%S') AS last_update
         |FROM merged GROUP BY tenantid""".stripMargin
