@@ -1218,6 +1218,49 @@ object Queries {
           col("doc_id"), cap = 10, seed = 11)
         .select(col("source"), col("doc_id"))
     }),
+    "q_split_assign" -> ((s, dir) => {
+      // Deterministic 80/10/10 train/val/test assignment by id-hash
+      // bucket — stable under reruns, retries, and corpus growth (a
+      // doc that was ever in test never drifts into train). Pure
+      // codegen'd integer expression per row; the only shuffle is the
+      // final summary aggregate.
+      Sampling.hashSplit(Tables.documents(s, dir), col("doc_id"),
+          Seq("train" -> 800, "val" -> 100, "test" -> 100), seed = 3)
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("chars_sum"))
+    }),
+    "q_mix_sources" -> ((s, dir) => {
+      // Source re-weighting (data mixing): integer-permille weights
+      // per source (250..3250 = 0.25x..3.25x) applied as deterministic
+      // replication — explode(sequence) per row, NO shuffle, fractional
+      // copies decided by id-hash bucket, never rand(). The oracle
+      // re-derives every copy count arithmetically.
+      val w = lit(250) +
+        (expr("CAST(substring(source, 4) AS BIGINT)") % 7) * lit(500)
+      Sampling.mixtureUpsample(Tables.documents(s, dir), col("doc_id"),
+          w, seed = 5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("n_chars")).as("chars_sum"))
+    }),
+    "q_dedup_bloom" -> ((s, dir) => {
+      // Bloom-accelerated incremental dedup: today's batch (doc_id ≡ 0
+      // mod 3) against the history digests of doc_id ≡ 0 mod 2 — the
+      // mod-6 overlap MUST die against history, everything else passes
+      // the bloom without touching the anti-join. Result provably
+      // equals the plain incremental anti-join; the oracle computes
+      // that exact answer independently.
+      val docs = Tables.documents(s, dir)
+      val history = docs.filter(col("doc_id") % 2 === 0)
+        .select(TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      Dedup.incrementalExactBloom(
+          docs.filter(col("doc_id") % 3 === 0), history, "doc_id",
+          col("text"), bits = 1 << 16, numHashes = 5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_new"), sum(col("doc_id")).as("id_sum"))
+    }),
     "q_text_tfidf" -> ((s, dir) => {
       // TF-IDF keyword extraction: top-3 terms per doc. The idf is
       // rounded and FIXED as DECIMAL before the tf multiply, so
@@ -1966,6 +2009,54 @@ object Queries {
     "q_sketch_heavy_hitters" -> cmsHeavyHittersOracle,
     "q_sample_stratified" -> stratifiedSampleOracle,
     "q_sample_cap" -> sampleCapOracle,
+    // idBucket(doc_id, seed=3): affineA(3)=7*104729, affineB(3)=
+    // 3*94906249+12345 — the portable family replicated arithmetically.
+    "q_split_assign" ->
+      """WITH b AS (SELECT lang, doc_id, n_chars,
+        |  ((doc_id % 1000000007) * 733103 + 284731092) % 1000000007
+        |    % 1000000 % 1000 AS bucket
+        | FROM documents),
+        |s AS (SELECT lang, doc_id, n_chars,
+        |  CASE WHEN bucket < 800 THEN 'train'
+        |       WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split
+        | FROM b)
+        |SELECT split, lang, count(*) AS n,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        | CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    // mixtureUpsample replica: reps = w div 1000 + (bucket5 < w mod
+    // 1000); idBucket seed=5 → affineA(5)=11*104729, affineB(5)=
+    // 5*94906249+12345.
+    "q_mix_sources" ->
+      """WITH w AS (SELECT source, doc_id, n_chars,
+        |  250 + (CAST(substring(source, 4) AS BIGINT) % 7) * 500 AS wp,
+        |  ((doc_id % 1000000007) * 1152019 + 474543590) % 1000000007
+        |    % 1000000 % 1000 AS bucket
+        | FROM documents),
+        |r AS (SELECT source, doc_id, n_chars,
+        |  wp // 1000 + CASE WHEN bucket < wp % 1000 THEN 1 ELSE 0 END
+        |    AS reps
+        | FROM w)
+        |SELECT source, CAST(sum(reps) AS BIGINT) AS n_copies,
+        | CAST(count(*) FILTER (WHERE reps > 0) AS BIGINT) AS n_docs,
+        | CAST(sum(reps * n_chars) AS BIGINT) AS chars_sum
+        |FROM r WHERE reps > 0 GROUP BY source""".stripMargin,
+    // Bloom pre-filter never changes the answer: the oracle is the
+    // plain exact incremental dedup (batch mod 3 vs history mod 2).
+    "q_dedup_bloom" ->
+      """WITH fp AS (SELECT doc_id, source,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        | FROM documents),
+        |batch AS (SELECT * FROM fp WHERE doc_id % 3 = 0),
+        |hist AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0),
+        |first AS (SELECT * FROM (SELECT *, row_number() OVER (
+        |  PARTITION BY fp ORDER BY doc_id) AS rk FROM batch)
+        | WHERE rk = 1),
+        |surv AS (SELECT * FROM first
+        | WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.fp = first.fp))
+        |SELECT source, count(*) AS n_new,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM surv GROUP BY 1""".stripMargin,
     "q_text_tfidf" -> tfIdfOracle,
     "q_text_pmi" -> pmiOracle,
     "q_partition_prune" ->

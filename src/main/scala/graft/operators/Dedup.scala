@@ -125,6 +125,77 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** [[incrementalExact]] with a Bloom pre-filter on the history
+    * digest — the 100 TB shape of "dedup today's batch against ALL of
+    * history": most new documents are genuinely new, so the expensive
+    * part of the incremental anti-join is shuffling billions of
+    * definitely-absent fingerprints against the history table. A Bloom
+    * filter over the history digests answers "definitely not in
+    * history" per row inside codegen; only the bloom-POSITIVE sliver
+    * (true hits + false positives, rate set by `bits`) reaches the
+    * anti-join. Blooms have no false negatives and every positive is
+    * exact-verified, so the result EQUALS [[incrementalExact]] —
+    * that equality is the spec, and the catalog oracle re-derives the
+    * exact answer independently.
+    *
+    * Mechanics: `numHashes` positions per digest from seeded xxhash64
+    * mod `bits`; the filter is built distributedly (explode positions →
+    * `bit_or` of 64-bit words — one narrow shuffle of |history|·k
+    * longs collapsing to bits/64 rows) and the word array rides into
+    * the probe expression as a literal (bits=2²⁰ → 128 KiB). The
+    * collect is control-plane-bounded (bits/64 rows, never data rows).
+    * Size `bits` ≈ 1.44·|history|·log₂(1/p) for false-positive rate p;
+    * beyond literal-friendly sizes (~tens of MiB) the same words array
+    * would ship via a real broadcast variable and a custom Expression.
+    *
+    * The in-batch keep-smallest dedup runs AFTER the history filter:
+    * anti-joining on the fingerprint removes whole fingerprint groups,
+    * so the two steps commute and the window sees only survivors. */
+  def incrementalExactBloom(
+      newDocs: DataFrame,
+      history: DataFrame,
+      idCol: String,
+      text: Column,
+      bits: Int = 1 << 20,
+      numHashes: Int = 5): DataFrame = {
+    require(bits >= 128 && (bits & (bits - 1)) == 0,
+      s"bits must be a power of two >= 128: $bits")
+    require(numHashes >= 1 && numHashes <= 16,
+      s"numHashes out of range: $numHashes")
+    val hist = history.select(col("fp")).distinct()
+    def posSql(i: Int) = s"pmod(xxhash64(__fp, $i), ${bits.toLong}L)"
+    // Build: one narrow shuffle (k longs per history digest) folding
+    // into bits/64 bit_or'd words.
+    val words = new Array[Long](bits / 64)
+    hist.select(col("fp").as("__fp"))
+      .selectExpr("explode(array(" +
+        (0 until numHashes).map(posSql).mkString(",") + ")) AS pos")
+      .selectExpr("pos div 64 AS w",
+        "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)) AS m")
+      .groupBy(col("w")).agg(bit_or(col("m")).as("m"))
+      .collect()
+      .foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    val probe = (0 until numHashes).map { i =>
+      s"(element_at(__bloom, CAST((${posSql(i)}) div 64 AS INT) + 1) & " +
+        s"shiftleft(CAST(1 AS BIGINT), CAST((${posSql(i)}) % 64 AS INT)))" +
+        " != 0"
+    }.mkString(" AND ")
+    val tagged = newDocs
+      .withColumn("__fp", TextAnalysis.fingerprintMd5(text))
+      .withColumn("__bloom", typedLit(words.toSeq))
+      .withColumn("__maybe", expr(probe))
+      .drop("__bloom")
+    // Bloom-negative rows skip the join entirely (the scale win);
+    // positives are exact-verified so false positives cannot survive.
+    val fresh = tagged.filter(!col("__maybe"))
+    // unionByName: the using-column anti-join reorders __fp to the
+    // front, so a positional union would misalign the branches.
+    val verified = tagged.filter(col("__maybe"))
+      .join(hist.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+    exact(fresh.unionByName(verified), col("__fp"), idCol)
+      .drop("__maybe", "__fp")
+  }
+
   /** All UNORDERED pairs of distinct `strCol` values within edit
     * distance 1 (substitution, insertion, or deletion) — entity
     * resolution for dirty key domains (product names, vendor strings).

@@ -88,4 +88,68 @@ object Sampling {
       .filter(col("__rk") <= cap)
       .drop("__rk")
   }
+
+  /** Deterministic train/validation/test assignment: each row gets a
+    * `split` column decided by its id's bucket (permille) against the
+    * cumulative split bounds. `splits` are (name, permille) pairs
+    * summing to 1000 — e.g. `Seq("train"->800, "val"->100,
+    * "test"->100)`.
+    *
+    * Why hash-of-id and not `rand()` or row position: the assignment
+    * must be STABLE under reruns, task retries, corpus growth, and
+    * engine changes — a document that was ever in `test` must never
+    * drift into `train` (eval contamination). A pure function of the
+    * id gives exactly that, costs one codegen'd integer expression per
+    * row (no shuffle, no sort, no state), and is replicated
+    * arithmetically by the DuckDB oracle. */
+  def hashSplit(
+      df: DataFrame,
+      idCol: Column,
+      splits: Seq[(String, Int)],
+      seed: Int = 0): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splits must be non-empty with positive permilles")
+    require(splits.map(_._2).sum == 1000,
+      s"split permilles must sum to 1000: $splits")
+    val bucket = idBucket(idCol, seed) % 1000L
+    val bounds = splits.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
+    val assign = splits.init.zip(bounds.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), ub), els) =>
+      when(bucket < lit(ub.toLong), lit(name)).otherwise(els)
+    }
+    df.withColumn("split", assign)
+  }
+
+  /** Deterministic source re-weighting ("data mixing"): every row is
+    * emitted `weightPermille div 1000` times, plus one more copy for
+    * the ids whose bucket falls under `weightPermille mod 1000` —
+    * weight 2300 means two copies for every doc and a third for a
+    * deterministic 30% of them; weight 400 keeps a deterministic 40%
+    * of docs once and drops the rest. The emitted copy index is
+    * exposed as `copy` (1-based; training shards key on (id, copy)).
+    *
+    * Scale shape: upsampling is `explode(sequence(...))` — pure
+    * per-row generation inside codegen, NO shuffle and no second scan;
+    * downsampling (weight < 1000) is a codegen'd filter (empty
+    * sequence). The fractional-copy decision reuses [[idBucket]], so
+    * the mix is reproducible and oracle-replicable, never `rand()`.
+    * Weights are integer permille end-to-end — no float thresholds,
+    * which engines round differently. */
+  def mixtureUpsample(
+      df: DataFrame,
+      idCol: Column,
+      weightPermille: Column,
+      seed: Int = 0): DataFrame = {
+    val wl = weightPermille.cast(org.apache.spark.sql.types.LongType)
+    // floor(x/1000) is exact for any sane permille (< 2^52)
+    val whole = floor(wl / lit(1000L)).cast(
+      org.apache.spark.sql.types.LongType)
+    val extra = when(idBucket(idCol, seed) % 1000L < pmod(wl, lit(1000L)),
+      lit(1L)).otherwise(lit(0L))
+    df.withColumn("__reps", whole + extra)
+      .withColumn("copy", explode(
+        when(col("__reps") > 0, sequence(lit(1L), col("__reps")))
+          .otherwise(array().cast("array<bigint>"))))
+      .drop("__reps")
+  }
 }

@@ -156,4 +156,53 @@ class CurationSpec extends SparkSpecBase {
     assert(est.length == 200)
     est.foreach { case (w, e) => assert(e >= 1L, s"$w undercounted: $e") }
   }
+
+  test("hashSplit: partition into all splits, stable, ~proportional") {
+    val df = (0L until 2000L).toDF("id")
+    val out = Sampling.hashSplit(df, col("id"),
+      Seq("train" -> 800, "val" -> 100, "test" -> 100))
+    val counts = out.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 2000L)       // total partition, no loss
+    assert(counts("train") > 1400 && counts("val") > 100 &&
+      counts("test") > 100, s"badly skewed: $counts")
+    // stability: same ids land in the same split on a re-run
+    val again = Sampling.hashSplit(df, col("id"),
+      Seq("train" -> 800, "val" -> 100, "test" -> 100))
+    assert(out.collect().toSet == again.collect().toSet)
+    // a subset keeps its assignment (corpus growth never reshuffles)
+    val sub = Sampling.hashSplit(df.filter(col("id") < 100), col("id"),
+      Seq("train" -> 800, "val" -> 100, "test" -> 100))
+      .collect().toSet
+    assert(sub.subsetOf(out.collect().toSet))
+  }
+
+  test("hashSplit rejects permilles that do not sum to 1000") {
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit((0L to 2L).toDF("id"), col("id"),
+        Seq("a" -> 500, "b" -> 400))
+    }
+  }
+
+  test("mixtureUpsample: whole copies exact, fractional share close, " +
+      "weight<1000 downsamples, copy index is 1..reps") {
+    val df = (0L until 1000L).toDF("id")
+    // 2.5x: everyone gets 2 copies, ~half get a third
+    val up = Sampling.mixtureUpsample(df, col("id"), lit(2500))
+    val perDoc = up.groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(perDoc.size == 1000 && perDoc.values.forall(n => n == 2 || n == 3))
+    val three = perDoc.values.count(_ == 3)
+    assert(three > 400 && three < 600, s"fraction off: $three/1000")
+    val copies = up.filter(col("id") === lit(perDoc.find(_._2 == 3).get._1))
+      .select("copy").as[Long].collect().sorted
+    assert(copies.sameElements(Array(1L, 2L, 3L)))
+    // 0.3x: ~30% survive with exactly one copy; deterministic replay
+    val down = Sampling.mixtureUpsample(df, col("id"), lit(300))
+    val kept = down.select("id").as[Long].collect()
+    assert(kept.length > 200 && kept.length < 400, s"${kept.length}")
+    assert(kept.distinct.length == kept.length)
+    val replay = Sampling.mixtureUpsample(df, col("id"), lit(300))
+      .select("id").as[Long].collect()
+    assert(kept.sorted.sameElements(replay.sorted))
+  }
 }

@@ -191,6 +191,38 @@ class DedupSpec extends SparkSpecBase {
     assert(out == Set(10L, 16L))
   }
 
+  test("incrementalExactBloom equals incrementalExact, even at a " +
+      "pathological false-positive rate") {
+    import spark.implicits._
+    val batch = (0L until 60L).map(i => (i, s"doc number $i body"))
+      .toDF("doc_id", "text")
+    val history = (0L until 60L by 4L).map(i => s"doc number $i body")
+      .toDF("t").select(TextAnalysis.fingerprintMd5(col("t")).as("fp"))
+    val expected = Dedup
+      .incrementalExact(batch, history, "doc_id", col("text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(expected == (0L until 60L).filter(_ % 4 != 0).toSet)
+    // bits=128 forces bloom false positives (60 digests × 5 hashes on
+    // 128 bits); the verify join must remove every one of them.
+    for (bits <- Seq(128, 1 << 16)) {
+      val got = Dedup.incrementalExactBloom(batch, history, "doc_id",
+          col("text"), bits = bits, numHashes = 5)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == expected, s"bits=$bits")
+    }
+  }
+
+  test("incrementalExactBloom: empty history keeps the whole " +
+      "deduped batch without touching the anti-join") {
+    import spark.implicits._
+    val batch = Seq((1L, "x"), (2L, "X "), (3L, "y")).toDF("doc_id", "text")
+    val history = Seq.empty[String].toDF("t")
+      .select(TextAnalysis.fingerprintMd5(col("t")).as("fp"))
+    val got = Dedup.incrementalExactBloom(batch, history, "doc_id",
+        col("text"), bits = 128).select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L)) // 2 is an in-batch dup of 1 (normalized)
+  }
+
   // string ids must work identically on BOTH paths (ADVICE r3: the
   // local path used to cast ids to long, nulling out strings)
   for ((label, threshold) <- Seq(("local union-find", 1L << 20),
