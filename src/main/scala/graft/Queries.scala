@@ -1245,6 +1245,19 @@ object Queries {
           countDistinct(col("doc_id")).as("n_docs"),
           sum(col("n_chars")).as("chars_sum"))
     }),
+    "q_token_budget" -> ((s, dir) => {
+      // Corpus sizing: keep docs in deterministic-shuffle order until
+      // a 60k-char budget is exhausted — the distributed two-phase
+      // prefix sum (per-range totals → driver prefix → parallel
+      // per-range windows), NOT a single-task global window. The
+      // oracle recomputes the same prefix with a genuine global
+      // running sum, so the phase split must be exactly equivalent.
+      Sampling.takeBudget(Tables.documents(s, dir), col("doc_id"),
+          col("n_chars"), budget = 60000L, seed = 7)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars_sum"),
+          sum(col("doc_id")).as("id_sum"))
+    }),
     "q_dedup_bloom" -> ((s, dir) => {
       // Bloom-accelerated incremental dedup: today's batch (doc_id ≡ 0
       // mod 3) against the history digests of doc_id ≡ 0 mod 2 — the
@@ -2041,6 +2054,23 @@ object Queries {
         | CAST(count(*) FILTER (WHERE reps > 0) AS BIGINT) AS n_docs,
         | CAST(sum(reps * n_chars) AS BIGINT) AS chars_sum
         |FROM r WHERE reps > 0 GROUP BY source""".stripMargin,
+    // takeBudget replica with a genuine GLOBAL running sum (the
+    // operator's two-phase distributed prefix sum must equal it);
+    // idBucket seed=7 → affineA(7)=15*104729, affineB(7)=
+    // 7*94906249+12345.
+    "q_token_budget" ->
+      """WITH b AS (SELECT lang, doc_id, n_chars,
+        |  ((doc_id % 1000000007) * 1570935 + 664356088) % 1000000007
+        |    % 1000000 AS bucket
+        | FROM documents),
+        |c AS (SELECT lang, doc_id, n_chars,
+        |  sum(n_chars) OVER (ORDER BY bucket, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM b)
+        |SELECT lang, count(*) AS n,
+        | CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM c WHERE cum <= 60000 GROUP BY lang""".stripMargin,
     // Bloom pre-filter never changes the answer: the oracle is the
     // plain exact incremental dedup (batch mod 3 vs history mod 2).
     "q_dedup_bloom" ->

@@ -152,4 +152,61 @@ object Sampling {
           .otherwise(array().cast("array<bigint>"))))
       .drop("__reps")
   }
+
+  /** Keep rows in deterministic-shuffle order ([[idBucket]], id) until
+    * a cost budget is exhausted — "take exactly N tokens of corpus",
+    * the last sizing step of a training mix. The kept set is the
+    * maximal prefix of the shuffled order whose running `costCol` sum
+    * stays ≤ `budget`; membership is again a pure function of ids, so
+    * the sample replays identically anywhere.
+    *
+    * A naive global running sum is a SINGLE-TASK window (no
+    * partitionBy) — fine at demo scale, a serial bottleneck at 100 TB.
+    * This is the distributed two-phase prefix sum instead: bucket
+    * space splits into `nRanges` contiguous ranges; phase 1 aggregates
+    * one cost total per range (narrow shuffle, ≤ nRanges rows
+    * collected — control-plane, never data rows); the driver
+    * prefix-sums those into per-range exclusive offsets; phase 2
+    * re-joins the offsets (broadcast) and runs the running sum as a
+    * PER-RANGE window — nRanges-way parallel, and ranges whose offset
+    * already exceeds the budget are pruned before the sort. Range
+    * blocks are contiguous in the global order, so partition-cum +
+    * exclusive-offset EQUALS the global cumulative sum — the oracle
+    * checks that equality against a genuine global window. */
+  def takeBudget(
+      df: DataFrame,
+      idCol: Column,
+      costCol: Column,
+      budget: Long,
+      seed: Int = 0,
+      nRanges: Int = 256): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    require(nRanges > 0 && Buckets % nRanges == 0,
+      s"nRanges must divide $Buckets: $nRanges")
+    val longCost = costCol.cast(org.apache.spark.sql.types.LongType)
+    val withB = df
+      .withColumn("__b", idBucket(idCol, seed))
+      .withColumn("__p", floor(col("__b") / lit(Buckets / nRanges))
+        .cast(org.apache.spark.sql.types.LongType))
+    val totals = withB.groupBy(col("__p"))
+      .agg(sum(longCost).as("__t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (p, t) =>
+      val o = (p, acc); acc += t; o
+    }.filter(_._2 <= budget) // ranges starting past the budget: pruned
+    // (<= not <: a zero-cost row at offset == budget still qualifies)
+    val spark = df.sparkSession
+    val offDf = spark.createDataset(offsets.toSeq)(
+      org.apache.spark.sql.Encoders.product[(Long, Long)])
+      .toDF("__p", "__off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__p")).orderBy(col("__b").asc, idCol.asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    withB.join(broadcast(offDf), Seq("__p"))
+      .withColumn("__cum", sum(longCost).over(w) + col("__off"))
+      .filter(col("__cum") <= budget)
+      .drop("__p", "__b", "__off", "__cum")
+  }
 }

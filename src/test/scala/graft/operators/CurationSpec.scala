@@ -184,6 +184,32 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("takeBudget: equals the maximal prefix of the global shuffled " +
+      "order, across range counts and edge budgets") {
+    val rows = (0L until 500L).map(i => (i, 1L + i % 37)) // cost 1..37
+    val df = rows.toDF("id", "cost")
+    // brute-force expected prefix in (bucket, id) order
+    def bucket(id: Long): Long =
+      ((id % 1000000007L) * Sampling.BucketA0 // placeholder, computed below
+        + 0L) % 1000000007L
+    val order = df.select(col("id"), col("cost"),
+        Sampling.idBucket(col("id"), 0).as("b"))
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+      .sortBy(t => (t._1, t._2))
+    def expectedIds(budget: Long): Set[Long] = {
+      var acc = 0L
+      order.takeWhile { case (_, _, c) => acc += c; acc <= budget }
+        .map(_._2).toSet
+    }
+    for (budget <- Seq(0L, 5L, 1000L, 4000L, 1000000L);
+         nRanges <- Seq(1, 8, 256)) {
+      val got = Sampling.takeBudget(df, col("id"), col("cost"), budget,
+          seed = 0, nRanges = nRanges)
+        .select("id").as[Long].collect().toSet
+      assert(got == expectedIds(budget), s"budget=$budget nRanges=$nRanges")
+    }
+  }
+
   test("mixtureUpsample: whole copies exact, fractional share close, " +
       "weight<1000 downsamples, copy index is 1..reps") {
     val df = (0L until 1000L).toDF("id")
