@@ -175,11 +175,13 @@ object Dedup {
       .groupBy(col("w")).agg(bit_or(col("m")).as("m"))
       .collect()
       .foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
-    val probe = (0 until numHashes).map { i =>
-      s"(element_at(__bloom, CAST((${posSql(i)}) div 64 AS INT) + 1) & " +
-        s"shiftleft(CAST(1 AS BIGINT), CAST((${posSql(i)}) % 64 AS INT)))" +
-        " != 0"
-    }.mkString(" AND ")
+    // Each xxhash64 is written exactly once: positions materialize
+    // into a k-element array, and the word/bit lookups read the bound
+    // lambda variable — no reliance on CSE to dedupe 2k hash calls.
+    val probe = "forall(array(" +
+      (0 until numHashes).map(posSql).mkString(",") + "), p -> " +
+      "(element_at(__bloom, CAST(p div 64 AS INT) + 1) & " +
+      "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) != 0)"
     val tagged = newDocs
       .withColumn("__fp", TextAnalysis.fingerprintMd5(text))
       .withColumn("__bloom", typedLit(words.toSeq))

@@ -181,12 +181,15 @@ object Sampling {
       seed: Int = 0,
       nRanges: Int = 256): DataFrame = {
     require(budget >= 0, s"budget must be non-negative: $budget")
-    require(nRanges > 0 && Buckets % nRanges == 0,
-      s"nRanges must divide $Buckets: $nRanges")
+    require(nRanges > 0, s"nRanges must be positive: $nRanges")
+    // Ceiling width: any nRanges works; the last range is merely
+    // narrower when nRanges does not divide Buckets. Ranges stay
+    // contiguous in bucket order, which is all phase 2 relies on.
+    val width = (Buckets + nRanges - 1) / nRanges
     val longCost = costCol.cast(org.apache.spark.sql.types.LongType)
     val withB = df
       .withColumn("__b", idBucket(idCol, seed))
-      .withColumn("__p", floor(col("__b") / lit(Buckets / nRanges))
+      .withColumn("__p", floor(col("__b") / lit(width))
         .cast(org.apache.spark.sql.types.LongType))
     val totals = withB.groupBy(col("__p"))
       .agg(sum(longCost).as("__t"))

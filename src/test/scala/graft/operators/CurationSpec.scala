@@ -189,9 +189,6 @@ class CurationSpec extends SparkSpecBase {
     val rows = (0L until 500L).map(i => (i, 1L + i % 37)) // cost 1..37
     val df = rows.toDF("id", "cost")
     // brute-force expected prefix in (bucket, id) order
-    def bucket(id: Long): Long =
-      ((id % 1000000007L) * Sampling.BucketA0 // placeholder, computed below
-        + 0L) % 1000000007L
     val order = df.select(col("id"), col("cost"),
         Sampling.idBucket(col("id"), 0).as("b"))
       .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
@@ -201,8 +198,9 @@ class CurationSpec extends SparkSpecBase {
       order.takeWhile { case (_, _, c) => acc += c; acc <= budget }
         .map(_._2).toSet
     }
+    // 7 and 300 do NOT divide 1e6 — covers the ceiling-width path.
     for (budget <- Seq(0L, 5L, 1000L, 4000L, 1000000L);
-         nRanges <- Seq(1, 8, 256)) {
+         nRanges <- Seq(1, 7, 8, 256, 300)) {
       val got = Sampling.takeBudget(df, col("id"), col("cost"), budget,
           seed = 0, nRanges = nRanges)
         .select("id").as[Long].collect().toSet

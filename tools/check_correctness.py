@@ -67,11 +67,23 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    import glob
+    import glob, os
     qdirs = sorted(
         d.split("/")[-1] for d in glob.glob(f"{out_dir}/q_*") )
+    # Enumerate from the catalog manifest too: a query that errored
+    # before writing output must be a FAIL, not a silent omission.
+    catalog = []
+    if os.path.exists(f"{out_dir}/catalog.json"):
+        catalog = json.load(open(f"{out_dir}/catalog.json"))
     n_pass = n_fail = 0
-    for q in qdirs:
+    for q in sorted(set(qdirs) | set(catalog)):
+        if q not in qdirs:
+            print(f"FAIL {q} (no output written: query failed in Verify)")
+            records[q] = {"rows_match": False, "schema_match": False,
+                          "hash_match": False, "spark_rows": 0,
+                          "oracle_rows": None, "err": "no output"}
+            n_fail += 1
+            continue
         got = con.execute(
             f"SELECT * FROM '{out_dir}/{q}/*.parquet'")
         gcols = [d[0] for d in got.description]
