@@ -723,6 +723,20 @@ object Queries {
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
         .select(col("doc_id"), col("n_copies"))
     }),
+    "q_dedup_substring" -> ((s, dir) => {
+      // Exact duplicated-substring audit (Lee et al. ACL'22 ExactSubstr
+      // signal): 40-char windows every 10 chars, corpus-frequency
+      // counted on the portable hash so DuckDB replays the identical
+      // arithmetic (production mode hashes xxhash64 instead — the plan
+      // is the same). Per doc: windows, duplicated windows, windows
+      // shared with ANOTHER doc, and the duplicated share.
+      Dedup.windowDupStats(Tables.documents(s, dir), "doc_id",
+          col("text"), width = 40, stride = 10, portable = true)
+        .select(col("id").as("doc_id"), col("n_windows"),
+          col("n_dup_windows"), col("n_cross_doc"),
+          round(col("n_dup_windows").cast(DoubleType) / col("n_windows"),
+            6).as("dup_ratio"))
+    }),
     "q_dedup_incremental" -> ((s, dir) => {
       // The daily-sync pattern applied to curation: today's batch
       // (doc_id ≡ 0 mod 5) dedups within itself, then against the
@@ -1912,6 +1926,25 @@ object Queries {
         |FROM documents
         |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"""
         .stripMargin,
+    "q_dedup_substring" ->
+      s"""WITH w AS (
+        | SELECT doc_id, substr(text, CAST(i AS INT), 40) AS win
+        | FROM (SELECT doc_id, text,
+        |   unnest(generate_series(1, greatest(length(text) - 39, 1), 10))
+        |     AS i
+        |  FROM documents)),
+        |h AS (SELECT doc_id, ${polySql("win")} AS h FROM w),
+        |c AS (SELECT h, count(*) AS freq, count(DISTINCT doc_id) AS nd
+        |      FROM h GROUP BY h)
+        |SELECT doc_id,
+        | CAST(count(*) AS BIGINT) AS n_windows,
+        | CAST(sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_dup_windows,
+        | CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_cross_doc,
+        | round(sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END) * 1.0
+        |   / count(*), 6) AS dup_ratio
+        |FROM h JOIN c USING (h) GROUP BY doc_id""".stripMargin,
     "q_dedup_incremental" ->
       """WITH fp AS (SELECT doc_id, source,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp

@@ -745,4 +745,51 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
     ownResult(pairs, sh)
   }
+
+  /** Exact duplicated-substring statistics — the ExactSubstr dedup
+    * signal (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL 2022 — public method): slide `width`-char
+    * windows at `stride` over each document, hash every window, count
+    * corpus-wide occurrences of each window, and report per document
+    * how many of its windows are duplicated at all (`n_dup_windows`)
+    * and duplicated across distinct documents (`n_cross_doc`). A
+    * document shorter than `width` contributes its whole text as one
+    * window, so short exact dupes are still caught.
+    *
+    * 100 TB shape: window expansion is row-local (one generator, about
+    * len/stride rows of (id, 8-byte hash) each — window TEXT never
+    * leaves the scan); the frequency count is one map-side-combined
+    * shuffle on the hash; tagging each window with its corpus
+    * frequency is a same-key shuffle join of 16-byte rows; the final
+    * per-doc rollup shuffles on the doc id. `portable = true` swaps
+    * xxhash64 for the oracle-replicable polynomial family (so even a
+    * hash collision replicates in the DuckDB gate). */
+  def windowDupStats(
+      docs: DataFrame,
+      idCol: String,
+      text: Column,
+      width: Int = 40,
+      stride: Int = 10,
+      portable: Boolean = false): DataFrame = {
+    require(width > 0, s"width must be positive: $width")
+    require(stride > 0, s"stride must be positive: $stride")
+    val hashOf: Column => Column =
+      if (portable) polyHash else xxhash64(_)
+    val windows = docs
+      .select(col(idCol).as("id"), text.as("__t"))
+      .select(col("id"), col("__t"),
+        explode(sequence(lit(1),
+          greatest(length(col("__t")) - lit(width - 1), lit(1)),
+          lit(stride))).as("__p"))
+      .select(col("id"),
+        hashOf(col("__t").substr(col("__p"), lit(width))).as("__h"))
+    val freq = windows.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__freq"),
+        countDistinct(col("id")).as("__nd"))
+    windows.join(freq, "__h")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__freq") > 1, 1L).otherwise(0L)).as("n_dup_windows"),
+        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_cross_doc"))
+  }
 }

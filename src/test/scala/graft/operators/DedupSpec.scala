@@ -236,4 +236,39 @@ class DedupSpec extends SparkSpecBase {
       assert(got == Map("docB" -> "docB", "docC" -> "docB",
         "docE" -> "docB", "docX" -> "docX", "docY" -> "docX"))
     }
+
+  test("windowDupStats matches brute-force window counting (both hash modes)") {
+    import spark.implicits._
+    val width = 10
+    val stride = 4
+    val rows = Seq(
+      (1L, "abcdefghijabcdefghijabcdefghij"), // internal repeats
+      (2L, "abcdefghijabcdefghijXYZ"),        // shares windows with 1
+      (3L, "tiny"),                           // shorter than width
+      (4L, "tiny"),                           // exact dup of 3
+      (5L, "a wholly distinct document with no repeats 0123456789"))
+    // brute force, mirroring sequence(1, max(len-width+1, 1), stride)
+    val wins = rows.flatMap { case (id, t) =>
+      val stop = math.max(t.length - (width - 1), 1)
+      (1 to stop by stride).map { p =>
+        (id, t.substring(p - 1, math.min(p - 1 + width, t.length)))
+      }
+    }
+    val freq = wins.groupBy(_._2).view.mapValues(_.size).toMap
+    val nDocs = wins.groupBy(_._2).view
+      .mapValues(_.map(_._1).distinct.size).toMap
+    val expected = wins.groupBy(_._1).map { case (id, ws) =>
+      (id, ws.size.toLong, ws.count(w => freq(w._2) > 1).toLong,
+        ws.count(w => nDocs(w._2) > 1).toLong)
+    }.toSet
+    assert(expected.exists(_._3 > 0) && expected.exists(_._4 > 0))
+    for (portable <- Seq(true, false)) {
+      val got = Dedup.windowDupStats(rows.toDF("doc_id", "text"),
+          "doc_id", col("text"), width, stride, portable)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got === expected, s"portable=$portable")
+    }
+  }
 }
