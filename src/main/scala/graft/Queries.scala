@@ -984,18 +984,30 @@ object Queries {
           max(col("n_chars")).as("max_chars"))
     }),
     "q_quality_by_lang" -> ((s, dir) => {
+      // Token array staged as an attribute before scoring: HOFs defeat
+      // Catalyst subexpression elimination, so the inline form would
+      // re-tokenize every row once per score term (the q_text_repetition
+      // staging pattern).
       Tables.documents(s, dir)
+        .select(col("lang"), col("text"),
+          TextAnalysis.tokens(col("text")).as("__tk"))
         .select(col("lang"),
-          TextAnalysis.qualityScore(col("text")).as("q"))
+          TextAnalysis.qualityScoreFromTokens(col("__tk"), col("text"))
+            .as("q"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("q").cast(DecimalType(12, 6))).cast(DoubleType) /
             count(lit(1)), 6).as("avg_quality"))
     }),
     "q_lang_id" -> ((s, dir) => {
+      // Stage tokens(lower(text)) once: the five per-language scores +
+      // argmax fold reference the token array ~6×, and HOFs defeat
+      // subexpression elimination — inline, every reference re-tokenizes.
       Tables.documents(s, dir)
         .select(col("lang"),
-          TextAnalysis.langId(col("text")).as("pred"))
+          TextAnalysis.tokens(lower(col("text"))).as("__tk"))
+        .select(col("lang"),
+          TextAnalysis.langIdFromTokens(col("__tk")).as("pred"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
@@ -1397,14 +1409,20 @@ object Queries {
       // The oracle computes the same fields arithmetically from
       // doc_id/text — any drift in the byte layout or the LE decode
       // fails the hash.
+      // The header parse is staged ONCE as a struct attribute; the five
+      // fields project from it. Inline single-field extractors would
+      // each re-parse the header (their LE byte chains sit under when-
+      // branches, which Spark's subexpression elimination skips).
       val withBin = Tables.documents(s, dir)
         .withColumn("bin", synthWavBinary)
       withBin.select(col("source"),
-          Multimodal.wavChannels(col("bin")).as("ch"),
-          Multimodal.wavSampleRate(col("bin")).as("sr"),
-          Multimodal.wavBitsPerSample(col("bin")).as("bits"),
-          Multimodal.wavDataBytes(col("bin")).as("db"),
-          Multimodal.wavDurationMs(col("bin")).as("dur"))
+          Multimodal.wavMeta(col("bin")).as("w"))
+        .select(col("source"),
+          col("w.channels").as("ch"),
+          col("w.sample_rate").as("sr"),
+          col("w.bits_per_sample").as("bits"),
+          col("w.data_bytes").as("db"),
+          col("w.duration_ms").as("dur"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n"),
           sum(col("ch")).as("channels_sum"),

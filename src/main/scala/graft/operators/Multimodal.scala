@@ -66,32 +66,58 @@ object Multimodal {
     sniffMime(bin) === "audio/wav" &&
       substring(bin, 13, 4) === lit("fmt ".getBytes("UTF-8"))
 
-  /** Canonical-WAV (RIFF → fmt → data chunk order) field extraction:
-    * channel count, sample rate, bits/sample, data-chunk bytes, and a
-    * derived duration — all pure byte arithmetic, NULL for non-WAV.
-    * Non-canonical chunk orders would need a real parser; the
-    * metadata-prunes-before-decode posture is identical to the PNG
-    * path. */
-  def wavChannels(bin: Column): Column =
-    when(isWav(bin), leInt(bin, 23, 2)).otherwise(lit(null).cast(LongType))
+  /** Canonical-WAV (RIFF → fmt → data chunk order) field extraction as
+    * ONE struct: is_wav, channel count, sample rate, bits/sample,
+    * data-chunk bytes, derived duration — all pure byte arithmetic,
+    * field-NULL for non-WAV. Non-canonical chunk orders would need a
+    * real parser; the metadata-prunes-before-decode posture is
+    * identical to the PNG path.
+    *
+    * Single-pass by construction: the per-byte `conv(hex(substring))`
+    * little-endian chains live under `when` branches, and Spark's
+    * subexpression elimination skips conditionally-evaluated subtrees —
+    * so five separate extractor columns each re-derived isWav and the
+    * raw fields. Here every raw chain appears at most twice (its own
+    * field + the duration arithmetic) and the isWav test once per
+    * always-evaluated branch condition, where CSE does apply. Hot
+    * paths stage `wavMeta(bin).as("w")` as an attribute and project
+    * fields from it. */
+  def wavMeta(bin: Column): Column = {
+    val wav     = isWav(bin)
+    val hasData = substring(bin, 37, 4) === lit("data".getBytes("UTF-8"))
+    val ch      = leInt(bin, 23, 2)
+    val sr      = leInt(bin, 25, 4)
+    val bits    = leInt(bin, 35, 2)
+    val db      = leInt(bin, 41, 4)
+    val denom   = sr * ch * (bits / 8)
+    struct(
+      wav.as("is_wav"),
+      when(wav, ch).otherwise(lit(null).cast(LongType)).as("channels"),
+      when(wav, sr).otherwise(lit(null).cast(LongType)).as("sample_rate"),
+      when(wav, bits).otherwise(lit(null).cast(LongType))
+        .as("bits_per_sample"),
+      when(wav && hasData, db).otherwise(lit(null).cast(LongType))
+        .as("data_bytes"),
+      when(wav && hasData && denom > 0,
+        floor(db.cast(DoubleType) * 1000d / denom.cast(DoubleType))
+          .cast(LongType))
+        .otherwise(lit(null).cast(LongType)).as("duration_ms"))
+  }
+
+  /** Single-field conveniences projecting from [[wavMeta]]. Fine for a
+    * one-field read; a query touching two or more WAV fields should
+    * stage the struct once instead (`wavMeta(bin).as("w")`, then
+    * `w.getField(…)`) — inline, each extractor re-parses the header. */
+  def wavChannels(bin: Column): Column = wavMeta(bin).getField("channels")
   def wavSampleRate(bin: Column): Column =
-    when(isWav(bin), leInt(bin, 25, 4)).otherwise(lit(null).cast(LongType))
+    wavMeta(bin).getField("sample_rate")
   def wavBitsPerSample(bin: Column): Column =
-    when(isWav(bin), leInt(bin, 35, 2)).otherwise(lit(null).cast(LongType))
-  def wavDataBytes(bin: Column): Column =
-    when(isWav(bin) && substring(bin, 37, 4) === lit("data".getBytes("UTF-8")),
-      leInt(bin, 41, 4)).otherwise(lit(null).cast(LongType))
+    wavMeta(bin).getField("bits_per_sample")
+  def wavDataBytes(bin: Column): Column = wavMeta(bin).getField("data_bytes")
 
   /** Playback duration in milliseconds, floored: dataBytes · 1000 /
     * (rate · channels · bytesPerSample). */
-  def wavDurationMs(bin: Column): Column = {
-    val denom = wavSampleRate(bin) * wavChannels(bin) *
-      (wavBitsPerSample(bin) / 8)
-    when(denom > 0,
-      floor(wavDataBytes(bin).cast(DoubleType) * 1000d /
-        denom.cast(DoubleType)).cast(LongType))
-      .otherwise(lit(null).cast(LongType))
-  }
+  def wavDurationMs(bin: Column): Column = wavMeta(bin).getField("duration_ms")
 
   /** Typed metadata struct for a media column: one expression, usable
     * as a pruning predicate source before any decode. */

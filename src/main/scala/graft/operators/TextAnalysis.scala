@@ -29,11 +29,22 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     regexp_count(text, lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"))
 
-  /** Mean whitespace-token length in characters (0 for empty docs). */
-  def meanTokenLength(text: Column): Column = {
-    val n = tokenCount(text)
+  /** Mean whitespace-token length in characters (0 for empty docs).
+    * Convenience form — tokenizes inline twice; hot paths should stage
+    * the token array and call [[meanTokenLengthFromTokens]]. */
+  def meanTokenLength(text: Column): Column =
+    meanTokenLengthFromTokens(tokens(text))
+
+  /** [[meanTokenLength]] over a pre-staged token array. When `toks` is
+    * a projected attribute (not an inline expression tree) the array
+    * materializes once per row, regardless of how many times this
+    * expression references it — higher-order functions defeat Catalyst
+    * subexpression elimination, so inline trees re-tokenize per
+    * reference. */
+  def meanTokenLengthFromTokens(toks: Column): Column = {
+    val n = size(toks)
     when(n > 0,
-      aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t))
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t))
         .cast(DoubleType) / n)
       .otherwise(lit(0.0))
   }
@@ -68,9 +79,22 @@ object TextAnalysis {
 
   /** Language-ID heuristic: score each candidate language by its
     * function-word hit count; pick the argmax (ties resolved by the
-    * fixed language order above; all-zero → "und"). */
-  def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
+    * fixed language order above; all-zero → "und").
+    *
+    * Convenience form only — the token expression is inlined into all
+    * five language scores plus the argmax fold, and higher-order
+    * functions defeat Catalyst subexpression elimination, so every row
+    * re-tokenizes ~6×. Hot paths MUST stage
+    * `tokens(lower(text)).as("__tk")` as a projected attribute and call
+    * [[langIdFromTokens]] (the q_text_repetition staging pattern). */
+  def langId(text: Column): Column =
+    langIdFromTokens(tokens(lower(text)))
+
+  /** [[langId]] over a pre-staged lowercased token array. With `toks`
+    * a projected attribute the array materializes once per row; the
+    * five `filter(toks, …)` scores then re-scan a cached array instead
+    * of re-running split+filter over the raw text. */
+  def langIdFromTokens(toks: Column): Column = {
     val scores = StopwordsByLang.map { case (lang, words) =>
       lang -> size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
     }
@@ -83,11 +107,19 @@ object TextAnalysis {
   /** Composite quality score in [0,1]: rewards mid-length docs, healthy
     * mean token length, low punctuation density. Deterministic,
     * SQL-expressible; thresholds are Gopher-rules-inspired. */
-  def qualityScore(text: Column): Column = {
-    val n       = tokenCount(text).cast(DoubleType)
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(tokens(text), text)
+
+  /** [[qualityScore]] over a pre-staged token array (`toks` must be
+    * `tokens(text)` projected as an attribute): the length and
+    * mean-token-length terms read the materialized array instead of
+    * re-tokenizing per term (three split+filter passes collapse to
+    * one); the punctuation term still reads the raw text. */
+  def qualityScoreFromTokens(toks: Column, text: Column): Column = {
+    val n       = size(toks).cast(DoubleType)
     val lenOk   = when(n >= 10 && n <= 1000, lit(1.0))
       .when(n > 0, lit(0.5)).otherwise(lit(0.0))
-    val mtl     = meanTokenLength(text)
+    val mtl     = meanTokenLengthFromTokens(toks)
     val mtlOk   = when(mtl >= 3 && mtl <= 10, lit(1.0)).otherwise(lit(0.5))
     val punctOk = lit(1.0) - least(punctRatio(text) * 5, lit(1.0))
     round((lenOk + mtlOk + punctOk) / 3.0, 6)
