@@ -24,16 +24,34 @@ object Bench {
   private def force(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
+  /** Locale-pinned decimal formatting: the digest is parsed as JSON by
+    * the driver, and default-locale "%.2f" emits decimal commas under
+    * e.g. de_DE. */
+  private def fmt(pattern: String, v: Double): String =
+    String.format(java.util.Locale.ROOT, pattern, Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-bench")
 
     // Optional args = regexes; run only matching queries (iteration aid
     // — the driver passes no args and times the full catalog).
+    // `--repeat N` times each query N times and reports the MINIMUM —
+    // the variance/warm-up separator: codegen + JIT warm-up dominates
+    // rep 1 at small SF, so back-to-back runs that disagree on rep-1
+    // time but agree on min are noise, not regressions (PLANS.md
+    // "Bench variance").
+    val (repeat, filters) = {
+      val i = args.indexOf("--repeat")
+      if (i >= 0 && i + 1 < args.length)
+        (args(i + 1).toInt.max(1),
+          args.patch(i, Nil, 2).toSeq)
+      else (1, args.toSeq)
+    }
     val selected =
-      if (args.isEmpty) SparkEntry.queries
+      if (filters.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) =>
-        args.exists(a => n.matches(a) || n.contains(a))
+        filters.exists(a => n.matches(a) || n.contains(a))
       }
 
     // Warm-up: a representative scan+shuffle, untimed.
@@ -44,18 +62,21 @@ object Bench {
 
     val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val t0 = System.nanoTime()
-        val err =
-          try { force(fn(spark, sfDir)); None }
-          catch { case e: Throwable =>
-            Some(Option(e.getMessage).getOrElse(e.getClass.getName))
-          }
+        val reps = (1 to repeat).map { _ =>
+          val t0 = System.nanoTime()
+          val err =
+            try { force(fn(spark, sfDir)); None }
+            catch { case e: Throwable =>
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+            }
+          ((System.nanoTime() - t0) / 1e9, err)
+        }
         // No harness-level cache clearing: operators own and release
         // their corpus-scale input caches (Dedup.ownResult); what stays
         // cached across queries is only tiny, explicitly-shared result
         // frames (the dedup pair set q_dedup_apply reuses — its cost is
         // attributed to whichever dedup query runs first).
-        (name, (System.nanoTime() - t0) / 1e9, err)
+        (name, reps.map(_._1).min, reps.flatMap(_._2).headOption)
     }
 
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -65,14 +86,14 @@ object Bench {
       case c => c.toString
     } + "\""
     val qs = results
-      .map { case (k, v, _) => s"${jstr(k)}:${"%.4f".format(v)}" }
+      .map { case (k, v, _) => s"${jstr(k)}:${fmt("%.4f", v)}" }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
       s"${jstr(k)}:${jstr(e.take(300))}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec",""" +
+      s"""{"metric":"total","value":${fmt("%.4f", total)},"unit":"sec",""" +
         s""""queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
 
     // Always land the artifact at a well-known repo path (the driver
@@ -106,12 +127,12 @@ object Bench {
     val byName = results.map { case (k, v, _) => k -> v }.toMap
     def compactLine(nHead: Int): String = {
       val hq = headline.take(nHead)
-        .flatMap(k => byName.get(k).map(v => s"${jstr(k)}:${"%.2f".format(v)}"))
+        .flatMap(k => byName.get(k).map(v => s"${jstr(k)}:${fmt("%.2f", v)}"))
         .mkString("{", ",", "}")
       val cerrs = results.collect { case (k, _, Some(e)) =>
         s"${jstr(k)}:${jstr(e.take(80))}"
       }.take(3).mkString("{", ",", "}")
-      s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec",""" +
+      s"""{"metric":"total","value":${fmt("%.2f", total)},"unit":"sec",""" +
         s""""n":${results.size},"nerr":${results.count(_._3.isDefined)},""" +
         s""""errors":$cerrs,"queries":$hq,""" +
         s""""queries_all":"tmp/bench_self.json","sf":${jstr(sfDir)}}"""

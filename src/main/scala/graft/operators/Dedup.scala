@@ -775,6 +775,11 @@ object Dedup {
     require(stride > 0, s"stride must be positive: $stride")
     val hashOf: Column => Column =
       if (portable) polyHash else xxhash64(_)
+    // The (id, hash) window frame feeds BOTH the frequency aggregate
+    // and the probe side of the join — unpersisted, the document scan
+    // + window expansion + hashing subtree would run twice (the freq
+    // side's partial-aggregate exchange is not reusable for the probe
+    // side). Persist it for the query's lifetime, release on return.
     val windows = docs
       .select(col(idCol).as("id"), text.as("__t"))
       .select(col("id"), col("__t"),
@@ -783,13 +788,15 @@ object Dedup {
           lit(stride))).as("__p"))
       .select(col("id"),
         hashOf(col("__t").substr(col("__p"), lit(width))).as("__h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val freq = windows.groupBy(col("__h"))
       .agg(count(lit(1)).as("__freq"),
         countDistinct(col("id")).as("__nd"))
-    windows.join(freq, "__h")
+    val stats = windows.join(freq, "__h")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("__freq") > 1, 1L).otherwise(0L)).as("n_dup_windows"),
         sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_cross_doc"))
+    ownResult(stats, windows)
   }
 }

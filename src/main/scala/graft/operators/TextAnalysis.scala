@@ -69,9 +69,14 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "了", "在", "我")
   )
 
-  /** Stopword-hit ratio against one language's function words. */
-  def stopwordRatio(text: Column, words: Seq[String]): Column = {
-    val toks = tokens(lower(text))
+  /** Stopword-hit ratio against one language's function words.
+    * Convenience form — hot paths should stage the lowercased token
+    * array and call [[stopwordRatioFromTokens]]. */
+  def stopwordRatio(text: Column, words: Seq[String]): Column =
+    stopwordRatioFromTokens(tokens(lower(text)), words)
+
+  /** [[stopwordRatio]] over a pre-staged lowercased token array. */
+  def stopwordRatioFromTokens(toks: Column, words: Seq[String]): Column = {
     val hits = size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
     when(size(toks) > 0, hits.cast(DoubleType) / size(toks))
       .otherwise(lit(0.0))
