@@ -667,6 +667,41 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum(col("z")).as("z_sum"),
           min(col("z")).as("z_min"), max(col("z")).as("z_max"))
     }),
+    "q_zorder_prune" -> ((s, dir) => {
+      // Z-order data skipping PROVEN end-to-end (the q_partition_prune
+      // analogue for file-stats pruning): write orders z-ordered on
+      // (custkey, orderkey), then answer a 2-D rectangle predicate via
+      // Lakehouse.readWithFileSkipping — footer min/max stats drop the
+      // files whose (custkey, orderkey) envelope can't intersect the
+      // rectangle — and REQUIRE that files were actually skipped.
+      // Pruning is sound (only provably-empty files drop), so the
+      // oracle recomputes the same rows from the raw table; a lossy
+      // skip diverges the hash. bits=24 covers raw keys to 16.7M — no
+      // wrap at any test SF (wrapped codes would destroy clustering).
+      val tmp =
+        java.nio.file.Files.createTempDirectory("graft_zorder").toString
+      val orders = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.io.Lakehouse.writeZOrdered(
+        orders, "o_custkey", "o_orderkey", tmp, nFiles = 8, bits = 24)
+      // low-corner rectangle: an eighth of each key range → ~1/64 of
+      // the z-space, so most of the 8 z-range files must skip. Bounds
+      // derive from the data (scale-free); the oracle re-derives them
+      // with the same floor division.
+      val bounds = orders
+        .agg(max(col("o_custkey")).as("mc"), max(col("o_orderkey")).as("mo"))
+        .head()
+      val (cHi, oHi) = (bounds.getLong(0) / 8, bounds.getLong(1) / 8)
+      val (back, nTotal, nKept) = graft.io.Lakehouse.readWithFileSkipping(
+        s, tmp, Map("o_custkey" -> (0L, cHi), "o_orderkey" -> (0L, oHi)))
+      require(nKept < nTotal,
+        s"z-order file skipping must drop files: kept $nKept of $nTotal")
+      back
+        .filter(col("o_custkey") <= cHi && col("o_orderkey") <= oHi)
+        .groupBy((col("o_custkey") % 4).as("cust_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
+          dsum(col("o_totalprice")).as("price_sum"))
+    }),
     "q_join_asof" -> ((s, dir) => {
       // As-of (point-in-time) join: every click event matched to the
       // same user's LATEST purchase at-or-before it — the classic
@@ -1909,6 +1944,16 @@ object Queries {
         | CAST(sum(z) AS BIGINT) AS z_sum,
         | min(z) AS z_min, max(z) AS z_max
         |FROM z GROUP BY 1""".stripMargin,
+    "q_zorder_prune" ->
+      """WITH b AS (SELECT max(o_custkey) // 8 AS ch,
+        |  max(o_orderkey) // 8 AS oh FROM orders)
+        |SELECT o_custkey % 4 AS cust_mod, count(*) AS n,
+        | CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |  AS price_sum
+        |FROM orders, b
+        |WHERE o_custkey <= b.ch AND o_orderkey <= b.oh
+        |GROUP BY 1""".stripMargin,
     "q_join_asof" ->
       """WITH clicks AS (
         | SELECT user_id, ts AS click_ts, value AS click_value

@@ -62,6 +62,81 @@ object Lakehouse {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
 
+  /** Per-file min/max of long-typed columns harvested from parquet
+    * footers — the data-skipping index a lakehouse table format
+    * (Delta/Iceberg) persists in its manifest, derived here directly
+    * from the files' own row-group statistics. Driver-side footer
+    * reads: O(nFiles) metadata fetches, no data pages touched — a
+    * control-plane cost (production amortizes it by writing the stats
+    * into a manifest at write time; this derives the same numbers on
+    * demand). Columns with missing/empty stats in any block yield no
+    * entry, so [[readWithFileSkipping]] keeps the file (skipping must
+    * be sound, never lossy). */
+  def parquetFileStats(
+      spark: SparkSession,
+      path: String,
+      cols: Seq[String]): Seq[(String, Map[String, (Long, Long)])] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(conf)
+    fs.listStatus(hPath).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, conf))
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala
+          val perCol = cols.flatMap { c =>
+            val colStats = blocks.map(b =>
+              b.getColumns.asScala
+                .find(_.getPath.toDotString == c)
+                .map(_.getStatistics)
+                .filter(s => s != null && s.hasNonNullValue))
+            // every block must carry stats for the column, else skip it
+            if (colStats.isEmpty || colStats.exists(_.isEmpty)) None
+            else {
+              val mins = colStats.flatten.map(
+                _.genericGetMin.asInstanceOf[Number].longValue)
+              val maxs = colStats.flatten.map(
+                _.genericGetMax.asInstanceOf[Number].longValue)
+              Some(c -> (mins.min, maxs.max))
+            }
+          }.toMap
+          st.getPath.toString -> perCol
+        } finally reader.close()
+      }
+  }
+
+  /** Stats-pruned parquet read: keep only the files whose per-column
+    * [min, max] intersects EVERY predicate range in `ranges`
+    * (inclusive bounds), and return (frame over kept files, total
+    * files, kept files). Soundness: a file is skipped only when its
+    * own statistics prove no row can match, so the kept set plus the
+    * caller's residual row filter returns exactly the rows a full
+    * scan would — pruning changes IO, never results. This is what
+    * makes [[writeZOrdered]] pay off: z-clustering keeps BOTH
+    * dimensions' per-file ranges narrow, so a 2-D rectangle predicate
+    * skips most files where a single-column sort serves only its
+    * leading column. */
+  def readWithFileSkipping(
+      spark: SparkSession,
+      path: String,
+      ranges: Map[String, (Long, Long)]): (DataFrame, Int, Int) = {
+    val stats = parquetFileStats(spark, path, ranges.keys.toSeq)
+    val kept = stats.collect {
+      case (file, st) if ranges.forall { case (c, (lo, hi)) =>
+        st.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      } => file
+    }
+    val df =
+      if (kept.isEmpty)
+        spark.read.parquet(path).filter(org.apache.spark.sql.functions.lit(false))
+      else spark.read.parquet(kept: _*)
+    (df, stats.size, kept.size)
+  }
+
   /** Hive-style partitioned parquet write with small-file discipline:
     * repartitioning ON the partition columns first lands each
     * partition's rows in one task, so the layout is one file per

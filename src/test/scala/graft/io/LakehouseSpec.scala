@@ -58,6 +58,41 @@ class LakehouseSpec extends SparkSpecBase {
     assert(perFile.getDouble(1) < 32.0, s"y range ${perFile.getDouble(1)}")
   }
 
+  test("file-stats skipping: sound (same rows as full scan) and " +
+    "effective (z-order drops files for a 2-D rectangle)") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("zskip").toString + "/g"
+    // 64x64 grid, z-ordered into 16 files
+    val grid = spark.range(4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    Lakehouse.writeZOrdered(grid, "x", "y", path, nFiles = 16, bits = 6)
+
+    // footer stats exist for both columns on every file
+    val stats = Lakehouse.parquetFileStats(spark, path, Seq("x", "y"))
+    assert(stats.size == 16)
+    assert(stats.forall(_._2.keySet == Set("x", "y")))
+
+    // low-corner rectangle covers 1/16 of the grid: most files skip
+    val ranges = Map("x" -> (0L, 15L), "y" -> (0L, 15L))
+    val (kept, nTotal, nKept) =
+      Lakehouse.readWithFileSkipping(spark, path, ranges)
+    assert(nTotal == 16)
+    assert(nKept < nTotal, s"expected skipped files, kept $nKept/$nTotal")
+
+    // soundness: pruned read + residual filter == full scan + filter
+    val pred = col("x").between(0, 15) && col("y").between(0, 15)
+    val viaSkip = kept.filter(pred)
+    val full = spark.read.parquet(path).filter(pred)
+    assert(viaSkip.count() == 256)
+    assert(viaSkip.exceptAll(full).count() == 0)
+    assert(full.exceptAll(viaSkip).count() == 0)
+
+    // disjoint rectangle: zero files survive, frame is empty not broken
+    val (none, _, zero) = Lakehouse.readWithFileSkipping(
+      spark, path, Map("x" -> (1000L, 2000L)))
+    assert(zero == 0 && none.count() == 0)
+  }
+
   test("compact folds a fragmented directory without changing data") {
     val path = java.nio.file.Files.createTempDirectory("cmp").toString + "/t"
     val src = Tables.orders(spark, "/root/testdata/sf0.001")
