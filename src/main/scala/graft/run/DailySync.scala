@@ -66,15 +66,7 @@ object DailySync {
     require(base.sourceUrlOverride.nonEmpty,
       s"--entity ${e.name} syncs DB-to-DB: pass --source-url " +
         "(or GRAFT_SOURCE_URL)")
-    // Env defaults name the orders tables; an entity sync that wasn't
-    // given explicit names uses the entity's own.
-    val cfg = base.copy(
-      sourceTable =
-        if (base.sourceTable == "orders") e.name else base.sourceTable,
-      targetTable =
-        if (base.targetTable == "orders") e.name else base.targetTable,
-      stagingTable = if (base.stagingTable == "orders_staging")
-        s"${e.name}_staging" else base.stagingTable)
+    val cfg = Pipeline.entityConfig(base, e)
     Pipeline.ensureEntityTables(cfg, e)
     var allOk = true
     for (date <- dates) {

@@ -200,6 +200,36 @@ object Pipeline {
     }
   }
 
+  /** Env defaults name the orders tables; an entity run that wasn't
+    * given explicit names substitutes the entity's own. Shared by the
+    * DailySync and RangeSync entity branches. */
+  def entityConfig(base: Config, e: Entity): Config = base.copy(
+    sourceTable =
+      if (base.sourceTable == "orders") e.name else base.sourceTable,
+    targetTable =
+      if (base.targetTable == "orders") e.name else base.targetTable,
+    stagingTable = if (base.stagingTable == "orders_staging")
+      s"${e.name}_staging" else base.stagingTable)
+
+  /** O3 for any entity: one pushed range scan [start, end] (inclusive
+    * dates) on the entity's incremental column — the `_historical`
+    * pyc's backfill workload as a SINGLE scan + upsert, where the
+    * reference fans out one Airflow task per date. Source casing. */
+  def extractEntityForRange(
+      spark: SparkSession,
+      cfg: Config,
+      e: Entity,
+      start: String,
+      end: String): DataFrame = {
+    val endNext = java.time.LocalDate.parse(end).plusDays(1)
+    val d = cfg.sourceDialect
+    JdbcSources.rangeSlice(
+      spark, cfg.sourceJdbc,
+      d.table(cfg.sourceSchemaName, cfg.sourceTable),
+      d.quote(e.incrementalColumn), start, endNext.toString,
+      fetchSize = cfg.extractChunkSize)
+  }
+
   /** S11 for the entity: count-back on the lowercased incremental
     * column (the `_historical` pyc's
     * `WHERE CAST(createddateutc AS DATE) = %s`). */

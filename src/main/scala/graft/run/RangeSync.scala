@@ -9,7 +9,8 @@ import graft.operators.Upsert
   *
   * Usage:
   *   sbt "runMain graft.run.RangeSync --start-date 1996-03-01 \
-  *        --end-date 1996-03-07 [--sf-dir ...] [--target-url jdbc:...]"
+  *        --end-date 1996-03-07 [--sf-dir ...] [--target-url jdbc:...] \
+  *        [--entity transactions --source-url jdbc:...]"
   *
   * Where the reference fans out one Airflow task per date (Dynamic Task
   * Mapping, `_historical` pyc), this is ONE scan + ONE upsert over the
@@ -17,6 +18,12 @@ import graft.operators.Upsert
   * fan-out and beats it (one pass instead of N) — with the per-date
   * validation recovered by a single `groupBy(to_date(ts)).count()` on
   * each side (SURVEY §3.2).
+  *
+  * `--entity transactions` backfills the wide 57-column entity instead
+  * (the `_historical` pyc's actual workload): same single-scan range
+  * extract on `CreatedDateUtc`, lowercase-align, composite-key LWW
+  * upsert, per-date count reconciliation. DB-to-DB only — requires
+  * `--source-url`.
   */
 object RangeSync {
 
@@ -25,8 +32,68 @@ object RangeSync {
     val start = opts.required("start-date")
     val end = opts.required("end-date")
     val dates = Args.dateRange(start, end) // validates start <= end
-    val cfg = opts.config
     val spark = Sessions.local("graft-range-sync")
+    opts.get("entity").getOrElse("orders") match {
+      case "orders" => ordersRange(spark, opts, start, end, dates)
+      case "transactions" => entityRange(
+        spark, graft.core.Entities.transactions, opts, start, end, dates)
+      case other => sys.error(s"unknown --entity $other " +
+        "(orders | transactions)")
+    }
+    spark.stop()
+  }
+
+  /** Entity-generic range backfill: one pushed range scan, one LWW
+    * upsert, per-date validation from ONE groupBy on each side. */
+  private def entityRange(
+      spark: org.apache.spark.sql.SparkSession,
+      e: graft.core.Entity,
+      opts: Args,
+      start: String,
+      end: String,
+      dates: Seq[String]): Unit = {
+    val base = opts.config
+    require(base.sourceUrlOverride.nonEmpty,
+      s"--entity ${e.name} syncs DB-to-DB: pass --source-url " +
+        "(or GRAFT_SOURCE_URL)")
+    val cfg = Pipeline.entityConfig(base, e)
+    Pipeline.ensureEntityTables(cfg, e)
+
+    val slice = Pipeline
+      .extractEntityForRange(spark, cfg, e, start, end)
+      .cache()
+    val extracted = slice
+      .groupBy(to_date(col(e.incrementalColumn)).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+
+    Pipeline.loadEntityBatch(cfg, e, slice)
+    slice.unpersist()
+
+    val tsCol = col(e.targetIncrementalColumn)
+    val loaded = Pipeline.readTarget(spark, cfg, cfg.targetTable)
+      .filter(tsCol >= lit(start).cast("timestamp") &&
+        tsCol < date_add(lit(end).cast("date"), 1).cast("timestamp"))
+      .groupBy(to_date(tsCol).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+
+    var allOk = true
+    for (d <- dates) {
+      allOk &= Pipeline.reconcile(s"${e.name} range $d",
+        extracted.getOrElse(d, 0L), loaded.getOrElse(d, 0L))
+    }
+    println(s"[range-sync] done: ${dates.size} day(s), " +
+      (if (allOk) "all counts reconciled" else "MISMATCHES logged above"))
+  }
+
+  private def ordersRange(
+      spark: org.apache.spark.sql.SparkSession,
+      opts: Args,
+      start: String,
+      end: String,
+      dates: Seq[String]): Unit = {
+    val cfg = opts.config
 
     Pipeline.ensureTargetTables(cfg)
     val slice = Pipeline
@@ -61,6 +128,5 @@ object RangeSync {
     }
     println(s"[range-sync] done: ${dates.size} day(s), " +
       (if (allOk) "all counts reconciled" else "MISMATCHES logged above"))
-    spark.stop()
   }
 }

@@ -137,6 +137,64 @@ class TxSyncSpec extends SparkSpecBase {
     assert(targetState() == afterReplay)
   }
 
+  test("range backfill (O3): single-scan 3-day extract, per-date " +
+    "reconciliation, idempotent replay") {
+    // isolated DBs so earlier tests' LWW mutations can't leak in
+    val src2 = graft.io.JdbcConfig(
+      "jdbc:derby:memory:txsrc_range;create=true", batchSize = 7)
+    val cfg2 = Pipeline.entityConfig(
+      Config.fromEnv(Map(
+        "GRAFT_SOURCE_URL" -> src2.url,
+        "GRAFT_TARGET_URL" -> "jdbc:derby:memory:txdst_range;create=true")),
+      e)
+    assert(cfg2.sourceTable == "transactions" &&
+      cfg2.stagingTable == "transactions_staging")
+    JdbcWrite.execute(src2,
+      SqlGen.createTable(SqlDialect.Derby, srcTable, Schemas.transactions))
+    // day 1: A, B; day 2: C; day 3: D — plus an out-of-range day 4 row
+    // that the half-open range scan must NOT pick up
+    RefreshSink.write(txDf(seedRows ++ Seq(
+      txRow("D", 3, "2025-03-03 11:00:00", "2025-03-03 11:00:00", "40.0",
+        """{"ch":"web","score":1}"""),
+      txRow("E", 3, "2025-03-04 00:00:00", "2025-03-04 00:00:00", "50.0",
+        """{"ch":"app","score":2}""")): _*),
+      src2, SqlDialect.Derby, srcTable)
+    Pipeline.ensureEntityTables(cfg2, e)
+
+    def runRange(): Map[String, Long] = {
+      val slice = Pipeline
+        .extractEntityForRange(spark, cfg2, e, "2025-03-01", "2025-03-03")
+        .cache()
+      val extracted = slice
+        .groupBy(org.apache.spark.sql.functions.to_date(
+          slice(e.incrementalColumn)).as("d"))
+        .count()
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      Pipeline.loadEntityBatch(cfg2, e, slice)
+      slice.unpersist()
+      extracted
+    }
+
+    val extracted = runRange()
+    assert(extracted == Map(
+      "2025-03-01" -> 2L, "2025-03-02" -> 1L, "2025-03-03" -> 1L))
+    // count-back per date reconciles; day 4 never crossed
+    for ((d, n) <- extracted)
+      assert(Pipeline.countEntityLoadedForDay(cfg2, e, d) == n)
+    assert(Pipeline.countEntityLoadedForDay(cfg2, e, "2025-03-04") == 0L)
+
+    // idempotency (O5): replaying the whole range is a no-op
+    val before = JdbcSources.readTable(spark, cfg2.targetJdbc,
+      cfg2.targetDialect.table(cfg2.targetSchemaName, cfg2.targetTable))
+      .collect().map(_.toString).sorted.toSeq
+    assert(runRange() == extracted)
+    val after = JdbcSources.readTable(spark, cfg2.targetJdbc,
+      cfg2.targetDialect.table(cfg2.targetSchemaName, cfg2.targetTable))
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before)
+    assert(after.size == 4)
+  }
+
   test("target edge is fully lowercased, all 57 columns present (F5/F6)") {
     ensureSource()
     Pipeline.ensureEntityTables(cfg, e)
