@@ -35,11 +35,23 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Registration guard: an oracle whose key matches no query is a
+    // DEAD GATE (it would never be compared against anything), and a
+    // query without an oracle silently downgrades to the weaker
+    // rows-only check — both fail loudly here instead.
+    val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    require(orphanOracles.isEmpty,
+      s"oracleSql keys with no matching query: $orphanOracles")
+    val unGated = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    if (unGated.nonEmpty)
+      System.err.println(s"[verify] WARNING rows-only (no oracle): $unGated")
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Full catalog manifest: a query that throws before writing its
-    // output must show up as a FAIL in the compare, not vanish.
+    // output must show up as a FAIL in the compare, not vanish. Written
+    // from the FULL queries map even under a dev-loop filter, so the
+    // manifest size always equals the registration size.
     Files.writeString(Paths.get(s"$outDir/catalog.json"),
       SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()

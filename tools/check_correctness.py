@@ -72,10 +72,23 @@ def main():
         d.split("/")[-1] for d in glob.glob(f"{out_dir}/q_*") )
     # Enumerate from the catalog manifest too: a query that errored
     # before writing output must be a FAIL, not a silent omission.
-    catalog = []
-    if os.path.exists(f"{out_dir}/catalog.json"):
-        catalog = json.load(open(f"{out_dir}/catalog.json"))
+    # A MISSING manifest is itself a failure (a stale out_dir or a
+    # Verify crash before the manifest write would otherwise shrink
+    # the gate silently).
+    if not os.path.exists(f"{out_dir}/catalog.json"):
+        print(f"FAIL catalog.json missing from {out_dir} — "
+              "incomplete Verify run, nothing can be trusted")
+        sys.exit(1)
+    catalog = json.load(open(f"{out_dir}/catalog.json"))
     n_pass = n_fail = 0
+    # An oracle keyed to no catalog entry is a dead gate: it compares
+    # nothing, so a typo'd registration would pass forever.
+    for orphan in sorted(set(oracles) - set(catalog)):
+        print(f"FAIL {orphan} (oracle has no matching catalog query)")
+        records[orphan] = {"rows_match": False, "schema_match": False,
+                           "hash_match": False, "spark_rows": None,
+                           "oracle_rows": None, "err": "orphan oracle"}
+        n_fail += 1
     for q in sorted(set(qdirs) | set(catalog)):
         if q not in qdirs:
             print(f"FAIL {q} (no output written: query failed in Verify)")
