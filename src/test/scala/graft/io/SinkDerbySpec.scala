@@ -169,4 +169,88 @@ class SinkDerbySpec extends SparkSpecBase {
       """"ordercreatedat" IS NOT NULL""")
     assert(n == 3L)
   }
+
+  // --- LWW NULL-ordering property (SURVEY §7.4 risk 4, pinned at the
+  // executed-SQL level). The MERGE's matched-clause disjunct
+  // `t.ts IS NULL OR s.ts > t.ts` must resolve every NULL combination
+  // exactly like the reference's ON CONFLICT ... WHERE clause:
+  //   target NULL  → source wins (even a NULL source ts overwrites);
+  //   source NULL  → target keeps (NULL compares to nothing);
+  //   both present → strictly-greater wins, ties keep the target.
+  // Randomized sides with NULLs on BOTH sides run through the real
+  // Derby MERGE and are checked against an independent Map model —
+  // deliberately NOT the Upsert DataFrame oracle, so a flaw shared by
+  // both implementations can't hide.
+
+  private val lwwSchema = StructType(Seq(
+    StructField("k", LongType),
+    StructField("ts", TimestampType),
+    StructField("v", StringType)))
+
+  private case class LR(k: Long, ts: Option[Long], v: String) {
+    def row: Row = Row(k, ts.map(t => new Timestamp(t * 1000L)).orNull, v)
+  }
+
+  private def lwwModel(target: Seq[LR], batch: Seq[LR]): Set[(Long, Option[Long], String)] = {
+    val merged = batch.foldLeft(target.map(r => r.k -> r).toMap) { (acc, s) =>
+      acc.get(s.k) match {
+        case None => acc + (s.k -> s)
+        case Some(old) =>
+          val wins = old.ts.isEmpty || (s.ts.nonEmpty && s.ts.get > old.ts.get)
+          acc + (s.k -> (if (wins) s else old))
+      }
+    }
+    merged.values.map(r => (r.k, r.ts, r.v)).toSet
+  }
+
+  test("MERGE LWW disjunct matches the NULL-ordering model (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genRow: Gen[LR] = for {
+      k <- Gen.choose(0L, 6L)              // small key space forces matches
+      ts <- Gen.option(Gen.choose(0L, 4L)) // small ts space forces ties
+      v <- Gen.alphaStr.map(_.take(4))
+    } yield LR(k, ts, v)
+    val genSide: Gen[Seq[LR]] =
+      Gen.nonEmptyListOf(genRow).map(_.groupBy(_.k).map(_._2.head).toSeq)
+    def sample(seed: Long): Seq[LR] =
+      genSide.apply(Gen.Parameters.default, Seed(seed))
+        .getOrElse(sys.error("generator failed"))
+
+    val ltbl = dialect.table("APP", "lww_prop")
+    val lstg = dialect.table("APP", "lww_prop_staging")
+    val conn = JdbcWrite.connect(cfg)
+    try {
+      val st = conn.createStatement()
+      val existing = {
+        val rs = conn.getMetaData.getTables(null, "APP", "LWW%", null)
+        Iterator.continually(rs).takeWhile(_.next()).map(_.getString(3)).toSet
+      }
+      if (!existing.contains("lww_prop"))
+        st.execute(SqlGen.createTable(dialect, ltbl, lwwSchema))
+      if (!existing.contains("lww_prop_staging"))
+        st.execute(SqlGen.createTable(dialect, lstg, lwwSchema))
+      st.close()
+    } finally conn.close()
+
+    def ldf(rows: Seq[LR]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(_.row), 2), lwwSchema)
+
+    for (seed <- 1L to 8L) {
+      val target = sample(seed)
+      val batch = sample(seed + 500)
+      RefreshSink.write(ldf(target), cfg, dialect, ltbl)
+      MergeSink.write(ldf(batch), cfg, dialect, ltbl, lstg, Seq("k"),
+        Upsert.LastWriteWins("ts"), withByTarget = false)
+      val got = JdbcSources.readTable(spark, cfg, ltbl).collect().toSet
+        .map { r: Row =>
+          (r.getLong(0),
+            Option(r.getTimestamp(1)).map(_.getTime / 1000L),
+            r.getString(2))
+        }
+      assert(got == lwwModel(target, batch),
+        s"seed=$seed target=$target batch=$batch")
+    }
+  }
 }
