@@ -1319,6 +1319,50 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars_sum"),
           sum(col("doc_id")).as("id_sum"))
     }),
+    "q_sample_temperature" -> ((s, dir) => {
+      // Temperature rebalancing (α = 1/2): strata sampled ∝ √n_s to a
+      // 300-doc budget — the standard multilingual smoothing, in exact
+      // integer arithmetic (isqrt is portable where pow is not). The
+      // corpus is filtered in place by a codegen'd predicate; only the
+      // per-stratum counts and the 1-row weight total shuffle.
+      Sampling.temperatureSample(Tables.documents(s, dir), Seq("lang"),
+          col("doc_id"), totalTarget = 300, seed = 13)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("chars_sum"))
+    }),
+    "q_quality_quantile" -> ((s, dir) => {
+      // Per-language quantile gate: drop the bottom 25% of each lang by
+      // n_chars (rank-based cut, not percentile interpolation — exact
+      // integers, deterministic ties by id). One count broadcast + one
+      // window shuffle.
+      Sampling.quantileFilter(Tables.documents(s, dir), Seq("lang"),
+          col("n_chars"), col("doc_id"), dropPermille = 250)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("chars_sum"),
+          min(col("n_chars")).as("min_chars"))
+    }),
+    "q_shard_order" -> ((s, dir) => {
+      // Deterministic training-shard layout: 8 shards, globally
+      // shuffled (bucket, id) order, no rand(). sum(seq·doc_id) is an
+      // order-sensitive checksum — any row in the wrong shard OR the
+      // wrong position diverges the hash.
+      Sampling.shardOrder(Tables.documents(s, dir), col("doc_id"),
+          nShards = 8, seed = 17)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("seq").cast(LongType) * col("doc_id"))
+            .as("order_check"))
+    }),
+    "q_mixture_divergence" -> ((s, dir) => {
+      // Mixture diagnostics: each source's unigram distribution vs the
+      // corpus, as total-variation distance in exact rational form
+      // (integer numerator/denominator — no log/float portability
+      // hazard). High-TVD sources are the blend-skewing ones.
+      TextAnalysis.distributionDivergence(
+        Tables.documents(s, dir), "source", col("text"))
+    }),
     "q_dedup_bloom" -> ((s, dir) => {
       // Bloom-accelerated incremental dedup: today's batch (doc_id ≡ 0
       // mod 3) against the history digests of doc_id ≡ 0 mod 2 — the
@@ -2167,6 +2211,74 @@ object Queries {
         | CAST(sum(n_chars) AS BIGINT) AS chars_sum,
         | CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM c WHERE cum <= 60000 GROUP BY lang""".stripMargin,
+    // temperatureSample replica: w_s = isqrt(n_s) (floor(sqrt) of a
+    // BIGINT is exactly rounded, hence portable), t_s = 300·w_s div W,
+    // thr = min(t_s·1e6 div n_s, 1e6); idBucket seed=13.
+    "q_sample_temperature" -> {
+      val bucket =
+        s"(${affineSql(13, s"(doc_id % $M)")} % ${Sampling.Buckets})"
+      s"""WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS ns
+        | FROM documents GROUP BY lang),
+        |w AS (SELECT lang, ns,
+        |  CAST(floor(sqrt(CAST(ns AS DOUBLE))) AS BIGINT) AS ws FROM n),
+        |t AS (SELECT lang, ns, ws, (SELECT sum(ws) FROM w) AS wsum FROM w),
+        |thr AS (SELECT lang, ns,
+        |  least(((300 * ws) // wsum) * ${Sampling.Buckets} // ns,
+        |    ${Sampling.Buckets}) AS thr FROM t)
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        | CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents d JOIN thr USING (lang)
+        |WHERE $bucket < thr GROUP BY d.lang""".stripMargin
+    },
+    // quantileFilter replica: rank-based cut — drop rk ≤ n_s·250 div
+    // 1000 ordered by (n_chars, doc_id) within lang.
+    "q_quality_quantile" ->
+      """WITH r AS (SELECT lang, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY n_chars, doc_id) AS rk,
+        |  count(*) OVER (PARTITION BY lang) AS ns
+        | FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        | CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        | CAST(min(n_chars) AS BIGINT) AS min_chars
+        |FROM r WHERE rk > (ns * 250) // 1000 GROUP BY lang""".stripMargin,
+    // shardOrder replica: shard = bucket17 mod 8, within-shard order
+    // (bucket, id); sum(seq·doc_id) pins both assignment and position.
+    "q_shard_order" -> {
+      val bucket =
+        s"(${affineSql(17, s"(doc_id % $M)")} % ${Sampling.Buckets})"
+      s"""WITH b AS (SELECT doc_id, $bucket AS bk FROM documents),
+        |r AS (SELECT doc_id, bk % 8 AS shard,
+        |  row_number() OVER (PARTITION BY bk % 8
+        |    ORDER BY bk, doc_id) AS seq FROM b)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(seq * doc_id) AS BIGINT) AS order_check
+        |FROM r GROUP BY shard""".stripMargin
+    },
+    // distributionDivergence replica: TVD numerator in exact integers —
+    // present tokens' |c_st·N − c_t·N_s| plus the folded absent mass
+    // N_s·(N − Σ_{t∈s} c_t); denominator 2·N_s·N.
+    "q_mixture_divergence" ->
+      s"""WITH occ AS (SELECT source, unnest($toksSql) AS tok
+        | FROM documents),
+        |cst AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        | FROM occ GROUP BY 1, 2),
+        |ct AS (SELECT tok, CAST(count(*) AS BIGINT) AS ctot
+        | FROM occ GROUP BY 1),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS nsrc
+        | FROM occ GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM occ),
+        |j AS (SELECT cst.source, cst.c, ct.ctot, ns.nsrc, n.ntot
+        | FROM cst JOIN ct USING (tok) JOIN ns USING (source) CROSS JOIN n)
+        |SELECT source,
+        | CAST(any_value(nsrc) AS BIGINT) AS n_tok,
+        | CAST(sum(abs(c * ntot - ctot * nsrc))
+        |   + any_value(nsrc) * (any_value(ntot) - sum(ctot)) AS BIGINT)
+        |   AS tvd_num,
+        | CAST(2 * any_value(nsrc) * any_value(ntot) AS BIGINT) AS tvd_den
+        |FROM j GROUP BY source""".stripMargin,
     // Bloom pre-filter never changes the answer: the oracle is the
     // plain exact incremental dedup (batch mod 3 vs history mod 2).
     "q_dedup_bloom" ->

@@ -173,6 +173,119 @@ object Sampling {
     * blocks are contiguous in the global order, so partition-cum +
     * exclusive-offset EQUALS the global cumulative sum — the oracle
     * checks that equality against a genuine global window. */
+  /** Temperature-based mixture rebalancing (α = 1/2): shrink the gap
+    * between over- and under-represented strata by sampling stratum s
+    * with probability ∝ √(n_s) instead of n_s — the standard
+    * multilingual/multi-source smoothing (p_s^α re-weighting) at the
+    * α = 1/2 point, sized to a `totalTarget` row budget.
+    *
+    * Why α = 1/2 exactly and not a float exponent: `sqrt` is correctly
+    * rounded under IEEE 754 on every engine (unlike `pow`, which may
+    * differ in the last ulp between libm and Java and flip a floor at a
+    * threshold boundary), and `floor(sqrt(bigint))` of a non-square is
+    * therefore bit-identical everywhere — the whole pipeline stays in
+    * exact integer arithmetic and the DuckDB oracle replays it
+    * bit-for-bit. General-α smoothing at scale would quantize weights
+    * on the driver (|strata| rows, control-plane) instead.
+    *
+    * Stratum s of size n_s gets target t_s = totalTarget·w_s div W
+    * where w_s = isqrt(n_s), W = Σ w_s; membership is [[idBucket]] <
+    * t_s·Buckets div n_s (capped at Buckets — no upsampling; compose
+    * with [[mixtureUpsample]] for strata that need growth). Plan shape:
+    * the per-stratum count and the 1-row W aggregate are the only
+    * shuffles (both control-plane sized, broadcast back); the corpus is
+    * filtered in place by a codegen'd integer predicate — identical
+    * topology to [[stratifiedSample]].
+    *
+    * Range contract: totalTarget·w_s and t_s·Buckets must fit a Long —
+    * holds through 100 TB corpora (n_s ≤ 1e13 ⇒ w_s ≤ ~3.2e6; with
+    * totalTarget ≤ 1e11 the products stay ≤ ~3.2e17 < 2^63). */
+  def temperatureSample(
+      df: DataFrame,
+      strataCols: Seq[String],
+      idCol: Column,
+      totalTarget: Long,
+      seed: Int = 0): DataFrame = {
+    require(totalTarget > 0 && totalTarget <= 100000000000L,
+      s"totalTarget out of the documented Long-safe range: $totalTarget")
+    val counts = df.groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("__ns"))
+      .withColumn("__ws",
+        floor(sqrt(col("__ns").cast("double"))).cast("long"))
+    val wSum = counts.agg(sum(col("__ws")).as("__w")) // 1 row
+    val thr = least(
+      expr(s"(($totalTarget * __ws) div __w) * $Buckets div __ns"),
+      lit(Buckets))
+    df.join(broadcast(counts), strataCols)
+      .crossJoin(broadcast(wSum))
+      .filter(idBucket(idCol, seed) < thr)
+      .drop("__ns", "__ws", "__w")
+  }
+
+  /** Per-stratum quantile gate: drop the bottom `dropPermille`/1000 of
+    * each stratum by `orderCol` (quality-score filtering per language:
+    * "keep everything above the 25th percentile of its language"). The
+    * cut is rank-based, not interpolation-based: rows rank by
+    * (`orderCol`, id) inside their stratum and the first
+    * n_s·dropPermille div 1000 are dropped — exact integer arithmetic,
+    * deterministic under ties, replayed bit-for-bit by the SQL oracle
+    * (percentile_cont interpolation would put a float threshold between
+    * engines).
+    *
+    * Cost = the tiny per-stratum count (broadcast back) + one hash
+    * shuffle on the strata columns with a per-partition sort (the
+    * `row_number` window) — the [[capPerStratum]] shape, with the same
+    * mega-stratum caveat: a stratum sorts within one task, so
+    * pathological strata call for a pre-bucketed two-level rank. */
+  def quantileFilter(
+      df: DataFrame,
+      strataCols: Seq[String],
+      orderCol: Column,
+      idCol: Column,
+      dropPermille: Int): DataFrame = {
+    require(dropPermille >= 0 && dropPermille < 1000,
+      s"dropPermille must be in [0, 1000): $dropPermille")
+    val counts = df.groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("__ns"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(orderCol.asc, idCol.asc)
+    df.join(broadcast(counts), strataCols)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") > expr(s"(__ns * $dropPermille) div 1000"))
+      .drop("__rk", "__ns")
+  }
+
+  /** Deterministic training-shard layout: assign every row to one of
+    * `nShards` shards and a 1-based `seq` position inside it, in
+    * globally shuffled order — the final "write the training data in
+    * random order" step, without `rand()`. Shard = [[idBucket]] mod
+    * nShards (so consecutive ids scatter); within-shard order is
+    * (bucket, id) — a pure function of ids, so the exact layout replays
+    * across runs, task retries, and engines, and a resumed job
+    * re-produces byte-identical shards.
+    *
+    * Plan shape: ONE hash shuffle on the shard key + a per-shard sort
+    * for the `row_number`. Shard count is the parallelism/memory lever:
+    * pick nShards so a shard's rows fit a task's sort budget (at 100 TB
+    * with 100k shards a shard is ~1 GB — sorts in-task; the shuffle is
+    * the unavoidable global redistribution any shuffled layout costs). */
+  def shardOrder(
+      df: DataFrame,
+      idCol: Column,
+      nShards: Int,
+      seed: Int = 0): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val b = idBucket(idCol, seed)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__shard")).orderBy(col("__b").asc, idCol.asc)
+    df.withColumn("__b", b)
+      .withColumn("__shard", col("__b") % nShards)
+      .withColumn("seq", row_number().over(w))
+      .withColumn("shard", col("__shard"))
+      .drop("__b", "__shard")
+  }
+
   def takeBudget(
       df: DataFrame,
       idCol: Column,

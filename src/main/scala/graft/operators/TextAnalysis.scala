@@ -194,6 +194,54 @@ object TextAnalysis {
           .as("mean_surprisal"))
   }
 
+  /** Mixture diagnostics: how far each group's (source's, language's)
+    * unigram distribution sits from the corpus-wide one, as total
+    * variation distance — TVD(s) = ½·Σ_t |c_st/N_s − c_t/N|. Sources
+    * whose token mix diverges hardest are the ones skewing a training
+    * blend (templated/spammy feeds score high); re-weight or cap them
+    * first.
+    *
+    * TVD instead of KL because it stays in EXACT RATIONAL arithmetic:
+    * with everything over the common denominator N_s·N the per-token
+    * term is |c_st·N − c_t·N_s| — pure integers, no log/float whose
+    * last-ulp engine differences could flip a rounded result (the
+    * portability rule every oracle here lives by). Absent tokens
+    * (c_st = 0) contribute Σ c_t·N_s over tokens missing from s, which
+    * folds to N_s·(N − Σ_{t∈s} c_t) — no (group × vocab) outer join is
+    * ever materialized. Returned as the integer pair (tvd_num,
+    * tvd_den = 2·N_s·N); num/den is the distance in [0, 1].
+    *
+    * Scale shape: two map-side-combined counts (group×token, token) +
+    * one broadcast-or-shuffle join back on token — the standard
+    * corpus-statistics topology; group totals and the 1-row corpus
+    * total are control-plane aggregates. Range contract: c_st·N must
+    * fit a Long — exact through ~3e9-token corpora; past that, widen
+    * the two products to DECIMAL(38,0) (same plan, wider lanes).
+    *
+    * Returns (groupCol, n_tok, tvd_num, tvd_den). */
+  def distributionDivergence(
+      docs: DataFrame,
+      groupCol: String,
+      text: Column): DataFrame = {
+    val occ = docs.select(col(groupCol), explode(tokens(lower(text))).as("__tok"))
+    val cst = occ.groupBy(col(groupCol), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+    val ct = occ.groupBy(col("__tok")).agg(count(lit(1)).as("__ct"))
+    val ns = occ.groupBy(col(groupCol)).agg(count(lit(1)).as("__ns"))
+    val n = occ.agg(count(lit(1)).as("__n")) // 1 row
+    cst.join(ct, "__tok")
+      .join(ns, groupCol)
+      .crossJoin(broadcast(n))
+      .groupBy(col(groupCol))
+      .agg(
+        first(col("__ns")).as("n_tok"),
+        // present tokens' |c_st·N − c_t·N_s| plus the folded absent mass
+        (sum(abs(col("__c") * col("__n") - col("__ct") * col("__ns"))) +
+          first(col("__ns")) * (first(col("__n")) - sum(col("__ct"))))
+          .as("tvd_num"),
+        (lit(2L) * first(col("__ns")) * first(col("__n"))).as("tvd_den"))
+  }
+
   /** Sliding token windows for retrieval/context prep: chunks of
     * `window` tokens every `stride` tokens, the last window clamped at
     * the end (never an empty trailing chunk; a doc at or under

@@ -157,6 +157,80 @@ class CurationSpec extends SparkSpecBase {
     est.foreach { case (w, e) => assert(e >= 1L, s"$w undercounted: $e") }
   }
 
+  test("temperatureSample: √-weighting narrows the stratum-size gap") {
+    // 400 "big" vs 25 "small": proportional sampling to 100 keeps
+    // ~94/~6; √-weighting keeps targets 100·20/25=80 and 100·5/25=20 —
+    // the small stratum's share rises from ~6% to ~20%.
+    val df = ((1L to 400L).map(i => (i, "big")) ++
+      (1001L to 1025L).map(i => (i, "small"))).toDF("id", "s")
+    val out = Sampling.temperatureSample(df, Seq("s"), col("id"),
+        totalTarget = 100, seed = 1)
+      .groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // small: target 20 of 25 → hash-rate keep ≈20 (whole-ish stratum)
+    assert(out("small") >= 14 && out("small") <= 25,
+      s"small kept ${out("small")}, √-target is 20")
+    // big: target 80 of 400 → ≈80 kept, far under the proportional 94
+    assert(out("big") > 40 && out("big") < 120,
+      s"big kept ${out("big")}, √-target is 80")
+    // determinism
+    def ids() = Sampling.temperatureSample(df, Seq("s"), col("id"), 100, 1)
+      .select("id").as[Long].collect().toSet
+    assert(ids() == ids())
+  }
+
+  test("temperatureSample: a stratum whose target exceeds it is kept whole") {
+    val df = ((1L to 1000L).map(i => (i, "huge")) ++
+      (2001L to 2004L).map(i => (i, "tiny"))).toDF("id", "s")
+    // W = isqrt(1000)+isqrt(4) = 31+2 = 33; tiny's target = 500·2/33 =
+    // 30 > 4 → threshold caps at Buckets → all 4 kept.
+    val out = Sampling.temperatureSample(df, Seq("s"), col("id"), 500, 2)
+      .filter(col("s") === "tiny").count()
+    assert(out == 4, s"tiny stratum must pass through whole, kept $out")
+  }
+
+  test("quantileFilter: exact rank cut, deterministic under ties") {
+    // 10 rows, metric = id % 4 (ties everywhere), drop bottom 30% = 3;
+    // a global (stratum-less) cut is a constant stratum column
+    val df = (1L to 10L).map(i => (i, i % 4)).toDF("id", "m")
+    val df2 = df.withColumn("g", lit("all"))
+    val out = Sampling.quantileFilter(df2, Seq("g"), col("m"), col("id"), 300)
+      .select("id").as[Long].collect().toSet
+    // order by (m, id): (4,8: m=0),(1,5,9: m=1),(2,6,10: m=2),(3,7: m=3)
+    // → rank order ids: 4,8,1,5,9,2,6,10,3,7; drop first 3 → keep rest
+    assert(out == Set(5L, 9L, 2L, 6L, 10L, 3L, 7L))
+    // dropPermille = 0 keeps everything
+    val all = Sampling.quantileFilter(df2, Seq("g"), col("m"), col("id"), 0)
+    assert(all.count() == 10)
+  }
+
+  test("shardOrder: partition of the input, contiguous 1-based seqs") {
+    val df = (1L to 97L).map(i => (i, s"d$i")).toDF("id", "v")
+    val out = Sampling.shardOrder(df, col("id"), nShards = 5, seed = 3)
+      .select(col("id"), col("shard"), col("seq")).cache()
+    // every input row appears exactly once, with its payload intact
+    assert(out.count() == 97)
+    assert(out.select("id").distinct().count() == 97)
+    // within each shard, seq is exactly 1..n_shard
+    val perShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("seq").as("lo"), max("seq").as("hi"),
+        sum("seq").as("ssum"))
+      .collect()
+    assert(perShard.length == 5)
+    perShard.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(r.getAs[Int]("lo") == 1 && r.getAs[Int]("hi") == n.toInt &&
+        r.getAs[Long]("ssum") == n * (n + 1) / 2,
+        s"shard ${r.get(0)}: seq not contiguous 1..$n")
+    }
+    // determinism: the full (id, shard, seq) layout replays exactly
+    def layout() = Sampling.shardOrder(df, col("id"), 5, 3)
+      .select("id", "shard", "seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(layout() == layout())
+    out.unpersist()
+  }
+
   test("hashSplit: partition into all splits, stable, ~proportional") {
     val df = (0L until 2000L).toDF("id")
     val out = Sampling.hashSplit(df, col("id"),

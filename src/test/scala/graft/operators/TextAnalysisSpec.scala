@@ -48,6 +48,33 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(kept == Set(1L -> "jumps over dogs", 2L -> "likes warm sun"))
   }
 
+  test("distributionDivergence: exact rational TVD vs hand computation") {
+    // A: "a a b" (p = a:2/3, b:1/3); B: "b c" (p = b:1/2, c:1/2);
+    // corpus q = (a:2/5, b:2/5, c:1/5).
+    // TVD_A = ½(|2/3−2/5| + |1/3−2/5| + 1/5) = 4/15 = 8/30
+    // TVD_B = ½(2/5 + |1/2−2/5| + |1/2−1/5|) = 2/5 = 8/20
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("A", "a a b"), Row("B", "b c")), 2),
+      StructType(Seq(
+        StructField("src", StringType), StructField("text", StringType))))
+    val got = TextAnalysis.distributionDivergence(docs, "src", col("text"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map("A" -> ((3L, 8L, 30L)), "B" -> ((2L, 8L, 20L))))
+  }
+
+  test("distributionDivergence: a lone group has zero distance") {
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("only", "x y x z")), 1),
+      StructType(Seq(
+        StructField("src", StringType), StructField("text", StringType))))
+    val r = TextAnalysis.distributionDivergence(docs, "src", col("text"))
+      .collect().head
+    assert(r.getLong(2) == 0L && r.getLong(1) == 4L)
+  }
+
   test("dropNearDuplicates removes only the larger side of pairs") {
     val docs = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
