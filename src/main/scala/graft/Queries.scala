@@ -727,6 +727,60 @@ object Queries {
           dsum(col("purchase_value")).as("purchase_sum"))
     }),
 
+    "q_join_asof_fwd" -> ((s, dir) => {
+      // Forward as-of join: every click matched to the same user's
+      // NEXT purchase at-or-after it — conversion attribution ("did
+      // this click lead to a purchase, and for how much"). Identical
+      // one-shuffle merge topology as the backward join; the oracle is
+      // DuckDB ASOF with the inequality flipped.
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("value").as("click_value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+        .withColumnRenamed("ts", "purchase_ts")
+      graft.operators.Joins.asofJoinForward(clicks, purchases,
+          Seq("user_id"), "click_ts", "purchase_ts")
+        .groupBy((col("user_id") % 50).as("user_mod"))
+        .agg(count(lit(1)).as("n_clicks"),
+          count(col("purchase_ts")).as("n_matched"),
+          dsum(col("click_value")).as("click_sum"),
+          dsum(col("purchase_value")).as("purchase_sum"))
+    }),
+
+    "q_join_scd2" -> ((s, dir) => {
+      // Dimension-correct historical enrichment: a per-user "tier"
+      // dimension built as SCD2 history from purchase events
+      // (Upsert.scd2History), then every click joined to the tier
+      // version VALID AT ITS TIMESTAMP via the as-of join — the
+      // classic "join the fact to the dimension as it was then", not
+      // as it is now. Versions are contiguous, so as-of on valid_from
+      // respects valid_to by construction. Two shuffles total (dim
+      // build window + as-of merge), no range-join blowup. The oracle
+      // rebuilds the history with lead() and uses DuckDB's native
+      // ASOF JOIN.
+      val ev = Tables.events(s, dir)
+      val changes = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("pv"))
+        .withColumn("tier",
+          when(col("pv") >= 400, lit("gold"))
+            .when(col("pv") >= 150, lit("silver"))
+            .otherwise(lit("bronze")))
+      val dim = Upsert.scd2History(changes, Seq("user_id"), "ts")
+        .select(col("user_id"), col("valid_from"), col("tier"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("value").as("click_value"))
+      graft.operators.Joins.asofJoin(clicks, dim,
+          Seq("user_id"), "click_ts", "valid_from")
+        .groupBy(coalesce(col("tier"), lit("<none>")).as("tier"))
+        .agg(count(lit(1)).as("n_clicks"),
+          dsum(col("click_value")).as("click_sum"))
+    }),
+
     "q_join_range" -> ((s, dir) => {
       // Pure interval join (no equi key): count the events falling
       // inside any "error burst" window — [ts, ts+10min] of every
@@ -2015,6 +2069,44 @@ object Queries {
         |   AS DOUBLE), 4) AS click_sum,
         | round(CAST(sum(CAST(purchase_value AS DECIMAL(18,4)))
         |   AS DOUBLE), 4) AS purchase_sum
+        |FROM j GROUP BY 1""".stripMargin,
+    "q_join_asof_fwd" ->
+      """WITH clicks AS (
+        | SELECT user_id, ts AS click_ts, value AS click_value
+        | FROM events WHERE event_type = 'click'),
+        |purch AS (
+        | SELECT user_id, ts AS purchase_ts, max(value) AS purchase_value
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |j AS (
+        | SELECT c.user_id, c.click_value, p.purchase_ts, p.purchase_value
+        | FROM clicks c ASOF LEFT JOIN purch p
+        |   ON c.user_id = p.user_id AND c.click_ts <= p.purchase_ts)
+        |SELECT user_id % 50 AS user_mod, count(*) AS n_clicks,
+        | count(purchase_ts) AS n_matched,
+        | round(CAST(sum(CAST(click_value AS DECIMAL(18,4)))
+        |   AS DOUBLE), 4) AS click_sum,
+        | round(CAST(sum(CAST(purchase_value AS DECIMAL(18,4)))
+        |   AS DOUBLE), 4) AS purchase_sum
+        |FROM j GROUP BY 1""".stripMargin,
+    "q_join_scd2" ->
+      """WITH chg AS (
+        | SELECT user_id, ts, max(value) AS pv
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |dim AS (
+        | SELECT user_id, ts AS valid_from,
+        |  CASE WHEN pv >= 400 THEN 'gold'
+        |       WHEN pv >= 150 THEN 'silver' ELSE 'bronze' END AS tier
+        | FROM chg),
+        |clicks AS (
+        | SELECT user_id, ts AS click_ts, value AS click_value
+        | FROM events WHERE event_type = 'click'),
+        |j AS (
+        | SELECT c.click_value, d.tier
+        | FROM clicks c ASOF LEFT JOIN dim d
+        |   ON c.user_id = d.user_id AND c.click_ts >= d.valid_from)
+        |SELECT coalesce(tier, '<none>') AS tier, count(*) AS n_clicks,
+        | round(CAST(sum(CAST(click_value AS DECIMAL(18,4)))
+        |   AS DOUBLE), 4) AS click_sum
         |FROM j GROUP BY 1""".stripMargin,
     "q_join_range" ->
       """WITH bursts AS (

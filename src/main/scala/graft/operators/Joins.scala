@@ -46,7 +46,31 @@ object Joins {
       right: DataFrame,
       keys: Seq[String],
       leftTs: String,
-      rightTs: String): DataFrame = {
+      rightTs: String): DataFrame =
+    asofJoinImpl(left, right, keys, leftTs, rightTs, forward = false)
+
+  /** Forward-looking as-of LEFT join: for every left row, attach the
+    * right row with the SMALLEST `rightTs` ≥ the left row's `leftTs`
+    * (pandas `merge_asof(direction="forward")`, DuckDB `ASOF ... ON
+    * l.ts <= r.ts`) — "the next event at or after": next purchase
+    * after a click, next restock after a stockout. Same union + one
+    * shuffle + one sort topology as the backward join; only the
+    * window direction flips. */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String): DataFrame =
+    asofJoinImpl(left, right, keys, leftTs, rightTs, forward = true)
+
+  private def asofJoinImpl(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      forward: Boolean): DataFrame = {
     // leftTs travels as __ts and is restored under its own name at the
     // end, so it is excluded from the pass-through payload list
     val leftOnly = left.columns
@@ -76,13 +100,29 @@ object Joins {
             struct(rightOnly.map(col): _*).as("__r")) ++
           left.schema.fields.filter(f => leftOnly.contains(f.name)).map(f =>
             lit(null).cast(f.dataType).as(f.name)): _*)
-    // right (side 0) sorts before left (side 1) at equal ts → the
-    // inclusive (≤) match; NULL left ts sorts first → sees no right row
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Backward: right (side 0) sorts before left (side 1) at equal ts,
+    // running `last` over the preceding frame → inclusive ≤ match, and
+    // NULL left ts (sorting first) naturally sees no right row.
+    // Forward: left sorts before right at equal ts, `first` over the
+    // following frame → inclusive ≥ match; NULL left ts would sort
+    // before every right row and wrongly match the earliest one, so
+    // the match is guarded to non-NULL ts.
+    val base = Window.partitionBy(keys.map(col): _*)
+    val (w, matched) =
+      if (forward) {
+        val wf = base.orderBy(col("__ts").asc, col("__side").desc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        (wf, (m: Column) => when(col("__ts").isNotNull, m))
+      } else {
+        val wb = base.orderBy(col("__ts").asc, col("__side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        (wb, identity[Column] _)
+      }
+    val agg =
+      if (forward) first(col("__r"), ignoreNulls = true)
+      else last(col("__r"), ignoreNulls = true)
     lSide.unionByName(rSide)
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__m", matched(agg.over(w)))
       .filter(col("__side") === 1)
       .select(
         keys.map(col) ++

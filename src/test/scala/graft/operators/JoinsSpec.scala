@@ -75,6 +75,61 @@ class JoinsSpec extends SparkSpecBase {
     assert(got == Seq((1, 10), (2, -1)))
   }
 
+  test("asofJoinForward: inclusive next-match, per-key, NULL-safe") {
+    import spark.implicits._
+    val left = Seq(
+      (1, "2024-01-01 10:00:00", 1),   // next right @11:00
+      (1, "2024-01-01 12:00:00", 2),   // nothing after → none
+      (1, "2024-01-01 11:00:00", 5),   // equal-ts inclusive tie
+      (2, "2024-01-01 10:00:00", 3),   // key with no right rows
+      (1, null.asInstanceOf[String], 4)) // NULL left ts matches nothing
+      .toDF("k", "lts", "lv")
+      .withColumn("lts", col("lts").cast("timestamp"))
+    val right = Seq(
+      (1, "2024-01-01 09:00:00", 10),  // before everything: only lv=? none
+      (1, "2024-01-01 11:00:00", 20),
+      (3, "2024-01-01 09:00:00", 30),
+      (1, null.asInstanceOf[String], 99)) // NULL right ts: dropped
+      .toDF("k", "rts", "rv")
+      .withColumn("rts", col("rts").cast("timestamp"))
+    val got = Joins.asofJoinForward(left, right, Seq("k"), "lts", "rts")
+      .select("k", "lv", "rv")
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2))).sorted.toSeq
+    // lv=1 @10:00 → rv=20 (@11:00); lv=5 @11:00 → rv=20 (inclusive);
+    // lv=2 @12:00 → none; lv=3 (key 2) → none; lv=4 (NULL ts) → none
+    assert(got == Seq((1, 1, 20), (1, 2, -1), (1, 4, -1), (1, 5, 20),
+      (2, 3, -1)))
+  }
+
+  test("asofJoinForward agrees with the quadratic reference") {
+    import spark.implicits._
+    val left = spark.range(200).select(
+      (col("id") % 7).as("k"),
+      timestamp_seconds(lit(1700000000L) +
+        pmod(xxhash64(col("id"), lit("l")), lit(100000L))).as("lts"),
+      col("id").as("lv"))
+    val right = spark.range(80).select(
+      (col("id") % 7).as("k"),
+      timestamp_seconds(lit(1700000000L) +
+        pmod(xxhash64(col("id"), lit("r")), lit(100000L))).as("rts"),
+      col("id").as("rv"))
+    val got = Joins.asofJoinForward(left, right, Seq("k"), "lts", "rts")
+      .select("k", "lv", "rv", "rts")
+    // reference: per left row, min-rts right row with rts >= lts
+    val naive = left.as("l").join(right.as("r"),
+        col("l.k") === col("r.k") && col("rts") >= col("lts"), "left")
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("l.k", "lv")
+          .orderBy(col("rts").asc_nulls_last)))
+      .filter(col("__rn") === 1)
+      .select(col("l.k"), col("lv"), col("rv"), col("rts"))
+    assert(got.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(got).count() == 0)
+    assert(got.count() == 200)
+  }
+
   test("asofJoin agrees with the quadratic reference implementation") {
     // Property-style check on a pseudo-random dataset: the merge
     // formulation must equal the obvious O(n·m) definition.
