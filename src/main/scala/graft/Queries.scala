@@ -455,6 +455,44 @@ object Queries {
           coalesce(lag(col("event_type"), 1).over(w), lit("<none>"))
             .as("prev_type"))
     }),
+    "q_window_trailing" -> ((s, dir) => {
+      // Trailing TIME-range window (not row frame): each event's
+      // 30-minute look-back count/sum per user — RANGE BETWEEN over
+      // unix_micros, so tie timestamps are frame PEERS in both engines
+      // (a rows frame would be tie-order-dependent and unportable).
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-30L * 60 * 1000000, Window.currentRow)
+      Tables.events(s, dir)
+        .filter(col("user_id") < 10)
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_trailing"),
+          round(sum(col("value").cast(DecimalType(18, 4))).over(w)
+            .cast(DoubleType), 4).as("trailing_sum"))
+    }),
+    "q_cdc_apply" -> ((s, dir) => {
+      // CDC changelog → snapshot: a Debezium-shaped I/U/D log (derived
+      // deterministically from orders: every key inserts at seq 1,
+      // keys ≡0 mod 3 update their price at seq 2, keys ≡0 mod 5
+      // delete at seq 3) applied by Upsert.applyChangelog — greatest
+      // seq per key wins, `D` removes the key. Deletes are the one
+      // verb the reference's upsert family can't express; one shuffle
+      // + one per-partition sort, linear at any scale.
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val log = o
+        .select(col("*"), lit(1L).as("seq"), lit("I").as("op"))
+        .unionByName(o.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_totalprice") + 10).as("o_totalprice"),
+            lit(2L).as("seq"), lit("U").as("op")))
+        .unionByName(o.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"), lit(3L).as("seq"), lit("D").as("op")))
+      Upsert.applyChangelog(log, Seq("o_orderkey"), "seq", "op")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("price_sum"))
+    }),
     "q_sessionize" -> ((s, dir) => {
       // Gap-based sessionization (30-minute inactivity): the classic
       // events-pipeline operator — a session starts where the gap from
@@ -593,6 +631,35 @@ object Queries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_keys"),
           countDistinct(col("user_id")).as("n_users"))
+    }),
+    "q_stream_enrich" -> ((s, dir) => {
+      // Stream-static dimension enrichment: the click stream
+      // LEFT-joins a small static per-user tier dimension (broadcast,
+      // re-evaluated per micro-batch, no state store, no watermark) —
+      // the standard streaming enrichment topology. AvailableNow
+      // drains everything in one batch, so the result must equal the
+      // batch join the oracle runs.
+      val ev = Tables.events(s, dir)
+      val dim = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(max(col("value")).as("mv"))
+        .select(col("user_id"),
+          when(col("mv") >= 400, lit("gold"))
+            .when(col("mv") >= 150, lit("silver"))
+            .otherwise(lit("bronze")).as("tier"))
+      val clicks = graft.streaming.Streams.eventsStream(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("value"))
+      val name = s"q_stream_enrich_${streamRun.incrementAndGet()}"
+      graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams
+          .enrichWithDimension(clicks, dim, Seq("user_id"))
+          .groupBy(coalesce(col("tier"), lit("<none>")).as("tier"))
+          .agg(count(lit(1)).as("n_clicks"),
+            sum(col("value").cast(DecimalType(18, 4))).as("__vs")),
+        name)
+        .select(col("tier"), col("n_clicks"),
+          round(col("__vs").cast(DoubleType), 4).as("click_sum"))
     }),
     "q_join_bucketed" -> ((s, dir) => {
       // Bucketed co-located join: pay one bucketed write per side on
@@ -1988,6 +2055,46 @@ object Queries {
         | count(DISTINCT user_id) AS n_keys,
         | count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+    "q_stream_enrich" ->
+      """WITH dim AS (
+        | SELECT user_id,
+        |  CASE WHEN max(value) >= 400 THEN 'gold'
+        |       WHEN max(value) >= 150 THEN 'silver'
+        |       ELSE 'bronze' END AS tier
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |c AS (
+        | SELECT e.value, d.tier
+        | FROM events e LEFT JOIN dim d USING (user_id)
+        | WHERE e.event_type = 'click')
+        |SELECT coalesce(tier, '<none>') AS tier, count(*) AS n_clicks,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |   AS click_sum
+        |FROM c GROUP BY 1""".stripMargin,
+    "q_window_trailing" ->
+      """SELECT user_id, event_id,
+        | count(*) OVER w AS n_trailing,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w
+        |   AS DOUBLE), 4) AS trailing_sum
+        |FROM events WHERE user_id < 10
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)"""
+        .stripMargin,
+    "q_cdc_apply" ->
+      """WITH log AS (
+        | SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS pr,
+        |  1 AS seq, 'I' AS op FROM orders
+        | UNION ALL
+        | SELECT o_orderkey, o_orderstatus, o_totalprice + 10, 2, 'U'
+        | FROM orders WHERE o_orderkey % 3 = 0
+        | UNION ALL
+        | SELECT o_orderkey, o_orderstatus, o_totalprice, 3, 'D'
+        | FROM orders WHERE o_orderkey % 5 = 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY k
+        |  ORDER BY seq DESC, op DESC) AS rn FROM log)
+        |SELECT st AS o_orderstatus, count(*) AS n,
+        | round(CAST(sum(CAST(pr AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |   AS price_sum
+        |FROM r WHERE rn = 1 AND op <> 'D' GROUP BY 1""".stripMargin,
     "q_join_bucketed" ->
       """SELECT o_custkey % 100 AS cust_mod, count(*) AS n,
         | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))

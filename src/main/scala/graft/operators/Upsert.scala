@@ -121,6 +121,29 @@ object Upsert {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Apply a CDC changelog (Debezium/AWS DMS shape: per-row op code +
+    * monotonic sequence) onto nothing — producing the final snapshot
+    * the log describes. The row with the greatest `seqCol` per key
+    * decides: op `D` ⇒ the key is absent from the snapshot, anything
+    * else (`I`/`U`) ⇒ its row IS the current state. Late-arriving
+    * lower-seq changes never override — the LWW discipline of the
+    * daily sync generalized to explicit deletes (the one verb the
+    * reference's upsert family cannot express).
+    *
+    * One hash shuffle on the keys + a per-partition sort (the
+    * [[latestPerKey]] window) — linear at any scale; apply onto an
+    * existing snapshot by unioning the snapshot in as seq −∞ `I` rows.
+    * Sequence ties are broken by `opCol` descending (`U` > `I` > `D`
+    * alphabetically reversed ⇒ a same-seq delete loses to the update —
+    * pick unique sequences upstream if that matters). */
+  def applyChangelog(
+      changes: DataFrame,
+      keys: Seq[String],
+      seqCol: String,
+      opCol: String): DataFrame =
+    latestPerKey(changes, keys, seqCol, tieBreakers = Seq(opCol))
+      .filter(col(opCol) =!= "D")
+
   /** Collapse a batch to one row per key, keeping the row with the
     * greatest `orderCol` (ties broken by the remaining columns for
     * determinism). The reference achieves this implicitly because its

@@ -261,6 +261,20 @@ object Streams {
     * in-memory table; returns the collected result. The streaming
     * equivalent of one catchup run. Stream-stream joins only support
     * Append — pass `mode` accordingly. */
+  /** Stream-static dimension enrichment: every micro-batch LEFT-joins
+    * the static side — the standard "attach the user/product dimension
+    * to a click stream" topology. The static side should be small
+    * enough to broadcast (it is re-evaluated per micro-batch, so a
+    * view over a slowly-refreshed table picks up dimension updates
+    * between batches); the stream side never shuffles and no state
+    * store is involved — unlike stream-stream joins this is
+    * watermark-free and unbounded-lag safe. */
+  def enrichWithDimension(
+      stream: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   def runAvailableNow(
       df: DataFrame,
       queryName: String,

@@ -151,6 +151,20 @@ class UpsertSpec extends SparkSpecBase {
     assert(checked >= 8, "not enough clash-free samples generated")
   }
 
+  test("applyChangelog: greatest seq wins, D removes, re-insert revives") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, "a", 1L, "I"), (1L, "b", 2L, "U"),          // update wins
+      (2L, "c", 1L, "I"), (2L, "c", 2L, "D"),          // deleted
+      (3L, "d", 1L, "I"), (3L, "d", 2L, "D"), (3L, "e", 3L, "I"), // revived
+      (4L, "f", 1L, "I"))                              // plain insert
+      .toDF("k", "v", "seq", "op")
+    val got = Upsert.applyChangelog(log, Seq("k"), "seq", "op")
+      .select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "b"), (3L, "e"), (4L, "f")))
+  }
+
   test("latestPerKey keeps the newest row per key") {
     val rows = Seq(
       R(1, Some(1), "old"), R(1, Some(5), "new"),
