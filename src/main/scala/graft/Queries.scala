@@ -640,7 +640,12 @@ object Queries {
       // drains everything in one batch, so the result must equal the
       // batch join the oracle runs.
       val ev = Tables.events(s, dir)
-      val dim = ev.filter(col("event_type") === "purchase")
+      // dimension covers only even user ids — the LEFT join must
+      // NULL-extend the uncovered half to '<none>', proving the
+      // outer-ness (every user purchases at this sf, so an unrestricted
+      // dim would never exercise the miss path)
+      val dim = ev.filter(col("event_type") === "purchase" &&
+          col("user_id") % 2 === 0)
         .groupBy(col("user_id"))
         .agg(max(col("value")).as("mv"))
         .select(col("user_id"),
@@ -2061,7 +2066,8 @@ object Queries {
         |  CASE WHEN max(value) >= 400 THEN 'gold'
         |       WHEN max(value) >= 150 THEN 'silver'
         |       ELSE 'bronze' END AS tier
-        | FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        | FROM events WHERE event_type = 'purchase' AND user_id % 2 = 0
+        | GROUP BY 1),
         |c AS (
         | SELECT e.value, d.tier
         | FROM events e LEFT JOIN dim d USING (user_id)

@@ -204,6 +204,34 @@ class CurationSpec extends SparkSpecBase {
     assert(all.count() == 10)
   }
 
+  test("quantileFilter: survivor count is EXACTLY n - floor(n*p/1000)") {
+    // rank-based cut ⇒ exact survivor arithmetic, whatever the data —
+    // pinned over several stratum sizes and permilles
+    for ((n, p) <- Seq((1, 500), (7, 250), (40, 333), (100, 999), (13, 0))) {
+      val df = (1L to n.toLong).map(i => (i, i * 37 % 11)).toDF("id", "m")
+        .withColumn("g", lit("s"))
+      val kept = Sampling.quantileFilter(df, Seq("g"), col("m"), col("id"), p)
+        .count()
+      assert(kept == n - (n * p / 1000),
+        s"n=$n p=$p kept=$kept want=${n - (n * p / 1000)}")
+    }
+  }
+
+  test("temperatureSample: total kept never exceeds ~target + quantization") {
+    // every stratum's keep-rate threshold is derived from its √-share
+    // of the budget, so the TOTAL kept is ≤ target + one bucket-quantum
+    // per stratum (and strata under their target pass whole)
+    val df = ((1L to 300L).map(i => (i, "a")) ++
+      (5001L to 5100L).map(i => (i, "b")) ++
+      (9001L to 9010L).map(i => (i, "c"))).toDF("id", "s")
+    for (target <- Seq(50L, 150L, 400L)) {
+      val kept = Sampling.temperatureSample(df, Seq("s"), col("id"),
+        target, seed = 7).count()
+      assert(kept <= (target * 13) / 10 + 3,
+        s"target=$target kept=$kept — far over budget")
+    }
+  }
+
   test("shardOrder: partition of the input, contiguous 1-based seqs") {
     val df = (1L to 97L).map(i => (i, s"d$i")).toDF("id", "v")
     val out = Sampling.shardOrder(df, col("id"), nShards = 5, seed = 3)
