@@ -224,12 +224,21 @@ object TextAnalysis {
       groupCol: String,
       text: Column): DataFrame = {
     val occ = docs.select(col(groupCol), explode(tokens(lower(text))).as("__tok"))
+    // Every total derives from the (group, token) counts, NOT from
+    // occ — and cst is PERSISTED for the derivation: its four
+    // consumers prune different columns, so their exchange subtrees
+    // canonicalize differently and AQE reuses nothing (measured: four
+    // full corpus scans + tokenizations without the persist, one
+    // with). cst is the distinct (group × vocab) counts — orders of
+    // magnitude under the corpus; the result is materialized before
+    // release so the handle can be freed eagerly.
     val cst = occ.groupBy(col(groupCol), col("__tok"))
       .agg(count(lit(1)).as("__c"))
-    val ct = occ.groupBy(col("__tok")).agg(count(lit(1)).as("__ct"))
-    val ns = occ.groupBy(col(groupCol)).agg(count(lit(1)).as("__ns"))
-    val n = occ.agg(count(lit(1)).as("__n")) // 1 row
-    cst.join(ct, "__tok")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ct = cst.groupBy(col("__tok")).agg(sum(col("__c")).as("__ct"))
+    val ns = cst.groupBy(col(groupCol)).agg(sum(col("__c")).as("__ns"))
+    val n = cst.agg(sum(col("__c")).as("__n")) // 1 row
+    val joined = cst.join(ct, "__tok")
       .join(ns, groupCol)
       .crossJoin(broadcast(n))
       .groupBy(col(groupCol))
@@ -240,6 +249,10 @@ object TextAnalysis {
           first(col("__ns")) * (first(col("__n")) - sum(col("__ct"))))
           .as("tvd_num"),
         (lit(2L) * first(col("__ns")) * first(col("__n"))).as("tvd_den"))
+    val out = joined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize the |groups|-row result, then free cst
+    cst.unpersist(false)
+    out
   }
 
   /** Sliding token windows for retrieval/context prep: chunks of
