@@ -180,9 +180,17 @@ object TextAnalysis {
       idCol: String,
       text: Column): DataFrame = {
     val occ = docs.select(col(idCol), explode(tokens(lower(text))).as("__tok"))
+    // freq is PERSISTED (vocabulary-sized) and the total derives from
+    // it: rooting freq, total, and the join all at occ would re-scan
+    // and re-tokenize the corpus three times (measured); this way the
+    // corpus is read twice — once into freq, once through the join —
+    // the floor for a join-back topology whose probe side is the
+    // full token stream. The per-doc result materializes before the
+    // freq cache is freed.
     val freq = occ.groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
-    val total = occ.agg(count(lit(1)).as("__n"))
-    occ.join(freq, "__tok")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = freq.agg(sum(col("__c")).as("__n"))
+    val out = occ.join(freq, "__tok")
       .crossJoin(broadcast(total))
       .select(col(idCol),
         round(log(col("__n").cast(DoubleType)) -
@@ -192,6 +200,10 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tok"),
         round(sum(col("__s")).cast(DoubleType) / count(lit(1)), 6)
           .as("mean_surprisal"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    freq.unpersist(false)
+    out
   }
 
   /** Mixture diagnostics: how far each group's (source's, language's)
@@ -332,11 +344,18 @@ object TextAnalysis {
       text: Column,
       k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    // tf is PERSISTED: its two consumers (dfreq, the score join) would
+    // otherwise each re-derive it from the corpus — two full scans +
+    // tokenizations instead of one. The per-doc top-k result (≤ k rows
+    // per doc, far under tf's distinct doc-term pairs) is materialized
+    // before the tf cache is freed.
     val tf = docs
       .select(col(idCol), explode(tokens(lower(text))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // metadata-only parquet count — cheaper than a distinct over tf
     val nDocs = docs.select(countDistinct(col(idCol)).as("__n"))
     val scored = tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(nDocs))
@@ -347,11 +366,15 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("__score").desc, col("term").asc)
-    scored.withColumn("rk", row_number().over(w))
+    val out = scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"),
         col("__score").cast(DoubleType).as("score"),
         col("rk").cast(LongType).as("rk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    tf.unpersist(false)
+    out
   }
 
   /** Bigram collocation mining by pointwise mutual information:
@@ -382,14 +405,26 @@ object TextAnalysis {
         "transform(sequence(0, size(__tk) - 2), " +
           "i -> struct(__tk[i] AS w1, __tk[i + 1] AS w2))")).as("bg"))
       .select(col("bg.w1"), col("bg.w2"))
+    // Persist the two count frames: uni has three consumers (w1 join,
+    // w2 join, the __u total) and the bigram counts two (the filtered
+    // candidates and the unfiltered __t total) — without the persists
+    // those re-derive from the CORPUS per consumer (five full scans +
+    // tokenizations, measured). Both frames are vocab-/distinct-bigram-
+    // sized, orders of magnitude under the corpus; totals derive from
+    // them, so the corpus is scanned exactly twice (once per n-gram
+    // order). The top-k result is driver-tiny, so caches free eagerly.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val uni = docs.select(explode(tokens(lower(text))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cw"))
-    val bg = bigrams.groupBy(col("w1"), col("w2"))
+      .persist(lvl)
+    val bgAll = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= minCount)
-    val totals = bigrams.agg(count(lit(1)).as("__t"))
+      .persist(lvl)
+    val bg = bgAll.filter(col("n_ab") >= minCount)
+    val totals = bgAll.agg(sum(col("n_ab")).as("__t"))
       .crossJoin(uni.agg(sum(col("cw")).as("__u")))
-    bg.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("cw", "ca"),
+    val out = bg
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("cw", "ca"),
         Seq("w1"))
       .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("cw", "cb"),
         Seq("w2"))
@@ -402,5 +437,10 @@ object TextAnalysis {
           log(col("cb").cast(DoubleType)), 6).as("pmi"))
       .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
       .limit(k)
+      .persist(lvl)
+    out.count()
+    uni.unpersist(false)
+    bgAll.unpersist(false)
+    out
   }
 }
