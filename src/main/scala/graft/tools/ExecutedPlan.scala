@@ -1,28 +1,53 @@
 package graft.tools
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
 import graft.SparkEntry
 import graft.core.Sessions
 
-/** Runtime-plan audit: execute selected catalog queries and dump the
-  * FINAL adaptive plan — the only place AQE's exchange/stage reuse is
-  * visible (the static explain shows the pre-execution plan, where
-  * identical shuffle subtrees still appear duplicated).
+/** Runtime scan audit: execute selected catalog queries and report the
+  * ACTUAL input volume (bytes/records read from files, summed over
+  * tasks). Plan-text greps mislead twice over — the static explain
+  * shows duplicated shuffle subtrees that may or may not collapse at
+  * runtime, and persisted frames print their full child plan even
+  * though execution reads the cache. Task input metrics count what was
+  * genuinely read: a query whose bytesRead is ~N× its input table size
+  * scans the corpus ~N times. Caveat: reads of PERSISTED blocks also
+  * register as input metrics, so cache-heavy operators (the dedup
+  * family's shared pair set) read high — compare against table size
+  * only for persist-free queries.
   *
-  * Usage: sbt "runMain graft.tools.ExecutedPlan <queryName ...>"
+  * Usage: sbt "runMain graft.tools.ExecutedPlan [queryName ...]"
+  * (no args = full catalog)
   */
 object ExecutedPlan {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = Sessions.local("graft-executed-plan")
-    for (name <- args.toSeq) {
+    val bytes = new AtomicLong
+    val records = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          bytes.addAndGet(m.inputMetrics.bytesRead)
+          records.addAndGet(m.inputMetrics.recordsRead)
+        }
+      }
+    })
+    val names = if (args.nonEmpty) args.toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    for (name <- names) {
+      // drain listener events from the previous query, then reset
+      Thread.sleep(300)
+      bytes.set(0); records.set(0)
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.write.mode("overwrite").format("noop").save()
-      val plan = df.queryExecution.executedPlan.toString
-      println(s"===== $name =====")
-      println(plan)
-      val scans = "Scan parquet".r.findAllIn(plan).size
-      val reused = "ReusedQueryStage|ReusedExchange".r.findAllIn(plan).size
-      println(s"--- executed scans: $scans, reused stages: $reused")
+      Thread.sleep(300) // listener events are async
+      println(f"SCANAUDIT $name%-28s bytesRead=${bytes.get}%12d " +
+        f"recordsRead=${records.get}%10d")
     }
     spark.stop()
   }
