@@ -493,6 +493,44 @@ object Queries {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("price_sum"))
     }),
+    "q_graph_pagerank" -> ((s, dir) => {
+      // Iterative rank propagation — the one workload class where the
+      // plan GROWS per step and must be actively managed
+      // (persist-materialize-release + localCheckpoint lineage cuts,
+      // Graph.pageRank). The supplier↔customer graph (both directions,
+      // so it has cycles and ranks keep evolving), 5 power iterations,
+      // per-iteration decimal discipline so the oracle's unrolled CTE
+      // chain hash-matches exactly.
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("supp"),
+          (col("o_custkey") + lit(1000000L)).as("cust"))
+      val edges = pairs.select(col("supp").as("src"), col("cust").as("dst"))
+        .union(pairs.select(col("cust").as("src"), col("supp").as("dst")))
+      graft.operators.Graph.pageRank(edges, iters = 5)
+        .orderBy(col("rank").desc, col("node").asc).limit(20)
+        .select(col("node"), col("rank").cast(DoubleType).as("rank"))
+    }),
+    "q_graph_degree" -> ((s, dir) => {
+      // Degree profile of the same graph — the control-plane skew
+      // histogram every graph job starts with (it decides salting and
+      // partition sizing downstream). Aggregated to the degree
+      // distribution for a compact deterministic gate.
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"),
+          (col("o_custkey") + lit(1000000L)).as("dst"))
+        .distinct()
+      graft.operators.Graph.degreeStats(edges)
+        .groupBy(col("out_deg"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("in_deg")).as("in_deg_sum"))
+    }),
     "q_sessionize" -> ((s, dir) => {
       // Gap-based sessionization (30-minute inactivity): the classic
       // events-pipeline operator — a session starts where the gap from
@@ -2060,6 +2098,19 @@ object Queries {
         | count(DISTINCT user_id) AS n_keys,
         | count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+    "q_graph_pagerank" -> pageRankOracle,
+    "q_graph_degree" ->
+      """WITH e AS (
+        | SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |od AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY 1),
+        |id AS (SELECT dst AS node, count(*) AS in_deg FROM e GROUP BY 1),
+        |deg AS (SELECT coalesce(od.node, id.node) AS node,
+        |  coalesce(out_deg, 0) AS out_deg, coalesce(in_deg, 0) AS in_deg
+        | FROM od FULL OUTER JOIN id ON od.node = id.node)
+        |SELECT out_deg, count(*) AS n_nodes,
+        | CAST(sum(in_deg) AS BIGINT) AS in_deg_sum
+        |FROM deg GROUP BY 1""".stripMargin,
     "q_stream_enrich" ->
       """WITH dim AS (
         | SELECT user_id,
@@ -2856,6 +2907,38 @@ object Queries {
 
   private def affineSql(i: Int, h: String): String =
     s"(($h * ${Dedup.affineA(i)} + ${Dedup.affineB(i)}) % $M)"
+
+  /** Replica of Graph.pageRank as UNROLLED iteration CTEs — identical
+    * arithmetic per step: per-edge contribution in DOUBLE rounded to
+    * 6 dp, summed as DECIMAL(18,6), teleport 0.15 added exactly. */
+  private def pageRankOracle: String = {
+    val iters = 5
+    val head =
+      """WITH p AS (
+        | SELECT DISTINCT l_suppkey AS supp, o_custkey + 1000000 AS cust
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT supp AS src, cust AS dst FROM p
+        |      UNION SELECT cust, supp FROM p),
+        |n AS (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |d AS (SELECT src, count(*) AS dg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1.0 AS DECIMAL(18,6)) AS rank FROM n)"""
+        .stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS (SELECT n.node,
+         | CAST(CAST(0.15 AS DECIMAL(18,6)) + coalesce(sum(
+         |   CAST(round(CAST(r.rank AS DOUBLE) * 0.85 / d.dg, 6)
+         |     AS DECIMAL(18,6))), 0) AS DECIMAL(18,6)) AS rank
+         | FROM n LEFT JOIN e ON e.dst = n.node
+         |  LEFT JOIN r${k - 1} r ON e.src = r.node
+         |  LEFT JOIN d ON e.src = d.src
+         | GROUP BY n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$steps
+       |SELECT node, CAST(rank AS DOUBLE) AS rank FROM r$iters
+       |ORDER BY rank DESC, node ASC LIMIT 20""".stripMargin
+  }
 
   /** Replica of the containment decontaminator: same 3-gram shingles,
     * same portable hash (so even hash collisions replicate), same

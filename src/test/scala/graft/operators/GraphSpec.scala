@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class GraphSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("pageRank: a directed cycle is a fixed point at rank 1") {
+    // A→B→C→A, out-degree 1 everywhere: rank = 0.15 + 0.85·1 = 1.0
+    // at every iteration — any drift is an arithmetic bug
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, iters = 7)
+      .collect().map(r => (r.getLong(0), r.getDecimal(1).toPlainString))
+      .toSet
+    assert(got == Set(1L, 2L, 3L).map(_ -> "1.000000"))
+  }
+
+  test("pageRank: star graph matches hand-computed two-step values") {
+    // leaves 1,2,3 → center 9; leaves are dangling-free sources,
+    // center is a sink (its mass leaks — the documented formulation).
+    // iter1: center = 0.15 + 3·round(0.85·1.0, 6) = 2.70; leaves 0.15
+    // iter2: center = 0.15 + 3·round(0.85·0.15, 6) = 0.5325
+    val edges = Seq((1L, 9L), (2L, 9L), (3L, 9L)).toDF("src", "dst")
+    val r1 = Graph.pageRank(edges, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getDecimal(1).toPlainString)).toMap
+    assert(r1(9L) == "2.700000" && r1(1L) == "0.150000")
+    val r2 = Graph.pageRank(edges, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getDecimal(1).toPlainString)).toMap
+    assert(r2(9L) == "0.532500" && r2(2L) == "0.150000")
+  }
+
+  test("pageRank: out-degree splits contribution") {
+    // 1 → {2, 3}: each gets round(0.85/2, 6) = 0.425
+    val edges = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val r1 = Graph.pageRank(edges, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getDecimal(1).toPlainString)).toMap
+    assert(r1(2L) == "0.575000" && r1(3L) == "0.575000" &&
+      r1(1L) == "0.150000")
+  }
+
+  test("degreeStats: full-outer degrees with zero fill") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.degreeStats(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 0L), (2L, 1L, 1L), (3L, 0L, 2L)))
+  }
+}
