@@ -123,7 +123,10 @@ object Bench {
       "q_sim_cosine_dedup", "q_text_tfidf", "q_lang_id",
       "q_sketch_distinct", "q_sample_stratified", "q_pack_sequences",
       "q_multimodal_decode", "q_stream_join", "q_stream_windows",
-      "q_token_budget", "q_zorder")
+      "q_token_budget", "q_zorder",
+      // round-7 families
+      "q_graph_pagerank", "q_mixture_divergence", "q_sample_temperature",
+      "q_cdc_apply", "q_join_scd2", "q_shard_order", "q_agg_incremental")
     val byName = results.map { case (k, v, _) => k -> v }.toMap
     def compactLine(nHead: Int): String = {
       val hq = headline.take(nHead)

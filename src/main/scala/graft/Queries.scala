@@ -493,6 +493,29 @@ object Queries {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("price_sum"))
     }),
+    "q_agg_incremental" -> ((s, dir) => {
+      // Incremental aggregate maintenance: yesterday's aggregate STATE
+      // (|groups| rows) merged with today's batch — history is never
+      // re-read, yet the result must equal the full recompute the
+      // oracle runs over the union. Mergeable vector only (count, sum
+      // as exact DECIMAL, min, max); at 100 TB maintenance is
+      // O(batch), not O(corpus).
+      val o = Tables.orders(s, dir)
+      val cut1 = to_date(lit("1996-06-01"))
+      val cut2 = to_date(lit("1996-07-01"))
+      val histState = Stats.groupedAggState(
+        o.filter(col("o_orderdate") < cut1),
+        Seq("o_orderstatus"), Seq("o_totalprice"))
+      val batchState = Stats.groupedAggState(
+        o.filter(col("o_orderdate") >= cut1 && col("o_orderdate") < cut2),
+        Seq("o_orderstatus"), Seq("o_totalprice"))
+      Stats.mergeAggState(histState, batchState,
+          Seq("o_orderstatus"), Seq("o_totalprice"))
+        .select(col("o_orderstatus"), col("n"),
+          round(col("sum_o_totalprice").cast(DoubleType), 4).as("price_sum"),
+          col("min_o_totalprice").as("price_min"),
+          col("max_o_totalprice").as("price_max"))
+    }),
     "q_graph_pagerank" -> ((s, dir) => {
       // Iterative rank propagation — the one workload class where the
       // plan GROWS per step and must be actively managed
@@ -2098,6 +2121,16 @@ object Queries {
         | count(DISTINCT user_id) AS n_keys,
         | count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+    // The merge gate: state(history) ⊕ state(batch) must equal the
+    // full recompute over the union — the oracle IS that recompute.
+    "q_agg_incremental" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |   AS DOUBLE), 4) AS price_sum,
+        | min(o_totalprice) AS price_min,
+        | max(o_totalprice) AS price_max
+        |FROM orders WHERE o_orderdate < DATE '1996-07-01'
+        |GROUP BY 1""".stripMargin,
     "q_graph_pagerank" -> pageRankOracle,
     "q_graph_degree" ->
       """WITH e AS (

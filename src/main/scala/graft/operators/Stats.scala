@@ -85,6 +85,51 @@ object Stats {
     * Returns the sketch as a frame of (depth, bucket, cnt) cells —
     * cells never touched stay absent (zero).
     */
+  /** Incremental maintenance of a grouped aggregate: merge yesterday's
+    * AGGREGATE STATE with today's batch — never re-reading history —
+    * and get exactly what a full recompute over (history ∪ batch)
+    * would return. The daily-sync counting discipline (A2) applied to
+    * analytics rollups: at 100 TB the history aggregate is |groups|
+    * rows while the history corpus is the 100 TB, so maintenance cost
+    * is O(batch), not O(corpus).
+    *
+    * Works for the MERGEABLE aggregate vector (count, sum, min, max —
+    * anything with an associative-commutative merge); avg derives as
+    * sum/count downstream, never merged directly. Both inputs must
+    * have the shape (groupCols*, n, sum_<c>, min_<c>, max_<c>) as
+    * produced by [[groupedAggState]]. One shuffle of |groups| rows.
+    */
+  def mergeAggState(
+      state: DataFrame,
+      batchState: DataFrame,
+      groupCols: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    val merged = state.unionByName(batchState)
+      .groupBy(groupCols.map(col): _*)
+    val aggs = sum(col("n")).as("n") +: valueCols.flatMap { c =>
+      Seq(sum(col(s"sum_$c")).as(s"sum_$c"),
+        min(col(s"min_$c")).as(s"min_$c"),
+        max(col(s"max_$c")).as(s"max_$c"))
+    }
+    merged.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The mergeable aggregate state of a frame: (groupCols*, n, and
+    * sum/min/max per value column, sums as DECIMAL(18,4) for exact
+    * order-independent merges). */
+  def groupedAggState(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n") +: valueCols.flatMap { c =>
+      Seq(sum(col(c).cast(DecimalType(18, 4))).cast(DecimalType(18, 4))
+          .as(s"sum_$c"),
+        min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c"))
+    }
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   def countMinSketch(
       items: DataFrame,
       item: Column,

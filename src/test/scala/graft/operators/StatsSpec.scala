@@ -20,6 +20,24 @@ class StatsSpec extends SparkSpecBase {
     assert(r.getAs[Double]("q_p90") == 90.0)
   }
 
+  test("mergeAggState: merged slices equal the full recompute, any split") {
+    import spark.implicits._
+    val df = spark.range(997).select(
+      (col("id") % 5).cast("string").as("g"),
+      (pmod(xxhash64(col("id")), lit(9999L)) / 100.0).as("v"))
+    val full = Stats.groupedAggState(df, Seq("g"), Seq("v"))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    for (m <- Seq(2L, 3L, 7L)) { // uneven splits, incl. empty-ish groups
+      val a = Stats.groupedAggState(
+        df.filter(pmod(xxhash64(col("v")), lit(m)) === 0), Seq("g"), Seq("v"))
+      val b = Stats.groupedAggState(
+        df.filter(pmod(xxhash64(col("v")), lit(m)) =!= 0), Seq("g"), Seq("v"))
+      val merged = Stats.mergeAggState(a, b, Seq("g"), Seq("v"))
+        .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+      assert(merged == full, s"split mod $m diverges from full recompute")
+    }
+  }
+
   test("estimates stay within one bin width of the exact quantile") {
     import spark.implicits._
     val df = spark.range(10000).select(
