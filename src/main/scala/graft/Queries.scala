@@ -1566,6 +1566,13 @@ object Queries {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_new"), sum(col("doc_id")).as("id_sum"))
     }),
+    "q_text_bm25" -> ((s, dir) => {
+      // BM25 top-3 terms per doc — TF saturation + length
+      // normalization, the retrieval score TF-IDF lacks. Same
+      // single-corpus-scan persisted-tf topology as q_text_tfidf.
+      TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id",
+        col("text"), k = 3)
+    }),
     "q_text_tfidf" -> ((s, dir) => {
       // TF-IDF keyword extraction: top-3 terms per doc. The idf is
       // rounded and FIXED as DECIMAL before the tf multiply, so
@@ -2131,6 +2138,7 @@ object Queries {
         | max(o_totalprice) AS price_max
         |FROM orders WHERE o_orderdate < DATE '1996-07-01'
         |GROUP BY 1""".stripMargin,
+    "q_text_bm25" -> bm25Oracle,
     "q_graph_pagerank" -> pageRankOracle,
     "q_graph_degree" ->
       """WITH e AS (
@@ -2940,6 +2948,36 @@ object Queries {
 
   private def affineSql(i: Int, h: String): String =
     s"(($h * ${Dedup.affineA(i)} + ${Dedup.affineB(i)}) % $M)"
+
+  /** BM25 replica — every float constant interpolates from the SAME
+    * Scala doubles the operator uses (Scala's toString is the shortest
+    * round-tripping form, so DuckDB parses bit-identical values);
+    * expression shape and operator order mirror bm25TopK exactly. */
+  private def bm25Oracle: String = {
+    val k1 = 1.2; val b = 0.75
+    s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       | FROM t GROUP BY 1, 2),
+       |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       | FROM tf GROUP BY 1),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       | FROM tf GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |s AS (SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+       |  CAST(round(
+       |    ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+       |      * (tf * ${k1 + 1}) /
+       |      (tf + $k1 * (${1 - b} + $b * CAST(dl AS DOUBLE) / avgdl)),
+       |    6) AS DECIMAL(18,6)) AS sc
+       | FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id)
+       | CROSS JOIN tot),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |  ORDER BY sc DESC, term ASC) AS rk FROM s)
+       |SELECT doc_id, term, tf, df, CAST(sc AS DOUBLE) AS score,
+       | CAST(rk AS BIGINT) AS rk
+       |FROM r WHERE rk <= 3""".stripMargin
+  }
 
   /** Replica of Graph.pageRank as UNROLLED iteration CTEs — identical
     * arithmetic per step: per-edge contribution in DOUBLE rounded to

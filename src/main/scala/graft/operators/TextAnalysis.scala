@@ -377,6 +377,65 @@ object TextAnalysis {
     out
   }
 
+  /** BM25 relevance scoring of every (doc, term) pair — the standard
+    * retrieval score TF-IDF lacks: term-frequency SATURATION (k1) and
+    * document-length normalization (b), so long documents and
+    * keyword-stuffed repetition stop dominating. Okapi form with
+    * k1 = 1.2, b = 0.75:
+    *   idf = ln((N − df + 0.5)/(df + 0.5) + 1)   [never negative]
+    *   score = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Same one-corpus-scan shape as [[tfIdfTopK]]: tf persists (its
+    * consumers: df aggregate, doc lengths, the score join), the
+    * scalar (N, avgdl) pair broadcasts, top-k per doc is one window.
+    * Determinism: score computed in DOUBLE (correctly-rounded IEEE
+    * ops; ln agrees across engines at the 6 dp we keep — the same
+    * empirical contract q_text_tfidf/q_text_pmi already pin), rounded
+    * to 6 dp and fixed as DECIMAL before ranking, ties broken by term.
+    *
+    * Returns (idCol, term, tf, df, score, rk), rk ∈ [1, k]. */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      text: Column,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val tf = docs
+      .select(col(idCol), explode(tokens(lower(text))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("__dl"))
+    val totals = dl.agg(count(lit(1)).as("__n"),
+      (sum(col("__dl")).cast(DoubleType) / count(lit(1))).as("__avgdl"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(totals))
+      .withColumn("__idf",
+        log((col("__n").cast(DoubleType) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("__score",
+        round(col("__idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) +
+            lit(b) * col("__dl").cast(DoubleType) / col("__avgdl"))), 6)
+          .cast(DecimalType(18, 6)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("__score").desc, col("term").asc)
+    val out = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("__score").cast(DoubleType).as("score"),
+        col("rk").cast(LongType).as("rk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    tf.unpersist(false)
+    out
+  }
+
   /** Bigram collocation mining by pointwise mutual information:
     * PMI(a,b) = ln p(a,b) − ln p(a) − ln p(b) computed from corpus
     * unigram/bigram counts as `ln c_ab + 2·ln U − ln T − ln c_a −

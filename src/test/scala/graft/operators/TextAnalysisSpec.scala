@@ -48,6 +48,25 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(kept == Set(1L -> "jumps over dogs", 2L -> "likes warm sun"))
   }
 
+  test("bm25TopK: saturation and length normalization hold") {
+    // doc 1: "x x y" — tf(x)=2; doc 2: "x y" — tf(x)=1; doc 3 pads df.
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "x x y"), Row(2L, "x y"), Row(3L, "z z z z")), 2),
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", col("text"), k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(4)).toMap
+    // saturation: tf 2 vs 1 for the same term must score LESS than 2×
+    val s1 = out((1L, "x")); val s2 = out((2L, "x"))
+    assert(s1 > s2, "higher tf must score higher")
+    assert(s1 < 2 * s2, s"saturation violated: $s1 vs 2*$s2")
+    // every score positive (the +1 idf form never goes negative, even
+    // for terms appearing in most docs)
+    out.values.foreach(v => assert(v > 0))
+  }
+
   test("distributionDivergence: exact rational TVD vs hand computation") {
     // A: "a a b" (p = a:2/3, b:1/3); B: "b c" (p = b:1/2, c:1/2);
     // corpus q = (a:2/5, b:2/5, c:1/5).
