@@ -1518,6 +1518,22 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
           sum(col("n_chars")).as("chars_sum"))
     }),
+    "q_curriculum" -> ((s, dir) => {
+      // Curriculum bucketing: each language's docs split into 4
+      // difficulty quartiles by ntile over the deterministic
+      // (n_chars, doc_id) order — training scheduled easy→hard reads
+      // bucket by bucket. ntile's remainder-to-leading-buckets rule is
+      // identical in both engines given the total order. One window
+      // shuffle on lang.
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").asc, col("doc_id").asc)
+      Tables.documents(s, dir)
+        .withColumn("bucket", ntile(4).over(w).cast(LongType))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+    }),
     "q_quality_quantile" -> ((s, dir) => {
       // Per-language quantile gate: drop the bottom 25% of each lang by
       // n_chars (rank-based cut, not percentile interpolation — exact
@@ -2528,6 +2544,18 @@ object Queries {
         |FROM documents d JOIN thr USING (lang)
         |WHERE $bucket < thr GROUP BY d.lang""".stripMargin
     },
+    // ntile replica: same total order, same remainder rule.
+    "q_curriculum" ->
+      """WITH b AS (SELECT lang, doc_id, n_chars,
+        |  ntile(4) OVER (PARTITION BY lang
+        |    ORDER BY n_chars, doc_id) AS bucket
+        | FROM documents)
+        |SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        | CAST(min(n_chars) AS BIGINT) AS min_chars,
+        | CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM b GROUP BY 1, 2""".stripMargin,
     // quantileFilter replica: rank-based cut — drop rk ≤ n_s·250 div
     // 1000 ordered by (n_chars, doc_id) within lang.
     "q_quality_quantile" ->
