@@ -493,6 +493,22 @@ object Queries {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("price_sum"))
     }),
+    "q_expectations" -> ((s, dir) => {
+      // Declarative data contracts over orders — four named row-level
+      // checks folded into ONE map-side-combined pass (no data
+      // shuffle, however many checks); NULL predicate results count
+      // as violations, never silently pass. The generalized form of
+      // the reference's per-day count validation.
+      import graft.operators.Expectations.{Expect, validate}
+      validate(Tables.orders(s, dir), Seq(
+        Expect("custkey_not_null", col("o_custkey").isNotNull),
+        Expect("price_positive", col("o_totalprice") > 0),
+        Expect("status_enum",
+          col("o_orderstatus").isin("O", "F", "P")),
+        Expect("date_in_range",
+          col("o_orderdate") >= to_date(lit("1992-01-01")) &&
+            col("o_orderdate") < to_date(lit("1999-01-01")))))
+    }),
     "q_agg_incremental" -> ((s, dir) => {
       // Incremental aggregate maintenance: yesterday's aggregate STATE
       // (|groups| rows) merged with today's batch — history is never
@@ -2144,6 +2160,28 @@ object Queries {
         | count(DISTINCT user_id) AS n_keys,
         | count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+    // Each check recomputed independently; NULL-as-violation via the
+    // explicit coalesce in each filter's complement.
+    "q_expectations" ->
+      """WITH t AS (SELECT count(*) AS n_rows,
+        |  count(*) FILTER (WHERE NOT coalesce(o_custkey IS NOT NULL,
+        |    false)) AS v1,
+        |  count(*) FILTER (WHERE NOT coalesce(o_totalprice > 0,
+        |    false)) AS v2,
+        |  count(*) FILTER (WHERE NOT coalesce(o_orderstatus IN
+        |    ('O', 'F', 'P'), false)) AS v3,
+        |  count(*) FILTER (WHERE NOT coalesce(
+        |    o_orderdate >= DATE '1992-01-01'
+        |    AND o_orderdate < DATE '1999-01-01', false)) AS v4
+        | FROM orders)
+        |SELECT 'custkey_not_null' AS check, n_rows,
+        | CAST(v1 AS BIGINT) AS n_violations FROM t
+        |UNION ALL SELECT 'price_positive', n_rows, CAST(v2 AS BIGINT)
+        | FROM t
+        |UNION ALL SELECT 'status_enum', n_rows, CAST(v3 AS BIGINT)
+        | FROM t
+        |UNION ALL SELECT 'date_in_range', n_rows, CAST(v4 AS BIGINT)
+        | FROM t""".stripMargin,
     // The merge gate: state(history) ⊕ state(batch) must equal the
     // full recompute over the union — the oracle IS that recompute.
     "q_agg_incremental" ->

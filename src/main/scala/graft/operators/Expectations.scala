@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Declarative data contracts — the generalized form of the
+  * reference's count-back validation (A1/A3): a set of named row-level
+  * expectations evaluated over a frame in ONE aggregation pass, each
+  * reporting its violation count. The per-day `extracted == loaded`
+  * check the reference runs after every sync is the degenerate single
+  * expectation; real pipelines gate loads on a battery of them
+  * (not-null keys, value ranges, enum membership, referential counts).
+  *
+  * Scale shape: all row-level expectations fold into ONE map-side-
+  * combined global aggregate — no shuffle of data rows, one pass, no
+  * matter how many checks. Uniqueness is the exception (it is a
+  * per-key property, not a per-row one) and costs its one hash shuffle
+  * on the key columns via [[duplicateKeys]].
+  *
+  * NULL discipline: a NULL predicate result counts as a VIOLATION
+  * (SQL's `WHERE` would silently drop it — a contract must not pass on
+  * unknowns). */
+object Expectations {
+
+  /** One named row-level contract: `pred` must hold for every row. */
+  final case class Expect(name: String, pred: Column)
+
+  /** Evaluate all expectations in one pass. Returns one row per
+    * expectation: (check, n_rows, n_violations) — stable output order
+    * by check name. */
+  def validate(df: DataFrame, expects: Seq[Expect]): DataFrame = {
+    require(expects.nonEmpty, "at least one expectation required")
+    require(expects.map(_.name).distinct.size == expects.size,
+      s"duplicate expectation names: ${expects.map(_.name)}")
+    val aggs = count(lit(1)).as("n_rows") +: expects.map { e =>
+      sum(when(coalesce(e.pred, lit(false)), 0L).otherwise(1L))
+        .as(s"__v_${e.name}")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    // pivot the single row to (check, n_rows, n_violations) rows
+    val stacked = expects.map { e =>
+      struct(lit(e.name).as("check"), col("n_rows"),
+        col(s"__v_${e.name}").as("n_violations"))
+    }
+    row.select(explode(array(stacked: _*)).as("x"))
+      .select(col("x.check"), col("x.n_rows"), col("x.n_violations"))
+  }
+
+  /** Keys violating a uniqueness contract: (key*, n_rows) for every
+    * key with more than one row. One hash shuffle on the keys. */
+  def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "uniqueness needs at least one key column")
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > 1)
+  }
+}

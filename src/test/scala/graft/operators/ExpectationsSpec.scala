@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class ExpectationsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("validate: NULL predicate results count as violations") {
+    val df = Seq(
+      (Some(5L), "a"), (None, "b"), (Some(-1L), "c"), (Some(2L), null))
+      .toDF("v", "s")
+    val got = Expectations.validate(df, Seq(
+      Expectations.Expect("v_positive", col("v") > 0),   // NULL → violation
+      Expectations.Expect("s_not_null", col("s").isNotNull)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // v > 0: row2 NULL (violation), row3 -1 (violation) → 2
+    assert(got("v_positive") == ((4L, 2L)))
+    assert(got("s_not_null") == ((4L, 1L)))
+  }
+
+  test("validate: all-pass contract reports zero violations") {
+    val df = (1L to 50L).toDF("v")
+    val got = Expectations.validate(df,
+      Seq(Expectations.Expect("pos", col("v") > 0))).collect().head
+    assert(got.getLong(1) == 50L && got.getLong(2) == 0L)
+  }
+
+  test("duplicateKeys: only keys with more than one row surface") {
+    val df = Seq((1L, "x"), (1L, "y"), (2L, "z"), (3L, "w"), (3L, "v"),
+      (3L, "u")).toDF("k", "p")
+    val got = Expectations.duplicateKeys(df, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (3L, 3L)))
+  }
+}
