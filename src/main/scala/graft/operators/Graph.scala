@@ -40,8 +40,15 @@ object Graph {
       edges: DataFrame,
       iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    // e is persisted HASH-PARTITIONED ON src: the per-iteration join
+    // requires clustering on src, so a pre-partitioned cache satisfies
+    // it from the block manager every round — without the repartition
+    // the cached edges re-shuffle once per iteration (persist stores
+    // whatever partitioning the distinct left, which is on (src, dst),
+    // not src). outdeg inherits the same partitioning for free.
     val e = edges.select(col("src"), col("dst"))
       .distinct()
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
