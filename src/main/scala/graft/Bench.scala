@@ -43,10 +43,11 @@ object Bench {
     // "Bench variance").
     val (repeat, filters) = {
       val i = args.indexOf("--repeat")
-      if (i >= 0 && i + 1 < args.length)
-        (args(i + 1).toInt.max(1),
-          args.patch(i, Nil, 2).toSeq)
-      else (1, args.toSeq)
+      if (i >= 0) {
+        require(i + 1 < args.length,
+          "--repeat requires a count argument (e.g. --repeat 3)")
+        (args(i + 1).toInt.max(1), args.patch(i, Nil, 2).toSeq)
+      } else (1, args.toSeq)
     }
     val selected =
       if (filters.isEmpty) SparkEntry.queries
@@ -76,7 +77,11 @@ object Bench {
         // cached across queries is only tiny, explicitly-shared result
         // frames (the dedup pair set q_dedup_apply reuses — its cost is
         // attributed to whichever dedup query runs first).
-        (name, reps.map(_._1).min, reps.flatMap(_._2).headOption)
+        // min over SUCCESSFUL reps only (a fast failure is not a
+        // timing); a query errors only when every rep failed.
+        val ok = reps.collect { case (t, None) => t }
+        if (ok.nonEmpty) (name, ok.min, None)
+        else (name, reps.map(_._1).min, reps.flatMap(_._2).headOption)
     }
 
     def jstr(s: String): String = "\"" + s.flatMap {

@@ -32,9 +32,12 @@ object Expectations {
     require(expects.nonEmpty, "at least one expectation required")
     require(expects.map(_.name).distinct.size == expects.size,
       s"duplicate expectation names: ${expects.map(_.name)}")
+    // outer coalesce: sum over ZERO rows (an empty batch — a
+    // legitimate no-data day) is NULL, which would make the contract
+    // neither pass nor fail; an empty frame has zero violations
     val aggs = count(lit(1)).as("n_rows") +: expects.map { e =>
-      sum(when(coalesce(e.pred, lit(false)), 0L).otherwise(1L))
-        .as(s"__v_${e.name}")
+      coalesce(sum(when(coalesce(e.pred, lit(false)), 0L).otherwise(1L)),
+        lit(0L)).as(s"__v_${e.name}")
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
     // pivot the single row to (check, n_rows, n_violations) rows

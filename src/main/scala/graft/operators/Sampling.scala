@@ -232,9 +232,11 @@ object Sampling {
     * (percentile_cont interpolation would put a float threshold between
     * engines).
     *
-    * Cost = the tiny per-stratum count (broadcast back) + one hash
-    * shuffle on the strata columns with a per-partition sort (the
-    * `row_number` window) — the [[capPerStratum]] shape, with the same
+    * Cost = ONE hash shuffle on the strata columns with a per-partition
+    * sort: the stratum size comes from an unordered count(*) window
+    * over the SAME partition the rank window already shuffles for (a
+    * separate groupBy-count pass would re-scan the corpus once per
+    * call). The [[capPerStratum]] shape otherwise, with the same
     * mega-stratum caveat: a stratum sorts within one task, so
     * pathological strata call for a pre-bucketed two-level rank. */
   def quantileFilter(
@@ -245,13 +247,11 @@ object Sampling {
       dropPermille: Int): DataFrame = {
     require(dropPermille >= 0 && dropPermille < 1000,
       s"dropPermille must be in [0, 1000): $dropPermille")
-    val counts = df.groupBy(strataCols.map(col): _*)
-      .agg(count(lit(1)).as("__ns"))
-    val w = org.apache.spark.sql.expressions.Window
+    val part = org.apache.spark.sql.expressions.Window
       .partitionBy(strataCols.map(col): _*)
-      .orderBy(orderCol.asc, idCol.asc)
-    df.join(broadcast(counts), strataCols)
-      .withColumn("__rk", row_number().over(w))
+    val w = part.orderBy(orderCol.asc, idCol.asc)
+    df.withColumn("__rk", row_number().over(w))
+      .withColumn("__ns", count(lit(1)).over(part))
       .filter(col("__rk") > expr(s"(__ns * $dropPermille) div 1000"))
       .drop("__rk", "__ns")
   }

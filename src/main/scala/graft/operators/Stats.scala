@@ -98,7 +98,8 @@ object Stats {
     * sum/count downstream, never merged directly. Both inputs must
     * have the shape (groupCols*, n, sum_<c>, min_<c>, max_<c>) as
     * produced by [[groupedAggState]]. One shuffle of |groups| rows.
-    */
+    * Output sums re-cast to the state's DECIMAL(38,4), so merged state
+    * round-trips through this function with a stable schema. */
   def mergeAggState(
       state: DataFrame,
       batchState: DataFrame,
@@ -107,7 +108,7 @@ object Stats {
     val merged = state.unionByName(batchState)
       .groupBy(groupCols.map(col): _*)
     val aggs = sum(col("n")).as("n") +: valueCols.flatMap { c =>
-      Seq(sum(col(s"sum_$c")).as(s"sum_$c"),
+      Seq(sum(col(s"sum_$c")).cast(DecimalType(38, 4)).as(s"sum_$c"),
         min(col(s"min_$c")).as(s"min_$c"),
         max(col(s"max_$c")).as(s"max_$c"))
     }
@@ -115,14 +116,17 @@ object Stats {
   }
 
   /** The mergeable aggregate state of a frame: (groupCols*, n, and
-    * sum/min/max per value column, sums as DECIMAL(18,4) for exact
-    * order-independent merges). */
+    * sum/min/max per value column). Sums are exact DECIMAL carried at
+    * (38,4) — narrowing the group sum back to (18,4) would overflow to
+    * NULL past 10^14 (reached trivially at 100 TB history scale) and
+    * mergeAggState's null-skipping sum would then silently drop the
+    * overflowed side; 38 digits hold ~10^34 before that cliff. */
   def groupedAggState(
       df: DataFrame,
       groupCols: Seq[String],
       valueCols: Seq[String]): DataFrame = {
     val aggs = count(lit(1)).as("n") +: valueCols.flatMap { c =>
-      Seq(sum(col(c).cast(DecimalType(18, 4))).cast(DecimalType(18, 4))
+      Seq(sum(col(c).cast(DecimalType(18, 4))).cast(DecimalType(38, 4))
           .as(s"sum_$c"),
         min(col(c)).as(s"min_$c"),
         max(col(c)).as(s"max_$c"))

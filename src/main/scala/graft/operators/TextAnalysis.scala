@@ -185,12 +185,16 @@ object TextAnalysis {
     // and re-tokenize the corpus three times (measured); this way the
     // corpus is read twice — once into freq, once through the join —
     // the floor for a join-back topology whose probe side is the
-    // full token stream. The per-doc result materializes before the
-    // freq cache is freed.
+    // full token stream. The persist is LAZY and never released here:
+    // the result is per-document (corpus-proportional), so pinning IT
+    // to free freq would trade a vocabulary-sized cache for a
+    // corpus-sized one. freq materializes once at the caller's first
+    // action and stays for the session — bounded by vocabulary size,
+    // which does not scale with the corpus.
     val freq = occ.groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = freq.agg(sum(col("__c")).as("__n"))
-    val out = occ.join(freq, "__tok")
+    occ.join(freq, "__tok")
       .crossJoin(broadcast(total))
       .select(col(idCol),
         round(log(col("__n").cast(DoubleType)) -
@@ -200,10 +204,6 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tok"),
         round(sum(col("__s")).cast(DoubleType) / count(lit(1)), 6)
           .as("mean_surprisal"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    freq.unpersist(false)
-    out
   }
 
   /** Mixture diagnostics: how far each group's (source's, language's)
@@ -337,7 +337,10 @@ object TextAnalysis {
     * exact decimal arithmetic, so scores and therefore ranks are
     * engine-portable; only the display cast back to double rounds.
     *
-    * Returns (idCol, term, tf, df, score, rk), rk ∈ [1, k]. */
+    * Returns (idCol, term, tf, df, score, rk), rk ∈ [1, k]. The
+    * returned frame is PERSISTED (operator-owned: ≤ k rows per doc,
+    * far under the freed tf intermediate) — callers holding it past
+    * their final action should `unpersist()` it. */
   def tfIdfTopK(
       docs: DataFrame,
       idCol: String,
@@ -393,7 +396,9 @@ object TextAnalysis {
     * empirical contract q_text_tfidf/q_text_pmi already pin), rounded
     * to 6 dp and fixed as DECIMAL before ranking, ties broken by term.
     *
-    * Returns (idCol, term, tf, df, score, rk), rk ∈ [1, k]. */
+    * Returns (idCol, term, tf, df, score, rk), rk ∈ [1, k]. Like
+    * [[tfIdfTopK]], the returned frame is persisted (≤ k rows per
+    * doc); `unpersist()` it when done at session scale. */
   def bm25TopK(
       docs: DataFrame,
       idCol: String,

@@ -40,12 +40,16 @@ object ExecutedPlan {
     val names = if (args.nonEmpty) args.toSeq
       else SparkEntry.queries.keys.toSeq.sorted
     for (name <- names) {
-      // drain listener events from the previous query, then reset
-      Thread.sleep(300)
+      // Listener events are async; sleep-drain between queries. A
+      // straggler task-end posted after the reset bleeds into the
+      // next query's counter — tolerable for a dev audit tool (the
+      // race-free form, listenerBus.waitUntilEmpty, is private[spark]);
+      // treat ±one-task noise as such when reading results.
+      Thread.sleep(1000)
       bytes.set(0); records.set(0)
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.write.mode("overwrite").format("noop").save()
-      Thread.sleep(300) // listener events are async
+      Thread.sleep(1000)
       println(f"SCANAUDIT $name%-28s bytesRead=${bytes.get}%12d " +
         f"recordsRead=${records.get}%10d")
     }

@@ -28,6 +28,14 @@ class ExpectationsSpec extends SparkSpecBase {
     assert(got.getLong(1) == 50L && got.getLong(2) == 0L)
   }
 
+  test("validate: an empty batch reports zero violations, not NULL") {
+    val df = Seq((1L, "a")).toDF("v", "s").filter(col("v") < 0)
+    val got = Expectations.validate(df,
+      Seq(Expectations.Expect("pos", col("v") > 0))).collect().head
+    assert(!got.isNullAt(2), "empty-batch violation count must not be NULL")
+    assert(got.getLong(1) == 0L && got.getLong(2) == 0L)
+  }
+
   test("duplicateKeys: only keys with more than one row surface") {
     val df = Seq((1L, "x"), (1L, "y"), (2L, "z"), (3L, "w"), (3L, "v"),
       (3L, "u")).toDF("k", "p")
