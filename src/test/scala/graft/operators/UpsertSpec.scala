@@ -165,6 +165,38 @@ class UpsertSpec extends SparkSpecBase {
     assert(got == Set((1L, "b"), (3L, "e"), (4L, "f")))
   }
 
+  test("applyChangelog matches the independent model (property)") {
+    // model: per key, the (seq desc, op desc) max row decides; D absent
+    val genChange: Gen[(Long, Long, String, String)] = for {
+      k <- Gen.choose(0L, 5L)
+      seq <- Gen.choose(1L, 6L)
+      op <- Gen.oneOf("I", "U", "D")
+      v <- Gen.alphaStr.map(_.take(3))
+    } yield (k, seq, op, v)
+    val genLog = Gen.nonEmptyListOf(genChange).map(
+      // unique (k, seq): the documented contract (duplicate sequences
+      // per key resolve by op desc, but generators keep it clean)
+      _.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq)
+    for (seed <- 1L to 10L) {
+      val log = sample(genLog, seed + 900)
+      val model = log.groupBy(_._1).flatMap { case (k, rows) =>
+        val win = rows.maxBy(r => (r._2, r._3))
+        if (win._3 == "D") None else Some((k, win._2, win._3, win._4))
+      }.toSet
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          log.map(t => Row(t._1, t._2, t._3, t._4)), 2),
+        StructType(Seq(StructField("k", LongType),
+          StructField("seq", LongType), StructField("op", StringType),
+          StructField("v", StringType))))
+      val got = Upsert.applyChangelog(df, Seq("k"), "seq", "op")
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+        .toSet
+      assert(got == model, s"seed=$seed log=$log")
+    }
+  }
+
   test("latestPerKey keeps the newest row per key") {
     val rows = Seq(
       R(1, Some(1), "old"), R(1, Some(5), "new"),
