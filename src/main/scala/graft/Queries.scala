@@ -1534,6 +1534,29 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
           sum(col("n_chars")).as("chars_sum"))
     }),
+    "q_pipeline_curation" -> ((s, dir) => {
+      // The END-TO-END curation chain a real training-data run
+      // composes, as one plan: per-lang quality gate (drop bottom 25%
+      // by n_chars) → exact dedup (normalized-text fingerprint, keep
+      // smallest id) → temperature α=1/2 rebalance to 300 docs →
+      // 8-shard deterministic layout. Every stage feeds the next (the
+      // temperature thresholds derive from POST-dedup survivor
+      // counts), and the oracle replays the identical chain as CTEs —
+      // a wrong answer in any stage diverges the final shard hash.
+      // sum(seq·doc_id) pins assignment AND within-shard order.
+      val gated = Sampling.quantileFilter(Tables.documents(s, dir),
+        Seq("lang"), col("n_chars"), col("doc_id"), dropPermille = 250)
+      val deduped = Dedup.exact(gated,
+        TextAnalysis.fingerprintMd5(col("text")), "doc_id")
+      val sampled = Sampling.temperatureSample(deduped, Seq("lang"),
+        col("doc_id"), totalTarget = 300, seed = 19)
+      Sampling.shardOrder(sampled, col("doc_id"), nShards = 8, seed = 23)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("chars_sum"),
+          sum(col("seq").cast(LongType) * col("doc_id"))
+            .as("order_check"))
+    }),
     "q_curriculum" -> ((s, dir) => {
       // Curriculum bucketing: each language's docs split into 4
       // difficulty quartiles by ntile over the deterministic
@@ -2192,6 +2215,7 @@ object Queries {
         | max(o_totalprice) AS price_max
         |FROM orders WHERE o_orderdate < DATE '1996-07-01'
         |GROUP BY 1""".stripMargin,
+    "q_pipeline_curation" -> pipelineCurationOracle,
     "q_text_bm25" -> bm25Oracle,
     "q_graph_pagerank" -> pageRankOracle,
     "q_graph_degree" ->
@@ -3014,6 +3038,50 @@ object Queries {
 
   private def affineSql(i: Int, h: String): String =
     s"(($h * ${Dedup.affineA(i)} + ${Dedup.affineB(i)}) % $M)"
+
+  /** The curation chain replica — each stage as a CTE mirroring the
+    * composed operators: rank-window quality gate, min-id-per-md5
+    * dedup, isqrt temperature thresholds over POST-dedup counts
+    * (seed 19), shard/seq layout (seed 23). */
+  private def pipelineCurationOracle: String = {
+    val b19 = s"(${affineSql(19, s"(doc_id % $M)")} % ${Sampling.Buckets})"
+    val b23 = s"(${affineSql(23, s"(doc_id % $M)")} % ${Sampling.Buckets})"
+    s"""WITH gated AS (
+       | SELECT lang, doc_id, n_chars, text FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY lang
+       |    ORDER BY n_chars, doc_id) AS rk,
+       |   count(*) OVER (PARTITION BY lang) AS ns
+       |  FROM documents)
+       | WHERE rk > (ns * 250) // 1000),
+       |dd AS (
+       | SELECT lang, doc_id, n_chars FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+       |    ORDER BY doc_id) AS drk
+       |  FROM gated)
+       | WHERE drk = 1),
+       |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS ns
+       | FROM dd GROUP BY lang),
+       |w AS (SELECT lang, ns,
+       |  CAST(floor(sqrt(CAST(ns AS DOUBLE))) AS BIGINT) AS ws FROM n),
+       |t AS (SELECT lang, ns, ws, (SELECT sum(ws) FROM w) AS wsum FROM w),
+       |thr AS (SELECT lang, ns,
+       |  least(((300 * ws) // wsum) * ${Sampling.Buckets} // ns,
+       |    ${Sampling.Buckets}) AS thr FROM t),
+       |samp AS (
+       | SELECT d.lang, d.doc_id, d.n_chars
+       | FROM dd d JOIN thr USING (lang)
+       | WHERE $b19 < thr),
+       |sh AS (SELECT doc_id, n_chars, $b23 % 8 AS shard,
+       |  row_number() OVER (PARTITION BY $b23 % 8
+       |    ORDER BY $b23, doc_id) AS seq
+       | FROM samp)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n,
+       | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       | CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       | CAST(sum(seq * doc_id) AS BIGINT) AS order_check
+       |FROM sh GROUP BY shard""".stripMargin
+  }
 
   /** BM25 replica — every float constant interpolates from the SAME
     * Scala doubles the operator uses (Scala's toString is the shortest
