@@ -1200,6 +1200,15 @@ object Queries {
           round(sum(col("err").cast(DecimalType(18, 9))).cast(DoubleType) /
             count(lit(1)), 6).as("avg_max_err"))
     }),
+    "q_embedding_cohesion" -> ((s, dir) => {
+      // Embedding-batch quality: per-label centroid cohesion (avg +
+      // worst cosine-to-centroid). A wrong checkpoint or shuffled
+      // labels collapses cohesion long before training would notice.
+      // Centroids are decimal-summed then pinned at 9 dp; products
+      // round to 12 dp and sum as DECIMAL — engine-exact cosines.
+      Similarity.labelCohesion(Tables.embeddings(s, dir),
+        "vec_id", "label", "embedding")
+    }),
     "q_embedding_norms" -> ((s, dir) => {
       Tables.embeddings(s, dir)
         .select(col("label"),
@@ -1544,6 +1553,11 @@ object Queries {
       // counts), and the oracle replays the identical chain as CTEs —
       // a wrong answer in any stage diverges the final shard hash.
       // sum(seq·doc_id) pins assignment AND within-shard order.
+      // Production note: temperatureSample consumes its input twice
+      // (survivor counts + the filter join), so a 100 TB run
+      // materializes each stage's output to parquet between stages —
+      // which real curation pipelines do anyway for restartability;
+      // the single-plan form here proves the composed SEMANTICS.
       val gated = Sampling.quantileFilter(Tables.documents(s, dir),
         Seq("lang"), col("n_chars"), col("doc_id"), dropPermille = 250)
       val deduped = Dedup.exact(gated,
@@ -2488,6 +2502,37 @@ object Queries {
         | round(CAST(sum(CAST(err AS DECIMAL(18,9))) AS DOUBLE)
         |   / count(*), 6) AS avg_max_err
         |FROM q GROUP BY label""".stripMargin,
+    // labelCohesion replica: 1-based positions on the DuckDB side
+    // (embedding[pos]), 0-based in Spark's posexplode — each engine is
+    // internally consistent, only values cross the gate.
+    "q_embedding_cohesion" ->
+      """WITH ex AS (
+        | SELECT vec_id, label,
+        |  unnest(range(1, len(embedding) + 1)) AS pos, embedding
+        | FROM embeddings),
+        |e2 AS (SELECT vec_id, label, pos,
+        |  CAST(embedding[pos] AS DOUBLE) AS v FROM ex),
+        |cent AS (SELECT label, pos,
+        |  round(CAST(sum(CAST(v AS DECIMAL(28,9))) AS DOUBLE)
+        |    / count(*), 9) AS c
+        | FROM e2 GROUP BY 1, 2),
+        |cn AS (SELECT label,
+        |  sum(CAST(round(c * c, 12) AS DECIMAL(28,12))) AS cn2
+        | FROM cent GROUP BY 1),
+        |per AS (SELECT e2.vec_id, e2.label,
+        |  sum(CAST(round(v * c, 12) AS DECIMAL(28,12))) AS num,
+        |  sum(CAST(round(v * v, 12) AS DECIMAL(28,12))) AS vn2
+        | FROM e2 JOIN cent ON e2.label = cent.label AND e2.pos = cent.pos
+        | GROUP BY 1, 2),
+        |co AS (SELECT per.label,
+        |  CAST(round(CAST(num AS DOUBLE) /
+        |    sqrt(CAST(vn2 AS DOUBLE) * CAST(cn2 AS DOUBLE)), 6)
+        |    AS DECIMAL(18,6)) AS cos
+        | FROM per JOIN cn USING (label))
+        |SELECT label, count(*) AS n,
+        | round(CAST(sum(cos) AS DOUBLE) / count(*), 6) AS avg_cohesion,
+        | CAST(min(cos) AS DOUBLE) AS min_cohesion
+        |FROM co GROUP BY label""".stripMargin,
     "q_embedding_norms" ->
       """SELECT label, count(*) AS n,
         | round(CAST(sum(CAST(sqrt(list_dot_product(

@@ -308,6 +308,59 @@ object Similarity {
     * the candidate shuffle never moves vectors. Band keys default to
     * 8 bits (bits/bands): wide enough that random collisions are 1/256
     * per band instead of flooding the verify stage. */
+  /** Embedding-batch quality diagnostics: per-label centroid cohesion —
+    * how tightly each label's vectors cluster around their own mean
+    * (avg and worst cosine-to-centroid). A bad embedding batch (wrong
+    * checkpoint, truncated vectors, shuffled labels) shows up as a
+    * cohesion collapse long before a training run would surface it.
+    *
+    * Topology: one (label, pos) aggregate builds the centroids
+    * (|labels|·dim rows — control-plane, persisted and broadcast
+    * back), then one join of the exploded vectors against them; the
+    * vector table is read twice (centroid pass + join probe), the
+    * floor for a two-pass mean-then-compare statistic.
+    *
+    * Determinism discipline: centroid components are decimal-summed
+    * then FIXED by rounding to 9 dp (a raw float mean is
+    * order-dependent); every downstream product rounds to 12 dp and
+    * sums as DECIMAL, so cosines are engine-exact and the DuckDB
+    * oracle hash-matches.
+    *
+    * Returns (labelCol, n, avg_cohesion, min_cohesion). */
+  def labelCohesion(
+      emb: DataFrame,
+      idCol: String,
+      labelCol: String,
+      vecCol: String): DataFrame = {
+    val ex = emb.select(col(idCol), col(labelCol),
+      posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast(DoubleType))
+    val cent = ex.groupBy(col(labelCol), col("pos"))
+      .agg(round(sum(col("v").cast(DecimalType(28, 9))).cast(DoubleType) /
+        count(lit(1)), 9).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cn = cent.groupBy(col(labelCol))
+      .agg(sum(round(col("c") * col("c"), 12).cast(DecimalType(28, 12)))
+        .as("cn2"))
+    val per = ex.join(broadcast(cent), Seq(labelCol, "pos"))
+      .groupBy(col(idCol), col(labelCol))
+      .agg(
+        sum(round(col("v") * col("c"), 12).cast(DecimalType(28, 12)))
+          .as("num"),
+        sum(round(col("v") * col("v"), 12).cast(DecimalType(28, 12)))
+          .as("vn2"))
+    per.join(broadcast(cn), Seq(labelCol))
+      .select(col(labelCol),
+        round(col("num").cast(DoubleType) /
+          sqrt(col("vn2").cast(DoubleType) * col("cn2").cast(DoubleType)),
+          6).cast(DecimalType(18, 6)).as("cos"))
+      .groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("cos")).cast(DoubleType) / count(lit(1)), 6)
+          .as("avg_cohesion"),
+        min(col("cos")).cast(DoubleType).as("min_cohesion"))
+  }
+
   def cosineNearDupPairs(
       df: DataFrame,
       idCol: String,
