@@ -204,6 +204,21 @@ class CurationSpec extends SparkSpecBase {
     assert(all.count() == 10)
   }
 
+  test("shardOrder: nShards=1 degenerates to a single global order") {
+    val df = (1L to 20L).map(i => (i, i)).toDF("id", "x")
+    val out = Sampling.shardOrder(df, col("id"), nShards = 1, seed = 5)
+      .select("shard", "seq").collect()
+    assert(out.forall(_.getLong(0) == 0L))
+    assert(out.map(_.getInt(1)).sorted.toSeq == (1 to 20))
+  }
+
+  test("temperatureSample: single stratum at/under target keeps all") {
+    val df = (1L to 40L).map(i => (i, "only")).toDF("id", "s")
+    val kept = Sampling.temperatureSample(df, Seq("s"), col("id"),
+      totalTarget = 40, seed = 4).count()
+    assert(kept == 40L, s"single under-target stratum must keep all, got $kept")
+  }
+
   test("quantileFilter: survivor count is EXACTLY n - floor(n*p/1000)") {
     // rank-based cut ⇒ exact survivor arithmetic, whatever the data —
     // pinned over several stratum sizes and permilles

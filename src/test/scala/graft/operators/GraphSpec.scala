@@ -40,6 +40,16 @@ class GraphSpec extends SparkSpecBase {
       r1(1L) == "0.150000")
   }
 
+  test("pageRank: self-loop is a fixed point; isolated dst decays") {
+    // 1→1 (self-loop, out-deg 1): rank stays 1.0 forever.
+    // 2→3: 3 receives from 2 only; by iter2, 2's rank is 0.15 so
+    // 3 = 0.15 + round(0.85·0.15) = 0.2775.
+    val edges = Seq((1L, 1L), (2L, 3L)).toDF("src", "dst")
+    val r = Graph.pageRank(edges, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getDecimal(1).toPlainString)).toMap
+    assert(r(1L) == "1.000000" && r(2L) == "0.150000" && r(3L) == "0.277500")
+  }
+
   test("degreeStats: full-outer degrees with zero fill") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     val got = Graph.degreeStats(edges)
