@@ -1558,13 +1558,10 @@ object Queries {
       // materializes each stage's output to parquet between stages —
       // which real curation pipelines do anyway for restartability;
       // the single-plan form here proves the composed SEMANTICS.
-      val gated = Sampling.quantileFilter(Tables.documents(s, dir),
-        Seq("lang"), col("n_chars"), col("doc_id"), dropPermille = 250)
-      val deduped = Dedup.exact(gated,
-        TextAnalysis.fingerprintMd5(col("text")), "doc_id")
-      val sampled = Sampling.temperatureSample(deduped, Seq("lang"),
-        col("doc_id"), totalTarget = 300, seed = 19)
-      Sampling.shardOrder(sampled, col("doc_id"), nShards = 8, seed = 23)
+      graft.operators.Curation.standardPipeline(
+          Tables.documents(s, dir), Seq("lang"), "doc_id", col("text"),
+          col("n_chars"), dropPermille = 250, totalTarget = 300,
+          nShards = 8)
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
           sum(col("n_chars")).as("chars_sum"),
@@ -1610,6 +1607,14 @@ object Queries {
         .agg(count(lit(1)).as("n"),
           sum(col("seq").cast(LongType) * col("doc_id"))
             .as("order_check"))
+    }),
+    "q_lexical_diversity" -> ((s, dir) => {
+      // Corpus-quality trio per source: types, tokens, hapax, TTR —
+      // templated/duplicated feeds collapse the ratio. One corpus
+      // scan; totals derive from the vocab-sized (source, token)
+      // count frame.
+      TextAnalysis.lexicalDiversity(
+        Tables.documents(s, dir), "source", col("text"))
     }),
     "q_mixture_divergence" -> ((s, dir) => {
       // Mixture diagnostics: each source's unigram distribution vs the
@@ -2689,6 +2694,16 @@ object Queries {
         | CAST(sum(seq * doc_id) AS BIGINT) AS order_check
         |FROM r GROUP BY shard""".stripMargin
     },
+    "q_lexical_diversity" ->
+      s"""WITH cst AS (
+        | SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        | FROM (SELECT source, unnest($toksSql) AS tok FROM documents)
+        | GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+        | CAST(sum(c) AS BIGINT) AS n_tokens,
+        | CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+        | round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr
+        |FROM cst GROUP BY source""".stripMargin,
     // distributionDivergence replica: TVD numerator in exact integers —
     // present tokens' |c_st·N − c_t·N_s| plus the folded absent mass
     // N_s·(N − Σ_{t∈s} c_t); denominator 2·N_s·N.

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The standard curation flow as ONE named operator — what a user of
+  * the engine actually calls for the common case, instead of wiring
+  * the stages by hand: per-stratum quality gate → exact dedup on the
+  * normalized-text fingerprint → temperature (α = 1/2) rebalance to a
+  * row budget → deterministic shard layout. Every stage is the
+  * individually-gated operator (quantileFilter, Dedup.exact,
+  * temperatureSample, shardOrder), so this is pure composition — same
+  * semantics, one plan.
+  *
+  * Production note (also on the gated catalog query): the temperature
+  * stage consumes its input twice (survivor counts + filter join), so
+  * 100 TB runs materialize each stage's output to parquet between
+  * stages — which real pipelines do anyway for restartability. The
+  * single-plan form proves the composed semantics and serves
+  * demo-scale runs.
+  */
+object Curation {
+
+  /** @param strataCols   quality/mix strata (e.g. language)
+    * @param idCol        unique row id (drives every deterministic
+    *                     decision — gate ties, sample membership,
+    *                     shard order)
+    * @param text         document text (dedup fingerprint source)
+    * @param qualityCol   ordering metric for the gate (higher = better)
+    * @param dropPermille bottom fraction dropped per stratum
+    * @param totalTarget  post-rebalance row budget
+    * @param nShards      output shard count
+    * @return input columns + (shard, seq) */
+  def standardPipeline(
+      docs: DataFrame,
+      strataCols: Seq[String],
+      idCol: String,
+      text: Column,
+      qualityCol: Column,
+      dropPermille: Int,
+      totalTarget: Long,
+      nShards: Int,
+      sampleSeed: Int = 19,
+      shardSeed: Int = 23): DataFrame = {
+    val gated = Sampling.quantileFilter(
+      docs, strataCols, qualityCol, col(idCol), dropPermille)
+    val deduped = Dedup.exact(
+      gated, TextAnalysis.fingerprintMd5(text), idCol)
+    val sampled = Sampling.temperatureSample(
+      deduped, strataCols, col(idCol), totalTarget, sampleSeed)
+    Sampling.shardOrder(sampled, col(idCol), nShards, shardSeed)
+  }
+}

@@ -206,6 +206,34 @@ object TextAnalysis {
           .as("mean_surprisal"))
   }
 
+  /** Lexical diversity per group — the standard corpus-quality
+    * trio: distinct types, total tokens, hapax legomena (types seen
+    * exactly once corpus-group-wide), plus the type-token ratio.
+    * Template-generated or heavily-duplicated feeds show a collapsed
+    * TTR and hapax share; rich natural text runs high. Integer counts
+    * end-to-end, ratio rounded once at the edge.
+    *
+    * One map-side-combined (group, token) count + one group
+    * re-aggregate of that (vocab-sized) frame — single corpus scan,
+    * the [[distributionDivergence]] derivation discipline.
+    *
+    * Returns (groupCol, n_types, n_tokens, n_hapax, ttr). */
+  def lexicalDiversity(
+      docs: DataFrame,
+      groupCol: String,
+      text: Column): DataFrame = {
+    val cst = docs
+      .select(col(groupCol), explode(tokens(lower(text))).as("__tok"))
+      .groupBy(col(groupCol), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+    cst.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("__c")).as("n_tokens"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        round(count(lit(1)).cast(DoubleType) / sum(col("__c")), 6)
+          .as("ttr"))
+  }
+
   /** Mixture diagnostics: how far each group's (source's, language's)
     * unigram distribution sits from the corpus-wide one, as total
     * variation distance — TVD(s) = ½·Σ_t |c_st/N_s − c_t/N|. Sources
