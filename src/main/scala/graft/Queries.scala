@@ -413,6 +413,14 @@ object Queries {
         .agg(count(lit(1)).as("n_outliers"),
           min(col("value")).as("min_val"), max(col("value")).as("max_val"))
     }),
+    "q_trend_ols" -> ((s, dir) => {
+      // Per-type value trend over the day ordinal: OLS slope/intercept
+      // from one groupBy of five exact accumulators (n, Σx, Σx², Σy,
+      // Σxy) — |groups| shuffle rows, closed-form scalar math after.
+      Stats.groupedTrend(Tables.events(s, dir), Seq("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType)),
+        col("value"))
+    }),
     "q_topk_grouped" -> ((s, dir) => {
       // Same result as q_window_topn, via the bounded-heap aggregator
       // instead of a window: the window formulation SORTS every row of
@@ -1503,6 +1511,18 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
           sum(col("n_chars")).as("chars_sum"))
     }),
+    "q_split_grouped" -> ((s, dir) => {
+      // Leakage-safe 80/10/10: assignment keyed on SOURCE, not doc id
+      // — correlated docs (one crawl domain) can never straddle
+      // splits. The summary counts distinct sources per split; the
+      // invariant "no source in two splits" is what the oracle's
+      // identical group-keyed hash replays.
+      Sampling.groupedSplit(Tables.documents(s, dir), col("source"),
+          Seq("train" -> 800, "val" -> 100, "test" -> 100), seed = 9)
+        .groupBy(col("split"))
+        .agg(countDistinct(col("source")).as("n_sources"),
+          count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_sum"))
+    }),
     "q_mix_sources" -> ((s, dir) => {
       // Source re-weighting (data mixing): integer-permille weights
       // per source (250..3250 = 0.25x..3.25x) applied as deterministic
@@ -1646,6 +1666,19 @@ object Queries {
       // single-corpus-scan persisted-tf topology as q_text_tfidf.
       TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id",
         col("text"), k = 3)
+    }),
+    "q_text_retrieve" -> ((s, dir) => {
+      // BM25 retrieval: top-5 docs per query over a literal query set
+      // — the inverted-index join. The query side broadcasts, so the
+      // postings restriction is a map-side probe; per-term scores fix
+      // as DECIMAL before the per-(query, doc) sum, so ranks are
+      // engine-portable.
+      import s.implicits._
+      val qs = Seq((1L, "hash join table"), (2L, "window agg spark"),
+        (3L, "stream filter batch"), (4L, "vector scan sort"))
+        .toDF("qid", "qtext")
+      TextAnalysis.bm25Retrieve(Tables.documents(s, dir), "doc_id",
+        col("text"), qs, "qid", col("qtext"), k = 5)
     }),
     "q_text_tfidf" -> ((s, dir) => {
       // TF-IDF keyword extraction: top-3 terms per doc. The idf is
@@ -2134,6 +2167,32 @@ object Queries {
         |SELECT event_type, count(*) AS n_outliers,
         | min(value) AS min_val, max(value) AS max_val
         |FROM j WHERE abs(value - m) > 3 * sd GROUP BY 1""".stripMargin,
+    // same exact-accumulator discipline as the zscore oracle: decimal
+    // sums, then a fixed sequence of double ops for the closed form
+    "q_trend_ols" ->
+      """WITH b AS (SELECT event_type,
+        |  CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |    AS BIGINT) AS x,
+        |  CAST(value AS DECIMAL(18,4)) AS y FROM events),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(x AS DECIMAL(18,0))) AS sx,
+        |  sum(CAST(x * x AS DECIMAL(18,0))) AS sxx,
+        |  sum(y) AS sy,
+        |  sum(CAST(x AS DECIMAL(18,0)) * y) AS sxy
+        | FROM b GROUP BY 1),
+        |d AS (SELECT event_type, n,
+        |  CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        |  CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+        |  CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+        | FROM a)
+        |SELECT event_type, n,
+        | CASE WHEN den <> 0.0 THEN round(num / den, 6) END AS slope,
+        | CASE WHEN den <> 0.0 THEN
+        |  round((syd - num / den * sxd) / CAST(n AS DOUBLE), 6)
+        | END AS intercept
+        |FROM d""".stripMargin,
     // bounded-heap grouped top-k must equal the window formulation
     "q_topk_grouped" ->
       """SELECT user_id, event_id, value, rn FROM (
@@ -2236,6 +2295,7 @@ object Queries {
         |GROUP BY 1""".stripMargin,
     "q_pipeline_curation" -> pipelineCurationOracle,
     "q_text_bm25" -> bm25Oracle,
+    "q_text_retrieve" -> bm25RetrieveOracle,
     "q_graph_pagerank" -> pageRankOracle,
     "q_graph_degree" ->
       """WITH e AS (
@@ -2605,6 +2665,22 @@ object Queries {
     // mixtureUpsample replica: reps = w div 1000 + (bucket5 < w mod
     // 1000); idBucket seed=5 → affineA(5)=11*104729, affineB(5)=
     // 5*94906249+12345.
+    // groupedSplit replica: the same base-31 poly hash of the SOURCE
+    // string through the seed-9 affine member, bucketed mod 1000
+    "q_split_grouped" -> {
+      val bucket =
+        s"(${affineSql(9, s"(${polySql("source")})")} % ${Sampling.Buckets} % 1000)"
+      s"""WITH b AS (SELECT source, doc_id, n_chars,
+         |  $bucket AS bucket FROM documents),
+         |a AS (SELECT source, doc_id, n_chars,
+         |  CASE WHEN bucket < 800 THEN 'train'
+         |       WHEN bucket < 900 THEN 'val'
+         |       ELSE 'test' END AS split FROM b)
+         |SELECT split, CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         | CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(n_chars) AS BIGINT) AS chars_sum
+         |FROM a GROUP BY split""".stripMargin
+    },
     "q_mix_sources" ->
       """WITH w AS (SELECT source, doc_id, n_chars,
         |  250 + (CAST(substring(source, 4) AS BIGINT) % 7) * 500 AS wp,
@@ -3171,6 +3247,47 @@ object Queries {
        |SELECT doc_id, term, tf, df, CAST(sc AS DOUBLE) AS score,
        | CAST(rk AS BIGINT) AS rk
        |FROM r WHERE rk <= 3""".stripMargin
+  }
+
+  /** Replica of TextAnalysis.bm25Retrieve: same literal query set,
+    * same set-semantics query tokenization, same Okapi constants, the
+    * same round-to-6dp-DECIMAL-then-exact-sum discipline. */
+  private def bm25RetrieveOracle: String = {
+    val k1 = 1.2; val b = 0.75
+    s"""WITH q(qid, qtext) AS (VALUES
+       |  (CAST(1 AS BIGINT), 'hash join table'),
+       |  (CAST(2 AS BIGINT), 'window agg spark'),
+       |  (CAST(3 AS BIGINT), 'stream filter batch'),
+       |  (CAST(4 AS BIGINT), 'vector scan sort')),
+       |qt AS (SELECT qid, unnest(list_distinct(list_filter(
+       |  regexp_split_to_array(lower(qtext), '\\s+'), x -> x <> '')))
+       |  AS term FROM q),
+       |t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       | FROM t GROUP BY 1, 2),
+       |cand AS (SELECT qt.qid, tf.doc_id, tf.term, tf.tf
+       | FROM qt JOIN tf USING (term)),
+       |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM
+       | (SELECT DISTINCT doc_id, term FROM cand) GROUP BY 1),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       | FROM tf GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |s AS (SELECT cand.qid, cand.doc_id,
+       |  CAST(round(
+       |    ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+       |      * (tf * ${k1 + 1}) /
+       |      (tf + $k1 * (${1 - b} + $b * CAST(dl AS DOUBLE) / avgdl)),
+       |    6) AS DECIMAL(18,6)) AS sc
+       | FROM cand JOIN dfr USING (term) JOIN dl USING (doc_id)
+       | CROSS JOIN tot),
+       |a AS (SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |  CAST(sum(sc) AS DECIMAL(18,6)) AS score FROM s GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+       |  ORDER BY score DESC, doc_id ASC) AS rk FROM a)
+       |SELECT qid, doc_id, n_terms, CAST(score AS DOUBLE) AS score,
+       | CAST(rk AS BIGINT) AS rk
+       |FROM r WHERE rk <= 5""".stripMargin
   }
 
   /** Replica of Graph.pageRank as UNROLLED iteration CTEs — identical

@@ -120,6 +120,25 @@ object Sampling {
     df.withColumn("split", assign)
   }
 
+  /** Leakage-safe split assignment: the split is a pure function of a
+    * GROUP key (crawl domain, source feed, author), not the document
+    * id, so correlated documents — near-duplicates from one domain,
+    * chapters of one book — can never straddle train/test. This is the
+    * split discipline eval-contamination audits assume; the cost is
+    * identical to [[hashSplit]] (one codegen'd hash expression per
+    * row, no shuffle): the group key is portably hashed to an integral
+    * id and bucketed by the same affine family. Groups land whole:
+    * P(split) is proportional to GROUP count, not row count, so
+    * heavily-skewed group sizes skew the row-level ratio — callers
+    * wanting ratio guarantees should key on the finest leak-free
+    * grouping they have. */
+  def groupedSplit(
+      df: DataFrame,
+      groupKey: Column,
+      splits: Seq[(String, Int)],
+      seed: Int = 0): DataFrame =
+    hashSplit(df, Dedup.polyHash(groupKey), splits, seed)
+
   /** Deterministic source re-weighting ("data mixing"): every row is
     * emitted `weightPermille div 1000` times, plus one more copy for
     * the ids whose bucket falls under `weightPermille mod 1000` —

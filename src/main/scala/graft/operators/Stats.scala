@@ -134,6 +134,54 @@ object Stats {
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-group ordinary-least-squares trend: slope + intercept of
+    * `y` against an integer ordinal `x` (a day index, an iteration
+    * number), via the closed form
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²).
+    *
+    * Scale shape: ONE map-side-combined groupBy carrying five exact
+    * accumulators (n, Σx, Σx², Σy, Σxy) — |groups| rows of shuffle, the
+    * same topology as [[groupedAggState]]; the closed form is scalar
+    * arithmetic on the aggregated row. Never a per-group sort, never a
+    * window.
+    *
+    * Determinism (the dsum discipline): the accumulators are exact —
+    * counts and DECIMAL sums are order-independent — and the closed
+    * form is a FIXED sequence of IEEE double ops on those exact values,
+    * so both engines produce bit-identical slopes. `x` must be a small
+    * ordinal (|x| ≤ ~10^5: x² must hold exactly in a long before the
+    * decimal cast; sums carry decimal headroom for ~10^12-row groups).
+    * Degenerate groups (all x equal — zero variance) yield NULL slope
+    * and intercept rather than a division blow-up.
+    *
+    * Returns (groupCols*, n, slope, intercept), 6 dp. */
+  def groupedTrend(
+      df: DataFrame,
+      groupCols: Seq[String],
+      x: Column,
+      y: Column): DataFrame = {
+    val base = df.select(groupCols.map(col) ++ Seq(
+      x.cast(LongType).as("__x"),
+      y.cast(DecimalType(18, 4)).as("__y")): _*)
+    val agg = base.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast(DecimalType(18, 0))).as("__sx"),
+        sum((col("__x") * col("__x")).cast(DecimalType(18, 0)))
+          .as("__sxx"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__x").cast(DecimalType(18, 0)) * col("__y")).as("__sxy"))
+    val nD = col("n").cast(DoubleType)
+    val sxD = col("__sx").cast(DoubleType)
+    val num = nD * col("__sxy").cast(DoubleType) -
+      sxD * col("__sy").cast(DoubleType)
+    val den = nD * col("__sxx").cast(DoubleType) - sxD * sxD
+    val slope = when(den =!= lit(0.0), round(num / den, 6))
+    val intercept = when(den =!= lit(0.0),
+      round((col("__sy").cast(DoubleType) - num / den * sxD) / nD, 6))
+    agg.select(groupCols.map(col) ++ Seq(col("n"),
+      slope.as("slope"), intercept.as("intercept")): _*)
+  }
+
   def countMinSketch(
       items: DataFrame,
       item: Column,

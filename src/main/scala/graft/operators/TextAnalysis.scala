@@ -469,6 +469,84 @@ object TextAnalysis {
     out
   }
 
+  /** BM25 retrieval: top-`k` corpus documents per query, scored by the
+    * same Okapi formula as [[bm25TopK]] summed over the query's terms
+    * (set semantics — duplicate query words score once, the standard
+    * bag-of-words retrieval contract).
+    *
+    * Scale shape — the inverted-index join: the corpus is scanned once
+    * into a persisted (doc, term, tf) postings frame; the QUERY side
+    * (thousands of rows even in a large eval suite) broadcasts, so
+    * restricting the postings to the query vocabulary is a map-side
+    * hash probe, never a shuffle on `term`. Everything downstream of
+    * that restriction is |query-vocab postings|-sized, not
+    * corpus-sized: df comes from the restricted postings (df of term t
+    * only ever counts rows with term = t, so restriction first is
+    * lossless), the (qid, doc) score aggregation shuffles only
+    * candidate pairs. Document length joins on the doc key from the
+    * full postings (length must count ALL terms, not just query
+    * terms); the scalar (N, avgdl) pair broadcasts.
+    *
+    * Determinism (the dsum discipline): each per-term score is rounded
+    * to 6 dp and FIXED as DECIMAL(18,6) before the per-(query, doc)
+    * sum — exact decimal addition is order-independent, so total
+    * scores and therefore ranks are engine-portable; ties break by doc
+    * id ascending.
+    *
+    * Returns (qid, idCol, n_terms, score, rk), rk ∈ [1, k]; `n_terms`
+    * is how many distinct query terms the document matched. */
+  def bm25Retrieve(
+      docs: DataFrame,
+      idCol: String,
+      text: Column,
+      queries: DataFrame,
+      qidCol: String,
+      qtext: Column,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val tf = docs
+      .select(col(idCol), explode(tokens(lower(text))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qterms = queries.select(col(qidCol),
+      explode(array_distinct(tokens(lower(qtext)))).as("term"))
+    // map-side probe: postings restricted to the query vocabulary
+    val cand = tf.join(broadcast(qterms), Seq("term"))
+    val dfreq = cand.select(col(idCol), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("__dl"))
+    val totals = dl.agg(count(lit(1)).as("__n"),
+      (sum(col("__dl")).cast(DoubleType) / count(lit(1))).as("__avgdl"))
+    val scored = cand.join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(totals))
+      .withColumn("__sc",
+        round(log((col("__n").cast(DoubleType) - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) +
+            lit(b) * col("__dl").cast(DoubleType) / col("__avgdl"))), 6)
+          .cast(DecimalType(18, 6)))
+    val agg = scored.groupBy(col(qidCol), col(idCol))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("__sc")).cast(DecimalType(18, 6)).as("__score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol))
+      .orderBy(col("__score").desc, col(idCol).asc)
+    val out = agg.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(qidCol), col(idCol), col("n_terms"),
+        col("__score").cast(DoubleType).as("score"),
+        col("rk").cast(LongType).as("rk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    tf.unpersist(false)
+    out
+  }
+
   /** Bigram collocation mining by pointwise mutual information:
     * PMI(a,b) = ln p(a,b) − ln p(a) − ln p(b) computed from corpus
     * unigram/bigram counts as `ln c_ab + 2·ln U − ln T − ln c_a −

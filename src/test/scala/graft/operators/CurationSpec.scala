@@ -294,6 +294,23 @@ class CurationSpec extends SparkSpecBase {
     assert(sub.subsetOf(out.collect().toSet))
   }
 
+  test("groupedSplit: a group never straddles splits; rows land whole") {
+    val df = (0L until 900L)
+      .map(i => (i, s"dom${i % 37}")).toDF("id", "domain")
+    val out = Sampling.groupedSplit(df, col("domain"),
+      Seq("train" -> 800, "val" -> 100, "test" -> 100), seed = 9)
+    // the leak-free invariant: each domain maps to exactly one split
+    val perDomain = out.groupBy("domain")
+      .agg(countDistinct(col("split")).as("k"))
+      .as[(String, Long)].collect()
+    assert(perDomain.length == 37 && perDomain.forall(_._2 == 1L))
+    assert(out.count() == 900L) // total partition, no loss
+    // every doc of a domain carries the domain's assignment
+    val m = out.select("domain", "split").distinct()
+      .as[(String, String)].collect().toMap
+    assert(m.size == 37)
+  }
+
   test("hashSplit rejects permilles that do not sum to 1000") {
     intercept[IllegalArgumentException] {
       Sampling.hashSplit((0L to 2L).toDF("id"), col("id"),

@@ -20,6 +20,20 @@ class StatsSpec extends SparkSpecBase {
     assert(r.getAs[Double]("q_p90") == 90.0)
   }
 
+  test("groupedTrend: exact-fit slope/intercept; zero-variance x is NULL") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 0L, 1.0), ("a", 1L, 3.0), ("a", 2L, 5.0), // y = 2x + 1
+      ("b", 4L, 9.0), ("b", 4L, 1.0) // all x equal: undefined slope
+    ).toDF("g", "x", "y")
+    val out = Stats.groupedTrend(df, Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), Option(r.getAs[Any]("slope")),
+          Option(r.getAs[Any]("intercept")))).toMap
+    assert(out("a") == ((3L, Some(2.0), Some(1.0))))
+    assert(out("b") == ((2L, None, None)))
+  }
+
   test("mergeAggState: merged slices equal the full recompute, any split") {
     import spark.implicits._
     val df = spark.range(997).select(

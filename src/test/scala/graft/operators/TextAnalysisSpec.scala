@@ -48,6 +48,33 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(kept == Set(1L -> "jumps over dogs", 2L -> "likes warm sun"))
   }
 
+  test("bm25Retrieve: inverted-index top-k per query, set semantics") {
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "x x y"), Row(2L, "x y"), Row(3L, "z z z z"),
+        Row(4L, "w q")), 2),
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+    val qs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(10L, "x y x"), Row(20L, "z")), 1),
+      StructType(Seq(
+        StructField("qid", LongType), StructField("qtext", StringType))))
+    val out = TextAnalysis.bm25Retrieve(docs, "doc_id", col("text"),
+        qs, "qid", col("qtext"), k = 3)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(4)) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    out.unpersist()
+    // query 10 ("x y x" — duplicate x scores ONCE): docs 1 and 2 match
+    // both terms; doc 1's higher tf(x) beats doc 2's shorter length.
+    assert(rows((10L, 1L)) == (1L, 2L))
+    assert(rows((10L, 2L)) == (2L, 2L))
+    // query 20: only doc 3 contains z.
+    assert(rows((20L, 1L)) == (3L, 1L))
+    assert(rows.size == 3) // non-matching docs never surface
+  }
+
   test("bm25TopK: saturation and length normalization hold") {
     // doc 1: "x x y" — tf(x)=2; doc 2: "x y" — tf(x)=1; doc 3 pads df.
     val docs = spark.createDataFrame(
