@@ -1499,6 +1499,33 @@ object Queries {
           col("doc_id"), cap = 10, seed = 11)
         .select(col("source"), col("doc_id"))
     }),
+    "q_sample_priority" -> ((s, dir) => {
+      // Weighted sampling without replacement: exactly 15 docs per
+      // lang, selection probability rising with length — priority
+      // sampling (Duffield et al.), priority = hash·10^12 div weight,
+      // pure integer arithmetic so the drawn set replays on any
+      // engine. capPerStratum topology: one shuffle + rank window.
+      Sampling.prioritySample(Tables.documents(s, dir), Seq("lang"),
+          col("doc_id"), weight = col("n_chars"), k = 15, seed = 17)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+    }),
+    "q_snapshot_diff" -> ((s, dir) => {
+      // Dataset versioning: what did snapshot N+1 touch? Old = corpus
+      // minus (id % 11 = 3); new = corpus minus (id % 13 = 5) with
+      // every (id % 7 = 0) doc edited. One co-partitioned full-outer
+      // join of (id, digest) pairs — text never shuffles.
+      val docs = Tables.documents(s, dir)
+      val oldSnap = docs.filter(col("doc_id") % 11 =!= 3)
+      val newSnap = docs.filter(col("doc_id") % 13 =!= 5)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" edited v2")))
+            .otherwise(col("text")))
+      operators.Curation.snapshotDiff(oldSnap, newSnap, "doc_id",
+          TextAnalysis.fingerprintMd5(col("text")))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+    }),
     "q_split_assign" -> ((s, dir) => {
       // Deterministic 80/10/10 train/val/test assignment by id-hash
       // bucket — stable under reruns, retries, and corpus growth (a
@@ -2662,6 +2689,38 @@ object Queries {
         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
         | CAST(sum(n_chars) AS BIGINT) AS chars_sum
         |FROM s GROUP BY 1, 2""".stripMargin,
+    // prioritySample replica: pri = 10^12 · bucket17 // n_chars (both
+    // engines floor-divide), rank (pri, doc_id) per lang, keep 15
+    "q_sample_priority" -> {
+      val bucket = s"(${affineSql(17, s"(doc_id % $M)")} % ${Sampling.Buckets})"
+      s"""WITH p AS (SELECT lang, doc_id, n_chars,
+         |  (${Sampling.PriorityScale} * $bucket) // n_chars AS pri
+         | FROM documents),
+         |r AS (SELECT lang, doc_id, n_chars,
+         |  row_number() OVER (PARTITION BY lang
+         |    ORDER BY pri, doc_id) AS rk FROM p)
+         |SELECT lang, doc_id, n_chars FROM r WHERE rk <= 15""".stripMargin
+    },
+    // snapshotDiff replica: same normalized-md5 fingerprints, same
+    // synthetic old/new slices, FULL OUTER JOIN classification
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        | FROM documents WHERE doc_id % 11 <> 3),
+        |nw AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' edited v2'
+        |         ELSE text END)), '\s+', ' ', 'g')) AS fp
+        | FROM documents WHERE doc_id % 13 <> 5),
+        |j AS (SELECT coalesce(o.doc_id, nw.doc_id) AS doc_id,
+        |  CASE WHEN o.fp IS NULL THEN 'added'
+        |       WHEN nw.fp IS NULL THEN 'removed'
+        |       WHEN o.fp <> nw.fp THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        | FROM o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM j GROUP BY status""".stripMargin,
     // mixtureUpsample replica: reps = w div 1000 + (bucket5 < w mod
     // 1000); idBucket seed=5 → affineA(5)=11*104729, affineB(5)=
     // 5*94906249+12345.

@@ -50,4 +50,34 @@ object Curation {
       deduped, strataCols, col(idCol), totalTarget, sampleSeed)
     Sampling.shardOrder(sampled, col(idCol), nShards, shardSeed)
   }
+
+  /** Dataset-versioning diff between two corpus snapshots: each id is
+    * classified `added` (new only), `removed` (old only), `changed`
+    * (both, content fingerprints differ), or `unchanged`. The audit
+    * every incremental pipeline needs before shipping snapshot N+1 —
+    * "what did this refresh actually touch" — and the precise input
+    * for incremental recomputation (re-embed/re-score only
+    * added+changed).
+    *
+    * Scale shape: fingerprints are computed per row inside the scans
+    * (text never shuffles — only (id, 32-byte digest) pairs), then ONE
+    * co-partitioned full-outer shuffle join on the id. No driver
+    * state, no collect; both snapshots stream.
+    *
+    * Returns (idCol, old_fp, new_fp, status) — row-level, so callers
+    * can join the added+changed set straight back into recompute. */
+  def snapshotDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      idCol: String,
+      fingerprint: Column): DataFrame = {
+    val o = oldSnap.select(col(idCol), fingerprint.as("old_fp"))
+    val n = newSnap.select(col(idCol), fingerprint.as("new_fp"))
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") =!= col("new_fp"), lit("changed"))
+          .otherwise(lit("unchanged")))
+  }
 }

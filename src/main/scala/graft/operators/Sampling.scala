@@ -89,6 +89,57 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Priority scale for [[prioritySample]]: bucket (< 10^6) × 10^12
+    * stays under Long.MaxValue (9.2·10^18) for any weight ≥ 1. */
+  val PriorityScale = 1000000000000L
+
+  /** Weighted sampling WITHOUT replacement, exactly `k` rows per
+    * stratum: priority sampling (Duffield–Lund–Thorup). Each row draws
+    * priority u/w — u a uniform deterministic hash, w its weight — and
+    * the k SMALLEST priorities win, so selection probability rises
+    * with weight and re-runs/retries/engines agree on the sample.
+    * Priorities are computed as `bucket · 10^12 div w` — one integer
+    * multiply + floor-divide, no float thresholds (which engines round
+    * differently); ties break by id.
+    *
+    * Complements the rate-based family: [[stratifiedSample]] thins to
+    * a target rate uniformly, [[temperatureSample]] reweights strata,
+    * this one draws an exact-k WEIGHTED sample (quality-score-weighted
+    * curation draws, importance sampling).
+    *
+    * Cost: the [[capPerStratum]] topology — one hash shuffle on the
+    * strata + a per-stratum rank window; with NO strata the plan is a
+    * global TakeOrderedAndProject (per-partition heaps of k, driver
+    * merges k), never a full sort. Weights must be positive integers
+    * (scale fractional weights to permille first). */
+  def prioritySample(
+      df: DataFrame,
+      strataCols: Seq[String],
+      idCol: Column,
+      weight: Column,
+      k: Int,
+      seed: Int = 0): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    // integer floor-division on both engines (Spark `div`, DuckDB `//`)
+    val staged = df
+      .withColumn("__u", idBucket(idCol, seed))
+      .withColumn("__w",
+        weight.cast(org.apache.spark.sql.types.LongType))
+      .withColumn("__pri", expr(s"(${PriorityScale}L * __u) div __w"))
+    if (strataCols.isEmpty) {
+      staged.orderBy(col("__pri").asc, idCol.asc)
+        .limit(k)
+        .drop("__u", "__w", "__pri")
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(strataCols.map(col): _*)
+        .orderBy(col("__pri").asc, idCol.asc)
+      staged.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= k)
+        .drop("__u", "__w", "__pri", "__rk")
+    }
+  }
+
   /** Deterministic train/validation/test assignment: each row gets a
     * `split` column decided by its id's bucket (permille) against the
     * cumulative split bounds. `splits` are (name, permille) pairs

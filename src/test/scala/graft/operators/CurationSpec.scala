@@ -311,6 +311,43 @@ class CurationSpec extends SparkSpecBase {
     assert(m.size == 37)
   }
 
+  test("prioritySample: exact k per stratum, heavy weights dominate, " +
+      "global path equals brute force") {
+    val df = (0L until 100L)
+      .map(i => (i, if (i < 50) "a" else "b",
+        if (i % 50 < 3) 1000000L else 1L)) // 3 heavy ids per stratum
+      .toDF("id", "g", "w")
+    val out = Sampling.prioritySample(df, Seq("g"), col("id"), col("w"),
+      k = 5, seed = 17)
+    val byG = out.as[(Long, String, Long)].collect().groupBy(_._2)
+    assert(byG("a").length == 5 && byG("b").length == 5)
+    // weight 10^6 shrinks priority a million-fold: heavies always win
+    assert(byG("a").count(_._3 == 1000000L) == 3)
+    assert(byG("b").count(_._3 == 1000000L) == 3)
+    // global (no strata): equals the brute-force smallest (pri, id)
+    val scale = Sampling.PriorityScale
+    val brute = df.select(col("id"), col("w"),
+        Sampling.idBucket(col("id"), 17).as("u"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, w, u) => (scale * u / w, id) }
+      .sorted.take(7).map(_._2).toSet
+    val globalOut = Sampling.prioritySample(df, Nil, col("id"), col("w"),
+      k = 7, seed = 17).select("id").as[Long].collect().toSet
+    assert(globalOut == brute)
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val oldSnap = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("id", "text")
+    val newSnap = Seq((2L, "beta"), (3L, "GAMMA edited"), (4L, "delta"))
+      .toDF("id", "text")
+    val out = Curation.snapshotDiff(oldSnap, newSnap, "id",
+        TextAnalysis.fingerprintMd5(col("text")))
+      .select("id", "status").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("hashSplit rejects permilles that do not sum to 1000") {
     intercept[IllegalArgumentException] {
       Sampling.hashSplit((0L to 2L).toDF("id"), col("id"),
