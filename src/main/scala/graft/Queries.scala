@@ -983,6 +983,25 @@ object Queries {
           round(col("n_dup_windows").cast(DoubleType) / col("n_windows"),
             6).as("dup_ratio"))
     }),
+    "q_dedup_cdc" -> ((s, dir) => {
+      // Content-defined chunking: cut where the 8-char window hash
+      // ≡ 0 (mod 32) — boundaries move with the content, so an edit
+      // re-chunks only its neighborhood and chunk-level dedup keeps
+      // matching downstream of it. Chunks hash to digests INSIDE the
+      // array (one per-row expression, no shuffle), so the explode +
+      // per-source dedup audit shuffles digests and lengths only.
+      Tables.documents(s, dir)
+        .select(col("source"),
+          explode(transform(
+            Dedup.cdcChunks(col("text"), window = 8, divisor = 32),
+            c => struct(
+              md5(to_binary(c, lit("utf-8"))).as("h"),
+              length(c).as("l")))).as("ch"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("ch.h")).as("distinct_chunks"),
+          sum(col("ch.l").cast(LongType)).as("chars_sum"))
+    }),
     "q_dedup_incremental" -> ((s, dir) => {
       // The daily-sync pattern applied to curation: today's batch
       // (doc_id ≡ 0 mod 5) dedups within itself, then against the
@@ -1225,6 +1244,14 @@ object Queries {
         .agg(count(lit(1)).as("n"),
           round(sum(col("nrm").cast(DecimalType(18, 9))).cast(DoubleType) /
             count(lit(1)), 6).as("avg_norm"))
+    }),
+    "q_embedding_pca" -> ((s, dir) => {
+      // Dominant principal component by distributed power iteration
+      // (3 rounds, v as a 64-row frame, no driver state) — the cheap
+      // collapsed-batch diagnostic. Products round-then-decimal-sum
+      // each round, so the whole trajectory is engine-portable.
+      Similarity.topPrincipalComponent(Tables.embeddings(s, dir),
+        "vec_id", "embedding", iters = 3)
     }),
 
     // --- training-data pipeline: text analysis --------------------------
@@ -2533,6 +2560,31 @@ object Queries {
         | round(sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END) * 1.0
         |   / count(*), 6) AS dup_ratio
         |FROM h JOIN c USING (h) GROUP BY doc_id""".stripMargin,
+    // cdcChunks replica: identical cut rule (8-char window poly hash
+    // ≡ 0 mod 32), 1-based list indexing DuckDB-side, short docs are
+    // one whole-doc chunk
+    "q_dedup_cdc" -> {
+      val winHash = polySql("substring(text, i - 7, 8)")
+      s"""WITH c0 AS (SELECT source, text,
+         |  list_filter(range(8, len(text) + 1),
+         |    i -> ($winHash) % 32 = 0) AS cuts
+         | FROM documents WHERE len(text) >= 8),
+         |c1 AS (SELECT source, text,
+         |  list_prepend(CAST(0 AS BIGINT), cuts) AS starts,
+         |  list_append(cuts, CAST(len(text) AS BIGINT)) AS ends
+         | FROM c0),
+         |ch AS (SELECT source, unnest(list_filter(
+         |  list_transform(range(1, len(starts) + 1),
+         |    j -> CASE WHEN ends[j] > starts[j]
+         |      THEN substring(text, starts[j] + 1, ends[j] - starts[j])
+         |      END), x -> x IS NOT NULL)) AS ch FROM c1
+         | UNION ALL
+         | SELECT source, text AS ch FROM documents WHERE len(text) < 8)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+         | CAST(count(DISTINCT md5(ch)) AS BIGINT) AS distinct_chunks,
+         | CAST(sum(len(ch)) AS BIGINT) AS chars_sum
+         |FROM ch GROUP BY source""".stripMargin
+    },
     "q_dedup_incremental" ->
       """WITH fp AS (SELECT doc_id, source,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
@@ -2625,6 +2677,7 @@ object Queries {
         | round(CAST(sum(cos) AS DOUBLE) / count(*), 6) AS avg_cohesion,
         | CAST(min(cos) AS DOUBLE) AS min_cohesion
         |FROM co GROUP BY label""".stripMargin,
+    "q_embedding_pca" -> pcaOracle,
     "q_embedding_norms" ->
       """SELECT label, count(*) AS n,
         | round(CAST(sum(CAST(sqrt(list_dot_product(
@@ -3347,6 +3400,40 @@ object Queries {
        |SELECT qid, doc_id, n_terms, CAST(score AS DOUBLE) AS score,
        | CAST(rk AS BIGINT) AS rk
        |FROM r WHERE rk <= 5""".stripMargin
+  }
+
+  /** Replica of Similarity.topPrincipalComponent as UNROLLED power-
+    * iteration CTEs — per round: rounded-product decimal dot per
+    * vector, rounded-product decimal sum per dimension, max-|s|
+    * rescale fixed to 6 dp. v₀ = 1⃗, 1-based positions DuckDB-side. */
+  private def pcaOracle: String = {
+    val iters = 3
+    val head =
+      """WITH ex AS (SELECT vec_id,
+        |  unnest(range(1, len(embedding) + 1)) AS pos, embedding
+        | FROM embeddings),
+        |e2 AS (SELECT vec_id, pos,
+        |  CAST(embedding[pos] AS DOUBLE) AS x FROM ex),
+        |v0 AS (SELECT DISTINCT pos, 1.0 AS c FROM e2)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""d$k AS (SELECT vec_id,
+         |  sum(CAST(round(x * c, 12) AS DECIMAL(28,12))) AS dt
+         | FROM e2 JOIN v${k - 1} USING (pos) GROUP BY vec_id),
+         |c$k AS (SELECT e2.pos,
+         |  CAST(round(e2.x * CAST(dt AS DOUBLE), 6) AS DECIMAL(18,6))
+         |    AS ct
+         | FROM e2 JOIN d$k USING (vec_id)),
+         |s$k AS (SELECT pos, sum(ct) AS s FROM c$k GROUP BY pos),
+         |m$k AS (SELECT max(abs(CAST(s AS DOUBLE))) AS m FROM s$k),
+         |v$k AS (SELECT pos,
+         |  CASE WHEN m <> 0.0 THEN round(CAST(s AS DOUBLE) / m, 6)
+         |       ELSE 0.0 END AS c
+         | FROM s$k, m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$steps
+       |SELECT CAST(pos - 1 AS BIGINT) AS d, c AS weight FROM v$iters"""
+      .stripMargin
   }
 
   /** Replica of Graph.pageRank as UNROLLED iteration CTEs — identical

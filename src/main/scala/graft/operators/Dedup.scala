@@ -799,4 +799,37 @@ object Dedup {
         sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_cross_doc"))
     ownResult(stats, windows)
   }
+
+  /** Content-defined chunking (the FastCDC/rsync family): cut after
+    * every position whose `window`-char tail hash ≡ 0 (mod `divisor`),
+    * giving variable-size chunks with EXPECTED size ≈ `divisor` whose
+    * boundaries move with the content — an insertion re-chunks only
+    * its neighborhood, so chunk-level dedup keeps matching everything
+    * downstream of an edit (fixed-size blocks lose alignment forever).
+    * Returns `array<string>` chunks; docs shorter than `window` are
+    * one whole-doc chunk. Chunking is a pure per-row expression — NO
+    * shuffle; callers hash chunks to digests inside the array
+    * (`transform(..., md5)`) before any explode so only digests ever
+    * shuffle. The windowed hash here recomputes per position (O(n·w),
+    * w constant, inside codegen); a sliding O(n) evaluation computes
+    * the SAME values, so the hot loop can move into a native
+    * expression without touching the contract (the [[polyHash]]
+    * pattern). Portable: boundary decisions are integer arithmetic on
+    * the poly hash, replicated exactly by the oracle. */
+  def cdcChunks(text: Column, window: Int, divisor: Int): Column = {
+    require(window > 0, s"window must be positive: $window")
+    require(divisor > 1, s"divisor must be > 1: $divisor")
+    val n = length(text)
+    val cuts = filter(
+      sequence(lit(window), greatest(n, lit(window))),
+      i => polyHash(text.substr(i - lit(window - 1), lit(window)))
+        % divisor === 0 && i <= n)
+    val starts = concat(array(lit(0)), cuts)
+    val ends = concat(cuts, array(n))
+    val chunks = filter(
+      zip_with(starts, ends, (st, en) =>
+        when(en > st, text.substr(st + lit(1), en - st))),
+      c => c.isNotNull)
+    when(n >= window, chunks).otherwise(array(text))
+  }
 }

@@ -361,6 +361,60 @@ object Similarity {
         min(col("cos")).cast(DoubleType).as("min_cohesion"))
   }
 
+  /** Dominant principal component of an embedding corpus by
+    * distributed power iteration: v ← X^T·(X·v), renormalized each
+    * round by its max-|component| (the standard power-method scaling —
+    * no square root, so no extra float-portability surface). The
+    * 100 TB use: a one-vector PCA is the cheap whitening / dominant-
+    * direction diagnostic (is this embedding batch collapsed onto one
+    * axis?) that full SVD is overkill for.
+    *
+    * Topology per iteration — two corpus-sized aggregations, both
+    * map-side combined: X·v needs (id)-grouped sums of per-element
+    * products (the 64-row v broadcasts), X^T·d needs (dim)-grouped
+    * sums (the |corpus|-row dot frame joins back on the id key). No
+    * driver state at all: v lives as a dim-row DataFrame end-to-end,
+    * exactly like [[kmeansRefine]]'s centroid frame. The exploded
+    * (id, dim, x) frame persists across iterations (it is consumed
+    * 2·iters times).
+    *
+    * Determinism (the [[labelCohesion]] discipline): every cross-row
+    * product is rounded (12 dp) then summed as DECIMAL — exact,
+    * order-independent — and each new v fixes to 6 dp, so the
+    * iteration trajectory is engine-portable, sign and all (v₀ = 1⃗).
+    *
+    * Returns (d, weight): the `dim`-row component, max-normalized. */
+  def topPrincipalComponent(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters > 0, s"iters must be positive: $iters")
+    val e2 = corpus.select(col(idCol).as("__vid"),
+        posexplode(col(vecCol)).as(Seq("d", "x")))
+      .withColumn("x", col("x").cast(DoubleType))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var v = e2.select(col("d")).distinct().withColumn("c", lit(1.0))
+    for (_ <- 1 to iters) {
+      val dots = e2.join(broadcast(v), Seq("d"))
+        .groupBy(col("__vid"))
+        .agg(sum(round(col("x") * col("c"), 12)
+          .cast(DecimalType(28, 12))).as("__dot"))
+      val s = e2.join(dots, Seq("__vid"))
+        .select(col("d"),
+          round(col("x") * col("__dot").cast(DoubleType), 6)
+            .cast(DecimalType(18, 6)).as("__c"))
+        .groupBy(col("d")).agg(sum(col("__c")).as("__s"))
+      val m = s.agg(max(abs(col("__s").cast(DoubleType))).as("__m"))
+      v = s.crossJoin(broadcast(m))
+        .select(col("d"),
+          when(col("__m") =!= lit(0.0),
+            round(col("__s").cast(DoubleType) / col("__m"), 6))
+            .otherwise(lit(0.0)).as("c"))
+    }
+    v.select(col("d"), col("c").as("weight"))
+  }
+
   def cosineNearDupPairs(
       df: DataFrame,
       idCol: String,

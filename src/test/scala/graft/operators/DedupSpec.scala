@@ -271,4 +271,33 @@ class DedupSpec extends SparkSpecBase {
       assert(got === expected, s"portable=$portable")
     }
   }
+
+  test("cdcChunks: lossless partition, boundary brute-force match, " +
+      "edit locality, short docs whole") {
+    import spark.implicits._
+    def poly(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c) % 1000000007L)
+    // deterministic pseudo-random text long enough for several cuts
+    val base = (1 to 400).map(i => ('a' + (i * 37 % 26)).toChar).mkString
+    val edited = base.substring(0, 200) + "INSERTED!" + base.substring(200)
+    val rows = Seq((1L, base), (2L, edited), (3L, "tiny")).toDF("id", "text")
+    val got = rows
+      .select(col("id"), Dedup.cdcChunks(col("text"), 8, 16).as("ch"))
+      .as[(Long, Seq[String])].collect().toMap
+    // 1) chunks concatenate back to the exact original
+    assert(got(1L).mkString == base)
+    assert(got(2L).mkString == edited)
+    assert(got(3L) == Seq("tiny")) // shorter than the window: whole doc
+    // 2) boundaries equal the brute-force cut rule
+    val cuts = (8 to base.length)
+      .filter(i => poly(base.substring(i - 8, i)) % 16 == 0)
+    val expected = (0 +: cuts).zip(cuts :+ base.length)
+      .collect { case (s, e) if e > s => base.substring(s, e) }
+    assert(cuts.nonEmpty, "test text produced no cuts — weak fixture")
+    assert(got(1L).toList == expected.toList)
+    // 3) edit locality: chunks fully outside the edit neighborhood
+    //    survive the insertion (content-defined, not offset-defined)
+    val shared = got(1L).toSet intersect got(2L).toSet
+    assert(shared.nonEmpty, "an insertion destroyed every chunk")
+  }
 }

@@ -16,6 +16,20 @@ class SimilaritySpec extends SparkSpecBase {
     df.select("query_id", "corpus_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("topPrincipalComponent converges onto the planted dominant axis") {
+    import spark.implicits._
+    // variance overwhelmingly along axis 0: the component's max-
+    // normalized weight must be 1.0 there and ~0 on axis 1
+    val rows = Seq(
+      (0L, Seq(3f, 0f)), (1L, Seq(2f, 0f)), (2L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val w = Similarity.topPrincipalComponent(rows, "vec_id", "embedding",
+        iters = 3)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(w(0) == 1.0)
+    assert(math.abs(w(1)) < 0.01, s"off-axis weight too big: ${w(1)}")
+  }
+
   test("kmeansRefine pulls centroids onto planted cluster means") {
     import spark.implicits._
     // two well-separated planted clusters in 4-d; seeds = the two
