@@ -390,11 +390,13 @@ object Similarity {
       vecCol: String,
       iters: Int = 3): DataFrame = {
     require(iters > 0, s"iters must be positive: $iters")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e2 = corpus.select(col(idCol).as("__vid"),
         posexplode(col(vecCol)).as(Seq("d", "x")))
       .withColumn("x", col("x").cast(DoubleType))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(lvl)
     var v = e2.select(col("d")).distinct().withColumn("c", lit(1.0))
+    var prev: Option[DataFrame] = None
     for (_ <- 1 to iters) {
       val dots = e2.join(broadcast(v), Seq("d"))
         .groupBy(col("__vid"))
@@ -406,13 +408,26 @@ object Similarity {
             .cast(DecimalType(18, 6)).as("__c"))
         .groupBy(col("d")).agg(sum(col("__c")).as("__s"))
       val m = s.agg(max(abs(col("__s").cast(DoubleType))).as("__m"))
-      v = s.crossJoin(broadcast(m))
+      // Materialize each generation: v is `dim` rows, but its LAZY
+      // lineage references s twice (the rescale and its max), so an
+      // unmaterialized chain doubles the plan per iteration —
+      // exponential in `iters`. Persist + force flattens every
+      // iteration to one constant-size plan over the cached e2 (the
+      // pageRank generation discipline).
+      val vNew = s.crossJoin(broadcast(m))
         .select(col("d"),
           when(col("__m") =!= lit(0.0),
             round(col("__s").cast(DoubleType) / col("__m"), 6))
             .otherwise(lit(0.0)).as("c"))
+        .persist(lvl)
+      vNew.count()
+      prev.foreach(_.unpersist(false))
+      prev = Some(vNew)
+      v = vNew
     }
-    v.select(col("d"), col("c").as("weight"))
+    val out = v.select(col("d"), col("c").as("weight"))
+    e2.unpersist(false)
+    out
   }
 
   def cosineNearDupPairs(
