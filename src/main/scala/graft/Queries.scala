@@ -517,6 +517,22 @@ object Queries {
           col("o_orderdate") >= to_date(lit("1992-01-01")) &&
             col("o_orderdate") < to_date(lit("1999-01-01")))))
     }),
+    "q_expect_fk" -> ((s, dir) => {
+      // Referential-integrity contract: events.user_id → customer
+      // key, with a deterministic slice of user ids CORRUPTED (shifted
+      // past the key space) to prove detection — the generated data is
+      // referentially clean. The child aggregates to its distinct keys
+      // BEFORE the anti-join; the parent reduces to its key set.
+      val ev = Tables.events(s, dir)
+        .withColumn("user_id",
+          when(col("event_id") % 17 === 0, col("user_id") + lit(1000000L))
+            .otherwise(col("user_id")))
+      operators.Expectations.orphanKeys(ev, col("user_id"),
+          Tables.customer(s, dir), col("c_custkey"))
+        .agg(count(lit(1)).as("n_orphan_keys"),
+          sum(col("n_rows")).as("n_orphan_rows"),
+          sum(col("fk")).as("fk_sum"))
+    }),
     "q_agg_incremental" -> ((s, dir) => {
       // Incremental aggregate maintenance: yesterday's aggregate STATE
       // (|groups| rows) merged with today's batch — history is never
@@ -2232,20 +2248,26 @@ object Queries {
         |  sum(CAST(x AS DECIMAL(18,0))) AS sx,
         |  sum(CAST(x * x AS DECIMAL(18,0))) AS sxx,
         |  sum(y) AS sy,
-        |  sum(CAST(x AS DECIMAL(18,0)) * y) AS sxy
+        |  sum(CAST(x AS DECIMAL(18,0)) * y) AS sxy,
+        |  sum(y * y) AS syy
         | FROM b GROUP BY 1),
         |d AS (SELECT event_type, n,
         |  CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
         |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
         |  CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
         |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+        |  CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny,
         |  CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
         | FROM a)
         |SELECT event_type, n,
         | CASE WHEN den <> 0.0 THEN round(num / den, 6) END AS slope,
         | CASE WHEN den <> 0.0 THEN
         |  round((syd - num / den * sxd) / CAST(n AS DOUBLE), 6)
-        | END AS intercept
+        | END AS intercept,
+        | CASE WHEN den <> 0.0 AND deny <> 0.0 THEN
+        |  round(num * num / (den * deny), 6)
+        | END AS r2
         |FROM d""".stripMargin,
     // bounded-heap grouped top-k must equal the window formulation
     "q_topk_grouped" ->
@@ -2337,6 +2359,19 @@ object Queries {
         | FROM t
         |UNION ALL SELECT 'date_in_range', n_rows, CAST(v4 AS BIGINT)
         | FROM t""".stripMargin,
+    // orphanKeys replica: same corruption, NOT EXISTS anti-join
+    "q_expect_fk" ->
+      """WITH ev AS (SELECT CASE WHEN event_id % 17 = 0
+        |    THEN user_id + 1000000 ELSE user_id END AS fk
+        | FROM events),
+        |ck AS (SELECT fk, CAST(count(*) AS BIGINT) AS n_rows
+        | FROM ev GROUP BY fk),
+        |o AS (SELECT * FROM ck WHERE NOT EXISTS (
+        |  SELECT 1 FROM customer p WHERE p.c_custkey = ck.fk))
+        |SELECT CAST(count(*) AS BIGINT) AS n_orphan_keys,
+        | CAST(sum(n_rows) AS BIGINT) AS n_orphan_rows,
+        | CAST(sum(fk) AS BIGINT) AS fk_sum
+        |FROM o""".stripMargin,
     // The merge gate: state(history) ⊕ state(batch) must equal the
     // full recompute over the union — the oracle IS that recompute.
     "q_agg_incremental" ->

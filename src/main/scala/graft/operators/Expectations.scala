@@ -57,4 +57,23 @@ object Expectations {
       .agg(count(lit(1)).as("n_rows"))
       .filter(col("n_rows") > 1)
   }
+
+  /** Keys violating a referential-integrity contract: child keys with
+    * no matching parent key, as (fk, n_rows). The child AGGREGATES to
+    * its distinct keys before the anti-join, so the join carries
+    * |child keys| rows, not |child rows|; the parent side reduces to
+    * its distinct keys (broadcast when small — dimension tables — a
+    * co-partitioned shuffle otherwise). A NULL child key is reported
+    * (NULL cannot reference anything; SQL's IN would silently pass
+    * it, same trap as the NULL-predicate rule in [[validate]]). */
+  def orphanKeys(
+      child: DataFrame,
+      childKey: Column,
+      parent: DataFrame,
+      parentKey: Column): DataFrame = {
+    val ck = child.select(childKey.as("fk"))
+      .groupBy(col("fk")).agg(count(lit(1)).as("n_rows"))
+    val pk = parent.select(parentKey.as("fk")).distinct()
+    ck.join(pk, Seq("fk"), "left_anti")
+  }
 }

@@ -152,9 +152,10 @@ object Stats {
     * ordinal (|x| ≤ ~10^5: x² must hold exactly in a long before the
     * decimal cast; sums carry decimal headroom for ~10^12-row groups).
     * Degenerate groups (all x equal — zero variance) yield NULL slope
-    * and intercept rather than a division blow-up.
+    * and intercept rather than a division blow-up; constant-y groups
+    * yield NULL r² (0/0).
     *
-    * Returns (groupCols*, n, slope, intercept), 6 dp. */
+    * Returns (groupCols*, n, slope, intercept, r2), 6 dp. */
   def groupedTrend(
       df: DataFrame,
       groupCols: Seq[String],
@@ -169,17 +170,21 @@ object Stats {
         sum((col("__x") * col("__x")).cast(DecimalType(18, 0)))
           .as("__sxx"),
         sum(col("__y")).as("__sy"),
-        sum(col("__x").cast(DecimalType(18, 0)) * col("__y")).as("__sxy"))
+        sum(col("__x").cast(DecimalType(18, 0)) * col("__y")).as("__sxy"),
+        sum(col("__y") * col("__y")).as("__syy"))
     val nD = col("n").cast(DoubleType)
     val sxD = col("__sx").cast(DoubleType)
-    val num = nD * col("__sxy").cast(DoubleType) -
-      sxD * col("__sy").cast(DoubleType)
+    val syD = col("__sy").cast(DoubleType)
+    val num = nD * col("__sxy").cast(DoubleType) - sxD * syD
     val den = nD * col("__sxx").cast(DoubleType) - sxD * sxD
+    val denY = nD * col("__syy").cast(DoubleType) - syD * syD
     val slope = when(den =!= lit(0.0), round(num / den, 6))
     val intercept = when(den =!= lit(0.0),
       round((col("__sy").cast(DoubleType) - num / den * sxD) / nD, 6))
+    val r2 = when(den =!= lit(0.0) && denY =!= lit(0.0),
+      round(num * num / (den * denY), 6))
     agg.select(groupCols.map(col) ++ Seq(col("n"),
-      slope.as("slope"), intercept.as("intercept")): _*)
+      slope.as("slope"), intercept.as("intercept"), r2.as("r2")): _*)
   }
 
   def countMinSketch(

@@ -43,4 +43,21 @@ class ExpectationsSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2L), (3L, 3L)))
   }
+
+  test("orphanKeys: missing parents surface with row counts; " +
+      "NULL child keys are reported; clean FK yields nothing") {
+    val child = Seq(Option(1L), Option(1L), Option(2L), Option(9L),
+      Option(9L), Option(9L), None).toDF("fk0")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val got = Expectations.orphanKeys(child, col("fk0"),
+        parent, col("pk"))
+      .collect().map(r =>
+        Option(r.getAs[Any]("fk")).map(_.asInstanceOf[Long]) ->
+          r.getAs[Long]("n_rows")).toMap
+    // 9 has no parent (3 rows); the NULL key cannot reference (1 row)
+    assert(got == Map(Some(9L) -> 3L, None -> 1L))
+    val clean = Expectations.orphanKeys(
+      Seq(1L, 2L).toDF("fk0"), col("fk0"), parent, col("pk"))
+    assert(clean.count() == 0L)
+  }
 }

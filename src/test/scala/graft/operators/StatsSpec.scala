@@ -29,9 +29,10 @@ class StatsSpec extends SparkSpecBase {
     val out = Stats.groupedTrend(df, Seq("g"), col("x"), col("y"))
       .collect().map(r => r.getString(0) ->
         (r.getAs[Long]("n"), Option(r.getAs[Any]("slope")),
-          Option(r.getAs[Any]("intercept")))).toMap
-    assert(out("a") == ((3L, Some(2.0), Some(1.0))))
-    assert(out("b") == ((2L, None, None)))
+          Option(r.getAs[Any]("intercept")),
+          Option(r.getAs[Any]("r2")))).toMap
+    assert(out("a") == ((3L, Some(2.0), Some(1.0), Some(1.0))))
+    assert(out("b") == ((2L, None, None, None)))
   }
 
   test("mergeAggState: merged slices equal the full recompute, any split") {
