@@ -517,6 +517,19 @@ object Queries {
           col("o_orderdate") >= to_date(lit("1992-01-01")) &&
             col("o_orderdate") < to_date(lit("1999-01-01")))))
     }),
+    "q_profile" -> ((s, dir) => {
+      // Table profiling (the generalized DESCRIBE): per-column rows,
+      // NULL, exact-distinct, min/max in ONE aggregation (the multi-
+      // distinct plans via Expand — no extra scan). String/integral
+      // columns only: float/timestamp→string rendering is
+      // engine-specific and would fail the hash gate spuriously;
+      // bad_cast is an all-NULL int column (failed coercion audit).
+      Stats.profile(
+        Tables.orders(s, dir).withColumn("bad_cast",
+          Conversions.tryToInt(col("o_orderstatus"))),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority", "bad_cast"))
+    }),
     "q_expect_fk" -> ((s, dir) => {
       // Referential-integrity contract: events.user_id → customer
       // key, with a deterministic slice of user ids CORRUPTED (shifted
@@ -2359,6 +2372,22 @@ object Queries {
         | FROM t
         |UNION ALL SELECT 'date_in_range', n_rows, CAST(v4 AS BIGINT)
         | FROM t""".stripMargin,
+    // profile replica: one SELECT per profiled column, UNION ALL
+    "q_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "bad_cast")
+      val parts = cols.map { c =>
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           | CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           | CAST(min($c) AS VARCHAR) AS min_value,
+           | CAST(max($c) AS VARCHAR) AS max_value FROM t""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+         |  o_orderpriority, TRY_CAST(o_orderstatus AS INT) AS bad_cast
+         | FROM orders)
+         |$parts""".stripMargin
+    },
     // orphanKeys replica: same corruption, NOT EXISTS anti-join
     "q_expect_fk" ->
       """WITH ev AS (SELECT CASE WHEN event_id % 17 = 0

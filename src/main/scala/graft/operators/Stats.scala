@@ -187,6 +187,43 @@ object Stats {
       slope.as("slope"), intercept.as("intercept"), r2.as("r2")): _*)
   }
 
+  /** One-aggregation table profile: per column — row count, NULL
+    * count, exact distinct count, min and max (cast to string for a
+    * uniform row shape). The first look every ingested table gets;
+    * the generalized DESCRIBE the reference's per-sync NULL audit
+    * (A3) is a slice of.
+    *
+    * Scale shape: ONE global aggregate; the multiple exact
+    * count-distincts plan via Expand (each input row fans out once
+    * per profiled column inside the map task — no extra scan, one
+    * shuffle of the expanded keys). Exact distinct is the GATE mode;
+    * at the 100 TB scale swap the distinct terms for
+    * [[graft.functions.KmvSketch]] estimates and keep the same output
+    * shape. String min/max comparisons are binary in both engines —
+    * profile string and integral columns (float/timestamp → string
+    * rendering is engine-specific).
+    *
+    * Returns one row per profiled column:
+    * (column, n_rows, n_null, n_distinct, min_value, max_value). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast(StringType).as(s"__mn_$c"),
+        max(col(c)).cast(StringType).as(s"__mx_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("column"), col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn_$c")).as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_value"),
+        col(s"__mx_$c").as("max_value"))
+    }
+    row.select(explode(array(stacked: _*)).as("x")).select(col("x.*"))
+  }
+
   def countMinSketch(
       items: DataFrame,
       item: Column,

@@ -35,6 +35,22 @@ class StatsSpec extends SparkSpecBase {
     assert(out("b") == ((2L, None, None, None)))
   }
 
+  test("profile: per-column nulls, exact distinct, string min/max; " +
+      "all-NULL columns profile cleanly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("b"), None: Option[Long]),
+      (2L, Some("a"), None),
+      (2L, None, None)).toDF("k", "s", "dead")
+    val got = Stats.profile(df, Seq("k", "s", "dead"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.getString(4)), Option(r.getString(5)))).toMap
+    assert(got("k") == ((3L, 0L, 2L, Some("1"), Some("2"))))
+    assert(got("s") == ((3L, 1L, 2L, Some("a"), Some("b"))))
+    assert(got("dead") == ((3L, 3L, 0L, None, None)))
+  }
+
   test("mergeAggState: merged slices equal the full recompute, any split") {
     import spark.implicits._
     val df = spark.range(997).select(
