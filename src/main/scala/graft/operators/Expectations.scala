@@ -58,6 +58,39 @@ object Expectations {
       .filter(col("n_rows") > 1)
   }
 
+  /** Contracts as OBSERVED metrics: the same named expectations as
+    * [[validate]], attached to the frame with `Dataset.observe` so the
+    * violation counts are computed DURING whatever action the caller
+    * runs next (typically the sink write) — zero extra scan, zero
+    * extra job, which at 100 TB is the difference between "validate"
+    * and "validate for free". Read the counts from the `Observation`
+    * after the action:
+    *
+    * {{{
+    * val obs = org.apache.spark.sql.Observation("contracts")
+    * Expectations.observedValidate(df, obs, checks).write...
+    * val violations = obs.get  // Map: n_rows, v_<name> per check
+    * }}}
+    *
+    * Same NULL discipline as [[validate]] (NULL predicate = violation,
+    * empty batch = zero violations). On a STREAMING frame attach the
+    * metrics with `observe(name, ...)` and read them per micro-batch
+    * from `StreamingQueryProgress.observedMetrics` instead — the
+    * expectation expressions are identical. */
+  def observedValidate(
+      df: DataFrame,
+      obs: org.apache.spark.sql.Observation,
+      expects: Seq[Expect]): DataFrame = {
+    require(expects.nonEmpty, "at least one expectation required")
+    require(expects.map(_.name).distinct.size == expects.size,
+      s"duplicate expectation names: ${expects.map(_.name)}")
+    val aggs = count(lit(1)).as("n_rows") +: expects.map { e =>
+      coalesce(sum(when(coalesce(e.pred, lit(false)), 0L).otherwise(1L)),
+        lit(0L)).as(s"v_${e.name}")
+    }
+    df.observe(obs, aggs.head, aggs.tail: _*)
+  }
+
   /** Keys violating a referential-integrity contract: child keys with
     * no matching parent key, as (fk, n_rows). The child AGGREGATES to
     * its distinct keys before the anti-join, so the join carries

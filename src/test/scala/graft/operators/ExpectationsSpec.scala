@@ -44,6 +44,26 @@ class ExpectationsSpec extends SparkSpecBase {
     assert(got == Set((1L, 2L), (3L, 3L)))
   }
 
+  test("observedValidate: violation counts ride the action for free " +
+      "and match validate()") {
+    val df = Seq(
+      (Some(5L), "a"), (None, "b"), (Some(-1L), "c"), (Some(2L), null))
+      .toDF("v", "s")
+    val checks = Seq(
+      Expectations.Expect("v_positive", col("v") > 0),
+      Expectations.Expect("s_not_null", col("s").isNotNull))
+    val obs = org.apache.spark.sql.Observation("contracts")
+    val observed = Expectations.observedValidate(df, obs, checks)
+    observed.write.mode("overwrite").format("noop").save() // the action
+    val m = obs.get
+    assert(m("n_rows") == 4L)
+    assert(m("v_v_positive") == 2L && m("v_s_not_null") == 1L)
+    // identical numbers to the standalone one-pass validator
+    val standalone = Expectations.validate(df, checks)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(standalone == Map("v_positive" -> 2L, "s_not_null" -> 1L))
+  }
+
   test("orphanKeys: missing parents surface with row counts; " +
       "NULL child keys are reported; clean FK yields nothing") {
     val child = Seq(Option(1L), Option(1L), Option(2L), Option(9L),
