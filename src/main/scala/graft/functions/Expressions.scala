@@ -274,6 +274,104 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Content-defined chunk boundaries in ONE sliding-window pass: the
+  * 1-based (code-point) end positions `i` where the [[PolyHash]] of
+  * the `window`-code-point tail ending at `i` is ≡ 0 (mod `divisor`).
+  *
+  * Replaces the HOF formulation in `Dedup.cdcChunks`
+  * (`filter(sequence(w, n), i -> polyHash(substr(...)) % d = 0)`)
+  * which rehashes a full window per position — O(n·w) plus an
+  * interpreted lambda frame and a per-position UTF8String slice. This
+  * expression slides the polynomial in O(n): drop the leaving code
+  * point (subtract cp·31^(w−1) mod M), shift, add the entering one.
+  *
+  * Exact-equivalence contract (the DuckDB oracle replicates the
+  * per-window recompute): the sliding recurrence computes the SAME
+  * window hash value — both are the base-31 polynomial of the window's
+  * code points mod 1e9+7, and positions count code points exactly as
+  * `substr` does (UTF8String indexes by code point). Strings shorter
+  * than `window` yield an empty array (no window fits — the caller's
+  * whole-doc-chunk branch). */
+case class CdcBoundaries(child: Expression, window: Int, divisor: Int)
+    extends UnaryExpression {
+  require(window > 0, s"window must be positive: $window")
+  require(divisor > 1, s"divisor must be > 1: $divisor")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[org.apache.spark.sql.types.StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_cdc_boundaries requires a string argument, got " +
+          s"${child.dataType}")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_cdc_boundaries"
+
+  /** 31^(window−1) mod 1e9+7 — the leaving code point's weight. */
+  private lazy val topWeight: Long = {
+    var p = 1L
+    var k = 1
+    while (k < window) { p = p * 31L % 1000000007L; k += 1 }
+    p
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val cp = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cp.length
+    val out = new scala.collection.mutable.ArrayBuffer[Int]()
+    val M = 1000000007L
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      if (i >= window)
+        h = ((h - cp(i - window) * topWeight) % M + M) % M
+      h = (h * 31L + cp(i)) % M
+      if (i >= window - 1 && h % divisor == 0) out += (i + 1)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray[Int])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cp = ctx.freshName("cdcCp")
+      val n = ctx.freshName("cdcN")
+      val tmp = ctx.freshName("cdcTmp")
+      val k = ctx.freshName("cdcK")
+      val h = ctx.freshName("cdcH")
+      val i = ctx.freshName("cdcI")
+      val res = ctx.freshName("cdcRes")
+      s"""
+         |int[] $cp = $c.toString().codePoints().toArray();
+         |int $n = $cp.length;
+         |int[] $tmp = new int[$n];
+         |int $k = 0;
+         |long $h = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($i >= $window)
+         |    $h = (($h - $cp[$i - $window] * ${topWeight}L) % 1000000007L
+         |      + 1000000007L) % 1000000007L;
+         |  $h = ($h * 31L + $cp[$i]) % 1000000007L;
+         |  if ($i >= ${window - 1} && $h % ${divisor}L == 0) {
+         |    $tmp[$k++] = $i + 1;
+         |  }
+         |}
+         |int[] $res = new int[$k];
+         |System.arraycopy($tmp, 0, $res, 0, $k);
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($res);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CdcBoundaries =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   /** Portable rolling hash as a Column (see [[PolyHash]]). */
   def polyHash(c: Column): Column =
@@ -293,4 +391,10 @@ object GraftFunctions {
   def dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProduct(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Sliding-window CDC cut positions as a Column (see
+    * [[CdcBoundaries]]). */
+  def cdcBoundaries(text: Column, window: Int, divisor: Int): Column =
+    GraftColumnBridge.column(CdcBoundaries(
+      GraftColumnBridge.expression(text), window, divisor))
 }

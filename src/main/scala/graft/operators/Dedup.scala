@@ -810,20 +810,20 @@ object Dedup {
     * one whole-doc chunk. Chunking is a pure per-row expression — NO
     * shuffle; callers hash chunks to digests inside the array
     * (`transform(..., md5)`) before any explode so only digests ever
-    * shuffle. The windowed hash here recomputes per position (O(n·w),
-    * w constant, inside codegen); a sliding O(n) evaluation computes
-    * the SAME values, so the hot loop can move into a native
-    * expression without touching the contract (the [[polyHash]]
-    * pattern). Portable: boundary decisions are integer arithmetic on
-    * the poly hash, replicated exactly by the oracle. */
+    * shuffle. Boundary positions come from the native codegen'd
+    * [[graft.functions.CdcBoundaries]] expression — ONE sliding-window
+    * pass, O(n) — whose values are provably identical to the
+    * per-position window rehash the DuckDB oracle replays (both are
+    * the base-31 polynomial of the window's code points mod 1e9+7;
+    * DedupSpec pins the equivalence against a brute-force recompute).
+    * Portable: boundary decisions are integer arithmetic on the poly
+    * hash. */
   def cdcChunks(text: Column, window: Int, divisor: Int): Column = {
     require(window > 0, s"window must be positive: $window")
     require(divisor > 1, s"divisor must be > 1: $divisor")
     val n = length(text)
-    val cuts = filter(
-      sequence(lit(window), greatest(n, lit(window))),
-      i => polyHash(text.substr(i - lit(window - 1), lit(window)))
-        % divisor === 0 && i <= n)
+    val cuts =
+      graft.functions.GraftFunctions.cdcBoundaries(text, window, divisor)
     val starts = concat(array(lit(0)), cuts)
     val ends = concat(cuts, array(n))
     val chunks = filter(

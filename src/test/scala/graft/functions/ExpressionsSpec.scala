@@ -134,4 +134,40 @@ class ExpressionsSpec extends SparkSpecBase {
       assert(interp == codegen, s"interp/codegen mismatch for '$s'")
     }
   }
+
+  test("CdcBoundaries: sliding pass equals per-window rehash, both " +
+      "eval paths, code-point positions") {
+    import spark.implicits._
+    // brute force: polyhash every w-code-point window independently
+    def brute(s: String, w: Int, d: Int): Seq[Int] = {
+      val cp = s.codePoints().toArray
+      (w to cp.length).filter { i =>
+        cp.slice(i - w, i)
+          .foldLeft(0L)((acc, c) => (acc * 31 + c) % 1000000007L) %
+          d == 0
+      }
+    }
+    val rng = new scala.util.Random(42)
+    // sample whole code points (a char index into a string with a
+    // surrogate PAIR would yield lone surrogates, which UTF-8 cannot
+    // represent — Spark would replace them and the fixture would test
+    // the mangling, not the expression)
+    val alphabet = Seq("a", "b", " ", "é", "x", "😀", "z", "?")
+    val texts = samples ++ (1 to 30).map(_ =>
+      (1 to rng.nextInt(300)).map(_ =>
+        alphabet(rng.nextInt(alphabet.size))).mkString)
+    for ((s, w, d) <- texts.flatMap(t => Seq((t, 8, 16), (t, 3, 4)))) {
+      val expected = brute(s, w, d)
+      val codegen = Seq(s).toDF("s")
+        .select(GraftFunctions.cdcBoundaries(col("s"), w, d))
+        .collect()(0).getSeq[Int](0)
+      assert(codegen == expected, s"codegen w=$w d=$d for '$s'")
+      val interp = CdcBoundaries(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(s), w, d)
+        .eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toIntArray().toSeq
+      assert(interp == expected, s"interp w=$w d=$d for '$s'")
+    }
+  }
 }
