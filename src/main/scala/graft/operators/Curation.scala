@@ -65,7 +65,10 @@ object Curation {
     * state, no collect; both snapshots stream.
     *
     * Returns (idCol, old_fp, new_fp, status) — row-level, so callers
-    * can join the added+changed set straight back into recompute. */
+    * can join the added+changed set straight back into recompute.
+    * Each snapshot must be UNIQUE on `idCol` (snapshots are keyed
+    * corpora by definition; duplicate ids would fan out the
+    * full-outer join) — dedup with [[Dedup.exact]] first if not. */
   def snapshotDiff(
       oldSnap: DataFrame,
       newSnap: DataFrame,

@@ -111,7 +111,11 @@ object Sampling {
     * strata + a per-stratum rank window; with NO strata the plan is a
     * global TakeOrderedAndProject (per-partition heaps of k, driver
     * merges k), never a full sort. Weights must be positive integers
-    * (scale fractional weights to permille first). */
+    * (scale fractional weights to permille first); rows with weight
+    * ≤ 0 are DROPPED before ranking — the w → 0 limit of "priority
+    * u/w" is never-selected, and leaving them in would instead NULL
+    * the integer division and rank them FIRST under Spark's
+    * nulls-first ascending order. */
   def prioritySample(
       df: DataFrame,
       strataCols: Seq[String],
@@ -122,9 +126,10 @@ object Sampling {
     require(k > 0, s"k must be positive: $k")
     // integer floor-division on both engines (Spark `div`, DuckDB `//`)
     val staged = df
-      .withColumn("__u", idBucket(idCol, seed))
       .withColumn("__w",
         weight.cast(org.apache.spark.sql.types.LongType))
+      .filter(col("__w") > 0L)
+      .withColumn("__u", idBucket(idCol, seed))
       .withColumn("__pri", expr(s"(${PriorityScale}L * __u) div __w"))
     if (strataCols.isEmpty) {
       staged.orderBy(col("__pri").asc, idCol.asc)

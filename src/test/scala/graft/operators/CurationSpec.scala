@@ -334,6 +334,12 @@ class CurationSpec extends SparkSpecBase {
     val globalOut = Sampling.prioritySample(df, Nil, col("id"), col("w"),
       k = 7, seed = 17).select("id").as[Long].collect().toSet
     assert(globalOut == brute)
+    // weight <= 0 = never selected (the w -> 0 limit), not nulls-first
+    val withDead = df.withColumn("w",
+      when(col("id") < 10, lit(0L)).otherwise(col("w")))
+    val sel = Sampling.prioritySample(withDead, Seq("g"), col("id"),
+      col("w"), k = 5, seed = 17).select("id").as[Long].collect()
+    assert(sel.length == 10 && sel.forall(_ >= 10))
   }
 
   test("snapshotDiff classifies added/removed/changed/unchanged") {
