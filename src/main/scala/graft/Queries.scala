@@ -1012,6 +1012,14 @@ object Queries {
           round(col("n_dup_windows").cast(DoubleType) / col("n_windows"),
             6).as("dup_ratio"))
     }),
+    "q_shingle_novelty" -> ((s, dir) => {
+      // Corpus-growth diagnostic: per ingestion wave (doc_id mod 8),
+      // the fraction of distinct 3-gram shingles seen in no earlier
+      // wave. Pair set carries 8-byte hashes only; first-seen is one
+      // min-per-hash aggregate — O(pairs) however many waves.
+      Dedup.shingleNovelty(Tables.documents(s, dir), col("doc_id") % 8,
+        col("text"), shingleSize = 3, portable = true)
+    }),
     "q_dedup_cdc" -> ((s, dir) => {
       // Content-defined chunking: cut where the 8-char window hash
       // ≡ 0 (mod 32) — boundaries move with the content, so an edit
@@ -2624,6 +2632,20 @@ object Queries {
         | round(sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END) * 1.0
         |   / count(*), 6) AS dup_ratio
         |FROM h JOIN c USING (h) GROUP BY doc_id""".stripMargin,
+    // shingleNovelty replica: same 3-word shingles + poly hash,
+    // DISTINCT (wave, hash) pairs, min-wave first-seen
+    "q_shingle_novelty" ->
+      s"""WITH t AS (SELECT doc_id % 8 AS wave, $toksSql AS toks
+         | FROM documents),
+         |p0 AS (SELECT wave, unnest($shinglesSql) AS s FROM t),
+         |p AS (SELECT DISTINCT wave, ${polySql("s")} AS h FROM p0),
+         |f AS (SELECT h, min(wave) AS first FROM p GROUP BY h)
+         |SELECT wave, CAST(count(*) AS BIGINT) AS n_shingles,
+         | CAST(sum(CASE WHEN first = wave THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_novel,
+         | round(sum(CASE WHEN first = wave THEN 1 ELSE 0 END) * 1.0
+         |   / count(*), 6) AS novelty
+         |FROM p JOIN f USING (h) GROUP BY wave""".stripMargin,
     // cdcChunks replica: identical cut rule (8-char window poly hash
     // ≡ 0 mod 32), 1-based list indexing DuckDB-side, short docs are
     // one whole-doc chunk

@@ -800,6 +800,48 @@ object Dedup {
     ownResult(stats, windows)
   }
 
+  /** N-gram novelty per ingestion wave: for each wave (shard, crawl
+    * batch, snapshot day — any integral ordinal), the fraction of its
+    * distinct shingle hashes seen in NO earlier wave. The corpus-
+    * growth diagnostic: novelty decaying toward zero means new data is
+    * re-crawling what the corpus already holds — the dedup pipeline's
+    * leading indicator, one aggregate instead of a pairwise dedup run.
+    *
+    * Scale shape: the (wave, hash) pair set — 8-byte hashes, never
+    * shingle text past the scan — is distinct-ed once and persisted
+    * (two consumers: the first-seen aggregate and the per-wave
+    * totals); first-seen is a min over waves per hash (map-side
+    * combined); one hash-keyed join back. No window over waves, so a
+    * new wave recomputes in O(pairs), not O(waves²).
+    *
+    * Returns (wave, n_shingles, n_novel, novelty), novelty 6 dp. */
+  def shingleNovelty(
+      docs: DataFrame,
+      waveCol: Column,
+      text: Column,
+      shingleSize: Int = 3,
+      portable: Boolean = false): DataFrame = {
+    val hashOf: Column => Column =
+      if (portable) polyHash else xxhash64(_)
+    val pairs = docs
+      .select(waveCol.cast(LongType).as("wave"),
+        TextAnalysis.tokens(lower(text)).as("__tk"))
+      .select(col("wave"),
+        explode(shinglesOfTokens(col("__tk"), shingleSize)).as("__s"))
+      .select(col("wave"), hashOf(col("__s")).as("__h"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val first = pairs.groupBy(col("__h")).agg(min(col("wave")).as("__first"))
+    val out = pairs.join(first, "__h")
+      .groupBy(col("wave"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__first") === col("wave"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast(DoubleType) / col("n_shingles"), 6))
+    ownResult(out, pairs)
+  }
+
   /** Content-defined chunking (the FastCDC/rsync family): cut after
     * every position whose `window`-char tail hash ≡ 0 (mod `divisor`),
     * giving variable-size chunks with EXPECTED size ≈ `divisor` whose

@@ -272,6 +272,23 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("shingleNovelty: first wave fully novel, repeats decay, " +
+      "disjoint waves stay at 1.0") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "alpha beta gamma delta"),  // wave 0: 2 shingles, all novel
+      (1L, "alpha beta gamma epsilon"), // wave 1: 2 shingles, 1 repeat
+      (2L, "wholly new words here now") // wave 2: untouched vocabulary
+    ).toDF("wave", "text")
+    val got = Dedup.shingleNovelty(rows, col("wave"), col("text"),
+        shingleSize = 3, portable = true)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(0L) == ((2L, 2L, 1.0)))
+    assert(got(1L) == ((2L, 1L, 0.5))) // "alpha beta gamma" seen in 0
+    assert(got(2L) == ((3L, 3L, 1.0)))
+  }
+
   test("cdcChunks: lossless partition, boundary brute-force match, " +
       "edit locality, short docs whole") {
     import spark.implicits._
