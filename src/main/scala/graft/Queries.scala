@@ -413,6 +413,19 @@ object Queries {
         .agg(count(lit(1)).as("n_outliers"),
           min(col("value")).as("min_val"), max(col("value")).as("max_val"))
     }),
+    "q_trimmed_mean" -> ((s, dir) => {
+      // Robust mean: cut the 10% tails BY RANK (ties broken by id —
+      // a value cutoff would make borderline dupes engine-dependent),
+      // exact-decimal average of the middle 80%.
+      Stats.trimmedMean(Tables.events(s, dir), Seq("event_type"),
+        col("value"), col("event_id"), trimPermille = 100)
+    }),
+    "q_mode_grouped" -> ((s, dir) => {
+      // Deterministic mode: most frequent language per source, ties
+      // by language ascending; ranks |distinct values| rows only.
+      Stats.modePerGroup(Tables.documents(s, dir), Seq("source"),
+        col("lang"))
+    }),
     "q_trend_ols" -> ((s, dir) => {
       // Per-type value trend over the day ordinal: OLS slope/intercept
       // from one groupBy of five exact accumulators (n, Σx, Σx², Σy,
@@ -2258,6 +2271,28 @@ object Queries {
         |SELECT event_type, count(*) AS n_outliers,
         | min(value) AS min_val, max(value) AS max_val
         |FROM j WHERE abs(value - m) > 3 * sd GROUP BY 1""".stripMargin,
+    // trimmedMean replica: identical rank-and-cut rule, decimal mean
+    "q_trimmed_mean" ->
+      """WITH r AS (SELECT event_type, value,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value, event_id) AS rk,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM events),
+        |kept AS (SELECT event_type, value FROM r
+        | WHERE rk > (n * 100) // 1000 AND rk <= n - (n * 100) // 1000)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |   / count(*), 6) AS trimmed_mean
+        |FROM kept GROUP BY event_type""".stripMargin,
+    // modePerGroup replica: counts, rank-1 by (count desc, value asc)
+    "q_mode_grouped" ->
+      """WITH c AS (SELECT source, lang AS mode_value,
+        |  CAST(count(*) AS BIGINT) AS n_mode
+        | FROM documents GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |  ORDER BY n_mode DESC, mode_value ASC) AS rk FROM c)
+        |SELECT source, mode_value, n_mode FROM r WHERE rk = 1"""
+        .stripMargin,
     // same exact-accumulator discipline as the zscore oracle: decimal
     // sums, then a fixed sequence of double ops for the closed form
     "q_trend_ols" ->

@@ -187,6 +187,64 @@ object Stats {
       slope.as("slope"), intercept.as("intercept"), r2.as("r2")): _*)
   }
 
+  /** Per-group trimmed mean: drop the lowest and highest
+    * `trimPermille`/1000 of rows by value rank (ties broken by id, so
+    * the trimmed SET is deterministic — a value-only cutoff would make
+    * borderline duplicates engine-dependent), then average the middle
+    * through an exact DECIMAL sum. The robust-mean answer to outliers
+    * when a z-score filter (q_anomaly_zscore) is itself dragged by
+    * them. k = n·trim div 1000 rows are cut from EACH side — exact
+    * integer arithmetic, no float percentile.
+    *
+    * Cost: the [[capPerStratum]] topology — one shuffle on the group
+    * key + one rank window — then the averaging aggregate. Same
+    * mega-stratum caveat as every rank window.
+    *
+    * Returns (groupCols*, n_kept, trimmed_mean), 6 dp. */
+  def trimmedMean(
+      df: DataFrame,
+      groupCols: Seq[String],
+      value: Column,
+      idCol: Column,
+      trimPermille: Int): DataFrame = {
+    require(trimPermille >= 0 && trimPermille < 500,
+      s"trimPermille must be in [0, 500): $trimPermille")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__v").asc, col("__id").asc)
+    val cnt = Window.partitionBy(groupCols.map(col): _*)
+    val k = expr(s"(__n * $trimPermille) div 1000")
+    df.select(groupCols.map(col) ++ Seq(value.as("__v"),
+        idCol.as("__id")): _*)
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cnt))
+      .filter(col("__rk") > k && col("__rk") <= col("__n") - k)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_kept"),
+        round(sum(col("__v").cast(DecimalType(18, 4))).cast(DoubleType) /
+          count(lit(1)), 6).as("trimmed_mean"))
+  }
+
+  /** Deterministic per-group mode: the most frequent value, ties
+    * broken by value ascending (an arbitrary-tie mode is not
+    * reproducible across engines or reruns). Two map-side-combined
+    * aggregations — (group, value) counts, then a rank-1 window over
+    * |distinct values| rows, never over data rows.
+    *
+    * Returns (groupCols*, mode_value, n_mode). */
+  def modePerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      value: Column): DataFrame = {
+    val counts = df.groupBy((groupCols.map(col) :+
+        value.as("mode_value")): _*)
+      .agg(count(lit(1)).as("n_mode"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("n_mode").desc, col("mode_value").asc)
+    counts.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+  }
+
   /** One-aggregation table profile: per column — row count, NULL
     * count, exact distinct count, min and max (cast to string for a
     * uniform row shape). The first look every ingested table gets;

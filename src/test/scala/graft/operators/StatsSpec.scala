@@ -35,6 +35,33 @@ class StatsSpec extends SparkSpecBase {
     assert(out("b") == ((2L, None, None, None)))
   }
 
+  test("trimmedMean cuts k rows from each tail by rank; " +
+      "trim 0 is the plain mean") {
+    import spark.implicits._
+    // group g: values 0..9 plus outliers -1000 and 1000; 12 rows,
+    // k = 12*100 div 1000 = 1 from each side -> outliers gone
+    val rows = ((-1000.0 +: (0 until 10).map(_.toDouble) :+ 1000.0)
+      .zipWithIndex.map { case (v, i) => ("g", i.toLong, v) })
+    val out = Stats.trimmedMean(rows.toDF("g", "id", "v"), Seq("g"),
+      col("v"), col("id"), trimPermille = 100).collect()(0)
+    assert(out.getLong(1) == 10L)
+    assert(out.getDouble(2) == 4.5) // mean of 0..9
+    val plain = Stats.trimmedMean(rows.toDF("g", "id", "v"), Seq("g"),
+      col("v"), col("id"), trimPermille = 0).collect()(0)
+    assert(plain.getLong(1) == 12L)
+  }
+
+  test("modePerGroup: most frequent value, ties break ascending") {
+    import spark.implicits._
+    val df = Seq(("s1", "en"), ("s1", "en"), ("s1", "de"),
+      ("s2", "fr"), ("s2", "de")).toDF("g", "v") // s2: tie fr/de -> de
+    val got = Stats.modePerGroup(df, Seq("g"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2))).toMap
+    assert(got("s1") == (("en", 2L)))
+    assert(got("s2") == (("de", 1L)))
+  }
+
   test("profile: per-column nulls, exact distinct, string min/max; " +
       "all-NULL columns profile cleanly") {
     import spark.implicits._
