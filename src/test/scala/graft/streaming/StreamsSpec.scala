@@ -34,6 +34,38 @@ class StreamsSpec extends SparkSpecBase {
     assert(s == b)
   }
 
+  test("observed-metrics contracts on a STREAM: per-micro-batch " +
+      "violation counts sum to the batch validator's totals") {
+    import graft.operators.Expectations
+    // the same expectation expressions as the batch validator, attached
+    // via observe(name, ...) and read from each progress event
+    val checks = Seq(
+      Expectations.Expect("value_nonneg", col("value") >= 0),
+      Expectations.Expect("known_type",
+        col("event_type").isin("click", "view", "purchase", "error")))
+    val aggs = count(lit(1)).as("n_rows") +: checks.map { e =>
+      coalesce(sum(when(coalesce(e.pred, lit(false)), 0L).otherwise(1L)),
+        lit(0L)).as(s"v_${e.name}")
+    }
+    val observed = Streams.eventsStream(spark, dir)
+      .observe("contracts", aggs.head, aggs.tail: _*)
+    val q = observed.writeStream
+      .format("noop")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val perBatch = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("contracts")))
+    assert(perBatch.nonEmpty, "no observed metrics surfaced")
+    val totals = perBatch.map(r => (r.getAs[Long]("n_rows"),
+      r.getAs[Long]("v_value_nonneg"), r.getAs[Long]("v_known_type")))
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+    val batch = Expectations.validate(Tables.events(spark, dir), checks)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val nRows = Tables.events(spark, dir).count()
+    assert(totals == ((nRows, batch("value_nonneg"), batch("known_type"))))
+  }
+
   test("streaming dedup survivors equal the batch distinct key set") {
     val deduped = Streams.runAvailableNow(
       Streams.dedupWithinWatermark(
