@@ -342,6 +342,19 @@ class CurationSpec extends SparkSpecBase {
     assert(sel.length == 10 && sel.forall(_ >= 10))
   }
 
+  test("snapshotDiff edge inputs: identical snapshots all unchanged; " +
+      "empty old is all added") {
+    val snap = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+    val same = Curation.snapshotDiff(snap, snap, "id",
+        TextAnalysis.fingerprintMd5(col("text")))
+      .select("status").distinct().as[String].collect().toSeq
+    assert(same == Seq("unchanged"))
+    val fromEmpty = Curation.snapshotDiff(snap.filter(col("id") < 0),
+        snap, "id", TextAnalysis.fingerprintMd5(col("text")))
+      .select("status").distinct().as[String].collect().toSeq
+    assert(fromEmpty == Seq("added"))
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged") {
     val oldSnap = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
       .toDF("id", "text")

@@ -272,6 +272,17 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("cdcChunks edge inputs: empty text is one empty chunk; " +
+      "divisor-1 window text is whole") {
+    import spark.implicits._
+    val got = Seq((1L, ""), (2L, "abcdefg")) // len 7 < window 8
+      .toDF("id", "text")
+      .select(col("id"), Dedup.cdcChunks(col("text"), 8, 16).as("ch"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Seq(""))
+    assert(got(2L) == Seq("abcdefg"))
+  }
+
   test("shingleNovelty: first wave fully novel, repeats decay, " +
       "disjoint waves stay at 1.0") {
     import spark.implicits._

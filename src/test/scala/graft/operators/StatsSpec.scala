@@ -78,6 +78,20 @@ class StatsSpec extends SparkSpecBase {
     assert(got("dead") == ((3L, 3L, 0L, None, None)))
   }
 
+  test("edge inputs: empty-frame profile, single-point trend") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("k", "s")
+    val prof = Stats.profile(empty, Seq("k", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(prof("k") == ((0L, 0L, 0L)) && prof("s") == ((0L, 0L, 0L)))
+    // one observation: zero x-variance -> NULL slope/intercept/r2
+    val one = Stats.groupedTrend(Seq(("g", 3L, 7.0)).toDF("g", "x", "y"),
+      Seq("g"), col("x"), col("y")).collect()(0)
+    assert(one.getLong(1) == 1L && one.isNullAt(2) && one.isNullAt(3) &&
+      one.isNullAt(4))
+  }
+
   test("mergeAggState: merged slices equal the full recompute, any split") {
     import spark.implicits._
     val df = spark.range(997).select(

@@ -75,6 +75,28 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(rows.size == 3) // non-matching docs never surface
   }
 
+  test("bm25Retrieve edge inputs: unmatched query absent, empty corpus") {
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "x y")), 1),
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+    val qs = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(1L, "x"), Row(2L, "nomatch")), 1),
+      StructType(Seq(
+        StructField("qid", LongType), StructField("qtext", StringType))))
+    val out = TextAnalysis.bm25Retrieve(docs, "doc_id", col("text"),
+      qs, "qid", col("qtext"), k = 3)
+    val qids = out.collect().map(_.getLong(0)).toSet
+    out.unpersist()
+    assert(qids == Set(1L)) // the unmatched query yields no rows
+    val emptyCorpus = docs.filter(col("doc_id") < 0)
+    val out2 = TextAnalysis.bm25Retrieve(emptyCorpus, "doc_id",
+      col("text"), qs, "qid", col("qtext"), k = 3)
+    assert(out2.count() == 0)
+    out2.unpersist()
+  }
+
   test("bm25TopK: saturation and length normalization hold") {
     // doc 1: "x x y" — tf(x)=2; doc 2: "x y" — tf(x)=1; doc 3 pads df.
     val docs = spark.createDataFrame(
