@@ -1833,6 +1833,33 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
           dsum(col("o_totalprice")).as("price_sum"))
     }),
+    "q_lake_merge" -> ((s, dir) => {
+      // Lakehouse MERGE on plain parquet: write orders partitioned by
+      // month, upsert a batch (doubled prices for key%5=0 in 1996-03,
+      // plus brand-new keys) that touches ONE month, with dynamic
+      // partition overwrite — untouched months are neither scanned
+      // nor rewritten. Read-back aggregates; the oracle recomputes
+      // the merged state from the raw table.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lkm").toString
+      val base = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"), col("o_orderstatus"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_month"))
+      graft.io.Lakehouse.writePartitioned(base, tmp, Seq("o_month"))
+      val marchKeys = base.filter(col("o_month") === "1996-03" &&
+        col("o_orderkey") % 5 === 0)
+      val batch = marchKeys
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(marchKeys.select(
+          (col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"), col("o_orderstatus"),
+          col("o_month")))
+      graft.io.Lakehouse.mergeIntoPartitioned(s, tmp, batch,
+        Seq("o_orderkey"), Seq("o_month"))
+      s.read.parquet(tmp)
+        .groupBy(col("o_month"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
+          dsum(col("o_totalprice")).as("price_sum"))
+    }),
     "q_multimodal_meta" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("source"), octet_length(col("text")).as("bytes"))
@@ -3061,6 +3088,27 @@ object Queries {
         |FROM orders
         |WHERE strftime(o_orderdate, '%Y-%m') = '1996-03'
         |GROUP BY 1, 2""".stripMargin,
+    // mergeIntoPartitioned replica: rebuild the merged table state —
+    // march key%5=0 doubled, same keys +10M inserted at the original
+    // price, everything else untouched
+    "q_lake_merge" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m') AS o_month FROM orders),
+        |march AS (SELECT * FROM base
+        | WHERE o_month = '1996-03' AND o_orderkey % 5 = 0),
+        |merged AS (
+        | SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_month
+        |  FROM march
+        | UNION ALL
+        | SELECT o_orderkey + 10000000, o_totalprice, o_month FROM march
+        | UNION ALL
+        | SELECT o_orderkey, o_totalprice, o_month FROM base
+        |  WHERE NOT (o_month = '1996-03' AND o_orderkey % 5 = 0))
+        |SELECT o_month, count(*) AS n,
+        | CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+        |   4) AS price_sum
+        |FROM merged GROUP BY o_month""".stripMargin,
     "q_pack_sequences" -> packSequencesOracle,
     "q_text_chunks" -> textChunksOracle,
     "q_text_boilerplate" -> boilerplateOracle,

@@ -154,6 +154,51 @@ object Lakehouse {
       .partitionBy(partCols: _*)
       .parquet(path)
 
+  /** Upsert a batch into a partitioned parquet table, rewriting ONLY
+    * the partitions the batch touches — the lakehouse MERGE for plain
+    * parquet (no table format): at 100 TB a daily batch touches a few
+    * date partitions and the other ~3,650 must not be read OR
+    * rewritten. Mechanics: read the target restricted to the touched
+    * partition values (a semi-join that prunes at the file index —
+    * untouched partitions are never scanned), keep only rows whose key
+    * is absent from the batch (batch wins — last-write), union the
+    * batch, and write with DYNAMIC partition-overwrite mode so only
+    * touched partition directories are replaced. The merged frame is
+    * localCheckpoint-ed first: it both cuts the self-read lineage
+    * (Spark refuses to overwrite a path it is reading) and
+    * materializes the result before any target file is deleted (at
+    * cluster scale point the checkpoint dir at reliable storage).
+    * Idempotent: re-merging the same batch is a no-op on content.
+    *
+    * Key uniqueness is the same contract as every upsert sink: `batch`
+    * unique on `keyCols`; the target stays unique if it starts so. */
+  def mergeIntoPartitioned(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      keyCols: Seq[String],
+      partCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty && partCols.nonEmpty,
+      "mergeIntoPartitioned needs key and partition columns")
+    val touched = batch.select(partCols.map(col): _*).distinct()
+    val existing = spark.read.parquet(path)
+      .join(broadcast(touched), partCols, "left_semi")
+    val merged = existing
+      .join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(batch.select(existing.columns.map(col): _*))
+      .localCheckpoint(true)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy(partCols: _*)
+      .parquet(path)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Compact a fragmented parquet directory to `nFiles` outputs —
     * small-file management, the perpetual lakehouse chore: a directory
     * with thousands of tiny files wastes scan tasks and footer reads.

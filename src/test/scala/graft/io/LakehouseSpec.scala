@@ -93,6 +93,40 @@ class LakehouseSpec extends SparkSpecBase {
     assert(zero == 0 && none.count() == 0)
   }
 
+  test("mergeIntoPartitioned rewrites only touched partitions, " +
+      "upserts last-write-wins, and is idempotent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("lkm").toString + "/t"
+    val base = Seq(
+      (1L, 10.0, "2024-01"), (2L, 20.0, "2024-01"),
+      (3L, 30.0, "2024-02"), (4L, 40.0, "2024-03"))
+      .toDF("k", "v", "m")
+    Lakehouse.writePartitioned(base, path, Seq("m"))
+    def partFiles(m: String) =
+      new java.io.File(s"$path/m=$m").listFiles
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).toSeq.sorted
+    val janBefore = partFiles("2024-01")
+    val febBefore = partFiles("2024-02")
+    // batch: update k=3 (feb), insert k=5 into feb — touches ONLY feb
+    val batch = Seq((3L, 300.0, "2024-02"), (5L, 50.0, "2024-02"))
+      .toDF("k", "v", "m")
+    Lakehouse.mergeIntoPartitioned(spark, path, batch, Seq("k"), Seq("m"))
+    val got = spark.read.parquet(path)
+      .select("k", "v").as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 10.0, 2L -> 20.0, 3L -> 300.0,
+      4L -> 40.0, 5L -> 50.0))
+    // untouched partitions: the same files, byte-stamps untouched
+    assert(partFiles("2024-01") == janBefore)
+    assert(partFiles("2024-02") != febBefore)
+    // idempotent: re-merging the same batch changes nothing
+    Lakehouse.mergeIntoPartitioned(spark, path, batch, Seq("k"), Seq("m"))
+    val again = spark.read.parquet(path)
+      .select("k", "v").as[(Long, Double)].collect().toMap
+    assert(again == got)
+  }
+
   test("compact folds a fragmented directory without changing data") {
     val path = java.nio.file.Files.createTempDirectory("cmp").toString + "/t"
     val src = Tables.orders(spark, "/root/testdata/sf0.001")
