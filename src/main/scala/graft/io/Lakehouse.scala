@@ -171,7 +171,12 @@ object Lakehouse {
     * Idempotent: re-merging the same batch is a no-op on content.
     *
     * Key uniqueness is the same contract as every upsert sink: `batch`
-    * unique on `keyCols`; the target stays unique if it starts so. */
+    * unique on `keyCols`; the target stays unique if it starts so.
+    * A key's PARTITION VALUE must be stable across versions (the
+    * date-partitioned-entity norm): an update that moves a key to a
+    * new partition would leave the old partition's row in place,
+    * since only touched partitions are read — route partition-moving
+    * updates through a delete-bearing CDC apply instead. */
   def mergeIntoPartitioned(
       spark: SparkSession,
       path: String,
