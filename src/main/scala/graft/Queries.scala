@@ -173,7 +173,7 @@ object Queries {
     "q_align_lowercase" -> ((s, dir) => {
       // F5/F6: case-insensitive schema align with typed NULL padding.
       val src = Tables.customer(s, dir)
-      val upper = src.toDF(src.columns.map(_.toUpperCase): _*)
+      val upper = src.toDF(src.columns.toIndexedSeq.map(_.toUpperCase): _*)
       val expected = StructType(Seq(
         StructField("c_custkey", LongType),
         StructField("c_name", StringType),
@@ -716,7 +716,7 @@ object Queries {
       implicit val sp: SparkSession = s
       graft.streaming.Streams.runAvailableNow(
         graft.streaming.Streams.sessionCountsState(
-          graft.streaming.Streams.eventsStream(s, dir)).toDF, name)
+          graft.streaming.Streams.eventsStream(s, dir)).toDF(), name)
         // update-mode drain: a session extended across micro-batches is
         // re-emitted under its (user, start) key — latest extent = max
         .groupBy(col("user_id"), col("session_start_us"))

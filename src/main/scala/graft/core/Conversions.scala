@@ -56,7 +56,7 @@ object Conversions {
   /** F5: rename-to-lowercase before target load
     * (dags/mssql_to_postgresql_orders_daily.py:216). */
   def lowercaseColumns(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(_.toLowerCase): _*)
+    df.toDF(df.columns.toIndexedSeq.map(_.toLowerCase): _*)
 
   /** F6: column alignment/padding — keep expected columns in target
     * order, add missing ones as typed NULLs

@@ -190,7 +190,7 @@ object Lakehouse {
       .join(broadcast(touched), partCols, "left_semi")
     val merged = existing
       .join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
-      .unionByName(batch.select(existing.columns.map(col): _*))
+      .unionByName(batch.select(existing.columns.toIndexedSeq.map(col): _*))
       .localCheckpoint(true)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

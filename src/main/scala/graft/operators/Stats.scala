@@ -317,7 +317,7 @@ object Stats {
       pmod(col("__h") * Dedup.affineA(j) + Dedup.affineB(j),
         lit(Dedup.PortableMod)) % width
     }: _*)
-    val passThrough = candidates.columns.map(col)
+    val passThrough = candidates.columns.toIndexedSeq.map(col)
     candidates
       .withColumn("__h", Dedup.polyHash(item))
       .select((passThrough :+
