@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import org.apache.spark.storage.StorageLevel
+
 import graft.core.{Conversions, Tables}
 import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, Stats, TextAnalysis, Upsert}
 
@@ -70,6 +72,37 @@ object Queries {
         Dedup.connectedComponents(lshPairs(s, dir), numPartitions = 1))
     }
 
+  /** Session-shared embedding k-NN graph (SRP-LSH portable planes,
+    * k = 5 neighbors, 32 bits / 4 bands): computed once per (session,
+    * sf dir) — the graph-census family (q_graph_triangles,
+    * q_graph_bfs) shares one candidate-generation pass. The operator
+    * persists and materializes the edge frame (≤ k·n rows). */
+  private val knnMemo =
+    scala.collection.mutable.HashMap[(SparkSession, String), DataFrame]()
+  private def knnEdges(s: SparkSession, dir: String): DataFrame =
+    knnMemo.synchronized {
+      knnMemo.getOrElseUpdate((s, dir),
+        Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id",
+          "embedding", k = 5, portable = true))
+    }
+
+  /** Session-shared k-means assignment over the embeddings (8 cells,
+    * one Lloyd round) — the clustering family (q_cluster_balance,
+    * q_cluster_purity) shares the assignment pass. Tiny frame
+    * (corpus-count rows × 3 thin columns), persisted here. */
+  private val clusterMemo =
+    scala.collection.mutable.HashMap[(SparkSession, String), DataFrame]()
+  private def clusterAssign(s: SparkSession, dir: String): DataFrame =
+    clusterMemo.synchronized {
+      clusterMemo.getOrElseUpdate((s, dir), {
+        val a = Similarity.assignClusters(Tables.embeddings(s, dir),
+            "vec_id", "embedding", nCells = 8, iters = 1)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        a.count()
+        a
+      })
+    }
+
   /** orders with the reference's NULL-routing column: the incremental
     * timestamp is NULL for one slice of rows (status 'P' stands in for
     * the reference's incomplete orders — SURVEY.md §2.2 F2). */
@@ -81,6 +114,14 @@ object Queries {
 
   private def eventsFirstHalf(c: Column): Column = c < lit("2024-01-16")
   private val SplitTs = "2024-01-16"
+
+  /** q_dedup_semantic's cosine cut — interpolated into the oracle SQL
+    * from this same double (the float-constant portability rule).
+    * 0.3 drops ~39% of the sf0.01 corpus: the synthetic embeddings
+    * are weakly clustered (cluster purity ≈ chance), so the published
+    * SemDeDup cut of ~0.95+ would be a no-op here; the POLICY under
+    * test (lower-id in-cluster neighbor wins) is threshold-free. */
+  private val SemDedupThreshold = 0.3
 
   /** Latest event per user within a predicate window, with the
     * first-seen timestamp carried along (feeds the upsert family). */
@@ -619,6 +660,81 @@ object Queries {
       graft.operators.Graph.degreeStats(edges)
         .groupBy(col("out_deg"))
         .agg(count(lit(1)).as("n_nodes"), sum(col("in_deg")).as("in_deg_sum"))
+    }),
+    "q_graph_triangles" -> ((s, dir) => {
+      // Triangle census + global clustering coefficient of the
+      // embedding k-NN graph (SRP-LSH candidates, top-5 neighbors,
+      // canonical undirected edges): measures how clustered the
+      // embedding manifold is — a curation diagnostic (well-clustered
+      // spaces dedup and diversity-balance better). Degree-ordered
+      // orientation bounds the wedge join; the k-NN graph is sparse
+      // by construction (deg ≲ 2k) at any corpus size.
+      graft.operators.Graph.triangleStats(knnEdges(s, dir))
+    }),
+    "q_graph_bfs" -> ((s, dir) => {
+      // Multi-source BFS over the same k-NN graph: hop distances from
+      // the two lowest-id vectors, 3 synchronous frontier rounds (the
+      // frontier-iteration idiom: one co-partitioned join per round,
+      // min-merge, eager localCheckpoint lineage cut — the sparse
+      // complement to pageRank's dense power iteration). Compact
+      // gate: node count and id-sum per distance ring.
+      graft.operators.Graph.bfsHops(knnEdges(s, dir), Seq(0L, 1L),
+          iters = 3)
+        .groupBy(col("dist"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("id_sum"))
+    }),
+    "q_cluster_balance" -> ((s, dir) => {
+      // Cluster-balanced corpus selection: k-means assignment (8
+      // cells, one Lloyd round) as LEARNED strata, then a per-cluster
+      // cap (keep the 40 lowest-id members) — the semantic-diversity
+      // rebalance that trims dominant clusters before training, where
+      // lang/source columns don't capture the real modes. One window
+      // shuffle on cid after the broadcast assignment pass.
+      val w = Window.partitionBy(col("cid")).orderBy(col("vec_id").asc)
+      clusterAssign(s, dir)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 40)
+        .select(col("vec_id"), col("cid"))
+    }),
+    "q_cluster_purity" -> ((s, dir) => {
+      // Clustering-quality audit: per learned cluster, its size,
+      // dominant label (ties to the lower label), label purity, and
+      // average cosine-to-centroid — the health check run before
+      // trusting clusters for balancing/SemDeDup. Integer counts give
+      // the purity ratio; cohesion averages route through DECIMAL.
+      val asg = clusterAssign(s, dir)
+      val base = asg.join(Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label")), Seq("vec_id"))
+      val cnt = base.groupBy(col("cid"), col("label"))
+        .agg(count(lit(1)).as("__ln"))
+      val w = Window.partitionBy(col("cid"))
+        .orderBy(col("__ln").desc, col("label").asc)
+      val dom = cnt.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("cid"), col("label").cast(LongType).as("dom_label"),
+          col("__ln").as("dom_n"))
+      val tot = base.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("cos").cast(DecimalType(18, 6))).cast(DoubleType) /
+            count(lit(1)), 6).as("avg_cos"))
+      tot.join(dom, Seq("cid"))
+        .select(col("cid"), col("n"), col("dom_label"), col("dom_n"),
+          round(col("dom_n").cast(DoubleType) / col("n"), 6).as("purity"),
+          col("avg_cos"))
+    }),
+    "q_dedup_semantic" -> ((s, dir) => {
+      // SemDeDup (Abbas et al. 2023): within each k-means cluster,
+      // drop every vector with a lower-id neighbor at cosine ≥ 0.5.
+      // Cluster blocking keeps the pair join Σ|cluster|²/2, never
+      // corpus-quadratic; the keep-lowest-id policy applies with one
+      // distinct + anti-join (no components needed). Gate: per-label
+      // survivor count and id-sum.
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semanticDedupKeep(emb, "vec_id", "embedding",
+          nCells = 8, iters = 1, threshold = SemDedupThreshold)
+        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .groupBy(col("label").cast(LongType).as("label"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("id_sum"))
     }),
     "q_sessionize" -> ((s, dir) => {
       // Gap-based sessionization (30-minute inactivity): the classic
@@ -2497,6 +2613,11 @@ object Queries {
         |SELECT out_deg, count(*) AS n_nodes,
         | CAST(sum(in_deg) AS BIGINT) AS in_deg_sum
         |FROM deg GROUP BY 1""".stripMargin,
+    "q_graph_triangles" -> graphTrianglesOracle,
+    "q_graph_bfs" -> graphBfsOracle,
+    "q_cluster_balance" -> clusterBalanceOracle,
+    "q_cluster_purity" -> clusterPurityOracle,
+    "q_dedup_semantic" -> dedupSemanticOracle,
     "q_stream_enrich" ->
       """WITH dim AS (
         | SELECT user_id,
@@ -3991,6 +4112,167 @@ object Queries {
        |  THEN list_dot_product($a, $b) /
        |    (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
        |  ELSE 0.0 END""".stripMargin
+
+  /** Shared DuckDB CTE chain replicating Similarity.knnGraph over the
+    * embeddings (portable SRP planes, 32 bits / 4 bands, k = 5): ends
+    * in `e(a, b)` — the canonical undirected k-NN edge set the graph
+    * census queries consume. Same signature arithmetic as
+    * [[simLshOracle]]. */
+  private def knnEdgesCte: String = {
+    val dim = 64; val bits = 32; val bands = 4; val bandBits = 8; val k = 5
+    def planeList(p: Int): String =
+      (0 until dim).map(d =>
+        graft.operators.Similarity.planeWeightPortable(p, d).toString)
+        .mkString("[", ",", "]::DOUBLE[]")
+    def sigExpr(e: String): String =
+      (0 until bits).map(p =>
+        s"(CASE WHEN list_dot_product($e, ${planeList(p)}) >= 0 " +
+          s"THEN ${1L << p} ELSE 0 END)").mkString(" + ")
+    val bandKeys = (0 until bands).map(b =>
+      s"SELECT $b AS band, (sig >> ${b * bandBits}) & 255 AS key")
+    s"""c0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |       FROM embeddings),
+       |sg AS (SELECT id, CAST(${sigExpr("v")} AS BIGINT) AS sig FROM c0),
+       |sb AS (SELECT id, band, key FROM sg,
+       |  LATERAL (${bandKeys.mkString(" UNION ALL ")})),
+       |cand AS (SELECT DISTINCT x.id AS qid, y.id AS cid FROM sb x
+       |  JOIN sb y ON x.band = y.band AND x.key = y.key
+       |    AND x.id <> y.id),
+       |scored AS (SELECT qid, cid, ${cosSql("cv", "qv")} AS cos FROM (
+       |  SELECT cand.qid, cand.cid, q.v AS qv, c.v AS cv
+       |  FROM cand JOIN c0 q ON cand.qid = q.id
+       |            JOIN c0 c ON cand.cid = c.id)),
+       |nn AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, cid ASC) AS rn FROM scored)
+       |  WHERE rn <= $k),
+       |e AS (SELECT DISTINCT least(qid, cid) AS a,
+       |  greatest(qid, cid) AS b FROM nn)""".stripMargin
+  }
+
+  /** Shared DuckDB CTE chain replicating Similarity.assignClusters
+    * over the embeddings (`nCells` lowest-id seeds, ONE Lloyd round):
+    * ends in `ca(id, v, cid, cos)` — assignment to the refined
+    * centroid, cosine unrounded (round at use). Mirrors
+    * [[simIvfRefinedOracle]]'s refinement arithmetic. */
+  private def kmeansAssignCte(nCells: Int): String =
+    s"""c0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |       FROM embeddings),
+       |cent0 AS (SELECT id AS cid, v AS cv FROM c0
+       |          ORDER BY id LIMIT $nCells),
+       |a0 AS (SELECT id, v, cid FROM (
+       |  SELECT c0.id, c0.v, cent0.cid,
+       |   row_number() OVER (PARTITION BY c0.id
+       |     ORDER BY ${cosSql("c0.v", "cent0.cv")} DESC, cent0.cid ASC)
+       |     AS rn
+       |  FROM c0 CROSS JOIN cent0) WHERE rn = 1),
+       |flat AS (SELECT cid, unnest(v) AS x,
+       |   generate_subscripts(v, 1) AS ord FROM a0),
+       |mean AS (SELECT cid, ord,
+       |  round(CAST(sum(CAST(x AS DECIMAL(27,12))) AS DOUBLE)
+       |    / count(*), 9) AS m
+       | FROM flat GROUP BY cid, ord),
+       |nm AS (SELECT cid, list(m ORDER BY ord) AS cv
+       |       FROM mean GROUP BY cid),
+       |cent AS (SELECT cent0.cid, coalesce(nm.cv, cent0.cv) AS cv
+       |         FROM cent0 LEFT JOIN nm USING (cid)),
+       |ca AS (SELECT id, v, cid, cos FROM (
+       |  SELECT c0.id, c0.v, cent.cid,
+       |   ${cosSql("c0.v", "cent.cv")} AS cos,
+       |   row_number() OVER (PARTITION BY c0.id
+       |     ORDER BY ${cosSql("c0.v", "cent.cv")} DESC, cent.cid ASC)
+       |     AS rn
+       |  FROM c0 CROSS JOIN cent) WHERE rn = 1)""".stripMargin
+
+  /** q_graph_triangles replica: the oracle counts each triangle once
+    * via the id-ordered triple join a<b<c — an INDEPENDENT algorithm
+    * from the engine's degree-ordered orientation, same census. */
+  private def graphTrianglesOracle: String =
+    s"""WITH $knnEdgesCte,
+       |deg AS (SELECT node, count(*) AS deg FROM (
+       |  SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+       | GROUP BY 1),
+       |tri AS (SELECT count(*) AS t FROM e e1
+       |  JOIN e e2 ON e2.a = e1.b
+       |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |agg AS (SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       |  (SELECT count(*) FROM e) AS n_edges,
+       |  (SELECT t FROM tri) AS n_triangles,
+       |  (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) FROM deg)
+       |    AS n_wedges)
+       |SELECT n_nodes, n_edges, n_triangles, n_wedges,
+       |  CASE WHEN n_wedges > 0
+       |    THEN round(3.0 * n_triangles / n_wedges, 6) ELSE 0.0 END
+       |    AS global_cc
+       |FROM agg""".stripMargin
+
+  /** q_graph_bfs replica: the 3 frontier rounds unrolled as min-merge
+    * levels (the pageRankOracle unrolling pattern — exact integer
+    * distances, so no rounding discipline is needed). */
+  private def graphBfsOracle: String = {
+    val levels = (1 to 3).map { i =>
+      val p = i - 1
+      s"""n$i AS (SELECT bi.v AS node, min(d$p.dist + 1) AS dist
+         |  FROM bi JOIN d$p ON bi.u = d$p.node GROUP BY 1),
+         |d$i AS (SELECT node, min(dist) AS dist FROM (
+         |  SELECT node, dist FROM d$p
+         |  UNION ALL SELECT node, dist FROM n$i) GROUP BY 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnEdgesCte,
+       |bi AS (SELECT a AS u, b AS v FROM e
+       |       UNION ALL SELECT b AS u, a AS v FROM e),
+       |d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+       |       UNION ALL SELECT 1, 0),
+       |$levels
+       |SELECT dist, count(*) AS n_nodes,
+       |  CAST(sum(node) AS BIGINT) AS id_sum
+       |FROM d3 GROUP BY 1""".stripMargin
+  }
+
+  /** q_cluster_balance replica: per-cluster keep-40-lowest-ids over
+    * the shared k-means assignment. */
+  private def clusterBalanceOracle: String =
+    s"""WITH ${kmeansAssignCte(8)},
+       |r AS (SELECT id, cid,
+       |  row_number() OVER (PARTITION BY cid ORDER BY id) AS rn FROM ca)
+       |SELECT id AS vec_id, cid FROM r WHERE rn <= 40""".stripMargin
+
+  /** q_cluster_purity replica: dominant label by (count desc, label
+    * asc), integer purity ratio, DECIMAL-routed cohesion average over
+    * the 6-dp-rounded cosines. */
+  private def clusterPurityOracle: String =
+    s"""WITH ${kmeansAssignCte(8)},
+       |base AS (SELECT ca.cid, emb.label, round(ca.cos, 6) AS cos
+       |  FROM ca JOIN embeddings emb ON ca.id = emb.vec_id),
+       |cnt AS (SELECT cid, label, count(*) AS ln
+       |        FROM base GROUP BY 1, 2),
+       |dom AS (SELECT cid, CAST(label AS BIGINT) AS dom_label,
+       |  ln AS dom_n FROM (
+       |  SELECT cid, label, ln, row_number() OVER (PARTITION BY cid
+       |    ORDER BY ln DESC, label ASC) AS rn FROM cnt) WHERE rn = 1),
+       |tot AS (SELECT cid, count(*) AS n,
+       |  round(CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
+       |    / count(*), 6) AS avg_cos
+       | FROM base GROUP BY 1)
+       |SELECT tot.cid, n, dom_label, dom_n,
+       |  round(CAST(dom_n AS DOUBLE) / n, 6) AS purity, avg_cos
+       |FROM tot JOIN dom ON tot.cid = dom.cid""".stripMargin
+
+  /** q_dedup_semantic replica: within-cluster lower-id neighbor at
+    * cosine ≥ threshold (constant interpolated from the same Scala
+    * double) drops the higher id; per-label survivor census. */
+  private def dedupSemanticOracle: String =
+    s"""WITH ${kmeansAssignCte(8)},
+       |dr AS (SELECT DISTINCT x.id AS did FROM ca x JOIN ca y
+       |  ON x.cid = y.cid AND y.id < x.id
+       |  AND ${cosSql("x.v", "y.v")} >= $SemDedupThreshold),
+       |kept AS (SELECT id FROM ca
+       |         WHERE id NOT IN (SELECT did FROM dr))
+       |SELECT CAST(emb.label AS BIGINT) AS label,
+       |  count(*) AS n_kept, CAST(sum(emb.vec_id) AS BIGINT) AS id_sum
+       |FROM kept JOIN embeddings emb ON kept.id = emb.vec_id
+       |GROUP BY 1""".stripMargin
 
   /** DuckDB replica of q_sim_ivf: 16 lowest-id centroids, nearest-cell
     * assignment (ties to lower centroid id), 4-cell probing, exact

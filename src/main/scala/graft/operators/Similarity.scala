@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -138,7 +139,8 @@ object Similarity {
       bits: Int = 32,
       bands: Int = 4,
       seed: Int = 42,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false,
+      excludeSelf: Boolean = false): DataFrame = {
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
     def withBands(df: DataFrame, side: String): DataFrame = {
@@ -153,7 +155,9 @@ object Similarity {
     }
     val c = withBands(corpus, "corpus")
     val q = withBands(queries, "query")
-    val cand = c.join(q, Seq("band", "key"))
+    val joined = c.join(q, Seq("band", "key"))
+    val cand = (if (excludeSelf) joined.filter(col("query_id") =!= col("corpus_id"))
+      else joined)
       .select(col("query_id"), col("corpus_id"),
         col("query_emb"), col("corpus_emb"))
       .distinct()
@@ -164,6 +168,38 @@ object Similarity {
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .drop("__rn")
+  }
+
+  /** Sparse k-NN graph over an embedding corpus: SRP-LSH banded
+    * candidate generation ([[lshTopKPerQuery]] with corpus as its own
+    * query side, self-pairs excluded), exact-cosine verification,
+    * top-k neighbors per vector (ties by neighbor id), then
+    * canonicalized undirected edges (`a` < `b`, distinct).
+    *
+    * The 100 TB shape: ONE (band, key) shuffle of the corpus replaces
+    * the quadratic cross join — each vector meets only its bucket
+    * cohort — and the output degree is bounded by ~2k by construction
+    * (k out-neighbors plus however many vectors pick this one), so
+    * every downstream graph pass (triangles, BFS, components) stays
+    * near-linear in corpus size. Returned edges are persisted and
+    * materialized (multi-consumer frame; tiny: ≤ k·n rows). */
+  def knnGraph(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      bits: Int = 32,
+      bands: Int = 4,
+      portable: Boolean = false): DataFrame = {
+    val nn = lshTopKPerQuery(corpus, corpus, idCol, embCol, k,
+      bits = bits, bands = bands, portable = portable, excludeSelf = true)
+    val e = nn.select(
+        least(col("query_id"), col("corpus_id")).as("a"),
+        greatest(col("query_id"), col("corpus_id")).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    e
   }
 
   /** IVF-flat approximate top-k: the "inverted file" scale path.
@@ -227,6 +263,79 @@ object Similarity {
         .select(col("cid"), coalesce(col("cemb"), col("__old")).as("cemb"))
     }
     cent
+  }
+
+  /** Full-corpus k-means cluster assignment: centroids from
+    * [[kmeansRefine]] (deterministic lowest-id seeds + `iters` Lloyd
+    * rounds), then one nearest-centroid pass — cosine, ties to the
+    * lower cid. Returns (idCol, cid, cos) with cos rounded to 6 dp
+    * (ordering happens on the unrounded value).
+    *
+    * At 100 TB: the centroid frame is nCells·dim doubles — control
+    * plane — and broadcasts; the corpus is scored in place (no
+    * shuffle) and only the assignment window partitions by the vector
+    * id, which the cross join preserves per-row, so the window is a
+    * per-row top-1 over nCells candidates, not a data movement. */
+  def assignClusters(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      nCells: Int,
+      iters: Int = 1): DataFrame = {
+    val cent = kmeansRefine(corpus, idCol, embCol, nCells, iters)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__d").desc, col("cid").asc)
+    corpus.select(col(idCol), col(embCol))
+      .crossJoin(broadcast(cent))
+      .select(col(idCol), col("cid"),
+        cosine(col(embCol), col("cemb")).as("__d"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("cid"), round(col("__d"), 6).as("cos"))
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with k-means
+    * ([[assignClusters]]), then WITHIN each cluster drop every vector
+    * that has a lower-id neighbor with cosine ≥ `threshold`. Returns
+    * the surviving (idCol, cid) rows.
+    *
+    * Clustering is what makes this tractable at 100 TB: candidate
+    * pairs are generated per cluster — the self-join partitions on
+    * cid, so pair fanout is Σ|cluster|²/2, controlled by nCells, never
+    * the corpus-quadratic cross join. The keep-lowest-id rule needs no
+    * connected components: a vector is dropped iff ANY lower-id
+    * in-cluster neighbor clears the threshold (the published SemDeDup
+    * policy), which one distinct + anti-join applies. */
+  def semanticDedupKeep(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      nCells: Int,
+      iters: Int = 1,
+      threshold: Double): DataFrame = {
+    // the assignment frame feeds both pair sides AND the final
+    // anti-join — persist it or the kmeans pipeline (and the corpus
+    // scan under it) re-runs three times (the multi-consumer rule)
+    val asg = assignClusters(corpus, idCol, embCol, nCells, iters)
+      .select(col(idCol), col("cid"))
+      .join(corpus.select(col(idCol), col(embCol)), Seq(idCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hi = asg.select(col("cid"),
+      col(idCol).as("__hi"), col(embCol).as("__he"))
+    val lo = asg.select(col("cid").as("__cid2"),
+      col(idCol).as("__lo"), col(embCol).as("__le"))
+    val dropped = hi.join(lo,
+        col("cid") === col("__cid2") && col("__lo") < col("__hi") &&
+          cosine(col("__he"), col("__le")) >= threshold)
+      .select(col("__hi").as(idCol))
+      .distinct()
+    val out = asg.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    asg.unpersist(false)
+    out
   }
 
   def ivfTopKPerQuery(

@@ -50,6 +50,52 @@ class GraphSpec extends SparkSpecBase {
     assert(r(1L) == "1.000000" && r(2L) == "0.150000" && r(3L) == "0.277500")
   }
 
+  test("triangleStats: K4 is fully clustered") {
+    // complete graph on 4 nodes: 4 triangles, every wedge closed
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("a", "b")
+    val r = Graph.triangleStats(e).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4)) == ((4L, 6L, 4L, 12L, 1.0)))
+  }
+
+  test("triangleStats: a path has wedges but no triangle") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val r = Graph.triangleStats(e).collect()(0)
+    assert((r.getLong(2), r.getLong(3), r.getDouble(4)) == ((0L, 1L, 0.0)))
+  }
+
+  test("triangleStats: triangle with a pendant edge") {
+    // degrees 2,2,3,1 → wedges 1+1+3+0 = 5; one triangle; cc = 3/5
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val r = Graph.triangleStats(e).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4)) == ((4L, 4L, 1L, 5L, 0.6)))
+  }
+
+  test("triangleStats: edgeless wedge-free graph reports cc 0") {
+    val e = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    val r = Graph.triangleStats(e).collect()(0)
+    assert((r.getLong(2), r.getLong(3), r.getDouble(4)) == ((0L, 0L, 0.0)))
+  }
+
+  test("bfsHops: path distances, horizon cut, unreached absent") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 8L))
+      .toDF("a", "b")
+    val got = Graph.bfsHops(e, Seq(1L), iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // 5 is 4 hops away (beyond iters=3); 7/8 are a different component
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("bfsHops: multi-source takes the minimum over seeds") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val got = Graph.bfsHops(e, Seq(1L, 5L), iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
+
   test("degreeStats: full-outer degrees with zero fill") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     val got = Graph.degreeStats(edges)

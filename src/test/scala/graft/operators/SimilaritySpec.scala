@@ -104,4 +104,47 @@ class SimilaritySpec extends SparkSpecBase {
     assert(pairsOf(all) == pairsOf(exact),
       "full probing must equal the exact search")
   }
+
+  test("knnGraph: canonical distinct edges; identical vectors connect") {
+    import spark.implicits._
+    // two identical groups — identical vectors share every LSH bucket
+    // and sit at cosine 1, so within-group edges MUST appear
+    val rows =
+      Seq(10L, 11L, 12L, 13L).map(id => (id, Array(1f, 0f, 2f))) ++
+        Seq(20L, 21L).map(id => (id, Array(-1f, 3f, 0f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val e = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5,
+      portable = true)
+    val got = e.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.forall { case (a, b) => a < b }, "edges must be canonical")
+    assert(got.size == e.count(), "edges must be distinct")
+    val withinA = Set((10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L),
+      (11L, 13L), (12L, 13L))
+    assert(withinA.subsetOf(got) && got.contains((20L, 21L)))
+  }
+
+  test("assignClusters: separable groups land on their own centroid") {
+    import spark.implicits._
+    // seeds = two lowest ids (0 → [1,0], 1 → [0,1]); identical members
+    // keep the centroids fixed through the Lloyd round
+    val rows = Seq(0L, 2L, 4L).map(id => (id, Array(1f, 0f))) ++
+      Seq(1L, 3L, 5L).map(id => (id, Array(0f, 1f)))
+    val asg = Similarity.assignClusters(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", nCells = 2, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(asg.length == 6, "every vector assigned exactly once")
+    assert(asg.forall { case (id, cid, cos) =>
+      cid == (id % 2) && cos == 1.0 })
+  }
+
+  test("semanticDedupKeep: keeps the lowest id per duplicate group") {
+    import spark.implicits._
+    val rows = Seq(0L, 2L, 4L).map(id => (id, Array(1f, 0f))) ++
+      Seq(1L, 3L, 5L).map(id => (id, Array(0f, 1f)))
+    val kept = Similarity.semanticDedupKeep(
+        rows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        nCells = 2, iters = 1, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept == Set((0L, 0L), (1L, 1L)))
+  }
 }
