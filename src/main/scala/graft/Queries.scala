@@ -123,6 +123,11 @@ object Queries {
     * test (lower-id in-cluster neighbor wins) is threshold-free. */
   private val SemDedupThreshold = 0.3
 
+  /** q_text_encode's vocabulary size: 16 of the corpus's 31 distinct
+    * whitespace tokens, so the OOV path carries real traffic. The unk
+    * id is the vocab size itself. */
+  private val EncodeVocabSize = 16
+
   /** Latest event per user within a predicate window, with the
     * first-seen timestamp carried along (feeds the upsert family). */
   private def latestEventPerUser(
@@ -1421,6 +1426,33 @@ object Queries {
     }),
 
     // --- training-data pipeline: text analysis --------------------------
+    "q_text_encode" -> ((s, dir) => {
+      // Tokenize-encode: induce a top-16 vocabulary (count desc,
+      // token asc — deterministic), encode every document as a
+      // positional id sequence with OOV → unk(16), then gate the
+      // ACTUAL arrays through a position-weighted integer checksum
+      // per source — any id, position, or OOV drift changes it.
+      // Vocab is control-plane; encoding is one corpus pass +
+      // broadcast join + one doc_id shuffle.
+      val docs = Tables.documents(s, dir)
+      val unk = EncodeVocabSize.toLong
+      val vocab = TextAnalysis.induceVocab(docs, col("text"),
+        EncodeVocabSize)
+      val enc = TextAnalysis.encodeDocs(docs, "doc_id", col("text"),
+        vocab, unkId = unk)
+      val n = size(col("ids"))
+      enc.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("source"), n.as("__nt"),
+          size(filter(col("ids"), x => x === lit(unk))).as("__noov"),
+          when(n > 0, aggregate(
+            zip_with(col("ids"), sequence(lit(1), n),
+              (id, p) => p.cast(LongType) * (id + lit(1L))),
+            lit(0L), (a, x) => a + x)).otherwise(lit(0L)).as("__ck"))
+        .groupBy(col("source"))
+        .agg(sum(col("__nt").cast(LongType)).as("n_tokens"),
+          sum(col("__noov").cast(LongType)).as("n_oov"),
+          sum(col("__ck")).as("enc_checksum"))
+    }),
     "q_token_stats" -> ((s, dir) => {
       Tables.documents(s, dir)
         .groupBy(col("source"))
@@ -2953,6 +2985,7 @@ object Queries {
         |     embedding::DOUBLE[], embedding::DOUBLE[]))
         |   AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS avg_norm
         |FROM embeddings GROUP BY label""".stripMargin,
+    "q_text_encode" -> textEncodeOracle,
     "q_token_stats" ->
       """SELECT source, count(*) AS n_docs,
         | CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
@@ -4183,6 +4216,30 @@ object Queries {
        |     ORDER BY ${cosSql("c0.v", "cent.cv")} DESC, cent.cid ASC)
        |     AS rn
        |  FROM c0 CROSS JOIN cent) WHERE rn = 1)""".stripMargin
+
+  /** q_text_encode replica: same vocab ranking (count desc, token
+    * asc, row_number ids), LEFT-join encoding with unk = vocab size,
+    * 1-based positional checksum — integer arithmetic end to end. */
+  private def textEncodeOracle: String = {
+    val v = EncodeVocabSize
+    s"""WITH toks AS (SELECT doc_id, source,
+       |  list_filter(regexp_split_to_array(text, '\\s+'),
+       |    x -> len(x) > 0) AS tk FROM documents),
+       |tok AS (SELECT doc_id, source, unnest(tk) AS token,
+       |  generate_subscripts(tk, 1) AS pos FROM toks),
+       |cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+       |vocab AS (SELECT token,
+       |  row_number() OVER (ORDER BY c DESC, token ASC) - 1 AS id
+       |  FROM cnt ORDER BY c DESC, token ASC LIMIT $v),
+       |enc AS (SELECT t.doc_id, t.source, t.pos,
+       |  coalesce(v.id, $v) AS id FROM tok t
+       |  LEFT JOIN vocab v ON t.token = v.token)
+       |SELECT source, count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN id = $v THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_oov,
+       |  CAST(sum(pos * (id + 1)) AS BIGINT) AS enc_checksum
+       |FROM enc GROUP BY 1""".stripMargin
+  }
 
   /** q_graph_triangles replica: the oracle counts each triangle once
     * via the id-ordered triple join a<b<c — an INDEPENDENT algorithm

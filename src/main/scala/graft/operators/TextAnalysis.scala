@@ -613,4 +613,55 @@ object TextAnalysis {
     bgAll.unpersist(false)
     out
   }
+
+  /** Frequency-ranked vocabulary induction: the top `vocabSize`
+    * whitespace tokens by (count desc, token asc), densely numbered
+    * 0..vocabSize−1 in that order. Returns (token, id: long).
+    *
+    * The count aggregation is the only corpus-scale shuffle; the
+    * top-V cut plans as `TakeOrderedAndProject` (per-partition top-V,
+    * driver merge — never a global sort of the distinct-token set),
+    * and the id-assignment window runs on the V-row result, which is
+    * control-plane by construction. */
+  def induceVocab(
+      docs: DataFrame,
+      textCol: Column,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val cnt = docs.select(explode(tokens(textCol)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("__c"))
+    val top = cnt.orderBy(col("__c").desc, col("token").asc)
+      .limit(vocabSize)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__c").desc, col("token").asc)
+    top.withColumn("id", (row_number().over(w) - 1).cast(LongType))
+      .select(col("token"), col("id"))
+  }
+
+  /** Encode documents as fixed-vocabulary id sequences: whitespace
+    * tokens map through `vocab` ((token, id), broadcast — the vocab
+    * is control-plane by construction), out-of-vocabulary tokens map
+    * to `unkId`, token order is preserved. Returns
+    * (idCol, ids: array<long>).
+    *
+    * Shape at 100 TB: one corpus pass (posexplode), a broadcast hash
+    * join against the vocab, one shuffle on the document id to
+    * reassemble the sequence — the tokenize-encode step every
+    * training run performs on its way to packing. */
+  def encodeDocs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: Column,
+      vocab: DataFrame,
+      unkId: Long): DataFrame = {
+    val toks = docs.select(col(idCol),
+      posexplode(tokens(textCol)).as(Seq("__pos", "token")))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .select(col(idCol), col("__pos"),
+        coalesce(col("id"), lit(unkId)).as("__id"))
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__id")))),
+        s => s.getField("__id")).as("ids"))
+  }
 }

@@ -96,6 +96,47 @@ class GraphSpec extends SparkSpecBase {
       Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
   }
 
+  test("triangleStats matches brute force on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 24
+    val edges = for {
+      a <- 0 until n; b <- (a + 1) until n if rnd.nextDouble() < 0.18
+    } yield (a.toLong, b.toLong)
+    val adj = edges.toSet
+    val ids = (0 until n).map(_.toLong)
+    val triBrute = (for {
+      a <- ids; b <- ids if a < b && adj((a, b))
+      c <- ids if b < c && adj((b, c)) && adj((a, c))
+    } yield 1).size.toLong
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (_, v) => v.size.toLong }
+    val wedges = deg.map(d => d * (d - 1) / 2).sum
+    val r = Graph.triangleStats(edges.toDF("a", "b")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((deg.size.toLong, edges.size.toLong, triBrute, wedges)))
+  }
+
+  test("bfsHops matches a local BFS on a seeded random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 24
+    val edges = for {
+      a <- 0 until n; b <- (a + 1) until n if rnd.nextDouble() < 0.12
+    } yield (a.toLong, b.toLong)
+    val nbrs = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val seeds = Seq(0L, 1L)
+    var dist = seeds.map(_ -> 0L).toMap
+    for (d <- 1L to 3L) {
+      val frontier = dist.collect { case (v, dd) if dd == d - 1 => v }
+      val nxt = frontier.flatMap(v => nbrs.getOrElse(v, Set.empty))
+        .filterNot(dist.contains)
+      dist = dist ++ nxt.map(_ -> d)
+    }
+    val got = Graph.bfsHops(edges.toDF("a", "b"), seeds, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == dist)
+  }
+
   test("degreeStats: full-outer degrees with zero fill") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     val got = Graph.degreeStats(edges)

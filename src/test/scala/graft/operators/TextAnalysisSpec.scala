@@ -15,6 +15,24 @@ class TextAnalysisSpec extends SparkSpecBase {
     df.select(TextAnalysis.redactPii(col("t"))).collect()(0).getString(0)
   }
 
+  test("induceVocab ranks count-desc then token-asc; encode keeps " +
+    "order and maps OOV to unk") {
+    import spark.implicits._
+    val docs = Seq((1L, "b b a a c"), (2L, "a b d"))
+      .toDF("doc_id", "text")
+    // counts: a=3, b=3, c=1, d=1 → vocab(3): a→0, b→1, c→2; d is OOV
+    val vocab = TextAnalysis.induceVocab(docs, col("text"), 3)
+    val ids = vocab.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(ids == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+    val enc = TextAnalysis
+      .encodeDocs(docs, "doc_id", col("text"), vocab, unkId = 3L)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(enc(1L) == Seq(1L, 1L, 0L, 0L, 2L),
+      "positional order must survive the reassembly shuffle")
+    assert(enc(2L) == Seq(0L, 1L, 3L), "OOV token must encode as unk")
+  }
+
   test("redactPii scrubs emails, phones, and IPs with placeholders") {
     assert(redact("mail a.b+c@ex-ample.co.uk now")
       == "mail <EMAIL> now")
