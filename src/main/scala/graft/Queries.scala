@@ -688,6 +688,29 @@ object Queries {
         .groupBy(col("dist"))
         .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("id_sum"))
     }),
+    "q_graph_components" -> ((s, dir) => {
+      // Connected components of the k-NN graph: embedding-space
+      // neighborhoods — the semantic analogue of the LSH text-dup
+      // components (same operator, both driver union-find and
+      // distributed propagation paths unit-tested). The oracle
+      // reconstructs components with a recursive closure over the
+      // replicated edge set. Gate: per-component census.
+      Dedup.connectedComponents(knnEdges(s, dir), numPartitions = 1)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("id")).as("id_sum"),
+          max(col("id")).as("max_id"))
+    }),
+    "q_graph_linkpred" -> ((s, dir) => {
+      // Adamic–Adar link prediction on the k-NN graph: the top-20
+      // non-adjacent pairs by shared-neighbor evidence — the feature
+      // that proposes "these two should be compared" to record
+      // linkage. Per-wedge 1/ln(deg) rounds to 6 dp then sums as
+      // DECIMAL (order-independent), so the ranking replays exactly.
+      graft.operators.Graph.commonNeighborScores(knnEdges(s, dir))
+        .orderBy(col("aa").desc, col("a").asc, col("b").asc)
+        .limit(20)
+    }),
     "q_cluster_balance" -> ((s, dir) => {
       // Cluster-balanced corpus selection: k-means assignment (8
       // cells, one Lloyd round) as LEARNED strata, then a per-cluster
@@ -2647,6 +2670,8 @@ object Queries {
         |FROM deg GROUP BY 1""".stripMargin,
     "q_graph_triangles" -> graphTrianglesOracle,
     "q_graph_bfs" -> graphBfsOracle,
+    "q_graph_components" -> graphComponentsOracle,
+    "q_graph_linkpred" -> graphLinkpredOracle,
     "q_cluster_balance" -> clusterBalanceOracle,
     "q_cluster_purity" -> clusterPurityOracle,
     "q_dedup_semantic" -> dedupSemanticOracle,
@@ -4286,6 +4311,44 @@ object Queries {
        |  CAST(sum(node) AS BIGINT) AS id_sum
        |FROM d3 GROUP BY 1""".stripMargin
   }
+
+  /** q_graph_components replica: recursive reachability closure over
+    * the replicated k-NN edge set (the dedupComponentsOracle shape),
+    * min-label per node, then the per-component census. */
+  private def graphComponentsOracle: String =
+    s"""WITH $knnEdgesCte,
+       |pe AS (SELECT a AS src, b AS dst FROM e
+       |       UNION SELECT b, a FROM e),
+       |cc AS (
+       | SELECT n AS id, min(m) AS component FROM (
+       |  WITH RECURSIVE r(n, m) AS (
+       |    SELECT src, src FROM pe
+       |    UNION
+       |    SELECT pe.src, r.m FROM pe JOIN r ON pe.dst = r.n
+       |  ) SELECT n, m FROM r
+       | ) GROUP BY n)
+       |SELECT component, count(*) AS n_members,
+       | CAST(sum(id) AS BIGINT) AS id_sum, max(id) AS max_id
+       |FROM cc GROUP BY component""".stripMargin
+
+  /** q_graph_linkpred replica: wedge enumeration around each center,
+    * per-wedge round(1/ln(deg), 6) summed as DECIMAL, non-adjacent
+    * filter, top-20 by (aa desc, a, b). */
+  private def graphLinkpredOracle: String =
+    s"""WITH $knnEdgesCte,
+       |bi AS (SELECT a AS z, b AS n FROM e
+       |       UNION ALL SELECT b AS z, a AS n FROM e),
+       |deg AS (SELECT z, count(*) AS dz FROM bi GROUP BY 1),
+       |w AS (SELECT x.z, x.n AS u, y.n AS v FROM bi x
+       |      JOIN bi y ON x.z = y.z AND x.n < y.n),
+       |sc AS (SELECT u AS a, v AS b, count(*) AS n_common,
+       |  CAST(sum(CAST(round(1.0 / ln(dz), 6) AS DECIMAL(18,6)))
+       |    AS DOUBLE) AS aa
+       | FROM w JOIN deg ON w.z = deg.z GROUP BY 1, 2),
+       |na AS (SELECT sc.a, sc.b, sc.n_common, sc.aa FROM sc
+       |  LEFT JOIN e ON sc.a = e.a AND sc.b = e.b WHERE e.a IS NULL)
+       |SELECT a, b, n_common, round(aa, 6) AS aa FROM na
+       |ORDER BY round(aa, 6) DESC, a ASC, b ASC LIMIT 20""".stripMargin
 
   /** q_cluster_balance replica: per-cluster keep-40-lowest-ids over
     * the shared k-means assignment. */

@@ -187,6 +187,43 @@ object Graph {
     dist
   }
 
+  /** Link-prediction features over an undirected canonical edge list
+    * (`a` < `b`): for every NON-adjacent pair with at least one common
+    * neighbor, the common-neighbor count and the Adamic–Adar score
+    * Σ_z 1/ln(deg(z)) over shared neighbors z (Adamic & Adar 2003) —
+    * the classic "likely same entity / likely future edge" feature
+    * that feeds record-linkage and graph-augmentation pipelines.
+    *
+    * Wedge fanout is Σ deg(z)² — bounded by ~(2k)·m on a k-NN graph
+    * (the intended input); on skewed graphs a hub contributes O(deg²)
+    * wedges with near-zero AA weight, so production callers cap the
+    * center degree first (standard approximation). A wedge center in
+    * any pair has deg ≥ 2, so ln(deg) is never 0.
+    *
+    * Determinism: per-wedge contributions are computed in double,
+    * rounded to 6 dp, summed as DECIMAL(18,6) — exact and
+    * order-independent (the pageRank discipline). Shuffles: degree
+    * agg, wedge self-join on the center, pair aggregation, one
+    * anti-join against the edge set. */
+  def commonNeighborScores(edges: DataFrame): DataFrame = {
+    val bi = edges.select(col("a").as("z"), col("b").as("n"))
+      .union(edges.select(col("b").as("z"), col("a").as("n")))
+    val deg = bi.groupBy(col("z")).agg(count(lit(1)).as("__dz"))
+    val adj = bi.join(deg, Seq("z"))
+    val wedges = adj
+      .select(col("z"), col("n").as("u"), col("__dz"))
+      .join(adj.select(col("z"), col("n").as("v")), Seq("z"))
+      .filter(col("u") < col("v"))
+    val scored = wedges
+      .groupBy(col("u").as("a"), col("v").as("b"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(round(lit(1.0) / log(col("__dz").cast(DoubleType)), 6)
+          .cast(DecimalType(18, 6))).as("__aa"))
+    scored.join(edges, Seq("a", "b"), "left_anti")
+      .select(col("a"), col("b"), col("n_common"),
+        round(col("__aa").cast(DoubleType), 6).as("aa"))
+  }
+
   /** Degree statistics of an edge list: per-node out/in degree — the
     * control-plane profile every graph job starts with (skew here
     * decides salting/partitioning downstream). One shuffle per

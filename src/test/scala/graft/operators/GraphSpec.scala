@@ -137,6 +137,18 @@ class GraphSpec extends SparkSpecBase {
     assert(got == dist)
   }
 
+  test("commonNeighborScores: square graph scores its two diagonals") {
+    // 1-2-3-4-1: diagonals (1,3) and (2,4) share two degree-2
+    // neighbors → aa = 2·round(1/ln 2, 6); adjacent pairs are absent
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val got = Graph.commonNeighborScores(e).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2),
+        r.getDouble(3)))).toMap
+    val aa = 2 * BigDecimal(1.0 / math.log(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Map((1L, 3L) -> ((2L, aa)), (2L, 4L) -> ((2L, aa))))
+  }
+
   test("degreeStats: full-outer degrees with zero fill") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     val got = Graph.degreeStats(edges)
