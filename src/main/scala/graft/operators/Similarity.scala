@@ -262,7 +262,14 @@ object Similarity {
         .join(means, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("cemb"), col("__old")).as("cemb"))
     }
-    cent
+    // The centroid frame is nCells rows (control-plane) but its
+    // lineage is a full corpus pass per Lloyd round — and every
+    // downstream consumer (assignment, probing) re-evaluates it once
+    // per reference. Materialize it so k-means runs exactly once no
+    // matter how many passes consume the centroids.
+    val out = cent.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    out
   }
 
   /** Full-corpus k-means cluster assignment: centroids from
