@@ -711,6 +711,17 @@ object Queries {
         .orderBy(col("aa").desc, col("a").asc, col("b").asc)
         .limit(20)
     }),
+    "q_select_kcenter" -> ((s, dir) => {
+      // k-center greedy coreset selection (Gonzalez farthest-point):
+      // 8 maximally-novel exemplars — each round the candidate with
+      // the LOWEST max cosine to the selected set joins it. Fully
+      // declarative loop: the argmin is a TakeOrderedAndProject, the
+      // 1-row center broadcasts, the state localCheckpoints per
+      // round. The oracle unrolls all 8 selection levels and replays
+      // the identical argmin/greatest arithmetic.
+      Similarity.kCenterGreedy(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = 8)
+    }),
     "q_cluster_balance" -> ((s, dir) => {
       // Cluster-balanced corpus selection: k-means assignment (8
       // cells, one Lloyd round) as LEARNED strata, then a per-cluster
@@ -2672,6 +2683,7 @@ object Queries {
     "q_graph_bfs" -> graphBfsOracle,
     "q_graph_components" -> graphComponentsOracle,
     "q_graph_linkpred" -> graphLinkpredOracle,
+    "q_select_kcenter" -> selectKcenterOracle,
     "q_cluster_balance" -> clusterBalanceOracle,
     "q_cluster_purity" -> clusterPurityOracle,
     "q_dedup_semantic" -> dedupSemanticOracle,
@@ -4349,6 +4361,34 @@ object Queries {
        |  LEFT JOIN e ON sc.a = e.a AND sc.b = e.b WHERE e.a IS NULL)
        |SELECT a, b, n_common, round(aa, 6) AS aa FROM na
        |ORDER BY round(aa, 6) DESC, a ASC, b ASC LIMIT 20""".stripMargin
+
+  /** q_select_kcenter replica: the 8 greedy selection rounds unrolled
+    * — each level's argmin (best asc, id asc LIMIT 1) and
+    * greatest-merge replay the engine's per-round arithmetic on
+    * identical doubles. */
+  private def selectKcenterOracle: String = {
+    val k = 8
+    val levels = (1 until k).map { i =>
+      val pb = s"b${i - 1}"
+      s"""p$i AS (SELECT id, v, best FROM $pb
+         |  ORDER BY best ASC, id ASC LIMIT 1),
+         |b$i AS (SELECT $pb.id, $pb.v,
+         |  greatest($pb.best, ${cosSql(s"$pb.v", s"p$i.v")}) AS best
+         |  FROM $pb, p$i WHERE $pb.id <> p$i.id)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 until k).map(i =>
+      s"UNION ALL SELECT CAST($i AS BIGINT), id, round(best, 6) " +
+        s"FROM p$i").mkString("\n")
+    s"""WITH c0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |            FROM embeddings),
+       |s0 AS (SELECT id, v FROM c0 ORDER BY id LIMIT 1),
+       |b0 AS (SELECT c0.id, c0.v, ${cosSql("c0.v", "s0.v")} AS best
+       |       FROM c0, s0 WHERE c0.id <> s0.id),
+       |$levels
+       |SELECT CAST(0 AS BIGINT) AS sel_order, id AS vec_id,
+       |  CAST(NULL AS DOUBLE) AS novelty FROM s0
+       |$sel""".stripMargin
+  }
 
   /** q_cluster_balance replica: per-cluster keep-40-lowest-ids over
     * the shared k-means assignment. */

@@ -301,6 +301,60 @@ object Similarity {
       .select(col(idCol), col("cid"), round(col("__d"), 6).as("cos"))
   }
 
+  /** k-center greedy coreset selection (Gonzalez farthest-point
+    * traversal; the coreset construction of Sener & Savarese 2018):
+    * starting from the lowest-id vector, each round adds the
+    * candidate with the LOWEST maximum cosine to the already-selected
+    * set — the maximally novel exemplar. Returns k rows
+    * (sel_order, idCol, novelty) where novelty is the winning
+    * max-cosine at selection time, rounded 6 dp (NULL for the seed).
+    *
+    * Fully declarative — the driver never holds data: the argmin
+    * plans as `TakeOrderedAndProject` (per-partition top-1, driver
+    * merges P rows), the 1-row center broadcasts into the update
+    * cross join, and the (id, v, best) state frame localCheckpoints
+    * per round (eager — cuts the lineage, which would otherwise
+    * double per round) with the previous generation released.
+    * k passes over a corpus-sized state is the honest cost; k is
+    * small by definition for exemplar/seed selection — at larger k,
+    * batch the selection (take the m most-novel per round). */
+  def kCenterGreedy(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"k out of range: $k")
+    val vecs = corpus.select(col(idCol), col(embCol).as("__v"))
+    val seed = vecs.orderBy(col(idCol).asc).limit(1).localCheckpoint()
+    var picks = Seq(seed.select(lit(0L).as("sel_order"), col(idCol),
+      lit(null).cast(DoubleType).as("novelty")))
+    var rest = vecs
+      .crossJoin(broadcast(seed.select(col(idCol).as("__sid"),
+        col("__v").as("__sv"))))
+      .filter(col(idCol) =!= col("__sid"))
+      .select(col(idCol), col("__v"),
+        cosine(col("__v"), col("__sv")).as("__best"))
+      .localCheckpoint()
+    for (i <- 1 until k) {
+      val c = rest.orderBy(col("__best").asc, col(idCol).asc).limit(1)
+        .localCheckpoint()
+      picks :+= c.select(lit(i.toLong).as("sel_order"), col(idCol),
+        round(col("__best"), 6).as("novelty"))
+      val next = rest
+        .crossJoin(broadcast(c.select(col(idCol).as("__cid"),
+          col("__v").as("__cv"))))
+        .filter(col(idCol) =!= col("__cid"))
+        .select(col(idCol), col("__v"),
+          greatest(col("__best"), cosine(col("__v"), col("__cv")))
+            .as("__best"))
+        .localCheckpoint()
+      rest.unpersist(false)
+      rest = next
+    }
+    rest.unpersist(false)
+    picks.reduce(_ union _)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus with k-means
     * ([[assignClusters]]), then WITHIN each cluster drop every vector

@@ -137,6 +137,26 @@ class SimilaritySpec extends SparkSpecBase {
       cid == (id % 2) && cos == 1.0 })
   }
 
+  test("kCenterGreedy picks maximally-novel exemplars in order") {
+    import spark.implicits._
+    // seed = id 0 ([1,0]); id 2 ([0,1], cos 0) is the most novel,
+    // then id 3 ([.7,.7], max-cos ≈ .707); id 1 is nearly parallel
+    // to the seed and is never picked at k = 3
+    val rows = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0.01f)),
+      (2L, Array(0f, 1f)), (3L, Array(0.7f, 0.7f)))
+    val got = Similarity.kCenterGreedy(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(_._1)
+    assert(got.map(t => (t._1, t._2)).toSeq ==
+      Seq((0L, 0L), (1L, 2L), (2L, 3L)))
+    assert(got(1)._3 == Some(0.0), "id 2 is orthogonal to the seed")
+    assert(got(2)._3.exists(v => v > 0.70 && v < 0.72))
+  }
+
   test("semanticDedupKeep: keeps the lowest id per duplicate group") {
     import spark.implicits._
     val rows = Seq(0L, 2L, 4L).map(id => (id, Array(1f, 0f))) ++
