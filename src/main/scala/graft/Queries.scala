@@ -711,6 +711,24 @@ object Queries {
         .orderBy(col("aa").desc, col("a").asc, col("b").asc)
         .limit(20)
     }),
+    "q_pipeline_semantic" -> ((s, dir) => {
+      // End-to-end embedding curation: SemDeDup within k-means
+      // clusters, then a learned-strata rebalance (cap 30/cluster) on
+      // the survivors — the embedding-side analogue of
+      // q_pipeline_curation. Gates that the operators COMPOSE: the
+      // dedup survivors' (id, cid) feed the cap window directly.
+      val emb = Tables.embeddings(s, dir)
+      val kept = Similarity.semanticDedupKeep(emb, "vec_id",
+        "embedding", nCells = 8, iters = 1,
+        threshold = SemDedupThreshold)
+      val w = Window.partitionBy(col("cid")).orderBy(col("vec_id").asc)
+      kept.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 30)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_selected"),
+          sum(col("vec_id")).as("id_sum"),
+          max(col("vec_id")).as("max_id"))
+    }),
     "q_select_kcenter" -> ((s, dir) => {
       // k-center greedy coreset selection (Gonzalez farthest-point):
       // 8 maximally-novel exemplars — each round the candidate with
@@ -2683,6 +2701,7 @@ object Queries {
     "q_graph_bfs" -> graphBfsOracle,
     "q_graph_components" -> graphComponentsOracle,
     "q_graph_linkpred" -> graphLinkpredOracle,
+    "q_pipeline_semantic" -> pipelineSemanticOracle,
     "q_select_kcenter" -> selectKcenterOracle,
     "q_cluster_balance" -> clusterBalanceOracle,
     "q_cluster_purity" -> clusterPurityOracle,
@@ -4361,6 +4380,21 @@ object Queries {
        |  LEFT JOIN e ON sc.a = e.a AND sc.b = e.b WHERE e.a IS NULL)
        |SELECT a, b, n_common, round(aa, 6) AS aa FROM na
        |ORDER BY round(aa, 6) DESC, a ASC, b ASC LIMIT 20""".stripMargin
+
+  /** q_pipeline_semantic replica: the dedupSemanticOracle drop rule,
+    * survivors kept WITH their cluster, then the cap + census. */
+  private def pipelineSemanticOracle: String =
+    s"""WITH ${kmeansAssignCte(8)},
+       |dr AS (SELECT DISTINCT x.id AS did FROM ca x JOIN ca y
+       |  ON x.cid = y.cid AND y.id < x.id
+       |  AND ${cosSql("x.v", "y.v")} >= $SemDedupThreshold),
+       |kept AS (SELECT id, cid FROM ca
+       |         WHERE id NOT IN (SELECT did FROM dr)),
+       |r AS (SELECT id, cid, row_number() OVER (PARTITION BY cid
+       |  ORDER BY id) AS rn FROM kept)
+       |SELECT cid, count(*) AS n_selected,
+       |  CAST(sum(id) AS BIGINT) AS id_sum, max(id) AS max_id
+       |FROM r WHERE rn <= 30 GROUP BY 1""".stripMargin
 
   /** q_select_kcenter replica: the 8 greedy selection rounds unrolled
     * — each level's argmin (best asc, id asc LIMIT 1) and

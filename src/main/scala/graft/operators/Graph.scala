@@ -132,7 +132,9 @@ object Graph {
     val closed = wedges.join(e, Seq("a", "b"), "left_semi")
     val out = deg
       .agg(count(lit(1)).as("n_nodes"),
-        sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"))
+        // sum over an empty degree frame is NULL, not 0
+        coalesce(sum(expr("(deg * (deg - 1)) div 2")), lit(0L))
+          .as("n_wedges"))
       .crossJoin(e.agg(count(lit(1)).as("n_edges")))
       .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"),

@@ -149,6 +149,26 @@ class GraphSpec extends SparkSpecBase {
     assert(got == Map((1L, 3L) -> ((2L, aa)), (2L, 4L) -> ((2L, aa))))
   }
 
+  test("triangleStats: empty edge set yields an all-zero census") {
+    val e = Seq.empty[(Long, Long)].toDF("a", "b")
+    val r = Graph.triangleStats(e).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4)) == ((0L, 0L, 0L, 0L, 0.0)))
+  }
+
+  test("bfsHops: seeds outside the graph stay at distance 0") {
+    val e = Seq((1L, 2L)).toDF("a", "b")
+    val got = Graph.bfsHops(e, Seq(9L), iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(9L -> 0L))
+  }
+
+  test("commonNeighborScores: triangle graph has no candidate pair") {
+    // every two-hop pair is already adjacent → empty result
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    assert(Graph.commonNeighborScores(e).count() == 0)
+  }
+
   test("degreeStats: full-outer degrees with zero fill") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     val got = Graph.degreeStats(edges)
