@@ -58,6 +58,20 @@ object Queries {
           col("text"), threshold = 0.8, numHashes = 64, portable = true))
     }
 
+  /** Session-shared BPE training pass (8 merges over the documents
+    * word dict): q_bpe_merges consumes the merge table, q_bpe_encode
+    * the segmented dict — one training loop, two consumers (the
+    * lshPairs sharing rationale). */
+  private val bpeMemo = scala.collection.mutable
+    .HashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+  private def bpeTrained(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    bpeMemo.synchronized {
+      bpeMemo.getOrElseUpdate((s, dir),
+        TextAnalysis.bpeTrain(Tables.documents(s, dir), col("text"),
+          nMerges = BpeIters))
+    }
+
   /** Session-shared connected components over [[lshPairs]] — the
     * propagation loop runs once; q_dedup_components and
     * q_dedup_apply_cc both consume it (same sharing rationale as the
@@ -1505,6 +1519,25 @@ object Queries {
         .agg(sum(col("__nt").cast(LongType)).as("n_tokens"),
           sum(col("__noov").cast(LongType)).as("n_oov"),
           sum(col("__ck")).as("enc_checksum"))
+    }),
+    "q_bpe_merges" -> ((s, dir) => {
+      // BPE tokenizer training (merge induction): 8 rounds of
+      // most-frequent-adjacent-pair merging over the word-frequency
+      // dict. The output IS the learned merge table — any drift in
+      // pair counting, tie-breaking, or greedy merge application
+      // changes it. One corpus pass; the rounds run on the dict.
+      // Training is session-shared with q_bpe_encode.
+      bpeTrained(s, dir)._1
+    }),
+    "q_bpe_encode" -> ((s, dir) => {
+      // Tokenizer-fertility audit: encode the corpus with the
+      // 8-merge BPE dict (broadcast) and report per-source subword
+      // statistics — the subwords/word ratio a pipeline watches to
+      // know when the vocab stopped fitting. Gates the segmented
+      // dict itself (any mis-applied merge shifts n_subwords).
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.bpeSubwordStats(docs, "source", col("text"),
+        bpeTrained(s, dir)._2)
     }),
     "q_token_stats" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -3043,6 +3076,8 @@ object Queries {
         |   AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS avg_norm
         |FROM embeddings GROUP BY label""".stripMargin,
     "q_text_encode" -> textEncodeOracle,
+    "q_bpe_merges" -> bpeMergesOracle,
+    "q_bpe_encode" -> bpeEncodeOracle,
     "q_token_stats" ->
       """SELECT source, count(*) AS n_docs,
         | CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
@@ -4288,6 +4323,64 @@ object Queries {
   /** q_text_encode replica: same vocab ranking (count desc, token
     * asc, row_number ids), LEFT-join encoding with unk = vocab size,
     * 1-based positional checksum — integer arithmetic end to end. */
+  /** The BPE training chain shared by [[bpeMergesOracle]] and
+    * [[bpeEncodeOracle]]: the word-frequency dict (textEncodeOracle
+    * tokenization), then `iters` merge rounds unrolled — per round
+    * the adjacent-pair argmax (freq DESC, l, r LIMIT 1) and the same
+    * double space-wrapped literal replace (DuckDB and the JVM share
+    * resume-after-replacement scan semantics). Yields CTEs b1..bN
+    * (the merge table rows) and wN (the segmented dict, with the
+    * original word carried through). */
+  // `final` with a literal = compile-time constant, safe to reference
+  // from the oracleSql val regardless of object-init order
+  private final val BpeIters = 8
+  private def bpeChainCte: String = {
+    val head =
+      """toks AS (SELECT
+        |  list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> len(x) > 0) AS tk FROM documents),
+        |wf AS (SELECT w, count(*) AS f FROM (
+        |  SELECT unnest(tk) AS w FROM toks) u GROUP BY 1),
+        |w0 AS (SELECT w,
+        |  trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS s, f FROM wf)"""
+        .stripMargin
+    val steps = (1 to BpeIters).map { k =>
+      s"""x$k AS (SELECT string_split(s, ' ') AS a, f FROM w${k - 1}),
+         |p$k AS (SELECT a[i] AS l, a[i + 1] AS r, sum(f) AS pf
+         | FROM (SELECT a, f, unnest(range(1, len(a))) AS i FROM x$k)
+         | GROUP BY 1, 2),
+         |b$k AS (SELECT l, r, pf FROM p$k
+         | ORDER BY pf DESC, l ASC, r ASC LIMIT 1),
+         |w$k AS (SELECT w, trim(replace(replace(' ' || s || ' ',
+         |    ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' '),
+         |    ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' '))
+         |  AS s, f FROM w${k - 1}, b$k b)""".stripMargin
+    }.mkString(",\n")
+    s"$head,\n$steps"
+  }
+
+  private def bpeMergesOracle: String = {
+    val out = (1 to BpeIters).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS step, l, r, l || r AS merged,
+         | CAST(pf AS BIGINT) AS pair_freq FROM b$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $bpeChainCte\n$out"
+  }
+
+  /** q_bpe_encode replica: every token occurrence joined back to the
+    * final segmented dict; per-source word/subword/char census. */
+  private def bpeEncodeOracle: String =
+    s"""WITH $bpeChainCte,
+       |tok AS (SELECT source, unnest(
+       |  list_filter(regexp_split_to_array(text, '\\s+'),
+       |    x -> len(x) > 0)) AS w FROM documents)
+       |SELECT source, count(*) AS n_words,
+       |  CAST(sum(len(string_split(s, ' '))) AS BIGINT) AS n_subwords,
+       |  CAST(sum(CASE WHEN len(string_split(s, ' ')) = 1
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_whole_words,
+       |  CAST(sum(len(w)) AS BIGINT) AS n_chars
+       |FROM tok JOIN w$BpeIters USING (w) GROUP BY 1""".stripMargin
+
   private def textEncodeOracle: String = {
     val v = EncodeVocabSize
     s"""WITH toks AS (SELECT doc_id, source,

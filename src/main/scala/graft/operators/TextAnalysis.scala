@@ -638,6 +638,128 @@ object TextAnalysis {
       .select(col("token"), col("id"))
   }
 
+  /** Byte-pair-encoding merge induction (Sennrich et al. 2016,
+    * arXiv:1508.07909) over the corpus's whitespace-word frequency
+    * dict: each word becomes a space-delimited symbol sequence
+    * (initially characters), and each round merges the globally
+    * most-frequent adjacent symbol pair — ties broken (freq DESC,
+    * left ASC, right ASC), so the merge list is deterministic.
+    * Returns the learned merge table (step, l, r, merged, pair_freq),
+    * the artifact a tokenizer trainer ships.
+    *
+    * Shape at 100 TB: ONE corpus pass builds the word-frequency dict
+    * (the only corpus-scale shuffle — BPE statistics are a function
+    * of the dict, not the raw corpus); every merge round then runs on
+    * the dict alone (vocab-sized: bounded by distinct words, millions
+    * of rows at web scale vs billions of documents). Per round: one
+    * adjacent-pair aggregation over the dict (map-side combined), a
+    * 1-row argmax collect (control-plane), and a per-row double
+    * `replace` applying the merge. The dict is re-materialized per
+    * round, so lineage stays one generation deep (the pageRank
+    * discipline).
+    *
+    * Portability: the double literal replace (` l r ` → ` lr ` on the
+    * space-wrapped sequence, applied twice) reproduces greedy
+    * left-to-right BPE application exactly — a first pass misses an
+    * occurrence only when it abuts a replaced one (the shared
+    * delimiter space is consumed), such misses are never adjacent to
+    * each other, so a second pass catches them all; Java and DuckDB
+    * `replace` share the resume-after-replacement scan, verified on
+    * the adjacent-run cases. Pure string/integer arithmetic — no
+    * float surface at all. */
+  def bpeMerges(
+      docs: DataFrame,
+      textCol: Column,
+      nMerges: Int): DataFrame = {
+    val (merges, dict) = bpeTrain(docs, textCol, nMerges)
+    dict.unpersist(false)
+    merges
+  }
+
+  /** The full BPE training artifact pair: the merge table of
+    * [[bpeMerges]] AND the final segmented dict (word, s, f) with `s`
+    * the space-delimited subword split of each distinct word after
+    * all merges — persisted, caller-owned (the encode path joins the
+    * corpus against it; see [[bpeSubwordStats]]). */
+  def bpeTrain(
+      docs: DataFrame,
+      textCol: Column,
+      nMerges: Int): (DataFrame, DataFrame) = {
+    require(nMerges > 0 && nMerges <= 64,
+      s"nMerges out of range: $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var dict = docs.select(explode(tokens(textCol)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .select(col("w"),
+        trim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"),
+        col("f"))
+      .persist(lvl)
+    dict.count()
+    val merges =
+      scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    var step = 0
+    var exhausted = false
+    while (step < nMerges && !exhausted) {
+      step += 1
+      val a = split(col("s"), " ")
+      val best = dict
+        .select(col("f"), explode(zip_with(
+          slice(a, lit(1), size(a) - 1),
+          slice(a, lit(2), size(a) - 1),
+          (l, r) => struct(l.as("l"), r.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("f")).as("pf"))
+        .orderBy(col("pf").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, pf) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((step.toLong, l, r, l + r, pf))
+        val pat = lit(s" $l $r ")
+        val rep = lit(s" $l$r ")
+        val applied = trim(replace(replace(
+          concat(lit(" "), col("s"), lit(" ")), pat, rep), pat, rep))
+        val next = dict
+          .select(col("w"), applied.as("s"), col("f")).persist(lvl)
+        next.count()
+        dict.unpersist(false)
+        dict = next
+      }
+    }
+    (merges.toSeq.toDF("step", "l", "r", "merged", "pair_freq"), dict)
+  }
+
+  /** Tokenizer-fertility audit: encode the corpus with a trained BPE
+    * dict ([[bpeTrain]]'s segmented dict, broadcast — vocab-sized)
+    * and report per-group subword statistics: word occurrences,
+    * subword tokens emitted, single-token words, and the character
+    * total (the compression denominator). Fertility (subwords/word)
+    * is THE tokenizer-quality number a training pipeline watches —
+    * a rising value means the vocab no longer fits the corpus.
+    *
+    * Shape at 100 TB: one corpus pass (token explode), a broadcast
+    * hash join against the dict, one group-key shuffle of partial
+    * sums. */
+  def bpeSubwordStats(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: Column,
+      segmentedDict: DataFrame): DataFrame = {
+    val nSub = size(split(col("s"), " "))
+    docs.select(col(groupCol), explode(tokens(textCol)).as("w"))
+      .join(broadcast(segmentedDict.select(col("w"), col("s"))),
+        Seq("w"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(nSub.cast(LongType)).as("n_subwords"),
+        sum(when(nSub === 1, 1L).otherwise(0L)).as("n_whole_words"),
+        sum(length(col("w")).cast(LongType)).as("n_chars"))
+  }
+
   /** Encode documents as fixed-vocabulary id sequences: whitespace
     * tokens map through `vocab` ((token, id), broadcast — the vocab
     * is control-plane by construction), out-of-vocabulary tokens map

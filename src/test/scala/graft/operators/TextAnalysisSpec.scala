@@ -161,6 +161,50 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(r.getLong(2) == 0L && r.getLong(1) == 4L)
   }
 
+  test("bpeMerges learns the hand-computed merge table and stops dry") {
+    import spark.implicits._
+    // words: aaab ×2, aab ×1 → round 1 merges (a,a) freq 5; round 2
+    // tie (aa,a)=2 vs (a,b)=2 breaks to the binary-smaller left
+    // symbol; rounds 3-4 drain the rest; round 5 has no pairs left
+    val docs = Seq("aaab aaab aab").toDF("text")
+    val got = TextAnalysis.bpeMerges(docs, col("text"), nMerges = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "a", "a", "aa", 5L),
+      (2L, "a", "b", "ab", 2L),
+      (3L, "aa", "ab", "aaab", 2L),
+      (4L, "aa", "b", "aab", 1L)))
+  }
+
+  test("bpeMerges applies merges greedily left-to-right within runs") {
+    import spark.implicits._
+    // 'a a a a' + merge (a,a) must become 'aa aa' (greedy pairing),
+    // NOT 'aa a a' — pins the double-replace application on the JVM
+    val docs = Seq("aaaa").toDF("text")
+    val got = TextAnalysis.bpeMerges(docs, col("text"), nMerges = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)))
+  }
+
+  test("bpeSubwordStats encodes via the trained segmented dict") {
+    import spark.implicits._
+    // after 2 merges ((a,a) then (a,b)): aaab → [aa, ab], aab → [aa, b]
+    val docs = Seq(("s1", "aaab aaab aab")).toDF("source", "text")
+    val (_, dict) = TextAnalysis.bpeTrain(docs, col("text"), nMerges = 2)
+    val r = TextAnalysis.bpeSubwordStats(docs, "source", col("text"),
+      dict).collect()
+    dict.unpersist(false)
+    assert(r.length == 1)
+    assert((r(0).getString(0), r(0).getLong(1), r(0).getLong(2),
+      r(0).getLong(3), r(0).getLong(4)) == (("s1", 3L, 6L, 0L, 11L)))
+  }
+
   test("dropNearDuplicates removes only the larger side of pairs") {
     val docs = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
