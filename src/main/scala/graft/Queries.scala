@@ -58,6 +58,20 @@ object Queries {
           col("text"), threshold = 0.8, numHashes = 64, portable = true))
     }
 
+  /** Session-shared dominant principal component (collected weights,
+    * [[Similarity.topPrincipalComponent]] at PcaIters rounds):
+    * q_embedding_pca returns it as a frame, q_embedding_whiten bakes
+    * it into the energy audit — one Gram pass, two consumers. */
+  private val pcaMemo = scala.collection.mutable
+    .HashMap[(SparkSession, String), Array[Double]]()
+  private def pcaComponent(s: SparkSession, dir: String): Array[Double] =
+    pcaMemo.synchronized {
+      pcaMemo.getOrElseUpdate((s, dir),
+        Similarity.topPrincipalComponent(Tables.embeddings(s, dir),
+            "vec_id", "embedding", iters = PcaIters)
+          .orderBy(col("d")).collect().map(_.getDouble(1)))
+    }
+
   /** Session-shared BPE training pass (8 merges over the documents
     * word dict): q_bpe_merges consumes the merge table, q_bpe_encode
     * the segmented dict — one training loop, two consumers (the
@@ -1486,10 +1500,19 @@ object Queries {
       // Dominant principal component: one Gram-matrix pass (d² cells,
       // map-side combined), then the power iteration on the collected
       // 64×64 matrix driver-side — the cheap collapsed-batch
-      // diagnostic. Cross-terms round-then-decimal-sum, so the whole
-      // trajectory is engine-portable.
-      Similarity.topPrincipalComponent(Tables.embeddings(s, dir),
-        "vec_id", "embedding", iters = 3)
+      // diagnostic. Scaled-long cross-terms, so the whole trajectory
+      // is engine-portable. Shared with q_embedding_whiten.
+      import s.implicits._
+      pcaComponent(s, dir).toIndexedSeq.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("d", "weight")
+    }),
+    "q_embedding_whiten" -> ((s, dir) => {
+      // Whitening audit: per-label energy along the dominant
+      // component (what x' = x − (x·v/v·v)v removes) vs total energy
+      // — the collapsed-batch health check, composed from the shared
+      // PCA pass. Scaled-long dots, dsum-routed label sums.
+      Similarity.componentEnergy(Tables.embeddings(s, dir), "label",
+        "embedding", pcaComponent(s, dir))
     }),
 
     // --- training-data pipeline: text analysis --------------------------
@@ -3069,6 +3092,7 @@ object Queries {
         | CAST(min(cos) AS DOUBLE) AS min_cohesion
         |FROM co GROUP BY label""".stripMargin,
     "q_embedding_pca" -> pcaOracle,
+    "q_embedding_whiten" -> whitenOracle,
     "q_embedding_norms" ->
       """SELECT label, count(*) AS n,
         | round(CAST(sum(CAST(sqrt(list_dot_product(
@@ -3828,10 +3852,41 @@ object Queries {
     * DOUBLE then /1e12 in the same two-step order as the engine, then
     * the driver's power iteration unrolled as CTE levels over the
     * d×d frame. */
-  private def pcaOracle: String = {
-    val iters = 3
+  private def pcaOracle: String =
+    s"""WITH $pcaChainCte
+       |SELECT CAST(pos - 1 AS BIGINT) AS d, c AS weight
+       |FROM v$PcaIters""".stripMargin
+
+  /** q_embedding_whiten replica: the PCA chain, then per-vector
+    * scaled-long dots/norms against v3 and the per-label dsum. */
+  private def whitenOracle: String =
+    s"""WITH $pcaChainCte,
+       |vv AS (SELECT sum(CAST(floor(c * c * 1e12 + 0.5) AS BIGINT))
+       |  AS s FROM v$PcaIters),
+       |dots AS (SELECT vec_id, sum(CAST(CASE WHEN x * c >= 0
+       |    THEN floor(x * c * 1e12 + 0.5)
+       |    ELSE -floor(-(x * c) * 1e12 + 0.5) END AS BIGINT)) AS sd
+       |  FROM e2 JOIN v$PcaIters v USING (pos) GROUP BY 1),
+       |nrms AS (SELECT vec_id,
+       |  sum(CAST(floor(x * x * 1e12 + 0.5) AS BIGINT)) AS sn
+       |  FROM e2 GROUP BY 1),
+       |per AS (SELECT d.vec_id, CAST(sd AS DOUBLE) / 1e12 AS dt,
+       |  CAST(sn AS DOUBLE) / 1e12 AS n2
+       |  FROM dots d JOIN nrms USING (vec_id))
+       |SELECT e.label, count(*) AS n,
+       |  round(CAST(sum(CAST(round(dt * dt, 6) AS DECIMAL(18,6)))
+       |      AS DOUBLE) / (CAST(vv.s AS DOUBLE) / 1e12), 6)
+       |    AS energy_removed,
+       |  round(CAST(sum(CAST(round(n2, 6) AS DECIMAL(18,6)))
+       |    AS DOUBLE), 6) AS energy_total
+       |FROM per JOIN embeddings e USING (vec_id), vv
+       |GROUP BY e.label, vv.s""".stripMargin
+
+  private final val PcaIters = 3
+  private def pcaChainCte: String = {
+    val iters = PcaIters
     val head =
-      """WITH ex AS (SELECT vec_id,
+      """ex AS (SELECT vec_id,
         |  unnest(range(1, len(embedding) + 1)) AS pos, embedding
         | FROM embeddings),
         |e2 AS (SELECT vec_id, pos,
@@ -3856,10 +3911,7 @@ object Queries {
          |       ELSE 0.0 END AS c
          | FROM s$k, m$k)""".stripMargin
     }.mkString(",\n")
-    s"""$head,
-       |$steps
-       |SELECT CAST(pos - 1 AS BIGINT) AS d, c AS weight FROM v$iters"""
-      .stripMargin
+    s"$head,\n$steps"
   }
 
   /** Replica of Graph.pageRank as UNROLLED iteration CTEs — identical

@@ -611,6 +611,54 @@ object Similarity {
       .map { case (w, i) => (i.toLong, w) }.toDF("d", "weight")
   }
 
+  /** Whitening audit against a fixed direction `v` (typically
+    * [[topPrincipalComponent]]'s collected weights): per label, the
+    * corpus energy along v (what whitening x' = x − (x·v/v·v)v would
+    * remove, Σ(x·v)²/(v·v)) next to the total energy Σ‖x‖². A label
+    * whose energy_removed ≈ energy_total is collapsed onto the
+    * dominant axis — the batch-health diagnostic PCA exists for here.
+    *
+    * Shape at 100 TB: v is a d-element literal baked into the plan —
+    * one corpus pass, per-row HOF arithmetic, one label-key shuffle
+    * of partial sums. Portability: per-row dot products and squared
+    * norms accumulate as scaled longs (the [[topPrincipalComponent]]
+    * trick — float32 inputs make every product exact in double, and
+    * `±floor(|p|·1e12+0.5)` is the engine-portable 12-dp round);
+    * per-label sums go round-6-then-DECIMAL (the dsum rule). */
+  def componentEnergy(
+      emb: DataFrame,
+      labelCol: String,
+      embCol: String,
+      v: Array[Double]): DataFrame = {
+    require(v.nonEmpty, "component must be non-empty")
+    def scaledLong(p: Column): Column =
+      when(p >= 0, floor(p * lit(1e12) + lit(0.5)))
+        .otherwise(-floor(-p * lit(1e12) + lit(0.5)))
+    // v·v with the same arithmetic the oracle's SQL replays —
+    // products of 6-dp weights, scaled-long sum, one double division
+    val vvLong = v.map(c => math.floor(c * c * 1e12 + 0.5).toLong).sum
+    val vvD = vvLong.toDouble / 1e12
+    require(vvD > 0, "component is the zero vector")
+    val vLit = array(v.map(lit): _*)
+    val dot = aggregate(
+      zip_with(col(embCol), vLit,
+        (a, b) => scaledLong(a.cast(DoubleType) * b)),
+      lit(0L), (acc, x) => acc + x).cast(DoubleType) / lit(1e12)
+    val nrm = aggregate(
+      col(embCol), lit(0L),
+      (acc, x) => acc +
+        scaledLong(x.cast(DoubleType) * x.cast(DoubleType)))
+      .cast(DoubleType) / lit(1e12)
+    emb.select(col(labelCol), dot.as("__dt"), nrm.as("__n2"))
+      .groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("__dt") * col("__dt"), 6)
+          .cast(DecimalType(18, 6))).cast(DoubleType) / lit(vvD), 6)
+          .as("energy_removed"),
+        round(sum(round(col("__n2"), 6).cast(DecimalType(18, 6)))
+          .cast(DoubleType), 6).as("energy_total"))
+  }
+
   def cosineNearDupPairs(
       df: DataFrame,
       idCol: String,

@@ -30,6 +30,19 @@ class SimilaritySpec extends SparkSpecBase {
     assert(math.abs(w(1L)) < 0.01, s"off-axis weight too big: ${w(1L)}")
   }
 
+  test("componentEnergy: on-axis energy vs total, hand-computed") {
+    import spark.implicits._
+    // v = e0: removed = (x·v)² / 1 → 9 for [3,0], 0 for [0,4];
+    // totals 9 + 16 = 25
+    val emb = Seq((0, Seq(3f, 0f)), (0, Seq(0f, 4f)))
+      .toDF("label", "embedding")
+    val r = Similarity.componentEnergy(emb, "label", "embedding",
+      Array(1.0, 0.0)).collect()
+    assert(r.length == 1)
+    assert((r(0).getLong(1), r(0).getDouble(2), r(0).getDouble(3)) ==
+      ((2L, 9.0, 25.0)))
+  }
+
   test("kmeansRefine pulls centroids onto planted cluster means") {
     import spark.implicits._
     // two well-separated planted clusters in 4-d; seeds = the two
