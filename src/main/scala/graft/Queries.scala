@@ -1514,6 +1514,12 @@ object Queries {
       Similarity.componentEnergy(Tables.embeddings(s, dir), "label",
         "embedding", pcaComponent(s, dir))
     }),
+    "q_embedding_dimstats" -> ((s, dir) => {
+      // Per-dimension feature health: n, mean, population variance
+      // for each of the 64 coordinates — the dead-dim / exploding-dim
+      // diagnostic. One scan, 64-key groupBy, scaled-long moments.
+      Similarity.dimensionStats(Tables.embeddings(s, dir), "embedding")
+    }),
 
     // --- training-data pipeline: text analysis --------------------------
     "q_text_encode" -> ((s, dir) => {
@@ -3093,6 +3099,22 @@ object Queries {
         |FROM co GROUP BY label""".stripMargin,
     "q_embedding_pca" -> pcaOracle,
     "q_embedding_whiten" -> whitenOracle,
+    "q_embedding_dimstats" ->
+      """WITH ex AS (SELECT
+        |  unnest(range(1, len(embedding) + 1)) AS pos, embedding
+        | FROM embeddings),
+        |e AS (SELECT pos, CAST(embedding[pos] AS DOUBLE) AS x FROM ex),
+        |a AS (SELECT CAST(pos - 1 AS BIGINT) AS d, count(*) AS n,
+        |  sum(CAST(CASE WHEN x >= 0 THEN floor(x * 1e12 + 0.5)
+        |    ELSE -floor(-x * 1e12 + 0.5) END AS BIGINT)) AS s1,
+        |  sum(CAST(floor(x * x * 1e12 + 0.5) AS BIGINT)) AS s2
+        | FROM e GROUP BY 1)
+        |SELECT d, n,
+        |  round((CAST(s1 AS DOUBLE) / 1e12) / n, 6) AS mean,
+        |  round((CAST(s2 AS DOUBLE) / 1e12) / n -
+        |    ((CAST(s1 AS DOUBLE) / 1e12) / n) *
+        |    ((CAST(s1 AS DOUBLE) / 1e12) / n), 6) AS variance
+        |FROM a""".stripMargin,
     "q_embedding_norms" ->
       """SELECT label, count(*) AS n,
         | round(CAST(sum(CAST(sqrt(list_dot_product(

@@ -400,4 +400,5 @@ object Sampling {
       .filter(col("__cum") <= budget)
       .drop("__p", "__b", "__off", "__cum")
   }
+
 }

@@ -611,6 +611,38 @@ object Similarity {
       .map { case (w, i) => (i.toLong, w) }.toDF("d", "weight")
   }
 
+  /** Per-dimension feature health of an embedding corpus: n, mean,
+    * and population variance for every coordinate — the dead-dim /
+    * exploding-dim diagnostic run before any geometry is trusted
+    * (a zero-variance dimension wastes model capacity; a huge one
+    * dominates every distance).
+    *
+    * Shape at 100 TB: one scan, posexplode to (dim, x), groupBy on
+    * the d dimension keys with map-side combine — the shuffle is
+    * partitions × d rows. Portability: x and x² accumulate as scaled
+    * longs (exact float32 products, `±floor(|p|·1e12+0.5)`), moments
+    * divide as doubles and round to 6 dp (IEEE-correctly-rounded
+    * ops only). Returns (d, n, mean, variance). */
+  def dimensionStats(emb: DataFrame, embCol: String): DataFrame = {
+    def scaledLong(p: Column): Column =
+      when(p >= 0, floor(p * lit(1e12) + lit(0.5)))
+        .otherwise(-floor(-p * lit(1e12) + lit(0.5)))
+    val x = col("x").cast(DoubleType)
+    val s1d = col("__s1").cast(DoubleType) / lit(1e12)
+    val s2d = col("__s2").cast(DoubleType) / lit(1e12)
+    val n = col("n").cast(DoubleType)
+    emb.select(posexplode(col(embCol)).as(Seq("d", "x")))
+      .select(col("d").cast(LongType).as("d"),
+        scaledLong(x).as("__x1"), scaledLong(x * x).as("__x2"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x1").cast(DecimalType(38, 0))).as("__s1"),
+        sum(col("__x2").cast(DecimalType(38, 0))).as("__s2"))
+      .select(col("d"), col("n"),
+        round(s1d / n, 6).as("mean"),
+        round(s2d / n - (s1d / n) * (s1d / n), 6).as("variance"))
+  }
+
   /** Whitening audit against a fixed direction `v` (typically
     * [[topPrincipalComponent]]'s collected weights): per label, the
     * corpus energy along v (what whitening x' = x − (x·v/v·v)v would

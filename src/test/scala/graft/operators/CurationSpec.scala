@@ -398,6 +398,15 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("dimensionStats: mean and variance per coordinate") {
+    val emb = Seq((1L, Seq(1f, 3f)), (2L, Seq(3f, 3f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.dimensionStats(emb, "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 2L, 2.0, 1.0), (1L, 2L, 3.0, 0.0)))
+  }
+
   test("mixtureUpsample: whole copies exact, fractional share close, " +
       "weight<1000 downsamples, copy index is 1..reps") {
     val df = (0L until 1000L).toDF("id")
