@@ -23,26 +23,39 @@ object Tables {
 
   /** Session conf every graft session needs, applied once at build time
     * (a loader mutating session conf mid-query would silently change the
-    * behavior of later reads): `events.ts` is parquet TIMESTAMP(NANOS),
-    * which Spark's vectorized reader rejects — read it as a raw long. */
+    * behavior of later reads): UTC wall-clock discipline (C7), and —
+    * when the generator emits parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects — nanos surfaced as a raw long. */
   val RequiredConf: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) (read as raw long via
-    * [[RequiredConf]]); keep the exact nanosecond value as `ts_ns` for
-    * ordering, and expose a micro-truncated TimestampType `ts` for date
-    * math/formatting. */
+  /** Canonical events frame: exact epoch-nanos `ts_ns` for ordering +
+    * a TimestampType `ts` for date math/formatting, whichever way the
+    * generator wrote the column. Two physical layouts exist across
+    * driver rounds — parquet TIMESTAMP(NANOS) (surfaced as a raw long
+    * via [[RequiredConf]]) and TIMESTAMP(MICROS) (surfaced as
+    * TIMESTAMP_NTZ) — so dispatch on the loaded type; both branches
+    * emit the identical (name, type, order) shape. */
   def events(s: SparkSession, d: String): DataFrame = {
     require(
-      s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-        .contains("true"),
+      s.conf.getOption("spark.sql.session.timeZone").contains("UTC"),
       "set graft.core.Tables.RequiredConf on the SparkSession builder")
-    load(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts_ns div 1000")))
+    import org.apache.spark.sql.functions._
+    val raw = load(s, d, "events")
+    val shaped = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        // NTZ→session-TZ cast is lossless under the pinned UTC zone;
+        // micros data makes unix_micros·1000 the exact nano value
+        raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    }
+    shaped.select("event_id", "ts_ns", "user_id", "event_type",
+      "value", "props", "ts")
   }
   def documents(s: SparkSession, d: String): DataFrame =
     load(s, d, "documents")

@@ -26,11 +26,13 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 object Streams {
 
-  /** events.parquet physical schema — `ts` is parquet TIMESTAMP(NANOS),
-    * surfaced as a raw long (see [[graft.core.Tables.RequiredConf]]). */
+  /** events.parquet physical schema — `ts` is parquet
+    * TIMESTAMP(MICROS), isAdjustedToUTC=false, which Spark surfaces as
+    * TIMESTAMP_NTZ (the batch loader `Tables.events` dispatches on the
+    * loaded type; a file stream needs the schema pinned up front). */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -52,8 +54,13 @@ object Streams {
     val r2 = if (maxFilesPerTrigger > 0)
       r.option("maxFilesPerTrigger", maxFilesPerTrigger) else r
     r2.parquet(dir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      // NTZ→session-TZ cast is lossless under the pinned UTC zone;
+      // micros data makes unix_micros·1000 the exact nano value —
+      // the same shape Tables.events emits
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+      .select("event_id", "ts_ns", "user_id", "event_type",
+        "value", "props", "ts")
   }
 
   /** Watermarked 5-minute windowed aggregation per event type — the

@@ -117,6 +117,11 @@ class StreamsSpec extends SparkSpecBase {
     events.zipWithIndex
       .map { case ((t, u), i) => (i.toLong, t, u, "click", 1.0, "{}") }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      // testdata layout: ts is parquet TIMESTAMP(MICROS) NTZ (all
+      // fixture nanos are micro-divisible, so ts_ns round-trips exact)
+      .withColumn("ts",
+        timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000"))
+          .cast(org.apache.spark.sql.types.TimestampNTZType))
       .coalesce(1).write.mode("overwrite").parquet(stage.getPath)
     val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
     val dst = new java.io.File(dir, name)
