@@ -1449,6 +1449,26 @@ object Queries {
         .select(col("query_id"), col("corpus_id"),
           round(col("cos"), 6).as("cos"))
     }),
+    "q_sim_recall" -> ((s, dir) => {
+      // Recall@10 audit of both approximate ANN paths against the
+      // brute-force ground truth — the index-quality number an
+      // embedding pipeline watches before trusting an ANN index. At
+      // scale the ground truth is only ever computed for a bounded
+      // query sample (the 5 probe vectors here); the comparison
+      // itself is a semi join on (query_id, corpus_id) id pairs —
+      // no embedding ever re-shuffles. Integer hit counts; the
+      // ratio rounds once at the edge.
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 5)
+      val brute = Similarity.topKPerQuery(emb, q, "vec_id", "embedding",
+        k = 10)
+      Similarity.recallAtK(brute,
+          Similarity.lshTopKPerQuery(emb, q, "vec_id", "embedding",
+            k = 10, portable = true), "lsh")
+        .unionByName(Similarity.recallAtK(brute,
+          Similarity.ivfTopKPerQuery(emb, q, "vec_id", "embedding",
+            k = 10, nCells = 16, nProbe = 4), "ivf"))
+    }),
     "q_sim_cosine_dedup" -> ((s, dir) => {
       // Embedding-cosine near-dup pairs: SRP-LSH blocking (portable
       // plane family) + exact cosine verification within one dataset.
@@ -2002,6 +2022,13 @@ object Queries {
       // count frame.
       TextAnalysis.lexicalDiversity(
         Tables.documents(s, dir), "source", col("text"))
+    }),
+    "q_zipf" -> ((s, dir) => {
+      // Zipf rank-frequency fit (top-200 tokens): slope near −1 is
+      // healthy natural text; the distribution-shape corpus-health
+      // check next to q_lexical_diversity. One corpus shuffle, then a
+      // control-plane regression over 200 ranks.
+      TextAnalysis.zipfFit(Tables.documents(s, dir), col("text"), 200)
     }),
     "q_mixture_divergence" -> ((s, dir) => {
       // Mixture diagnostics: each source's unigram distribution vs the
@@ -3025,23 +3052,7 @@ object Queries {
         |           WHERE p_name IS NOT NULL)
         |SELECT a.s AS a, b.s AS b FROM n a, n b
         |WHERE a.s < b.s AND levenshtein(a.s, b.s) <= 1""".stripMargin,
-    "q_sim_topk" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
-        |           FROM embeddings WHERE vec_id < 5),
-        |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
-        |      FROM embeddings),
-        |s AS (SELECT qid, cid,
-        |  CASE WHEN sqrt(list_dot_product(ce, ce)) *
-        |            sqrt(list_dot_product(qe, qe)) > 0
-        |    THEN list_dot_product(ce, qe) /
-        |      (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(qe, qe)))
-        |    ELSE 0.0 END AS cos
-        |  FROM c, q)
-        |SELECT query_id, corpus_id, round(cos, 6) AS cos FROM (
-        | SELECT qid AS query_id, cid AS corpus_id, cos,
-        |  row_number() OVER (PARTITION BY qid
-        |    ORDER BY cos DESC, cid ASC) AS rn
-        | FROM s) WHERE rn <= 10""".stripMargin,
+    "q_sim_topk" -> simTopKOracle,
     "q_sim_quantize" ->
       """WITH e AS (
         | SELECT label, embedding::DOUBLE[] AS v,
@@ -3332,6 +3343,47 @@ object Queries {
         | CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
         | round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr
         |FROM cst GROUP BY source""".stripMargin,
+    // zipfFit replica: each ln rounded to 6 dp and fixed as
+    // DECIMAL(18,6) before the OLS sums (exact decimal addition), the
+    // slope/intercept/r² finale in double on identical inputs.
+    "q_zipf" ->
+      s"""WITH cnt AS (
+        | SELECT tok, CAST(count(*) AS BIGINT) AS c
+        | FROM (SELECT unnest($toksSql) AS tok FROM documents)
+        | GROUP BY 1),
+        |top AS (
+        | SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS r
+        | FROM cnt ORDER BY c DESC, tok ASC LIMIT 200),
+        |pts AS (
+        | SELECT CAST(round(ln(r), 6) AS DECIMAL(18,6)) AS x,
+        |        CAST(round(ln(c), 6) AS DECIMAL(18,6)) AS y
+        | FROM top),
+        |s AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+        |  sum(x) AS sx, sum(x*x) AS sxx,
+        |  sum(y) AS sy, sum(x*y) AS sxy, sum(y*y) AS syy
+        | FROM pts)
+        |SELECT n_ranks,
+        | round((CAST(n_ranks AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (CAST(n_ranks AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+        | round((CAST(sy AS DOUBLE)
+        |   - (CAST(n_ranks AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |     / (CAST(n_ranks AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * CAST(sx AS DOUBLE)) / CAST(n_ranks AS DOUBLE), 6)
+        |   AS intercept,
+        | round((CAST(n_ranks AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  * (CAST(n_ranks AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / ((CAST(n_ranks AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |   * (CAST(n_ranks AS DOUBLE) * CAST(syy AS DOUBLE)
+        |   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+        |FROM s""".stripMargin,
     // distributionDivergence replica: TVD numerator in exact integers —
     // present tokens' |c_st·N − c_t·N_s| plus the folded absent mass
     // N_s·(N − Σ_{t∈s} c_t); denominator 2·N_s·N.
@@ -3553,6 +3605,7 @@ object Queries {
         | CAST(sum(len(red)) AS BIGINT) AS red_chars
         |FROM r GROUP BY source""".stripMargin,
     "q_sim_lsh" -> simLshOracle,
+    "q_sim_recall" -> simRecallOracle,
     "q_sim_cosine_dedup" -> simCosineDedupOracle,
     "q_sim_ivf" -> simIvfOracle,
     "q_sim_ivf_refined" -> simIvfRefinedOracle,
@@ -4277,6 +4330,47 @@ object Queries {
     * (literal arrays generated from Similarity.planeWeightPortable),
     * 4×8-bit band bucketing, candidate join, exact cosine verify,
     * top-10 per query. Embedding dim pinned to the testdata's 64. */
+  /** q_sim_topk replica: brute-force cosine top-10 for the 5 probe
+    * queries — also the ground-truth side of [[simRecallOracle]]. */
+  private def simTopKOracle: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+      |      FROM embeddings),
+      |s AS (SELECT qid, cid,
+      |  CASE WHEN sqrt(list_dot_product(ce, ce)) *
+      |            sqrt(list_dot_product(qe, qe)) > 0
+      |    THEN list_dot_product(ce, qe) /
+      |      (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(qe, qe)))
+      |    ELSE 0.0 END AS cos
+      |  FROM c, q)
+      |SELECT query_id, corpus_id, round(cos, 6) AS cos FROM (
+      | SELECT qid AS query_id, cid AS corpus_id, cos,
+      |  row_number() OVER (PARTITION BY qid
+      |    ORDER BY cos DESC, cid ASC) AS rn
+      | FROM s) WHERE rn <= 10""".stripMargin
+
+  /** q_sim_recall replica: the three ANN result sets are replayed by
+    * their own (already-gated) oracle chains as derived tables, and
+    * recall@k is pure integer pair-set arithmetic on top — hits are an
+    * inner join on (query_id, corpus_id), the denominator is the
+    * ground-truth row count. */
+  private def simRecallOracle: String =
+    s"""WITH brute AS (SELECT query_id, corpus_id FROM ($simTopKOracle)),
+       |lsh AS (SELECT query_id, corpus_id FROM ($simLshOracle)),
+       |ivf AS (SELECT query_id, corpus_id FROM ($simIvfOracle)),
+       |denom AS (SELECT count(*) AS n_total FROM brute),
+       |hits AS (
+       | SELECT 'lsh' AS method, count(*) AS n_hits
+       | FROM lsh JOIN brute USING (query_id, corpus_id)
+       | UNION ALL
+       | SELECT 'ivf' AS method, count(*) AS n_hits
+       | FROM ivf JOIN brute USING (query_id, corpus_id))
+       |SELECT method, n_hits, n_total,
+       | round(CAST(n_hits AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+       |   AS recall
+       |FROM hits, denom""".stripMargin
+
   private def simLshOracle: String = {
     val dim = 64; val bits = 32; val bands = 4; val bandBits = 8
     def planeList(p: Int): String =

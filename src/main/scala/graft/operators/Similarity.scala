@@ -75,6 +75,31 @@ object Similarity {
       .drop("__rn")
   }
 
+  /** Recall of an approximate ANN result set against the exact
+    * ground truth, as one labeled row: pair-set intersection size over
+    * the truth size. Both inputs are (query_id, corpus_id) frames.
+    *
+    * The audit an embedding pipeline runs before trusting an ANN
+    * index. At 100 TB the ground truth exists only for a bounded
+    * query sample (brute force over the full corpus is the thing the
+    * index avoids), so `truth` is control-plane-sized; the comparison
+    * is a semi join on id pairs — embeddings never re-shuffle here.
+    * Integer hit counts; the ratio rounds once at the edge. */
+  def recallAtK(
+      truth: DataFrame,
+      approx: DataFrame,
+      method: String): DataFrame = {
+    val t = truth.select(col("query_id"), col("corpus_id"))
+    val denom = t.agg(count(lit(1)).as("n_total"))
+    approx.select(col("query_id"), col("corpus_id"))
+      .join(t, Seq("query_id", "corpus_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(denom))
+      .select(lit(method).as("method"), col("n_hits"), col("n_total"),
+        round(col("n_hits").cast(DoubleType) /
+          col("n_total").cast(DoubleType), 6).as("recall"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: plane p, dim d weight =
     * a double in [-1, 1) derived from xxhash64(seed, p, d). Generated as
     * a plan-time literal-free expression so the same planes exist on

@@ -614,6 +614,59 @@ object TextAnalysis {
     out
   }
 
+  /** Zipf rank-frequency fit over the top-`topN` tokens: OLS slope of
+    * ln(frequency) on ln(rank) — natural text runs near −1; templated
+    * or keyword-stuffed corpora flatten (slope → 0) and synthetic
+    * near-uniform feeds collapse r². The corpus-health twin of
+    * [[lexicalDiversity]] at the distribution-shape level.
+    *
+    * Scale shape: ONE corpus-scale shuffle (map-side-combined token
+    * counts); the top-N cut plans as `TakeOrderedAndProject`
+    * (per-partition top-N, driver merge); the rank window and the
+    * regression run on the N-row result — control-plane by
+    * construction.
+    *
+    * Determinism (the dsum discipline): each ln is rounded to 6 dp
+    * and fixed as DECIMAL(18,6); the five OLS sums are exact decimal
+    * arithmetic (order-independent, engine-portable); only the final
+    * slope/intercept/r² arithmetic runs in double, on identical
+    * decimal inputs, rounded once at the edge.
+    *
+    * Returns one row (n_ranks, slope, intercept, r2). */
+  def zipfFit(
+      docs: DataFrame,
+      textCol: Column,
+      topN: Int): DataFrame = {
+    require(topN > 1, s"topN must be > 1: $topN")
+    val cnt = docs.select(explode(tokens(lower(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("__c"))
+    val top = cnt.orderBy(col("__c").desc, col("token").asc).limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__c").desc, col("token").asc)
+    val ranked = top.withColumn("__r", row_number().over(w))
+    val dec = (c: Column) =>
+      round(log(c.cast(DoubleType)), 6).cast(DecimalType(18, 6))
+    val pts = ranked.select(dec(col("__r")).as("__x"), dec(col("__c")).as("__y"))
+    val agg = pts.agg(count(lit(1)).as("n_ranks"),
+      sum(col("__x")).as("__sx"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__y") * col("__y")).as("__syy"))
+    val nD = col("n_ranks").cast(DoubleType)
+    val sx = col("__sx").cast(DoubleType)
+    val sy = col("__sy").cast(DoubleType)
+    val num = nD * col("__sxy").cast(DoubleType) - sx * sy
+    val den = nD * col("__sxx").cast(DoubleType) - sx * sx
+    val denY = nD * col("__syy").cast(DoubleType) - sy * sy
+    agg.select(col("n_ranks"),
+      when(den =!= 0.0, round(num / den, 6)).as("slope"),
+      when(den =!= 0.0,
+        round((sy - num / den * sx) / nD, 6)).as("intercept"),
+      when(den =!= 0.0 && denY =!= 0.0,
+        round(num * num / (den * denY), 6)).as("r2"))
+  }
+
   /** Frequency-ranked vocabulary induction: the top `vocabSize`
     * whitespace tokens by (count desc, token asc), densely numbered
     * 0..vocabSize−1 in that order. Returns (token, id: long).

@@ -180,4 +180,18 @@ class SimilaritySpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(kept == Set((0L, 0L), (1L, 1L)))
   }
+
+  test("recallAtK: hand-computed hit ratio; truth vs itself is 1.0") {
+    import spark.implicits._
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L))
+      .toDF("query_id", "corpus_id")
+    // 3 of the 4 truth pairs + one miss → recall 0.75
+    val approx = Seq((1L, 10L), (1L, 99L), (2L, 10L), (2L, 12L))
+      .toDF("query_id", "corpus_id")
+    val got = Similarity.recallAtK(truth, approx, "m").collect()(0)
+    assert((got.getString(0), got.getLong(1), got.getLong(2),
+      got.getDouble(3)) == ("m", 3L, 4L, 0.75))
+    val self = Similarity.recallAtK(truth, truth, "self").collect()(0)
+    assert(self.getLong(1) == 4L && self.getDouble(3) == 1.0)
+  }
 }

@@ -205,6 +205,19 @@ class TextAnalysisSpec extends SparkSpecBase {
       r(0).getLong(3), r(0).getLong(4)) == (("s1", 3L, 6L, 0L, 11L)))
   }
 
+  test("zipfFit: an exact 1/r power law fits slope -1 with r2 = 1") {
+    import spark.implicits._
+    // frequencies 12/r for ranks 1..4 → ln-ln points exactly colinear
+    val words = Seq("a" -> 12, "b" -> 6, "c" -> 4, "d" -> 3)
+      .flatMap { case (w, n) => Seq.fill(n)(w) }
+    val docs = words.grouped(5).map(_.mkString(" ")).toSeq.toDF("text")
+    val r = TextAnalysis.zipfFit(docs, org.apache.spark.sql.functions
+      .col("text"), topN = 4).collect()(0)
+    assert(r.getLong(0) == 4L)
+    assert(math.abs(r.getDouble(1) + 1.0) < 1e-4, s"slope ${r.getDouble(1)}")
+    assert(r.getDouble(3) > 0.999999, s"r2 ${r.getDouble(3)}")
+  }
+
   test("dropNearDuplicates removes only the larger side of pairs") {
     val docs = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
