@@ -1297,6 +1297,14 @@ object Queries {
       lshPairs(s, dir)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
     }),
+    "q_dedup_minhash_audit" -> ((s, dir) => {
+      // Estimator-quality audit: 64-lane signature Jaccard estimate
+      // vs exact shingle Jaccard over the LSH candidate pairs, rolled
+      // up to (n_pairs, mae, bias, max_ae) — the check that the
+      // signature width still supports the dedup threshold.
+      Dedup.minhashEstimatorAudit(Tables.documents(s, dir), "doc_id",
+        col("text"), threshold = 0.8, numHashes = 64, portable = true)
+    }),
     "q_dedup_simhash" -> ((s, dir) => {
       Dedup.simhash(Tables.documents(s, dir), "doc_id", col("text"),
         portable = true)
@@ -3578,6 +3586,7 @@ object Queries {
         |FROM documents GROUP BY source""".stripMargin,
     "q_dedup_minhash" -> minhashSigOracle,
     "q_dedup_minhash_pairs" -> minhashPairsOracle,
+    "q_dedup_minhash_audit" -> minhashAuditOracle,
     "q_dedup_components" -> dedupComponentsOracle,
     "q_dedup_apply_cc" -> dedupApplyCcOracle,
     "q_dedup_simhash" -> simhashOracle,
@@ -4243,6 +4252,46 @@ object Queries {
        | FROM cand c
        | JOIN sl sa ON sa.doc_id = c.a
        | JOIN sl sb ON sb.doc_id = c.b)""".stripMargin
+  }
+
+  /** q_dedup_minhash_audit replica: the candidate set via the same
+    * 64-signature banding as [[minhashPairsCte]], the lane-match
+    * estimate as an exact /64 fraction, the exact Jaccard rounded to
+    * 6 dp — both fixed as DECIMAL(18,6) before the error sums. */
+  private def minhashAuditOracle: String = {
+    val numHashes = 64
+    val bands = Dedup.lshBanding(numHashes, 0.8)
+    val width = numHashes / bands
+    val sigCols = (0 until numHashes)
+      .map(i => s"min(${affineSql(i, "h")}) AS s$i").mkString(",\n ")
+    val bandOr = (0 until bands)
+      .map(b => (0 until width)
+        .map(r => s"x.s${width * b + r} = y.s${width * b + r}")
+        .mkString("(", " AND ", ")"))
+      .mkString("(", " OR ", ")")
+    val laneMatches = (0 until numHashes)
+      .map(i => s"CASE WHEN x.s$i = y.s$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sl AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+       |e AS (SELECT doc_id, unnest(sh) AS s FROM sl),
+       |h AS (SELECT doc_id, ${polySql("s")} AS h FROM e),
+       |sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id),
+       |cand AS (SELECT x.doc_id AS a, y.doc_id AS b,
+       |  CAST(($laneMatches) AS DOUBLE) / $numHashes AS est
+       | FROM sig x JOIN sig y ON x.doc_id < y.doc_id AND $bandOr),
+       |pp AS (SELECT
+       |  CAST(round(c.est, 6) AS DECIMAL(18,6)) AS ev,
+       |  CAST(round(${jaccardSql("sa.sh", "sb.sh")}, 6)
+       |    AS DECIMAL(18,6)) AS xv
+       | FROM cand c
+       | JOIN sl sa ON sa.doc_id = c.a
+       | JOIN sl sb ON sb.doc_id = c.b)
+       |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       | round(CAST(sum(abs(ev - xv)) AS DOUBLE) / count(*), 6) AS mae,
+       | round(CAST(sum(ev - xv) AS DOUBLE) / count(*), 6) AS bias,
+       | CAST(max(abs(ev - xv)) AS DOUBLE) AS max_ae
+       |FROM pp""".stripMargin
   }
 
   private def dedupApplyCcOracle: String =

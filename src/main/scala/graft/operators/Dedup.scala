@@ -619,6 +619,61 @@ object Dedup {
     ownResult(pairs, sh)
   }
 
+  /** Estimator-quality audit of the MinHash family — the dedup-side
+    * twin of the ANN recall audit: for every LSH candidate pair, the
+    * signature estimate of Jaccard (matching lanes / `numHashes`)
+    * against the exact shingle Jaccard, rolled up to one row
+    * (n_pairs, mae, bias, max_ae). A drifting MAE (or a bias away
+    * from 0) means the signature width no longer supports the dedup
+    * threshold — the number to check before trusting `numHashes` at a
+    * new corpus mix.
+    *
+    * Scale shape: identical to [[minhashNearDupPairs]] up to the
+    * candidate set (banded buckets, id-pair shuffles); the audit adds
+    * two signature joins (fixed 8·`numHashes`-byte rows) next to the
+    * shingle-verify joins the pair pipeline already pays, and the
+    * rollup is a map-side-combined scalar aggregate. Determinism:
+    * the estimate is an exact /`numHashes` binary fraction and the
+    * exact Jaccard rounds to 6 dp; both fix as DECIMAL(18,6) before
+    * the error sums (exact, order-independent), one rounded division
+    * at the edge. */
+  def minhashEstimatorAudit(
+      docs: DataFrame,
+      idCol: String,
+      text: Column,
+      threshold: Double = 0.8,
+      numHashes: Int = 64,
+      bands: Int = 0,
+      shingleSize: Int = 3,
+      portable: Boolean = false): DataFrame = {
+    val b = if (bands > 0) bands else lshBanding(numHashes, threshold)
+    val sh = shingleFrame(docs, idCol, text, shingleSize)
+    val sigs = signaturesFromExploded(
+      sh.select(col("__id").as(idCol), explode(col("__sh")).as("__sh")),
+      idCol, numHashes, portable)
+    val cand = lshCandidatePairs(sigs, idCol, numHashes, b)
+    val est = round(minhashJaccard(col("sig_a"), col("sig_b")), 6)
+      .cast(DecimalType(18, 6))
+    val exact = round(jaccard(col("sh_a"), col("sh_b")), 6)
+      .cast(DecimalType(18, 6))
+    val perPair = cand
+      .join(sigs.select(col(idCol).as("a"), col("signature").as("sig_a")),
+        Seq("a"))
+      .join(sigs.select(col(idCol).as("b"), col("signature").as("sig_b")),
+        Seq("b"))
+      .join(sh.select(col("__id").as("a"), col("__sh").as("sh_a")), Seq("a"))
+      .join(sh.select(col("__id").as("b"), col("__sh").as("sh_b")), Seq("b"))
+      .select(est.as("__e"), exact.as("__x"))
+    val out = perPair.agg(
+      count(lit(1)).as("n_pairs"),
+      round(sum(abs(col("__e") - col("__x"))).cast(DoubleType) /
+        count(lit(1)), 6).as("mae"),
+      round(sum(col("__e") - col("__x")).cast(DoubleType) /
+        count(lit(1)), 6).as("bias"),
+      max(abs(col("__e") - col("__x"))).cast(DoubleType).as("max_ae"))
+    ownResult(out, sh)
+  }
+
   /** 64-bit SimHash over whitespace tokens. Native mode: bit i of the
     * token's xxhash64 contributes ±1 to lane i. Portable mode: lane i's
     * contribution is the parity of the i-th affine transform of the

@@ -328,4 +328,23 @@ class DedupSpec extends SparkSpecBase {
     val shared = got(1L).toSet intersect got(2L).toSet
     assert(shared.nonEmpty, "an insertion destroyed every chunk")
   }
+
+  test("minhashEstimatorAudit: identical docs audit to zero error") {
+    import spark.implicits._
+    // identical pair → identical signatures AND identical shingle
+    // sets: estimate and exact Jaccard are both 1.0, so every error
+    // statistic must be exactly zero; the unrelated doc shares no
+    // band bucket and contributes no pair
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again"),
+      (3L, "completely different content with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val r = Dedup.minhashEstimatorAudit(docs, "doc_id",
+      org.apache.spark.sql.functions.col("text"), portable = true)
+      .collect()(0)
+    assert(r.getLong(0) == 1L, s"expected exactly the identical pair: $r")
+    assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0 &&
+      r.getDouble(3) == 0.0, s"non-zero error on identical docs: $r")
+  }
 }
