@@ -2031,6 +2031,13 @@ object Queries {
       TextAnalysis.lexicalDiversity(
         Tables.documents(s, dir), "source", col("text"))
     }),
+    "q_vocab_growth" -> ((s, dir) => {
+      // Heaps-law growth table per ingestion wave (doc_id mod 8, the
+      // q_shingle_novelty wave convention): occurrences, new types,
+      // both cumulative curves — all integers, no float surface.
+      TextAnalysis.vocabGrowth(Tables.documents(s, dir),
+        col("doc_id") % 8, col("text"))
+    }),
     "q_zipf" -> ((s, dir) => {
       // Zipf rank-frequency fit (top-200 tokens): slope near −1 is
       // healthy natural text; the distribution-shape corpus-health
@@ -3351,6 +3358,25 @@ object Queries {
         | CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
         | round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr
         |FROM cst GROUP BY source""".stripMargin,
+    // vocabGrowth replica: (wave, token) counts once, first-seen via
+    // min(wave) per token, cumulative window sums — integers only.
+    "q_vocab_growth" ->
+      s"""WITH cnt AS (
+        | SELECT doc_id % 8 AS wave, tok, CAST(count(*) AS BIGINT) AS c
+        | FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+        | GROUP BY 1, 2),
+        |pw AS (SELECT wave, CAST(sum(c) AS BIGINT) AS n_tokens
+        |       FROM cnt GROUP BY wave),
+        |fs AS (SELECT wave, CAST(count(*) AS BIGINT) AS n_new_types
+        |       FROM (SELECT tok, min(wave) AS wave FROM cnt GROUP BY tok)
+        |       GROUP BY wave)
+        |SELECT pw.wave, n_tokens,
+        | COALESCE(n_new_types, 0) AS n_new_types,
+        | CAST(sum(n_tokens) OVER (ORDER BY pw.wave
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        | CAST(sum(COALESCE(n_new_types, 0)) OVER (ORDER BY pw.wave
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+        |FROM pw LEFT JOIN fs ON pw.wave = fs.wave""".stripMargin,
     // zipfFit replica: each ln rounded to 6 dp and fixed as
     // DECIMAL(18,6) before the OLS sums (exact decimal addition), the
     // slope/intercept/r² finale in double on identical inputs.

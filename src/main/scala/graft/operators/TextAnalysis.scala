@@ -667,6 +667,49 @@ object TextAnalysis {
         round(num * num / (den * denY), 6)).as("r2"))
   }
 
+  /** Heaps-law vocabulary-growth table: per ingestion wave (shard,
+    * crawl batch, snapshot day — any integral ordinal), token
+    * occurrences and NEW types (tokens seen in no earlier wave), plus
+    * both cumulative curves. Healthy natural-text growth follows
+    * V(N) ≈ K·N^β with β ≈ 0.4–0.6 — a flattening cum_types curve
+    * means new waves re-crawl known vocabulary (the token-level twin
+    * of [[graft.operators.Dedup.shingleNovelty]]); plot ln(cum_types)
+    * against ln(cum_tokens) or fit it with the [[zipfFit]] OLS.
+    *
+    * Scale shape: ONE corpus-scale shuffle (map-side-combined
+    * (wave, token) counts); first-seen is a min-per-token aggregate of
+    * that vocab-sized frame; the cumulative window runs over the
+    * |waves|-row result — control-plane by construction. Pure integer
+    * counts end-to-end: no float surface at all (the TVD-portability
+    * rule).
+    *
+    * Returns (wave, n_tokens, n_new_types, cum_tokens, cum_types)
+    * sorted by wave. */
+  def vocabGrowth(
+      docs: DataFrame,
+      waveCol: Column,
+      textCol: Column): DataFrame = {
+    val cnt = docs
+      .select(waveCol.cast(LongType).as("wave"),
+        explode(tokens(lower(textCol))).as("__tok"))
+      .groupBy(col("wave"), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+    val perWave = cnt.groupBy(col("wave"))
+      .agg(sum(col("__c")).as("n_tokens"))
+    val firstSeen = cnt.groupBy(col("__tok"))
+      .agg(min(col("wave")).as("wave"))
+      .groupBy(col("wave"))
+      .agg(count(lit(1)).as("n_new_types"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("wave"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perWave.join(firstSeen, Seq("wave"), "left")
+      .select(col("wave"), col("n_tokens"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_types", sum(col("n_new_types")).over(w))
+  }
+
   /** Frequency-ranked vocabulary induction: the top `vocabSize`
     * whitespace tokens by (count desc, token asc), densely numbered
     * 0..vocabSize−1 in that order. Returns (token, id: long).

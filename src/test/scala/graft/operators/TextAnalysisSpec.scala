@@ -218,6 +218,19 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(r.getDouble(3) > 0.999999, s"r2 ${r.getDouble(3)}")
   }
 
+  test("vocabGrowth: hand-computed waves, cumulative curves") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b a"), (1L, "a c")).toDF("w", "text")
+    val got = TextAnalysis.vocabGrowth(docs,
+        org.apache.spark.sql.functions.col("w"),
+        org.apache.spark.sql.functions.col("text"))
+      .orderBy("wave").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // wave 0: 3 occurrences, new {a, b}; wave 1: 2 occurrences, new {c}
+    assert(got == Seq((0L, 3L, 2L, 3L, 2L), (1L, 2L, 1L, 5L, 3L)))
+  }
+
   test("dropNearDuplicates removes only the larger side of pairs") {
     val docs = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
