@@ -464,6 +464,14 @@ object Queries {
         .select(dateFmt(col("wk")).as("week"), col("n_active"),
           col("n_retained"))
     }),
+    "q_psi" -> ((s, dir) => {
+      // Distribution-drift gate: PSI of every event type's value
+      // distribution against the click baseline, 10 fixed-width bins
+      // over [0, 500). The (group, bin) shuffle is ≤ |groups|·10
+      // integer rows at any scale.
+      Stats.psiByGroup(Tables.events(s, dir), "value", "event_type",
+        refGroup = "click", lo = 0.0, hi = 500.0, nBins = 10)
+    }),
     "q_anomaly_zscore" -> ((s, dir) => {
       // Data-quality audit: events more than 3σ from their type's mean
       // — two passes (5-row stats broadcast back), corpus never
@@ -2591,6 +2599,36 @@ object Queries {
         |FROM uw a LEFT JOIN uw b ON a.user_id = b.user_id
         | AND b.wk = a.wk + INTERVAL 7 DAY
         |GROUP BY a.wk""".stripMargin,
+    // psiByGroup replica: identical fixed-width clamp binning, zero
+    // bins from the full spine, 1e-6 share floor, per-bin terms
+    // rounded and decimal-summed.
+    "q_psi" ->
+      """WITH c AS (
+        | SELECT event_type AS g,
+        |  least(9, greatest(0, CAST(floor(value / 50.0) AS INTEGER)))
+        |    AS bin,
+        |  CAST(count(*) AS BIGINT) AS c
+        | FROM events GROUP BY 1, 2),
+        |spine AS (
+        | SELECT g, b AS bin
+        | FROM (SELECT DISTINCT g FROM c), (SELECT unnest(range(10)) AS b)),
+        |f AS (
+        | SELECT s.g, s.bin, COALESCE(c.c, 0) AS c
+        | FROM spine s LEFT JOIN c ON s.g = c.g AND s.bin = c.bin),
+        |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM f GROUP BY g),
+        |share AS (
+        | SELECT f.g, f.bin, t.n,
+        |  greatest(CAST(f.c AS DOUBLE) / CAST(t.n AS DOUBLE), 1e-6) AS p
+        | FROM f JOIN tot t USING (g)),
+        |ref AS (SELECT bin, p AS q FROM share WHERE g = 'click'),
+        |terms AS (
+        | SELECT s.g, s.n,
+        |  CAST(round((s.p - r.q) * ln(s.p / r.q), 6)
+        |    AS DECIMAL(18,6)) AS t
+        | FROM share s JOIN ref r USING (bin) WHERE s.g <> 'click')
+        |SELECT g AS event_type, CAST(min(n) AS BIGINT) AS n_rows,
+        | round(CAST(sum(t) AS DOUBLE), 6) AS psi
+        |FROM terms GROUP BY g""".stripMargin,
     "q_anomaly_zscore" ->
       """WITH s AS (SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv,

@@ -67,6 +67,67 @@ object Stats {
       .agg(max(col("__n")).as("n"), qCols: _*)
   }
 
+  /** Population stability index of every group against a reference
+    * group, over a fixed-domain equal-width binning of `valueCol` —
+    * THE drift gate a production feature pipeline runs before
+    * retraining: PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i), with q the
+    * reference group's bin shares. Common reading: < 0.1 stable,
+    * 0.1–0.25 drifting, > 0.25 act. Zero bins clamp to the standard
+    * 1e-6 share floor so the log stays finite (deterministic, both
+    * engines see the identical clamp). NULL values carry no bin and
+    * are excluded from the shares.
+    *
+    * Scale shape: one map-side-combined (group, bin) count — the
+    * shuffle carries ≤ |groups|·nBins integer rows at any corpus
+    * size; the bin spine crossJoin and the reference join are
+    * nBins-row control-plane frames. Determinism: shares divide
+    * integers in double (identical inputs → identical IEEE results),
+    * each bin term rounds to 6 dp and fixes as DECIMAL(18,6) before
+    * the sum (exact, order-independent).
+    *
+    * Returns (groupCol, n_rows, psi) for every group ≠ `refGroup`. */
+  def psiByGroup(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      refGroup: String,
+      lo: Double,
+      hi: Double,
+      nBins: Int = 10): DataFrame = {
+    require(hi > lo && nBins > 0, "need hi > lo and nBins > 0")
+    val width = (hi - lo) / nBins
+    val bin = least(lit(nBins - 1), greatest(lit(0),
+      floor((col(valueCol).cast(DoubleType) - lo) / width)
+        .cast(IntegerType)))
+    val counts = df.select(col(groupCol).as("__g"), bin.as("__bin"))
+      .filter(col("__bin").isNotNull)
+      .groupBy(col("__g"), col("__bin"))
+      .agg(count(lit(1)).as("__c"))
+    val spine = counts.select(col("__g")).distinct()
+      .crossJoin(broadcast(
+        df.sparkSession.range(nBins)
+          .select(col("id").cast(IntegerType).as("__bin"))))
+    val full = spine.join(counts, Seq("__g", "__bin"), "left")
+      .select(col("__g"), col("__bin"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+    val tot = full.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+    val share = full.join(tot, Seq("__g"))
+      .select(col("__g"), col("__bin"), col("__n"),
+        greatest(col("__c").cast(DoubleType) /
+          col("__n").cast(DoubleType), lit(1e-6)).as("__p"))
+    val ref = share.filter(col("__g") === refGroup)
+      .select(col("__bin"), col("__p").as("__q"))
+    share.filter(col("__g") =!= refGroup)
+      .join(broadcast(ref), Seq("__bin"))
+      .select(col("__g"), col("__n"),
+        round((col("__p") - col("__q")) * log(col("__p") / col("__q")), 6)
+          .cast(DecimalType(18, 6)).as("__t"))
+      .groupBy(col("__g"))
+      .agg(first(col("__n")).as("n_rows"),
+        round(sum(col("__t")).cast(DoubleType), 6).as("psi"))
+      .withColumnRenamed("__g", groupCol)
+  }
+
   /** CountMin sketch over an item stream — the bounded-state answer to
     * "which items are frequent?" at 100 TB, where an exact
     * groupBy(item) shuffles the full distinct domain (for tokens:

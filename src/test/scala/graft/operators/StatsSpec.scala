@@ -126,4 +126,21 @@ class StatsSpec extends SparkSpecBase {
         s"group $g: est ${r.getAs[Double]("q_p50")} vs exact $exact")
     }
   }
+
+  test("psiByGroup: identical distribution scores 0, drifted scores big") {
+    import spark.implicits._
+    // b mirrors the reference a exactly; c concentrates in one bin
+    val rows = Seq("a" -> 5.0, "a" -> 15.0, "b" -> 5.0, "b" -> 15.0,
+      "c" -> 5.0, "c" -> 5.0).map { case (g, v) => (g, v) }
+    val got = Stats.psiByGroup(rows.toDF("g", "v"), "v", "g",
+        refGroup = "a", lo = 0.0, hi = 20.0, nBins = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got("b") == (2L, 0.0), s"identical dist must be 0: $got")
+    // c: p = (1, 1e-6) vs q = (0.5, 0.5) → PSI ≈ 0.5·ln2 + 0.5·ln(5e5)
+    val expected = 0.5 * math.log(2.0) +
+      (1e-6 - 0.5) * math.log(1e-6 / 0.5)
+    assert(math.abs(got("c")._2 - expected) < 1e-4,
+      s"got ${got("c")._2}, expected ~$expected")
+  }
 }
