@@ -1376,6 +1376,18 @@ object Queries {
           sum(col("id")).as("id_sum"),
           max(col("id")).as("max_id"))
     }),
+    "q_dedup_cluster_census" -> ((s, dir) => {
+      // Cluster-size distribution of the transitive near-dup clusters
+      // — the dedup-health histogram (a fat tail means template spam
+      // or a collapsed threshold). Two |components|-row shuffles over
+      // the session-shared component frame; nothing corpus-scale.
+      lshComponents(s, dir)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("cluster_size")).as("n_docs"))
+    }),
     "q_dedup_apply_cc" -> ((s, dir) => {
       // Component-correct dedup apply: keep exactly ONE doc (the
       // smallest id) per transitive near-dup cluster. On chains this
@@ -1855,6 +1867,26 @@ object Queries {
           "doc_id", "n_tok", capacity = 256, nShards = 8, seed = 3)
         .select(col("id").as("doc_id"), col("shard"), col("bin"),
           col("n_tok"))
+    }),
+    "q_pack_efficiency" -> ((s, dir) => {
+      // Packing-efficiency audit per shard: bins used, docs and
+      // tokens packed, fill rate as integer permille of bin capacity
+      // — the wasted-compute number a training run watches (capacity
+      // minus fill is padding). Same pack walk as q_pack_sequences;
+      // the rollup is two map-side-combined integer aggregations.
+      Packing.packSequences(
+          Tables.documents(s, dir).withColumn("n_tok",
+            TextAnalysis.tokenCount(col("text"))),
+          "doc_id", "n_tok", capacity = 256, nShards = 8, seed = 3)
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast(LongType)).as("tokens"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_bins"),
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("tokens")).as("tokens"))
+        .withColumn("fill_permille",
+          expr("(1000 * tokens) div (n_bins * 256)"))
     }),
     "q_sample_stratified" -> ((s, dir) => {
       // Data mixing: downsample every language to ≈60 docs by
@@ -3526,6 +3558,7 @@ object Queries {
         |   4) AS price_sum
         |FROM merged GROUP BY o_month""".stripMargin,
     "q_pack_sequences" -> packSequencesOracle,
+    "q_pack_efficiency" -> packEfficiencyOracle,
     "q_text_chunks" -> textChunksOracle,
     "q_text_boilerplate" -> boilerplateOracle,
     "q_decontaminate" -> decontaminateOracle,
@@ -3652,6 +3685,7 @@ object Queries {
     "q_dedup_minhash_pairs" -> minhashPairsOracle,
     "q_dedup_minhash_audit" -> minhashAuditOracle,
     "q_dedup_components" -> dedupComponentsOracle,
+    "q_dedup_cluster_census" -> dedupClusterCensusOracle,
     "q_dedup_apply_cc" -> dedupApplyCcOracle,
     "q_dedup_simhash" -> simhashOracle,
     "q_dedup_simhash_pairs" -> simhashPairsOracle,
@@ -4149,7 +4183,9 @@ object Queries {
     * affine shard hash (seed 3), same id order, same overflow rule —
     * every (shard, bin) assignment must match the mapPartitions walk
     * step-for-step. */
-  private def packSequencesOracle: String = {
+  /** Shared recursive CTE chain replaying the sharded next-fit pack
+    * walk up to relation `r(doc_id, shard, n_tok, rn, bin, fill)`. */
+  private def packChainCte: String = {
     val cap = 256; val shards = 8
     val shardExpr =
       s"""CAST(${affineSql(3, s"(doc_id % $M)")}
@@ -4168,9 +4204,27 @@ object Queries {
        |  CASE WHEN r.fill + o.n_tok > $cap THEN r.bin + 1 ELSE r.bin END,
        |  CASE WHEN r.fill + o.n_tok > $cap THEN o.n_tok
        |   ELSE r.fill + o.n_tok END
-       | FROM r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1)
-       |SELECT doc_id, shard, bin, n_tok FROM r""".stripMargin
+       | FROM r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1)"""
+      .stripMargin
   }
+
+  private def packSequencesOracle: String =
+    s"""$packChainCte
+       |SELECT doc_id, shard, bin, n_tok FROM r""".stripMargin
+
+  /** q_pack_efficiency replica: the same pack walk rolled up per
+    * shard; fill rate as integer permille (floor division). */
+  private def packEfficiencyOracle: String =
+    s"""$packChainCte,
+       |pb AS (SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS tokens
+       | FROM r GROUP BY 1, 2)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_bins,
+       | CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       | CAST(sum(tokens) AS BIGINT) AS tokens,
+       | CAST((1000 * sum(tokens)) // (count(*) * 256) AS BIGINT)
+       |   AS fill_permille
+       |FROM pb GROUP BY shard""".stripMargin
 
   /** Replica of the deterministic stratified sampler: same affine
     * bucket of doc_id (seed 9), same integer floor-division keep
@@ -4376,6 +4430,27 @@ object Queries {
        |FROM documents
        |WHERE doc_id NOT IN (SELECT id FROM cc WHERE id != component)
        |GROUP BY source""".stripMargin
+
+  /** q_dedup_cluster_census replica: the recursive component closure
+    * of [[dedupComponentsOracle]], rolled up to the size histogram. */
+  private def dedupClusterCensusOracle: String =
+    s"""${minhashPairsCte(0.8)},
+       |p AS (SELECT a, b FROM j WHERE jac >= 0.8),
+       |pe AS (SELECT a AS src, b AS dst FROM p
+       |       UNION SELECT b, a FROM p),
+       |cc AS (
+       | SELECT n AS id, min(m) AS component FROM (
+       |  WITH RECURSIVE r(n, m) AS (
+       |    SELECT src, src FROM pe
+       |    UNION
+       |    SELECT pe.src, r.m FROM pe JOIN r ON pe.dst = r.n
+       |  ) SELECT n, m FROM r
+       | ) GROUP BY n),
+       |cs AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+       |       FROM cc GROUP BY component)
+       |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       | CAST(sum(cluster_size) AS BIGINT) AS n_docs
+       |FROM cs GROUP BY cluster_size""".stripMargin
 
   private def dedupComponentsOracle: String =
     s"""${minhashPairsCte(0.8)},
