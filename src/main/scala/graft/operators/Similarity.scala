@@ -527,28 +527,46 @@ object Similarity {
       idCol: String,
       labelCol: String,
       vecCol: String): DataFrame = {
+    // Scaled-long decimal rounds (the [[topPrincipalComponent]]
+    // trade): ±floor(|p|·10^s + 0.5) as a LONG is value-identical to
+    // round(p, s)::DECIMAL on this arithmetic (half-up in scaled
+    // integer space, proven by the value-level gate) and avoids a
+    // per-element BigDecimal Round + decimal aggregation buffer on
+    // the corpus-sized exploded stream. Range: |v| ≲ 10 ⇒ scaled
+    // terms ≤ 1e13, and every LONG sum here spans ≤ dim (64) terms
+    // per key or per 9-dp component — orders of magnitude under
+    // Long.MaxValue.
+    def s9(p: Column): Column =
+      when(p >= 0, floor(p * lit(1e9) + lit(0.5)))
+        .otherwise(-floor(-p * lit(1e9) + lit(0.5))).cast(LongType)
+    def s12(p: Column): Column =
+      when(p >= 0, floor(p * lit(1e12) + lit(0.5)))
+        .otherwise(-floor(-p * lit(1e12) + lit(0.5))).cast(LongType)
     val ex = emb.select(col(idCol), col(labelCol),
       posexplode(col(vecCol)).as(Seq("pos", "v")))
       .withColumn("v", col("v").cast(DoubleType))
+    // centroid pass: per-(label,pos) sums as 9-dp scaled longs merged
+    // as DECIMAL(38,0) — per-partition LONG partials can span the
+    // whole corpus, so the merge tier must be exact at any size
     val cent = ex.groupBy(col(labelCol), col("pos"))
-      .agg(round(sum(col("v").cast(DecimalType(28, 9))).cast(DoubleType) /
+      .agg(round((sum(s9(col("v"))).cast(DecimalType(38, 0))
+          .cast(DoubleType) / lit(1e9)) /
         count(lit(1)), 9).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cn = cent.groupBy(col(labelCol))
-      .agg(sum(round(col("c") * col("c"), 12).cast(DecimalType(28, 12)))
+      .agg((sum(s12(col("c") * col("c"))).cast(DoubleType) / lit(1e12))
         .as("cn2"))
     val per = ex.join(broadcast(cent), Seq(labelCol, "pos"))
       .groupBy(col(idCol), col(labelCol))
       .agg(
-        sum(round(col("v") * col("c"), 12).cast(DecimalType(28, 12)))
+        (sum(s12(col("v") * col("c"))).cast(DoubleType) / lit(1e12))
           .as("num"),
-        sum(round(col("v") * col("v"), 12).cast(DecimalType(28, 12)))
+        (sum(s12(col("v") * col("v"))).cast(DoubleType) / lit(1e12))
           .as("vn2"))
     per.join(broadcast(cn), Seq(labelCol))
       .select(col(labelCol),
-        round(col("num").cast(DoubleType) /
-          sqrt(col("vn2").cast(DoubleType) * col("cn2").cast(DoubleType)),
-          6).cast(DecimalType(18, 6)).as("cos"))
+        round(col("num") / sqrt(col("vn2") * col("cn2")), 6)
+          .cast(DecimalType(18, 6)).as("cos"))
       .groupBy(col(labelCol))
       .agg(count(lit(1)).as("n"),
         round(sum(col("cos")).cast(DoubleType) / count(lit(1)), 6)
