@@ -1656,6 +1656,23 @@ object Queries {
           sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
             .as("n_correct"))
     }),
+    "q_lang_margin" -> ((s, dir) => {
+      // Language-ID confidence: per true language, how many docs the
+      // classifier labels with a clear argmax (margin ≥ 1) and the
+      // total margin mass — the threshold a pipeline applies before
+      // trusting the label. Integer counts; same staged-token
+      // shuffle-free shape as q_lang_id.
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          TextAnalysis.tokens(lower(col("text"))).as("__tk"))
+        .select(col("lang"),
+          TextAnalysis.langIdMarginFromTokens(col("__tk")).as("margin"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("margin") >= 1, 1L).otherwise(0L))
+            .as("n_confident"),
+          sum(col("margin").cast(LongType)).as("margin_sum"))
+    }),
     "q_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir)
         .groupBy(col("source"))
@@ -3230,6 +3247,7 @@ object Queries {
         |FROM documents GROUP BY source""".stripMargin,
     "q_quality_by_lang" -> qualityOracle,
     "q_lang_id" -> langIdOracle,
+    "q_lang_margin" -> langMarginOracle,
     "q_fingerprint" ->
       """WITH fp AS (
         | SELECT source,
@@ -5131,6 +5149,34 @@ object Queries {
       | round(CAST(sum(CAST(q AS DECIMAL(12,6))) AS DOUBLE) / count(*), 6)
       |   AS avg_quality
       |FROM q GROUP BY lang""".stripMargin
+
+  /** q_lang_margin replica: the same per-language scores as
+    * [[langIdOracle]]; margin = top1 − top2 via a sorted score list. */
+  private def langMarginOracle: String = {
+    val scoreExprs = TextAnalysis.StopwordsByLang.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, x -> list_contains($list, x))) AS s_$lang"
+    }.mkString(",\n  ")
+    val langs = TextAnalysis.StopwordsByLang.map(_._1)
+    val k = langs.size
+    val lst = langs.map(l => s"s_$l").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       | SELECT lang, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |   x -> len(x) > 0) AS toks
+       | FROM documents),
+       |sc AS (
+       | SELECT lang,
+       |  $scoreExprs
+       | FROM t),
+       |m AS (
+       | SELECT lang, l[$k] - l[${k - 1}] AS margin
+       | FROM (SELECT lang, list_sort($lst) AS l FROM sc))
+       |SELECT lang, count(*) AS n,
+       | CAST(sum(CASE WHEN margin >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_confident,
+       | CAST(sum(margin) AS BIGINT) AS margin_sum
+       |FROM m GROUP BY lang""".stripMargin
+  }
 
   private def langIdOracle: String = {
     val scoreExprs = TextAnalysis.StopwordsByLang.map { case (lang, words) =>

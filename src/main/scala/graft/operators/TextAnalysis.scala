@@ -109,6 +109,20 @@ object TextAnalysis {
     }.otherwise(lit("und"))
   }
 
+  /** Language-ID confidence margin: best − second of the per-language
+    * function-word scores (over a pre-staged lowercased token array,
+    * the [[langIdFromTokens]] staging contract). Margin 0 means the
+    * argmax was a tie — the doc [[langIdFromTokens]] labels
+    * arbitrarily-by-language-order; real pipelines threshold the
+    * margin before trusting the label. Pure integer arithmetic. */
+  def langIdMarginFromTokens(toks: Column): Column = {
+    val scores = StopwordsByLang.map { case (_, words) =>
+      size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+    }
+    val arr = array_sort(array(scores: _*))
+    element_at(arr, scores.size) - element_at(arr, scores.size - 1)
+  }
+
   /** Composite quality score in [0,1]: rewards mid-length docs, healthy
     * mean token length, low punctuation density. Deterministic,
     * SQL-expressible; thresholds are Gopher-rules-inspired. */

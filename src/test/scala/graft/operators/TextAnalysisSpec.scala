@@ -218,6 +218,20 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(r.getDouble(3) > 0.999999, s"r2 ${r.getDouble(3)}")
   }
 
+  test("langIdMarginFromTokens: clear docs margin > 0, ties margin 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lower}
+    val docs = Seq(
+      "the cat sat on the mat and the dog",  // clearly en
+      "xyzzy qwerty plugh")                  // no stopwords: all-zero tie
+      .toDF("text")
+    val got = docs.select(TextAnalysis.langIdMarginFromTokens(
+        TextAnalysis.tokens(lower(col("text")))).as("m"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got.head > 0, s"expected positive margin: $got")
+    assert(got(1) == 0, s"expected tie margin 0: $got")
+  }
+
   test("vocabGrowth: hand-computed waves, cumulative curves") {
     import spark.implicits._
     val docs = Seq((0L, "a b a"), (1L, "a c")).toDF("w", "text")
