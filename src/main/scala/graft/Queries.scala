@@ -1850,6 +1850,13 @@ object Queries {
           dsum(col("o_totalprice")).as("price_sum"),
           max(col("o_orderdate")).as("last_date"))
     }),
+    "q_text_surprisal2" -> ((s, dir) => {
+      // Bigram-LM quality score: per-doc mean −ln p(w2|w1) under the
+      // corpus's own bigram model — the conditional step up from
+      // q_text_surprisal (templated continuations score near 0).
+      TextAnalysis.bigramSurprisal(
+        Tables.documents(s, dir), "doc_id", col("text"))
+    }),
     "q_text_surprisal" -> ((s, dir) => {
       // Unigram-LM quality score: per-doc mean −ln p(tok) under the
       // corpus's own token distribution (low = boilerplate, high =
@@ -3580,6 +3587,25 @@ object Queries {
     "q_text_chunks" -> textChunksOracle,
     "q_text_boilerplate" -> boilerplateOracle,
     "q_decontaminate" -> decontaminateOracle,
+    // bigramSurprisal replica: left-context totals derive from the
+    // bigram counts; ln-of-integer terms rounded and decimal-summed.
+    "q_text_surprisal2" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |p AS (SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg
+         |  FROM tk WHERE len(toks) >= 2)),
+         |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cab
+         |       FROM p GROUP BY 1, 2),
+         |lc AS (SELECT w1, CAST(sum(cab) AS BIGINT) AS ca
+         |       FROM bc GROUP BY 1),
+         |s AS (SELECT doc_id,
+         |  CAST(round(ln(CAST(ca AS DOUBLE)) - ln(CAST(cab AS DOUBLE)), 6)
+         |   AS DECIMAL(18,6)) AS s
+         | FROM p JOIN bc USING (w1, w2) JOIN lc USING (w1))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         | round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS mean_surprisal
+         |FROM s GROUP BY doc_id""".stripMargin,
     "q_text_surprisal" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY tok),

@@ -220,6 +220,56 @@ object TextAnalysis {
           .as("mean_surprisal"))
   }
 
+  /** Per-document mean BIGRAM surprisal — the conditional-model step
+    * up from [[unigramSurprisal]]: mean of −ln p(w₂|w₁) =
+    * ln c(w₁·) − ln c(w₁w₂) over the doc's bigram occurrences, with
+    * c(w₁·) the left-context total over observed bigrams (the proper
+    * conditional normalizer). Formulaic/templated text (predictable
+    * continuations) scores near 0, incoherent token soup scores high
+    * — a sharper fluency proxy than unigram frequency alone. Docs
+    * under 2 tokens carry no bigram and are absent from the result.
+    *
+    * Scale shape: one map-side-combined bigram-count shuffle; the
+    * left-context totals derive FROM the bigram counts (vocab-sized —
+    * never a second corpus scan); one join back on the bigram key,
+    * one groupBy(doc). The count frame is persisted for its two
+    * consumers and released after the result materializes. Same
+    * rounding discipline as [[unigramSurprisal]]: each term is ln of
+    * exact integers, rounded to 6 dp, DECIMAL-summed.
+    *
+    * Returns (idCol, n_bigrams, mean_surprisal). */
+  def bigramSurprisal(
+      docs: DataFrame,
+      idCol: String,
+      text: Column): DataFrame = {
+    val toks = docs.select(col(idCol), tokens(lower(text)).as("__tk"))
+      .filter(size(col("__tk")) >= 2)
+    def bigrams(t: DataFrame): DataFrame = t
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(__tk) - 2), " +
+          "i -> struct(__tk[i] AS w1, __tk[i + 1] AS w2))")).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bg = bigrams(toks)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bgc = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__cab"))
+      .persist(lvl)
+    val lc = bgc.groupBy(col("w1")).agg(sum(col("__cab")).as("__ca"))
+    val out = bg.join(bgc, Seq("w1", "w2")).join(lc, Seq("w1"))
+      .select(col(idCol),
+        round(log(col("__ca").cast(DoubleType)) -
+          log(col("__cab").cast(DoubleType)), 6)
+          .cast(DecimalType(18, 6)).as("__s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("__s")).cast(DoubleType) / count(lit(1)), 6)
+          .as("mean_surprisal"))
+      .persist(lvl)
+    out.count()
+    bgc.unpersist(false)
+    out
+  }
+
   /** Lexical diversity per group — the standard corpus-quality
     * trio: distinct types, total tokens, hapax legomena (types seen
     * exactly once corpus-group-wide), plus the type-token ratio.

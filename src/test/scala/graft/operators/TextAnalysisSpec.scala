@@ -232,6 +232,24 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(got(1) == 0, s"expected tie margin 0: $got")
   }
 
+  test("bigramSurprisal: hand-computed conditional surprisals") {
+    import spark.implicits._
+    // c(a,b)=3, c(b,a)=1, c(b,c)=1 → ca(a)=3, ca(b)=2:
+    // doc1 terms (0, ln2, 0) → mean ln2/3; doc2 (0); doc3 (ln2)
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "b c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramSurprisal(docs, "doc_id",
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val third = (ln2 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(got(1L) == (3L, third.toDouble), s"got $got")
+    assert(got(2L) == (1L, 0.0))
+    assert(got(3L) == (1L, ln2.toDouble))
+  }
+
   test("vocabGrowth: hand-computed waves, cumulative curves") {
     import spark.implicits._
     val docs = Seq((0L, "a b a"), (1L, "a c")).toDF("w", "text")
