@@ -502,6 +502,23 @@ object Queries {
       Stats.trimmedMean(Tables.events(s, dir), Seq("event_type"),
         col("value"), col("event_id"), trimPermille = 100)
     }),
+    "q_winsorize" -> ((s, dir) => {
+      // Robust mean, clamping flavor: the 5% tails vote at the fence
+      // value instead of being cut, so n stays constant. One exchange
+      // — the rank window and both fence lookups share the group-key
+      // partitioning; no bounds-table join-back.
+      Stats.winsorizedMean(Tables.events(s, dir), Seq("event_type"),
+        col("value"), col("event_id"), winsorPermille = 50)
+    }),
+    "q_anomaly_mad" -> ((s, dir) => {
+      // Robust outlier audit: |v − median| > 3·MAD per event type —
+      // the z-score gate's breakdown-proof twin (a 3σ fence is itself
+      // dragged by the outliers it hunts; the median/MAD fence is
+      // not). Doubled-decimal rank medians keep every comparison
+      // exact; one exchange feeds both rank windows.
+      Stats.madOutliers(Tables.events(s, dir), Seq("event_type"),
+        col("value"), col("event_id"), c = 3)
+    }),
     "q_mode_grouped" -> ((s, dir) => {
       // Deterministic mode: most frequent language per source, ties
       // by language ascending; ranks |distinct values| rows only.
@@ -2710,6 +2727,56 @@ object Queries {
         | round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
         |   / count(*), 6) AS trimmed_mean
         |FROM kept GROUP BY event_type""".stripMargin,
+    // winsorizedMean replica: identical rank fences, clamp, decimal mean
+    "q_winsorize" ->
+      """WITH r AS (SELECT event_type, value AS v, event_id,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value, event_id) AS rk,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM events),
+        |f AS (SELECT *, (n * 50) // 1000 AS k FROM r),
+        |b AS (SELECT *,
+        |  max(CASE WHEN rk = k + 1 THEN v END)
+        |    OVER (PARTITION BY event_type) AS lo,
+        |  max(CASE WHEN rk = n - k THEN v END)
+        |    OVER (PARTITION BY event_type) AS hi
+        | FROM f)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        | min(lo) AS lo_fence, min(hi) AS hi_fence,
+        | round(CAST(sum(CAST(CASE WHEN rk <= k THEN lo
+        |     WHEN rk > n - k THEN hi ELSE v END AS DECIMAL(18,4)))
+        |   AS DOUBLE) / count(*), 6) AS winsorized_mean
+        |FROM b GROUP BY event_type""".stripMargin,
+    // madOutliers replica: doubled-decimal rank medians, 2D > 3·D2 gate
+    "q_anomaly_mad" ->
+      """WITH r AS (SELECT event_type,
+        |  CAST(value AS DECIMAL(18,4)) AS v, event_id,
+        |  count(*) OVER (PARTITION BY event_type) AS n,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY CAST(value AS DECIMAL(18,4)), event_id) AS rk
+        | FROM events),
+        |m AS (SELECT *,
+        |  max(CASE WHEN rk = (n + 1) // 2 THEN v END)
+        |    OVER (PARTITION BY event_type) +
+        |  max(CASE WHEN rk = (n + 2) // 2 THEN v END)
+        |    OVER (PARTITION BY event_type) AS m2
+        | FROM r),
+        |d AS (SELECT *, abs(v * 2 - m2) AS dd,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(v * 2 - m2), event_id) AS rkd
+        | FROM m),
+        |dm AS (SELECT *,
+        |  max(CASE WHEN rkd = (n + 1) // 2 THEN dd END)
+        |    OVER (PARTITION BY event_type) +
+        |  max(CASE WHEN rkd = (n + 2) // 2 THEN dd END)
+        |    OVER (PARTITION BY event_type) AS d2
+        | FROM d)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_outliers,
+        | CAST(min(v) AS DOUBLE) AS min_val,
+        | CAST(max(v) AS DOUBLE) AS max_val,
+        | round(CAST(min(m2) AS DOUBLE) / 2, 6) AS median,
+        | round(CAST(min(d2) AS DOUBLE) / 4, 6) AS mad
+        |FROM dm WHERE dd * 2 > d2 * 3 GROUP BY event_type""".stripMargin,
     // modePerGroup replica: counts, rank-1 by (count desc, value asc)
     "q_mode_grouped" ->
       """WITH c AS (SELECT source, lang AS mode_value,

@@ -285,6 +285,114 @@ object Stats {
           count(lit(1)), 6).as("trimmed_mean"))
   }
 
+  /** Per-group winsorized mean: the [[trimmedMean]] twin that CLAMPS
+    * the tails instead of cutting them — the lowest k rows (by the
+    * same deterministic (value, id) rank) take the value at rank k+1,
+    * the highest k take the value at rank n−k, and everything is
+    * averaged through an exact DECIMAL sum. Winsorization keeps n
+    * constant (every row still votes, outliers just vote at the
+    * fence), which is what you want when downstream weights depend on
+    * group sizes.
+    *
+    * Single-exchange topology: the rank window, the count window, and
+    * the two fence lookups (window-max over `when(rk = fencerank, v)`)
+    * all share the group-key partitioning, so Catalyst plans ONE
+    * exchange + one sort — no bounds-table join-back, no second scan.
+    *
+    * Returns (groupCols*, n_rows, lo_fence, hi_fence,
+    * winsorized_mean), 6 dp. */
+  def winsorizedMean(
+      df: DataFrame,
+      groupCols: Seq[String],
+      value: Column,
+      idCol: Column,
+      winsorPermille: Int): DataFrame = {
+    require(winsorPermille >= 0 && winsorPermille < 500,
+      s"winsorPermille must be in [0, 500): $winsorPermille")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__v").asc, col("__id").asc)
+    val cnt = Window.partitionBy(groupCols.map(col): _*)
+    val k = expr(s"(__n * $winsorPermille) div 1000")
+    df.select(groupCols.map(col) ++ Seq(value.as("__v"),
+        idCol.as("__id")): _*)
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cnt))
+      .withColumn("__k", k)
+      .withColumn("__lo",
+        max(when(col("__rk") === col("__k") + 1, col("__v"))).over(cnt))
+      .withColumn("__hi",
+        max(when(col("__rk") === col("__n") - col("__k"), col("__v")))
+          .over(cnt))
+      .withColumn("__wv",
+        when(col("__rk") <= col("__k"), col("__lo"))
+          .when(col("__rk") > col("__n") - col("__k"), col("__hi"))
+          .otherwise(col("__v")))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__lo")).as("lo_fence"), min(col("__hi")).as("hi_fence"),
+        round(sum(col("__wv").cast(DecimalType(18, 4))).cast(DoubleType) /
+          count(lit(1)), 6).as("winsorized_mean"))
+  }
+
+  /** Per-group median/MAD outlier detection — the robust twin of the
+    * 3σ z-score audit (q_anomaly_zscore), immune to the outliers
+    * dragging the fence itself. A row is flagged when
+    * |v − median| > c · MAD (MAD = median of |v − median|).
+    *
+    * EXACT by doubling: medians are rank statistics — with the
+    * (value, id) tie-break, the two middle ranks (n+1) div 2 and
+    * (n+2) div 2 are deterministic rows — and instead of dividing
+    * their sum by 2 (a float op), everything stays on DOUBLED decimal
+    * values: M2 = v_a + v_b (= 2·median, exact), per-row deviation
+    * D = |2v − M2| (= 2·dev, exact), MAD doubled the same way
+    * (D2 = D_a + D_b = 4·MAD), and the flag test |v − median| > c·MAD
+    * multiplies through by 4 into 2·D > c·D2 with integer c: every
+    * comparison is exact DECIMAL arithmetic, no float anywhere until
+    * the final reporting columns.
+    *
+    * Topology: one exchange on the group key, reused by both rank
+    * windows (the second orders by the derived deviation — same
+    * partitioning, extra sort only), then one aggregate. The corpus
+    * never re-shuffles and no stats table joins back.
+    *
+    * Returns per group: (groupCols*, n_outliers, min_val, max_val,
+    * median, mad) with median/mad reported at 6 dp. */
+  def madOutliers(
+      df: DataFrame,
+      groupCols: Seq[String],
+      value: Column,
+      idCol: Column,
+      c: Int = 3): DataFrame = {
+    require(c > 0, s"MAD multiplier must be positive: $c")
+    val grp = groupCols.map(col)
+    val cnt = Window.partitionBy(grp: _*)
+    val wv = Window.partitionBy(grp: _*)
+      .orderBy(col("__v").asc, col("__id").asc)
+    val wd = Window.partitionBy(grp: _*)
+      .orderBy(col("__d").asc, col("__id").asc)
+    val dec = DecimalType(18, 4)
+    // integer div — Spark's `/` on integral columns is double division
+    val midLo = expr("(__n + 1) div 2")
+    val midHi = expr("(__n + 2) div 2")
+    def medianDoubled(rk: Column, v: Column): Column =
+      max(when(rk === midLo, v)).over(cnt) +
+        max(when(rk === midHi, v)).over(cnt)
+    df.select(grp ++ Seq(value.cast(dec).as("__v"), idCol.as("__id")): _*)
+      .withColumn("__n", count(lit(1)).over(cnt))
+      .withColumn("__rk", row_number().over(wv))
+      .withColumn("__m2", medianDoubled(col("__rk"), col("__v")))
+      .withColumn("__d", abs(col("__v") * 2 - col("__m2")))
+      .withColumn("__rkd", row_number().over(wd))
+      .withColumn("__d2", medianDoubled(col("__rkd"), col("__d")))
+      .filter(col("__d") * 2 > col("__d2") * c)
+      .groupBy(grp: _*)
+      .agg(count(lit(1)).as("n_outliers"),
+        min(col("__v")).cast(DoubleType).as("min_val"),
+        max(col("__v")).cast(DoubleType).as("max_val"),
+        round(min(col("__m2")).cast(DoubleType) / 2, 6).as("median"),
+        round(min(col("__d2")).cast(DoubleType) / 4, 6).as("mad"))
+  }
+
   /** Deterministic per-group mode: the most frequent value, ties
     * broken by value ascending (an arbitrary-tie mode is not
     * reproducible across engines or reruns). Two map-side-combined

@@ -51,6 +51,59 @@ class StatsSpec extends SparkSpecBase {
     assert(plain.getLong(1) == 12L)
   }
 
+  test("winsorizedMean clamps k rows per tail to the rank fences; " +
+      "winsor 0 is the plain mean") {
+    import spark.implicits._
+    // 12 rows: outliers -1000/1000 around 0..9; k = 12*50 div 1000
+    // ... that's 0 — use permille 100 for k = 1: fences are the
+    // values at ranks 2 and 11 (0.0 and 9.0), outliers vote there
+    val rows = ((-1000.0 +: (0 until 10).map(_.toDouble) :+ 1000.0)
+      .zipWithIndex.map { case (v, i) => ("g", i.toLong, v) })
+    val out = Stats.winsorizedMean(rows.toDF("g", "id", "v"), Seq("g"),
+      col("v"), col("id"), winsorPermille = 100).collect()(0)
+    assert(out.getLong(1) == 12L) // n stays constant — nothing cut
+    assert(out.getDouble(2) == 0.0 && out.getDouble(3) == 9.0)
+    // sum = 0 + (0..9) + 9 = 54; mean = 54/12
+    assert(out.getDouble(4) == 4.5)
+    val plain = Stats.winsorizedMean(rows.toDF("g", "id", "v"), Seq("g"),
+      col("v"), col("id"), winsorPermille = 0).collect()(0)
+    assert(plain.getLong(1) == 12L)
+    assert(plain.getDouble(4) ==
+      math.rint((0 until 10).sum / 12.0 * 1e6) / 1e6)
+  }
+
+  test("madOutliers flags |v - median| > c*MAD and survives the " +
+      "outlier dragging the mean; zscore would not") {
+    import spark.implicits._
+    // 9 values near 10 plus one at 1000: median 10, MAD 1 — the
+    // outlier is > 3 MAD out. A 3-sigma fence on the same data
+    // (sd ~ 297) would NOT flag 1000 as confidently.
+    val vs = Seq(8.0, 9.0, 9.0, 10.0, 10.0, 10.0, 11.0, 11.0, 12.0,
+      1000.0)
+    val df = vs.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+      .toDF("g", "id", "v")
+    val out = Stats.madOutliers(df, Seq("g"), col("v"), col("id"), c = 3)
+      .collect()(0)
+    assert(out.getLong(1) == 1L) // only the 1000
+    assert(out.getDouble(2) == 1000.0 && out.getDouble(3) == 1000.0)
+    assert(out.getDouble(4) == 10.0) // median
+    assert(out.getDouble(5) == 1.0) // MAD
+  }
+
+  test("madOutliers: symmetric data with zero MAD flags every " +
+      "off-median row; all-equal group flags none") {
+    import spark.implicits._
+    // g1: more than half the rows at 5 -> median 5, MAD 0; any v != 5
+    // has |v-5| > 0 = 3*MAD. g2: all equal -> no outliers.
+    val df = Seq(("g1", 1L, 5.0), ("g1", 2L, 5.0), ("g1", 3L, 5.0),
+      ("g1", 4L, 7.0), ("g2", 5L, 2.0), ("g2", 6L, 2.0))
+      .toDF("g", "id", "v")
+    val got = Stats.madOutliers(df, Seq("g"), col("v"), col("id"), c = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("g1") == 1L)
+    assert(!got.contains("g2"))
+  }
+
   test("modePerGroup: most frequent value, ties break ascending") {
     import spark.implicits._
     val df = Seq(("s1", "en"), ("s1", "en"), ("s1", "de"),
