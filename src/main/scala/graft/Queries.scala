@@ -1355,6 +1355,14 @@ object Queries {
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    "q_key_skew" -> ((s, dir) => {
+      // Join-strategy pre-flight: one-row skew profile of the event
+      // stream's user key — exact integer skew ratio and the salt
+      // fan-out that would level the hottest key. The decision input
+      // for plain-vs-AQE-vs-salted (q_join_salted) topologies.
+      graft.operators.Joins.keySkewProfile(Tables.events(s, dir),
+        col("user_id"))
+    }),
     "q_join_salted" -> ((s, dir) => {
       // Skew-salted join: lineitem collapsed onto 3 hot keys joins a
       // small side spread over session-derived salts (one per shuffle
@@ -3881,6 +3889,21 @@ object Queries {
         | round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
         |   AS value_sum
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+    // keySkewProfile replica: counts CTE feeds a totals aggregate and
+    // a deterministic (cnt desc, key asc) top-1; integer div throughout
+    "q_key_skew" ->
+      """WITH c AS (SELECT user_id AS k, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(max(cnt) AS BIGINT) AS max_cnt FROM c),
+        |h AS (SELECT CAST(k AS VARCHAR) AS hot_key FROM c
+        |  ORDER BY cnt DESC, k ASC LIMIT 1)
+        |SELECT n_rows, n_keys, max_cnt, hot_key,
+        | n_rows * 100 // n_keys AS avg_cnt_x100,
+        | max_cnt * 100 * n_keys // n_rows AS skew_x100,
+        | (max_cnt * n_keys + n_rows - 1) // n_rows AS suggested_salts
+        |FROM t, h""".stripMargin,
     "q_join_salted" ->
       """SELECT o.o_orderkey,
         | count(*) AS n,

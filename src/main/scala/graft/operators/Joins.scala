@@ -2,8 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.storage.StorageLevel
 
 /** Join shapes for the 100 TB regime: skew salting, bucketed
   * co-location, and the as-of (point-in-time) join. AQE's skew-join
@@ -199,6 +200,42 @@ object Joins {
     val s = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(n - 1L))))
     l.join(s, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Join-key skew pre-flight: the one-row profile that decides
+    * BETWEEN the join strategies in this file — broadcast (small
+    * side), plain shuffle (skew_x100 ≈ 100), AQE skew split (moderate
+    * tail), or [[saltedJoin]] (a key so hot it IS a reducer). The
+    * `suggested_salts` column is ⌈max_cnt / avg_cnt⌉ — how many
+    * average-key reducer-loads the hottest key weighs, i.e. the
+    * fan-out that levels it — all exact integer arithmetic
+    * (`skew_x100` = max·keys·100 div rows, no floats to drift).
+    *
+    * Scale shape: one map-side-combined groupBy on the key (persisted
+    * — both consumers read the counts, the corpus scans once), then a
+    * full-table aggregate plus a TakeOrdered top-1 (per-partition
+    * top-1 + driver merge of |partitions| rows — NO global sort) for
+    * the deterministic hottest key (ties break key-ascending). The
+    * result is one row; the counts cache is released before return.
+    *
+    * Returns (n_rows, n_keys, max_cnt, hot_key,
+    * avg_cnt_x100, skew_x100, suggested_salts). */
+  def keySkewProfile(df: DataFrame, key: Column): DataFrame = {
+    val counts = df.groupBy(key.as("k")).agg(count(lit(1)).as("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val totals = counts.agg(sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"))
+    val hot = counts.orderBy(col("cnt").desc, col("k").asc).limit(1)
+      .select(col("k").cast(StringType).as("hot_key"))
+    val out = totals.crossJoin(hot)
+      .withColumn("avg_cnt_x100", expr("n_rows * 100 div n_keys"))
+      .withColumn("skew_x100", expr("max_cnt * 100 * n_keys div n_rows"))
+      .withColumn("suggested_salts",
+        expr("(max_cnt * n_keys + n_rows - 1) div n_rows"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    counts.unpersist(false)
+    out
   }
 
   /** Write a DataFrame as a bucketed catalog table: subsequent joins

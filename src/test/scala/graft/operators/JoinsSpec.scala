@@ -183,6 +183,29 @@ class JoinsSpec extends SparkSpecBase {
     assert(naive.count() > 0)
   }
 
+  test("keySkewProfile: exact counts, deterministic hot key, " +
+      "ceil salt fan-out; uniform keys suggest 1 salt") {
+    import spark.implicits._
+    // key 7 holds 6 of 10 rows; keys 1..4 hold one each
+    val skewed = (Seq.fill(6)(7L) ++ Seq(1L, 2L, 3L, 4L))
+      .toDF("k2")
+    val r = Joins.keySkewProfile(skewed, col("k2")).collect()(0)
+    assert(r.getAs[Long]("n_rows") == 10L)
+    assert(r.getAs[Long]("n_keys") == 5L)
+    assert(r.getAs[Long]("max_cnt") == 6L)
+    assert(r.getAs[String]("hot_key") == "7")
+    assert(r.getAs[Long]("avg_cnt_x100") == 200L) // avg 2.0
+    assert(r.getAs[Long]("skew_x100") == 300L) // max/avg = 3.0
+    assert(r.getAs[Long]("suggested_salts") == 3L) // ceil(6/2)
+    // uniform: every key once -> skew 1.0, one salt (= don't salt);
+    // hot-key tie breaks to the smallest key
+    val uni = Seq(5L, 6L, 7L).toDF("k2")
+    val u = Joins.keySkewProfile(uni, col("k2")).collect()(0)
+    assert(u.getAs[Long]("skew_x100") == 100L)
+    assert(u.getAs[Long]("suggested_salts") == 1L)
+    assert(u.getAs[String]("hot_key") == "5")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
