@@ -502,6 +502,22 @@ object Queries {
       Stats.trimmedMean(Tables.events(s, dir), Seq("event_type"),
         col("value"), col("event_id"), trimPermille = 100)
     }),
+    "q_event_transitions" -> ((s, dir) => {
+      // First-order Markov matrix of the event stream: per-user
+      // consecutive event-type pairs, counts + exact integer-ppm
+      // conditional probabilities. One exchange on user_id for the
+      // lag; the (from, to) matrix is |types|² rows.
+      Stats.transitionMatrix(Tables.events(s, dir), col("user_id"),
+        col("ts"), col("event_id"), col("event_type"))
+    }),
+    "q_source_overlap" -> ((s, dir) => {
+      // Cross-provenance duplication: exact shingle-set Jaccard for
+      // every source pair (ppm) — how much of each source is already
+      // elsewhere, before paying for a cross-source dedup. Portable
+      // hash family so the oracle replays the same arithmetic.
+      Dedup.sourceOverlap(Tables.documents(s, dir), col("source"),
+        col("text"), shingleSize = 3, portable = true)
+    }),
     "q_winsorize" -> ((s, dir) => {
       // Robust mean, clamping flavor: the 5% tails vote at the fence
       // value instead of being cut, so n stays constant. One exchange
@@ -2735,6 +2751,20 @@ object Queries {
         | round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
         |   / count(*), 6) AS trimmed_mean
         |FROM kept GROUP BY event_type""".stripMargin,
+    // transitionMatrix replica: lag per user ordered (ts, event_id),
+    // pair counts, integer-ppm row-conditional probabilities
+    "q_event_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev
+        | FROM events),
+        |c AS (SELECT prev AS from_state, event_type AS to_state,
+        |  CAST(count(*) AS BIGINT) AS n_trans
+        | FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT *, CAST(sum(n_trans)
+        |  OVER (PARTITION BY from_state) AS BIGINT) AS tot FROM c)
+        |SELECT from_state, to_state, n_trans,
+        | n_trans * 1000000 // tot AS p_ppm FROM t""".stripMargin,
     // winsorizedMean replica: identical rank fences, clamp, decimal mean
     "q_winsorize" ->
       """WITH r AS (SELECT event_type, value AS v, event_id,
@@ -3179,6 +3209,24 @@ object Queries {
         |FROM h JOIN c USING (h) GROUP BY doc_id""".stripMargin,
     // shingleNovelty replica: same 3-word shingles + poly hash,
     // DISTINCT (wave, hash) pairs, min-wave first-seen
+    // sourceOverlap replica: distinct (source, poly-hash shingle)
+    // set, pair intersection via self-join (src_a < src_b), integer
+    // ppm Jaccard; zero-overlap pairs absent in both engines
+    "q_source_overlap" ->
+      s"""WITH t AS (SELECT source AS src, $toksSql AS toks
+         | FROM documents),
+         |p0 AS (SELECT src, unnest($shinglesSql) AS s FROM t),
+         |p AS (SELECT DISTINCT src, ${polySql("s")} AS h FROM p0),
+         |z AS (SELECT src, CAST(count(*) AS BIGINT) AS n
+         |  FROM p GROUP BY 1),
+         |c AS (SELECT a.src AS src_a, b.src AS src_b,
+         |  CAST(count(*) AS BIGINT) AS n_common
+         | FROM p a JOIN p b ON a.h = b.h AND a.src < b.src
+         | GROUP BY 1, 2)
+         |SELECT src_a, src_b, za.n AS n_a, zb.n AS n_b, n_common,
+         | n_common * 1000000 // (za.n + zb.n - n_common) AS jaccard_ppm
+         |FROM c JOIN z za ON za.src = c.src_a
+         |JOIN z zb ON zb.src = c.src_b""".stripMargin,
     "q_shingle_novelty" ->
       s"""WITH t AS (SELECT doc_id % 8 AS wave, $toksSql AS toks
          | FROM documents),

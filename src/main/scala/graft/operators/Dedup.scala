@@ -897,6 +897,59 @@ object Dedup {
     ownResult(out, pairs)
   }
 
+  /** Corpus-pair overlap: exact shingle-set Jaccard between every
+    * pair of sources — the answer to "how much of source B is already
+    * in source A?" BEFORE a cross-source dedup run is paid for. Where
+    * [[shingleNovelty]] tracks re-crawl over TIME (waves),
+    * this measures it across PROVENANCE; together they bound how much
+    * a new acquisition can possibly add.
+    *
+    * Scale shape: the distinct (source, hash) set is built once and
+    * persisted (8-byte hashes, shingle text never leaves the scan;
+    * its size is bounded by |sources|·vocab, not corpus rows); the
+    * pair intersection is one hash-keyed self-join emitting
+    * (src_a, src_b) pairs straight into a map-side-combined count —
+    * |sources|² result rows; per-source set sizes broadcast back.
+    * Pairs with ZERO common shingles are absent (inner join) —
+    * intentionally, since at scale the |sources|² zero matrix is
+    * noise. Jaccard in integer ppm: common·10⁶ div (n_a+n_b−common).
+    *
+    * Returns (src_a, src_b, n_a, n_b, n_common, jaccard_ppm),
+    * src_a < src_b lexicographically. */
+  def sourceOverlap(
+      docs: DataFrame,
+      sourceCol: Column,
+      text: Column,
+      shingleSize: Int = 3,
+      portable: Boolean = false): DataFrame = {
+    val hashOf: Column => Column =
+      if (portable) polyHash else xxhash64(_)
+    val pairs = docs
+      .select(sourceCol.cast(StringType).as("src"),
+        TextAnalysis.tokens(lower(text)).as("__tk"))
+      .select(col("src"),
+        explode(shinglesOfTokens(col("__tk"), shingleSize)).as("__s"))
+      .select(col("src"), hashOf(col("__s")).as("__h"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = pairs.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val common = pairs.as("a")
+      .join(pairs.as("b"),
+        col("a.__h") === col("b.__h") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val out = common
+      .join(broadcast(sizes.select(col("src").as("src_a"),
+        col("n").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("src").as("src_b"),
+        col("n").as("n_b"))), "src_b")
+      .withColumn("jaccard_ppm",
+        expr("n_common * 1000000 div (n_a + n_b - n_common)"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_common"), col("jaccard_ppm"))
+    ownResult(out, pairs)
+  }
+
   /** Content-defined chunking (the FastCDC/rsync family): cut after
     * every position whose `window`-char tail hash ≡ 0 (mod `divisor`),
     * giving variable-size chunks with EXPECTED size ≈ `divisor` whose

@@ -393,6 +393,47 @@ object Stats {
         round(min(col("__d2")).cast(DoubleType) / 4, 6).as("mad"))
   }
 
+  /** First-order Markov transition matrix over per-key event
+    * sequences: for every ordered (from_state, to_state) pair of
+    * consecutive states within a key, the transition count and its
+    * conditional probability in integer ppm (count·10⁶ div row-total
+    * — exact, no float division to drift). The behavioral-model
+    * primitive behind next-event prediction, anomalous-flow detection
+    * and synthetic-session generation; each key's first event has no
+    * predecessor and is excluded.
+    *
+    * Determinism: within-key order is (orderBy, tiebreak) — the
+    * tiebreak column must make the sort total (an id), or concurrent
+    * same-timestamp events would make `lag` engine-dependent.
+    *
+    * Scale shape: one exchange on the key for the lag window (state
+    * stays with its sequence — sequences never interleave across
+    * partitions), then a map-side-combined count on (from, to) —
+    * |states|² rows — and a row-total window over that tiny matrix.
+    *
+    * Returns (from_state, to_state, n_trans, p_ppm). */
+  def transitionMatrix(
+      df: DataFrame,
+      keyCol: Column,
+      orderBy: Column,
+      tiebreak: Column,
+      state: Column): DataFrame = {
+    val counts = df
+      .select(keyCol.as("__k"), orderBy.as("__o"), tiebreak.as("__t"),
+        state.as("__s"))
+      .withColumn("__prev", lag(col("__s"), 1).over(
+        Window.partitionBy(col("__k"))
+          .orderBy(col("__o").asc, col("__t").asc)))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_state"), col("__s").as("to_state"))
+      .agg(count(lit(1)).as("n_trans"))
+    counts
+      .withColumn("__tot",
+        sum(col("n_trans")).over(Window.partitionBy(col("from_state"))))
+      .withColumn("p_ppm", expr("n_trans * 1000000 div __tot"))
+      .drop("__tot")
+  }
+
   /** Deterministic per-group mode: the most frequent value, ties
     * broken by value ascending (an arbitrary-tie mode is not
     * reproducible across engines or reruns). Two map-side-combined

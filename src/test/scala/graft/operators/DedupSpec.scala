@@ -300,6 +300,25 @@ class DedupSpec extends SparkSpecBase {
     assert(got(2L) == ((3L, 3L, 1.0)))
   }
 
+  test("sourceOverlap: exact pairwise Jaccard in ppm, ordered pairs, " +
+      "zero-overlap pairs absent") {
+    import spark.implicits._
+    // s1: shingles {ab g, bg d} via 3-word shingling of 4 tokens;
+    // easier to reason per doc: each doc of 4 tokens -> 2 shingles
+    val rows = Seq(
+      ("s1", "alpha beta gamma delta"), // {abg, bgd}
+      ("s2", "alpha beta gamma epsilon"), // {abg, bge}
+      ("s3", "wholly new words here") // disjoint
+    ).toDF("source", "text")
+    val got = Dedup.sourceOverlap(rows, col("source"), col("text"),
+        shingleSize = 3, portable = true)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // s1 ∩ s2 = {abg}: 1 of 3 distinct -> 333333 ppm
+    assert(got(("s1", "s2")) == ((2L, 2L, 1L, 333333L)))
+    assert(got.size == 1) // s3 pairs share nothing -> absent
+  }
+
   test("cdcChunks: lossless partition, boundary brute-force match, " +
       "edit locality, short docs whole") {
     import spark.implicits._

@@ -104,6 +104,26 @@ class StatsSpec extends SparkSpecBase {
     assert(!got.contains("g2"))
   }
 
+  test("transitionMatrix: per-key consecutive pairs, ppm rows sum " +
+      "near 1e6, first events excluded, keys never interleave") {
+    import spark.implicits._
+    // user 1: a->b->a->b (a->b 2x, b->a 1x; the ts collision at 20
+    // resolves by the id tiebreak); user 2: b->c. From a: always b.
+    // From b: a once, c once — 50/50.
+    val df = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 20L, 3L, "a"),
+      (1L, 30L, 4L, "b"), (2L, 10L, 5L, "b"), (2L, 20L, 6L, "c")
+    ).toDF("u", "o", "id", "s")
+    val got = Stats.transitionMatrix(df, col("u"), col("o"), col("id"),
+      col("s")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_trans"), r.getAs[Long]("p_ppm"))).toMap
+    assert(got(("a", "b")) == ((2L, 1000000L)))
+    assert(got(("b", "a")) == ((1L, 500000L)))
+    assert(got(("b", "c")) == ((1L, 500000L)))
+    assert(got.size == 3) // no cross-user transitions
+  }
+
   test("modePerGroup: most frequent value, ties break ascending") {
     import spark.implicits._
     val df = Seq(("s1", "en"), ("s1", "en"), ("s1", "de"),
