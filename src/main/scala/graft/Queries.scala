@@ -464,6 +464,35 @@ object Queries {
         .select(dateFmt(col("wk")).as("week"), col("n_active"),
           col("n_retained"))
     }),
+    "q_retention_triangle" -> ((s, dir) => {
+      // Full retention triangle: each user cohorted by FIRST active
+      // week, then (cohort, age-in-weeks) active counts for ages 0–4
+      // with integer-ppm retention vs the cohort size. Generalizes
+      // q_cohort_retention's single week+1 column. The distinct
+      // (user, week) frame and the first-week aggregate share the
+      // user_id key (exchange reuse); the triangle itself is
+      // |weeks|·5 rows — control-plane sized at any corpus scale.
+      val uw = Tables.events(s, dir)
+        .select(date_trunc("week", col("ts")).as("wk"), col("user_id"))
+        .distinct()
+      val first = uw.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort"))
+      val tri = uw.join(first, "user_id")
+        .withColumn("age_weeks",
+          expr("datediff(wk, cohort) div 7").cast(LongType))
+        .filter(col("age_weeks") <= 4)
+        .groupBy(col("cohort"), col("age_weeks"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+      tri
+        .withColumn("__size", max(when(col("age_weeks") === 0,
+          col("n_active"))).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(
+            col("cohort"))))
+        .withColumn("retained_ppm",
+          expr("n_active * 1000000 div __size"))
+        .select(dateFmt(col("cohort")).as("cohort_week"),
+          col("age_weeks"), col("n_active"), col("retained_ppm"))
+    }),
     "q_psi" -> ((s, dir) => {
       // Distribution-drift gate: PSI of every event type's value
       // distribution against the click baseline, 10 fixed-width bins
@@ -2687,6 +2716,25 @@ object Queries {
         |SELECT '3_purchase', count(*),
         | strftime(min(t), '%Y-%m-%d %H:%M:%S'),
         | strftime(max(t), '%Y-%m-%d %H:%M:%S') FROM t3""".stripMargin,
+    // retention-triangle replica: first-week cohorts, age = week-diff
+    // div 7, ppm vs the age-0 cohort size
+    "q_retention_triangle" ->
+      """WITH uw AS (SELECT DISTINCT date_trunc('week', ts) AS wk,
+        |  user_id FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY 1),
+        |tri AS (SELECT cohort,
+        |  CAST(date_diff('day', cohort, wk) // 7 AS BIGINT)
+        |    AS age_weeks,
+        |  CAST(count(DISTINCT uw.user_id) AS BIGINT) AS n_active
+        | FROM uw JOIN f ON uw.user_id = f.user_id
+        | WHERE date_diff('day', cohort, wk) // 7 <= 4
+        | GROUP BY 1, 2),
+        |z AS (SELECT *, CAST(max(CASE WHEN age_weeks = 0
+        |    THEN n_active END) OVER (PARTITION BY cohort) AS BIGINT)
+        |  AS sz FROM tri)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, age_weeks,
+        | n_active, n_active * 1000000 // sz AS retained_ppm
+        |FROM z""".stripMargin,
     "q_cohort_retention" ->
       """WITH uw AS (SELECT DISTINCT date_trunc('week', ts) AS wk,
         |  user_id FROM events)
