@@ -976,6 +976,23 @@ object Queries {
         graft.streaming.Streams.windowedCounts(
           graft.streaming.Streams.eventsStream(s, dir)), name)
     }),
+    "q_stream_transitions" -> ((s, dir) => {
+      // Streaming Markov counting: per-user last-event state links
+      // transitions across micro-batches; the drained increment sums
+      // must equal the batch transition matrix — same output shape,
+      // same oracle SQL, gated value-for-value.
+      val name = s"q_stream_transitions_${streamRun.incrementAndGet()}"
+      implicit val sp: SparkSession = s
+      graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.transitionCountsState(
+          graft.streaming.Streams.eventsStream(s, dir)).toDF(), name)
+        .groupBy(col("from_state"), col("to_state"))
+        .agg(sum(col("n_inc")).as("n_trans"))
+        .withColumn("__tot", sum(col("n_trans")).over(
+          Window.partitionBy(col("from_state"))))
+        .withColumn("p_ppm", expr("n_trans * 1000000 div __tot"))
+        .drop("__tot")
+    }),
     "q_stream_sessions" -> ((s, dir) => {
       // Streaming sessionization via flatMapGroupsWithState (the
       // custom-state path — built-in session_window cannot flush its
@@ -2801,18 +2818,10 @@ object Queries {
         |FROM kept GROUP BY event_type""".stripMargin,
     // transitionMatrix replica: lag per user ordered (ts, event_id),
     // pair counts, integer-ppm row-conditional probabilities
-    "q_event_transitions" ->
-      """WITH s AS (SELECT user_id, event_type,
-        |  lag(event_type) OVER (PARTITION BY user_id
-        |    ORDER BY ts, event_id) AS prev
-        | FROM events),
-        |c AS (SELECT prev AS from_state, event_type AS to_state,
-        |  CAST(count(*) AS BIGINT) AS n_trans
-        | FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
-        |t AS (SELECT *, CAST(sum(n_trans)
-        |  OVER (PARTITION BY from_state) AS BIGINT) AS tot FROM c)
-        |SELECT from_state, to_state, n_trans,
-        | n_trans * 1000000 // tot AS p_ppm FROM t""".stripMargin,
+    "q_event_transitions" -> transitionsOracle,
+    // the streaming drain must land on the identical matrix — the
+    // batch oracle verbatim is the whole point of the gate
+    "q_stream_transitions" -> transitionsOracle,
     // winsorizedMean replica: identical rank fences, clamp, decimal mean
     "q_winsorize" ->
       """WITH r AS (SELECT event_type, value AS v, event_id,
@@ -4127,6 +4136,21 @@ object Queries {
       | THEN list_distinct(list_transform(range(1, len(toks) - 1),
       |   i -> array_to_string(toks[i:i+2], ' ')))
       | ELSE [array_to_string(toks, ' ')] END""".stripMargin
+
+  /** transitionMatrix replica, shared by the batch query and its
+    * streaming twin (whose drained counts must be identical). */
+  private def transitionsOracle: String =
+    """WITH s AS (SELECT user_id, event_type,
+      |  lag(event_type) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS prev
+      | FROM events),
+      |c AS (SELECT prev AS from_state, event_type AS to_state,
+      |  CAST(count(*) AS BIGINT) AS n_trans
+      | FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT *, CAST(sum(n_trans)
+      |  OVER (PARTITION BY from_state) AS BIGINT) AS tot FROM c)
+      |SELECT from_state, to_state, n_trans,
+      | n_trans * 1000000 // tot AS p_ppm FROM t""".stripMargin
 
   /** rolling polynomial hash of a string expression */
   private def polySql(e: String): String =

@@ -177,6 +177,62 @@ object Streams {
       }
   }
 
+  final case class TransitionInc(
+      from_state: String, to_state: String, n_inc: Long)
+
+  /** The last event carried per user across micro-batches. */
+  final case class LastEvent(tsUs: Long, eventId: Long, tpe: String)
+
+  /** Streaming first-order Markov transition counting — the
+    * incremental form of [[graft.operators.Stats.transitionMatrix]].
+    * Per user, the carried [[LastEvent]] state links the last event of
+    * one micro-batch to the first of the next, so a transition
+    * spanning two batches counts exactly once; within a batch events
+    * sort by the same (ts, event_id) total order as the batch
+    * operator. Emits per-batch (from, to) increments — downstream
+    * sums them, and after a bounded drain the summed counts equal the
+    * batch matrix row-for-row (the correctness gate reuses the batch
+    * oracle verbatim).
+    *
+    * Same replay discipline as [[sessionCountsState]]: batches are
+    * assumed time-ordered across files (the daily-extract shape); a
+    * late event older than the carried state appends after it rather
+    * than retroactively splicing into history. Per-user batch events
+    * sort in memory — bounded by one user's events per micro-batch,
+    * hash-partitioned by user across executors. */
+  def transitionCountsState(
+      events: DataFrame)(
+      implicit spark: SparkSession): Dataset[TransitionInc] = {
+    import spark.implicits._
+    events
+      .select(col("user_id").as[Long],
+        expr("ts_ns div 1000").as[Long],
+        col("event_id").as[Long], col("event_type").as[String])
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[LastEvent]) =>
+          val evs = rows.map(r => (r._2, r._3, r._4)).toArray
+            .sortBy(e => (e._1, e._2))
+          val counts =
+            scala.collection.mutable.Map.empty[(String, String), Long]
+          var prev = state.getOption.orNull
+          evs.foreach { case (ts, id, tpe) =>
+            if (prev != null) {
+              val k = (prev.tpe, tpe)
+              counts(k) = counts.getOrElse(k, 0L) + 1L
+            }
+            prev = LastEvent(ts, id, tpe)
+          }
+          if (prev != null) state.update(prev)
+          counts.iterator.map { case ((f, t), n) =>
+            TransitionInc(f, t, n)
+          }
+      }
+  }
+
   /** Streaming exact deduplication: first arrival per key survives,
     * later duplicates are suppressed, and — the part a plain streaming
     * `dropDuplicates` gets wrong at scale — state for a key is RELEASED

@@ -211,6 +211,68 @@ class StreamsSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
+  /** [[writeEventsFile]] with per-event type and id — the transition
+    * fixtures need both. */
+  private def writeTypedEventsFile(
+      dir: java.io.File,
+      name: String,
+      events: Seq[(Long, Long, String, Long)], // (tsNs, userId, type, id)
+      modTime: Long): Unit = {
+    import spark.implicits._
+    val stage = new java.io.File(dir, s"__stage_$name")
+    events
+      .map { case (t, u, tp, id) => (id, t, u, tp, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts",
+        timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000"))
+          .cast(org.apache.spark.sql.types.TimestampNTZType))
+      .coalesce(1).write.mode("overwrite").parquet(stage.getPath)
+    val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+    val dst = new java.io.File(dir, name)
+    java.nio.file.Files.move(part.toPath, dst.toPath)
+    dst.setLastModified(modTime)
+    org.apache.commons.io.FileUtils.deleteDirectory(stage)
+  }
+
+  test("a transition spanning two micro-batches counts exactly once " +
+      "(carried LastEvent state links the batch boundary)") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val tmp = java.nio.file.Files.createTempDirectory("trans_mb").toFile
+    // batch 1: user 1 a->b (and a lone user-2 event: no transition);
+    // batch 2: user 1 c — the b->c link exists ONLY via carried state
+    writeTypedEventsFile(tmp, "b1.parquet",
+      Seq((0L, 1L, "a", 1L), (min, 1L, "b", 2L), (0L, 2L, "d", 3L)),
+      modTime = 1000L)
+    writeTypedEventsFile(tmp, "b2.parquet",
+      Seq((2 * min, 1L, "c", 4L)), modTime = 2000L)
+    val raw = Streams.runAvailableNow(
+      Streams.transitionCountsState(Streams.eventsStream(
+        spark, tmp.getPath, glob = "*.parquet", maxFilesPerTrigger = 1))
+        .toDF(),
+      "trans_multibatch")
+    val got = raw.groupBy(col("from_state"), col("to_state"))
+      .agg(sum(col("n_inc")).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("a", "b") -> 1L, ("b", "c") -> 1L), s"got $got")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
+  test("streaming transition drain equals the batch transition matrix") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val streamed = Streams.runAvailableNow(
+      Streams.transitionCountsState(Streams.eventsStream(spark, dir))
+        .toDF(), "trans_drain")
+      .groupBy(col("from_state"), col("to_state"))
+      .agg(sum(col("n_inc")).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.operators.Stats.transitionMatrix(
+      Tables.events(spark, dir), col("user_id"), col("ts"),
+      col("event_id"), col("event_type")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("n_trans")).toMap
+    assert(streamed == batch)
+  }
+
   test("flatMapGroupsWithState carries per-user LWW state") {
     implicit val s = spark
     val out = Streams.runAvailableNow(
