@@ -1592,6 +1592,23 @@ object Queries {
           bits = 48, bands = 8, portable = true)
         .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
     }),
+    "q_sim_threshold_curve" -> ((s, dir) => {
+      // Dedup-threshold calibration: the cosine histogram of the FULL
+      // SRP-LSH candidate set (threshold −1 disables the gate) in
+      // 0.05 buckets plus a descending cumulative — read the survivor
+      // count for any candidate threshold off this one curve instead
+      // of re-running the dedup per guess. Same banded topology as
+      // q_sim_cosine_dedup; the curve itself is ≤ 41 rows, so the
+      // single-partition cumulative window is control-plane work.
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
+          "vec_id", "embedding", threshold = -1.0, bits = 48, bands = 8,
+          portable = true)
+        .groupBy(floor(round(col("cos"), 6) * 20).cast(LongType)
+          .as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("n_at_or_above",
+          sum(col("n_pairs")).over(Window.orderBy(col("bucket").desc)))
+    }),
     "q_sim_quantize" -> ((s, dir) => {
       // Int8 scalar quantization audit: exact integer sum of all
       // quantized cells per label (any drift in scale/round/clamp
@@ -3938,6 +3955,7 @@ object Queries {
     "q_sim_lsh" -> simLshOracle,
     "q_sim_recall" -> simRecallOracle,
     "q_sim_cosine_dedup" -> simCosineDedupOracle,
+    "q_sim_threshold_curve" -> simThresholdCurveOracle,
     "q_sim_ivf" -> simIvfOracle,
     "q_sim_ivf_refined" -> simIvfRefinedOracle,
     "q_multimodal_audio" ->
@@ -5264,7 +5282,29 @@ object Queries {
 
   /** DuckDB replica of q_sim_cosine_dedup: portable SRP signatures,
     * 8×4-bit band self-join blocking, exact cosine ≥ 0.45 verify. */
-  private def simCosineDedupOracle: String = {
+  private def simCosineDedupOracle: String =
+    simScoredPairsCte +
+      "\nSELECT a, b, round(cos, 6) AS cos FROM scored" +
+      "\nWHERE cos >= 0.45"
+
+  /** threshold-curve replica on the same candidate set: 0.05 cosine
+    * buckets of the rounded score, plus a descending cumulative (the
+    * survivor count at-or-above each bucket). */
+  private def simThresholdCurveOracle: String =
+    simScoredPairsCte + """,
+      |b AS (SELECT CAST(floor(round(cos, 6) * 20) AS BIGINT) AS bucket
+      |  FROM scored),
+      |c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs
+      |  FROM b GROUP BY 1)
+      |SELECT bucket, n_pairs,
+      | CAST(sum(n_pairs) OVER (ORDER BY bucket DESC) AS BIGINT)
+      |   AS n_at_or_above
+      |FROM c""".stripMargin
+
+  /** The SRP-LSH banded candidate set with exact cosine scores — the
+    * shared WITH-chain behind [[simCosineDedupOracle]] (its 0.45-gated
+    * SELECT) and [[simThresholdCurveOracle]] (bucket histogram). */
+  private def simScoredPairsCte: String = {
     val dim = 64; val bits = 48; val bands = 8; val bandBits = 6
     def planeList(p: Int): String =
       (0 until dim).map(d =>
@@ -5291,9 +5331,8 @@ object Queries {
        |      (sqrt(list_dot_product(ea.v, ea.v)) *
        |       sqrt(list_dot_product(eb.v, eb.v)))
        |    ELSE 0.0 END AS cos
-       |  FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b)
-       |SELECT a, b, round(cos, 6) AS cos FROM scored
-       |WHERE cos >= 0.45""".stripMargin
+       |  FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b)"""
+      .stripMargin
   }
 
   private def ngramOracle: String =
