@@ -1128,6 +1128,26 @@ object Queries {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty_sum"),
           grouping_id().as("gid"))
     }),
+    "q_interevent_gap" -> ((s, dir) => {
+      // Think-time distribution: consecutive same-user gap seconds
+      // (gap attributed to the LATER event's type), fed into the
+      // fixed-bin histogram quantiles — an operator composition whose
+      // two topologies (user-key lag window; groups×bins integer
+      // shuffle) are each already audited. 15-min bins over one day;
+      // longer gaps clamp into the top bin.
+      val gaps = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("__us"), col("event_id"))
+        .withColumn("__prev",
+          lag(col("__us"), 1).over(Window.partitionBy(col("user_id"))
+            .orderBy(col("__us").asc, col("event_id").asc)))
+        .filter(col("__prev").isNotNull)
+        .withColumn("gap_s",
+          (col("__us") - col("__prev")).cast(DoubleType) / 1000000d)
+      graft.operators.Stats.histogramQuantiles(gaps, "gap_s",
+        Seq("event_type"), qs = Seq("p50" -> 0.5, "p90" -> 0.9),
+        lo = 0.0, hi = 86400.0, nBins = 96)
+    }),
     "q_sketch_quantile" -> ((s, dir) => {
       // Fixed-bin histogram quantiles: the deterministic, bounded-state
       // alternative to approx_percentile (whose KLL estimate no
@@ -3149,6 +3169,32 @@ object Queries {
         |   AS BIGINT) AS gid
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""
       .stripMargin,
+    // interevent-gap replica: lag per user (ts, event_id), gap seconds
+    // into the same closed-form histogram interpolation as
+    // q_sketch_quantile (width 900 s, 96 bins, top-bin clamp)
+    "q_interevent_gap" ->
+      """WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev
+        | FROM events),
+        |g AS (SELECT event_type, (us - prev) / 1000000.0 AS gap_s
+        | FROM s WHERE prev IS NOT NULL),
+        |b AS (SELECT event_type, least(95, greatest(0,
+        |  CAST(floor(gap_s / 900.0) AS INT))) AS bin FROM g),
+        |c AS (SELECT event_type, bin, count(*) AS c FROM b
+        | GROUP BY 1, 2),
+        |m AS (SELECT event_type, bin, c,
+        |  sum(c) OVER (PARTITION BY event_type ORDER BY bin
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |  sum(c) OVER (PARTITION BY event_type) AS n FROM c)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        | min(CASE WHEN cum >= 0.5 * n AND cum - c < 0.5 * n THEN
+        |  round(900.0 * (bin + (0.5 * n - (cum - c)) / c), 6)
+        |  END) AS q_p50,
+        | min(CASE WHEN cum >= 0.9 * n AND cum - c < 0.9 * n THEN
+        |  round(900.0 * (bin + (0.9 * n - (cum - c)) / c), 6)
+        |  END) AS q_p90
+        |FROM m GROUP BY 1""".stripMargin,
     "q_sketch_quantile" ->
       """WITH b AS (
         | SELECT l_returnflag,
