@@ -501,6 +501,15 @@ object Queries {
       Stats.psiByGroup(Tables.events(s, dir), "value", "event_type",
         refGroup = "click", lo = 0.0, hi = 500.0, nBins = 10)
     }),
+    "q_doc_length_psi" -> ((s, dir) => {
+      // Corpus-shape drift: PSI of every source's document-length
+      // distribution against the src0 baseline — the ingest-time gate
+      // that catches a crawler change (truncation, boilerplate bloat)
+      // before it pollutes training mixes. Same ≤ |groups|·10-row
+      // shuffle as q_psi, here over provenance instead of event type.
+      Stats.psiByGroup(Tables.documents(s, dir), "n_chars", "source",
+        refGroup = "src0", lo = 0.0, hi = 600.0, nBins = 10)
+    }),
     "q_anomaly_zscore" -> ((s, dir) => {
       // Data-quality audit: events more than 3σ from their type's mean
       // — two passes (5-row stats broadcast back), corpus never
@@ -2826,6 +2835,34 @@ object Queries {
         |    AS DECIMAL(18,6)) AS t
         | FROM share s JOIN ref r USING (bin) WHERE s.g <> 'click')
         |SELECT g AS event_type, CAST(min(n) AS BIGINT) AS n_rows,
+        | round(CAST(sum(t) AS DOUBLE), 6) AS psi
+        |FROM terms GROUP BY g""".stripMargin,
+    // psiByGroup replica over documents: n_chars bins vs src0
+    "q_doc_length_psi" ->
+      """WITH c AS (
+        | SELECT source AS g,
+        |  least(9, greatest(0, CAST(floor(n_chars / 60.0) AS INTEGER)))
+        |    AS bin,
+        |  CAST(count(*) AS BIGINT) AS c
+        | FROM documents GROUP BY 1, 2),
+        |spine AS (
+        | SELECT g, b AS bin
+        | FROM (SELECT DISTINCT g FROM c), (SELECT unnest(range(10)) AS b)),
+        |f AS (
+        | SELECT s.g, s.bin, COALESCE(c.c, 0) AS c
+        | FROM spine s LEFT JOIN c ON s.g = c.g AND s.bin = c.bin),
+        |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM f GROUP BY g),
+        |share AS (
+        | SELECT f.g, f.bin, t.n,
+        |  greatest(CAST(f.c AS DOUBLE) / CAST(t.n AS DOUBLE), 1e-6) AS p
+        | FROM f JOIN tot t USING (g)),
+        |ref AS (SELECT bin, p AS q FROM share WHERE g = 'src0'),
+        |terms AS (
+        | SELECT s.g, s.n,
+        |  CAST(round((s.p - r.q) * ln(s.p / r.q), 6)
+        |    AS DECIMAL(18,6)) AS t
+        | FROM share s JOIN ref r USING (bin) WHERE s.g <> 'src0')
+        |SELECT g AS source, CAST(min(n) AS BIGINT) AS n_rows,
         | round(CAST(sum(t) AS DOUBLE), 6) AS psi
         |FROM terms GROUP BY g""".stripMargin,
     "q_anomaly_zscore" ->
