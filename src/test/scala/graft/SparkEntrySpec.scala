@@ -19,6 +19,17 @@ class SparkEntrySpec extends AnyFunSuite {
       "oracle SQL keyed to no query (dead gate)")
   }
 
+  test("README's catalog count matches the registered catalog " +
+    "(ADVICE r6: doc counts must not drift from the manifest)") {
+    val readme = scala.io.Source.fromFile("README.md", "UTF-8")
+    val text = try readme.mkString finally readme.close()
+    val m = "All (\\d+) catalog queries".r.findFirstMatchIn(text)
+    assert(m.isDefined, "README no longer states the catalog count")
+    assert(m.get.group(1).toInt == SparkEntry.queries.size,
+      s"README says ${m.get.group(1)} but the catalog registers " +
+        s"${SparkEntry.queries.size} — update README.md")
+  }
+
   test("catalog keys are well-formed and non-empty") {
     assert(SparkEntry.queries.nonEmpty)
     val bad = SparkEntry.queries.keySet.filterNot(_.matches("q_[a-z0-9_]+"))
