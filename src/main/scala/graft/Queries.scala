@@ -2235,6 +2235,15 @@ object Queries {
       TextAnalysis.vocabGrowth(Tables.documents(s, dir),
         col("doc_id") % 8, col("text"))
     }),
+    "q_vocab_coverage" -> ((s, dir) => {
+      // Tokenizer-design curve: corpus-occurrence coverage of the
+      // top-V tokens at five candidate vocabulary sizes (the testdata
+      // generator draws from ~31 distinct tokens, so the marks sit
+      // inside that range; the 50 mark exercises the beyond-vocab
+      // absent-row contract). One token shuffle + TakeOrdered cut.
+      TextAnalysis.vocabCoverage(Tables.documents(s, dir), col("text"),
+        Seq(5, 10, 20, 30, 50))
+    }),
     "q_zipf" -> ((s, dir) => {
       // Zipf rank-frequency fit (top-200 tokens): slope near −1 is
       // healthy natural text; the distribution-shape corpus-health
@@ -3755,6 +3764,22 @@ object Queries {
     // zipfFit replica: each ln rounded to 6 dp and fixed as
     // DECIMAL(18,6) before the OLS sums (exact decimal addition), the
     // slope/intercept/r² finale in double on identical inputs.
+    // vocabCoverage replica: token counts, (freq desc, token asc)
+    // rank + running cumulative, integer-ppm coverage at the marks
+    "q_vocab_coverage" ->
+      s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents),
+         |c AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+         |  FROM t GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM c),
+         |r AS (SELECT token, c,
+         |  row_number() OVER (ORDER BY c DESC, token ASC) AS rn,
+         |  CAST(sum(c) OVER (ORDER BY c DESC, token ASC
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         | FROM c)
+         |SELECT CAST(rn AS BIGINT) AS v, cum AS n_covered,
+         | cum * 1000000 // tot AS coverage_ppm
+         |FROM r, tot WHERE rn IN (5, 10, 20, 30, 50)"""
+        .stripMargin,
     "q_zipf" ->
       s"""WITH cnt AS (
         | SELECT tok, CAST(count(*) AS BIGINT) AS c

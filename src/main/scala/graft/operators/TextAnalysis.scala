@@ -697,6 +697,51 @@ object TextAnalysis {
     * decimal inputs, rounded once at the edge.
     *
     * Returns one row (n_ranks, slope, intercept, r2). */
+  /** Vocabulary coverage curve: the share of all corpus token
+    * OCCURRENCES covered by the top-V most frequent tokens, at each
+    * requested V — the tokenizer-design diagnostic (read the vocab
+    * size off the curve instead of guessing it). Coverage is integer
+    * ppm (cum·10⁶ div total), ties in the frequency ranking broken
+    * token-ascending so the cut is engine-portable. A V beyond the
+    * distinct-vocabulary size yields no row (nothing ranks there) —
+    * same in the oracle.
+    *
+    * Scale shape: one map-side-combined token count, persisted for
+    * its two consumers (the corpus scans once); the global occurrence
+    * total is a full-table aggregate over the counts; the top-max(V)
+    * cut is a TakeOrderedAndProject (per-partition top-N + driver
+    * merge — no global sort at any vocabulary size), and the rank +
+    * cumulative window runs over ≤ max(V) control-plane rows.
+    *
+    * Returns (v, n_covered, coverage_ppm), one row per V. */
+  def vocabCoverage(
+      docs: DataFrame,
+      textCol: Column,
+      vs: Seq[Int]): DataFrame = {
+    require(vs.nonEmpty && vs.forall(_ > 0),
+      s"coverage marks must be positive: $vs")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val cnt = docs.select(explode(tokens(lower(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("__c"))
+      .persist(lvl)
+    val total = cnt.agg(sum(col("__c")).as("__tot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__c").desc, col("token").asc)
+    val out = cnt.orderBy(col("__c").desc, col("token").asc)
+      .limit(vs.max)
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .filter(col("__r").isInCollection(vs))
+      .crossJoin(broadcast(total))
+      .select(col("__r").cast(LongType).as("v"),
+        col("__cum").as("n_covered"),
+        expr("__cum * 1000000 div __tot").as("coverage_ppm"))
+      .persist(lvl)
+    out.count()
+    cnt.unpersist(false)
+    out
+  }
+
   def zipfFit(
       docs: DataFrame,
       textCol: Column,

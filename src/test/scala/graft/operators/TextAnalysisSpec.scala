@@ -205,6 +205,22 @@ class TextAnalysisSpec extends SparkSpecBase {
       r(0).getLong(3), r(0).getLong(4)) == (("s1", 3L, 6L, 0L, 11L)))
   }
 
+  test("vocabCoverage: exact cumulative ppm at the marks, tie-broken " +
+      "ranks, marks beyond the vocabulary absent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // freqs: a=4, b=2, c=2, d=1, e=1 (10 occurrences). Rank order
+    // breaks the b/c and d/e ties ascending: a,b,c,d,e.
+    val docs = Seq("a a b c d", "a a b c e").toDF("text")
+    val got = TextAnalysis.vocabCoverage(docs, col("text"),
+        Seq(1, 3, 4, 99)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((4L, 400000L))) // top-1 = a: 4/10
+    assert(got(3L) == ((8L, 800000L))) // a+b+c
+    assert(got(4L) == ((9L, 900000L))) // +d
+    assert(!got.contains(99L)) // only 5 distinct tokens
+  }
+
   test("zipfFit: an exact 1/r power law fits slope -1 with r2 = 1") {
     import spark.implicits._
     // frequencies 12/r for ranks 1..4 → ln-ln points exactly colinear
