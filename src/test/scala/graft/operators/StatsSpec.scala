@@ -124,6 +124,56 @@ class StatsSpec extends SparkSpecBase {
     assert(got.size == 3) // no cross-user transitions
   }
 
+  test("madOutliers and winsorizedMean agree with independent " +
+      "brute-force recomputation on pseudo-random groups") {
+    import spark.implicits._
+    // deterministic LCG: 400 rows over 4 groups, values are exact
+    // binary quarters in [0, 128) — bit-identical through the
+    // operator's DECIMAL(18,4) cast — plus a planted far outlier
+    var seed = 12345L
+    def next(): Long = { seed = (seed * 1103515245L + 12345L) & 0x7fffffffL; seed }
+    val rows = (0 until 400).map { i =>
+      (s"g${i % 4}", i.toLong, (next() % 512).toDouble / 4.0)
+    } ++ (0 until 4).map(g => (s"g$g", 1000L + g, 5000.0))
+    val df = rows.toDF("g", "id", "v")
+    // brute force in plain Scala, mirroring the rank definitions
+    def med2(sorted: Seq[BigDecimal]): BigDecimal = {
+      val n = sorted.size
+      sorted((n + 1) / 2 - 1) + sorted((n + 2) / 2 - 1)
+    }
+    val byG = rows.groupBy(_._1)
+    val expectMad = byG.map { case (g, rs) =>
+      val vs = rs.sortBy(r => (r._3, r._2)).map(r => BigDecimal(r._3))
+      val m2 = med2(vs)
+      val devs = rs.map(r => (BigDecimal(r._3) * 2 - m2).abs -> r._2)
+        .sortBy(identity).map(_._1)
+      val d2 = med2(devs)
+      g -> rs.count(r => (BigDecimal(r._3) * 2 - m2).abs * 2 > d2 * 3)
+    }
+    val gotMad = Stats.madOutliers(df, Seq("g"), col("v"), col("id"), 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    expectMad.foreach { case (g, n) =>
+      assert(gotMad.getOrElse(g, 0) == n, s"MAD flags differ for $g")
+    }
+    assert(expectMad.values.sum >= 4, "planted outliers must be caught")
+    val k = 101 * 100 / 1000 // 101 rows per group, 10% winsor
+    val expectWin = byG.map { case (g, rs) =>
+      val vs = rs.sortBy(r => (r._3, r._2)).map(_._3)
+      val lo = vs(k); val hi = vs(vs.size - k - 1)
+      val sum = vs.zipWithIndex.map { case (v, i) =>
+        BigDecimal(if (i < k) lo else if (i >= vs.size - k) hi else v)
+      }.sum
+      g -> (sum / vs.size).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val gotWin = Stats.winsorizedMean(df, Seq("g"), col("v"), col("id"),
+        winsorPermille = 100)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    expectWin.foreach { case (g, m) =>
+      assert(math.abs(gotWin(g) - m) < 1e-6, s"winsorized mean for $g")
+    }
+  }
+
   test("modePerGroup: most frequent value, ties break ascending") {
     import spark.implicits._
     val df = Seq(("s1", "en"), ("s1", "en"), ("s1", "de"),
