@@ -1677,6 +1677,21 @@ object Queries {
           round(sum(col("nrm").cast(DecimalType(18, 9))).cast(DoubleType) /
             count(lit(1)), 6).as("avg_norm"))
     }),
+    "q_embedding_outliers" -> ((s, dir) => {
+      // Cross-family composition: the median/MAD robust fence over
+      // each label's PEAK-component magnitude (max |xᵢ|) — the
+      // one-hot-collapse indicator for unit-normalized embeddings
+      // (norms are identically 1 here, so the norm itself carries no
+      // signal; a vector whose mass concentrates in one coordinate
+      // peaks far above its label's median). Per-row HOF max, then
+      // madOutliers' one exchange on label.
+      val peaks = Tables.embeddings(s, dir)
+        .select(col("label"), col("vec_id"),
+          array_max(transform(col("embedding"),
+            x => abs(x.cast(DoubleType)))).as("peak"))
+      Stats.madOutliers(peaks, Seq("label"), col("peak"), col("vec_id"),
+        c = 3)
+    }),
     "q_embedding_pca" -> ((s, dir) => {
       // Dominant principal component: one Gram-matrix pass (d² cells,
       // map-side combined), then the power iteration on the collected
@@ -3530,6 +3545,40 @@ object Queries {
         |     embedding::DOUBLE[], embedding::DOUBLE[]))
         |   AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS avg_norm
         |FROM embeddings GROUP BY label""".stripMargin,
+    // madOutliers over peak component magnitudes: same doubled-decimal
+    // rank-median arithmetic as q_anomaly_mad
+    "q_embedding_outliers" ->
+      """WITH r AS (SELECT label,
+        |  CAST(list_max(list_transform(embedding::DOUBLE[],
+        |    x -> abs(x))) AS DECIMAL(18,4)) AS v,
+        |  vec_id,
+        |  count(*) OVER (PARTITION BY label) AS n,
+        |  row_number() OVER (PARTITION BY label
+        |    ORDER BY CAST(list_max(list_transform(embedding::DOUBLE[],
+        |      x -> abs(x))) AS DECIMAL(18,4)), vec_id) AS rk
+        | FROM embeddings),
+        |m AS (SELECT *,
+        |  max(CASE WHEN rk = (n + 1) // 2 THEN v END)
+        |    OVER (PARTITION BY label) +
+        |  max(CASE WHEN rk = (n + 2) // 2 THEN v END)
+        |    OVER (PARTITION BY label) AS m2
+        | FROM r),
+        |d AS (SELECT *, abs(v * 2 - m2) AS dd,
+        |  row_number() OVER (PARTITION BY label
+        |    ORDER BY abs(v * 2 - m2), vec_id) AS rkd
+        | FROM m),
+        |dm AS (SELECT *,
+        |  max(CASE WHEN rkd = (n + 1) // 2 THEN dd END)
+        |    OVER (PARTITION BY label) +
+        |  max(CASE WHEN rkd = (n + 2) // 2 THEN dd END)
+        |    OVER (PARTITION BY label) AS d2
+        | FROM d)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_outliers,
+        | CAST(min(v) AS DOUBLE) AS min_val,
+        | CAST(max(v) AS DOUBLE) AS max_val,
+        | round(CAST(min(m2) AS DOUBLE) / 2, 6) AS median,
+        | round(CAST(min(d2) AS DOUBLE) / 4, 6) AS mad
+        |FROM dm WHERE dd * 2 > d2 * 3 GROUP BY label""".stripMargin,
     "q_text_encode" -> textEncodeOracle,
     "q_bpe_merges" -> bpeMergesOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
