@@ -2180,11 +2180,12 @@ object Queries {
       // counts), and the oracle replays the identical chain as CTEs —
       // a wrong answer in any stage diverges the final shard hash.
       // sum(seq·doc_id) pins assignment AND within-shard order.
-      // Production note: temperatureSample consumes its input twice
-      // (survivor counts + the filter join), so a 100 TB run
-      // materializes each stage's output to parquet between stages —
-      // which real curation pipelines do anyway for restartability;
-      // the single-plan form here proves the composed SEMANTICS.
+      // temperatureSample consumes its input twice (survivor counts +
+      // the filter join); standardPipeline persists the dedup-survivor
+      // frame so both consumers share one corpus pass, then releases
+      // it once the ≤300-row composed result is forced. A 100 TB run
+      // wanting restartability swaps the persist for a parquet write
+      // between stages — same single-pass shape.
       graft.operators.Curation.standardPipeline(
           Tables.documents(s, dir), Seq("lang"), "doc_id", col("text"),
           col("n_chars"), dropPermille = 250, totalTarget = 300,

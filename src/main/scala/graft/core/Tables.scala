@@ -42,7 +42,22 @@ object Tables {
       s.conf.getOption("spark.sql.session.timeZone").contains("UTC"),
       "set graft.core.Tables.RequiredConf on the SparkSession builder")
     import org.apache.spark.sql.functions._
-    val raw = load(s, d, "events")
+    // On the legacy TIMESTAMP(NANOS) layout a session built without
+    // RequiredConf fails inside parquet schema conversion with an
+    // "Illegal Parquet type: INT64 (TIMESTAMP(NANOS,...))" — translate
+    // that to the actionable message (the UTC require above can't see
+    // this: nanosAsLong only matters for one of the two layouts).
+    val raw =
+      try load(s, d, "events")
+      catch {
+        case e: Throwable
+            if Option(e.getMessage).exists(_.contains("NANOS")) =>
+          throw new IllegalStateException(
+            s"$d/events.parquet uses the legacy TIMESTAMP(NANOS) " +
+              "layout; build the session with " +
+              "graft.core.Tables.RequiredConf " +
+              "(spark.sql.legacy.parquet.nanosAsLong=true)", e)
+      }
     val shaped = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumnRenamed("ts", "ts_ns")

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** The standard curation flow as ONE named operator — what a user of
   * the engine actually calls for the common case, instead of wiring
@@ -12,12 +13,15 @@ import org.apache.spark.sql.functions._
   * temperatureSample, shardOrder), so this is pure composition — same
   * semantics, one plan.
   *
-  * Production note (also on the gated catalog query): the temperature
-  * stage consumes its input twice (survivor counts + filter join), so
-  * 100 TB runs materialize each stage's output to parquet between
-  * stages — which real pipelines do anyway for restartability. The
-  * single-plan form proves the composed semantics and serves
-  * demo-scale runs.
+  * Scale shape: the temperature stage consumes its input twice
+  * (survivor counts + filter join), so the dedup-survivor frame is
+  * persisted here and the two consumers share ONE corpus pass; the
+  * cache is released as soon as the composed result (≤ `totalTarget`
+  * thin rows) is forced. The caller owns only the returned persisted
+  * frame and should `unpersist()` it when done. 100 TB runs that need
+  * restartability still materialize each stage to parquet between
+  * stages — that swaps the persist for a write, same single-pass
+  * shape.
   */
 object Curation {
 
@@ -45,10 +49,18 @@ object Curation {
     val gated = Sampling.quantileFilter(
       docs, strataCols, qualityCol, col(idCol), dropPermille)
     val deduped = Dedup.exact(
-      gated, TextAnalysis.fingerprintMd5(text), idCol)
+        gated, TextAnalysis.fingerprintMd5(text), idCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sampled = Sampling.temperatureSample(
       deduped, strataCols, col(idCol), totalTarget, sampleSeed)
-    Sampling.shardOrder(sampled, col(idCol), nShards, shardSeed)
+    // Force the small composed result so the dedup-survivor cache
+    // (corpus-sized) can be dropped before returning — the
+    // Dedup.ownResult idiom: the caller owns only `out`.
+    val out = Sampling.shardOrder(sampled, col(idCol), nShards, shardSeed)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    deduped.unpersist(false)
+    out
   }
 
   /** Dataset-versioning diff between two corpus snapshots: each id is

@@ -528,14 +528,19 @@ object Similarity {
       labelCol: String,
       vecCol: String): DataFrame = {
     // Scaled-long decimal rounds (the [[topPrincipalComponent]]
-    // trade): ±floor(|p|·10^s + 0.5) as a LONG is value-identical to
-    // round(p, s)::DECIMAL on this arithmetic (half-up in scaled
-    // integer space, proven by the value-level gate) and avoids a
-    // per-element BigDecimal Round + decimal aggregation buffer on
-    // the corpus-sized exploded stream. Range: |v| ≲ 10 ⇒ scaled
-    // terms ≤ 1e13, and every LONG sum here spans ≤ dim (64) terms
-    // per key or per 9-dp component — orders of magnitude under
-    // Long.MaxValue.
+    // trade): ±floor(|p|·10^s + 0.5) is half-up in scaled integer
+    // space and avoids a per-element BigDecimal Round on the
+    // corpus-sized exploded stream. Caveat: the double multiply
+    // p·10^s can land on the other side of a .5 boundary than the
+    // exact decimal expansion for values whose s-dp expansion sits
+    // near a tie, so equivalence with round(p, s)::DECIMAL HALF_UP
+    // is DATA-DEPENDENT — proven by the value-level oracle gate on
+    // the current fixtures, and that gate must re-run on every data
+    // regeneration (it is part of the driver's per-round check).
+    // Range: |v| ≲ 10 ⇒ scaled terms ≤ 1e13; the LONG sums below
+    // (s12 tiers) span ≤ dim (64) terms per key — orders of
+    // magnitude under Long.MaxValue; the corpus-spanning centroid
+    // sum aggregates in DECIMAL(38,0) (see below).
     def s9(p: Column): Column =
       when(p >= 0, floor(p * lit(1e9) + lit(0.5)))
         .otherwise(-floor(-p * lit(1e9) + lit(0.5))).cast(LongType)
@@ -545,11 +550,14 @@ object Similarity {
     val ex = emb.select(col(idCol), col(labelCol),
       posexplode(col(vecCol)).as(Seq("pos", "v")))
       .withColumn("v", col("v").cast(DoubleType))
-    // centroid pass: per-(label,pos) sums as 9-dp scaled longs merged
-    // as DECIMAL(38,0) — per-partition LONG partials can span the
-    // whole corpus, so the merge tier must be exact at any size
+    // centroid pass: 9-dp scaled-long terms summed in a
+    // DECIMAL(38,0) aggregation BUFFER (cast inside the sum, so
+    // per-partition partials and the merge tier are both exact
+    // integer decimal arithmetic) — a (label,pos) group spans the
+    // whole corpus, and LONG partials would silently wrap near
+    // ~1e9 rows × |v|≈10 (terms ≤ 1e13)
     val cent = ex.groupBy(col(labelCol), col("pos"))
-      .agg(round((sum(s9(col("v"))).cast(DecimalType(38, 0))
+      .agg(round((sum(s9(col("v")).cast(DecimalType(38, 0)))
           .cast(DoubleType) / lit(1e9)) /
         count(lit(1)), 9).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -26,10 +26,13 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 object Streams {
 
-  /** events.parquet physical schema — `ts` is parquet
-    * TIMESTAMP(MICROS), isAdjustedToUTC=false, which Spark surfaces as
-    * TIMESTAMP_NTZ (the batch loader `Tables.events` dispatches on the
-    * loaded type; a file stream needs the schema pinned up front). */
+  /** events.parquet physical schema, current generator layout — `ts`
+    * is parquet TIMESTAMP(MICROS), isAdjustedToUTC=false, which Spark
+    * surfaces as TIMESTAMP_NTZ. A file stream needs the schema pinned
+    * up front, so [[eventsStream]] probes the directory's footers
+    * (cheap batch schema read) and picks this or the legacy
+    * NANOS-as-long variant — the streaming twin of `Tables.events`'
+    * loaded-type dispatch. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampNTZType),
@@ -38,29 +41,58 @@ object Streams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Legacy generator layout: parquet TIMESTAMP(NANOS), surfaced as a
+    * raw long under `spark.sql.legacy.parquet.nanosAsLong=true`. */
+  val eventsSchemaNanos: StructType = StructType(
+    eventsSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = LongType) else f))
+
   /** Streaming read of an events directory (the driver testdata file
     * works as a one-file stream); emits the same shape as
-    * `Tables.events`: micro-truncated `ts` + exact `ts_ns`. */
+    * `Tables.events`: micro-truncated `ts` + exact `ts_ns`. Both
+    * physical layouts (MICROS / legacy NANOS-as-long) are handled by
+    * probing the footer type before the stream starts. */
   def eventsStream(
       spark: SparkSession,
       dir: String,
       glob: String = "events.parquet",
       maxFilesPerTrigger: Int = 0): DataFrame = {
+    // Footer-only probe: which physical ts layout does this directory
+    // hold? (A stream pinned to the wrong schema would fail or
+    // misread at runtime — ADVICE r7.) The probe also surfaces the
+    // legacy-NANOS-without-RequiredConf misconfiguration as an
+    // actionable error instead of a mid-stream reader failure.
+    val probed =
+      try spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+      catch {
+        case e: Throwable
+            if Option(e.getMessage).exists(_.contains("NANOS")) =>
+          throw new IllegalStateException(
+            s"$dir/$glob uses the legacy TIMESTAMP(NANOS) layout; " +
+              "build the session with graft.core.Tables.RequiredConf " +
+              "(spark.sql.legacy.parquet.nanosAsLong=true)", e)
+      }
+    val nanosLayout = probed("ts").dataType == LongType
     val r = spark.readStream
-      .schema(eventsSchema)
+      .schema(if (nanosLayout) eventsSchemaNanos else eventsSchema)
       .option("pathGlobFilter", glob)
     // >0 caps files per micro-batch — lets tests drive a multi-batch
     // drain (one file = one batch) through the stateful operators
     val r2 = if (maxFilesPerTrigger > 0)
       r.option("maxFilesPerTrigger", maxFilesPerTrigger) else r
-    r2.parquet(dir)
-      // NTZ→session-TZ cast is lossless under the pinned UTC zone;
-      // micros data makes unix_micros·1000 the exact nano value —
-      // the same shape Tables.events emits
-      .withColumn("ts", col("ts").cast(TimestampType))
-      .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
-      .select("event_id", "ts_ns", "user_id", "event_type",
-        "value", "props", "ts")
+    val raw = r2.parquet(dir)
+    val shaped =
+      if (nanosLayout)
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      else
+        // NTZ→session-TZ cast is lossless under the pinned UTC zone;
+        // micros data makes unix_micros·1000 the exact nano value —
+        // the same shape Tables.events emits
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    shaped.select("event_id", "ts_ns", "user_id", "event_type",
+      "value", "props", "ts")
   }
 
   /** Watermarked 5-minute windowed aggregation per event type — the
