@@ -696,6 +696,19 @@ object Queries {
         Seq("o_orderkey", "o_custkey", "o_orderstatus",
           "o_orderpriority", "bad_cast"))
     }),
+    "q_profile_approx" -> ((s, dir) => {
+      // The 100 TB profile: same columns as q_profile, but distinct
+      // counts come from the KMV sketch (O(k) state per column, no
+      // Expand fanout, no distinct-value shuffle). The portable hash
+      // family makes the ESTIMATE itself oracle-replicable, so even
+      // the approximate path is value-gated, not tolerance-gated;
+      // n_rows/n_null/min/max stay exact and must match q_profile's.
+      Stats.profileApprox(
+        Tables.orders(s, dir).withColumn("bad_cast",
+          Conversions.tryToInt(col("o_orderstatus"))),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority", "bad_cast"))
+    }),
     "q_expect_fk" -> ((s, dir) => {
       // Referential-integrity contract: events.user_id → customer
       // key, with a deterministic slice of user ids CORRUPTED (shifted
@@ -3116,6 +3129,46 @@ object Queries {
       s"""WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus,
          |  o_orderpriority, TRY_CAST(o_orderstatus AS INT) AS bad_cast
          | FROM orders)
+         |$parts""".stripMargin
+    },
+    // full replication of the KMV estimate per column (the
+    // q_sketch_distinct hash fold, minus text normalization — the
+    // input is the value's canonical string rendering), over distinct
+    // non-NULL hashes; exact stats replicate q_profile's
+    "q_profile_approx" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "bad_cast")
+      val k = 64
+      val ctes = cols.map { c =>
+        s"""h_$c AS (
+           | SELECT DISTINCT (list_reduce(
+           |   list_prepend(CAST(0 AS BIGINT),
+           |     list_transform(list_filter(
+           |       string_split(CAST($c AS VARCHAR), ''),
+           |       ch -> len(ch) > 0),
+           |       ch -> CAST(ascii(ch) AS BIGINT))),
+           |   (acc, ch) -> (acc * 31 + ch) % 1000000007) * 104729
+           |   + 12345) % 1000000007 AS h
+           | FROM t WHERE $c IS NOT NULL),
+           |s_$c AS (
+           | SELECT coalesce(max(nd), 0) AS nd,
+           |  max(CASE WHEN rn = $k THEN h END) AS kth
+           | FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn,
+           |   count(*) OVER () AS nd FROM h_$c))""".stripMargin
+      }
+      val parts = cols.map { c =>
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           | CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           | (SELECT CASE WHEN nd < $k THEN CAST(nd AS DOUBLE)
+           |    ELSE round(${k - 1}.0 * 1000000007 / kth, 6) END
+           |  FROM s_$c) AS n_distinct_est,
+           | CAST(min($c) AS VARCHAR) AS min_value,
+           | CAST(max($c) AS VARCHAR) AS max_value FROM t""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+         |  o_orderpriority, TRY_CAST(o_orderstatus AS INT) AS bad_cast
+         | FROM orders),
+         |${ctes.mkString(",\n")}
          |$parts""".stripMargin
     },
     // orphanKeys replica: same corruption, NOT EXISTS anti-join

@@ -91,6 +91,29 @@ object KmvSketch {
   def kmvAgg(hashCol: Column, k: Int): Column =
     udaf(new KmvAggregator(k), Encoders.scalaLong).apply(hashCol)
 
+  /** Null-skipping input variant for sketching columns that contain
+    * NULLs (profiling): with the primitive-Long encoder a NULL input
+    * slot deserializes to a phantom 0 hash, silently inflating the
+    * sketch by one value; the boxed-Long encoder lets reduce SEE the
+    * null and drop it — COUNT(DISTINCT col) semantics, which ignore
+    * NULL. */
+  class KmvNullSafeAggregator(k: Int)
+      extends Aggregator[java.lang.Long, Array[Long], Kmv] {
+    private val inner = new KmvAggregator(k)
+    override def zero: Array[Long] = inner.zero
+    override def reduce(b: Array[Long], h: java.lang.Long): Array[Long] =
+      if (h == null) b else inner.reduce(b, h.longValue)
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      inner.merge(a, b)
+    override def finish(b: Array[Long]): Kmv = inner.finish(b)
+    override def bufferEncoder: Encoder[Array[Long]] = inner.bufferEncoder
+    override def outputEncoder: Encoder[Kmv] = inner.outputEncoder
+  }
+
+  /** Aggregate Column: [[kmvAgg]] that ignores NULL hash inputs. */
+  def kmvAggNullSafe(hashCol: Column, k: Int): Column =
+    udaf(new KmvNullSafeAggregator(k), Encoders.LONG).apply(hashCol)
+
   /** Variant that FINISHES with the sketch itself (the sorted ≤k min
     * hashes) instead of the (n, kth) summary — the mergeable form: a
     * downstream stage unions per-group sketches (explode → distinct →

@@ -465,9 +465,10 @@ object Stats {
     * count-distincts plan via Expand (each input row fans out once
     * per profiled column inside the map task — no extra scan, one
     * shuffle of the expanded keys). Exact distinct is the GATE mode;
-    * at the 100 TB scale swap the distinct terms for
-    * [[graft.functions.KmvSketch]] estimates and keep the same output
-    * shape. String min/max comparisons are binary in both engines —
+    * at the 100 TB scale use [[profileApprox]], which swaps the
+    * distinct terms for [[graft.functions.KmvSketch]] estimates in
+    * the same output shape (and drops the Expand fanout entirely).
+    * String min/max comparisons are binary in both engines —
     * profile string and integral columns (float/timestamp → string
     * rendering is engine-specific).
     *
@@ -486,6 +487,48 @@ object Stats {
       struct(lit(c).as("column"), col("__n").as("n_rows"),
         (col("__n") - col(s"__nn_$c")).as("n_null"),
         col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_value"),
+        col(s"__mx_$c").as("max_value"))
+    }
+    row.select(explode(array(stacked: _*)).as("x")).select(col("x.*"))
+  }
+
+  /** [[profile]] at the 100 TB shape: the exact per-column
+    * COUNT(DISTINCT) — whose Expand plan shuffles every distinct value
+    * of every profiled column — swapped for the KMV sketch estimate
+    * ([[graft.functions.KmvSketch]]): O(k) aggregation state per
+    * column, ONE ordinary (non-Expand) global aggregate, no
+    * distinct-value shuffle at all. n_rows / n_null / min / max stay
+    * exact; n_distinct_est is exact below k and (k−1)·M/h_k above.
+    * The portable hash family makes the estimate itself
+    * oracle-replicable (unlike HLL++), so the approximate path gets a
+    * full value-level gate, not a tolerance check.
+    *
+    * Values hash via their canonical string rendering — profile
+    * string/integral columns (float/timestamp→string rendering is
+    * engine-specific), same restriction as [[profile]].
+    *
+    * Returns one row per profiled column:
+    * (column, n_rows, n_null, n_distinct_est, min_value, max_value). */
+  def profileApprox(
+      df: DataFrame,
+      cols: Seq[String],
+      k: Int = 64): DataFrame = {
+    require(cols.nonEmpty, "profileApprox needs at least one column")
+    val aggs = cols.flatMap { c =>
+      val h = graft.functions.KmvSketch.uniformize(
+        Dedup.polyHash(col(c).cast(StringType)))
+      Seq(count(col(c)).as(s"__nn_$c"),
+        graft.functions.KmvSketch.kmvAggNullSafe(h, k).as(s"__kmv_$c"),
+        min(col(c)).cast(StringType).as(s"__mn_$c"),
+        max(col(c)).cast(StringType).as(s"__mx_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("column"), col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn_$c")).as("n_null"),
+        graft.functions.KmvSketch.estimate(col(s"__kmv_$c"), k,
+          Dedup.PortableMod).as("n_distinct_est"),
         col(s"__mn_$c").as("min_value"),
         col(s"__mx_$c").as("max_value"))
     }

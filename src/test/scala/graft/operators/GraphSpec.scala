@@ -17,6 +17,25 @@ class GraphSpec extends SparkSpecBase {
     assert(got == Set(1L, 2L, 3L).map(_ -> "1.000000"))
   }
 
+  test("pageRank tolerance: converged chain exits early with ranks " +
+      "identical to the full fixed-count run") {
+    // 1→2: r1 = 0.15 from iteration 1 on; r2 = 0.15 + 0.85·r1 settles
+    // at iteration 2; iteration 3 reproduces iteration 2 (Δ = 0) and
+    // the tolerance check fires — 10 requested, 3 run.
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val (converged, ran) =
+      Graph.pageRankConverged(edges, iters = 10, tolerance = Some(0.0))
+    assert(ran == 3, s"expected early exit at iteration 3, ran $ran")
+    val full = Graph.pageRank(edges, iters = 10)
+    assert(converged.collect().map(r =>
+        (r.getLong(0), r.getDecimal(1).toPlainString)).toSet ==
+      full.collect().map(r =>
+        (r.getLong(0), r.getDecimal(1).toPlainString)).toSet)
+    // cycle: fixed point from the start — exits after one iteration
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    assert(Graph.pageRankConverged(cyc, 10, Some(0.0))._2 == 1)
+  }
+
   test("pageRank: star graph matches hand-computed two-step values") {
     // leaves 1,2,3 → center 9; leaves are dangling-free sources,
     // center is a sink (its mass leaks — the documented formulation).

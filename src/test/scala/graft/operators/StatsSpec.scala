@@ -201,6 +201,34 @@ class StatsSpec extends SparkSpecBase {
     assert(got("dead") == ((3L, 3L, 0L, None, None)))
   }
 
+  test("profileApprox: exact stats match profile; estimate is exact " +
+      "below k and ignores NULLs; all-NULL column estimates 0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("b"), None: Option[Long]),
+      (2L, Some("a"), None),
+      (2L, None, None)).toDF("k", "s", "dead")
+    val got = Stats.profileApprox(df, Seq("k", "s", "dead"), k = 64)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3),
+          Option(r.getString(4)), Option(r.getString(5)))).toMap
+    // below k the sketch holds every distinct hash: estimate == exact
+    assert(got("k") == ((3L, 0L, 2.0, Some("1"), Some("2"))))
+    assert(got("s") == ((3L, 1L, 2.0, Some("a"), Some("b"))))
+    // NULLs feed neither the sketch nor a phantom-zero hash
+    assert(got("dead") == ((3L, 3L, 0.0, None, None)))
+  }
+
+  test("profileApprox above k: estimate within KMV error of exact " +
+      "(k=16 on 200 distinct values)") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => s"v$i").toDF("s")
+    val est = Stats.profileApprox(df, Seq("s"), k = 16)
+      .collect()(0).getDouble(3)
+    // KMV s.e. ≈ n/sqrt(k-2) ≈ 53; assert a loose 3-sigma band
+    assert(est > 40 && est < 360, s"estimate $est implausible for 200")
+  }
+
   test("edge inputs: empty-frame profile, single-point trend") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("k", "s")

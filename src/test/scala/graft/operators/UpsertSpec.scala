@@ -151,6 +151,51 @@ class UpsertSpec extends SparkSpecBase {
     assert(checked >= 8, "not enough clash-free samples generated")
   }
 
+  test("LWW NULL-ordering disjunct: exhaustive (t.ts, s.ts) quadrants " +
+      "pin `t.ts IS NULL OR EXCLUDED.ts > t.ts` (SURVEY §7.4 risk 4)") {
+    // Every combination of NULL/0..2 on both sides of one matched key:
+    //  - target ts NULL        → source wins (even when source ts is
+    //    also NULL — the reference's disjunct short-circuits);
+    //  - both set              → strictly-greater wins; TIE keeps the
+    //    target (no update churn on equal timestamps);
+    //  - target set, source NULL → `NULL > ts` is SQL-NULL → target
+    //    keeps (a stale NULL-stamped replica row can never clobber).
+    val m = Upsert.LastWriteWins("ts")
+    val stamps: Seq[Option[Long]] = None +: (0L to 2L).map(Some(_))
+    for (tTs <- stamps; sTs <- stamps) {
+      val t = Seq(R(1L, tTs, "old"))
+      val b = Seq(R(1L, sTs, "new"))
+      val got = collect(Upsert(df(t), df(b), Seq("k"), m))
+      val sourceWins = tTs.isEmpty ||
+        (sTs.nonEmpty && sTs.get > tTs.get)
+      val want = if (sourceWins) Set((1L, sTs, "new"))
+                 else Set((1L, tTs, "old"))
+      assert(got == want, s"t.ts=$tTs s.ts=$sTs")
+    }
+  }
+
+  test("LWW property: NULL-and-tie-dense random batches match the " +
+      "Map model (seeded ScalaCheck)") {
+    // A generator biased toward the disjunct's edge cases: half the
+    // timestamps NULL, the rest drawn from {0,1} so ties and
+    // both-NULL matches occur constantly.
+    val genEdgeRow = for {
+      k <- Gen.choose(0L, 5L)
+      ts <- Gen.oneOf(Gen.const(None),
+        Gen.choose(0L, 1L).map(Some(_)))
+      v <- Gen.alphaStr.map(_.take(3))
+    } yield R(k, ts, v)
+    val genEdgeSide = Gen.listOf(genEdgeRow).map(
+      _.groupBy(_.k).map(_._2.head).toSeq)
+    val m = Upsert.LastWriteWins("ts")
+    for (seed <- 1L to 16L) {
+      val t = sample(genEdgeSide, seed)
+      val b = sample(genEdgeSide, seed + 900)
+      val got = collect(Upsert(df(t), df(b), Seq("k"), m))
+      assert(got == model(t, b, m), s"seed=$seed target=$t batch=$b")
+    }
+  }
+
   test("applyChangelog: greatest seq wins, D removes, re-insert revives") {
     import spark.implicits._
     val log = Seq(
