@@ -16,6 +16,37 @@ class SimilaritySpec extends SparkSpecBase {
     df.select("query_id", "corpus_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("s9/s12 scaled-long rounds agree with decimal HALF_UP on every " +
+      "fixture value and self-product (ADVICE r7 boundary-caveat gate)") {
+    // The operators' ±floor(|p|·10^s + 0.5) shortcut is only
+    // DATA-DEPENDENTLY identical to round(p, s) decimal HALF_UP (a
+    // double multiply can cross a .5 boundary for values whose s-dp
+    // expansion sits near a tie) — this is the value-level agreement
+    // gate that must re-run on every data regeneration. It checks
+    // every distinct embedding component (s9, the centroid form) and
+    // every self-product (s12, the dot-product form) in the fixture.
+    import org.apache.spark.sql.types._
+    val vs = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("v").cast(DoubleType).as("v")).distinct()
+    def scaled(p: org.apache.spark.sql.Column, s: Long) =
+      when(p >= 0, floor(p * lit(s.toDouble) + lit(0.5)))
+        .otherwise(-floor(-p * lit(s.toDouble) + lit(0.5)))
+        .cast(LongType)
+    def decimalScaled(p: org.apache.spark.sql.Column, dp: Int, s: Long) =
+      (p.cast(DecimalType(38, dp)) * lit(s)).cast(LongType)
+    val bad9 = vs.filter(
+      scaled(col("v"), 1000000000L) =!=
+        decimalScaled(col("v"), 9, 1000000000L)).count()
+    assert(bad9 == 0L, s"$bad9 embedding components round differently " +
+      "at 9 dp — regenerate-proof failed, switch s9 to decimal Round")
+    val bad12 = vs.select((col("v") * col("v")).as("p")).filter(
+      scaled(col("p"), 1000000000000L) =!=
+        decimalScaled(col("p"), 12, 1000000000000L)).count()
+    assert(bad12 == 0L, s"$bad12 self-products round differently at " +
+      "12 dp — regenerate-proof failed, switch s12 to decimal Round")
+  }
+
   test("topPrincipalComponent converges onto the planted dominant axis") {
     import spark.implicits._
     // variance overwhelmingly along axis 0: the component's max-
