@@ -398,11 +398,18 @@ object Queries {
       val e  = col("l_extendedprice").cast(DecimalType(12, 4))
       val d1 = (lit(1) - col("l_discount").cast(DecimalType(8, 4)))
         .cast(DecimalType(8, 4))
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("r_name"), col("n_name"))
+      // assert-the-executed-plan discipline (the bucketed/salted/
+      // partition-prune idiom): the dimension joins must PLAN as
+      // broadcasts — a regression to shuffle joins on nation/region
+      // would re-partition the whole fact stream per dim at 100×
+      val plan = j.queryExecution.executedPlan.toString
+      require("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+        s"star dims must broadcast-join:\n$plan")
+      j.groupBy(col("r_name"), col("n_name"))
         .agg(round(sum((e * d1).cast(DecimalType(20, 8)))
           .cast(DoubleType), 4).as("revenue"),
           count(lit(1)).as("n_items"))
