@@ -1238,6 +1238,38 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
           dsum(col("o_totalprice")).as("price_sum"))
     }),
+    "q_lake_compact" -> ((s, dir) => {
+      // Small-file compaction PROVEN end-to-end (the perpetual
+      // lakehouse chore — at 100 TB a fragmented table wastes a scan
+      // task and a footer read per tiny file): write orders
+      // deliberately fragmented (16 shuffle files), compact to 2 via
+      // Lakehouse.compact's crash-safe rename-aside swap, REQUIRE the
+      // file count actually dropped, then aggregate the compacted
+      // directory. Compaction must round-trip content exactly, so the
+      // oracle recomputes from the raw table — any lost or duplicated
+      // row diverges the hash (the q_zorder_prune discipline:
+      // assert the layout effect, gate the content).
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_compact").toString
+      val orders = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      orders.repartition(16).write.mode("overwrite").parquet(tmp)
+      def nFiles: Int = {
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).count(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet"))
+      }
+      val before = nFiles
+      graft.io.Lakehouse.compact(s, tmp, nFiles = 2)
+      val after = nFiles
+      require(after < before,
+        s"compaction must reduce file count: $before -> $after")
+      s.read.parquet(tmp)
+        .groupBy((col("o_custkey") % 4).as("cust_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
+          dsum(col("o_totalprice")).as("price_sum"))
+    }),
     "q_join_asof" -> ((s, dir) => {
       // As-of (point-in-time) join: every click event matched to the
       // same user's LATEST purchase at-or-before it — the classic
@@ -3356,6 +3388,14 @@ object Queries {
         |  AS price_sum
         |FROM orders, b
         |WHERE o_custkey <= b.ch AND o_orderkey <= b.oh
+        |GROUP BY 1""".stripMargin,
+    // compaction round-trips content: recompute from the raw table
+    "q_lake_compact" ->
+      """SELECT o_custkey % 4 AS cust_mod, count(*) AS n,
+        | CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |  AS price_sum
+        |FROM orders
         |GROUP BY 1""".stripMargin,
     "q_join_asof" ->
       """WITH clicks AS (
