@@ -703,6 +703,19 @@ object Queries {
         Seq("o_orderkey", "o_custkey", "o_orderstatus",
           "o_orderpriority", "bad_cast"))
     }),
+    "q_expect_unique" -> ((s, dir) => {
+      // PK-uniqueness contract (Expectations.duplicateKeys): folding
+      // the orders key mod 1000 plants deterministic collisions; the
+      // operator must surface exactly the folded groups with more
+      // than one row. One hash shuffle on the key; the compact rollup
+      // (count, row mass, key checksum) gates the full violation set.
+      val withKey = Tables.orders(s, dir)
+        .withColumn("uk", col("o_orderkey") % 1000L)
+      operators.Expectations.duplicateKeys(withKey, Seq("uk"))
+        .agg(count(lit(1)).as("n_dup_keys"),
+          sum(col("n_rows")).as("n_dup_rows"),
+          sum(col("uk")).as("uk_sum"))
+    }),
     "q_profile_approx" -> ((s, dir) => {
       // The 100 TB profile: same columns as q_profile, but distinct
       // counts come from the KMV sketch (O(k) state per column, no
@@ -3170,6 +3183,15 @@ object Queries {
          | FROM orders)
          |$parts""".stripMargin
     },
+    // uniqueness-contract replica: same fold, HAVING > 1
+    "q_expect_unique" ->
+      """WITH d AS (SELECT o_orderkey % 1000 AS uk,
+        |  count(*) AS n_rows
+        | FROM orders GROUP BY 1 HAVING count(*) > 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_dup_keys,
+        | CAST(sum(n_rows) AS BIGINT) AS n_dup_rows,
+        | CAST(sum(uk) AS BIGINT) AS uk_sum
+        |FROM d""".stripMargin,
     // full replication of the KMV estimate per column (the
     // q_sketch_distinct hash fold, minus text normalization — the
     // input is the value's canonical string rendering), over distinct

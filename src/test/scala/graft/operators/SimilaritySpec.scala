@@ -47,6 +47,26 @@ class SimilaritySpec extends SparkSpecBase {
       "12 dp — regenerate-proof failed, switch s12 to decimal Round")
   }
 
+  test("bruteForceTopK (literal query vector, the new-document entry " +
+      "point) agrees with topKPerQuery on the fixture") {
+    val emb = Tables.embeddings(spark, dir)
+    val qvec = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    def canon(rows: Array[(Long, Long)]) =
+      rows.sortBy { case (id, c) => (-c, id) }.toSeq
+    val viaLit = canon(Similarity
+      .bruteForceTopK(emb, "vec_id", "embedding", qvec, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))))
+    val viaJoin = canon(Similarity
+      .topKPerQuery(emb, emb.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", k = 10)
+      .select(col("corpus_id"), col("cos"))
+      .collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))))
+    assert(viaLit == viaJoin)
+  }
+
   test("topPrincipalComponent converges onto the planted dominant axis") {
     import spark.implicits._
     // variance overwhelmingly along axis 0: the component's max-
