@@ -677,10 +677,78 @@ object Dedup {
   /** 64-bit SimHash over whitespace tokens. Native mode: bit i of the
     * token's xxhash64 contributes ±1 to lane i. Portable mode: lane i's
     * contribution is the parity of the i-th affine transform of the
-    * token's polyHash — same statistics, DuckDB-replicable. Implemented
-    * as 64 map-side-combined SUM aggregates — one shuffle of 64 longs
-    * per doc. */
+    * token's polyHash — same statistics, DuckDB-replicable.
+    *
+    * A document's SimHash depends only on that document's row, so this
+    * is the PER-ROW formulation — the 64 lane sums fold over the token
+    * array with higher-order functions, entirely inside the scan stage:
+    * ZERO exchanges, no explode row blowup. At 100 TB that is the
+    * difference between "shuffle 64 longs per doc" (the old explode +
+    * groupBy formulation, kept as [[simhashViaGroupBy]] and pinned
+    * value-identical by `SimhashSpec`) and "never shuffle at all".
+    * Docs with no tokens are dropped — the exact semantics the explode
+    * formulation has (no token rows ⇒ no group). */
   def simhash(
+      docs: DataFrame,
+      idCol: String,
+      text: Column,
+      portable: Boolean = false): DataFrame =
+    docs
+      .select(col(idCol), tokenHashes(text, portable).as("__th"))
+      .filter(size(col("__th")) > 0)
+      .select(col(idCol),
+        simhashOfHashes(col("__th"), portable).as("simhash"))
+
+  /** Hashed whitespace tokens of `text` (lowercased): xxhash64 in
+    * native mode, [[polyHash]] in portable mode. */
+  private def tokenHashes(text: Column, portable: Boolean): Column =
+    transform(TextAnalysis.tokens(lower(text)),
+      t => if (portable) polyHash(t) else xxhash64(t))
+
+  /** Per-row SimHash fold over an array of token hashes.
+    *
+    * merge: each hash adds ±1 to every lane of a 64-int accumulator —
+    * lane i's sign bit is `(h >> i) & 1` (native) or the parity of the
+    * i-th affine transform (portable; the affine constants are the
+    * SAME arithmetic as [[affineA]]/[[affineB]], re-derived in column
+    * space from the lane index, so portable mode stays byte-identical
+    * to the DuckDB oracle replica). finish: lanes with positive sum
+    * assemble into the result's bits (lane 63 sets the sign bit, as
+    * `shiftleft(1L, 63)` wraps negative — same as `lit(1L << 63)`). */
+  private[graft] def simhashOfHashes(
+      hashes: Column, portable: Boolean): Column = {
+    val mod = lit(PortableMod)
+    // lane-indexed bit of hash h: i is a COLUMN (the transform index),
+    // so the affine constants are derived with the same Long
+    // arithmetic as affineA/affineB ((2i+1)·104729 < 2^30·mod needs no
+    // reduction; the B term does)
+    def laneBit(h: Column, i: Column): Column =
+      if (portable)
+        pmod(h * ((i.cast(LongType) * 2L + 1L) * lit(104729L)) +
+          pmod(i.cast(LongType) * lit(94906249L) + lit(12345L), mod), mod)
+          .bitwiseAND(lit(1L))
+      else
+        call_function("shiftright", h, i.cast(IntegerType))
+          .bitwiseAND(lit(1L))
+    aggregate(
+      hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => transform(acc, (s, i) =>
+        s + when(laneBit(h, i) === 1L, 1).otherwise(-1)),
+      acc => aggregate(
+        transform(acc, (s, i) =>
+          when(s > 0,
+            call_function("shiftleft", lit(1L), i.cast(IntegerType)))
+            .otherwise(lit(0L))),
+        lit(0L), (a, b) => a.bitwiseOR(b)))
+  }
+
+  /** The round-7 explode + groupBy SimHash formulation — one shuffle
+    * of 64 map-side-combined lane sums per doc. Retained as the
+    * equivalence witness for the shuffle-free [[simhash]] (SimhashSpec
+    * pins them value-identical on the documents fixture in both hash
+    * modes); prefer [[simhash]] everywhere. */
+  private[graft] def simhashViaGroupBy(
       docs: DataFrame,
       idCol: String,
       text: Column,

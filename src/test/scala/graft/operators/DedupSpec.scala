@@ -141,6 +141,33 @@ class DedupSpec extends SparkSpecBase {
       assert(out.distinct.length > 1, "degenerate simhash output")
     }
   }
+
+  test("per-row simhash is value-identical to the groupBy formulation " +
+      "(both hash modes, fixture + empty-doc edge)") {
+    // real corpus + an all-whitespace doc (must be DROPPED by both
+    // formulations: no tokens ⇒ no simhash row)
+    val fixture = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val edge = docsDf(Seq((100000L, "   \t  "), (100001L, "one token")))
+      .select(col("doc_id"), col("text"))
+    val docs = fixture.unionAll(edge)
+    for (portable <- Seq(true, false)) {
+      val perRow = Dedup.simhash(docs, "doc_id", col("text"), portable)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val viaGroupBy =
+        Dedup.simhashViaGroupBy(docs, "doc_id", col("text"), portable)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(perRow == viaGroupBy, s"portable=$portable")
+      assert(!perRow.contains(100000L), "empty-token doc must be dropped")
+      assert(perRow.contains(100001L))
+    }
+    // and the per-row plan has no exchange: the fold runs in the scan
+    // stage (the 100 TB contract this formulation exists for)
+    val plan = Dedup.simhash(docs, "doc_id", col("text"), portable = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"per-row simhash must not shuffle:\n$plan")
+  }
   // both execution paths must agree: driver union-find (small graphs)
   // and distributed label propagation (localThreshold = 0 forces it)
   for ((label, threshold) <- Seq(("local union-find", 1L << 20),
