@@ -1089,6 +1089,27 @@ object Queries {
         .agg(count(lit(1)).as("n_keys"),
           countDistinct(col("user_id")).as("n_users"))
     }),
+    "q_stream_neardedup" -> ((s, dir) => {
+      // Streaming SimHash near-dup admission over the documents
+      // stream: per-row (shuffle-free) simhash → quadrant-bucketed
+      // flatMapGroupsWithState → one dup verdict per (doc, band);
+      // after the drain a doc is a near-dup iff ANY band flagged it.
+      // AvailableNow: one pending file ⇒ one micro-batch, per-bucket
+      // doc_id sort ⇒ "earlier" = lower doc_id, so the streamed
+      // verdicts must equal the batch pairs definition (∃ a < b
+      // sharing a quadrant with Hamming ≤ 3) the oracle replays.
+      // Cross-batch state is exercised by StreamsSpec's two-file
+      // drain, same discipline as q_stream_sessions.
+      val name = s"q_stream_neardedup_${streamRun.incrementAndGet()}"
+      implicit val sp: SparkSession = s
+      graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.nearDupFlags(
+          graft.streaming.Streams.docsStream(s, dir),
+          maxHamming = 3, portable = true).toDF(), name)
+        .groupBy(col("doc_id"))
+        .agg(max(when(col("dup"), 1).otherwise(0)).as("__d"))
+        .select(col("doc_id"), (col("__d") === 1).as("is_neardup"))
+    }),
     "q_stream_enrich" -> ((s, dir) => {
       // Stream-static dimension enrichment: the click stream
       // LEFT-joins a small static per-user tier dimension (broadcast,
@@ -3145,6 +3166,9 @@ object Queries {
         | count(DISTINCT user_id) AS n_keys,
         | count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+    // streaming near-dup verdicts = the batch quadrant-blocked pair
+    // set restricted to earlier-doc matches (a < b)
+    "q_stream_neardedup" -> streamNearDedupOracle,
     // Each check recomputed independently; NULL-as-violation via the
     // explicit coalesce in each filter's complement.
     "q_expectations" ->
@@ -5064,6 +5088,23 @@ object Queries {
        |  AND x.doc_id < y.doc_id)
        |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
+
+  /** q_stream_neardedup replica: a doc is a near-dup iff an EARLIER
+    * doc (doc_id <) shares a 16-bit quadrant and sits within Hamming
+    * ≤ 3 of its SimHash — the `x.doc_id < y.doc_id` half of the
+    * [[simhashPairsOracle]] pair set, LEFT-joined back onto the doc
+    * population (docs with ≥1 token, the same domain `sh` spans). */
+  private def streamNearDedupOracle: String =
+    s"""$simhashCte,
+       |q AS (SELECT doc_id, simhash, qn,
+       |  (simhash >> (qn * 16)) & 65535 AS qval
+       | FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS qn)),
+       |dup AS (SELECT DISTINCT y.doc_id AS doc_id
+       | FROM q x JOIN q y ON x.qn = y.qn AND x.qval = y.qval
+       |  AND x.doc_id < y.doc_id
+       | WHERE bit_count(xor(x.simhash, y.simhash)) <= 3)
+       |SELECT s.doc_id, (d.doc_id IS NOT NULL) AS is_neardup
+       |FROM sh s LEFT JOIN dup d ON s.doc_id = d.doc_id""".stripMargin
 
   /** DuckDB replica of the portable SRP-LSH top-k (q_sim_lsh):
     * 32 sign-bit projections against the SAME integer plane family

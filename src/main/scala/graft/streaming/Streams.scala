@@ -283,6 +283,94 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Streaming read of a documents directory (the driver testdata file
+    * works as a one-file stream). Schema is probed from the parquet
+    * footers — cheap, and a layout drift fails HERE with the probe's
+    * error instead of mid-stream. */
+  def docsStream(
+      spark: SparkSession,
+      dir: String,
+      glob: String = "documents.parquet",
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val probed = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    require(Seq("doc_id", "text").forall(probed.fieldNames.contains),
+      s"$dir/$glob lacks doc_id/text: ${probed.fieldNames.mkString(",")}")
+    val r = spark.readStream.schema(probed).option("pathGlobFilter", glob)
+    val r2 = if (maxFilesPerTrigger > 0)
+      r.option("maxFilesPerTrigger", maxFilesPerTrigger) else r
+    r2.parquet(dir)
+  }
+
+  /** One band-local near-dup verdict: did `doc_id` collide (within the
+    * Hamming budget) with an EARLIER doc in this band bucket? */
+  final case class BandFlag(doc_id: Long, dup: Boolean)
+
+  /** Distinct SimHashes seen so far in one band bucket. */
+  final case class BandState(sims: List[Long])
+
+  /** Streaming SimHash near-duplicate detection — the incremental form
+    * of [[graft.operators.Dedup.simhashNearDupPairs]]: as documents
+    * arrive, each is flagged against everything seen BEFORE it, without
+    * ever re-reading history. The LLM-ingest topology: a crawl drop
+    * lands, and its docs are admitted or routed to quarantine in one
+    * pass.
+    *
+    * Shape: the per-row (shuffle-free) SimHash splits into the four
+    * 16-bit quadrants; state lives per (quadrant, qval) bucket — the
+    * SAME pigeonhole blocking as the batch operator (any pair within
+    * Hamming ≤ 3 < 16 shares at least one exact quadrant), so checking
+    * arrivals only against their own buckets loses nothing. Each
+    * bucket's state is the DISTINCT SimHashes seen; an arrival is a
+    * near-dup iff some bucket-mate within `maxHamming` preceded it.
+    * Emits one [[BandFlag]] per (doc, quadrant) — consumers take
+    * `max(dup)` per doc after the drain (a doc is a near-dup iff ANY
+    * band flagged it), matching the batch pair set restricted to
+    * `earlier.doc_id < doc_id` exactly (the correctness gate's oracle
+    * replays that definition in DuckDB).
+    *
+    * Ordering contract (same replay discipline as
+    * [[sessionCountsState]]): batches are doc_id-ordered across files
+    * (the ingest-sequence shape) and each batch sorts per bucket, so
+    * "earlier" = lower doc_id, deterministically. 100 TB notes: state
+    * is hash-partitioned by (quadrant, qval) — 2^18 buckets spread
+    * evenly by construction (SimHash bits are balanced); per-bucket
+    * state is the distinct-hash list the batch LSH bucket guard bounds
+    * the same way, and a production deployment would add a
+    * processing-time TTL (NoTimeout here keeps the bounded-drain gate
+    * deterministic). */
+  def nearDupFlags(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      portable: Boolean = false)(
+      implicit spark: SparkSession): Dataset[BandFlag] = {
+    import spark.implicits._
+    require(maxHamming < 16, "quadrant blocking needs maxHamming < 16")
+    val sh = graft.operators.Dedup.simhash(docs, "doc_id", col("text"),
+      portable)
+    sh.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(q =>
+          shiftrightunsigned(col("simhash"), q * 16)
+            .bitwiseAND(0xFFFFL)): _*)).as(Seq("quadrant", "qval")))
+      .select(col("quadrant"), col("qval"), col("doc_id"), col("simhash"))
+      .as[(Int, Long, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: (Int, Long), rows: Iterator[(Int, Long, Long, Long)],
+         state: GroupState[BandState]) =>
+          val batch = rows.map(r => (r._3, r._4)).toArray.sortBy(_._1)
+          var seen = state.getOption.map(_.sims).getOrElse(Nil)
+          val out = batch.map { case (id, sim) =>
+            val dup = seen.exists(s =>
+              java.lang.Long.bitCount(s ^ sim) <= maxHamming)
+            if (!seen.contains(sim)) seen = sim :: seen
+            BandFlag(id, dup)
+          }
+          state.update(BandState(seen))
+          out.iterator
+      }
+  }
+
   /** Watermarked stream-stream self-join: every click joined to the
     * same user's purchases within `withinMinutes` AFTER it — the
     * attribution join, streaming against streaming (neither side is a

@@ -257,6 +257,57 @@ class StreamsSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
+  /** One parquet file of documents rows — building block for
+    * multi-batch near-dup drains. */
+  private def writeDocsFile(
+      dir: java.io.File,
+      name: String,
+      docs: Seq[(Long, String)],
+      modTime: Long): Unit = {
+    import spark.implicits._
+    val stage = new java.io.File(dir, s"__stage_$name")
+    docs.map { case (id, t) => (id, t, "en", "test", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(stage.getPath)
+    val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+    val dst = new java.io.File(dir, name)
+    java.nio.file.Files.move(part.toPath, dst.toPath)
+    dst.setLastModified(modTime)
+    org.apache.commons.io.FileUtils.deleteDirectory(stage)
+  }
+
+  test("near-dup flag against a PREVIOUS micro-batch's band state " +
+    "(single-batch would give the opposite verdict)") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val tmp = java.nio.file.Files.createTempDirectory("neardup_mb").toFile
+    val t0 = System.currentTimeMillis()
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    // The probe DELIBERATELY breaks the doc_id-ordered-files replay
+    // contract: doc 5 (batch 1) and doc 3 (batch 2) share a text. A
+    // merged single batch sorts by doc_id and would flag doc 5 (3 is
+    // "earlier"); the two-batch drain must flag doc 3 against the
+    // CARRIED state instead — so the asserted verdict is impossible
+    // without both the batch split and the cross-batch state.
+    writeDocsFile(tmp, "a.parquet", Seq(
+      (5L, base),
+      (2L, "completely different words entirely unrelated content here")),
+      t0 - 60000)
+    writeDocsFile(tmp, "b.parquet", Seq(
+      (3L, base),
+      (11L, "yet another unique document with its own vocabulary")), t0)
+    val raw = Streams.runAvailableNow(
+      Streams.nearDupFlags(Streams.docsStream(
+        spark, tmp.getPath, glob = "*.parquet", maxFilesPerTrigger = 1))
+        .toDF(), "neardup_multibatch")
+    val verdict = raw.groupBy(col("doc_id"))
+      .agg(max(when(col("dup"), 1).otherwise(0)).as("d"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1) == 1)).toMap
+    assert(verdict ==
+      Map(5L -> false, 2L -> false, 3L -> true, 11L -> false),
+      s"got $verdict")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   test("streaming transition drain equals the batch transition matrix") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val streamed = Streams.runAvailableNow(
