@@ -24,6 +24,50 @@ object Bench {
   private def force(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
+  /** Cluster-wide data-movement counters, accumulated from completed
+    * stages. WHY: wall-clock in the driver artifact has twice been
+    * poisoned by external machine load (BENCH_r07 recorded 2.5-3x
+    * inflation); BYTES are load-invariant, so per-query shuffle and
+    * spill deltas give the cross-round record a regression signal
+    * that a busy box cannot fake or hide. (Scan input bytes are NOT
+    * reported: taskMetrics.inputMetrics stays near zero on this
+    * local-parquet read path, and a misleading zero column is worse
+    * than none — scan-width regressions are caught by the PLANS.md
+    * pruned-scan audit instead.) */
+  private final class ByteMetrics
+      extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val shuffleWrite = new AtomicLong
+    val spill = new AtomicLong
+    override def onTaskEnd(
+        ev: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = ev.taskMetrics
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    def snapshot: (Long, Long) = (shuffleWrite.get, spill.get)
+  }
+
+  /** Drain the async listener bus so stage metrics posted for the
+    * just-finished query are attributed to it, not the next one.
+    * `listenerBus` is private[spark] (bytecode-public), hence
+    * reflection — the same access pattern the public spark-testing-base
+    * library uses; falls back to a short sleep if the internals move. */
+  private def flushListeners(sc: org.apache.spark.SparkContext): Unit =
+    try {
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethods
+        .find(m => m.getName == "waitUntilEmpty" &&
+          m.getParameterCount == 0) match {
+        case Some(m) => m.invoke(bus)
+        case None => bus.getClass
+          .getMethod("waitUntilEmpty", java.lang.Long.TYPE)
+          .invoke(bus, java.lang.Long.valueOf(10000L))
+      }
+    } catch { case _: Throwable => Thread.sleep(200) }
+
   /** Locale-pinned decimal formatting: the digest is parsed as JSON by
     * the driver, and default-locale "%.2f" emits decimal commas under
     * e.g. de_DE. */
@@ -69,16 +113,26 @@ object Bench {
       System.err.println(s"[bench] warm-up failed: ${e.getMessage}")
     }
 
+    // Byte counters start AFTER warm-up so its IO isn't attributed to
+    // the first query.
+    val bytes = new ByteMetrics
+    spark.sparkContext.addSparkListener(bytes)
+
+    // Per rep: (seconds, error, (shuffleWrite, spill) byte deltas).
     val timed = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val reps = (1 to repeat).map { _ =>
+          val (sw0, sp0) = bytes.snapshot
           val t0 = System.nanoTime()
           val err =
             try { force(fn(spark, sfDir)); None }
             catch { case e: Throwable =>
               Some(Option(e.getMessage).getOrElse(e.getClass.getName))
             }
-          ((System.nanoTime() - t0) / 1e9, err)
+          val sec = (System.nanoTime() - t0) / 1e9
+          flushListeners(spark.sparkContext)
+          val (sw1, sp1) = bytes.snapshot
+          (sec, err, (sw1 - sw0, sp1 - sp0))
         }
         (name, reps)
     }
@@ -90,10 +144,13 @@ object Bench {
       // attributed to whichever dedup query runs first; see memoTagged
       // below for the full map).
       // min over SUCCESSFUL reps only (a fast failure is not a
-      // timing); a query errors only when every rep failed.
-      val ok = reps.collect { case (t, None) => t }
-      if (ok.nonEmpty) (name, ok.min, None)
-      else (name, reps.map(_._1).min, reps.flatMap(_._2).headOption)
+      // timing); a query errors only when every rep failed. Bytes come
+      // from the LAST rep — steady state, shared memos already built,
+      // so cross-round byte diffs compare plans, not cache luck.
+      val ok = reps.collect { case (t, None, _) => t }
+      if (ok.nonEmpty) (name, ok.min, None, reps.last._3)
+      else (name, reps.map(_._1).min, reps.flatMap(_._2).headOption,
+        reps.last._3)
     }
     // Per-pass totals: pass k = sum of every query's k-th rep. Under
     // external load the passes disagree (and both exceed the minima
@@ -122,17 +179,30 @@ object Bench {
       case c => c.toString
     } + "\""
     val qs = results
-      .map { case (k, v, _) => s"${jstr(k)}:${fmt("%.4f", v)}" }
+      .map { case (k, v, _, _) => s"${jstr(k)}:${fmt("%.4f", v)}" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) =>
+    val errs = results.collect { case (k, _, Some(e), _) =>
       s"${jstr(k)}:${jstr(e.take(300))}"
     }.mkString("{", ",", "}")
+    // Load-invariant per-query data movement (MB, steady-state rep):
+    // the numbers to regress on when wall-clock is suspect.
+    def mb(b: Long): String = fmt("%.2f", b / 1e6)
+    def byteMap(pick: ((Long, Long)) => Long): String = results
+      .map { case (k, _, _, d) => s"${jstr(k)}:${mb(pick(d))}" }
+      .mkString("{", ",", "}")
+    val shuffleMb = byteMap(_._1)
+    val spillMb = byteMap(_._2)
     val total = results.map(_._2).sum
+    val shuffleTotalMb = results.map(_._4._1).sum / 1e6
+    val spillTotalMb = results.map(_._4._2).sum / 1e6
     val passes = passTotals.map(fmt("%.2f", _)).mkString("[", ",", "]")
     val memo = memoTagged.map(jstr).mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":${fmt("%.4f", total)},"unit":"sec",""" +
         s""""repeat":$repeat,"pass_totals":$passes,"memo_queries":$memo,""" +
+        s""""shuffle_total_mb":${fmt("%.2f", shuffleTotalMb)},""" +
+        s""""spill_total_mb":${fmt("%.2f", spillTotalMb)},""" +
+        s""""shuffle_mb":$shuffleMb,"spill_mb":$spillMb,""" +
         s""""queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
 
     // Always land the artifact at a well-known repo path (the driver
@@ -166,16 +236,18 @@ object Bench {
       // round-7 families
       "q_graph_pagerank", "q_mixture_divergence", "q_sample_temperature",
       "q_cdc_apply", "q_join_scd2", "q_shard_order", "q_agg_incremental")
-    val byName = results.map { case (k, v, _) => k -> v }.toMap
+    val byName = results.map { case (k, v, _, _) => k -> v }.toMap
     def compactLine(nHead: Int): String = {
       val hq = headline.take(nHead)
         .flatMap(k => byName.get(k).map(v => s"${jstr(k)}:${fmt("%.2f", v)}"))
         .mkString("{", ",", "}")
-      val cerrs = results.collect { case (k, _, Some(e)) =>
+      val cerrs = results.collect { case (k, _, Some(e), _) =>
         s"${jstr(k)}:${jstr(e.take(80))}"
       }.take(3).mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt("%.2f", total)},"unit":"sec",""" +
         s""""repeat":$repeat,"pass_totals":$passes,""" +
+        s""""shuffle_total_mb":${fmt("%.2f", shuffleTotalMb)},""" +
+        s""""spill_total_mb":${fmt("%.2f", spillTotalMb)},""" +
         s""""n":${results.size},"nerr":${results.count(_._3.isDefined)},""" +
         s""""errors":$cerrs,"queries":$hq,""" +
         s""""queries_all":"tmp/bench_self.json","sf":${jstr(sfDir)}}"""
