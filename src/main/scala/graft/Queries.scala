@@ -1089,6 +1089,29 @@ object Queries {
         .agg(count(lit(1)).as("n_keys"),
           countDistinct(col("user_id")).as("n_users"))
     }),
+    "q_stream_drift" -> ((s, dir) => {
+      // Streaming corpus-drift monitor: a cumulative per-(source, bin)
+      // doc-length histogram accumulates in keyed state as documents
+      // arrive; after the drain the LATEST counts (max per cell — the
+      // count is monotone) feed the exact batch PSI tail, so the
+      // streamed drift verdict must equal q_doc_length_psi row for
+      // row (the gate reuses that oracle verbatim). The ingest-time
+      // form of the drift gate: a bad crawl drop (truncation,
+      // boilerplate bloat) flags while landing, not at the nightly
+      // audit.
+      val name = s"q_stream_drift_${streamRun.incrementAndGet()}"
+      implicit val sp: SparkSession = s
+      val drained = graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.histogramCountsState(
+          graft.streaming.Streams.docsStream(s, dir),
+          "n_chars", "source", lo = 0.0, hi = 600.0, nBins = 10)
+          .toDF(), name)
+      val latest = drained.groupBy(col("g"), col("bin"))
+        .agg(max(col("n")).as("__c"))
+        .select(col("g").as("__g"), col("bin").as("__bin"), col("__c"))
+      graft.operators.Stats.psiFromBinCounts(
+        latest, refGroup = "src0", nBins = 10, outGroupCol = "source")
+    }),
     "q_stream_neardedup" -> ((s, dir) => {
       // Streaming SimHash near-dup admission over the documents
       // stream: per-row (shuffle-free) simhash → quadrant-bucketed
@@ -2949,33 +2972,11 @@ object Queries {
         | round(CAST(sum(t) AS DOUBLE), 6) AS psi
         |FROM terms GROUP BY g""".stripMargin,
     // psiByGroup replica over documents: n_chars bins vs src0
-    "q_doc_length_psi" ->
-      """WITH c AS (
-        | SELECT source AS g,
-        |  least(9, greatest(0, CAST(floor(n_chars / 60.0) AS INTEGER)))
-        |    AS bin,
-        |  CAST(count(*) AS BIGINT) AS c
-        | FROM documents GROUP BY 1, 2),
-        |spine AS (
-        | SELECT g, b AS bin
-        | FROM (SELECT DISTINCT g FROM c), (SELECT unnest(range(10)) AS b)),
-        |f AS (
-        | SELECT s.g, s.bin, COALESCE(c.c, 0) AS c
-        | FROM spine s LEFT JOIN c ON s.g = c.g AND s.bin = c.bin),
-        |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM f GROUP BY g),
-        |share AS (
-        | SELECT f.g, f.bin, t.n,
-        |  greatest(CAST(f.c AS DOUBLE) / CAST(t.n AS DOUBLE), 1e-6) AS p
-        | FROM f JOIN tot t USING (g)),
-        |ref AS (SELECT bin, p AS q FROM share WHERE g = 'src0'),
-        |terms AS (
-        | SELECT s.g, s.n,
-        |  CAST(round((s.p - r.q) * ln(s.p / r.q), 6)
-        |    AS DECIMAL(18,6)) AS t
-        | FROM share s JOIN ref r USING (bin) WHERE s.g <> 'src0')
-        |SELECT g AS source, CAST(min(n) AS BIGINT) AS n_rows,
-        | round(CAST(sum(t) AS DOUBLE), 6) AS psi
-        |FROM terms GROUP BY g""".stripMargin,
+    "q_doc_length_psi" -> docLengthPsiOracle,
+    // the streaming drift monitor's drained cumulative histogram must
+    // equal the batch bin counts, and the PSI tail is shared code —
+    // so the oracle IS the batch oracle
+    "q_stream_drift" -> docLengthPsiOracle,
     "q_anomaly_zscore" ->
       """WITH s AS (SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv,
@@ -5088,6 +5089,38 @@ object Queries {
        |  AND x.doc_id < y.doc_id)
        |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
+
+  /** q_doc_length_psi replica (n_chars bins vs src0) — ALSO the
+    * q_stream_drift oracle: the drained cumulative histogram equals
+    * the batch bin counts and the PSI tail is shared code, so the
+    * streamed drift verdict is gated against the identical SQL. */
+  private def docLengthPsiOracle: String =
+    """WITH c AS (
+        | SELECT source AS g,
+        |  least(9, greatest(0, CAST(floor(n_chars / 60.0) AS INTEGER)))
+        |    AS bin,
+        |  CAST(count(*) AS BIGINT) AS c
+        | FROM documents GROUP BY 1, 2),
+        |spine AS (
+        | SELECT g, b AS bin
+        | FROM (SELECT DISTINCT g FROM c), (SELECT unnest(range(10)) AS b)),
+        |f AS (
+        | SELECT s.g, s.bin, COALESCE(c.c, 0) AS c
+        | FROM spine s LEFT JOIN c ON s.g = c.g AND s.bin = c.bin),
+        |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM f GROUP BY g),
+        |share AS (
+        | SELECT f.g, f.bin, t.n,
+        |  greatest(CAST(f.c AS DOUBLE) / CAST(t.n AS DOUBLE), 1e-6) AS p
+        | FROM f JOIN tot t USING (g)),
+        |ref AS (SELECT bin, p AS q FROM share WHERE g = 'src0'),
+        |terms AS (
+        | SELECT s.g, s.n,
+        |  CAST(round((s.p - r.q) * ln(s.p / r.q), 6)
+        |    AS DECIMAL(18,6)) AS t
+        | FROM share s JOIN ref r USING (bin) WHERE s.g <> 'src0')
+        |SELECT g AS source, CAST(min(n) AS BIGINT) AS n_rows,
+        | round(CAST(sum(t) AS DOUBLE), 6) AS psi
+        |FROM terms GROUP BY g""".stripMargin
 
   /** q_stream_neardedup replica: a doc is a near-dup iff an EARLIER
     * doc (doc_id <) shares a 16-bit quadrant and sits within Hamming

@@ -93,19 +93,53 @@ object Stats {
       refGroup: String,
       lo: Double,
       hi: Double,
-      nBins: Int = 10): DataFrame = {
+      nBins: Int = 10): DataFrame =
+    psiFromBinCounts(
+      binCounts(df, valueCol, groupCol, lo, hi, nBins), refGroup, nBins,
+      groupCol)
+
+  /** The fixed-domain equal-width bin of `valueCol`: values clamp into
+    * [0, nBins); NULL values stay NULL (callers exclude them). Shared
+    * by the batch PSI and its streaming twin so both sides bin
+    * identically. */
+  def binExpr(valueCol: String, lo: Double, hi: Double,
+      nBins: Int): Column = {
     require(hi > lo && nBins > 0, "need hi > lo and nBins > 0")
     val width = (hi - lo) / nBins
-    val bin = least(lit(nBins - 1), greatest(lit(0),
+    least(lit(nBins - 1), greatest(lit(0),
       floor((col(valueCol).cast(DoubleType) - lo) / width)
         .cast(IntegerType)))
-    val counts = df.select(col(groupCol).as("__g"), bin.as("__bin"))
+  }
+
+  /** Per-(group, bin) occupancy counts — the sufficient statistic the
+    * PSI needs: one map-side-combined shuffle of ≤ |groups|·nBins
+    * integer rows at any corpus size. */
+  def binCounts(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      lo: Double,
+      hi: Double,
+      nBins: Int): DataFrame =
+    df.select(col(groupCol).as("__g"),
+        binExpr(valueCol, lo, hi, nBins).as("__bin"))
       .filter(col("__bin").isNotNull)
       .groupBy(col("__g"), col("__bin"))
       .agg(count(lit(1)).as("__c"))
+
+  /** PSI of every group against `refGroup`, from pre-aggregated
+    * (__g, __bin, __c) counts — the shared tail of [[psiByGroup]] and
+    * the streaming drift monitor ([[graft.streaming.Streams]]): a
+    * drained cumulative histogram feeds the IDENTICAL arithmetic, so
+    * the streamed PSI must equal the batch PSI row for row. */
+  def psiFromBinCounts(
+      counts: DataFrame,
+      refGroup: String,
+      nBins: Int,
+      outGroupCol: String): DataFrame = {
     val spine = counts.select(col("__g")).distinct()
       .crossJoin(broadcast(
-        df.sparkSession.range(nBins)
+        counts.sparkSession.range(nBins)
           .select(col("id").cast(IntegerType).as("__bin"))))
     val full = spine.join(counts, Seq("__g", "__bin"), "left")
       .select(col("__g"), col("__bin"),
@@ -125,7 +159,7 @@ object Stats {
       .groupBy(col("__g"))
       .agg(first(col("__n")).as("n_rows"),
         round(sum(col("__t")).cast(DoubleType), 6).as("psi"))
-      .withColumnRenamed("__g", groupCol)
+      .withColumnRenamed("__g", outGroupCol)
   }
 
   /** CountMin sketch over an item stream — the bounded-state answer to

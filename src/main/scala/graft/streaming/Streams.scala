@@ -301,6 +301,57 @@ object Streams {
     r2.parquet(dir)
   }
 
+  /** Cumulative occupancy of one (group, bin) histogram cell. */
+  final case class GroupBinCount(g: String, bin: Int, n: Long)
+
+  /** The carried cumulative count per (group, bin). */
+  final case class CumCount(n: Long)
+
+  /** Streaming cumulative histogram — the state backbone of the drift
+    * monitor: as documents arrive, each (group, bin) cell's count
+    * accumulates across micro-batches and the refreshed total is
+    * re-emitted (update mode — consumers take max per cell, the count
+    * is monotone). Binning is [[graft.operators.Stats.binExpr]], the
+    * SAME expression the batch PSI uses, so a drained stream's latest
+    * counts equal the batch [[graft.operators.Stats.binCounts]]
+    * exactly and the shared PSI tail
+    * ([[graft.operators.Stats.psiFromBinCounts]]) yields the identical
+    * drift verdict — that equality is the q_stream_drift gate.
+    *
+    * 100 TB notes: state is one long per (group, bin) —
+    * |groups|·nBins cells TOTAL regardless of corpus size,
+    * hash-partitioned across executors; the stream side shuffles only
+    * the (group, bin) pairs (map-side combine does not apply to
+    * flatMapGroupsWithState, so at extreme rates pre-aggregate each
+    * micro-batch before the stateful operator). */
+  def histogramCountsState(
+      rows: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      lo: Double,
+      hi: Double,
+      nBins: Int)(
+      implicit spark: SparkSession): Dataset[GroupBinCount] = {
+    import spark.implicits._
+    rows
+      .select(col(groupCol).cast(StringType).as("__g"),
+        graft.operators.Stats.binExpr(valueCol, lo, hi, nBins)
+          .as("__bin"))
+      .filter(col("__bin").isNotNull)
+      .as[(String, Int)]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: (String, Int), it: Iterator[(String, Int)],
+         state: GroupState[CumCount]) =>
+          var add = 0L
+          while (it.hasNext) { it.next(); add += 1 }
+          val tot = state.getOption.map(_.n).getOrElse(0L) + add
+          state.update(CumCount(tot))
+          Iterator(GroupBinCount(key._1, key._2, tot))
+      }
+  }
+
   /** One band-local near-dup verdict: did `doc_id` collide (within the
     * Hamming budget) with an EARLIER doc in this band bucket? */
   final case class BandFlag(doc_id: Long, dup: Boolean)

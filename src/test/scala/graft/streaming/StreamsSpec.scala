@@ -308,6 +308,36 @@ class StreamsSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
+  test("cumulative histogram state accumulates ACROSS micro-batches " +
+    "(cell re-emitted with a growing monotone total)") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val tmp = java.nio.file.Files.createTempDirectory("hist_mb").toFile
+    val t0 = System.currentTimeMillis()
+    // n_chars = text.length here; bin width 60 over [0, 600):
+    // batch 1 lands two docs in bin 0 (len < 60); batch 2 adds one
+    // more in bin 0 and one in bin 1 (len in [60, 120))
+    val short = "x" * 10
+    val mid = "y" * 70
+    writeDocsFile(tmp, "a.parquet", Seq((1L, short), (2L, short)),
+      t0 - 60000)
+    writeDocsFile(tmp, "b.parquet", Seq((3L, short), (4L, mid)), t0)
+    val raw = Streams.runAvailableNow(
+      Streams.histogramCountsState(
+        Streams.docsStream(spark, tmp.getPath, glob = "*.parquet",
+          maxFilesPerTrigger = 1),
+        "n_chars", "source", lo = 0.0, hi = 600.0, nBins = 10).toDF(),
+      "hist_multibatch")
+    // bin 0 was emitted once per batch: 2 then 3 — the carried state
+    // is what turns batch 2's single arrival into a total of 3
+    val bin0 = raw.filter(col("bin") === 0).select(col("n"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(bin0 == Seq(2L, 3L), s"got $bin0")
+    val latest = raw.groupBy(col("bin")).agg(max(col("n")).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(latest == Map(0 -> 3L, 1 -> 1L), s"got $latest")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   test("streaming transition drain equals the batch transition matrix") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val streamed = Streams.runAvailableNow(
