@@ -142,4 +142,24 @@ class LakehouseSpec extends SparkSpecBase {
     assert(after.count() == before)
     assert(after.exceptAll(src).count() == 0)
   }
+
+  test("compact recovers from a prior crash's leftovers: stale " +
+    "__compact_old and __compact_tmp dirs never reach the result") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("cmpc").toString + "/t"
+    val good = Seq((1L, "keep"), (2L, "keep")).toDF("k", "v")
+    good.repartition(4).write.parquet(path)
+    // a previous compact died mid-flight: a STALE full copy sits
+    // aside, and a half-written tmp dir lingers — both must be
+    // ignored/overwritten, only the canonical path's data survives
+    Seq((9L, "stale")).toDF("k", "v").write.parquet(path + "__compact_old")
+    Seq((8L, "half")).toDF("k", "v").write.parquet(path + "__compact_tmp")
+    Lakehouse.compact(spark, path, 1)
+    val got = spark.read.parquet(path).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "keep"), (2L, "keep")), s"got $got")
+    // and the swap cleaned up after itself — a second compact (or a
+    // reader globbing the parent) sees no leftover dirs
+    assert(!new java.io.File(path + "__compact_old").exists())
+    assert(!new java.io.File(path + "__compact_tmp").exists())
+  }
 }
