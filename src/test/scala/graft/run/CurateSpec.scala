@@ -1,0 +1,62 @@
+package graft.run
+
+import org.apache.spark.sql.functions.{col, expr}
+
+import graft.SparkSpecBase
+import graft.core.Tables
+import graft.operators.Curation
+
+class CurateSpec extends SparkSpecBase {
+
+  private val recipeText =
+    """# demo recipe
+      |strata = lang
+      |id = doc_id
+      |text = text
+      |quality = ln(1 + n_chars)
+      |drop_permille = 100
+      |total_target = 200
+      |n_shards = 4
+      |""".stripMargin
+
+  test("a parsed recipe runs the EXACT standardPipeline composition") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val viaRecipe = CurationRecipe.parse(recipeText).run(docs)
+    val direct = Curation.standardPipeline(
+      docs, Seq("lang"), "doc_id", expr("text"),
+      expr("ln(1 + n_chars)"), dropPermille = 100, totalTarget = 200,
+      nShards = 4)
+    assert(viaRecipe.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(viaRecipe).count() == 0)
+    assert(viaRecipe.count() > 0)
+    // shard layout present and within bounds
+    val shards = viaRecipe.select(col("shard").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(shards.nonEmpty && shards.forall(s => s >= 0 && s < 4))
+    viaRecipe.unpersist(false)
+    direct.unpersist(false)
+  }
+
+  test("defaulted seeds match standardPipeline's defaults") {
+    val r = CurationRecipe.parse(recipeText)
+    assert(r.sampleSeed == 19 && r.shardSeed == 23)
+    val r2 = CurationRecipe.parse(
+      recipeText + "sample_seed = 7\nshard_seed = 11\n")
+    assert(r2.sampleSeed == 7 && r2.shardSeed == 11)
+  }
+
+  test("validation failures name the offending key") {
+    def err(s: String): String =
+      intercept[IllegalArgumentException](CurationRecipe.parse(s))
+        .getMessage
+    assert(err(recipeText.replace("quality = ln(1 + n_chars)", ""))
+      .contains("quality"))
+    assert(err(recipeText + "typo_key = 1\n").contains("typo_key"))
+    assert(err(recipeText.replace("drop_permille = 100",
+      "drop_permille = 1000")).contains("drop_permille"))
+    assert(err(recipeText.replace("total_target = 200",
+      "total_target = abc")).contains("total_target"))
+    assert(err(recipeText + "n_shards = 9\n").contains("duplicate"))
+    assert(err("strata\n").contains("key=value"))
+  }
+}
