@@ -20,9 +20,15 @@ object Sessions {
     // default would silently run the bench 8× under-parallelized)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
+    // local[N, 2]: allow ONE task retry, like every real cluster
+    // (spark.task.maxFailures defaults to 4 there; bare local[N] makes
+    // any task failure fatal, which no production deployment has).
+    // This is also what lets the suite TEST the retry-safety the sinks
+    // promise (SURVEY §7.4 risk 1) with an induced first-attempt
+    // failure instead of only asserting re-run idempotency.
     val b = SparkSession.builder()
       .appName(appName)
-      .master(s"local[$cpus]")
+      .master(s"local[$cpus,2]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")

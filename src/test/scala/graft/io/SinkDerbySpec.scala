@@ -127,6 +127,48 @@ class SinkDerbySpec extends SparkSpecBase {
     assert(once == twice)
   }
 
+  test("induced task retry: a first-attempt failure mid-partition " +
+    "converges to the oracle state exactly (SURVEY §7.4 risk 1)") {
+    ensureTables()
+    SinkDerbySpec.induced.set(0)
+    val target = df(targetRows: _*)
+    val batch = df(batchRows: _*)
+    RefreshSink.write(target, cfg, dialect, tbl)
+    // Partition 2 (the 2-row slice) dies after serving ONE row to the
+    // sink on its FIRST attempt only — local[N,2] retries the task;
+    // the first attempt's partial, uncommitted JDBC work must roll
+    // back and the retry must land the partition exactly once. A
+    // static counter (local mode: executor == this JVM) proves the
+    // failure really happened — without it a green assert could mean
+    // the fault never fired.
+    val flakyRdd = batch.rdd.mapPartitions { it =>
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null && tc.partitionId() == 2 && tc.attemptNumber() == 0)
+        new Iterator[Row] {
+          private var served = 0
+          def hasNext: Boolean = it.hasNext
+          def next(): Row = {
+            if (served >= 1) {
+              SinkDerbySpec.induced.incrementAndGet()
+              throw new RuntimeException("induced first-attempt failure")
+            }
+            served += 1; it.next()
+          }
+        }
+      else it
+    }
+    val flaky = spark.createDataFrame(flakyRdd, schema)
+    MergeSink.write(flaky, cfg, dialect, tbl, stg, Seq("orderid"),
+      Upsert.Unconditional, withByTarget = false)
+    assert(SinkDerbySpec.induced.get() >= 1,
+      "the fault never fired — the test proved nothing")
+    val got = sortedRows(JdbcSources.readTable(spark, cfg, tbl))
+    val want = sortedRows(
+      Upsert(target, batch, Seq("orderid"), Upsert.Unconditional))
+    assert(got == want,
+      "post-retry JDBC state diverges from the Upsert oracle")
+  }
+
   test("mid-batch failure rolls back the whole partition transaction") {
     val ck = dialect.table("APP", "orders_ck")
     val conn = JdbcWrite.connect(cfg)
@@ -253,4 +295,10 @@ class SinkDerbySpec extends SparkSpecBase {
         s"seed=$seed target=$target batch=$batch")
     }
   }
+}
+
+/** Fault counter for the induced-retry test — static so the (local
+  * mode, same-JVM) executor task and the test assertion share it. */
+object SinkDerbySpec {
+  val induced = new java.util.concurrent.atomic.AtomicInteger(0)
 }
