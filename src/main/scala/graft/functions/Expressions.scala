@@ -292,6 +292,106 @@ case class DotProduct(left: Expression, right: Expression)
   * `substr` does (UTF8String indexes by code point). Strings shorter
   * than `window` yield an empty array (no window fits — the caller's
   * whole-doc-chunk branch). */
+/** 64-bit SimHash over an `array<long>` of token hashes, one codegen'd
+  * call into a tight static loop.
+  *
+  * Replaces the nested-HOF fold in [[graft.operators.Dedup]]
+  * (`aggregate(hashes, zeros64, (acc, h) -> transform(acc, ...))`) —
+  * that chain allocates a fresh 64-int array and evaluates 64
+  * interpreted lambda frames PER TOKEN; here the lanes live in one
+  * primitive int[64] for the whole row. Same per-row, shuffle-free
+  * plan shape, ~10× cheaper per token.
+  *
+  * Exact-equivalence contract with the formulations it replaces (the
+  * q_dedup_simhash oracle replicates this arithmetic in DuckDB):
+  *  - portable=true: lane i's sign bit is
+  *    `pmod(h·A_i + B_i, 1e9+7) & 1` with A_i = ((2i+1)·104729) mod p,
+  *    B_i = (i·94906249 + 12345) mod p — [[graft.operators.Dedup
+  *    .affineA]]/[[graft.operators.Dedup.affineB]] re-derived; callers
+  *    pass polyHash values (h ∈ [0, 1e9+7), so h·A_i cannot overflow);
+  *  - portable=false: lane i's bit is `(h >> i) & 1` over xxhash64
+  *    values (identical to `(h >>> i) & 1` for i ≤ 63);
+  *  - each token adds ±1 per lane; a NULL element contributes −1 to
+  *    every lane (`when(NULL === 1).otherwise(-1)` in the HOF fold);
+  *  - lanes with positive sum set their bit (lane 63 = the sign bit);
+  *    an empty array yields 0L (callers drop token-less docs first).
+  */
+case class SimHash64(child: Expression, portable: Boolean)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(et, _)
+          if et == org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_simhash64 requires array<bigint>, got $other")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64.evalStatic(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      portable)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.SimHash64.evalStatic($c, $portable);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  private final val Mod = 1000000007L
+  // affine constants precomputed once — Dedup.affineA/affineB values
+  private val A: Array[Long] =
+    Array.tabulate(64)(i => ((2L * i + 1) * 104729L) % Mod)
+  private val B: Array[Long] =
+    Array.tabulate(64)(i => (i.toLong * 94906249L + 12345L) % Mod)
+
+  /** Shared kernel for the interpreted and codegen paths. */
+  def evalStatic(
+      arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      portable: Boolean): Long = {
+    val n = arr.numElements()
+    val lanes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      if (arr.isNullAt(j)) {
+        var i = 0
+        while (i < 64) { lanes(i) -= 1; i += 1 }
+      } else {
+        val h = arr.getLong(j)
+        var i = 0
+        if (portable)
+          while (i < 64) {
+            val bit = java.lang.Math.floorMod(h * A(i) + B(i), Mod) & 1L
+            lanes(i) += (if (bit == 1L) 1 else -1)
+            i += 1
+          }
+        else
+          while (i < 64) {
+            lanes(i) += (if (((h >> i) & 1L) == 1L) 1 else -1)
+            i += 1
+          }
+      }
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (lanes(i) > 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+}
+
 case class CdcBoundaries(child: Expression, window: Int, divisor: Int)
     extends UnaryExpression {
   require(window > 0, s"window must be positive: $window")
@@ -397,4 +497,10 @@ object GraftFunctions {
   def cdcBoundaries(text: Column, window: Int, divisor: Int): Column =
     GraftColumnBridge.column(CdcBoundaries(
       GraftColumnBridge.expression(text), window, divisor))
+
+  /** Per-row SimHash over an array of token hashes (see
+    * [[SimHash64]]). */
+  def simhash64(hashes: Column, portable: Boolean): Column =
+    GraftColumnBridge.column(SimHash64(
+      GraftColumnBridge.expression(hashes), portable))
 }

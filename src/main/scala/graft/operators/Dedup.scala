@@ -705,43 +705,16 @@ object Dedup {
     transform(TextAnalysis.tokens(lower(text)),
       t => if (portable) polyHash(t) else xxhash64(t))
 
-  /** Per-row SimHash fold over an array of token hashes.
-    *
-    * merge: each hash adds ±1 to every lane of a 64-int accumulator —
-    * lane i's sign bit is `(h >> i) & 1` (native) or the parity of the
-    * i-th affine transform (portable; the affine constants are the
-    * SAME arithmetic as [[affineA]]/[[affineB]], re-derived in column
-    * space from the lane index, so portable mode stays byte-identical
-    * to the DuckDB oracle replica). finish: lanes with positive sum
-    * assemble into the result's bits (lane 63 sets the sign bit, as
-    * `shiftleft(1L, 63)` wraps negative — same as `lit(1L << 63)`). */
+  /** Per-row SimHash over an array of token hashes — the native
+    * codegen'd [[graft.functions.SimHash64]] expression (one static
+    * tight-loop call per row; a nested-HOF fold here costs 64
+    * interpreted lambda frames + a fresh 64-int array PER TOKEN).
+    * Lane arithmetic is byte-identical to the DuckDB oracle replica
+    * in both hash modes — see the expression's scaladoc for the
+    * pinned contract. */
   private[graft] def simhashOfHashes(
-      hashes: Column, portable: Boolean): Column = {
-    val mod = lit(PortableMod)
-    // lane-indexed bit of hash h: i is a COLUMN (the transform index),
-    // so the affine constants are derived with the same Long
-    // arithmetic as affineA/affineB ((2i+1)·104729 < 2^30·mod needs no
-    // reduction; the B term does)
-    def laneBit(h: Column, i: Column): Column =
-      if (portable)
-        pmod(h * ((i.cast(LongType) * 2L + 1L) * lit(104729L)) +
-          pmod(i.cast(LongType) * lit(94906249L) + lit(12345L), mod), mod)
-          .bitwiseAND(lit(1L))
-      else
-        call_function("shiftright", h, i.cast(IntegerType))
-          .bitwiseAND(lit(1L))
-    aggregate(
-      hashes,
-      array_repeat(lit(0), 64),
-      (acc, h) => transform(acc, (s, i) =>
-        s + when(laneBit(h, i) === 1L, 1).otherwise(-1)),
-      acc => aggregate(
-        transform(acc, (s, i) =>
-          when(s > 0,
-            call_function("shiftleft", lit(1L), i.cast(IntegerType)))
-            .otherwise(lit(0L))),
-        lit(0L), (a, b) => a.bitwiseOR(b)))
-  }
+      hashes: Column, portable: Boolean): Column =
+    graft.functions.GraftFunctions.simhash64(hashes, portable)
 
   /** The round-7 explode + groupBy SimHash formulation — one shuffle
     * of 64 map-side-combined lane sums per doc. Retained as the
