@@ -392,6 +392,206 @@ object SimHash64 {
   }
 }
 
+/** Portable MinHash signature over an `array<long>` of (polyHash'd)
+  * shingle hashes: out[i] = min over elements of the i-th affine
+  * transform `pmod(h·A_i + B_i, 1e9+7)` — the per-row, shuffle-free
+  * form of the explode → groupBy(64 × min) signature build, with the
+  * lanes in one primitive long[] (same arithmetic as the DuckDB
+  * replica; A/B are [[graft.operators.Dedup.affineA]]/[[graft
+  * .operators.Dedup.affineB]] re-derived, cached per width).
+  *
+  * NULL elements are skipped (the groupBy `min` ignores NULLs); an
+  * array with no usable element yields NULL (the explode path emits
+  * no row for that doc — downstream banding drops NULL the same way).
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  require(numHashes > 0, "numHashes must be positive")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(et, _)
+          if et == org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_minhash_sig requires array<bigint>, got $other")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSig.evalStatic(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("mhRes")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.MinHashSig.evalStatic($c, $numHashes);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Fused portable MinHash signature STRAIGHT from the whitespace-token
+  * array: shingling, the rolling polynomial hash, and the `numHashes`
+  * affine minima all run in one static kernel — no shingle strings are
+  * ever materialized (building them is ~3 s of the sf0.1 signature
+  * plan; this kernel replaces it with a code-point walk).
+  *
+  * Exact-equivalence contract with
+  * `transform(shinglesOfTokens(toks, k), s -> polyHash(s))` feeding
+  * [[MinHashSig]] (pinned by DedupSpec and the q_dedup_minhash
+  * oracle):
+  *  - a shingle's hash folds the code points of its tokens joined by
+  *    single spaces (0x20), in order — identical to
+  *    `polyHash(array_join(slice(toks, i+1, k), " "))`; NULL tokens
+  *    are skipped along with their separator (array_join semantics);
+  *  - `size(toks) >= k` → one shingle per start position
+  *    (array_distinct in the column form only dedupes — minima are
+  *    unaffected); fewer tokens → ONE whole-array shingle, and an
+  *    empty array hashes to 0 (`polyHash("")`), so every doc gets a
+  *    signature — same as the column form, which never yields an
+  *    empty shingle array.
+  */
+case class MinHashFromTokens(child: Expression, shingleSize: Int,
+    numHashes: Int) extends UnaryExpression {
+  require(shingleSize > 0 && numHashes > 0)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(et, _)
+          if et.isInstanceOf[org.apache.spark.sql.types.StringType] =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_minhash_tokens requires array<string>, got $other")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_tokens"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSig.evalFromTokens(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      shingleSize, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSig.evalFromTokens(" +
+        s"$c, $shingleSize, $numHashes);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashFromTokens =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  private final val Mod = 1000000007L
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]
+  private def consts(k: Int): (Array[Long], Array[Long]) =
+    cache.computeIfAbsent(k, n => (
+      Array.tabulate(n)(i => ((2L * i + 1) * 104729L) % Mod),
+      Array.tabulate(n)(i => (i.toLong * 94906249L + 12345L) % Mod)))
+
+  /** Fused kernel: token array → portable MinHash signature (see
+    * [[MinHashFromTokens]] for the pinned arithmetic). */
+  def evalFromTokens(
+      tokens: org.apache.spark.sql.catalyst.util.ArrayData,
+      shingleSize: Int,
+      numHashes: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val (a, b) = consts(numHashes)
+    val n = tokens.numElements()
+    // one toString per token (a token sits in up to shingleSize
+    // shingles — converting per shingle would triple the char work)
+    val strs = new Array[String](n)
+    var j = 0
+    while (j < n) {
+      if (!tokens.isNullAt(j)) strs(j) = tokens.getUTF8String(j).toString
+      j += 1
+    }
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    def update(h: Long): Unit = {
+      var i = 0
+      while (i < numHashes) {
+        val v = java.lang.Math.floorMod(h * a(i) + b(i), Mod)
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+    }
+    // rolling polyHash of tokens [start, start+len) joined by ' ',
+    // nulls skipped with their separator (array_join semantics)
+    def hashSlice(start: Int, len: Int): Long = {
+      var acc = 0L
+      var first = true
+      var k = start
+      val end = math.min(start + len, n)
+      while (k < end) {
+        val s = strs(k)
+        if (s != null) {
+          if (!first) acc = (acc * 31L + 32L) % Mod
+          var i = 0
+          while (i < s.length) {
+            val cp = s.codePointAt(i)
+            acc = (acc * 31L + cp) % Mod
+            i += Character.charCount(cp)
+          }
+          first = false
+        }
+        k += 1
+      }
+      acc
+    }
+    if (n >= shingleSize) {
+      var start = 0
+      while (start <= n - shingleSize) {
+        update(hashSlice(start, shingleSize))
+        start += 1
+      }
+    } else update(hashSlice(0, n)) // incl. n = 0 → polyHash("") = 0
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Shared kernel for the interpreted and codegen paths; null when no
+    * usable element exists. */
+  def evalStatic(
+      arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      numHashes: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val (a, b) = consts(numHashes)
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    var any = false
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        any = true
+        val h = arr.getLong(j)
+        var i = 0
+        while (i < numHashes) {
+          val v = java.lang.Math.floorMod(h * a(i) + b(i), Mod)
+          if (v < out(i)) out(i) = v
+          i += 1
+        }
+      }
+      j += 1
+    }
+    if (!any) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 case class CdcBoundaries(child: Expression, window: Int, divisor: Int)
     extends UnaryExpression {
   require(window > 0, s"window must be positive: $window")
@@ -503,4 +703,17 @@ object GraftFunctions {
   def simhash64(hashes: Column, portable: Boolean): Column =
     GraftColumnBridge.column(SimHash64(
       GraftColumnBridge.expression(hashes), portable))
+
+  /** Per-row portable MinHash signature over an array of shingle
+    * hashes (see [[MinHashSig]]). */
+  def minhashSig(hashes: Column, numHashes: Int): Column =
+    GraftColumnBridge.column(MinHashSig(
+      GraftColumnBridge.expression(hashes), numHashes))
+
+  /** Fused token-array → portable MinHash signature (see
+    * [[MinHashFromTokens]]). */
+  def minhashFromTokens(
+      tokens: Column, shingleSize: Int, numHashes: Int): Column =
+    GraftColumnBridge.column(MinHashFromTokens(
+      GraftColumnBridge.expression(tokens), shingleSize, numHashes))
 }

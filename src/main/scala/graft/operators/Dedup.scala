@@ -12,9 +12,11 @@ import org.apache.spark.sql.{Column, DataFrame}
   *
   *  - exact dedup shuffles once on the content hash (never on the raw
   *    text when `keyExpr` is a digest);
-  *  - MinHash signatures are computed with one explode + one groupBy
-  *    (map-side combined `min` per hash function — the shuffle carries
-  *    only `numHashes` longs per doc, not the shingle set);
+  *  - SimHash and portable-mode MinHash signatures are PER-ROW native
+  *    expressions (a doc's signature depends only on its own row):
+  *    zero exchanges, no explode blowup — the scan stage emits
+  *    finished signatures; native-mode MinHash keeps the explode →
+  *    groupBy(min) form (one shuffle of `numHashes` longs per doc);
   *  - LSH banding turns the quadratic all-pairs problem into a
   *    per-bucket join; bucket sizes are counted BEFORE any per-bucket
   *    materialization, so a degenerate hot bucket is dropped by a
@@ -306,22 +308,59 @@ object Dedup {
     * Native mode seeds xxhash64 per hash function; portable mode
     * applies the affine family to one polyHash per shingle (cheaper:
     * the string is hashed once, not `numHashes` times — and DuckDB-
-    * replicable). The explode→groupBy(min) pattern map-side-combines,
-    * so the shuffle carries one row of `numHashes` longs per document.
-    */
+    * replicable).
+    *
+    * Portable mode computes PER ROW (the native [[graft.functions
+    * .MinHashSig]] tight loop over the shingle-hash array): a doc's
+    * signature depends only on its own shingles, so like the per-row
+    * [[simhash]] there is ZERO exchange — the explode → groupBy(min)
+    * formulation (kept for native mode, whose per-function xxhash64
+    * seeding needs the string per lane, and as the equivalence
+    * witness `DedupSpec` pins) shuffles `numHashes` longs per doc. */
   def minhashSignatures(
       docs: DataFrame,
       idCol: String,
       text: Column,
       numHashes: Int = 64,
       shingleSize: Int = 3,
-      portable: Boolean = false): DataFrame = {
-    val sh = docs
-      .select(col(idCol), TextAnalysis.tokens(lower(text)).as("__tk"))
-      .select(col(idCol),
-        explode(shinglesOfTokens(col("__tk"), shingleSize)).as("__sh"))
-    signaturesFromExploded(sh, idCol, numHashes, portable)
-  }
+      portable: Boolean = false): DataFrame =
+    if (portable)
+      // fused kernel straight from the token array — shingle strings
+      // are never built (constructing them is the dominant cost of
+      // the signature plan; see MinHashFromTokens)
+      docs.select(col(idCol),
+        graft.functions.GraftFunctions.minhashFromTokens(
+          TextAnalysis.tokens(lower(text)), shingleSize, numHashes)
+          .as("signature"))
+    else
+      signaturesFromExploded(
+        docs.select(col(idCol),
+          explode(shinglesOfTokens(TextAnalysis.tokens(lower(text)),
+            shingleSize)).as("__sh")),
+        idCol, numHashes, portable)
+
+  /** Signatures from an (__id, __sh string-array) frame — the entry
+    * the cached-[[shingleFrame]] pipelines use (the frame is needed
+    * anyway for the exact-Jaccard verify joins, so signatures read the
+    * SAME cache). Portable: per-row native expression, no shuffle —
+    * total over shinglesOfTokens-built frames (≥1 non-null shingle per
+    * doc, so no null signatures arise; a degenerate caller-built empty
+    * array yields NULL, which downstream banding's generate simply
+    * drops). Native: explode → groupBy(min). */
+  private def signaturesOfShingles(
+      sh: DataFrame,
+      idCol: String,
+      numHashes: Int,
+      portable: Boolean): DataFrame =
+    if (portable)
+      sh.select(col("__id").as(idCol),
+        graft.functions.GraftFunctions.minhashSig(
+          transform(col("__sh"), s => polyHash(s)), numHashes)
+          .as("signature"))
+    else
+      signaturesFromExploded(
+        sh.select(col("__id").as(idCol), explode(col("__sh")).as("__sh")),
+        idCol, numHashes, portable)
 
   private def signaturesFromExploded(
       exploded: DataFrame, // (idCol, __sh string)
@@ -606,9 +645,7 @@ object Dedup {
       portable: Boolean = false): DataFrame = {
     val b = if (bands > 0) bands else lshBanding(numHashes, threshold)
     val sh = shingleFrame(docs, idCol, text, shingleSize)
-    val sigs = signaturesFromExploded(
-      sh.select(col("__id").as(idCol), explode(col("__sh")).as("__sh")),
-      idCol, numHashes, portable)
+    val sigs = signaturesOfShingles(sh, idCol, numHashes, portable)
     val cand = lshCandidatePairs(sigs, idCol, numHashes, b)
     val pairs = cand
       .join(sh.select(col("__id").as("a"), col("__sh").as("sh_a")), Seq("a"))
@@ -648,9 +685,7 @@ object Dedup {
       portable: Boolean = false): DataFrame = {
     val b = if (bands > 0) bands else lshBanding(numHashes, threshold)
     val sh = shingleFrame(docs, idCol, text, shingleSize)
-    val sigs = signaturesFromExploded(
-      sh.select(col("__id").as(idCol), explode(col("__sh")).as("__sh")),
-      idCol, numHashes, portable)
+    val sigs = signaturesOfShingles(sh, idCol, numHashes, portable)
     val cand = lshCandidatePairs(sigs, idCol, numHashes, b)
     val est = round(minhashJaccard(col("sig_a"), col("sig_b")), 6)
       .cast(DecimalType(18, 6))

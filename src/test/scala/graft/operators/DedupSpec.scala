@@ -142,6 +142,39 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("per-row portable MinHash signatures are value-identical to the " +
+      "explode+groupBy formulation and plan without an exchange") {
+    val fixture = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val docs = fixture.select(col("doc_id"), col("text"))
+      .unionAll(docsDf(Seq((100000L, "a"), (100001L, "one two three four"))))
+    for (numHashes <- Seq(10, 64)) {
+      val perRow = Dedup.minhashSignatures(docs, "doc_id", col("text"),
+          numHashes = numHashes, portable = true)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      // witness: the old explode path, via the native-mode entry with
+      // the portable arithmetic reproduced through the public helper
+      val exploded = docs
+        .select(col("doc_id"),
+          explode(Dedup.shingles(col("text"), 3)).as("__s"))
+        .withColumn("__h", Dedup.polyHash(col("__s")))
+      val mins = (0 until numHashes).map(i =>
+        min(pmod(col("__h") * Dedup.affineA(i) + Dedup.affineB(i),
+          lit(Dedup.PortableMod))).as(s"h$i"))
+      val viaGroupBy = exploded.groupBy(col("doc_id"))
+        .agg(mins.head, mins.tail: _*)
+        .select(col("doc_id"),
+          array((0 until numHashes).map(i => col(s"h$i")): _*)
+            .as("signature"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(perRow == viaGroupBy, s"numHashes=$numHashes")
+    }
+    val plan = Dedup.minhashSignatures(docs, "doc_id", col("text"),
+        portable = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"per-row minhash must not shuffle:\n$plan")
+  }
+
   test("per-row simhash is value-identical to the groupBy formulation " +
       "(both hash modes, fixture + empty-doc edge)") {
     // real corpus + an all-whitespace doc (must be DROPPED by both
