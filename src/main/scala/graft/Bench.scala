@@ -232,6 +232,7 @@ object Bench {
       "q_sim_cosine_dedup", "q_text_tfidf", "q_lang_id",
       "q_sketch_distinct", "q_sample_stratified", "q_pack_sequences",
       "q_multimodal_decode", "q_stream_join", "q_stream_windows",
+      "q_stream_neardedup", "q_stream_drift",
       "q_token_budget", "q_zorder",
       // round-7 families
       "q_graph_pagerank", "q_mixture_divergence", "q_sample_temperature",
