@@ -1671,6 +1671,18 @@ object Queries {
         .select(col("query_id"), col("corpus_id"),
           round(col("cos"), 6).as("cos"))
     }),
+    "q_sim_dim_budget" -> ((s, dir) => {
+      // Matryoshka-style dimension-budget audit: recall@10 of the
+      // first-d-dims top-k vs the full 64-dim ground truth, per
+      // budget — dim64 is the recall=1.0 sanity row. Same probe set
+      // as q_sim_topk; each budget is one broadcast-probe corpus
+      // scan, and the oracle replays every budget's brute-force
+      // ranking with sliced lists.
+      val emb = Tables.embeddings(s, dir)
+      Similarity.dimensionBudgetRecall(emb,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, budgets = Seq(8, 16, 32, 64))
+    }),
     "q_sim_lsh" -> ((s, dir) => {
       // SRP-LSH approximate variant of q_sim_topk, portable plane
       // family → the banding and verification are oracle-replicated.
@@ -3614,6 +3626,7 @@ object Queries {
         |SELECT a.s AS a, b.s AS b FROM n a, n b
         |WHERE a.s < b.s AND levenshtein(a.s, b.s) <= 1""".stripMargin,
     "q_sim_topk" -> simTopKOracle,
+    "q_sim_dim_budget" -> simDimBudgetOracle,
     "q_sim_quantize" ->
       """WITH e AS (
         | SELECT label, embedding::DOUBLE[] AS v,
@@ -5163,6 +5176,48 @@ object Queries {
       |  row_number() OVER (PARTITION BY qid
       |    ORDER BY cos DESC, cid ASC) AS rn
       | FROM s) WHERE rn <= 10""".stripMargin
+
+  /** q_sim_dim_budget replica: per budget d, the [[simTopKOracle]]
+    * brute-force ranking replayed over `list_slice(·, 1, d)` vectors
+    * (same cosine arithmetic, same (cos DESC, cid ASC) tiebreak),
+    * then recall vs the full-dimension truth as integer pair-set
+    * arithmetic — the [[simRecallOracle]] pattern. */
+  private def simDimBudgetOracle: String = {
+    def cosExpr(ce: String, qe: String): String =
+      s"CASE WHEN sqrt(list_dot_product($ce, $ce)) * " +
+        s"sqrt(list_dot_product($qe, $qe)) > 0 " +
+        s"THEN list_dot_product($ce, $qe) / " +
+        s"(sqrt(list_dot_product($ce, $ce)) * " +
+        s"sqrt(list_dot_product($qe, $qe))) ELSE 0.0 END"
+    def topkCte(name: String, d: Option[Int]): String = {
+      val ce = d.map(n => s"list_slice(ce, 1, $n)").getOrElse("ce")
+      val qe = d.map(n => s"list_slice(qe, 1, $n)").getOrElse("qe")
+      s"""$name AS (
+         | SELECT query_id, corpus_id FROM (
+         |  SELECT qid AS query_id, cid AS corpus_id,
+         |   row_number() OVER (PARTITION BY qid
+         |     ORDER BY cos DESC, cid ASC) AS rn
+         |  FROM (SELECT qid, cid, ${cosExpr(ce, qe)} AS cos FROM c, q))
+         | WHERE rn <= 10)"""
+    }
+    val budgets = Seq(8, 16, 32, 64)
+    val ctes = (topkCte("t", None) +:
+      budgets.map(d => topkCte(s"d$d", Some(d)))).mkString(",\n")
+    val rows = budgets.map(d =>
+      s"""SELECT 'dim$d' AS method,
+         | (SELECT count(*) FROM d$d JOIN t USING (query_id, corpus_id))
+         |   AS n_hits,
+         | (SELECT count(*) FROM t) AS n_total""").mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+       |           FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+       |      FROM embeddings),
+       |$ctes
+       |SELECT method, n_hits, n_total,
+       | round(CAST(n_hits AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+       |  AS recall
+       |FROM ($rows)""".stripMargin
+  }
 
   /** q_sim_recall replica: the three ANN result sets are replayed by
     * their own (already-gated) oracle chains as derived tables, and

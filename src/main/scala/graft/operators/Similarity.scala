@@ -100,6 +100,37 @@ object Similarity {
           col("n_total").cast(DoubleType), 6).as("recall"))
   }
 
+  /** Dimension-budget audit (Matryoshka-style): recall@k of exact
+    * cosine top-k computed over only the FIRST `d` dimensions, against
+    * the full-dimension ground truth, one row per budget — the
+    * "how many dims does the index actually need" question an
+    * embedding pipeline answers before shrinking its vectors (truncate
+    * + re-normalize is the standard MRL serving trick; this measures
+    * what it costs on THIS corpus).
+    *
+    * Scale shape: each budget is one corpus scan with the (bounded)
+    * probe set broadcast — the same shape as [[topKPerQuery]]; the
+    * recall comparison is pair-set arithmetic on control-plane-sized
+    * frames. Budgets equal to the full width serve as the recall=1.0
+    * sanity row. */
+  def dimensionBudgetRecall(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      budgets: Seq[Int]): DataFrame = {
+    require(budgets.nonEmpty, "need at least one dimension budget")
+    val truth = topKPerQuery(corpus, queries, idCol, embCol, k)
+    budgets.map { d =>
+      val cut = (df: DataFrame) =>
+        df.select(col(idCol), slice(col(embCol), 1, d).as(embCol))
+      recallAtK(truth,
+        topKPerQuery(cut(corpus), cut(queries), idCol, embCol, k),
+        s"dim$d")
+    }.reduce(_ unionAll _)
+  }
+
   /** Deterministic pseudo-random hyperplanes: plane p, dim d weight =
     * a double in [-1, 1) derived from xxhash64(seed, p, d). Generated as
     * a plan-time literal-free expression so the same planes exist on

@@ -232,6 +232,26 @@ class SimilaritySpec extends SparkSpecBase {
     assert(kept == Set((0L, 0L), (1L, 1L)))
   }
 
+  test("dimensionBudgetRecall: full-width budget is the identity row; " +
+      "every recall is a valid ratio over the same denominator") {
+    val emb = Tables.embeddings(spark, dir)
+    val rows = Similarity.dimensionBudgetRecall(emb,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, budgets = Seq(8, 16, 64))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.keySet == Set("dim8", "dim16", "dim64"))
+    // dim64 IS the full width of the fixture embeddings: truncation is
+    // the identity, so its top-k equals the truth exactly
+    assert(rows("dim64") == ((50L, 50L, 1.0)), s"got ${rows("dim64")}")
+    rows.values.foreach { case (hits, total, recall) =>
+      assert(total == 50L && hits >= 0L && hits <= total)
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(math.abs(recall - hits.toDouble / total) < 1e-9)
+    }
+  }
+
   test("recallAtK: hand-computed hit ratio; truth vs itself is 1.0") {
     import spark.implicits._
     val truth = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L))
