@@ -142,6 +142,64 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  /** Adversarial unicode corpus for the native-kernel equivalence
+    * properties: multi-codepoint characters (emoji = surrogate pairs
+    * in UTF-16 — `codePointAt`/`charCount` walking must agree with
+    * `split`/`ascii` semantics), CJK, combining marks, punctuation
+    * runs, numbers, repeated/odd whitespace (tabs, multiple spaces —
+    * the tokenizer must collapse identically), and token counts
+    * straddling the shingle width (0..6 tokens around shingleSize 3).
+    */
+  private def unicodeCorpus(seed: Int): Seq[(Long, String)] = {
+    val pool = Vector("héllo", "wörld", "日本語", "数据", "🙂", "🚀🌕",
+      "étude", "a", "bb", "x9", "42", "!!", "a-b", "ß", "Ω",
+      "😀mix", "tab nb")
+    val rnd = new scala.util.Random(seed)
+    (0 until 60).map { i =>
+      val n = rnd.nextInt(7) // 0..6 tokens
+      val seps = Vector(" ", "  ", "\t", " \t ")
+      val text = (0 until n)
+        .map(_ => pool(rnd.nextInt(pool.size)))
+        .mkString(seps(rnd.nextInt(seps.size)))
+      (i.toLong, text)
+    }
+  }
+
+  test("native kernels match the column formulations on an adversarial " +
+      "unicode corpus (surrogate pairs, odd whitespace, short docs)") {
+    val docs = docsDf(unicodeCorpus(1234))
+    // SimHash: native expression vs explode+groupBy, both hash modes
+    for (portable <- Seq(true, false)) {
+      val perRow = Dedup.simhash(docs, "doc_id", col("text"), portable)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val witness =
+        Dedup.simhashViaGroupBy(docs, "doc_id", col("text"), portable)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(perRow == witness, s"simhash portable=$portable")
+    }
+    // MinHash: fused token-array kernel vs explode+groupBy(min)
+    for (shingleSize <- Seq(1, 3, 4); numHashes <- Seq(16)) {
+      val fused = Dedup.minhashSignatures(docs, "doc_id", col("text"),
+          numHashes = numHashes, shingleSize = shingleSize,
+          portable = true)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val exploded = docs
+        .select(col("doc_id"),
+          explode(Dedup.shingles(col("text"), shingleSize)).as("__s"))
+        .withColumn("__h", Dedup.polyHash(col("__s")))
+      val mins = (0 until numHashes).map(i =>
+        min(pmod(col("__h") * Dedup.affineA(i) + Dedup.affineB(i),
+          lit(Dedup.PortableMod))).as(s"h$i"))
+      val witness = exploded.groupBy(col("doc_id"))
+        .agg(mins.head, mins.tail: _*)
+        .select(col("doc_id"),
+          array((0 until numHashes).map(i => col(s"h$i")): _*)
+            .as("signature"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(fused == witness, s"minhash shingleSize=$shingleSize")
+    }
+  }
+
   test("per-row portable MinHash signatures are value-identical to the " +
       "explode+groupBy formulation and plan without an exchange") {
     val fixture = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
