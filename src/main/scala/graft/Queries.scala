@@ -2266,6 +2266,17 @@ object Queries {
           countDistinct(col("doc_id")).as("n_docs"),
           sum(col("n_chars")).as("chars_sum"))
     }),
+    "q_budget_waterfill" -> ((s, dir) => {
+      // Max-min fair ("water-filling") allocation of a 60% token
+      // budget across sources: small sources fully funded, large ones
+      // capped at the integer waterline. One corpus aggregate; the
+      // solve runs on the |sources|-row control-plane frame. The
+      // oracle replays the closed form (funded-prefix + waterline
+      // division) in exact integer arithmetic.
+      Sampling.waterFillBudget(Tables.documents(s, dir), "source",
+        graft.operators.TextAnalysis.tokenCount(col("text")),
+        budgetNum = 3, budgetDen = 5)
+    }),
     "q_token_budget" -> ((s, dir) => {
       // Corpus sizing: keep docs in deterministic-shuffle order until
       // a 60k-char budget is exhausted — the distributed two-phase
@@ -3867,6 +3878,36 @@ object Queries {
         | CAST(count(*) FILTER (WHERE reps > 0) AS BIGINT) AS n_docs,
         | CAST(sum(reps * n_chars) AS BIGINT) AS chars_sum
         |FROM r WHERE reps > 0 GROUP BY source""".stripMargin,
+    // waterFillBudget replica: the closed-form max-min fair solve in
+    // exact integer arithmetic — funded prefix (P(k-1) + Tk·(n−k+1)
+    // ≤ B, monotone), then waterline (B − P_K) // (n − K).
+    "q_budget_waterfill" ->
+      """WITH t AS (SELECT source AS g,
+        |  CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> len(x) > 0))) AS BIGINT) AS nt
+        | FROM documents GROUP BY 1),
+        |tot AS (SELECT (CAST(sum(nt) AS BIGINT) * 3) // 5 AS b,
+        |  CAST(count(*) AS BIGINT) AS n FROM t),
+        |o AS (SELECT g, nt,
+        |  CAST(row_number() OVER (ORDER BY nt ASC, g ASC) AS BIGINT)
+        |    AS k,
+        |  CAST(sum(nt) OVER (ORDER BY nt ASC, g ASC) AS BIGINT) AS pk
+        | FROM t),
+        |f AS (SELECT o.*, tot.b, tot.n,
+        |  ((pk - nt) + nt * (n - k + 1) <= b) AS funded FROM o, tot),
+        |sol AS (SELECT
+        |  CAST(count(*) FILTER (WHERE funded) AS BIGINT) AS kk,
+        |  CAST(COALESCE(max(pk) FILTER (WHERE funded), 0) AS BIGINT)
+        |    AS pkk,
+        |  max(b) AS b2, max(n) AS n2 FROM f),
+        |sol2 AS (SELECT kk, pkk,
+        |  CASE WHEN kk < n2 THEN (b2 - pkk) // (n2 - kk) END AS cap
+        | FROM sol)
+        |SELECT f.g AS source, f.nt AS n_tokens,
+        | CAST(CASE WHEN f.k <= sol2.kk THEN f.nt ELSE sol2.cap END
+        |   AS BIGINT) AS allocated,
+        | (f.k > sol2.kk) AS capped
+        |FROM f, sol2""".stripMargin,
     // takeBudget replica with a genuine GLOBAL running sum (the
     // operator's two-phase distributed prefix sum must equal it);
     // idBucket seed=7 → affineA(7)=15*104729, affineB(7)=

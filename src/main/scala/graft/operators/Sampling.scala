@@ -401,4 +401,67 @@ object Sampling {
       .drop("__p", "__b", "__off", "__cum")
   }
 
+  /** Water-filling token-budget allocation across sources — the
+    * fair-mixing primitive behind "spend B tokens over these domains":
+    * every source below the waterline is fully funded, every source
+    * above it is capped at the SAME level c, with c the largest
+    * integer such that Σ min(Tᵢ, c) ≤ B. This maximizes the minimum
+    * allocation (the classic max-min fair / water-filling solution)
+    * and is fully deterministic integer arithmetic, so the DuckDB
+    * oracle replays it exactly.
+    *
+    * The budget is expressed as the exact fraction
+    * `budgetNum/budgetDen` of the corpus total (integer div) so the
+    * contract scales with the data instead of hard-coding a count.
+    *
+    * Closed form over totals sorted (ascending, id tiebreak): source
+    * k is fully funded iff raising EVERY not-yet-funded source to its
+    * level fits the budget (P₍ₖ₋₁₎ + Tₖ·(n−k+1) ≤ B — monotone in k),
+    * K = the count of funded sources, and the waterline is
+    * c = (B − P_K) div (n − K) when K < n. Up to n−K−1 leftover
+    * tokens stay unallocated (integer waterline; documented, exact).
+    *
+    * Scale shape: ONE map-side-combined corpus aggregate to per-source
+    * totals; everything after runs on the |sources|-row control-plane
+    * frame (the single-partition window is over sources, never data).
+    * Returns (groupCol, n_tokens, allocated, capped). */
+  def waterFillBudget(
+      df: DataFrame,
+      groupCol: String,
+      tokens: Column,
+      budgetNum: Long,
+      budgetDen: Long): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0, "budget fraction invalid")
+    val lt = org.apache.spark.sql.types.LongType
+    val t = df.groupBy(col(groupCol).as("__g"))
+      .agg(sum(tokens.cast(lt)).as("__nt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__nt").asc, col("__g").asc)
+    val o = t.select(col("__g"), col("__nt"),
+      row_number().over(w).cast(lt).as("__k"),
+      sum(col("__nt")).over(w).as("__pk"))
+    val tot = t.agg(
+      expr(s"(sum(__nt) * $budgetNum) div $budgetDen").as("__b"),
+      count(lit(1)).as("__n"))
+    val f = o.crossJoin(broadcast(tot))
+      .withColumn("__funded",
+        (col("__pk") - col("__nt")) +
+          col("__nt") * (col("__n") - col("__k") + 1L) <= col("__b"))
+    val sol = f.agg(
+        sum(when(col("__funded"), 1L).otherwise(0L)).as("__nf"),
+        coalesce(max(when(col("__funded"), col("__pk"))), lit(0L))
+          .as("__pf"),
+        max(col("__b")).as("__b2"),
+        max(col("__n")).as("__n2"))
+      .select(col("__nf"), col("__pf"),
+        when(col("__nf") < col("__n2"),
+          expr("(__b2 - __pf) div (__n2 - __nf)")).as("__cap"))
+    f.crossJoin(broadcast(sol))
+      .select(col("__g").as(groupCol),
+        col("__nt").as("n_tokens"),
+        when(col("__k") <= col("__nf"), col("__nt"))
+          .otherwise(col("__cap")).cast(lt).as("allocated"),
+        (col("__k") > col("__nf")).as("capped"))
+  }
+
 }

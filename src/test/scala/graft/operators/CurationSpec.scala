@@ -428,4 +428,52 @@ class CurationSpec extends SparkSpecBase {
       .select("id").as[Long].collect()
     assert(kept.sorted.sameElements(replay.sorted))
   }
+
+  test("waterFillBudget: max-min fair invariants hold against a " +
+    "plain-Scala solver on random source profiles") {
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 6) {
+      val n = 2 + rnd.nextInt(7)
+      val totals = (0 until n)
+        .map(i => (s"s$i", 1L + rnd.nextInt(5000).toLong))
+      val (num, den) = (1L + rnd.nextInt(4).toLong, 5L)
+      // rows: one row per (source, token chunk) so the corpus agg is real
+      val rows = totals.flatMap { case (g, t) =>
+        var left = t
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        while (left > 0) {
+          val c = math.min(left, 1L + rnd.nextInt(700).toLong)
+          out += ((g, c)); left -= c
+        }
+        out
+      }
+      val df = rows.toDF("source", "tok")
+      val got = Sampling.waterFillBudget(df, "source", col("tok"), num, den)
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+      // plain-Scala reference: scan caps downward from max to find the
+      // largest waterline fitting the budget
+      val total = totals.map(_._2).sum
+      val b = total * num / den
+      def spend(c: Long): Long = totals.map(t => math.min(t._2, c)).sum
+      val cap = if (spend(Long.MaxValue / 2) <= b) Long.MaxValue
+        else (0L to totals.map(_._2).max).reverse.find(spend(_) <= b).get
+      totals.foreach { case (g, t) =>
+        val (nt, alloc, capped) = got(g)
+        assert(nt == t, s"trial $trial source $g totals")
+        val expect = math.min(t, cap)
+        assert(alloc == expect,
+          s"trial $trial $g: alloc=$alloc expect=$expect cap=$cap b=$b " +
+            s"totals=$totals")
+        // unfunded sources sit strictly above the waterline
+        // (T_(K+1) > c), so capped <=> a real cut
+        assert(capped == (alloc < t), s"trial $trial $g capped flag")
+      }
+      // budget respected, and no higher uniform waterline would fit
+      val spent = got.values.map(_._2).sum
+      assert(spent <= b, s"trial $trial overspent: $spent > $b")
+    }
+  }
+
 }
