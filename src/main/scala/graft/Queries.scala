@@ -789,6 +789,24 @@ object Queries {
         .orderBy(col("rank").desc, col("node").asc).limit(20)
         .select(col("node"), col("rank").cast(DoubleType).as("rank"))
     }),
+    "q_graph_kcore" -> ((s, dir) => {
+      // k-core of the supplier–customer interaction graph (k = 5,
+      // 8 FIXED peel rounds — GraphSpec pins fixpoint within 8 on
+      // this graph family, and the oracle unrolls the same 8 rounds
+      // as CTEs, so the result is exact by construction). Survivors
+      // aggregate to (deg, n_nodes, node_sum) for a compact gate.
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"),
+          (col("o_custkey") + lit(1000000L)).as("dst"))
+        .distinct()
+      graft.operators.Graph.kCorePeel(edges, k = 5, rounds = 8)
+        .groupBy(col("deg"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_sum"))
+    }),
     "q_graph_degree" -> ((s, dir) => {
       // Degree profile of the same graph — the control-plane skew
       // histogram every graph job starts with (it decides salting and
@@ -3319,6 +3337,7 @@ object Queries {
         |SELECT out_deg, count(*) AS n_nodes,
         | CAST(sum(in_deg) AS BIGINT) AS in_deg_sum
         |FROM deg GROUP BY 1""".stripMargin,
+    "q_graph_kcore" -> graphKcoreOracle,
     "q_graph_triangles" -> graphTrianglesOracle,
     "q_graph_bfs" -> graphBfsOracle,
     "q_graph_components" -> graphComponentsOracle,
@@ -5483,6 +5502,34 @@ object Queries {
   /** q_graph_triangles replica: the oracle counts each triangle once
     * via the id-ordered triple join a<b<c — an INDEPENDENT algorithm
     * from the engine's degree-ordered orientation, same census. */
+  /** q_graph_kcore replica: the 8 fixed peel rounds unrolled as CTEs
+    * (each round: nodes with undirected degree ≥ 5 survive, edges
+    * induce), then the survivor degree profile. */
+  private def graphKcoreOracle: String = {
+    val base =
+      """SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""
+        .stripMargin
+    // AS MATERIALIZED: each round references its predecessor three
+    // times (degree agg + two endpoint joins); inlined CTEs would
+    // re-expand the base scan 3^8 times
+    val rounds = (1 to 8).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT src AS node FROM e${i - 1}
+         | GROUP BY 1 HAVING count(*) >= 5),
+         |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+         | JOIN a$i x ON e.src = x.node
+         | JOIN a$i y ON e.dst = y.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (SELECT src, dst FROM ($base)
+       | UNION SELECT dst, src FROM ($base)),
+       |$rounds
+       |SELECT deg, count(*) AS n_nodes,
+       | CAST(sum(node) AS BIGINT) AS node_sum
+       |FROM (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+       |      FROM e8 GROUP BY 1)
+       |GROUP BY 1""".stripMargin
+  }
+
   private def graphTrianglesOracle: String =
     s"""WITH $knnEdgesCte,
        |deg AS (SELECT node, count(*) AS deg FROM (

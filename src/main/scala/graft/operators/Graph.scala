@@ -262,6 +262,77 @@ object Graph {
     * control-plane profile every graph job starts with (skew here
     * decides salting/partitioning downstream). One shuffle per
     * direction on the node key. */
+  /** Fixed-round k-core peel: symmetrize the edge list, then `rounds`
+    * times drop every node with (undirected) degree < k and the edges
+    * touching it. After convergence the survivors are exactly the
+    * k-core — the standard "dense interaction core" extraction
+    * (spam/bot rings, topic cliques) over the engine's graphs. A FIXED
+    * round count keeps the result a pure function of the input, which
+    * is what lets the DuckDB oracle replay the peel as `rounds`
+    * unrolled CTEs; [[kCore]] is the run-to-fixpoint form, and the
+    * spec pins peel(R) = peel(R+1) = kCore on the gate graph (fixpoint
+    * within R).
+    *
+    * Returns (node, deg) over the final induced subgraph. Scale
+    * shape: per round, one map-side-combined degree aggregate +
+    * two semi joins, `localCheckpoint` cutting the lineage (the
+    * [[pageRank]] iterative idiom); everything is keyed on node ids —
+    * no text, no driver state. */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 0, "need k >= 1 and rounds >= 0")
+    var e = symmetrized(edges).localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val active = e.groupBy(col("src"))
+        .agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k)
+        .select(col("src").as("__n"))
+      val e2 = e
+        .join(active.select(col("__n").as("src")), Seq("src"), "left_semi")
+        .join(active.select(col("__n").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      e = e2
+      r += 1
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** Run the peel to FIXPOINT (early exit when a round removes
+    * nothing — one 1-row count per round, the [[pageRankConverged]]
+    * pattern). Equals [[kCorePeel]] for any `rounds` ≥ the fixpoint
+    * depth. */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+    require(k >= 1 && maxRounds >= 1)
+    var e = symmetrized(edges).localCheckpoint(true)
+    var n = e.count()
+    var r = 0
+    var stable = false
+    while (r < maxRounds && !stable) {
+      val active = e.groupBy(col("src"))
+        .agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k)
+        .select(col("src").as("__n"))
+      val e2 = e
+        .join(active.select(col("__n").as("src")), Seq("src"), "left_semi")
+        .join(active.select(col("__n").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      val n2 = e2.count()
+      stable = n2 == n
+      n = n2
+      e = e2
+      r += 1
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** Undirected edge set: both directions, distinct. */
+  private def symmetrized(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+
   def degreeStats(edges: DataFrame): DataFrame = {
     val out = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("out_deg"))

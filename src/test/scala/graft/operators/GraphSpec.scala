@@ -194,4 +194,45 @@ class GraphSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((1L, 2L, 0L), (2L, 1L, 1L), (3L, 0L, 2L)))
   }
+
+  test("kCorePeel: 2-core of a triangle with a pendant chain is the " +
+    "triangle; peeling cascades down the chain") {
+    // 1-2-3 triangle, pendant chain 3-4-5: round 1 drops 5 (deg 1),
+    // round 2 drops 4 -- the cascade a single-pass degree filter
+    // would miss
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val one = Graph.kCorePeel(edges, k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(one == Set(1L, 2L, 3L, 4L), "round 1 should only drop node 5")
+    val core = Graph.kCorePeel(edges, k = 2, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"got $core")
+    // fixpoint variant agrees
+    val fx = Graph.kCore(edges, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fx == core)
+  }
+
+  test("kCorePeel reaches fixpoint within the gate's 8 rounds on the " +
+    "supplier-customer graph (peel 8 = peel 9 = kCore)") {
+    val dir = "/root/testdata/sf0.001"
+    val li = graft.core.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val o = graft.core.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("src"),
+        (col("o_custkey") + lit(1000000L)).as("dst"))
+      .distinct()
+    def peel(r: Int): Map[Long, Long] =
+      Graph.kCorePeel(edges, k = 5, rounds = r)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    val p8 = peel(8)
+    assert(p8 == peel(9), "not a fixpoint within 8 rounds")
+    assert(p8 == Graph.kCore(edges, k = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap)
+    assert(p8.nonEmpty, "empty core is a degenerate gate")
+  }
+
 }
