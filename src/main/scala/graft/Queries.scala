@@ -1034,7 +1034,8 @@ object Queries {
       val name = s"q_stream_windows_${streamRun.incrementAndGet()}"
       graft.streaming.Streams.runAvailableNow(
         graft.streaming.Streams.windowedCounts(
-          graft.streaming.Streams.eventsStream(s, dir)), name)
+          graft.streaming.Streams.eventsStream(s, dir)), name,
+        shufflePartitions = Some(8))
     }),
     "q_stream_transitions" -> ((s, dir) => {
       // Streaming Markov counting: per-user last-event state links
@@ -1045,7 +1046,8 @@ object Queries {
       implicit val sp: SparkSession = s
       graft.streaming.Streams.runAvailableNow(
         graft.streaming.Streams.transitionCountsState(
-          graft.streaming.Streams.eventsStream(s, dir)).toDF(), name)
+          graft.streaming.Streams.eventsStream(s, dir)).toDF(), name,
+        shufflePartitions = Some(8))
         .groupBy(col("from_state"), col("to_state"))
         .agg(sum(col("n_inc")).as("n_trans"))
         .withColumn("__tot", sum(col("n_trans")).over(
@@ -1064,7 +1066,8 @@ object Queries {
       implicit val sp: SparkSession = s
       graft.streaming.Streams.runAvailableNow(
         graft.streaming.Streams.sessionCountsState(
-          graft.streaming.Streams.eventsStream(s, dir)).toDF(), name)
+          graft.streaming.Streams.eventsStream(s, dir)).toDF(), name,
+        shufflePartitions = Some(8))
         // update-mode drain: a session extended across micro-batches is
         // re-emitted under its (user, start) key — latest extent = max
         .groupBy(col("user_id"), col("session_start_us"))
@@ -1085,7 +1088,8 @@ object Queries {
       graft.streaming.Streams.runAvailableNow(
         graft.streaming.Streams.clickPurchaseJoin(
           graft.streaming.Streams.eventsStream(s, dir)), name,
-        org.apache.spark.sql.streaming.OutputMode.Append())
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        shufflePartitions = Some(8))
         .groupBy((col("user_id") % 25).as("user_mod"))
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("click_id")).as("n_clicks"),
@@ -1102,7 +1106,8 @@ object Queries {
       graft.streaming.Streams.runAvailableNow(
         graft.streaming.Streams.dedupWithinWatermark(
           graft.streaming.Streams.eventsStream(s, dir),
-          Seq("user_id", "event_type")), name)
+          Seq("user_id", "event_type")), name,
+        shufflePartitions = Some(8))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_keys"),
           countDistinct(col("user_id")).as("n_users"))
@@ -1123,7 +1128,7 @@ object Queries {
         graft.streaming.Streams.histogramCountsState(
           graft.streaming.Streams.docsStream(s, dir),
           "n_chars", "source", lo = 0.0, hi = 600.0, nBins = 10)
-          .toDF(), name)
+          .toDF(), name, shufflePartitions = Some(8))
       val latest = drained.groupBy(col("g"), col("bin"))
         .agg(max(col("n")).as("__c"))
         .select(col("g").as("__g"), col("bin").as("__bin"), col("__c"))
@@ -1146,7 +1151,8 @@ object Queries {
       graft.streaming.Streams.runAvailableNow(
         graft.streaming.Streams.nearDupFlags(
           graft.streaming.Streams.docsStream(s, dir),
-          maxHamming = 3, portable = true).toDF(), name)
+          maxHamming = 3, portable = true).toDF(), name,
+        shufflePartitions = Some(8))
         .groupBy(col("doc_id"))
         .agg(max(when(col("dup"), 1).otherwise(0)).as("__d"))
         .select(col("doc_id"), (col("__d") === 1).as("is_neardup"))

@@ -512,14 +512,31 @@ object Streams {
   def runAvailableNow(
       df: DataFrame,
       queryName: String,
-      mode: OutputMode = OutputMode.Update()): DataFrame = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    df.sparkSession.table(queryName)
+      mode: OutputMode = OutputMode.Update(),
+      shufflePartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    // A streaming query's STATE STORE count is pinned to the shuffle
+    // partition number at first checkpoint — for a stateful operator
+    // every micro-batch then pays per-instance commit overhead
+    // regardless of data volume. Production streaming jobs size this
+    // to the stream's actual key volume (UP at 100 TB, down for small
+    // topics); these bounded drains create a fresh checkpoint each
+    // run, so the conf is set for the drain and restored after.
+    val prev = shufflePartitions.map { n =>
+      val p = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", n)
+      p
+    }
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prev.foreach(p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p))
+    spark.table(queryName)
   }
 }
