@@ -1695,6 +1695,15 @@ object Queries {
         .select(col("query_id"), col("corpus_id"),
           round(col("cos"), 6).as("cos"))
     }),
+    "q_sim_pq" -> ((s, dir) => {
+      // Product-quantization ANN: 8 subspaces × 8 dims, 16 codewords
+      // each (8-byte codes — the 32×-under-float32 index shape), same
+      // probe set as q_sim_topk. The oracle replays the codebook,
+      // per-subspace encoding argmin, and the exact-decimal ADC sum.
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqTopKPerQuery(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10)
+    }),
     "q_sim_dim_budget" -> ((s, dir) => {
       // Matryoshka-style dimension-budget audit: recall@10 of the
       // first-d-dims top-k vs the full 64-dim ground truth, per
@@ -3662,6 +3671,7 @@ object Queries {
         |SELECT a.s AS a, b.s AS b FROM n a, n b
         |WHERE a.s < b.s AND levenshtein(a.s, b.s) <= 1""".stripMargin,
     "q_sim_topk" -> simTopKOracle,
+    "q_sim_pq" -> simPqOracle,
     "q_sim_dim_budget" -> simDimBudgetOracle,
     "q_sim_quantize" ->
       """WITH e AS (
@@ -5242,6 +5252,53 @@ object Queries {
       |  row_number() OVER (PARTITION BY qid
       |    ORDER BY cos DESC, cid ASC) AS rn
       | FROM s) WHERE rn <= 10""".stripMargin
+
+  /** q_sim_pq replica: codebook = first-16 slices per subspace,
+    * encoding argmin on raw-double L2² (dot expansion — same
+    * evaluation order), ADC sum of 9-dp DECIMAL per-subspace
+    * distances, rank on the exact decimal. MATERIALIZED codes/dt:
+    * both are referenced by the pair join and inlining would
+    * re-expand the encode argmin per pair. */
+  private def simPqOracle: String = {
+    val (m, subDim, cells, k) = (8, 8, 16, 10)
+    def l2(a: String, b: String): String =
+      s"(list_dot_product($a, $a) - 2 * list_dot_product($a, $b) + " +
+        s"list_dot_product($b, $b))"
+    s"""WITH c0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |            FROM embeddings),
+       |q0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |       FROM embeddings WHERE vec_id < 5),
+       |subs AS (SELECT unnest(range($m)) AS sub),
+       |cb AS MATERIALIZED (
+       | SELECT cbid, sub,
+       |  list_slice(v, sub * $subDim + 1, sub * $subDim + $subDim) AS cv
+       | FROM (SELECT id AS cbid, v FROM c0 ORDER BY id LIMIT $cells),
+       |  subs),
+       |csub AS (SELECT id, sub,
+       |  list_slice(v, sub * $subDim + 1, sub * $subDim + $subDim) AS sv
+       | FROM c0, subs),
+       |codes AS MATERIALIZED (
+       | SELECT id AS corpus_id, sub, cbid FROM (
+       |  SELECT csub.id, csub.sub, cb.cbid,
+       |   row_number() OVER (PARTITION BY csub.id, csub.sub
+       |     ORDER BY ${l2("sv", "cv")} ASC, cb.cbid ASC) AS rn
+       |  FROM csub JOIN cb USING (sub)) WHERE rn = 1),
+       |qsub AS (SELECT id, sub,
+       |  list_slice(v, sub * $subDim + 1, sub * $subDim + $subDim) AS sv
+       | FROM q0, subs),
+       |dt AS MATERIALIZED (
+       | SELECT qsub.id AS query_id, qsub.sub, cb.cbid,
+       |  CAST(round(${l2("sv", "cv")}, 9) AS DECIMAL(28,9)) AS dq
+       | FROM qsub JOIN cb USING (sub)),
+       |adc AS (SELECT dt.query_id, codes.corpus_id, sum(dq) AS s
+       | FROM codes JOIN dt ON codes.sub = dt.sub AND codes.cbid = dt.cbid
+       | GROUP BY 1, 2)
+       |SELECT query_id, corpus_id, round(CAST(s AS DOUBLE), 6) AS adc
+       |FROM (SELECT query_id, corpus_id, s,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY s ASC, corpus_id ASC) AS rn FROM adc)
+       |WHERE rn <= $k""".stripMargin
+  }
 
   /** q_sim_dim_budget replica: per budget d, the [[simTopKOracle]]
     * brute-force ranking replayed over `list_slice(·, 1, d)` vectors

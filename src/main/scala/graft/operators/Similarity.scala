@@ -497,6 +497,78 @@ object Similarity {
       .drop("__rn")
   }
 
+  /** Product-quantization ANN top-k via asymmetric distance (Jégou et
+    * al. 2011, public method): split each vector into `m` subspaces of
+    * `subDim` dims, encode every corpus vector as its nearest codeword
+    * per subspace (codebook = the first `cellsPerSub` corpus vectors'
+    * slices — the deterministic seeding [[ivfTopKPerQuery]] uses), and
+    * score query→corpus as the SUM of per-subspace query-to-codeword
+    * L2² distances (the ADC lookup-table trick: the query computes
+    * `m · cellsPerSub` distances ONCE, then every corpus vector is
+    * scored from its m one-byte codes with table lookups).
+    *
+    * This is the memory lever past int8: the served index is
+    * `m` bytes per vector (64 dims → 8 bytes, 32× under float32), the
+    * shape that decides whether a 100 TB vector corpus fits an index
+    * at all. Scale: codes are ONE narrow frame (id, sub, code); the
+    * distance table is control-plane-sized and broadcast; ranking
+    * shuffles only (query, corpus, decimal) rows.
+    *
+    * Determinism (the oracle replays all of it): codeword argmin uses
+    * the raw double L2² (same `dot`-expansion arithmetic in DuckDB);
+    * the ADC sum rounds each per-subspace distance to 9 dp and sums as
+    * DECIMAL — exact, order-independent — and ranks on that exact
+    * decimal (ties by corpus id). Returns (query_id, corpus_id, adc)
+    * with adc rounded to 6 dp at the edge. */
+  def pqTopKPerQuery(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      m: Int = 8,
+      subDim: Int = 8,
+      cellsPerSub: Int = 16): DataFrame = {
+    require(m > 0 && subDim > 0 && cellsPerSub > 0)
+    def subbed(df: DataFrame, side: String): DataFrame =
+      df.select(col(idCol).as(s"${side}_id"),
+        posexplode(array((0 until m).map(s0 =>
+          slice(col(embCol), s0 * subDim + 1, subDim)): _*))
+          .as(Seq("sub", s"${side}_sv")))
+    // codebook: per subspace, slices of the first cellsPerSub vectors
+    val cb = corpus.select(col(idCol).as("cbid"), col(embCol).as("__v"))
+      .orderBy(col("cbid").asc).limit(cellsPerSub)
+      .select(col("cbid"), posexplode(array((0 until m).map(s0 =>
+        slice(col("__v"), s0 * subDim + 1, subDim)): _*))
+        .as(Seq("sub", "cv")))
+    // L2² via the dot expansion — identical arithmetic in the oracle
+    def d2(a: Column, b: Column): Column =
+      dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+    val w1 = Window.partitionBy(col("corpus_id"), col("sub"))
+      .orderBy(col("__d").asc, col("cbid").asc)
+    val codes = subbed(corpus, "corpus")
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("corpus_id"), col("sub"), col("cbid"),
+        d2(col("corpus_sv"), col("cv")).as("__d"))
+      .withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") === 1)
+      .select(col("corpus_id"), col("sub"), col("cbid"))
+    val dt = subbed(queries, "query")
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cbid"),
+        round(d2(col("query_sv"), col("cv")), 9)
+          .cast(DecimalType(28, 9)).as("__dq"))
+    val adc = codes.join(broadcast(dt), Seq("sub", "cbid"))
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(sum(col("__dq")).as("__adc"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").asc, col("corpus_id").asc)
+    adc.withColumn("__rn", row_number().over(w2))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("corpus_id"),
+        round(col("__adc").cast(DoubleType), 6).as("adc"))
+  }
+
   /** Symmetric per-vector int8 scale: max|x| / 127 (0 for the zero
     * vector). Scalar quantization is the memory lever for vector
     * corpora — int8 cells cut storage and shuffle width 4× vs float32

@@ -252,6 +252,29 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("pqTopKPerQuery: exact k per query, self-match survives " +
+      "coarse 8-byte codes, and recall against brute force is sane") {
+    val emb = Tables.embeddings(spark, dir)
+    val probes = emb.filter(col("vec_id") < 5)
+    val pq = Similarity.pqTopKPerQuery(emb, probes, "vec_id",
+      "embedding", k = 10)
+    val rows = pq.collect()
+    assert(rows.length == 50, "5 queries x k=10")
+    // a query vector's OWN codes give it ADC distance = sum of its
+    // per-subspace quantization errors — small; it must stay in its
+    // own top-10 even under 16-codeword-per-subspace quantization
+    val self = rows.filter(r => r.getLong(0) == r.getLong(1))
+    assert(self.length == 5, "every probe must retrieve itself")
+    val recall = Similarity.recallAtK(
+      Similarity.topKPerQuery(emb, probes, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("corpus_id")),
+      pq.select(col("query_id"), col("corpus_id")), "pq")
+      .collect().head.getAs[Double]("recall")
+    // seeded (unrefined) codebooks on a tiny corpus: a loose floor —
+    // the gate is the value-exact oracle; this pins "not garbage"
+    assert(recall >= 0.1, s"pq recall degenerate: $recall")
+  }
+
   test("recallAtK: hand-computed hit ratio; truth vs itself is 1.0") {
     import spark.implicits._
     val truth = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L))
