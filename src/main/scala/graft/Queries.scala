@@ -1695,6 +1695,15 @@ object Queries {
         .select(col("query_id"), col("corpus_id"),
           round(col("cos"), 6).as("cos"))
     }),
+    "q_sim_ivfpq" -> ((s, dir) => {
+      // IVF-PQ, the production serving composition: coarse cells
+      // generate candidates, 8-byte ADC codes rank them — a query
+      // never reads a float vector. Both stages individually gated
+      // (q_sim_ivf, q_sim_pq); the oracle replays the composition.
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopKPerQuery(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10)
+    }),
     "q_sim_pq" -> ((s, dir) => {
       // Product-quantization ANN: 8 subspaces × 8 dims, 16 codewords
       // each (8-byte codes — the 32×-under-float32 index shape), same
@@ -3672,6 +3681,7 @@ object Queries {
         |WHERE a.s < b.s AND levenshtein(a.s, b.s) <= 1""".stripMargin,
     "q_sim_topk" -> simTopKOracle,
     "q_sim_pq" -> simPqOracle,
+    "q_sim_ivfpq" -> simIvfPqOracle,
     "q_sim_dim_budget" -> simDimBudgetOracle,
     "q_sim_quantize" ->
       """WITH e AS (
@@ -5292,6 +5302,72 @@ object Queries {
        | FROM qsub JOIN cb USING (sub)),
        |adc AS (SELECT dt.query_id, codes.corpus_id, sum(dq) AS s
        | FROM codes JOIN dt ON codes.sub = dt.sub AND codes.cbid = dt.cbid
+       | GROUP BY 1, 2)
+       |SELECT query_id, corpus_id, round(CAST(s AS DOUBLE), 6) AS adc
+       |FROM (SELECT query_id, corpus_id, s,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY s ASC, corpus_id ASC) AS rn FROM adc)
+       |WHERE rn <= $k""".stripMargin
+  }
+
+  /** q_sim_ivfpq replica: the [[simIvfOracle]] candidate generation
+    * (coarse cells, probe 4 of 16) composed with the [[simPqOracle]]
+    * codes + distance table, ADC rank restricted to candidates. */
+  private def simIvfPqOracle: String = {
+    val (m, subDim, cells, k, nCells, nProbe) = (8, 8, 16, 10, 16, 4)
+    def l2(a: String, b: String): String =
+      s"(list_dot_product($a, $a) - 2 * list_dot_product($a, $b) + " +
+        s"list_dot_product($b, $b))"
+    s"""WITH c0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |            FROM embeddings),
+       |q0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |       FROM embeddings WHERE vec_id < 5),
+       |cent AS MATERIALIZED (SELECT id AS cid, v AS cv FROM c0
+       |        ORDER BY id LIMIT $nCells),
+       |ca AS MATERIALIZED (SELECT id, cid FROM (
+       |  SELECT c0.id, cent.cid,
+       |   row_number() OVER (PARTITION BY c0.id
+       |     ORDER BY ${cosSql("c0.v", "cent.cv")} DESC, cent.cid ASC)
+       |     AS rn
+       |  FROM c0 CROSS JOIN cent) WHERE rn = 1),
+       |qp AS MATERIALIZED (SELECT id, cid FROM (
+       |  SELECT q0.id, cent.cid,
+       |   row_number() OVER (PARTITION BY q0.id
+       |     ORDER BY ${cosSql("q0.v", "cent.cv")} DESC, cent.cid ASC)
+       |     AS rn
+       |  FROM q0 CROSS JOIN cent) WHERE rn <= $nProbe),
+       |cand AS MATERIALIZED (
+       | SELECT qp.id AS query_id, ca.id AS corpus_id
+       | FROM qp JOIN ca ON qp.cid = ca.cid),
+       |subs AS (SELECT unnest(range($m)) AS sub),
+       |cb AS MATERIALIZED (
+       | SELECT cbid, sub,
+       |  list_slice(v, sub * $subDim + 1, sub * $subDim + $subDim) AS cv
+       | FROM (SELECT id AS cbid, v FROM c0 ORDER BY id LIMIT $cells),
+       |  subs),
+       |csub AS (SELECT id, sub,
+       |  list_slice(v, sub * $subDim + 1, sub * $subDim + $subDim) AS sv
+       | FROM c0, subs),
+       |codes AS MATERIALIZED (
+       | SELECT id AS corpus_id, sub, cbid FROM (
+       |  SELECT csub.id, csub.sub, cb.cbid,
+       |   row_number() OVER (PARTITION BY csub.id, csub.sub
+       |     ORDER BY ${l2("sv", "cv")} ASC, cb.cbid ASC) AS rn
+       |  FROM csub JOIN cb USING (sub)) WHERE rn = 1),
+       |qsub AS (SELECT id, sub,
+       |  list_slice(v, sub * $subDim + 1, sub * $subDim + $subDim) AS sv
+       | FROM q0, subs),
+       |dt AS MATERIALIZED (
+       | SELECT qsub.id AS query_id, qsub.sub, cb.cbid,
+       |  CAST(round(${l2("sv", "cv")}, 9) AS DECIMAL(28,9)) AS dq
+       | FROM qsub JOIN cb USING (sub)),
+       |adc AS (SELECT pc.query_id, pc.corpus_id, sum(dq) AS s
+       | FROM (SELECT cand.query_id, codes.corpus_id, codes.sub,
+       |        codes.cbid
+       |       FROM cand JOIN codes ON cand.corpus_id = codes.corpus_id)
+       |  pc
+       | JOIN dt ON pc.query_id = dt.query_id AND pc.sub = dt.sub
+       |  AND pc.cbid = dt.cbid
        | GROUP BY 1, 2)
        |SELECT query_id, corpus_id, round(CAST(s AS DOUBLE), 6) AS adc
        |FROM (SELECT query_id, corpus_id, s,

@@ -455,6 +455,37 @@ object Similarity {
     out
   }
 
+  /** Coarse-quantizer cell assignment shared by the IVF family:
+    * centroids (seeded or Lloyd-refined), then per row the `keep`
+    * nearest cells by cosine (deterministic cid tiebreak). */
+  private def coarseCells(
+      base: DataFrame,
+      idCol: String,
+      embCol: String,
+      cent: DataFrame,
+      side: String,
+      keep: Int): DataFrame = {
+    val scored = base
+      .select(col(idCol).as(s"${side}_id"), col(embCol).as(s"${side}_emb"))
+      .crossJoin(broadcast(cent))
+      .select(col(s"${side}_id"), col(s"${side}_emb"), col("cid"),
+        cosine(col(s"${side}_emb"), col("cemb")).as("__d"))
+    val w = Window.partitionBy(col(s"${side}_id"))
+      .orderBy(col("__d").desc, col("cid").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= keep)
+      .select(col(s"${side}_id"), col(s"${side}_emb"), col("cid"))
+  }
+
+  /** Seed centroids: the first `nCells` corpus vectors (deterministic;
+    * [[kmeansRefine]] is the Lloyd-refined alternative). */
+  private def seedCentroids(
+      corpus: DataFrame, idCol: String, embCol: String,
+      nCells: Int): DataFrame =
+    corpus.select(col(idCol).as("cid"), col(embCol).as("cemb"))
+      .orderBy(col("cid").asc)
+      .limit(nCells)
+
   def ivfTopKPerQuery(
       corpus: DataFrame,
       queries: DataFrame,
@@ -467,24 +498,9 @@ object Similarity {
     val cent =
       if (refineIters > 0)
         kmeansRefine(corpus, idCol, embCol, nCells, refineIters)
-      else corpus
-        .select(col(idCol).as("cid"), col(embCol).as("cemb"))
-        .orderBy(col("cid").asc)
-        .limit(nCells)
-    def nearestCells(df: DataFrame, side: String, keep: Int): DataFrame = {
-      val scored = df
-        .select(col(idCol).as(s"${side}_id"), col(embCol).as(s"${side}_emb"))
-        .crossJoin(broadcast(cent))
-        .select(col(s"${side}_id"), col(s"${side}_emb"), col("cid"),
-          cosine(col(s"${side}_emb"), col("cemb")).as("__d"))
-      val w = Window.partitionBy(col(s"${side}_id"))
-        .orderBy(col("__d").desc, col("cid").asc)
-      scored.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= keep)
-        .select(col(s"${side}_id"), col(s"${side}_emb"), col("cid"))
-    }
-    val assigned = nearestCells(corpus, "corpus", 1)
-    val probed = nearestCells(queries, "query", nProbe)
+      else seedCentroids(corpus, idCol, embCol, nCells)
+    val assigned = coarseCells(corpus, idCol, embCol, cent, "corpus", 1)
+    val probed = coarseCells(queries, idCol, embCol, cent, "query", nProbe)
     // no distinct needed: each corpus vector lives in exactly one cell,
     // so a (query, corpus) pair matches at most one probed cell
     val scored = probed.join(assigned, Seq("cid"))
@@ -520,6 +536,71 @@ object Similarity {
     * DECIMAL — exact, order-independent — and ranks on that exact
     * decimal (ties by corpus id). Returns (query_id, corpus_id, adc)
     * with adc rounded to 6 dp at the edge. */
+  private def pqSubbed(
+      df: DataFrame, idCol: String, embCol: String, side: String,
+      m: Int, subDim: Int): DataFrame =
+    df.select(col(idCol).as(s"${side}_id"),
+      posexplode(array((0 until m).map(s0 =>
+        slice(col(embCol), s0 * subDim + 1, subDim)): _*))
+        .as(Seq("sub", s"${side}_sv")))
+
+  /** L2² via the dot expansion — identical arithmetic in the oracle. */
+  private def pqD2(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** Per-subspace codebook: slices of the first `cellsPerSub` corpus
+    * vectors (deterministic seeding, as the IVF coarse centroids). */
+  private def pqCodebook(
+      corpus: DataFrame, idCol: String, embCol: String,
+      m: Int, subDim: Int, cellsPerSub: Int): DataFrame =
+    corpus.select(col(idCol).as("cbid"), col(embCol).as("__v"))
+      .orderBy(col("cbid").asc).limit(cellsPerSub)
+      .select(col("cbid"), posexplode(array((0 until m).map(s0 =>
+        slice(col("__v"), s0 * subDim + 1, subDim)): _*))
+        .as(Seq("sub", "cv")))
+
+  /** The PQ index: (corpus_id, sub, cbid) — nearest codeword per
+    * subspace by raw-double L2² (cbid tiebreak). */
+  private def pqCodes(
+      corpus: DataFrame, idCol: String, embCol: String, cb: DataFrame,
+      m: Int, subDim: Int): DataFrame = {
+    val w = Window.partitionBy(col("corpus_id"), col("sub"))
+      .orderBy(col("__d").asc, col("cbid").asc)
+    pqSubbed(corpus, idCol, embCol, "corpus", m, subDim)
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("corpus_id"), col("sub"), col("cbid"),
+        pqD2(col("corpus_sv"), col("cv")).as("__d"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("corpus_id"), col("sub"), col("cbid"))
+  }
+
+  /** The ADC distance table: (query_id, sub, cbid, exact-decimal
+    * 9-dp distance) — m·cellsPerSub rows per query, broadcastable. */
+  private def pqDistanceTable(
+      queries: DataFrame, idCol: String, embCol: String, cb: DataFrame,
+      m: Int, subDim: Int): DataFrame =
+    pqSubbed(queries, idCol, embCol, "query", m, subDim)
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cbid"),
+        round(pqD2(col("query_sv"), col("cv")), 9)
+          .cast(DecimalType(28, 9)).as("__dq"))
+
+  /** Rank (query, corpus) pairs by the exact-decimal ADC sum; emit
+    * top-k with adc rounded at the edge. */
+  private def pqRank(
+      pairsCodes: DataFrame, dt: DataFrame, k: Int): DataFrame = {
+    val adc = pairsCodes.join(broadcast(dt), Seq("sub", "cbid"))
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(sum(col("__dq")).as("__adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").asc, col("corpus_id").asc)
+    adc.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("corpus_id"),
+        round(col("__adc").cast(DoubleType), 6).as("adc"))
+  }
+
   def pqTopKPerQuery(
       corpus: DataFrame,
       queries: DataFrame,
@@ -530,40 +611,56 @@ object Similarity {
       subDim: Int = 8,
       cellsPerSub: Int = 16): DataFrame = {
     require(m > 0 && subDim > 0 && cellsPerSub > 0)
-    def subbed(df: DataFrame, side: String): DataFrame =
-      df.select(col(idCol).as(s"${side}_id"),
-        posexplode(array((0 until m).map(s0 =>
-          slice(col(embCol), s0 * subDim + 1, subDim)): _*))
-          .as(Seq("sub", s"${side}_sv")))
-    // codebook: per subspace, slices of the first cellsPerSub vectors
-    val cb = corpus.select(col(idCol).as("cbid"), col(embCol).as("__v"))
-      .orderBy(col("cbid").asc).limit(cellsPerSub)
-      .select(col("cbid"), posexplode(array((0 until m).map(s0 =>
-        slice(col("__v"), s0 * subDim + 1, subDim)): _*))
-        .as(Seq("sub", "cv")))
-    // L2² via the dot expansion — identical arithmetic in the oracle
-    def d2(a: Column, b: Column): Column =
-      dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
-    val w1 = Window.partitionBy(col("corpus_id"), col("sub"))
-      .orderBy(col("__d").asc, col("cbid").asc)
-    val codes = subbed(corpus, "corpus")
-      .join(broadcast(cb), Seq("sub"))
-      .select(col("corpus_id"), col("sub"), col("cbid"),
-        d2(col("corpus_sv"), col("cv")).as("__d"))
-      .withColumn("__rn", row_number().over(w1))
-      .filter(col("__rn") === 1)
-      .select(col("corpus_id"), col("sub"), col("cbid"))
-    val dt = subbed(queries, "query")
-      .join(broadcast(cb), Seq("sub"))
-      .select(col("query_id"), col("sub"), col("cbid"),
-        round(d2(col("query_sv"), col("cv")), 9)
-          .cast(DecimalType(28, 9)).as("__dq"))
-    val adc = codes.join(broadcast(dt), Seq("sub", "cbid"))
+    val cb = pqCodebook(corpus, idCol, embCol, m, subDim, cellsPerSub)
+    val codes = pqCodes(corpus, idCol, embCol, cb, m, subDim)
+    val dt = pqDistanceTable(queries, idCol, embCol, cb, m, subDim)
+    pqRank(codes, dt, k)
+  }
+
+  /** IVF-PQ — the production composition: the IVF coarse quantizer
+    * generates candidates (probe `nProbe` of `nCells` cells), and the
+    * PQ codes rank them by asymmetric distance. The serving shape at
+    * 100 TB: the index holds one cell id + `m` code bytes per vector;
+    * a query touches only its probed cells' posting lists and scores
+    * them from an `m`·`cellsPerSub`-entry lookup table — no float
+    * vector is read at query time at all.
+    *
+    * Both stages are the individually-gated operators
+    * ([[ivfTopKPerQuery]]'s cells, [[pqTopKPerQuery]]'s codes/ADC);
+    * the composition restricts the ADC rank to candidate pairs. */
+  def ivfPqTopKPerQuery(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 8,
+      subDim: Int = 8,
+      cellsPerSub: Int = 16): DataFrame = {
+    val cent = seedCentroids(corpus, idCol, embCol, nCells)
+    val assigned = coarseCells(corpus, idCol, embCol, cent, "corpus", 1)
+      .select(col("corpus_id"), col("cid"))
+    val probed = coarseCells(queries, idCol, embCol, cent, "query", nProbe)
+      .select(col("query_id"), col("cid"))
+    // candidate pairs: corpus vectors in a probed cell (each corpus
+    // vector lives in exactly one cell — no distinct needed)
+    val cand = probed.join(assigned, Seq("cid"))
+      .select(col("query_id"), col("corpus_id"))
+    val cb = pqCodebook(corpus, idCol, embCol, m, subDim, cellsPerSub)
+    val codes = pqCodes(corpus, idCol, embCol, cb, m, subDim)
+    val dt = pqDistanceTable(queries, idCol, embCol, cb, m, subDim)
+    // restrict the ADC rank to candidates: pair-wise code rows tagged
+    // with their query
+    val pairsCodes = cand.join(codes, Seq("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), col("sub"), col("cbid"))
+    val adc = pairsCodes.join(broadcast(dt), Seq("query_id", "sub", "cbid"))
       .groupBy(col("query_id"), col("corpus_id"))
       .agg(sum(col("__dq")).as("__adc"))
-    val w2 = Window.partitionBy(col("query_id"))
+    val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__adc").asc, col("corpus_id").asc)
-    adc.withColumn("__rn", row_number().over(w2))
+    adc.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .select(col("query_id"), col("corpus_id"),
         round(col("__adc").cast(DoubleType), 6).as("adc"))

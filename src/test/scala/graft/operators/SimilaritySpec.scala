@@ -275,6 +275,34 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.1, s"pq recall degenerate: $recall")
   }
 
+  test("ivfPqTopKPerQuery: candidates only from probed cells, every " +
+      "probe retrieves itself, ranks agree with full PQ on shared pairs") {
+    val emb = Tables.embeddings(spark, dir)
+    val probes = emb.filter(col("vec_id") < 5)
+    val ivfpq = Similarity.ivfPqTopKPerQuery(emb, probes, "vec_id",
+      "embedding", k = 10)
+    val rows = ivfpq.collect()
+    val perQuery = rows.groupBy(_.getLong(0))
+    assert(perQuery.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(perQuery.values.forall(g => g.length <= 10 && g.nonEmpty))
+    // the query's own cell is always its first probe, so the query
+    // itself is a candidate and its tiny self-quantization ADC must
+    // keep it in the result
+    assert(rows.count(r => r.getLong(0) == r.getLong(1)) == 5)
+    // on pairs BOTH methods return, the ADC value is identical (same
+    // codes, same distance table — IVF only restricts candidates)
+    val pq = Similarity.pqTopKPerQuery(emb, probes, "vec_id",
+        "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    rows.foreach { r =>
+      pq.get((r.getLong(0), r.getLong(1))).foreach { adc =>
+        assert(adc == r.getDouble(2),
+          s"ADC diverges on ${(r.getLong(0), r.getLong(1))}")
+      }
+    }
+  }
+
   test("recallAtK: hand-computed hit ratio; truth vs itself is 1.0") {
     import spark.implicits._
     val truth = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L))
