@@ -63,6 +63,53 @@ object Curation {
     out
   }
 
+  /** The staged, RESTARTABLE form of [[standardPipeline]]: each stage
+    * materializes to `stageDir/<stage>` parquet and a re-run resumes
+    * from the last completed stage (presence of the `_SUCCESS` marker
+    * — a crash mid-write leaves none, so the interrupted stage
+    * rebuilds with mode=overwrite while every finished stage is read
+    * back untouched). This is the 100 TB operational shape: a
+    * multi-hour curation run survives preemption at the cost of one
+    * parquet round-trip per stage, and the double consumption in the
+    * temperature stage becomes two cheap scans of the deduped parquet
+    * instead of a cache.
+    *
+    * Same stages, same parameters, same result as
+    * [[standardPipeline]] (CurationSpec diffs them); the `text` /
+    * `qualityCol` expressions are resolved against the read-back
+    * frames, which carry the input's columns unchanged. */
+  def standardPipelineStaged(
+      docs: DataFrame,
+      strataCols: Seq[String],
+      idCol: String,
+      text: Column,
+      qualityCol: Column,
+      dropPermille: Int,
+      totalTarget: Long,
+      nShards: Int,
+      stageDir: String,
+      sampleSeed: Int = 19,
+      shardSeed: Int = 23): DataFrame = {
+    val spark = docs.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    def stage(name: String)(build: => DataFrame): DataFrame = {
+      val path = s"$stageDir/$name"
+      val done = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+      val fs = done.getFileSystem(conf)
+      if (!fs.exists(done))
+        build.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+    val gated = stage("gated")(Sampling.quantileFilter(
+      docs, strataCols, qualityCol, col(idCol), dropPermille))
+    val deduped = stage("deduped")(Dedup.exact(
+      gated, TextAnalysis.fingerprintMd5(text), idCol))
+    val sampled = stage("sampled")(Sampling.temperatureSample(
+      deduped, strataCols, col(idCol), totalTarget, sampleSeed))
+    stage("sharded")(Sampling.shardOrder(
+      sampled, col(idCol), nShards, shardSeed))
+  }
+
   /** Dataset-versioning diff between two corpus snapshots: each id is
     * classified `added` (new only), `removed` (old only), `changed`
     * (both, content fingerprints differ), or `unchanged`. The audit

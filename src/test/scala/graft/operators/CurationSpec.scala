@@ -476,4 +476,39 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+
+  test("standardPipelineStaged: resumes from completed stages (gated " +
+    "marker untouched) and equals the in-memory composition") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("curstage").toString
+    def runStaged() = Curation.standardPipelineStaged(
+      docs, Seq("lang"), "doc_id", col("text"),
+      expr("ln(1 + n_chars)"), dropPermille = 100, totalTarget = 200,
+      nShards = 4, stageDir = dir)
+    val staged1 = runStaged().collect().map(_.toString).sorted.toSeq
+    val direct = Curation.standardPipeline(
+      docs, Seq("lang"), "doc_id", col("text"),
+      expr("ln(1 + n_chars)"), dropPermille = 100, totalTarget = 200,
+      nShards = 4)
+    assert(staged1 == direct.collect().map(_.toString).sorted.toSeq)
+    direct.unpersist(false)
+    // simulate a crash AFTER the dedup stage: the final two stage
+    // dirs vanish, the first two survive; a re-run must rebuild only
+    // the missing tail and leave the finished markers untouched
+    val gatedMarker = new java.io.File(s"$dir/gated/_SUCCESS")
+    val dedupMarker = new java.io.File(s"$dir/deduped/_SUCCESS")
+    assert(gatedMarker.exists && dedupMarker.exists)
+    val (mt1, mt2) = (gatedMarker.lastModified, dedupMarker.lastModified)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$dir/sampled"))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$dir/sharded"))
+    val staged2 = runStaged().collect().map(_.toString).sorted.toSeq
+    assert(staged2 == staged1)
+    assert(gatedMarker.lastModified == mt1 &&
+      dedupMarker.lastModified == mt2,
+      "finished stages were recomputed on resume")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
 }
