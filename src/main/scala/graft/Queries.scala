@@ -1775,6 +1775,12 @@ object Queries {
         .unionByName(Similarity.recallAtK(brute,
           Similarity.ivfTopKPerQuery(emb, q, "vec_id", "embedding",
             k = 10, nCells = 16, nProbe = 4), "ivf"))
+        .unionByName(Similarity.recallAtK(brute,
+          Similarity.pqTopKPerQuery(emb, q, "vec_id", "embedding",
+            k = 10), "pq"))
+        .unionByName(Similarity.recallAtK(brute,
+          Similarity.ivfPqTopKPerQuery(emb, q, "vec_id", "embedding",
+            k = 10), "ivfpq"))
     }),
     "q_sim_cosine_dedup" -> ((s, dir) => {
       // Embedding-cosine near-dup pairs: SRP-LSH blocking (portable
@@ -5427,13 +5433,21 @@ object Queries {
     s"""WITH brute AS (SELECT query_id, corpus_id FROM ($simTopKOracle)),
        |lsh AS (SELECT query_id, corpus_id FROM ($simLshOracle)),
        |ivf AS (SELECT query_id, corpus_id FROM ($simIvfOracle)),
+       |pq AS (SELECT query_id, corpus_id FROM ($simPqOracle)),
+       |ivfpq AS (SELECT query_id, corpus_id FROM ($simIvfPqOracle)),
        |denom AS (SELECT count(*) AS n_total FROM brute),
        |hits AS (
        | SELECT 'lsh' AS method, count(*) AS n_hits
        | FROM lsh JOIN brute USING (query_id, corpus_id)
        | UNION ALL
        | SELECT 'ivf' AS method, count(*) AS n_hits
-       | FROM ivf JOIN brute USING (query_id, corpus_id))
+       | FROM ivf JOIN brute USING (query_id, corpus_id)
+       | UNION ALL
+       | SELECT 'pq' AS method, count(*) AS n_hits
+       | FROM pq JOIN brute USING (query_id, corpus_id)
+       | UNION ALL
+       | SELECT 'ivfpq' AS method, count(*) AS n_hits
+       | FROM ivfpq JOIN brute USING (query_id, corpus_id))
        |SELECT method, n_hits, n_total,
        | round(CAST(n_hits AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
        |   AS recall
