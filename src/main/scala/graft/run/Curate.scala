@@ -38,6 +38,15 @@ final case class CurationRecipe(
     Curation.standardPipeline(
       docs, strata, idCol, expr(textExpr), expr(qualityExpr),
       dropPermille, totalTarget, nShards, sampleSeed, shardSeed)
+
+  /** The restartable form: stages materialize under `stageDir` and a
+    * re-run resumes from the last completed stage — same result
+    * (see [[Curation.standardPipelineStaged]]). */
+  def runStaged(docs: DataFrame, stageDir: String): DataFrame =
+    Curation.standardPipelineStaged(
+      docs, strata, idCol, expr(textExpr), expr(qualityExpr),
+      dropPermille, totalTarget, nShards, stageDir, sampleSeed,
+      shardSeed)
 }
 
 object CurationRecipe {
@@ -125,7 +134,13 @@ object Curate {
       new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(recipePath)), "UTF-8"))
     val spark: SparkSession = Sessions.local("graft-curate")
-    val result = recipe.run(Tables.documents(spark, sfDir))
+    // --staged <dir>: materialize stages and resume across re-runs
+    // (preemption-safe; same result as the in-memory composition)
+    val result = arg("staged") match {
+      case Some(stageDir) =>
+        recipe.runStaged(Tables.documents(spark, sfDir), stageDir)
+      case None => recipe.run(Tables.documents(spark, sfDir))
+    }
     result.write.mode("overwrite").partitionBy("shard").parquet(out)
     result.groupBy(col("shard")).count().orderBy(col("shard"))
       .collect()
