@@ -1319,6 +1319,36 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
           dsum(col("o_totalprice")).as("price_sum"))
     }),
+    "q_lake_timetravel" -> ((s, dir) => {
+      // Versioned snapshots + time travel, proven end-to-end: two
+      // writes land v=1 and v=2, the REQUIRE pins the version
+      // listing, then the gated result diffs the PINNED v=1 read
+      // (time travel while v=2 is latest) against readLatest — the
+      // incremental-recompute input. Content derives from orders, so
+      // the oracle recomputes both snapshots relationally; the
+      // fingerprint is compared only within-engine (equality), never
+      // emitted.
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_tt").toString
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val v1 = o.filter(col("o_orderkey") % 3 =!= 0)
+      val v2 = o.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + lit(10))
+            .otherwise(col("o_totalprice")))
+      val n1 = graft.io.Lakehouse.writeVersion(s, tmp, v1)
+      val n2 = graft.io.Lakehouse.writeVersion(s, tmp, v2)
+      require(n1 == 1 && n2 == 2 &&
+        graft.io.Lakehouse.versions(s, tmp) == Seq(1, 2),
+        "version ledger diverged")
+      graft.operators.Curation.snapshotDiff(
+          graft.io.Lakehouse.readVersion(s, tmp, 1),
+          graft.io.Lakehouse.readLatest(s, tmp),
+          "o_orderkey", col("o_totalprice").cast("string"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+    }),
     "q_lake_compact" -> ((s, dir) => {
       // Small-file compaction PROVEN end-to-end (the perpetual
       // lakehouse chore — at 100 TB a fragmented table wastes a scan
@@ -3508,6 +3538,23 @@ object Queries {
         |FROM orders, b
         |WHERE o_custkey <= b.ch AND o_orderkey <= b.oh
         |GROUP BY 1""".stripMargin,
+    // both snapshots recomputed relationally; status classification
+    // mirrors snapshotDiff's full-outer semantics
+    "q_lake_timetravel" ->
+      """WITH v1 AS (SELECT o_orderkey AS k, o_totalprice AS p
+        | FROM orders WHERE o_orderkey % 3 <> 0),
+        |v2 AS (SELECT o_orderkey AS k,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
+        |       ELSE o_totalprice END AS p
+        | FROM orders WHERE o_orderkey % 5 <> 0),
+        |d AS (SELECT COALESCE(v1.k, v2.k) AS k,
+        |  CASE WHEN v1.k IS NULL THEN 'added'
+        |       WHEN v2.k IS NULL THEN 'removed'
+        |       WHEN v1.p <> v2.p THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        | FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k)
+        |SELECT status, count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum
+        |FROM d GROUP BY 1""".stripMargin,
     // compaction round-trips content: recompute from the raw table
     "q_lake_compact" ->
       """SELECT o_custkey % 4 AS cust_mod, count(*) AS n,

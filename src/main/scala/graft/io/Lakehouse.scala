@@ -204,6 +204,53 @@ object Lakehouse {
     }
   }
 
+  /** Versioned snapshots with time travel — the dataset-versioning
+    * primitive under [[graft.operators.Curation.snapshotDiff]]: every
+    * write lands a COMPLETE new `v=<n>` snapshot directory, readers
+    * pin any past version, and "latest" is derived, never stored.
+    *
+    * Commit protocol: completeness IS the `_SUCCESS` marker parquet
+    * writes last — a crash mid-write leaves a marker-less directory
+    * that [[versions]] ignores and the next [[writeVersion]]
+    * overwrites (it picks max COMPLETE version + 1). No separate
+    * latest-pointer file exists, so there is no window where the
+    * pointer and the data disagree. At 100 TB each snapshot is an
+    * ordinary parquet table: retention is directory deletion, and
+    * incremental recomputation reads `snapshotDiff(v_n, v_{n+1})`. */
+  def writeVersion(
+      spark: SparkSession, path: String, df: DataFrame): Int = {
+    val next = versions(spark, path).lastOption.getOrElse(0) + 1
+    df.write.mode("overwrite").parquet(s"$path/v=$next")
+    next
+  }
+
+  /** Complete (marker-bearing) snapshot versions, ascending. */
+  def versions(spark: SparkSession, path: String): Seq[Int] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) Seq.empty
+    else fs.listStatus(hp).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .filter(st => fs.exists(
+        new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("v=").toInt)
+      .sorted
+  }
+
+  /** Time-travel read of a pinned snapshot. */
+  def readVersion(spark: SparkSession, path: String, v: Int): DataFrame = {
+    require(versions(spark, path).contains(v),
+      s"no complete version v=$v under $path")
+    spark.read.parquet(s"$path/v=$v")
+  }
+
+  /** The newest complete snapshot. */
+  def readLatest(spark: SparkSession, path: String): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no complete versions under $path")
+    readVersion(spark, path, vs.last)
+  }
+
   /** Compact a fragmented parquet directory to `nFiles` outputs —
     * small-file management, the perpetual lakehouse chore: a directory
     * with thousands of tiny files wastes scan tasks and footer reads.

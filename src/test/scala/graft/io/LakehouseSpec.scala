@@ -143,6 +143,36 @@ class LakehouseSpec extends SparkSpecBase {
     assert(after.exceptAll(src).count() == 0)
   }
 
+  test("versioned snapshots: time travel pins old content; a " +
+    "marker-less (crashed) version is invisible and gets overwritten") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("ttv").toString + "/t"
+    assert(Lakehouse.versions(spark, path).isEmpty)
+    val v1 = Lakehouse.writeVersion(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val v2 = Lakehouse.writeVersion(spark, path,
+      Seq((1L, "a2"), (3L, "c")).toDF("k", "v"))
+    assert((v1, v2) == ((1, 2)))
+    assert(Lakehouse.versions(spark, path) == Seq(1, 2))
+    // time travel: v1 content unchanged although v2 is latest
+    assert(Lakehouse.readVersion(spark, path, 1)
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    assert(Lakehouse.readLatest(spark, path)
+      .as[(Long, String)].collect().toSet == Set((1L, "a2"), (3L, "c")))
+    // simulate a crash: a half-written v=3 without _SUCCESS — readers
+    // must not see it, and the next write must claim (overwrite) it
+    Seq((9L, "half")).toDF("k", "v").write.parquet(s"$path/v=3")
+    new java.io.File(s"$path/v=3/_SUCCESS").delete()
+    assert(Lakehouse.versions(spark, path) == Seq(1, 2))
+    assertThrows[IllegalArgumentException](
+      Lakehouse.readVersion(spark, path, 3))
+    val v3 = Lakehouse.writeVersion(spark, path,
+      Seq((4L, "d")).toDF("k", "v"))
+    assert(v3 == 3)
+    assert(Lakehouse.readLatest(spark, path)
+      .as[(Long, String)].collect().toSet == Set((4L, "d")))
+  }
+
   test("compact recovers from a prior crash's leftovers: stale " +
     "__compact_old and __compact_tmp dirs never reach the result") {
     import spark.implicits._
