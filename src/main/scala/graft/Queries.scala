@@ -620,6 +620,61 @@ object Queries {
           coalesce(col("l_linestatus"), lit("<all>")).as("l_linestatus"),
           col("n"), col("qty"))
     }),
+    "q_grouping_sets" -> ((s, dir) => {
+      // Arbitrary-slice totals: GROUPING SETS ((status), (priority),
+      // ()) — the general form rollup/cube specialize. One Expand +
+      // one exchange, same plan family as q_rollup; non-grouped
+      // columns NULL-mark their level and are coalesced to a label.
+      Tables.orders(s, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")),
+            Seq.empty[Column]),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("price_sum"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("<all>")).as("status_g"),
+          coalesce(col("o_orderpriority"), lit("<all>")).as("priority_g"),
+          col("n"), col("price_sum"))
+    }),
+    "q_corr_matrix" -> ((s, dir) => {
+      // Feature-redundancy pre-flight: all pairwise Pearson
+      // correlations of the lineitem numerics from ONE scan and ONE
+      // 1-row moment aggregate (O(k²) decimal cells of state, any row
+      // count); the pair explode runs on that single row.
+      Stats.corrMatrix(Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    }),
+    "q_label_entropy" -> ((s, dir) => {
+      // Per-source language-mix diversity: Shannon entropy + Gini of
+      // the lang distribution within each source — the corpus-report
+      // row that catches a source collapsing to one language. One
+      // map-side-combined (source, lang) count; everything downstream
+      // runs on that bounded frame.
+      Stats.entropyByGroup(Tables.documents(s, dir), "source", "lang")
+    }),
+    "q_mutual_info" -> ((s, dir) => {
+      // Are lang and source independent labeling dimensions? MI + NMI
+      // from ONE corpus scan (marginals and entropies all derive from
+      // the persisted joint-count frame). NMI near 0 here means
+      // stratifying on both does not double-count.
+      Stats.mutualInformation(Tables.documents(s, dir), "lang", "source")
+    }),
+    "q_quantile_bins" -> ((s, dir) => {
+      // Exact equi-depth deciles of order value — the discretizer
+      // behind per-decile quality reports. The global rank is the
+      // two-phase prefix-sum (coarse range counts collected — ≤256
+      // rows — then parallel per-range windows + broadcast offsets),
+      // NOT a single-partition window.
+      Stats.equiDepthBins(Tables.orders(s, dir), "o_totalprice",
+        "o_orderkey", nBins = 10)
+    }),
+    "q_histogram" -> ((s, dir) => {
+      // Equal-width 16-bin histogram of extended price over the
+      // observed range: min/max-only first pass (footer-stats cheap at
+      // warehouse scale), then one map-side-combined bin count.
+      Stats.histogramEquiWidth(Tables.lineitem(s, dir),
+        "l_extendedprice", nBins = 16)
+    }),
     "q_window_running" -> ((s, dir) => {
       // Running analytics per user ordered by event time: cumulative
       // count, running value sum (exact via DECIMAL), and the previous
@@ -1973,6 +2028,26 @@ object Queries {
             .as("bpeish_tokens"),
           max(col("n_chars")).as("max_chars"))
     }),
+    "q_tokenizer_fertility" -> ((s, dir) => {
+      // Tokenizer-fertility report per language: BPE-ish subword
+      // tokens per whitespace word and chars per subword token — THE
+      // per-language cost numbers a tokenizer owner watches (a lang
+      // whose fertility spikes is being shredded into bytes). Exact
+      // integer sums; ratios divide the emitted integers.
+      Tables.documents(s, dir)
+        .select(col("lang"), col("n_chars"),
+          TextAnalysis.tokenCount(col("text")).cast(LongType).as("__ws"),
+          TextAnalysis.bpeishTokenCount(col("text")).cast(LongType)
+            .as("__bp"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__ws")).as("ws_tokens"),
+          sum(col("__bp")).as("bpeish_tokens"),
+          round(sum(col("__bp")).cast(DoubleType) /
+            sum(col("__ws")).cast(DoubleType), 6).as("fertility"),
+          round(sum(col("n_chars")).cast(DoubleType) /
+            sum(col("__bp")).cast(DoubleType), 6).as("chars_per_token"))
+    }),
     "q_quality_by_lang" -> ((s, dir) => {
       // Token array staged as an attribute before scoring: HOFs defeat
       // Catalyst subexpression elimination, so the inline form would
@@ -2520,6 +2595,35 @@ object Queries {
         .toDF("qid", "qtext")
       TextAnalysis.bm25Retrieve(Tables.documents(s, dir), "doc_id",
         col("text"), qs, "qid", col("qtext"), k = 5)
+    }),
+    "q_hybrid_rrf" -> ((s, dir) => {
+      // Hybrid retrieval: the BM25 lexical list (q_text_retrieve's
+      // query set, k=10) fuses with the dense cosine list (the same
+      // qids' embeddings over the corpus, k=10) by reciprocal-rank
+      // fusion — scale-free rank arithmetic, the standard way to
+      // combine incomparable scorers. Both lists are top-k-per-query
+      // control-plane frames; the fusion shuffles only those.
+      import s.implicits._
+      val qs = Seq((1L, "hash join table"), (2L, "window agg spark"),
+        (3L, "stream filter batch"), (4L, "vector scan sort"))
+        .toDF("qid", "qtext")
+      val sparse = TextAnalysis.bm25Retrieve(Tables.documents(s, dir),
+          "doc_id", col("text"), qs, "qid", col("qtext"), k = 10)
+        .select(col("qid"), col("doc_id"), col("rk"))
+      val emb = Tables.embeddings(s, dir)
+      // rank recomputed over the SAME (cos desc, id asc) order the
+      // operator used — row_number is just re-attached post-top-k
+      val wd = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("doc_id").asc)
+      val dense = Similarity.topKPerQuery(emb,
+          emb.filter(col("vec_id").between(1, 4)), "vec_id",
+          "embedding", k = 10)
+        .select(col("query_id").as("qid"), col("corpus_id").as("doc_id"),
+          col("cos"))
+        .withColumn("rk", row_number().over(wd))
+        .drop("cos")
+      TextAnalysis.rrfFuse(Seq(sparse, dense), "qid", "doc_id", "rk",
+        k = 5)
     }),
     "q_text_tfidf" -> ((s, dir) => {
       // TF-IDF keyword extraction: top-3 terms per doc. The idf is
@@ -3384,6 +3488,7 @@ object Queries {
     "q_pipeline_curation" -> pipelineCurationOracle,
     "q_text_bm25" -> bm25Oracle,
     "q_text_retrieve" -> bm25RetrieveOracle,
+    "q_hybrid_rrf" -> hybridRrfOracle,
     "q_graph_pagerank" -> pageRankOracle,
     "q_graph_degree" ->
       """WITH e AS (
@@ -3860,6 +3965,21 @@ object Queries {
         |   '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]'))) AS BIGINT) AS bpeish_tokens,
         | max(n_chars) AS max_chars
         |FROM documents GROUP BY source""".stripMargin,
+    "q_tokenizer_fertility" ->
+      """WITH d AS (SELECT lang, n_chars,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> len(x) > 0)) AS BIGINT) AS ws,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS BIGINT) AS bp
+        | FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        | CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        | CAST(sum(bp) AS BIGINT) AS bpeish_tokens,
+        | round(CAST(sum(bp) AS DOUBLE) / CAST(sum(ws) AS DOUBLE), 6)
+        |   AS fertility,
+        | round(CAST(sum(n_chars) AS DOUBLE) / CAST(sum(bp) AS DOUBLE), 6)
+        |   AS chars_per_token
+        |FROM d GROUP BY lang""".stripMargin,
     "q_quality_by_lang" -> qualityOracle,
     "q_lang_id" -> langIdOracle,
     "q_lang_margin" -> langMarginOracle,
@@ -4440,6 +4560,105 @@ object Queries {
         |   AS qty
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, '<all>') AS status_g,
+        | coalesce(o_orderpriority, '<all>') AS priority_g,
+        | count(*) AS n,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |   AS price_sum
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+        .stripMargin,
+    // corrMatrix replica: every moment is a 4-dp-rounded product fixed
+    // as DECIMAL(28,4) before the exact sum — the engine's one-pass
+    // sufficient statistics — then the textbook Pearson arithmetic on
+    // the decimal-derived doubles, 6-dp emit.
+    "q_corr_matrix" -> {
+      val cs = Seq("l_quantity" -> "q", "l_extendedprice" -> "e",
+        "l_discount" -> "d", "l_tax" -> "t")
+      def fx(e: String) = s"CAST(sum(CAST(round($e, 4) AS DECIMAL(28,4))) AS DOUBLE)"
+      val singles = cs.map { case (c, a) =>
+        s"${fx(c)} AS s_$a,\n  ${fx(s"$c * $c")} AS ss_$a" }
+      val prs = for { i <- cs.indices; j <- cs.indices if i < j }
+        yield (cs(i), cs(j))
+      val pairSums = prs.map { case ((ca, aa), (cb, ab)) =>
+        s"${fx(s"$ca * $cb")} AS sp_$aa$ab" }
+      val arms = prs.map { case ((ca, aa), (cb, ab)) =>
+        s"""SELECT '$ca' AS x, '$cb' AS y, n,
+           | round((nd * sp_$aa$ab - s_$aa * s_$ab) /
+           |   sqrt((nd * ss_$aa - s_$aa * s_$aa) *
+           |        (nd * ss_$ab - s_$ab * s_$ab)), 6) AS corr FROM m"""
+          .stripMargin }
+      s"""WITH m AS (
+         | SELECT count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
+         |  ${(singles ++ pairSums).mkString(",\n  ")}
+         | FROM lineitem)
+         |${arms.mkString("\nUNION ALL\n")}""".stripMargin
+    },
+    "q_label_entropy" ->
+      """WITH c AS (SELECT source, lang, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        |  count(*) AS k FROM c GROUP BY 1),
+        |p AS (SELECT c.source, CAST(c.c AS DOUBLE) / t.n AS p, t.n, t.k
+        |  FROM c JOIN t USING (source))
+        |SELECT source, max(n) AS n, max(k) AS n_labels,
+        | round(CAST(sum(CAST(round(-p * ln(p), 9) AS DECIMAL(18,9)))
+        |   AS DOUBLE), 6) AS entropy,
+        | round(1.0 - CAST(sum(CAST(round(p * p, 9) AS DECIMAL(18,9)))
+        |   AS DOUBLE), 6) AS gini
+        |FROM p GROUP BY source""".stripMargin,
+    "q_mutual_info" ->
+      """WITH ab AS (SELECT lang, source, count(*) AS cab
+        |  FROM documents GROUP BY 1, 2),
+        |nr AS (SELECT CAST(sum(cab) AS BIGINT) AS n,
+        |  count(*) AS n_cells FROM ab),
+        |ma AS (SELECT lang, CAST(sum(cab) AS BIGINT) AS ca
+        |  FROM ab GROUP BY 1),
+        |mb AS (SELECT source, CAST(sum(cab) AS BIGINT) AS cb
+        |  FROM ab GROUP BY 1),
+        |ha AS (SELECT round(CAST(sum(CAST(round(
+        |    -(CAST(ca AS DOUBLE) / n) * ln(CAST(ca AS DOUBLE) / n), 9)
+        |  AS DECIMAL(18,9))) AS DOUBLE), 6) AS h_a FROM ma, nr),
+        |hb AS (SELECT round(CAST(sum(CAST(round(
+        |    -(CAST(cb AS DOUBLE) / n) * ln(CAST(cb AS DOUBLE) / n), 9)
+        |  AS DECIMAL(18,9))) AS DOUBLE), 6) AS h_b FROM mb, nr),
+        |mi AS (SELECT round(CAST(sum(CAST(round(
+        |    (CAST(cab AS DOUBLE) / n) *
+        |    ln(CAST(cab AS DOUBLE) * n /
+        |       (CAST(ca AS DOUBLE) * cb)), 9)
+        |  AS DECIMAL(18,9))) AS DOUBLE), 6) AS mi
+        |  FROM ab JOIN ma USING (lang) JOIN mb USING (source), nr)
+        |SELECT n, n_cells, h_a, h_b, mi,
+        | CASE WHEN h_a * h_b > 0 THEN round(mi / sqrt(h_a * h_b), 6)
+        |  ELSE 0.0 END AS nmi
+        |FROM nr, ha, hb, mi""".stripMargin,
+    // equiDepthBins replica: the rank is a plain global row_number —
+    // the Spark side's two-phase prefix sum reproduces exactly this
+    // (value, tie) order, only distributed.
+    "q_quantile_bins" ->
+      """WITH r AS (SELECT o_totalprice AS v,
+        |  row_number() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |    AS rk,
+        |  count(*) OVER () AS nt
+        | FROM orders)
+        |SELECT CAST(floor((rk - 1) * 10 / CAST(nt AS DOUBLE))
+        |    AS INTEGER) AS bin,
+        | count(*) AS n, min(v) AS lo, max(v) AS hi
+        |FROM r GROUP BY 1""".stripMargin,
+    "q_histogram" ->
+      """WITH b AS (SELECT min(l_extendedprice) AS lo,
+        |  max(l_extendedprice) AS hi FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL),
+        |w AS (SELECT lo, (hi - lo) / 16 AS wd FROM b),
+        |x AS (SELECT least(15, greatest(0,
+        |    CAST(floor((l_extendedprice - lo) / wd) AS INTEGER)))
+        |  AS bin FROM lineitem, w WHERE l_extendedprice IS NOT NULL),
+        |g AS (SELECT bin, count(*) AS n FROM x GROUP BY 1)
+        |SELECT g.bin, g.n,
+        | round(lo + wd * g.bin, 6) AS bin_lo,
+        | round(lo + wd * (g.bin + 1), 6) AS bin_hi
+        |FROM g, w""".stripMargin,
     "q_window_running" ->
       """SELECT user_id, event_id,
         | row_number() OVER w AS seq,
@@ -4714,9 +4933,12 @@ object Queries {
   /** Replica of TextAnalysis.bm25Retrieve: same literal query set,
     * same set-semantics query tokenization, same Okapi constants, the
     * same round-to-6dp-DECIMAL-then-exact-sum discipline. */
-  private def bm25RetrieveOracle: String = {
+  /** The BM25 CTE chain shared by q_text_retrieve and q_hybrid_rrf:
+    * ends at relation `r` carrying (qid, doc_id, n_terms, score, rk)
+    * for every candidate — callers filter `rk <= k`. */
+  private def bm25Ctes: String = {
     val k1 = 1.2; val b = 0.75
-    s"""WITH q(qid, qtext) AS (VALUES
+    s"""q(qid, qtext) AS (VALUES
        |  (CAST(1 AS BIGINT), 'hash join table'),
        |  (CAST(2 AS BIGINT), 'window agg spark'),
        |  (CAST(3 AS BIGINT), 'stream filter batch'),
@@ -4746,11 +4968,51 @@ object Queries {
        |a AS (SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
        |  CAST(sum(sc) AS DECIMAL(18,6)) AS score FROM s GROUP BY 1, 2),
        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
-       |  ORDER BY score DESC, doc_id ASC) AS rk FROM a)
+       |  ORDER BY score DESC, doc_id ASC) AS rk FROM a)""".stripMargin
+  }
+
+  private def bm25RetrieveOracle: String =
+    s"""WITH $bm25Ctes
        |SELECT qid, doc_id, n_terms, CAST(score AS DOUBLE) AS score,
        | CAST(rk AS BIGINT) AS rk
        |FROM r WHERE rk <= 5""".stripMargin
-  }
+
+  /** q_hybrid_rrf replica: the BM25 chain at k=10, the dense cosine
+    * chain (simTopKOracle's arithmetic over qids 1–4) at k=10, then
+    * the RRF union — each 1/(60+rank) rounded to 9 dp and fixed as
+    * DECIMAL before the fused sum, ranks re-derived from the exact
+    * decimal (doc-id-ascending ties). */
+  private def hybridRrfOracle: String =
+    s"""WITH $bm25Ctes,
+       |sp AS (SELECT qid, doc_id, CAST(rk AS BIGINT) AS rk0
+       |  FROM r WHERE rk <= 10),
+       |dq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+       |  FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+       |dc AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+       |  FROM embeddings),
+       |ds AS (SELECT qid, cid,
+       |  CASE WHEN sqrt(list_dot_product(ce, ce)) *
+       |            sqrt(list_dot_product(qe, qe)) > 0
+       |    THEN list_dot_product(ce, qe) /
+       |      (sqrt(list_dot_product(ce, ce)) *
+       |       sqrt(list_dot_product(qe, qe)))
+       |    ELSE 0.0 END AS cos
+       |  FROM dc, dq),
+       |dr AS (SELECT qid, cid AS doc_id,
+       |  CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, cid ASC) AS BIGINT) AS rk0
+       |  FROM ds QUALIFY rk0 <= 10),
+       |u AS (SELECT qid, doc_id, rk0 FROM sp
+       |  UNION ALL SELECT qid, doc_id, rk0 FROM dr),
+       |a2 AS (SELECT qid, doc_id, count(*) AS n_lists,
+       |  sum(CAST(round(1.0 / (60 + rk0), 9) AS DECIMAL(18,9))) AS s
+       |  FROM u GROUP BY 1, 2),
+       |f AS (SELECT qid, doc_id, n_lists, s,
+       |  row_number() OVER (PARTITION BY qid
+       |    ORDER BY s DESC, doc_id ASC) AS rk FROM a2)
+       |SELECT qid, doc_id, n_lists, CAST(s AS DOUBLE) AS rrf,
+       | CAST(rk AS BIGINT) AS rk
+       |FROM f WHERE rk <= 5""".stripMargin
 
   /** Replica of Similarity.topPrincipalComponent as UNROLLED power-
     * iteration CTEs — per round: rounded-product decimal dot per

@@ -613,4 +613,223 @@ object Stats {
       .groupBy(passThrough: _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as(estCol))
   }
+
+  /** Pairwise Pearson correlation matrix over `cols` in ONE scan and
+    * ONE 1-row aggregate: the sufficient statistics (Σx, Σx², Σxy for
+    * every pair) accumulate together with map-side combine, so the
+    * shuffle carries O(k²) decimal cells regardless of row count —
+    * the feature-redundancy pre-flight a training pipeline runs
+    * before fitting anything.
+    *
+    * Determinism: every product is rounded to `scale` dp and FIXED as
+    * DECIMAL(28,scale) before the sum (exact, order-independent —
+    * the dsum discipline), so the correlation arithmetic runs on
+    * identical doubles in any engine. The rounded-product moment is a
+    * hair off the IEEE-exact one; both sides of the gate compute the
+    * SAME rounded definition, and at 4 dp the bias is far below the
+    * 6-dp emit. Upper triangle only, (x, y) in `cols` order.
+    *
+    * Returns one row per pair: (x, y, n, corr). */
+  def corrMatrix(
+      df: DataFrame,
+      cols: Seq[String],
+      scale: Int = 4): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns: $cols")
+    require(cols.distinct.size == cols.size, s"duplicate columns: $cols")
+    def fix(c: Column) = round(c, scale).cast(DecimalType(28, scale))
+    val d = df.select(cols.map(c => col(c).cast(DoubleType).as(c)): _*)
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val moments =
+      cols.flatMap(c => Seq(
+        sum(fix(col(c))).as(s"__s_$c"),
+        sum(fix(col(c) * col(c))).as(s"__ss_$c"))) ++
+      pairs.map { case (a, b) =>
+        sum(fix(col(a) * col(b))).as(s"__sp_${a}__$b") }
+    val one = d.agg(count(lit(1)).as("__n"), moments: _*)
+    def dbl(name: String) = col(name).cast(DoubleType)
+    val rows = pairs.map { case (a, b) =>
+      val n = col("__n").cast(DoubleType)
+      val cov = n * dbl(s"__sp_${a}__$b") - dbl(s"__s_$a") * dbl(s"__s_$b")
+      val va = n * dbl(s"__ss_$a") - dbl(s"__s_$a") * dbl(s"__s_$a")
+      val vb = n * dbl(s"__ss_$b") - dbl(s"__s_$b") * dbl(s"__s_$b")
+      struct(lit(a).as("x"), lit(b).as("y"),
+        when(va * vb > 0, round(cov / sqrt(va * vb), 6))
+          .otherwise(lit(null).cast(DoubleType)).as("corr"))
+    }
+    one.select(col("__n").as("n"), explode(array(rows: _*)).as("__p"))
+      .select(col("__p.x").as("x"), col("__p.y").as("y"), col("n"),
+        col("__p.corr").as("corr"))
+  }
+
+  /** Per-group label-distribution diversity: Shannon entropy (nats)
+    * and Gini impurity of `labelCol` within each `groupCol` — the
+    * mixture-diversity gauge a corpus report runs per source/shard
+    * (a source whose language entropy collapses is a crawl bug).
+    *
+    * Scale shape: one map-side-combined (group, label) count, then
+    * everything runs on that bounded frame (≤ |groups|·|labels|
+    * rows); the corpus is scanned once. Determinism: shares divide
+    * exact integers in double, each −p·ln p / p² term rounds to 9 dp
+    * and fixes as DECIMAL before the sum.
+    *
+    * Returns (groupCol, n, n_labels, entropy, gini). */
+  def entropyByGroup(
+      df: DataFrame,
+      groupCol: String,
+      labelCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(labelCol))
+      .agg(count(lit(1)).as("__c"))
+    // group totals as a window over the counts frame — NOT a second
+    // aggregate joined back, which would re-derive counts and scan
+    // the corpus twice (the window partitions are ≤ |labels| rows)
+    val wg = Window.partitionBy(col(groupCol))
+    counts
+      .withColumn("__n", sum(col("__c")).over(wg))
+      .withColumn("__k", count(lit(1)).over(wg))
+      .withColumn("__p",
+        col("__c").cast(DoubleType) / col("__n").cast(DoubleType))
+      .groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n"), max(col("__k")).as("n_labels"),
+        round(sum(round(-col("__p") * log(col("__p")), 9)
+          .cast(DecimalType(18, 9))).cast(DoubleType), 6).as("entropy"),
+        round(lit(1.0) - sum(round(col("__p") * col("__p"), 9)
+          .cast(DecimalType(18, 9))).cast(DoubleType), 6).as("gini"))
+  }
+
+  /** Mutual information between two categorical columns, in nats,
+    * with the normalized form MI/√(H_a·H_b) — the redundancy check
+    * between labeling dimensions (lang vs source ≈ independent in a
+    * healthy crawl; NMI → 1 means one column is a relabeling of the
+    * other and stratifying on both double-counts).
+    *
+    * ONE corpus scan: the joint (a, b) count is the only data-sized
+    * aggregate; marginals, totals, and both entropies derive from
+    * that persisted bounded frame (≤ |a|·|b| rows). Every ln argument
+    * is a ratio of exact integer counts (doubles are exact below
+    * 2^53); each term rounds to 9 dp and sums as DECIMAL. NMI is
+    * computed from the 6-dp-rounded MI and entropies, so the gate
+    * replays it from emitted-precision values.
+    *
+    * Returns one row: (n, n_cells, h_a, h_b, mi, nmi). */
+  def mutualInformation(
+      df: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val ab = df.groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("__cab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRow = ab.agg(sum(col("__cab")).as("__n"),
+      count(lit(1)).as("n_cells"))
+    def marginalEntropy(keyCol: String, out: String): DataFrame = {
+      val m = ab.groupBy(col(keyCol)).agg(sum(col("__cab")).as("__c"))
+      m.crossJoin(broadcast(nRow.select(col("__n"))))
+        .withColumn("__p",
+          col("__c").cast(DoubleType) / col("__n").cast(DoubleType))
+        .agg(round(sum(round(-col("__p") * log(col("__p")), 9)
+          .cast(DecimalType(18, 9))).cast(DoubleType), 6).as(out))
+    }
+    val ha = marginalEntropy(aCol, "h_a")
+    val hb = marginalEntropy(bCol, "h_b")
+    val ca = ab.groupBy(col(aCol)).agg(sum(col("__cab")).as("__ca"))
+    val cb = ab.groupBy(col(bCol)).agg(sum(col("__cab")).as("__cb"))
+    val mi = ab
+      .join(broadcast(ca), Seq(aCol))
+      .join(broadcast(cb), Seq(bCol))
+      .crossJoin(broadcast(nRow.select(col("__n"))))
+      .withColumn("__t",
+        (col("__cab").cast(DoubleType) / col("__n").cast(DoubleType)) *
+          log(col("__cab").cast(DoubleType) * col("__n").cast(DoubleType) /
+            (col("__ca").cast(DoubleType) * col("__cb").cast(DoubleType))))
+      .agg(round(sum(round(col("__t"), 9).cast(DecimalType(18, 9)))
+        .cast(DoubleType), 6).as("mi"))
+    nRow.select(col("__n").as("n"), col("n_cells"))
+      .crossJoin(broadcast(ha))
+      .crossJoin(broadcast(hb))
+      .crossJoin(broadcast(mi))
+      .withColumn("nmi",
+        when(col("h_a") * col("h_b") > 0,
+          round(col("mi") / sqrt(col("h_a") * col("h_b")), 6))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Exact equi-depth binning of `valueCol` into `nBins` buckets —
+    * the discretizer feeding quantile-stratified sampling and
+    * per-decile quality reports. Bin of a row = ⌊(rank−1)·nBins/n⌋
+    * over the global (value, tieCol) order, so bin populations differ
+    * by at most one row and the assignment is fully deterministic
+    * under ties.
+    *
+    * The global rank does NOT use a single-partition window: phase 1
+    * coarse-bins values into `nRanges` equal-width ranges and
+    * collects per-range counts (≤ nRanges integer rows — bounded
+    * control-plane, the [[graft.operators.Sampling]] takeBudget prefix-sum
+    * idiom); phase 2 ranks within each range in parallel and adds
+    * the broadcast exclusive offset. Heavily duplicated values can
+    * concentrate a range (their window partition grows); for such
+    * keys pre-salt the tie column or raise nRanges.
+    *
+    * Returns one row per bin: (bin, n, lo, hi) with lo/hi the bin's
+    * observed value range. */
+  def equiDepthBins(
+      df: DataFrame,
+      valueCol: String,
+      tieCol: String,
+      nBins: Int,
+      nRanges: Int = 256): DataFrame = {
+    require(nBins > 0 && nRanges > 0)
+    val v = col(valueCol).cast(DoubleType)
+    val b = df.agg(min(v).as("lo"), max(v).as("hi"),
+      count(lit(1)).as("n")).collect()(0)
+    val (lo, hi, n) = (b.getDouble(0), b.getDouble(1), b.getLong(2))
+    val coarse =
+      if (hi > lo) binExpr(valueCol, lo, hi, nRanges) else lit(0)
+    val withR = df.withColumn("__r", coarse)
+    val totals = withR.groupBy(col("__r")).agg(count(lit(1)).as("__t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (r, t) => val o = (r, acc); acc += t; o }
+    val offDf = df.sparkSession.createDataFrame(offsets.toSeq)
+      .toDF("__r", "__off")
+    val w = Window.partitionBy(col("__r"))
+      .orderBy(v.asc, col(tieCol).asc)
+    withR.join(broadcast(offDf), Seq("__r"))
+      .withColumn("__rank", row_number().over(w) + col("__off"))
+      // floor of a double division of exact-integer operands: both
+      // engines see identical IEEE values (exact while rank·nBins
+      // stays under 2^53 — ~10¹⁴ rows at 10 bins)
+      .withColumn("bin",
+        floor((col("__rank") - 1) * nBins / lit(n.toDouble))
+          .cast(IntegerType))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), min(v).as("lo"), max(v).as("hi"))
+  }
+
+  /** Equal-width histogram of `valueCol` over its observed [min, max]
+    * — the one-glance distribution shape (bounds from a cheap
+    * min/max-only first pass; at warehouse scale they'd come from
+    * file-footer statistics instead). The top edge is closed so the
+    * max value lands in the last bin; empty bins are omitted.
+    *
+    * Returns one row per occupied bin: (bin, n, bin_lo, bin_hi). */
+  def histogramEquiWidth(
+      df: DataFrame,
+      valueCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins > 0)
+    val v = col(valueCol).cast(DoubleType)
+    val b = df.filter(v.isNotNull)
+      .agg(min(v).as("lo"), max(v).as("hi")).collect()(0)
+    val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+    val bin = if (hi > lo) binExpr(valueCol, lo, hi, nBins) else lit(0)
+    val width = if (hi > lo) (hi - lo) / nBins else 0.0
+    df.filter(v.isNotNull)
+      .select(bin.as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", round(lit(lo) + lit(width) * col("bin"), 6))
+      .withColumn("bin_hi",
+        round(lit(lo) + lit(width) * (col("bin") + 1), 6))
+  }
 }

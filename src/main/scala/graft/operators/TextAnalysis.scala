@@ -611,6 +611,51 @@ object TextAnalysis {
     out
   }
 
+  /** Reciprocal-rank fusion of ranked retrieval lists — the standard
+    * hybrid-search combiner (Cormack et al.'s RRF): each list
+    * contributes 1/(c + rank) per (query, doc) and the fused order is
+    * the score sum, so lists with incomparable score scales (BM25 vs
+    * cosine) fuse on RANK alone. `c = 60` is the published default.
+    *
+    * Input frames each carry (qidCol, idCol, rankCol); ranks are
+    * small integers, so 1/(c+rank) rounds to 9 dp and fixes as
+    * DECIMAL before the sum — the fused score, and therefore the
+    * fused rank, is exact arithmetic over emitted-precision values
+    * in any engine (ties break by doc id ascending).
+    *
+    * Scale shape: ranked lists are top-k-per-query frames — k·|q|
+    * rows each, control-plane-sized next to the corpus that produced
+    * them; the union + groupBy here shuffles only those. Returns
+    * (qidCol, idCol, n_lists, rrf, rk) with rk ≤ `k`. */
+  def rrfFuse(
+      lists: Seq[DataFrame],
+      qidCol: String,
+      idCol: String,
+      rankCol: String,
+      k: Int,
+      c: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    require(k > 0 && c >= 0)
+    val u = lists
+      .map(_.select(col(qidCol), col(idCol),
+        col(rankCol).cast(LongType).as("__rk0")))
+      .reduce(_ unionAll _)
+    val agg = u
+      .withColumn("__sc",
+        round(lit(1.0) / (lit(c.toDouble) + col("__rk0")), 9)
+          .cast(DecimalType(18, 9)))
+      .groupBy(col(qidCol), col(idCol))
+      .agg(count(lit(1)).as("n_lists"), sum(col("__sc")).as("__s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol))
+      .orderBy(col("__s").desc, col(idCol).asc)
+    agg.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(qidCol), col(idCol), col("n_lists"),
+        col("__s").cast(DoubleType).as("rrf"),
+        col("rk").cast(LongType).as("rk"))
+  }
+
   /** Bigram collocation mining by pointwise mutual information:
     * PMI(a,b) = ln p(a,b) − ln p(a) − ln p(b) computed from corpus
     * unigram/bigram counts as `ln c_ab + 2·ln U − ln T − ln c_a −

@@ -294,4 +294,85 @@ class StatsSpec extends SparkSpecBase {
     assert(math.abs(got("c")._2 - expected) < 1e-4,
       s"got ${got("c")._2}, expected ~$expected")
   }
+
+  test("corrMatrix: exact ±1 on linear columns, hand value on a mix") {
+    import spark.implicits._
+    // y = 2x (corr +1), z = -x (corr -1); all products exact at 4 dp
+    val df = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0),
+      (4.0, 8.0, -4.0)).toDF("x", "y", "z")
+    val got = Stats.corrMatrix(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(("x", "y")) == ((4L, 1.0)))
+    assert(got(("x", "z")) == ((4L, -1.0)))
+    assert(got(("y", "z")) == ((4L, -1.0)))
+    assert(got.size == 3) // upper triangle only
+  }
+
+  test("entropyByGroup: uniform pair is ln 2 / gini .5; " +
+      "single label is 0 / 0") {
+    import spark.implicits._
+    val df = Seq("u" -> "a", "u" -> "b", "s" -> "a", "s" -> "a")
+      .toDF("g", "l")
+    val got = Stats.entropyByGroup(df, "g", "l")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got("u") == ((2L, 2L, 0.693147, 0.5)))
+    assert(got("s") == ((2L, 1L, 0.0, 0.0)))
+  }
+
+  test("mutualInformation: independent columns 0, identical columns " +
+      "NMI 1") {
+    import spark.implicits._
+    val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("p", "q")
+    val r1 = Stats.mutualInformation(indep, "p", "q").collect()(0)
+    assert(r1.getAs[Long]("n") == 4L)
+    assert(r1.getAs[Long]("n_cells") == 4L)
+    assert(r1.getAs[Double]("mi") == 0.0)
+    assert(r1.getAs[Double]("nmi") == 0.0)
+    val dep = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("p", "q")
+    val r2 = Stats.mutualInformation(dep, "p", "q").collect()(0)
+    assert(r2.getAs[Double]("h_a") == 0.693147)
+    assert(r2.getAs[Double]("mi") == 0.693147)
+    assert(r2.getAs[Double]("nmi") == 1.0)
+  }
+
+  test("equiDepthBins: bins differ by at most one row and respect " +
+      "the (value, tie) order") {
+    import spark.implicits._
+    // 11 rows over 3 bins: populations 4/4/3 in value order
+    val df = (0 until 11).map(i => (i.toLong, (10 - i).toDouble))
+      .toDF("id", "v")
+    val got = Stats.equiDepthBins(df, "v", "id", nBins = 3, nRanges = 4)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(0) == ((4L, 0.0, 3.0)))
+    assert(got(1) == ((4L, 4.0, 7.0)))
+    assert(got(2) == ((3L, 8.0, 10.0)))
+  }
+
+  test("equiDepthBins: all-equal values split deterministically by tie") {
+    import spark.implicits._
+    val df = (0 until 6).map(i => (i.toLong, 7.0)).toDF("id", "v")
+    val got = Stats.equiDepthBins(df, "v", "id", nBins = 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(0 -> 3L, 1 -> 3L))
+  }
+
+  test("histogramEquiWidth: observed-range bins, max lands in the " +
+      "last bin") {
+    import spark.implicits._
+    val df = (0 until 10).map(_.toDouble).toDF("v")
+    val got = Stats.histogramEquiWidth(df, "v", nBins = 5)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // width (9-0)/5 = 1.8: every bin holds exactly 2 values, 9 clamps
+    assert(got.keySet == Set(0, 1, 2, 3, 4))
+    assert(got.values.forall(_._1 == 2L))
+    assert(got(0) == ((2L, 0.0, 1.8)))
+    assert(got(4) == ((2L, 7.2, 9.0)))
+  }
 }

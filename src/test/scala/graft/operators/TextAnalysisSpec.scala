@@ -292,4 +292,23 @@ class TextAnalysisSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 3L))
   }
+
+  test("rrfFuse: doc on both lists outranks single-list docs; " +
+      "hand-computed scores") {
+    import spark.implicits._
+    // list 1 ranks A=1, B=2; list 2 ranks B=1, C=2 (one query)
+    val l1 = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("qid", "doc", "rk")
+    val l2 = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("qid", "doc", "rk")
+    val got = TextAnalysis.rrfFuse(Seq(l1, l2), "qid", "doc", "rk", k = 3)
+      .collect().map(r => (r.getAs[Long]("doc"),
+        r.getAs[Long]("n_lists"), r.getAs[Double]("rrf"),
+        r.getAs[Long]("rk")))
+    // B: 1/61 + 1/62 (both rounded to 9 dp), A: 1/61, C: 1/62
+    val r61 = BigDecimal(1.0 / 61).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val r62 = BigDecimal(1.0 / 62).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    assert(got.toSeq == Seq(
+      (20L, 2L, (r61 + r62).toDouble, 1L),
+      (10L, 1L, r61.toDouble, 2L),
+      (30L, 1L, r62.toDouble, 3L)))
+  }
 }
