@@ -1284,6 +1284,21 @@ object Queries {
         .agg(count(lit(1)))
         .na.fill(0L)
     }),
+    "q_unpivot" -> ((s, dir) => {
+      // Wide-to-long reshape (melt): the four lineitem measures
+      // unpivot to (metric, val) rows via Dataset.unpivot — ONE
+      // Expand in one scan (the oracle's UNION ALL form would scan
+      // four times), then a tiny per-metric aggregate.
+      Tables.lineitem(s, dir)
+        .unpivot(
+          Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "val")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"), dsum(col("val")).as("val_sum"),
+          min(col("val")).as("val_min"), max(col("val")).as("val_max"))
+    }),
     "q_cube" -> ((s, dir) => {
       // CUBE over (returnflag, linestatus) with grouping_id — all four
       // grouping sets in one pass (Spark expands to a single Expand +
@@ -2753,6 +2768,26 @@ object Queries {
         .select(col("doc_id"), round(col("mean_byte"), 6).as("mean_byte"))
       meta.join(feats, Seq("doc_id"))
     }),
+    "q_multimodal_phash" -> ((s, dir) => {
+      // Perceptual near-dup detection on MEDIA BYTES: 64-segment
+      // average-hash over the decoded pixels, quadrant-blocked
+      // Hamming pairs. Every 7th doc plants a perturbed twin (first
+      // 10 chars overwritten, SAME container/dimensions) — the pair
+      // set recovers twins from the bytes alone, the image-side
+      // analogue of the SimHash text family. Segment means (not
+      // point samples) are what make the hash survive the edit.
+      val docs = Tables.documents(s, dir)
+      val base = docs.select(col("doc_id").as("id"), col("text"),
+        (col("doc_id") % 5).as("m"), col("doc_id").as("orig"))
+      val twins = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000L).as("id"),
+          concat(lit("XXXXXXXXXX"), substring(col("text"), 11, 1 << 24))
+            .as("text"),
+          (col("doc_id") % 5).as("m"), col("doc_id").as("orig"))
+      val withBin = base.unionByName(twins).withColumn("bin",
+        synthMediaBinaryOf(col("m"), col("orig"), col("text")))
+      Multimodal.phashNearDupPairs(withBin, "id", "bin", maxHamming = 3)
+    }),
     "q_multimodal_audio" -> ((s, dir) => {
       // Audio-container metadata: synthesize canonical PCM WAV
       // binaries (per-doc channel count and sample rate, the doc's
@@ -2908,15 +2943,22 @@ object Queries {
       lit("data".getBytes("UTF-8")), leBytes(dataLen, 4), payload)
   }
 
-  private def synthMediaBinary: Column = {
+  private def synthMediaBinary: Column =
+    synthMediaBinaryOf(col("doc_id") % 5, col("doc_id"), col("text"))
+
+  /** Parameterized form: container family `m` (0–4), the id the
+    * width/height fields derive from, and the payload text — so a
+    * query can synthesize a PERTURBED twin sharing the original's
+    * container (q_multimodal_phash). */
+  private def synthMediaBinaryOf(
+      m: Column, orig: Column, text: Column): Column = {
     val payload = encode(
-      regexp_replace(col("text"), "[^\\x20-\\x7e]", ""), "utf-8")
-    val w = lit(100L) + col("doc_id") % 50
-    val h = lit(50L) + col("doc_id") % 30
+      regexp_replace(text, "[^\\x20-\\x7e]", ""), "utf-8")
+    val w = lit(100L) + orig % 50
+    val h = lit(50L) + orig % 30
     val pngHdr = concat(
       unhex(lit("89504E470D0A1A0A0000000D49484452")),
       unhex(lpad(hex(w), 8, "0")), unhex(lpad(hex(h), 8, "0")))
-    val m = col("doc_id") % 5
     when(m === 0, concat(pngHdr, payload))
       .when(m === 1, concat(unhex(lit("FFD8FFE0")), payload))
       .when(m === 2, concat(lit("GIF89a".getBytes("UTF-8")), payload))
@@ -4509,6 +4551,7 @@ object Queries {
     "q_dedup_simhash_pairs" -> simhashPairsOracle,
     "q_dedup_ngram" -> ngramOracle,
     "q_multimodal_decode" -> multimodalDecodeOracle,
+    "q_multimodal_phash" -> multimodalPhashOracle,
     "q_dedup_apply" -> dedupApplyOracle,
     "q_text_redact" ->
       """WITH r AS (SELECT source,
@@ -4560,6 +4603,20 @@ object Queries {
         |   AS qty
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_unpivot" ->
+      """WITH u AS (
+        | SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        | UNION ALL
+        | SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        | UNION ALL
+        | SELECT 'l_discount', l_discount FROM lineitem
+        | UNION ALL
+        | SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT metric, count(*) AS n,
+        | round(CAST(sum(CAST(val AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |   AS val_sum,
+        | min(val) AS val_min, max(val) AS val_max
+        |FROM u GROUP BY metric""".stripMargin,
     "q_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, '<all>') AS status_g,
         | coalesce(o_orderpriority, '<all>') AS priority_g,
@@ -4811,6 +4868,71 @@ object Queries {
        |   WHEN 3 THEN 12 ELSE 3 END), 6) AS mean_byte
        |FROM p""".stripMargin
   }
+
+  /** q_multimodal_phash replica: the synthesized corpus (+ planted
+    * twins), byte lists rebuilt arithmetically (header constants per
+    * container + ASCII payload), the 64-segment aHash with integer
+    * ⌊i·n/64⌋ boundaries and double means of exact integer sums, then
+    * the quadrant-blocked Hamming pair join — blocking replicated, so
+    * the candidate set (not just the filter) is gated. */
+  private def multimodalPhashOracle: String =
+    s"""WITH src AS (
+       | SELECT doc_id AS id, text, doc_id % 5 AS m, doc_id AS orig
+       | FROM documents
+       | UNION ALL
+       | SELECT doc_id + 100000 AS id,
+       |  'XXXXXXXXXX' || substr(text, 11) AS text,
+       |  doc_id % 5 AS m, doc_id AS orig
+       | FROM documents WHERE doc_id % 7 = 0),
+       |p AS (SELECT id, m,
+       |  100 + orig % 50 AS w, 50 + orig % 30 AS h,
+       |  list_transform(list_filter(string_split(
+       |    regexp_replace(text, '[^\\x20-\\x7e]', '', 'g'), ''),
+       |    c -> len(c) > 0),
+       |    c -> CAST(ascii(c) AS BIGINT)) AS pl
+       | FROM src),
+       |bb AS (SELECT id,
+       |  list_concat(CASE m
+       |   WHEN 0 THEN [137,80,78,71,13,10,26,10,0,0,0,13,
+       |     73,72,68,82,0,0,0,w,0,0,0,h]
+       |   WHEN 1 THEN [255,216,255,224]
+       |   WHEN 2 THEN [71,73,70,56,57,97]
+       |   WHEN 3 THEN [82,73,70,70,0,0,0,0,87,65,86,69]
+       |   ELSE [73,68,51] END, pl) AS bl
+       | FROM p),
+       |nn AS (SELECT id, bl, len(bl) AS n FROM bb),
+       |sg AS (SELECT id, n,
+       |  CAST(list_sum(bl) AS DOUBLE) / n AS gmean,
+       |  list_transform(range(64), i ->
+       |   CAST(list_sum(list_slice(bl,
+       |     CAST((i * n) // 64 AS INTEGER) + 1,
+       |     CAST(((i + 1) * n) // 64 AS INTEGER))) AS DOUBLE) /
+       |   greatest(CAST(((i + 1) * n) // 64 - (i * n) // 64
+       |     AS INTEGER), 1)) AS sm
+       | FROM nn),
+       |hh AS (SELECT id,
+       |  coalesce(list_sum(list_transform(range(32), j ->
+       |   CASE WHEN sm[CAST(j AS INTEGER) + 33] > gmean
+       |    THEN (1::BIGINT << j) ELSE 0::BIGINT END)), 0) AS hi,
+       |  coalesce(list_sum(list_transform(range(32), j ->
+       |   CASE WHEN sm[CAST(j AS INTEGER) + 1] > gmean
+       |    THEN (1::BIGINT << j) ELSE 0::BIGINT END)), 0) AS lo
+       | FROM sg),
+       |qq AS (SELECT id, hi, lo, qn,
+       |  CASE qn WHEN 0 THEN lo & 65535
+       |   WHEN 1 THEN (lo >> 16) & 65535
+       |   WHEN 2 THEN hi & 65535
+       |   ELSE (hi >> 16) & 65535 END AS qval
+       | FROM hh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS qn)),
+       |cand AS (SELECT DISTINCT x.id AS a, y.id AS b,
+       |  x.hi AS ha, x.lo AS la, y.hi AS hb, y.lo AS lb
+       | FROM qq x JOIN qq y ON x.qn = y.qn AND x.qval = y.qval
+       |  AND x.id < y.id)
+       |SELECT a, b, CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb))
+       |  AS INTEGER) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3"""
+      .stripMargin
 
   // --- DuckDB replicas of the portable-hash dedup family --------------
   // Shared fragments mirror graft.operators.Dedup exactly: same token

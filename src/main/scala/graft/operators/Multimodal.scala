@@ -224,4 +224,93 @@ object Multimodal {
       }
       .toDF(idCol, "n_bytes", "sample_sum", "first_sample", "last_sample")
   }
+
+  /** 64-bit average-hash (aHash) of a media payload: the decoded
+    * pixel stream is cut into 64 equal segments, each segment's mean
+    * compares against the global mean, and the 64 verdicts pack into
+    * two 32-bit limbs (ph_hi = bits 32–63, ph_lo = bits 0–31) so
+    * downstream bit arithmetic stays in non-negative BIGINT range in
+    * any engine. Segment MEANS (not point samples) make the hash
+    * robust to small byte insertions/deletions — the property that
+    * makes aHash a near-dup signal rather than a checksum. Integer
+    * segment boundaries ⌊i·n/64⌋ and double divisions of exact
+    * integers keep the bits engine-replicable.
+    *
+    * Row-local, shuffle-free; with the stub decoder "pixels" are the
+    * payload bytes. Returns (id, ph_hi, ph_lo). */
+  def perceptualHash64(
+      df: DataFrame,
+      idCol: String,
+      binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes0) =>
+          val px = decodePixels(
+            if (bytes0 == null) Array.emptyByteArray else bytes0)
+          val n = px.length
+          var hi = 0L
+          var lo = 0L
+          if (n > 0) {
+            var total = 0L
+            px.foreach(total += _)
+            val gmean = total.toDouble / n
+            var i = 0
+            while (i < 64) {
+              val from = (i.toLong * n / 64).toInt
+              val until = ((i + 1).toLong * n / 64).toInt
+              var s = 0L
+              var j = from
+              while (j < until) { s += px(j); j += 1 }
+              val segMean = s.toDouble / math.max(until - from, 1)
+              if (segMean > gmean) {
+                if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+              }
+              i += 1
+            }
+          }
+          (id, hi, lo)
+        }
+      }
+      .toDF(idCol, "ph_hi", "ph_lo")
+  }
+
+  /** Perceptual near-dup pairs by quadrant-blocked Hamming distance
+    * over [[perceptualHash64]] — the media-bytes twin of
+    * [[Dedup.simhashNearDupPairs]]: each hash indexes its four 16-bit
+    * quadrants, only bucket-mates compare (pigeonhole-complete for
+    * maxHamming ≤ 3; above that, pairs differing in all four
+    * quadrants can be missed — the standard LSH-style recall trade).
+    * One shuffle on the quadrant key; no corpus self-join.
+    *
+    * Returns (a, b, hamming) with a < b, hamming ≤ `maxHamming`. */
+  def phashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64)
+    val h = perceptualHash64(df, idCol, binCol)
+    val blocked = h.select(col(idCol), col("ph_hi"), col("ph_lo"),
+      posexplode(array(
+        col("ph_lo").bitwiseAND(0xFFFFL),
+        shiftrightunsigned(col("ph_lo"), 16).bitwiseAND(0xFFFFL),
+        col("ph_hi").bitwiseAND(0xFFFFL),
+        shiftrightunsigned(col("ph_hi"), 16).bitwiseAND(0xFFFFL)))
+        .as(Seq("quadrant", "qval")))
+    val l = blocked.select(col(idCol).as("a"), col("ph_hi").as("hi_a"),
+      col("ph_lo").as("lo_a"), col("quadrant"), col("qval"))
+    val r = blocked.select(col(idCol).as("b"), col("ph_hi").as("hi_b"),
+      col("ph_lo").as("lo_b"), col("quadrant"), col("qval"))
+    l.join(r, Seq("quadrant", "qval"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b"))))
+          .cast(IntegerType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -130,4 +130,32 @@ class MultimodalSpec extends SparkSpecBase {
     assert(got(1L) == (140L, 0L, 70L))
     assert(got(2L) == (0L, 0L, 0L))
   }
+
+  test("perceptualHash64: identical payloads hash equal; a small edit " +
+      "moves few bits; hamming pairs recover the near-dup only") {
+    import spark.implicits._
+    // high/low byte blocks -> a deterministic non-trivial bit pattern
+    def payload(seed: Int): Array[Byte] =
+      Array.tabulate(512)(i =>
+        (if ((i / 64) % 2 == 0) 200 + (i + seed) % 7
+         else 10 + (i + seed) % 7).toByte)
+    val near = payload(0).clone()
+    var i = 0
+    while (i < 8) { near(i) = 5.toByte; i += 1 } // dent one segment
+    val far = Array.tabulate(512)(i => (i % 251).toByte)
+    val df = Seq((1L, payload(0)), (2L, payload(0)), (3L, near),
+      (4L, far)).toDF("id", "bin")
+    val h = Multimodal.perceptualHash64(df, "id", "bin")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(h(1L) == h(2L))
+    assert(h.values.forall { case (hi, lo) =>
+      hi >= 0 && lo >= 0 && (hi | lo) != 0L })
+    val pairs = Multimodal.phashNearDupPairs(df, "id", "bin",
+        maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L))
+    assert(!pairs.exists(p => p._2 == 4L))
+  }
 }
