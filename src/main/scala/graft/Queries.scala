@@ -1190,6 +1190,31 @@ object Queries {
       graft.operators.Stats.psiFromBinCounts(
         latest, refGroup = "src0", nBins = 10, outGroupCol = "source")
     }),
+    "q_stream_budget" -> ((s, dir) => {
+      // Streaming quota admission: each source spends its token
+      // budget as documents arrive (keyed state = ONE cumulative long
+      // per source); a doc is admitted iff the running total
+      // including it still fits — the ingest-time form of the batch
+      // takeBudget contract (rejected docs still advance the total,
+      // so the admitted set is a deterministic doc_id-order prefix
+      // the oracle replays with a window cumsum). Cross-batch state
+      // carry is pinned by StreamsSpec's two-file drain.
+      val name = s"q_stream_budget_${streamRun.incrementAndGet()}"
+      implicit val sp: SparkSession = s
+      val drained = graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.tokenBudgetAdmission(
+          graft.streaming.Streams.docsStream(s, dir),
+          TextAnalysis.tokenCount(col("text")), "source",
+          budget = 1000L).toDF(), name, shufflePartitions = Some(8))
+      drained.groupBy(col("g"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+          sum(when(col("admitted"), col("cost")).otherwise(0L))
+            .as("tokens_admitted"),
+          max(col("cum")).as("tokens_seen"))
+        .select(col("g").as("source"), col("n_docs"), col("n_admitted"),
+          col("tokens_admitted"), col("tokens_seen"))
+    }),
     "q_stream_neardedup" -> ((s, dir) => {
       // Streaming SimHash near-dup admission over the documents
       // stream: per-row (shuffle-free) simhash → quadrant-bucketed
@@ -3224,6 +3249,25 @@ object Queries {
     // equal the batch bin counts, and the PSI tail is shared code —
     // so the oracle IS the batch oracle
     "q_stream_drift" -> docLengthPsiOracle,
+    // tokenBudgetAdmission replica: the drained per-source admission
+    // verdicts equal a batch window cumsum over doc_id order — same
+    // `cum <= budget` contract as the batch takeBudget.
+    "q_stream_budget" ->
+      """WITH c AS (SELECT doc_id, source,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> len(x) > 0)) AS BIGINT) AS cost
+        | FROM documents),
+        |r AS (SELECT source, cost,
+        |  sum(cost) OVER (PARTITION BY source ORDER BY doc_id ASC
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM c)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN cum <= 1000 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_admitted,
+        | CAST(sum(CASE WHEN cum <= 1000 THEN cost ELSE 0 END) AS BIGINT)
+        |   AS tokens_admitted,
+        | CAST(max(cum) AS BIGINT) AS tokens_seen
+        |FROM r GROUP BY source""".stripMargin,
     "q_anomaly_zscore" ->
       """WITH s AS (SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv,

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 
 /** Structured Streaming surface of the engine: the daily-batch
   * semantics of the reference re-expressed as streams, plus the
@@ -418,6 +418,66 @@ object Streams {
             BandFlag(id, dup)
           }
           state.update(BandState(seen))
+          out.iterator
+      }
+  }
+
+  /** One admission verdict: the doc's cost, its group's cumulative
+    * cost INCLUDING it, and whether the budget still covered it. */
+  final case class AdmitFlag(
+      doc_id: Long, g: String, cost: Long, cum: Long, admitted: Boolean)
+
+  /** The carried cumulative cost per group. */
+  final case class CumCost(c: Long)
+
+  /** Streaming token-budget admission — quota enforcement at INGEST:
+    * each group (source/domain) carries its cumulative token cost in
+    * keyed state, and a document is admitted iff the running total
+    * including it still fits the budget — the streaming twin of
+    * [[graft.operators.Sampling.takeBudget]]'s `cum ≤ budget`
+    * contract (rejected docs still advance the total, so the
+    * admitted set is a PREFIX of the group's ingest order — the
+    * deterministic quota shape, not a bin-packing heuristic).
+    *
+    * A crawl drop lands, each source spends against its quota as
+    * files arrive, and overflow routes to quarantine in one pass —
+    * instead of landing everything and budget-sampling nightly.
+    *
+    * Ordering contract (the [[sessionCountsState]] replay
+    * discipline): batches arrive doc_id-ordered across files and each
+    * batch sorts per group, so the admitted prefix is deterministic
+    * and equals the batch replay (a per-group window cumsum over
+    * doc_id order) row for row — the q_stream_budget gate.
+    *
+    * 100 TB notes: state is ONE long per group, hash-partitioned;
+    * the stream shuffles (id, group, cost) triples only. NoTimeout
+    * keeps the bounded-drain gate deterministic; a production
+    * deployment would reset quotas per window instead. */
+  def tokenBudgetAdmission(
+      docs: DataFrame,
+      costCol: Column,
+      groupCol: String,
+      budget: Long)(
+      implicit spark: SparkSession): Dataset[AdmitFlag] = {
+    import spark.implicits._
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    docs
+      .select(col("doc_id").cast(LongType),
+        col(groupCol).cast(StringType).as("__g"),
+        costCol.cast(LongType).as("__cost"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (g: String, rows: Iterator[(Long, String, Long)],
+         state: GroupState[CumCost]) =>
+          val batch = rows.toArray.sortBy(_._1)
+          var cum = state.getOption.map(_.c).getOrElse(0L)
+          val out = batch.map { case (id, _, cost) =>
+            cum += cost
+            AdmitFlag(id, g, cost, cum, cum <= budget)
+          }
+          state.update(CumCost(cum))
           out.iterator
       }
   }

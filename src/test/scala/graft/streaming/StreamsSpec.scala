@@ -338,6 +338,35 @@ class StreamsSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
+  test("budget admission carries spent quota ACROSS micro-batches " +
+    "(a merged batch could not distinguish the carry)") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val tmp = java.nio.file.Files.createTempDirectory("budget_mb").toFile
+    val t0 = System.currentTimeMillis()
+    // budget 10 tokens: batch 1's doc 1 spends 6; batch 2's doc 2
+    // costs 5 — admitted ONLY if batch 1's spend was forgotten. The
+    // doc_id order matches the file order, so the batch replay gives
+    // the same verdict; what the split pins is that the carried state
+    // (not batch-local recount) made the decision: doc 3's cum must
+    // start from 11, not 5.
+    writeDocsFile(tmp, "a.parquet", Seq((1L, "a b c d e f")),
+      t0 - 60000)
+    writeDocsFile(tmp, "b.parquet", Seq((2L, "g h i j k"),
+      (3L, "l m")), t0)
+    val raw = Streams.runAvailableNow(
+      Streams.tokenBudgetAdmission(
+        Streams.docsStream(spark, tmp.getPath, glob = "*.parquet",
+          maxFilesPerTrigger = 1),
+        graft.operators.TextAnalysis.tokenCount(col("text")),
+        "source", budget = 10L).toDF(), "budget_multibatch")
+    val got = raw.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cum"), r.getAs[Boolean]("admitted"))).toMap
+    assert(got == Map(1L -> (6L, true), 2L -> (11L, false),
+      3L -> (13L, false)), s"got $got")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   test("streaming transition drain equals the batch transition matrix") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val streamed = Streams.runAvailableNow(
