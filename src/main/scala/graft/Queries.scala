@@ -942,6 +942,18 @@ object Queries {
           sum(col("vec_id")).as("id_sum"),
           max(col("vec_id")).as("max_id"))
     }),
+    "q_sim_mmr" -> ((s, dir) => {
+      // MMR-diversified retrieval: greedy top-6 for query vector 0,
+      // each round's argmax trading relevance against redundancy with
+      // the already-selected set (λ = 0.5) — the RAG context
+      // assembler. Declarative loop: per-round TakeOrderedAndProject
+      // + broadcast 1-row pick + greatest-merge; the oracle unrolls
+      // all 6 levels with identical double arithmetic.
+      val emb = Tables.embeddings(s, dir)
+      Similarity.mmrSelect(
+        emb.filter(col("vec_id") > 0), emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 6, lambda = 0.5)
+    }),
     "q_select_kcenter" -> ((s, dir) => {
       // k-center greedy coreset selection (Gonzalez farthest-point):
       // 8 maximally-novel exemplars — each round the candidate with
@@ -3595,6 +3607,7 @@ object Queries {
     "q_graph_linkpred" -> graphLinkpredOracle,
     "q_pipeline_semantic" -> pipelineSemanticOracle,
     "q_select_kcenter" -> selectKcenterOracle,
+    "q_sim_mmr" -> simMmrOracle,
     "q_cluster_balance" -> clusterBalanceOracle,
     "q_cluster_purity" -> clusterPurityOracle,
     "q_dedup_semantic" -> dedupSemanticOracle,
@@ -6253,6 +6266,40 @@ object Queries {
        |SELECT cid, count(*) AS n_selected,
        |  CAST(sum(id) AS BIGINT) AS id_sum, max(id) AS max_id
        |FROM r WHERE rn <= 30 GROUP BY 1""".stripMargin
+
+  /** q_sim_mmr replica: the 6 greedy MMR rounds unrolled — each
+    * level's argmax (0.5·rel − 0.5·red desc, id asc LIMIT 1) and
+    * greatest-merge of the redundancy term replay the engine's
+    * per-round arithmetic on identical doubles. */
+  private def simMmrOracle: String = {
+    val k = 6
+    val levels = (1 until k).map { i =>
+      val pb = s"b${i - 1}"
+      s"""p$i AS (SELECT id, v, rel, red FROM $pb
+         |  ORDER BY 0.5 * rel - 0.5 * red DESC, id ASC LIMIT 1),
+         |b$i AS (SELECT $pb.id, $pb.v, $pb.rel,
+         |  greatest($pb.red, ${cosSql(s"$pb.v", s"p$i.v")}) AS red
+         |  FROM $pb, p$i WHERE $pb.id <> p$i.id)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 until k).map(i =>
+      s"UNION ALL SELECT CAST($i AS BIGINT), id, round(rel, 6), " +
+        s"round(red, 6) FROM p$i").mkString("\n")
+    s"""WITH qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings
+       |            WHERE vec_id = 0),
+       |c0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+       |  ${cosSql("embedding::DOUBLE[]", "q")} AS rel
+       | FROM embeddings, qv WHERE vec_id > 0),
+       |s0 AS (SELECT id, v, rel FROM c0
+       |       ORDER BY rel DESC, id ASC LIMIT 1),
+       |b0 AS (SELECT c0.id, c0.v, c0.rel,
+       |  ${cosSql("c0.v", "s0.v")} AS red
+       |  FROM c0, s0 WHERE c0.id <> s0.id),
+       |$levels
+       |SELECT CAST(0 AS BIGINT) AS sel_order, id AS vec_id,
+       |  round(rel, 6) AS relevance, CAST(NULL AS DOUBLE) AS redundancy
+       |FROM s0
+       |$sel""".stripMargin
+  }
 
   /** q_select_kcenter replica: the 8 greedy selection rounds unrolled
     * — each level's argmin (best asc, id asc LIMIT 1) and

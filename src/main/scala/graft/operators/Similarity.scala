@@ -411,6 +411,71 @@ object Similarity {
     picks.reduce(_ union _)
   }
 
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    * SIGIR'98): greedy top-`k` that trades relevance to the query
+    * against redundancy with what is already selected — pick i
+    * maximizes λ·cos(v, q) − (1−λ)·max_{s∈selected} cos(v, s). The
+    * retrieval-side diversifier: where [[kCenterGreedy]] covers a
+    * corpus, MMR diversifies a RESULT SET (RAG context assembly, eval
+    * set picking).
+    *
+    * Same declarative loop shape as [[kCenterGreedy]]: each round is
+    * a TakeOrderedAndProject argmax (score desc, id asc — ties
+    * deterministic), the 1-row pick broadcasts into a greatest-merge
+    * of the redundancy term, and the candidate state localCheckpoints
+    * per round (k bounded rounds, lineage cut each time). Relevance
+    * is computed ONCE; only the redundancy column updates.
+    *
+    * Returns (sel_order, idCol, relevance, redundancy) — redundancy
+    * NULL for the first pick (pure relevance argmax). */
+  def mmrSelect(
+      corpus: DataFrame,
+      query: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      lambda: Double = 0.5): DataFrame = {
+    require(k >= 1 && k <= 64, s"k out of range: $k")
+    require(lambda >= 0 && lambda <= 1, s"lambda out of range: $lambda")
+    val q = query.select(col(embCol).as("__qv")).limit(1).localCheckpoint()
+    val cand = corpus.select(col(idCol), col(embCol).as("__v"))
+      .crossJoin(broadcast(q))
+      .select(col(idCol), col("__v"),
+        cosine(col("__v"), col("__qv")).as("__rel"))
+    val first = cand.orderBy(col("__rel").desc, col(idCol).asc).limit(1)
+      .localCheckpoint()
+    var picks = Seq(first.select(lit(0L).as("sel_order"), col(idCol),
+      round(col("__rel"), 6).as("relevance"),
+      lit(null).cast(DoubleType).as("redundancy")))
+    var rest = cand
+      .crossJoin(broadcast(first.select(col(idCol).as("__pid"),
+        col("__v").as("__pv"))))
+      .filter(col(idCol) =!= col("__pid"))
+      .select(col(idCol), col("__v"), col("__rel"),
+        cosine(col("__v"), col("__pv")).as("__red"))
+      .localCheckpoint()
+    val score = lit(lambda) * col("__rel") - lit(1 - lambda) * col("__red")
+    for (i <- 1 until k) {
+      val c = rest.orderBy(score.desc, col(idCol).asc).limit(1)
+        .localCheckpoint()
+      picks :+= c.select(lit(i.toLong).as("sel_order"), col(idCol),
+        round(col("__rel"), 6).as("relevance"),
+        round(col("__red"), 6).as("redundancy"))
+      val next = rest
+        .crossJoin(broadcast(c.select(col(idCol).as("__cid"),
+          col("__v").as("__cv"))))
+        .filter(col(idCol) =!= col("__cid"))
+        .select(col(idCol), col("__v"), col("__rel"),
+          greatest(col("__red"), cosine(col("__v"), col("__cv")))
+            .as("__red"))
+        .localCheckpoint()
+      rest.unpersist(false)
+      rest = next
+    }
+    rest.unpersist(false)
+    picks.reduce(_ union _)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus with k-means
     * ([[assignClusters]]), then WITHIN each cluster drop every vector

@@ -221,6 +221,29 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got(2)._3.exists(v => v > 0.70 && v < 0.72))
   }
 
+  test("mmrSelect diversifies: a redundant high-relevance candidate " +
+      "loses to a diverse lower-relevance one") {
+    import spark.implicits._
+    // query [1,0]; id 2 picked first (rel ≈ .904, the argmax). id 1
+    // is nearly parallel to it (red ≈ 1 → score ≈ −.05); id 3 mirrors
+    // id 1 across the query axis (red ≈ .63 → score ≈ +.14), so MMR
+    // picks 3 second. Pure relevance (λ = 1) picks 1 second instead:
+    // rel₁ = rel₃ exactly (mirrored vectors), id tie-break.
+    val q = Seq((0L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(0.9f, 0.436f)), (2L, Array(0.91f, 0.43f)),
+      (3L, Array(0.9f, -0.436f))).toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(corpus, q, "vec_id", "embedding",
+        k = 2, lambda = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 2L), (1L, 3L)), s"got ${got.toSeq}")
+    // λ = 1 is pure relevance: the redundant id 1 comes back
+    val pure = Similarity.mmrSelect(corpus, q, "vec_id", "embedding",
+        k = 2, lambda = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(pure.toSeq == Seq((0L, 2L), (1L, 1L)), s"got ${pure.toSeq}")
+  }
+
   test("semanticDedupKeep: keeps the lowest id per duplicate group") {
     import spark.implicits._
     val rows = Seq(0L, 2L, 4L).map(id => (id, Array(1f, 0f))) ++
