@@ -914,6 +914,19 @@ object Queries {
           sum(col("id")).as("id_sum"),
           max(col("id")).as("max_id"))
     }),
+    "q_graph_communities" -> ((s, dir) => {
+      // Label-propagation communities on the k-NN graph (deterministic
+      // synchronous variant, 3 rounds): neighborhoods coarser than
+      // connected components — the cluster structure INSIDE one
+      // component. Each round is one |E|-linear count shuffle + one
+      // per-node argmax; the oracle unrolls all 3 rounds. Gate:
+      // per-community census.
+      graft.operators.Graph.labelPropagation(knnEdges(s, dir),
+          rounds = 3)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_members"), sum(col("id")).as("id_sum"),
+          min(col("id")).as("min_id"))
+    }),
     "q_graph_linkpred" -> ((s, dir) => {
       // Adamic–Adar link prediction on the k-NN graph: the top-20
       // non-adjacent pairs by shared-neighbor evidence — the feature
@@ -3604,6 +3617,7 @@ object Queries {
     "q_graph_triangles" -> graphTrianglesOracle,
     "q_graph_bfs" -> graphBfsOracle,
     "q_graph_components" -> graphComponentsOracle,
+    "q_graph_communities" -> graphCommunitiesOracle,
     "q_graph_linkpred" -> graphLinkpredOracle,
     "q_pipeline_semantic" -> pipelineSemanticOracle,
     "q_select_kcenter" -> selectKcenterOracle,
@@ -6232,6 +6246,30 @@ object Queries {
        |SELECT component, count(*) AS n_members,
        | CAST(sum(id) AS BIGINT) AS id_sum, max(id) AS max_id
        |FROM cc GROUP BY component""".stripMargin
+
+  /** q_graph_communities replica: the 3 synchronous label-propagation
+    * rounds unrolled — per round each node takes its neighbors'
+    * previous-round label with (count desc, label asc) — then the
+    * per-community census. */
+  private def graphCommunitiesOracle: String = {
+    val rounds = 3
+    val levels = (1 to rounds).map { i =>
+      val prev = s"g${i - 1}"
+      s"""g$i AS (SELECT id, label FROM (
+         |  SELECT nb.a AS id, $prev.label, count(*) AS c,
+         |   row_number() OVER (PARTITION BY nb.a
+         |     ORDER BY count(*) DESC, $prev.label ASC) AS rn
+         |  FROM nb JOIN $prev ON nb.b = $prev.id
+         |  GROUP BY nb.a, $prev.label) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnEdgesCte,
+       |nb AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+       |g0 AS (SELECT DISTINCT a AS id, a AS label FROM nb),
+       |$levels
+       |SELECT label, count(*) AS n_members,
+       | CAST(sum(id) AS BIGINT) AS id_sum, min(id) AS min_id
+       |FROM g$rounds GROUP BY label""".stripMargin
+  }
 
   /** q_graph_linkpred replica: wedge enumeration around each center,
     * per-wedge round(1/ln(deg), 6) summed as DECIMAL, non-adjacent

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import org.apache.spark.storage.StorageLevel
@@ -325,6 +326,49 @@ object Graph {
       r += 1
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** Synchronous label-propagation communities (Raghavan, Albert &
+    * Kumara 2007): labels start as node ids; each round, EVERY node
+    * simultaneously adopts the most frequent label among its
+    * neighbors' previous-round labels (count desc, label asc — fully
+    * deterministic, unlike the published randomized sweep). A fixed
+    * round count keeps the oracle an unrolled CTE chain; communities
+    * are the label groups after the last round.
+    *
+    * Scale shape per round: one (node, label) count shuffle over the
+    * edge list + one per-node window argmax on the count frame —
+    * linear in |E|; the label state localCheckpoints per round (the
+    * iterative-lineage idiom every loop here uses). Input edges are
+    * canonical (a, b) pairs; both directions are derived.
+    *
+    * Returns (id, label) for every endpoint. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, s"rounds out of range: $rounds")
+    val nbr = edges.select(col("a"), col("b"))
+      .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nbr.count()
+    var labels = nbr.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val counts = nbr
+        .join(labels.select(col("id").as("b"), col("label")), Seq("b"))
+        .groupBy(col("a"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy(col("a"))
+        .orderBy(col("__c").desc, col("label").asc)
+      val next = counts.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("a").as("id"), col("label"))
+        .localCheckpoint()
+      labels.unpersist(false)
+      labels = next
+    }
+    nbr.unpersist(false)
+    labels
   }
 
   /** Undirected edge set: both directions, distinct. */

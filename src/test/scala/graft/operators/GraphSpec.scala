@@ -235,4 +235,21 @@ class GraphSpec extends SparkSpecBase {
     assert(p8.nonEmpty, "empty core is a degenerate gate")
   }
 
+  test("labelPropagation: two triangles joined by one bridge converge " +
+      "to two communities labeled by their min ids") {
+    import spark.implicits._
+    // triangle {1,2,3}, triangle {10,11,12}, bridge 3–10. Round 1:
+    // every triangle node adopts its own triangle's min neighbor
+    // label; rounds 2–3 settle each triangle on its min id (1 / 10),
+    // the bridge notwithstanding (one cross vote loses to two local).
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("a", "b")
+    val got = Graph.labelPropagation(edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet.size == 2, s"got $got")
+    assert(got(1L) == got(2L) && got(2L) == got(3L), s"got $got")
+    assert(got(10L) == got(11L) && got(11L) == got(12L), s"got $got")
+    assert(got(1L) != got(10L), s"got $got")
+  }
+
 }
