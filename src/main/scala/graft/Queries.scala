@@ -4697,30 +4697,46 @@ object Queries {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
         .stripMargin,
-    // corrMatrix replica: every moment is a 4-dp-rounded product fixed
-    // as DECIMAL(28,4) before the exact sum — the engine's one-pass
-    // sufficient statistics — then the textbook Pearson arithmetic on
-    // the decimal-derived doubles, 6-dp emit.
+    // corrMatrix replica: each moment is a 4-dp half-away-rounded
+    // LONG split into (⌊t/2²³⌋, t mod 2²³) limbs summed exactly — the
+    // engine's codegen-fast two-limb sums — reassembled HUGEINT-exact
+    // on the single row, then the textbook Pearson arithmetic, 6-dp
+    // emit.
     "q_corr_matrix" -> {
       val cs = Seq("l_quantity" -> "q", "l_extendedprice" -> "e",
         "l_discount" -> "d", "l_tax" -> "t")
-      def fx(e: String) = s"CAST(sum(CAST(round($e, 4) AS DECIMAL(28,4))) AS DOUBLE)"
-      val singles = cs.map { case (c, a) =>
-        s"${fx(c)} AS s_$a,\n  ${fx(s"$c * $c")} AS ss_$a" }
+      val limb = 1L << 23
+      def tSql(e: String) =
+        s"CAST(CASE WHEN ($e) >= 0 THEN floor(($e) * 1e4 + 0.5) " +
+          s"ELSE -floor(-($e) * 1e4 + 0.5) END AS BIGINT)"
+      def hiSql(t: String) =
+        s"CAST(floor(CAST($t AS DOUBLE) / $limb) AS BIGINT)"
       val prs = for { i <- cs.indices; j <- cs.indices if i < j }
         yield (cs(i), cs(j))
-      val pairSums = prs.map { case ((ca, aa), (cb, ab)) =>
-        s"${fx(s"$ca * $cb")} AS sp_$aa$ab" }
+      val momentList =
+        cs.flatMap { case (c, a) =>
+          Seq(s"s_$a" -> c, s"ss_$a" -> s"$c * $c") } ++
+        prs.map { case ((ca, aa), (cb, ab)) => s"sp_$aa$ab" -> s"$ca * $cb" }
+      val pre = momentList.map { case (m, e) => s"${tSql(e)} AS t_$m" }
+      val sums = momentList.map { case (m, _) =>
+        s"CAST(sum(${hiSql(s"t_$m")}) AS BIGINT) AS h_$m,\n  " +
+          s"CAST(sum(t_$m - ${hiSql(s"t_$m")} * $limb) AS BIGINT) AS l_$m" }
+      val vals = momentList.map { case (m, _) =>
+        s"CAST(CAST(h_$m AS HUGEINT) * $limb + l_$m AS DOUBLE) / 1e4 AS $m" }
       val arms = prs.map { case ((ca, aa), (cb, ab)) =>
         s"""SELECT '$ca' AS x, '$cb' AS y, n,
            | round((nd * sp_$aa$ab - s_$aa * s_$ab) /
            |   sqrt((nd * ss_$aa - s_$aa * s_$aa) *
-           |        (nd * ss_$ab - s_$ab * s_$ab)), 6) AS corr FROM m"""
+           |        (nd * ss_$ab - s_$ab * s_$ab)), 6) AS corr FROM v"""
           .stripMargin }
-      s"""WITH m AS (
+      s"""WITH pre AS (
+         | SELECT ${pre.mkString(",\n  ")}
+         | FROM lineitem),
+         |m AS (
          | SELECT count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
-         |  ${(singles ++ pairSums).mkString(",\n  ")}
-         | FROM lineitem)
+         |  ${sums.mkString(",\n  ")}
+         | FROM pre),
+         |v AS (SELECT n, nd, ${vals.mkString(",\n  ")} FROM m)
          |${arms.mkString("\nUNION ALL\n")}""".stripMargin
     },
     "q_label_entropy" ->
