@@ -659,6 +659,17 @@ object Queries {
       // stratifying on both does not double-count.
       Stats.mutualInformation(Tables.documents(s, dir), "lang", "source")
     }),
+    "q_autocorr" -> ((s, dir) => {
+      // Seasonality diagnostic: ACF at lags 1–7 of the daily revenue
+      // series. The corpus-sized work is the daily groupBy; the lag
+      // window runs over the ~2.4k-period control-plane frame the
+      // aggregate produced (periods, never data — the waterfill
+      // single-partition discipline).
+      val daily = Tables.orders(s, dir)
+        .groupBy(dateFmt(col("o_orderdate")).as("d"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      Stats.autocorrelation(daily, "d", "rev", maxLag = 7)
+    }),
     "q_quantile_bins" -> ((s, dir) => {
       // Exact equi-depth deciles of order value — the discretizer
       // behind per-decile quality reports. The global rank is the
@@ -4777,6 +4788,34 @@ object Queries {
         | CASE WHEN h_a * h_b > 0 THEN round(mi / sqrt(h_a * h_b), 6)
         |  ELSE 0.0 END AS nmi
         |FROM nr, ha, hb, mi""".stripMargin,
+    // autocorrelation replica: daily dsum series, full-series mean
+    // from an exact decimal sum, centered products rounded to 2 dp
+    // and DECIMAL-fixed before the sums, lags via window lag.
+    "q_autocorr" -> {
+      val ks = 1 to 7
+      val lags = ks.map(k => s"lag(rev, $k) OVER w AS x$k").mkString(", ")
+      val nums = ks.map(k =>
+        s"CAST(sum(CAST(round((x - m) * (x$k - m), 2) AS DECIMAL(28,2)))" +
+          s" AS DOUBLE) AS num$k, count(x$k) AS cnt$k").mkString(",\n  ")
+      val arms = ks.map(k =>
+        s"SELECT CAST($k AS INTEGER) AS lag, cnt$k AS n_terms, " +
+          s"CASE WHEN den > 0 THEN round(num$k / den, 6) " +
+          s"ELSE NULL END AS acf FROM agg").mkString("\nUNION ALL\n")
+      s"""WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+         |    AS DOUBLE), 4) AS rev
+         | FROM orders GROUP BY 1),
+         |lg AS (SELECT rev AS x,
+         |  CAST(sum(CAST(rev AS DECIMAL(18,4))) OVER () AS DOUBLE)
+         |    / count(*) OVER () AS m, $lags
+         | FROM daily WINDOW w AS (ORDER BY d ASC)),
+         |agg AS (SELECT
+         |  CAST(sum(CAST(round((x - m) * (x - m), 2) AS DECIMAL(28,2)))
+         |    AS DOUBLE) AS den,
+         |  $nums
+         | FROM lg)
+         |$arms""".stripMargin
+    },
     // equiDepthBins replica: the rank is a plain global row_number —
     // the Spark side's two-phase prefix sum reproduces exactly this
     // (value, tie) order, only distributed.

@@ -826,6 +826,58 @@ object Stats {
       .agg(count(lit(1)).as("n"), min(v).as("lo"), max(v).as("hi"))
   }
 
+  /** Autocorrelation function of an ALREADY-AGGREGATED series: ACF at
+    * lags 1..`maxLag` over the `orderCol` order, with the standard
+    * full-series mean/variance normalization
+    * r_k = Σ(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)² — the seasonality /
+    * trend-persistence diagnostic (a daily series with weekly rhythm
+    * shows a lag-7 peak; white noise hovers near 0).
+    *
+    * The input is a per-period aggregate (days, hours), so it is
+    * control-plane-sized BY CONSTRUCTION at any corpus scale — the
+    * single-partition lag window here orders periods, never data (the
+    * waterFillBudget discipline); the corpus-sized work happened in
+    * the caller's groupBy. Determinism: mean divides an exact decimal
+    * sum; each centered product rounds to 2 dp and fixes as DECIMAL
+    * before the sum, so numerators and the shared denominator are
+    * order-independent.
+    *
+    * Returns one row per lag: (lag, n_terms, acf). */
+  def autocorrelation(
+      series: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, s"maxLag out of range: $maxLag")
+    val x = col(valueCol).cast(DoubleType)
+    def fix2(c: Column) = round(c, 2).cast(DecimalType(28, 2))
+    val w = Window.orderBy(col(orderCol).asc)
+    // the mean is a full-frame window on the SAME pass as the lags —
+    // a separate aggregate joined back would re-run the caller's
+    // corpus groupBy a second time (the entropyByGroup lesson)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val lagged = series
+      .select(Seq(x.as("__x"),
+        (sum(x.cast(DecimalType(18, 4))).over(wAll).cast(DoubleType) /
+          count(lit(1)).over(wAll)).as("__m")) ++
+        (1 to maxLag).map(k => lag(x, k).over(w).as(s"__x$k")): _*)
+    val den = sum(fix2((col("__x") - col("__m")) *
+      (col("__x") - col("__m")))).cast(DoubleType)
+    val nums = (1 to maxLag).flatMap(k => Seq(
+      sum(fix2((col("__x") - col("__m")) *
+        (col(s"__x$k") - col("__m")))).cast(DoubleType).as(s"__num$k"),
+      count(col(s"__x$k")).as(s"__cnt$k")))
+    val one = lagged.agg(den.as("__den"), nums: _*)
+    val rows = (1 to maxLag).map(k =>
+      struct(lit(k).as("lag"), col(s"__cnt$k").as("n_terms"),
+        when(col("__den") > 0, round(col(s"__num$k") / col("__den"), 6))
+          .otherwise(lit(null).cast(DoubleType)).as("acf")))
+    one.select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.lag").as("lag"), col("__r.n_terms").as("n_terms"),
+        col("__r.acf").as("acf"))
+  }
+
   /** Equal-width histogram of `valueCol` over its observed [min, max]
     * — the one-glance distribution shape (bounds from a cheap
     * min/max-only first pass; at warehouse scale they'd come from

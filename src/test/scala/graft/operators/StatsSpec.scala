@@ -362,6 +362,20 @@ class StatsSpec extends SparkSpecBase {
     assert(got == Map(0 -> 3L, 1 -> 3L))
   }
 
+  test("autocorrelation: alternating series gives exact ±ACF; " +
+      "denominator over the full series") {
+    import spark.implicits._
+    // x = +1,−1,… (n = 8, mean 0): den = 8, lag-1 terms = 7 × (−1),
+    // lag-2 terms = 6 × (+1) → acf₁ = −0.875, acf₂ = 0.75
+    val df = (1 to 8).map(t => (t, if (t % 2 == 1) 1.0 else -1.0))
+      .toDF("t", "x")
+    val got = Stats.autocorrelation(df, "t", "x", maxLag = 2)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1) == ((7L, -0.875)))
+    assert(got(2) == ((6L, 0.75)))
+  }
+
   test("histogramEquiWidth: observed-range bins, max lands in the " +
       "last bin") {
     import spark.implicits._
