@@ -2672,6 +2672,33 @@ object Queries {
       TextAnalysis.bm25Retrieve(Tables.documents(s, dir), "doc_id",
         col("text"), qs, "qid", col("qtext"), k = 5)
     }),
+    "q_hard_negatives" -> ((s, dir) => {
+      // Hard-negative mining for contrastive training: docs the
+      // LEXICAL scorer ranks in its top-10 that the embedding space
+      // does NOT place in its top-10 — textually confusable,
+      // semantically distant, exactly the negatives a retriever
+      // trainer wants. One anti-join of two top-k control-plane
+      // frames; top-3 per query by BM25 rank.
+      import s.implicits._
+      val qs = Seq((1L, "hash join table"), (2L, "window agg spark"),
+        (3L, "stream filter batch"), (4L, "vector scan sort"))
+        .toDF("qid", "qtext")
+      val sparse = TextAnalysis.bm25Retrieve(Tables.documents(s, dir),
+          "doc_id", col("text"), qs, "qid", col("qtext"), k = 10)
+        .select(col("qid"), col("doc_id"), col("rk"))
+      val emb = Tables.embeddings(s, dir)
+      val dense = Similarity.topKPerQuery(emb,
+          emb.filter(col("vec_id").between(1, 4)), "vec_id",
+          "embedding", k = 10)
+        .select(col("query_id").as("qid"), col("corpus_id").as("doc_id"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("rk").asc, col("doc_id").asc)
+      sparse.join(dense, Seq("qid", "doc_id"), "left_anti")
+        .withColumn("neg_rank", row_number().over(w).cast(LongType))
+        .filter(col("neg_rank") <= 3)
+        .select(col("qid"), col("doc_id"), col("rk").as("bm25_rank"),
+          col("neg_rank"))
+    }),
     "q_hybrid_rrf" -> ((s, dir) => {
       // Hybrid retrieval: the BM25 lexical list (q_text_retrieve's
       // query set, k=10) fuses with the dense cosine list (the same
@@ -3611,6 +3638,20 @@ object Queries {
     "q_text_bm25" -> bm25Oracle,
     "q_text_retrieve" -> bm25RetrieveOracle,
     "q_hybrid_rrf" -> hybridRrfOracle,
+    "q_hard_negatives" ->
+      s"""WITH $bm25Ctes,
+         |sp AS (SELECT qid, doc_id, CAST(rk AS BIGINT) AS rk0
+         |  FROM r WHERE rk <= 10),
+         |$denseTopCtes,
+         |hard AS (SELECT sp.qid, sp.doc_id, sp.rk0 FROM sp
+         |  WHERE NOT EXISTS (SELECT 1 FROM dr
+         |    WHERE dr.qid = sp.qid AND dr.doc_id = sp.doc_id)),
+         |rk2 AS (SELECT qid, doc_id, rk0,
+         |  row_number() OVER (PARTITION BY qid
+         |    ORDER BY rk0 ASC, doc_id ASC) AS nr FROM hard)
+         |SELECT qid, doc_id, rk0 AS bm25_rank, CAST(nr AS BIGINT)
+         |  AS neg_rank
+         |FROM rk2 WHERE nr <= 3""".stripMargin,
     "q_graph_pagerank" -> pageRankOracle,
     "q_graph_degree" ->
       """WITH e AS (
@@ -5230,26 +5271,32 @@ object Queries {
     * the RRF union — each 1/(60+rank) rounded to 9 dp and fixed as
     * DECIMAL before the fused sum, ranks re-derived from the exact
     * decimal (doc-id-ascending ties). */
+  /** The dense cosine top-10 CTE chain for qids 1–4 (simTopKOracle's
+    * arithmetic), ending at `dr(qid, doc_id, rk0)` — shared by
+    * q_hybrid_rrf and q_hard_negatives. */
+  private def denseTopCtes: String =
+    """dq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+      |  FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+      |dc AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+      |  FROM embeddings),
+      |ds AS (SELECT qid, cid,
+      |  CASE WHEN sqrt(list_dot_product(ce, ce)) *
+      |            sqrt(list_dot_product(qe, qe)) > 0
+      |    THEN list_dot_product(ce, qe) /
+      |      (sqrt(list_dot_product(ce, ce)) *
+      |       sqrt(list_dot_product(qe, qe)))
+      |    ELSE 0.0 END AS cos
+      |  FROM dc, dq),
+      |dr AS (SELECT qid, cid AS doc_id,
+      |  CAST(row_number() OVER (PARTITION BY qid
+      |    ORDER BY cos DESC, cid ASC) AS BIGINT) AS rk0
+      |  FROM ds QUALIFY rk0 <= 10)""".stripMargin
+
   private def hybridRrfOracle: String =
     s"""WITH $bm25Ctes,
        |sp AS (SELECT qid, doc_id, CAST(rk AS BIGINT) AS rk0
        |  FROM r WHERE rk <= 10),
-       |dq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
-       |  FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
-       |dc AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
-       |  FROM embeddings),
-       |ds AS (SELECT qid, cid,
-       |  CASE WHEN sqrt(list_dot_product(ce, ce)) *
-       |            sqrt(list_dot_product(qe, qe)) > 0
-       |    THEN list_dot_product(ce, qe) /
-       |      (sqrt(list_dot_product(ce, ce)) *
-       |       sqrt(list_dot_product(qe, qe)))
-       |    ELSE 0.0 END AS cos
-       |  FROM dc, dq),
-       |dr AS (SELECT qid, cid AS doc_id,
-       |  CAST(row_number() OVER (PARTITION BY qid
-       |    ORDER BY cos DESC, cid ASC) AS BIGINT) AS rk0
-       |  FROM ds QUALIFY rk0 <= 10),
+       |$denseTopCtes,
        |u AS (SELECT qid, doc_id, rk0 FROM sp
        |  UNION ALL SELECT qid, doc_id, rk0 FROM dr),
        |a2 AS (SELECT qid, doc_id, count(*) AS n_lists,
