@@ -1686,6 +1686,35 @@ object Queries {
       // quadratic join the oracle runs.
       Dedup.fuzzyPairsEditDistance(Tables.part(s, dir), col("p_name"))
     }),
+    "q_entity_resolution" -> ((s, dir) => {
+      // End-to-end entity resolution, the reference-data flow a
+      // record-linkage pipeline runs: deletion-neighborhood fuzzy
+      // pairs (provably complete at edit distance 1) → connected
+      // components over the tiny pair graph → one canonical record
+      // (min name) per resolved entity. Names map to dense ids by a
+      // row_number over the PAIRED names only (control-plane-sized;
+      // singletons never enter), so the component arithmetic is
+      // integer and oracle-identical.
+      val p = Dedup.fuzzyPairsEditDistance(Tables.part(s, dir),
+        col("p_name")).localCheckpoint()
+      val names = p.select(col("a").as("s"))
+        .unionAll(p.select(col("b").as("s"))).distinct()
+      val wn = Window.orderBy(col("s").asc)
+      val ids = names
+        .withColumn("id", row_number().over(wn).cast(LongType))
+        .localCheckpoint()
+      val e = p
+        .join(ids.select(col("s").as("a"), col("id").as("__ia")), Seq("a"))
+        .join(ids.select(col("s").as("b"), col("id").as("__ib")), Seq("b"))
+        .select(col("__ia").as("a"), col("__ib").as("b"))
+      Dedup.connectedComponents(e, numPartitions = 1)
+        .join(ids.withColumnRenamed("id", "__nid"),
+          col("id") === col("__nid"))
+        .groupBy(col("component"))
+        .agg(min(col("s")).as("canonical"),
+          count(lit(1)).as("n_variants"), max(col("s")).as("max_variant"))
+        .select(col("canonical"), col("n_variants"), col("max_variant"))
+    }),
     "q_dedup_minhash" -> ((s, dir) => {
       // Portable-hash mode: the polynomial hash family is replicated in
       // DuckDB, so signatures get a full value-level oracle.
@@ -4002,6 +4031,29 @@ object Queries {
         |           WHERE p_name IS NOT NULL)
         |SELECT a.s AS a, b.s AS b FROM n a, n b
         |WHERE a.s < b.s AND levenshtein(a.s, b.s) <= 1""".stripMargin,
+    // fuzzy pairs → dense-id closure → canonical per component; the
+    // recursive reachability shape of graphComponentsOracle
+    "q_entity_resolution" ->
+      """WITH n AS (SELECT DISTINCT p_name AS s FROM part
+        |           WHERE p_name IS NOT NULL),
+        |f AS (SELECT a.s AS a, b.s AS b FROM n a, n b
+        |      WHERE a.s < b.s AND levenshtein(a.s, b.s) <= 1),
+        |nm AS (SELECT a AS s FROM f UNION SELECT b FROM f),
+        |ids AS (SELECT s, row_number() OVER (ORDER BY s) AS id FROM nm),
+        |pe AS (SELECT x.id AS src, y.id AS dst
+        |  FROM f JOIN ids x ON f.a = x.s JOIN ids y ON f.b = y.s
+        | UNION
+        | SELECT y.id, x.id
+        |  FROM f JOIN ids x ON f.a = x.s JOIN ids y ON f.b = y.s),
+        |cc AS (SELECT n2 AS id, min(m) AS component FROM (
+        | WITH RECURSIVE r(n2, m) AS (
+        |   SELECT src, src FROM pe
+        |   UNION
+        |   SELECT pe.src, r.m FROM pe JOIN r ON pe.dst = r.n2
+        | ) SELECT n2, m FROM r) GROUP BY n2)
+        |SELECT min(s) AS canonical, count(*) AS n_variants,
+        | max(s) AS max_variant
+        |FROM cc JOIN ids USING (id) GROUP BY component""".stripMargin,
     "q_sim_topk" -> simTopKOracle,
     "q_sim_pq" -> simPqOracle,
     "q_sim_ivfpq" -> simIvfPqOracle,
