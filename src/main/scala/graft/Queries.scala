@@ -422,6 +422,32 @@ object Queries {
           row_number().over(w).as("rn"))
         .filter(col("rn") <= 3)
     }),
+    "q_attribution" -> ((s, dir) => {
+      // Last-touch attribution: every purchase credits the user's
+      // most recent NON-purchase event within a 30-minute look-back
+      // (else "(none)") — the conversion-credit rollup. One window
+      // pass: the (ts, type) pair travels as a struct under
+      // last(..., ignoreNulls) so the credited type and its
+      // recency test come from the SAME event.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = last(
+        when(col("event_type") =!= "purchase",
+          struct(col("ts"), col("event_type").as("et"))),
+        ignoreNulls = true).over(w)
+      Tables.events(s, dir)
+        .withColumn("__t", touch)
+        .filter(col("event_type") === "purchase")
+        .withColumn("touch_type",
+          when(col("__t").isNotNull &&
+            unix_micros(col("ts")) - unix_micros(col("__t.ts")) <=
+              1800000000L, col("__t.et"))
+            .otherwise(lit("(none)")))
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("conversions"),
+          dsum(col("value")).as("value_sum"))
+    }),
     "q_funnel" -> ((s, dir) => {
       // Ordered 3-step funnel (view → click → purchase, strictly
       // later at each step, earliest-completion semantics): per-stage
@@ -3257,6 +3283,22 @@ object Queries {
         |  row_number() OVER (PARTITION BY user_id
         |    ORDER BY value DESC, event_id ASC) AS rn
         | FROM events) WHERE rn <= 3""".stripMargin,
+    "q_attribution" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type, value,
+        |  last_value(CASE WHEN event_type <> 'purchase'
+        |     THEN struct_pack(ts := ts, et := event_type) END
+        |    IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        | FROM events)
+        |SELECT CASE WHEN touch IS NOT NULL
+        |   AND epoch_us(ts) - epoch_us(touch.ts) <= 1800000000
+        |  THEN touch.et ELSE '(none)' END AS touch_type,
+        | count(*) AS conversions,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |   AS value_sum
+        |FROM o WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
     "q_funnel" ->
       """WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
         |  WHERE event_type = 'view' GROUP BY 1),
