@@ -1853,6 +1853,34 @@ object Queries {
         .agg(count(lit(1)).as("n_clusters"),
           sum(col("cluster_size")).as("n_docs"))
     }),
+    "q_dedup_apply_best" -> ((s, dir) => {
+      // Quality-aware canonical pick: within each transitive near-dup
+      // cluster keep the HIGHEST-quality copy (ties → smallest id) —
+      // what a curation pipeline actually wants, vs the id-based
+      // policy of q_dedup_apply_cc ("keep the best copy, not the
+      // first"). Same shared component memo; quality is the gated
+      // per-doc score, so the pick order is oracle-identical.
+      val cc = lshComponents(s, dir)
+      val q = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("text"), TextAnalysis.tokens(col("text")).as("__tk"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          TextAnalysis.qualityScoreFromTokens(col("__tk"), col("text"))
+            .as("__q"))
+      val member = q
+        .join(broadcast(cc.withColumnRenamed("id", "doc_id")),
+          Seq("doc_id"), "left")
+        .withColumn("__comp", coalesce(col("component"), col("doc_id")))
+      val w = Window.partitionBy(col("__comp"))
+        .orderBy(col("__q").desc, col("doc_id").asc)
+      member.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("chars_kept"),
+          round(sum(col("__q").cast(DecimalType(12, 6)))
+            .cast(DoubleType) / count(lit(1)), 6).as("avg_kept_quality"))
+    }),
     "q_dedup_apply_cc" -> ((s, dir) => {
       // Component-correct dedup apply: keep exactly ONE doc (the
       // smallest id) per transitive near-dup cluster. On chains this
@@ -4762,6 +4790,7 @@ object Queries {
     "q_dedup_minhash_pairs" -> minhashPairsOracle,
     "q_dedup_minhash_audit" -> minhashAuditOracle,
     "q_dedup_components" -> dedupComponentsOracle,
+    "q_dedup_apply_best" -> dedupApplyBestOracle,
     "q_dedup_cluster_census" -> dedupClusterCensusOracle,
     "q_dedup_apply_cc" -> dedupApplyCcOracle,
     "q_dedup_simhash" -> simhashOracle,
@@ -5853,6 +5882,57 @@ object Queries {
     s"""${minhashPairsCte(0.8)}
        |SELECT a, b, round(jac, 6) AS jaccard FROM j
        |WHERE jac >= 0.8""".stripMargin
+
+  /** q_dedup_apply_best replica: the component closure (the
+    * dedupComponentsOracle chain) + the per-doc quality score (the
+    * qualityOracle arithmetic, doc-level), argmax per component with
+    * (quality desc, id asc), per-source survivor census. */
+  private def dedupApplyBestOracle: String =
+    s"""${minhashPairsCte(0.8)},
+       |p AS (SELECT a, b FROM j WHERE jac >= 0.8),
+       |pe AS (SELECT a AS src, b AS dst FROM p
+       |       UNION SELECT b, a FROM p),
+       |cc AS (
+       | SELECT n AS id, min(m) AS component FROM (
+       |  WITH RECURSIVE r(n, m) AS (
+       |    SELECT src, src FROM pe
+       |    UNION
+       |    SELECT pe.src, r.m FROM pe JOIN r ON pe.dst = r.n
+       |  ) SELECT n, m FROM r
+       | ) GROUP BY n),
+       |qm AS (
+       | SELECT doc_id, source, n_chars,
+       |  len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |    x -> len(x) > 0)) AS n_tok,
+       |  CAST(list_sum(list_transform(
+       |    list_filter(regexp_split_to_array(text, '\\s+'),
+       |      x -> len(x) > 0),
+       |    x -> len(x))) AS DOUBLE) AS tok_chars,
+       |  len(text) AS tchars,
+       |  len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g'))
+       |    AS n_punct
+       | FROM documents),
+       |qd AS (
+       | SELECT doc_id, source, n_chars, round((
+       |  (CASE WHEN n_tok BETWEEN 10 AND 1000 THEN 1.0
+       |        WHEN n_tok > 0 THEN 0.5 ELSE 0.0 END) +
+       |  (CASE WHEN n_tok > 0 AND tok_chars / n_tok >= 3
+       |         AND tok_chars / n_tok <= 10 THEN 1.0 ELSE 0.5 END) +
+       |  (1.0 - least((CASE WHEN tchars > 0
+       |     THEN CAST(n_punct AS DOUBLE) / tchars ELSE 0.0 END) * 5,
+       |     1.0))
+       |  ) / 3.0, 6) AS q
+       | FROM qm),
+       |mem AS (SELECT qd.*, COALESCE(cc.component, qd.doc_id) AS comp
+       |  FROM qd LEFT JOIN cc ON qd.doc_id = cc.id),
+       |keep AS (SELECT * FROM (
+       |  SELECT mem.*, row_number() OVER (PARTITION BY comp
+       |    ORDER BY q DESC, doc_id ASC) AS rn FROM mem) WHERE rn = 1)
+       |SELECT source, count(*) AS n_kept,
+       | CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+       | round(CAST(sum(CAST(q AS DECIMAL(12,6))) AS DOUBLE)
+       |   / count(*), 6) AS avg_kept_quality
+       |FROM keep GROUP BY source""".stripMargin
 
   /** Shared CTE chain replicating the portable SimHash pipeline up to
     * a relation `sh(doc_id, simhash)`. */
