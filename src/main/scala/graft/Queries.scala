@@ -678,6 +678,23 @@ object Queries {
       // runs on that bounded frame.
       Stats.entropyByGroup(Tables.documents(s, dir), "source", "lang")
     }),
+    "q_ks_test" -> ((s, dir) => {
+      // Binning-free drift gate: exact two-sample KS statistic of
+      // every source's doc-length distribution against src0 — the
+      // complement of q_doc_length_psi (no bin-domain choice, answers
+      // "does the CDF deviate ANYWHERE"). ECDFs evaluate on the
+      // distinct-value spine × groups grid, bounded by value
+      // cardinality.
+      Stats.ksByGroup(Tables.documents(s, dir), "n_chars", "source",
+        refGroup = "src0")
+    }),
+    "q_chi_square" -> ((s, dir) => {
+      // Frequentist independence test on the same (lang, source)
+      // contingency table as q_mutual_info: χ² with the zero-cell
+      // closed form (Σ(o−e)²/e + n − Σ_obs e), dof emitted for the
+      // threshold lookup. One corpus scan.
+      Stats.chiSquare(Tables.documents(s, dir), "lang", "source")
+    }),
     "q_mutual_info" -> ((s, dir) => {
       // Are lang and source independent labeling dimensions? MI + NMI
       // from ONE corpus scan (marginals and entropies all derive from
@@ -4927,6 +4944,49 @@ object Queries {
         | round(1.0 - CAST(sum(CAST(round(p * p, 9) AS DECIMAL(18,9)))
         |   AS DOUBLE), 6) AS gini
         |FROM p GROUP BY source""".stripMargin,
+    "q_ks_test" ->
+      """WITH v AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS x
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |c AS (SELECT g, x, count(*) AS c FROM v GROUP BY 1, 2),
+        |spine AS (SELECT DISTINCT x FROM c),
+        |grps AS (SELECT DISTINCT g FROM c),
+        |grid AS (SELECT g, x FROM grps, spine),
+        |f AS (SELECT grid.g, grid.x, COALESCE(c.c, 0) AS c
+        |  FROM grid LEFT JOIN c USING (g, x)),
+        |e AS (SELECT g, x,
+        |  CAST(sum(c) OVER (PARTITION BY g ORDER BY x ASC
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+        |  CAST(sum(c) OVER (PARTITION BY g) AS DOUBLE) AS f,
+        |  CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+        | FROM f),
+        |ref AS (SELECT x, f AS fr FROM e WHERE g = 'src0')
+        |SELECT g AS source, max(n) AS n,
+        | round(max(abs(f - fr)), 6) AS ks
+        |FROM e JOIN ref USING (x) WHERE g <> 'src0'
+        |GROUP BY g""".stripMargin,
+    "q_chi_square" ->
+      """WITH ab AS (SELECT lang, source, count(*) AS cab
+        |  FROM documents GROUP BY 1, 2),
+        |nr AS (SELECT CAST(sum(cab) AS BIGINT) AS n,
+        |  count(*) AS n_cells FROM ab),
+        |ma AS (SELECT lang, CAST(sum(cab) AS BIGINT) AS ca
+        |  FROM ab GROUP BY 1),
+        |mb AS (SELECT source, CAST(sum(cab) AS BIGINT) AS cb
+        |  FROM ab GROUP BY 1),
+        |dims AS (SELECT ((SELECT count(*) FROM ma) - 1) *
+        |  ((SELECT count(*) FROM mb) - 1) AS dof),
+        |terms AS (SELECT
+        |  CAST(cab AS DOUBLE) AS o,
+        |  CAST(ca AS DOUBLE) * cb / n AS e
+        | FROM ab JOIN ma USING (lang) JOIN mb USING (source), nr),
+        |agg2 AS (SELECT
+        |  CAST(sum(CAST(round((o - e) * (o - e) / e, 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS a,
+        |  CAST(sum(CAST(round(e, 6) AS DECIMAL(18,6))) AS DOUBLE) AS b
+        | FROM terms)
+        |SELECT n, n_cells, CAST(dof AS BIGINT) AS dof,
+        | round(a + CAST(n AS DOUBLE) - b, 6) AS chi2
+        |FROM nr, dims, agg2""".stripMargin,
     "q_mutual_info" ->
       """WITH ab AS (SELECT lang, source, count(*) AS cab
         |  FROM documents GROUP BY 1, 2),

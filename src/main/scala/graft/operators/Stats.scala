@@ -826,6 +826,108 @@ object Stats {
       .agg(count(lit(1)).as("n"), min(v).as("lo"), max(v).as("hi"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic of every group against
+    * `refGroup`: KS = sup_x |F_g(x) − F_ref(x)| over the EXACT
+    * empirical CDFs — the binning-free complement to [[psiByGroup]]
+    * (PSI answers "how much drift", KS answers "is the distribution
+    * the same anywhere", and needs no bin-domain choice).
+    *
+    * Scale shape: one map-side-combined (group, value) count; the
+    * ECDFs evaluate on the distinct-value spine × groups grid
+    * (bounded by value cardinality — for continuous data quantize
+    * first), windows partition per group. Determinism: ECDFs divide
+    * exact integers in double, the sup is a max over identical
+    * doubles.
+    *
+    * Returns (groupCol, n, ks) for every group ≠ `refGroup`. */
+  def ksByGroup(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      refGroup: String): DataFrame = {
+    val v = df
+      .select(col(groupCol).cast(StringType).as("__g"),
+        col(valueCol).cast(DoubleType).as("__x"))
+      .filter(col("__x").isNotNull)
+    // the count frame feeds the spine, the group list, the grid fill,
+    // and (via the ECDF) the ref side — persist it or the corpus
+    // groupBy re-runs once per consumer (the multi-consumer rule);
+    // the frame is ≤ |groups|·|distinct values| rows
+    val counts = v.groupBy(col("__g"), col("__x"))
+      .agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spine = counts.select(col("__x")).distinct()
+    val groups = counts.select(col("__g")).distinct()
+    val grid = groups.crossJoin(spine)
+    val filled = grid.join(counts, Seq("__g", "__x"), "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+    val wcum = Window.partitionBy(col("__g")).orderBy(col("__x").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wtot = Window.partitionBy(col("__g"))
+    val ecdf = filled
+      .withColumn("__cum", sum(col("__c")).over(wcum))
+      .withColumn("__n", sum(col("__c")).over(wtot))
+      .withColumn("__f",
+        col("__cum").cast(DoubleType) / col("__n").cast(DoubleType))
+    val ref = ecdf.filter(col("__g") === refGroup)
+      .select(col("__x"), col("__f").as("__fr"))
+    ecdf.filter(col("__g") =!= refGroup)
+      .join(ref, Seq("__x"))
+      .groupBy(col("__g"))
+      .agg(max(col("__n")).as("n"),
+        round(max(abs(col("__f") - col("__fr"))), 6).as("ks"))
+      .withColumnRenamed("__g", groupCol)
+  }
+
+  /** Pearson χ² test of independence between two categorical columns
+    * — the frequentist sibling of [[mutualInformation]] on the same
+    * contingency table: χ² = Σ (o − e)²/e with e = (row total ×
+    * column total)/n. One corpus scan (marginals derive from the
+    * persisted joint frame); each cell term rounds to 6 dp and fixes
+    * as DECIMAL before the sum. Degrees of freedom are emitted so the
+    * caller can look up the significance threshold.
+    *
+    * Returns one row: (n, n_cells, dof, chi2). */
+  def chiSquare(
+      df: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val ab = df.groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("__cab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRow = ab.agg(sum(col("__cab")).as("__n"),
+      count(lit(1)).as("n_cells"))
+    val ca = ab.groupBy(col(aCol)).agg(sum(col("__cab")).as("__ca"))
+    val cb = ab.groupBy(col(bCol)).agg(sum(col("__cab")).as("__cb"))
+    val dims = ca.agg(count(lit(1)).as("__ka"))
+      .crossJoin(broadcast(cb.agg(count(lit(1)).as("__kb"))))
+      .select(((col("__ka") - 1) * (col("__kb") - 1)).as("dof"))
+    // Zero cells (o = 0, e > 0) each contribute e to the statistic;
+    // Σ_all e = n gives the closed form χ² = Σ_obs (o−e)²/e + n − Σ_obs e
+    // — full-grid-correct without materializing the |a|×|b| grid.
+    val chi = ab
+      .join(broadcast(ca), Seq(aCol))
+      .join(broadcast(cb), Seq(bCol))
+      .crossJoin(broadcast(nRow.select(col("__n"))))
+      .withColumn("__e",
+        col("__ca").cast(DoubleType) * col("__cb").cast(DoubleType) /
+          col("__n").cast(DoubleType))
+      .withColumn("__t",
+        (col("__cab").cast(DoubleType) - col("__e")) *
+          (col("__cab").cast(DoubleType) - col("__e")) / col("__e"))
+      .agg(
+        sum(round(col("__t"), 6).cast(DecimalType(18, 6)))
+          .cast(DoubleType).as("__a"),
+        sum(round(col("__e"), 6).cast(DecimalType(18, 6)))
+          .cast(DoubleType).as("__b"),
+        max(col("__n")).as("__nn"))
+      .select(round(col("__a") + col("__nn").cast(DoubleType) -
+        col("__b"), 6).as("chi2"))
+    nRow.select(col("__n").as("n"), col("n_cells"))
+      .crossJoin(broadcast(dims))
+      .crossJoin(broadcast(chi))
+  }
+
   /** Autocorrelation function of an ALREADY-AGGREGATED series: ACF at
     * lags 1..`maxLag` over the `orderCol` order, with the standard
     * full-series mean/variance normalization

@@ -362,6 +362,40 @@ class StatsSpec extends SparkSpecBase {
     assert(got == Map(0 -> 3L, 1 -> 3L))
   }
 
+  test("ksByGroup: identical distribution 0, disjoint support 1, " +
+      "half-shifted 0.5") {
+    import spark.implicits._
+    val rows = Seq("a" -> 1.0, "a" -> 2.0, "b" -> 1.0, "b" -> 2.0,
+      "c" -> 2.0, "c" -> 2.0, "d" -> 5.0, "d" -> 6.0)
+    val got = Stats.ksByGroup(rows.toDF("g", "v"), "v", "g",
+        refGroup = "a")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("b") == ((2L, 0.0)))
+    // c has no mass at 1 where a has 0.5 -> sup gap 0.5
+    assert(got("c") == ((2L, 0.5)))
+    // d's support is entirely above a's -> gap 1 at x = 2
+    assert(got("d") == ((2L, 1.0)))
+  }
+
+  test("chiSquare: uniform independent table is 0; diagonal 2x2 " +
+      "includes the zero-cell contribution") {
+    import spark.implicits._
+    val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("p", "q")
+    val r1 = Stats.chiSquare(indep, "p", "q").collect()(0)
+    assert(r1.getAs[Long]("n") == 4L)
+    assert(r1.getAs[Long]("dof") == 1L)
+    assert(r1.getAs[Double]("chi2") == 0.0)
+    // diag: cells (a,x)=2, (b,y)=2; e=1 everywhere; zero cells add
+    // e each: 1+1 observed terms + n - sum_obs_e = 2 + 4 - 2 = 4
+    val dep = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("p", "q")
+    val r2 = Stats.chiSquare(dep, "p", "q").collect()(0)
+    assert(r2.getAs[Long]("n_cells") == 2L)
+    assert(r2.getAs[Double]("chi2") == 4.0)
+  }
+
   test("autocorrelation: alternating series gives exact ±ACF; " +
       "denominator over the full series") {
     import spark.implicits._
