@@ -2477,6 +2477,18 @@ object Queries {
           array_join(col("chunk"), " ").as("chunk_text"),
           size(col("chunk")).cast(LongType).as("n_tok"))
     }),
+    "q_padding_waste" -> ((s, dir) => {
+      // The data-loader efficiency curve: padded-volume waste under
+      // length-bucketed batching at 1 / 4 / 16 equi-depth buckets
+      // (batch ≈ bucket, every sequence pads to its bucket max) —
+      // the numbers that justify length-grouping before padding. ONE
+      // two-phase rank pass serves all three bucket counts.
+      val lens = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.bpeishTokenCount(col("text")).cast(LongType)
+            .as("len"))
+      Stats.paddingWaste(lens, "len", "doc_id", Seq(1, 4, 16))
+    }),
     "q_pack_sequences" -> ((s, dir) => {
       // Sequence packing into 256-token context windows: deterministic
       // id-hash sharding (8 shards — embarrassingly parallel at any
@@ -5040,6 +5052,31 @@ object Queries {
          | FROM lg)
          |$arms""".stripMargin
     },
+    // paddingWaste replica: one ranked CTE fans out to the three
+    // bucket counts; bucket = the equiDepthBins floor form.
+    "q_padding_waste" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS BIGINT) AS len
+        | FROM documents),
+        |r AS (SELECT len,
+        |  row_number() OVER (ORDER BY len ASC, doc_id ASC) AS rk,
+        |  count(*) OVER () AS nt FROM d),
+        |x AS (SELECT len, rk, nt, unnest([1, 4, 16]) AS n_buckets
+        |  FROM r),
+        |pb AS (SELECT n_buckets,
+        |  CAST(floor((rk - 1) * n_buckets / CAST(nt AS DOUBLE))
+        |    AS INTEGER) AS b,
+        |  count(*) AS nb, max(len) AS mx,
+        |  CAST(sum(len) AS BIGINT) AS sm
+        | FROM x GROUP BY 1, 2)
+        |SELECT n_buckets, CAST(sum(sm) AS BIGINT) AS total_tokens,
+        | CAST(sum(nb * mx) AS BIGINT) AS padded_tokens,
+        | CASE WHEN sum(nb * mx) > 0
+        |  THEN round(CAST(sum(nb * mx) - sum(sm) AS DOUBLE)
+        |    / CAST(sum(nb * mx) AS DOUBLE), 6)
+        |  ELSE 0.0 END AS waste_ratio
+        |FROM pb GROUP BY 1""".stripMargin,
     // equiDepthBins replica: the rank is a plain global row_number —
     // the Spark side's two-phase prefix sum reproduces exactly this
     // (value, tie) order, only distributed.

@@ -792,13 +792,20 @@ object Stats {
     *
     * Returns one row per bin: (bin, n, lo, hi) with lo/hi the bin's
     * observed value range. */
-  def equiDepthBins(
+  /** Distributed global dense rank over (`valueCol`, `tieCol`) order —
+    * the two-phase prefix sum behind [[equiDepthBins]] and the
+    * padding-waste audit: phase 1 coarse-bins values into `nRanges`
+    * equal-width ranges and collects per-range counts (≤ nRanges
+    * integer rows, bounded control-plane), phase 2 ranks within each
+    * range in parallel and adds the broadcast exclusive offset. NOT a
+    * single-partition window. Returns (frame + 1-based `__rank`
+    * column, total row count). */
+  def globalRankByValue(
       df: DataFrame,
       valueCol: String,
       tieCol: String,
-      nBins: Int,
-      nRanges: Int = 256): DataFrame = {
-    require(nBins > 0 && nRanges > 0)
+      nRanges: Int = 256): (DataFrame, Long) = {
+    require(nRanges > 0)
     val v = col(valueCol).cast(DoubleType)
     val b = df.agg(min(v).as("lo"), max(v).as("hi"),
       count(lit(1)).as("n")).collect()(0)
@@ -814,8 +821,22 @@ object Stats {
       .toDF("__r", "__off")
     val w = Window.partitionBy(col("__r"))
       .orderBy(v.asc, col(tieCol).asc)
-    withR.join(broadcast(offDf), Seq("__r"))
+    val ranked = withR.join(broadcast(offDf), Seq("__r"))
       .withColumn("__rank", row_number().over(w) + col("__off"))
+      .drop("__r", "__off")
+    (ranked, n)
+  }
+
+  def equiDepthBins(
+      df: DataFrame,
+      valueCol: String,
+      tieCol: String,
+      nBins: Int,
+      nRanges: Int = 256): DataFrame = {
+    require(nBins > 0 && nRanges > 0)
+    val v = col(valueCol).cast(DoubleType)
+    val (ranked, n) = globalRankByValue(df, valueCol, tieCol, nRanges)
+    ranked
       // floor of a double division of exact-integer operands: both
       // engines see identical IEEE values (exact while rank·nBins
       // stays under 2^53 — ~10¹⁴ rows at 10 bins)
@@ -824,6 +845,47 @@ object Stats {
           .cast(IntegerType))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), min(v).as("lo"), max(v).as("hi"))
+  }
+
+  /** Padding-waste audit for length-bucketed batching: documents sort
+    * by length into `nBuckets` equi-depth buckets (batch ≈ bucket, the
+    * asymptotic model), every sequence pads to its bucket's max, and
+    * the report says how much of the padded volume is waste — THE
+    * curve (1 bucket = global padding, more buckets = less waste) that
+    * justifies length-grouped batching in a training data loader.
+    *
+    * ONE rank pass ([[globalRankByValue]]) serves every bucket count:
+    * the bucket of a row under B buckets is ⌊(rank−1)·B/n⌋, so the
+    * B values explode from the same ranked frame. Integer-exact
+    * throughout (lengths are token counts).
+    *
+    * Returns one row per bucket count: (n_buckets, total_tokens,
+    * padded_tokens, waste_ratio). */
+  def paddingWaste(
+      df: DataFrame,
+      lenCol: String,
+      tieCol: String,
+      bucketCounts: Seq[Int]): DataFrame = {
+    require(bucketCounts.nonEmpty && bucketCounts.forall(_ > 0))
+    val (ranked, n) = globalRankByValue(df, lenCol, tieCol)
+    val exploded = ranked
+      .select(col(lenCol).cast(LongType).as("__len"), col("__rank"))
+      .select(col("__len"), col("__rank"),
+        explode(array(bucketCounts.map(lit): _*)).as("n_buckets"))
+      .withColumn("__b",
+        floor((col("__rank") - 1) * col("n_buckets") / lit(n.toDouble))
+          .cast(IntegerType))
+    val perBucket = exploded.groupBy(col("n_buckets"), col("__b"))
+      .agg(count(lit(1)).as("__nb"), max(col("__len")).as("__mx"),
+        sum(col("__len")).as("__sm"))
+    perBucket.groupBy(col("n_buckets"))
+      .agg(sum(col("__sm")).as("total_tokens"),
+        sum(col("__nb") * col("__mx")).as("padded_tokens"))
+      .withColumn("waste_ratio",
+        when(col("padded_tokens") > 0,
+          round((col("padded_tokens") - col("total_tokens"))
+            .cast(DoubleType) / col("padded_tokens").cast(DoubleType), 6))
+          .otherwise(lit(0.0)))
   }
 
   /** Two-sample Kolmogorov–Smirnov statistic of every group against

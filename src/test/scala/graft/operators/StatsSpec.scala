@@ -410,6 +410,20 @@ class StatsSpec extends SparkSpecBase {
     assert(got(2) == ((6L, 0.75)))
   }
 
+  test("paddingWaste: one bucket pads everything to the global max; " +
+      "n buckets of uniform lengths waste nothing") {
+    import spark.implicits._
+    // lengths 1..4: B=1 pads all to 4 (padded 16, total 10, waste
+    // 6/16 = .375); B=4 gives singleton buckets (waste 0)
+    val df = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L))
+      .toDF("doc_id", "len")
+    val got = Stats.paddingWaste(df, "len", "doc_id", Seq(1, 4))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1) == ((10L, 16L, 0.375)))
+    assert(got(4) == ((10L, 10L, 0.0)))
+  }
+
   test("histogramEquiWidth: observed-range bins, max lands in the " +
       "last bin") {
     import spark.implicits._
