@@ -1294,6 +1294,29 @@ object Queries {
         .select(col("g").as("source"), col("n_docs"), col("n_admitted"),
           col("tokens_admitted"), col("tokens_seen"))
     }),
+    "q_stream_quantile" -> ((s, dir) => {
+      // Streaming percentile monitor: the SAME drained cumulative
+      // histogram as q_stream_drift feeds the batch quantile
+      // interpolation tail (quantilesFromBinCounts — the
+      // psiFromBinCounts treatment), so per-source p50/p90 of doc
+      // length AT INGEST must equal the batch histogram quantiles row
+      // for row. One more consumer of one keyed-state histogram: the
+      // drift verdict and the percentile watch ride the same state.
+      val name = s"q_stream_quantile_${streamRun.incrementAndGet()}"
+      implicit val sp: SparkSession = s
+      val drained = graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.histogramCountsState(
+          graft.streaming.Streams.docsStream(s, dir),
+          "n_chars", "source", lo = 0.0, hi = 600.0, nBins = 10)
+          .toDF(), name, shufflePartitions = Some(8))
+      val latest = drained.groupBy(col("g"), col("bin"))
+        .agg(max(col("n")).as("__c"))
+        .select(col("g").as("source"), col("bin").as("__bin"),
+          col("__c"))
+      graft.operators.Stats.quantilesFromBinCounts(latest,
+        Seq("source"), qs = Seq("p50" -> 0.5, "p90" -> 0.9),
+        lo = 0.0, hi = 600.0, nBins = 10)
+    }),
     "q_stream_neardedup" -> ((s, dir) => {
       // Streaming SimHash near-dup admission over the documents
       // stream: per-row (shuffle-free) simhash → quadrant-bucketed
@@ -3440,6 +3463,28 @@ object Queries {
     // equal the batch bin counts, and the PSI tail is shared code —
     // so the oracle IS the batch oracle
     "q_stream_drift" -> docLengthPsiOracle,
+    // streamed histogram → batch quantile tail: the oracle is the
+    // BATCH histogram-quantile arithmetic over the same 10-bin
+    // [0, 600) doc-length domain
+    "q_stream_quantile" ->
+      """WITH b AS (
+        | SELECT source,
+        |  least(9, greatest(0, CAST(floor(n_chars / 60.0) AS INT)))
+        |    AS bin
+        | FROM documents),
+        |c AS (SELECT source, bin, count(*) AS c FROM b GROUP BY 1, 2),
+        |m AS (SELECT source, bin, c,
+        |  sum(c) OVER (PARTITION BY source ORDER BY bin
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |  sum(c) OVER (PARTITION BY source) AS n FROM c)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n,
+        | min(CASE WHEN cum >= 0.5 * n AND cum - c < 0.5 * n THEN
+        |  round(0 + 60.0 * (bin + (0.5 * n - (cum - c)) / c), 6)
+        |  END) AS q_p50,
+        | min(CASE WHEN cum >= 0.9 * n AND cum - c < 0.9 * n THEN
+        |  round(0 + 60.0 * (bin + (0.9 * n - (cum - c)) / c), 6)
+        |  END) AS q_p90
+        |FROM m GROUP BY 1""".stripMargin,
     // tokenBudgetAdmission replica: the drained per-source admission
     // verdicts equal a batch window cumsum over doc_id order — same
     // `cum <= budget` contract as the batch takeBudget.

@@ -45,6 +45,24 @@ object Stats {
     val counts = df
       .groupBy((groupCols.map(col) :+ bin.as("__bin")): _*)
       .agg(count(lit(1)).as("__c"))
+    quantilesFromBinCounts(counts, groupCols, qs, lo, hi, nBins)
+  }
+
+  /** The [[histogramQuantiles]] tail over pre-aggregated
+    * (groupCols*, __bin, __c) counts — shared with the STREAMING
+    * cumulative histogram (the psiFromBinCounts treatment): a drained
+    * keyed-state histogram feeds the IDENTICAL interpolation
+    * arithmetic, so a streamed quantile must equal the batch quantile
+    * row for row. */
+  def quantilesFromBinCounts(
+      counts: DataFrame,
+      groupCols: Seq[String],
+      qs: Seq[(String, Double)],
+      lo: Double,
+      hi: Double,
+      nBins: Int): DataFrame = {
+    require(hi > lo && nBins > 0)
+    val width = (hi - lo) / nBins
     val wOrd = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("__bin").asc)
     val wAll = Window.partitionBy(groupCols.map(col): _*)
