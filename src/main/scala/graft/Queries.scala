@@ -1843,6 +1843,50 @@ object Queries {
       graft.operators.Joins.keySkewProfile(Tables.events(s, dir),
         col("user_id"))
     }),
+    "q_join_aqe_skew" -> ((s, dir) => {
+      // RUNTIME skew handling, proven: the same hot-key topology as
+      // q_join_salted but left to AQE — demo-scaled skew thresholds
+      // (restored after), a 16-mapper large side (skew splits happen
+      // at MAP-OUTPUT granularity: a single-row-group scan gives one
+      // mapper and an unsplittable hot partition — the non-obvious
+      // prerequisite this query documents), then a `require` that the
+      // EXECUTED adaptive plan actually split (`skew=true`). The
+      // oracle only sees values; the assert sees the plan.
+      val demoConf = Seq(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+          -> "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+        "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val prev = demoConf.map { case (k, _) => k -> s.conf.getOption(k) }
+      demoConf.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val large = Tables.lineitem(s, dir).repartition(16)
+          .withColumn("k",
+            when(col("l_orderkey") % 100 < 98, lit(7L))
+              .otherwise(col("l_orderkey") % 100))
+        val small = Tables.orders(s, dir)
+          .filter(col("o_orderkey") < 3000)
+          .withColumn("k", col("o_orderkey") % 100)
+          .select(col("k"), col("o_orderkey"))
+        val j = large.join(small, Seq("k"))
+          .groupBy((col("o_orderkey") % 7).as("pk"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("l_extendedprice")).as("price_sum"),
+            max(col("l_partkey")).as("max_part"))
+        j.collect() // materialize: skew handling exists only in the FINAL plan
+        val plan = j.queryExecution.executedPlan.toString
+        require(plan.contains("skew=true"),
+          s"AQE did not split the skewed join:\n$plan")
+        j
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
     "q_join_salted" -> ((s, dir) => {
       // Skew-salted join: lineitem collapsed onto 3 hot keys joins a
       // small side spread over session-derived salts (one per shuffle
@@ -5192,6 +5236,17 @@ object Queries {
         | max_cnt * 100 * n_keys // n_rows AS skew_x100,
         | (max_cnt * n_keys + n_rows - 1) // n_rows AS suggested_salts
         |FROM t, h""".stripMargin,
+    "q_join_aqe_skew" ->
+      """SELECT o.o_orderkey % 7 AS pk, count(*) AS n,
+        | round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+        |   AS DOUBLE), 4) AS price_sum,
+        | max(l.l_partkey) AS max_part
+        |FROM (SELECT CASE WHEN l_orderkey % 100 < 98 THEN 7
+        |        ELSE l_orderkey % 100 END AS k,
+        |       l_extendedprice, l_partkey FROM lineitem) l
+        |JOIN (SELECT o_orderkey % 100 AS k, o_orderkey FROM orders
+        |      WHERE o_orderkey < 3000) o ON l.k = o.k
+        |GROUP BY 1""".stripMargin,
     "q_join_salted" ->
       """SELECT o.o_orderkey,
         | count(*) AS n,
