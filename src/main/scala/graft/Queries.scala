@@ -597,6 +597,21 @@ object Queries {
       Stats.winsorizedMean(Tables.events(s, dir), Seq("event_type"),
         col("value"), col("event_id"), winsorPermille = 50)
     }),
+    "q_rate_anomaly" -> ((s, dir) => {
+      // Ops-side spike detection: per-minute event counts per type,
+      // flagged by the same breakdown-proof median/MAD fence as
+      // q_anomaly_mad — a traffic spike drags a 3σ fence toward
+      // itself, the MAD fence holds. The corpus-sized work is the
+      // minute rollup; the fence runs on the bounded
+      // (type × minutes) series.
+      val perMin = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          date_format(date_trunc("minute", col("ts")),
+            "yyyy-MM-dd HH:mm").as("minute"))
+        .agg(count(lit(1)).as("n_events"))
+      Stats.madOutliers(perMin, Seq("event_type"), col("n_events"),
+        col("minute"), c = 3)
+    }),
     "q_anomaly_mad" -> ((s, dir) => {
       // Robust outlier audit: |v − median| > 3·MAD per event type —
       // the z-score gate's breakdown-proof twin (a 3σ fence is itself
@@ -3600,6 +3615,42 @@ object Queries {
         |   AS DOUBLE) / count(*), 6) AS winsorized_mean
         |FROM b GROUP BY event_type""".stripMargin,
     // madOutliers replica: doubled-decimal rank medians, 2D > 3·D2 gate
+    // the q_anomaly_mad doubled-decimal chain over the per-minute
+    // rollup, id = the minute label
+    "q_rate_anomaly" ->
+      """WITH base AS (SELECT event_type,
+        |  strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M')
+        |    AS minute,
+        |  count(*) AS n_events
+        | FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type,
+        |  CAST(n_events AS DECIMAL(18,4)) AS v, minute AS event_id,
+        |  count(*) OVER (PARTITION BY event_type) AS n,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY CAST(n_events AS DECIMAL(18,4)), minute) AS rk
+        | FROM base),
+        |m AS (SELECT *,
+        |  max(CASE WHEN rk = (n + 1) // 2 THEN v END)
+        |    OVER (PARTITION BY event_type) +
+        |  max(CASE WHEN rk = (n + 2) // 2 THEN v END)
+        |    OVER (PARTITION BY event_type) AS m2
+        | FROM r),
+        |d AS (SELECT *, abs(v * 2 - m2) AS dd,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(v * 2 - m2), event_id) AS rkd
+        | FROM m),
+        |dm AS (SELECT *,
+        |  max(CASE WHEN rkd = (n + 1) // 2 THEN dd END)
+        |    OVER (PARTITION BY event_type) +
+        |  max(CASE WHEN rkd = (n + 2) // 2 THEN dd END)
+        |    OVER (PARTITION BY event_type) AS d2
+        | FROM d)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_outliers,
+        | CAST(min(v) AS DOUBLE) AS min_val,
+        | CAST(max(v) AS DOUBLE) AS max_val,
+        | round(CAST(min(m2) AS DOUBLE) / 2, 6) AS median,
+        | round(CAST(min(d2) AS DOUBLE) / 4, 6) AS mad
+        |FROM dm WHERE dd * 2 > d2 * 3 GROUP BY event_type""".stripMargin,
     "q_anomaly_mad" ->
       """WITH r AS (SELECT event_type,
         |  CAST(value AS DECIMAL(18,4)) AS v, event_id,
