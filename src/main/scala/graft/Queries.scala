@@ -1884,7 +1884,7 @@ object Queries {
             when(col("l_orderkey") % 100 < 98, lit(7L))
               .otherwise(col("l_orderkey") % 100))
         val small = Tables.orders(s, dir)
-          .filter(col("o_orderkey") < 3000)
+          .filter(col("o_orderkey") < 1000)
           .withColumn("k", col("o_orderkey") % 100)
           .select(col("k"), col("o_orderkey"))
         val j = large.join(small, Seq("k"))
@@ -1892,11 +1892,15 @@ object Queries {
           .agg(count(lit(1)).as("n"),
             dsum(col("l_extendedprice")).as("price_sum"),
             max(col("l_partkey")).as("max_part"))
-        j.collect() // materialize: skew handling exists only in the FINAL plan
+        // materialize: skew handling exists only in the FINAL plan.
+        // The collected rows (≤7) come back as a local frame so the
+        // harness write does not re-execute the deliberately skewed
+        // join under the restored (non-demo) confs.
+        val rows = j.collect()
         val plan = j.queryExecution.executedPlan.toString
         require(plan.contains("skew=true"),
           s"AQE did not split the skewed join:\n$plan")
-        j
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), j.schema)
       } finally prev.foreach {
         case (k, Some(v)) => s.conf.set(k, v)
         case (k, None) => s.conf.unset(k)
@@ -5296,7 +5300,7 @@ object Queries {
         |        ELSE l_orderkey % 100 END AS k,
         |       l_extendedprice, l_partkey FROM lineitem) l
         |JOIN (SELECT o_orderkey % 100 AS k, o_orderkey FROM orders
-        |      WHERE o_orderkey < 3000) o ON l.k = o.k
+        |      WHERE o_orderkey < 1000) o ON l.k = o.k
         |GROUP BY 1""".stripMargin,
     "q_join_salted" ->
       """SELECT o.o_orderkey,
