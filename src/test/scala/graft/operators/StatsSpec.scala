@@ -1,10 +1,16 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 
 import graft.SparkSpecBase
 
 class StatsSpec extends SparkSpecBase {
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed))
+      .getOrElse(sys.error("generator failed"))
 
   test("histogram quantiles are exact when bins have width 1") {
     import spark.implicits._
@@ -307,6 +313,74 @@ class StatsSpec extends SparkSpecBase {
     assert(got(("x", "z")) == ((4L, -1.0)))
     assert(got(("y", "z")) == ((4L, -1.0)))
     assert(got.size == 3) // upper triangle only
+  }
+
+  test("corrMatrix property: equals the exact scaled-integer model " +
+      "on random frames (explicit seeds)") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(5, 40)
+      xs <- Gen.listOfN(n, Gen.choose(-100.0, 100.0))
+      ys <- Gen.listOfN(n, Gen.choose(-100.0, 100.0))
+    } yield (xs, ys)
+    def model(a: Seq[Double], b: Seq[Double]): Option[Double] = {
+      // the engine's arithmetic replayed in plain Scala: half-away
+      // 4-dp scaled longs, exact integer sums, double reassembly
+      def sl(v: Double): Long =
+        if (v >= 0) math.floor(v * 1e4 + 0.5).toLong
+        else -math.floor(-v * 1e4 + 0.5).toLong
+      def tot(t: Seq[Long]): Double =
+        t.map(BigInt(_)).sum.toDouble / 1e4
+      val n = a.size.toDouble
+      val (sa, sb) = (tot(a.map(sl)), tot(b.map(sl)))
+      val saa = tot(a.map(v => sl(v * v)))
+      val sbb = tot(b.map(v => sl(v * v)))
+      val sab = tot(a.zip(b).map { case (x, y) => sl(x * y) })
+      val cov = n * sab - sa * sb
+      val va = n * saa - sa * sa
+      val vb = n * sbb - sb * sb
+      if (va * vb > 0)
+        Some(BigDecimal(cov / math.sqrt(va * vb))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else None
+    }
+    for (seed <- 1L to 5L) {
+      val (xs, ys) = sample(gen, seed)
+      val zs = xs.zip(ys).map { case (a, b) => a * 0.5 - b * 0.25 }
+      val df = xs.indices.map(i => (xs(i), ys(i), zs(i)))
+        .toDF("x", "y", "z")
+      val got = Stats.corrMatrix(df, Seq("x", "y", "z")).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      val cols = Map("x" -> xs, "y" -> ys, "z" -> zs)
+      for (((a, b), v) <- got)
+        assert(v == model(cols(a), cols(b)),
+          s"seed=$seed pair=($a,$b): got $v, model ${model(cols(a), cols(b))}")
+    }
+  }
+
+  test("equiDepthBins property: bins partition the frame and differ " +
+      "by at most one row (explicit seeds)") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      vs <- Gen.listOfN(n, Gen.choose(0, 9)) // heavy ties on purpose
+      b <- Gen.choose(1, 7)
+    } yield (vs, b)
+    for (seed <- 1L to 6L) {
+      val (vs, nBins) = sample(gen, seed)
+      val df = vs.zipWithIndex.map { case (v, i) =>
+        (i.toLong, v.toDouble) }.toDF("id", "v")
+      val got = Stats.equiDepthBins(df, "v", "id", nBins)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(got.values.sum == vs.size.toLong, s"seed=$seed: $got")
+      assert(got.keySet.forall(b => b >= 0 && b < nBins))
+      if (vs.size >= nBins) {
+        assert(got.size == nBins, s"seed=$seed: missing bins $got")
+        assert(got.values.max - got.values.min <= 1,
+          s"seed=$seed: uneven bins $got")
+      }
+    }
   }
 
   test("entropyByGroup: uniform pair is ln 2 / gini .5; " +
