@@ -685,6 +685,50 @@ object Queries {
       Stats.corrMatrix(Tables.lineitem(s, dir),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
     }),
+    "q_corpus_report" -> ((s, dir) => {
+      // THE per-source corpus health report a training-data team
+      // ships: volume, language-mix entropy, quality, near-dup rate
+      // (shared LSH component memo), and two drift gates (PSI + KS vs
+      // src0) joined into one artifact — every column is the SAME
+      // arithmetic as its standalone gated query, and the composed
+      // oracle wraps those oracles as subqueries. Components prune
+      // DIFFERENT column subsets, so independent pruned scans beat
+      // one cached wide frame; the expensive shared piece (the pair
+      // memo) is computed once per session.
+      val docs = Tables.documents(s, dir)
+      val stats = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast(LongType))
+            .as("ws_tokens"))
+      val ent = Stats.entropyByGroup(docs, "source", "lang")
+        .select(col("source"), col("entropy"), col("gini"))
+      val qual = docs
+        .select(col("source"), col("text"),
+          TextAnalysis.tokens(col("text")).as("__tk"))
+        .select(col("source"),
+          TextAnalysis.qualityScoreFromTokens(col("__tk"), col("text"))
+            .as("__q"))
+        .groupBy(col("source"))
+        .agg(round(sum(col("__q").cast(DecimalType(12, 6)))
+          .cast(DoubleType) / count(lit(1)), 6).as("avg_quality"))
+      val cc = lshComponents(s, dir)
+      val kept = Dedup.dropNearDuplicates(docs, "doc_id",
+          cc.filter(col("id") =!= col("component"))
+            .select(col("component").as("a"), col("id").as("b")))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      val psi = Stats.psiByGroup(docs, "n_chars", "source",
+          refGroup = "src0", lo = 0.0, hi = 600.0, nBins = 10)
+        .select(col("source"), col("psi"))
+      val ks = Stats.ksByGroup(docs, "n_chars", "source",
+          refGroup = "src0")
+        .select(col("source"), col("ks"))
+      stats.join(ent, Seq("source")).join(qual, Seq("source"))
+        .join(kept, Seq("source"))
+        .withColumn("dup_permille",
+          expr("((n_docs - n_kept) * 1000) div n_docs"))
+        .join(psi, Seq("source"), "left")
+        .join(ks, Seq("source"), "left")
+    }),
     "q_label_entropy" -> ((s, dir) => {
       // Per-source language-mix diversity: Shannon entropy + Gini of
       // the lang distribution within each source — the corpus-report
@@ -5087,39 +5131,9 @@ object Queries {
          |v AS (SELECT n, nd, ${vals.mkString(",\n  ")} FROM m)
          |${arms.mkString("\nUNION ALL\n")}""".stripMargin
     },
-    "q_label_entropy" ->
-      """WITH c AS (SELECT source, lang, count(*) AS c
-        |  FROM documents GROUP BY 1, 2),
-        |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
-        |  count(*) AS k FROM c GROUP BY 1),
-        |p AS (SELECT c.source, CAST(c.c AS DOUBLE) / t.n AS p, t.n, t.k
-        |  FROM c JOIN t USING (source))
-        |SELECT source, max(n) AS n, max(k) AS n_labels,
-        | round(CAST(sum(CAST(round(-p * ln(p), 9) AS DECIMAL(18,9)))
-        |   AS DOUBLE), 6) AS entropy,
-        | round(1.0 - CAST(sum(CAST(round(p * p, 9) AS DECIMAL(18,9)))
-        |   AS DOUBLE), 6) AS gini
-        |FROM p GROUP BY source""".stripMargin,
-    "q_ks_test" ->
-      """WITH v AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS x
-        |  FROM documents WHERE n_chars IS NOT NULL),
-        |c AS (SELECT g, x, count(*) AS c FROM v GROUP BY 1, 2),
-        |spine AS (SELECT DISTINCT x FROM c),
-        |grps AS (SELECT DISTINCT g FROM c),
-        |grid AS (SELECT g, x FROM grps, spine),
-        |f AS (SELECT grid.g, grid.x, COALESCE(c.c, 0) AS c
-        |  FROM grid LEFT JOIN c USING (g, x)),
-        |e AS (SELECT g, x,
-        |  CAST(sum(c) OVER (PARTITION BY g ORDER BY x ASC
-        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
-        |  CAST(sum(c) OVER (PARTITION BY g) AS DOUBLE) AS f,
-        |  CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
-        | FROM f),
-        |ref AS (SELECT x, f AS fr FROM e WHERE g = 'src0')
-        |SELECT g AS source, max(n) AS n,
-        | round(max(abs(f - fr)), 6) AS ks
-        |FROM e JOIN ref USING (x) WHERE g <> 'src0'
-        |GROUP BY g""".stripMargin,
+    "q_label_entropy" -> labelEntropyOracle,
+    "q_ks_test" -> ksTestOracle,
+    "q_corpus_report" -> corpusReportOracle,
     "q_chi_square" ->
       """WITH ab AS (SELECT lang, source, count(*) AS cab
         |  FROM documents GROUP BY 1, 2),
@@ -6072,6 +6086,89 @@ object Queries {
        | CAST(max(abs(ev - xv)) AS DOUBLE) AS max_ae
        |FROM pp""".stripMargin
   }
+
+  private def labelEntropyOracle: String =
+    """WITH c AS (SELECT source, lang, count(*) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+      |  count(*) AS k FROM c GROUP BY 1),
+      |p AS (SELECT c.source, CAST(c.c AS DOUBLE) / t.n AS p, t.n, t.k
+      |  FROM c JOIN t USING (source))
+      |SELECT source, max(n) AS n, max(k) AS n_labels,
+      | round(CAST(sum(CAST(round(-p * ln(p), 9) AS DECIMAL(18,9)))
+      |   AS DOUBLE), 6) AS entropy,
+      | round(1.0 - CAST(sum(CAST(round(p * p, 9) AS DECIMAL(18,9)))
+      |   AS DOUBLE), 6) AS gini
+      |FROM p GROUP BY source""".stripMargin
+
+  private def ksTestOracle: String =
+    """WITH v AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS x
+      |  FROM documents WHERE n_chars IS NOT NULL),
+      |c AS (SELECT g, x, count(*) AS c FROM v GROUP BY 1, 2),
+      |spine AS (SELECT DISTINCT x FROM c),
+      |grps AS (SELECT DISTINCT g FROM c),
+      |grid AS (SELECT g, x FROM grps, spine),
+      |f AS (SELECT grid.g, grid.x, COALESCE(c.c, 0) AS c
+      |  FROM grid LEFT JOIN c USING (g, x)),
+      |e AS (SELECT g, x,
+      |  CAST(sum(c) OVER (PARTITION BY g ORDER BY x ASC
+      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+      |  CAST(sum(c) OVER (PARTITION BY g) AS DOUBLE) AS f,
+      |  CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+      | FROM f),
+      |ref AS (SELECT x, f AS fr FROM e WHERE g = 'src0')
+      |SELECT g AS source, max(n) AS n,
+      | round(max(abs(f - fr)), 6) AS ks
+      |FROM e JOIN ref USING (x) WHERE g <> 'src0'
+      |GROUP BY g""".stripMargin
+
+  /** q_corpus_report replica: the component oracles wrapped as
+    * subqueries (each carries its own WITH) joined on source — the
+    * composed report is gated by the SAME arithmetic as its parts. */
+  private def corpusReportOracle: String =
+    s"""WITH ts AS (
+       | SELECT source, count(*) AS n_docs,
+       |  CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |    x -> len(x) > 0))) AS BIGINT) AS ws_tokens
+       | FROM documents GROUP BY 1),
+       |ent AS (SELECT source, entropy, gini FROM ($labelEntropyOracle)),
+       |qual AS (
+       | SELECT source,
+       |  round(CAST(sum(CAST(q AS DECIMAL(12,6))) AS DOUBLE)
+       |    / count(*), 6) AS avg_quality
+       | FROM (
+       |  SELECT source, round((
+       |   (CASE WHEN n_tok BETWEEN 10 AND 1000 THEN 1.0
+       |         WHEN n_tok > 0 THEN 0.5 ELSE 0.0 END) +
+       |   (CASE WHEN n_tok > 0 AND tok_chars / n_tok >= 3
+       |          AND tok_chars / n_tok <= 10 THEN 1.0 ELSE 0.5 END) +
+       |   (1.0 - least((CASE WHEN tchars > 0
+       |      THEN CAST(n_punct AS DOUBLE) / tchars ELSE 0.0 END) * 5,
+       |      1.0))
+       |   ) / 3.0, 6) AS q
+       |  FROM (
+       |   SELECT source,
+       |    len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |      x -> len(x) > 0)) AS n_tok,
+       |    CAST(list_sum(list_transform(
+       |      list_filter(regexp_split_to_array(text, '\\s+'),
+       |        x -> len(x) > 0),
+       |      x -> len(x))) AS DOUBLE) AS tok_chars,
+       |    len(text) AS tchars,
+       |    len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g'))
+       |      AS n_punct
+       |   FROM documents))
+       | GROUP BY source),
+       |kept AS (SELECT source, n_kept FROM ($dedupApplyCcOracle)),
+       |psi AS (SELECT source, psi FROM ($docLengthPsiOracle)),
+       |ks AS (SELECT source, ks FROM ($ksTestOracle))
+       |SELECT ts.source, n_docs, ws_tokens, entropy, gini, avg_quality,
+       | n_kept, (n_docs - n_kept) * 1000 // n_docs AS dup_permille,
+       | psi.psi, ks.ks
+       |FROM ts JOIN ent USING (source) JOIN qual USING (source)
+       | JOIN kept USING (source)
+       | LEFT JOIN psi USING (source)
+       | LEFT JOIN ks USING (source)""".stripMargin
 
   private def dedupApplyCcOracle: String =
     s"""${minhashPairsCte(0.8)},
