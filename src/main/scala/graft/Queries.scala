@@ -131,6 +131,20 @@ object Queries {
       })
     }
 
+  /** Session-shared label-propagation labels over [[knnEdges]]
+    * (3 deterministic rounds): q_graph_communities reports the
+    * censuses, q_graph_modularity scores the SAME partition — one
+    * propagation loop, two consumers (the memo discipline). The
+    * returned frame is localCheckpoint-materialized by the operator. */
+  private val lpMemo =
+    scala.collection.mutable.HashMap[(SparkSession, String), DataFrame]()
+  private def lpLabels(s: SparkSession, dir: String): DataFrame =
+    lpMemo.synchronized {
+      lpMemo.getOrElseUpdate((s, dir),
+        graft.operators.Graph.labelPropagation(knnEdges(s, dir),
+          rounds = 3))
+    }
+
   /** orders with the reference's NULL-routing column: the incremental
     * timestamp is NULL for one slice of rows (status 'P' stands in for
     * the reference's incomplete orders — SURVEY.md §2.2 F2). */
@@ -1034,11 +1048,46 @@ object Queries {
       // component. Each round is one |E|-linear count shuffle + one
       // per-node argmax; the oracle unrolls all 3 rounds. Gate:
       // per-community census.
-      graft.operators.Graph.labelPropagation(knnEdges(s, dir),
-          rounds = 3)
+      lpLabels(s, dir)
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_members"), sum(col("id")).as("id_sum"),
           min(col("id")).as("min_id"))
+    }),
+    "q_graph_modularity" -> ((s, dir) => {
+      // Partition-quality score for the label-propagation communities
+      // (Newman modularity, per-community terms): Q_c = L_c/m −
+      // (D_c/2m)² — intra-community edge share minus the
+      // random-graph expectation. The number that says whether the
+      // communities are real structure or noise. Shares the label
+      // memo with q_graph_communities; every input is an exact
+      // integer count over the (≤ k·n)-row edge frame.
+      val labels = lpLabels(s, dir)
+      val e = knnEdges(s, dir)
+      val mRow = e.agg(count(lit(1)).as("__m"))
+      val la = labels.select(col("id").as("a"), col("label").as("__ca"))
+      val lb = labels.select(col("id").as("b"), col("label").as("__cb"))
+      val intra = e.join(la, Seq("a")).join(lb, Seq("b"))
+        .filter(col("__ca") === col("__cb"))
+        .groupBy(col("__ca").as("label"))
+        .agg(count(lit(1)).as("l_intra"))
+      val bi = e.select(col("a"), col("b"))
+        .unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      val dsumC = bi.join(la, Seq("a"))
+        .groupBy(col("__ca").as("label"))
+        .agg(count(lit(1)).as("d_sum"))
+      labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+        .join(intra, Seq("label"), "left")
+        .join(dsumC, Seq("label"))
+        .crossJoin(broadcast(mRow))
+        .select(col("label"), col("n_members"),
+          coalesce(col("l_intra"), lit(0L)).as("l_intra"),
+          col("d_sum"),
+          round(coalesce(col("l_intra"), lit(0L)).cast(DoubleType) /
+            col("__m").cast(DoubleType) -
+            (col("d_sum").cast(DoubleType) /
+              (col("__m").cast(DoubleType) * 2)) *
+            (col("d_sum").cast(DoubleType) /
+              (col("__m").cast(DoubleType) * 2)), 6).as("q_term"))
     }),
     "q_graph_linkpred" -> ((s, dir) => {
       // Adamic–Adar link prediction on the k-NN graph: the top-20
@@ -3986,6 +4035,7 @@ object Queries {
     "q_graph_bfs" -> graphBfsOracle,
     "q_graph_components" -> graphComponentsOracle,
     "q_graph_communities" -> graphCommunitiesOracle,
+    "q_graph_modularity" -> graphModularityOracle,
     "q_graph_linkpred" -> graphLinkpredOracle,
     "q_pipeline_semantic" -> pipelineSemanticOracle,
     "q_select_kcenter" -> selectKcenterOracle,
@@ -6894,6 +6944,41 @@ object Queries {
        |SELECT label, count(*) AS n_members,
        | CAST(sum(id) AS BIGINT) AS id_sum, min(id) AS min_id
        |FROM g$rounds GROUP BY label""".stripMargin
+  }
+
+  /** q_graph_modularity replica: the communities chain (g3) + exact
+    * intra-edge and degree counts, per-community Newman terms with
+    * identical double arithmetic (x·x, not pow). */
+  private def graphModularityOracle: String = {
+    val levels = (1 to 3).map { i =>
+      val prev = s"g${i - 1}"
+      s"""g$i AS (SELECT id, label FROM (
+         |  SELECT nb.a AS id, $prev.label, count(*) AS c,
+         |   row_number() OVER (PARTITION BY nb.a
+         |     ORDER BY count(*) DESC, $prev.label ASC) AS rn
+         |  FROM nb JOIN $prev ON nb.b = $prev.id
+         |  GROUP BY nb.a, $prev.label) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnEdgesCte,
+       |nb AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+       |g0 AS (SELECT DISTINCT a AS id, a AS label FROM nb),
+       |$levels,
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+       |ec AS (SELECT x.label AS label, CAST(count(*) AS BIGINT)
+       |    AS l_intra
+       |  FROM e JOIN g3 x ON e.a = x.id JOIN g3 y ON e.b = y.id
+       |  WHERE x.label = y.label GROUP BY 1),
+       |dg AS (SELECT g3.label, CAST(count(*) AS BIGINT) AS d_sum
+       |  FROM nb JOIN g3 ON nb.a = g3.id GROUP BY 1),
+       |mem AS (SELECT label, count(*) AS n_members FROM g3 GROUP BY 1)
+       |SELECT mem.label, n_members,
+       | COALESCE(l_intra, 0) AS l_intra, d_sum,
+       | round(CAST(COALESCE(l_intra, 0) AS DOUBLE) / m -
+       |   (CAST(d_sum AS DOUBLE) / (CAST(m AS DOUBLE) * 2)) *
+       |   (CAST(d_sum AS DOUBLE) / (CAST(m AS DOUBLE) * 2)), 6)
+       |  AS q_term
+       |FROM mem LEFT JOIN ec USING (label) JOIN dg USING (label), mm"""
+      .stripMargin
   }
 
   /** q_graph_linkpred replica: wedge enumeration around each center,
