@@ -818,6 +818,20 @@ object Queries {
           coalesce(lag(col("event_type"), 1).over(w), lit("<none>"))
             .as("prev_type"))
     }),
+    "q_window_percentrank" -> ((s, dir) => {
+      // Relative standing within a partition: percent_rank (ties
+      // share a rank — ordering on the value alone keeps tied rows
+      // identical cross-engine) and cume_dist per user over event
+      // value — the window pair q_quantile_bins' global form doesn't
+      // cover.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").asc)
+      Tables.events(s, dir)
+        .filter(col("user_id") < 5)
+        .select(col("user_id"), col("event_id"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+    }),
     "q_window_trailing" -> ((s, dir) => {
       // Trailing TIME-range window (not row frame): each event's
       // 30-minute look-back count/sum per user — RANGE BETWEEN over
@@ -5311,6 +5325,13 @@ object Queries {
         | round(lo + wd * g.bin, 6) AS bin_lo,
         | round(lo + wd * (g.bin + 1), 6) AS bin_hi
         |FROM g, w""".stripMargin,
+    "q_window_percentrank" ->
+      """SELECT user_id, event_id,
+        | round(percent_rank() OVER w, 6) AS pr,
+        | round(cume_dist() OVER w, 6) AS cd
+        |FROM events WHERE user_id < 5
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value ASC)"""
+        .stripMargin,
     "q_window_running" ->
       """SELECT user_id, event_id,
         | row_number() OVER w AS seq,
