@@ -1668,6 +1668,35 @@ object Queries {
         .groupBy(col("status"))
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
     }),
+    "q_lake_retention" -> ((s, dir) => {
+      // Snapshot lifecycle end-to-end: four growing snapshots land,
+      // retention keeps the last two, the REQUIREs pin both the
+      // surviving ledger AND that time travel to an expired version
+      // now fails loudly; the gated result reads the latest snapshot
+      // (= full orders by construction), so any retention bug that
+      // touched the wrong directory diverges from the oracle.
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ret").toString
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      (1 to 4).foreach { i =>
+        graft.io.Lakehouse.writeVersion(s, tmp,
+          o.filter(col("o_orderkey") % 4 < i))
+      }
+      val dropped = graft.io.Lakehouse.expireVersions(s, tmp,
+        keepLast = 2)
+      require(dropped == Seq(1, 2) &&
+        graft.io.Lakehouse.versions(s, tmp) == Seq(3, 4),
+        "retention ledger diverged")
+      val expiredFails =
+        try { graft.io.Lakehouse.readVersion(s, tmp, 1); false }
+        catch { case _: IllegalArgumentException => true }
+      require(expiredFails, "expired snapshot still readable")
+      graft.io.Lakehouse.readLatest(s, tmp)
+        .groupBy((col("o_orderkey") % 10).as("k"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("price_sum"))
+    }),
     "q_lake_compact" -> ((s, dir) => {
       // Small-file compaction PROVEN end-to-end (the perpetual
       // lakehouse chore — at 100 TB a fragmented table wastes a scan
@@ -4190,6 +4219,12 @@ object Queries {
         |GROUP BY 1""".stripMargin,
     // both snapshots recomputed relationally; status classification
     // mirrors snapshotDiff's full-outer semantics
+    // latest surviving snapshot = v4 = the unfiltered orders slice
+    "q_lake_retention" ->
+      """SELECT o_orderkey % 10 AS k, count(*) AS n,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |   AS DOUBLE), 4) AS price_sum
+        |FROM orders GROUP BY 1""".stripMargin,
     "q_lake_timetravel" ->
       """WITH v1 AS (SELECT o_orderkey AS k, o_totalprice AS p
         | FROM orders WHERE o_orderkey % 3 <> 0),

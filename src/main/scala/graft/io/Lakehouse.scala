@@ -251,6 +251,26 @@ object Lakehouse {
     readVersion(spark, path, vs.last)
   }
 
+  /** Snapshot retention: delete every complete version except the
+    * last `keepLast` — the lifecycle chore that bounds snapshot
+    * storage (each snapshot is a full parquet table, so retention IS
+    * directory deletion; nothing references expired versions — the
+    * ledger is the directory listing itself, see [[writeVersion]]).
+    * Time travel to an expired version fails loudly afterwards.
+    * Returns the versions dropped, ascending. */
+  def expireVersions(
+      spark: SparkSession, path: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
+    val vs = versions(spark, path)
+    val drop = vs.dropRight(keepLast)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    drop.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"v=$v"), true)
+    }
+    drop
+  }
+
   /** Compact a fragmented parquet directory to `nFiles` outputs —
     * small-file management, the perpetual lakehouse chore: a directory
     * with thousands of tiny files wastes scan tasks and footer reads.

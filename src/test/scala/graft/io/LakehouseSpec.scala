@@ -192,4 +192,28 @@ class LakehouseSpec extends SparkSpecBase {
     assert(!new java.io.File(path + "__compact_old").exists())
     assert(!new java.io.File(path + "__compact_tmp").exists())
   }
+
+  test("expireVersions keeps the newest snapshots, drops the rest, " +
+      "and expired time travel fails loudly") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("ret").toString + "/t"
+    (1 to 4).foreach { i =>
+      Lakehouse.writeVersion(spark, path,
+        Seq((i.toLong, s"v$i")).toDF("k", "v"))
+    }
+    val dropped = Lakehouse.expireVersions(spark, path, keepLast = 2)
+    assert(dropped == Seq(1, 2))
+    assert(Lakehouse.versions(spark, path) == Seq(3, 4))
+    assert(Lakehouse.readLatest(spark, path)
+      .as[(Long, String)].collect().toSet == Set((4L, "v4")))
+    // the surviving older snapshot still time-travels
+    assert(Lakehouse.readVersion(spark, path, 3)
+      .as[(Long, String)].collect().toSet == Set((3L, "v3")))
+    intercept[IllegalArgumentException] {
+      Lakehouse.readVersion(spark, path, 1)
+    }
+    // keepLast larger than the ledger is a no-op
+    assert(Lakehouse.expireVersions(spark, path, keepLast = 5).isEmpty)
+    assert(Lakehouse.versions(spark, path) == Seq(3, 4))
+  }
 }
