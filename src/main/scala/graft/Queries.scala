@@ -802,6 +802,68 @@ object Queries {
       Stats.histogramEquiWidth(Tables.lineitem(s, dir),
         "l_extendedprice", nBins = 16)
     }),
+    "q_mann_whitney" -> ((s, dir) => {
+      // Non-parametric two-sample location test: is order value
+      // stochastically larger for finished vs open orders? The rank
+      // pass is the two-phase distributed prefix sum (no global
+      // window); ranks reduce to one bounded per-value frame and the
+      // rank sums accumulate as DECIMAL(38,0) (cast BEFORE multiply).
+      Stats.mannWhitney(Tables.orders(s, dir), "o_totalprice",
+        "o_orderstatus", groupA = "F", groupB = "O")
+    }),
+    "q_cramers_v" -> ((s, dir) => {
+      // Effect size for categorical association: χ² normalized to
+      // [0,1] — at corpus scale raw χ² is "significant" for any
+      // negligible dependence because n is huge; V is the number a
+      // mix dashboard can threshold. Same single-scan contingency
+      // core as q_chi_square, different column pair.
+      Stats.cramersV(Tables.orders(s, dir), "o_orderstatus",
+        "o_orderpriority")
+    }),
+    "q_ewma" -> ((s, dir) => {
+      // Trailing half-decay EWMA of daily revenue — the smoothed
+      // drift line: finite 10-term window so the smoother is a pure
+      // per-row expression over the control-plane daily series (the
+      // corpus-sized work is the groupBy); exact binary weights keep
+      // both engines bit-identical before the 6-dp round.
+      val daily = Tables.orders(s, dir)
+        .groupBy(dateFmt(col("o_orderdate")).as("d"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      Stats.ewmaTrailing(daily, "d", "rev", k = 10)
+    }),
+    "q_cusum" -> ((s, dir) => {
+      // Changepoint locator on the same daily series: the period
+      // where the cumulative deviation from the global mean peaks.
+      // Integer-exact decision (T_i = n·cum_i − i·total in DECIMAL)
+      // so the argmax never turns on float accumulation order.
+      val daily = Tables.orders(s, dir)
+        .groupBy(dateFmt(col("o_orderdate")).as("d"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      Stats.cusumMaxShift(daily, "d", "rev")
+    }),
+    "q_benford" -> ((s, dir) => {
+      // First-digit law audit of order values — the synthetic-data /
+      // truncation smell test. Digit from the integer part's string
+      // (log-free: power-of-ten values can't flip on a one-ulp log
+      // difference); one 9-group map-side-combined aggregate.
+      Stats.benfordDigits(Tables.orders(s, dir), "o_totalprice")
+    }),
+    "q_window_ntile" -> ((s, dir) => {
+      // Equi-count quartile assignment per status partition (ntile
+      // handles the remainder rows identically across engines when
+      // the order is total — value + key tie-break), aggregated to
+      // per-quartile count/bounds/sum for a compact gate.
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .select(col("o_orderstatus"), col("o_totalprice"),
+          ntile(4).over(w).as("quartile"))
+        .groupBy(col("o_orderstatus"), col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"),
+          dsum(col("o_totalprice")).as("price_sum"))
+    }),
     "q_window_running" -> ((s, dir) => {
       // Running analytics per user ordered by event time: cumulative
       // count, running value sum (exact via DECIMAL), and the previous
@@ -5360,6 +5422,151 @@ object Queries {
         | round(lo + wd * g.bin, 6) AS bin_lo,
         | round(lo + wd * (g.bin + 1), 6) AS bin_hi
         |FROM g, w""".stripMargin,
+    // Mann–Whitney replica: per-value counts, window cumulative count
+    // over the value spine (lo+hi = 2·cum_before + ct + 1), HUGEINT
+    // rank sums mirror the DECIMAL(38,0) exactly, then the identical
+    // fixed double formula for U and the tie-corrected z.
+    "q_mann_whitney" ->
+      """WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS x,
+        |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS a
+        | FROM orders
+        | WHERE o_orderstatus IN ('F','O') AND o_totalprice IS NOT NULL),
+        |pv AS (SELECT x, CAST(count(*) AS BIGINT) AS ct,
+        |  CAST(sum(a) AS BIGINT) AS ca FROM v GROUP BY x),
+        |rk AS (SELECT x, ct, ca,
+        |  CAST(coalesce(sum(ct) OVER (ORDER BY x ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS BIGINT) AS cb
+        | FROM pv),
+        |agg AS (SELECT
+        |  CAST(sum(ca) AS BIGINT) AS na, CAST(sum(ct) AS BIGINT) AS n,
+        |  sum(CAST(ca AS HUGEINT) * (2 * cb + ct + 1)) AS r2a,
+        |  sum(CAST(ct AS HUGEINT) * ct * ct - ct) AS ties
+        | FROM rk)
+        |SELECT na AS n_a, n - na AS n_b,
+        | round(CAST(r2a AS DOUBLE) / 2.0 -
+        |   CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0) / 2.0, 1)
+        |  AS u_a,
+        | round(CASE WHEN na > 0 AND n - na > 0 AND n > 1 THEN
+        |   ((CAST(r2a AS DOUBLE) / 2.0 -
+        |     CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0) / 2.0) -
+        |    CAST(na AS DOUBLE) * CAST(n - na AS DOUBLE) / 2.0) /
+        |   sqrt(CAST(na AS DOUBLE) * CAST(n - na AS DOUBLE) / 12.0 *
+        |     ((CAST(n AS DOUBLE) + 1.0) - CAST(ties AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))
+        |  ELSE NULL END, 6) AS z
+        |FROM agg""".stripMargin,
+    // Cramér's V replica: the q_chi_square contingency arithmetic on
+    // (status, priority), plus V from the 6-dp-rounded χ².
+    "q_cramers_v" ->
+      """WITH ab AS (SELECT o_orderstatus AS a, o_orderpriority AS b,
+        |  count(*) AS cab FROM orders GROUP BY 1, 2),
+        |nr AS (SELECT CAST(sum(cab) AS BIGINT) AS n FROM ab),
+        |ma AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca
+        |  FROM ab GROUP BY 1),
+        |mb AS (SELECT b, CAST(sum(cab) AS BIGINT) AS cb
+        |  FROM ab GROUP BY 1),
+        |dims AS (SELECT (SELECT count(*) FROM ma) AS ka,
+        |  (SELECT count(*) FROM mb) AS kb),
+        |terms AS (SELECT CAST(cab AS DOUBLE) AS o,
+        |  CAST(ca AS DOUBLE) * cb / n AS e
+        | FROM ab JOIN ma USING (a) JOIN mb USING (b), nr),
+        |agg2 AS (SELECT
+        |  CAST(sum(CAST(round((o - e) * (o - e) / e, 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS s_t,
+        |  CAST(sum(CAST(round(e, 6) AS DECIMAL(18,6)))
+        |    AS DOUBLE) AS s_e
+        | FROM terms),
+        |chi AS (SELECT round(s_t + CAST(n AS DOUBLE) - s_e, 6) AS chi2
+        |  FROM agg2, nr)
+        |SELECT n, CAST(least(ka - 1, kb - 1) AS BIGINT) AS min_dim,
+        | chi2,
+        | round(sqrt(greatest(chi2, 0.0) /
+        |   (CAST(n AS DOUBLE) *
+        |    CAST(least(ka - 1, kb - 1) AS DOUBLE))), 6) AS v
+        |FROM nr, dims, chi""".stripMargin,
+    // EWMA replica: same daily spine as q_autocorr; terms coalesce to
+    // 0 and fold in the identical lag order with exact binary-weight
+    // literals, so the doubles are bit-identical before round(…, 6).
+    "q_ewma" -> {
+      val k = 10
+      def xj(j: Int) = if (j == 0) "rev" else s"x$j"
+      val lags = (1 until k)
+        .map(j => s"lag(rev, $j) OVER w AS x$j").mkString(", ")
+      def wlit(j: Int) =
+        s"CAST(${BigDecimal(math.pow(0.5, j)).bigDecimal.toPlainString}" +
+          " AS DOUBLE)"
+      val num = (0 until k)
+        .map(j => s"coalesce(${xj(j)} * ${wlit(j)}, 0.0)")
+        .mkString(" + ")
+      val den = (0 until k)
+        .map(j =>
+          s"CASE WHEN ${xj(j)} IS NOT NULL THEN ${wlit(j)} ELSE 0.0 END")
+        .mkString(" + ")
+      val nt = (0 until k)
+        .map(j => s"CASE WHEN ${xj(j)} IS NOT NULL THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+         |    AS DOUBLE), 4) AS rev
+         | FROM orders GROUP BY 1),
+         |lg AS (SELECT d, rev, $lags
+         | FROM daily WINDOW w AS (ORDER BY d ASC))
+         |SELECT d, rev, ($nt) AS n_terms,
+         | CASE WHEN ($den) > 0 THEN round(($num) / ($den), 6)
+         |  ELSE NULL END AS ewma
+         |FROM lg""".stripMargin
+    },
+    // CUSUM replica: identical daily spine; T_i = n·cum_i − i·total
+    // exact in DECIMAL(38,4) (DuckDB's decimal engine is hugeint),
+    // argmax on exact decimals, magnitude divides back to double.
+    "q_cusum" ->
+      """WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    AS DOUBLE), 4) AS rev
+        | FROM orders GROUP BY 1),
+        |c AS (SELECT d, CAST(rev AS DECIMAL(18,4)) AS x FROM daily),
+        |cum AS (SELECT d,
+        |  CAST(sum(x) OVER (ORDER BY d ASC ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS cm,
+        |  row_number() OVER (ORDER BY d ASC) AS i,
+        |  CAST(sum(x) OVER () AS DECIMAL(38,4)) AS tot,
+        |  count(*) OVER () AS n
+        | FROM c),
+        |t AS (SELECT d, n, cm * n - tot * i AS ti FROM cum)
+        |SELECT d AS change_at, CAST(n AS BIGINT) AS n,
+        | round(CAST(abs(ti) AS DOUBLE) / CAST(n AS DOUBLE), 6) AS s_max
+        |FROM t ORDER BY abs(ti) DESC, d ASC LIMIT 1""".stripMargin,
+    // Benford replica: digit from the floored integer part's string;
+    // expected probabilities are the same 6-dp literals the Spark
+    // plan bakes in (Stats.benfordExpected).
+    "q_benford" -> {
+      val vals = Stats.benfordExpected
+        .map { case (d, p) => s"($d, ${f"$p%.6f"})" }.mkString(", ")
+      s"""WITH f AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice)
+         |    AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+         | FROM orders
+         | WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1),
+         |c AS (SELECT digit, count(*) AS n FROM f GROUP BY 1),
+         |o AS (SELECT digit, n,
+         |  round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS p_obs
+         | FROM (SELECT digit, n, sum(n) OVER () AS tot FROM c)),
+         |e(digit, pb) AS (VALUES $vals)
+         |SELECT o.digit, o.n, o.p_obs,
+         | CAST(e.pb AS DOUBLE) AS p_benford,
+         | round(o.p_obs - CAST(e.pb AS DOUBLE), 6) AS diff
+         |FROM o JOIN e USING (digit)""".stripMargin
+    },
+    "q_window_ntile" ->
+      """WITH t AS (SELECT o_orderstatus, o_totalprice,
+        |  ntile(4) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile
+        | FROM orders)
+        |SELECT o_orderstatus, quartile, count(*) AS n,
+        | min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |   AS DOUBLE), 4) AS price_sum
+        |FROM t GROUP BY 1, 2""".stripMargin,
     "q_window_percentrank" ->
       """SELECT user_id, event_id,
         | round(percent_rank() OVER w, 6) AS pr,

@@ -971,6 +971,40 @@ object Stats {
   def chiSquare(
       df: DataFrame,
       aCol: String,
+      bCol: String): DataFrame =
+    chiSquareCore(df, aCol, bCol)
+      .select(col("n"), col("n_cells"),
+        ((col("__ka") - 1) * (col("__kb") - 1)).as("dof"), col("chi2"))
+
+  /** Cramér's V effect size from the same contingency table as
+    * [[chiSquare]]: V = √(χ² / (n · min(k_a−1, k_b−1))) — the
+    * bounded-[0,1] companion the χ² statistic needs at corpus scale,
+    * where even negligible association is "significant" because n is
+    * enormous (χ² grows with n; V does not). One corpus scan via the
+    * shared core; V derives from the 6-dp-rounded χ² (the gate
+    * replays emitted precision, the mutualInformation NMI rule), and
+    * the tiny negative χ² a rounded near-zero sum can produce clamps
+    * to 0 before the square root.
+    *
+    * Returns one row: (n, min_dim, chi2, v). */
+  def cramersV(
+      df: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame =
+    chiSquareCore(df, aCol, bCol)
+      .select(col("n"),
+        least(col("__ka") - 1, col("__kb") - 1).as("min_dim"),
+        col("chi2"),
+        round(sqrt(greatest(col("chi2"), lit(0.0)) /
+          (col("n").cast(DoubleType) *
+            least(col("__ka") - 1, col("__kb") - 1)
+              .cast(DoubleType))), 6).as("v"))
+
+  /** Shared contingency-table core behind [[chiSquare]] and
+    * [[cramersV]]: one row (n, n_cells, __ka, __kb, chi2). */
+  private def chiSquareCore(
+      df: DataFrame,
+      aCol: String,
       bCol: String): DataFrame = {
     val ab = df.groupBy(col(aCol), col(bCol))
       .agg(count(lit(1)).as("__cab"))
@@ -981,7 +1015,6 @@ object Stats {
     val cb = ab.groupBy(col(bCol)).agg(sum(col("__cab")).as("__cb"))
     val dims = ca.agg(count(lit(1)).as("__ka"))
       .crossJoin(broadcast(cb.agg(count(lit(1)).as("__kb"))))
-      .select(((col("__ka") - 1) * (col("__kb") - 1)).as("dof"))
     // Zero cells (o = 0, e > 0) each contribute e to the statistic;
     // Σ_all e = n gives the closed form χ² = Σ_obs (o−e)²/e + n − Σ_obs e
     // — full-grid-correct without materializing the |a|×|b| grid.
@@ -1086,4 +1119,205 @@ object Stats {
       .withColumn("bin_hi",
         round(lit(lo) + lit(width) * (col("bin") + 1), 6))
   }
+
+  /** Mann–Whitney U rank-sum test: does `valueCol` tend larger in
+    * group `groupA` than in `groupB`? The non-parametric sibling of
+    * the t-test — no normality assumption, so it is the right
+    * two-sample gate for the heavy-tailed quality/length/price
+    * distributions a corpus audit meets (KS asks "same distribution
+    * anywhere?", U asks "is one stochastically larger?").
+    *
+    * Scale shape: ranks come from [[globalRankByValue]]'s two-phase
+    * prefix sum — NOT a single-partition window — and tie handling
+    * needs no deterministic tie order because average ranks derive
+    * from min/max rank per distinct value (tied rows always occupy a
+    * contiguous rank range). Everything then reduces to one bounded
+    * per-value frame. Exactness: 2·R_A = Σ c_A·(lo+hi) and the tie
+    * term Σ(t³−t) accumulate as DECIMAL(38,0) with the cast BEFORE
+    * the multiply (per-partition partials must not wrap in Long at
+    * 10¹² rows — the labelCohesion lesson); U, μ, σ and z then derive
+    * from those exact integers with a fixed double formula both
+    * engines replay identically.
+    *
+    * Returns one row: (n_a, n_b, u_a, z) — u_a the U statistic of
+    * `groupA` (exact to .5, emitted at 1 dp), z the tie-corrected
+    * normal approximation. */
+  def mannWhitney(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      groupA: String,
+      groupB: String,
+      nRanges: Int = 256): DataFrame = {
+    val v = df
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull)
+      .select(col(groupCol).cast(StringType).as("__g"),
+        col(valueCol).cast(DoubleType).as("__x"))
+      .withColumn("__t", lit(0))
+    val (ranked, _) = globalRankByValue(v, "__x", "__t", nRanges)
+    val dec = DecimalType(38, 0)
+    val perVal = ranked.groupBy(col("__x"))
+      .agg(min(col("__rank")).as("__lo"), max(col("__rank")).as("__hi"),
+        sum(when(col("__g") === groupA, 1L).otherwise(0L)).as("__ca"),
+        count(lit(1)).as("__ct"))
+    val agg1 = perVal.agg(
+      sum(col("__ca")).as("__na"),
+      sum(col("__ct")).as("__n"),
+      sum(col("__ca").cast(dec) * (col("__lo") + col("__hi")))
+        .as("__r2a"),
+      sum(col("__ct").cast(dec) * col("__ct") * col("__ct") -
+        col("__ct")).as("__ties"))
+    val nd = col("__n").cast(DoubleType)
+    val nad = col("__na").cast(DoubleType)
+    val nbd = (col("__n") - col("__na")).cast(DoubleType)
+    agg1.select(
+      col("__na").as("n_a"),
+      (col("__n") - col("__na")).as("n_b"),
+      round((col("__r2a").cast(DoubleType) / 2.0 -
+        nad * (nad + 1.0) / 2.0), 1).as("u_a"),
+      round(
+        when(nad > 0 && nbd > 0 && nd > 1,
+          ((col("__r2a").cast(DoubleType) / 2.0 -
+            nad * (nad + 1.0) / 2.0) - nad * nbd / 2.0) /
+            sqrt(nad * nbd / 12.0 *
+              ((nd + 1.0) - col("__ties").cast(DoubleType) /
+                (nd * (nd - 1.0)))))
+          .otherwise(lit(null).cast(DoubleType)), 6).as("z"))
+  }
+
+  /** Trailing exponentially-weighted moving average of an
+    * ALREADY-AGGREGATED series: for each period, the dot product of
+    * the last `k` values with weights (1/2)^j (j = 0 at the current
+    * period), normalized by the weights actually present — the
+    * smoother behind drift dashboards, with a FINITE window so the
+    * value is a pure per-row expression (the classic recursive EWMA
+    * needs a sequential scan; truncating at k = 10 leaves < 0.1% of
+    * the mass and keeps the plan embarrassingly parallel).
+    *
+    * The series is per-period control-plane BY CONSTRUCTION (the
+    * autocorrelation discipline) — the lag window orders periods,
+    * never data. Determinism: the half-decay weights are exact binary
+    * fractions, value·2⁻ʲ is an exponent shift (exact in IEEE), and
+    * the numerator/denominator fold in fixed left-to-right lag order,
+    * so both engines produce bit-identical doubles before the final
+    * 6-dp round.
+    *
+    * Returns one row per period: (orderCol, valueCol, n_terms, ewma). */
+  def ewmaTrailing(
+      series: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 30, s"k out of range: $k")
+    val x = col(valueCol).cast(DoubleType)
+    val w = Window.orderBy(col(orderCol).asc)
+    val lagged = series.select(
+      Seq(col(orderCol), col(valueCol)) ++
+        (1 until k).map(j => lag(x, j).over(w).as(s"__x$j")): _*)
+    def term(j: Int): Column = {
+      val xj = if (j == 0) x else col(s"__x$j")
+      when(xj.isNotNull, xj * lit(math.pow(0.5, j))).otherwise(lit(0.0))
+    }
+    def wgt(j: Int): Column = {
+      val xj = if (j == 0) x else col(s"__x$j")
+      when(xj.isNotNull, lit(math.pow(0.5, j))).otherwise(lit(0.0))
+    }
+    def cnt(j: Int): Column = {
+      val xj = if (j == 0) x else col(s"__x$j")
+      when(xj.isNotNull, 1).otherwise(0)
+    }
+    val num = (1 until k).foldLeft(term(0))((acc, j) => acc + term(j))
+    val den = (1 until k).foldLeft(wgt(0))((acc, j) => acc + wgt(j))
+    val nt = (1 until k).foldLeft(cnt(0))((acc, j) => acc + cnt(j))
+    lagged.select(col(orderCol), col(valueCol),
+      nt.as("n_terms"),
+      when(den > 0, round(num / den, 6))
+        .otherwise(lit(null).cast(DoubleType)).as("ewma"))
+  }
+
+  /** CUSUM level-shift locator over an ALREADY-AGGREGATED series:
+    * S_i = Σ_{t≤i}(x_t − x̄); the period where |S_i| peaks is the
+    * most likely changepoint, and the peak magnitude (vs. the series
+    * scale) says whether there IS one — the classic offline
+    * changepoint diagnostic for "did the corpus mix shift mid-crawl".
+    *
+    * Exact arithmetic throughout: multiplying S_i by n clears the
+    * mean's division, so T_i = n·cum_i − i·total is integer-exact in
+    * DECIMAL(38,4) and the argmax compares exact decimals (no
+    * float-accumulation drift deciding the winner). Only the emitted
+    * magnitude divides back to double. The series is per-period
+    * control-plane (the autocorrelation discipline); the cumulative
+    * window orders periods, never data.
+    *
+    * Returns one row: (change_at, n, s_max) — the peak period, the
+    * series length, and max|S_i| rounded to 6 dp. */
+  def cusumMaxShift(
+      series: DataFrame,
+      orderCol: String,
+      valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 4)
+    val x4 = col(valueCol).cast(DecimalType(18, 4))
+    val w = Window.orderBy(col(orderCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = series.select(col(orderCol), x4.as("__x"))
+      .withColumn("__cum", sum(col("__x")).over(w).cast(dec))
+      .withColumn("__i",
+        row_number().over(Window.orderBy(col(orderCol).asc)))
+      .withColumn("__tot", sum(col("__x")).over(wAll).cast(dec))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__ti",
+        col("__cum") * col("__n") - col("__tot") * col("__i"))
+    cum.orderBy(abs(col("__ti")).desc, col(orderCol).asc).limit(1)
+      .select(col(orderCol).as("change_at"), col("__n").as("n"),
+        round(abs(col("__ti")).cast(DoubleType) /
+          col("__n").cast(DoubleType), 6).as("s_max"))
+  }
+
+  /** Benford first-digit audit: the distribution of leading digits of
+    * a positive magnitude column against Benford's law
+    * p(d) = log₁₀(1 + 1/d) — the fraud/synthetic-data smell test for
+    * price-like columns (organically-grown magnitudes follow it;
+    * fabricated or truncated ones don't). The leading digit comes
+    * from the INTEGER PART's string (values < 1 are filtered; floor →
+    * long → first char), not log₁₀ floor-division — values sitting
+    * exactly on powers of ten would otherwise flip digits on a
+    * one-ulp log difference between engines, and a double's direct
+    * string form goes scientific above 10⁷. One
+    * map-side-combined 9-group aggregate; the expected probabilities
+    * are 6-dp literals baked at plan build so both engines compare
+    * against identical constants.
+    *
+    * Returns one row per digit: (digit, n, p_obs, p_benford, diff). */
+  def benfordDigits(
+      df: DataFrame,
+      valueCol: String): DataFrame = {
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val counts = df
+      .filter(col(valueCol).isNotNull && col(valueCol) >= 1)
+      .select(substring(floor(col(valueCol)).cast(LongType)
+        .cast(StringType), 1, 1).cast(IntegerType).as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val expect = benfordExpected.foldLeft(lit(null).cast(DoubleType)) {
+      case (acc, (d, p)) => when(col("digit") === d, lit(p)).otherwise(acc)
+    }
+    counts
+      .withColumn("__tot", sum(col("n")).over(wAll))
+      .select(col("digit"), col("n"),
+        round(col("n").cast(DoubleType) /
+          col("__tot").cast(DoubleType), 6).as("p_obs"),
+        expect.as("p_benford"))
+      .withColumn("diff", round(col("p_obs") - col("p_benford"), 6))
+  }
+
+  /** log₁₀(1 + 1/d) for d = 1..9, rounded to 6 dp at build time —
+    * shared with the oracle so both sides compare literal constants. */
+  val benfordExpected: Seq[(Int, Double)] =
+    (1 to 9).map(d => d ->
+      BigDecimal(math.log10(1.0 + 1.0 / d))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
 }

@@ -511,4 +511,107 @@ class StatsSpec extends SparkSpecBase {
     assert(got(0) == ((2L, 0.0, 1.8)))
     assert(got(4) == ((2L, 7.2, 9.0)))
   }
+
+  test("mannWhitney agrees with a brute-force rank model under ties; " +
+      "disjoint samples give the extreme U") {
+    import spark.implicits._
+    // brute model: average ranks over the pooled sorted multiset
+    def brute(a: Seq[Double], b: Seq[Double]): (Double, Double) = {
+      val pooled = (a.map((_, true)) ++ b.map((_, false)))
+        .sortBy(_._1).zipWithIndex
+      val byVal = pooled.groupBy(_._1._1)
+      val ranks = byVal.view.mapValues { g =>
+        g.map(_._2 + 1).sum.toDouble / g.size }.toMap
+      val ra = pooled.filter(_._1._2).map(p => ranks(p._1._1)).sum
+      val ua = ra - a.size * (a.size + 1) / 2.0
+      val n = a.size + b.size
+      val ties = byVal.values.map(_.size.toLong)
+        .map(t => t * t * t - t).sum
+      val sigma = math.sqrt(a.size.toDouble * b.size / 12.0 *
+        ((n + 1.0) - ties.toDouble / (n.toDouble * (n - 1.0))))
+      val z = (ua - a.size.toDouble * b.size / 2.0) / sigma
+      (ua, z)
+    }
+    val a = Seq(1.0, 3.0, 3.0, 5.0, 8.0, 9.0, 9.0)
+    val b = Seq(2.0, 3.0, 4.0, 4.0, 7.0, 9.0)
+    val df = (a.map(("A", _)) ++ b.map(("B", _))).toDF("g", "v")
+    val r = Stats.mannWhitney(df, "v", "g", "A", "B").collect()(0)
+    val (ua, z) = brute(a, b)
+    assert(r.getAs[Long]("n_a") == a.size && r.getAs[Long]("n_b") == b.size)
+    assert(r.getAs[Double]("u_a") ==
+      BigDecimal(ua).setScale(1, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-6)
+    // A entirely above B: U_A = nA*nB (every pair won), z > 0
+    val hi = Seq(10.0, 11.0, 12.0).map(("A", _))
+    val lo2 = Seq(1.0, 2.0, 3.0, 4.0).map(("B", _))
+    val r2 = Stats.mannWhitney((hi ++ lo2).toDF("g", "v"), "v", "g",
+      "A", "B").collect()(0)
+    assert(r2.getAs[Double]("u_a") == 12.0)
+    assert(r2.getAs[Double]("z") > 2.0)
+  }
+
+  test("cramersV: a deterministic relabeling scores 1, an exactly " +
+      "independent table scores 0") {
+    import spark.implicits._
+    // b is a pure function of a (and vice versa): perfect association
+    val dep = Seq(("x", "u"), ("x", "u"), ("y", "w"), ("y", "w"),
+      ("z", "t")).toDF("a", "b")
+    val r1 = Stats.cramersV(dep, "a", "b").collect()(0)
+    assert(r1.getAs[Double]("v") == 1.0)
+    assert(r1.getAs[Long]("min_dim") == 2L)
+    // uniform product table: observed == expected everywhere
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("u", "w"); _ <- 1 to 3 }
+      yield (a, b)).toDF("a", "b")
+    val r2 = Stats.cramersV(ind, "a", "b").collect()(0)
+    assert(r2.getAs[Double]("chi2") == 0.0)
+    assert(r2.getAs[Double]("v") == 0.0)
+  }
+
+  test("ewmaTrailing: constant series is the constant; second point " +
+      "is the 2:1 half-decay blend; n_terms counts the ramp") {
+    import spark.implicits._
+    val c = Seq(("d1", 5.0), ("d2", 5.0), ("d3", 5.0)).toDF("d", "v")
+    val rc = Stats.ewmaTrailing(c, "d", "v", k = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Int]("n_terms"), r.getAs[Double]("ewma"))).toMap
+    assert(rc("d1") == ((1, 5.0)) && rc("d3") == ((3, 5.0)))
+    val s = Seq(("d1", 2.0), ("d2", 8.0)).toDF("d", "v")
+    val rs = Stats.ewmaTrailing(s, "d", "v", k = 10)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("ewma")).toMap
+    // d2: (8*1 + 2*0.5) / 1.5 = 6.0
+    assert(rs("d1") == 2.0 && rs("d2") == 6.0)
+  }
+
+  test("cusumMaxShift finds the step boundary of a level shift and " +
+      "its exact peak magnitude") {
+    import spark.implicits._
+    // 4 periods at 10 then 4 at 20: mean 15, S_i peaks at the last
+    // low period (i=4): |S_4| = 4*(10-15) = 20
+    val vals = Seq.fill(4)(10.0) ++ Seq.fill(4)(20.0)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (f"d$i%02d", v) }.toDF("d", "v")
+    val r = Stats.cusumMaxShift(df, "d", "v").collect()(0)
+    assert(r.getAs[String]("change_at") == "d03")
+    assert(r.getAs[Long]("n") == 8L)
+    assert(r.getAs[Double]("s_max") == 20.0)
+  }
+
+  test("benfordDigits: hand-built digit mix counts leading digits " +
+      "from the integer part and filters values below 1") {
+    import spark.implicits._
+    // digits: 1 x4 (1.5, 12, 199, 1000000.2), 2 x1, 9 x1; 0.5 dropped
+    val df = Seq(1.5, 12.0, 199.0, 1000000.2, 25.0, 9.99, 0.5).toDF("v")
+    val got = Stats.benfordDigits(df, "v")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getAs[Double]("p_obs"))).toMap
+    assert(got.keySet == Set(1, 2, 9))
+    assert(got(1)._1 == 4L && got(2)._1 == 1L && got(9)._1 == 1L)
+    assert(got(1)._2 == BigDecimal(4.0 / 6.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // expected-probability column carries the baked literal
+    val p1 = Stats.benfordExpected.toMap.apply(1)
+    val full = Stats.benfordDigits(df, "v").collect()
+      .find(_.getInt(0) == 1).get
+    assert(full.getAs[Double]("p_benford") == p1)
+  }
 }
