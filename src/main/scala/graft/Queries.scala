@@ -848,6 +848,46 @@ object Queries {
       // difference); one 9-group map-side-combined aggregate.
       Stats.benfordDigits(Tables.orders(s, dir), "o_totalprice")
     }),
+    "q_crosscorr" -> ((s, dir) => {
+      // Lead/lag between the finished-order and open-order daily
+      // revenue series: CCF at lags −5..+5. ONE corpus scan builds
+      // both series (conditional sums in the same groupBy — not two
+      // filtered scans); the lag windows then run over the bounded
+      // period spine, and a peak off lag 0 would say one status's
+      // revenue foreshadows the other's.
+      val daily = Tables.orders(s, dir)
+        .groupBy(dateFmt(col("o_orderdate")).as("d"))
+        .agg(
+          dsum(when(col("o_orderstatus") === "F", col("o_totalprice")))
+            .as("x"),
+          dsum(when(col("o_orderstatus") === "O", col("o_totalprice")))
+            .as("y"))
+        .filter(col("x").isNotNull && col("y").isNotNull)
+      Stats.crossCorrelation(daily, "d", "x", "y", maxLag = 5)
+    }),
+    "q_forecast_backtest" -> ((s, dir) => {
+      // Seasonal-naive backtest on daily revenue: forecast = the
+      // value one week earlier, scored MAE/MAPE/RMSE — the bar any
+      // real forecasting model must beat. Error terms fix as DECIMAL
+      // before the sums (order-independent); one corpus scan, then
+      // control-plane lag arithmetic.
+      val daily = Tables.orders(s, dir)
+        .groupBy(dateFmt(col("o_orderdate")).as("d"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      Stats.seasonalNaiveBacktest(daily, "d", "rev", season = 7)
+    }),
+    "q_anomaly_seasonal" -> ((s, dir) => {
+      // Weekday-adjusted robust anomaly fence: each ISO weekday gets
+      // its own median/MAD gate over the daily revenue series, so a
+      // quiet-Sunday dip stops masquerading as an anomaly and a
+      // Sunday spike stops hiding under the weekday spread. Composes
+      // the doubled-decimal rank-median machinery per dow partition.
+      val daily = Tables.orders(s, dir)
+        .groupBy(dateFmt(col("o_orderdate")).as("d"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+        .withColumn("dow", expr("weekday(to_date(d)) + 1"))
+      Stats.madOutliers(daily, Seq("dow"), col("rev"), col("d"), c = 3)
+    }),
     "q_window_ntile" -> ((s, dir) => {
       // Equi-count quartile assignment per status partition (ntile
       // handles the remainder rows identically across engines when
@@ -1064,6 +1104,32 @@ object Queries {
       graft.operators.Graph.kCorePeel(edges, k = 5, rounds = 8)
         .groupBy(col("deg"))
         .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_sum"))
+    }),
+    "q_graph_hits" -> ((s, dir) => {
+      // Hubs & authorities on the DIRECTED supplier→customer graph —
+      // the link-analysis fixpoint that scores the two bipartite
+      // sides by the roles they play (pageRank on the symmetrized
+      // graph blends them). 3 mutual-reinforcement rounds, L1
+      // normalization, exact decimal sums per round; the oracle
+      // unrolls the identical arithmetic as CTE chains. Top hubs and
+      // top authorities emitted with a role tag.
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"),
+          (col("o_custkey") + lit(1000000L)).as("dst"))
+      val res = graft.operators.Graph.hits(edges, iters = 3)
+        .select(col("node"), col("hub").cast(DoubleType).as("hub"),
+          col("auth").cast(DoubleType).as("auth"))
+      val th = res.orderBy(col("hub").desc, col("node").asc).limit(12)
+        .select(lit("hub").as("role"), col("node"), col("hub"),
+          col("auth"))
+      val ta = res.orderBy(col("auth").desc, col("node").asc).limit(12)
+        .select(lit("auth").as("role"), col("node"), col("hub"),
+          col("auth"))
+      th.union(ta)
     }),
     "q_graph_degree" -> ((s, dir) => {
       // Degree profile of the same graph — the control-plane skew
@@ -4123,6 +4189,7 @@ object Queries {
          |  AS neg_rank
          |FROM rk2 WHERE nr <= 3""".stripMargin,
     "q_graph_pagerank" -> pageRankOracle,
+    "q_graph_hits" -> hitsOracle,
     "q_graph_degree" ->
       """WITH e AS (
         | SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
@@ -5557,6 +5624,110 @@ object Queries {
          | round(o.p_obs - CAST(e.pb AS DOUBLE), 6) AS diff
          |FROM o JOIN e USING (digit)""".stripMargin
     },
+    // CCF replica: one conditional-sum daily spine, both means and
+    // all 11 shifts in one window pass, fix-as-DECIMAL centered
+    // products, shared √(dx·dy) denominator — the crossCorrelation
+    // arithmetic step for step.
+    "q_crosscorr" -> {
+      val ks = -5 to 5
+      def cn(k: Int) = if (k < 0) s"ym${-k}" else s"yp$k"
+      val shifts = ks.filter(_ != 0).map { k =>
+        if (k > 0) s"lag(y, $k) OVER w AS ${cn(k)}"
+        else s"lead(y, ${-k}) OVER w AS ${cn(k)}"
+      }.mkString(", ")
+      def ycol(k: Int) = if (k == 0) "y" else cn(k)
+      val nums = ks.map(k =>
+        s"CAST(sum(CAST(round((x - mx) * (${ycol(k)} - my), 2)" +
+          s" AS DECIMAL(28,2))) AS DOUBLE) AS num_${cn(k)}," +
+          s" count(${ycol(k)}) AS cnt_${cn(k)}").mkString(",\n  ")
+      val arms = ks.map(k =>
+        s"SELECT CAST($k AS INTEGER) AS lag, cnt_${cn(k)} AS n_terms, " +
+          s"CASE WHEN dx > 0 AND dy > 0 THEN " +
+          s"round(num_${cn(k)} / sqrt(dx * dy), 6) " +
+          s"ELSE NULL END AS ccf FROM agg").mkString("\nUNION ALL\n")
+      s"""WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+         |  round(CAST(sum(CASE WHEN o_orderstatus = 'F'
+         |    THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+         |    AS DOUBLE), 4) AS x,
+         |  round(CAST(sum(CASE WHEN o_orderstatus = 'O'
+         |    THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+         |    AS DOUBLE), 4) AS y
+         | FROM orders GROUP BY 1),
+         |flt AS (SELECT * FROM daily
+         | WHERE x IS NOT NULL AND y IS NOT NULL),
+         |lg AS (SELECT x, y,
+         |  CAST(sum(CAST(x AS DECIMAL(18,4))) OVER () AS DOUBLE)
+         |    / count(*) OVER () AS mx,
+         |  CAST(sum(CAST(y AS DECIMAL(18,4))) OVER () AS DOUBLE)
+         |    / count(*) OVER () AS my, $shifts
+         | FROM flt WINDOW w AS (ORDER BY d ASC)),
+         |agg AS (SELECT
+         |  CAST(sum(CAST(round((x - mx) * (x - mx), 2)
+         |    AS DECIMAL(28,2))) AS DOUBLE) AS dx,
+         |  CAST(sum(CAST(round((y - my) * (y - my), 2)
+         |    AS DECIMAL(28,2))) AS DOUBLE) AS dy,
+         |  $nums
+         | FROM lg)
+         |$arms""".stripMargin
+    },
+    // Seasonal-naive replica: lag-7 forecast over the daily spine,
+    // error terms fixed as DECIMAL at the same scales (|e| 4 dp,
+    // |e|/|x| 9 dp, e² 4 dp) before the three sums.
+    "q_forecast_backtest" ->
+      """WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    AS DOUBLE), 4) AS rev
+        | FROM orders GROUP BY 1),
+        |lg AS (SELECT rev AS x, lag(rev, 7) OVER (ORDER BY d ASC) AS f
+        | FROM daily),
+        |e AS (SELECT x, x - f AS e FROM lg WHERE f IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n_forecasts,
+        | round(CAST(sum(CAST(round(abs(e), 4) AS DECIMAL(28,4)))
+        |   AS DOUBLE) / count(*), 6) AS mae,
+        | round(CAST(sum(CAST(CASE WHEN x <> 0
+        |     THEN round(abs(e) / abs(x), 9) END AS DECIMAL(28,9)))
+        |   AS DOUBLE) / sum(CASE WHEN x <> 0 THEN 1 ELSE 0 END), 6)
+        |  AS mape,
+        | round(sqrt(CAST(sum(CAST(round(e * e, 4) AS DECIMAL(28,4)))
+        |   AS DOUBLE) / count(*)), 6) AS rmse
+        |FROM e""".stripMargin,
+    // Weekday-adjusted MAD replica: q_anomaly_mad's doubled-decimal
+    // rank medians partitioned by isodow over the daily spine
+    // (isodow == Spark weekday+1: Monday=1).
+    "q_anomaly_seasonal" ->
+      """WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    AS DOUBLE), 4) AS rev
+        | FROM orders GROUP BY 1),
+        |dd AS (SELECT CAST(isodow(CAST(d AS DATE)) AS INTEGER) AS dow,
+        |  d, rev FROM daily),
+        |r AS (SELECT dow, CAST(rev AS DECIMAL(18,4)) AS v, d,
+        |  count(*) OVER (PARTITION BY dow) AS n,
+        |  row_number() OVER (PARTITION BY dow
+        |    ORDER BY CAST(rev AS DECIMAL(18,4)), d) AS rk
+        | FROM dd),
+        |m AS (SELECT *,
+        |  max(CASE WHEN rk = (n + 1) // 2 THEN v END)
+        |    OVER (PARTITION BY dow) +
+        |  max(CASE WHEN rk = (n + 2) // 2 THEN v END)
+        |    OVER (PARTITION BY dow) AS m2
+        | FROM r),
+        |d2t AS (SELECT *, abs(v * 2 - m2) AS dd2,
+        |  row_number() OVER (PARTITION BY dow
+        |    ORDER BY abs(v * 2 - m2), d) AS rkd
+        | FROM m),
+        |dm AS (SELECT *,
+        |  max(CASE WHEN rkd = (n + 1) // 2 THEN dd2 END)
+        |    OVER (PARTITION BY dow) +
+        |  max(CASE WHEN rkd = (n + 2) // 2 THEN dd2 END)
+        |    OVER (PARTITION BY dow) AS d2
+        | FROM d2t)
+        |SELECT dow, CAST(count(*) AS BIGINT) AS n_outliers,
+        | CAST(min(v) AS DOUBLE) AS min_val,
+        | CAST(max(v) AS DOUBLE) AS max_val,
+        | round(CAST(min(m2) AS DOUBLE) / 2, 6) AS median,
+        | round(CAST(min(d2) AS DOUBLE) / 4, 6) AS mad
+        |FROM dm WHERE dd2 * 2 > d2 * 3 GROUP BY dow""".stripMargin,
     "q_window_ntile" ->
       """WITH t AS (SELECT o_orderstatus, o_totalprice,
         |  ntile(4) OVER (PARTITION BY o_orderstatus
@@ -6114,6 +6285,52 @@ object Queries {
        |$steps
        |SELECT node, CAST(rank AS DOUBLE) AS rank FROM r$iters
        |ORDER BY rank DESC, node ASC LIMIT 20""".stripMargin
+  }
+
+  /** HITS replica: same directed supplier→customer edges, 3 unrolled
+    * mutual-reinforcement rounds (auth from hubs, hub from auths),
+    * exact DECIMAL(18,6) sums, L1 normalization as one double
+    * division + 6-dp round per node — the Graph.hits arithmetic
+    * step for step. */
+  private def hitsOracle: String = {
+    val iters = 3
+    val head =
+      """WITH p AS (
+        | SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |n AS (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM p UNION ALL SELECT dst FROM p)),
+        |h0 AS (SELECT node, CAST(1.0 AS DECIMAL(18,6)) AS h FROM n)"""
+        .stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""ar$k AS (SELECT e.dst AS node,
+         |  CAST(sum(h.h) AS DECIMAL(18,6)) AS raw
+         | FROM p e JOIN h${k - 1} h ON e.src = h.node GROUP BY e.dst),
+         |at$k AS (SELECT CAST(sum(raw) AS DOUBLE) AS tot FROM ar$k),
+         |a$k AS (SELECT n.node, CAST(CASE WHEN tot > 0 THEN
+         |   round(CAST(coalesce(raw, 0) AS DOUBLE) / tot, 6)
+         |  ELSE 0.0 END AS DECIMAL(18,6)) AS a
+         | FROM n LEFT JOIN ar$k ON ar$k.node = n.node, at$k),
+         |hr$k AS (SELECT e.src AS node,
+         |  CAST(sum(a.a) AS DECIMAL(18,6)) AS raw
+         | FROM p e JOIN a$k a ON e.dst = a.node GROUP BY e.src),
+         |ht$k AS (SELECT CAST(sum(raw) AS DOUBLE) AS tot FROM hr$k),
+         |h$k AS (SELECT n.node, CAST(CASE WHEN tot > 0 THEN
+         |   round(CAST(coalesce(raw, 0) AS DOUBLE) / tot, 6)
+         |  ELSE 0.0 END AS DECIMAL(18,6)) AS h
+         | FROM n LEFT JOIN hr$k ON hr$k.node = n.node, ht$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$steps,
+       |fin AS (SELECT h.node, CAST(h.h AS DOUBLE) AS hub,
+       |  CAST(a.a AS DOUBLE) AS auth
+       | FROM h$iters h JOIN a$iters a ON h.node = a.node),
+       |th AS (SELECT 'hub' AS role, node, hub, auth FROM fin
+       | ORDER BY hub DESC, node ASC LIMIT 12),
+       |ta AS (SELECT 'auth' AS role, node, hub, auth FROM fin
+       | ORDER BY auth DESC, node ASC LIMIT 12)
+       |SELECT * FROM th UNION ALL SELECT * FROM ta""".stripMargin
   }
 
   /** Replica of the containment decontaminator: same 3-gram shingles,

@@ -387,4 +387,77 @@ object Graph {
         coalesce(col("out_deg"), lit(0L)).as("out_deg"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
   }
+
+  /** HITS hubs & authorities over a DIRECTED edge list (`src`, `dst`),
+    * `iters` full mutual-reinforcement rounds: auth(i) = Σ_{j→i} hub(j)
+    * then hub(i) = Σ_{i→j} auth(j), each vector L1-normalized per
+    * round — the second classic link-analysis fixpoint next to
+    * [[pageRank]], and the one that separates "points at good pages"
+    * (hub) from "is pointed at by good hubs" (authority); on a
+    * bipartite interaction graph the two sides get scored by the
+    * roles they actually play instead of one blended rank.
+    *
+    * Iterative idiom as in [[pageRank]]: TWO persisted copies of the
+    * edge list — hash-partitioned on `src` for the auth step's join
+    * and on `dst` for the hub step's — so both per-round joins
+    * co-locate from the block manager (the space-for-shuffle trade;
+    * one copy would re-shuffle every round), `localCheckpoint` cuts
+    * lineage per generation, old generations release only after the
+    * next materializes. Determinism: scores live as DECIMAL(18,6)
+    * (sums exact and order-independent); normalization is one double
+    * division + 6-dp round per node against the exact decimal L1
+    * total (L2 would need a √ inside the per-round arithmetic).
+    *
+    * Returns (node, hub, auth) as DECIMAL(18,6) for every node. */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
+    val dec = DecimalType(18, 6)
+    val zero = lit("0.000000").cast(dec)
+    val eSrc = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val eDst = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = eSrc.select(col("src").as("node"))
+      .union(eSrc.select(col("dst").as("node")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    nodes.count(); eDst.count() // materialize the loop invariants
+
+    // normalize a raw decimal score vector: coalesce the no-edge
+    // nodes to 0, divide by the exact L1 total in double, round 6
+    def normalized(raw: DataFrame, outCol: String): DataFrame = {
+      val tot = raw.agg(sum(col("__raw")).cast(DoubleType).as("__tot"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          when(col("__tot") > 0,
+            round(coalesce(col("__raw"), zero).cast(DoubleType) /
+              col("__tot"), 6))
+            .otherwise(lit(0.0)).cast(dec).as(outCol))
+    }
+
+    var hub = nodes.withColumn("h", lit("1.000000").cast(dec))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    hub.count()
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val authRaw = eSrc
+        .join(hub.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("h")).cast(dec).as("__raw"))
+      val nextAuth = normalized(authRaw, "a").localCheckpoint()
+      if (auth != null) auth.unpersist(false)
+      auth = nextAuth
+      val hubRaw = eDst
+        .join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("a")).cast(dec).as("__raw"))
+      val nextHub = normalized(hubRaw, "h").localCheckpoint()
+      hub.unpersist(false)
+      hub = nextHub
+    }
+    val out = hub.join(auth, Seq("node"))
+      .select(col("node"), col("h").as("hub"), col("a").as("auth"))
+    eSrc.unpersist(false); eDst.unpersist(false); nodes.unpersist(false)
+    out
+  }
 }

@@ -1320,4 +1320,105 @@ object Stats {
     (1 to 9).map(d => d ->
       BigDecimal(math.log10(1.0 + 1.0 / d))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+  /** Cross-correlation function between two ALREADY-AGGREGATED series
+    * sharing one period spine: r_k = Σ(x_t−x̄)(y_{t−k}−ȳ) /
+    * √(Σ(x−x̄)²·Σ(y−ȳ)²) for k = −maxLag..maxLag — the lead/lag
+    * diagnostic ("does y move before x, with x, or after x?") that
+    * [[autocorrelation]] is the self-paired special case of. Negative
+    * lags look FORWARD in y (lead), positive look back (lag); the
+    * peak's sign of k says which series leads.
+    *
+    * Same discipline as [[autocorrelation]]: the input is per-period
+    * control-plane BY CONSTRUCTION, both means ride the same window
+    * pass as the lags (over ALL periods, not just pair-complete
+    * ones), each centered product rounds to 2 dp and fixes as
+    * DECIMAL before the sums, and the shared denominator multiplies
+    * the two exact sums in double before one √.
+    *
+    * Returns one row per lag: (lag, n_terms, ccf). */
+  def crossCorrelation(
+      series: DataFrame,
+      orderCol: String,
+      xCol: String,
+      yCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 0 && maxLag <= 64, s"maxLag out of range: $maxLag")
+    val x = col(xCol).cast(DoubleType)
+    val y = col(yCol).cast(DoubleType)
+    def fix2(c: Column) = round(c, 2).cast(DecimalType(28, 2))
+    val w = Window.orderBy(col(orderCol).asc)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ks = (-maxLag to maxLag).toSeq
+    def shifted(k: Int): Column =
+      if (k == 0) y else if (k > 0) lag(y, k).over(w)
+      else lead(y, -k).over(w)
+    def cname(k: Int) = if (k < 0) s"__ym${-k}" else s"__yp$k"
+    val lagged = series.select(Seq(
+      x.as("__x"), y.as("__y"),
+      (sum(x.cast(DecimalType(18, 4))).over(wAll).cast(DoubleType) /
+        count(lit(1)).over(wAll)).as("__mx"),
+      (sum(y.cast(DecimalType(18, 4))).over(wAll).cast(DoubleType) /
+        count(lit(1)).over(wAll)).as("__my")) ++
+      ks.map(k => shifted(k).as(cname(k))): _*)
+    val denx = sum(fix2((col("__x") - col("__mx")) *
+      (col("__x") - col("__mx")))).cast(DoubleType)
+    val deny = sum(fix2((col("__y") - col("__my")) *
+      (col("__y") - col("__my")))).cast(DoubleType)
+    val nums = ks.flatMap(k => Seq(
+      sum(fix2((col("__x") - col("__mx")) *
+        (col(cname(k)) - col("__my")))).cast(DoubleType)
+        .as(s"__num${cname(k)}"),
+      count(col(cname(k))).as(s"__cnt${cname(k)}")))
+    val one = lagged.agg(denx.as("__dx"), (Seq(deny.as("__dy")) ++ nums): _*)
+    val rows = ks.map(k =>
+      struct(lit(k).as("lag"), col(s"__cnt${cname(k)}").as("n_terms"),
+        when(col("__dx") > 0 && col("__dy") > 0,
+          round(col(s"__num${cname(k)}") /
+            sqrt(col("__dx") * col("__dy")), 6))
+          .otherwise(lit(null).cast(DoubleType)).as("ccf")))
+    one.select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.lag").as("lag"), col("__r.n_terms").as("n_terms"),
+        col("__r.ccf").as("ccf"))
+  }
+
+  /** Seasonal-naive forecast backtest over an ALREADY-AGGREGATED
+    * series: forecast_t = x_{t−season}, scored with the standard
+    * error suite — MAE, MAPE (over nonzero actuals), RMSE — the
+    * one-row "is there exploitable seasonality" gate a forecasting
+    * pipeline starts from (any model worth running must beat the
+    * seasonal naive; this row is the bar).
+    *
+    * Control-plane series discipline as in [[autocorrelation]].
+    * Determinism: each error term rounds and fixes as DECIMAL before
+    * the sums (|e| at 4 dp, |e|/|x| at 9 dp, e² at 4 dp), so the
+    * three accumulations are order-independent; the final divisions
+    * and the one √ are fixed-form doubles.
+    *
+    * Returns one row: (n_forecasts, mae, mape, rmse). */
+  def seasonalNaiveBacktest(
+      series: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      season: Int): DataFrame = {
+    require(season >= 1 && season <= 366, s"season out of range: $season")
+    val x = col(valueCol).cast(DoubleType)
+    val w = Window.orderBy(col(orderCol).asc)
+    val e = series
+      .select(x.as("__x"), lag(x, season).over(w).as("__f"))
+      .filter(col("__f").isNotNull)
+      .withColumn("__e", col("__x") - col("__f"))
+    e.agg(
+      count(lit(1)).as("n_forecasts"),
+      round(sum(round(abs(col("__e")), 4).cast(DecimalType(28, 4)))
+        .cast(DoubleType) / count(lit(1)), 6).as("mae"),
+      round(sum(when(col("__x") =!= 0,
+        round(abs(col("__e")) / abs(col("__x")), 9))
+        .cast(DecimalType(28, 9))).cast(DoubleType) /
+        sum(when(col("__x") =!= 0, 1L).otherwise(0L)), 6).as("mape"),
+      round(sqrt(
+        sum(round(col("__e") * col("__e"), 4).cast(DecimalType(28, 4)))
+          .cast(DoubleType) / count(lit(1))), 6).as("rmse"))
+  }
 }

@@ -252,4 +252,22 @@ class GraphSpec extends SparkSpecBase {
     assert(got(1L) != got(10L), s"got $got")
   }
 
+  test("hits: hand-computed two-round fixpoint on a 4-node bipartite " +
+      "graph; roleless sides score 0") {
+    import spark.implicits._
+    // edges 1→3, 2→3, 2→4. Round 1: auth = {3: 2/3, 4: 1/3};
+    // hub = {1: .4, 2: .6}. Round 2: auth raw {3: 1.0, 4: .6},
+    // tot 1.6 → {3: .625, 4: .375}; hub raw {1: .625, 2: 1.0},
+    // tot 1.625 → {1: .384615, 2: .615385}.
+    val edges = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val got = Graph.hits(edges, iters = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDecimal(1).doubleValue, r.getDecimal(2).doubleValue))
+      .toMap
+    assert(got(1L) == ((0.384615, 0.0)))
+    assert(got(2L) == ((0.615385, 0.0)))
+    assert(got(3L) == ((0.0, 0.625)))
+    assert(got(4L) == ((0.0, 0.375)))
+  }
+
 }

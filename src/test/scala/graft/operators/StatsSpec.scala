@@ -614,4 +614,40 @@ class StatsSpec extends SparkSpecBase {
       .find(_.getInt(0) == 1).get
     assert(full.getAs[Double]("p_benford") == p1)
   }
+
+  test("crossCorrelation of a series with itself: lag 0 is exactly 1, " +
+      "±k are symmetric and equal the ACF") {
+    import spark.implicits._
+    val vals = Seq(3.0, 7.0, 2.0, 9.0, 4.0, 8.0, 1.0, 6.0)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (f"d$i%02d", v) }.toDF("d", "v")
+    val both = df.withColumn("y", col("v"))
+    val ccf = Stats.crossCorrelation(both, "d", "v", "y", maxLag = 3)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getAs[Double]("ccf"))).toMap
+    assert(ccf(0) == ((8L, 1.0)))
+    (1 to 3).foreach { k =>
+      assert(ccf(k)._2 == ccf(-k)._2, s"asymmetric at $k")
+      assert(ccf(k)._1 == (8 - k).toLong)
+    }
+    val acf = Stats.autocorrelation(df, "d", "v", maxLag = 3)
+      .collect().map(r => r.getInt(0) -> r.getAs[Double]("acf")).toMap
+    (1 to 3).foreach(k => assert(ccf(k)._2 == acf(k), s"ccf≠acf at $k"))
+  }
+
+  test("seasonalNaiveBacktest: hand-computed MAE/MAPE/RMSE at " +
+      "season 2") {
+    import spark.implicits._
+    // forecasts: t3 ← 10 (e=2), t4 ← 20 (e=4)
+    val df = Seq(("d1", 10.0), ("d2", 20.0), ("d3", 12.0), ("d4", 24.0))
+      .toDF("d", "v")
+    val r = Stats.seasonalNaiveBacktest(df, "d", "v", season = 2)
+      .collect()(0)
+    assert(r.getAs[Long]("n_forecasts") == 2L)
+    assert(r.getAs[Double]("mae") == 3.0)
+    assert(r.getAs[Double]("mape") == 0.166667)
+    assert(r.getAs[Double]("rmse") ==
+      BigDecimal(math.sqrt(10.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
