@@ -649,6 +649,18 @@ object Queries {
         datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType)),
         col("value"))
     }),
+    "q_trend_theilsen" -> ((s, dir) => {
+      // Robust trend of daily revenue: Theil–Sen (median of all
+      // pairwise slopes) — the line one outlier day cannot drag,
+      // next to q_trend_ols's least squares. P²/2 pair slopes from a
+      // deliberate control-plane crossJoin of the period spine; the
+      // median runs through the two-phase distributed rank, not a
+      // single-partition sort of the pair set.
+      val daily = Tables.orders(s, dir)
+        .groupBy(dateFmt(col("o_orderdate")).as("d"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      Stats.theilSenTrend(daily, "d", "rev")
+    }),
     "q_topk_grouped" -> ((s, dir) => {
       // Same result as q_window_topn, via the bounded-heap aggregator
       // instead of a window: the window formulation SORTS every row of
@@ -1936,6 +1948,37 @@ object Queries {
           dsum(col("click_value")).as("click_sum"))
     }),
 
+    "q_join_interval_overlap" -> ((s, dir) => {
+      // Interval × interval overlap with no equi key: which user
+      // sessions were live during each high-value error burst? Both
+      // spans replicate to 30-min time bins, the match is an
+      // equi-join on bin id + residual overlap filter, and each pair
+      // counts only in its first shared bin (provably covered by
+      // both sides) — exactly-once with NO dedup shuffle. The oracle
+      // runs the naive two-sided inequality join.
+      val ev = Tables.events(s, dir)
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val gapUs = lit(30L * 60 * 1000 * 1000)
+      val sessions = ev
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("__us"), col("ts"))
+        .withColumn("__new",
+          when(col("__us") - lag(col("__us"), 1).over(byUser) > gapUs ||
+            lag(col("__us"), 1).over(byUser).isNull, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("__new")).over(byUser))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+      val bursts = ev
+        .filter(col("event_type") === "error" && col("value") >= 200)
+        .select(col("event_id").as("burst_id"), col("ts").as("b_start"))
+        .withColumn("b_end", col("b_start") + expr("INTERVAL 10 MINUTES"))
+      graft.operators.Joins.intervalOverlapJoin(sessions, "s_start", "s_end",
+          bursts, "b_start", "b_end", binSeconds = 1800)
+        .groupBy(col("burst_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
     "q_join_range" -> ((s, dir) => {
       // Pure interval join (no equi key): count the events falling
       // inside any "error burst" window — [ts, ts+10min] of every
@@ -2881,6 +2924,22 @@ object Queries {
       Sampling.stratifiedSample(Tables.documents(s, dir), Seq("lang"),
           col("doc_id"), target = 60, seed = 9)
         .select(col("doc_id"), col("lang"))
+    }),
+    "q_sample_neyman" -> ((s, dir) => {
+      // Neyman allocation: a 150-doc audit budget spent per language
+      // proportionally to N_h·σ_h of doc length — volatile strata get
+      // surveyed harder, near-constant ones barely (the optimal
+      // fixed-budget allocation for the overall mean). One exact
+      // moments pass; allocation entirely on the |strata| control
+      // frame; membership a pure id-hash function. id_sum pins the
+      // exact surviving set.
+      Sampling.neymanSample(Tables.documents(s, dir), Seq("lang"),
+          col("n_chars"), col("doc_id"), budget = 150, seed = 11)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          max(col("__alloc")).as("n_alloc"),
+          max(col("__w")).cast(DoubleType).as("weight"),
+          sum(col("doc_id")).as("id_sum"))
     }),
     "q_sample_cap" -> ((s, dir) => {
       // Domain capping: at most 10 docs per source, survivors chosen
@@ -3959,6 +4018,42 @@ object Queries {
         .stripMargin,
     // same exact-accumulator discipline as the zscore oracle: decimal
     // sums, then a fixed sequence of double ops for the closed form
+    // Theil–Sen replica: pairwise slopes over the 1-based period
+    // index (exact integer gaps), doubled-rank median with the total
+    // (s, ia, ib) tie order, intercept median from the 6-dp emitted
+    // slope — the theilSenTrend arithmetic step for step.
+    "q_trend_theilsen" ->
+      """WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    AS DOUBLE), 4) AS rev
+        | FROM orders GROUP BY 1),
+        |idx AS (SELECT row_number() OVER (ORDER BY d ASC) AS i,
+        |  rev AS y FROM daily),
+        |np AS (SELECT count(*) AS p FROM idx),
+        |pr AS (SELECT (b.y - a.y) / CAST(b.i - a.i AS DOUBLE) AS s,
+        |  a.i AS ia, b.i AS ib
+        | FROM idx a JOIN idx b ON b.i > a.i),
+        |r AS (SELECT s,
+        |  row_number() OVER (ORDER BY s ASC, ia ASC, ib ASC) AS rk,
+        |  count(*) OVER () AS n FROM pr),
+        |m AS (SELECT CAST(max(n) AS BIGINT) AS n_pairs,
+        |  round((CAST(sum(CASE WHEN rk = (n + 1) // 2 THEN s END)
+        |      AS DOUBLE) +
+        |    CAST(sum(CASE WHEN rk = (n + 2) // 2 THEN s END)
+        |      AS DOUBLE)) / 2.0, 6) AS slope
+        | FROM r),
+        |resid AS (SELECT i, y - slope * i AS bv FROM idx, m),
+        |rr AS (SELECT bv,
+        |  row_number() OVER (ORDER BY bv ASC, i ASC) AS rk FROM resid),
+        |ri AS (SELECT rr.bv, rr.rk, np.p FROM rr, np),
+        |mi AS (SELECT CAST(max(p) AS BIGINT) AS n_periods,
+        |  round((CAST(sum(CASE WHEN rk = (p + 1) // 2 THEN bv END)
+        |      AS DOUBLE) +
+        |    CAST(sum(CASE WHEN rk = (p + 2) // 2 THEN bv END)
+        |      AS DOUBLE)) / 2.0, 6) AS intercept
+        | FROM ri)
+        |SELECT n_periods, n_pairs, slope, intercept FROM mi, m"""
+        .stripMargin,
     "q_trend_ols" ->
       """WITH b AS (SELECT event_type,
         |  CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
@@ -4747,6 +4842,7 @@ object Queries {
     "q_session_window" -> sessionWindowOracle,
     "q_sketch_heavy_hitters" -> cmsHeavyHittersOracle,
     "q_sample_stratified" -> stratifiedSampleOracle,
+    "q_sample_neyman" -> neymanSampleOracle,
     "q_sample_cap" -> sampleCapOracle,
     // idBucket(doc_id, seed=3): affineA(3)=7*104729, affineB(3)=
     // 3*94906249+12345 — the portable family replicated arithmetically.
@@ -5755,6 +5851,32 @@ object Queries {
         |WINDOW w AS (PARTITION BY user_id
         |  ORDER BY ts ASC, event_id ASC
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    // interval-overlap replica: the sessionize session spans × the
+    // q_join_range burst windows via the naive two-sided inequality
+    // join (DuckDB IEJoin); inclusive ends on both sides.
+    "q_join_interval_overlap" ->
+      """WITH g AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts, 1) OVER w IS NULL
+        |    OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000
+        |   THEN 1 ELSE 0 END AS new_session
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |s AS (SELECT user_id, ts,
+        |  sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS session_id
+        | FROM g),
+        |sess AS (SELECT user_id, session_id,
+        |  min(ts) AS s_start, max(ts) AS s_end
+        | FROM s GROUP BY 1, 2),
+        |b AS (SELECT event_id AS burst_id, ts AS b_start,
+        |  ts + INTERVAL 10 MINUTE AS b_end
+        | FROM events WHERE event_type = 'error' AND value >= 200)
+        |SELECT burst_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM sess JOIN b ON s_start <= b_end AND b_start <= s_end
+        |GROUP BY burst_id""".stripMargin,
     "q_sessionize" ->
       """WITH g AS (SELECT user_id, event_id, ts, value,
         |  CASE WHEN lag(ts, 1) OVER w IS NULL
@@ -6493,6 +6615,47 @@ object Queries {
        | JOIN u cb ON cab.w2 = cb.w
        | CROSS JOIN tt CROSS JOIN uu
        |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 30""".stripMargin
+
+  /** Neyman replica: exact decimal moments, w = round(√(n·Σv²−(Σv)²),6)
+    * fixed as DECIMAL, largest-remainder integer allocation (ties on
+    * lang), capPerStratum-style (bucket, id) selection rank — the
+    * neymanSample arithmetic step for step. */
+  private def neymanSampleOracle: String = {
+    val budget = 150
+    val bucket =
+      s"(${affineSql(11, s"(doc_id % $M)")} % ${graft.operators.Sampling.Buckets})"
+    s"""WITH m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       |  sum(CAST(n_chars AS DECIMAL(18,4))) AS s1,
+       |  sum(CAST(CAST(n_chars AS DECIMAL(18,4)) *
+       |    CAST(n_chars AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS s2
+       | FROM documents GROUP BY 1),
+       |a0 AS (SELECT lang, n,
+       |  CAST(round(sqrt(greatest(0.0, n * CAST(s2 AS DOUBLE) -
+       |    CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))), 6)
+       |   AS DECIMAL(28,6)) AS w
+       | FROM m),
+       |a1 AS (SELECT *, CAST(sum(w) OVER () AS DECIMAL(38,6)) AS totw
+       | FROM a0),
+       |a2 AS (SELECT *, CASE WHEN totw > 0
+       |  THEN $budget * CAST(w AS DOUBLE) / CAST(totw AS DOUBLE)
+       |  ELSE 0.0 END AS share FROM a1),
+       |a3 AS (SELECT *, CAST(floor(share) AS BIGINT) AS base FROM a2),
+       |a4 AS (SELECT *, $budget - sum(base) OVER () AS rem,
+       |  row_number() OVER (ORDER BY share - base DESC, lang ASC)
+       |   AS rkf FROM a3),
+       |al AS (SELECT lang,
+       |  least(base + CASE WHEN rkf <= rem THEN 1 ELSE 0 END, n)
+       |   AS alloc, w FROM a4),
+       |sel AS (SELECT d.doc_id, d.lang, al.alloc, al.w,
+       |  row_number() OVER (PARTITION BY d.lang
+       |    ORDER BY $bucket ASC, d.doc_id ASC) AS rk
+       | FROM documents d JOIN al USING (lang))
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+       | CAST(max(alloc) AS BIGINT) AS n_alloc,
+       | CAST(max(w) AS DOUBLE) AS weight,
+       | CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |FROM sel WHERE rk <= alloc GROUP BY lang""".stripMargin
+  }
 
   private def stratifiedSampleOracle: String = {
     val bucket =

@@ -175,6 +175,53 @@ object Joins {
       .drop("__bin")
   }
 
+  /** Interval × interval OVERLAP join with NO equi key: every (left,
+    * right) pair whose `[lStart, lEnd]` and `[rStart, rEnd]` spans
+    * intersect (inclusive ends) — the generalization of [[rangeJoin]]
+    * from points to spans (sessions × incident windows, maintenance
+    * × outages). Catalyst would plan the two-sided inequality as a
+    * broadcast nested loop; here BOTH sides replicate to the
+    * `binSeconds`-wide time bins they cover and the match becomes an
+    * equi-join on the bin id plus the residual overlap filter.
+    *
+    * An overlapping pair shares every bin in the spans' intersection;
+    * rather than a dedup shuffle, the pair is counted ONLY in its
+    * first shared bin — `max(⌊lStart/w⌋, ⌊rStart/w⌋)`, which both
+    * sides provably cover (it is inside both spans' bin ranges
+    * whenever they overlap) — so the join emits each pair exactly
+    * once with zero post-processing. Cost is Σ(span)/bin replicated
+    * rows per side, hash-partitioned on the bin id, AQE-splittable.
+    * Pick `binSeconds` near the typical span length. Column sets
+    * must be disjoint.
+    */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      lStart: String,
+      lEnd: String,
+      right: DataFrame,
+      rStart: String,
+      rEnd: String,
+      binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"left/right columns must be disjoint: ${overlap.mkString(",")}")
+    val w = binSeconds * 1000000L // micros
+    def bins(df: DataFrame, s: String, e: String) =
+      df.withColumn("__bin",
+        explode(sequence(
+          (unix_micros(col(s)) / w).cast("long"),
+          (unix_micros(col(e)) / w).cast("long"))))
+    val l = bins(left, lStart, lEnd)
+    val r = bins(right, rStart, rEnd)
+    l.join(r, Seq("__bin"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__bin") ===
+        greatest((unix_micros(col(lStart)) / w).cast("long"),
+          (unix_micros(col(rStart)) / w).cast("long")))
+      .drop("__bin")
+  }
+
   /** Salted equi-join of a skew-heavy `large` side against a `small`
     * side. The large side spreads each hot key over `nSalts` partitions
     * (salt = deterministic hash of `saltSource`, so replays produce

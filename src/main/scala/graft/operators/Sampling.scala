@@ -464,4 +464,79 @@ object Sampling {
         (col("__k") > col("__nf")).as("capped"))
   }
 
+  /** Neyman-allocated stratified sample: spend a global `budget` of
+    * rows across strata proportionally to N_h·σ_h — size × standard
+    * deviation of `value` — so VOLATILE strata get surveyed harder
+    * and near-constant ones barely at all (the optimal allocation for
+    * estimating the overall mean at fixed budget; proportional
+    * allocation is the σ-uniform special case). The audit-sampling
+    * complement to [[stratifiedSample]]'s flat target.
+    *
+    * Scale shape: one map-side-combined moments pass (n, Σv, Σv² —
+    * exact DECIMAL, squares cast BEFORE the multiply), then the whole
+    * allocation runs on the |strata|-row control frame: weights
+    * w_h = round(√(n·Σv² − (Σv)²), 6) fix as DECIMAL so their total
+    * is order-independent, integer base shares floor-divide, and the
+    * leftover budget spreads by largest fractional remainder (ties
+    * on the stratum key). Selection is the [[capPerStratum]] rank —
+    * (idBucket, id) per stratum, first `alloc` win — so membership
+    * is a pure function of the row id. A stratum saturating at its
+    * own size undershoots the budget (documented Neyman caveat, as
+    * is σ = 0 ⇒ weight 0).
+    *
+    * Returns the surviving rows plus (`__alloc`, `__w`) for the
+    * caller's audit aggregate. */
+  def neymanSample(
+      df: DataFrame,
+      strataCols: Seq[String],
+      value: Column,
+      idCol: Column,
+      budget: Long,
+      seed: Int = 0): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = org.apache.spark.sql.expressions.Window
+    val dec4 = org.apache.spark.sql.types.DecimalType(18, 4)
+    val dec8 = org.apache.spark.sql.types.DecimalType(38, 8)
+    val dbl = org.apache.spark.sql.types.DoubleType
+    val v4 = value.cast(dec4)
+    val m = df.groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(v4).cast(org.apache.spark.sql.types.DecimalType(38, 4))
+          .as("__s1"),
+        sum((v4 * v4).cast(dec8)).cast(dec8).as("__s2"))
+    val nd = col("__n").cast(dbl)
+    val wgt = round(sqrt(greatest(lit(0.0),
+      nd * col("__s2").cast(dbl) -
+        col("__s1").cast(dbl) * col("__s1").cast(dbl))), 6)
+    val wAll = w.partitionBy()
+      .rowsBetween(w.unboundedPreceding, w.unboundedFollowing)
+    val keyAsc = strataCols.map(col(_).asc)
+    val alloc = m
+      .withColumn("__w", wgt.cast(
+        org.apache.spark.sql.types.DecimalType(28, 6)))
+      .withColumn("__totw", sum(col("__w")).over(wAll)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+      .withColumn("__share",
+        when(col("__totw") > 0,
+          lit(budget) * col("__w").cast(dbl) / col("__totw").cast(dbl))
+          .otherwise(lit(0.0)))
+      .withColumn("__base", floor(col("__share")).cast("long"))
+      .withColumn("__rem",
+        lit(budget) - sum(col("__base")).over(wAll))
+      .withColumn("__rkf", row_number().over(
+        w.orderBy((Seq((col("__share") - col("__base")).desc) ++
+          keyAsc): _*)))
+      .withColumn("__alloc",
+        least(col("__base") +
+          when(col("__rkf") <= col("__rem"), 1L).otherwise(0L),
+          col("__n")))
+      .select(strataCols.map(col) ++
+        Seq(col("__alloc"), col("__w")): _*)
+    val wSel = w.partitionBy(strataCols.map(col): _*)
+      .orderBy(idBucket(idCol, seed).asc, idCol.asc)
+    df.join(broadcast(alloc), strataCols)
+      .withColumn("__rk", row_number().over(wSel))
+      .filter(col("__rk") <= col("__alloc"))
+      .drop("__rk")
+  }
 }

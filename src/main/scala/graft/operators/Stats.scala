@@ -1421,4 +1421,66 @@ object Stats {
         sum(round(col("__e") * col("__e"), 4).cast(DecimalType(28, 4)))
           .cast(DoubleType) / count(lit(1))), 6).as("rmse"))
   }
+
+  /** Theil–Sen robust trend of an ALREADY-AGGREGATED series: slope =
+    * the MEDIAN of all pairwise slopes (y_j−y_i)/(j−i) over the
+    * 1-based period index, intercept = the median of y_i − slope·i —
+    * the breakdown-resistant alternative to [[groupedTrend]]'s OLS
+    * (one outlier period drags a least-squares line; it takes ~29%
+    * contamination to move this one).
+    *
+    * Scale shape: the series is per-period control-plane BY
+    * CONSTRUCTION, but the pair set is P²/2 — generated as a
+    * deliberate `crossJoin` of two tiny copies (bounded control-plane
+    * nested loop, the PLANS.md pattern), then the slope median runs
+    * through [[globalRankByValue]]'s two-phase prefix sum, NOT a
+    * single-partition sort of P² rows. Determinism: slopes divide
+    * 4-dp value differences by exact integer gaps (identical doubles
+    * cross-engine), the median rank order is total via the (i,j)
+    * pair encoding, and the two middle values average exactly
+    * (a+b then one halving). The intercept pass reuses the 6-dp
+    * EMITTED slope (the gate-replays-emitted-precision rule) and
+    * rank-medians P rows.
+    *
+    * Returns one row: (n_periods, n_pairs, slope, intercept). */
+  def theilSenTrend(
+      series: DataFrame,
+      orderCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.orderBy(col(orderCol).asc)
+    val idx = series
+      .select(col(valueCol).cast(DoubleType).as("__y"),
+        row_number().over(w).as("__i"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = idx.count()
+    val a = idx.select(col("__i").as("__ia"), col("__y").as("__ya"))
+    val b = idx.select(col("__i").as("__ib"), col("__y").as("__yb"))
+    val slopes = a.crossJoin(b).filter(col("__ib") > col("__ia"))
+      .select(
+        ((col("__yb") - col("__ya")) /
+          (col("__ib") - col("__ia")).cast(DoubleType)).as("__s"),
+        (col("__ia").cast(LongType) * (p + 1) + col("__ib")).as("__t"))
+    val (ranked, n) = globalRankByValue(slopes, "__s", "__t")
+    val midLo = (n + 1) / 2
+    val midHi = (n + 2) / 2
+    val med = ranked.agg(
+      sum(when(col("__rank") === midLo, col("__s"))).as("__a"),
+      sum(when(col("__rank") === midHi, col("__s"))).as("__b"))
+      .select(round((col("__a") + col("__b")) / 2.0, 6).as("slope"))
+    val wb = Window.orderBy(col("__bv").asc, col("__i").asc)
+    val pm = lit((p + 1) / 2)
+    val ph = lit((p + 2) / 2)
+    val resid = idx.crossJoin(broadcast(med))
+      .withColumn("__bv", col("__y") - col("slope") * col("__i"))
+      .withColumn("__rk", row_number().over(wb))
+    val out = resid.agg(
+      max(col("slope")).as("slope"),
+      round((sum(when(col("__rk") === pm, col("__bv"))) +
+        sum(when(col("__rk") === ph, col("__bv")))) / 2.0, 6)
+        .as("intercept"))
+      .select(lit(p).as("n_periods"), lit(n).as("n_pairs"),
+        col("slope"), col("intercept"))
+    idx.unpersist(false)
+    out
+  }
 }

@@ -511,4 +511,32 @@ class CurationSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("neymanSample: zero-variance stratum gets nothing, the budget " +
+      "goes to the volatile one and caps at stratum size") {
+    import spark.implicits._
+    // A: 10 constant rows (σ=0 → weight 0); B: 10 spread rows
+    val rows = (1L to 10L).map(i => ("A", i, 5.0)) ++
+      (11L to 20L).map(i => ("B", i, (i * 17 % 100).toDouble))
+    val df = rows.toDF("g", "id", "v")
+    val kept6 = Sampling.neymanSample(df, Seq("g"), col("v"), col("id"),
+        budget = 6, seed = 3)
+      .groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept6.getOrElse("A", 0L) == 0L, s"got $kept6")
+    assert(kept6("B") == 6L, s"got $kept6")
+    // budget above the volatile stratum's size: saturates at 10,
+    // σ=0 stratum still contributes nothing (documented undershoot)
+    val kept20 = Sampling.neymanSample(df, Seq("g"), col("v"), col("id"),
+        budget = 20, seed = 3)
+      .groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept20.getOrElse("A", 0L) == 0L, s"got $kept20")
+    assert(kept20("B") == 10L, s"got $kept20")
+    // re-run = identical membership (pure id-hash function)
+    val ids1 = Sampling.neymanSample(df, Seq("g"), col("v"), col("id"),
+      budget = 6, seed = 3).select("id").collect().map(_.getLong(0)).sorted
+    val ids2 = Sampling.neymanSample(df, Seq("g"), col("v"), col("id"),
+      budget = 6, seed = 3).select("id").collect().map(_.getLong(0)).sorted
+    assert(ids1.toSeq == ids2.toSeq)
+  }
 }

@@ -228,4 +228,38 @@ class JoinsSpec extends SparkSpecBase {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("intervalOverlapJoin equals the naive cross filter — " +
+      "exactly-once pairs at any bin size, touching ends inclusive") {
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    // spans in minutes: overlaps, nesting, exact-touch, disjoint
+    val lefts = Seq((1L, 0, 30), (2L, 10, 20), (3L, 40, 50),
+      (4L, 60, 60), (5L, 100, 130))
+      .map { case (id, a, b) => (id, ts(a), ts(b)) }
+      .toDF("lid", "ls", "le")
+    val rights = Seq((10L, 25, 45), (11L, 50, 60), (12L, 200, 210),
+      (13L, 15, 15))
+      .map { case (id, a, b) => (id, ts(a), ts(b)) }
+      .toDF("rid", "rs", "re")
+    val naive = lefts.crossJoin(rights)
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    for (binSec <- Seq(60L, 600L, 3600L, 86400L)) {
+      val got = Joins.intervalOverlapJoin(
+        lefts, "ls", "le", rights, "rs", "re", binSec)
+        .select("lid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq == naive.toSeq, s"binSeconds=$binSec")
+      assert(got.length == got.distinct.length,
+        s"duplicate pairs at binSeconds=$binSec")
+    }
+    // sanity on the fixture: touch case 3–11 (50 == 50) present,
+    // point-in-span 13 inside 1 and 2, disjoint 12 absent
+    assert(naive.contains((3L, 11L)) && naive.contains((1L, 13L)) &&
+      naive.contains((2L, 13L)))
+    assert(!naive.exists(_._2 == 12L))
+  }
 }

@@ -650,4 +650,24 @@ class StatsSpec extends SparkSpecBase {
       BigDecimal(math.sqrt(10.0))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("theilSenTrend: exact line recovered; one wild outlier leaves " +
+      "the median slope untouched") {
+    import spark.implicits._
+    def mk(vals: Seq[Double]) = vals.zipWithIndex
+      .map { case (v, i) => (f"d${i + 1}%02d", v) }.toDF("d", "v")
+    // y = 2i + 5 on the 1-based index
+    val clean = Stats.theilSenTrend(mk(Seq(7.0, 9.0, 11.0, 13.0)),
+      "d", "v").collect()(0)
+    assert(clean.getAs[Long]("n_periods") == 4L)
+    assert(clean.getAs[Long]("n_pairs") == 6L)
+    assert(clean.getAs[Double]("slope") == 2.0)
+    assert(clean.getAs[Double]("intercept") == 5.0)
+    // period 3 explodes to 100: pair slopes sort to
+    // [-87, 2, 2, 2, 46.5, 91] — the median pair is still 2
+    val robust = Stats.theilSenTrend(mk(Seq(7.0, 9.0, 100.0, 13.0)),
+      "d", "v").collect()(0)
+    assert(robust.getAs[Double]("slope") == 2.0)
+    assert(robust.getAs[Double]("intercept") == 5.0)
+  }
 }
