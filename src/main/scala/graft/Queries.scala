@@ -1893,6 +1893,30 @@ object Queries {
           dsum(col("click_value")).as("click_sum"),
           dsum(col("purchase_value")).as("purchase_sum"))
     }),
+    "q_join_asof_tol" -> ((s, dir) => {
+      // As-of with FRESHNESS tolerance (pandas merge_asof tolerance):
+      // the same click→latest-purchase match, but a purchase older
+      // than 30 minutes is no match at all — the row NULL-extends
+      // rather than re-matching something even older ("the last
+      // quote, but only if fresh"). Post-match guard, topology
+      // unchanged (one shuffle on user_id).
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("value").as("click_value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+        .withColumnRenamed("ts", "purchase_ts")
+      graft.operators.Joins.asofJoin(clicks, purchases,
+          Seq("user_id"), "click_ts", "purchase_ts",
+          toleranceUs = Some(30L * 60 * 1000 * 1000))
+        .groupBy((col("user_id") % 50).as("user_mod"))
+        .agg(count(lit(1)).as("n_clicks"),
+          count(col("purchase_ts")).as("n_matched"),
+          dsum(col("click_value")).as("click_sum"),
+          dsum(col("purchase_value")).as("purchase_sum"))
+    }),
 
     "q_join_asof_fwd" -> ((s, dir) => {
       // Forward as-of join: every click matched to the same user's
@@ -4481,6 +4505,30 @@ object Queries {
         | FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
         |j AS (
         | SELECT c.user_id, c.click_value, p.purchase_ts, p.purchase_value
+        | FROM clicks c ASOF LEFT JOIN purch p
+        |   ON c.user_id = p.user_id AND c.click_ts >= p.purchase_ts)
+        |SELECT user_id % 50 AS user_mod, count(*) AS n_clicks,
+        | count(purchase_ts) AS n_matched,
+        | round(CAST(sum(CAST(click_value AS DECIMAL(18,4)))
+        |   AS DOUBLE), 4) AS click_sum,
+        | round(CAST(sum(CAST(purchase_value AS DECIMAL(18,4)))
+        |   AS DOUBLE), 4) AS purchase_sum
+        |FROM j GROUP BY 1""".stripMargin,
+    // tolerance replica: the native ASOF match, then the stale-match
+    // guard nulls BOTH carried columns past 30 min (no re-match).
+    "q_join_asof_tol" ->
+      """WITH clicks AS (
+        | SELECT user_id, ts AS click_ts, value AS click_value
+        | FROM events WHERE event_type = 'click'),
+        |purch AS (
+        | SELECT user_id, ts AS purchase_ts, max(value) AS purchase_value
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |j AS (
+        | SELECT c.user_id, c.click_value,
+        |  CASE WHEN epoch_us(c.click_ts) - epoch_us(p.purchase_ts)
+        |    <= 1800000000 THEN p.purchase_ts END AS purchase_ts,
+        |  CASE WHEN epoch_us(c.click_ts) - epoch_us(p.purchase_ts)
+        |    <= 1800000000 THEN p.purchase_value END AS purchase_value
         | FROM clicks c ASOF LEFT JOIN purch p
         |   ON c.user_id = p.user_id AND c.click_ts >= p.purchase_ts)
         |SELECT user_id % 50 AS user_mod, count(*) AS n_clicks,

@@ -47,8 +47,10 @@ object Joins {
       right: DataFrame,
       keys: Seq[String],
       leftTs: String,
-      rightTs: String): DataFrame =
-    asofJoinImpl(left, right, keys, leftTs, rightTs, forward = false)
+      rightTs: String,
+      toleranceUs: Option[Long] = None): DataFrame =
+    asofJoinImpl(left, right, keys, leftTs, rightTs, forward = false,
+      toleranceUs)
 
   /** Forward-looking as-of LEFT join: for every left row, attach the
     * right row with the SMALLEST `rightTs` ≥ the left row's `leftTs`
@@ -62,16 +64,27 @@ object Joins {
       right: DataFrame,
       keys: Seq[String],
       leftTs: String,
-      rightTs: String): DataFrame =
-    asofJoinImpl(left, right, keys, leftTs, rightTs, forward = true)
+      rightTs: String,
+      toleranceUs: Option[Long] = None): DataFrame =
+    asofJoinImpl(left, right, keys, leftTs, rightTs, forward = true,
+      toleranceUs)
 
+  /** `toleranceUs`: pandas `merge_asof(tolerance=...)` semantics — a
+    * match farther than this many microseconds from the left row's
+    * timestamp is discarded (the row comes out NULL-extended, it is
+    * NOT re-matched to an older candidate; "the last quote, but only
+    * if fresh"). Applied as a post-match guard on the carried right
+    * struct, so the join topology is unchanged. */
   private def asofJoinImpl(
       left: DataFrame,
       right: DataFrame,
       keys: Seq[String],
       leftTs: String,
       rightTs: String,
-      forward: Boolean): DataFrame = {
+      forward: Boolean,
+      toleranceUs: Option[Long] = None): DataFrame = {
+    require(toleranceUs.forall(_ >= 0),
+      s"tolerance must be non-negative: $toleranceUs")
     // leftTs travels as __ts and is restored under its own name at the
     // end, so it is excluded from the pass-through payload list
     val leftOnly = left.columns
@@ -122,8 +135,16 @@ object Joins {
     val agg =
       if (forward) first(col("__r"), ignoreNulls = true)
       else last(col("__r"), ignoreNulls = true)
+    val guarded: Column => Column = toleranceUs match {
+      case Some(t) =>
+        val gap = abs(unix_micros(col("__ts")) -
+          unix_micros(col("__m").getField(rightTs)))
+        m => when(m.isNotNull && gap <= t, m)
+      case None => identity
+    }
     lSide.unionByName(rSide)
       .withColumn("__m", matched(agg.over(w)))
+      .withColumn("__m", guarded(col("__m")))
       .filter(col("__side") === 1)
       .select(
         keys.map(col) ++

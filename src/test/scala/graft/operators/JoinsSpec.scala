@@ -56,6 +56,36 @@ class JoinsSpec extends SparkSpecBase {
       (2, 3, -1)))
   }
 
+  test("asofJoin tolerance: stale matches NULL-extend instead of " +
+      "re-matching older candidates; exact-boundary gap kept") {
+    import spark.implicits._
+    val left = Seq(
+      (1, "2024-01-01 10:00:00", 1),  // 60 min from 09:00 → stale
+      (1, "2024-01-01 09:30:00", 2),  // exactly 30 min → kept
+      (1, "2024-01-01 09:10:00", 3))  // 10 min → kept
+      .toDF("k", "lts", "lv")
+      .withColumn("lts", col("lts").cast("timestamp"))
+    val right = Seq(
+      (1, "2024-01-01 08:00:00", 5),  // even older fallback: must NOT
+      (1, "2024-01-01 09:00:00", 10)) // be used when 09:00 is stale
+      .toDF("k", "rts", "rv")
+      .withColumn("rts", col("rts").cast("timestamp"))
+    val tol = Some(30L * 60 * 1000 * 1000)
+    val got = Joins.asofJoin(left, right, Seq("k"), "lts", "rts",
+        toleranceUs = tol)
+      .select("lv", "rv").collect()
+      .map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) -1 else r.getInt(1))).sorted.toSeq
+    assert(got == Seq(1 -> -1, 2 -> 10, 3 -> 10))
+    // forward direction: same guard on the ≥ match
+    val fwd = Joins.asofJoinForward(
+      Seq((1, "2024-01-01 07:00:00", 9)).toDF("k", "lts", "lv")
+        .withColumn("lts", col("lts").cast("timestamp")),
+      right, Seq("k"), "lts", "rts", toleranceUs = tol)
+      .select("rv").collect()
+    assert(fwd.length == 1 && fwd(0).isNullAt(0)) // 08:00 is 60 min out
+  }
+
   test("asofJoin: NULL keys never match (SQL join semantics)") {
     import spark.implicits._
     val left = Seq(
