@@ -415,7 +415,10 @@ object Graph {
     val zero = lit("0.000000").cast(dec)
     val eSrc = edges.select(col("src"), col("dst")).distinct()
       .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-    val eDst = edges.select(col("src"), col("dst")).distinct()
+    eSrc.count() // materialize before deriving, so the upstream edge
+    // build (often a join) runs ONCE — the dst copy re-partitions the
+    // cached frame instead of recomputing distinct from scratch
+    val eDst = eSrc
       .repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = eSrc.select(col("src").as("node"))
       .union(eSrc.select(col("dst").as("node")))
