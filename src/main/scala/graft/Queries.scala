@@ -932,6 +932,44 @@ object Queries {
           coalesce(lag(col("event_type"), 1).over(w), lit("<none>"))
             .as("prev_type"))
     }),
+    "q_window_firstlast" -> ((s, dir) => {
+      // Frame-edge window trio the family still lacked: first/last
+      // event type and the 2nd value over the FULL partition frame
+      // (unbounded both ways — last_value under the default frame is
+      // the classic silent-wrong-answer; the explicit frame is the
+      // point). Total order via (ts, event_id); one row per user.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .filter(col("user_id") < 20)
+        .select(col("user_id"),
+          first(col("event_type")).over(w).as("__ft"),
+          last(col("event_type")).over(w).as("__lt"),
+          nth_value(col("value"), 2).over(w).as("__nv"))
+        .groupBy(col("user_id"))
+        .agg(max(col("__ft")).as("first_type"),
+          max(col("__lt")).as("last_type"),
+          round(max(col("__nv")), 4).as("second_value"))
+    }),
+    "q_quantile_exact" -> ((s, dir) => {
+      // EXACT global percentiles (p50/p90/p99) of extended price —
+      // percentile_disc semantics (smallest value with cumulative
+      // share ≥ p, rank ⌈p·n⌉) through the two-phase distributed
+      // rank, NOT a single-partition sort of 600k rows and NOT the
+      // non-replicable approx_percentile sketch.
+      val v = Tables.lineitem(s, dir)
+        .select(col("l_extendedprice").cast(DoubleType).as("__v"),
+          col("l_orderkey").as("__t"))
+      val (ranked, n) = Stats.globalRankByValue(v, "__v", "__t")
+      def at(p: Double) = math.ceil(p * n).toLong
+      ranked.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__rank") === at(0.50), col("__v"))).as("p50"),
+        sum(when(col("__rank") === at(0.90), col("__v"))).as("p90"),
+        sum(when(col("__rank") === at(0.99), col("__v"))).as("p99"))
+    }),
     "q_window_percentrank" -> ((s, dir) => {
       // Relative standing within a partition: percent_rank (ties
       // share a rank — ordering on the value alone keeps tied rows
@@ -5882,6 +5920,35 @@ object Queries {
         | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
         |   AS DOUBLE), 4) AS price_sum
         |FROM t GROUP BY 1, 2""".stripMargin,
+    "q_window_firstlast" ->
+      """SELECT user_id,
+        | max(ft) AS first_type, max(lt) AS last_type,
+        | round(max(nv), 4) AS second_value
+        |FROM (SELECT user_id,
+        |  first_value(event_type) OVER w AS ft,
+        |  last_value(event_type) OVER w AS lt,
+        |  nth_value(value, 2) OVER w AS nv
+        | FROM events WHERE user_id < 20
+        | WINDOW w AS (PARTITION BY user_id
+        |   ORDER BY ts ASC, event_id ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |GROUP BY user_id""".stripMargin,
+    // exact-percentile replica: row_number rank over the value order,
+    // value at rank ⌈p·n⌉ — sum over the single matching row; the
+    // value at a rank inside a tie run is the tied value either way.
+    "q_quantile_exact" ->
+      """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+        |  FROM lineitem),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x ASC) AS rk,
+        |  count(*) OVER () AS n FROM v)
+        |SELECT CAST(max(n) AS BIGINT) AS n,
+        | sum(CASE WHEN rk = CAST(ceil(0.50 * n) AS BIGINT)
+        |   THEN x END) AS p50,
+        | sum(CASE WHEN rk = CAST(ceil(0.90 * n) AS BIGINT)
+        |   THEN x END) AS p90,
+        | sum(CASE WHEN rk = CAST(ceil(0.99 * n) AS BIGINT)
+        |   THEN x END) AS p99
+        |FROM r""".stripMargin,
     "q_window_percentrank" ->
       """SELECT user_id, event_id,
         | round(percent_rank() OVER w, 6) AS pr,
