@@ -526,9 +526,16 @@ object Sampling {
       .withColumn("__rkf", row_number().over(
         w.orderBy((Seq((col("__share") - col("__base")).desc) ++
           keyAsc): _*)))
+      // the remainder bump is gated on __totw > 0: when EVERY stratum
+      // is degenerate (σ = 0 ⇒ all weights 0) the shares/bases are 0
+      // but __rem is still the full budget, and an ungated bump would
+      // hand 1 row to each of the first `budget` strata in key order —
+      // contradicting the documented "weight 0 ⇒ no allocation"
+      // contract (ADVICE r8)
       .withColumn("__alloc",
         least(col("__base") +
-          when(col("__rkf") <= col("__rem"), 1L).otherwise(0L),
+          when(col("__totw") > 0 && col("__rkf") <= col("__rem"), 1L)
+            .otherwise(0L),
           col("__n")))
       .select(strataCols.map(col) ++
         Seq(col("__alloc"), col("__w")): _*)

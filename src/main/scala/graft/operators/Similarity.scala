@@ -847,6 +847,65 @@ object Similarity {
         min(col("cos")).cast(DoubleType).as("min_cohesion"))
   }
 
+  /** Pairwise cosine between per-label CENTROIDS — the label-geometry
+    * confusion audit next to [[labelCohesion]]'s within-label view:
+    * two labels whose centroids are near-parallel (affinity → 1) are
+    * candidates for merging (or for label noise); near-orthogonal
+    * labels are safely separable. The embedding-space analogue of a
+    * confusion matrix, computable without any classifier.
+    *
+    * Scale shape: ONE corpus pass builds the (label, pos) centroid
+    * frame ([[labelCohesion]]'s exact-decimal 9-dp discipline); every
+    * downstream join runs on that |labels|·dim control frame — the
+    * pair enumeration is |labels|²·dim tiny rows, nowhere near the
+    * corpus. Determinism: centroid products round to 12 dp as scaled
+    * longs and sum exactly; the cosine emits at 6 dp.
+    *
+    * Returns the upper triangle: (label_a, label_b, affinity). */
+  def labelAffinity(
+      emb: DataFrame,
+      labelCol: String,
+      vecCol: String): DataFrame = {
+    def s9(p: Column): Column =
+      when(p >= 0, floor(p * lit(1e9) + lit(0.5)))
+        .otherwise(-floor(-p * lit(1e9) + lit(0.5))).cast(LongType)
+    def s12(p: Column): Column =
+      when(p >= 0, floor(p * lit(1e12) + lit(0.5)))
+        .otherwise(-floor(-p * lit(1e12) + lit(0.5))).cast(LongType)
+    val ex = emb.select(col(labelCol),
+      posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast(DoubleType))
+    val cent = ex.groupBy(col(labelCol), col("pos"))
+      .agg(round((sum(s9(col("v")).cast(DecimalType(38, 0)))
+          .cast(DoubleType) / lit(1e9)) /
+        count(lit(1)), 9).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cn = cent.groupBy(col(labelCol))
+      .agg((sum(s12(col("c") * col("c"))).cast(DoubleType) / lit(1e12))
+        .as("cn2"))
+    val a = cent.select(col(labelCol).as("label_a"), col("pos"),
+      col("c").as("__ca"))
+    val b = cent.select(col(labelCol).as("label_b"), col("pos"),
+      col("c").as("__cb"))
+    val num = a.join(b, Seq("pos"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg((sum(s12(col("__ca") * col("__cb"))).cast(DoubleType) /
+        lit(1e12)).as("num"))
+    // |labels|²-row result: materialize, then release the centroids
+    val out = num
+      .join(broadcast(cn.select(col(labelCol).as("label_a"),
+        col("cn2").as("__na"))), Seq("label_a"))
+      .join(broadcast(cn.select(col(labelCol).as("label_b"),
+        col("cn2").as("__nb"))), Seq("label_b"))
+      .select(col("label_a"), col("label_b"),
+        round(col("num") / sqrt(col("__na") * col("__nb")), 6)
+          .as("affinity"))
+      .localCheckpoint(true)
+    cent.unpersist(false)
+    out
+  }
+
   /** Dominant principal component of an embedding corpus: ONE
     * distributed pass accumulates the Gram matrix G = Σ_rows x·xᵀ
     * (per-row outer products, d² = 4096 cells for d = 64, map-side

@@ -144,6 +144,44 @@ object TextAnalysis {
     round((lenOk + mtlOk + punctOk) / 3.0, 6)
   }
 
+  /** Gopher-style HARD rule gate (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * App. A quality filters) — the reject/keep verdict that runs ahead
+    * of the soft [[qualityScoreFromTokens]] in a curation pipeline.
+    * Four rules over a pre-staged token array (the staging contract of
+    * [[langIdFromTokens]]):
+    *
+    *  - `r_wordcount`: token count in [minWords, maxWords];
+    *  - `r_wordlen`: mean token length in [3, 10] chars — evaluated in
+    *    INTEGER form (3·n ≤ Σlen ≤ 10·n), no division;
+    *  - `r_alpha`: ≥ 80% of tokens contain an ASCII letter
+    *    (5·n_alpha ≥ 4·n — the "fraction of words with an alphabetic
+    *    character" rule, ASCII-scoped to stay SQL-portable);
+    *  - `r_stopword`: ≥ 2 hits of the English function-word table
+    *    (Gopher's "at least 2 stop words" rule).
+    *
+    * Every comparison is exact integer arithmetic — no doubles — so
+    * the verdicts replay bit-identically in any SQL engine. Returns a
+    * struct column (r_wordcount, r_wordlen, r_alpha, r_stopword,
+    * pass); per-row, shuffle-free, codegen'd. */
+  def gopherRules(
+      toks: Column,
+      minWords: Int = 10,
+      maxWords: Int = 1000): Column = {
+    val n = size(toks).cast(LongType)
+    val totLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]")))
+      .cast(LongType)
+    val stopHits = size(filter(toks, t =>
+      lower(t).isin(StopwordsByLang.head._2.map(lit(_)): _*)))
+    val r1 = n >= minWords && n <= maxWords
+    val r2 = n > 0 && lit(3L) * n <= totLen && totLen <= lit(10L) * n
+    val r3 = n > 0 && lit(5L) * nAlpha >= lit(4L) * n
+    val r4 = stopHits >= 2
+    struct(r1.as("r_wordcount"), r2.as("r_wordlen"), r3.as("r_alpha"),
+      r4.as("r_stopword"), (r1 && r2 && r3 && r4).as("pass"))
+  }
+
   /** PII redaction for training corpora: emails, international-ish
     * phone numbers, and bare IPv4 addresses become fixed placeholder
     * tokens. Pure regexp_replace chain — codegen'd, shuffle-free, and

@@ -599,4 +599,54 @@ object Streams {
       spark.conf.set("spark.sql.shuffle.partitions", p))
     spark.table(queryName)
   }
+
+  /** Stream-static AS-OF enrichment, drained with AvailableNow: every
+    * stream row gets the static side's latest row at-or-before its
+    * timestamp (per key) — point-in-time feature attachment at ingest
+    * ("the model/tier/quote that was current when this event
+    * happened"), the streaming twin of the batch `Joins.asofJoin`
+    * family (VERDICT r8 stretch 7).
+    *
+    * Topology: `foreachBatch` hands each micro-batch to the BATCH
+    * as-of operator against the static dimension, writing enriched
+    * rows to `outDir`. This is exactly-once correct with ZERO state
+    * store and no watermark: an as-of match is a pure function of
+    * (key, leftTs, static right side) — independent of every other
+    * stream row — so per-batch joins compose to precisely the batch
+    * join of the union, whatever the file-to-batch partitioning
+    * (pinned by StreamsSpec's two-file drain). Contrast the
+    * stream-stream join in [[clickPurchaseJoin]], where the watermark
+    * is what bounds state; here the only state is the checkpoint's
+    * file log. At 100 TB the per-batch as-of is one shuffle of
+    * |batch|+|dim| rows on the keys — the same scale shape as the
+    * batch operator, paid per micro-batch.
+    *
+    * Blocks until the drain finishes; returns the enriched rows read
+    * back from `outDir`. */
+  def asofEnrichAvailableNow(
+      stream: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      toleranceUs: Option[Long],
+      outDir: String,
+      checkpoint: String,
+      queryName: String): DataFrame = {
+    val spark = stream.sparkSession
+    val q = stream.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Joins
+          .asofJoin(batch, dim, keys, leftTs, rightTs, toleranceUs)
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
 }

@@ -539,4 +539,18 @@ class CurationSpec extends SparkSpecBase {
       budget = 6, seed = 3).select("id").collect().map(_.getLong(0)).sorted
     assert(ids1.toSeq == ids2.toSeq)
   }
+
+  test("neymanSample: when EVERY stratum is degenerate (all σ=0) the " +
+      "allocation is zero — the remainder pass must not hand out the " +
+      "budget in key order (ADVICE r8)") {
+    import spark.implicits._
+    // three constant strata: weight 0 each, total weight 0
+    val rows = (1L to 5L).map(i => ("A", i, 1.0)) ++
+      (6L to 10L).map(i => ("B", i, 2.0)) ++
+      (11L to 15L).map(i => ("C", i, 3.0))
+    val kept = Sampling.neymanSample(rows.toDF("g", "id", "v"),
+      Seq("g"), col("v"), col("id"), budget = 4, seed = 1)
+    assert(kept.count() == 0L,
+      "σ = 0 ⇒ weight 0 ⇒ no allocation, for every stratum")
+  }
 }

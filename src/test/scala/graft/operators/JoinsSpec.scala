@@ -292,4 +292,34 @@ class JoinsSpec extends SparkSpecBase {
       naive.contains((2L, 13L)))
     assert(!naive.exists(_._2 == 12L))
   }
+
+  test("intervalOverlapJoin: a pathological interval trips the bin " +
+      "fan-out guard instead of exploding (VERDICT r8 item 4)") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val lefts = Seq((1L, ts("2024-01-01 00:00:00"),
+      ts("2024-12-31 00:00:00"))).toDF("lid", "ls", "le") // ~1 year
+    val rights = Seq((10L, ts("2024-06-01 00:00:00"),
+      ts("2024-06-01 01:00:00"))).toDF("rid", "rs", "re")
+    // a year-long span at a 1-hour bin is ~8,760 copies — over the
+    // default 4096 cap; the guard names the offending side
+    val e = intercept[IllegalArgumentException] {
+      Joins.intervalOverlapJoin(lefts, "ls", "le", rights, "rs", "re",
+        binSeconds = 3600L)
+    }
+    assert(e.getMessage.contains("left side"))
+    // widening the bin toward the span length passes and still joins
+    val ok = Joins.intervalOverlapJoin(lefts, "ls", "le",
+      rights, "rs", "re", binSeconds = 7 * 86400L)
+      .select("lid", "rid").collect()
+    assert(ok.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L)))
+    // and a deliberate cap raise also passes
+    val ok2 = Joins.intervalOverlapJoin(lefts, "ls", "le",
+      rights, "rs", "re", binSeconds = 3600L,
+      maxBinsPerInterval = 10000L)
+      .select("lid", "rid").collect()
+    assert(ok2.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L)))
+  }
 }

@@ -339,4 +339,25 @@ class SimilaritySpec extends SparkSpecBase {
     val self = Similarity.recallAtK(truth, truth, "self").collect()(0)
     assert(self.getLong(1) == 4L && self.getDouble(3) == 1.0)
   }
+
+  test("labelAffinity: parallel label centroids score 1, orthogonal " +
+      "score 0, antiparallel score -1") {
+    import spark.implicits._
+    // label 0 along +x (two vectors), label 1 also +x, label 2 along
+    // +y, label 3 along -x
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(0.5f, 0.0f), 1),
+      (4L, Seq(0.0f, 2.0f), 2),
+      (5L, Seq(-1.0f, 0.0f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelAffinity(emb, "label", "embedding")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got((0, 1)) == 1.0)
+    assert(got((0, 2)) == 0.0)
+    assert(got((0, 3)) == -1.0)
+    assert(got((2, 3)) == 0.0)
+    assert(got.size == 6) // full upper triangle of 4 labels
+  }
 }

@@ -670,4 +670,66 @@ class StatsSpec extends SparkSpecBase {
     assert(robust.getAs[Double]("slope") == 2.0)
     assert(robust.getAs[Double]("intercept") == 5.0)
   }
+
+  test("theilSenTrend guards: < 2 periods and the period cap both " +
+      "fail fast instead of NPE / pair blow-up (VERDICT r8 item 3)") {
+    import spark.implicits._
+    def mk(vals: Seq[Double]) = vals.zipWithIndex
+      .map { case (v, i) => (f"d${i + 1}%02d", v) }.toDF("d", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Stats.theilSenTrend(mk(Seq(5.0)), "d", "v")
+    }
+    assert(e1.getMessage.contains(">= 2 periods"))
+    intercept[IllegalArgumentException] {
+      Stats.theilSenTrend(mk(Seq.empty[Double]), "d", "v")
+    }
+    val e2 = intercept[IllegalArgumentException] {
+      Stats.theilSenTrend(mk(Seq(1.0, 2.0, 3.0, 4.0, 5.0)), "d", "v",
+        maxPeriods = 4)
+    }
+    assert(e2.getMessage.contains("maxPeriods"))
+    // at the cap boundary it still runs
+    val ok = Stats.theilSenTrend(mk(Seq(1.0, 3.0, 5.0, 7.0)), "d", "v",
+      maxPeriods = 4).collect()(0)
+    assert(ok.getAs[Double]("slope") == 2.0)
+  }
+
+  test("siegelTrend: exact line recovered; survives contamination " +
+      "Theil–Sen's single median would feel harder") {
+    import spark.implicits._
+    def mk(vals: Seq[Double]) = vals.zipWithIndex
+      .map { case (v, i) => (f"d${i + 1}%02d", v) }.toDF("d", "v")
+    // y = 2i + 5 exactly
+    val clean = Stats.siegelTrend(mk(Seq(7.0, 9.0, 11.0, 13.0)),
+      "d", "v").collect()(0)
+    assert(clean.getAs[Long]("n_periods") == 4L)
+    assert(clean.getAs[Double]("slope") == 2.0)
+    assert(clean.getAs[Double]("intercept") == 5.0)
+    // one wild point: every clean point's INNER median still sees a
+    // majority of clean pairwise slopes, so the outer median stays 2
+    val robust = Stats.siegelTrend(mk(Seq(7.0, 9.0, 100.0, 13.0, 15.0)),
+      "d", "v").collect()(0)
+    assert(robust.getAs[Double]("slope") == 2.0)
+    // guards mirror theilSenTrend's
+    intercept[IllegalArgumentException] {
+      Stats.siegelTrend(mk(Seq(1.0)), "d", "v")
+    }
+    intercept[IllegalArgumentException] {
+      Stats.siegelTrend(mk(Seq(1.0, 2.0, 3.0)), "d", "v", maxPeriods = 2)
+    }
+  }
+
+  test("corrMatrix: rows with a NULL in any input column are dropped " +
+      "entirely — n and the moments agree (ADVICE r8)") {
+    import spark.implicits._
+    // 4 complete rows on an exact line y = 2x, plus one row with a
+    // NULL y: before the fix n counted 5 while the moments saw 4,
+    // dragging corr off 1.0; complete-case analysis keeps it exact.
+    val df = Seq[(Double, Option[Double])](
+      (1.0, Some(2.0)), (2.0, Some(4.0)), (3.0, Some(6.0)),
+      (4.0, Some(8.0)), (5.0, None)).toDF("x", "y")
+    val r = Stats.corrMatrix(df, Seq("x", "y")).collect()(0)
+    assert(r.getAs[Long]("n") == 4L, s"n must count complete cases: $r")
+    assert(r.getAs[Double]("corr") == 1.0, s"exact line: $r")
+  }
 }

@@ -311,4 +311,33 @@ class TextAnalysisSpec extends SparkSpecBase {
       (10L, 1L, r61.toDouble, 2L),
       (30L, 1L, r62.toDouble, 3L)))
   }
+
+  test("gopherRules: each rule fails on its own crafted doc and " +
+      "passes on a healthy one") {
+    import spark.implicits._
+    val healthy = (("the cat sat on the mat and looked out of " +
+      "the window in the sun") + " word" * 5) // 19 tokens, stopwords
+    val docs = Seq(
+      ("healthy", healthy),
+      ("short", "the of one"), // 3 tokens < 10 → r_wordcount fails
+      // 12 long tokens (avg len > 10) incl 2 stopwords → r_wordlen
+      ("longwords", "the of " + "pneumonoultramicroscopic " * 10),
+      // 12 numeric tokens + 2 stopwords → r_alpha fails (alpha 2/12)
+      ("numeric", "the of " + "12345 " * 10),
+      // 12 plain words, zero stopword hits → r_stopword fails
+      ("nostop", "cat " * 12)
+    ).toDF("name", "text")
+    val got = docs
+      .withColumn("tk", TextAnalysis.tokens(col("text")))
+      .select(col("name"), TextAnalysis.gopherRules(col("tk")).as("r"))
+      .collect()
+      .map(r => r.getString(0) -> r.getStruct(1)).toMap
+    def flags(n: String) = (0 to 4).map(got(n).getBoolean)
+    // (r_wordcount, r_wordlen, r_alpha, r_stopword, pass)
+    assert(flags("healthy") == Seq(true, true, true, true, true))
+    assert(flags("short").head == false && !got("short").getBoolean(4))
+    assert(flags("longwords")(1) == false)
+    assert(flags("numeric")(2) == false)
+    assert(flags("nostop")(3) == false)
+  }
 }

@@ -211,6 +211,58 @@ class StreamsSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
+  test("asofEnrichAvailableNow: a two-file drain equals the batch " +
+      "as-of join of the union — batch boundaries don't matter for a " +
+      "stream-static as-of (VERDICT r8 stretch 7)") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("asof_mb").toFile
+    val t0 = System.currentTimeMillis()
+    // clicks split across two micro-batches; user 9 has no purchase
+    writeEventsFile(tmp, "a.parquet",
+      Seq((5L * min, 7L), (12L * min, 7L)), t0 - 60000)
+    writeEventsFile(tmp, "b.parquet",
+      Seq((45L * min, 7L), (5L * min, 9L)), t0)
+    // static purchase history: user 7 at 4min (v=10) and 10min (v=20)
+    val dim = Seq((7L, 4L * min, 10.0), (7L, 10L * min, 20.0))
+      .toDF("user_id", "purchase_ts", "purchase_value")
+      .withColumn("purchase_ts",
+        timestamp_micros(expr("purchase_ts div 1000")))
+    val base = java.nio.file.Files.createTempDirectory("asof_mb_out")
+    val clicks = Streams.eventsStream(
+      spark, tmp.getPath, glob = "*.parquet", maxFilesPerTrigger = 1)
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    val tol = Some(30L * 60 * 1000 * 1000) // 30 min in micros
+    val streamed = Streams.asofEnrichAvailableNow(
+      clicks, dim, Seq("user_id"), "click_ts", "purchase_ts", tol,
+      outDir = s"$base/out", checkpoint = s"$base/ckpt",
+      queryName = "asof_mb")
+      .select(col("user_id"), col("click_ts"), col("purchase_value"))
+    val got = streamed.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000,
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).sorted
+    // click@5 → purchase@4 (v=10); click@12 → purchase@10 (v=20);
+    // click@45 → purchase@10 is 35min stale (> 30min tol) → NULL;
+    // user 9 → no purchase → NULL
+    assert(got.toSeq == Seq(
+      (7L, 5L, Some(10.0)), (7L, 12L, Some(20.0)), (7L, 45L, None),
+      (9L, 5L, None)), s"got ${got.mkString(",")}")
+    // and it equals the one-shot batch join of the SAME rows
+    val batchClicks = spark.read.parquet(tmp.getPath)
+      .withColumn("ts", col("ts").cast(
+        org.apache.spark.sql.types.TimestampType))
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    val batch = graft.operators.Joins.asofJoin(batchClicks, dim,
+      Seq("user_id"), "click_ts", "purchase_ts", tol)
+      .select(col("user_id"), col("click_ts"), col("purchase_value"))
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
   /** [[writeEventsFile]] with per-event type and id — the transition
     * fixtures need both. */
   private def writeTypedEventsFile(

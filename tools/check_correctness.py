@@ -11,6 +11,7 @@ check (>0 rows).
 """
 import json
 import math
+import struct
 import sys
 
 import duckdb
@@ -29,7 +30,11 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return ("nan",)
-        return ("float", v)
+        # Bitwise, not value compare: the driver's typed hash hashes the
+        # raw float bytes, so -0.0 != +0.0 there (q_graph_modularity,
+        # r8). Python == treats them equal, which let a real driver
+        # failure pass locally; struct.pack makes the replica agree.
+        return ("float", struct.pack(">d", v))
     if isinstance(v, int):
         return ("int", v)
     try:  # Decimal: distinct from float, normalized textual form
