@@ -3489,6 +3489,102 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
           dsum(col("o_totalprice")).as("price_sum"))
     }),
+    "q_join_ivm" -> ((s, dir) => {
+      // Incremental JOIN-view maintenance — the reference's daily
+      // date-slice sync (S1) lifted from table copies to a JOIN view:
+      // a materialized orders⋈lineitem view is brought up to date by
+      // joining ONLY the delta date-slice of orders (the maintenance
+      // pass REQUIREs the pushed o_orderdate filter reached the scan,
+      // the date-slice sargability proof), appending, and reading
+      // back — history rows are never re-joined. The oracle computes
+      // the full join from scratch, so maintained ≡ recomputed is the
+      // gate (q_agg_incremental's invariant, now for joins).
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivm")
+        .toString
+      val cut = "1998-01-01"
+      val orders = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_orderdate"))
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+        col("l_extendedprice"), col("l_quantity"))
+      orders.filter(col("o_orderdate") < lit(cut))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$tmp/view")
+      val deltaJ = orders.filter(col("o_orderdate") >= lit(cut))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+      val plan = deltaJ.queryExecution.executedPlan.toString
+      require(plan.matches(
+        "(?s).*PushedFilters: \\[[^\\]]*o_orderdate[^\\]]*\\].*"),
+        s"maintenance scan must push the date slice:\n$plan")
+      deltaJ.write.mode("append").parquet(s"$tmp/view")
+      s.read.parquet(s"$tmp/view")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("key_sum"),
+          dsum(col("l_extendedprice")).as("price_sum"),
+          dsum(col("l_quantity")).as("qty_sum"))
+    }),
+    "q_join_dpp" -> ((s, dir) => {
+      // DYNAMIC partition pruning end-to-end: the fact side is
+      // Hive-partitioned by month, and the pruning predicate arrives
+      // at RUNTIME from a broadcast dim join — no literal month
+      // filter anywhere in the query (q_partition_prune's static
+      // sibling). The query REQUIREs the fact scan carries a
+      // DynamicPruningExpression before aggregating: the 100 TB
+      // fact-dim topology where the DIM's selective filter, not a
+      // hand-written predicate, decides which fact partitions are
+      // even read. The dim is itself written+read through parquet so
+      // its filter is a real scan predicate (a LocalRelation would
+      // fold away before DPP planning).
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dpp")
+        .toString
+      graft.io.Lakehouse.writePartitioned(
+        Tables.orders(s, dir).select(col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"), col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("o_month")),
+        s"$tmp/fact", Seq("o_month"))
+      Tables.orders(s, dir)
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"))
+        .distinct()
+        .withColumn("pick",
+          when(col("m").isin("1996-03", "1997-07"), 1).otherwise(0))
+        .write.mode("overwrite").parquet(s"$tmp/dim")
+      val fact = s.read.parquet(s"$tmp/fact")
+      val dim = s.read.parquet(s"$tmp/dim").filter(col("pick") === 1)
+      val j = fact.join(broadcast(dim), col("o_month") === col("m"))
+      val plan = j.queryExecution.executedPlan.toString
+      require(plan.toLowerCase.contains("dynamicpruning"),
+        s"fact scan must carry a DynamicPruningExpression:\n$plan")
+      j.groupBy(col("o_month"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          dsum(col("o_totalprice")).as("price_sum"))
+    }),
+    "q_rolling_distinct" -> ((s, dir) => {
+      // Trailing 7-day DISTINCT active users per day — the rolling
+      // count-distinct a RANGE window cannot express (distinct is not
+      // a frame aggregate) and a per-day recount would rescan 7× of.
+      // Scale shape: dedupe to (day, user) once, replicate each pair
+      // to the ≤7 target days it supports (explode of a 7-element
+      // sequence — the interval-join binning idiom, an equi-shuffle,
+      // NOT a range join), semi-filter to days that exist, then one
+      // hash count-distinct per day. Exact integers end to end.
+      val du = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("__d"), col("user_id"))
+        .distinct()
+      val days = du.select(col("__d")).distinct()
+      val spread = du.select(col("user_id"),
+        explode(sequence(col("__d"),
+          date_add(col("__d"), 6))).as("__td"))
+        .join(days.select(col("__d").as("__td")), Seq("__td"),
+          "left_semi")
+      val rolling = spread.groupBy(col("__td"))
+        .agg(countDistinct(col("user_id")).as("n_active_7d"))
+      val daily = du.groupBy(col("__d").as("__td"))
+        .agg(countDistinct(col("user_id")).as("n_active_1d"))
+      rolling.join(daily, Seq("__td"))
+        .select(dateFmt(col("__td")).as("d"), col("n_active_1d"),
+          col("n_active_7d"))
+    }),
     "q_lake_merge" -> ((s, dir) => {
       // Lakehouse MERGE on plain parquet: write orders partitioned by
       // month, upsert a batch (doubled prices for key%5=0 in 1996-03,
@@ -5877,6 +5973,44 @@ object Queries {
          |v AS (SELECT n, nd, ${vals.mkString(",\n  ")} FROM m)
          |${arms.mkString("\nUNION ALL\n")}""".stripMargin
     },
+    // IVM replica: the full join recomputed from scratch — maintained
+    // view ≡ recompute is exactly the gate
+    "q_join_ivm" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |   AS DOUBLE), 4) AS price_sum,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4)))
+        |   AS DOUBLE), 4) AS qty_sum
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
+    // DPP replica: the dim's picked months as a plain IN filter —
+    // identical result whether the engine pruned statically,
+    // dynamically, or not at all (the pruning itself is gated by the
+    // query's require on the executed plan)
+    "q_join_dpp" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        | o_orderstatus, count(*) AS n,
+        | CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |   AS DOUBLE), 4) AS price_sum
+        |FROM orders
+        |WHERE strftime(o_orderdate, '%Y-%m') IN ('1996-03', '1997-07')
+        |GROUP BY 1, 2""".stripMargin,
+    // rolling-distinct replica: a range join is fine at oracle scale
+    "q_rolling_distinct" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+        | FROM events),
+        |days AS (SELECT DISTINCT d FROM du),
+        |one AS (SELECT d, count(DISTINCT user_id) AS n_active_1d
+        | FROM du GROUP BY 1),
+        |w AS (SELECT days.d, du.user_id
+        | FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d),
+        |sev AS (SELECT d, count(DISTINCT user_id) AS n_active_7d
+        | FROM w GROUP BY 1)
+        |SELECT strftime(one.d, '%Y-%m-%d') AS d, n_active_1d,
+        | n_active_7d
+        |FROM one JOIN sev USING (d)""".stripMargin,
     "q_label_entropy" -> labelEntropyOracle,
     "q_ks_test" -> ksTestOracle,
     "q_corpus_report" -> corpusReportOracle,
