@@ -1387,6 +1387,30 @@ object Queries {
         .orderBy(col("aa").desc, col("a").asc, col("b").asc)
         .limit(20)
     }),
+    "q_graph_jaccard" -> ((s, dir) => {
+      // Neighborhood-Jaccard link scores: |N(a)∩N(b)| /
+      // |N(a)∪N(b)| for non-adjacent pairs — the normalized sibling
+      // of q_graph_linkpred's Adamic–Adar (AA rewards rare shared
+      // neighbors; Jaccard normalizes by both neighborhoods, so hubs
+      // can't dominate on volume). COMPOSES the same wedge operator
+      // with the degree frame: union = da + db − cn, exact integers
+      // into one 6-dp division. Top-20, ties broken on (a, b).
+      val e = knnEdges(s, dir)
+      val deg = e.select(col("a").as("node"))
+        .unionAll(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("__d"))
+      graft.operators.Graph.commonNeighborScores(e)
+        .join(deg.select(col("node").as("a"), col("__d").as("__da")),
+          Seq("a"))
+        .join(deg.select(col("node").as("b"), col("__d").as("__db")),
+          Seq("b"))
+        .select(col("a"), col("b"), col("n_common"),
+          round(col("n_common").cast(DoubleType) /
+            (col("__da") + col("__db") - col("n_common"))
+              .cast(DoubleType), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("a").asc, col("b").asc)
+        .limit(20)
+    }),
     "q_pipeline_semantic" -> ((s, dir) => {
       // End-to-end embedding curation: SemDeDup within k-means
       // clusters, then a learned-strata rebalance (cap 30/cluster) on
@@ -1440,6 +1464,34 @@ object Queries {
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= 40)
         .select(col("vec_id"), col("cid"))
+    }),
+    "q_cluster_vmeasure" -> ((s, dir) => {
+      // V-measure (Rosenberg & Hirschberg 2007) of the learned
+      // clusters against the labels: homogeneity = MI/H(label),
+      // completeness = MI/H(cluster), V = their harmonic mean — the
+      // entropy-based companion to q_cluster_purity's argmax view
+      // (purity rewards many tiny clusters; V-measure penalizes
+      // them). COMPOSES the session cluster-assign memo with the
+      // mutualInformation operator — the information quantities are
+      // the same arithmetic the MI gate already pins, and the three
+      // derived scores replay from the 6-dp emitted values.
+      val base = clusterAssign(s, dir).select(col("vec_id"), col("cid"))
+        .join(Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label")), Seq("vec_id"))
+      val h = when(col("h_label") > 0,
+        round(col("mi") / col("h_label"), 6)).otherwise(lit(1.0))
+      val c = when(col("h_cluster") > 0,
+        round(col("mi") / col("h_cluster"), 6)).otherwise(lit(1.0))
+      Stats.mutualInformation(base, "label", "cid")
+        .select(col("n"), col("h_a").as("h_label"),
+          col("h_b").as("h_cluster"), col("mi"))
+        .withColumn("homogeneity", h)
+        .withColumn("completeness", c)
+        .withColumn("v_measure",
+          when(col("homogeneity") + col("completeness") > 0,
+            round(lit(2.0) * col("homogeneity") * col("completeness") /
+              (col("homogeneity") + col("completeness")), 6))
+            .otherwise(lit(0.0)))
     }),
     "q_cluster_purity" -> ((s, dir) => {
       // Clustering-quality audit: per learned cluster, its size,
@@ -1544,6 +1596,69 @@ object Queries {
         .except(half(!eventsFirstHalf(col("ts"))))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_churned_users"))
+    }),
+    "q_gap_fill" -> ((s, dir) => {
+      // Calendar densification + forward fill: the sparse per-type
+      // daily series (rare high-value events ⇒ real gaps) joined onto
+      // the full date spine, missing days emitted with n = 0 and the
+      // last observed revenue carried forward — the
+      // make-the-series-regular step every downstream window/ACF/
+      // backtest operator assumes. Spine = |types| × |days| rows from
+      // one explode of a broadcast min/max row (control-plane); the
+      // fill is one type-partitioned window with `last(ignoreNulls)`.
+      val daily = Tables.events(s, dir)
+        .filter(col("value") >= 99)
+        .groupBy(col("event_type"), to_date(col("ts")).as("__d"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("rev"))
+      val mm = daily.agg(min(col("__d")).as("__lo"),
+        max(col("__d")).as("__hi"))
+      val spine = daily.select(col("event_type")).distinct()
+        .crossJoin(broadcast(mm))
+        .select(col("event_type"),
+          explode(sequence(col("__lo"), col("__hi"))).as("__d"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("__d").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("event_type", "__d"), "left")
+        .select(col("event_type"), dateFmt(col("__d")).as("d"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          col("rev"),
+          last(col("rev"), ignoreNulls = true).over(w).as("rev_ffill"),
+          col("rev").isNull.as("is_gap"))
+    }),
+    "q_set_intersect" -> ((s, dir) => {
+      // INTERSECT (set intersection with dedup): (event_type, user)
+      // combinations that emit a high-value event in BOTH stream
+      // halves — the persistent-high-value cohort, the complement of
+      // q_set_except's churn view over the same thresholded halves.
+      // Spark plans INTERSECT as a left-semi join over distincts; the
+      // oracle uses native INTERSECT.
+      val ev = Tables.events(s, dir)
+      def half(pred: Column) = ev.filter(pred && col("value") >= 95)
+        .select(col("event_type"), col("user_id"))
+        .distinct()
+      half(eventsFirstHalf(col("ts")))
+        .intersect(half(!eventsFirstHalf(col("ts"))))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_retained_users"))
+    }),
+    "q_join_nullsafe" -> ((s, dir) => {
+      // NULL-SAFE equi-join (<=>): the reference's NULL-routing column
+      // (created_at, NULL for incomplete orders) used AS a join key —
+      // plain equality silently drops every NULL-key row; the
+      // null-safe operator matches NULL to NULL (one hash shuffle,
+      // same as any equi-join — <=> is a join key, NOT a fallback to
+      // a nested loop). Gated against DuckDB's IS NOT DISTINCT FROM.
+      val o = routedOrders(s, dir)
+      val left = o.groupBy(dateFmt(col("created_at")).as("k"))
+        .agg(count(lit(1)).as("n_l"))
+      val right = o.filter(col("o_totalprice") >= 100000)
+        .groupBy(dateFmt(col("created_at")).as("k2"))
+        .agg(count(lit(1)).as("n_r"))
+      left.join(right, col("k") <=> col("k2"), "left")
+        .groupBy(col("k").isNull.as("k_is_null"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("n_l")).as("rows_l"),
+          sum(col("n_r")).as("rows_r"))
     }),
     "q_event_windows" -> ((s, dir) => {
       // Tumbling 5-minute windows — the batch-equivalent of the
@@ -1768,6 +1883,29 @@ object Queries {
         name)
         .select(col("tier"), col("n_clicks"),
           round(col("__vs").cast(DoubleType), 4).as("click_sum"))
+    }),
+    "q_stream_topk" -> ((s, dir) => {
+      // Streaming per-type top-3 leaderboard: bounded keyed state (3
+      // entries per key at any stream length) merged across
+      // micro-batches; the drain keeps each key's latest emission
+      // (max updates counter) and must equal the batch window top-k
+      // — the merge is a pure function of the candidate multiset, so
+      // batch boundaries cannot reorder it. Cross-batch state carry
+      // pinned by StreamsSpec's two-file drain.
+      val name = s"q_stream_topk_${streamRun.incrementAndGet()}"
+      implicit val sp: SparkSession = s
+      val drained = graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.topKPerKeyState(
+          graft.streaming.Streams.eventsStream(s, dir), k = 3).toDF(),
+        name, shufflePartitions = Some(8))
+      // latest emission per key via a window (a self-join of the
+      // memory-sink view trips conflicting-attribute resolution)
+      val wl = Window.partitionBy(col("g"))
+      drained
+        .withColumn("__mx", max(col("updates")).over(wl))
+        .filter(col("updates") === col("__mx"))
+        .select(col("g").as("event_type"), col("rank"), col("value"),
+          col("event_id"))
     }),
     "q_stream_asof" -> ((s, dir) => {
       // Streaming point-in-time enrichment: the click stream as-of
@@ -2453,6 +2591,58 @@ object Queries {
         .groupBy(col("cluster_size"))
         .agg(count(lit(1)).as("n_clusters"),
           sum(col("cluster_size")).as("n_docs"))
+    }),
+    "q_dedup_bcubed" -> ((s, dir) => {
+      // Extrinsic dedup-cluster quality: B-cubed precision/recall
+      // (Bagga & Baldwin 1998) of the transitive LSH clusters against
+      // EXACT-duplicate ground truth (same text ⇒ same truth group) —
+      // per doc, precision = |pred∩truth|/|pred| and recall =
+      // |pred∩truth|/|truth|, averaged; F1 from the 6-dp emitted
+      // averages (the NMI rule). The metric a dedup-threshold change
+      // is judged by. Scale shape: one text-partitioned window for
+      // truth ids, the session component memo (+ singleton coalesce)
+      // for predictions, then three hash aggregates over thin
+      // (doc, pred, truth) rows; per-doc ratios are exact-integer
+      // divisions rounded to 9 dp and decimal-summed.
+      val wt = Window.partitionBy(col("text"))
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .withColumn("__t", min(col("doc_id")).over(wt))
+        .join(lshComponents(s, dir)
+          .select(col("id").as("doc_id"), col("component")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("__p"),
+          col("__t"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val cells = base.groupBy(col("__p"), col("__t"))
+        .agg(count(lit(1)).as("__ic"))
+      val ps = base.groupBy(col("__p")).agg(count(lit(1)).as("__ps"))
+      val ts2 = base.groupBy(col("__t")).agg(count(lit(1)).as("__ts"))
+      val perDoc = base
+        .join(broadcast(cells), Seq("__p", "__t"))
+        .join(broadcast(ps), Seq("__p"))
+        .join(broadcast(ts2), Seq("__t"))
+        .select(
+          round(col("__ic").cast(DoubleType) / col("__ps"), 9)
+            .cast(DecimalType(18, 9)).as("__pi"),
+          round(col("__ic").cast(DoubleType) / col("__ts"), 9)
+            .cast(DecimalType(18, 9)).as("__ri"))
+      val out = perDoc.agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("__pi")).cast(DoubleType) / count(lit(1)), 6)
+          .as("bcubed_precision"),
+        round(sum(col("__ri")).cast(DoubleType) / count(lit(1)), 6)
+          .as("bcubed_recall"))
+        .withColumn("f1",
+          when(col("bcubed_precision") + col("bcubed_recall") > 0,
+            round(lit(2.0) * col("bcubed_precision") *
+              col("bcubed_recall") /
+              (col("bcubed_precision") + col("bcubed_recall")), 6))
+            .otherwise(lit(0.0)))
+        .localCheckpoint(true)
+      base.unpersist(false)
+      out
     }),
     "q_dedup_apply_best" -> ((s, dir) => {
       // Quality-aware canonical pick: within each transitive near-dup
@@ -4574,6 +4764,52 @@ object Queries {
         | SELECT DISTINCT event_type, user_id FROM events
         |  WHERE ts >= TIMESTAMP '2024-01-16' AND value >= 95)
         |GROUP BY 1""".stripMargin,
+    // densification replica: generate_series spine + IGNORE NULLS fill
+    "q_gap_fill" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |    AS rev
+        | FROM events WHERE value >= 99 GROUP BY 1, 2),
+        |mm AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+        |ty AS (SELECT DISTINCT event_type FROM daily),
+        |spine AS (SELECT event_type,
+        |  CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+        | FROM ty, mm),
+        |f AS (SELECT spine.event_type, spine.d, daily.n, daily.rev
+        | FROM spine LEFT JOIN daily USING (event_type, d))
+        |SELECT event_type, strftime(d, '%Y-%m-%d') AS d,
+        | coalesce(n, 0) AS n, rev,
+        | last_value(rev IGNORE NULLS) OVER (PARTITION BY event_type
+        |   ORDER BY d ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS rev_ffill,
+        | rev IS NULL AS is_gap
+        |FROM f""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT event_type, count(*) AS n_retained_users FROM (
+        | SELECT DISTINCT event_type, user_id FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-16' AND value >= 95
+        | INTERSECT
+        | SELECT DISTINCT event_type, user_id FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-16' AND value >= 95)
+        |GROUP BY 1""".stripMargin,
+    // null-safe join replica: IS NOT DISTINCT FROM is DuckDB's <=>
+    "q_join_nullsafe" ->
+      """WITH o AS (SELECT
+        |  CASE WHEN o_orderstatus = 'P' THEN NULL
+        |   ELSE strftime(o_orderdate, '%Y-%m-%d') END AS k,
+        |  o_totalprice FROM orders),
+        |l AS (SELECT k, count(*) AS n_l FROM o GROUP BY 1),
+        |r AS (SELECT k AS k2, count(*) AS n_r FROM o
+        | WHERE o_totalprice >= 100000 GROUP BY 1),
+        |j AS (SELECT l.k, l.n_l, r.n_r
+        | FROM l LEFT JOIN r ON l.k IS NOT DISTINCT FROM r.k2)
+        |SELECT k IS NULL AS k_is_null, count(*) AS n_groups,
+        | CAST(sum(n_l) AS BIGINT) AS rows_l,
+        | CAST(sum(n_r) AS BIGINT) AS rows_r
+        |FROM j GROUP BY 1""".stripMargin,
     "q_join_semi_anti" ->
       """SELECT c_mktsegment, count(*) AS n,
         | round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4)))
@@ -4773,11 +5009,13 @@ object Queries {
     "q_graph_communities" -> graphCommunitiesOracle,
     "q_graph_modularity" -> graphModularityOracle,
     "q_graph_linkpred" -> graphLinkpredOracle,
+    "q_graph_jaccard" -> graphJaccardOracle,
     "q_pipeline_semantic" -> pipelineSemanticOracle,
     "q_select_kcenter" -> selectKcenterOracle,
     "q_sim_mmr" -> simMmrOracle,
     "q_cluster_balance" -> clusterBalanceOracle,
     "q_cluster_purity" -> clusterPurityOracle,
+    "q_cluster_vmeasure" -> clusterVmeasureOracle,
     "q_dedup_semantic" -> dedupSemanticOracle,
     "q_stream_enrich" ->
       """WITH dim AS (
@@ -4983,6 +5221,14 @@ object Queries {
         | round(CAST(sum(CAST(purchase_value AS DECIMAL(18,4)))
         |   AS DOUBLE), 4) AS purchase_sum
         |FROM j GROUP BY 1""".stripMargin,
+    // streaming leaderboard drain = the batch window top-k
+    "q_stream_topk" ->
+      """SELECT event_type, CAST(rn AS INTEGER) AS rank, value,
+        | event_id FROM (
+        | SELECT event_type, value, event_id,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value DESC, event_id ASC) AS rn
+        | FROM events) WHERE rn <= 3""".stripMargin,
     // streaming drain of the tolerance as-of = the identical batch
     // join (per-row pure function of the static side)
     "q_stream_asof" ->
@@ -5848,6 +6094,7 @@ object Queries {
     "q_dedup_minhash_pairs" -> minhashPairsOracle,
     "q_dedup_minhash_audit" -> minhashAuditOracle,
     "q_dedup_components" -> dedupComponentsOracle,
+    "q_dedup_bcubed" -> dedupBcubedOracle,
     "q_dedup_apply_best" -> dedupApplyBestOracle,
     "q_dedup_cluster_census" -> dedupClusterCensusOracle,
     "q_dedup_apply_cc" -> dedupApplyCcOracle,
@@ -7505,6 +7752,49 @@ object Queries {
        | CAST(sum(id) AS BIGINT) AS id_sum, max(id) AS max_id
        |FROM cc GROUP BY component""".stripMargin
 
+  /** q_dedup_bcubed replica: the recursive component closure +
+    * singleton coalesce for predictions, a text-window min for truth,
+    * the same exact-integer per-doc ratios (9 dp, decimal-summed),
+    * F1 from the 6-dp emitted averages. */
+  private def dedupBcubedOracle: String =
+    s"""${minhashPairsCte(0.8)},
+       |p AS (SELECT a, b FROM j WHERE jac >= 0.8),
+       |pe AS (SELECT a AS src, b AS dst FROM p
+       |       UNION SELECT b, a FROM p),
+       |cc AS (
+       | SELECT n AS id, min(m) AS component FROM (
+       |  WITH RECURSIVE r(n, m) AS (
+       |    SELECT src, src FROM pe
+       |    UNION
+       |    SELECT pe.src, r.m FROM pe JOIN r ON pe.dst = r.n
+       |  ) SELECT n, m FROM r
+       | ) GROUP BY n),
+       |base AS (SELECT d.doc_id,
+       |  coalesce(cc.component, d.doc_id) AS p,
+       |  min(d.doc_id) OVER (PARTITION BY d.text) AS t
+       | FROM documents d LEFT JOIN cc ON d.doc_id = cc.id),
+       |cells AS (SELECT p, t, count(*) AS ic FROM base GROUP BY 1, 2),
+       |psz AS (SELECT p, count(*) AS ps FROM base GROUP BY 1),
+       |tsz AS (SELECT t, count(*) AS ts FROM base GROUP BY 1),
+       |per AS (SELECT
+       |  CAST(round(CAST(ic AS DOUBLE) / ps, 9) AS DECIMAL(18,9))
+       |    AS pi,
+       |  CAST(round(CAST(ic AS DOUBLE) / ts, 9) AS DECIMAL(18,9))
+       |    AS ri
+       | FROM base JOIN cells USING (p, t) JOIN psz USING (p)
+       |  JOIN tsz USING (t)),
+       |agg AS (SELECT count(*) AS n_docs,
+       |  round(CAST(sum(pi) AS DOUBLE) / count(*), 6)
+       |    AS bcubed_precision,
+       |  round(CAST(sum(ri) AS DOUBLE) / count(*), 6) AS bcubed_recall
+       | FROM per)
+       |SELECT n_docs, bcubed_precision, bcubed_recall,
+       | CASE WHEN bcubed_precision + bcubed_recall > 0
+       |  THEN round(2.0 * bcubed_precision * bcubed_recall /
+       |    (bcubed_precision + bcubed_recall), 6)
+       |  ELSE 0.0 END AS f1
+       |FROM agg""".stripMargin
+
   private def minhashPairsOracle: String =
     s"""${minhashPairsCte(0.8)}
        |SELECT a, b, round(jac, 6) AS jaccard FROM j
@@ -7975,6 +8265,44 @@ object Queries {
        |     AS rn
        |  FROM c0 CROSS JOIN cent) WHERE rn = 1)""".stripMargin
 
+  /** q_cluster_vmeasure replica: the kmeans assignment chain + the
+    * mutualInformation entropy arithmetic over (label, cid), then
+    * homogeneity/completeness/V from the 6-dp emitted values. */
+  private def clusterVmeasureOracle: String =
+    s"""WITH ${kmeansAssignCte(8)},
+       |lb AS (SELECT e.label, ca.cid
+       | FROM ca JOIN embeddings e ON ca.id = e.vec_id),
+       |ab AS (SELECT label, cid, count(*) AS cab FROM lb GROUP BY 1, 2),
+       |nr AS (SELECT CAST(sum(cab) AS BIGINT) AS n FROM ab),
+       |ma AS (SELECT label, CAST(sum(cab) AS BIGINT) AS ca2
+       |  FROM ab GROUP BY 1),
+       |mb AS (SELECT cid, CAST(sum(cab) AS BIGINT) AS cb
+       |  FROM ab GROUP BY 1),
+       |ha AS (SELECT round(CAST(sum(CAST(round(
+       |    -(CAST(ca2 AS DOUBLE) / n) * ln(CAST(ca2 AS DOUBLE) / n), 9)
+       |  AS DECIMAL(18,9))) AS DOUBLE), 6) AS h_label FROM ma, nr),
+       |hb AS (SELECT round(CAST(sum(CAST(round(
+       |    -(CAST(cb AS DOUBLE) / n) * ln(CAST(cb AS DOUBLE) / n), 9)
+       |  AS DECIMAL(18,9))) AS DOUBLE), 6) AS h_cluster FROM mb, nr),
+       |mi AS (SELECT round(CAST(sum(CAST(round(
+       |    (CAST(cab AS DOUBLE) / n) *
+       |    ln(CAST(cab AS DOUBLE) * n /
+       |       (CAST(ca2 AS DOUBLE) * cb)), 9)
+       |  AS DECIMAL(18,9))) AS DOUBLE), 6) AS mi
+       |  FROM ab JOIN ma USING (label) JOIN mb USING (cid), nr),
+       |sc AS (SELECT n, h_label, h_cluster, mi,
+       |  CASE WHEN h_label > 0 THEN round(mi / h_label, 6)
+       |   ELSE 1.0 END AS homogeneity,
+       |  CASE WHEN h_cluster > 0 THEN round(mi / h_cluster, 6)
+       |   ELSE 1.0 END AS completeness
+       | FROM nr, ha, hb, mi)
+       |SELECT n, h_label, h_cluster, mi, homogeneity, completeness,
+       | CASE WHEN homogeneity + completeness > 0
+       |  THEN round(2.0 * homogeneity * completeness /
+       |    (homogeneity + completeness), 6)
+       |  ELSE 0.0 END AS v_measure
+       |FROM sc""".stripMargin
+
   /** q_text_encode replica: same vocab ranking (count desc, token
     * asc, row_number ids), LEFT-join encoding with unk = vocab size,
     * 1-based positional checksum — integer arithmetic end to end. */
@@ -8234,6 +8562,25 @@ object Queries {
   /** q_graph_linkpred replica: wedge enumeration around each center,
     * per-wedge round(1/ln(deg), 6) summed as DECIMAL, non-adjacent
     * filter, top-20 by (aa desc, a, b). */
+  /** q_graph_jaccard replica: the linkpred wedge chain with the
+    * Jaccard normalization cn/(da + db − cn) instead of AA. */
+  private def graphJaccardOracle: String =
+    s"""WITH $knnEdgesCte,
+       |bi AS (SELECT a AS z, b AS n FROM e
+       |       UNION ALL SELECT b AS z, a AS n FROM e),
+       |deg AS (SELECT z, count(*) AS dz FROM bi GROUP BY 1),
+       |w AS (SELECT x.z, x.n AS u, y.n AS v FROM bi x
+       |      JOIN bi y ON x.z = y.z AND x.n < y.n),
+       |sc AS (SELECT u AS a, v AS b, count(*) AS n_common
+       | FROM w GROUP BY 1, 2),
+       |na AS (SELECT sc.a, sc.b, sc.n_common FROM sc
+       |  LEFT JOIN e ON sc.a = e.a AND sc.b = e.b WHERE e.a IS NULL)
+       |SELECT na.a, na.b, n_common,
+       | round(CAST(n_common AS DOUBLE) /
+       |   (da.dz + db.dz - n_common), 6) AS jaccard
+       |FROM na JOIN deg da ON na.a = da.z JOIN deg db ON na.b = db.z
+       |ORDER BY jaccard DESC, na.a ASC, na.b ASC LIMIT 20""".stripMargin
+
   private def graphLinkpredOracle: String =
     s"""WITH $knnEdgesCte,
        |bi AS (SELECT a AS z, b AS n FROM e

@@ -146,6 +146,47 @@ object Streams {
       }
   }
 
+  final case class TopKState(updates: Long, top: Seq[(Double, Long)])
+  final case class TopKOut(
+      g: String, updates: Long, rank: Int, value: Double, event_id: Long)
+
+  /** Streaming per-key top-k by (value DESC, event_id ASC), carried
+    * across micro-batches as bounded keyed state (k entries per key —
+    * O(k) state regardless of stream length, the mergeable-sketch
+    * discipline applied to a leaderboard). Each batch merges its
+    * candidates into the carried list and RE-emits the key's current
+    * top-k tagged with a monotone `updates` counter; consumers keep
+    * the rows with the max counter per key (the sessionCountsState
+    * latest-wins drain pattern). The merge is a pure function of the
+    * candidate MULTISET — batch order and in-batch order cannot
+    * change it — so the drained leaderboard must equal the batch
+    * window top-k, whatever the file-to-batch split. */
+  def topKPerKeyState(
+      events: DataFrame,
+      k: Int = 3)(implicit spark: SparkSession): Dataset[TopKOut] = {
+    import spark.implicits._
+    require(k >= 1 && k <= 100, s"k out of range: $k")
+    events
+      .select(col("event_type").as[String],
+        struct(col("value"), col("event_id")).as("e"))
+      .as[(String, (Double, Long))]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (g: String, rows: Iterator[(String, (Double, Long))],
+         state: GroupState[TopKState]) =>
+          val prev = state.getOption.getOrElse(TopKState(0L, Seq.empty))
+          val merged = (prev.top ++ rows.map(_._2))
+            .sortBy { case (v, id) => (-v, id) }
+            .take(k)
+          val next = TopKState(prev.updates + 1, merged)
+          state.update(next)
+          merged.iterator.zipWithIndex.map { case ((v, id), i) =>
+            TopKOut(g, next.updates, i + 1, v, id)
+          }
+      }
+  }
+
   final case class SessionOut(user_id: Long, session_start_us: Long, n: Long)
 
   /** The open trailing session carried across micro-batches. */
