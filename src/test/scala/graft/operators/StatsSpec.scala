@@ -719,6 +719,45 @@ class StatsSpec extends SparkSpecBase {
     }
   }
 
+  test("siegelTrend property: equals the plain-Scala repeated-median " +
+      "model on random series (explicit seeds)") {
+    import spark.implicits._
+    val gen = for {
+      p <- Gen.choose(3, 12)
+      ys <- Gen.listOfN(p, Gen.choose(-50.0, 50.0))
+    } yield ys
+    def med(v: Seq[Double]): Double = {
+      val s = v.sorted
+      val n = s.size
+      (s((n + 1) / 2 - 1) + s((n + 2) / 2 - 1)) / 2.0
+    }
+    def model(ys: Seq[Double]): (Double, Double) = {
+      val p = ys.size
+      // inner medians tie-break on j; equal slopes are interchangeable
+      // under the two-middle average, so a plain sort suffices here
+      val inner = (1 to p).map { i =>
+        med((1 to p).filter(_ != i).map(j =>
+          (ys(j - 1) - ys(i - 1)) / (j - i).toDouble))
+      }
+      // outer median ties break on i: sort by (m, i) = stable sort
+      val slope = BigDecimal(med(inner.sorted))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val intercept = BigDecimal(
+        med((1 to p).map(i => ys(i - 1) - slope * i)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (slope, intercept)
+    }
+    for (seed <- 1L to 5L) {
+      val ys = sample(gen, seed)
+      val df = ys.zipWithIndex
+        .map { case (v, i) => (f"d${i + 1}%02d", v) }.toDF("d", "v")
+      val r = Stats.siegelTrend(df, "d", "v").collect()(0)
+      val (ms, mi) = model(ys)
+      assert((r.getAs[Double]("slope"), r.getAs[Double]("intercept")) ==
+        ((ms, mi)), s"seed=$seed ys=$ys")
+    }
+  }
+
   test("corrMatrix: rows with a NULL in any input column are dropped " +
       "entirely — n and the moments agree (ADVICE r8)") {
     import spark.implicits._

@@ -312,6 +312,47 @@ class TextAnalysisSpec extends SparkSpecBase {
       (30L, 1L, r62.toDouble, 3L)))
   }
 
+  test("gopherRules property: Column verdicts equal the plain-Scala " +
+      "integer model on random token soups (explicit seeds)") {
+    import spark.implicits._
+    val words = Seq("the", "a", "of", "and", "to", "in", "is", "cat",
+      "table", "12345", "pneumonoultramicroscopic", "x", "##", "b2")
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 60).map { i =>
+      val n = rnd.nextInt(25)
+      (i.toLong, Seq.fill(n)(words(rnd.nextInt(words.size)))
+        .mkString(" "))
+    }
+    def model(text: String): (Boolean, Boolean, Boolean, Boolean) = {
+      val tk = text.split("\\s+").filter(_.nonEmpty)
+      val n = tk.length.toLong
+      val tot = tk.map(_.length.toLong).sum
+      val alpha = tk.count(_.exists(c =>
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))).toLong
+      val stop = tk.count(t => Set("the", "a", "of", "and", "to",
+        "in", "is").contains(t.toLowerCase)).toLong
+      (n >= 10 && n <= 1000,
+        n > 0 && 3 * n <= tot && tot <= 10 * n,
+        n > 0 && 5 * alpha >= 4 * n,
+        stop >= 2)
+    }
+    val got = docs.toDF("id", "text")
+      .withColumn("tk", TextAnalysis.tokens(col("text")))
+      .select(col("id"), col("text"),
+        TextAnalysis.gopherRules(col("tk")).as("r"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getStruct(2).getBoolean(0),
+        r.getStruct(2).getBoolean(1), r.getStruct(2).getBoolean(2),
+        r.getStruct(2).getBoolean(3), r.getStruct(2).getBoolean(4)),
+        r.getString(1))).toMap
+    docs.foreach { case (id, text) =>
+      val m = model(text)
+      val ((g1, g2, g3, g4, pass), _) = got(id)
+      assert((g1, g2, g3, g4) == m, s"doc $id: '$text'")
+      assert(pass == (m._1 && m._2 && m._3 && m._4))
+    }
+  }
+
   test("gopherRules: each rule fails on its own crafted doc and " +
       "passes on a healthy one") {
     import spark.implicits._
