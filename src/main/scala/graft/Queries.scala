@@ -1597,6 +1597,64 @@ object Queries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_churned_users"))
     }),
+    "q_events_rfm" -> ((s, dir) => {
+      // RFM segmentation: per-user Recency / Frequency / Monetary
+      // quartile scores, rolled up to segment counts — the classic
+      // behavioral stratification. Each quartile assignment runs
+      // through globalRankByValue's two-phase distributed rank
+      // (⌊(rank−1)·4/n⌋ + 1 — integer-exact, NOT a single-partition
+      // ntile window: users scale with the corpus), descending
+      // dimensions rank their negation. Monetary sums are dsum-exact;
+      // ties break on user_id everywhere.
+      val p = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+      val mx = p.agg(max(to_date(col("ts"))).as("__mxd"))
+      val per = p.groupBy(col("user_id"))
+        .agg(max(to_date(col("ts"))).as("__last"),
+          count(lit(1)).as("__f"), dsum(col("value")).as("__m"))
+        .crossJoin(broadcast(mx))
+        .select(col("user_id"),
+          datediff(col("__mxd"), col("__last")).cast(LongType)
+            .as("__rec"),
+          col("__f"), col("__m"))
+      def score(df: DataFrame, v: Column, out: String): DataFrame = {
+        val (rk, n) = Stats.globalRankByValue(
+          df.withColumn("__sv", v), "__sv", "user_id")
+        rk.withColumn(out,
+          expr(s"CAST((__rank - 1) * 4 div $n + 1 AS INT)"))
+          .drop("__sv", "__rank")
+      }
+      val scored = score(score(score(per,
+        col("__rec"), "r_score"),
+        -col("__f"), "f_score"),
+        -col("__m"), "m_score")
+      scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_users"),
+          dsum(col("__m")).as("monetary_sum"))
+    }),
+    "q_weighted_median" -> ((s, dir) => {
+      // WEIGHTED median per group: the smallest value whose
+      // weight-below-or-at reaches half the group total — the
+      // budget-aware robust center (a plain median treats a 1-token
+      // and a 10k-token doc alike; the weighted one centers the
+      // MASS). One group-partitioned RANGE window (peers included, so
+      // tie order can't move the crossing) + one aggregate; weights
+      // are exact scaled integers, the median value is a raw double
+      // from the data — no rounding anywhere.
+      val b = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"),
+          col("l_extendedprice").as("v"),
+          floor(col("l_quantity") * 100).cast(LongType).as("w"))
+      val wr = Window.partitionBy(col("flag")).orderBy(col("v").asc)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wp = Window.partitionBy(col("flag"))
+      b.withColumn("__cw", sum(col("w")).over(wr))
+        .withColumn("__tw", sum(col("w")).over(wp))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"), max(col("__tw")).as("total_weight"),
+          min(when(col("__cw") * 2 >= col("__tw"), col("v")))
+            .as("wmedian"))
+    }),
     "q_gap_fill" -> ((s, dir) => {
       // Calendar densification + forward fill: the sparse per-type
       // daily series (rare high-value events ⇒ real gaps) joined onto
@@ -4764,6 +4822,45 @@ object Queries {
         | SELECT DISTINCT event_type, user_id FROM events
         |  WHERE ts >= TIMESTAMP '2024-01-16' AND value >= 95)
         |GROUP BY 1""".stripMargin,
+    // RFM replica: the same ⌊(rank−1)·4/n⌋+1 quartiles over
+    // row_number ranks with identical tie orders
+    "q_events_rfm" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS d, value
+        | FROM events WHERE event_type = 'purchase'),
+        |mx AS (SELECT max(d) AS mxd FROM p),
+        |per AS (SELECT user_id,
+        |  date_diff('day', max(d), (SELECT mxd FROM mx)) AS r,
+        |  count(*) AS f,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |    AS m
+        | FROM p GROUP BY 1),
+        |rk AS (SELECT user_id, m,
+        |  row_number() OVER (ORDER BY r ASC, user_id ASC) AS rr,
+        |  row_number() OVER (ORDER BY f DESC, user_id ASC) AS rf,
+        |  row_number() OVER (ORDER BY m DESC, user_id ASC) AS rm,
+        |  count(*) OVER () AS n FROM per),
+        |sc AS (SELECT user_id, m,
+        |  CAST((rr - 1) * 4 // n + 1 AS INTEGER) AS r_score,
+        |  CAST((rf - 1) * 4 // n + 1 AS INTEGER) AS f_score,
+        |  CAST((rm - 1) * 4 // n + 1 AS INTEGER) AS m_score FROM rk)
+        |SELECT r_score, f_score, m_score, count(*) AS n_users,
+        | round(CAST(sum(CAST(m AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |   AS monetary_sum
+        |FROM sc GROUP BY 1, 2, 3""".stripMargin,
+    // weighted-median replica: the same RANGE cumulative weight
+    "q_weighted_median" ->
+      """WITH b AS (SELECT l_returnflag AS flag, l_extendedprice AS v,
+        |  CAST(floor(l_quantity * 100) AS BIGINT) AS w
+        | FROM lineitem),
+        |c AS (SELECT flag, v, w,
+        |  sum(w) OVER (PARTITION BY flag ORDER BY v ASC
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |  sum(w) OVER (PARTITION BY flag) AS tw
+        | FROM b)
+        |SELECT flag, count(*) AS n,
+        | CAST(max(tw) AS BIGINT) AS total_weight,
+        | min(CASE WHEN cw * 2 >= tw THEN v END) AS wmedian
+        |FROM c GROUP BY 1""".stripMargin,
     // densification replica: generate_series spine + IGNORE NULLS fill
     "q_gap_fill" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
