@@ -1597,6 +1597,68 @@ object Queries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_churned_users"))
     }),
+    "q_window_median" -> ((s, dir) => {
+      // Trailing 7-day MOVING MEDIAN of daily revenue — the robust
+      // smoother next to q_window_trailing's moving sum (one spike
+      // day drags a mean; the median shrugs). The series is a
+      // per-period aggregate, so the single-partition ordered window
+      // ranks periods, never data (the autocorr discipline); median
+      // inputs are 4-dp-exact doubles and the even-count interpolated
+      // midpoint (a+b)/2 is the same IEEE op in both engines.
+      val daily = Tables.orders(s, dir)
+        .groupBy(dateFmt(col("o_orderdate")).as("d"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      val w = Window.orderBy(col("d").asc).rowsBetween(-6, 0)
+      // percentile(0.5), not median(): Spark's median aggregate
+      // rejects explicit window frames; percentile is frame-capable
+      // and computes the identical interpolated midpoint
+      daily.select(col("d"), col("rev"),
+        expr("percentile(rev, 0.5)").over(w).as("med7"),
+        count(lit(1)).over(w).as("n_window"))
+    }),
+    "q_join_bloom" -> ((s, dir) => {
+      // RUNTIME Bloom-filter join pruning — the shuffle-join sibling
+      // of q_join_dpp's partition pruning: a selective dim filter
+      // injects a bloom_filter_agg on the build side and a
+      // BloomFilterMightContain probe INTO THE FACT SCAN side at
+      // optimization time, so most fact rows drop before the join
+      // exchange (at 100 TB this is the difference between shuffling
+      // the whole fact table and shuffling the ~matching sliver).
+      // Broadcast is disabled so the SMJ path (where the bloom
+      // matters) is what's proven; thresholds are lowered because the
+      // injection gates on scan-size estimates sized for production.
+      val conf = s.conf
+      val keys = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.autoBroadcastJoinThreshold")
+      val prev = keys.map(k => k -> conf.getOption(k))
+      try {
+        conf.set(keys(0), "true")
+        conf.set(keys(1), "0")
+        conf.set(keys(2), "100MB")
+        conf.set(keys(3), "-1")
+        val fact = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_extendedprice"),
+            col("l_quantity"))
+        val dim = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1998-07-01"))
+          .select(col("o_orderkey"), col("o_orderstatus"))
+        val j = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        val plan = j.queryExecution.optimizedPlan.toString
+        require(plan.contains("bloom_filter") ||
+          plan.contains("BloomFilterMightContain") ||
+          plan.toLowerCase.contains("mightcontain"),
+          s"runtime bloom filter must be injected:\n$plan")
+        j.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_orderkey")).as("key_sum"),
+            dsum(col("l_extendedprice")).as("price_sum"))
+      } finally prev.foreach { case (k, v) =>
+        v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+      }
+    }),
     "q_events_rfm" -> ((s, dir) => {
       // RFM segmentation: per-user Recency / Frequency / Monetary
       // quartile scores, rolled up to segment counts — the classic
@@ -4821,6 +4883,30 @@ object Queries {
         | EXCEPT
         | SELECT DISTINCT event_type, user_id FROM events
         |  WHERE ts >= TIMESTAMP '2024-01-16' AND value >= 95)
+        |GROUP BY 1""".stripMargin,
+    // moving-median replica: DuckDB median = quantile_cont(0.5), the
+    // same interpolated midpoint over the same ROWS frame
+    "q_window_median" ->
+      """WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    AS DOUBLE), 4) AS rev
+        | FROM orders GROUP BY 1)
+        |SELECT d, rev,
+        | median(rev) OVER (ORDER BY d ASC
+        |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7,
+        | count(*) OVER (ORDER BY d ASC
+        |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_window
+        |FROM daily""".stripMargin,
+    // bloom replica: the plain filtered join — the bloom only prunes,
+    // it never changes the result (gated by the query's require on
+    // the optimized plan)
+    "q_join_bloom" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |   AS DOUBLE), 4) AS price_sum
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1998-07-01'
         |GROUP BY 1""".stripMargin,
     // RFM replica: the same ⌊(rank−1)·4/n⌋+1 quartiles over
     // row_number ranks with identical tie orders
