@@ -919,6 +919,39 @@ object Queries {
       Stats.mannWhitney(Tables.orders(s, dir), "o_totalprice",
         "o_orderstatus", groupA = "F", groupB = "O")
     }),
+    "q_welch_ttest" -> ((s, dir) => {
+      // Parametric two-sample mean test: Welch's t (no equal-variance
+      // assumption — the Satterthwaite dof absorbs unequal spreads)
+      // plus Cohen's d, purchase vs view event values. The sibling of
+      // q_mann_whitney's rank test when the values themselves are
+      // trusted. ONE conditional-aggregate scan, six exact DECIMAL
+      // accumulators, 1-row closed-form math in oracle-literal order.
+      Stats.welchT(Tables.events(s, dir), "value", "event_type",
+        groupA = "purchase", groupB = "view")
+    }),
+    "q_anova" -> ((s, dir) => {
+      // One-way ANOVA across ALL five event types: F and η² — "do any
+      // variants differ in mean value?", the k-group step up from
+      // q_welch_ttest. One map-side-combined groupBy to |groups|
+      // triples; SSB/SSW terms round to 9 dp and fix as DECIMAL
+      // before the cross-group fold so group order cannot move a bit.
+      Stats.anovaF(Tables.events(s, dir), "value", "event_type")
+    }),
+    "q_label_kappa" -> ((s, dir) => {
+      // Chance-corrected agreement between two heuristic quality
+      // gates — Cohen's kappa of the length gate (n_chars ≥ 400) vs
+      // the word-count gate (≥ 70 whitespace tokens) over every doc.
+      // Raw agreement flatters gates that both pass ~everything;
+      // kappa subtracts the agreement chance alone would produce.
+      // One scan to the ≤ 2×2 cell frame; pe folds over the joined
+      // marginals (NOT diagonal cells — both raters can use a
+      // category they never agree on).
+      val docs = Tables.documents(s, dir)
+      Stats.cohenKappa(docs,
+        when(col("n_chars") >= 400, "pass").otherwise("fail"),
+        when(TextAnalysis.tokenCount(col("text")) >= 70, "pass")
+          .otherwise("fail"))
+    }),
     "q_cramers_v" -> ((s, dir) => {
       // Effect size for categorical association: χ² normalized to
       // [0,1] — at corpus scale raw χ² is "significant" for any
@@ -6605,6 +6638,119 @@ object Queries {
         |      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))
         |  ELSE NULL END, 6) AS z
         |FROM agg""".stripMargin,
+    // Welch replica: identical exact DECIMAL(18,4) accumulators and
+    // the same literal double op order (va, se², t, Satterthwaite
+    // dof, pooled-sd Cohen's d) before each 6-dp round
+    "q_welch_ttest" ->
+      """WITH v AS (SELECT event_type AS g,
+        |  CAST(value AS DECIMAL(18,4)) AS y
+        | FROM events
+        | WHERE event_type IN ('purchase','view') AND value IS NOT NULL),
+        |agg AS (SELECT
+        |  CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS na,
+        |  sum(CASE WHEN g = 'purchase' THEN y END) AS sa,
+        |  sum(CASE WHEN g = 'purchase' THEN y * y END) AS ssa,
+        |  CAST(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS nb,
+        |  sum(CASE WHEN g = 'view' THEN y END) AS sb,
+        |  sum(CASE WHEN g = 'view' THEN y * y END) AS ssb
+        | FROM v),
+        |m AS (SELECT na, nb,
+        |  CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+        |  CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+        |  (CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+        |    / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0) AS va,
+        |  (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+        |    / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0) AS vb
+        | FROM agg),
+        |e AS (SELECT na, nb, ma, mb, va, vb,
+        |  va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE) AS se2,
+        |  ((CAST(na AS DOUBLE) - 1.0) * va +
+        |   (CAST(nb AS DOUBLE) - 1.0) * vb) /
+        |  (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2.0) AS sp2
+        | FROM m)
+        |SELECT na AS n_a, nb AS n_b,
+        | CASE WHEN na > 0 THEN round(ma, 6) END AS mean_a,
+        | CASE WHEN nb > 0 THEN round(mb, 6) END AS mean_b,
+        | CASE WHEN na > 1 AND nb > 1 AND se2 > 0
+        |   THEN round((ma - mb) / sqrt(se2), 6) END AS t,
+        | CASE WHEN na > 1 AND nb > 1 AND se2 > 0
+        |   THEN round(se2 * se2 /
+        |     (va / CAST(na AS DOUBLE) * (va / CAST(na AS DOUBLE)) /
+        |        (CAST(na AS DOUBLE) - 1.0) +
+        |      vb / CAST(nb AS DOUBLE) * (vb / CAST(nb AS DOUBLE)) /
+        |        (CAST(nb AS DOUBLE) - 1.0)), 6) END AS dof,
+        | CASE WHEN na > 1 AND nb > 1 AND se2 > 0 AND sp2 > 0
+        |   THEN round((ma - mb) / sqrt(sp2), 6) END AS cohen_d
+        |FROM e""".stripMargin,
+    // ANOVA replica: per-group exact triples, the same 9-dp
+    // round-then-DECIMAL(28,9) term fold, same F/η² closed form
+    "q_anova" ->
+      """WITH v AS (SELECT event_type AS g,
+        |  CAST(value AS DECIMAL(18,4)) AS y
+        | FROM events
+        | WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |pg AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |  sum(y) AS s, sum(y * y) AS ss FROM v GROUP BY g),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(n) AS BIGINT) AS nt, sum(s) AS st FROM pg),
+        |terms AS (SELECT k, nt,
+        |  CAST(round(CAST(n AS DOUBLE) *
+        |    (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) -
+        |     CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)) *
+        |    (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) -
+        |     CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)), 9)
+        |   AS DECIMAL(28,9)) AS tb,
+        |  CAST(round(CAST(ss AS DOUBLE) -
+        |    CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE),
+        |    9) AS DECIMAL(28,9)) AS tw
+        | FROM pg, tot),
+        |f AS (SELECT min(k) AS k, min(nt) AS n,
+        |  sum(tb) AS ssb, sum(tw) AS ssw FROM terms)
+        |SELECT k, n,
+        | round(CAST(ssb AS DOUBLE), 6) AS ss_between,
+        | round(CAST(ssw AS DOUBLE), 6) AS ss_within,
+        | k - 1 AS df1, n - k AS df2,
+        | CASE WHEN k - 1 > 0 AND n - k > 0 AND CAST(ssw AS DOUBLE) > 0
+        |   THEN round((CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE)) /
+        |     (CAST(ssw AS DOUBLE) / CAST(n - k AS DOUBLE)), 6)
+        |  END AS f,
+        | CASE WHEN k - 1 > 0 AND n - k > 0 AND CAST(ssw AS DOUBLE) > 0
+        |   THEN round(CAST(ssb AS DOUBLE) /
+        |     (CAST(ssb AS DOUBLE) + CAST(ssw AS DOUBLE)), 6)
+        |  END AS eta_sq
+        |FROM f""".stripMargin,
+    // kappa replica: same gates, exact integer cells, pe over the
+    // JOINED marginals with the 12-dp round-then-DECIMAL fold
+    "q_label_kappa" ->
+      """WITH r AS (SELECT
+        |  CASE WHEN n_chars >= 400 THEN 'pass' ELSE 'fail' END AS a,
+        |  CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> len(x) > 0)) >= 70 THEN 'pass' ELSE 'fail' END AS b
+        | FROM documents),
+        |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+        | FROM r GROUP BY a, b),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS ag
+        | FROM cells),
+        |ra AS (SELECT a AS cat, CAST(sum(c) AS BIGINT) AS ra
+        | FROM cells GROUP BY a),
+        |cb AS (SELECT b AS cat, CAST(sum(c) AS BIGINT) AS cb
+        | FROM cells GROUP BY b),
+        |pe AS (SELECT min(tot.n) AS n, min(tot.ag) AS ag,
+        |  sum(CAST(round(CAST(ra.ra AS DOUBLE) / CAST(tot.n AS DOUBLE) *
+        |    (CAST(cb.cb AS DOUBLE) / CAST(tot.n AS DOUBLE)), 12)
+        |   AS DECIMAL(28,12))) AS pe
+        | FROM ra JOIN cb USING (cat), tot)
+        |SELECT n,
+        | round(CAST(ag AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_observed,
+        | round(CAST(pe AS DOUBLE), 6) AS p_expected,
+        | CASE WHEN CAST(pe AS DOUBLE) < 1.0
+        |   THEN round((CAST(ag AS DOUBLE) / CAST(n AS DOUBLE) -
+        |     CAST(pe AS DOUBLE)) / (1.0 - CAST(pe AS DOUBLE)), 6)
+        |  END AS kappa
+        |FROM pe""".stripMargin,
     // Cramér's V replica: the q_chi_square contingency arithmetic on
     // (status, priority), plus V from the 6-dp-rounded χ².
     "q_cramers_v" ->

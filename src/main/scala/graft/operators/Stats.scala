@@ -1209,6 +1209,212 @@ object Stats {
           .otherwise(lit(null).cast(DoubleType)), 6).as("z"))
   }
 
+  /** Welch's unequal-variance t-test between two groups, plus Cohen's
+    * d effect size — the parametric sibling of [[mannWhitney]] (which
+    * compares ranks; Welch compares means when the values themselves
+    * are trusted). No pooled-variance assumption: the
+    * Welch–Satterthwaite degrees of freedom absorb unequal spreads,
+    * which is the realistic case for A/B metrics at corpus scale.
+    *
+    * Scale shape: ONE conditional-aggregate pass over the filtered
+    * rows — six accumulators (n/Σy/Σy² per group), map-side combined,
+    * 1-row result. No join, no second scan.
+    *
+    * Determinism: values fix as DECIMAL(18,4) so Σy and Σy² are exact
+    * (order-free); every double step after runs on the 1-row frame in
+    * the same literal order as the DuckDB oracle, then rounds to 6 dp.
+    *
+    * Returns one row: (n_a, n_b, mean_a, mean_b, t, dof, cohen_d);
+    * t/dof/cohen_d are NULL when either group has < 2 rows or the
+    * standard error is zero. */
+  def welchT(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val v = df
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull)
+      .select(col(groupCol).cast(StringType).as("__g"),
+        col(valueCol).cast(dec).as("__y"))
+    def side(g: String, tag: String) = Seq(
+      sum(when(col("__g") === g, 1L).otherwise(0L)).as(s"__n$tag"),
+      sum(when(col("__g") === g, col("__y"))).as(s"__s$tag"),
+      sum(when(col("__g") === g, col("__y") * col("__y")))
+        .as(s"__ss$tag"))
+    val aggs = side(groupA, "a") ++ side(groupB, "b")
+    val one = v.agg(aggs.head, aggs.tail: _*)
+    def nD(t: String) = col(s"__n$t").cast(DoubleType)
+    def sD(t: String) = col(s"__s$t").cast(DoubleType)
+    def ssD(t: String) = col(s"__ss$t").cast(DoubleType)
+    // every division must be TOTAL: ANSI mode turns x/0 into an error,
+    // and codegen's subexpression elimination hoists these shared
+    // terms OUT of the when() guards below, so "the branch is gated"
+    // does not protect the division. safe() is the identity whenever
+    // the guard would pass (denominator ≠ 0), so oracle parity holds;
+    // in the degenerate cases the garbage value is NULL-gated anyway.
+    def safe(c: Column) = when(c =!= 0.0, c).otherwise(lit(1.0))
+    def meanOf(t: String) = sD(t) / safe(nD(t))
+    // sample variance, literal op order mirrored in the oracle SQL
+    def varOf(t: String) =
+      (ssD(t) - sD(t) * sD(t) / safe(nD(t))) / safe(nD(t) - lit(1.0))
+    val se2 = varOf("a") / safe(nD("a")) + varOf("b") / safe(nD("b"))
+    val ok = col("__na") > 1 && col("__nb") > 1 && se2 > 0
+    val t = (meanOf("a") - meanOf("b")) / safe(sqrt(se2))
+    val dof = se2 * se2 / safe(
+      varOf("a") / safe(nD("a")) * (varOf("a") / safe(nD("a"))) /
+        safe(nD("a") - 1.0) +
+        varOf("b") / safe(nD("b")) * (varOf("b") / safe(nD("b"))) /
+          safe(nD("b") - 1.0))
+    val sp2 = ((nD("a") - 1.0) * varOf("a") + (nD("b") - 1.0) * varOf("b")) /
+      safe(nD("a") + nD("b") - 2.0)
+    val cohenD = (meanOf("a") - meanOf("b")) / safe(sqrt(sp2))
+    def gate(c: Column) =
+      when(ok, round(c, 6)).otherwise(lit(null).cast(DoubleType))
+    one.select(
+      col("__na").as("n_a"), col("__nb").as("n_b"),
+      when(col("__na") > 0, round(meanOf("a"), 6)).as("mean_a"),
+      when(col("__nb") > 0, round(meanOf("b"), 6)).as("mean_b"),
+      gate(t).as("t"), gate(dof).as("dof"),
+      when(ok && sp2 > 0, round(cohenD, 6))
+        .otherwise(lit(null).cast(DoubleType)).as("cohen_d"))
+  }
+
+  /** One-way ANOVA: the F statistic and η² effect size for a numeric
+    * value across k ≥ 2 groups — "do ANY of these sources/variants
+    * differ in mean?", the multi-group step up from [[welchT]] (and
+    * the parametric sibling of the k-group Kruskal–Wallis family).
+    *
+    * Scale shape: one map-side-combined groupBy(group) producing
+    * (n, Σy, Σy²) triples — the corpus is scanned ONCE and the rest
+    * runs on the ≤ |groups| frame: a 1-row global agg broadcast back
+    * via the control-plane crossJoin, then per-group SSB/SSW terms.
+    *
+    * Determinism: Σy/Σy² fix as DECIMAL (exact, order-free); each
+    * group's between/within term computes in double in literal oracle
+    * order, rounds to 9 dp and fixes as DECIMAL(28,9) before the
+    * cross-group sum (the [[entropyByGroup]] fold discipline), so
+    * group order cannot move a bit.
+    *
+    * Returns one row: (k, n, ss_between, ss_within, df1, df2, f,
+    * eta_sq); f/eta_sq NULL when df2 = 0 or SSW = 0. */
+  def anovaF(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String): DataFrame = {
+    val dec = DecimalType(18, 4)
+    // the per-group triple frame feeds both the global totals and the
+    // term fold — persist it or the corpus groupBy re-runs once per
+    // consumer (the multi-consumer rule); the frame is ≤ |groups| rows
+    val perGroup = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast(StringType).as("__g"),
+        col(valueCol).cast(dec).as("__y"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__s"),
+        sum(col("__y") * col("__y")).as("__ss"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = perGroup.agg(
+      count(lit(1)).as("__k"), sum(col("__n")).as("__nt"),
+      sum(col("__s")).as("__st"))
+    val nD = col("__n").cast(DoubleType)
+    val sD = col("__s").cast(DoubleType)
+    val grand = col("__st").cast(DoubleType) / col("__nt").cast(DoubleType)
+    val termB = nD * (sD / nD - grand) * (sD / nD - grand)
+    val termW = col("__ss").cast(DoubleType) - sD * sD / nD
+    val fold = DecimalType(28, 9)
+    val folded = perGroup
+      .crossJoin(broadcast(tot)) // 1-row control plane
+      .agg(min(col("__k")).as("k"), min(col("__nt")).as("n"),
+        sum(round(termB, 9).cast(fold)).as("__ssb"),
+        sum(round(termW, 9).cast(fold)).as("__ssw"))
+    val ssb = col("__ssb").cast(DoubleType)
+    val ssw = col("__ssw").cast(DoubleType)
+    val df1 = col("k") - 1L
+    val df2 = col("n") - col("k")
+    val ok = df1 > 0 && df2 > 0 && ssw > 0
+    // total divisions (ANSI + subexpression hoisting — see welchT):
+    // safe() is the identity whenever ok holds, garbage is NULL-gated
+    def safe(c: Column) = when(c =!= 0.0, c).otherwise(lit(1.0))
+    val out = folded.select(col("k"), col("n"),
+      round(ssb, 6).as("ss_between"), round(ssw, 6).as("ss_within"),
+      df1.as("df1"), df2.as("df2"),
+      when(ok, round((ssb / safe(df1.cast(DoubleType))) /
+        safe(ssw / safe(df2.cast(DoubleType))), 6))
+        .otherwise(lit(null).cast(DoubleType)).as("f"),
+      when(ok, round(ssb / safe(ssb + ssw), 6))
+        .otherwise(lit(null).cast(DoubleType)).as("eta_sq"))
+      .localCheckpoint(true)
+    perGroup.unpersist(false)
+    out
+  }
+
+  /** Cohen's kappa: chance-corrected agreement between two categorical
+    * "raters" over the same rows — the standard gauge for whether two
+    * heuristic quality gates actually measure the same thing (raw
+    * agreement flatters gates that both say "pass" 95% of the time;
+    * kappa subtracts the agreement chance would produce).
+    *
+    * Scale shape: one map-side-combined groupBy over the (a, b) cells
+    * — the corpus scans once and everything after runs on the
+    * ≤ |A|·|B| cell frame (windows over cells, not data).
+    *
+    * Determinism: po and pe derive from exact integer cell counts;
+    * pe's cross-category fold rounds each rowShare·colShare term to
+    * 12 dp and fixes as DECIMAL before summing.
+    *
+    * Returns one row: (n, p_observed, p_expected, kappa); kappa NULL
+    * when pe = 1 (degenerate single-cell case). */
+  def cohenKappa(
+      df: DataFrame,
+      aCol: Column,
+      bCol: Column): DataFrame = {
+    // the cell frame feeds both marginals plus the n/agree totals —
+    // persist it or the corpus groupBy re-runs once per consumer (the
+    // multi-consumer rule); the frame is ≤ |A|·|B| rows
+    val cells = df
+      .select(aCol.cast(StringType).as("__a"),
+        bCol.cast(StringType).as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = cells.agg(sum(col("__c")).as("__n"),
+      sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L))
+        .as("__agree"))
+    // pe = Σ_c P(A=c)·P(B=c) over categories BOTH raters use — an
+    // inner join of the marginals (a category one rater never emits
+    // contributes zero), NOT a diagonal-cells fold: two raters can
+    // both use category c yet never agree on it, leaving no (c, c)
+    // cell while pe's c-term is still positive
+    val ra = cells.groupBy(col("__a").as("__cat"))
+      .agg(sum(col("__c")).as("__ra"))
+    val cb = cells.groupBy(col("__b").as("__cat"))
+      .agg(sum(col("__c")).as("__cb"))
+    val dec = DecimalType(28, 12)
+    val nD = col("__n").cast(DoubleType)
+    val folded = ra.join(cb, Seq("__cat"))
+      .crossJoin(broadcast(tot)) // 1-row control plane
+      .agg(min(col("__n")).as("n"), min(col("__agree")).as("__ag"),
+        sum(round(col("__ra").cast(DoubleType) / nD *
+          (col("__cb").cast(DoubleType) / nD), 12).cast(dec))
+          .as("__pe"))
+    val po = col("__ag").cast(DoubleType) / col("n").cast(DoubleType)
+    val pe = col("__pe").cast(DoubleType)
+    // total division (ANSI + subexpression hoisting — see welchT):
+    // identity whenever pe < 1, garbage NULL-gated otherwise
+    def safe(c: Column) = when(c =!= 0.0, c).otherwise(lit(1.0))
+    val out = folded.select(col("n"),
+      round(po, 6).as("p_observed"), round(pe, 6).as("p_expected"),
+      when(pe < 1.0, round((po - pe) / safe(lit(1.0) - pe), 6))
+        .otherwise(lit(null).cast(DoubleType)).as("kappa"))
+      .localCheckpoint(true)
+    cells.unpersist(false)
+    out
+  }
+
   /** Trailing exponentially-weighted moving average of an
     * ALREADY-AGGREGATED series: for each period, the dot product of
     * the last `k` values with weights (1/2)^j (j = 0 at the current

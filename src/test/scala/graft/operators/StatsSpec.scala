@@ -771,4 +771,104 @@ class StatsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("n") == 4L, s"n must count complete cases: $r")
     assert(r.getAs[Double]("corr") == 1.0, s"exact line: $r")
   }
+
+  test("welchT property: equals the plain-Scala Welch model on random " +
+      "two-group samples (explicit seeds)") {
+    import spark.implicits._
+    val gen = for {
+      na <- Gen.choose(2, 20)
+      nb <- Gen.choose(2, 20)
+      as <- Gen.listOfN(na, Gen.choose(-100.0, 100.0))
+      bs <- Gen.listOfN(nb, Gen.choose(-100.0, 100.0))
+    } yield (as, bs)
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def q4(x: Double): Double = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (seed <- 1L to 5L) {
+      val (as, bs) = sample(gen, seed)
+      // the operator fixes values as DECIMAL(18,4): quantize the
+      // model's inputs the same way so the sums agree exactly
+      val aq = as.map(q4); val bq = bs.map(q4)
+      val df = (aq.map(("a", _)) ++ bq.map(("b", _))).toDF("g", "v")
+      val r = Stats.welchT(df, "v", "g", "a", "b").collect()(0)
+      def meanOf(v: Seq[Double]) = v.sum / v.size
+      def varOf(v: Seq[Double]) = {
+        val m = meanOf(v)
+        v.map(x => (x - m) * (x - m)).sum / (v.size - 1)
+      }
+      val (ma, mb) = (meanOf(aq), meanOf(bq))
+      val (va, vb) = (varOf(aq), varOf(bq))
+      val se2 = va / aq.size + vb / bq.size
+      val t = (ma - mb) / math.sqrt(se2)
+      val dof = se2 * se2 /
+        (va / aq.size * (va / aq.size) / (aq.size - 1) +
+          vb / bq.size * (vb / bq.size) / (bq.size - 1))
+      assert(r.getAs[Long]("n_a") == aq.size.toLong)
+      assert(r.getAs[Long]("n_b") == bq.size.toLong)
+      // the model's variance uses the numerically-stabler two-pass
+      // form, so compare at 4 dp rather than demanding bit equality
+      assert(math.abs(r.getAs[Double]("mean_a") - r6(ma)) < 5e-5,
+        s"seed=$seed mean_a")
+      assert(math.abs(r.getAs[Double]("t") - t) < 1e-4, s"seed=$seed t")
+      assert(math.abs(r.getAs[Double]("dof") - dof) < 1e-3,
+        s"seed=$seed dof")
+    }
+    // degenerate guards: one-row group → NULL t/dof/cohen_d
+    val tiny = Seq(("a", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    val d = Stats.welchT(tiny, "v", "g", "a", "b").collect()(0)
+    assert(d.isNullAt(d.fieldIndex("t")) && d.isNullAt(d.fieldIndex("dof")))
+  }
+
+  test("anovaF: two exact groups give the textbook F; zero within-" +
+      "variance is NULL-gated") {
+    import spark.implicits._
+    // groups {1,2,3} and {4,5,6}: grand mean 3.5, group means 2 and 5
+    // → SSB = 3·1.5² + 3·1.5² = 13.5, SSW = 2 + 2 = 4,
+    // F = (13.5/1)/(4/4) = 13.5
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val r = Stats.anovaF(df, "v", "g").collect()(0)
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Double]("ss_between") == 13.5)
+    assert(r.getAs[Double]("ss_within") == 4.0)
+    assert(r.getAs[Double]("f") == 13.5)
+    assert(r.getAs[Double]("eta_sq") ==
+      BigDecimal(13.5 / 17.5).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // constant-within groups: SSW = 0 → F undefined, NULL not Inf
+    val const = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0))
+      .toDF("g", "v")
+    val c = Stats.anovaF(const, "v", "g").collect()(0)
+    assert(c.isNullAt(c.fieldIndex("f")))
+  }
+
+  test("cohenKappa: chance-only agreement is 0, perfect is 1, and a " +
+      "category with no diagonal cell still feeds pe") {
+    import spark.implicits._
+    // perfect agreement
+    val perfect = Seq(("x", "x"), ("y", "y"), ("x", "x")).toDF("a", "b")
+    val p = Stats.cohenKappa(perfect, col("a"), col("b")).collect()(0)
+    assert(p.getAs[Double]("kappa") == 1.0)
+    // independence: a balanced 2×2 with po exactly = pe → kappa 0
+    val indep = Seq(("x", "x"), ("x", "y"), ("y", "x"), ("y", "y"))
+      .toDF("a", "b")
+    val i = Stats.cohenKappa(indep, col("a"), col("b")).collect()(0)
+    assert(i.getAs[Double]("p_observed") == 0.5)
+    assert(i.getAs[Double]("p_expected") == 0.5)
+    assert(i.getAs[Double]("kappa") == 0.0)
+    // raters NEVER agree on 'y' (no (y,y) cell) yet both use it:
+    // pe must still include P(A=y)·P(B=y) = (1/4)·(1/4); a
+    // diagonal-cells fold would miss it and report pe = 9/16
+    val skew = Seq(("x", "x"), ("x", "x"), ("x", "y"), ("y", "x"))
+      .toDF("a", "b")
+    val s = Stats.cohenKappa(skew, col("a"), col("b")).collect()(0)
+    assert(s.getAs[Double]("p_observed") == 0.5)
+    assert(s.getAs[Double]("p_expected") == 0.625,
+      s"pe must fold the joined marginals: $s")
+    // degenerate: both raters constant and equal → pe = 1 → NULL
+    val const = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    val c = Stats.cohenKappa(const, col("a"), col("b")).collect()(0)
+    assert(c.isNullAt(c.fieldIndex("kappa")))
+  }
 }
