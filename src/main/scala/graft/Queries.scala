@@ -937,6 +937,17 @@ object Queries {
       // before the cross-group fold so group order cannot move a bit.
       Stats.anovaF(Tables.events(s, dir), "value", "event_type")
     }),
+    "q_bootstrap_ci" -> ((s, dir) => {
+      // Poisson-bootstrap 95% CI for mean doc length — uncertainty at
+      // 100 TB without materializing a single resample: each row gets
+      // a deterministic hash-drawn Poisson(1) multiplicity per
+      // replicate (a pure per-row expression), map-side combine
+      // collapses every partition to ≤ 200 rows before the shuffle,
+      // and the CI is an integer-rank order statistic over the 200
+      // replicate means (control-plane window).
+      Stats.poissonBootstrap(Tables.documents(s, dir),
+        col("doc_id"), col("n_chars"))
+    }),
     "q_label_kappa" -> ((s, dir) => {
       // Chance-corrected agreement between two heuristic quality
       // gates — Cohen's kappa of the length gate (n_chars ≥ 400) vs
@@ -1690,6 +1701,46 @@ object Queries {
             dsum(col("l_extendedprice")).as("price_sum"))
       } finally prev.foreach { case (k, v) =>
         v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+      }
+    }),
+    "q_plan_reuse" -> ((s, dir) => {
+      // EXCHANGE REUSE proven on the physical plan — the share-of-
+      // total topology: the per-status aggregate feeds BOTH the
+      // output rows and the global total it is normalized by. Spark
+      // must compute the status aggregate (and its shuffle) ONCE and
+      // wire the second consumer to a ReusedExchange — at 100 TB the
+      // difference between one fact-table pass and two. AQE is
+      // disabled while the proof plan is built so the static
+      // ReuseExchangeAndSubquery rule (whose effect IS the proof) is
+      // visible in the executedPlan string; the returned frame then
+      // executes under the session's normal conf, where adaptive
+      // stage reuse does the same job at runtime.
+      val conf = s.conf
+      val prevAqe = conf.getOption("spark.sql.adaptive.enabled")
+      try {
+        conf.set("spark.sql.adaptive.enabled", "false")
+        val status = Tables.orders(s, dir)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice")).as("rev"))
+        // the total consumes BOTH columns: prune either and the two
+        // aggregate subtrees stop being identical (different partial
+        // schemas → different exchanges → no reuse) — which is why
+        // the output emits both shares below
+        val total = status.agg(
+          sum(col("rev").cast(DecimalType(18, 4))).as("tot"),
+          sum(col("n")).as("ntot"))
+        val j = status.crossJoin(broadcast(total))
+        val plan = j.queryExecution.executedPlan.toString
+        require(plan.contains("ReusedExchange"),
+          s"status aggregate must be computed once and reused:\n$plan")
+        j.select(col("o_orderstatus"), col("n"), col("rev"),
+          round(col("rev") / col("tot").cast(DoubleType), 6).as("share"),
+          round(col("n").cast(DoubleType) /
+            col("ntot").cast(DoubleType), 6).as("n_share"))
+      } finally prevAqe match {
+        case Some(x) => conf.set("spark.sql.adaptive.enabled", x)
+        case None => conf.unset("spark.sql.adaptive.enabled")
       }
     }),
     "q_events_rfm" -> ((s, dir) => {
@@ -4941,6 +4992,19 @@ object Queries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderdate >= TIMESTAMP '1998-07-01'
         |GROUP BY 1""".stripMargin,
+    // share-of-total replica: the reuse only saves work, never
+    // changes the result (gated by the query's require on the plan)
+    "q_plan_reuse" ->
+      """WITH s AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    AS DOUBLE), 4) AS rev
+        | FROM orders GROUP BY 1),
+        |t AS (SELECT sum(CAST(rev AS DECIMAL(18,4))) AS tot,
+        |  CAST(sum(n) AS BIGINT) AS ntot FROM s)
+        |SELECT o_orderstatus, n, rev,
+        | round(rev / CAST(tot AS DOUBLE), 6) AS share,
+        | round(CAST(n AS DOUBLE) / CAST(ntot AS DOUBLE), 6) AS n_share
+        |FROM s, t""".stripMargin,
     // RFM replica: the same ⌊(rank−1)·4/n⌋+1 quartiles over
     // row_number ranks with identical tie orders
     "q_events_rfm" ->
@@ -6721,6 +6785,42 @@ object Queries {
         |     (CAST(ssb AS DOUBLE) + CAST(ssw AS DOUBLE)), 6)
         |  END AS eta_sq
         |FROM f""".stripMargin,
+    // bootstrap replica: same portable-hash Poisson(1) multiplicities
+    // (floor(cdf·10^6) literal thresholds), exact DECIMAL weighted
+    // sums, identical (mu, i) rank order and integer ceil ranks
+    "q_bootstrap_ci" -> {
+      val bkt = s"(${affineSql(29, s"((id * 200 + i) % $M)")} % " +
+        s"${Sampling.Buckets})"
+      s"""WITH base AS (SELECT doc_id AS id,
+         |  CAST(n_chars AS DECIMAL(18,4)) AS y
+         | FROM documents
+         | WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+         |reps AS (SELECT id, y, i FROM base CROSS JOIN range(200) t(i)),
+         |bk AS (SELECT i, y, $bkt AS bkt FROM reps),
+         |wts AS (SELECT i, y,
+         |  CASE WHEN bkt < 367879 THEN 0 WHEN bkt < 735758 THEN 1
+         |       WHEN bkt < 919698 THEN 2 WHEN bkt < 981011 THEN 3
+         |       WHEN bkt < 996340 THEN 4 WHEN bkt < 999405 THEN 5
+         |       WHEN bkt < 999916 THEN 6 ELSE 7 END AS w
+         | FROM bk),
+         |m AS (SELECT i,
+         |  CAST(sum(w * y) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS mu
+         | FROM wts GROUP BY i HAVING sum(w) > 0),
+         |r AS (SELECT i, mu, row_number() OVER (ORDER BY mu, i) AS rk,
+         |  count(*) OVER () AS nb FROM m),
+         |ci AS (SELECT CAST(count(*) AS BIGINT) AS b_used,
+         |  min(CASE WHEN rk = (nb + 39) // 40 THEN mu END) AS lo,
+         |  min(CASE WHEN rk = (39 * nb + 39) // 40 THEN mu END) AS hi
+         | FROM r),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(y) AS sy
+         | FROM base)
+         |SELECT n,
+         | CASE WHEN n > 0
+         |   THEN round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         |  END AS mean,
+         | b_used, round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi
+         |FROM st, ci""".stripMargin
+    },
     // kappa replica: same gates, exact integer cells, pe over the
     // JOINED marginals with the 12-dp round-then-DECIMAL fold
     "q_label_kappa" ->

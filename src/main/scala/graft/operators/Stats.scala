@@ -1415,6 +1415,89 @@ object Stats {
     out
   }
 
+  /** Poisson-bootstrap 95% confidence interval for a mean — the
+    * resampling scheme that works at 100 TB: a true bootstrap draws n
+    * rows WITH replacement (a global shuffle per replicate, n·B rows
+    * materialized); the Poisson approximation gives each row an
+    * independent Poisson(1) multiplicity per replicate, which is a
+    * pure per-row expression — no resample materialization, no
+    * per-replicate pass (Chamandy et al., "Estimating Uncertainty for
+    * Massive Data Streams", Google 2012).
+    *
+    * Scale shape: ONE corpus scan explodes each row into `b`
+    * (replicate, weight) pairs; map-side partial aggregation collapses
+    * every partition to ≤ b rows before the shuffle, so the exchange
+    * carries b·partitions tiny rows no matter the corpus size. The
+    * replicate-mean frame (b rows) is control-plane: the rank window
+    * over it is single-partition BY CONSTRUCTION (bounded by b), the
+    * order-statistic CI needs no interpolation, and the full-sample
+    * mean is a second 2-column scan.
+    *
+    * Determinism: the Poisson draw inverts the integer
+    * [[Sampling.idBucket]] of (id·b + replicate) against
+    * floor(cdf·Buckets) literal thresholds — every engine draws the
+    * SAME multiplicities; weighted sums fix values as DECIMAL(18,4)
+    * (exact, order-free); the CI ranks are pure integer arithmetic
+    * (ceil via (x + 39) div 40), never a double·count product.
+    *
+    * Returns one row: (n, mean, b_used, ci_lo, ci_hi). */
+  def poissonBootstrap(
+      df: DataFrame,
+      idCol: Column,
+      valueCol: Column,
+      b: Int = 200,
+      seed: Int = 29): DataFrame = {
+    require(b >= 40, s"need >= 40 replicates for a 95% CI, got $b")
+    require(b <= 10000, s"replicate fan-out is per-row: b=$b too large")
+    val dec = DecimalType(18, 4)
+    val base = df.select(idCol.cast(LongType).as("__id"),
+        valueCol.cast(dec).as("__y"))
+      .filter(col("__id").isNotNull && col("__y").isNotNull)
+    val reps = base.select(col("__id"), col("__y"),
+      explode(sequence(lit(0), lit(b - 1))).as("__i"))
+    val bucket = Sampling.idBucket(col("__id") * b + col("__i"), seed)
+    // Poisson(1) inverse CDF over the integer bucket; thresholds are
+    // floor(cdf(k)·10^6) literals shared verbatim with the oracle
+    val w = when(bucket < 367879L, 0L)
+      .when(bucket < 735758L, 1L)
+      .when(bucket < 919698L, 2L)
+      .when(bucket < 981011L, 3L)
+      .when(bucket < 996340L, 4L)
+      .when(bucket < 999405L, 5L)
+      .when(bucket < 999916L, 6L)
+      .otherwise(7L)
+    val means = reps.withColumn("__w", w)
+      .groupBy(col("__i"))
+      .agg(sum(col("__w")).as("__sw"),
+        sum(col("__w") * col("__y")).as("__swy"))
+      .filter(col("__sw") > 0)
+      .select(col("__i"), (col("__swy").cast(DoubleType) /
+        col("__sw").cast(DoubleType)).as("__m"))
+    // b bounded rows: single-partition rank is the documented
+    // control-plane pattern (ranks replicates, never data)
+    val ranked = means
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__m").asc, col("__i").asc)))
+      .withColumn("__nb", count(lit(1)).over(Window.partitionBy(lit(1))))
+    // integer ceil(nb·0.025) / ceil(nb·0.975) — `div`, not `/`
+    // (Spark's `/` is double division even on longs)
+    val kLo = expr("(__nb + 39) div 40")
+    val kHi = expr("(39 * __nb + 39) div 40")
+    val ci = ranked.agg(
+      count(lit(1)).as("b_used"),
+      min(when(col("__rk") === kLo, col("__m"))).as("__lo"),
+      min(when(col("__rk") === kHi, col("__m"))).as("__hi"))
+    val stat = base.agg(count(lit(1)).as("n"), sum(col("__y")).as("__sy"))
+    def safe(c: Column) = when(c =!= 0.0, c).otherwise(lit(1.0))
+    stat.crossJoin(broadcast(ci)) // 1-row control plane
+      .select(col("n"),
+        when(col("n") > 0, round(col("__sy").cast(DoubleType) /
+          safe(col("n").cast(DoubleType)), 6)).as("mean"),
+        col("b_used"),
+        round(col("__lo"), 6).as("ci_lo"),
+        round(col("__hi"), 6).as("ci_hi"))
+  }
+
   /** Trailing exponentially-weighted moving average of an
     * ALREADY-AGGREGATED series: for each period, the dot product of
     * the last `k` values with weights (1/2)^j (j = 0 at the current

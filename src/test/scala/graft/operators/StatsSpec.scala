@@ -843,6 +843,35 @@ class StatsSpec extends SparkSpecBase {
     assert(c.isNullAt(c.fieldIndex("f")))
   }
 
+  test("poissonBootstrap: constant column collapses the CI to the " +
+      "point; interval is ordered, deterministic, and guarded") {
+    import spark.implicits._
+    // constant values: every replicate mean is exactly the constant,
+    // so lo = hi = mean with no tolerance needed
+    val const = (1L to 500L).map((_, 5.0)).toDF("id", "v")
+    val c = Stats.poissonBootstrap(const, col("id"), col("v")).collect()(0)
+    assert(c.getAs[Long]("n") == 500L)
+    assert(c.getAs[Long]("b_used") == 200L)
+    assert(c.getAs[Double]("mean") == 5.0)
+    assert(c.getAs[Double]("ci_lo") == 5.0 &&
+      c.getAs[Double]("ci_hi") == 5.0)
+    // varied values: a proper interval around the mean, ordered, and
+    // bit-identical across runs (hash-drawn multiplicities)
+    val varied = (1L to 500L).map(i => (i, (i % 97).toDouble))
+      .toDF("id", "v")
+    val r1 = Stats.poissonBootstrap(varied, col("id"), col("v"))
+      .collect()(0)
+    val r2 = Stats.poissonBootstrap(varied, col("id"), col("v"))
+      .collect()(0)
+    assert(r1 == r2, "bootstrap must replay exactly")
+    assert(r1.getAs[Double]("ci_lo") < r1.getAs[Double]("ci_hi"))
+    assert(r1.getAs[Double]("ci_lo") < r1.getAs[Double]("mean") &&
+      r1.getAs[Double]("mean") < r1.getAs[Double]("ci_hi"))
+    intercept[IllegalArgumentException] {
+      Stats.poissonBootstrap(varied, col("id"), col("v"), b = 10)
+    }
+  }
+
   test("cohenKappa: chance-only agreement is 0, perfect is 1, and a " +
       "category with no diagonal cell still feeds pe") {
     import spark.implicits._
