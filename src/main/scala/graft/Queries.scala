@@ -718,6 +718,51 @@ object Queries {
             .as("n_fail_stopword"),
           sum(when(col("__r.pass"), 1L).otherwise(0L)).as("n_pass"))
     }),
+    "q_quality_calibration" -> ((s, dir) => {
+      // Reliability curve: does the SOFT quality score actually
+      // predict the HARD Gopher verdict? Equal-count score deciles,
+      // each with its observed gate pass rate — a calibrated score
+      // rises monotonically; a flat curve means the score is noise.
+      // Scale shape: ONE corpus scan to a bounded (score, verdict)
+      // cell frame; decile assignment is integer INTERVAL
+      // INTERSECTION of each cell's rank span with the decile rank
+      // bounds — per-doc global ranks never materialize, the windows
+      // order ≤ |distinct scores|·2 cells, and tie order is pinned by
+      // (score, verdict) so the split replays on any engine.
+      val cells = Tables.documents(s, dir)
+        .withColumn("__tk", TextAnalysis.tokens(col("text")))
+        .select(TextAnalysis.qualityScoreFromTokens(
+            col("__tk"), col("text")).as("__q"),
+          TextAnalysis.gopherRules(col("__tk")).getField("pass")
+            .as("__p"))
+        .groupBy(col("__q"), col("__p"))
+        .agg(count(lit(1)).as("__c"))
+      val wCum = Window.orderBy(col("__q").asc, col("__p").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val spans = cells
+        .withColumn("__hi", sum(col("__c")).over(wCum))
+        .withColumn("__n",
+          sum(col("__c")).over(Window.partitionBy(lit(1))))
+        .withColumn("__lo", col("__hi") - col("__c") + 1L)
+      val dec = spans.select(col("__q"), col("__p"), col("__lo"),
+          col("__hi"), col("__n"),
+          explode(sequence(lit(1), lit(10))).as("decile"))
+        .withColumn("__dlo", expr("((decile - 1) * __n + 9) div 10 + 1"))
+        .withColumn("__dhi", expr("(decile * __n + 9) div 10"))
+        .withColumn("__ov", greatest(lit(0L),
+          least(col("__hi"), col("__dhi")) -
+            greatest(col("__lo"), col("__dlo")) + 1L))
+        .filter(col("__ov") > 0)
+      dec.groupBy(col("decile"))
+        .agg(sum(col("__ov")).as("n_docs"),
+          round(sum(col("__q").cast(DecimalType(12, 6)) * col("__ov"))
+            .cast(DoubleType) / sum(col("__ov")).cast(DoubleType), 6)
+            .as("avg_score"),
+          sum(when(col("__p"), col("__ov")).otherwise(0L)).as("n_pass"),
+          round(sum(when(col("__p"), col("__ov")).otherwise(0L))
+            .cast(DoubleType) / sum(col("__ov")).cast(DoubleType), 6)
+            .as("pass_rate"))
+    }),
     "q_label_consistency" -> ((s, dir) => {
       // kNN label-noise audit: for every embedding, the fraction of
       // its k-NN-graph neighbors sharing its label; per label, the
@@ -2110,6 +2155,35 @@ object Queries {
         .filter(col("updates") === col("__mx"))
         .select(col("g").as("event_type"), col("rank"), col("value"),
           col("event_id"))
+    }),
+    "q_stream_cdc" -> ((s, dir) => {
+      // Streaming changelog materialization — the reference's LWW
+      // upsert (S7) plus the delete verb, as a stream: every event is
+      // an upsert of its user's row ('error' events are tombstones),
+      // the winner per key is the greatest (ts_ns, event_id), and the
+      // drained state table must equal the batch greatest-seq apply
+      // (q_cdc_apply's streaming twin). The winner fold is an
+      // associative max, so the file-to-batch split cannot change the
+      // result; a LATE tombstone losing to a newer upsert is pinned
+      // in StreamsSpec.
+      implicit val sp: SparkSession = s
+      val changes = graft.streaming.Streams.eventsStream(s, dir)
+        .withColumn("op",
+          when(col("event_type") === "error", "D").otherwise("U"))
+        .select(col("user_id"), col("ts_ns"), col("event_id"),
+          col("op"), col("value"))
+      val name = s"q_stream_cdc_${streamRun.incrementAndGet()}"
+      val drained = graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.cdcLatestState(changes).toDF(),
+        name, shufflePartitions = Some(8))
+      val wl = Window.partitionBy(col("user_id"))
+      drained
+        .withColumn("__mx", max(col("updates")).over(wl))
+        .filter(col("updates") === col("__mx"))
+        .groupBy(col("op"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("event_id")).as("id_sum"),
+          dsum(col("value")).as("value_sum"))
     }),
     "q_stream_asof" -> ((s, dir) => {
       // Streaming point-in-time enrichment: the click stream as-of
@@ -4890,6 +4964,61 @@ object Queries {
         | CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END)
         |   AS BIGINT) AS n_pass
         |FROM r GROUP BY 1""".stripMargin,
+    // calibration replica: the qualityOracle score and gopher-rule
+    // verdict feed the same bounded cell frame; decile assignment is
+    // the identical integer interval intersection with (q, p) tie
+    // order
+    "q_quality_calibration" ->
+      """WITH t AS (SELECT text,
+        |  list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> len(x) > 0) AS tk FROM documents),
+        |m AS (SELECT len(tk) AS n_tok,
+        |  CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE)
+        |    AS tok_chars,
+        |  coalesce(list_sum(list_transform(tk, x -> len(x))), 0)
+        |    AS totlen,
+        |  len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+        |    AS n_alpha,
+        |  len(list_filter(tk, x -> lower(x) IN
+        |    ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS n_stop,
+        |  len(text) AS n_chars,
+        |  len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g'))
+        |    AS n_punct
+        | FROM t),
+        |q AS (SELECT round((
+        |  (CASE WHEN n_tok BETWEEN 10 AND 1000 THEN 1.0
+        |        WHEN n_tok > 0 THEN 0.5 ELSE 0.0 END) +
+        |  (CASE WHEN n_tok > 0 AND tok_chars / n_tok >= 3
+        |         AND tok_chars / n_tok <= 10 THEN 1.0 ELSE 0.5 END) +
+        |  (1.0 - least((CASE WHEN n_chars > 0
+        |     THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 5,
+        |     1.0))
+        |  ) / 3.0, 6) AS q,
+        |  (n_tok >= 10 AND n_tok <= 1000
+        |   AND n_tok > 0 AND 3 * n_tok <= totlen
+        |   AND totlen <= 10 * n_tok
+        |   AND 5 * n_alpha >= 4 * n_tok AND n_stop >= 2) AS p
+        | FROM m),
+        |cells AS (SELECT q, p, CAST(count(*) AS BIGINT) AS c
+        | FROM q GROUP BY 1, 2),
+        |spans AS (SELECT q, p, c,
+        |  sum(c) OVER (ORDER BY q ASC, p ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+        |  sum(c) OVER () AS n FROM cells),
+        |d AS (SELECT q, p, hi - c + 1 AS lo, hi, n,
+        |  CAST(t.decile AS INTEGER) AS decile
+        | FROM spans CROSS JOIN range(1, 11) t(decile)),
+        |ov AS (SELECT decile, q, p,
+        |  greatest(0, least(hi, (decile * n + 9) // 10) -
+        |    greatest(lo, ((decile - 1) * n + 9) // 10 + 1) + 1) AS ov
+        | FROM d)
+        |SELECT decile, CAST(sum(ov) AS BIGINT) AS n_docs,
+        | round(CAST(sum(CAST(q AS DECIMAL(12,6)) * ov) AS DOUBLE) /
+        |   CAST(sum(ov) AS DOUBLE), 6) AS avg_score,
+        | CAST(sum(CASE WHEN p THEN ov ELSE 0 END) AS BIGINT) AS n_pass,
+        | round(CAST(sum(CASE WHEN p THEN ov ELSE 0 END) AS DOUBLE) /
+        |   CAST(sum(ov) AS DOUBLE), 6) AS pass_rate
+        |FROM ov WHERE ov > 0 GROUP BY decile""".stripMargin,
     // kNN label-agreement replica over the shared k-NN CTE chain
     "q_label_consistency" -> labelConsistencyOracle,
     // label-centroid cosine matrix replica (the cohesion centroid CTE)
@@ -5511,6 +5640,20 @@ object Queries {
         | FROM events) WHERE rn <= 3""".stripMargin,
     // streaming drain of the tolerance as-of = the identical batch
     // join (per-row pure function of the static side)
+    // stream-CDC replica: the batch greatest-(ts, id) apply — one
+    // row_number per key, tombstones grouped under their own op
+    "q_stream_cdc" ->
+      """WITH c AS (SELECT user_id, event_id, value,
+        |  CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |  epoch_ns(ts) AS ts_ns FROM events),
+        |r AS (SELECT user_id, event_id, value, op,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts_ns DESC, event_id DESC) AS rk FROM c)
+        |SELECT op, CAST(count(*) AS BIGINT) AS n_keys,
+        | CAST(sum(event_id) AS BIGINT) AS id_sum,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |   AS value_sum
+        |FROM r WHERE rk = 1 GROUP BY op""".stripMargin,
     "q_stream_asof" ->
       """WITH clicks AS (
         | SELECT user_id, ts AS click_ts, value AS click_value

@@ -187,6 +187,63 @@ object Streams {
       }
   }
 
+  final case class CdcState(
+      updates: Long, tsNs: Long, id: Long, op: String, value: Double)
+  final case class CdcOut(
+      user_id: Long, updates: Long, ts_ns: Long, event_id: Long,
+      op: String, value: Double)
+
+  /** Streaming changelog materialization: per-key LAST-WRITER-WINS
+    * with tombstones, carried across micro-batches — the reference's
+    * core upsert semantics (S7, conditional LWW MERGE) plus the
+    * delete verb, as a STREAM. Each key's state is its single winning
+    * version: the row with the greatest (ts_ns, event_id); an `op` of
+    * `D` marks the key a tombstone (consumers drop it), any other op
+    * upserts. The batch twin is `Upsert.applyChangelog`
+    * (q_cdc_apply's greatest-seq-wins + D-removes semantics).
+    *
+    * State is O(1) per key — one version, the mergeable-sketch
+    * discipline — and the winner is the MAX of the per-batch winners
+    * under the same total order, an associative/commutative fold, so
+    * the file-to-batch split cannot change the materialized table
+    * (pinned by StreamsSpec's two-file drain, including a LATE delete
+    * that must lose to a newer upsert). Every touched key re-emits
+    * its current version tagged with a monotone `updates` counter;
+    * consumers keep the max-counter row per key (the
+    * [[topKPerKeyState]] latest-wins drain pattern).
+    *
+    * At 100 TB: the stream shuffles once on the key per micro-batch,
+    * state is one row per live key, and the drained table IS the
+    * target — no staging table, no per-batch MERGE round-trip. */
+  def cdcLatestState(
+      changes: DataFrame)(
+      implicit spark: SparkSession): Dataset[CdcOut] = {
+    import spark.implicits._
+    changes
+      .select(col("user_id").as[Long],
+        struct(col("ts_ns"), col("event_id"), col("op"), col("value"))
+          .as("e"))
+      .as[(Long, (Long, Long, String, Double))]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (k: Long, rows: Iterator[(Long, (Long, Long, String, Double))],
+         state: GroupState[CdcState]) =>
+          val prev = state.getOption.getOrElse(
+            CdcState(0L, Long.MinValue, Long.MinValue, "", 0.0))
+          val best = rows.foldLeft(prev) {
+            case (acc, (_, (ts, id, op, v))) =>
+              if (ts > acc.tsNs || (ts == acc.tsNs && id >= acc.id))
+                acc.copy(tsNs = ts, id = id, op = op, value = v)
+              else acc
+          }
+          val next = best.copy(updates = prev.updates + 1)
+          state.update(next)
+          Iterator(CdcOut(k, next.updates, next.tsNs, next.id,
+            next.op, next.value))
+      }
+  }
+
   final case class SessionOut(user_id: Long, session_start_us: Long, n: Long)
 
   /** The open trailing session carried across micro-batches. */

@@ -263,6 +263,64 @@ class StreamsSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(dir2)
   }
 
+  test("cdcLatestState: LWW with tombstones across micro-batches — a " +
+      "LATE delete loses to the newer upsert, a newer delete wins") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val t0 = System.currentTimeMillis()
+    val dir2 = java.nio.file.Files.createTempDirectory("cdc_mb").toFile
+    def file(name: String,
+        rows: Seq[(Long, Long, Long, String, Double)], mt: Long): Unit = {
+      val stage = new java.io.File(dir2, s"__stage_$name")
+      rows.map { case (id, tsMin, user, tpe, v) =>
+        (id, 1000L * 60 * tsMin, user, tpe, v, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value",
+          "props")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(
+          org.apache.spark.sql.types.TimestampNTZType))
+        .coalesce(1).write.mode("overwrite").parquet(stage.getPath)
+      val part = stage.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir2, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mt)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    // batch 1: both users upsert at ts 100
+    file("a.parquet", Seq(
+      (10L, 100L, 7L, "click", 5.0),
+      (11L, 100L, 8L, "click", 2.0)), t0 - 60000)
+    // batch 2: user 7 gets a LATE tombstone (ts 50 < 100 — must
+    // lose), user 8 a newer tombstone (ts 200 — must win)
+    file("b.parquet", Seq(
+      (12L, 50L, 7L, "error", 0.0),
+      (13L, 200L, 8L, "error", 0.0)), t0)
+    val changes = Streams.eventsStream(spark, dir2.getPath,
+        glob = "*.parquet", maxFilesPerTrigger = 1)
+      .withColumn("op",
+        when(col("event_type") === "error", "D").otherwise("U"))
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        col("op"), col("value"))
+    val drained = Streams.runAvailableNow(
+      Streams.cdcLatestState(changes).toDF(), "cdc_multibatch")
+    // both keys were touched in both batches → updates reaches 2
+    assert(drained.select("updates").distinct().count() >= 2)
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+    val fin = drained
+      .withColumn("__mx", max(col("updates")).over(wl))
+      .filter(col("updates") === col("__mx"))
+      .select("user_id", "op", "event_id", "value")
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[String]("op"), r.getAs[Long]("event_id"),
+          r.getAs[Double]("value")))).toMap
+    assert(fin(7L) == (("U", 10L, 5.0)),
+      s"late tombstone must lose to the newer upsert: $fin")
+    assert(fin(8L) == (("D", 13L, 0.0)),
+      s"newer tombstone must win: $fin")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir2)
+  }
+
   test("asofEnrichAvailableNow: a two-file drain equals the batch " +
       "as-of join of the union — batch boundaries don't matter for a " +
       "stream-static as-of (VERDICT r8 stretch 7)") {
