@@ -649,6 +649,16 @@ object Queries {
         datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType)),
         col("value"))
     }),
+    "q_trend_mlr" -> ((s, dir) => {
+      // Two-feature plane fit: extendedprice against quantity and
+      // discount by closed-form normal equations (Cramer on the 3×3
+      // Gram) — the multivariate sibling of q_trend_ols's single-x
+      // line. ONE pass, ten exact DECIMAL moments, 1-row math; the
+      // quantity effect should dominate (price scales with qty), and
+      // r² reports how much of the variance the plane explains.
+      Stats.ols2(Tables.lineitem(s, dir), col("l_extendedprice"),
+        col("l_quantity"), col("l_discount"))
+    }),
     "q_trend_theilsen" -> ((s, dir) => {
       // Robust trend of daily revenue: Theil–Sen (median of all
       // pairwise slopes) — the line one outlier day cannot drag,
@@ -2738,6 +2748,18 @@ object Queries {
       // signature width still supports the dedup threshold.
       Dedup.minhashEstimatorAudit(Tables.documents(s, dir), "doc_id",
         col("text"), threshold = 0.8, numHashes = 64, portable = true)
+    }),
+    "q_dedup_scurve" -> ((s, dir) => {
+      // LSH band-geometry tuning table: per true-Jaccard bin, the
+      // EMPIRICAL detection rate of the 64-hash/16-band config over
+      // all real pairs ≥ 0.4 (AllPairs ground truth) next to the
+      // THEORETICAL 1−(1−s⁴)¹⁶ curve — what a dedup owner reads
+      // before changing bands ("how much recall do we have at
+      // J = 0.75?"). Powers are literal multiplication chains, bins
+      // are integer arithmetic, detection is per-pair band-slice
+      // equality — no bucket join, no pow().
+      Dedup.lshSCurveAudit(Tables.documents(s, dir), "doc_id",
+        col("text"))
     }),
     "q_dedup_simhash" -> ((s, dir) => {
       Dedup.simhash(Tables.documents(s, dir), "doc_id", col("text"),
@@ -6524,6 +6546,7 @@ object Queries {
     "q_dedup_simhash" -> simhashOracle,
     "q_dedup_simhash_pairs" -> simhashPairsOracle,
     "q_dedup_ngram" -> ngramOracle,
+    "q_dedup_scurve" -> scurveOracle,
     "q_multimodal_decode" -> multimodalDecodeOracle,
     "q_multimodal_phash" -> multimodalPhashOracle,
     "q_dedup_apply" -> dedupApplyOracle,
@@ -6928,6 +6951,51 @@ object Queries {
         |     (CAST(ssb AS DOUBLE) + CAST(ssw AS DOUBLE)), 6)
         |  END AS eta_sq
         |FROM f""".stripMargin,
+    // MLR replica: identical exact moment accumulators and the same
+    // first-row cofactor determinant expansion before each round
+    "q_trend_mlr" ->
+      """WITH d AS (SELECT CAST(l_extendedprice AS DECIMAL(18,4)) AS y,
+        |  CAST(l_quantity AS DECIMAL(18,4)) AS x1,
+        |  CAST(l_discount AS DECIMAL(18,4)) AS x2
+        | FROM lineitem
+        | WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |   AND l_discount IS NOT NULL),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+        |  CAST(sum(y) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(x1 AS DECIMAL(19,4)) * x1) AS DOUBLE) AS s11,
+        |  CAST(sum(CAST(x1 AS DECIMAL(19,4)) * x2) AS DOUBLE) AS s12,
+        |  CAST(sum(CAST(x2 AS DECIMAL(19,4)) * x2) AS DOUBLE) AS s22,
+        |  CAST(sum(CAST(x1 AS DECIMAL(19,4)) * y) AS DOUBLE) AS s1y,
+        |  CAST(sum(CAST(x2 AS DECIMAL(19,4)) * y) AS DOUBLE) AS s2y,
+        |  CAST(sum(CAST(y AS DECIMAL(19,4)) * y) AS DOUBLE) AS syy
+        | FROM d),
+        |dets AS (SELECT n, s1, s2, sy, s1y, s2y, syy,
+        |  CAST(n AS DOUBLE) * (s11 * s22 - s12 * s12) -
+        |   s1 * (s1 * s22 - s12 * s2) +
+        |   s2 * (s1 * s12 - s11 * s2) AS det,
+        |  sy * (s11 * s22 - s12 * s12) -
+        |   s1 * (s1y * s22 - s12 * s2y) +
+        |   s2 * (s1y * s12 - s11 * s2y) AS det0,
+        |  CAST(n AS DOUBLE) * (s1y * s22 - s12 * s2y) -
+        |   sy * (s1 * s22 - s12 * s2) +
+        |   s2 * (s1 * s2y - s1y * s2) AS det1,
+        |  CAST(n AS DOUBLE) * (s11 * s2y - s1y * s12) -
+        |   s1 * (s1 * s2y - s1y * s2) +
+        |   sy * (s1 * s12 - s11 * s2) AS det2
+        | FROM m),
+        |b AS (SELECT n, sy, s1y, s2y, syy, det,
+        |  det0 / det AS b0, det1 / det AS b1, det2 / det AS b2
+        | FROM dets)
+        |SELECT n,
+        | CASE WHEN n > 2 AND det <> 0 THEN round(b0, 6) END AS b0,
+        | CASE WHEN n > 2 AND det <> 0 THEN round(b1, 6) END AS b1,
+        | CASE WHEN n > 2 AND det <> 0 THEN round(b2, 6) END AS b2,
+        | CASE WHEN n > 2 AND det <> 0
+        |   AND syy - sy * sy / CAST(n AS DOUBLE) > 0
+        |  THEN round(1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y) /
+        |    (syy - sy * sy / CAST(n AS DOUBLE)), 6) END AS r2
+        |FROM b""".stripMargin,
     // bootstrap replica: same portable-hash Poisson(1) multiplicities
     // (floor(cdf·10^6) literal thresholds), exact DECIMAL weighted
     // sums, identical (mu, i) rank order and integer ceil ranks
@@ -8182,6 +8250,54 @@ object Queries {
        | round(CAST(sum(ev - xv) AS DOUBLE) / count(*), 6) AS bias,
        | CAST(max(abs(ev - xv)) AS DOUBLE) AS max_ae
        |FROM pp""".stripMargin
+  }
+
+  /** q_dedup_scurve replica: ground truth from the FULL pair join
+    * (the oracle's completeness double-checks the engine's AllPairs
+    * prefix filter — a missed true pair fails the gate), the same
+    * integer bins, per-pair band-slice detection over the portable
+    * 64-hash signatures, and the theory powers as the identical
+    * literal multiplication chains. */
+  private def scurveOracle: String = {
+    val numHashes = 64; val bands = 16; val width = 4; val nBins = 20
+    val sigCols = (0 until numHashes)
+      .map(i => s"min(${affineSql(i, "h")}) AS s$i").mkString(",\n ")
+    val bandOr = (0 until bands)
+      .map(b => (0 until width)
+        .map(r => s"x.s${width * b + r} = y.s${width * b + r}")
+        .mkString("(", " AND ", ")"))
+      .mkString("(", " OR ", ")")
+    val smChain = List.fill(width)("sm").mkString("(", " * ", ")")
+    val uChain = List.fill(bands)("u").mkString("(", " * ", ")")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sl AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+       |e AS (SELECT doc_id, unnest(sh) AS s FROM sl),
+       |h AS (SELECT doc_id, ${polySql("s")} AS h FROM e),
+       |sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id),
+       |p AS (SELECT sa.doc_id AS a, sb.doc_id AS b,
+       |  len(list_intersect(sa.sh, sb.sh)) AS inter,
+       |  len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
+       |    AS uni
+       | FROM sl sa JOIN sl sb ON sa.doc_id < sb.doc_id),
+       |tp AS (SELECT a, b,
+       |  CAST(least((inter * $nBins) // uni, ${nBins - 1}) AS INTEGER)
+       |    AS bin
+       | FROM p WHERE inter * 5 >= uni * 2),
+       |det AS (SELECT tp.bin,
+       |  CASE WHEN $bandOr THEN 1 ELSE 0 END AS hit
+       | FROM tp JOIN sig x ON x.doc_id = tp.a
+       |         JOIN sig y ON y.doc_id = tp.b),
+       |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(hit) AS BIGINT) AS n_detected FROM det GROUP BY bin),
+       |f1 AS (SELECT bin, n_pairs, n_detected,
+       |  (CAST(bin AS DOUBLE) + 0.5) / $nBins AS sm FROM g),
+       |f2 AS (SELECT bin, n_pairs, n_detected, sm,
+       |  1.0 - $smChain AS u FROM f1)
+       |SELECT bin, round(sm, 6) AS s_mid, n_pairs, n_detected,
+       | round(CAST(n_detected AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)
+       |   AS detect_rate,
+       | round(1.0 - $uChain, 6) AS theory
+       |FROM f2""".stripMargin
   }
 
   private def labelEntropyOracle: String =

@@ -709,6 +709,109 @@ object Dedup {
     ownResult(out, sh)
   }
 
+  /** LSH S-curve tuning audit: per true-Jaccard bin, the EMPIRICAL
+    * probability that the (numHashes, bands) banding detects a pair
+    * (shares ≥ 1 band) next to the THEORETICAL detection curve
+    * 1 − (1 − s^r)^b — the table a dedup owner reads before changing
+    * band geometry ("at J = 0.75, what fraction of real near-dups
+    * does this config actually catch?"). The complement of
+    * [[minhashEstimatorAudit]], which audits the estimator's VALUE;
+    * this audits the banding's RECALL as a function of similarity.
+    *
+    * Ground truth is every pair with exact Jaccard ≥ pairNum/pairDen,
+    * generated by the Bayardo AllPairs prefix filter (never the full
+    * cross join); detection is a per-pair band-slice comparison of the
+    * two signatures — no bucket join, the audit only touches true
+    * pairs. Bins are pure integer arithmetic ((inter·nBins) div uni),
+    * the detection flag is array equality, and the theory column's
+    * powers are explicit left-fold multiplication chains — no pow(),
+    * whose libm rounding differs across engines.
+    *
+    * Scale shape: one corpus pass builds the (persisted) shingle
+    * frame; signatures are per-row expressions over it; the AllPairs
+    * self-join is prefix-pruned; everything after the pair set is
+    * bounded by |true pairs|, and the result (≤ nBins rows) is
+    * materialized before the shingle cache is released.
+    *
+    * Returns (bin, s_mid, n_pairs, n_detected, detect_rate, theory). */
+  def lshSCurveAudit(
+      docs: DataFrame,
+      idCol: String,
+      text: Column,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      pairNum: Int = 2,
+      pairDen: Int = 5,
+      shingleSize: Int = 3,
+      nBins: Int = 20): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a multiple of bands ($bands)")
+    require(pairNum > 0 && pairDen > 0 && pairNum < pairDen,
+      s"true-pair floor must be a proper fraction: $pairNum/$pairDen")
+    val width = numHashes / bands
+    val sh = shingleFrame(docs, idCol, text, shingleSize)
+    val sigs = signaturesOfShingles(sh, idCol, numHashes, portable = true)
+    // AllPairs prefix filter at the integer threshold pairNum/pairDen:
+    // a doc needs only its n − ceil(n·p/q) + 1 RAREST shingles indexed
+    val inv = sh.select(col("__id"), size(col("__sh")).as("__n"),
+      explode(col("__sh")).as("__s"))
+    val docFreq = inv.groupBy("__s").agg(count(lit(1)).as("__df"))
+    val prefix = inv.join(docFreq, Seq("__s"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("__id")
+          .orderBy(col("__df").asc, col("__s").asc)))
+      .filter(col("__rk") <= col("__n") -
+        expr(s"(__n * $pairNum + ${pairDen - 1}) div $pairDen") + lit(1))
+      .select(col("__s"), col("__id"), col("__n"))
+    val cand = prefix.select(col("__s"), col("__id").as("a"),
+        col("__n").as("na"))
+      .join(prefix.select(col("__s"), col("__id").as("b"),
+        col("__n").as("nb")), Seq("__s"))
+      .filter(col("a") < col("b") &&
+        col("nb") * pairDen >= col("na") * pairNum &&
+        col("na") * pairDen >= col("nb") * pairNum)
+      .select("a", "b")
+      .distinct()
+    val withSets = cand
+      .join(sh.select(col("__id").as("a"), col("__sh").as("sh_a")),
+        Seq("a"))
+      .join(sh.select(col("__id").as("b"), col("__sh").as("sh_b")),
+        Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        (size(col("sh_a")) + size(col("sh_b")) -
+          size(array_intersect(col("sh_a"), col("sh_b")))).as("uni"))
+      .filter(col("inter") * pairDen >= col("uni") * pairNum)
+      .withColumn("bin",
+        least(expr(s"(inter * $nBins) div uni"), lit(nBins - 1))
+          .cast(IntegerType))
+    val bandHit = (0 until bands).map(bi =>
+      slice(col("__sa"), bi * width + 1, width) ===
+        slice(col("__sb"), bi * width + 1, width)).reduce(_ || _)
+    val det = withSets
+      .join(sigs.select(col(idCol).as("a"), col("signature").as("__sa")),
+        Seq("a"))
+      .join(sigs.select(col(idCol).as("b"), col("signature").as("__sb")),
+        Seq("b"))
+      .select(col("bin"), when(bandHit, 1L).otherwise(0L).as("__hit"))
+    val g = det.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__hit")).as("n_detected"))
+    // theory at the bin midpoint: powers as LEFT-FOLD multiplication
+    // chains — identical op order to the oracle's literal s*s*…*s,
+    // never pow() (libm rounding is not cross-engine stable)
+    val sMid = (col("bin").cast(DoubleType) + 0.5) / lit(nBins)
+    val sr = (1 until width).foldLeft(sMid)((acc, _) => acc * sMid)
+    val u = lit(1.0) - sr
+    val ub = (1 until bands).foldLeft(u)((acc, _) => acc * u)
+    val out = g.select(col("bin"),
+      round(sMid, 6).as("s_mid"),
+      col("n_pairs"), col("n_detected"),
+      round(col("n_detected").cast(DoubleType) /
+        col("n_pairs").cast(DoubleType), 6).as("detect_rate"),
+      round(lit(1.0) - ub, 6).as("theory"))
+    ownResult(out, sh)
+  }
+
   /** 64-bit SimHash over whitespace tokens. Native mode: bit i of the
     * token's xxhash64 contributes ±1 to lane i. Portable mode: lane i's
     * contribution is the parity of the i-th affine transform of the

@@ -1415,6 +1415,75 @@ object Stats {
     out
   }
 
+  /** Two-feature multiple linear regression (with intercept) by the
+    * normal equations — the multivariate step up from
+    * [[groupedTrend]]'s single-x OLS: y ≈ β₀ + β₁x₁ + β₂x₂, solved
+    * in closed form by Cramer's rule on the 3×3 Gram system. The
+    * standard "fit a plane, read the partial effects" primitive; at
+    * corpus scale the entire fit is ONE map-side-combined pass
+    * producing ten exact moment accumulators — no iterative solver,
+    * no second scan, 1-row control-plane math after.
+    *
+    * Determinism: inputs fix as DECIMAL(18,4) (moment sums exact and
+    * order-free); every determinant expands along the first row in
+    * one literal formula shared with the oracle; divisions are total
+    * (the welchT safe() discipline) and degenerate systems (singular
+    * Gram, zero y-variance) NULL-gate their outputs.
+    *
+    * Returns one row: (n, b0, b1, b2, r2). */
+  def ols2(
+      df: DataFrame,
+      y: Column,
+      x1: Column,
+      x2: Column): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val d = df.select(y.cast(dec).as("__y"), x1.cast(dec).as("__x1"),
+        x2.cast(dec).as("__x2"))
+      .na.drop("any", Seq("__y", "__x1", "__x2"))
+    val one = d.agg(count(lit(1)).as("__n"),
+      sum(col("__x1")).as("__s1"), sum(col("__x2")).as("__s2"),
+      sum(col("__y")).as("__sy"),
+      sum(col("__x1") * col("__x1")).as("__s11"),
+      sum(col("__x1") * col("__x2")).as("__s12"),
+      sum(col("__x2") * col("__x2")).as("__s22"),
+      sum(col("__x1") * col("__y")).as("__s1y"),
+      sum(col("__x2") * col("__y")).as("__s2y"),
+      sum(col("__y") * col("__y")).as("__syy"))
+    def D(c: String) = col(c).cast(DoubleType)
+    val (n, s1, s2, sy) = (D("__n"), D("__s1"), D("__s2"), D("__sy"))
+    val (s11, s12, s22) = (D("__s11"), D("__s12"), D("__s22"))
+    val (s1y, s2y, syy) = (D("__s1y"), D("__s2y"), D("__syy"))
+    // first-row cofactor expansion, literal order shared with the
+    // oracle SQL
+    def det3(m00: Column, m01: Column, m02: Column,
+        m10: Column, m11: Column, m12: Column,
+        m20: Column, m21: Column, m22: Column): Column =
+      m00 * (m11 * m22 - m12 * m21) -
+        m01 * (m10 * m22 - m12 * m20) +
+        m02 * (m10 * m21 - m11 * m20)
+    val det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    val det0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+    val det1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+    val det2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+    def safe(c: Column) = when(c =!= 0.0, c).otherwise(lit(1.0))
+    val b0 = det0 / safe(det)
+    val b1 = det1 / safe(det)
+    val b2 = det2 / safe(det)
+    val sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+    val sst = syy - sy * sy / safe(n)
+    val okB = col("__n") > 2 && det =!= 0.0
+    val okR = okB && sst > 0
+    one.select(col("__n").as("n"),
+      when(okB, round(b0, 6)).otherwise(lit(null).cast(DoubleType))
+        .as("b0"),
+      when(okB, round(b1, 6)).otherwise(lit(null).cast(DoubleType))
+        .as("b1"),
+      when(okB, round(b2, 6)).otherwise(lit(null).cast(DoubleType))
+        .as("b2"),
+      when(okR, round(lit(1.0) - sse / safe(sst), 6))
+        .otherwise(lit(null).cast(DoubleType)).as("r2"))
+  }
+
   /** Poisson-bootstrap 95% confidence interval for a mean — the
     * resampling scheme that works at 100 TB: a true bootstrap draws n
     * rows WITH replacement (a global shuffle per replicate, n·B rows

@@ -484,4 +484,42 @@ class DedupSpec extends SparkSpecBase {
     assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0 &&
       r.getDouble(3) == 0.0, s"non-zero error on identical docs: $r")
   }
+
+  test("lshSCurveAudit: crafted pairs land in their integer bins, an " +
+      "identical pair is always detected, and the theory column is " +
+      "the exact fold-chain value") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // doc1/doc3 identical (J = 1 → bin 19); doc1–doc2 and doc2–doc3
+    // share 3 of 5 distinct 3-token shingles (J = 0.6 → bin
+    // (3·20) div 5 = 12); doc4 is unrelated (below the 0.4 floor)
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "b c d e f g"),
+      (3L, "a b c d e f"),
+      (4L, "zz yy xx ww vv uu")).toDF("doc_id", "text")
+    val rows = Dedup.lshSCurveAudit(docs, "doc_id", col("text"))
+      .collect().map(r => r.getAs[Int]("bin") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_detected"),
+          r.getAs[Double]("detect_rate"), r.getAs[Double]("theory"),
+          r.getAs[Double]("s_mid")))).toMap
+    def theory(bin: Int): Double = {
+      val s = (bin + 0.5) / 20
+      val s4 = ((s * s) * s) * s
+      val u = 1.0 - s4
+      val u16 = (1 until 16).foldLeft(u)((a, _) => a * u)
+      BigDecimal(1.0 - u16)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(rows.keySet == Set(12, 19), s"bins: $rows")
+    val (n19, d19, dr19, t19, _) = rows(19)
+    assert(n19 == 1L && d19 == 1L && dr19 == 1.0,
+      s"identical pair must always be detected: $rows")
+    assert(t19 == theory(19), s"theory(19): $rows")
+    val (n12, d12, _, t12, s12) = rows(12)
+    assert(n12 == 2L, s"two J=0.6 pairs expected: $rows")
+    assert(d12 >= 0L && d12 <= 2L)
+    assert(t12 == theory(12), s"theory(12): $rows")
+    assert(s12 == 0.625)
+  }
 }

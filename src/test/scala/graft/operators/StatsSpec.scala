@@ -843,6 +843,30 @@ class StatsSpec extends SparkSpecBase {
     assert(c.isNullAt(c.fieldIndex("f")))
   }
 
+  test("ols2: an exact plane is recovered with r2 = 1; collinear " +
+      "features NULL-gate instead of dividing by a zero determinant") {
+    import spark.implicits._
+    // y = 2 + 3·x1 − 1·x2 exactly, x1/x2 not collinear
+    val pts = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 2.0), (4.0, 5.0),
+      (5.0, 3.0), (6.0, 8.0))
+    val df = pts.map { case (a, b) => (2.0 + 3.0 * a - b, a, b) }
+      .toDF("y", "x1", "x2")
+    val r = Stats.ols2(df, col("y"), col("x1"), col("x2")).collect()(0)
+    assert(r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Double]("b0") == 2.0, s"b0: $r")
+    assert(r.getAs[Double]("b1") == 3.0, s"b1: $r")
+    assert(r.getAs[Double]("b2") == -1.0, s"b2: $r")
+    assert(r.getAs[Double]("r2") == 1.0, s"r2: $r")
+    // x2 = 2·x1: the Gram matrix is singular — betas must be NULL,
+    // not garbage from a zero-determinant division
+    val coll = pts.map { case (a, _) => (1.0 + a, a, 2.0 * a) }
+      .toDF("y", "x1", "x2")
+    val c = Stats.ols2(coll, col("y"), col("x1"), col("x2")).collect()(0)
+    assert(c.isNullAt(c.fieldIndex("b0")) &&
+      c.isNullAt(c.fieldIndex("b1")) && c.isNullAt(c.fieldIndex("r2")),
+      s"singular system must NULL-gate: $c")
+  }
+
   test("poissonBootstrap: constant column collapses the CI to the " +
       "point; interval is ordered, deterministic, and guarded") {
     import spark.implicits._
