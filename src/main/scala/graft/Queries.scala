@@ -1551,6 +1551,18 @@ object Queries {
       Similarity.kCenterGreedy(Tables.embeddings(s, dir), "vec_id",
         "embedding", k = 8)
     }),
+    "q_cluster_inertia" -> ((s, dir) => {
+      // k-means convergence curve: seed assignment + two Lloyd rounds
+      // over the embeddings (16 cells), per iteration the mean
+      // assigned-centroid cosine (objective — rises), the vectors
+      // that CHANGED cells (falls), and the live cell count — the
+      // diagnostics that justify `iters` everywhere else the session
+      // uses k-means. Same seeds/tie-rule/DECIMAL-mean training loop
+      // as kmeansRefine, so this curve describes the production
+      // centroids.
+      Similarity.kmeansConvergence(Tables.embeddings(s, dir),
+        "vec_id", "embedding", nCells = 16, iters = 2)
+    }),
     "q_cluster_balance" -> ((s, dir) => {
       // Cluster-balanced corpus selection: k-means assignment (8
       // cells, one Lloyd round) as LEARNED strata, then a per-cluster
@@ -5445,6 +5457,7 @@ object Queries {
     "q_select_kcenter" -> selectKcenterOracle,
     "q_sim_mmr" -> simMmrOracle,
     "q_cluster_balance" -> clusterBalanceOracle,
+    "q_cluster_inertia" -> clusterInertiaOracle,
     "q_cluster_purity" -> clusterPurityOracle,
     "q_cluster_vmeasure" -> clusterVmeasureOracle,
     "q_dedup_semantic" -> dedupSemanticOracle,
@@ -8250,6 +8263,66 @@ object Queries {
        | round(CAST(sum(ev - xv) AS DOUBLE) / count(*), 6) AS bias,
        | CAST(max(abs(ev - xv)) AS DOUBLE) AS max_ae
        |FROM pp""".stripMargin
+  }
+
+  /** q_cluster_inertia replica: the [[simIvfRefinedOracle]] Lloyd
+    * round unrolled TWICE, each assignment keeping its cosine so the
+    * per-iteration objective/moved/cells stats replay — same seeds,
+    * tie rule, and DECIMAL(27,12)→9-dp centroid means. */
+  private def clusterInertiaOracle: String = {
+    val nCells = 16
+    def assignCte(name: String, cent: String): String =
+      s"""$name AS (SELECT id, v, cid, d FROM (
+         |  SELECT c0.id, c0.v, $cent.cid,
+         |   ${cosSql("c0.v", s"$cent.cv")} AS d,
+         |   row_number() OVER (PARTITION BY c0.id
+         |     ORDER BY ${cosSql("c0.v", s"$cent.cv")} DESC,
+         |       $cent.cid ASC) AS rn
+         |  FROM c0 CROSS JOIN $cent) WHERE rn = 1)""".stripMargin
+    def lloydCte(i: Int, prevA: String, prevC: String): String =
+      s"""flat$i AS (SELECT cid, unnest(v) AS x,
+         |   generate_subscripts(v, 1) AS ord FROM $prevA),
+         |mean$i AS (SELECT cid, ord,
+         |  round(CAST(sum(CAST(x AS DECIMAL(27,12))) AS DOUBLE)
+         |    / count(*), 9) AS m
+         | FROM flat$i GROUP BY cid, ord),
+         |nm$i AS (SELECT cid, list(m ORDER BY ord) AS cv
+         |       FROM mean$i GROUP BY cid),
+         |cent$i AS (SELECT $prevC.cid, coalesce(nm$i.cv, $prevC.cv)
+         |    AS cv
+         |  FROM $prevC LEFT JOIN nm$i USING (cid))""".stripMargin
+    def statSql(a: String, prev: Option[String], it: Int): String =
+      prev match {
+        case None =>
+          s"""SELECT $it AS iter, CAST(count(*) AS BIGINT) AS n,
+             | CAST(count(DISTINCT cid) AS BIGINT) AS cells_used,
+             | round(CAST(sum(CAST(round(d, 9) AS DECIMAL(18,9)))
+             |   AS DOUBLE) / count(*), 6) AS mean_cos,
+             | CAST(NULL AS BIGINT) AS n_moved
+             |FROM $a""".stripMargin
+        case Some(p) =>
+          s"""SELECT $it AS iter, CAST(count(*) AS BIGINT) AS n,
+             | CAST(count(DISTINCT x.cid) AS BIGINT) AS cells_used,
+             | round(CAST(sum(CAST(round(x.d, 9) AS DECIMAL(18,9)))
+             |   AS DOUBLE) / count(*), 6) AS mean_cos,
+             | CAST(sum(CASE WHEN x.cid <> p.cid THEN 1 ELSE 0 END)
+             |   AS BIGINT) AS n_moved
+             |FROM $a x JOIN $p p USING (id)""".stripMargin
+      }
+    s"""WITH c0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |            FROM embeddings),
+       |cent0 AS (SELECT id AS cid, v AS cv FROM c0
+       |          ORDER BY id LIMIT $nCells),
+       |${assignCte("a0", "cent0")},
+       |${lloydCte(1, "a0", "cent0")},
+       |${assignCte("a1", "cent1")},
+       |${lloydCte(2, "a1", "cent1")},
+       |${assignCte("a2", "cent2")}
+       |${statSql("a0", None, 0)}
+       |UNION ALL
+       |${statSql("a1", Some("a0"), 1)}
+       |UNION ALL
+       |${statSql("a2", Some("a1"), 2)}""".stripMargin
   }
 
   /** q_dedup_scurve replica: ground truth from the FULL pair join

@@ -328,6 +328,95 @@ object Similarity {
     out
   }
 
+  /** Per-iteration k-means convergence diagnostics: for the seed
+    * assignment (iter 0) and each Lloyd round after, the mean
+    * assigned-centroid cosine (the cosine k-means objective — should
+    * rise), how many vectors CHANGED cells (should fall toward 0),
+    * and how many cells hold members — the curve a clustering owner
+    * reads to pick `iters` ("round 3 moved 0.2% of vectors; stop").
+    * The training loop is [[kmeansRefine]]'s exactly (same seeds,
+    * same tie rule, same DECIMAL-exact 9-dp centroid means), so the
+    * diagnosed run IS the production run.
+    *
+    * Scale shape: per iteration one broadcast assignment pass over
+    * the (persisted) vector frame and one (cell, dim)-keyed
+    * aggregation; each assignment persists only until the next
+    * round's moved-count consumes it. Mean cosines round to 9 dp and
+    * fix as DECIMAL before the corpus-order-free sum (the
+    * entropyByGroup fold discipline). The bounded (iters+1)-row
+    * result materializes before every cache is released.
+    *
+    * Returns (iter, n, cells_used, mean_cos, n_moved); n_moved is
+    * NULL at iter 0. */
+  def kmeansConvergence(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      nCells: Int,
+      iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters out of range: $iters")
+    val vecs = corpus.select(col(idCol).as("__vid"),
+        transform(col(embCol), x => x.cast(DoubleType)).as("__v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cent = vecs
+      .select(col("__vid").as("cid"), col("__v").as("cemb"))
+      .orderBy(col("cid").asc)
+      .limit(nCells)
+    def assign(c: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("__vid"))
+        .orderBy(col("__d").desc, col("cid").asc)
+      vecs.crossJoin(broadcast(c))
+        .select(col("__vid"), col("__v"), col("cid"),
+          cosine(col("__v"), col("cemb")).as("__d"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("__vid"), col("__v"), col("cid"), col("__d"))
+    }
+    def stats(a: DataFrame, prev: Option[DataFrame], it: Int): DataFrame = {
+      val base = prev match {
+        case Some(p) => a.join(
+            p.select(col("__vid"), col("cid").as("__pc")), Seq("__vid"))
+          .withColumn("__mv",
+            when(col("cid") =!= col("__pc"), 1L).otherwise(0L))
+        case None => a.withColumn("__mv", lit(null).cast(LongType))
+      }
+      base.agg(count(lit(1)).as("n"),
+          countDistinct(col("cid")).as("cells_used"),
+          round(sum(round(col("__d"), 9).cast(DecimalType(18, 9)))
+            .cast(DoubleType) / count(lit(1)), 6).as("mean_cos"),
+          sum(col("__mv")).as("n_moved"))
+        .select(lit(it).as("iter"), col("n"), col("cells_used"),
+          col("mean_cos"), col("n_moved"))
+    }
+    val cached = scala.collection.mutable.ListBuffer[DataFrame]()
+    var assigned = assign(cent).persist(StorageLevel.MEMORY_AND_DISK)
+    cached += assigned
+    var statFrames = Seq(stats(assigned, None, 0))
+    for (t <- 1 to iters) {
+      val means = assigned
+        .select(col("cid"), posexplode(col("__v")).as(Seq("d", "x")))
+        .groupBy(col("cid"), col("d"))
+        .agg(round(
+          sum(col("x").cast(DecimalType(27, 12))).cast(DoubleType) /
+            count(lit(1)), 9).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("d"), col("m")))),
+          s => s.getField("m")).as("cemb"))
+      cent = cent.select(col("cid"), col("cemb").as("__old"))
+        .join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cemb"), col("__old")).as("cemb"))
+      val next = assign(cent).persist(StorageLevel.MEMORY_AND_DISK)
+      cached += next
+      statFrames = statFrames :+ stats(next, Some(assigned), t)
+      assigned = next
+    }
+    val out = statFrames.reduce(_ unionByName _).localCheckpoint(true)
+    cached.foreach(_.unpersist(false))
+    vecs.unpersist(false)
+    out
+  }
+
   /** Full-corpus k-means cluster assignment: centroids from
     * [[kmeansRefine]] (deterministic lowest-id seeds + `iters` Lloyd
     * rounds), then one nearest-centroid pass — cosine, ties to the

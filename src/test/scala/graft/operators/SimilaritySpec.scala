@@ -360,4 +360,29 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got((2, 3)) == 0.0)
     assert(got.size == 6) // full upper triangle of 4 labels
   }
+
+  test("kmeansConvergence: two separated clusters converge — the " +
+      "objective rises, moves stop, both cells stay live") {
+    import spark.implicits._
+    // both seeds (lowest ids 1, 2) start inside cluster A; Lloyd must
+    // pull one centroid over to cluster B and then stop moving
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(1.0f, 0.1f)), (4L, Seq(0.95f, 0.0f)),
+      (5L, Seq(0.0f, 1.0f)), (6L, Seq(0.1f, 0.9f)),
+      (7L, Seq(0.0f, 0.9f)), (8L, Seq(0.05f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.kmeansConvergence(emb, "vec_id", "embedding",
+        nCells = 2, iters = 3)
+      .collect().sortBy(_.getAs[Int]("iter"))
+    assert(rows.length == 4)
+    assert(rows.forall(_.getAs[Long]("n") == 8L))
+    assert(rows.forall(_.getAs[Long]("cells_used") == 2L))
+    assert(rows.head.isNullAt(rows.head.fieldIndex("n_moved")))
+    val cos = rows.map(_.getAs[Double]("mean_cos"))
+    assert(cos.last > cos.head,
+      s"objective must improve on this fixture: ${cos.toSeq}")
+    assert(rows.last.getAs[Long]("n_moved") == 0L,
+      s"converged run must stop moving: ${rows.toSeq}")
+  }
 }
