@@ -1332,6 +1332,28 @@ object Queries {
         .orderBy(col("rank").desc, col("node").asc).limit(20)
         .select(col("node"), col("rank").cast(DoubleType).as("rank"))
     }),
+    "q_graph_ppr" -> ((s, dir) => {
+      // PERSONALIZED PageRank from a trusted seed set — influence as
+      // seen from the whitelist (topic-sensitive PR): teleport mass
+      // lands only on suppliers ≡ 0 mod 10, everything else earns
+      // rank solely by proximity. Same graph, decimal discipline, and
+      // generation management as q_graph_pagerank; unreachable nodes
+      // finish at exactly 0 and never enter the top-20.
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("supp"),
+          (col("o_custkey") + lit(1000000L)).as("cust"))
+      val edges = pairs.select(col("supp").as("src"), col("cust").as("dst"))
+        .union(pairs.select(col("cust").as("src"), col("supp").as("dst")))
+      val seeds = pairs.select(col("supp").as("node"))
+        .filter(col("node") % 10 === 0).distinct()
+      graft.operators.Graph.personalizedPageRank(edges, seeds, iters = 5)
+        .orderBy(col("rank").desc, col("node").asc).limit(20)
+        .select(col("node"), col("rank").cast(DoubleType).as("rank"))
+    }),
     "q_graph_kcore" -> ((s, dir) => {
       // k-core of the supplier–customer interaction graph (k = 5,
       // 8 FIXED peel rounds — GraphSpec pins fixpoint within 8 on
@@ -2177,6 +2199,37 @@ object Queries {
         .filter(col("updates") === col("__mx"))
         .select(col("g").as("event_type"), col("rank"), col("value"),
           col("event_id"))
+    }),
+    "q_stream_profile" -> ((s, dir) => {
+      // Streaming column profile: per event type the running
+      // count/mean/variance after the drain — EXACT integer state
+      // (4-dp scaled longs, two-limb Σv²) so the fold is associative
+      // and the result equals the batch moments bit-for-bit whatever
+      // the batch split (a Welford double recurrence would drift).
+      // Mean/variance reassemble from the drained integers in the
+      // same literal double order as the oracle.
+      implicit val sp: SparkSession = s
+      val name = s"q_stream_profile_${streamRun.incrementAndGet()}"
+      val drained = graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.runningMomentsState(
+          graft.streaming.Streams.eventsStream(s, dir)).toDF(),
+        name, shufflePartitions = Some(8))
+      val wl = Window.partitionBy(col("g"))
+      val latest = drained
+        .withColumn("__mx", max(col("updates")).over(wl))
+        .filter(col("updates") === col("__mx"))
+      val nD = col("n").cast(DoubleType)
+      val sD = col("s").cast(DoubleType)
+      val ssD = (col("hi").cast(DoubleType) * 1000000000.0 +
+        col("lo").cast(DoubleType)) / 100000000.0
+      val mean = sD / 10000.0 / nD
+      // total division (ANSI + subexpression hoisting): identity
+      // whenever the n > 1 gate passes
+      val safeN1 = when(nD > 1.0, nD - lit(1.0)).otherwise(lit(1.0))
+      val vr = (ssD - sD * sD / 100000000.0 / nD) / safeN1
+      latest.select(col("g").as("event_type"), col("n"),
+        when(col("n") > 0, round(mean, 6)).as("mean"),
+        when(col("n") > 1, round(vr, 6)).as("variance"))
     }),
     "q_stream_cdc" -> ((s, dir) => {
       // Streaming changelog materialization — the reference's LWW
@@ -5432,6 +5485,7 @@ object Queries {
          |  AS neg_rank
          |FROM rk2 WHERE nr <= 3""".stripMargin,
     "q_graph_pagerank" -> pageRankOracle,
+    "q_graph_ppr" -> pprOracle,
     "q_graph_hits" -> hitsOracle,
     "q_graph_degree" ->
       """WITH e AS (
@@ -5675,6 +5729,28 @@ object Queries {
         | FROM events) WHERE rn <= 3""".stripMargin,
     // streaming drain of the tolerance as-of = the identical batch
     // join (per-row pure function of the static side)
+    // stream-profile replica: the batch moments from the same 4-dp
+    // scaled longs and two-limb Σv², reassembled in the same literal
+    // double order
+    "q_stream_profile" ->
+      """WITH t AS (SELECT event_type AS g,
+        |  CAST(floor(value * 10000 + 0.5) AS BIGINT) AS t FROM events),
+        |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(t) AS BIGINT) AS s,
+        |  CAST(sum(t * t // 1000000000) AS BIGINT) AS hi,
+        |  CAST(sum(t * t % 1000000000) AS BIGINT) AS lo
+        | FROM t GROUP BY g)
+        |SELECT g AS event_type, n,
+        | CASE WHEN n > 0 THEN
+        |   round(CAST(s AS DOUBLE) / 10000.0 / CAST(n AS DOUBLE), 6)
+        |  END AS mean,
+        | CASE WHEN n > 1 THEN
+        |   round(((CAST(hi AS DOUBLE) * 1000000000.0 +
+        |     CAST(lo AS DOUBLE)) / 100000000.0 -
+        |    CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 100000000.0 /
+        |      CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0), 6)
+        |  END AS variance
+        |FROM m""".stripMargin,
     // stream-CDC replica: the batch greatest-(ts, id) apply — one
     // row_number per key, tombstones grouped under their own op
     "q_stream_cdc" ->
@@ -7887,6 +7963,44 @@ object Queries {
          |  LEFT JOIN r${k - 1} r ON e.src = r.node
          |  LEFT JOIN d ON e.src = d.src
          | GROUP BY n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$steps
+       |SELECT node, CAST(rank AS DOUBLE) AS rank FROM r$iters
+       |ORDER BY rank DESC, node ASC LIMIT 20""".stripMargin
+  }
+
+  /** q_graph_ppr replica: [[pageRankOracle]] with the teleport term
+    * gated on the seed flag (suppliers ≡ 0 mod 10) and seed-only
+    * initial mass — non-seed base is exactly 0. */
+  private def pprOracle: String = {
+    val iters = 5
+    val head =
+      """WITH p AS (
+        | SELECT DISTINCT l_suppkey AS supp, o_custkey + 1000000 AS cust
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT supp AS src, cust AS dst FROM p
+        |      UNION SELECT cust, supp FROM p),
+        |sd AS (SELECT DISTINCT supp AS node FROM p WHERE supp % 10 = 0),
+        |n AS (SELECT node,
+        |  (node IN (SELECT node FROM sd)) AS seed
+        | FROM (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e))),
+        |d AS (SELECT src, count(*) AS dg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, CASE WHEN seed
+        |  THEN CAST(1.0 AS DECIMAL(18,6))
+        |  ELSE CAST(0 AS DECIMAL(18,6)) END AS rank FROM n)"""
+        .stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS (SELECT n.node,
+         | CAST(CASE WHEN n.seed THEN CAST(0.15 AS DECIMAL(18,6))
+         |   ELSE CAST(0 AS DECIMAL(18,6)) END + coalesce(sum(
+         |   CAST(round(CAST(r.rank AS DOUBLE) * 0.85 / d.dg, 6)
+         |     AS DECIMAL(18,6))), 0) AS DECIMAL(18,6)) AS rank
+         | FROM n LEFT JOIN e ON e.dst = n.node
+         |  LEFT JOIN r${k - 1} r ON e.src = r.node
+         |  LEFT JOIN d ON e.src = d.src
+         | GROUP BY n.node, n.seed)""".stripMargin
     }.mkString(",\n")
     s"""$head,
        |$steps

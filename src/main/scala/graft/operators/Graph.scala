@@ -123,6 +123,73 @@ object Graph {
     (ranks, it)
   }
 
+  /** PERSONALIZED PageRank: teleport mass lands only on `seeds`
+    * instead of every node — "influence as seen from this trusted
+    * set", the variant a curation pipeline uses to score corpus
+    * entities by proximity to a vetted whitelist (topic-sensitive
+    * PageRank, Haveliwala 2002). Same unnormalized fixed-point
+    * discipline as [[pageRank]] — rank₀ = 1 at seeds / 0 elsewhere,
+    * per-round rank = 0.15·[seed] + Σ 0.85·rank/outdeg with every
+    * contribution 6-dp-rounded and fixed as DECIMAL(18,6), so the
+    * run replays bit-identically in the oracle. Non-seed nodes
+    * unreachable from any seed finish at exactly 0.
+    *
+    * Scale shape identical to [[pageRank]]: edges persisted
+    * hash-partitioned on src once, one src-clustered join + one
+    * dst-keyed aggregate per round, localCheckpoint generation
+    * management. `seeds` is one extra node-keyed flag join at init —
+    * the loop body never touches it again (the base term rides the
+    * flag column). */
+  def personalizedPageRank(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    val e = edges.select(col("src"), col("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sd = seeds.select(col("node")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .join(sd.withColumn("__s", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(false)).as("__seed"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    nodes.count(); outdeg.count()
+    val dec = DecimalType(18, 6)
+    val base = when(col("__seed"), lit("0.150000").cast(dec))
+      .otherwise(lit(0).cast(dec))
+    var ranks = nodes
+      .withColumn("rank", when(col("__seed"),
+        lit("1.000000").cast(dec)).otherwise(lit(0).cast(dec)))
+      .select(col("node"), col("rank"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ranks.count()
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node"),
+          round(col("rank").cast(DoubleType) * lit(0.85) /
+            col("__d").cast(DoubleType), 6).cast(dec).as("__c"))
+        .groupBy(col("node"))
+        .agg(sum(col("__c")).as("__in"))
+      val next = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (base + coalesce(col("__in"), lit(0).cast(dec)))
+            .cast(dec).as("rank"))
+        .localCheckpoint()
+      ranks.unpersist(false)
+      ranks = next
+    }
+    e.unpersist(false); outdeg.unpersist(false); nodes.unpersist(false)
+    ranks
+  }
+
   /** Triangle census + global clustering coefficient of an undirected
     * graph given as canonical edges (`a` < `b`, one row per edge).
     *

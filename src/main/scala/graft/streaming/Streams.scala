@@ -187,6 +187,56 @@ object Streams {
       }
   }
 
+  final case class MomState(
+      updates: Long, n: Long, s: Long, hi: Long, lo: Long)
+  final case class MomOut(
+      g: String, updates: Long, n: Long, s: Long, hi: Long, lo: Long)
+
+  /** Streaming per-key running moments (count / Σv / Σv²) — the
+    * incremental column profile: after any prefix of the stream, each
+    * key's mean and variance are available without rescanning
+    * history. State is EXACT integer arithmetic so the fold is
+    * associative and commutative — the file-to-batch split cannot
+    * move a bit, and the drained state equals the batch aggregate
+    * exactly (a Welford-style double recurrence would be
+    * order-dependent and drift across batch boundaries):
+    *
+    *  - values quantize to 4-dp scaled longs BEFORE the state fold
+    *    (`floor(v·10⁴ + 0.5)` — the corrMatrix quantization);
+    *  - Σv accumulates as one long (≤ 10¹³ at 2M rows of ≤ 500);
+    *  - Σv² accumulates in TWO LONG LIMBS base 10⁹ (per-row squares
+    *    reach 2.5·10¹³; their sum overflows a single long at corpus
+    *    scale — the corrMatrix two-limb discipline in state form).
+    *
+    * Emits each touched key's full state per micro-batch tagged with
+    * a monotone `updates` counter (latest-wins drain); consumers
+    * reassemble mean/variance from the exact integers. O(1) state
+    * per key. */
+  def runningMomentsState(
+      events: DataFrame)(
+      implicit spark: SparkSession): Dataset[MomOut] = {
+    import spark.implicits._
+    val L = 1000000000L
+    events
+      .select(col("event_type").as[String],
+        floor(col("value") * 10000 + lit(0.5)).cast("long").as[Long])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (g: String, rows: Iterator[(String, Long)],
+         state: GroupState[MomState]) =>
+          var st = state.getOption.getOrElse(MomState(0L, 0L, 0L, 0L, 0L))
+          rows.foreach { case (_, t) =>
+            val sq = t * t
+            st = st.copy(n = st.n + 1, s = st.s + t,
+              hi = st.hi + sq / L, lo = st.lo + sq % L)
+          }
+          st = st.copy(updates = st.updates + 1)
+          state.update(st)
+          Iterator(MomOut(g, st.updates, st.n, st.s, st.hi, st.lo))
+      }
+  }
+
   final case class CdcState(
       updates: Long, tsNs: Long, id: Long, op: String, value: Double)
   final case class CdcOut(

@@ -286,4 +286,20 @@ class GraphSpec extends SparkSpecBase {
     assert(a == b, "early-exit scores must equal the full run's")
   }
 
+  test("personalizedPageRank: mass flows only from the seed — " +
+      "hand-computed chain values, unreachable component stays 0") {
+    // 1→2→3 with seed {1}, plus a disjoint 4→5: after 3 rounds
+    // r1 = 0.15, r2 = 0.85·0.15 = 0.1275, r3 = 0.85·0.1275 =
+    // 0.108375; 4 and 5 never see teleport or seed mass → exactly 0
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.personalizedPageRank(edges, seeds, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getDecimal(1).toPlainString))
+      .toMap
+    assert(got(1L) == "0.150000", s"got $got")
+    assert(got(2L) == "0.127500", s"got $got")
+    assert(got(3L) == "0.108375", s"got $got")
+    assert(got(4L) == "0.000000" && got(5L) == "0.000000",
+      s"unreachable nodes must stay exactly 0: $got")
+  }
 }

@@ -263,6 +263,50 @@ class StreamsSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(dir2)
   }
 
+  test("runningMomentsState: exact integer state makes a two-file " +
+      "drain equal the batch moments bit-for-bit") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val t0 = System.currentTimeMillis()
+    val dir2 = java.nio.file.Files.createTempDirectory("mom_mb").toFile
+    def file(name: String, rows: Seq[(Long, Double)], mt: Long): Unit = {
+      val stage = new java.io.File(dir2, s"__stage_$name")
+      rows.map { case (id, v) =>
+        (id, 1000L * 60 * id, 7L, "click", v, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value",
+          "props")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(
+          org.apache.spark.sql.types.TimestampNTZType))
+        .coalesce(1).write.mode("overwrite").parquet(stage.getPath)
+      val part = stage.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir2, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mt)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    // values with a 4-dp tail so quantization is exercised
+    file("a.parquet", Seq((1L, 1.2345), (2L, 2.5), (3L, 100.0001)),
+      t0 - 60000)
+    file("b.parquet", Seq((4L, 7.75), (5L, 0.0002)), t0)
+    val drained = Streams.runAvailableNow(
+      Streams.runningMomentsState(Streams.eventsStream(
+        spark, dir2.getPath, glob = "*.parquet",
+        maxFilesPerTrigger = 1)).toDF(), "mom_multibatch")
+    assert(drained.select("updates").distinct().count() >= 2,
+      "drain must have split into >= 2 batches")
+    val last = drained.orderBy(col("updates").desc).collect()(0)
+    // batch truth from the same quantization
+    val ts = Seq(1.2345, 2.5, 100.0001, 7.75, 0.0002)
+      .map(v => math.floor(v * 10000 + 0.5).toLong)
+    val sqs = ts.map(t => t * t)
+    assert(last.getAs[Long]("n") == 5L)
+    assert(last.getAs[Long]("s") == ts.sum)
+    assert(last.getAs[Long]("hi") == sqs.map(_ / 1000000000L).sum)
+    assert(last.getAs[Long]("lo") == sqs.map(_ % 1000000000L).sum)
+    org.apache.commons.io.FileUtils.deleteDirectory(dir2)
+  }
+
   test("cdcLatestState: LWW with tombstones across micro-batches — a " +
       "LATE delete loses to the newer upsert, a newer delete wins") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
