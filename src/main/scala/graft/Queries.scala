@@ -671,6 +671,19 @@ object Queries {
         .agg(dsum(col("o_totalprice")).as("rev"))
       Stats.theilSenTrend(daily, "d", "rev")
     }),
+    "q_trend_theilsen_sampled" -> ((s, dir) => {
+      // The long-series Theil–Sen: each day draws 64 deterministic
+      // hash-sampled partner days instead of all P²/2 pairs — O(P·k)
+      // by construction (the blow-up never materializes), the escape
+      // hatch q_trend_theilsen's maxPeriods guard points at. Same
+      // daily series, same two-phase rank medians; at sf0.01 the pair
+      // frame shrinks ~19× while the slope stays within the
+      // estimator's sampling error.
+      val daily = Tables.orders(s, dir)
+        .groupBy(dateFmt(col("o_orderdate")).as("d"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      Stats.theilSenSampled(daily, "d", "rev")
+    }),
     "q_trend_siegel" -> ((s, dir) => {
       // Repeated-median trend on the same daily revenue: per-point
       // inner medians (a partitioned window — parallel) then the
@@ -4014,6 +4027,15 @@ object Queries {
         .agg(count(lit(1)).as("n_kept"),
           sum(length(col("seg_text")).cast(LongType)).as("kept_chars"))
     }),
+    "q_text_keyphrases" -> ((s, dir) => {
+      // Per-source keyphrases: top-5 bigrams per source by PMI inside
+      // the source's OWN token distribution — the corpus-exploration
+      // table ("what does this crawl talk about") q_text_pmi's global
+      // top-30 can't show. Group-partitioned rank window; per-source
+      // totals broadcast.
+      TextAnalysis.keyphrasesPerGroup(Tables.documents(s, dir),
+        "source", col("text"), minCount = 5, k = 5)
+    }),
     "q_text_pmi" -> ((s, dir) => {
       // Collocation mining: global top-30 bigrams by PMI (≥5
       // occurrences). Five ln-of-exact-integer terms summed then
@@ -4930,6 +4952,50 @@ object Queries {
     // index (exact integer gaps), doubled-rank median with the total
     // (s, ia, ib) tie order, intercept median from the 6-dp emitted
     // slope — the theilSenTrend arithmetic step for step.
+    // sampled Theil–Sen replica: the same portable-hash partner
+    // draws (ia + 1 + bucket mod (p − ia)), DISTINCT pair collapse,
+    // and two-middle rank medians
+    "q_trend_theilsen_sampled" -> {
+      val bucket = s"(${affineSql(31, s"((ia * 64 + r) % $M)")} % " +
+        s"${Sampling.Buckets})"
+      s"""WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+         |    AS DOUBLE), 4) AS rev
+         | FROM orders GROUP BY 1),
+         |idx AS (SELECT row_number() OVER (ORDER BY d ASC) AS i,
+         |  rev AS y FROM daily),
+         |np AS (SELECT count(*) AS p FROM idx),
+         |dr AS (SELECT a.i AS ia, a.y AS ya, t.r AS r, np.p
+         | FROM idx a, np, range(1, 65) t(r) WHERE a.i < np.p),
+         |pj AS (SELECT DISTINCT ia, ya, p,
+         |  ia + 1 + ($bucket % (p - ia)) AS j
+         | FROM dr),
+         |sl AS (SELECT (b.y - pj.ya) / CAST(pj.j - pj.ia AS DOUBLE)
+         |    AS s,
+         |  pj.ia * (p + 1) + pj.j AS t
+         | FROM pj JOIN idx b ON b.i = pj.j),
+         |r AS (SELECT s,
+         |  row_number() OVER (ORDER BY s ASC, t ASC) AS rk,
+         |  count(*) OVER () AS n FROM sl),
+         |m AS (SELECT CAST(max(n) AS BIGINT) AS n_pairs,
+         |  round((CAST(sum(CASE WHEN rk = (n + 1) // 2 THEN s END)
+         |      AS DOUBLE) +
+         |    CAST(sum(CASE WHEN rk = (n + 2) // 2 THEN s END)
+         |      AS DOUBLE)) / 2.0, 6) AS slope
+         | FROM r),
+         |resid AS (SELECT i, y - slope * i AS bv FROM idx, m),
+         |rr AS (SELECT bv,
+         |  row_number() OVER (ORDER BY bv ASC, i ASC) AS rk FROM resid),
+         |ri AS (SELECT rr.bv, rr.rk, np.p FROM rr, np),
+         |mi AS (SELECT CAST(max(p) AS BIGINT) AS n_periods,
+         |  round((CAST(sum(CASE WHEN rk = (p + 1) // 2 THEN bv END)
+         |      AS DOUBLE) +
+         |    CAST(sum(CASE WHEN rk = (p + 2) // 2 THEN bv END)
+         |      AS DOUBLE)) / 2.0, 6) AS intercept
+         | FROM ri)
+         |SELECT n_periods, n_pairs, slope, intercept FROM mi, m"""
+        .stripMargin
+    },
     "q_trend_theilsen" ->
       """WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
@@ -6452,6 +6518,7 @@ object Queries {
         |FROM surv GROUP BY 1""".stripMargin,
     "q_text_tfidf" -> tfIdfOracle,
     "q_text_pmi" -> pmiOracle,
+    "q_text_keyphrases" -> keyphrasesOracle,
     "q_partition_prune" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderstatus,
         | count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
@@ -8193,6 +8260,38 @@ object Queries {
     * token pairs with multiplicity), same five-ln formula in the same
     * left-associative order, same ≥5 cut and (pmi desc, w1, w2)
     * top-30. */
+  /** q_text_keyphrases replica: [[pmiOracle]] grouped by source with
+    * a per-source rank window instead of the global LIMIT. */
+  private def keyphrasesOracle: String =
+    s"""WITH tk AS (SELECT source AS g, $toksSql AS toks
+       |            FROM documents),
+       |bgf AS (SELECT g, bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+       |  SELECT g, unnest(list_transform(range(1, len(toks)),
+       |    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg
+       |  FROM tk WHERE len(toks) >= 2)),
+       |u AS (SELECT g, tok AS w, CAST(count(*) AS BIGINT) AS cw FROM (
+       |  SELECT g, unnest(toks) AS tok FROM tk) GROUP BY 1, 2),
+       |cab AS (SELECT g, w1, w2, CAST(count(*) AS BIGINT) AS n_ab
+       | FROM bgf GROUP BY 1, 2, 3 HAVING count(*) >= 5),
+       |tt AS (SELECT g, CAST(count(*) AS BIGINT) AS t FROM bgf
+       |       GROUP BY 1),
+       |uu AS (SELECT g, CAST(sum(cw) AS BIGINT) AS u FROM u GROUP BY 1),
+       |sc AS (SELECT cab.g, w1, w2, n_ab,
+       | round(ln(CAST(n_ab AS DOUBLE)) + 2 * ln(CAST(uu.u AS DOUBLE)) -
+       |  ln(CAST(tt.t AS DOUBLE)) - ln(CAST(ca.cw AS DOUBLE)) -
+       |  ln(CAST(cb.cw AS DOUBLE)), 6) AS pmi
+       | FROM cab
+       |  JOIN u ca ON cab.g = ca.g AND cab.w1 = ca.w
+       |  JOIN u cb ON cab.g = cb.g AND cab.w2 = cb.w
+       |  JOIN tt ON cab.g = tt.g
+       |  JOIN uu ON cab.g = uu.g)
+       |SELECT g AS source, w1, w2, n_ab, pmi,
+       | CAST(rk AS INTEGER) AS rank FROM (
+       | SELECT g, w1, w2, n_ab, pmi,
+       |  row_number() OVER (PARTITION BY g
+       |    ORDER BY pmi DESC, w1 ASC, w2 ASC) AS rk
+       | FROM sc) WHERE rk <= 5""".stripMargin
+
   private def pmiOracle: String =
     s"""WITH tk AS (SELECT $toksSql AS toks FROM documents),
        |bgf AS (SELECT bg['w1'] AS w1, bg['w2'] AS w2 FROM (

@@ -1881,6 +1881,81 @@ object Stats {
     out
   }
 
+  /** SAMPLED Theil–Sen trend — the long-series escape hatch the
+    * [[theilSenTrend]] maxPeriods guard points at: instead of all
+    * P²/2 pairwise slopes, each point draws `pairsPerPoint`
+    * deterministic hash-sampled partners ABOVE it (j = i + 1 +
+    * bucket(i, r) mod (P − i)), so the pair frame is O(P·k) BY
+    * CONSTRUCTION — the blow-up never materializes, unlike a filter
+    * over the full crossJoin which would still evaluate P² candidate
+    * rows. The randomized-Theil–Sen estimator (Matoušek 1991 shows
+    * O(n log n) suffices for full accuracy; a fixed per-point budget
+    * is the practical streaming-corpus form).
+    *
+    * Determinism: partner draws come from the portable
+    * [[Sampling.idBucket]] family (replayable in the oracle),
+    * duplicate draws collapse via DISTINCT, both medians run the
+    * exact two-middle-average rank discipline of [[theilSenTrend]],
+    * and the intercept reuses the 6-dp EMITTED slope.
+    *
+    * Returns one row: (n_periods, n_pairs, slope, intercept). */
+  def theilSenSampled(
+      series: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      pairsPerPoint: Int = 64,
+      seed: Int = 31): DataFrame = {
+    require(pairsPerPoint >= 1 && pairsPerPoint <= 1024,
+      s"pairsPerPoint out of range: $pairsPerPoint")
+    val w = Window.orderBy(col(orderCol).asc)
+    val idx = series
+      .select(col(valueCol).cast(DoubleType).as("__y"),
+        row_number().over(w).as("__i"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = idx.count()
+    if (p < 2) {
+      idx.unpersist(false)
+      require(p >= 2, s"theilSenSampled needs >= 2 periods, got $p")
+    }
+    val k = pairsPerPoint
+    val pairs = idx.filter(col("__i") < p)
+      .select(col("__i").cast(LongType).as("__ia"), col("__y").as("__ya"),
+        explode(sequence(lit(1), lit(k))).as("__r"))
+      .withColumn("__j", col("__ia") + 1 +
+        Sampling.idBucket(col("__ia") * k + col("__r"), seed) %
+          (lit(p) - col("__ia")))
+      .select(col("__ia"), col("__ya"), col("__j"))
+      .distinct()
+    val slopes = pairs
+      .join(idx.select(col("__i").cast(LongType).as("__j"),
+        col("__y").as("__yb")), Seq("__j"))
+      .select(((col("__yb") - col("__ya")) /
+          (col("__j") - col("__ia")).cast(DoubleType)).as("__s"),
+        (col("__ia") * (p + 1) + col("__j")).as("__t"))
+    val (ranked, n) = globalRankByValue(slopes, "__s", "__t")
+    val midLo = (n + 1) / 2
+    val midHi = (n + 2) / 2
+    val med = ranked.agg(
+      sum(when(col("__rank") === midLo, col("__s"))).as("__a"),
+      sum(when(col("__rank") === midHi, col("__s"))).as("__b"))
+      .select(round((col("__a") + col("__b")) / 2.0, 6).as("slope"))
+    val wb = Window.orderBy(col("__bv").asc, col("__i").asc)
+    val pm = lit((p + 1) / 2)
+    val ph = lit((p + 2) / 2)
+    val resid = idx.crossJoin(broadcast(med))
+      .withColumn("__bv", col("__y") - col("slope") * col("__i"))
+      .withColumn("__rk", row_number().over(wb))
+    val out = resid.agg(
+      max(col("slope")).as("slope"),
+      round((sum(when(col("__rk") === pm, col("__bv"))) +
+        sum(when(col("__rk") === ph, col("__bv")))) / 2.0, 6)
+        .as("intercept"))
+      .select(lit(p).as("n_periods"), lit(n).as("n_pairs"),
+        col("slope"), col("intercept"))
+    idx.unpersist(false)
+    out
+  }
+
   /** Siegel REPEATED-median trend (Siegel 1982): slope = the median
     * over points i of (the median over j≠i of the pairwise slopes
     * through i), intercept = the median of y_i − slope·i. The

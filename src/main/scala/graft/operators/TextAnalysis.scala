@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -754,6 +755,70 @@ object TextAnalysis {
           log(col("cb").cast(DoubleType)), 6).as("pmi"))
       .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
       .limit(k)
+      .persist(lvl)
+    out.count()
+    uni.unpersist(false)
+    bgAll.unpersist(false)
+    out
+  }
+
+  /** Per-group keyphrase extraction: top-k bigrams per group by PMI
+    * computed WITHIN the group's own token distribution — "what
+    * phrases characterize this source/shard" (a bigram ubiquitous in
+    * one crawl but rare in its own unigram mix scores high there
+    * even if the global corpus drowns it). The grouped sibling of
+    * [[pmiCollocations]], same five-ln-term formula per group.
+    *
+    * Scale shape: the corpus tokenizes twice (once per n-gram order,
+    * the pmiCollocations contract); both count frames are
+    * (group × vocab)-sized and persisted across their consumers;
+    * per-group totals broadcast; the top-k is a group-partitioned
+    * rank window over the scored-bigram frame, never a global sort.
+    *
+    * Returns (groupCol, w1, w2, n_ab, pmi, rank), rank 1..k. */
+  def keyphrasesPerGroup(
+      docs: DataFrame,
+      groupCol: String,
+      text: Column,
+      minCount: Int,
+      k: Int): DataFrame = {
+    require(minCount > 0 && k > 0, "minCount and k must be positive")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val toks = docs.select(col(groupCol).as("__g"),
+      tokens(lower(text)).as("__tk"))
+    val uni = toks.select(col("__g"), explode(col("__tk")).as("w"))
+      .groupBy(col("__g"), col("w")).agg(count(lit(1)).as("cw"))
+      .persist(lvl)
+    val bgAll = toks.filter(size(col("__tk")) >= 2)
+      .select(col("__g"), explode(expr(
+        "transform(sequence(0, size(__tk) - 2), " +
+          "i -> struct(__tk[i] AS w1, __tk[i + 1] AS w2))")).as("bg"))
+      .select(col("__g"), col("bg.w1"), col("bg.w2"))
+      .groupBy(col("__g"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .persist(lvl)
+    val totals = bgAll.groupBy(col("__g")).agg(sum(col("n_ab")).as("__t"))
+      .join(uni.groupBy(col("__g")).agg(sum(col("cw")).as("__u")),
+        Seq("__g"))
+    val scored = bgAll.filter(col("n_ab") >= minCount)
+      .join(uni.withColumnRenamed("w", "w1")
+        .withColumnRenamed("cw", "ca"), Seq("__g", "w1"))
+      .join(uni.withColumnRenamed("w", "w2")
+        .withColumnRenamed("cw", "cb"), Seq("__g", "w2"))
+      .join(broadcast(totals), Seq("__g"))
+      .select(col("__g"), col("w1"), col("w2"), col("n_ab"),
+        round(log(col("n_ab").cast(DoubleType)) +
+          lit(2d) * log(col("__u").cast(DoubleType)) -
+          log(col("__t").cast(DoubleType)) -
+          log(col("ca").cast(DoubleType)) -
+          log(col("cb").cast(DoubleType)), 6).as("pmi"))
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+    val out = scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__g").as(groupCol), col("w1"), col("w2"),
+        col("n_ab"), col("pmi"), col("rank"))
       .persist(lvl)
     out.count()
     uni.unpersist(false)

@@ -694,6 +694,31 @@ class StatsSpec extends SparkSpecBase {
     assert(ok.getAs[Double]("slope") == 2.0)
   }
 
+  test("theilSenSampled: exact line recovered from any pair sample; " +
+      "pair frame is O(P·k) not P²; guards match theilSenTrend's") {
+    import spark.implicits._
+    def mk(vals: Seq[Double]) = vals.zipWithIndex
+      .map { case (v, i) => (f"d${i + 1}%03d", v) }.toDF("d", "v")
+    // y = 3i + 1 exactly: every pair's slope is 3, so whatever the
+    // hash draws, the median is exactly 3 and the intercept exactly 1
+    val line = (1 to 40).map(i => 3.0 * i + 1.0)
+    val r = Stats.theilSenSampled(mk(line), "d", "v", pairsPerPoint = 4)
+      .collect()(0)
+    assert(r.getAs[Long]("n_periods") == 40L)
+    // ≤ 39 points × 4 draws (dedup can only shrink) — never P²/2
+    assert(r.getAs[Long]("n_pairs") <= 156L &&
+      r.getAs[Long]("n_pairs") >= 39L, s"pair budget: $r")
+    assert(r.getAs[Double]("slope") == 3.0, s"slope: $r")
+    assert(r.getAs[Double]("intercept") == 1.0, s"intercept: $r")
+    // deterministic replay
+    val r2 = Stats.theilSenSampled(mk(line), "d", "v", pairsPerPoint = 4)
+      .collect()(0)
+    assert(r == r2, "sampled pair set must replay exactly")
+    intercept[IllegalArgumentException] {
+      Stats.theilSenSampled(mk(Seq(1.0)), "d", "v")
+    }
+  }
+
   test("siegelTrend: exact line recovered; survives contamination " +
       "Theil–Sen's single median would feel harder") {
     import spark.implicits._
