@@ -1005,6 +1005,15 @@ object Queries {
       // before the cross-group fold so group order cannot move a bit.
       Stats.anovaF(Tables.events(s, dir), "value", "event_type")
     }),
+    "q_median_ci" -> ((s, dir) => {
+      // Distribution-free 95% CI for MEDIAN doc length — the
+      // order-statistic (sign-test) interval: no resampling, no
+      // assumptions, just two extra rank probes on the two-phase
+      // distributed rank the median already needs. q_bootstrap_ci's
+      // sibling for the robust center.
+      Stats.medianCI(Tables.documents(s, dir), col("n_chars"),
+        col("doc_id"))
+    }),
     "q_bootstrap_ci" -> ((s, dir) => {
       // Poisson-bootstrap 95% CI for mean doc length — uncertainty at
       // 100 TB without materializing a single resample: each row gets
@@ -7152,6 +7161,29 @@ object Queries {
         |  THEN round(1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y) /
         |    (syy - sy * sy / CAST(n AS DOUBLE)), 6) END AS r2
         |FROM b""".stripMargin,
+    // median-CI replica: same rank probes — sqrt/floor/ceil land on
+    // the identical order-statistic ranks (IEEE sqrt both engines)
+    "q_median_ci" ->
+      """WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS x, doc_id AS t
+        | FROM documents WHERE n_chars IS NOT NULL),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        |r AS (SELECT x,
+        |  row_number() OVER (ORDER BY x ASC, t ASC) AS rk FROM v),
+        |k AS (SELECT n,
+        |  greatest(1, CAST(floor((n - 1.96 *
+        |    sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT)) AS rlo,
+        |  least(n, CAST(ceil((n + 1.96 *
+        |    sqrt(CAST(n AS DOUBLE))) / 2.0 + 1.0) AS BIGINT)) AS rhi
+        | FROM np)
+        |SELECT k.n,
+        | round((sum(CASE WHEN rk = (n + 1) // 2 THEN x END) +
+        |   sum(CASE WHEN rk = (n + 2) // 2 THEN x END)) / 2.0, 6)
+        |  AS median,
+        | min(CASE WHEN rk = rlo THEN x END) AS ci_lo,
+        | min(CASE WHEN rk = rhi THEN x END) AS ci_hi,
+        | CAST(max(rlo) AS BIGINT) AS rank_lo,
+        | CAST(max(rhi) AS BIGINT) AS rank_hi
+        |FROM r, k GROUP BY k.n""".stripMargin,
     // bootstrap replica: same portable-hash Poisson(1) multiplicities
     // (floor(cdf·10^6) literal thresholds), exact DECIMAL weighted
     // sums, identical (mu, i) rank order and integer ceil ranks

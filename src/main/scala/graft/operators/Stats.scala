@@ -1415,6 +1415,45 @@ object Stats {
     out
   }
 
+  /** Distribution-free 95% confidence interval for the MEDIAN via
+    * order statistics (the binomial/sign-test interval, normal
+    * approximation): the true median lies between the ⌊(n − z√n)/2⌋-th
+    * and ⌈(n + z√n)/2 + 1⌉-th order statistics with ~95% coverage,
+    * for ANY distribution — no resampling, no variance estimate, no
+    * distributional assumption. The [[poissonBootstrap]]'s sibling
+    * for the robust center: two extra rank probes on a pass the
+    * median already needs.
+    *
+    * Scale shape: one [[globalRankByValue]] two-phase distributed
+    * rank; the interval ranks are driver-side integers (floor/ceil
+    * of 1.96·√n — sqrt is IEEE-correctly-rounded in every engine, so
+    * the oracle lands on the same ranks); the result is one row.
+    *
+    * Returns (n, median, ci_lo, ci_hi, rank_lo, rank_hi). */
+  def medianCI(
+      df: DataFrame,
+      valueCol: Column,
+      tieCol: Column): DataFrame = {
+    val v = df.select(valueCol.cast(DoubleType).as("__x"),
+        tieCol.as("__t"))
+      .filter(col("__x").isNotNull)
+    val (ranked, n) = globalRankByValue(v, "__x", "__t")
+    require(n >= 2, s"medianCI needs >= 2 rows, got $n")
+    val zn = 1.96 * math.sqrt(n.toDouble)
+    val rLo = math.max(1L, math.floor((n - zn) / 2.0).toLong)
+    val rHi = math.min(n, math.ceil((n + zn) / 2.0 + 1.0).toLong)
+    val midLo = (n + 1) / 2
+    val midHi = (n + 2) / 2
+    ranked.agg(
+      round((sum(when(col("__rank") === midLo, col("__x"))) +
+        sum(when(col("__rank") === midHi, col("__x")))) / 2.0, 6)
+        .as("median"),
+      min(when(col("__rank") === rLo, col("__x"))).as("ci_lo"),
+      min(when(col("__rank") === rHi, col("__x"))).as("ci_hi"))
+      .select(lit(n).as("n"), col("median"), col("ci_lo"), col("ci_hi"),
+        lit(rLo).as("rank_lo"), lit(rHi).as("rank_hi"))
+  }
+
   /** Two-feature multiple linear regression (with intercept) by the
     * normal equations — the multivariate step up from
     * [[groupedTrend]]'s single-x OLS: y ≈ β₀ + β₁x₁ + β₂x₂, solved

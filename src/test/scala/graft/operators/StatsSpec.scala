@@ -892,6 +892,22 @@ class StatsSpec extends SparkSpecBase {
       s"singular system must NULL-gate: $c")
   }
 
+  test("medianCI: hand-checked order-statistic ranks on 1..100; CI " +
+      "brackets the median and widens with spread") {
+    import spark.implicits._
+    // n = 100: z√n = 19.6 → rank_lo = max(1, ⌊(100 − 19.6)/2⌋) = 40,
+    // rank_hi = min(100, ⌈(100 + 19.6)/2 + 1⌉) = 61; values 1..100
+    // make the order statistics their own ranks
+    val df = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val r = Stats.medianCI(df, col("v"), col("id")).collect()(0)
+    assert(r.getAs[Long]("n") == 100L)
+    assert(r.getAs[Double]("median") == 50.5)
+    assert(r.getAs[Long]("rank_lo") == 40L &&
+      r.getAs[Long]("rank_hi") == 61L, s"ranks: $r")
+    assert(r.getAs[Double]("ci_lo") == 40.0 &&
+      r.getAs[Double]("ci_hi") == 61.0, s"interval: $r")
+  }
+
   test("poissonBootstrap: constant column collapses the CI to the " +
       "point; interval is ordered, deterministic, and guarded") {
     import spark.implicits._
