@@ -649,6 +649,18 @@ object Queries {
         datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType)),
         col("value"))
     }),
+    "q_conformal" -> ((s, dir) => {
+      // Split-conformal prediction interval around the q_trend_mlr
+      // plane: fit on the hash-half of lineitem, half-width = the
+      // ⌈(n+1)·0.9⌉-th smallest calibration residual, coverage
+      // audited on the held-out half — distribution-free ~90%
+      // coverage even though the plane is a poor model (that's the
+      // point of conformal). Portable hash split, emitted 6-dp
+      // betas, integer conformal rank.
+      Stats.splitConformal(Tables.lineitem(s, dir),
+        col("l_orderkey") * 10 + col("l_linenumber"),
+        col("l_extendedprice"), col("l_quantity"), col("l_discount"))
+    }),
     "q_trend_mlr" -> ((s, dir) => {
       // Two-feature plane fit: extendedprice against quantity and
       // discount by closed-form normal equations (Cramer on the 3×3
@@ -7116,6 +7128,73 @@ object Queries {
         |     (CAST(ssb AS DOUBLE) + CAST(ssw AS DOUBLE)), 6)
         |  END AS eta_sq
         |FROM f""".stripMargin,
+    // conformal replica: the MLR moment/Cramer fit on the hash-calib
+    // half, the same integer conformal rank over (residual, id)
+    // order, raw-q comparisons on the held-out half
+    "q_conformal" -> {
+      val bucket = s"(${affineSql(37, s"(id % $M)")} % " +
+        s"${Sampling.Buckets})"
+      s"""WITH d AS (SELECT
+         |  (l_orderkey * 10 + l_linenumber) AS id,
+         |  CAST(l_extendedprice AS DECIMAL(18,4)) AS y,
+         |  CAST(l_quantity AS DECIMAL(18,4)) AS x1,
+         |  CAST(l_discount AS DECIMAL(18,4)) AS x2
+         | FROM lineitem
+         | WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+         |   AND l_discount IS NOT NULL
+         |   AND l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL),
+         |s AS (SELECT id, y, x1, x2, $bucket < 500000 AS calib FROM d),
+         |c AS (SELECT * FROM s WHERE calib),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+         |  CAST(sum(y) AS DOUBLE) AS sy,
+         |  CAST(sum(CAST(x1 AS DECIMAL(19,4)) * x1) AS DOUBLE) AS s11,
+         |  CAST(sum(CAST(x1 AS DECIMAL(19,4)) * x2) AS DOUBLE) AS s12,
+         |  CAST(sum(CAST(x2 AS DECIMAL(19,4)) * x2) AS DOUBLE) AS s22,
+         |  CAST(sum(CAST(x1 AS DECIMAL(19,4)) * y) AS DOUBLE) AS s1y,
+         |  CAST(sum(CAST(x2 AS DECIMAL(19,4)) * y) AS DOUBLE) AS s2y
+         | FROM c),
+         |dets AS (SELECT n,
+         |  CAST(n AS DOUBLE) * (s11 * s22 - s12 * s12) -
+         |   s1 * (s1 * s22 - s12 * s2) +
+         |   s2 * (s1 * s12 - s11 * s2) AS det,
+         |  sy * (s11 * s22 - s12 * s12) -
+         |   s1 * (s1y * s22 - s12 * s2y) +
+         |   s2 * (s1y * s12 - s11 * s2y) AS det0,
+         |  CAST(n AS DOUBLE) * (s1y * s22 - s12 * s2y) -
+         |   sy * (s1 * s22 - s12 * s2) +
+         |   s2 * (s1 * s2y - s1y * s2) AS det1,
+         |  CAST(n AS DOUBLE) * (s11 * s2y - s1y * s12) -
+         |   s1 * (s1 * s2y - s1y * s2) +
+         |   sy * (s1 * s12 - s11 * s2) AS det2
+         | FROM m),
+         |b AS (SELECT
+         |  CASE WHEN n > 2 AND det <> 0 THEN round(det0 / det, 6) END
+         |    AS b0,
+         |  CASE WHEN n > 2 AND det <> 0 THEN round(det1 / det, 6) END
+         |    AS b1,
+         |  CASE WHEN n > 2 AND det <> 0 THEN round(det2 / det, 6) END
+         |    AS b2
+         | FROM dets),
+         |cr AS (SELECT abs(CAST(y AS DOUBLE) - (b0 +
+         |    b1 * CAST(x1 AS DOUBLE) + b2 * CAST(x2 AS DOUBLE))) AS r,
+         |  id FROM c, b),
+         |rk AS (SELECT r,
+         |  row_number() OVER (ORDER BY r ASC, id ASC) AS rnk,
+         |  count(*) OVER () AS nc FROM cr),
+         |q AS (SELECT min(CASE WHEN rnk = least(nc, greatest(1,
+         |    ((nc + 1) * 900 + 999) // 1000)) THEN r END) AS qv,
+         |  CAST(min(nc) AS BIGINT) AS nc FROM rk),
+         |t AS (SELECT * FROM s WHERE NOT calib)
+         |SELECT q.nc AS n_calib, CAST(count(*) AS BIGINT) AS n_test,
+         | b.b0, b.b1, b.b2, round(q.qv, 6) AS q_alpha,
+         | round(CAST(sum(CASE WHEN abs(CAST(y AS DOUBLE) - (b0 +
+         |     b1 * CAST(x1 AS DOUBLE) + b2 * CAST(x2 AS DOUBLE)))
+         |    <= q.qv THEN 1 ELSE 0 END) AS DOUBLE) /
+         |   CAST(count(*) AS DOUBLE), 6) AS coverage
+         |FROM t, b, q GROUP BY q.nc, b.b0, b.b1, b.b2, q.qv"""
+        .stripMargin
+    },
     // MLR replica: identical exact moment accumulators and the same
     // first-row cofactor determinant expansion before each round
     "q_trend_mlr" ->

@@ -1415,6 +1415,77 @@ object Stats {
     out
   }
 
+  /** Split-conformal prediction interval around an [[ols2]] plane
+    * fit (Vovk et al.; the Lei et al. 2018 split-conformal recipe):
+    * fit on a deterministic hash-half of the rows, take the
+    * ⌈(n_c+1)(1−α)⌉-th smallest absolute calibration residual as the
+    * interval half-width q, and audit empirical coverage of
+    * |y − ŷ| ≤ q on the held-out half — distribution-free ~(1−α)
+    * coverage with NO assumption on the regression's correctness.
+    * The model-aware member of the interval family
+    * ([[poissonBootstrap]] mean / [[medianCI]] median / this for
+    * predictions).
+    *
+    * Scale shape: one pass fits the plane (ten exact moments), one
+    * two-phase distributed rank over calibration residuals, one
+    * broadcast-q scoring pass over the test half. Determinism: the
+    * split is the portable [[Sampling.idBucket]]; ŷ uses the EMITTED
+    * 6-dp betas (the gate-replays-emitted-precision rule); the
+    * conformal rank is pure integer arithmetic
+    * (((n+1)·(1000−α‰) + 999) div 1000).
+    *
+    * Returns (n_calib, n_test, b0, b1, b2, q_alpha, coverage). */
+  def splitConformal(
+      df: DataFrame,
+      idCol: Column,
+      y: Column,
+      x1: Column,
+      x2: Column,
+      alphaPermille: Int = 100,
+      seed: Int = 37): DataFrame = {
+    require(alphaPermille > 0 && alphaPermille < 1000,
+      s"alphaPermille out of range: $alphaPermille")
+    val dec = DecimalType(18, 4)
+    val base = df.select(idCol.cast(LongType).as("__id"),
+        y.cast(dec).as("__y"), x1.cast(dec).as("__x1"),
+        x2.cast(dec).as("__x2"))
+      .na.drop("any", Seq("__id", "__y", "__x1", "__x2"))
+      .withColumn("__calib",
+        Sampling.idBucket(col("__id"), seed) < Sampling.Buckets / 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val calib = base.filter(col("__calib"))
+    val fit = ols2(calib, col("__y"), col("__x1"), col("__x2"))
+      .select(col("b0"), col("b1"), col("b2"))
+    def resid = abs(col("__y").cast(DoubleType) -
+      (col("b0") + col("b1") * col("__x1").cast(DoubleType) +
+        col("b2") * col("__x2").cast(DoubleType)))
+    // "__res", not "__r" — globalRankByValue drops an internal "__r"
+    val cres = calib.crossJoin(broadcast(fit))
+      .select(resid.as("__res"), col("__id").as("__t"))
+    val (ranked, nc) = globalRankByValue(cres, "__res", "__t")
+    require(nc >= 1, "conformal calibration half is empty")
+    // ⌈(n_c+1)(1−α)⌉ in pure integer arithmetic, clamped into 1..n_c
+    val keep = 1000L - alphaPermille
+    val k = math.min(nc, math.max(1L, ((nc + 1) * keep + 999L) / 1000L))
+    val q = ranked.agg(
+      min(when(col("__rank") === k, col("__res"))).as("q_alpha"))
+    val out = base.filter(!col("__calib"))
+      .crossJoin(broadcast(fit))
+      .crossJoin(broadcast(q))
+      .agg(count(lit(1)).as("n_test"),
+        max(col("b0")).as("b0"), max(col("b1")).as("b1"),
+        max(col("b2")).as("b2"),
+        round(max(col("q_alpha")), 6).as("q_alpha"),
+        round(sum(when(resid <= col("q_alpha"), 1L).otherwise(0L))
+          .cast(DoubleType) / count(lit(1)).cast(DoubleType), 6)
+          .as("coverage"))
+      .select(lit(nc).as("n_calib"), col("n_test"), col("b0"),
+        col("b1"), col("b2"), col("q_alpha"), col("coverage"))
+      .localCheckpoint(true)
+    base.unpersist(false)
+    out
+  }
+
   /** Distribution-free 95% confidence interval for the MEDIAN via
     * order statistics (the binomial/sign-test interval, normal
     * approximation): the true median lies between the ⌊(n − z√n)/2⌋-th

@@ -892,6 +892,33 @@ class StatsSpec extends SparkSpecBase {
       s"singular system must NULL-gate: $c")
   }
 
+  test("splitConformal: a perfect model gives q = 0 and coverage 1; " +
+      "a noisy one still covers ≈ 1 − α; runs replay exactly") {
+    import spark.implicits._
+    // exact plane: every residual is 0 → q_alpha = 0, coverage = 1.0
+    val exact = (1L to 400L)
+      .map(i => (i, 2.0 + 3.0 * i - (i % 7), i.toDouble, (i % 7).toDouble))
+      .toDF("id", "y", "x1", "x2")
+    val e = Stats.splitConformal(exact, col("id"), col("y"), col("x1"),
+      col("x2")).collect()(0)
+    assert(e.getAs[Double]("q_alpha") == 0.0, s"exact fit: $e")
+    assert(e.getAs[Double]("coverage") == 1.0, s"exact fit: $e")
+    assert(e.getAs[Long]("n_calib") + e.getAs[Long]("n_test") == 400L)
+    // deterministic "noise" from a hash-like residue: coverage must
+    // land near 1 − α = 0.9 and the whole row must replay bitwise
+    val noisy = (1L to 2000L).map { i =>
+      (i, 10.0 * i + ((i * 2654435761L) % 97).toDouble,
+        i.toDouble, (i % 5).toDouble)
+    }.toDF("id", "y", "x1", "x2")
+    val r1 = Stats.splitConformal(noisy, col("id"), col("y"),
+      col("x1"), col("x2")).collect()(0)
+    val r2 = Stats.splitConformal(noisy, col("id"), col("y"),
+      col("x1"), col("x2")).collect()(0)
+    assert(r1 == r2, "conformal must replay exactly")
+    val cov = r1.getAs[Double]("coverage")
+    assert(cov >= 0.85 && cov <= 1.0, s"coverage ≈ 0.9 expected: $r1")
+  }
+
   test("medianCI: hand-checked order-statistic ranks on 1..100; CI " +
       "brackets the median and widens with spread") {
     import spark.implicits._
