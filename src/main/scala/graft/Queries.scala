@@ -1026,6 +1026,15 @@ object Queries {
       Stats.medianCI(Tables.documents(s, dir), col("n_chars"),
         col("doc_id"))
     }),
+    "q_bootstrap_by_lang" -> ((s, dir) => {
+      // Per-language mean doc length WITH ERROR BARS — the grouped
+      // Poisson bootstrap from the same single replicate-exploded
+      // pass; per-group replicate means are |langs|·200 bounded rows
+      // and the rank window partitions by language. The corpus-
+      // dashboard form of q_bootstrap_ci.
+      Stats.poissonBootstrapByGroup(Tables.documents(s, dir), "lang",
+        col("doc_id"), col("n_chars"))
+    }),
     "q_bootstrap_ci" -> ((s, dir) => {
       // Poisson-bootstrap 95% CI for mean doc length — uncertainty at
       // 100 TB without materializing a single resample: each row gets
@@ -7263,6 +7272,45 @@ object Queries {
         | CAST(max(rlo) AS BIGINT) AS rank_lo,
         | CAST(max(rhi) AS BIGINT) AS rank_hi
         |FROM r, k GROUP BY k.n""".stripMargin,
+    // grouped-bootstrap replica: the q_bootstrap_ci arithmetic
+    // partitioned by lang — same draws, same integer ceil ranks per
+    // group
+    "q_bootstrap_by_lang" -> {
+      val bkt = s"(${affineSql(29, s"((id * 200 + i) % $M)")} % " +
+        s"${Sampling.Buckets})"
+      s"""WITH base AS (SELECT lang AS g, doc_id AS id,
+         |  CAST(n_chars AS DECIMAL(18,4)) AS y
+         | FROM documents
+         | WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+         |   AND n_chars IS NOT NULL),
+         |reps AS (SELECT g, id, y, i
+         |         FROM base CROSS JOIN range(200) t(i)),
+         |bk AS (SELECT g, i, y, $bkt AS bkt FROM reps),
+         |wts AS (SELECT g, i, y,
+         |  CASE WHEN bkt < 367879 THEN 0 WHEN bkt < 735758 THEN 1
+         |       WHEN bkt < 919698 THEN 2 WHEN bkt < 981011 THEN 3
+         |       WHEN bkt < 996340 THEN 4 WHEN bkt < 999405 THEN 5
+         |       WHEN bkt < 999916 THEN 6 ELSE 7 END AS w
+         | FROM bk),
+         |m AS (SELECT g, i,
+         |  CAST(sum(w * y) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS mu
+         | FROM wts GROUP BY g, i HAVING sum(w) > 0),
+         |r AS (SELECT g, i, mu,
+         |  row_number() OVER (PARTITION BY g ORDER BY mu, i) AS rk,
+         |  count(*) OVER (PARTITION BY g) AS nb FROM m),
+         |ci AS (SELECT g, CAST(count(*) AS BIGINT) AS b_used,
+         |  min(CASE WHEN rk = (nb + 39) // 40 THEN mu END) AS lo,
+         |  min(CASE WHEN rk = (39 * nb + 39) // 40 THEN mu END) AS hi
+         | FROM r GROUP BY g),
+         |st AS (SELECT g, CAST(count(*) AS BIGINT) AS n, sum(y) AS sy
+         | FROM base GROUP BY g)
+         |SELECT st.g AS lang, n,
+         | CASE WHEN n > 0
+         |   THEN round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         |  END AS mean,
+         | b_used, round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi
+         |FROM st JOIN ci ON st.g = ci.g""".stripMargin
+    },
     // bootstrap replica: same portable-hash Poisson(1) multiplicities
     // (floor(cdf·10^6) literal thresholds), exact DECIMAL weighted
     // sums, identical (mu, i) rank order and integer ceil ranks

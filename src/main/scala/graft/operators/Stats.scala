@@ -1677,6 +1677,71 @@ object Stats {
         round(col("__hi"), 6).as("ci_hi"))
   }
 
+  /** Per-group [[poissonBootstrap]]: a 95% CI for each group's mean
+    * from the SAME single replicate-exploded pass — the form a corpus
+    * dashboard actually wants ("mean doc length per language, with
+    * error bars"). The per-group replicate-mean frames are
+    * |groups|·b bounded rows; the rank window partitions by group (a
+    * group's b replicates in one partition — control-plane), and the
+    * order-statistic ranks are the same pure-integer ceil forms.
+    *
+    * Returns one row per group: (groupCol, n, mean, b_used, ci_lo,
+    * ci_hi). */
+  def poissonBootstrapByGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: Column,
+      valueCol: Column,
+      b: Int = 200,
+      seed: Int = 29): DataFrame = {
+    require(b >= 40, s"need >= 40 replicates for a 95% CI, got $b")
+    require(b <= 10000, s"replicate fan-out is per-row: b=$b too large")
+    val dec = DecimalType(18, 4)
+    val base = df.select(col(groupCol).cast(StringType).as("__g"),
+        idCol.cast(LongType).as("__id"), valueCol.cast(dec).as("__y"))
+      .filter(col("__g").isNotNull && col("__id").isNotNull &&
+        col("__y").isNotNull)
+    val reps = base.select(col("__g"), col("__id"), col("__y"),
+      explode(sequence(lit(0), lit(b - 1))).as("__i"))
+    val bucket = Sampling.idBucket(col("__id") * b + col("__i"), seed)
+    val w = when(bucket < 367879L, 0L)
+      .when(bucket < 735758L, 1L)
+      .when(bucket < 919698L, 2L)
+      .when(bucket < 981011L, 3L)
+      .when(bucket < 996340L, 4L)
+      .when(bucket < 999405L, 5L)
+      .when(bucket < 999916L, 6L)
+      .otherwise(7L)
+    val means = reps.withColumn("__w", w)
+      .groupBy(col("__g"), col("__i"))
+      .agg(sum(col("__w")).as("__sw"),
+        sum(col("__w") * col("__y")).as("__swy"))
+      .filter(col("__sw") > 0)
+      .select(col("__g"), col("__i"), (col("__swy").cast(DoubleType) /
+        col("__sw").cast(DoubleType)).as("__m"))
+    val ranked = means
+      .withColumn("__rk", row_number().over(Window.partitionBy(col("__g"))
+        .orderBy(col("__m").asc, col("__i").asc)))
+      .withColumn("__nb", count(lit(1)).over(
+        Window.partitionBy(col("__g"))))
+    val kLo = expr("(__nb + 39) div 40")
+    val kHi = expr("(39 * __nb + 39) div 40")
+    val ci = ranked.groupBy(col("__g")).agg(
+      count(lit(1)).as("b_used"),
+      min(when(col("__rk") === kLo, col("__m"))).as("__lo"),
+      min(when(col("__rk") === kHi, col("__m"))).as("__hi"))
+    val stat = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("__sy"))
+    def safe(c: Column) = when(c =!= 0.0, c).otherwise(lit(1.0))
+    stat.join(ci, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n"),
+        when(col("n") > 0, round(col("__sy").cast(DoubleType) /
+          safe(col("n").cast(DoubleType)), 6)).as("mean"),
+        col("b_used"),
+        round(col("__lo"), 6).as("ci_lo"),
+        round(col("__hi"), 6).as("ci_hi"))
+  }
+
   /** Trailing exponentially-weighted moving average of an
     * ALREADY-AGGREGATED series: for each period, the dot product of
     * the last `k` values with weights (1/2)^j (j = 0 at the current
