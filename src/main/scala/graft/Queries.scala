@@ -626,6 +626,15 @@ object Queries {
       Stats.madOutliers(perMin, Seq("event_type"), col("n_events"),
         col("minute"), c = 3)
     }),
+    "q_anomaly_iqr" -> ((s, dir) => {
+      // Tukey 1.5·IQR boxplot fences per event type — the third
+      // member of the outlier trio next to q_anomaly_zscore (assumes
+      // normality) and q_anomaly_mad (max breakdown): exact
+      // order-statistic quartiles, fence verdicts entirely in scaled
+      // DECIMAL integers — no double touches the comparison.
+      Stats.iqrOutliers(Tables.events(s, dir), Seq("event_type"),
+        col("value"), col("event_id"))
+    }),
     "q_anomaly_mad" -> ((s, dir) => {
       // Robust outlier audit: |v − median| > 3·MAD per event type —
       // the z-score gate's breakdown-proof twin (a 3σ fence is itself
@@ -682,6 +691,19 @@ object Queries {
         .groupBy(dateFmt(col("o_orderdate")).as("d"))
         .agg(dsum(col("o_totalprice")).as("rev"))
       Stats.theilSenTrend(daily, "d", "rev")
+    }),
+    "q_ts_decompose" -> ((s, dir) => {
+      // Classical additive decomposition of daily revenue:
+      // rev = trend (centered 7-term MA) + seasonal (re-centered
+      // day-of-week index) + residual — the components EMITTED, next
+      // to the family that scores (seasonal-naive backtest) and
+      // fences (weekday MAD). Periods-not-data windows; 7-row
+      // seasonal control frame; each component reuses the previous
+      // one's 6-dp emission.
+      val daily = Tables.orders(s, dir)
+        .groupBy(dateFmt(col("o_orderdate")).as("d"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      Stats.seasonalDecompose(daily, "d", "rev")
     }),
     "q_trend_theilsen_sampled" -> ((s, dir) => {
       // The long-series Theil–Sen: each day draws 64 deterministic
@@ -4938,6 +4960,32 @@ object Queries {
         | round(CAST(min(m2) AS DOUBLE) / 2, 6) AS median,
         | round(CAST(min(d2) AS DOUBLE) / 4, 6) AS mad
         |FROM dm WHERE dd * 2 > d2 * 3 GROUP BY event_type""".stripMargin,
+    // IQR replica: same ⌈n/4⌉/⌈3n/4⌉ order-statistic quartiles and
+    // all-DECIMAL scaled fence comparisons
+    "q_anomaly_iqr" ->
+      """WITH v AS (SELECT event_type AS g,
+        |  CAST(value AS DECIMAL(18,4)) AS v, event_id AS id
+        | FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT g, v,
+        |  count(*) OVER (PARTITION BY g) AS n,
+        |  row_number() OVER (PARTITION BY g
+        |    ORDER BY v ASC, id ASC) AS rk FROM v),
+        |q AS (SELECT g, v, n, rk,
+        |  max(CASE WHEN rk = (n + 3) // 4 THEN v END)
+        |    OVER (PARTITION BY g) AS q1,
+        |  max(CASE WHEN rk = (3 * n + 3) // 4 THEN v END)
+        |    OVER (PARTITION BY g) AS q3 FROM r)
+        |SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CASE WHEN v * 10 < q1 * 10 - (q3 - q1) * 15
+        |   OR v * 10 > q3 * 10 + (q3 - q1) * 15 THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_outliers,
+        | CAST(min(q1) AS DOUBLE) AS q1, CAST(min(q3) AS DOUBLE) AS q3,
+        | CAST(min(q3) - min(q1) AS DOUBLE) AS iqr,
+        | CAST(min(q1) * 10 - (min(q3) - min(q1)) * 15 AS DOUBLE) / 10.0
+        |   AS lo_fence,
+        | CAST(min(q3) * 10 + (min(q3) - min(q1)) * 15 AS DOUBLE) / 10.0
+        |   AS hi_fence
+        |FROM q GROUP BY g""".stripMargin,
     "q_anomaly_mad" ->
       """WITH r AS (SELECT event_type,
         |  CAST(value AS DECIMAL(18,4)) AS v, event_id,
@@ -4982,6 +5030,40 @@ object Queries {
     // index (exact integer gaps), doubled-rank median with the total
     // (s, ia, ib) tie order, intercept median from the 6-dp emitted
     // slope — the theilSenTrend arithmetic step for step.
+    // decomposition replica: the same centered-MA / dow-mean /
+    // re-center chain with every component from the previous one's
+    // 6-dp emission (Spark dow is Sunday=1; DuckDB's is Sunday=0,
+    // hence the +1)
+    "q_ts_decompose" ->
+      """WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    AS DOUBLE), 4) AS rev
+        | FROM orders GROUP BY 1),
+        |b AS (SELECT d, CAST(rev AS DECIMAL(18,4)) AS v,
+        |  count(*) OVER w7 AS n7,
+        |  sum(CAST(rev AS DECIMAL(18,4))) OVER w7 AS s7,
+        |  dayofweek(CAST(d AS DATE)) + 1 AS dow
+        | FROM daily WINDOW w7 AS (ORDER BY d ASC
+        |   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t AS (SELECT d, v, dow,
+        |  CASE WHEN n7 = 7
+        |    THEN round(CAST(s7 AS DOUBLE) / 7.0, 6) END AS trend
+        | FROM b),
+        |dt AS (SELECT d, v, dow, trend,
+        |  CAST(v AS DOUBLE) - trend AS det FROM t),
+        |dm AS (SELECT dow,
+        |  CAST(sum(CAST(round(det, 9) AS DECIMAL(28,9))) AS DOUBLE)
+        |    / count(*) AS raw
+        | FROM dt WHERE trend IS NOT NULL GROUP BY dow),
+        |g AS (SELECT
+        |  CAST(sum(CAST(round(raw, 9) AS DECIMAL(28,9))) AS DOUBLE)
+        |    / count(*) AS gm FROM dm),
+        |sz AS (SELECT dow, round(raw - gm, 6) AS seasonal FROM dm, g)
+        |SELECT dt.d, CAST(v AS DOUBLE) AS rev, dt.dow, trend,
+        | CASE WHEN trend IS NOT NULL THEN seasonal END AS seasonal,
+        | CASE WHEN trend IS NOT NULL
+        |   THEN round(det - seasonal, 6) END AS resid
+        |FROM dt JOIN sz ON dt.dow = sz.dow""".stripMargin,
     // sampled Theil–Sen replica: the same portable-hash partner
     // draws (ia + 1 + bucket mod (p − ia)), DISTINCT pair collapse,
     // and two-middle rank medians

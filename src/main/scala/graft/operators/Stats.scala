@@ -445,6 +445,57 @@ object Stats {
         round(min(col("__d2")).cast(DoubleType) / 4, 6).as("mad"))
   }
 
+  /** Tukey IQR fences per group — the third member of the outlier
+    * trio (z-score assumes normality, [[madOutliers]] maximizes
+    * breakdown, the 1.5·IQR boxplot fence is what every reviewer
+    * already knows how to read). Quartiles are EXACT order statistics
+    * (q1 at rank ⌈n/4⌉, q3 at ⌈3n/4⌉, ties by id — no interpolation,
+    * no percentile sketch), and the fence comparisons run entirely in
+    * scaled DECIMAL integers (v·10 vs q1·10 − 15·IQR) so not a single
+    * double participates in the verdict.
+    *
+    * Scale shape: the madOutliers topology — one exchange on the
+    * group for the rank window, then one aggregate. Group row counts
+    * bound the window partitions (the per-group series contract).
+    *
+    * Returns one row per group: (groupCols*, n, n_outliers, q1, q3,
+    * iqr, lo_fence, hi_fence). */
+  def iqrOutliers(
+      df: DataFrame,
+      groupCols: Seq[String],
+      value: Column,
+      idCol: Column): DataFrame = {
+    val grp = groupCols.map(col)
+    val cnt = Window.partitionBy(grp: _*)
+    val wv = Window.partitionBy(grp: _*)
+      .orderBy(col("__v").asc, col("__id").asc)
+    val dec = DecimalType(18, 4)
+    val r1 = expr("(__n + 3) div 4")
+    val r3 = expr("(3 * __n + 3) div 4")
+    val staged = df
+      .select(grp ++ Seq(value.cast(dec).as("__v"), idCol.as("__id")): _*)
+      .filter(col("__v").isNotNull)
+      .withColumn("__n", count(lit(1)).over(cnt))
+      .withColumn("__rk", row_number().over(wv))
+      .withColumn("__q1", max(when(col("__rk") === r1, col("__v"))).over(cnt))
+      .withColumn("__q3", max(when(col("__rk") === r3, col("__v"))).over(cnt))
+    val iqr = col("__q3") - col("__q1")
+    val out = col("__v") * 10 < col("__q1") * 10 - iqr * 15 ||
+      col("__v") * 10 > col("__q3") * 10 + iqr * 15
+    staged.groupBy(grp: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(out, 1L).otherwise(0L)).as("n_outliers"),
+        min(col("__q1")).cast(DoubleType).as("q1"),
+        min(col("__q3")).cast(DoubleType).as("q3"),
+        (min(col("__q3")) - min(col("__q1"))).cast(DoubleType).as("iqr"),
+        ((min(col("__q1")) * 10 -
+          (min(col("__q3")) - min(col("__q1"))) * 15).cast(DoubleType) /
+          10.0).as("lo_fence"),
+        ((min(col("__q3")) * 10 +
+          (min(col("__q3")) - min(col("__q1"))) * 15).cast(DoubleType) /
+          10.0).as("hi_fence"))
+  }
+
   /** First-order Markov transition matrix over per-key event
     * sequences: for every ordered (from_state, to_state) pair of
     * consecutive states within a key, the transition count and its
@@ -1740,6 +1791,58 @@ object Stats {
         col("b_used"),
         round(col("__lo"), 6).as("ci_lo"),
         round(col("__hi"), 6).as("ci_hi"))
+  }
+
+  /** Classical additive seasonal decomposition of a DAILY series:
+    * rev = trend + seasonal + residual — trend is the centered 7-term
+    * moving average (full windows only; the 3-day edges emit NULL
+    * components), the seasonal index is the day-of-week mean of the
+    * detrended series re-centered to sum ≈ 0, and the residual is
+    * what's left: the decomposition behind every "is this drop real
+    * or just a weekend?" dashboard, next to [[seasonalNaiveBacktest]]
+    * (which scores forecasts) and [[madOutliers]] (which fences) —
+    * this one EMITS the components.
+    *
+    * The series is per-period control-plane BY CONSTRUCTION (the
+    * autocorrelation discipline): both windows order periods, the
+    * seasonal frame is 7 rows. Determinism: the MA divides an exact
+    * 7-term DECIMAL sum; each downstream component reuses the
+    * 6-dp-EMITTED previous component (the gate-replays-emitted rule);
+    * day-of-week means fold 9-dp-rounded values as DECIMAL.
+    *
+    * Returns one row per period: (orderCol, valueCol, dow, trend,
+    * seasonal, resid) — dow in 1..7, Sunday = 1. */
+  def seasonalDecompose(
+      series: DataFrame,
+      orderCol: String,
+      valueCol: String): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val wMa = Window.orderBy(col(orderCol).asc).rowsBetween(-3, 3)
+    val base = series
+      .select(col(orderCol), col(valueCol).cast(dec).as("__v"))
+      .withColumn("__n7", count(lit(1)).over(wMa))
+      .withColumn("trend",
+        when(col("__n7") === 7,
+          round(sum(col("__v")).over(wMa).cast(DoubleType) / 7.0, 6)))
+      .withColumn("dow", dayofweek(to_date(col(orderCol))))
+      .withColumn("__det",
+        col("__v").cast(DoubleType) - col("trend"))
+    val dowMeans = base.filter(col("trend").isNotNull)
+      .groupBy(col("dow"))
+      .agg((sum(round(col("__det"), 9).cast(DecimalType(28, 9)))
+        .cast(DoubleType) / count(lit(1))).as("__raw"))
+    val grand = dowMeans.agg(
+      (sum(round(col("__raw"), 9).cast(DecimalType(28, 9)))
+        .cast(DoubleType) / count(lit(1))).as("__g"))
+    val seasonal = dowMeans.crossJoin(broadcast(grand))
+      .select(col("dow"),
+        round(col("__raw") - col("__g"), 6).as("seasonal"))
+    base.join(broadcast(seasonal), Seq("dow"))
+      .select(col(orderCol), col("__v").cast(DoubleType).as(valueCol),
+        col("dow"), col("trend"),
+        when(col("trend").isNotNull, col("seasonal")).as("seasonal"),
+        when(col("trend").isNotNull,
+          round(col("__det") - col("seasonal"), 6)).as("resid"))
   }
 
   /** Trailing exponentially-weighted moving average of an

@@ -919,6 +919,54 @@ class StatsSpec extends SparkSpecBase {
     assert(cov >= 0.85 && cov <= 1.0, s"coverage ≈ 0.9 expected: $r1")
   }
 
+  test("iqrOutliers: hand-built group — quartile ranks, exact " +
+      "fences, and only the planted spike flagged") {
+    import spark.implicits._
+    // 11 ordered values 10..20 plus one spike 1000: n = 12,
+    // q1 at rank ⌈12/4⌉ = 3 → 12, q3 at rank ⌈36/4⌉ = 9 → 18,
+    // IQR = 6, fences [3, 27] — exactly one outlier (the spike)
+    val vals = ((10 to 20).map(_.toDouble) :+ 1000.0).zipWithIndex
+      .map { case (v, i) => ("g", v, i.toLong) }
+    val r = Stats.iqrOutliers(vals.toDF("g", "v", "id"), Seq("g"),
+      col("v"), col("id")).collect()(0)
+    assert(r.getAs[Long]("n") == 12L)
+    assert(r.getAs[Double]("q1") == 12.0 && r.getAs[Double]("q3") == 18.0,
+      s"quartiles: $r")
+    assert(r.getAs[Double]("iqr") == 6.0)
+    assert(r.getAs[Double]("lo_fence") == 3.0 &&
+      r.getAs[Double]("hi_fence") == 27.0, s"fences: $r")
+    assert(r.getAs[Long]("n_outliers") == 1L, s"only the spike: $r")
+  }
+
+  test("seasonalDecompose: a linear trend plus an exact weekly " +
+      "pattern decomposes to zero residuals; edges NULL out") {
+    import spark.implicits._
+    // offsets sum to 0, so the centered 7-term MA removes the weekly
+    // part exactly: trend = 10·i, seasonal = the day's offset,
+    // residual = 0 at every interior day
+    val off = Seq(7.0, -7.0, 14.0, -14.0, 21.0, -21.0, 0.0)
+    val start = java.time.LocalDate.parse("2024-01-01")
+    val df = (1 to 28).map { i =>
+      (start.plusDays(i - 1).toString, 10.0 * i + off((i - 1) % 7))
+    }.toDF("d", "rev")
+    val rows = Stats.seasonalDecompose(df, "d", "rev")
+      .collect().map(r => r.getAs[String]("d") -> r).toMap
+    assert(rows.size == 28)
+    // first/last 3 days: incomplete MA window → NULL components
+    for (d <- Seq("2024-01-01", "2024-01-03", "2024-01-26", "2024-01-28")) {
+      assert(rows(d).isNullAt(rows(d).fieldIndex("trend")), s"edge $d")
+      assert(rows(d).isNullAt(rows(d).fieldIndex("resid")), s"edge $d")
+    }
+    for (i <- 4 to 25) {
+      val d = start.plusDays(i - 1).toString
+      val r = rows(d)
+      assert(r.getAs[Double]("trend") == 10.0 * i, s"trend $d: $r")
+      assert(r.getAs[Double]("seasonal") == off((i - 1) % 7),
+        s"seasonal $d: $r")
+      assert(r.getAs[Double]("resid") == 0.0, s"resid $d: $r")
+    }
+  }
+
   test("medianCI: hand-checked order-statistic ranks on 1..100; CI " +
       "brackets the median and widens with spread") {
     import spark.implicits._
