@@ -4079,6 +4079,15 @@ object Queries {
         .agg(count(lit(1)).as("n_kept"),
           sum(length(col("seg_text")).cast(LongType)).as("kept_chars"))
     }),
+    "q_text_trending" -> ((s, dir) => {
+      // Trending tokens between ingestion halves (waves 0–3 vs 4–7,
+      // the q_shingle_novelty wave convention): top-15 rising and
+      // falling by smoothed log-rate-ratio — the "what changed in
+      // this crawl" monitor. Vocab-sized count frame, 1-row totals
+      // broadcast, TakeOrdered top-k per direction.
+      TextAnalysis.trendingTokens(Tables.documents(s, dir),
+        col("doc_id") % 8 >= 4, col("text"))
+    }),
     "q_text_keyphrases" -> ((s, dir) => {
       // Per-source keyphrases: top-5 bigrams per source by PMI inside
       // the source's OWN token distribution — the corpus-exploration
@@ -6631,6 +6640,7 @@ object Queries {
     "q_text_tfidf" -> tfIdfOracle,
     "q_text_pmi" -> pmiOracle,
     "q_text_keyphrases" -> keyphrasesOracle,
+    "q_text_trending" -> trendingOracle,
     "q_partition_prune" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderstatus,
         | count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
@@ -8501,6 +8511,37 @@ object Queries {
     * token pairs with multiplicity), same five-ln formula in the same
     * left-associative order, same ≥5 cut and (pmi desc, w1, w2)
     * top-30. */
+  /** q_text_trending replica: same halves, counts, smoothing, and
+    * log-rate-ratio; per-direction rank windows. */
+  private def trendingOracle: String =
+    s"""WITH tk AS (SELECT (doc_id % 8 >= 4) AS late,
+       |  $toksSql AS toks FROM documents),
+       |t AS (SELECT late, unnest(toks) AS w FROM tk),
+       |c AS (SELECT w,
+       |  CAST(sum(CASE WHEN late THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS c_early,
+       |  CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS c_late
+       | FROM t GROUP BY w),
+       |tot AS (SELECT CAST(sum(c_early) AS BIGINT) AS ne,
+       |  CAST(sum(c_late) AS BIGINT) AS nl FROM c),
+       |s AS (SELECT w, c_early, c_late,
+       |  round(ln((CAST(c_late + 1 AS DOUBLE) / CAST(nl AS DOUBLE)) /
+       |    (CAST(c_early + 1 AS DOUBLE) / CAST(ne AS DOUBLE))), 6)
+       |   AS score
+       | FROM c, tot WHERE c_early + c_late >= 20),
+       |r AS (SELECT 'rising' AS direction,
+       |  CAST(row_number() OVER (ORDER BY score DESC, w ASC)
+       |    AS INTEGER) AS rank,
+       |  w AS token, c_early, c_late, score FROM s),
+       |f AS (SELECT 'falling' AS direction,
+       |  CAST(row_number() OVER (ORDER BY score ASC, w ASC)
+       |    AS INTEGER) AS rank,
+       |  w AS token, c_early, c_late, score FROM s)
+       |SELECT * FROM r WHERE rank <= 15
+       |UNION ALL
+       |SELECT * FROM f WHERE rank <= 15""".stripMargin
+
   /** q_text_keyphrases replica: [[pmiOracle]] grouped by source with
     * a per-source rank window instead of the global LIMIT. */
   private def keyphrasesOracle: String =

@@ -762,6 +762,65 @@ object TextAnalysis {
     out
   }
 
+  /** Trending tokens between two corpus halves: the top-k RISING and
+    * top-k FALLING tokens by smoothed log-rate-ratio
+    * ln(((c_late+1)/n_late) / ((c_early+1)/n_early)) — the "what
+    * changed in this crawl" monitor (a token surging between
+    * ingestion waves is a template, a spam campaign, or a topic
+    * shift; one collapsing is a source going dark). Add-one
+    * smoothing keeps tokens absent from one half finite.
+    *
+    * Scale shape: one corpus pass to a vocab-sized (token, early,
+    * late) count frame (map-side combined); totals are a 1-row
+    * broadcast; each direction's top-k plans as
+    * TakeOrderedAndProject (per-partition top-k, driver merge) — a
+    * global sort never happens — and the rank window runs over the
+    * k-row result.
+    *
+    * Returns 2k rows: (direction, rank, token, c_early, c_late,
+    * score), direction ∈ {rising, falling}. */
+  def trendingTokens(
+      docs: DataFrame,
+      lateFlag: Column,
+      text: Column,
+      minCount: Int = 20,
+      k: Int = 15): DataFrame = {
+    require(minCount > 0 && k > 0, "minCount and k must be positive")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val counts = docs
+      .select(lateFlag.cast(BooleanType).as("__late"),
+        explode(tokens(lower(text))).as("w"))
+      .groupBy(col("w"))
+      .agg(sum(when(col("__late"), 0L).otherwise(1L)).as("c_early"),
+        sum(when(col("__late"), 1L).otherwise(0L)).as("c_late"))
+      .persist(lvl)
+    val tot = counts.agg(sum(col("c_early")).as("__ne"),
+      sum(col("c_late")).as("__nl"))
+    val scored = counts
+      .filter(col("c_early") + col("c_late") >= minCount)
+      .crossJoin(broadcast(tot))
+      .select(col("w"), col("c_early"), col("c_late"),
+        round(log(((col("c_late") + 1).cast(DoubleType) /
+          col("__nl").cast(DoubleType)) /
+          ((col("c_early") + 1).cast(DoubleType) /
+            col("__ne").cast(DoubleType))), 6).as("score"))
+    def side(direction: String, ord: Seq[Column]): DataFrame = {
+      val top = scored.orderBy(ord: _*).limit(k)
+      top.withColumn("rank", row_number().over(Window.orderBy(ord: _*)))
+        .select(lit(direction).as("direction"), col("rank"),
+          col("w").as("token"), col("c_early"), col("c_late"),
+          col("score"))
+    }
+    val out = side("rising",
+        Seq(col("score").desc, col("w").asc))
+      .unionByName(side("falling",
+        Seq(col("score").asc, col("w").asc)))
+      .persist(lvl)
+    out.count()
+    counts.unpersist(false)
+    out
+  }
+
   /** Per-group keyphrase extraction: top-k bigrams per group by PMI
     * computed WITHIN the group's own token distribution — "what
     * phrases characterize this source/shard" (a bigram ubiquitous in
