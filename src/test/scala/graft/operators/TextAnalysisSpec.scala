@@ -381,4 +381,38 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(flags("numeric")(2) == false)
     assert(flags("nostop")(3) == false)
   }
+
+  test("trendingTokens: a token only in the late half tops rising, " +
+      "only-early tops falling, stable tokens score near zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // base tokens keep both halves the same size (20 occurrences of
+    // 'base' each); 'surge' appears 20× late only, 'gone' 20× early
+    // only; minCount 20 admits all three
+    val early = (1 to 20).map(i => (i.toLong, false, "base gone"))
+    val late = (21 to 40).map(i => (i.toLong, true, "base surge"))
+    val docs = (early ++ late).toDF("doc_id", "late", "text")
+    val rows = TextAnalysis.trendingTokens(docs, col("late"),
+        col("text"), minCount = 20, k = 2)
+      .collect().map(r => (r.getAs[String]("direction"),
+        r.getAs[Int]("rank")) -> ((r.getAs[String]("token"),
+        r.getAs[Long]("c_early"), r.getAs[Long]("c_late"),
+        r.getAs[Double]("score")))).toMap
+    val (riseTok, re, rl, riseScore) = rows(("rising", 1))
+    assert(riseTok == "surge" && re == 0L && rl == 20L, s"$rows")
+    val (fallTok, fe, fl, fallScore) = rows(("falling", 1))
+    assert(fallTok == "gone" && fe == 20L && fl == 0L, s"$rows")
+    // halves are the same size (40 tokens each), so the smoothed
+    // ratios are symmetric: ln(21/1) and ln(1/21)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(riseScore == r6(math.log(21.0 / 40.0 / (1.0 / 40.0))),
+      s"rising score: $riseScore")
+    assert(fallScore == r6(math.log(1.0 / 40.0 / (21.0 / 40.0))),
+      s"falling score: $fallScore")
+    // 'base' is stable: |score| must be the smallest magnitude
+    val (stableTok, _, _, stableScore) = rows(("rising", 2))
+    assert(stableTok == "base" && math.abs(stableScore) < 0.1,
+      s"stable token: $rows")
+  }
 }
