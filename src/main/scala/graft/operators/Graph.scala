@@ -143,7 +143,18 @@ object Graph {
   def personalizedPageRank(
       edges: DataFrame,
       seeds: DataFrame,
-      iters: Int): DataFrame = {
+      iters: Int,
+      tolerance: Option[Double] = None): DataFrame =
+    personalizedPageRankConverged(edges, seeds, iters, tolerance)._1
+
+  /** [[personalizedPageRank]] that also reports how many iterations
+    * actually ran (== `iters` unless `tolerance` triggered the early
+    * exit — the same max-|Δrank| check as [[pageRankConverged]]). */
+  def personalizedPageRankConverged(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iters: Int,
+      tolerance: Option[Double] = None): (DataFrame, Int) = {
     require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
     val e = edges.select(col("src"), col("dst"))
       .distinct()
@@ -168,7 +179,10 @@ object Graph {
       .select(col("node"), col("rank"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     ranks.count()
-    for (_ <- 1 to iters) {
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
+      it += 1
       val contrib = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .join(outdeg, Seq("src"))
@@ -183,11 +197,21 @@ object Graph {
           (base + coalesce(col("__in"), lit(0).cast(dec)))
             .cast(dec).as("rank"))
         .localCheckpoint()
+      tolerance.foreach { tol =>
+        val delta = next
+          .join(ranks.withColumnRenamed("rank", "__prev"), Seq("node"))
+          .agg(max(abs(col("rank").cast(DoubleType) -
+            col("__prev").cast(DoubleType))).as("d"))
+          .collect()(0)
+        val maxDelta =
+          if (delta.isNullAt(0)) 0.0 else delta.getDouble(0)
+        if (maxDelta <= tol) converged = true
+      }
       ranks.unpersist(false)
       ranks = next
     }
     e.unpersist(false); outdeg.unpersist(false); nodes.unpersist(false)
-    ranks
+    (ranks, it)
   }
 
   /** Triangle census + global clustering coefficient of an undirected

@@ -302,4 +302,24 @@ class GraphSpec extends SparkSpecBase {
     assert(got(4L) == "0.000000" && got(5L) == "0.000000",
       s"unreachable nodes must stay exactly 0: $got")
   }
+
+  test("personalizedPageRank tolerance: a converged graph exits " +
+      "early with ranks identical to the full run's") {
+    // seed 1 with a self-loop only: rank(1) = 0.15 + 0.85·rank(1)
+    // converges to 1.0; after it settles every further round moves
+    // nothing, so a tolerant run must exit before 20 iterations
+    val edges = Seq((1L, 1L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val (full, itFull) = Graph.personalizedPageRankConverged(
+      edges, seeds, iters = 20)
+    val (tol, itTol) = Graph.personalizedPageRankConverged(
+      edges, seeds, iters = 20, tolerance = Some(1e-9))
+    assert(itFull == 20 && itTol < 20,
+      s"tolerance must exit early: full=$itFull tol=$itTol")
+    val a = full.collect().map(r =>
+      (r.getLong(0), r.getDecimal(1).toPlainString)).toSet
+    val b = tol.collect().map(r =>
+      (r.getLong(0), r.getDecimal(1).toPlainString)).toSet
+    assert(a == b, "early-exit scores must equal the full run's")
+  }
 }
