@@ -1039,6 +1039,16 @@ object Queries {
       // before the cross-group fold so group order cannot move a bit.
       Stats.anovaF(Tables.events(s, dir), "value", "event_type")
     }),
+    "q_jackknife_ratio" -> ((s, dir) => {
+      // Revenue per quantity unit WITH a unit-correlation-aware SE:
+      // the delete-one-bucket jackknife over 100 order-hash buckets
+      // (line items of one order share a bucket — a per-row bootstrap
+      // would understate the SE because rows within an order
+      // correlate). The ratio-metric member of the uncertainty
+      // family; one corpus pass, 100-row control frame after.
+      Stats.jackknifeRatio(Tables.lineitem(s, dir),
+        col("l_orderkey"), col("l_extendedprice"), col("l_quantity"))
+    }),
     "q_median_ci" -> ((s, dir) => {
       // Distribution-free 95% CI for MEDIAN doc length — the
       // order-statistic (sign-test) interval: no resampling, no
@@ -7341,6 +7351,43 @@ object Queries {
         |  THEN round(1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y) /
         |    (syy - sy * sy / CAST(n AS DOUBLE)), 6) END AS r2
         |FROM b""".stripMargin,
+    // jackknife replica: same unit-hash buckets, exact decimal
+    // leave-one-out differences, 12-dp round-then-DECIMAL folds
+    "q_jackknife_ratio" -> {
+      val bucket = s"((${affineSql(41, s"(l_orderkey % $M)")} % " +
+        s"${Sampling.Buckets}) % 100)"
+      s"""WITH d AS (SELECT $bucket AS b,
+         |  CAST(l_extendedprice AS DECIMAL(18,4)) AS n,
+         |  CAST(l_quantity AS DECIMAL(18,4)) AS q
+         | FROM lineitem
+         | WHERE l_orderkey IS NOT NULL
+         |   AND l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+         |per AS (SELECT b, sum(n) AS bn, sum(q) AS bd
+         | FROM d GROUP BY b),
+         |tot AS (SELECT sum(bn) AS nn, sum(bd) AS dd,
+         |  CAST(count(*) AS BIGINT) AS nb FROM per),
+         |th AS (SELECT CAST(nn - bn AS DOUBLE) /
+         |   CAST(dd - bd AS DOUBLE) AS t
+         | FROM per, tot),
+         |s1 AS (SELECT CAST(sum(CAST(round(t, 12) AS DECIMAL(28,12)))
+         |   AS DOUBLE) / count(*) AS tbar FROM th),
+         |ss AS (SELECT CAST(sum(CAST(round((t - tbar) * (t - tbar),
+         |    12) AS DECIMAL(28,12))) AS DOUBLE) AS sdev
+         | FROM th, s1)
+         |SELECT nb AS n_buckets,
+         | round(CAST(nn AS DOUBLE), 4) AS num_sum,
+         | round(CAST(dd AS DOUBLE), 4) AS den_sum,
+         | round(CAST(nn AS DOUBLE) / CAST(dd AS DOUBLE), 6) AS ratio,
+         | round(sqrt((CAST(nb AS DOUBLE) - 1.0) / CAST(nb AS DOUBLE)
+         |   * sdev), 6) AS se,
+         | round(CAST(nn AS DOUBLE) / CAST(dd AS DOUBLE) - 1.96 *
+         |   sqrt((CAST(nb AS DOUBLE) - 1.0) / CAST(nb AS DOUBLE)
+         |     * sdev), 6) AS ci_lo,
+         | round(CAST(nn AS DOUBLE) / CAST(dd AS DOUBLE) + 1.96 *
+         |   sqrt((CAST(nb AS DOUBLE) - 1.0) / CAST(nb AS DOUBLE)
+         |     * sdev), 6) AS ci_hi
+         |FROM tot, ss""".stripMargin
+    },
     // median-CI replica: same rank probes — sqrt/floor/ceil land on
     // the identical order-statistic ranks (IEEE sqrt both engines)
     "q_median_ci" ->

@@ -1537,6 +1537,82 @@ object Stats {
     out
   }
 
+  /** Delete-one-bucket jackknife for a RATIO metric Σnum/Σden — the
+    * experimentation-stack standard error: a ratio of sums is not a
+    * mean of anything, so the bootstrap-of-rows and the CLT-of-rows
+    * are both wrong when units (orders, users) correlate their rows;
+    * the bucket jackknife deletes one UNIT-hash bucket at a time and
+    * reads the spread of the B leave-one-out ratios
+    * (SE² = (B−1)/B · Σ(θᵢ − θ̄)²). Completes the uncertainty family
+    * with the metric shape A/B dashboards actually report ("revenue
+    * per unit", "clicks per session").
+    *
+    * Scale shape: ONE corpus pass to B exact per-bucket sum pairs
+    * (map-side combined), localCheckpoint-materialized so every
+    * downstream consumer reads the B-row control frame, then pure
+    * closed-form math. Determinism: bucket assignment is the
+    * portable [[Sampling.idBucket]] of the UNIT id (all rows of a
+    * unit share a bucket); θᵢ are doubles from exact decimal
+    * differences; both cross-bucket folds round to 12 dp and fix as
+    * DECIMAL before summing.
+    *
+    * Returns one row: (n_buckets, num_sum, den_sum, ratio, se,
+    * ci_lo, ci_hi) with a 1.96·SE normal interval. */
+  def jackknifeRatio(
+      df: DataFrame,
+      unitCol: Column,
+      numCol: Column,
+      denCol: Column,
+      nBuckets: Int = 100,
+      seed: Int = 41): DataFrame = {
+    require(nBuckets >= 10 && nBuckets <= 10000,
+      s"nBuckets out of range: $nBuckets")
+    val dec = DecimalType(18, 4)
+    val per = df.select(
+        (Sampling.idBucket(unitCol, seed) % nBuckets).as("__b"),
+        numCol.cast(dec).as("__n"), denCol.cast(dec).as("__d"))
+      .filter(col("__b").isNotNull && col("__n").isNotNull &&
+        col("__d").isNotNull)
+      .groupBy(col("__b"))
+      .agg(sum(col("__n")).as("__bn"), sum(col("__d")).as("__bd"))
+      .localCheckpoint(true) // ≤ nBuckets rows; one corpus pass total
+    // "__cnt", not "__B": column resolution is case-insensitive and
+    // "__B" would collide with per's bucket column "__b"
+    val tot = per.agg(sum(col("__bn")).as("__N"),
+      sum(col("__bd")).as("__D"), count(lit(1)).as("__cnt"))
+    def safe(c: Column) = when(c =!= 0.0, c).otherwise(lit(1.0))
+    // materialized (≤ nBuckets rows): two consumers below, and a
+    // lazy th would make the tbar agg + deviation agg a self-join of
+    // the same lineage (conflicting-attribute resolution)
+    val th = per.crossJoin(broadcast(tot))
+      .select(col("__N"), col("__D"), col("__cnt"),
+        ((col("__N") - col("__bn")).cast(DoubleType) /
+          safe((col("__D") - col("__bd")).cast(DoubleType))).as("__t"))
+      .localCheckpoint(true)
+    val fold = DecimalType(28, 12)
+    // 1-row control-plane collect — the exact double the oracle's
+    // tbar column computes, used as a literal in the deviation fold
+    val tbar = th.agg(
+      (sum(round(col("__t"), 12).cast(fold)).cast(DoubleType) /
+        count(lit(1))).as("__tbar")).collect()(0).getDouble(0)
+    val ss = th
+      .agg(max(col("__N")).as("__N"), max(col("__D")).as("__D"),
+        max(col("__cnt")).as("__cnt"),
+        sum(round((col("__t") - lit(tbar)) *
+          (col("__t") - lit(tbar)), 12).cast(fold))
+          .cast(DoubleType).as("__ss"))
+    val nD = col("__N").cast(DoubleType)
+    val dD = col("__D").cast(DoubleType)
+    val bD = col("__cnt").cast(DoubleType)
+    val se = sqrt((bD - 1.0) / bD * col("__ss"))
+    ss.select(col("__cnt").as("n_buckets"),
+      round(nD, 4).as("num_sum"), round(dD, 4).as("den_sum"),
+      round(nD / safe(dD), 6).as("ratio"),
+      round(se, 6).as("se"),
+      round(nD / safe(dD) - lit(1.96) * se, 6).as("ci_lo"),
+      round(nD / safe(dD) + lit(1.96) * se, 6).as("ci_hi"))
+  }
+
   /** Distribution-free 95% confidence interval for the MEDIAN via
     * order statistics (the binomial/sign-test interval, normal
     * approximation): the true median lies between the ⌊(n − z√n)/2⌋-th

@@ -892,6 +892,34 @@ class StatsSpec extends SparkSpecBase {
       s"singular system must NULL-gate: $c")
   }
 
+  test("jackknifeRatio: a constant per-row ratio has zero SE; " +
+      "heterogeneous buckets widen it; runs replay exactly") {
+    import spark.implicits._
+    // num = 2·den everywhere → every leave-one-out ratio is exactly
+    // 2 → SE = 0 and the CI collapses to the point
+    val const = (1L to 500L).map(i => (i, 2.0 * (i % 7 + 1), (i % 7 + 1).toDouble))
+      .toDF("unit", "num", "den")
+    val c = Stats.jackknifeRatio(const, col("unit"), col("num"),
+      col("den")).collect()(0)
+    assert(c.getAs[Long]("n_buckets") == 100L)
+    assert(c.getAs[Double]("ratio") == 2.0)
+    assert(c.getAs[Double]("se") == 0.0, s"constant ratio: $c")
+    assert(c.getAs[Double]("ci_lo") == 2.0 &&
+      c.getAs[Double]("ci_hi") == 2.0)
+    // heterogeneous: unit-dependent ratios → positive SE bracketing
+    // the point estimate; bitwise replay
+    val het = (1L to 500L).map(i =>
+      (i, ((i * 37) % 11 + 1).toDouble, 1.0)).toDF("unit", "num", "den")
+    val h1 = Stats.jackknifeRatio(het, col("unit"), col("num"),
+      col("den")).collect()(0)
+    val h2 = Stats.jackknifeRatio(het, col("unit"), col("num"),
+      col("den")).collect()(0)
+    assert(h1 == h2, "jackknife must replay exactly")
+    assert(h1.getAs[Double]("se") > 0.0)
+    assert(h1.getAs[Double]("ci_lo") < h1.getAs[Double]("ratio") &&
+      h1.getAs[Double]("ratio") < h1.getAs[Double]("ci_hi"))
+  }
+
   test("splitConformal: a perfect model gives q = 0 and coverage 1; " +
       "a noisy one still covers ≈ 1 − α; runs replay exactly") {
     import spark.implicits._
