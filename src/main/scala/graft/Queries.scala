@@ -626,6 +626,14 @@ object Queries {
       Stats.madOutliers(perMin, Seq("event_type"), col("n_events"),
         col("minute"), c = 3)
     }),
+    "q_quantile_by_group" -> ((s, dir) => {
+      // EXACT per-type value percentiles (p10/p50/p90) as order
+      // statistics — the grouped sibling of q_quantile_exact: no
+      // interpolation, no sketch, (value, id) total order, the
+      // iqrOutliers rank topology.
+      Stats.quantilesByGroup(Tables.events(s, dir), Seq("event_type"),
+        col("value"), col("event_id"))
+    }),
     "q_anomaly_iqr" -> ((s, dir) => {
       // Tukey 1.5·IQR boxplot fences per event type — the third
       // member of the outlier trio next to q_anomaly_zscore (assumes
@@ -1038,6 +1046,15 @@ object Queries {
       // triples; SSB/SSW terms round to 9 dp and fix as DECIMAL
       // before the cross-group fold so group order cannot move a bit.
       Stats.anovaF(Tables.events(s, dir), "value", "event_type")
+    }),
+    "q_prop_ztest" -> ((s, dir) => {
+      // Conversion-rate comparison: does the high-value-order rate
+      // (total ≥ 150k) differ between finished and open orders? The
+      // pooled two-proportion z — the A/B primitive next to
+      // q_welch_ttest (means) and q_jackknife_ratio (ratios). One
+      // conditional-aggregate pass, four exact integer accumulators.
+      Stats.propZTest(Tables.orders(s, dir), "o_orderstatus",
+        col("o_totalprice") >= 150000, groupA = "F", groupB = "O")
     }),
     "q_jackknife_ratio" -> ((s, dir) => {
       // Revenue per quantity unit WITH a unit-correlation-aware SE:
@@ -4979,6 +4996,24 @@ object Queries {
         | round(CAST(min(m2) AS DOUBLE) / 2, 6) AS median,
         | round(CAST(min(d2) AS DOUBLE) / 4, 6) AS mad
         |FROM dm WHERE dd * 2 > d2 * 3 GROUP BY event_type""".stripMargin,
+    // grouped-percentile replica: same max(1, ⌈p·n/1000⌉) order
+    // statistics under the (value, id) total order
+    "q_quantile_by_group" ->
+      """WITH v AS (SELECT event_type AS g,
+        |  CAST(value AS DECIMAL(18,4)) AS v, event_id AS id
+        | FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT g, v,
+        |  count(*) OVER (PARTITION BY g) AS n,
+        |  row_number() OVER (PARTITION BY g
+        |    ORDER BY v ASC, id ASC) AS rk FROM v)
+        |SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(min(CASE WHEN rk = greatest(1, (n * 100 + 999) // 1000)
+        |   THEN v END) AS DOUBLE) AS p_100,
+        | CAST(min(CASE WHEN rk = greatest(1, (n * 500 + 999) // 1000)
+        |   THEN v END) AS DOUBLE) AS p_500,
+        | CAST(min(CASE WHEN rk = greatest(1, (n * 900 + 999) // 1000)
+        |   THEN v END) AS DOUBLE) AS p_900
+        |FROM r GROUP BY g""".stripMargin,
     // IQR replica: same ⌈n/4⌉/⌈3n/4⌉ order-statistic quartiles and
     // all-DECIMAL scaled fence comparisons
     "q_anomaly_iqr" ->
@@ -7351,6 +7386,38 @@ object Queries {
         |  THEN round(1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y) /
         |    (syy - sy * sy / CAST(n AS DOUBLE)), 6) END AS r2
         |FROM b""".stripMargin,
+    // proportion-z replica: same exact integer accumulators and
+    // pooled-SE closed form in literal order
+    "q_prop_ztest" ->
+      """WITH v AS (SELECT o_orderstatus AS g,
+        |  CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END AS s
+        | FROM orders WHERE o_orderstatus IN ('F','O')),
+        |agg AS (SELECT
+        |  CAST(sum(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS na,
+        |  CAST(sum(CASE WHEN g = 'F' THEN s ELSE 0 END) AS BIGINT)
+        |    AS xa,
+        |  CAST(sum(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS nb,
+        |  CAST(sum(CASE WHEN g = 'O' THEN s ELSE 0 END) AS BIGINT)
+        |    AS xb
+        | FROM v),
+        |m AS (SELECT na, nb, xa, xb,
+        |  CAST(xa AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
+        |  CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE) AS pb,
+        |  (CAST(xa AS DOUBLE) + CAST(xb AS DOUBLE)) /
+        |    (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) AS pool
+        | FROM agg)
+        |SELECT na AS n_a, nb AS n_b, xa AS x_a, xb AS x_b,
+        | CASE WHEN na > 0 THEN round(pa, 6) END AS p_a,
+        | CASE WHEN nb > 0 THEN round(pb, 6) END AS p_b,
+        | CASE WHEN na > 0 AND nb > 0 THEN round(pa - pb, 6) END
+        |   AS diff,
+        | CASE WHEN na > 0 AND nb > 0 AND pool > 0 AND pool < 1
+        |   THEN round((pa - pb) / sqrt(pool * (1.0 - pool) *
+        |     (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))),
+        |     6) END AS z
+        |FROM m""".stripMargin,
     // jackknife replica: same unit-hash buckets, exact decimal
     // leave-one-out differences, 12-dp round-then-DECIMAL folds
     "q_jackknife_ratio" -> {

@@ -496,6 +496,47 @@ object Stats {
           10.0).as("hi_fence"))
   }
 
+  /** EXACT per-group percentiles as order statistics: for each group
+    * and each requested permille p, the value at rank
+    * max(1, ⌈p·n/1000⌉) under the total (value, id) order — no
+    * interpolation, no sketch, engine-portable (the grouped sibling
+    * of the global exact-percentile family; use
+    * [[histogramQuantiles]]/[[profileApprox]] when groups are huge
+    * and approximation is acceptable).
+    *
+    * Scale shape: the [[iqrOutliers]] topology — one exchange on the
+    * group for the rank window, one aggregate; group sizes bound the
+    * window partitions.
+    *
+    * Returns one row per group: (groupCols*, n, p_<permille>…). */
+  def quantilesByGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      value: Column,
+      idCol: Column,
+      permilles: Seq[Int] = Seq(100, 500, 900)): DataFrame = {
+    require(permilles.nonEmpty &&
+      permilles.forall(p => p > 0 && p < 1000),
+      s"permilles must be in (0, 1000): $permilles")
+    val grp = groupCols.map(col)
+    val cnt = Window.partitionBy(grp: _*)
+    val wv = Window.partitionBy(grp: _*)
+      .orderBy(col("__v").asc, col("__id").asc)
+    val staged = df
+      .select(grp ++ Seq(value.cast(DecimalType(18, 4)).as("__v"),
+        idCol.as("__id")): _*)
+      .filter(col("__v").isNotNull)
+      .withColumn("__n", count(lit(1)).over(cnt))
+      .withColumn("__rk", row_number().over(wv))
+    val qs = permilles.map { p =>
+      min(when(col("__rk") ===
+        expr(s"greatest(1, (__n * $p + 999) div 1000)"), col("__v")))
+        .cast(DoubleType).as(s"p_$p")
+    }
+    staged.groupBy(grp: _*)
+      .agg(count(lit(1)).as("n"), qs: _*)
+  }
+
   /** First-order Markov transition matrix over per-key event
     * sequences: for every ordered (from_state, to_state) pair of
     * consecutive states within a key, the transition count and its
@@ -1535,6 +1576,51 @@ object Stats {
       .localCheckpoint(true)
     base.unpersist(false)
     out
+  }
+
+  /** Two-sample proportion z-test: is the success RATE different
+    * between groups A and B? The pooled-variance normal test
+    * z = (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)) — the conversion-
+    * rate primitive next to [[welchT]] (means) and [[jackknifeRatio]]
+    * (correlated ratios). ONE conditional-aggregate pass, four exact
+    * integer accumulators, 1-row closed-form math in oracle-literal
+    * order; degenerate cases (empty group, all-success/all-failure
+    * pool) NULL-gate with total division arithmetic.
+    *
+    * Returns one row: (n_a, n_b, x_a, x_b, p_a, p_b, diff, z). */
+  def propZTest(
+      df: DataFrame,
+      groupCol: String,
+      success: Column,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val v = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).cast(StringType).as("__g"),
+        when(success, 1L).otherwise(0L).as("__s"))
+    def side(g: String, tag: String) = Seq(
+      sum(when(col("__g") === g, 1L).otherwise(0L)).as(s"__n$tag"),
+      sum(when(col("__g") === g, col("__s")).otherwise(0L))
+        .as(s"__x$tag"))
+    val aggs = side(groupA, "a") ++ side(groupB, "b")
+    val one = v.agg(aggs.head, aggs.tail: _*)
+    def safe(c: Column) = when(c =!= 0.0, c).otherwise(lit(1.0))
+    def nD(t: String) = col(s"__n$t").cast(DoubleType)
+    def xD(t: String) = col(s"__x$t").cast(DoubleType)
+    def pOf(t: String) = xD(t) / safe(nD(t))
+    val pool = (xD("a") + xD("b")) / safe(nD("a") + nD("b"))
+    val se = sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / safe(nD("a")) + lit(1.0) / safe(nD("b"))))
+    val ok = col("__na") > 0 && col("__nb") > 0 &&
+      pool > 0.0 && pool < 1.0
+    one.select(
+      col("__na").as("n_a"), col("__nb").as("n_b"),
+      col("__xa").as("x_a"), col("__xb").as("x_b"),
+      when(col("__na") > 0, round(pOf("a"), 6)).as("p_a"),
+      when(col("__nb") > 0, round(pOf("b"), 6)).as("p_b"),
+      when(col("__na") > 0 && col("__nb") > 0,
+        round(pOf("a") - pOf("b"), 6)).as("diff"),
+      when(ok, round((pOf("a") - pOf("b")) / safe(se), 6))
+        .otherwise(lit(null).cast(DoubleType)).as("z"))
   }
 
   /** Delete-one-bucket jackknife for a RATIO metric Σnum/Σden — the

@@ -892,6 +892,44 @@ class StatsSpec extends SparkSpecBase {
       s"singular system must NULL-gate: $c")
   }
 
+  test("propZTest: hand-computed pooled z on a 2×2; degenerate " +
+      "all-success pool NULL-gates") {
+    import spark.implicits._
+    // A: 8/10 success, B: 2/10: pooled p = 0.5,
+    // se = sqrt(0.25·0.2) = sqrt(0.05), z = 0.6/sqrt(0.05)
+    val df = ((1 to 10).map(i => ("A", i <= 8)) ++
+      (1 to 10).map(i => ("B", i <= 2))).toDF("g", "ok")
+    val r = Stats.propZTest(df, "g", col("ok"), "A", "B").collect()(0)
+    assert(r.getAs[Long]("n_a") == 10L && r.getAs[Long]("x_a") == 8L)
+    assert(r.getAs[Double]("p_a") == 0.8 && r.getAs[Double]("p_b") == 0.2)
+    assert(r.getAs[Double]("diff") == 0.6)
+    val z = BigDecimal(0.6 / math.sqrt(0.5 * 0.5 * (0.1 + 0.1)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("z") == z, s"z: $r")
+    // everyone converts → pooled p = 1 → undefined z, NULL not Inf
+    val allOk = Seq(("A", true), ("B", true)).toDF("g", "ok")
+    val d = Stats.propZTest(allOk, "g", col("ok"), "A", "B").collect()(0)
+    assert(d.isNullAt(d.fieldIndex("z")))
+  }
+
+  test("quantilesByGroup: exact order statistics on 1..100 — p10 is " +
+      "the 10th value, ranks clamp at 1") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => ("g", i.toDouble, i)).toDF("g", "v", "id")
+    val r = Stats.quantilesByGroup(df, Seq("g"), col("v"), col("id"))
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 100L)
+    assert(r.getAs[Double]("p_100") == 10.0)
+    assert(r.getAs[Double]("p_500") == 50.0)
+    assert(r.getAs[Double]("p_900") == 90.0)
+    // single-row group: every percentile clamps to rank 1
+    val one = Seq(("h", 42.0, 1L)).toDF("g", "v", "id")
+    val o = Stats.quantilesByGroup(one, Seq("g"), col("v"), col("id"))
+      .collect()(0)
+    assert(o.getAs[Double]("p_100") == 42.0 &&
+      o.getAs[Double]("p_900") == 42.0)
+  }
+
   test("jackknifeRatio: a constant per-row ratio has zero SE; " +
       "heterogeneous buckets widen it; runs replay exactly") {
     import spark.implicits._
