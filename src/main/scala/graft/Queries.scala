@@ -595,6 +595,17 @@ object Queries {
       Stats.transitionMatrix(Tables.events(s, dir), col("user_id"),
         col("ts"), col("event_id"), col("event_type"))
     }),
+    "q_markov_steady" -> ((s, dir) => {
+      // Long-run behavior of the event chain: the stationary
+      // distribution of q_event_transitions' matrix by 20 power-
+      // iteration rounds from uniform — "what fraction of activity
+      // is each event type at equilibrium". Every round is a
+      // join+aggregate over the bounded |types|² matrix; the corpus
+      // is scanned once to build it.
+      Stats.markovSteadyState(
+        Stats.transitionMatrix(Tables.events(s, dir), col("user_id"),
+          col("ts"), col("event_id"), col("event_type")))
+    }),
     "q_source_overlap" -> ((s, dir) => {
       // Cross-provenance duplication: exact shingle-set Jaccard for
       // every source pair (ppm) — how much of each source is already
@@ -4936,6 +4947,7 @@ object Queries {
     // transitionMatrix replica: lag per user ordered (ts, event_id),
     // pair counts, integer-ppm row-conditional probabilities
     "q_event_transitions" -> transitionsOracle,
+    "q_markov_steady" -> markovSteadyOracle,
     // the streaming drain must land on the identical matrix — the
     // batch oracle verbatim is the whole point of the gate
     "q_stream_transitions" -> transitionsOracle,
@@ -8122,6 +8134,47 @@ object Queries {
       |  OVER (PARTITION BY from_state) AS BIGINT) AS tot FROM c)
       |SELECT from_state, to_state, n_trans,
       | n_trans * 1000000 // tot AS p_ppm FROM t""".stripMargin
+
+  /** q_markov_steady replica: the [[transitionsOracle]] matrix with
+    * 20 unrolled power-iteration steps — uniform start, 9-dp
+    * round-then-DECIMAL fold per state, dangling mass leaks, states
+    * with no incoming transitions coalesce to 0. */
+  private def markovSteadyOracle: String = {
+    val iters = 20
+    val head =
+      """WITH s AS (SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev
+        | FROM events),
+        |c AS (SELECT prev AS from_state, event_type AS to_state,
+        |  CAST(count(*) AS BIGINT) AS n_trans
+        | FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |tt AS (SELECT *, CAST(sum(n_trans)
+        |  OVER (PARTITION BY from_state) AS BIGINT) AS tot FROM c),
+        |tr AS (SELECT from_state, to_state,
+        |  n_trans * 1000000 // tot AS p_ppm FROM tt),
+        |st AS (SELECT DISTINCT state FROM (
+        |  SELECT from_state AS state FROM tr
+        |  UNION ALL SELECT to_state FROM tr)),
+        |ns AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM st),
+        |p0 AS (SELECT state, 1.0 / ns.k AS pi FROM st, ns)"""
+        .stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""p$k AS (SELECT st.state,
+         | coalesce(n.pi, 0.0) AS pi
+         | FROM st LEFT JOIN (
+         |  SELECT tr.to_state AS state,
+         |   CAST(sum(CAST(round(p.pi *
+         |     (CAST(tr.p_ppm AS DOUBLE) / 1000000.0), 9)
+         |    AS DECIMAL(18,9))) AS DOUBLE) AS pi
+         |  FROM tr JOIN p${k - 1} p ON tr.from_state = p.state
+         |  GROUP BY tr.to_state) n ON n.state = st.state)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$steps
+       |SELECT state, round(pi, 6) AS pi FROM p$iters""".stripMargin
+  }
 
   /** rolling polynomial hash of a string expression */
   private def polySql(e: String): String =

@@ -578,6 +578,56 @@ object Stats {
       .drop("__tot")
   }
 
+  /** Stationary distribution of the [[transitionMatrix]] chain by
+    * power iteration: where does the process SPEND ITS TIME in the
+    * long run — the one-number-per-state summary of the behavioral
+    * model (the matrix says "what follows a click"; the steady state
+    * says "what fraction of all activity is clicks at equilibrium").
+    * States with no outgoing transitions leak mass (the simple
+    * formulation, like the PageRank dangling contract); states with
+    * no incoming transitions finish at 0.
+    *
+    * Scale shape: the input is the ALREADY-BOUNDED |states|² matrix —
+    * every iteration is a join+aggregate over ≤ |states|² rows,
+    * localCheckpoint-flattened so 20 rounds don't stack lineage; the
+    * corpus is never rescanned. Determinism: probabilities are the
+    * exact integer ppm / 10⁶; each fold term rounds to 9 dp and
+    * fixes as DECIMAL before the per-state sum.
+    *
+    * Returns one row per state: (state, pi), π after `iters` rounds
+    * from the uniform start, 6-dp. */
+  def markovSteadyState(
+      transitions: DataFrame,
+      iters: Int = 20): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
+    val tr = transitions.select(col("from_state"), col("to_state"),
+        col("p_ppm"))
+      .localCheckpoint(true) // bounded |states|² rows
+    val states = tr.select(col("from_state").as("state"))
+      .union(tr.select(col("to_state").as("state")))
+      .distinct()
+      .localCheckpoint(true)
+    val nStates = states.count()
+    require(nStates >= 1, "no states")
+    val p0 = 1.0 / nStates
+    var pi = states.withColumn("pi", lit(p0))
+    val fold = DecimalType(18, 9)
+    for (_ <- 1 to iters) {
+      val next = tr
+        .join(pi.withColumnRenamed("state", "from_state"),
+          Seq("from_state"))
+        .select(col("to_state").as("state"),
+          round(col("pi") * (col("p_ppm").cast(DoubleType) / 1000000.0),
+            9).cast(fold).as("__m"))
+        .groupBy(col("state"))
+        .agg(sum(col("__m")).cast(DoubleType).as("pi"))
+      pi = states.join(next, Seq("state"), "left")
+        .select(col("state"), coalesce(col("pi"), lit(0.0)).as("pi"))
+        .localCheckpoint(true)
+    }
+    pi.select(col("state"), round(col("pi"), 6).as("pi"))
+  }
+
   /** Deterministic per-group mode: the most frequent value, ties
     * broken by value ascending (an arbitrary-tie mode is not
     * reproducible across engines or reruns). Two map-side-combined

@@ -892,6 +892,20 @@ class StatsSpec extends SparkSpecBase {
       s"singular system must NULL-gate: $c")
   }
 
+  test("markovSteadyState: A→B always, B splits evenly — π converges " +
+      "to (1/3, 2/3); an absorbing-free chain conserves mass") {
+    import spark.implicits._
+    // P = [[0, 1], [0.5, 0.5]] has stationary π = (1/3, 2/3)
+    val tr = Seq(("A", "B", 1000000L), ("B", "A", 500000L),
+      ("B", "B", 500000L)).toDF("from_state", "to_state", "p_ppm")
+    val pi = Stats.markovSteadyState(tr).collect()
+      .map(r => r.getAs[String]("state") -> r.getAs[Double]("pi")).toMap
+    assert(math.abs(pi("A") - 1.0 / 3) < 2e-6, s"pi: $pi")
+    assert(math.abs(pi("B") - 2.0 / 3) < 2e-6, s"pi: $pi")
+    assert(math.abs(pi("A") + pi("B") - 1.0) < 1e-5,
+      s"mass must be conserved: $pi")
+  }
+
   test("propZTest: hand-computed pooled z on a 2×2; degenerate " +
       "all-success pool NULL-gates") {
     import spark.implicits._
