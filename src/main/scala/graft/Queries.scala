@@ -1058,6 +1058,17 @@ object Queries {
       // before the cross-group fold so group order cannot move a bit.
       Stats.anovaF(Tables.events(s, dir), "value", "event_type")
     }),
+    "q_gini_revenue" -> ((s, dir) => {
+      // Revenue concentration across customers — the whale gauge:
+      // Gini of per-customer revenue totals (0 = equal, →1 = one
+      // customer is the business). Per-customer rollup first (the
+      // units are customers, not orders), then the two-phase
+      // distributed rank and two exact DECIMAL sums.
+      val perCust = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      Stats.giniCoefficient(perCust, col("rev"), col("o_custkey"))
+    }),
     "q_prop_ztest" -> ((s, dir) => {
       // Conversion-rate comparison: does the high-value-order rate
       // (total ≥ 150k) differ between finished and open orders? The
@@ -7398,6 +7409,28 @@ object Queries {
         |  THEN round(1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y) /
         |    (syy - sy * sy / CAST(n AS DOUBLE)), 6) END AS r2
         |FROM b""".stripMargin,
+    // Gini replica: same per-customer rollup, (value, id) rank
+    // order, exact rank·value DECIMAL sums and literal closed form
+    "q_gini_revenue" ->
+      """WITH per AS (SELECT o_custkey,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    AS DOUBLE), 4) AS rev
+        | FROM orders GROUP BY 1),
+        |v AS (SELECT CAST(rev AS DECIMAL(18,4)) AS xd, o_custkey AS t
+        | FROM per WHERE rev >= 0),
+        |r AS (SELECT xd,
+        |  row_number() OVER (ORDER BY CAST(xd AS DOUBLE) ASC, t ASC)
+        |    AS rk,
+        |  count(*) OVER () AS n FROM v),
+        |agg AS (SELECT CAST(max(n) AS BIGINT) AS n,
+        |  sum(xd) AS s1, sum(rk * xd) AS s2 FROM r)
+        |SELECT n, round(CAST(s1 AS DOUBLE), 4) AS total,
+        | CASE WHEN CAST(s1 AS DOUBLE) > 0
+        |   THEN round((2.0 * CAST(s2 AS DOUBLE) -
+        |     CAST(n + 1 AS DOUBLE) * CAST(s1 AS DOUBLE)) /
+        |     (CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)), 6)
+        |  END AS gini
+        |FROM agg""".stripMargin,
     // proportion-z replica: same exact integer accumulators and
     // pooled-SE closed form in literal order
     "q_prop_ztest" ->

@@ -1628,6 +1628,43 @@ object Stats {
     out
   }
 
+  /** Gini coefficient of a non-negative value distribution — the
+    * concentration gauge ("do 1% of customers carry 60% of
+    * revenue?", "is the corpus dominated by a handful of sources?"):
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over the value-ascending
+    * ranking. 0 = perfectly equal, →1 = one unit holds everything.
+    *
+    * Scale shape: one [[globalRankByValue]] two-phase distributed
+    * rank (never a single-partition sort) + one aggregate of two
+    * exact DECIMAL sums (rank·value products stay decimal — the
+    * rank-weighted sum is exactly the kind of dot product a double
+    * fold would scramble by partition order). Negative values are
+    * rejected by filter (the index is undefined there).
+    *
+    * Returns one row: (n, total, gini); gini NULL when total = 0. */
+  def giniCoefficient(
+      df: DataFrame,
+      valueCol: Column,
+      tieCol: Column): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val v = df.select(valueCol.cast(dec).as("__xd"), tieCol.as("__t"))
+      .filter(col("__xd").isNotNull && col("__xd") >= 0)
+      .withColumn("__x", col("__xd").cast(DoubleType))
+    val (ranked, n) = globalRankByValue(v, "__x", "__t")
+    require(n >= 1, "gini needs at least one non-negative value")
+    val agg = ranked.agg(
+      sum(col("__xd")).as("__s1"),
+      sum(col("__rank") * col("__xd")).as("__s2"))
+    def safe(c: Column) = when(c =!= 0.0, c).otherwise(lit(1.0))
+    val s1 = col("__s1").cast(DoubleType)
+    val s2 = col("__s2").cast(DoubleType)
+    agg.select(lit(n).as("n"),
+      round(s1, 4).as("total"),
+      when(s1 > 0, round((lit(2.0) * s2 - lit((n + 1).toDouble) * s1) /
+        safe(lit(n.toDouble) * s1), 6))
+        .otherwise(lit(null).cast(DoubleType)).as("gini"))
+  }
+
   /** Two-sample proportion z-test: is the success RATE different
     * between groups A and B? The pooled-variance normal test
     * z = (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)) — the conversion-

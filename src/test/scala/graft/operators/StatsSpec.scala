@@ -892,6 +892,23 @@ class StatsSpec extends SparkSpecBase {
       s"singular system must NULL-gate: $c")
   }
 
+  test("giniCoefficient: equal values score 0, total concentration " +
+      "scores (n−1)/n, and the textbook 1..n case matches") {
+    import spark.implicits._
+    def gini(vals: Seq[Double]): Double = {
+      val df = vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+        .toDF("v", "id")
+      Stats.giniCoefficient(df, col("v"), col("id"))
+        .collect()(0).getAs[Double]("gini")
+    }
+    assert(gini(Seq.fill(10)(7.0)) == 0.0, "equal values")
+    // one unit holds everything: G = (n−1)/n = 0.9 at n = 10
+    assert(gini(Seq.fill(9)(0.0) :+ 100.0) == 0.9, "total concentration")
+    // values 1..n: G = (n−1)/(3n)·... textbook: (n²−1)/(3n²)·...
+    // direct: for 1..10, G = 2·Σi·i/(n·Σi) − (n+1)/n = 0.3
+    assert(gini((1 to 10).map(_.toDouble)) == 0.3, "1..n case")
+  }
+
   test("markovSteadyState: A→B always, B splits evenly — π converges " +
       "to (1/3, 2/3); an absorbing-free chain conserves mass") {
     import spark.implicits._
