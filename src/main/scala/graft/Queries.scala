@@ -1058,6 +1058,16 @@ object Queries {
       // before the cross-group fold so group order cannot move a bit.
       Stats.anovaF(Tables.events(s, dir), "value", "event_type")
     }),
+    "q_lorenz_deciles" -> ((s, dir) => {
+      // WHERE the revenue concentration lives: Lorenz curve at
+      // customer-decile resolution (value-ascending), per-decile and
+      // cumulative shares in exact integer ppm — q_gini_revenue's
+      // companion (the Gini is the area this curve traces).
+      val perCust = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      Stats.lorenzDeciles(perCust, col("rev"), col("o_custkey"))
+    }),
     "q_gini_revenue" -> ((s, dir) => {
       // Revenue concentration across customers — the whale gauge:
       // Gini of per-customer revenue totals (0 = equal, →1 = one
@@ -7409,6 +7419,35 @@ object Queries {
         |  THEN round(1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y) /
         |    (syy - sy * sy / CAST(n AS DOUBLE)), 6) END AS r2
         |FROM b""".stripMargin,
+    // Lorenz replica: same rank deciles, exact decimal sums, integer
+    // ppm shares (positive operands: // and div agree)
+    "q_lorenz_deciles" ->
+      """WITH per AS (SELECT o_custkey,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    AS DOUBLE), 4) AS rev
+        | FROM orders GROUP BY 1),
+        |v AS (SELECT CAST(rev AS DECIMAL(18,4)) AS xd, o_custkey AS t
+        | FROM per WHERE rev >= 0),
+        |r AS (SELECT xd,
+        |  row_number() OVER (ORDER BY CAST(xd AS DOUBLE) ASC, t ASC)
+        |    AS rk,
+        |  count(*) OVER () AS n FROM v),
+        |d AS (SELECT CAST((rk - 1) * 10 // n + 1 AS INTEGER)
+        |    AS decile, xd FROM r),
+        |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_units,
+        |  sum(xd) AS s FROM d GROUP BY decile),
+        |c AS (SELECT decile, n_units, s,
+        |  sum(s) OVER () AS tot,
+        |  sum(s) OVER (ORDER BY decile ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM g)
+        |SELECT decile, n_units,
+        | round(CAST(s AS DOUBLE), 4) AS value_sum,
+        | CAST((CAST(s * 10000 AS HUGEINT) * 1000000) //
+        |   CAST(tot * 10000 AS HUGEINT) AS BIGINT) AS share_ppm,
+        | CAST((CAST(cum * 10000 AS HUGEINT) * 1000000) //
+        |   CAST(tot * 10000 AS HUGEINT) AS BIGINT) AS cum_share_ppm
+        |FROM c""".stripMargin,
     // Gini replica: same per-customer rollup, (value, id) rank
     // order, exact rank·value DECIMAL sums and literal closed form
     "q_gini_revenue" ->

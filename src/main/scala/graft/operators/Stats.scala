@@ -1665,6 +1665,54 @@ object Stats {
         .otherwise(lit(null).cast(DoubleType)).as("gini"))
   }
 
+  /** Lorenz curve at decile resolution — [[giniCoefficient]]'s
+    * companion that shows WHERE the concentration lives: for each
+    * value-ascending decile of units, its share of the total and the
+    * cumulative share up to it ("the bottom 50% of customers carry
+    * 18% of revenue"). Shares are integer ppm (sum·10⁶ div total —
+    * exact, no float division), the decile assignment is the integer
+    * ⌊(rank−1)·10/n⌋+1 over the two-phase distributed rank, and the
+    * cumulative runs over the 10-row control frame.
+    *
+    * Returns ≤ 10 rows: (decile, n_units, value_sum, share_ppm,
+    * cum_share_ppm). */
+  def lorenzDeciles(
+      df: DataFrame,
+      valueCol: Column,
+      tieCol: Column): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val v = df.select(valueCol.cast(dec).as("__xd"), tieCol.as("__t"))
+      .filter(col("__xd").isNotNull && col("__xd") >= 0)
+      .withColumn("__x", col("__xd").cast(DoubleType))
+    val (ranked, n) = globalRankByValue(v, "__x", "__t")
+    require(n >= 1, "lorenz needs at least one non-negative value")
+    val byDec = ranked
+      .withColumn("decile",
+        expr(s"CAST((__rank - 1) * 10 div $n + 1 AS INT)"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_units"), sum(col("__xd")).as("__s"))
+    // ≤ 10 rows: total + cumulative are control-plane windows;
+    // scaled-decimal ppm keeps every share exact
+    val wAll = Window.partitionBy(lit(1))
+    val wCum = Window.orderBy(col("decile").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ppm via EXACT scaled-integer division: DuckDB's `//` on
+    // decimals routes through double math (off-by-one ppm), so both
+    // engines divide integral 10⁴-scaled values (DECIMAL(38,0) here,
+    // HUGEINT there) — truncation of exact rationals agrees
+    byDec
+      .withColumn("__tot", sum(col("__s")).over(wAll))
+      .withColumn("__cum", sum(col("__s")).over(wCum))
+      .select(col("decile"), col("n_units"),
+        round(col("__s").cast(DoubleType), 4).as("value_sum"),
+        expr("CAST((CAST(__s * 10000 AS DECIMAL(38,0)) * 1000000) div " +
+          "CAST(__tot * 10000 AS DECIMAL(38,0)) AS BIGINT)")
+          .as("share_ppm"),
+        expr("CAST((CAST(__cum * 10000 AS DECIMAL(38,0)) * 1000000) div " +
+          "CAST(__tot * 10000 AS DECIMAL(38,0)) AS BIGINT)")
+          .as("cum_share_ppm"))
+  }
+
   /** Two-sample proportion z-test: is the success RATE different
     * between groups A and B? The pooled-variance normal test
     * z = (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)) — the conversion-

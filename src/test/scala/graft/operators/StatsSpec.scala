@@ -909,6 +909,29 @@ class StatsSpec extends SparkSpecBase {
     assert(gini((1 to 10).map(_.toDouble)) == 0.3, "1..n case")
   }
 
+  test("lorenzDeciles: 1..100 units — decile shares are the exact " +
+      "ppm of arithmetic-series slices, cumulative ends at 10^6") {
+    import spark.implicits._
+    // values 1..100, total 5050; decile d holds values (10d−9)..10d
+    // with sum 100d − 45 → share_ppm = (100d−45)·10⁶ div 5050
+    val df = (1L to 100L).map(i => (i.toDouble, i)).toDF("v", "id")
+    val rows = Stats.lorenzDeciles(df, col("v"), col("id"))
+      .collect().map(r => r.getAs[Int]("decile") ->
+        ((r.getAs[Long]("n_units"), r.getAs[Long]("share_ppm"),
+          r.getAs[Long]("cum_share_ppm")))).toMap
+    assert(rows.size == 10)
+    var cum = 0L
+    for (d <- 1 to 10) {
+      val s = 100L * d - 45
+      cum += s
+      val (nu, sp, cp) = rows(d)
+      assert(nu == 10L)
+      assert(sp == s * 1000000L / 5050, s"decile $d share: $rows")
+      assert(cp == cum * 1000000L / 5050, s"decile $d cum: $rows")
+    }
+    assert(rows(10)._3 == 1000000L, "cumulative must end at 10^6")
+  }
+
   test("markovSteadyState: A→B always, B splits evenly — π converges " +
       "to (1/3, 2/3); an absorbing-free chain conserves mass") {
     import spark.implicits._
