@@ -3108,10 +3108,14 @@ object Queries {
         .agg(count(lit(1)).as("__ic"))
       val ps = base.groupBy(col("__p")).agg(count(lit(1)).as("__ps"))
       val ts2 = base.groupBy(col("__t")).agg(count(lit(1)).as("__ts"))
+      // cells/ps/ts2 are O(|docs|)-row frames (one row per predicted /
+      // truth cluster, mostly singletons) — shuffle joins keyed on
+      // __p/__t, NOT broadcasts: a doc-scale broadcast is a driver /
+      // executor memory hazard at 100 TB (ADVICE r9)
       val perDoc = base
-        .join(broadcast(cells), Seq("__p", "__t"))
-        .join(broadcast(ps), Seq("__p"))
-        .join(broadcast(ts2), Seq("__t"))
+        .join(cells, Seq("__p", "__t"))
+        .join(ps, Seq("__p"))
+        .join(ts2, Seq("__t"))
         .select(
           round(col("__ic").cast(DoubleType) / col("__ps"), 9)
             .cast(DecimalType(18, 9)).as("__pi"),
@@ -3147,8 +3151,11 @@ object Queries {
         .select(col("doc_id"), col("source"), col("n_chars"),
           TextAnalysis.qualityScoreFromTokens(col("__tk"), col("text"))
             .as("__q"))
+      // cc is one row per near-dup member — corpus-proportional at a
+      // high dup rate, so a shuffle join, not a broadcast (the
+      // q_dedup_bcubed class, ADVICE r9)
       val member = q
-        .join(broadcast(cc.withColumnRenamed("id", "doc_id")),
+        .join(cc.withColumnRenamed("id", "doc_id"),
           Seq("doc_id"), "left")
         .withColumn("__comp", coalesce(col("component"), col("doc_id")))
       val w = Window.partitionBy(col("__comp"))
@@ -5150,7 +5157,7 @@ object Queries {
         | CASE WHEN trend IS NOT NULL THEN seasonal END AS seasonal,
         | CASE WHEN trend IS NOT NULL
         |   THEN round(det - seasonal, 6) END AS resid
-        |FROM dt JOIN sz ON dt.dow = sz.dow""".stripMargin,
+        |FROM dt LEFT JOIN sz ON dt.dow = sz.dow""".stripMargin,
     // sampled Theil–Sen replica: the same portable-hash partner
     // draws (ia + 1 + bucket mod (p − ia)), DISTINCT pair collapse,
     // and two-middle rank medians
@@ -7517,9 +7524,11 @@ object Queries {
          | FROM d GROUP BY b),
          |tot AS (SELECT sum(bn) AS nn, sum(bd) AS dd,
          |  CAST(count(*) AS BIGINT) AS nb FROM per),
+         |bad AS (SELECT CAST(count(*) AS BIGINT) AS nbad
+         | FROM per, tot WHERE dd - bd = 0),
          |th AS (SELECT CAST(nn - bn AS DOUBLE) /
          |   CAST(dd - bd AS DOUBLE) AS t
-         | FROM per, tot),
+         | FROM per, tot WHERE dd - bd <> 0),
          |s1 AS (SELECT CAST(sum(CAST(round(t, 12) AS DECIMAL(28,12)))
          |   AS DOUBLE) / count(*) AS tbar FROM th),
          |ss AS (SELECT CAST(sum(CAST(round((t - tbar) * (t - tbar),
@@ -7529,15 +7538,18 @@ object Queries {
          | round(CAST(nn AS DOUBLE), 4) AS num_sum,
          | round(CAST(dd AS DOUBLE), 4) AS den_sum,
          | round(CAST(nn AS DOUBLE) / CAST(dd AS DOUBLE), 6) AS ratio,
-         | round(sqrt((CAST(nb AS DOUBLE) - 1.0) / CAST(nb AS DOUBLE)
-         |   * sdev), 6) AS se,
-         | round(CAST(nn AS DOUBLE) / CAST(dd AS DOUBLE) - 1.96 *
-         |   sqrt((CAST(nb AS DOUBLE) - 1.0) / CAST(nb AS DOUBLE)
-         |     * sdev), 6) AS ci_lo,
-         | round(CAST(nn AS DOUBLE) / CAST(dd AS DOUBLE) + 1.96 *
-         |   sqrt((CAST(nb AS DOUBLE) - 1.0) / CAST(nb AS DOUBLE)
-         |     * sdev), 6) AS ci_hi
-         |FROM tot, ss""".stripMargin
+         | CASE WHEN nbad = 0 THEN
+         |   round(sqrt((CAST(nb AS DOUBLE) - 1.0) / CAST(nb AS DOUBLE)
+         |     * sdev), 6) END AS se,
+         | CASE WHEN nbad = 0 THEN
+         |   round(CAST(nn AS DOUBLE) / CAST(dd AS DOUBLE) - 1.96 *
+         |     sqrt((CAST(nb AS DOUBLE) - 1.0) / CAST(nb AS DOUBLE)
+         |       * sdev), 6) END AS ci_lo,
+         | CASE WHEN nbad = 0 THEN
+         |   round(CAST(nn AS DOUBLE) / CAST(dd AS DOUBLE) + 1.96 *
+         |     sqrt((CAST(nb AS DOUBLE) - 1.0) / CAST(nb AS DOUBLE)
+         |       * sdev), 6) END AS ci_hi
+         |FROM tot, ss, bad""".stripMargin
     },
     // median-CI replica: same rank probes — sqrt/floor/ceil land on
     // the identical order-statistic ranks (IEEE sqrt both engines)

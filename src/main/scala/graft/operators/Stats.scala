@@ -1802,14 +1802,36 @@ object Stats {
     val tot = per.agg(sum(col("__bn")).as("__N"),
       sum(col("__bd")).as("__D"), count(lit(1)).as("__cnt"))
     def safe(c: Column) = when(c =!= 0.0, c).otherwise(lit(1.0))
+    // A bucket holding ALL denominator mass (D − bd = 0) makes its
+    // leave-one-out ratio θ = (N − bn)/0 garbage; unlike welchT's
+    // NULL-gated safe(), that garbage would flow into tbar/se/ci
+    // unseen (ADVICE r9). Exclude such buckets from the θ frame AND
+    // NULL-gate se/ci when any exist, so a degenerate denominator
+    // split fails visibly instead of skewing the interval.
     // materialized (≤ nBuckets rows): two consumers below, and a
     // lazy th would make the tbar agg + deviation agg a self-join of
     // the same lineage (conflicting-attribute resolution)
     val th = per.crossJoin(broadcast(tot))
+      .filter((col("__D") - col("__bd")) =!= 0)
       .select(col("__N"), col("__D"), col("__cnt"),
         ((col("__N") - col("__bn")).cast(DoubleType) /
           safe((col("__D") - col("__bd")).cast(DoubleType))).as("__t"))
       .localCheckpoint(true)
+    // control-plane: count of degenerate buckets (≤ nBuckets rows)
+    val nBad = per.crossJoin(broadcast(tot))
+      .filter((col("__D") - col("__bd")) === 0).count()
+    if (nBad > 0) {
+      // degenerate split: the jackknife SE is undefined — emit the
+      // point estimate with NULL se/ci (visible, not skewed)
+      return tot.select(col("__cnt").as("n_buckets"),
+        round(col("__N").cast(DoubleType), 4).as("num_sum"),
+        round(col("__D").cast(DoubleType), 4).as("den_sum"),
+        round(col("__N").cast(DoubleType) /
+          safe(col("__D").cast(DoubleType)), 6).as("ratio"),
+        lit(null).cast(DoubleType).as("se"),
+        lit(null).cast(DoubleType).as("ci_lo"),
+        lit(null).cast(DoubleType).as("ci_hi"))
+    }
     val fold = DecimalType(28, 12)
     // 1-row control-plane collect — the exact double the oracle's
     // tbar column computes, used as a literal in the deviation fold
@@ -2134,7 +2156,11 @@ object Stats {
     val seasonal = dowMeans.crossJoin(broadcast(grand))
       .select(col("dow"),
         round(col("__raw") - col("__g"), 6).as("seasonal"))
-    base.join(broadcast(seasonal), Seq("dow"))
+    // LEFT join: a day-of-week that never coincides with a full
+    // 7-term MA window (series shorter than ~13 periods) has no
+    // seasonal index — its periods must survive with NULL components,
+    // not vanish, to honor the one-row-per-period contract (ADVICE r9)
+    base.join(broadcast(seasonal), Seq("dow"), "left")
       .select(col(orderCol), col("__v").cast(DoubleType).as(valueCol),
         col("dow"), col("trend"),
         when(col("trend").isNotNull, col("seasonal")).as("seasonal"),

@@ -757,17 +757,22 @@ object Streams {
     *
     * Topology: `foreachBatch` hands each micro-batch to the BATCH
     * as-of operator against the static dimension, writing enriched
-    * rows to `outDir`. This is exactly-once correct with ZERO state
-    * store and no watermark: an as-of match is a pure function of
-    * (key, leftTs, static right side) — independent of every other
-    * stream row — so per-batch joins compose to precisely the batch
-    * join of the union, whatever the file-to-batch partitioning
-    * (pinned by StreamsSpec's two-file drain). Contrast the
-    * stream-stream join in [[clickPurchaseJoin]], where the watermark
-    * is what bounds state; here the only state is the checkpoint's
-    * file log. At 100 TB the per-batch as-of is one shuffle of
-    * |batch|+|dim| rows on the keys — the same scale shape as the
-    * batch operator, paid per micro-batch.
+    * rows to a batchId-derived subpath of `outDir` in OVERWRITE mode
+    * — foreachBatch is at-least-once (a driver restart between the
+    * sink write and the checkpoint commit replays the batch), so the
+    * sink must be idempotent: a replayed batch carries the same
+    * batchId and overwrites its own subpath instead of appending a
+    * duplicate (ADVICE r9). End-to-end the pair is exactly-once with
+    * ZERO state store and no watermark: an as-of match is a pure
+    * function of (key, leftTs, static right side) — independent of
+    * every other stream row — so per-batch joins compose to precisely
+    * the batch join of the union, whatever the file-to-batch
+    * partitioning (pinned by StreamsSpec's two-file drain). Contrast
+    * the stream-stream join in [[clickPurchaseJoin]], where the
+    * watermark is what bounds state; here the only state is the
+    * checkpoint's file log. At 100 TB the per-batch as-of is one
+    * shuffle of |batch|+|dim| rows on the keys — the same scale shape
+    * as the batch operator, paid per micro-batch.
     *
     * Blocks until the drain finishes; returns the enriched rows read
     * back from `outDir`. */
@@ -787,14 +792,19 @@ object Streams {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // idempotent sink: replay of batch N overwrites batch_N
+        // instead of appending duplicates (at-least-once foreachBatch
+        // → exactly-once pair)
         graft.operators.Joins
           .asofJoin(batch, dim, keys, leftTs, rightTs, toleranceUs)
-          .write.mode(org.apache.spark.sql.SaveMode.Append)
-          .parquet(outDir)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$outDir/batch_$batchId")
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    // recursiveFileLookup: read the batch subdirs without partition
+    // inference (batch_N is a sink shard, not a data column)
+    spark.read.option("recursiveFileLookup", "true").parquet(outDir)
   }
 }
