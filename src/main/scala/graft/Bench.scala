@@ -74,6 +74,17 @@ object Bench {
   private def fmt(pattern: String, v: Double): String =
     String.format(java.util.Locale.ROOT, pattern, Double.box(v))
 
+  /** 1-minute system load average from /proc/loadavg (-1.0 where the
+    * proc fs is unavailable). WHY (VERDICT r9 item 2): BENCH_r07 and
+    * BENCH_r09 both recorded external machine load as query time; a
+    * per-rep load sample IN the artifact lets the reader see the
+    * contention instead of re-adjudicating phantom regressions from a
+    * separate idle-box run. */
+  private def loadAvg(): Double =
+    try Files.readString(Paths.get("/proc/loadavg"))
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-bench")
@@ -118,10 +129,12 @@ object Bench {
     val bytes = new ByteMetrics
     spark.sparkContext.addSparkListener(bytes)
 
-    // Per rep: (seconds, error, (shuffleWrite, spill) byte deltas).
+    // Per rep: (seconds, error, (shuffleWrite, spill) byte deltas,
+    // loadavg sampled at rep start).
     val timed = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val reps = (1 to repeat).map { _ =>
+        def runRep(): (Double, Option[String], (Long, Long), Double) = {
+          val load = loadAvg()
           val (sw0, sp0) = bytes.snapshot
           val t0 = System.nanoTime()
           val err =
@@ -132,7 +145,17 @@ object Bench {
           val sec = (System.nanoTime() - t0) / 1e9
           flushListeners(spark.sparkContext)
           val (sw1, sp1) = bytes.snapshot
-          (sec, err, (sw1 - sw0, sp1 - sp0))
+          (sec, err, (sw1 - sw0, sp1 - sp0), load)
+        }
+        var reps = (1 to repeat).map(_ => runRep())
+        // Load-robustness (VERDICT r9 item 2): when the two passes
+        // disagree by >3x, one of them caught a transient (external
+        // load, a shared-memo build) — take a THIRD rep so the
+        // published minimum is a min-of-3, not a coin flip between a
+        // clean and a poisoned measurement.
+        if (repeat >= 2) {
+          val ok = reps.collect { case (t, None, _, _) => t }
+          if (ok.size >= 2 && ok.max > 3.0 * ok.min) reps :+= runRep()
         }
         (name, reps)
     }
@@ -147,7 +170,7 @@ object Bench {
       // timing); a query errors only when every rep failed. Bytes come
       // from the LAST rep — steady state, shared memos already built,
       // so cross-round byte diffs compare plans, not cache luck.
-      val ok = reps.collect { case (t, None, _) => t }
+      val ok = reps.collect { case (t, None, _, _) => t }
       if (ok.nonEmpty) (name, ok.min, None, reps.last._3)
       else (name, reps.map(_._1).min, reps.flatMap(_._2).headOption,
         reps.last._3)
@@ -157,6 +180,21 @@ object Bench {
     // total); on an idle box pass 2 ≈ the minima total.
     val passTotals = (0 until repeat).map { k =>
       timed.map { case (_, reps) => reps(k)._1 }.sum
+    }
+    // Per-pass mean loadavg (sampled at each query's k-th rep start)
+    // + the run's max: the contention record that explains a slow
+    // pass without a second idle-box run (VERDICT r9 item 2).
+    val passLoads = (0 until repeat).map { k =>
+      val ls = timed.map { case (_, reps) => reps(k)._4 }.filter(_ >= 0)
+      if (ls.isEmpty) -1.0 else ls.sum / ls.size
+    }
+    val loadMax = {
+      val ls = timed.flatMap(_._2.map(_._4)).filter(_ >= 0)
+      if (ls.isEmpty) -1.0 else ls.max
+    }
+    // Queries that earned a third (tie-break) rep this run.
+    val retried = timed.collect {
+      case (name, reps) if reps.size > repeat => name
     }
     // Queries whose first timed rep may include a one-time shared-memo
     // build (Queries.scala pairMemo/ccMemo/pcaMemo/bpeMemo/knnMemo/
@@ -196,10 +234,15 @@ object Bench {
     val shuffleTotalMb = results.map(_._4._1).sum / 1e6
     val spillTotalMb = results.map(_._4._2).sum / 1e6
     val passes = passTotals.map(fmt("%.2f", _)).mkString("[", ",", "]")
+    val loads = passLoads.map(fmt("%.2f", _)).mkString("[", ",", "]")
+    val retr = retried.map(jstr).mkString("[", ",", "]")
     val memo = memoTagged.map(jstr).mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":${fmt("%.4f", total)},"unit":"sec",""" +
-        s""""repeat":$repeat,"pass_totals":$passes,"memo_queries":$memo,""" +
+        s""""repeat":$repeat,"pass_totals":$passes,""" +
+        s""""loadavg_per_pass":$loads,""" +
+        s""""loadavg_max":${fmt("%.2f", loadMax)},""" +
+        s""""retried_queries":$retr,"memo_queries":$memo,""" +
         s""""shuffle_total_mb":${fmt("%.2f", shuffleTotalMb)},""" +
         s""""spill_total_mb":${fmt("%.2f", spillTotalMb)},""" +
         s""""shuffle_mb":$shuffleMb,"spill_mb":$spillMb,""" +
@@ -247,6 +290,9 @@ object Bench {
       }.take(3).mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt("%.2f", total)},"unit":"sec",""" +
         s""""repeat":$repeat,"pass_totals":$passes,""" +
+        s""""loadavg_per_pass":$loads,""" +
+        s""""loadavg_max":${fmt("%.2f", loadMax)},""" +
+        s""""n_retried":${retried.size},""" +
         s""""shuffle_total_mb":${fmt("%.2f", shuffleTotalMb)},""" +
         s""""spill_total_mb":${fmt("%.2f", spillTotalMb)},""" +
         s""""n":${results.size},"nerr":${results.count(_._3.isDefined)},""" +
