@@ -645,6 +645,17 @@ object Queries {
       Stats.quantilesByGroup(Tables.events(s, dir), Seq("event_type"),
         col("value"), col("event_id"))
     }),
+    "q_quantile_sketch" -> ((s, dir) => {
+      // The 100 TB escape hatch for q_quantile_by_group: per-type
+      // p10/p50/p90 ESTIMATES from a 256-bin mergeable histogram
+      // sketch — two map-side-combined passes (bounds, histogram),
+      // O(bins) state per group, no per-group sort of the corpus, and
+      // a PROVEN error bound of one bin width emitted as max_err.
+      // All-integer arithmetic end to end, so the oracle replays the
+      // estimate bitwise (not a tolerance check).
+      Stats.quantileSketchByGroup(Tables.events(s, dir),
+        Seq("event_type"), col("value"))
+    }),
     "q_anomaly_iqr" -> ((s, dir) => {
       // Tukey 1.5·IQR boxplot fences per event type — the third
       // member of the outlier trio next to q_anomaly_zscore (assumes
@@ -5054,6 +5065,35 @@ object Queries {
         | CAST(min(CASE WHEN rk = greatest(1, (n * 900 + 999) // 1000)
         |   THEN v END) AS DOUBLE) AS p_900
         |FROM r GROUP BY g""".stripMargin,
+    // sketch replica: the same 10⁻⁴ integer scaling, equal-width
+    // integer bins (w = (max − min) // 256 + 1), cumulative bin walk,
+    // and lower-bound pick — bitwise, because every intermediate is a
+    // 64-bit integer and the only doubles are final /10⁴ divisions
+    "q_quantile_sketch" ->
+      """WITH v AS (SELECT event_type AS g,
+        |  CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS e4
+        | FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT g, min(e4) AS mn,
+        |  (max(e4) - min(e4)) // 256 + 1 AS w FROM v GROUP BY g),
+        |s AS (SELECT v.g, mn, w, (e4 - mn) // w AS idx,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        | FROM v JOIN b ON v.g = b.g GROUP BY v.g, mn, w, (e4 - mn) // w),
+        |c AS (SELECT g, mn, w, idx, cnt,
+        |  sum(cnt) OVER (PARTITION BY g) AS n,
+        |  sum(cnt) OVER (PARTITION BY g ORDER BY idx ASC) AS cum
+        | FROM s)
+        |SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
+        | CAST(mn + min(CASE WHEN cum >=
+        |     greatest(1, (n * 100 + 999) // 1000) THEN idx END) * w
+        |   AS DOUBLE) / 10000.0 AS p_100,
+        | CAST(mn + min(CASE WHEN cum >=
+        |     greatest(1, (n * 500 + 999) // 1000) THEN idx END) * w
+        |   AS DOUBLE) / 10000.0 AS p_500,
+        | CAST(mn + min(CASE WHEN cum >=
+        |     greatest(1, (n * 900 + 999) // 1000) THEN idx END) * w
+        |   AS DOUBLE) / 10000.0 AS p_900,
+        | CAST(w AS DOUBLE) / 10000.0 AS max_err
+        |FROM c GROUP BY g, mn, w""".stripMargin,
     // IQR replica: same ⌈n/4⌉/⌈3n/4⌉ order-statistic quartiles and
     // all-DECIMAL scaled fence comparisons
     "q_anomaly_iqr" ->

@@ -537,6 +537,124 @@ object Stats {
       .agg(count(lit(1)).as("n"), qs: _*)
   }
 
+  /** Per-group histogram-sketch STATE for [[quantileSketchByGroup]]:
+    * values scale to exact 10⁻⁴ integers (`DECIMAL(18,4) · 10⁴`,
+    * exact in both engines), each group gets `bins` equal-width
+    * integer bins over its [min, max] (width = (max − min) div bins
+    * + 1, so every index lands in [0, bins)), and the state is one
+    * (group, bin) count row — ≤ `bins` rows per group, O(bins)
+    * memory, fully MERGEABLE: two shards sketched against the SAME
+    * bounds merge by summing counts ([[quantileSketchMerge]];
+    * StatsSpec pins merge(A, B) = sketch(A ∪ B)). At 100 TB this is
+    * the two-pass layout: pass 1 computes global per-group bounds (a
+    * map-side-combined min/max), pass 2 builds per-shard histograms
+    * that merge associatively — no value ever travels, unlike the
+    * exact [[quantilesByGroup]] rank machinery that shuffles every
+    * row through a per-group sort.
+    *
+    * `bounds`: pre-computed (group, __min, __max) frame to sketch
+    * against (the shard-merge contract); None derives bounds from
+    * `df` itself (the single-input convenience).
+    *
+    * Returns (groupCols..., __min, __w, __idx, __cnt) — all integer
+    * columns, so downstream estimates replay bitwise in any engine
+    * with 64-bit integer division. */
+  def quantileSketchState(
+      df: DataFrame,
+      groupCols: Seq[String],
+      value: Column,
+      bins: Int = 256,
+      bounds: Option[DataFrame] = None): DataFrame = {
+    require(bins >= 2 && bins <= 65536, s"bins out of range: $bins")
+    val grp = groupCols.map(col)
+    val v = df
+      .select(grp :+ value.cast(DecimalType(18, 4)).as("__v"): _*)
+      .filter(col("__v").isNotNull)
+      .select(grp :+ (col("__v") * lit(10000))
+        .cast(LongType).as("__e4"): _*)
+    val b = bounds.getOrElse(
+      v.groupBy(grp: _*)
+        .agg(min(col("__e4")).as("__min"), max(col("__e4")).as("__max")))
+    v.join(b, groupCols)
+      .select(grp ++ Seq(col("__min"),
+        expr(s"(__max - __min) div $bins + 1").as("__w"),
+        col("__e4")): _*)
+      .withColumn("__idx", expr("(__e4 - __min) div __w"))
+      .groupBy(grp ++ Seq(col("__min"), col("__w"), col("__idx")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+  }
+
+  /** Merge two [[quantileSketchState]] frames built against the SAME
+    * bounds: counts add per (group, bin). Associative and commutative
+    * by construction — the property that lets 1000 executors sketch
+    * independently and a tree-reduce combine the shards. */
+  def quantileSketchMerge(
+      a: DataFrame,
+      b: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val grp = groupCols.map(col)
+    a.unionByName(b)
+      .groupBy(grp ++ Seq(col("__min"), col("__w"), col("__idx")): _*)
+      .agg(sum(col("__cnt")).as("__cnt"))
+  }
+
+  /** Quantile ESTIMATES from a [[quantileSketchState]]: for each
+    * requested permille p, rank r = max(1, ⌈n·p/1000⌉) (exact integer
+    * arithmetic), the estimate is the LOWER BOUND of the first bin
+    * whose cumulative count reaches r, and `max_err` is one bin
+    * width — the true quantile provably lies in [estimate, estimate
+    * + max_err). The cumulative walk is a window over ≤ `bins` rows
+    * per group (control-plane by construction); the only doubles are
+    * final divisions of exact integers by 10⁴ — IEEE-identical in
+    * every engine.
+    *
+    * Returns (groupCols..., n, p_<p>... , max_err). */
+  def quantilesFromSketch(
+      state: DataFrame,
+      groupCols: Seq[String],
+      permilles: Seq[Int] = Seq(100, 500, 900)): DataFrame = {
+    require(permilles.nonEmpty &&
+      permilles.forall(p => p > 0 && p < 1000),
+      s"permilles must be in (0, 1000): $permilles")
+    val grp = groupCols.map(col)
+    val wg = Window.partitionBy(grp: _*)
+    val wCum = Window.partitionBy(grp: _*).orderBy(col("__idx").asc)
+    val c = state
+      .withColumn("__n", sum(col("__cnt")).over(wg))
+      .withColumn("__cum", sum(col("__cnt")).over(wCum))
+    val picks = permilles.map { p =>
+      min(when(col("__cum") >=
+        expr(s"greatest(1L, (__n * $p + 999) div 1000)"), col("__idx")))
+        .as(s"__i$p")
+    }
+    val agged = c.groupBy(grp: _*)
+      .agg(max(col("__n")).as("n"), (picks ++ Seq(
+        max(col("__min")).as("__min"), max(col("__w")).as("__w"))): _*)
+    val ests = permilles.map { p =>
+      ((col("__min") + col(s"__i$p") * col("__w")).cast(DoubleType) /
+        lit(10000.0)).as(s"p_$p")
+    }
+    agged.select(grp ++ Seq(col("n")) ++ ests :+
+      (col("__w").cast(DoubleType) / lit(10000.0)).as("max_err"): _*)
+  }
+
+  /** Mergeable grouped-quantile sketch, end to end: the at-scale
+    * escape hatch for [[quantilesByGroup]] (VERDICT r9 item 3 — the
+    * `profileApprox`-for-quantiles). Two corpus passes (bounds, then
+    * histogram), O(bins) state per group, and a deterministic
+    * estimate with a PROVEN error bound of one bin width — every
+    * intermediate is 64-bit integer arithmetic, so the DuckDB oracle
+    * replays the exact same estimate bit for bit. */
+  def quantileSketchByGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      value: Column,
+      bins: Int = 256,
+      permilles: Seq[Int] = Seq(100, 500, 900)): DataFrame =
+    quantilesFromSketch(
+      quantileSketchState(df, groupCols, value, bins),
+      groupCols, permilles)
+
   /** First-order Markov transition matrix over per-key event
     * sequences: for every ordered (from_state, to_state) pair of
     * consecutive states within a key, the transition count and its

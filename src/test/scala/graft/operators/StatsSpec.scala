@@ -1160,4 +1160,48 @@ class StatsSpec extends SparkSpecBase {
     val c = Stats.cohenKappa(const, col("a"), col("b")).collect()(0)
     assert(c.isNullAt(c.fieldIndex("kappa")))
   }
+
+  test("quantileSketch: merge of shard states equals the whole-input " +
+    "sketch (associativity), and estimates bracket the exact quantile") {
+    import spark.implicits._
+    val gen = Gen.listOfN(400, Gen.chooseNum(-5000.0, 5000.0))
+    val vals = sample(gen, 97L)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (if (i % 3 == 0) "a" else "b", v, i.toLong) }
+      .toDF("g", "v", "id")
+    // shared bounds (the two-pass contract), shards by id parity
+    val bounds = df.select(col("g"),
+        (col("v").cast("decimal(18,4)") * 10000)
+          .cast("long").as("__e4"))
+      .groupBy(col("g"))
+      .agg(min(col("__e4")).as("__min"), max(col("__e4")).as("__max"))
+    val shardA = Stats.quantileSketchState(
+      df.filter(col("id") % 2 === 0), Seq("g"), col("v"),
+      bins = 64, bounds = Some(bounds))
+    val shardB = Stats.quantileSketchState(
+      df.filter(col("id") % 2 === 1), Seq("g"), col("v"),
+      bins = 64, bounds = Some(bounds))
+    val merged = Stats.quantileSketchMerge(shardA, shardB, Seq("g"))
+    val whole = Stats.quantileSketchState(df, Seq("g"), col("v"),
+      bins = 64, bounds = Some(bounds))
+    def asMap(s: org.apache.spark.sql.DataFrame) =
+      s.collect().map(r => (r.getString(0), r.getAs[Long]("__idx")) ->
+        (r.getAs[Long]("__min"), r.getAs[Long]("__w"),
+          r.getAs[Long]("__cnt"))).toMap
+    assert(asMap(merged) == asMap(whole),
+      "shard merge must equal the whole-input sketch bin for bin")
+    // estimate vs exact: est <= exact < est + max_err (lower-bound
+    // pick with a one-bin-width guarantee)
+    val est = Stats.quantilesFromSketch(whole, Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("p_500"), r.getAs[Double]("max_err"))).toMap
+    val exact = Stats.quantilesByGroup(df, Seq("g"), col("v"),
+      col("id"), permilles = Seq(500))
+      .collect().map(r => r.getString(0) ->
+        r.getAs[Double]("p_500")).toMap
+    for ((g, (e, err)) <- est) {
+      assert(e <= exact(g) && exact(g) < e + err,
+        s"group $g: estimate $e +/- $err must bracket ${exact(g)}")
+    }
+  }
 }
