@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
 
 import graft.core.{Conversions, Tables}
-import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, Stats, TextAnalysis, Upsert}
+import graft.operators.{Dedup, Guards, Multimodal, Packing, Sampling, Similarity, Stats, TextAnalysis, Upsert}
 
 /** The engine's query catalog: one entry per operator from SURVEY.md §2
   * plus the training-data-pipeline extensions, each paired (where SQL
@@ -824,9 +824,10 @@ object Queries {
             .as("__p"))
         .groupBy(col("__q"), col("__p"))
         .agg(count(lit(1)).as("__c"))
-      val wCum = Window.orderBy(col("__q").asc, col("__p").asc)
+      val wCum = Guards.seriesWindow(col("__q").asc, col("__p").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val spans = cells
+      val spans = Guards
+        .boundedSeries(cells, "q_quality_calibration cells")
         .withColumn("__hi", sum(col("__c")).over(wCum))
         .withColumn("__n",
           sum(col("__c")).over(Window.partitionBy(lit(1))))
@@ -1876,11 +1877,12 @@ object Queries {
       val daily = Tables.orders(s, dir)
         .groupBy(dateFmt(col("o_orderdate")).as("d"))
         .agg(dsum(col("o_totalprice")).as("rev"))
-      val w = Window.orderBy(col("d").asc).rowsBetween(-6, 0)
+      val w = Guards.seriesWindow(col("d").asc).rowsBetween(-6, 0)
       // percentile(0.5), not median(): Spark's median aggregate
       // rejects explicit window frames; percentile is frame-capable
       // and computes the identical interpolated midpoint
-      daily.select(col("d"), col("rev"),
+      Guards.boundedSeries(daily, "q_window_median daily")
+        .select(col("d"), col("rev"),
         expr("percentile(rev, 0.5)").over(w).as("med7"),
         count(lit(1)).over(w).as("n_window"))
     }),
@@ -2904,8 +2906,8 @@ object Queries {
         col("p_name")).localCheckpoint()
       val names = p.select(col("a").as("s"))
         .unionAll(p.select(col("b").as("s"))).distinct()
-      val wn = Window.orderBy(col("s").asc)
-      val ids = names
+      val wn = Guards.seriesWindow(col("s").asc)
+      val ids = Guards.boundedSeries(names, "entity-resolution names")
         .withColumn("id", row_number().over(wn).cast(LongType))
         .localCheckpoint()
       val e = p
@@ -3340,14 +3342,16 @@ object Queries {
       // of re-running the dedup per guess. Same banded topology as
       // q_sim_cosine_dedup; the curve itself is ≤ 41 rows, so the
       // single-partition cumulative window is control-plane work.
-      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
+      val curve = Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
           "vec_id", "embedding", threshold = -1.0, bits = 48, bands = 8,
           portable = true)
         .groupBy(floor(round(col("cos"), 6) * 20).cast(LongType)
           .as("bucket"))
         .agg(count(lit(1)).as("n_pairs"))
+      Guards.boundedSeries(curve, "threshold-sweep curve")
         .withColumn("n_at_or_above",
-          sum(col("n_pairs")).over(Window.orderBy(col("bucket").desc)))
+          sum(col("n_pairs"))
+            .over(Guards.seriesWindow(col("bucket").desc)))
     }),
     "q_sim_quantize" -> ((s, dir) => {
       // Int8 scalar quantization audit: exact integer sum of all

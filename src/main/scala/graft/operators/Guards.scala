@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Guard rails for SINGLE-PARTITION window topology (VERDICT r9 item
+  * 4). An unpartitioned `Window.orderBy` moves its whole input to one
+  * partition — correct and cheap for the control-plane frames the
+  * series/trend operators document (daily period series, decile
+  * tables, bucket censuses), catastrophic if a future caller hands
+  * one a corpus-sized frame: Spark serializes silently instead of
+  * failing. Operators therefore never build a raw unpartitioned
+  * window: the spec comes from [[seriesWindow]] (grep-able contract)
+  * and the frame passes through [[boundedSeries]], which plants an
+  * in-plan row-count assertion — ZERO extra jobs and zero extra
+  * exchanges (the empty-spec count window rides the same
+  * SinglePartition exchange the real window forces), and a frame over
+  * the bound kills the query loudly at execution time with the
+  * operator's name in the message.
+  */
+object Guards {
+
+  /** The documented control-plane ceiling for single-partition
+    * frames: generous for every legitimate series (30 years of daily
+    * periods ≈ 11k rows; a 10⁶-bucket census), far below anything
+    * corpus-shaped. */
+  val MaxSeriesRows = 100000L
+
+  /** The only sanctioned way to build an unpartitioned ordered
+    * window. Pair with [[boundedSeries]] on the frame it runs over
+    * (once per frame — several specs over one guarded frame need one
+    * guard). */
+  def seriesWindow(orderCols: Column*): WindowSpec =
+    Window.orderBy(orderCols: _*)
+
+  /** Pass-through row-bound assertion for a frame about to enter a
+    * single-partition window: a whole-frame count window plus an
+    * `assert_true` filter, both fused into the existing plan. Values
+    * and row set are untouched while the bound holds; crossing it
+    * raises at execution with `what` in the message. The filter
+    * references the count column, so neither column pruning nor
+    * predicate pushdown can eliminate or reorder the check. */
+  def boundedSeries(
+      df: DataFrame,
+      what: String,
+      maxRows: Long = MaxSeriesRows): DataFrame = {
+    val n = count(lit(1)).over(Window.partitionBy())
+    df.withColumn("__guard_rows", n)
+      .filter(assert_true(col("__guard_rows") <= maxRows,
+        concat(lit(s"$what: single-partition window over "),
+          col("__guard_rows"),
+          lit(s" rows exceeds the $maxRows-row control-plane bound " +
+            "— aggregate to coarser periods or partition the window")))
+        .isNull)
+      .drop("__guard_rows")
+  }
+}

@@ -1349,13 +1349,13 @@ object Stats {
     require(maxLag >= 1 && maxLag <= 64, s"maxLag out of range: $maxLag")
     val x = col(valueCol).cast(DoubleType)
     def fix2(c: Column) = round(c, 2).cast(DecimalType(28, 2))
-    val w = Window.orderBy(col(orderCol).asc)
+    val w = Guards.seriesWindow(col(orderCol).asc)
     // the mean is a full-frame window on the SAME pass as the lags —
     // a separate aggregate joined back would re-run the caller's
     // corpus groupBy a second time (the entropyByGroup lesson)
     val wAll = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val lagged = series
+    val lagged = Guards.boundedSeries(series, "autocorrelation")
       .select(Seq(x.as("__x"),
         (sum(x.cast(DecimalType(18, 4))).over(wAll).cast(DoubleType) /
           count(lit(1)).over(wAll)).as("__m")) ++
@@ -1812,13 +1812,13 @@ object Stats {
     // ≤ 10 rows: total + cumulative are control-plane windows;
     // scaled-decimal ppm keeps every share exact
     val wAll = Window.partitionBy(lit(1))
-    val wCum = Window.orderBy(col("decile").asc)
+    val wCum = Guards.seriesWindow(col("decile").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // ppm via EXACT scaled-integer division: DuckDB's `//` on
     // decimals routes through double math (off-by-one ppm), so both
     // engines divide integral 10⁴-scaled values (DECIMAL(38,0) here,
     // HUGEINT there) — truncation of exact rationals agrees
-    byDec
+    Guards.boundedSeries(byDec, "lorenzDeciles")
       .withColumn("__tot", sum(col("__s")).over(wAll))
       .withColumn("__cum", sum(col("__s")).over(wCum))
       .select(col("decile"), col("n_units"),
@@ -2254,8 +2254,8 @@ object Stats {
       orderCol: String,
       valueCol: String): DataFrame = {
     val dec = DecimalType(18, 4)
-    val wMa = Window.orderBy(col(orderCol).asc).rowsBetween(-3, 3)
-    val base = series
+    val wMa = Guards.seriesWindow(col(orderCol).asc).rowsBetween(-3, 3)
+    val base = Guards.boundedSeries(series, "seasonalDecompose")
       .select(col(orderCol), col(valueCol).cast(dec).as("__v"))
       .withColumn("__n7", count(lit(1)).over(wMa))
       .withColumn("trend",
@@ -2311,8 +2311,8 @@ object Stats {
       k: Int = 10): DataFrame = {
     require(k >= 1 && k <= 30, s"k out of range: $k")
     val x = col(valueCol).cast(DoubleType)
-    val w = Window.orderBy(col(orderCol).asc)
-    val lagged = series.select(
+    val w = Guards.seriesWindow(col(orderCol).asc)
+    val lagged = Guards.boundedSeries(series, "ewmaTrailing").select(
       Seq(col(orderCol), col(valueCol)) ++
         (1 until k).map(j => lag(x, j).over(w).as(s"__x$j")): _*)
     def term(j: Int): Column = {
@@ -2358,14 +2358,15 @@ object Stats {
       valueCol: String): DataFrame = {
     val dec = DecimalType(38, 4)
     val x4 = col(valueCol).cast(DecimalType(18, 4))
-    val w = Window.orderBy(col(orderCol).asc)
+    val w = Guards.seriesWindow(col(orderCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val cum = series.select(col(orderCol), x4.as("__x"))
+    val cum = Guards.boundedSeries(series, "cusumMaxShift")
+      .select(col(orderCol), x4.as("__x"))
       .withColumn("__cum", sum(col("__x")).over(w).cast(dec))
       .withColumn("__i",
-        row_number().over(Window.orderBy(col(orderCol).asc)))
+        row_number().over(Guards.seriesWindow(col(orderCol).asc)))
       .withColumn("__tot", sum(col("__x")).over(wAll).cast(dec))
       .withColumn("__n", count(lit(1)).over(wAll))
       .withColumn("__ti",
@@ -2447,7 +2448,7 @@ object Stats {
     val x = col(xCol).cast(DoubleType)
     val y = col(yCol).cast(DoubleType)
     def fix2(c: Column) = round(c, 2).cast(DecimalType(28, 2))
-    val w = Window.orderBy(col(orderCol).asc)
+    val w = Guards.seriesWindow(col(orderCol).asc)
     val wAll = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val ks = (-maxLag to maxLag).toSeq
@@ -2455,8 +2456,9 @@ object Stats {
       if (k == 0) y else if (k > 0) lag(y, k).over(w)
       else lead(y, -k).over(w)
     def cname(k: Int) = if (k < 0) s"__ym${-k}" else s"__yp$k"
-    val lagged = series.select(Seq(
-      x.as("__x"), y.as("__y"),
+    val lagged = Guards.boundedSeries(series, "crossCorrelation")
+      .select(Seq(
+        x.as("__x"), y.as("__y"),
       (sum(x.cast(DecimalType(18, 4))).over(wAll).cast(DoubleType) /
         count(lit(1)).over(wAll)).as("__mx"),
       (sum(y.cast(DecimalType(18, 4))).over(wAll).cast(DoubleType) /
@@ -2504,8 +2506,8 @@ object Stats {
       season: Int): DataFrame = {
     require(season >= 1 && season <= 366, s"season out of range: $season")
     val x = col(valueCol).cast(DoubleType)
-    val w = Window.orderBy(col(orderCol).asc)
-    val e = series
+    val w = Guards.seriesWindow(col(orderCol).asc)
+    val e = Guards.boundedSeries(series, "seasonalNaiveBacktest")
       .select(x.as("__x"), lag(x, season).over(w).as("__f"))
       .filter(col("__f").isNotNull)
       .withColumn("__e", col("__x") - col("__f"))
@@ -2548,8 +2550,8 @@ object Stats {
       orderCol: String,
       valueCol: String,
       maxPeriods: Long = 10000L): DataFrame = {
-    val w = Window.orderBy(col(orderCol).asc)
-    val idx = series
+    val w = Guards.seriesWindow(col(orderCol).asc)
+    val idx = Guards.boundedSeries(series, "trend series")
       .select(col(valueCol).cast(DoubleType).as("__y"),
         row_number().over(w).as("__i"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2583,7 +2585,8 @@ object Stats {
       sum(when(col("__rank") === midLo, col("__s"))).as("__a"),
       sum(when(col("__rank") === midHi, col("__s"))).as("__b"))
       .select(round((col("__a") + col("__b")) / 2.0, 6).as("slope"))
-    val wb = Window.orderBy(col("__bv").asc, col("__i").asc)
+    // residual frame = idx (≤ maxPeriods rows, require-guarded above)
+    val wb = Guards.seriesWindow(col("__bv").asc, col("__i").asc)
     val pm = lit((p + 1) / 2)
     val ph = lit((p + 2) / 2)
     val resid = idx.crossJoin(broadcast(med))
@@ -2626,8 +2629,8 @@ object Stats {
       seed: Int = 31): DataFrame = {
     require(pairsPerPoint >= 1 && pairsPerPoint <= 1024,
       s"pairsPerPoint out of range: $pairsPerPoint")
-    val w = Window.orderBy(col(orderCol).asc)
-    val idx = series
+    val w = Guards.seriesWindow(col(orderCol).asc)
+    val idx = Guards.boundedSeries(series, "trend series")
       .select(col(valueCol).cast(DoubleType).as("__y"),
         row_number().over(w).as("__i"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2658,7 +2661,8 @@ object Stats {
       sum(when(col("__rank") === midLo, col("__s"))).as("__a"),
       sum(when(col("__rank") === midHi, col("__s"))).as("__b"))
       .select(round((col("__a") + col("__b")) / 2.0, 6).as("slope"))
-    val wb = Window.orderBy(col("__bv").asc, col("__i").asc)
+    // residual frame = idx (≤ maxPeriods rows, require-guarded above)
+    val wb = Guards.seriesWindow(col("__bv").asc, col("__i").asc)
     val pm = lit((p + 1) / 2)
     val ph = lit((p + 2) / 2)
     val resid = idx.crossJoin(broadcast(med))
@@ -2703,8 +2707,8 @@ object Stats {
       orderCol: String,
       valueCol: String,
       maxPeriods: Long = 10000L): DataFrame = {
-    val w = Window.orderBy(col(orderCol).asc)
-    val idx = series
+    val w = Guards.seriesWindow(col(orderCol).asc)
+    val idx = Guards.boundedSeries(series, "trend series")
       .select(col(valueCol).cast(DoubleType).as("__y"),
         row_number().over(w).as("__i"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2740,7 +2744,8 @@ object Stats {
       sum(when(col("__rank") === g1, col("__m"))).as("__a"),
       sum(when(col("__rank") === g2, col("__m"))).as("__b"))
       .select(round((col("__a") + col("__b")) / 2.0, 6).as("slope"))
-    val wb = Window.orderBy(col("__bv").asc, col("__i").asc)
+    // residual frame = idx (≤ maxPeriods rows, require-guarded above)
+    val wb = Guards.seriesWindow(col("__bv").asc, col("__i").asc)
     val pm = lit((p + 1) / 2)
     val ph = lit((p + 2) / 2)
     val resid = idx.crossJoin(broadcast(med))

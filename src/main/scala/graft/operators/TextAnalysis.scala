@@ -805,8 +805,12 @@ object TextAnalysis {
           ((col("c_early") + 1).cast(DoubleType) /
             col("__ne").cast(DoubleType))), 6).as("score"))
     def side(direction: String, ord: Seq[Column]): DataFrame = {
-      val top = scored.orderBy(ord: _*).limit(k)
-      top.withColumn("rank", row_number().over(Window.orderBy(ord: _*)))
+      // limit(k) already bounds the frame; the guard keeps the
+      // no-raw-unpartitioned-window contract uniform
+      val top = Guards.boundedSeries(
+        scored.orderBy(ord: _*).limit(k), s"trendingTokens $direction")
+      top.withColumn("rank",
+          row_number().over(Guards.seriesWindow(ord: _*)))
         .select(lit(direction).as("direction"), col("rank"),
           col("w").as("token"), col("c_early"), col("c_late"),
           col("score"))

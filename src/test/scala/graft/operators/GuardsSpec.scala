@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class GuardsSpec extends SparkSpecBase {
+
+  test("boundedSeries is a pass-through under the bound and keeps a " +
+    "single exchange in the plan") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i.toLong, i * 2.0)).toDF("i", "v")
+    val guarded = Guards.boundedSeries(df, "test", maxRows = 100)
+      .withColumn("rn",
+        row_number().over(Guards.seriesWindow(col("i").asc)))
+    val rows = guarded.collect()
+    assert(rows.length == 50)
+    assert(rows.map(_.getAs[Long]("i")).toSet == (1 to 50).map(_.toLong).toSet)
+    // the guard's count window must NOT add a second exchange: both
+    // windows require SinglePartition and share one shuffle (count
+    // only the FINAL plan — AQE's toString repeats the initial plan)
+    val plan = guarded.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"guard added an exchange:\n$plan")
+  }
+
+  test("boundedSeries fails loudly when the frame exceeds the bound") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i.toLong, i * 2.0)).toDF("i", "v")
+    val guarded = Guards.boundedSeries(df, "corpusCaller", maxRows = 10)
+      .withColumn("rn",
+        row_number().over(Guards.seriesWindow(col("i").asc)))
+    val e = intercept[Exception] { guarded.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("corpusCaller") &&
+      m.contains("control-plane bound")),
+      s"guard must name the caller: ${messages(e).mkString(" | ")}")
+  }
+}
