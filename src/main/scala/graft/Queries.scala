@@ -2210,6 +2210,32 @@ object Queries {
       graft.operators.Stats.psiFromBinCounts(
         latest, refGroup = "src0", nBins = 10, outGroupCol = "source")
     }),
+    "q_stream_trending" -> ((s, dir) => {
+      // Streaming trending-token monitor: cumulative per-(half, token)
+      // counts accumulate in keyed state as documents arrive; after
+      // the drain the LATEST counts (max per cell — monotone) pivot
+      // into the batch (w, c_early, c_late) frame and feed the SAME
+      // smoothed log-rate-ratio scoring tail, so the streamed
+      // rising/falling table must equal q_text_trending row for row
+      // (the gate reuses that oracle verbatim — the q_stream_drift
+      // pattern). The ingest-time form of the "what changed in this
+      // crawl" monitor: a template flood or source blackout flags
+      // while landing, not at the nightly audit.
+      val name = s"q_stream_trending_${streamRun.incrementAndGet()}"
+      implicit val sp: SparkSession = s
+      val drained = graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.tokenCountsState(
+          graft.streaming.Streams.docsStream(s, dir),
+          col("doc_id") % 8 >= 4, col("text")).toDF(),
+        name, shufflePartitions = Some(8))
+      val counts = drained.groupBy(col("late"), col("w"))
+        .agg(max(col("n")).as("__c"))
+        .groupBy(col("w"))
+        .agg(sum(when(col("late"), 0L).otherwise(col("__c")))
+          .as("c_early"),
+          sum(when(col("late"), col("__c")).otherwise(0L)).as("c_late"))
+      TextAnalysis.trendingFromCounts(counts)
+    }),
     "q_stream_budget" -> ((s, dir) => {
       // Streaming quota admission: each source spends its token
       // budget as documents arrive (keyed state = ONE cumulative long
@@ -4921,6 +4947,9 @@ object Queries {
     // equal the batch bin counts, and the PSI tail is shared code —
     // so the oracle IS the batch oracle
     "q_stream_drift" -> docLengthPsiOracle,
+    // drained cross-batch token-count state must equal the BATCH
+    // trending table exactly — same oracle verbatim
+    "q_stream_trending" -> trendingOracle,
     // streamed histogram → batch quantile tail: the oracle is the
     // BATCH histogram-quantile arithmetic over the same 10-bin
     // [0, 600) doc-length domain

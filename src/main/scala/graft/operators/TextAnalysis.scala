@@ -786,14 +786,28 @@ object TextAnalysis {
       minCount: Int = 20,
       k: Int = 15): DataFrame = {
     require(minCount > 0 && k > 0, "minCount and k must be positive")
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val counts = docs
+    trendingFromCounts(docs
       .select(lateFlag.cast(BooleanType).as("__late"),
         explode(tokens(lower(text))).as("w"))
       .groupBy(col("w"))
       .agg(sum(when(col("__late"), 0L).otherwise(1L)).as("c_early"),
-        sum(when(col("__late"), 1L).otherwise(0L)).as("c_late"))
-      .persist(lvl)
+        sum(when(col("__late"), 1L).otherwise(0L)).as("c_late")),
+      minCount, k)
+  }
+
+  /** The scoring tail of [[trendingTokens]], split out so the
+    * STREAMING twin (a drained cross-batch cumulative token-count
+    * state, `Streams.tokenCountsState`) can feed the exact same
+    * smoothed log-rate-ratio + top-k machinery and be gated against
+    * the batch oracle (the q_stream_drift pattern). `countsIn` must
+    * carry (w, c_early, c_late), one row per token. */
+  def trendingFromCounts(
+      countsIn: DataFrame,
+      minCount: Int = 20,
+      k: Int = 15): DataFrame = {
+    require(minCount > 0 && k > 0, "minCount and k must be positive")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val counts = countsIn.persist(lvl)
     val tot = counts.agg(sum(col("c_early")).as("__ne"),
       sum(col("c_late")).as("__nl"))
     val scored = counts

@@ -500,6 +500,56 @@ object Streams {
       }
   }
 
+  /** Cumulative occurrence count of one token in one corpus half. */
+  final case class HalfTokenCount(late: Boolean, w: String, n: Long)
+
+  /** Streaming cumulative per-(half, token) counts — the state
+    * backbone of the TRENDING-TOKEN monitor (VERDICT r9 item 5): as
+    * documents arrive, each token occurrence bumps its (half, token)
+    * cell across micro-batches and the refreshed total re-emits
+    * (update mode — consumers take max per cell, the count is
+    * monotone). Tokenization is [[graft.operators.TextAnalysis
+    * .tokens]] over the lowercased text, the SAME expression the
+    * batch [[graft.operators.TextAnalysis.trendingTokens]] uses, so a
+    * drained stream's latest counts pivot into exactly the batch
+    * (w, c_early, c_late) frame and the shared scoring tail
+    * ([[graft.operators.TextAnalysis.trendingFromCounts]]) yields the
+    * identical rising/falling table — that equality is the
+    * q_stream_trending gate, against the batch oracle verbatim (the
+    * q_stream_drift pattern).
+    *
+    * 100 TB notes: state is one long per (half, token) — 2·|vocab|
+    * cells regardless of corpus size, hash-partitioned across
+    * executors; the stream side shuffles (half, token) occurrence
+    * rows (flatMapGroupsWithState gets no map-side combine, so at
+    * extreme rates pre-aggregate each micro-batch first — the
+    * histogramCountsState caveat). A production deployment would
+    * TTL rare tokens; NoTimeout keeps the bounded-drain gate
+    * deterministic. */
+  def tokenCountsState(
+      docs: DataFrame,
+      lateFlag: Column,
+      text: Column)(
+      implicit spark: SparkSession): Dataset[HalfTokenCount] = {
+    import spark.implicits._
+    docs
+      .select(lateFlag.cast(BooleanType).as("__late"),
+        explode(graft.operators.TextAnalysis.tokens(lower(text)))
+          .as("__w"))
+      .as[(Boolean, String)]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: (Boolean, String), it: Iterator[(Boolean, String)],
+         state: GroupState[CumCount]) =>
+          var add = 0L
+          while (it.hasNext) { it.next(); add += 1 }
+          val tot = state.getOption.map(_.n).getOrElse(0L) + add
+          state.update(CumCount(tot))
+          Iterator(HalfTokenCount(key._1, key._2, tot))
+      }
+  }
+
   /** One band-local near-dup verdict: did `doc_id` collide (within the
     * Hamming budget) with an EARLIER doc in this band bucket? */
   final case class BandFlag(doc_id: Long, dup: Boolean)

@@ -544,6 +544,37 @@ class StreamsSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
+  test("tokenCountsState carries per-(half, token) counts ACROSS " +
+    "micro-batches (the trending monitor's state backbone)") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val tmp = java.nio.file.Files.createTempDirectory("trend_mb").toFile
+    val t0 = System.currentTimeMillis()
+    // late = doc_id >= 8. batch 1: early doc says "apple apple";
+    // batch 2: early doc adds one more "apple" (carry → 3) and a late
+    // doc introduces "apple" on the late side (independent cell)
+    writeDocsFile(tmp, "a.parquet", Seq((1L, "apple apple")),
+      t0 - 60000)
+    writeDocsFile(tmp, "b.parquet", Seq((2L, "apple banana"),
+      (9L, "apple")), t0)
+    val raw = Streams.runAvailableNow(
+      Streams.tokenCountsState(
+        Streams.docsStream(spark, tmp.getPath, glob = "*.parquet",
+          maxFilesPerTrigger = 1),
+        col("doc_id") >= 8, col("text")).toDF(), "trend_multibatch")
+    // (early, apple) was emitted once per batch: 2 then 3 — the
+    // carried state turns batch 2's single arrival into a total of 3
+    val earlyApple = raw
+      .filter(!col("late") && col("w") === "apple").select(col("n"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(earlyApple == Seq(2L, 3L), s"got $earlyApple")
+    val latest = raw.groupBy(col("late"), col("w"))
+      .agg(max(col("n")).as("n")).collect()
+      .map(r => (r.getBoolean(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(latest == Map((false, "apple") -> 3L,
+      (false, "banana") -> 1L, (true, "apple") -> 1L), s"got $latest")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   test("budget admission carries spent quota ACROSS micro-batches " +
     "(a merged batch could not distinguish the carry)") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
