@@ -735,6 +735,20 @@ object Queries {
         .agg(dsum(col("o_totalprice")).as("rev"))
       Stats.seasonalDecompose(daily, "d", "rev")
     }),
+    "q_trend_by_source" -> ((s, dir) => {
+      // Per-event-type robust trend: one Theil–Sen slope + intercept
+      // per type over its own daily-value series — the corpus-health
+      // dashboard form of q_trend_theilsen ("which stream is drifting
+      // up?"). Every window partitions by the group, so this is
+      // CHEAPER per group than the global operator: index, slope-
+      // median and residual-median ranks all run parallel across
+      // groups; pairs explode per-group P²/2 via a group-keyed
+      // self-join, maxPeriods-guarded on the largest group.
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), dateFmt(col("ts")).as("d"))
+        .agg(dsum(col("value")).as("v"))
+      Stats.theilSenByGroup(daily, Seq("event_type"), "d", "v")
+    }),
     "q_trend_theilsen_sampled" -> ((s, dir) => {
       // The long-series Theil–Sen: each day draws 64 deterministic
       // hash-sampled partner days instead of all P²/2 pairs — O(P·k)
@@ -5231,6 +5245,42 @@ object Queries {
         | CASE WHEN trend IS NOT NULL
         |   THEN round(det - seasonal, 6) END AS resid
         |FROM dt LEFT JOIN sz ON dt.dow = sz.dow""".stripMargin,
+    // grouped Theil–Sen replica: per-group pair self-join, the same
+    // (slope, ia, ib) total order for the slope median, and the
+    // residual median against the 6-dp EMITTED slope
+    "q_trend_by_source" ->
+      """WITH daily AS (SELECT event_type AS g,
+        |  strftime(ts, '%Y-%m-%d') AS d,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |    AS v
+        | FROM events GROUP BY 1, 2),
+        |idx AS (SELECT g, CAST(v AS DOUBLE) AS y,
+        |  row_number() OVER (PARTITION BY g ORDER BY d ASC) AS i
+        | FROM daily),
+        |sl AS (SELECT a.g AS g, (b.y - a.y) / CAST(b.i - a.i AS DOUBLE)
+        |    AS s, a.i AS ia, b.i AS ib
+        | FROM idx a JOIN idx b ON a.g = b.g AND b.i > a.i),
+        |rk AS (SELECT g, s,
+        |  row_number() OVER (PARTITION BY g
+        |    ORDER BY s ASC, ia ASC, ib ASC) AS rk,
+        |  count(*) OVER (PARTITION BY g) AS n FROM sl),
+        |med AS (SELECT g, CAST(max(n) AS BIGINT) AS n_pairs,
+        |  round((sum(CASE WHEN rk = (n + 1) // 2 THEN s END) +
+        |    sum(CASE WHEN rk = (n + 2) // 2 THEN s END)) / 2.0, 6)
+        |    AS slope
+        | FROM rk GROUP BY g),
+        |rr AS (SELECT idx.g AS g, n_pairs, slope,
+        |  y - slope * i AS bv,
+        |  row_number() OVER (PARTITION BY idx.g
+        |    ORDER BY y - slope * i ASC, i ASC) AS rk,
+        |  count(*) OVER (PARTITION BY idx.g) AS p
+        | FROM idx JOIN med ON idx.g = med.g)
+        |SELECT g AS event_type, CAST(max(p) AS BIGINT) AS n_periods,
+        | max(n_pairs) AS n_pairs, max(slope) AS slope,
+        | round((sum(CASE WHEN rk = (p + 1) // 2 THEN bv END) +
+        |   sum(CASE WHEN rk = (p + 2) // 2 THEN bv END)) / 2.0, 6)
+        |   AS intercept
+        |FROM rr GROUP BY g""".stripMargin,
     // sampled Theil–Sen replica: the same portable-hash partner
     // draws (ia + 1 + bucket mod (p − ia)), DISTINCT pair collapse,
     // and two-middle rank medians

@@ -2760,4 +2760,91 @@ object Stats {
     idx.unpersist(false)
     out
   }
+
+  /** Per-GROUP Theil–Sen trend — the corpus-health-dashboard form of
+    * [[theilSenTrend]] (VERDICT r9 stretch 8): one robust slope +
+    * intercept per group over that group's own period series. CHEAPER
+    * per group than the global operator: every window partitions by
+    * the group keys (index assignment, slope-median rank, residual-
+    * median rank — all parallel across groups, nothing single-
+    * partition), and the pair blow-up is per-group P²/2 via a
+    * group-keyed self-join, not a global crossJoin.
+    *
+    * Guard: the LARGEST group's period count is capped at
+    * `maxPeriods` (one control-plane collect over the per-group
+    * counts); longer series need the sampled variant, not a bigger
+    * cap. A group with a single period has no pairs and is absent
+    * from the output.
+    *
+    * Determinism: the slope-median order is (slope, ia, ib) — total;
+    * the residual median reuses the 6-dp EMITTED slope (the
+    * gate-replays-emitted rule); even-count medians are the IEEE
+    * (a + b) / 2 midpoint in both engines.
+    *
+    * Returns one row per group with ≥ 2 periods:
+    * (groupCols..., n_periods, n_pairs, slope, intercept). */
+  def theilSenByGroup(
+      series: DataFrame,
+      groupCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      maxPeriods: Long = 10000L): DataFrame = {
+    val grp = groupCols.map(col)
+    val wIdx = Window.partitionBy(grp: _*).orderBy(col(orderCol).asc)
+    val idx = series
+      .select(grp ++ Seq(col(valueCol).cast(DoubleType).as("__y"),
+        row_number().over(wIdx).as("__i")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pmax = idx.groupBy(grp: _*).agg(count(lit(1)).as("__p"))
+      .agg(max(col("__p"))).collect()(0).getLong(0)
+    if (pmax > maxPeriods) {
+      idx.unpersist(false)
+      require(pmax <= maxPeriods,
+        s"theilSenByGroup: largest group has $pmax periods -> " +
+          s"${pmax * (pmax - 1) / 2} pair slopes exceeds the " +
+          s"maxPeriods=$maxPeriods cap; aggregate to coarser periods")
+    }
+    val a = idx.select(grp ++ Seq(col("__i").as("__ia"),
+      col("__y").as("__ya")): _*)
+    val b = idx.select(grp ++ Seq(col("__i").as("__ib"),
+      col("__y").as("__yb")): _*)
+    val slopes = a.join(b, groupCols)
+      .filter(col("__ib") > col("__ia"))
+      .select(grp ++ Seq(
+        ((col("__yb") - col("__ya")) /
+          (col("__ib") - col("__ia")).cast(DoubleType)).as("__s"),
+        col("__ia"), col("__ib")): _*)
+    val wG = Window.partitionBy(grp: _*)
+    val wS = Window.partitionBy(grp: _*)
+      .orderBy(col("__s").asc, col("__ia").asc, col("__ib").asc)
+    val med = slopes
+      .withColumn("__rk", row_number().over(wS))
+      .withColumn("__n", count(lit(1)).over(wG))
+      .groupBy(grp: _*)
+      .agg(max(col("__n")).as("n_pairs"),
+        sum(when(col("__rk") === expr("(__n + 1) div 2"),
+          col("__s"))).as("__a"),
+        sum(when(col("__rk") === expr("(__n + 2) div 2"),
+          col("__s"))).as("__b"))
+      .select(grp ++ Seq(col("n_pairs"),
+        round((col("__a") + col("__b")) / 2.0, 6).as("slope")): _*)
+    val wB = Window.partitionBy(grp: _*)
+      .orderBy(col("__bv").asc, col("__i").asc)
+    val out = idx.join(med, groupCols)
+      .withColumn("__bv", col("__y") - col("slope") * col("__i"))
+      .withColumn("__rk", row_number().over(wB))
+      .withColumn("__p", count(lit(1)).over(wG))
+      .groupBy(grp: _*)
+      .agg(max(col("__p")).as("n_periods"),
+        max(col("n_pairs")).as("n_pairs"),
+        max(col("slope")).as("slope"),
+        round((sum(when(col("__rk") === expr("(__p + 1) div 2"),
+          col("__bv"))) +
+          sum(when(col("__rk") === expr("(__p + 2) div 2"),
+            col("__bv")))) / 2.0, 6).as("intercept"))
+      .select(grp ++ Seq(col("n_periods"), col("n_pairs"),
+        col("slope"), col("intercept")): _*)
+    idx.unpersist(false)
+    out
+  }
 }

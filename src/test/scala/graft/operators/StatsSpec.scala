@@ -1161,6 +1161,30 @@ class StatsSpec extends SparkSpecBase {
     assert(c.isNullAt(c.fieldIndex("kappa")))
   }
 
+  test("theilSenByGroup: exact fit recovers slope/intercept, one " +
+    "outlier cannot drag the median, single-period groups are absent") {
+    import spark.implicits._
+    val rows =
+      // a: y = 2i + 1 exactly
+      (1 to 5).map(i => ("a", f"2024-01-0$i", 2.0 * i + 1)) ++
+        // c: y = i with one wild outlier at the last period —
+        // 6 of 10 pair slopes are 1, so the median slope is 1 and
+        // the residual median is 0 (hand-enumerated)
+        Seq(("c", "2024-01-01", 1.0), ("c", "2024-01-02", 2.0),
+          ("c", "2024-01-03", 3.0), ("c", "2024-01-04", 4.0),
+          ("c", "2024-01-05", 100.0)) ++
+        // b: a single period has no pairs -> no output row
+        Seq(("b", "2024-01-01", 7.0))
+    val df = rows.toDF("g", "d", "v")
+    val out = Stats.theilSenByGroup(df, Seq("g"), "d", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_periods"), r.getAs[Long]("n_pairs"),
+          r.getAs[Double]("slope"), r.getAs[Double]("intercept"))).toMap
+    assert(out.keySet == Set("a", "c"), s"got ${out.keySet}")
+    assert(out("a") == ((5L, 10L, 2.0, 1.0)), s"got ${out("a")}")
+    assert(out("c") == ((5L, 10L, 1.0, 0.0)), s"got ${out("c")}")
+  }
+
   test("quantileSketch: merge of shard states equals the whole-input " +
     "sketch (associativity), and estimates bracket the exact quantile") {
     import spark.implicits._
