@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
 
 import graft.core.{Conversions, Tables}
-import graft.operators.{Dedup, Guards, Multimodal, Packing, Sampling, Similarity, Stats, TextAnalysis, Upsert}
+import graft.operators.{Dedup, Guards, Multimodal, Packing, Sampling, Similarity, Sketches, Stats, TextAnalysis, Upsert}
 
 /** The engine's query catalog: one entry per operator from SURVEY.md §2
   * plus the training-data-pipeline extensions, each paired (where SQL
@@ -4209,6 +4209,22 @@ object Queries {
       TextAnalysis.trendingTokens(Tables.documents(s, dir),
         col("doc_id") % 8 >= 4, col("text"))
     }),
+    "q_heavy_hitters" -> ((s, dir) => {
+      // Count-min-sketch heavy-hitter audit over the token stream:
+      // exact top-20 tokens next to their CMS estimates (depth 4,
+      // width 1024 — 4096 mergeable integer cells TOTAL, whatever the
+      // corpus size). The q_sim_recall pattern: a sketch is only
+      // trustworthy if its error is measured, so the gate pins
+      // c_est ≥ c_true cell-for-cell and the oracle replays the
+      // portable affine buckets and min-probe bitwise. The 100 TB
+      // frequency path: shards sketch independently and merge by
+      // summing cells (SketchesSpec pins merge associativity).
+      Sketches.cmsHeavyHitterAudit(
+        Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens(lower(col("text"))))
+            .as("w")),
+        col("w"))
+    }),
     "q_text_keyphrases" -> ((s, dir) => {
       // Per-source keyphrases: top-5 bigrams per source by PMI inside
       // the source's OWN token distribution — the corpus-exploration
@@ -4960,6 +4976,31 @@ object Queries {
     // the streaming drift monitor's drained cumulative histogram must
     // equal the batch bin counts, and the PSI tail is shared code —
     // so the oracle IS the batch oracle
+    // CMS replica: the same polynomial key hash, affine row buckets
+    // ((h·A+B) % M) % 1024, count-distributive cells, and min-probe
+    "q_heavy_hitters" -> {
+      def bSql(j: Int, h: String) =
+        s"(${affineSql(graft.operators.Sketches.SeedBase + j, h)} % 1024)"
+      val cells = (0 until graft.operators.Sketches.Depth).map { j =>
+        s"""SELECT $j AS r, ${bSql(j, "h")} AS b,
+           | CAST(sum(c_true) AS BIGINT) AS cnt FROM ch GROUP BY 2"""
+          .stripMargin
+      }.mkString("\n UNION ALL\n")
+      val probes = (0 until graft.operators.Sketches.Depth).map { j =>
+        s"SELECT w, c_true, $j AS r, ${bSql(j, "h")} AS b FROM top"
+      }.mkString("\n UNION ALL\n")
+      s"""WITH t AS (SELECT unnest($toksSql) AS w FROM documents),
+         |c AS (SELECT w, CAST(count(*) AS BIGINT) AS c_true
+         | FROM t GROUP BY w),
+         |ch AS (SELECT w, c_true, ${polySql("w")} AS h FROM c),
+         |cells AS ($cells),
+         |top AS (SELECT w, c_true, h FROM ch
+         | ORDER BY c_true DESC, w ASC LIMIT 20),
+         |tc AS ($probes)
+         |SELECT w AS token, c_true, min(cnt) AS c_est,
+         | min(cnt) - c_true AS overcount
+         |FROM tc JOIN cells USING (r, b) GROUP BY w, c_true""".stripMargin
+    },
     "q_stream_drift" -> docLengthPsiOracle,
     // drained cross-batch token-count state must equal the BATCH
     // trending table exactly — same oracle verbatim

@@ -1,0 +1,181 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+import graft.core.Sessions
+
+/** Empirical next-decade scaling probe (VERDICT r9 stretch 7): builds
+  * a 10× replica of the largest shipped testdata scale (sf0.1) and
+  * times the most expensive catalog queries SINGLE-PASS at both
+  * scales, recording the ratio per query to `BENCH_SCALE.json`. The
+  * point is the check no small-SF bench can give: nothing in the
+  * catalog silently goes quadratic one decade past the gate scale —
+  * a ~O(n) query lands near 10×, O(n log n) a bit above, and anything
+  * far beyond the `flagFactor` (15×) is flagged for a PLANS.md note
+  * or a fix.
+  *
+  * Replica construction (honesty notes — this is a TIMING probe, the
+  * correctness gate stays at real driver data):
+  *  - every entity key (orderkey, custkey, suppkey, partkey, doc_id,
+  *    vec_id, event_id, user_id) shifts by replica · 10¹¹, applied
+  *    CONSISTENTLY across fact/dim tables, so joins hit exactly as at
+  *    base scale and the replicas are 10 disjoint copies of the same
+  *    distribution (graphs become 10 disjoint components — iteration
+  *    counts hold, frontiers scale linearly);
+  *  - document TOKENS are suffixed with the replica id (token → to
+  *    `token<k>`), so cross-replica Jaccard/MinHash/SimHash/boiler-
+  *    plate similarity is zero and the near-dup RATE stays what the
+  *    base corpus has — replicating text verbatim would square the
+  *    candidate-pair count and falsely flag dedup as quadratic;
+  *    n_chars is recomputed from the salted text;
+  *  - embeddings ROTATE by replica (dim i ← dim (i+k) mod d), which
+  *    decorrelates cross-replica cosine for the same reason;
+  *  - dates, languages, sources, event types, values are untouched —
+  *    the probe grows ROWS, not ranges, which is what a bigger crawl
+  *    does (note: per-DAY series lengths therefore do not grow, so
+  *    period-bounded trend operators are EXPECTED to land well under
+  *    10× — that sublinearity is the design, not a miss).
+  */
+object ScaleProbe {
+
+  private def force(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
+  /** Single-pass wall seconds for one catalog query against `dir`. */
+  private def time1(
+      spark: SparkSession, name: String, dir: String): Double = {
+    val t0 = System.nanoTime()
+    force(SparkEntry.queries(name)(spark, dir))
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The r9/r10 bench's most expensive queries (two-pass minima
+    * order) — the set worth probing a decade up. Overridable via
+    * args. */
+  val DefaultProbes: Seq[String] = Seq(
+    "q_graph_hits", "q_trend_siegel", "q_graph_pagerank", "q_graph_ppr",
+    "q_trend_theilsen", "q_graph_kcore", "q_corpus_report",
+    "q_conformal", "q_graph_jaccard", "q_cluster_inertia", "q_profile",
+    "q_stream_join", "q_markov_steady", "q_lake_merge", "q_events_rfm",
+    "q_join_salted", "q_graph_linkpred", "q_profile_approx",
+    "q_text_boilerplate", "q_join_bucketed")
+
+  private val Shift = 100000000000L // 10^11: far above any base key
+
+  /** Replicate `factor`× with consistent key shifts + content
+    * decorrelation; k = 0 is the identity replica. */
+  private def build(
+      spark: SparkSession, base: String, out: String, factor: Int): Unit = {
+    // the driver testdata ships each table as a single FILE named
+    // <table>.parquet (the streaming sources glob on that name), so
+    // the replica must too: write a one-part dir, then promote the
+    // part file to <table>.parquet
+    def writeFile(df: DataFrame, table: String): Unit = {
+      val stage = s"$out/_build_$table"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val dir = Paths.get(stage)
+      val part = Files.list(dir).filter(_.getFileName.toString
+        .endsWith(".parquet")).findFirst().get()
+      Files.createDirectories(Paths.get(out))
+      Files.move(part, Paths.get(s"$out/$table.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Files.list(dir).forEach(p => Files.delete(p))
+      Files.delete(dir)
+    }
+    def reps(table: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+      val src = spark.read.parquet(s"$base/$table.parquet")
+      val all = (0 until factor).map(k => f(src, k))
+        .reduce(_ unionByName _)
+      writeFile(all, table)
+      println(s"[scale] built $table x$factor")
+    }
+    def shifted(c: String, k: Int) = col(c) + lit(k.toLong * Shift)
+    reps("customer")((df, k) =>
+      df.withColumn("c_custkey", shifted("c_custkey", k)))
+    reps("supplier")((df, k) =>
+      df.withColumn("s_suppkey", shifted("s_suppkey", k)))
+    reps("part")((df, k) =>
+      df.withColumn("p_partkey", shifted("p_partkey", k)))
+    reps("orders")((df, k) => df
+      .withColumn("o_orderkey", shifted("o_orderkey", k))
+      .withColumn("o_custkey", shifted("o_custkey", k)))
+    reps("lineitem")((df, k) => df
+      .withColumn("l_orderkey", shifted("l_orderkey", k))
+      .withColumn("l_partkey", shifted("l_partkey", k))
+      .withColumn("l_suppkey", shifted("l_suppkey", k)))
+    reps("events")((df, k) => df
+      .withColumn("event_id", shifted("event_id", k))
+      .withColumn("user_id", shifted("user_id", k)))
+    reps("documents")((df, k) => {
+      val salted = if (k == 0) df else df.withColumn("text",
+        regexp_replace(col("text"), "(\\p{L}+)", "$1" + k.toString))
+      salted
+        .withColumn("doc_id", shifted("doc_id", k))
+        .withColumn("n_chars", length(col("text")))
+    })
+    reps("embeddings")((df, k) => {
+      val rotated = if (k == 0) df else df.withColumn("embedding",
+        expr(s"transform(embedding, (x, i) -> " +
+          s"element_at(embedding, ((i + $k) % size(embedding)) + 1))"))
+      rotated.withColumn("vec_id", shifted("vec_id", k))
+    })
+    Seq("region", "nation").foreach { t =>
+      writeFile(spark.read.parquet(s"$base/$t.parquet"), t)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SCALE_DIR", "tmp/sfx10")
+    val factor = 10
+    val flagFactor = 15.0
+    val probes =
+      if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains)
+      else DefaultProbes
+    val spark = Sessions.local("graft-scale")
+
+    if (!Files.exists(Paths.get(s"$out/embeddings.parquet"))) {
+      println(s"[scale] building $factor x $base -> $out")
+      build(spark, base, out, factor)
+    } else println(s"[scale] reusing $out")
+
+    // warm-up on each dir so codegen/scan setup lands outside timings
+    force(SparkEntry.queries("q_agg_pricing")(spark, base))
+    force(SparkEntry.queries("q_agg_pricing")(spark, out))
+
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val results = probes.flatMap { name =>
+      try {
+        val tb = time1(spark, name, base)
+        val tx = time1(spark, name, out)
+        val ratio = tx / math.max(tb, 1e-9)
+        println(s"[scale] $name base=${fmt(tb)}s x$factor=${fmt(tx)}s " +
+          s"ratio=${fmt(ratio)}")
+        Some((name, tb, tx, ratio))
+      } catch {
+        case e: Throwable =>
+          println(s"[scale] $name FAILED: ${e.getMessage}")
+          None
+      }
+    }
+    val flagged = results.filter(_._4 > flagFactor).map(_._1)
+    val qs = results.map { case (n, tb, tx, r) =>
+      s""""$n":{"base_sec":${fmt(tb)},"x10_sec":${fmt(tx)},""" +
+        s""""ratio":${fmt(r)}}"""
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"scale_probe","rows_factor":$factor,""" +
+        s""""base":"$base","scaled":"$out","flag_factor":$flagFactor,""" +
+        s""""flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""queries":$qs}"""
+    Files.writeString(Paths.get("BENCH_SCALE.json"), json + "\n")
+    println(s"GRAFT_SCALE_JSON $json")
+    spark.stop()
+  }
+}
