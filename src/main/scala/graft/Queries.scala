@@ -4209,6 +4209,17 @@ object Queries {
       TextAnalysis.trendingTokens(Tables.documents(s, dir),
         col("doc_id") % 8 >= 4, col("text"))
     }),
+    "q_vocab_unseen" -> ((s, dir) => {
+      // Good–Turing unseen-mass + Chao1 richness per source: "how
+      // much vocabulary does this source still hide" — the
+      // crawl-planning gauge next to q_heaps_growth (which shows the
+      // discovery CURVE; this estimates where it tops out). One
+      // corpus pass to per-(source, token) counts, then a vocab-sized
+      // aggregate; exact integer counts-of-counts, two IEEE
+      // divisions at the end.
+      TextAnalysis.vocabCoverage(Tables.documents(s, dir),
+        Seq("source"), col("text"))
+    }),
     "q_heavy_hitters" -> ((s, dir) => {
       // Count-min-sketch heavy-hitter audit over the token stream:
       // exact top-20 tokens next to their CMS estimates (depth 4,
@@ -4976,6 +4987,26 @@ object Queries {
     // the streaming drift monitor's drained cumulative histogram must
     // equal the batch bin counts, and the PSI tail is shared code —
     // so the oracle IS the batch oracle
+    // Good–Turing replica: the same counts-of-counts integers and
+    // final-division order
+    "q_vocab_unseen" ->
+      s"""WITH t AS (SELECT source, unnest($toksSql) AS w
+         | FROM documents),
+         |c AS (SELECT source, w, count(*) AS c FROM t GROUP BY 1, 2),
+         |a AS (SELECT source,
+         |  CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS vocab,
+         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n1,
+         |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n2
+         | FROM c GROUP BY source)
+         |SELECT source, n_tokens, vocab, n1, n2,
+         | round(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         |   AS unseen_mass,
+         | round(CAST(vocab AS DOUBLE) + CAST(n1 * (n1 - 1) AS DOUBLE)
+         |   / (2.0 * CAST(n2 + 1 AS DOUBLE)), 6) AS chao1
+         |FROM a""".stripMargin,
     // CMS replica: the same polynomial key hash, affine row buckets
     // ((h·A+B) % M) % 1024, count-distributive cells, and min-probe
     "q_heavy_hitters" -> {

@@ -435,9 +435,9 @@ object Sampling {
     val lt = org.apache.spark.sql.types.LongType
     val t = df.groupBy(col(groupCol).as("__g"))
       .agg(sum(tokens.cast(lt)).as("__nt"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__nt").asc, col("__g").asc)
-    val o = t.select(col("__g"), col("__nt"),
+    val w = Guards.seriesWindow(col("__nt").asc, col("__g").asc)
+    val o = Guards.boundedSeries(t, "waterFill group totals")
+      .select(col("__g"), col("__nt"),
       row_number().over(w).cast(lt).as("__k"),
       sum(col("__nt")).over(w).as("__pk"))
     val tot = t.agg(

@@ -950,10 +950,10 @@ object TextAnalysis {
       .groupBy(col("token")).agg(count(lit(1)).as("__c"))
       .persist(lvl)
     val total = cnt.agg(sum(col("__c")).as("__tot"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__c").desc, col("token").asc)
-    val out = cnt.orderBy(col("__c").desc, col("token").asc)
-      .limit(vs.max)
+    val w = Guards.seriesWindow(col("__c").desc, col("token").asc)
+    val out = Guards.boundedSeries(
+        cnt.orderBy(col("__c").desc, col("token").asc).limit(vs.max),
+        "coverageCurve top ranks")
       .withColumn("__r", row_number().over(w))
       .withColumn("__cum", sum(col("__c")).over(w))
       .filter(col("__r").isInCollection(vs))
@@ -967,6 +967,49 @@ object TextAnalysis {
     out
   }
 
+  /** Good–Turing vocabulary coverage per group: from each group's
+    * token counts-of-counts, the UNSEEN-MASS estimate P₀ = N₁/N (the
+    * probability the next token drawn is a type never seen — Good
+    * 1953) and the bias-corrected Chao1 richness estimate
+    * V + N₁(N₁−1)/(2(N₂+1)) (Chao 1984) — the "how much vocabulary
+    * does this source still hide" gauge that tells a crawl planner
+    * whether another pass pays off. A HIGH unseen mass means the
+    * corpus is still discovering the source's vocabulary; Chao1 ≈ V
+    * means it is tapped out.
+    *
+    * Scale shape: one corpus pass to per-(group, token) counts
+    * (map-side combined), then a group-level aggregate over the
+    * vocab-sized frame — no windows, no sorts. Determinism: N, V,
+    * N₁, N₂ are exact longs; the only doubles are the final two
+    * divisions of exact integers (IEEE-identical in every engine),
+    * rounded to 6 dp.
+    *
+    * Returns one row per group: (groupCols..., n_tokens, vocab, n1,
+    * n2, unseen_mass, chao1). */
+  def vocabCoverage(
+      docs: DataFrame,
+      groupCols: Seq[String],
+      textCol: Column): DataFrame = {
+    val grp = groupCols.map(col)
+    val counts = docs
+      .select(grp :+ explode(tokens(lower(textCol))).as("__w"): _*)
+      .groupBy(grp :+ col("__w"): _*)
+      .agg(count(lit(1)).as("__c"))
+    counts.groupBy(grp: _*)
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__c") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(grp ++ Seq(col("n_tokens"), col("vocab"), col("n1"),
+        col("n2"),
+        round(col("n1").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType), 6).as("unseen_mass"),
+        round(col("vocab").cast(DoubleType) +
+          (col("n1") * (col("n1") - 1)).cast(DoubleType) /
+            (lit(2.0) * (col("n2") + 1).cast(DoubleType)), 6)
+          .as("chao1")): _*)
+  }
+
   def zipfFit(
       docs: DataFrame,
       textCol: Column,
@@ -974,9 +1017,10 @@ object TextAnalysis {
     require(topN > 1, s"topN must be > 1: $topN")
     val cnt = docs.select(explode(tokens(lower(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("__c"))
-    val top = cnt.orderBy(col("__c").desc, col("token").asc).limit(topN)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__c").desc, col("token").asc)
+    val top = Guards.boundedSeries(
+      cnt.orderBy(col("__c").desc, col("token").asc).limit(topN),
+      "zipfFit top ranks")
+    val w = Guards.seriesWindow(col("__c").desc, col("token").asc)
     val ranked = top.withColumn("__r", row_number().over(w))
     val dec = (c: Column) =>
       round(log(c.cast(DoubleType)), 6).cast(DecimalType(18, 6))
@@ -1034,10 +1078,10 @@ object TextAnalysis {
       .agg(min(col("wave")).as("wave"))
       .groupBy(col("wave"))
       .agg(count(lit(1)).as("n_new_types"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("wave"))
+    val w = Guards.seriesWindow(col("wave"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    perWave.join(firstSeen, Seq("wave"), "left")
+    Guards.boundedSeries(perWave.join(firstSeen, Seq("wave"), "left"),
+        "heapsGrowth waves")
       .select(col("wave"), col("n_tokens"),
         coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
@@ -1060,10 +1104,10 @@ object TextAnalysis {
     require(vocabSize > 0, "vocabSize must be positive")
     val cnt = docs.select(explode(tokens(textCol)).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("__c"))
-    val top = cnt.orderBy(col("__c").desc, col("token").asc)
-      .limit(vocabSize)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__c").desc, col("token").asc)
+    val top = Guards.boundedSeries(
+      cnt.orderBy(col("__c").desc, col("token").asc).limit(vocabSize),
+      "vocab build")
+    val w = Guards.seriesWindow(col("__c").desc, col("token").asc)
     top.withColumn("id", (row_number().over(w) - 1).cast(LongType))
       .select(col("token"), col("id"))
   }

@@ -415,4 +415,22 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(stableTok == "base" && math.abs(stableScore) < 0.1,
       s"stable token: $rows")
   }
+
+  test("vocabCoverage: hand-computed Good-Turing unseen mass and " +
+    "Chao1 on a tiny corpus") {
+    import spark.implicits._
+    // source a: tokens x x y z -> N=4, V=3, N1=2 (y,z), N2=1 (x)
+    // unseen = 2/4 = 0.5; chao1 = 3 + 2*1/(2*(1+1)) = 3.5
+    // source b: w w w -> N=3, V=1, N1=0, N2=0
+    // unseen = 0; chao1 = 1 + 0 = 1
+    val docs = Seq(("a", "x x"), ("a", "y z"), ("b", "w w w"))
+      .toDF("source", "text")
+    val out = TextAnalysis.vocabCoverage(docs, Seq("source"), col("text"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab"),
+          r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+          r.getAs[Double]("unseen_mass"), r.getAs[Double]("chao1"))).toMap
+    assert(out("a") == ((4L, 3L, 2L, 1L, 0.5, 3.5)), s"got ${out("a")}")
+    assert(out("b") == ((3L, 1L, 0L, 0L, 0.0, 1.0)), s"got ${out("b")}")
+  }
 }
