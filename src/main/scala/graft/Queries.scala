@@ -656,15 +656,6 @@ object Queries {
       Stats.quantileSketchByGroup(Tables.events(s, dir),
         Seq("event_type"), col("value"))
     }),
-    "q_trimmed_mean" -> ((s, dir) => {
-      // 5%-trimmed mean event value per type next to the raw mean —
-      // the robust location gauge between mean and median (one wild
-      // row cannot move it; unlike the median it keeps 90% of the
-      // data). Same one-exchange rank topology as
-      // q_quantile_by_group; exact decimal sums.
-      Stats.trimmedMeanByGroup(Tables.events(s, dir),
-        Seq("event_type"), col("value"), col("event_id"))
-    }),
     "q_anomaly_iqr" -> ((s, dir) => {
       // Tukey 1.5·IQR boxplot fences per event type — the third
       // member of the outlier trio next to q_anomaly_zscore (assumes
@@ -5193,29 +5184,6 @@ object Queries {
         | CAST(min(CASE WHEN rk = greatest(1, (n * 900 + 999) // 1000)
         |   THEN v END) AS DOUBLE) AS p_900
         |FROM r GROUP BY g""".stripMargin,
-    // trimmed-mean replica: same (value, id) rank order, same
-    // ⌊n·50/1000⌋ trim depth, exact decimal sums
-    "q_trimmed_mean" ->
-      """WITH v AS (SELECT event_type AS g,
-        |  CAST(value AS DECIMAL(18,4)) AS v, event_id AS id
-        | FROM events WHERE value IS NOT NULL),
-        |r AS (SELECT g, v,
-        |  count(*) OVER (PARTITION BY g) AS n,
-        |  row_number() OVER (PARTITION BY g
-        |    ORDER BY v ASC, id ASC) AS rk FROM v),
-        |k AS (SELECT g, v, n, (n * 50) // 1000 AS t, rk FROM r)
-        |SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n,
-        | CAST(sum(CASE WHEN rk > t AND rk <= n - t THEN 1 ELSE 0 END)
-        |   AS BIGINT) AS n_used,
-        | round(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
-        |   AS mean,
-        | CASE WHEN sum(CASE WHEN rk > t AND rk <= n - t THEN 1
-        |     ELSE 0 END) > 0 THEN
-        |   round(CAST(sum(CASE WHEN rk > t AND rk <= n - t THEN v END)
-        |       AS DOUBLE) /
-        |     CAST(sum(CASE WHEN rk > t AND rk <= n - t THEN 1 ELSE 0
-        |       END) AS DOUBLE), 6) END AS trimmed_mean
-        |FROM k GROUP BY g""".stripMargin,
     // sketch replica: the same 10⁻⁴ integer scaling, equal-width
     // integer bins (w = (max − min) // 256 + 1), cumulative bin walk,
     // and lower-bound pick — bitwise, because every intermediate is a

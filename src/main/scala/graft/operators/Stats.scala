@@ -655,55 +655,6 @@ object Stats {
       quantileSketchState(df, groupCols, value, bins),
       groupCols, permilles)
 
-  /** Exact TRIMMED mean per group: drop the lowest and highest
-    * ⌊n·trim‰/1000⌋ order statistics and average the rest — the
-    * robust location estimate between the mean (trim 0, zero
-    * breakdown) and the median (trim 500, max breakdown); the one a
-    * metrics pipeline wants when a handful of wild rows should not
-    * move the dashboard but the median throws away too much.
-    *
-    * Scale shape: the [[quantilesByGroup]] rank topology — ONE
-    * exchange on the group keys feeds both the rank and count
-    * windows, then a map-side-combined aggregate; sums are exact
-    * DECIMAL (order-free). Groups too small to survive the trim
-    * (n − 2t ≤ 0 — impossible for trim < 500 since t < n/2, but the
-    * gate is explicit) emit NULL.
-    *
-    * Returns one row per group: (groupCols..., n, n_used, mean,
-    * trimmed_mean). */
-  def trimmedMeanByGroup(
-      df: DataFrame,
-      groupCols: Seq[String],
-      value: Column,
-      idCol: Column,
-      trimPermille: Int = 50): DataFrame = {
-    require(trimPermille >= 0 && trimPermille < 500,
-      s"trimPermille out of range: $trimPermille")
-    val grp = groupCols.map(col)
-    val cnt = Window.partitionBy(grp: _*)
-    val wv = Window.partitionBy(grp: _*)
-      .orderBy(col("__v").asc, col("__id").asc)
-    val staged = df
-      .select(grp ++ Seq(value.cast(DecimalType(18, 4)).as("__v"),
-        idCol.as("__id")): _*)
-      .filter(col("__v").isNotNull)
-      .withColumn("__n", count(lit(1)).over(cnt))
-      .withColumn("__rk", row_number().over(wv))
-      .withColumn("__t", expr(s"(__n * $trimPermille) div 1000"))
-    val kept = col("__rk") > col("__t") &&
-      col("__rk") <= col("__n") - col("__t")
-    def safe(c: Column) = when(c =!= 0.0, c).otherwise(lit(1.0))
-    staged.groupBy(grp: _*)
-      .agg(count(lit(1)).as("n"),
-        sum(when(kept, 1L).otherwise(0L)).as("n_used"),
-        round(sum(col("__v")).cast(DoubleType) /
-          count(lit(1)).cast(DoubleType), 6).as("mean"),
-        when(sum(when(kept, 1L).otherwise(0L)) > 0,
-          round(sum(when(kept, col("__v"))).cast(DoubleType) /
-            safe(sum(when(kept, 1L).otherwise(0L)).cast(DoubleType)), 6))
-          .as("trimmed_mean"))
-  }
-
   /** First-order Markov transition matrix over per-key event
     * sequences: for every ordered (from_state, to_state) pair of
     * consecutive states within a key, the transition count and its

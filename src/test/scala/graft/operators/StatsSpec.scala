@@ -1161,26 +1161,6 @@ class StatsSpec extends SparkSpecBase {
     assert(c.isNullAt(c.fieldIndex("kappa")))
   }
 
-  test("trimmedMeanByGroup: one wild row moves the mean but not the " +
-    "trimmed mean; trim depth is floor(n*permille/1000)") {
-    import spark.implicits._
-    // values 1..9 plus 1000: n = 10, t = floor(10*100/1000) = 1 ->
-    // keep ranks 2..9 = values 2..9, trimmed mean 5.5; raw mean 104.5
-    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).zipWithIndex
-      .map { case (v, i) => ("g", v, i.toLong) }.toDF("g", "v", "id")
-    val r = Stats.trimmedMeanByGroup(df, Seq("g"), col("v"), col("id"),
-      trimPermille = 100).collect()(0)
-    assert(r.getAs[Long]("n") == 10L)
-    assert(r.getAs[Long]("n_used") == 8L)
-    assert(r.getAs[Double]("mean") == 104.5)
-    assert(r.getAs[Double]("trimmed_mean") == 5.5, s"got $r")
-    // n = 9, t = floor(9*100/1000) = 0: nothing trimmed
-    val none = Stats.trimmedMeanByGroup(df.filter(col("v") < 10),
-      Seq("g"), col("v"), col("id"), trimPermille = 100).collect()(0)
-    assert(none.getAs[Long]("n_used") == 9L)
-    assert(none.getAs[Double]("trimmed_mean") == 5.0)
-  }
-
   test("theilSenByGroup: exact fit recovers slope/intercept, one " +
     "outlier cannot drag the median, single-period groups are absent") {
     import spark.implicits._
