@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
 
 import graft.core.{Conversions, Tables}
-import graft.operators.{Dedup, Guards, Multimodal, Packing, Sampling, Similarity, Sketches, Stats, TextAnalysis, Upsert}
+import graft.operators.{Dedup, Guards, Multimodal, Packing, Sampling, Similarity, Stats, TextAnalysis, Upsert}
 
 /** The engine's query catalog: one entry per operator from SURVEY.md §2
   * plus the training-data-pipeline extensions, each paired (where SQL
@@ -2250,6 +2250,43 @@ object Queries {
           sum(when(col("late"), col("__c")).otherwise(0L)).as("c_late"))
       TextAnalysis.trendingFromCounts(counts)
     }),
+    "q_stream_heavy_hitters" -> ((s, dir) => {
+      // Streaming count-min sketch: the depth·width cells of
+      // q_sketch_heavy_hitters' CMS accumulate in keyed state as
+      // token occurrences arrive — the SMALLEST state of any monitor
+      // here (64 longs at the gate's deliberately tiny width 16;
+      // 4·2^20 in production). Counts are count-distributive, so the
+      // drained latest cells (max per cell — monotone) ARE the batch
+      // Stats.countMinSketch output, and the shared estimate +
+      // heavy-hitter cut must equal the batch query row for row
+      // (batch oracle verbatim — the q_stream_drift pattern).
+      // Frequency surveillance at ingest: a token flooding in
+      // mid-crawl shows up in kilobytes of state, no vocab table.
+      val depth = 4; val width = 16
+      val name = s"q_stream_hh_${streamRun.incrementAndGet()}"
+      implicit val sp: SparkSession = s
+      val tokenStream = graft.streaming.Streams.docsStream(s, dir)
+        .select(explode(TextAnalysis.tokens(lower(col("text"))))
+          .as("token"))
+      val drained = graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.cmsCellsState(tokenStream,
+          col("token"), depth, width).toDF(),
+        name, shufflePartitions = Some(8))
+      val sketch = drained.groupBy(col("depth"), col("bucket"))
+        .agg(max(col("n")).as("cnt"))
+      // identical tail to q_sketch_heavy_hitters, fed by the drain
+      val occ = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(lower(col("text"))))
+          .as("token"))
+      val vocab = occ.groupBy(col("token"))
+        .agg(count(lit(1)).as("true_count"))
+      val total = occ.agg(count(lit(1)).as("__n"))
+      Stats.cmsEstimate(sketch, vocab, col("token"), "est_count",
+          depth, width)
+        .crossJoin(broadcast(total))
+        .filter(col("est_count") * 50 >= col("__n"))
+        .select(col("token"), col("true_count"), col("est_count"))
+    }),
     "q_stream_budget" -> ((s, dir) => {
       // Streaming quota admission: each source spends its token
       // budget as documents arrive (keyed state = ONE cumulative long
@@ -4220,22 +4257,6 @@ object Queries {
       TextAnalysis.vocabCoverage(Tables.documents(s, dir),
         Seq("source"), col("text"))
     }),
-    "q_heavy_hitters" -> ((s, dir) => {
-      // Count-min-sketch heavy-hitter audit over the token stream:
-      // exact top-20 tokens next to their CMS estimates (depth 4,
-      // width 1024 — 4096 mergeable integer cells TOTAL, whatever the
-      // corpus size). The q_sim_recall pattern: a sketch is only
-      // trustworthy if its error is measured, so the gate pins
-      // c_est ≥ c_true cell-for-cell and the oracle replays the
-      // portable affine buckets and min-probe bitwise. The 100 TB
-      // frequency path: shards sketch independently and merge by
-      // summing cells (SketchesSpec pins merge associativity).
-      Sketches.cmsHeavyHitterAudit(
-        Tables.documents(s, dir)
-          .select(explode(TextAnalysis.tokens(lower(col("text"))))
-            .as("w")),
-        col("w"))
-    }),
     "q_text_keyphrases" -> ((s, dir) => {
       // Per-source keyphrases: top-5 bigrams per source by PMI inside
       // the source's OWN token distribution — the corpus-exploration
@@ -5007,31 +5028,9 @@ object Queries {
          | round(CAST(vocab AS DOUBLE) + CAST(n1 * (n1 - 1) AS DOUBLE)
          |   / (2.0 * CAST(n2 + 1 AS DOUBLE)), 6) AS chao1
          |FROM a""".stripMargin,
-    // CMS replica: the same polynomial key hash, affine row buckets
-    // ((h·A+B) % M) % 1024, count-distributive cells, and min-probe
-    "q_heavy_hitters" -> {
-      def bSql(j: Int, h: String) =
-        s"(${affineSql(graft.operators.Sketches.SeedBase + j, h)} % 1024)"
-      val cells = (0 until graft.operators.Sketches.Depth).map { j =>
-        s"""SELECT $j AS r, ${bSql(j, "h")} AS b,
-           | CAST(sum(c_true) AS BIGINT) AS cnt FROM ch GROUP BY 2"""
-          .stripMargin
-      }.mkString("\n UNION ALL\n")
-      val probes = (0 until graft.operators.Sketches.Depth).map { j =>
-        s"SELECT w, c_true, $j AS r, ${bSql(j, "h")} AS b FROM top"
-      }.mkString("\n UNION ALL\n")
-      s"""WITH t AS (SELECT unnest($toksSql) AS w FROM documents),
-         |c AS (SELECT w, CAST(count(*) AS BIGINT) AS c_true
-         | FROM t GROUP BY w),
-         |ch AS (SELECT w, c_true, ${polySql("w")} AS h FROM c),
-         |cells AS ($cells),
-         |top AS (SELECT w, c_true, h FROM ch
-         | ORDER BY c_true DESC, w ASC LIMIT 20),
-         |tc AS ($probes)
-         |SELECT w AS token, c_true, min(cnt) AS c_est,
-         | min(cnt) - c_true AS overcount
-         |FROM tc JOIN cells USING (r, b) GROUP BY w, c_true""".stripMargin
-    },
+    // the drained streaming cells ARE the batch CMS state — the
+    // batch oracle verbatim is the whole point of the gate
+    "q_stream_heavy_hitters" -> cmsHeavyHittersOracle,
     "q_stream_drift" -> docLengthPsiOracle,
     // drained cross-batch token-count state must equal the BATCH
     // trending table exactly — same oracle verbatim

@@ -550,6 +550,57 @@ object Streams {
       }
   }
 
+  /** Cumulative occupancy of one count-min cell. */
+  final case class CmsCell(depth: Int, bucket: Long, n: Long)
+
+  /** Streaming count-min sketch — cumulative cell counts in keyed
+    * state: each arriving key occurrence bumps its `depth` cells
+    * across micro-batches and the refreshed totals re-emit (update
+    * mode — consumers take max per cell, counts are monotone). Cells
+    * use the SAME hashing as the batch
+    * [[graft.operators.Stats.countMinSketch]] (polyHash key, affine
+    * row j, mod width), and counts are count-distributive, so a
+    * drained stream's latest cells equal the batch sketch exactly and
+    * the shared [[graft.operators.Stats.cmsEstimate]] + heavy-hitter
+    * cut yield the identical table — that equality is the
+    * q_stream_heavy_hitters gate (batch oracle verbatim, the
+    * q_stream_drift pattern).
+    *
+    * 100 TB notes: state is depth · width longs TOTAL — the smallest
+    * state footprint of any monitor here (4 · 2^20 at production
+    * width); the stream side shuffles depth rows per occurrence
+    * (flatMapGroupsWithState gets no map-side combine — at extreme
+    * rates pre-aggregate each micro-batch per key first). */
+  def cmsCellsState(
+      rows: DataFrame,
+      key: Column,
+      depth: Int = 4,
+      width: Int = 1 << 20)(
+      implicit spark: SparkSession): Dataset[CmsCell] = {
+    import spark.implicits._
+    import graft.operators.Dedup
+    require(depth > 0 && width > 0)
+    rows
+      .select(Dedup.polyHash(key).as("__h"))
+      .select(explode(array((0 until depth).map(j =>
+        struct(lit(j).as("r"),
+          (pmod(col("__h") * Dedup.affineA(j) + Dedup.affineB(j),
+            lit(Dedup.PortableMod)) % width).as("b"))): _*)).as("__c"))
+      .select(col("__c.r").as("__r"), col("__c.b").as("__b"))
+      .as[(Int, Long)]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (cell: (Int, Long), it: Iterator[(Int, Long)],
+         state: GroupState[CumCount]) =>
+          var add = 0L
+          while (it.hasNext) { it.next(); add += 1 }
+          val tot = state.getOption.map(_.n).getOrElse(0L) + add
+          state.update(CumCount(tot))
+          Iterator(CmsCell(cell._1, cell._2, tot))
+      }
+  }
+
   /** One band-local near-dup verdict: did `doc_id` collide (within the
     * Hamming budget) with an EARLIER doc in this band bucket? */
   final case class BandFlag(doc_id: Long, dup: Boolean)

@@ -575,6 +575,34 @@ class StreamsSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
+  test("cmsCellsState carries cell counts ACROSS micro-batches (the " +
+    "streaming count-min backbone)") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val tmp = java.nio.file.Files.createTempDirectory("cms_mb").toFile
+    val t0 = System.currentTimeMillis()
+    // one token: its 4 cells (one per depth row) each emit 2 after
+    // batch 1 and 3 after batch 2 — the carried state turns batch
+    // 2's single arrival into a cumulative 3
+    writeDocsFile(tmp, "a.parquet", Seq((1L, "apple apple")),
+      t0 - 60000)
+    writeDocsFile(tmp, "b.parquet", Seq((2L, "apple")), t0)
+    val raw = Streams.runAvailableNow(
+      Streams.cmsCellsState(
+        Streams.docsStream(spark, tmp.getPath, glob = "*.parquet",
+          maxFilesPerTrigger = 1)
+          .select(explode(graft.operators.TextAnalysis.tokens(
+            lower(col("text")))).as("token")),
+        col("token")).toDF(), "cms_multibatch")
+    val perCell = raw.collect()
+      .groupBy(r => (r.getAs[Int]("depth"), r.getAs[Long]("bucket")))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("n")).sorted.toSeq }
+    assert(perCell.size == 4, s"got ${perCell.keySet}")
+    perCell.foreach { case (cell, ns) =>
+      assert(ns == Seq(2L, 3L), s"cell $cell emitted $ns")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   test("budget admission carries spent quota ACROSS micro-batches " +
     "(a merged batch could not distinguish the carry)") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
