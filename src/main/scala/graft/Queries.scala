@@ -1983,6 +1983,18 @@ object Queries {
         case None => conf.unset("spark.sql.adaptive.enabled")
       }
     }),
+    "q_survival_churn" -> ((s, dir) => {
+      // Survival analysis of user activity spans: Nelson–Aalen
+      // cumulative hazard over first-to-last-event durations, users
+      // still active in the final week CENSORED (treating them as
+      // churned biases every lifetime estimate down — the mistake
+      // this estimator exists to avoid). Sum-based hazard, not the
+      // KM product, so the fold is order-free decimal and bitwise.
+      // One exchange to per-user spans; the curve is a days-bounded
+      // control frame.
+      Stats.nelsonAalen(Tables.events(s, dir), col("user_id"),
+        col("ts"), censorDays = 7)
+    }),
     "q_events_rfm" -> ((s, dir) => {
       // RFM segmentation: per-user Recency / Frequency / Monetary
       // quartile scores, rolled up to segment counts — the classic
@@ -5689,6 +5701,33 @@ object Queries {
         |FROM s, t""".stripMargin,
     // RFM replica: the same ⌊(rank−1)·4/n⌋+1 quartiles over
     // row_number ranks with identical tie orders
+    // Nelson–Aalen replica: same spans, censor flag, descending
+    // at-risk cumulative, and 9-dp decimal hazard fold
+    "q_survival_churn" ->
+      """WITH s AS (SELECT user_id, CAST(min(ts) AS DATE) AS f,
+        |  CAST(max(ts) AS DATE) AS l
+        | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        | GROUP BY user_id),
+        |e AS (SELECT max(l) AS endd FROM s),
+        |m AS (SELECT CAST(date_diff('day', f, l) AS BIGINT) AS t_days,
+        |  CASE WHEN date_diff('day', l, endd) < 7 THEN 1 ELSE 0 END
+        |    AS cens
+        | FROM s, e),
+        |b AS (SELECT t_days,
+        |  CAST(sum(1 - cens) AS BIGINT) AS n_events,
+        |  CAST(sum(cens) AS BIGINT) AS n_censored
+        | FROM m GROUP BY t_days),
+        |r AS (SELECT t_days, n_events, n_censored,
+        |  CAST(sum(n_events + n_censored) OVER (ORDER BY t_days DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk FROM b)
+        |SELECT t_days, n_at_risk, n_events, n_censored,
+        | round(CAST(n_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE),
+        |   6) AS hazard,
+        | round(CAST(sum(CAST(round(CAST(n_events AS DOUBLE) /
+        |     CAST(n_at_risk AS DOUBLE), 9) AS DECIMAL(28,9)))
+        |   OVER (ORDER BY t_days ASC ROWS UNBOUNDED PRECEDING)
+        |   AS DOUBLE), 6) AS cum_hazard
+        |FROM r""".stripMargin,
     "q_events_rfm" ->
       """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS d, value
         | FROM events WHERE event_type = 'purchase'),

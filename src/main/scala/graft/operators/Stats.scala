@@ -655,6 +655,72 @@ object Stats {
       quantileSketchState(df, groupCols, value, bins),
       groupCols, permilles)
 
+  /** Nelson–Aalen cumulative-hazard estimator over per-key activity
+    * spans — survival analysis for churn ("how fast do users go
+    * quiet, accounting for the ones still active"): each key's
+    * duration is first-to-last event in days; a key whose last event
+    * falls within `censorDays` of the corpus end is CENSORED (still
+    * alive — counting it as churn would bias every study toward
+    * doom). At each distinct duration t: n_t = keys with duration ≥ t
+    * (at risk), d_t = uncensored spells ending at t, hazard = d_t/n_t,
+    * and H(t) = Σ_{s≤t} d_s/n_s — the cumulative hazard (Nelson 1972,
+    * Aalen 1978). The SUM-based estimator is chosen over the
+    * Kaplan–Meier product deliberately: sums of 9-dp-rounded exact
+    * rationals fold order-free in DECIMAL and replay bitwise in any
+    * engine, a running float product does not.
+    *
+    * Scale shape: one exchange to per-key spans (map-side combined
+    * min/max), a duration-keyed aggregate, then two windows over the
+    * DISTINCT-duration frame — bounded by the observation span in
+    * days (control-plane by construction; [[Guards.boundedSeries]]
+    * makes a mis-use fail loudly). The corpus-end anchor is a 1-row
+    * broadcast.
+    *
+    * Returns one row per distinct duration: (t_days, n_at_risk,
+    * n_events, n_censored, hazard, cum_hazard). */
+  def nelsonAalen(
+      df: DataFrame,
+      idCol: Column,
+      tsCol: Column,
+      censorDays: Int = 7): DataFrame = {
+    require(censorDays >= 0 && censorDays <= 3650,
+      s"censorDays out of range: $censorDays")
+    val spans = df
+      .select(idCol.as("__id"), tsCol.cast(TimestampType).as("__ts"))
+      .filter(col("__id").isNotNull && col("__ts").isNotNull)
+      .groupBy(col("__id"))
+      .agg(min(col("__ts")).as("__first"), max(col("__ts")).as("__last"))
+    val end = spans.agg(max(col("__last")).as("__end"))
+    val marked = spans.crossJoin(broadcast(end))
+      .select(
+        datediff(to_date(col("__last")), to_date(col("__first")))
+          .cast(LongType).as("t_days"),
+        when(datediff(to_date(col("__end")), to_date(col("__last")))
+          < censorDays, 1L).otherwise(0L).as("__cens"))
+    val byT = marked.groupBy(col("t_days"))
+      .agg(sum(lit(1L) - col("__cens")).as("n_events"),
+        sum(col("__cens")).as("n_censored"))
+    // at-risk: everyone whose spell (event or censor) ends at or
+    // after t — a descending cumulative over the duration frame
+    val wDesc = Guards.seriesWindow(col("t_days").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Guards.seriesWindow(col("t_days").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def safe(c: Column) = when(c =!= 0.0, c).otherwise(lit(1.0))
+    Guards.boundedSeries(byT, "nelsonAalen durations")
+      .withColumn("n_at_risk",
+        sum(col("n_events") + col("n_censored")).over(wDesc))
+      .withColumn("hazard",
+        round(col("n_events").cast(DoubleType) /
+          safe(col("n_at_risk").cast(DoubleType)), 6))
+      .withColumn("cum_hazard",
+        round(sum(round(col("n_events").cast(DoubleType) /
+          safe(col("n_at_risk").cast(DoubleType)), 9)
+          .cast(DecimalType(28, 9))).over(wAsc).cast(DoubleType), 6))
+      .select(col("t_days"), col("n_at_risk"), col("n_events"),
+        col("n_censored"), col("hazard"), col("cum_hazard"))
+  }
+
   /** First-order Markov transition matrix over per-key event
     * sequences: for every ordered (from_state, to_state) pair of
     * consecutive states within a key, the transition count and its

@@ -1161,6 +1161,37 @@ class StatsSpec extends SparkSpecBase {
     assert(c.isNullAt(c.fieldIndex("kappa")))
   }
 
+  test("nelsonAalen: hand-computed hazard curve with censoring (the " +
+    "still-active tail must not count as churn)") {
+    import spark.implicits._
+    // corpus end = 01-10 (u4's last). censorDays = 2:
+    // u1 span 01-01..01-03 (t=2, gap 7 -> event)
+    // u2 span 01-02..01-02 (t=0, gap 8 -> event)
+    // u3 span 01-05..01-09 (t=4, gap 1 -> CENSORED)
+    // u4 span 01-01..01-10 (t=9, gap 0 -> CENSORED)
+    // at-risk desc-cum: t9:1 t4:2 t2:3 t0:4
+    // hazard: t0 1/4, t2 1/3, t4 0, t9 0
+    // cum: t0 0.25, t2 0.25+0.333333333=0.583333, then flat
+    val ev = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-03"),
+      (2L, "2024-01-02"),
+      (3L, "2024-01-05"), (3L, "2024-01-09"),
+      (4L, "2024-01-01"), (4L, "2024-01-10"))
+      .toDF("uid", "d")
+      .select(col("uid"), col("d").cast("timestamp").as("ts"))
+    val out = Stats.nelsonAalen(ev, col("uid"), col("ts"),
+      censorDays = 2)
+      .collect().map(r => r.getAs[Long]("t_days") ->
+        (r.getAs[Long]("n_at_risk"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("n_censored"), r.getAs[Double]("hazard"),
+          r.getAs[Double]("cum_hazard"))).toMap
+    assert(out(0L) == ((4L, 1L, 0L, 0.25, 0.25)), s"got ${out(0L)}")
+    assert(out(2L) == ((3L, 1L, 0L, 0.333333, 0.583333)),
+      s"got ${out(2L)}")
+    assert(out(4L) == ((2L, 0L, 1L, 0.0, 0.583333)), s"got ${out(4L)}")
+    assert(out(9L) == ((1L, 0L, 1L, 0.0, 0.583333)), s"got ${out(9L)}")
+  }
+
   test("countMinSketch: shard states merge to the whole-input sketch " +
     "cell for cell, and estimates never undercount under forced " +
     "collisions") {
