@@ -1983,6 +1983,23 @@ object Queries {
         case None => conf.unset("spark.sql.adaptive.enabled")
       }
     }),
+    "q_sprt_monitor" -> ((s, dir) => {
+      // Sequential A/B monitor: Wald SPRT over the daily purchase
+      // conversion series (success = value ≥ 100) testing p = 0.55
+      // against p = 0.45 — the "can we stop the experiment yet"
+      // dashboard that spends its error budget across every daily
+      // look (a fixed-n z-test peeked daily would inflate α). LLR
+      // weights and boundaries are driver-side literals inlined into
+      // the oracle, so no engine ln touches the gate; cumulative
+      // counts are exact longs, the LLR a two-product closed form.
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(dateFmt(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") >= 100, 1L).otherwise(0L)).as("s"))
+      Stats.sprtBernoulli(daily, "d", col("n"), col("s"),
+        p0 = 0.45, p1 = 0.55)
+    }),
     "q_survival_churn" -> ((s, dir) => {
       // Survival analysis of user activity spans: Nelson–Aalen
       // cumulative hazard over first-to-last-event durations, users
@@ -5701,6 +5718,30 @@ object Queries {
         |FROM s, t""".stripMargin,
     // RFM replica: the same ⌊(rank−1)·4/n⌋+1 quartiles over
     // row_number ranks with identical tie orders
+    // SPRT replica: the IDENTICAL driver-formatted double literals
+    // for weights and boundaries (no engine ln), exact cumulative
+    // counts, the same two-product LLR, decision on the emitted 6-dp
+    "q_sprt_monitor" -> {
+      val (w1, w0, hi, lo) = Stats.sprtConstants(0.45, 0.55)
+      s"""WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS d,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS s
+         | FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |c AS (SELECT d, n, s,
+         |  CAST(sum(n) OVER w AS BIGINT) AS n_cum,
+         |  CAST(sum(s) OVER w AS BIGINT) AS s_cum
+         | FROM daily
+         | WINDOW w AS (ORDER BY d ASC ROWS UNBOUNDED PRECEDING)),
+         |l AS (SELECT d, n, s, n_cum, s_cum,
+         |  round(CAST(s_cum AS DOUBLE) * ($w1) +
+         |    CAST(n_cum - s_cum AS DOUBLE) * ($w0), 6) AS llr FROM c)
+         |SELECT d, n, s, n_cum, s_cum, llr,
+         | CASE WHEN llr >= ($hi) THEN 'accept_h1'
+         |      WHEN llr <= ($lo) THEN 'accept_h0'
+         |      ELSE 'continue' END AS decision
+         |FROM l""".stripMargin
+    },
     // Nelson–Aalen replica: same spans, censor flag, descending
     // at-risk cumulative, and 9-dp decimal hazard fold
     "q_survival_churn" ->

@@ -721,6 +721,79 @@ object Stats {
         col("n_censored"), col("hazard"), col("cum_hazard"))
   }
 
+  /** Wald's Sequential Probability Ratio Test over an
+    * ALREADY-AGGREGATED daily (n, successes) series — the
+    * group-sequential "stop the experiment early" monitor (Wald
+    * 1945): after each period, the cumulative log-likelihood ratio
+    * for H₁: p = p1 against H₀: p = p0 is
+    * LLR = s·ln(p1/p0) + (n−s)·ln((1−p1)/(1−p0)); crossing
+    * ln((1−β)/α) accepts H₁, crossing ln(β/(1−α)) accepts H₀,
+    * in between the test CONTINUES — the sequential design spends
+    * its error budget across every look, where a fixed-n z-test
+    * peeked daily would inflate α several-fold.
+    *
+    * Determinism: the weights and boundaries are DRIVER-SIDE double
+    * literals (the oracle inlines the same formatted constants — no
+    * engine ln runs on them), the cumulative counts are exact longs,
+    * and each period's LLR is the same two-product closed form
+    * s·w1 + f·w0 — order-free by construction, no running float sum.
+    * The decision compares the 6-dp EMITTED llr (the
+    * gate-replays-emitted rule). The series is per-period
+    * control-plane ([[Guards.boundedSeries]]).
+    *
+    * Returns one row per period: (orderCol, n, s, n_cum, s_cum, llr,
+    * decision ∈ {accept_h1, accept_h0, continue}). */
+  def sprtBernoulli(
+      series: DataFrame,
+      orderCol: String,
+      nCol: Column,
+      sCol: Column,
+      p0: Double,
+      p1: Double,
+      alpha: Double = 0.05,
+      beta: Double = 0.05): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"need distinct p0/p1 in (0,1): $p0, $p1")
+    require(alpha > 0 && alpha < 0.5 && beta > 0 && beta < 0.5,
+      s"alpha/beta out of range: $alpha, $beta")
+    val w1 = math.log(p1 / p0)
+    val w0 = math.log((1.0 - p1) / (1.0 - p0))
+    val hi = math.log((1.0 - beta) / alpha)
+    val lo = math.log(beta / (1.0 - alpha))
+    val wAsc = Guards.seriesWindow(col(orderCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lt = LongType
+    Guards.boundedSeries(
+        series.select(col(orderCol), nCol.cast(lt).as("n"),
+          sCol.cast(lt).as("s")),
+        "sprtBernoulli periods")
+      .withColumn("n_cum", sum(col("n")).over(wAsc))
+      .withColumn("s_cum", sum(col("s")).over(wAsc))
+      .withColumn("llr",
+        round(col("s_cum").cast(DoubleType) * lit(w1) +
+          (col("n_cum") - col("s_cum")).cast(DoubleType) * lit(w0), 6))
+      .withColumn("decision",
+        when(col("llr") >= hi, lit("accept_h1"))
+          .when(col("llr") <= lo, lit("accept_h0"))
+          .otherwise(lit("continue")))
+      .select(col(orderCol), col("n"), col("s"), col("n_cum"),
+        col("s_cum"), col("llr"), col("decision"))
+  }
+
+  /** Literal constants [[sprtBernoulli]] uses, formatted for the
+    * oracle so BOTH engines compare the identical doubles:
+    * (w1, w0, hi, lo) as round-trip-exact strings. */
+  def sprtConstants(
+      p0: Double, p1: Double,
+      alpha: Double = 0.05, beta: Double = 0.05):
+      (String, String, String, String) = {
+    def f(v: Double): String =
+      java.lang.Double.toString(v) // shortest round-trip-exact form
+    (f(math.log(p1 / p0)), f(math.log((1.0 - p1) / (1.0 - p0))),
+      f(math.log((1.0 - beta) / alpha)),
+      f(math.log(beta / (1.0 - alpha))))
+  }
+
   /** First-order Markov transition matrix over per-key event
     * sequences: for every ordered (from_state, to_state) pair of
     * consecutive states within a key, the transition count and its

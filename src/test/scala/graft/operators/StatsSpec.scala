@@ -1161,6 +1161,31 @@ class StatsSpec extends SparkSpecBase {
     assert(c.isNullAt(c.fieldIndex("kappa")))
   }
 
+  test("sprtBernoulli: all-success days accumulate ln(p1/p0) per " +
+    "observation and cross the H1 boundary exactly when they should") {
+    import spark.implicits._
+    // p0 = 0.2, p1 = 0.8: w1 = ln(4) = 1.3862943611...;
+    // hi = ln(19) = 2.9444389791...
+    // day 1: 2/2 successes -> llr = 2.772589 < hi -> continue
+    // day 2: +1/1 -> llr = 4.158883 >= hi -> accept_h1
+    val daily = Seq(("2024-01-01", 2L, 2L), ("2024-01-02", 1L, 1L))
+      .toDF("d", "n", "s")
+    val out = Stats.sprtBernoulli(daily, "d", col("n"), col("s"),
+      p0 = 0.2, p1 = 0.8)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("s_cum"), r.getAs[Double]("llr"),
+          r.getAs[String]("decision"))).toMap
+    assert(out("2024-01-01") == ((2L, 2.772589, "continue")),
+      s"got ${out("2024-01-01")}")
+    assert(out("2024-01-02") == ((3L, 4.158883, "accept_h1")),
+      s"got ${out("2024-01-02")}")
+    // mirrored failures accept H0 (symmetry of the design)
+    val fail = Seq(("2024-01-01", 3L, 0L)).toDF("d", "n", "s")
+    val f = Stats.sprtBernoulli(fail, "d", col("n"), col("s"),
+      p0 = 0.2, p1 = 0.8).collect()(0)
+    assert(f.getAs[String]("decision") == "accept_h0", s"got $f")
+  }
+
   test("nelsonAalen: hand-computed hazard curve with censoring (the " +
     "still-active tail must not count as churn)") {
     import spark.implicits._
