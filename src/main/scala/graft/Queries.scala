@@ -2316,6 +2316,29 @@ object Queries {
         .filter(col("est_count") * 50 >= col("__n"))
         .select(col("token"), col("true_count"), col("est_count"))
     }),
+    "q_stream_sprt" -> ((s, dir) => {
+      // Sequential test AT INGEST: per-day (trials, successes) pairs
+      // accumulate in keyed state as purchases arrive (two longs per
+      // day — a year of looks is 365 cells); the drained latest pairs
+      // equal the batch daily aggregate, so the shared SPRT tail
+      // must reproduce q_sprt_monitor's decision trajectory row for
+      // row (batch oracle verbatim). "Stop the experiment" flags
+      // while the day's data lands, not at the nightly audit.
+      val name = s"q_stream_sprt_${streamRun.incrementAndGet()}"
+      implicit val sp: SparkSession = s
+      val purchases = graft.streaming.Streams.eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("d"),
+          (col("value") >= 100).as("ok"))
+      val drained = graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.dailySuccessState(purchases,
+          col("d"), col("ok")).toDF(),
+        name, shufflePartitions = Some(8))
+      val daily = drained.groupBy(col("d"))
+        .agg(max(col("n")).as("n"), max(col("s")).as("s"))
+      Stats.sprtBernoulli(daily, "d", col("n"), col("s"),
+        p0 = 0.45, p1 = 0.55)
+    }),
     "q_stream_budget" -> ((s, dir) => {
       // Streaming quota admission: each source spends its token
       // budget as documents arrive (keyed state = ONE cumulative long
@@ -5721,27 +5744,10 @@ object Queries {
     // SPRT replica: the IDENTICAL driver-formatted double literals
     // for weights and boundaries (no engine ln), exact cumulative
     // counts, the same two-product LLR, decision on the emitted 6-dp
-    "q_sprt_monitor" -> {
-      val (w1, w0, hi, lo) = Stats.sprtConstants(0.45, 0.55)
-      s"""WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS d,
-         |  CAST(count(*) AS BIGINT) AS n,
-         |  CAST(sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS s
-         | FROM events WHERE event_type = 'purchase' GROUP BY 1),
-         |c AS (SELECT d, n, s,
-         |  CAST(sum(n) OVER w AS BIGINT) AS n_cum,
-         |  CAST(sum(s) OVER w AS BIGINT) AS s_cum
-         | FROM daily
-         | WINDOW w AS (ORDER BY d ASC ROWS UNBOUNDED PRECEDING)),
-         |l AS (SELECT d, n, s, n_cum, s_cum,
-         |  round(CAST(s_cum AS DOUBLE) * ($w1) +
-         |    CAST(n_cum - s_cum AS DOUBLE) * ($w0), 6) AS llr FROM c)
-         |SELECT d, n, s, n_cum, s_cum, llr,
-         | CASE WHEN llr >= ($hi) THEN 'accept_h1'
-         |      WHEN llr <= ($lo) THEN 'accept_h0'
-         |      ELSE 'continue' END AS decision
-         |FROM l""".stripMargin
-    },
+    "q_sprt_monitor" -> sprtMonitorOracle,
+    // the drained per-day (n, s) state IS the batch daily aggregate —
+    // batch oracle verbatim
+    "q_stream_sprt" -> sprtMonitorOracle,
     // Nelson–Aalen replica: same spans, censor flag, descending
     // at-risk cumulative, and 9-dp decimal hazard fold
     "q_survival_churn" ->
@@ -9038,6 +9044,31 @@ object Queries {
     * top-30. */
   /** q_text_trending replica: same halves, counts, smoothing, and
     * log-rate-ratio; per-direction rank windows. */
+  /** q_sprt_monitor / q_stream_sprt replica — shared verbatim because
+    * the drained streaming per-day state equals the batch daily
+    * aggregate exactly. */
+  private def sprtMonitorOracle: String = {
+    val (w1, w0, hi, lo) = Stats.sprtConstants(0.45, 0.55)
+    s"""WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS d,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS s
+       | FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |c AS (SELECT d, n, s,
+       |  CAST(sum(n) OVER w AS BIGINT) AS n_cum,
+       |  CAST(sum(s) OVER w AS BIGINT) AS s_cum
+       | FROM daily
+       | WINDOW w AS (ORDER BY d ASC ROWS UNBOUNDED PRECEDING)),
+       |l AS (SELECT d, n, s, n_cum, s_cum,
+       |  round(CAST(s_cum AS DOUBLE) * ($w1) +
+       |    CAST(n_cum - s_cum AS DOUBLE) * ($w0), 6) AS llr FROM c)
+       |SELECT d, n, s, n_cum, s_cum, llr,
+       | CASE WHEN llr >= ($hi) THEN 'accept_h1'
+       |      WHEN llr <= ($lo) THEN 'accept_h0'
+       |      ELSE 'continue' END AS decision
+       |FROM l""".stripMargin
+  }
+
   private def trendingOracle: String =
     s"""WITH tk AS (SELECT (doc_id % 8 >= 4) AS late,
        |  $toksSql AS toks FROM documents),

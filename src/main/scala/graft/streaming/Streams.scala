@@ -601,6 +601,49 @@ object Streams {
       }
   }
 
+  /** Cumulative (trials, successes) of one period. */
+  final case class DayNS(d: String, n: Long, s: Long)
+
+  /** Streaming cumulative per-period (trials, successes) — the state
+    * backbone of the SEQUENTIAL-TEST monitor: each arriving
+    * observation bumps its period's counts across micro-batches and
+    * the refreshed pair re-emits (update mode — consumers take max
+    * per period, both counts are monotone). The drained latest pairs
+    * are EXACTLY the batch daily aggregate, so the shared
+    * [[graft.operators.Stats.sprtBernoulli]] tail yields the
+    * identical decision trajectory — the q_stream_sprt gate (batch
+    * oracle verbatim, the q_stream_drift pattern): the experiment
+    * monitor runs AT INGEST, flagging "stop, H₁ accepted" while the
+    * day's data lands.
+    *
+    * 100 TB notes: state is two longs per period — a year of daily
+    * looks is 365 cells; the stream side shuffles (period, success)
+    * pairs (pre-aggregate per micro-batch at extreme rates — the
+    * flatMapGroupsWithState no-map-side-combine caveat). */
+  def dailySuccessState(
+      rows: DataFrame,
+      dayCol: Column,
+      successCol: Column)(
+      implicit spark: SparkSession): Dataset[DayNS] = {
+    import spark.implicits._
+    rows
+      .select(dayCol.cast(StringType).as("__d"),
+        successCol.cast(BooleanType).as("__s"))
+      .as[(String, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (day: String, it: Iterator[(String, Boolean)],
+         state: GroupState[(Long, Long)]) =>
+          var n = 0L; var s = 0L
+          while (it.hasNext) { if (it.next()._2) s += 1; n += 1 }
+          val (pn, ps) = state.getOption.getOrElse((0L, 0L))
+          val tot = (pn + n, ps + s)
+          state.update(tot)
+          Iterator(DayNS(day, tot._1, tot._2))
+      }
+  }
+
   /** One band-local near-dup verdict: did `doc_id` collide (within the
     * Hamming budget) with an EARLIER doc in this band bucket? */
   final case class BandFlag(doc_id: Long, dup: Boolean)

@@ -575,6 +575,27 @@ class StreamsSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
+  test("dailySuccessState carries per-period (n, s) ACROSS " +
+    "micro-batches (the streaming SPRT backbone)") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val tmp = java.nio.file.Files.createTempDirectory("sprt_mb").toFile
+    val t0 = System.currentTimeMillis()
+    // one period key: batch 1 lands (n=2, s=1); batch 2 adds one
+    // success -> the carried state re-emits (3, 2), not (1, 1)
+    writeDocsFile(tmp, "a.parquet", Seq((1L, "long text"), (2L, "no")),
+      t0 - 60000)
+    writeDocsFile(tmp, "b.parquet", Seq((3L, "also long")), t0)
+    val raw = Streams.runAvailableNow(
+      Streams.dailySuccessState(
+        Streams.docsStream(spark, tmp.getPath, glob = "*.parquet",
+          maxFilesPerTrigger = 1),
+        lit("D"), length(col("text")) > 3).toDF(), "sprt_multibatch")
+    val emissions = raw.collect()
+      .map(r => (r.getAs[Long]("n"), r.getAs[Long]("s"))).sorted.toSeq
+    assert(emissions == Seq((2L, 1L), (3L, 2L)), s"got $emissions")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   test("cmsCellsState carries cell counts ACROSS micro-batches (the " +
     "streaming count-min backbone)") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
