@@ -1983,6 +1983,26 @@ object Queries {
         case None => conf.unset("spark.sql.adaptive.enabled")
       }
     }),
+    "q_cuped" -> ((s, dir) => {
+      // CUPED experiment readout: per-user purchase revenue in the
+      // SECOND half of the window, adjusted by the first-half
+      // covariate (θ = pooled Cov/Var), variant = user parity — the
+      // variance-reduction accelerator every experimentation platform
+      // runs (ρ² of the noise the pre-period explains disappears
+      // from the error bars). One exchange to per-user totals, a
+      // 1-row moment broadcast, closed-form adjusted means.
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+      val cut = ev.agg(min(to_date(col("ts"))).as("__m"))
+      val staged = ev.crossJoin(broadcast(cut))
+        .select(col("user_id"), (col("user_id") % 2).as("variant"),
+          when(datediff(to_date(col("ts")), col("__m")) < 15,
+            col("value")).otherwise(lit(0.0)).as("x"),
+          when(datediff(to_date(col("ts")), col("__m")) >= 15,
+            col("value")).otherwise(lit(0.0)).as("y"))
+      Stats.cupedAdjust(staged, col("user_id"), col("variant"),
+        col("x"), col("y"))
+    }),
     "q_sprt_monitor" -> ((s, dir) => {
       // Sequential A/B monitor: Wald SPRT over the daily purchase
       // conversion series (success = value ≥ 100) testing p = 0.55
@@ -5741,6 +5761,53 @@ object Queries {
         |FROM s, t""".stripMargin,
     // RFM replica: the same ⌊(rank−1)·4/n⌋+1 quartiles over
     // row_number ranks with identical tie orders
+    // CUPED replica: same per-row decimal staging, fix2 cross-moment
+    // folds (one operand widened — DuckDB 18+18-digit products
+    // overflow), and the identical closed-form double op order
+    "q_cuped" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d, value
+        | FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT min(d) AS m FROM ev),
+        |st AS (SELECT user_id, user_id % 2 AS v,
+        |  CAST(CASE WHEN date_diff('day', m, d) < 15 THEN value
+        |    ELSE 0.0 END AS DECIMAL(18,4)) AS x,
+        |  CAST(CASE WHEN date_diff('day', m, d) >= 15 THEN value
+        |    ELSE 0.0 END AS DECIMAL(18,4)) AS y
+        | FROM ev, c),
+        |per AS (SELECT user_id, v, sum(x) AS x, sum(y) AS y
+        | FROM st GROUP BY 1, 2),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  sum(x) AS sx, sum(y) AS sy,
+        |  sum(CAST(round(CAST(x AS DECIMAL(19,4)) * y, 2)
+        |    AS DECIMAL(28,2))) AS sxy,
+        |  sum(CAST(round(CAST(x AS DECIMAL(19,4)) * x, 2)
+        |    AS DECIMAL(28,2))) AS sxx,
+        |  sum(CAST(round(CAST(y AS DECIMAL(19,4)) * y, 2)
+        |    AS DECIMAL(28,2))) AS syy
+        | FROM per),
+        |vv AS (SELECT v, CAST(count(*) AS BIGINT) AS n_units,
+        |  sum(x) AS svx, sum(y) AS svy FROM per GROUP BY v),
+        |f AS (SELECT v, n_units, svx, svy, n, sx, sy,
+        |  CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covn,
+        |  CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+        |  CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |    CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary
+        | FROM vv, g)
+        |SELECT v AS variant, n_units,
+        | round(CAST(svy AS DOUBLE) / CAST(n_units AS DOUBLE), 6)
+        |   AS mean_raw,
+        | CASE WHEN varx <> 0 THEN
+        |   round(CAST(svy AS DOUBLE) / CAST(n_units AS DOUBLE) -
+        |     (covn / varx) *
+        |     (CAST(svx AS DOUBLE) / CAST(n_units AS DOUBLE) -
+        |       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) END
+        |   AS mean_adj,
+        | CASE WHEN varx <> 0 THEN round(covn / varx, 6) END AS theta,
+        | CASE WHEN varx <> 0 AND vary <> 0 THEN
+        |   round(covn * covn / (varx * vary), 6) END AS rho2
+        |FROM f""".stripMargin,
     // SPRT replica: the IDENTICAL driver-formatted double literals
     // for weights and boundaries (no engine ln), exact cumulative
     // counts, the same two-product LLR, decision on the emitted 6-dp

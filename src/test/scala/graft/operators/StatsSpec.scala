@@ -1161,6 +1161,36 @@ class StatsSpec extends SparkSpecBase {
     assert(c.isNullAt(c.fieldIndex("kappa")))
   }
 
+  test("cupedAdjust: a perfectly-correlated covariate absorbs ALL " +
+    "between-variant imbalance (theta exact, rho2 = 1, adjusted " +
+    "means equalize); zero-variance covariate NULL-gates") {
+    import spark.implicits._
+    // y = 2x exactly: theta = 2, rho2 = 1; raw means 4 vs 6 but the
+    // covariate imbalance (2 vs 3 around xbar 2.5) explains all of
+    // it -> both variants adjust to 5 (hand-computed)
+    val df = Seq(
+      (1L, 0L, 1.0, 2.0), (2L, 0L, 3.0, 6.0),
+      (3L, 1L, 2.0, 4.0), (4L, 1L, 4.0, 8.0))
+      .toDF("u", "v", "x", "y")
+    val out = Stats.cupedAdjust(df, col("u"), col("v"),
+      col("x"), col("y"))
+      .collect().map(r => r.getAs[Long]("variant") ->
+        (r.getAs[Long]("n_units"), r.getAs[Double]("mean_raw"),
+          r.getAs[Double]("mean_adj"), r.getAs[Double]("theta"),
+          r.getAs[Double]("rho2"))).toMap
+    assert(out(0L) == ((2L, 4.0, 5.0, 2.0, 1.0)), s"got ${out(0L)}")
+    assert(out(1L) == ((2L, 6.0, 5.0, 2.0, 1.0)), s"got ${out(1L)}")
+    // constant covariate: Var(x) = 0 -> theta/adj/rho2 NULL
+    val flat = Seq((1L, 0L, 5.0, 2.0), (2L, 1L, 5.0, 6.0))
+      .toDF("u", "v", "x", "y")
+    val f = Stats.cupedAdjust(flat, col("u"), col("v"),
+      col("x"), col("y")).collect()
+    f.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("theta")), s"got $r")
+      assert(r.isNullAt(r.fieldIndex("mean_adj")), s"got $r")
+    }
+  }
+
   test("sprtBernoulli: all-success days accumulate ln(p1/p0) per " +
     "observation and cross the H1 boundary exactly when they should") {
     import spark.implicits._
