@@ -1983,6 +1983,32 @@ object Queries {
         case None => conf.unset("spark.sql.adaptive.enabled")
       }
     }),
+    "q_srm_check" -> ((s, dir) => {
+      // Sample-ratio-mismatch guardrail: χ² goodness-of-fit of
+      // per-variant distinct-user counts against the 50/50 design —
+      // the check every experiment platform runs FIRST (a broken
+      // assignment or logging path invalidates every readout
+      // downstream). Transcendental-free: the statistic compares
+      // against the literal 3.841 critical value.
+      Stats.srmCheck(Tables.events(s, dir), col("user_id"),
+        (col("user_id") % 2).as("variant"))
+    }),
+    "q_did" -> ((s, dir) => {
+      // Difference-in-differences on purchase values: treat = user
+      // parity, post = second half of the window — the pre-period
+      // gap nets out whatever standing difference the groups walked
+      // in with (parallel-trends causal readout when assignment
+      // isn't randomized). ONE conditional-aggregate pass to the
+      // 2×2 cells; closed-form means.
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+      val cut = ev.agg(min(to_date(col("ts"))).as("__m"))
+      val staged = ev.crossJoin(broadcast(cut))
+        .select((col("user_id") % 2 === 1).as("t"),
+          (datediff(to_date(col("ts")), col("__m")) >= 15).as("p"),
+          col("value"))
+      Stats.diffInDiff(staged, col("t"), col("p"), col("value"))
+    }),
     "q_cuped" -> ((s, dir) => {
       // CUPED experiment readout: per-user purchase revenue in the
       // SECOND half of the window, adjusted by the first-half
@@ -5761,6 +5787,70 @@ object Queries {
         |FROM s, t""".stripMargin,
     // RFM replica: the same ⌊(rank−1)·4/n⌋+1 quartiles over
     // row_number ranks with identical tie orders
+    // SRM replica: distinct-unit counts, equal-split expectation,
+    // 9-dp decimal cell fold, literal 3.841 critical value
+    "q_srm_check" ->
+      """WITH per AS (SELECT user_id % 2 AS variant,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_units
+        | FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_units) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS k FROM per),
+        |c AS (SELECT variant, n_units,
+        |  round(CAST(n AS DOUBLE) / CAST(k AS DOUBLE), 6) AS expected,
+        |  CAST(round((CAST(n_units AS DOUBLE) -
+        |      CAST(n AS DOUBLE) / CAST(k AS DOUBLE)) *
+        |    (CAST(n_units AS DOUBLE) -
+        |      CAST(n AS DOUBLE) / CAST(k AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) / CAST(k AS DOUBLE)), 9)
+        |    AS DECIMAL(28,9)) AS cc
+        | FROM per, t),
+        |s AS (SELECT CAST(sum(cc) AS DOUBLE) AS chi2 FROM c)
+        |SELECT variant, n_units, expected,
+        | round(chi2, 6) AS chi2, round(chi2, 6) > 3.841 AS srm
+        |FROM c, s""".stripMargin,
+    // DiD replica: one conditional-aggregate pass to the 2×2 cells,
+    // identical closed-form mean/difference op order
+    "q_did" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d, value
+        | FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT min(d) AS m FROM ev),
+        |st AS (SELECT (user_id % 2 = 1) AS t,
+        |  (date_diff('day', m, d) >= 15) AS p,
+        |  CAST(value AS DECIMAL(18,4)) AS v
+        | FROM ev, c WHERE value IS NOT NULL),
+        |a AS (SELECT
+        |  CAST(sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_treat_pre,
+        |  CAST(sum(CASE WHEN t AND p THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_treat_post,
+        |  CAST(sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_control_pre,
+        |  CAST(sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_control_post,
+        |  sum(CASE WHEN t AND NOT p THEN v END) AS s_tp,
+        |  sum(CASE WHEN t AND p THEN v END) AS s_tq,
+        |  sum(CASE WHEN NOT t AND NOT p THEN v END) AS s_cp,
+        |  sum(CASE WHEN NOT t AND p THEN v END) AS s_cq
+        | FROM st)
+        |SELECT n_treat_pre, n_treat_post, n_control_pre,
+        | n_control_post,
+        | CASE WHEN n_treat_pre > 0 THEN round(CAST(s_tp AS DOUBLE) /
+        |   CAST(n_treat_pre AS DOUBLE), 6) END AS mean_treat_pre,
+        | CASE WHEN n_treat_post > 0 THEN round(CAST(s_tq AS DOUBLE) /
+        |   CAST(n_treat_post AS DOUBLE), 6) END AS mean_treat_post,
+        | CASE WHEN n_control_pre > 0 THEN round(CAST(s_cp AS DOUBLE) /
+        |   CAST(n_control_pre AS DOUBLE), 6) END AS mean_control_pre,
+        | CASE WHEN n_control_post > 0 THEN
+        |   round(CAST(s_cq AS DOUBLE) / CAST(n_control_post AS DOUBLE),
+        |     6) END AS mean_control_post,
+        | CASE WHEN n_treat_pre > 0 AND n_treat_post > 0 AND
+        |   n_control_pre > 0 AND n_control_post > 0 THEN
+        |   round((CAST(s_tq AS DOUBLE) / CAST(n_treat_post AS DOUBLE) -
+        |     CAST(s_tp AS DOUBLE) / CAST(n_treat_pre AS DOUBLE)) -
+        |     (CAST(s_cq AS DOUBLE) / CAST(n_control_post AS DOUBLE) -
+        |       CAST(s_cp AS DOUBLE) / CAST(n_control_pre AS DOUBLE)),
+        |     6) END AS did
+        |FROM a""".stripMargin,
     // CUPED replica: same per-row decimal staging, fix2 cross-moment
     // folds (one operand widened — DuckDB 18+18-digit products
     // overflow), and the identical closed-form double op order

@@ -862,6 +862,110 @@ object Stats {
           round(covN * covN / safe(varX * varY), 6)).as("rho2"))
   }
 
+  /** Sample-ratio-mismatch check — the experiment guardrail every
+    * platform runs FIRST: a χ² goodness-of-fit of observed per-variant
+    * UNIT counts against the equal-split design. A significant
+    * mismatch means the assignment or logging pipeline is broken and
+    * every downstream readout (including a CUPED-polished one) is
+    * garbage; the classic silent killer is a crash that drops one
+    * variant's events. No p-value machinery: the statistic compares
+    * against the literal critical value for k−1 degrees of freedom
+    * supplied by the caller (3.841 for 2 variants at α = 0.05), so
+    * the gate stays transcendental-free.
+    *
+    * Scale shape: one distinct-unit aggregate (map-side combined) to
+    * k variant counts, then closed-form doubles over exact longs.
+    *
+    * Returns one row per variant: (variant, n_units, expected, chi2,
+    * srm — true when the TOTAL χ² crosses `critical`). */
+  def srmCheck(
+      df: DataFrame,
+      unitCol: Column,
+      variantCol: Column,
+      critical: Double = 3.841): DataFrame = {
+    require(critical > 0, s"critical must be positive: $critical")
+    val per = df.select(variantCol.as("variant"), unitCol.as("__u"))
+      .filter(col("__u").isNotNull)
+      .groupBy(col("variant"))
+      .agg(countDistinct(col("__u")).as("n_units"))
+    val tot = per.agg(sum(col("n_units")).as("__n"),
+      count(lit(1)).as("__k"))
+    def d(c: Column) = c.cast(DoubleType)
+    def safe(c: Column) = when(c =!= 0.0, c).otherwise(lit(1.0))
+    val exp = d(col("__n")) / safe(d(col("__k")))
+    val cell = (d(col("n_units")) - exp) * (d(col("n_units")) - exp) /
+      safe(exp)
+    val cells = per.crossJoin(broadcast(tot))
+      .select(col("variant"), col("n_units"),
+        round(exp, 6).as("expected"),
+        round(cell, 9).cast(DecimalType(28, 9)).as("__c"))
+    val chi2 = cells.agg(
+      sum(col("__c")).cast(DoubleType).as("__chi2"))
+    cells.crossJoin(broadcast(chi2))
+      .select(col("variant"), col("n_units"), col("expected"),
+        round(col("__chi2"), 6).as("chi2"),
+        (round(col("__chi2"), 6) > critical).as("srm"))
+  }
+
+  /** Difference-in-differences over a pre/post × treat/control
+    * design: DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_control,post −
+    * ȳ_control,pre) — the causal readout when assignment wasn't
+    * randomized but both groups share a trend (the parallel-trends
+    * assumption); the pre-period difference nets out whatever
+    * standing gap the groups walked in with. The observational
+    * sibling of the randomized-experiment trio (z-test, SPRT,
+    * CUPED).
+    *
+    * Scale shape: ONE map-side-combined conditional aggregate to the
+    * 2×2 cell sums (no join, no window), then closed-form doubles
+    * over exact decimal sums in the literal order the oracle writes.
+    * Cell means are NULL-gated on empty cells, and `did` on any
+    * empty cell.
+    *
+    * Returns one row: (n_treat_pre, n_treat_post, n_control_pre,
+    * n_control_post, mean_treat_pre, mean_treat_post,
+    * mean_control_pre, mean_control_post, did). */
+  def diffInDiff(
+      df: DataFrame,
+      treatCol: Column,
+      postCol: Column,
+      valueCol: Column): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val staged = df.select(treatCol.cast(BooleanType).as("__t"),
+      postCol.cast(BooleanType).as("__p"),
+      valueCol.cast(dec).as("__v"))
+      .filter(col("__t").isNotNull && col("__p").isNotNull &&
+        col("__v").isNotNull)
+    def cellN(t: Boolean, p: Boolean) =
+      sum(when(col("__t") === t && col("__p") === p, 1L).otherwise(0L))
+    def cellS(t: Boolean, p: Boolean) =
+      sum(when(col("__t") === t && col("__p") === p, col("__v")))
+    val agg = staged.agg(
+      cellN(true, false).as("n_treat_pre"),
+      cellN(true, true).as("n_treat_post"),
+      cellN(false, false).as("n_control_pre"),
+      cellN(false, true).as("n_control_post"),
+      cellS(true, false).as("__s_tp"), cellS(true, true).as("__s_tq"),
+      cellS(false, false).as("__s_cp"), cellS(false, true).as("__s_cq"))
+    def d(c: Column) = c.cast(DoubleType)
+    def safe(c: Column) = when(c =!= 0.0, c).otherwise(lit(1.0))
+    def m(s: String, n: String) =
+      when(col(n) > 0, round(d(col(s)) / safe(d(col(n))), 6))
+    agg.select(col("n_treat_pre"), col("n_treat_post"),
+      col("n_control_pre"), col("n_control_post"),
+      m("__s_tp", "n_treat_pre").as("mean_treat_pre"),
+      m("__s_tq", "n_treat_post").as("mean_treat_post"),
+      m("__s_cp", "n_control_pre").as("mean_control_pre"),
+      m("__s_cq", "n_control_post").as("mean_control_post"),
+      when(col("n_treat_pre") > 0 && col("n_treat_post") > 0 &&
+        col("n_control_pre") > 0 && col("n_control_post") > 0,
+        round((d(col("__s_tq")) / safe(d(col("n_treat_post"))) -
+          d(col("__s_tp")) / safe(d(col("n_treat_pre")))) -
+          (d(col("__s_cq")) / safe(d(col("n_control_post"))) -
+            d(col("__s_cp")) / safe(d(col("n_control_pre")))), 6))
+        .as("did"))
+  }
+
   /** First-order Markov transition matrix over per-key event
     * sequences: for every ordered (from_state, to_state) pair of
     * consecutive states within a key, the transition count and its

@@ -1161,6 +1161,54 @@ class StatsSpec extends SparkSpecBase {
     assert(c.isNullAt(c.fieldIndex("kappa")))
   }
 
+  test("srmCheck: a gross assignment imbalance flags, a balanced " +
+    "split does not (chi2 hand-computed)") {
+    import spark.implicits._
+    // 10 units vs 2: expected 6 each, chi2 = 16/6 + 16/6 = 5.333333
+    val bad = ((1 to 10).map(i => (i.toLong, 0L)) ++
+      Seq((11L, 1L), (12L, 1L))).toDF("u", "v")
+    val b = Stats.srmCheck(bad, col("u"), col("v"))
+      .collect().map(r => r.getAs[Long]("variant") ->
+        (r.getAs[Long]("n_units"), r.getAs[Double]("expected"),
+          r.getAs[Double]("chi2"), r.getAs[Boolean]("srm"))).toMap
+    assert(b(0L) == ((10L, 6.0, 5.333333, true)), s"got ${b(0L)}")
+    assert(b(1L) == ((2L, 6.0, 5.333333, true)), s"got ${b(1L)}")
+    // balanced: chi2 = 0, no flag — and duplicate unit rows must not
+    // double-count (distinct units)
+    val ok = (1 to 10).map(i => (i.toLong, (i % 2).toLong))
+      .flatMap(x => Seq(x, x)).toDF("u", "v")
+    val o = Stats.srmCheck(ok, col("u"), col("v")).collect()
+    o.foreach { r =>
+      assert(r.getAs[Long]("n_units") == 5L)
+      assert(r.getAs[Double]("chi2") == 0.0 && !r.getAs[Boolean]("srm"))
+    }
+  }
+
+  test("diffInDiff: the pre-period gap nets out (hand-computed 2x2)") {
+    import spark.implicits._
+    // treat: pre mean 10, post mean 25; control: pre 5, post 12
+    // did = (25 - 10) - (12 - 5) = 8
+    val df = Seq(
+      (true, false, 8.0), (true, false, 12.0),
+      (true, true, 20.0), (true, true, 30.0),
+      (false, false, 4.0), (false, false, 6.0),
+      (false, true, 10.0), (false, true, 14.0))
+      .toDF("t", "p", "v")
+    val r = Stats.diffInDiff(df, col("t"), col("p"), col("v"))
+      .collect()(0)
+    assert(r.getAs[Double]("mean_treat_pre") == 10.0)
+    assert(r.getAs[Double]("mean_treat_post") == 25.0)
+    assert(r.getAs[Double]("mean_control_pre") == 5.0)
+    assert(r.getAs[Double]("mean_control_post") == 12.0)
+    assert(r.getAs[Double]("did") == 8.0, s"got $r")
+    // an empty cell NULL-gates the estimate
+    val sparse = Seq((true, true, 1.0), (false, false, 2.0),
+      (false, true, 3.0)).toDF("t", "p", "v")
+    val s = Stats.diffInDiff(sparse, col("t"), col("p"), col("v"))
+      .collect()(0)
+    assert(s.isNullAt(s.fieldIndex("did")), s"got $s")
+  }
+
   test("cupedAdjust: a perfectly-correlated covariate absorbs ALL " +
     "between-variant imbalance (theta exact, rho2 = 1, adjusted " +
     "means equalize); zero-variance covariate NULL-gates") {
