@@ -749,6 +749,19 @@ object Queries {
         .agg(dsum(col("value")).as("v"))
       Stats.theilSenByGroup(daily, Seq("event_type"), "d", "v")
     }),
+    "q_trend_mk" -> ((s, dir) => {
+      // Mann–Kendall significance test on the daily-revenue series:
+      // the non-parametric "is there a monotone trend AT ALL" verdict
+      // next to q_trend_theilsen's slope estimate — S and the
+      // tie-corrected variance are exact integers, so the only
+      // doubles are /18, one IEEE sqrt, and the Z division. Same
+      // maxPeriods-guarded control-plane pair frame as the
+      // estimators.
+      val daily = Tables.orders(s, dir)
+        .groupBy(dateFmt(col("o_orderdate")).as("d"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      Stats.mannKendall(daily, "d", "rev")
+    }),
     "q_trend_theilsen_sampled" -> ((s, dir) => {
       // The long-series Theil–Sen: each day draws 64 deterministic
       // hash-sampled partner days instead of all P²/2 pairs — O(P·k)
@@ -5414,6 +5427,40 @@ object Queries {
         | CASE WHEN trend IS NOT NULL
         |   THEN round(det - seasonal, 6) END AS resid
         |FROM dt LEFT JOIN sz ON dt.dow = sz.dow""".stripMargin,
+    // Mann–Kendall replica: same exact-integer S and tie census,
+    // /18, IEEE sqrt, continuity-corrected Z, literal 1.96 verdict
+    "q_trend_mk" ->
+      """WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    AS DOUBLE), 4) AS rev
+        | FROM orders GROUP BY 1),
+        |idx AS (SELECT CAST(rev AS DECIMAL(18,4)) AS y,
+        |  row_number() OVER (ORDER BY d ASC) AS i FROM daily),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx),
+        |s AS (SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1
+        |    WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        | FROM idx a JOIN idx b ON b.i > a.i),
+        |tt AS (SELECT COALESCE(CAST(sum(t * (t - 1) * (2 * t + 5))
+        |    AS BIGINT), 0) AS tt
+        | FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM idx
+        |   GROUP BY y)),
+        |v AS (SELECT n AS n_periods, s_stat,
+        |  round(CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE)
+        |    / 18.0, 6) AS var_s
+        | FROM np, s, tt),
+        |z AS (SELECT n_periods, s_stat, var_s,
+        |  CASE WHEN var_s > 0 THEN
+        |    round((CASE WHEN s_stat > 0 THEN
+        |        CAST(s_stat - 1 AS DOUBLE)
+        |      WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+        |      ELSE 0.0 END) / sqrt(var_s), 6)
+        |  ELSE 0.0 END AS z
+        | FROM v)
+        |SELECT n_periods, s_stat, var_s, z,
+        | CASE WHEN z > 1.96 THEN 'increasing'
+        |      WHEN z < -1.96 THEN 'decreasing'
+        |      ELSE 'none' END AS trend
+        |FROM z""".stripMargin,
     // grouped Theil–Sen replica: per-group pair self-join, the same
     // (slope, ia, ib) total order for the slope median, and the
     // residual median against the 6-dp EMITTED slope

@@ -3085,6 +3085,81 @@ object Stats {
     out
   }
 
+  /** Mann–Kendall trend TEST over an ALREADY-AGGREGATED period
+    * series: S = Σ_{i<j} sign(x_j − x_i) with the tie-corrected
+    * variance Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)] / 18
+    * and the continuity-corrected Z — the non-parametric "is there a
+    * monotone trend AT ALL" significance test that belongs next to
+    * [[theilSenTrend]] (which estimates the slope; this one says
+    * whether to believe it). No distributional assumption, immune to
+    * monotone transforms of the values.
+    *
+    * Determinism: S and both variance terms are EXACT 64-bit
+    * integers (signs from exact DECIMAL comparisons; the n³-scale
+    * products stay far under Long range for the maxPeriods-capped
+    * series); the only doubles are the final /18, the IEEE sqrt, and
+    * the Z division — identical in every engine. The verdict
+    * compares |Z| to the literal 1.96.
+    *
+    * Scale shape: the [[theilSenTrend]] contract — a P²/2 pair frame
+    * from a deliberate control-plane crossJoin, maxPeriods-guarded;
+    * the tie census is one value-keyed aggregate.
+    *
+    * Returns one row: (n_periods, s_stat, var_s, z, trend ∈
+    * {increasing, decreasing, none}). */
+  def mannKendall(
+      series: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      maxPeriods: Long = 10000L): DataFrame = {
+    val w = Guards.seriesWindow(col(orderCol).asc)
+    val idx = Guards.boundedSeries(series, "mannKendall series")
+      .select(col(valueCol).cast(DecimalType(18, 4)).as("__y"),
+        row_number().over(w).as("__i"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = idx.count()
+    if (p < 2 || p > maxPeriods) {
+      idx.unpersist(false)
+      require(p >= 2, s"mannKendall needs >= 2 periods, got $p")
+      require(p <= maxPeriods,
+        s"mannKendall: $p periods exceeds maxPeriods=$maxPeriods; " +
+          "aggregate to coarser periods")
+    }
+    val a = idx.select(col("__i").as("__ia"), col("__y").as("__ya"))
+    val b = idx.select(col("__i").as("__ib"), col("__y").as("__yb"))
+    val sAgg = a.crossJoin(b).filter(col("__ib") > col("__ia"))
+      .agg(sum(when(col("__yb") > col("__ya"), 1L)
+        .when(col("__yb") < col("__ya"), -1L)
+        .otherwise(0L)).as("s_stat"))
+    // tie census: Σ t(t−1)(2t+5) over equal-value groups
+    val ties = idx.groupBy(col("__y"))
+      .agg(count(lit(1)).as("__t"))
+      .agg(coalesce(sum(col("__t") * (col("__t") - 1) *
+        (lit(2L) * col("__t") + 5)), lit(0L)).as("__tt"))
+    val n = lit(p)
+    val out = sAgg.crossJoin(broadcast(ties))
+      .select(lit(p).as("n_periods"), col("s_stat"),
+        round((n * (n - 1) * (lit(2L) * n + 5) - col("__tt"))
+          .cast(DoubleType) / lit(18.0), 6).as("var_s"))
+      .withColumn("z",
+        when(col("var_s") > 0.0,
+          round(when(col("s_stat") > 0,
+            (col("s_stat") - 1).cast(DoubleType))
+            .when(col("s_stat") < 0,
+              (col("s_stat") + 1).cast(DoubleType))
+            .otherwise(lit(0.0)) /
+            when(col("var_s") > 0.0, sqrt(col("var_s")))
+              .otherwise(lit(1.0)), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("trend",
+        when(col("z") > 1.96, lit("increasing"))
+          .when(col("z") < -1.96, lit("decreasing"))
+          .otherwise(lit("none")))
+      .localCheckpoint(true) // 1 row; free idx afterwards
+    idx.unpersist(false)
+    out
+  }
+
   /** Per-GROUP Theil–Sen trend — the corpus-health-dashboard form of
     * [[theilSenTrend]] (VERDICT r9 stretch 8): one robust slope +
     * intercept per group over that group's own period series. CHEAPER

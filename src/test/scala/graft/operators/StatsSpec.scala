@@ -1161,6 +1161,26 @@ class StatsSpec extends SparkSpecBase {
     assert(c.isNullAt(c.fieldIndex("kappa")))
   }
 
+  test("mannKendall: strictly-rising series flags increasing with " +
+    "exact S; an all-tie series zeroes the variance and abstains") {
+    import spark.implicits._
+    val rising = (1 to 5).map(i => (f"2024-01-0$i", i.toDouble))
+      .toDF("d", "v")
+    val r = Stats.mannKendall(rising, "d", "v").collect()(0)
+    assert(r.getAs[Long]("s_stat") == 10L) // all 10 pairs concordant
+    assert(r.getAs[Double]("var_s") == 16.666667) // 5*4*15/18
+    assert(r.getAs[Double]("z") ==
+      BigDecimal(9.0 / math.sqrt(16.666667))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[String]("trend") == "increasing", s"got $r")
+    val flat = (1 to 5).map(i => (f"2024-01-0$i", 7.0)).toDF("d", "v")
+    val f = Stats.mannKendall(flat, "d", "v").collect()(0)
+    assert(f.getAs[Long]("s_stat") == 0L)
+    assert(f.getAs[Double]("var_s") == 0.0) // full tie correction
+    assert(f.getAs[Double]("z") == 0.0)
+    assert(f.getAs[String]("trend") == "none", s"got $f")
+  }
+
   test("srmCheck: a gross assignment imbalance flags, a balanced " +
     "split does not (chi2 hand-computed)") {
     import spark.implicits._
