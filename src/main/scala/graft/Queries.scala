@@ -3541,6 +3541,26 @@ object Queries {
           sum(col("n_pairs"))
             .over(Guards.seriesWindow(col("bucket").desc)))
     }),
+    "q_sim_knee" -> ((s, dir) => {
+      // Auto-pick the near-dup threshold: the KNEE of the cumulative
+      // pair-count curve (integer max-distance-to-chord — the
+      // Kneedle core) — above it the pair count explodes into
+      // template noise, below it real duplicates thin out; this
+      // turns q_sim_threshold_curve's plot into a number a pipeline
+      // can act on. Entirely 64-bit integer arithmetic on a ≤41-row
+      // control frame.
+      val curve = Similarity.cosineNearDupPairs(
+          Tables.embeddings(s, dir),
+          "vec_id", "embedding", threshold = -1.0, bits = 48,
+          bands = 8, portable = true)
+        .groupBy(floor(round(col("cos"), 6) * 20).cast(LongType)
+          .as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val cum = Guards.boundedSeries(curve, "knee curve input")
+        .withColumn("y", sum(col("n_pairs"))
+          .over(Guards.seriesWindow(col("bucket").desc)))
+      Stats.kneePoint(cum, col("bucket"), col("y"))
+    }),
     "q_sim_quantize" -> ((s, dir) => {
       // Int8 scalar quantization audit: exact integer sum of all
       // quantized cells per label (any drift in scale/round/clamp
@@ -7420,6 +7440,7 @@ object Queries {
     "q_sim_recall" -> simRecallOracle,
     "q_sim_cosine_dedup" -> simCosineDedupOracle,
     "q_sim_threshold_curve" -> simThresholdCurveOracle,
+    "q_sim_knee" -> simKneeOracle,
     "q_sim_ivf" -> simIvfOracle,
     "q_sim_ivf_refined" -> simIvfRefinedOracle,
     "q_multimodal_audio" ->
@@ -10833,6 +10854,31 @@ object Queries {
       | CAST(sum(n_pairs) OVER (ORDER BY bucket DESC) AS BIGINT)
       |   AS n_at_or_above
       |FROM c""".stripMargin
+
+  /** knee replica on the same curve: integer point-to-chord cross
+    * products, argmax with smaller-x tiebreak. */
+  private def simKneeOracle: String =
+    simScoredPairsCte + """,
+      |b AS (SELECT CAST(floor(round(cos, 6) * 20) AS BIGINT) AS bucket
+      |  FROM scored),
+      |c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs
+      |  FROM b GROUP BY 1),
+      |cum AS (SELECT bucket AS x,
+      |  CAST(sum(n_pairs) OVER (ORDER BY bucket DESC) AS BIGINT) AS y
+      | FROM c),
+      |kend AS (SELECT min(x) AS x1, max(x) AS xn FROM cum),
+      |kyend AS (SELECT
+      |  CAST(sum(CASE WHEN x = x1 THEN y END) AS BIGINT) AS y1,
+      |  CAST(sum(CASE WHEN x = xn THEN y END) AS BIGINT) AS yn
+      | FROM cum, kend)
+      |SELECT x AS knee_x, y AS knee_y,
+      | CAST(abs((yn - y1) * (x - x1) - (xn - x1) * (y - y1))
+      |   AS BIGINT) AS score,
+      | x1 AS x_lo, xn AS x_hi
+      |FROM cum, kend, kyend
+      |ORDER BY abs((yn - y1) * (x - x1) - (xn - x1) * (y - y1)) DESC,
+      | x ASC
+      |LIMIT 1""".stripMargin
 
   /** The SRP-LSH banded candidate set with exact cosine scores — the
     * shared WITH-chain behind [[simCosineDedupOracle]] (its 0.45-gated

@@ -3160,6 +3160,49 @@ object Stats {
     out
   }
 
+  /** Knee (elbow) of a bounded monotone curve by max distance to the
+    * endpoint chord (the Kneedle idea, Satopää et al. 2011, reduced
+    * to its exact core): for integer points (x, y), the knee is the
+    * argmax of |(yₙ−y₁)(xᵢ−x₁) − (xₙ−x₁)(yᵢ−y₁)| — the unnormalized
+    * point-to-chord distance — with ties broken toward smaller x.
+    * The auto-picker for threshold sweeps: past the knee of a
+    * cumulative near-dup-pair curve the pair count explodes into
+    * template noise, below it real duplicates thin out; the knee is
+    * where a human eyeballing the plot would put the cut.
+    *
+    * Determinism: ENTIRELY 64-bit integer arithmetic (inputs are
+    * counts and scaled buckets; the cross products stay far under
+    * Long range for any curve the bound admits) — no doubles at all.
+    * The frame is control-plane by contract ([[Guards.boundedSeries]]).
+    *
+    * Returns one row: (knee_x, knee_y, score, x_lo, x_hi). */
+  def kneePoint(
+      df: DataFrame,
+      xCol: Column,
+      yCol: Column): DataFrame = {
+    val lt = LongType
+    val pts = Guards.boundedSeries(
+      df.select(xCol.cast(lt).as("__x"), yCol.cast(lt).as("__y"))
+        .filter(col("__x").isNotNull && col("__y").isNotNull),
+      "kneePoint curve")
+    val ends = pts.agg(min(col("__x")).as("__x1"),
+      max(col("__x")).as("__xn"))
+    val withEnds = pts.crossJoin(broadcast(ends))
+    val y1 = withEnds.agg(
+      sum(when(col("__x") === col("__x1"), col("__y"))).as("__y1"),
+      sum(when(col("__x") === col("__xn"), col("__y"))).as("__yn"))
+    pts.crossJoin(broadcast(ends)).crossJoin(broadcast(y1))
+      .select(col("__x"), col("__y"), col("__x1"), col("__xn"),
+        abs((col("__yn") - col("__y1")) * (col("__x") - col("__x1")) -
+          (col("__xn") - col("__x1")) * (col("__y") - col("__y1")))
+          .as("__score"))
+      .orderBy(col("__score").desc, col("__x").asc)
+      .limit(1)
+      .select(col("__x").as("knee_x"), col("__y").as("knee_y"),
+        col("__score").as("score"), col("__x1").as("x_lo"),
+        col("__xn").as("x_hi"))
+  }
+
   /** Per-GROUP Theil–Sen trend — the corpus-health-dashboard form of
     * [[theilSenTrend]] (VERDICT r9 stretch 8): one robust slope +
     * intercept per group over that group's own period series. CHEAPER

@@ -1161,6 +1161,20 @@ class StatsSpec extends SparkSpecBase {
     assert(c.isNullAt(c.fieldIndex("kappa")))
   }
 
+  test("kneePoint: the elbow of an L-shaped curve is the bend " +
+    "(hand-computed integer chord distances)") {
+    import spark.implicits._
+    // chord (0,100)->(4,7); scores |−93x − 4y + 400|:
+    // x=1: 267, x=2: 178, x=3: 89 -> knee at (1, 10)
+    val curve = Seq((0L, 100L), (1L, 10L), (2L, 9L), (3L, 8L),
+      (4L, 7L)).toDF("x", "y")
+    val r = Stats.kneePoint(curve, col("x"), col("y")).collect()(0)
+    assert(r.getAs[Long]("knee_x") == 1L, s"got $r")
+    assert(r.getAs[Long]("knee_y") == 10L)
+    assert(r.getAs[Long]("score") == 267L)
+    assert(r.getAs[Long]("x_lo") == 0L && r.getAs[Long]("x_hi") == 4L)
+  }
+
   test("mannKendall: strictly-rising series flags increasing with " +
     "exact S; an all-tie series zeroes the variance and abstains") {
     import spark.implicits._
