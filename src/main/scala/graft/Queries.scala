@@ -1097,6 +1097,15 @@ object Queries {
       // before the cross-group fold so group order cannot move a bit.
       Stats.anovaF(Tables.events(s, dir), "value", "event_type")
     }),
+    "q_kruskal_wallis" -> ((s, dir) => {
+      // The rank-based omnibus: Kruskal–Wallis H across ALL five
+      // event types — q_anova without the normality premise, the
+      // k-group step up from q_mann_whitney. Two-phase distributed
+      // ranks, exact DECIMAL(38,0) rank sums + tie census, per-group
+      // terms normalized to O(1) before the 9-dp DECIMAL fold (a raw
+      // R²/n term is ~N³-scale where a double round is sub-ulp).
+      Stats.kruskalWallis(Tables.events(s, dir), "value", "event_type")
+    }),
     "q_lorenz_deciles" -> ((s, dir) => {
       // WHERE the revenue concentration lives: Lorenz curve at
       // customer-decile resolution (value-ascending), per-decile and
@@ -7819,6 +7828,58 @@ object Queries {
         |     (CAST(ssb AS DOUBLE) + CAST(ssw AS DOUBLE)), 6)
         |  END AS eta_sq
         |FROM f""".stripMargin,
+    // Kruskal–Wallis replica: same per-value rank ranges from the
+    // cumulative count (lo = cb+1, hi = cb+ct), exact HUGEINT rank
+    // sums + tie census, the O(1)-normalized per-group term in the
+    // identical op order before the 9-dp DECIMAL(28,9) fold, then
+    // (N+1)·(12·S − 3) / tie-correction and the literal χ² lookup
+    "q_kruskal_wallis" ->
+      """WITH v AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS x
+        | FROM events
+        | WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |gv AS (SELECT g, x, CAST(count(*) AS BIGINT) AS c
+        | FROM v GROUP BY g, x),
+        |pv AS (SELECT x, CAST(sum(c) AS BIGINT) AS ct
+        | FROM gv GROUP BY x),
+        |rk AS (SELECT x, ct,
+        |  CAST(coalesce(sum(ct) OVER (ORDER BY x ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS BIGINT) AS cb
+        | FROM pv),
+        |np AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM pv),
+        |tt AS (SELECT coalesce(
+        |  sum(CAST(ct AS HUGEINT) * ct * ct - ct), 0) AS tt FROM pv),
+        |pg AS (SELECT g,
+        |  sum(CAST(c AS HUGEINT) * (2 * cb + ct + 1)) AS r2,
+        |  CAST(sum(c) AS BIGINT) AS ng
+        | FROM gv JOIN rk USING (x) GROUP BY g),
+        |terms AS (SELECT
+        |  CAST(round(CAST(ng AS DOUBLE) / CAST(n AS DOUBLE) *
+        |    (CAST(r2 AS DOUBLE) / 2.0 / CAST(ng AS DOUBLE) /
+        |     (CAST(n AS DOUBLE) + 1.0)) *
+        |    (CAST(r2 AS DOUBLE) / 2.0 / CAST(ng AS DOUBLE) /
+        |     (CAST(n AS DOUBLE) + 1.0)), 9) AS DECIMAL(28,9)) AS tg
+        | FROM pg, np),
+        |fo AS (SELECT CAST(count(*) AS BIGINT) AS k_groups,
+        |  sum(tg) AS s FROM terms),
+        |hh AS (SELECT n, k_groups,
+        |  CASE WHEN 1.0 - CAST(tt AS DOUBLE) /
+        |      CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE) > 0 THEN
+        |    round((CAST(n AS DOUBLE) + 1.0) *
+        |      (12.0 * CAST(s AS DOUBLE) - 3.0) /
+        |      (1.0 - CAST(tt AS DOUBLE) /
+        |       CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE)), 6)
+        |  END AS h
+        | FROM fo, np, tt)
+        |SELECT n AS n_total, k_groups, h,
+        | CASE WHEN h IS NOT NULL AND k_groups - 1 BETWEEN 1 AND 8 THEN
+        |   CASE WHEN h > (CASE k_groups - 1
+        |     WHEN 1 THEN 3.841 WHEN 2 THEN 5.991 WHEN 3 THEN 7.815
+        |     WHEN 4 THEN 9.488 WHEN 5 THEN 11.070 WHEN 6 THEN 12.592
+        |     WHEN 7 THEN 14.067 WHEN 8 THEN 15.507 END)
+        |    THEN 'reject' ELSE 'keep' END
+        | END AS verdict
+        |FROM hh""".stripMargin,
     // conformal replica: the MLR moment/Cramer fit on the hash-calib
     // half, the same integer conformal rank over (residual, id)
     // order, raw-q comparisons on the held-out half

@@ -1793,6 +1793,97 @@ object Stats {
           .otherwise(lit(null).cast(DoubleType)), 6).as("z"))
   }
 
+  /** Kruskal–Wallis H test: does `valueCol`'s distribution differ in
+    * location across ALL k groups at once? The k-group step up from
+    * [[mannWhitney]] and the rank-based (assumption-free) sibling of
+    * [[anovaF]] — the right omnibus gate for the heavy-tailed
+    * quality/length/price distributions a corpus audit meets, where
+    * ANOVA's normality premise fails.
+    *
+    * Scale shape: ranks come from [[globalRankByValue]]'s two-phase
+    * prefix sum (NOT a single-partition window); ONE (group, value)
+    * aggregation over the ranked rows serves both the per-value tie
+    * census and the per-group rank sums (the multi-consumer rule —
+    * the gv frame persists, vocabulary×groups-sized), and everything
+    * after runs on the ≤ |groups| frame.
+    *
+    * Determinism: tied rows occupy a contiguous rank range, so
+    * per-group 2·R_g = Σ c·(lo+hi) and the tie term Σ(t³−t)
+    * accumulate as exact DECIMAL(38,0) with the cast BEFORE the
+    * multiply (the [[mannWhitney]] contract). Each group's
+    * H-contribution normalizes to O(1) — w·u² with w = n_g/N and
+    * u = r̄_g/(N+1) — BEFORE the 9-dp round-then-DECIMAL(28,9)
+    * cross-group fold (the [[anovaF]] discipline; the raw R_g²/n_g
+    * terms are ~N³-scale, where a 6-dp double round is below one ulp
+    * and NOT engine-portable). H then recovers as
+    * (N+1)·(12·S − 3) / tie-correction in literal oracle order.
+    *
+    * Returns one row: (n_total, k_groups, h, verdict) — h the
+    * tie-corrected statistic (NULL when every value is tied), verdict
+    * 'reject' / 'keep' vs the literal χ²₀.₉₅ critical value for
+    * df = k−1 ≤ 8, NULL beyond the lookup. */
+  def kruskalWallis(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      nRanges: Int = 256): DataFrame = {
+    val v = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast(StringType).as("__g"),
+        col(valueCol).cast(DoubleType).as("__x"))
+      .withColumn("__t", lit(0))
+    val (ranked, n) = globalRankByValue(v, "__x", "__t", nRanges)
+    val dec = DecimalType(38, 0)
+    val gv = ranked.groupBy(col("__g"), col("__x"))
+      .agg(count(lit(1)).as("__c"), min(col("__rank")).as("__l"),
+        max(col("__rank")).as("__h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-value lo/hi/ct derive FROM gv (tied rows are contiguous in
+    // rank regardless of which group they fall in)
+    val pv = gv.groupBy(col("__x"))
+      .agg(sum(col("__c")).as("__ct"), min(col("__l")).as("__lo"),
+        max(col("__h")).as("__hi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ties = pv.agg(coalesce(sum(col("__ct").cast(dec) * col("__ct") *
+      col("__ct") - col("__ct")), lit(0).cast(dec)).as("__tt"))
+    val perGroup = gv.join(pv.select(col("__x"), col("__lo"), col("__hi")),
+      Seq("__x"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__c").cast(dec) * (col("__lo") + col("__hi")))
+        .as("__r2"), sum(col("__c")).as("__ng"))
+    val nd = lit(n.toDouble)
+    // O(1)-normalized per-group term in literal oracle order
+    val ud = col("__r2").cast(DoubleType) / 2.0 /
+      col("__ng").cast(DoubleType) / (nd + 1.0)
+    val wd = col("__ng").cast(DoubleType) / nd
+    val fold = DecimalType(28, 9)
+    val folded = perGroup.agg(count(lit(1)).as("k_groups"),
+      sum(round(wd * ud * ud, 9).cast(fold)).as("__s"))
+    val n3 = (lit(n).cast(dec) * n * n - n).cast(DoubleType)
+    val hRaw = (nd + 1.0) * (lit(12.0) * col("__s").cast(DoubleType) - 3.0)
+    val corr = lit(1.0) - col("__tt").cast(DoubleType) / n3
+    def safe(c: Column) = when(c =!= 0.0, c).otherwise(lit(1.0))
+    val h = when(corr > 0.0, round(hRaw / safe(corr), 6))
+      .otherwise(lit(null).cast(DoubleType))
+    // χ²₀.₉₅ quantiles for df 1..8 (literals, public tables)
+    val dfg = col("k_groups") - 1L
+    val crit = when(dfg === 1, 3.841).when(dfg === 2, 5.991)
+      .when(dfg === 3, 7.815).when(dfg === 4, 9.488)
+      .when(dfg === 5, 11.070).when(dfg === 6, 12.592)
+      .when(dfg === 7, 14.067).when(dfg === 8, 15.507)
+      .otherwise(lit(null).cast(DoubleType))
+    val out = folded.crossJoin(broadcast(ties)) // 1-row control plane
+      .select(lit(n).as("n_total"), col("k_groups"), h.as("h"))
+      .withColumn("verdict",
+        when(col("h").isNotNull && crit.isNotNull,
+          when(col("h") > crit, lit("reject")).otherwise(lit("keep")))
+          .otherwise(lit(null).cast(StringType)))
+      .localCheckpoint(true) // 1 row; free gv/pv afterwards
+    gv.unpersist(false)
+    pv.unpersist(false)
+    out
+  }
+
   /** Welch's unequal-variance t-test between two groups, plus Cohen's
     * d effect size — the parametric sibling of [[mannWhitney]] (which
     * compares ranks; Welch compares means when the values themselves

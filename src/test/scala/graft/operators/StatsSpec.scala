@@ -1195,6 +1195,26 @@ class StatsSpec extends SparkSpecBase {
     assert(f.getAs[String]("trend") == "none", s"got $f")
   }
 
+  test("kruskalWallis: hand-computed H on three separated groups; " +
+    "an all-tie column abstains") {
+    import spark.implicits._
+    // a={1,2} b={3,4} c={5,6}: no ties, R={3,7,11},
+    // H = 12/(6·7)·(9/2+49/2+121/2) − 3·7 = 4.571429; df=2 → keep
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0),
+      ("c", 5.0), ("c", 6.0)).toDF("g", "v")
+    val r = Stats.kruskalWallis(df, "v", "g").collect()(0)
+    assert(r.getAs[Long]("n_total") == 6L)
+    assert(r.getAs[Long]("k_groups") == 3L)
+    assert(r.getAs[Double]("h") == 4.571429, s"got $r")
+    assert(r.getAs[String]("verdict") == "keep")
+    // every value tied: tie correction zeroes out → NULL abstention
+    val flat = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0))
+      .toDF("g", "v")
+    val f = Stats.kruskalWallis(flat, "v", "g").collect()(0)
+    assert(f.isNullAt(f.fieldIndex("h")), s"got $f")
+    assert(f.isNullAt(f.fieldIndex("verdict")))
+  }
+
   test("srmCheck: a gross assignment imbalance flags, a balanced " +
     "split does not (chi2 hand-computed)") {
     import spark.implicits._
