@@ -1106,6 +1106,15 @@ object Queries {
       // R²/n term is ~N³-scale where a double round is sub-ulp).
       Stats.kruskalWallis(Tables.events(s, dir), "value", "event_type")
     }),
+    "q_assoc_rules" -> ((s, dir) => {
+      // Market-basket mining over user event-type baskets: support /
+      // confidence / lift for every ordered type pair — which
+      // behaviors co-occur beyond independence. One collect_set
+      // groupBy(user) scan; pair and item counts are ≤ |types|²
+      // control-plane rows; all three metrics are exact integer ppm
+      // (lift scaled so 10⁶ = independence).
+      Stats.assocRules(Tables.events(s, dir), "user_id", "event_type")
+    }),
     "q_lorenz_deciles" -> ((s, dir) => {
       // WHERE the revenue concentration lives: Lorenz curve at
       // customer-decile resolution (value-ascending), per-decile and
@@ -7880,6 +7889,25 @@ object Queries {
         |    THEN 'reject' ELSE 'keep' END
         | END AS verdict
         |FROM hh""".stripMargin,
+    // association-rule replica: distinct (user, type) baskets, pair
+    // self-join, the same exact integer ppm floor divisions
+    "q_assoc_rules" ->
+      """WITH b AS (SELECT DISTINCT user_id AS u, event_type AS i
+        | FROM events
+        | WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |nu AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n FROM b),
+        |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS c
+        | FROM b GROUP BY i),
+        |pc AS (SELECT a.i AS ant, b2.i AS con,
+        |  CAST(count(*) AS BIGINT) AS cab
+        | FROM b a JOIN b b2 ON a.u = b2.u AND a.i <> b2.i
+        | GROUP BY 1, 2)
+        |SELECT ant AS antecedent, con AS consequent, cab AS n_both,
+        | cab * 1000000 // n AS support_ppm,
+        | cab * 1000000 // ca.c AS confidence_ppm,
+        | cab * n * 1000000 // (ca.c * cb.c) AS lift_x1m
+        |FROM pc, nu, ic ca, ic cb
+        |WHERE pc.ant = ca.i AND pc.con = cb.i""".stripMargin,
     // conformal replica: the MLR moment/Cramer fit on the hash-calib
     // half, the same integer conformal rank over (residual, id)
     // order, raw-q comparisons on the held-out half

@@ -1578,6 +1578,68 @@ object Stats {
       .select(col("n"), col("n_cells"),
         ((col("__ka") - 1) * (col("__kb") - 1)).as("dof"), col("chi2"))
 
+  /** Association rules over (basket, item) pairs — market-basket
+    * support / confidence / lift for every ORDERED item pair: which
+    * event types (or sources, or labels) co-occur within a user /
+    * document beyond what independence predicts. The set-valued
+    * complement of [[cramersV]] (which scores two FIXED columns; this
+    * mines the pair structure inside one multi-valued column).
+    *
+    * Scale shape: ONE map-side-combined groupBy(basket) with
+    * collect_set dedup (sets bounded by the item vocabulary, which
+    * for event types / provenance labels is tiny by contract — the
+    * per-basket pair fan-out is |set|² ≤ |items|²); pair counts and
+    * item counts both aggregate to ≤ |items|² control-plane rows, and
+    * the single-row basket total broadcasts back. The corpus is
+    * scanned ONCE and nothing basket-scale shuffles after the first
+    * exchange.
+    *
+    * Determinism: every metric is an exact integer — support and
+    * confidence in ppm via integer floor division, lift scaled so
+    * 10⁶ = independence (n_ab·N·10⁶ div (n_a·n_b)). Long arithmetic
+    * holds to ~10⁹ baskets·10⁹ pair counts; beyond that the ppm
+    * products would widen to DECIMAL(38,0) (the [[mannWhitney]]
+    * cast-before-multiply contract).
+    *
+    * Returns one row per ordered pair with support_ppm ≥
+    * `minSupportPpm`: (antecedent, consequent, n_both, support_ppm,
+    * confidence_ppm, lift_x1m). */
+  def assocRules(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minSupportPpm: Long = 0L): DataFrame = {
+    val sets = df
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__u"),
+        col(itemCol).cast(StringType).as("__i"))
+      .groupBy(col("__u")).agg(collect_set(col("__i")).as("__s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = sets.agg(count(lit(1)).as("__n"))
+    val itemCounts = sets.select(explode(col("__s")).as("__i"))
+      .groupBy(col("__i")).agg(count(lit(1)).as("__c"))
+    val pairCounts = sets
+      .select(explode(col("__s")).as("__a"), col("__s"))
+      .select(col("__a"), explode(col("__s")).as("__b"))
+      .filter(col("__a") =!= col("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__cab"))
+    val out = pairCounts
+      .join(broadcast(itemCounts.withColumnRenamed("__i", "__a")
+        .withColumnRenamed("__c", "__ca")), Seq("__a"))
+      .join(broadcast(itemCounts.withColumnRenamed("__i", "__b")
+        .withColumnRenamed("__c", "__cb")), Seq("__b"))
+      .crossJoin(broadcast(totals)) // 1-row control plane
+      .select(col("__a").as("antecedent"), col("__b").as("consequent"),
+        col("__cab").as("n_both"),
+        expr("__cab * 1000000 div __n").as("support_ppm"),
+        expr("__cab * 1000000 div __ca").as("confidence_ppm"),
+        expr("__cab * __n * 1000000 div (__ca * __cb)").as("lift_x1m"))
+      .filter(col("support_ppm") >= minSupportPpm)
+      .localCheckpoint(true) // ≤ |items|² rows; free sets afterwards
+    sets.unpersist(false)
+    out
+  }
+
   /** Cramér's V effect size from the same contingency table as
     * [[chiSquare]]: V = √(χ² / (n · min(k_a−1, k_b−1))) — the
     * bounded-[0,1] companion the χ² statistic needs at corpus scale,

@@ -1195,6 +1195,27 @@ class StatsSpec extends SparkSpecBase {
     assert(f.getAs[String]("trend") == "none", s"got $f")
   }
 
+  test("assocRules: hand-computed support/confidence/lift; duplicate " +
+    "events dedup into baskets; min-support filters") {
+    import spark.implicits._
+    // u1={a,b} u2={a,b} u3={a}: N=3, n_a=3, n_b=2, n_ab=2
+    val ev = Seq((1L, "a"), (1L, "b"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a")).toDF("u", "i")
+    val r = Stats.assocRules(ev, "u", "i").collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    val ab = r(("a", "b"))
+    assert(ab.getAs[Long]("n_both") == 2L)
+    assert(ab.getAs[Long]("support_ppm") == 666666L)
+    assert(ab.getAs[Long]("confidence_ppm") == 666666L) // 2/3 of a-users
+    assert(ab.getAs[Long]("lift_x1m") == 1000000L) // exactly independent
+    val ba = r(("b", "a"))
+    assert(ba.getAs[Long]("confidence_ppm") == 1000000L) // every b has a
+    assert(ba.getAs[Long]("lift_x1m") == 1000000L)
+    // min-support prunes: threshold above 2/3 leaves nothing
+    assert(Stats.assocRules(ev, "u", "i", minSupportPpm = 700000L)
+      .count() == 0L)
+  }
+
   test("kruskalWallis: hand-computed H on three separated groups; " +
     "an all-tie column abstains") {
     import spark.implicits._
