@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
 
 import graft.core.{Conversions, Tables}
-import graft.operators.{Dedup, Guards, Multimodal, Packing, Sampling, Similarity, Stats, TextAnalysis, Upsert}
+import graft.operators.{Dedup, Expectations, Guards, Multimodal, Packing, Sampling, Similarity, Stats, TextAnalysis, Upsert}
 
 /** The engine's query catalog: one entry per operator from SURVEY.md §2
   * plus the training-data-pipeline extensions, each paired (where SQL
@@ -1413,6 +1413,16 @@ object Queries {
         Expect("date_in_range",
           col("o_orderdate") >= to_date(lit("1992-01-01")) &&
             col("o_orderdate") < to_date(lit("1999-01-01")))))
+    }),
+    "q_anonymity" -> ((s, dir) => {
+      // k-anonymity / l-diversity release gate: can (status, priority,
+      // order date) re-identify a customer, and do small equivalence
+      // classes leak the customer behind them? Two map-side-combined
+      // aggregation levels to a 1-row integer summary — per-class
+      // frames never leave the executors. k=5, l=3 contract.
+      Expectations.anonymityAudit(Tables.orders(s, dir),
+        Seq("o_orderstatus", "o_orderpriority", "o_orderdate"),
+        "o_custkey", k = 5L, l = 3L)
     }),
     "q_profile" -> ((s, dir) => {
       // Table profiling (the generalized DESCRIBE): per-column rows,
@@ -6172,6 +6182,26 @@ object Queries {
         | FROM t
         |UNION ALL SELECT 'date_in_range', n_rows, CAST(v4 AS BIGINT)
         | FROM t""".stripMargin,
+    // anonymity replica: same two-level class aggregation, integer
+    // ppm floor divisions, NULL-sensitive excluded from diversity
+    "q_anonymity" ->
+      """WITH cls AS (SELECT o_orderstatus, o_orderpriority,
+        |  o_orderdate, CAST(count(*) AS BIGINT) AS cn,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd
+        | FROM orders GROUP BY 1, 2, 3)
+        |SELECT CAST(sum(cn) AS BIGINT) AS n_rows,
+        | CAST(count(*) AS BIGINT) AS n_classes,
+        | min(cn) AS min_class_size,
+        | CAST(sum(CASE WHEN cn < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_small_classes,
+        | CAST(sum(CASE WHEN cn < 5 THEN cn ELSE 0 END) AS BIGINT)
+        |  * 1000000 // CAST(sum(cn) AS BIGINT) AS at_risk_ppm,
+        | min(nd) AS min_diversity,
+        | CAST(sum(CASE WHEN nd < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_low_div_classes,
+        | CAST(sum(CASE WHEN nd < 3 THEN cn ELSE 0 END) AS BIGINT)
+        |  * 1000000 // CAST(sum(cn) AS BIGINT) AS low_div_ppm
+        |FROM cls""".stripMargin,
     // profile replica: one SELECT per profiled column, UNION ALL
     "q_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",

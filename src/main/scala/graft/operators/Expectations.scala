@@ -91,6 +91,62 @@ object Expectations {
     df.observe(obs, aggs.head, aggs.tail: _*)
   }
 
+  /** k-anonymity / l-diversity audit — the release-gate contract for
+    * training data carrying person-adjacent attributes: every
+    * quasi-identifier equivalence class (the rows sharing all
+    * `quasiCols` values) must hold ≥ k rows (re-identification
+    * resistance) and ≥ l distinct `sensitiveCol` values (attribute-
+    * disclosure resistance; a 50-row class is still unsafe if all 50
+    * share one sensitive value). Standard definitions from the public
+    * literature (Sweeney 2002; Machanavajjhala et al. 2007).
+    *
+    * Scale shape: one two-level aggregation — (quasi*, sensitive)
+    * cells then quasi* classes, both map-side combined — and a 1-row
+    * summary; per-class frames never leave the executors and the
+    * output is a single row no matter the corpus. NULL quasi values
+    * form their own class ("unknown" is itself an identifier); NULL
+    * sensitive values don't count toward diversity (an absent value
+    * discloses nothing).
+    *
+    * Determinism: counts and integer ppm floor divisions only.
+    *
+    * Returns one row: (n_rows, n_classes, min_class_size — the k the
+    * dataset actually achieves, n_small_classes / at_risk_ppm vs the
+    * k contract, min_diversity, n_low_div_classes / low_div_ppm vs
+    * the l contract). */
+  def anonymityAudit(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      k: Long,
+      l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 1 && l >= 1, "k and l must be >= 1")
+    val cells = df
+      .groupBy((quasiCols.map(col) :+ col(sensitiveCol)): _*)
+      .agg(count(lit(1)).as("__n"))
+    val classes = cells
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__n")).as("__cn"),
+        sum(when(col(sensitiveCol).isNotNull, 1L).otherwise(0L))
+          .as("__nd"))
+    classes.agg(
+      sum(col("__cn")).as("n_rows"),
+      count(lit(1)).as("n_classes"),
+      min(col("__cn")).as("min_class_size"),
+      sum(when(col("__cn") < k, 1L).otherwise(0L)).as("n_small_classes"),
+      sum(when(col("__cn") < k, col("__cn")).otherwise(0L)).as("__ar"),
+      min(col("__nd")).as("min_diversity"),
+      sum(when(col("__nd") < l, 1L).otherwise(0L))
+        .as("n_low_div_classes"),
+      sum(when(col("__nd") < l, col("__cn")).otherwise(0L)).as("__ld"))
+      .select(col("n_rows"), col("n_classes"), col("min_class_size"),
+        col("n_small_classes"),
+        expr("__ar * 1000000 div n_rows").as("at_risk_ppm"),
+        col("min_diversity"), col("n_low_div_classes"),
+        expr("__ld * 1000000 div n_rows").as("low_div_ppm"))
+  }
+
   /** Keys violating a referential-integrity contract: child keys with
     * no matching parent key, as (fk, n_rows). The child AGGREGATES to
     * its distinct keys before the anti-join, so the join carries

@@ -80,4 +80,26 @@ class ExpectationsSpec extends SparkSpecBase {
       Seq(1L, 2L).toDF("fk0"), col("fk0"), parent, col("pk"))
     assert(clean.count() == 0L)
   }
+
+  test("anonymityAudit: hand-computed class sizes and diversity; " +
+      "NULL sensitive values do not count toward l") {
+    // classes by (city): A = 3 rows {s1, s2, s2} → nd 2;
+    //                    B = 1 row  {s1}         → nd 1 (small + low)
+    //                    C = 2 rows {NULL, s9}   → nd 1 (low div only)
+    val df = Seq(
+      ("A", Option("s1")), ("A", Option("s2")), ("A", Option("s2")),
+      ("B", Option("s1")),
+      ("C", Option.empty[String]), ("C", Option("s9"))
+    ).toDF("city", "sens")
+    val r = Expectations.anonymityAudit(df, Seq("city"), "sens",
+      k = 2L, l = 2L).collect()(0)
+    assert(r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[Long]("n_classes") == 3L)
+    assert(r.getAs[Long]("min_class_size") == 1L)
+    assert(r.getAs[Long]("n_small_classes") == 1L) // B only
+    assert(r.getAs[Long]("at_risk_ppm") == 166666L) // 1/6
+    assert(r.getAs[Long]("min_diversity") == 1L)
+    assert(r.getAs[Long]("n_low_div_classes") == 2L) // B and C
+    assert(r.getAs[Long]("low_div_ppm") == 500000L) // 3/6
+  }
 }
