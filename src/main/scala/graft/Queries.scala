@@ -2050,6 +2050,20 @@ object Queries {
           col("value"))
       Stats.diffInDiff(staged, col("t"), col("p"), col("value"))
     }),
+    "q_power_mde" -> ((s, dir) => {
+      // Experiment-DESIGN readout: with the unit counts and metric
+      // variance this experiment actually has, what lift could it
+      // even detect at 5%/80%? MDE = (z_α/2 + z_β)·SE over per-USER
+      // purchase totals (the randomization unit — row-level variance
+      // would understate SE), variant = user parity. Run BEFORE the
+      // readout; "not significant" from an underpowered test means
+      // nothing. Units with no purchases are absent here — feed the
+      // full unit roster in production.
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+      Stats.powerMde(ev, col("user_id"), col("user_id") % 2,
+        col("value"), variantA = "0", variantB = "1")
+    }),
     "q_cuped" -> ((s, dir) => {
       // CUPED experiment readout: per-user purchase revenue in the
       // SECOND half of the window, adjusted by the first-half
@@ -5949,6 +5963,50 @@ object Queries {
     // CUPED replica: same per-row decimal staging, fix2 cross-moment
     // folds (one operand widened — DuckDB 18+18-digit products
     // overflow), and the identical closed-form double op order
+    // MDE replica: per-unit decimal totals, the cuped-style 2-dp
+    // fixed squares, welch-order variance, (1.96 + 0.8416)·sqrt(se2)
+    "q_power_mde" ->
+      """WITH per AS (SELECT user_id AS u,
+        |  CAST(user_id % 2 AS VARCHAR) AS v,
+        |  coalesce(sum(CAST(value AS DECIMAL(18,4))),
+        |    CAST(0 AS DECIMAL(18,4))) AS y
+        | FROM events
+        | WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        | GROUP BY 1, 2),
+        |one AS (SELECT
+        |  CAST(sum(CASE WHEN v = '0' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS na,
+        |  sum(CASE WHEN v = '0' THEN y END) AS sa,
+        |  sum(CASE WHEN v = '0' THEN
+        |    CAST(round(CAST(y AS DECIMAL(19,4)) * y, 2)
+        |     AS DECIMAL(28,2)) END) AS ssa,
+        |  CAST(sum(CASE WHEN v = '1' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS nb,
+        |  sum(CASE WHEN v = '1' THEN y END) AS sb,
+        |  sum(CASE WHEN v = '1' THEN
+        |    CAST(round(CAST(y AS DECIMAL(19,4)) * y, 2)
+        |     AS DECIMAL(28,2)) END) AS ssb
+        | FROM per),
+        |m AS (SELECT na, nb, sa,
+        |  (CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+        |    / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0) AS va,
+        |  (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+        |    / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0) AS vb
+        | FROM one),
+        |e AS (SELECT na, nb, sa, va, vb,
+        |  va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE) AS se2,
+        |  CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma
+        | FROM m)
+        |SELECT na AS n_a, nb AS n_b,
+        | CASE WHEN na > 0 THEN round(ma, 6) END AS mean_a,
+        | CASE WHEN na > 1 AND nb > 1 AND se2 > 0
+        |   THEN round(sqrt(se2), 6) END AS se,
+        | CASE WHEN na > 1 AND nb > 1 AND se2 > 0
+        |   THEN round((1.96 + 0.8416) * sqrt(se2), 6) END AS mde_abs,
+        | CASE WHEN na > 1 AND nb > 1 AND se2 > 0 AND ma <> 0
+        |   THEN round((1.96 + 0.8416) * sqrt(se2) / ma, 6) END
+        |  AS mde_rel
+        |FROM e""".stripMargin,
     "q_cuped" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d, value
         | FROM events WHERE event_type = 'purchase'),

@@ -966,6 +966,76 @@ object Stats {
         .as("did"))
   }
 
+  /** Minimum-detectable-effect readout — the experiment-DESIGN
+    * companion of [[welchT]]/[[cupedAdjust]]: given the unit counts
+    * and metric variances the experiment actually has, what absolute
+    * and relative lift could it detect at significance α and power
+    * 1−β? MDE = (z_{α/2} + z_β)·√(s²_a/n_a + s²_b/n_b) — the
+    * standard two-sample formula with the z quantiles supplied as
+    * literals (1.96 / 0.8416 for the canonical 5%/80%), keeping the
+    * gate transcendental-free. Run it BEFORE the readout: an
+    * underpowered experiment's "no significant difference" means
+    * nothing.
+    *
+    * Scale shape: one exchange to per-UNIT metric totals (the
+    * experimental unit is the randomization unit — row-level
+    * variance would understate SE under within-user correlation,
+    * the [[cupedAdjust]] staging), then one conditional aggregate to
+    * a 1-row frame of exact decimal moments.
+    *
+    * Determinism: per-unit totals and their [[cupedAdjust]]-style
+    * 2-dp-fixed squares sum as exact DECIMAL; the variance / SE /
+    * MDE chain runs in literal oracle order on the 1-row frame.
+    * NULL-gated when either arm has < 2 units or SE² ≤ 0.
+    *
+    * Returns one row: (n_a, n_b, mean_a, se, mde_abs, mde_rel) —
+    * mde_rel the detectable lift as a share of the control mean. */
+  def powerMde(
+      df: DataFrame,
+      unitCol: Column,
+      variantCol: Column,
+      yCol: Column,
+      variantA: String,
+      variantB: String,
+      zAlpha: Double = 1.96,
+      zBeta: Double = 0.8416): DataFrame = {
+    val dec = DecimalType(18, 4)
+    def fix2(c: Column) = round(c, 2).cast(DecimalType(28, 2))
+    val per = df
+      .select(unitCol.as("__u"), variantCol.cast(StringType).as("__v"),
+        yCol.cast(dec).as("__y"))
+      .filter(col("__u").isNotNull && col("__v").isin(variantA, variantB))
+      .groupBy(col("__u"), col("__v"))
+      .agg(coalesce(sum(col("__y")), lit(0).cast(dec)).as("__y"))
+    val one = per.agg(
+      sum(when(col("__v") === variantA, 1L).otherwise(0L)).as("__na"),
+      sum(when(col("__v") === variantA, col("__y"))).as("__sa"),
+      sum(when(col("__v") === variantA, fix2(col("__y") * col("__y"))))
+        .as("__ssa"),
+      sum(when(col("__v") === variantB, 1L).otherwise(0L)).as("__nb"),
+      sum(when(col("__v") === variantB, col("__y"))).as("__sb"),
+      sum(when(col("__v") === variantB, fix2(col("__y") * col("__y"))))
+        .as("__ssb"))
+    def d(c: Column) = c.cast(DoubleType)
+    def safe(c: Column) = when(c =!= 0.0, c).otherwise(lit(1.0))
+    def varOf(s: String, ss: String, n: String) =
+      (d(col(ss)) - d(col(s)) * d(col(s)) / safe(d(col(n)))) /
+        safe(d(col(n)) - lit(1.0))
+    val se2 = varOf("__sa", "__ssa", "__na") / safe(d(col("__na"))) +
+      varOf("__sb", "__ssb", "__nb") / safe(d(col("__nb")))
+    val meanA = d(col("__sa")) / safe(d(col("__na")))
+    val ok = col("__na") > 1 && col("__nb") > 1 && se2 > 0
+    val mde = (lit(zAlpha) + lit(zBeta)) * sqrt(se2)
+    one.select(col("__na").as("n_a"), col("__nb").as("n_b"),
+      when(col("__na") > 0, round(meanA, 6)).as("mean_a"),
+      when(ok, round(sqrt(se2), 6))
+        .otherwise(lit(null).cast(DoubleType)).as("se"),
+      when(ok, round(mde, 6))
+        .otherwise(lit(null).cast(DoubleType)).as("mde_abs"),
+      when(ok && meanA =!= 0.0, round(mde / safe(meanA), 6))
+        .otherwise(lit(null).cast(DoubleType)).as("mde_rel"))
+  }
+
   /** First-order Markov transition matrix over per-key event
     * sequences: for every ordered (from_state, to_state) pair of
     * consecutive states within a key, the transition count and its

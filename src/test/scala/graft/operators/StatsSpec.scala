@@ -1195,6 +1195,32 @@ class StatsSpec extends SparkSpecBase {
     assert(f.getAs[String]("trend") == "none", s"got $f")
   }
 
+  test("powerMde: hand-computed SE and MDE; a single-unit arm " +
+    "abstains") {
+    import spark.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // arm 0 = {10, 12} (var 2), arm 1 = {20, 24} (var 8):
+    // se2 = 2/2 + 8/2 = 5
+    val df = Seq((1L, 0L, 10.0), (2L, 0L, 12.0), (3L, 1L, 20.0),
+      (4L, 1L, 24.0)).toDF("u", "v", "y")
+    val r = Stats.powerMde(df, col("u"), col("v"), col("y"), "0", "1")
+      .collect()(0)
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("mean_a") == 11.0)
+    assert(r.getAs[Double]("se") == r6(math.sqrt(5.0)))
+    val mde = (1.96 + 0.8416) * math.sqrt(5.0)
+    assert(r.getAs[Double]("mde_abs") == r6(mde), s"got $r")
+    assert(r.getAs[Double]("mde_rel") == r6(mde / 11.0))
+    // an arm with one unit has no variance: everything NULL-gates
+    val thin = Seq((1L, 0L, 10.0), (3L, 1L, 20.0), (4L, 1L, 24.0))
+      .toDF("u", "v", "y")
+    val t = Stats.powerMde(thin, col("u"), col("v"), col("y"), "0", "1")
+      .collect()(0)
+    assert(t.isNullAt(t.fieldIndex("se")) &&
+      t.isNullAt(t.fieldIndex("mde_abs")), s"got $t")
+  }
+
   test("assocRules: hand-computed support/confidence/lift; duplicate " +
     "events dedup into baskets; min-support filters") {
     import spark.implicits._
