@@ -1199,6 +1199,17 @@ object Queries {
         when(TextAnalysis.tokenCount(col("text")) >= 70, "pass")
           .otherwise("fail"))
     }),
+    "q_mcnemar" -> ((s, dir) => {
+      // McNemar on the SAME two gates q_label_kappa scores: kappa
+      // says whether they agree, McNemar says whether one passes
+      // systematically MORE — only the discordant cells carry
+      // signal, which an overlapping-sample two-proportion z gets
+      // wrong. One aggregate pass to exact integer cells; Edwards
+      // continuity correction; literal 3.841 verdict.
+      val docs = Tables.documents(s, dir)
+      Stats.mcnemar(docs, col("n_chars") >= 400,
+        TextAnalysis.tokenCount(col("text")) >= 70)
+    }),
     "q_cramers_v" -> ((s, dir) => {
       // Effect size for categorical association: χ² normalized to
       // [0,1] — at corpus scale raw χ² is "significant" for any
@@ -8361,6 +8372,38 @@ object Queries {
         |     CAST(pe AS DOUBLE)) / (1.0 - CAST(pe AS DOUBLE)), 6)
         |  END AS kappa
         |FROM pe""".stripMargin,
+    // McNemar replica: same gates as the kappa oracle, exact integer
+    // cells, the clamped continuity-corrected χ², literal verdict
+    "q_mcnemar" ->
+      """WITH r AS (SELECT
+        |  coalesce(n_chars >= 400, false) AS a,
+        |  coalesce(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> len(x) > 0)) >= 70, false) AS b
+        | FROM documents),
+        |one AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  coalesce(CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END)
+        |    AS BIGINT), 0) AS both_pass,
+        |  coalesce(CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+        |    AS BIGINT), 0) AS a_only,
+        |  coalesce(CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+        |    AS BIGINT), 0) AS b_only,
+        |  coalesce(CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0
+        |    END) AS BIGINT), 0) AS neither
+        | FROM r),
+        |c AS (SELECT n, both_pass, a_only, b_only, neither,
+        |  CASE WHEN a_only + b_only > 0 THEN
+        |    round(greatest(CAST(abs(a_only - b_only) AS DOUBLE) - 1.0,
+        |        0.0) *
+        |      greatest(CAST(abs(a_only - b_only) AS DOUBLE) - 1.0,
+        |        0.0) /
+        |      CAST(a_only + b_only AS DOUBLE), 6)
+        |  END AS chi2
+        | FROM one)
+        |SELECT n, both_pass, a_only, b_only, neither, chi2,
+        | CASE WHEN chi2 IS NOT NULL THEN
+        |   CASE WHEN chi2 > 3.841 THEN 'reject' ELSE 'keep' END
+        | END AS verdict
+        |FROM c""".stripMargin,
     // Cramér's V replica: the q_chi_square contingency arithmetic on
     // (status, priority), plus V from the 6-dp-rounded χ².
     "q_cramers_v" ->

@@ -2222,6 +2222,54 @@ object Stats {
     out
   }
 
+  /** McNemar's test on PAIRED binary judgments — did swapping gate A
+    * for gate B change the pass/fail outcome on the same rows, or do
+    * they only differ by noise? The marginal-homogeneity companion of
+    * [[cohenKappa]] (kappa asks "do they agree"; McNemar asks "does
+    * one pass systematically more"), and the right test when both
+    * gates ran on the SAME documents: only the discordant cells
+    * carry signal, so the usual two-proportion z on overlapping
+    * samples would be wrong.
+    *
+    * χ² = (|b − c| − 1)² / (b + c) with the Edwards continuity
+    * correction, b/c the discordant counts — exact integers from ONE
+    * map-side-combined aggregate pass (NULL predicate = fail, the
+    * [[graft.operators.Expectations]] discipline). The only doubles
+    * are one division and the literal 3.841 verdict. NULL-gated when
+    * b + c = 0 (no discordance — nothing to test).
+    *
+    * Returns one row: (n, both_pass, a_only, b_only, neither, chi2,
+    * verdict ∈ {reject, keep, NULL}). */
+  def mcnemar(
+      df: DataFrame,
+      aPred: Column,
+      bPred: Column): DataFrame = {
+    val a = coalesce(aPred, lit(false))
+    val b = coalesce(bPred, lit(false))
+    val one = df.agg(count(lit(1)).as("n"),
+      coalesce(sum(when(a && b, 1L).otherwise(0L)), lit(0L))
+        .as("both_pass"),
+      coalesce(sum(when(a && !b, 1L).otherwise(0L)), lit(0L))
+        .as("a_only"),
+      coalesce(sum(when(!a && b, 1L).otherwise(0L)), lit(0L))
+        .as("b_only"),
+      coalesce(sum(when(!a && !b, 1L).otherwise(0L)), lit(0L))
+        .as("neither"))
+    val disc = col("a_only") + col("b_only")
+    val diff = abs(col("a_only") - col("b_only"))
+    def safe(c: Column) = when(c =!= 0.0, c).otherwise(lit(1.0))
+    // (|b−c|−1)² clamps at 0 when the discordant counts differ by < 1
+    val num = greatest(diff.cast(DoubleType) - 1.0, lit(0.0))
+    val chi2 = when(disc > 0,
+      round(num * num / safe(disc.cast(DoubleType)), 6))
+      .otherwise(lit(null).cast(DoubleType))
+    one.select(col("n"), col("both_pass"), col("a_only"), col("b_only"),
+      col("neither"), chi2.as("chi2"),
+      when(chi2.isNotNull,
+        when(chi2 > 3.841, lit("reject")).otherwise(lit("keep")))
+        .otherwise(lit(null).cast(StringType)).as("verdict"))
+  }
+
   /** Split-conformal prediction interval around an [[ols2]] plane
     * fit (Vovk et al.; the Lei et al. 2018 split-conformal recipe):
     * fit on a deterministic hash-half of the rows, take the

@@ -1195,6 +1195,32 @@ class StatsSpec extends SparkSpecBase {
     assert(f.getAs[String]("trend") == "none", s"got $f")
   }
 
+  test("mcnemar: hand-computed continuity-corrected chi2; no " +
+    "discordance abstains; NULL predicates count as fail") {
+    import spark.implicits._
+    // cells: both=2, a_only=6, b_only=1, neither=1 →
+    // χ² = (|6−1|−1)²/7 = 16/7 = 2.285714 → keep
+    val df = (Seq((true, true), (true, true), (false, true),
+      (false, false)) ++ Seq.fill(6)((true, false)))
+      .toDF("a", "b")
+    val r = Stats.mcnemar(df, col("a"), col("b")).collect()(0)
+    assert(r.getAs[Long]("both_pass") == 2L &&
+      r.getAs[Long]("a_only") == 6L && r.getAs[Long]("b_only") == 1L &&
+      r.getAs[Long]("neither") == 1L)
+    assert(r.getAs[Double]("chi2") == 2.285714, s"got $r")
+    assert(r.getAs[String]("verdict") == "keep")
+    // perfectly concordant: b + c = 0 → NULL abstention
+    val conc = Seq((true, true), (false, false)).toDF("a", "b")
+    val c = Stats.mcnemar(conc, col("a"), col("b")).collect()(0)
+    assert(c.isNullAt(c.fieldIndex("chi2")) &&
+      c.isNullAt(c.fieldIndex("verdict")))
+    // NULL predicate = fail: a NULL in a lands in b_only, not lost
+    val withNull = Seq((Option(true), true), (Option.empty[Boolean],
+      true)).toDF("a", "b")
+    val n = Stats.mcnemar(withNull, col("a"), col("b")).collect()(0)
+    assert(n.getAs[Long]("b_only") == 1L && n.getAs[Long]("n") == 2L)
+  }
+
   test("powerMde: hand-computed SE and MDE; a single-unit arm " +
     "abstains") {
     import spark.implicits._
