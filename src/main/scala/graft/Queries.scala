@@ -4154,6 +4154,17 @@ object Queries {
         .agg(countDistinct(col("source")).as("n_sources"),
           count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_sum"))
     }),
+    "q_mix_plan" -> ((s, dir) => {
+      // Feasibility planner for a target training mixture under
+      // subsampling only: N* = min over recipe strata of
+      // avail·10⁶ div share, per-stratum takes and utilization in
+      // exact integer ppm, binding stratum flagged. One count
+      // aggregate; the solve runs on the |targets|-row broadcast
+      // control frame.
+      Sampling.targetMixturePlan(Tables.documents(s, dir), "source",
+        Seq("src0" -> 400000L, "src1" -> 300000L, "src2" -> 150000L,
+          "src3" -> 100000L, "src4" -> 50000L))
+    }),
     "q_mix_sources" -> ((s, dir) => {
       // Source re-weighting (data mixing): integer-permille weights
       // per source (250..3250 = 0.25x..3.25x) applied as deterministic
@@ -7100,6 +7111,27 @@ object Queries {
          | CAST(sum(n_chars) AS BIGINT) AS chars_sum
          |FROM a GROUP BY split""".stripMargin
     },
+    // mixture-plan replica: VALUES recipe, left join to counts, the
+    // same exact integer floor divisions and binding flag
+    "q_mix_plan" ->
+      """WITH t(stratum, tp) AS (VALUES ('src0', 400000),
+        |  ('src1', 300000), ('src2', 150000), ('src3', 100000),
+        |  ('src4', 50000)),
+        |a AS (SELECT source AS stratum,
+        |  CAST(count(*) AS BIGINT) AS na
+        | FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |per AS (SELECT t.stratum, CAST(t.tp AS BIGINT) AS target_ppm,
+        |  coalesce(a.na, 0) AS n_avail,
+        |  coalesce(a.na, 0) * 1000000 // CAST(t.tp AS BIGINT) AS cap
+        | FROM t LEFT JOIN a USING (stratum)),
+        |ns AS (SELECT min(cap) AS nstar FROM per)
+        |SELECT stratum, n_avail, target_ppm,
+        | target_ppm * nstar // 1000000 AS n_take,
+        | CASE WHEN n_avail > 0 THEN
+        |   (target_ppm * nstar // 1000000) * 1000000 // n_avail
+        |  ELSE 0 END AS utilization_ppm,
+        | cap = nstar AS binding
+        |FROM per, ns""".stripMargin,
     "q_mix_sources" ->
       """WITH w AS (SELECT source, doc_id, n_chars,
         |  250 + (CAST(substring(source, 4) AS BIGINT) % 7) * 500 AS wp,

@@ -464,6 +464,58 @@ object Sampling {
         (col("__k") > col("__nf")).as("capped"))
   }
 
+  /** Subsampling-only plan to hit a TARGET mixture: given per-stratum
+    * target shares in ppm (the published training-mix recipe), the
+    * largest total sample N* every stratum can support without
+    * upsampling is N* = min_g(avail_g·10⁶ div share_g), and each
+    * stratum contributes share_g·N* div 10⁶ rows. The feasibility
+    * PLANNER in front of [[mixtureUpsample]] (which replicates to hit
+    * weights) and [[waterFillBudget]] (which splits a budget
+    * max-min-fair): this one answers "how much corpus does the
+    * recipe's binding stratum leave us, and what does each stratum
+    * give up". Strata outside the recipe are excluded by contract; a
+    * recipe stratum with no rows pins N* = 0 (visible, not silent).
+    *
+    * Scale shape: ONE map-side-combined count aggregate; the plan
+    * solves on the |targets|-row control-plane frame (targets
+    * broadcast, the 1-row N* crossJoins back). Exact integer floor
+    * divisions only.
+    *
+    * Returns one row per target stratum: (stratum, n_avail,
+    * target_ppm, n_take, utilization_ppm, binding — the stratum
+    * whose size set N*). */
+  def targetMixturePlan(
+      df: DataFrame,
+      strataCol: String,
+      targetsPpm: Seq[(String, Long)]): DataFrame = {
+    require(targetsPpm.nonEmpty, "need at least one target stratum")
+    require(targetsPpm.forall(_._2 > 0), "target shares must be > 0")
+    require(targetsPpm.map(_._2).sum <= 1000000L,
+      s"target shares exceed 10^6 ppm: ${targetsPpm.map(_._2).sum}")
+    require(targetsPpm.map(_._1).distinct.size == targetsPpm.size,
+      "duplicate target strata")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targets = targetsPpm.toDF("stratum", "target_ppm")
+    val avail = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol).cast(
+        org.apache.spark.sql.types.StringType).as("stratum"))
+      .agg(count(lit(1)).as("__na"))
+    val per = broadcast(targets)
+      .join(avail, Seq("stratum"), "left")
+      .select(col("stratum"), col("target_ppm"),
+        coalesce(col("__na"), lit(0L)).as("n_avail"))
+      .withColumn("__cap", expr("n_avail * 1000000 div target_ppm"))
+    val nstar = per.agg(min(col("__cap")).as("__nstar"))
+    per.crossJoin(broadcast(nstar)) // 1-row control plane
+      .select(col("stratum"), col("n_avail"), col("target_ppm"),
+        expr("target_ppm * __nstar div 1000000").as("n_take"),
+        when(col("n_avail") > 0,
+          expr("(target_ppm * __nstar div 1000000) * 1000000" +
+            " div n_avail")).otherwise(lit(0L)).as("utilization_ppm"),
+        (col("__cap") === col("__nstar")).as("binding"))
+  }
+
   /** Neyman-allocated stratified sample: spend a global `budget` of
     * rows across strata proportionally to N_h·σ_h — size × standard
     * deviation of `value` — so VOLATILE strata get surveyed harder

@@ -553,4 +553,28 @@ class CurationSpec extends SparkSpecBase {
     assert(kept.count() == 0L,
       "σ = 0 ⇒ weight 0 ⇒ no allocation, for every stratum")
   }
+
+  test("targetMixturePlan: the binding stratum sets N*; an empty " +
+    "recipe stratum pins the plan to zero") {
+    import spark.implicits._
+    // avail a=10, b=100; 50/50 recipe → caps 20/200 → N*=20
+    val df = ((1 to 10).map(i => (s"r$i", "a")) ++
+      (1 to 100).map(i => (s"s$i", "b"))).toDF("id", "src")
+    val got = Sampling.targetMixturePlan(df, "src",
+      Seq("a" -> 500000L, "b" -> 500000L))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("a").getAs[Long]("n_take") == 10L)
+    assert(got("b").getAs[Long]("n_take") == 10L)
+    assert(got("a").getAs[Long]("utilization_ppm") == 1000000L)
+    assert(got("b").getAs[Long]("utilization_ppm") == 100000L)
+    assert(got("a").getAs[Boolean]("binding"))
+    assert(!got("b").getAs[Boolean]("binding"))
+    // a recipe stratum with no rows: N* = 0, visibly binding
+    val z = Sampling.targetMixturePlan(df, "src",
+      Seq("a" -> 500000L, "zz" -> 500000L))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(z("zz").getAs[Long]("n_avail") == 0L)
+    assert(z("a").getAs[Long]("n_take") == 0L)
+    assert(z("zz").getAs[Boolean]("binding"))
+  }
 }
