@@ -749,6 +749,17 @@ object Queries {
         .agg(dsum(col("value")).as("v"))
       Stats.theilSenByGroup(daily, Seq("event_type"), "d", "v")
     }),
+    "q_trend_mk_by_group" -> ((s, dir) => {
+      // The significance column for the q_trend_by_source dashboard:
+      // per-event-type Mann–Kendall verdict over the same daily
+      // series — exact integer S and tie-corrected variance per
+      // group, group-partitioned windows and a group-keyed pair
+      // self-join (nothing single-partition), maxPeriods-guarded.
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), dateFmt(col("ts")).as("d"))
+        .agg(dsum(col("value")).as("v"))
+      Stats.mannKendallByGroup(daily, Seq("event_type"), "d", "v")
+    }),
     "q_trend_mk" -> ((s, dir) => {
       // Mann–Kendall significance test on the daily-revenue series:
       // the non-parametric "is there a monotone trend AT ALL" verdict
@@ -5548,6 +5559,44 @@ object Queries {
     // grouped Theil–Sen replica: per-group pair self-join, the same
     // (slope, ia, ib) total order for the slope median, and the
     // residual median against the 6-dp EMITTED slope
+    // grouped Mann–Kendall replica: per-group exact S + tie census
+    // over the same daily series, /18, IEEE sqrt, literal 1.96
+    "q_trend_mk_by_group" ->
+      """WITH daily AS (SELECT event_type AS g,
+        |  strftime(ts, '%Y-%m-%d') AS d,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |    AS v
+        | FROM events GROUP BY 1, 2),
+        |idx AS (SELECT g, CAST(v AS DECIMAL(18,4)) AS y,
+        |  row_number() OVER (PARTITION BY g ORDER BY d ASC) AS i
+        | FROM daily),
+        |np AS (SELECT g, CAST(count(*) AS BIGINT) AS n
+        | FROM idx GROUP BY g),
+        |s AS (SELECT a.g AS g, CAST(sum(CASE WHEN b.y > a.y THEN 1
+        |    WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        | FROM idx a JOIN idx b ON a.g = b.g AND b.i > a.i GROUP BY 1),
+        |tt AS (SELECT g, coalesce(CAST(sum(t * (t - 1) * (2 * t + 5))
+        |    AS BIGINT), 0) AS tt
+        | FROM (SELECT g, CAST(count(*) AS BIGINT) AS t FROM idx
+        |   GROUP BY g, y)
+        | GROUP BY g),
+        |v AS (SELECT s.g, np.n AS n_periods, s.s_stat,
+        |  round(CAST(np.n * (np.n - 1) * (2 * np.n + 5) - tt.tt
+        |    AS DOUBLE) / 18.0, 6) AS var_s
+        | FROM s JOIN np ON s.g = np.g JOIN tt ON s.g = tt.g),
+        |z AS (SELECT g, n_periods, s_stat, var_s,
+        |  CASE WHEN var_s > 0 THEN
+        |    round((CASE WHEN s_stat > 0 THEN
+        |        CAST(s_stat - 1 AS DOUBLE)
+        |      WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+        |      ELSE 0.0 END) / sqrt(var_s), 6)
+        |  ELSE 0.0 END AS z
+        | FROM v)
+        |SELECT g AS event_type, n_periods, s_stat, var_s, z,
+        | CASE WHEN z > 1.96 THEN 'increasing'
+        |      WHEN z < -1.96 THEN 'decreasing'
+        |      ELSE 'none' END AS trend
+        |FROM z""".stripMargin,
     "q_trend_by_source" ->
       """WITH daily AS (SELECT event_type AS g,
         |  strftime(ts, '%Y-%m-%d') AS d,

@@ -3474,6 +3474,86 @@ object Stats {
         col("__xn").as("x_hi"))
   }
 
+  /** Per-GROUP Mann–Kendall — the significance verdict to pair with
+    * [[theilSenByGroup]]'s slopes on a corpus-health dashboard: for
+    * every group, S = Σ sign-concordance over that group's own
+    * period pairs, the tie-corrected variance, and the continuity-
+    * corrected Z against the literal 1.96. Same contract as the
+    * global [[mannKendall]] (exact integer S / variance terms; the
+    * only doubles are /18, one IEEE sqrt, the Z division), same
+    * group-parallel shape as [[theilSenByGroup]]: every window
+    * partitions by the group keys and the P²/2 pair frame comes from
+    * a group-keyed self-join, so groups rank and pair in parallel.
+    *
+    * Guard: the LARGEST group's period count is capped at
+    * `maxPeriods` (one control-plane collect); a single-period group
+    * has no pairs and is absent from the output.
+    *
+    * Returns one row per group with ≥ 2 periods: (groupCols...,
+    * n_periods, s_stat, var_s, z, trend). */
+  def mannKendallByGroup(
+      series: DataFrame,
+      groupCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      maxPeriods: Long = 10000L): DataFrame = {
+    val grp = groupCols.map(col)
+    val wIdx = Window.partitionBy(grp: _*).orderBy(col(orderCol).asc)
+    val idx = series
+      .select(grp ++ Seq(col(valueCol).cast(DecimalType(18, 4))
+        .as("__y"), row_number().over(wIdx).as("__i")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pmax = idx.groupBy(grp: _*).agg(count(lit(1)).as("__p"))
+      .agg(coalesce(max(col("__p")), lit(0L))).collect()(0).getLong(0)
+    if (pmax > maxPeriods) {
+      idx.unpersist(false)
+      require(pmax <= maxPeriods,
+        s"mannKendallByGroup: largest group has $pmax periods -> " +
+          s"${pmax * (pmax - 1) / 2} pairs exceeds the " +
+          s"maxPeriods=$maxPeriods cap; aggregate to coarser periods")
+    }
+    val a = idx.select(grp ++ Seq(col("__i").as("__ia"),
+      col("__y").as("__ya")): _*)
+    val b = idx.select(grp ++ Seq(col("__i").as("__ib"),
+      col("__y").as("__yb")): _*)
+    val sAgg = a.join(b, groupCols)
+      .filter(col("__ib") > col("__ia"))
+      .groupBy(grp: _*)
+      .agg(sum(when(col("__yb") > col("__ya"), 1L)
+        .when(col("__yb") < col("__ya"), -1L)
+        .otherwise(0L)).as("s_stat"))
+    val counts = idx.groupBy(grp: _*).agg(count(lit(1)).as("n_periods"))
+    val ties = idx.groupBy(grp ++ Seq(col("__y")): _*)
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(grp: _*)
+      .agg(coalesce(sum(col("__t") * (col("__t") - 1) *
+        (lit(2L) * col("__t") + 5)), lit(0L)).as("__tt"))
+    val n = col("n_periods")
+    val out = sAgg.join(counts, groupCols).join(ties, groupCols)
+      .withColumn("var_s",
+        round((n * (n - 1) * (lit(2L) * n + 5) - col("__tt"))
+          .cast(DoubleType) / lit(18.0), 6))
+      .withColumn("z",
+        when(col("var_s") > 0.0,
+          round(when(col("s_stat") > 0,
+            (col("s_stat") - 1).cast(DoubleType))
+            .when(col("s_stat") < 0,
+              (col("s_stat") + 1).cast(DoubleType))
+            .otherwise(lit(0.0)) /
+            when(col("var_s") > 0.0, sqrt(col("var_s")))
+              .otherwise(lit(1.0)), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("trend",
+        when(col("z") > 1.96, lit("increasing"))
+          .when(col("z") < -1.96, lit("decreasing"))
+          .otherwise(lit("none")))
+      .select(grp ++ Seq(col("n_periods"), col("s_stat"), col("var_s"),
+        col("z"), col("trend")): _*)
+      .localCheckpoint(true) // |groups| rows; free idx afterwards
+    idx.unpersist(false)
+    out
+  }
+
   /** Per-GROUP Theil–Sen trend — the corpus-health-dashboard form of
     * [[theilSenTrend]] (VERDICT r9 stretch 8): one robust slope +
     * intercept per group over that group's own period series. CHEAPER

@@ -1195,6 +1195,30 @@ class StatsSpec extends SparkSpecBase {
     assert(f.getAs[String]("trend") == "none", s"got $f")
   }
 
+  test("mannKendallByGroup: per-group verdicts match the global " +
+    "operator run on each group; single-period groups are absent") {
+    import spark.implicits._
+    val rising = (1 to 5).map(i => ("up", f"2024-01-0$i", i.toDouble))
+    val flat = (1 to 5).map(i => ("fl", f"2024-01-0$i", 7.0))
+    val lone = Seq(("one", "2024-01-01", 3.0))
+    val df = (rising ++ flat ++ lone).toDF("g", "d", "v")
+    val got = Stats.mannKendallByGroup(df, Seq("g"), "d", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("up", "fl")) // "one" has no pairs
+    assert(got("up").getAs[Long]("s_stat") == 10L)
+    assert(got("up").getAs[String]("trend") == "increasing")
+    assert(got("fl").getAs[Long]("s_stat") == 0L)
+    assert(got("fl").getAs[Double]("var_s") == 0.0)
+    assert(got("fl").getAs[String]("trend") == "none")
+    // values match the global operator on the same series
+    val glob = Stats.mannKendall(
+      rising.map { case (_, d, v) => (d, v) }.toDF("d", "v"), "d", "v")
+      .collect()(0)
+    assert(got("up").getAs[Double]("z") == glob.getAs[Double]("z"))
+    assert(got("up").getAs[Double]("var_s") ==
+      glob.getAs[Double]("var_s"))
+  }
+
   test("mcnemar: hand-computed continuity-corrected chi2; no " +
     "discordance abstains; NULL predicates count as fail") {
     import spark.implicits._
