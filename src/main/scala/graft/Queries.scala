@@ -1040,6 +1040,16 @@ object Queries {
       Stats.ksByGroup(Tables.documents(s, dir), "n_chars", "source",
         refGroup = "src0")
     }),
+    "q_wasserstein" -> ((s, dir) => {
+      // Earth-mover drift gate on the same series q_ks_test sups:
+      // W₁ = ∫|F_src − F_src0| dx over doc lengths — how far the
+      // distribution moved in CHARACTERS, not just whether it
+      // deviates anywhere. Exact until one division: integer
+      // common-denominator CDF gaps × decimal value steps, summed as
+      // DECIMAL(38,4).
+      Stats.wassersteinByGroup(Tables.documents(s, dir), "n_chars",
+        "source", refGroup = "src0")
+    }),
     "q_chi_square" -> ((s, dir) => {
       // Frequentist independence test on the same (lang, source)
       // contingency table as q_mutual_info: χ² with the zero-cell
@@ -7772,6 +7782,39 @@ object Queries {
         |FROM one JOIN sev USING (d)""".stripMargin,
     "q_label_entropy" -> labelEntropyOracle,
     "q_ks_test" -> ksTestOracle,
+    // Wasserstein replica: same spine × groups grid as KS, the
+    // integer common-denominator gap × DECIMAL(18,4) step, one
+    // double division at the edge
+    "q_wasserstein" ->
+      """WITH v AS (SELECT source AS g,
+        |  CAST(n_chars AS DECIMAL(18,4)) AS x
+        | FROM documents WHERE n_chars IS NOT NULL),
+        |c AS (SELECT g, x, CAST(count(*) AS BIGINT) AS c
+        | FROM v GROUP BY 1, 2),
+        |sp AS (SELECT DISTINCT x FROM c),
+        |gs AS (SELECT DISTINCT g FROM c),
+        |grid AS (SELECT gs.g, sp.x, coalesce(c.c, 0) AS c
+        | FROM gs CROSS JOIN sp
+        | LEFT JOIN c ON c.g = gs.g AND c.x = sp.x),
+        |e AS (SELECT g, x, c,
+        |  CAST(sum(c) OVER (PARTITION BY g ORDER BY x ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS BIGINT) AS cum,
+        |  CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n,
+        |  lead(x) OVER (PARTITION BY g ORDER BY x ASC) AS nx
+        | FROM grid),
+        |r AS (SELECT x, cum AS cr, n AS nr FROM e WHERE g = 'src0'),
+        |t AS (SELECT e.g, e.n, r.nr,
+        |  CAST(abs(e.cum * r.nr - r.cr * e.n) AS DECIMAL(19,0)) *
+        |    (e.nx - e.x) AS term
+        | FROM e JOIN r ON e.x = r.x
+        | WHERE e.g <> 'src0' AND e.nx IS NOT NULL)
+        |SELECT g AS source, max(n) AS n,
+        | round(CAST(coalesce(sum(term), CAST(0 AS DECIMAL(38,4)))
+        |    AS DOUBLE) /
+        |   (CAST(max(n) AS DOUBLE) * CAST(max(nr) AS DOUBLE)), 6)
+        |  AS w1
+        |FROM t GROUP BY g""".stripMargin,
     "q_corpus_report" -> corpusReportOracle,
     "q_chi_square" ->
       """WITH ab AS (SELECT lang, source, count(*) AS cab

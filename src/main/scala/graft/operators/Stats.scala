@@ -1631,6 +1631,72 @@ object Stats {
     out
   }
 
+  /** Earth-mover (Wasserstein-1) distance of every group against
+    * `refGroup`: W₁ = ∫ |F_g − F_ref| dx over the exact empirical
+    * CDFs — the "how FAR did it drift, in the metric's own units"
+    * companion of [[ksByGroup]] (KS is the sup — binning-free but
+    * unitless and insensitive to how long the CDFs stay apart; W₁
+    * integrates the gap, so a small persistent shift scores what it
+    * costs). Same scale shape as KS: one map-side-combined (group,
+    * value) count, the distinct-value spine × groups grid, windows
+    * partitioned per group; quantize continuous values first.
+    *
+    * Determinism: EXACT until the last division — each spine step
+    * contributes |cum_g·n_ref − cum_ref·n_g| (integer, the common-
+    * denominator trick) × the DECIMAL(18,4) value gap, cast
+    * DECIMAL(19,0) before the multiply so the product caps at
+    * precision 38; the DECIMAL(38,4) sum is order-free, and
+    * W₁ = S/(n_g·n_ref) is one double division + round. The integer
+    * cross-products hold to ~3·10⁹ rows per group; beyond that the
+    * cums would widen to DECIMAL (the [[mannWhitney]] contract).
+    *
+    * Returns (groupCol, n, w1) for every group ≠ `refGroup`. */
+  def wassersteinByGroup(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      refGroup: String): DataFrame = {
+    val v = df
+      .select(col(groupCol).cast(StringType).as("__g"),
+        col(valueCol).cast(DecimalType(18, 4)).as("__x"))
+      .filter(col("__x").isNotNull)
+    val counts = v.groupBy(col("__g"), col("__x"))
+      .agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spine = counts.select(col("__x")).distinct()
+    val groups = counts.select(col("__g")).distinct()
+    val filled = groups.crossJoin(spine)
+      .join(counts, Seq("__g", "__x"), "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+    val wcum = Window.partitionBy(col("__g")).orderBy(col("__x").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wlead = Window.partitionBy(col("__g")).orderBy(col("__x").asc)
+    val wtot = Window.partitionBy(col("__g"))
+    val ecdf = filled
+      .withColumn("__cum", sum(col("__c")).over(wcum))
+      .withColumn("__n", sum(col("__c")).over(wtot))
+      .withColumn("__nx", lead(col("__x"), 1).over(wlead))
+    val ref = ecdf.filter(col("__g") === refGroup)
+      .select(col("__x"), col("__cum").as("__cr"), col("__n").as("__nr"))
+    val out = ecdf.filter(col("__g") =!= refGroup)
+      .join(ref, Seq("__x"))
+      .filter(col("__nx").isNotNull) // last spine step has no width
+      .withColumn("__term",
+        abs(col("__cum") * col("__nr") - col("__cr") * col("__n"))
+          .cast(DecimalType(19, 0)) * (col("__nx") - col("__x")))
+      .groupBy(col("__g"))
+      .agg(max(col("__n")).as("n"), max(col("__nr")).as("__nr2"),
+        coalesce(sum(col("__term")),
+          lit(0).cast(DecimalType(38, 4))).as("__s"))
+      .select(col("__g").as(groupCol), col("n"),
+        round(col("__s").cast(DoubleType) /
+          (col("n").cast(DoubleType) * col("__nr2").cast(DoubleType)),
+          6).as("w1"))
+      .localCheckpoint(true) // ≤ |groups| rows; free counts afterwards
+    counts.unpersist(false)
+    out
+  }
+
   /** Pearson χ² test of independence between two categorical columns
     * — the frequentist sibling of [[mutualInformation]] on the same
     * contingency table: χ² = Σ (o − e)²/e with e = (row total ×

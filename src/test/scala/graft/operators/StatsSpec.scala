@@ -1195,6 +1195,20 @@ class StatsSpec extends SparkSpecBase {
     assert(f.getAs[String]("trend") == "none", s"got $f")
   }
 
+  test("wassersteinByGroup: hand-computed earth-mover distance; an " +
+    "identical distribution scores zero") {
+    import spark.implicits._
+    // ref = {0, 10}, a = {10, 10}: F differs by 0.5 over a width-10
+    // step → W₁ = 5; b ≡ ref → 0
+    val df = Seq(("r", 0.0), ("r", 10.0), ("a", 10.0), ("a", 10.0),
+      ("b", 0.0), ("b", 10.0)).toDF("g", "v")
+    val got = Stats.wassersteinByGroup(df, "v", "g", refGroup = "r")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(got("a").getAs[Double]("w1") == 5.0, s"got ${got("a")}")
+    assert(got("b").getAs[Double]("w1") == 0.0)
+    assert(!got.contains("r"))
+  }
+
   test("mannKendallByGroup: per-group verdicts match the global " +
     "operator run on each group; single-period groups are absent") {
     import spark.implicits._
