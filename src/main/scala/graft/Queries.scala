@@ -1220,6 +1220,20 @@ object Queries {
         when(TextAnalysis.tokenCount(col("text")) >= 70, "pass")
           .otherwise("fail"))
     }),
+    "q_fleiss_kappa" -> ((s, dir) => {
+      // Does the three-gate quality battery agree beyond chance AT
+      // ALL? Fleiss' kappa over the length gate, the word-count gate,
+      // and the avg-word-length gibberish gate (n_chars ≤ 8·tokens —
+      // an integer compare, no division). Pairwise kappas would ask
+      // three different questions; this asks the one the pipeline
+      // cares about. ONE aggregate pass; P̄ and proportions exact.
+      val docs = Tables.documents(s, dir)
+      val tk = TextAnalysis.tokenCount(col("text"))
+      Stats.fleissKappa(docs, Seq(
+        col("n_chars") >= 400,
+        tk >= 70,
+        col("n_chars") <= tk * 8))
+    }),
     "q_mcnemar" -> ((s, dir) => {
       // McNemar on the SAME two gates q_label_kappa scores: kappa
       // says whether they agree, McNemar says whether one passes
@@ -8496,6 +8510,38 @@ object Queries {
         |     CAST(pe AS DOUBLE)) / (1.0 - CAST(pe AS DOUBLE)), 6)
         |  END AS kappa
         |FROM pe""".stripMargin,
+    // Fleiss replica: the same three gates, exact integer per-item
+    // agreement numerators, literal-order closed form
+    "q_fleiss_kappa" ->
+      """WITH r AS (SELECT
+        |  CASE WHEN coalesce(n_chars >= 400, false) THEN 1 ELSE 0 END
+        |   + CASE WHEN coalesce(len(list_filter(
+        |       regexp_split_to_array(text, '\s+'),
+        |       x -> len(x) > 0)) >= 70, false) THEN 1 ELSE 0 END
+        |   + CASE WHEN coalesce(n_chars <= len(list_filter(
+        |       regexp_split_to_array(text, '\s+'),
+        |       x -> len(x) > 0)) * 8, false) THEN 1 ELSE 0 END
+        |   AS np
+        | FROM documents),
+        |one AS (SELECT CAST(count(*) AS BIGINT) AS ni,
+        |  coalesce(CAST(sum(np * np + (3 - np) * (3 - np) - 3)
+        |    AS BIGINT), 0) AS num,
+        |  coalesce(CAST(sum(np) AS BIGINT), 0) AS sp
+        | FROM r),
+        |f AS (SELECT ni, num, sp,
+        |  CAST(num AS DOUBLE) /
+        |    (CAST(ni AS DOUBLE) * 3.0 * 2.0) AS pbar,
+        |  CAST(sp AS DOUBLE) / (3.0 * CAST(ni AS DOUBLE)) AS pp,
+        |  (3.0 * CAST(ni AS DOUBLE) - CAST(sp AS DOUBLE)) /
+        |    (3.0 * CAST(ni AS DOUBLE)) AS pf
+        | FROM one)
+        |SELECT ni AS n_items, CAST(3 AS BIGINT) AS n_raters,
+        | CASE WHEN ni > 0 THEN round(pbar, 6) END AS p_bar,
+        | CASE WHEN ni > 0 THEN round(pp * pp + pf * pf, 6) END AS p_e,
+        | CASE WHEN ni > 0 AND pp * pp + pf * pf < 1.0 THEN
+        |   round((pbar - (pp * pp + pf * pf)) /
+        |     (1.0 - (pp * pp + pf * pf)), 6) END AS kappa
+        |FROM f""".stripMargin,
     // McNemar replica: same gates as the kappa oracle, exact integer
     // cells, the clamped continuity-corrected χ², literal verdict
     "q_mcnemar" ->

@@ -2288,6 +2288,56 @@ object Stats {
     out
   }
 
+  /** Fleiss' kappa over n ≥ 2 binary "raters" (heuristic gates) on
+    * the same rows — the multi-rater extension of [[cohenKappa]]:
+    * with a whole battery of quality gates, pairwise kappas grow
+    * quadratically and answer n(n−1)/2 different questions; Fleiss
+    * answers the one a curation pipeline asks — "does the battery
+    * agree beyond chance AT ALL". Binary categories (pass/fail),
+    * NULL predicate = fail (the [[graft.operators.Expectations]]
+    * discipline).
+    *
+    * Determinism: P̄ and the category proportions are EXACT — per
+    * item the agreement numerator Σ_j n_ij² − n is a small integer
+    * (n_pass² + n_fail² − n), so P̄ = Σ_i num_i / (N·n·(n−1)) and
+    * p_pass = Σ n_pass/(n·N) are single divisions of exact longs;
+    * P̄_e and kappa then run in literal oracle order on the 1-row
+    * frame. ONE map-side-combined aggregate pass, no join, no
+    * shuffle of data rows.
+    *
+    * Returns one row: (n_items, n_raters, p_bar, p_e, kappa) —
+    * kappa NULL when P̄_e = 1 (all raters unanimous on one category
+    * everywhere: agreement is degenerate, not informative). */
+  def fleissKappa(
+      df: DataFrame,
+      preds: Seq[Column]): DataFrame = {
+    val n = preds.size
+    require(n >= 2, s"fleissKappa needs >= 2 raters, got $n")
+    val npass = preds.map(p =>
+      when(coalesce(p, lit(false)), 1L).otherwise(0L)).reduce(_ + _)
+    val nfail = lit(n.toLong) - npass
+    val one = df.agg(count(lit(1)).as("__ni"),
+      coalesce(sum(npass * npass + nfail * nfail - n.toLong), lit(0L))
+        .as("__num"),
+      coalesce(sum(npass), lit(0L)).as("__sp"))
+    def d(c: Column) = c.cast(DoubleType)
+    def safe(c: Column) = when(c =!= 0.0, c).otherwise(lit(1.0))
+    val nD = d(col("__ni"))
+    val pbar = d(col("__num")) /
+      safe(nD * lit(n.toDouble) * lit(n - 1.0))
+    val pPass = d(col("__sp")) / safe(lit(n.toDouble) * nD)
+    val pFail = (lit(n.toDouble) * nD - d(col("__sp"))) /
+      safe(lit(n.toDouble) * nD)
+    val pe = pPass * pPass + pFail * pFail
+    val ok = col("__ni") > 0 && pe < 1.0
+    one.select(col("__ni").as("n_items"),
+      lit(n.toLong).as("n_raters"),
+      when(col("__ni") > 0, round(pbar, 6)).as("p_bar"),
+      when(col("__ni") > 0, round(pe, 6)).as("p_e"),
+      when(ok, round((pbar - pe) / safe(lit(1.0) - pe), 6))
+        .otherwise(lit(null).cast(DoubleType)).as("kappa"))
+  }
+
   /** McNemar's test on PAIRED binary judgments — did swapping gate A
     * for gate B change the pass/fail outcome on the same rows, or do
     * they only differ by noise? The marginal-homogeneity companion of

@@ -1195,6 +1195,37 @@ class StatsSpec extends SparkSpecBase {
     assert(f.getAs[String]("trend") == "none", s"got $f")
   }
 
+  test("fleissKappa: hand-computed multi-rater agreement; unanimity " +
+    "on one category abstains; NULL predicates count as fail") {
+    import spark.implicits._
+    // 3 raters, 4 items with pass-counts {3, 3, 0, 1}:
+    // num_i = np²+(3−np)²−3 → {6, 6, 6, 2}; P̄ = 20/24
+    // p_pass = 7/12, p_e = 49/144 + 25/144 = 74/144
+    val df = Seq((true, true, true), (true, true, true),
+      (false, false, false), (true, false, false))
+      .toDF("a", "b", "c")
+    val r = Stats.fleissKappa(df,
+      Seq(col("a"), col("b"), col("c"))).collect()(0)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pbar = 20.0 / 24.0
+    val pe = (7.0 / 12.0) * (7.0 / 12.0) + (5.0 / 12.0) * (5.0 / 12.0)
+    assert(r.getAs[Long]("n_items") == 4L)
+    assert(r.getAs[Double]("p_bar") == r6(pbar), s"got $r")
+    assert(r.getAs[Double]("kappa") == r6((pbar - pe) / (1.0 - pe)))
+    // unanimous pass everywhere: p_e = 1 → NULL abstention
+    val u = Stats.fleissKappa(
+      Seq((true, true)).toDF("a", "b"), Seq(col("a"), col("b")))
+      .collect()(0)
+    assert(u.isNullAt(u.fieldIndex("kappa")))
+    // NULL predicate counts as fail, not dropped
+    val n = Stats.fleissKappa(
+      Seq((Option(true), true), (Option.empty[Boolean], true))
+        .toDF("a", "b"), Seq(col("a"), col("b"))).collect()(0)
+    assert(n.getAs[Long]("n_items") == 2L)
+    assert(n.getAs[Double]("p_bar") == 0.5) // items agree half the time
+  }
+
   test("wassersteinByGroup: hand-computed earth-mover distance; an " +
     "identical distribution scores zero") {
     import spark.implicits._
