@@ -595,6 +595,16 @@ object Queries {
       Stats.transitionMatrix(Tables.events(s, dir), col("user_id"),
         col("ts"), col("event_id"), col("event_type"))
     }),
+    "q_event_paths" -> ((s, dir) => {
+      // The higher-order flows the Markov matrix can't see: top-20
+      // per-user event-type paths of length 3 with exact integer-ppm
+      // shares. One exchange on user_id for the sliding window; the
+      // path census is ≤ |types|³ rows and the top-k cut plans as
+      // TakeOrderedAndProject under a total (n desc, path asc)
+      // order.
+      Stats.pathMining(Tables.events(s, dir), col("user_id"),
+        col("ts"), col("event_id"), col("event_type"))
+    }),
     "q_markov_steady" -> ((s, dir) => {
       // Long-run behavior of the event chain: the stationary
       // distribution of q_event_transitions' matrix by 20 power-
@@ -5334,6 +5344,22 @@ object Queries {
     // transitionMatrix replica: lag per user ordered (ts, event_id),
     // pair counts, integer-ppm row-conditional probabilities
     "q_event_transitions" -> transitionsOracle,
+    // path-mining replica: same per-user sliding window, exact
+    // integer ppm shares, total (n desc, path asc) top-k order
+    "q_event_paths" ->
+      """WITH e AS (SELECT user_id AS k, ts AS o, event_id AS t,
+        |  event_type AS s FROM events),
+        |p AS (SELECT lag(s, 2) OVER w AS s1, lag(s, 1) OVER w AS s2,
+        |  s AS s3
+        | FROM e WINDOW w AS (PARTITION BY k ORDER BY o ASC, t ASC)),
+        |c AS (SELECT s1 || '>' || s2 || '>' || s3 AS path,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM p WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+        |   AND s3 IS NOT NULL
+        | GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+        |SELECT path, n, n * 1000000 // tot AS share_ppm
+        |FROM c, tt ORDER BY n DESC, path ASC LIMIT 20""".stripMargin,
     "q_markov_steady" -> markovSteadyOracle,
     // the streaming drain must land on the identical matrix — the
     // batch oracle verbatim is the whole point of the gate

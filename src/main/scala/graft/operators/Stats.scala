@@ -1077,6 +1077,64 @@ object Stats {
       .drop("__tot")
   }
 
+  /** Top-k event PATHS of length `pathLen` — the higher-order
+    * complement of [[transitionMatrix]]: the matrix assumes the next
+    * state depends only on the current one; the path census shows
+    * the actual multi-step flows (and where the Markov assumption
+    * breaks — a path far off its chained-bigram expectation is
+    * memory). Paths slide per key over the (orderBy, tiebreak) total
+    * order, so a key with s states yields s − pathLen + 1 paths.
+    *
+    * Scale shape: ONE exchange on the key for the lag window
+    * (sequences never interleave across partitions), a map-side-
+    * combined path count (≤ |states|^pathLen rows — tiny for event
+    * vocabularies), a 1-row total broadcast back, and the top-k cut
+    * plans as TakeOrderedAndProject (per-partition top-k + driver
+    * merge, no global sort). Share is exact integer ppm; the top-k
+    * order (n desc, path asc) is total, so the cut replays on any
+    * engine.
+    *
+    * Returns ≤ `topK` rows: (path — states joined with '>', n,
+    * share_ppm of ALL length-`pathLen` paths). */
+  def pathMining(
+      df: DataFrame,
+      keyCol: Column,
+      orderBy: Column,
+      tiebreak: Column,
+      state: Column,
+      pathLen: Int = 3,
+      topK: Int = 20): DataFrame = {
+    require(pathLen >= 2 && pathLen <= 5,
+      s"pathLen must be in [2, 5]: $pathLen")
+    require(topK > 0, s"topK must be positive: $topK")
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__o").asc, col("__t").asc)
+    val lagCols = (pathLen - 1 to 0 by -1).map { i =>
+      val c = if (i == 0) col("__s") else lag(col("__s"), i).over(w)
+      c.as(s"__s$i")
+    }
+    val names = (pathLen - 1 to 0 by -1).map(i => col(s"__s$i"))
+    val paths = df
+      .select(keyCol.as("__k"), orderBy.as("__o"), tiebreak.as("__t"),
+        state.cast(StringType).as("__s"))
+      .select(lagCols: _*)
+      // a NULL anywhere means an incomplete (or NULL-state) window
+      .filter(names.map(_.isNotNull).reduce(_ && _))
+      .withColumn("__path", concat_ws(">", names: _*))
+      .groupBy(col("__path").as("path"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = paths.agg(sum(col("n")).as("__tot"))
+    val out = paths.crossJoin(broadcast(tot)) // 1-row control plane
+      .withColumn("share_ppm", expr("n * 1000000 div __tot"))
+      .drop("__tot")
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(topK)
+      .localCheckpoint(true) // ≤ topK rows; free paths afterwards
+    paths.unpersist(false)
+    out
+  }
+
   /** Stationary distribution of the [[transitionMatrix]] chain by
     * power iteration: where does the process SPEND ITS TIME in the
     * long run — the one-number-per-state summary of the behavioral

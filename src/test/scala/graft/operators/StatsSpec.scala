@@ -1195,6 +1195,25 @@ class StatsSpec extends SparkSpecBase {
     assert(f.getAs[String]("trend") == "none", s"got $f")
   }
 
+  test("pathMining: sliding windows stay inside a key; shares are " +
+    "exact ppm; the top-k order is total") {
+    import spark.implicits._
+    // u1: a b a b → paths a>b>a, b>a>b; u2: a b a → a>b>a
+    val ev = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"),
+      (1L, 4L, "b"), (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "a"))
+      .toDF("u", "seq", "s")
+    val got = Stats.pathMining(ev, col("u"), col("seq"), col("seq"),
+      col("s")).collect()
+    assert(got.map(r => (r.getString(0), r.getAs[Long]("n"))).toSeq ==
+      Seq(("a>b>a", 2L), ("b>a>b", 1L)))
+    assert(got(0).getAs[Long]("share_ppm") == 666666L)
+    assert(got(1).getAs[Long]("share_ppm") == 333333L)
+    // pathLen 2 reduces to transition pairs
+    val p2 = Stats.pathMining(ev, col("u"), col("seq"), col("seq"),
+      col("s"), pathLen = 2).collect()
+    assert(p2.map(_.getString(0)).toSet == Set("a>b", "b>a"))
+  }
+
   test("fleissKappa: hand-computed multi-rater agreement; unanimity " +
     "on one category abstains; NULL predicates count as fail") {
     import spark.implicits._
