@@ -4351,6 +4351,16 @@ object Queries {
       TextAnalysis.vocabCoverage(Tables.documents(s, dir), col("text"),
         Seq(5, 10, 20, 30, 50))
     }),
+    "q_token_burstiness" -> ((s, dir) => {
+      // Dispersion lens the Zipf ranking can't see: Fano factor
+      // (variance/mean of per-doc counts, absent docs = 0) of every
+      // token in ≥ 10 docs — evenly-spread function words score ≈ 1,
+      // clumping topical/boilerplate tokens score ≫ 1 (the template-
+      // contamination signal). One tokenize pass, vocabulary-sized
+      // aggregate, total-order top-20.
+      TextAnalysis.tokenBurstiness(Tables.documents(s, dir),
+        col("doc_id"), col("text"))
+    }),
     "q_zipf" -> ((s, dir) => {
       // Zipf rank-frequency fit (top-200 tokens): slope near −1 is
       // healthy natural text; the distribution-shape corpus-health
@@ -7398,6 +7408,26 @@ object Queries {
          | cum * 1000000 // tot AS coverage_ppm
          |FROM r, tot WHERE rn IN (5, 10, 20, 30, 50)"""
         .stripMargin,
+    // burstiness replica: same per-doc counts, zero-inclusive sample
+    // variance in literal order, total (fano desc, token asc) top-k
+    "q_token_burstiness" ->
+      s"""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n
+        | FROM documents),
+        |pd AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        | FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+        | GROUP BY 1, 2),
+        |pt AS (SELECT tok AS token, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS ss
+        | FROM pd GROUP BY 1),
+        |f AS (SELECT token, n_docs, s AS n_occurrences,
+        |  CASE WHEN n > 1 THEN
+        |    round(((CAST(ss AS DOUBLE) -
+        |      CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0)) /
+        |      (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) END AS fano
+        | FROM pt, nd WHERE n_docs >= 10)
+        |SELECT token, n_docs, n_occurrences, fano
+        |FROM f ORDER BY fano DESC, token ASC LIMIT 20""".stripMargin,
     "q_zipf" ->
       s"""WITH cnt AS (
         | SELECT tok, CAST(count(*) AS BIGINT) AS c

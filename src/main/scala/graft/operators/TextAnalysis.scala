@@ -1010,6 +1010,61 @@ object TextAnalysis {
           .as("chao1")): _*)
   }
 
+  /** Token burstiness — the Fano factor (variance-to-mean ratio) of
+    * each token's PER-DOCUMENT count, absent documents counting as
+    * zero: function words spread evenly (Fano ≈ 1, Poisson-like)
+    * while topical and boilerplate tokens clump into few documents
+    * (Fano ≫ 1) — the dispersion lens [[zipfFit]]'s raw frequency
+    * ranking can't see (a navigation-bar token and a common verb can
+    * share a total count and differ 100× in burstiness; the bursty
+    * one is the template-contamination signal).
+    *
+    * Scale shape: one corpus tokenize pass to map-side-combined
+    * (doc, token) counts, one token-keyed aggregate to the
+    * vocabulary-sized (n_docs, Σc, Σc²) frame, the 1-row corpus doc
+    * count broadcast back, and the top-k cut under the total (fano
+    * desc, token asc) order plans as TakeOrderedAndProject.
+    *
+    * Determinism: Σc/Σc² are exact longs; mean and the zero-
+    * inclusive sample variance derive in literal oracle order
+    * ((Σc² − Σc²/N)/(N−1) over Σc/N), identical IEEE doubles in both
+    * engines, so the ranking replays. `minDocs` filters the
+    * rare-token noise floor (a 1-doc token is maximally bursty and
+    * meaningless).
+    *
+    * Returns ≤ `topK` rows: (token, n_docs, n_occurrences, fano). */
+  def tokenBurstiness(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      minDocs: Long = 10L,
+      topK: Int = 20): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    val nDocs = docs.agg(count(lit(1)).as("__nd"))
+    val perDoc = docs
+      .select(idCol.as("__id"),
+        explode(tokens(lower(textCol))).as("token"))
+      .groupBy(col("__id"), col("token"))
+      .agg(count(lit(1)).as("__c"))
+    val perTok = perDoc.groupBy(col("token"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__c")).as("__s"),
+        sum(col("__c") * col("__c")).as("__ss"))
+      .filter(col("n_docs") >= minDocs)
+    def d(c: Column) = c.cast(DoubleType)
+    def safe(c: Column) = when(c =!= 0.0, c).otherwise(lit(1.0))
+    val nD = d(col("__nd"))
+    val varZ = (d(col("__ss")) - d(col("__s")) * d(col("__s")) / nD) /
+      safe(nD - lit(1.0))
+    val mean = d(col("__s")) / nD
+    perTok.crossJoin(broadcast(nDocs)) // 1-row control plane
+      .select(col("token"), col("n_docs"),
+        col("__s").as("n_occurrences"),
+        when(col("__nd") > 1, round(varZ / safe(mean), 6))
+          .otherwise(lit(null).cast(DoubleType)).as("fano"))
+      .orderBy(col("fano").desc, col("token").asc)
+      .limit(topK)
+  }
+
   def zipfFit(
       docs: DataFrame,
       textCol: Column,

@@ -433,4 +433,22 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out("a") == ((4L, 3L, 2L, 1L, 0.5, 3.5)), s"got ${out("a")}")
     assert(out("b") == ((3L, 1L, 0L, 0L, 0.0, 1.0)), s"got ${out("b")}")
   }
+
+  test("tokenBurstiness: a clumped token scores its hand-computed " +
+    "Fano factor, an evenly-spread one scores zero") {
+    import spark.implicits._
+    // 4 docs; 'f' once per doc (var 0), 'b' 4x in one doc:
+    // mean 1, zero-inclusive var = (16 - 4)/3 -> fano 4
+    val docs = Seq((1L, "b b b b f"), (2L, "f"), (3L, "f"), (4L, "f"))
+      .toDF("id", "text")
+    val got = TextAnalysis.tokenBurstiness(docs, col("id"), col("text"),
+      minDocs = 1L).collect().map(r => r.getString(0) -> r).toMap
+    assert(got("b").getAs[Double]("fano") == 4.0, s"got ${got("b")}")
+    assert(got("b").getAs[Long]("n_docs") == 1L)
+    assert(got("b").getAs[Long]("n_occurrences") == 4L)
+    assert(got("f").getAs[Double]("fano") == 0.0)
+    // the bursty token ranks first under the total order
+    assert(TextAnalysis.tokenBurstiness(docs, col("id"), col("text"),
+      minDocs = 1L).collect()(0).getString(0) == "b")
+  }
 }
