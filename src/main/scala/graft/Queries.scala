@@ -2330,6 +2330,27 @@ object Queries {
         .withColumn("p_ppm", expr("n_trans * 1000000 div __tot"))
         .drop("__tot")
     }),
+    "q_stream_paths" -> ((s, dir) => {
+      // Streaming path census: per-user last-TWO-event state links
+      // length-3 paths across micro-batch boundaries; the drained
+      // increment sums re-derive shares and the top-20 cut, equal to
+      // the batch q_event_paths — same oracle SQL, gated
+      // value-for-value.
+      val name = s"q_stream_paths_${streamRun.incrementAndGet()}"
+      implicit val sp: SparkSession = s
+      val sums = graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.pathCountsState(
+          graft.streaming.Streams.eventsStream(s, dir)).toDF(), name,
+        shufflePartitions = Some(8))
+        .groupBy(col("path"))
+        .agg(sum(col("n_inc")).as("n"))
+      val tot = sums.agg(sum(col("n")).as("__tot"))
+      sums.crossJoin(broadcast(tot))
+        .withColumn("share_ppm", expr("n * 1000000 div __tot"))
+        .drop("__tot")
+        .orderBy(col("n").desc, col("path").asc)
+        .limit(20)
+    }),
     "q_stream_sessions" -> ((s, dir) => {
       // Streaming sessionization via flatMapGroupsWithState (the
       // custom-state path — built-in session_window cannot flush its
@@ -5356,20 +5377,10 @@ object Queries {
     "q_event_transitions" -> transitionsOracle,
     // path-mining replica: same per-user sliding window, exact
     // integer ppm shares, total (n desc, path asc) top-k order
-    "q_event_paths" ->
-      """WITH e AS (SELECT user_id AS k, ts AS o, event_id AS t,
-        |  event_type AS s FROM events),
-        |p AS (SELECT lag(s, 2) OVER w AS s1, lag(s, 1) OVER w AS s2,
-        |  s AS s3
-        | FROM e WINDOW w AS (PARTITION BY k ORDER BY o ASC, t ASC)),
-        |c AS (SELECT s1 || '>' || s2 || '>' || s3 AS path,
-        |  CAST(count(*) AS BIGINT) AS n
-        | FROM p WHERE s1 IS NOT NULL AND s2 IS NOT NULL
-        |   AND s3 IS NOT NULL
-        | GROUP BY 1),
-        |tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
-        |SELECT path, n, n * 1000000 // tot AS share_ppm
-        |FROM c, tt ORDER BY n DESC, path ASC LIMIT 20""".stripMargin,
+    "q_event_paths" -> eventPathsOracle,
+    // the drained per-path increment sums ARE the batch census —
+    // batch oracle verbatim
+    "q_stream_paths" -> eventPathsOracle,
     "q_markov_steady" -> markovSteadyOracle,
     // the streaming drain must land on the identical matrix — the
     // batch oracle verbatim is the whole point of the gate
@@ -9169,6 +9180,23 @@ object Queries {
       |  OVER (PARTITION BY from_state) AS BIGINT) AS tot FROM c)
       |SELECT from_state, to_state, n_trans,
       | n_trans * 1000000 // tot AS p_ppm FROM t""".stripMargin
+
+  /** pathMining replica, shared by the batch query and its streaming
+    * twin (whose drained census must be identical). */
+  private def eventPathsOracle: String =
+    """WITH e AS (SELECT user_id AS k, ts AS o, event_id AS t,
+      |  event_type AS s FROM events),
+      |p AS (SELECT lag(s, 2) OVER w AS s1, lag(s, 1) OVER w AS s2,
+      |  s AS s3
+      | FROM e WINDOW w AS (PARTITION BY k ORDER BY o ASC, t ASC)),
+      |c AS (SELECT s1 || '>' || s2 || '>' || s3 AS path,
+      |  CAST(count(*) AS BIGINT) AS n
+      | FROM p WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+      |   AND s3 IS NOT NULL
+      | GROUP BY 1),
+      |tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+      |SELECT path, n, n * 1000000 // tot AS share_ppm
+      |FROM c, tt ORDER BY n DESC, path ASC LIMIT 20""".stripMargin
 
   /** q_markov_steady replica: the [[transitionsOracle]] matrix with
     * 20 unrolled power-iteration steps — uniform start, 9-dp

@@ -413,6 +413,56 @@ object Streams {
       }
   }
 
+  /** Per-batch path-census increment (see [[pathCountsState]]). */
+  final case class PathInc(path: String, n_inc: Long)
+
+  /** The last two event types carried per user across micro-batches
+    * (older first; either may be absent early in the stream). */
+  final case class LastTwo(a: Option[String], b: Option[String])
+
+  /** Streaming length-3 path counting — the incremental form of
+    * [[graft.operators.Stats.pathMining]]'s census (the top-k cut
+    * and shares happen on the drained sums, where the TOTAL is
+    * known). Per user the carried [[LastTwo]] state spans the batch
+    * boundary, so a path whose three events straddle two (or three)
+    * micro-batches counts exactly once; within a batch events sort
+    * by the same (ts, event_id) total order as the batch operator.
+    * Same replay discipline as [[transitionCountsState]]: batches
+    * are time-ordered across files, a late event appends after the
+    * carried state. State is TWO strings per user — smaller than the
+    * session or top-k monitors — hash-partitioned by user. */
+  def pathCountsState(
+      events: DataFrame)(
+      implicit spark: SparkSession): Dataset[PathInc] = {
+    import spark.implicits._
+    events
+      .select(col("user_id").as[Long],
+        expr("ts_ns div 1000").as[Long],
+        col("event_id").as[Long], col("event_type").as[String])
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[LastTwo]) =>
+          val evs = rows.map(r => (r._2, r._3, r._4)).toArray
+            .sortBy(e => (e._1, e._2))
+          val counts = scala.collection.mutable.Map.empty[String, Long]
+          var (a, b) = state.getOption
+            .map(s => (s.a.orNull, s.b.orNull)).getOrElse((null, null))
+          evs.foreach { case (_, _, tpe) =>
+            if (a != null && b != null) {
+              val p = s"$a>$b>$tpe"
+              counts(p) = counts.getOrElse(p, 0L) + 1L
+            }
+            a = b
+            b = tpe
+          }
+          state.update(LastTwo(Option(a), Option(b)))
+          counts.iterator.map { case (p, n) => PathInc(p, n) }
+      }
+  }
+
   /** Streaming exact deduplication: first arrival per key survives,
     * later duplicates are suppressed, and — the part a plain streaming
     * `dropDuplicates` gets wrong at scale — state for a key is RELEASED

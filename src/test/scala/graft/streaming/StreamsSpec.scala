@@ -463,6 +463,29 @@ class StreamsSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
+  test("a length-3 path straddling the batch boundary counts exactly " +
+      "once (carried LastTwo state spans two micro-batches)") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val tmp = java.nio.file.Files.createTempDirectory("paths_mb").toFile
+    // batch 1: user 1 sees a, b — no length-3 path yet;
+    // batch 2: user 1 sees c, d — a>b>c exists ONLY via the carried
+    // two-event state, b>c>d via one carried event
+    writeTypedEventsFile(tmp, "b1.parquet",
+      Seq((0L, 1L, "a", 1L), (min, 1L, "b", 2L)), modTime = 1000L)
+    writeTypedEventsFile(tmp, "b2.parquet",
+      Seq((2 * min, 1L, "c", 3L), (3 * min, 1L, "d", 4L)),
+      modTime = 2000L)
+    val raw = Streams.runAvailableNow(
+      Streams.pathCountsState(Streams.eventsStream(
+        spark, tmp.getPath, glob = "*.parquet", maxFilesPerTrigger = 1))
+        .toDF(),
+      "paths_multibatch")
+    val got = raw.groupBy(col("path")).agg(sum(col("n_inc")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a>b>c" -> 1L, "b>c>d" -> 1L), s"got $got")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   /** One parquet file of documents rows — building block for
     * multi-batch near-dup drains. */
   private def writeDocsFile(
