@@ -988,6 +988,16 @@ object Queries {
       Stats.corrMatrix(Tables.lineitem(s, dir),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
     }),
+    "q_spearman" -> ((s, dir) => {
+      // Monotone association immune to the whale rows that dictate a
+      // Pearson coefficient: Spearman ρ of quantity vs extended
+      // price over tie-aware average ranks. Two distributed rank
+      // passes (2r̄ = min+max over the equal-value partition — no
+      // join-back), six exact DECIMAL(38,0) moments, 1-row closed
+      // form.
+      Stats.spearman(Tables.lineitem(s, dir), "l_quantity",
+        "l_extendedprice")
+    }),
     "q_corpus_report" -> ((s, dir) => {
       // THE per-source corpus health report a training-data team
       // ships: volume, language-mix entropy, quality, near-dup rate
@@ -7785,6 +7795,47 @@ object Queries {
     // engine's codegen-fast two-limb sums — reassembled HUGEINT-exact
     // on the single row, then the textbook Pearson arithmetic, 6-dp
     // emit.
+    // Spearman replica: per-value doubled average ranks from the
+    // cumulative count (2·cb + ct + 1), exact HUGEINT moments, the
+    // identical closed form
+    "q_spearman" ->
+      """WITH v AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+        |  CAST(l_extendedprice AS DOUBLE) AS y
+        | FROM lineitem
+        | WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |px AS (SELECT x, CAST(count(*) AS BIGINT) AS ct
+        | FROM v GROUP BY x),
+        |mx AS (SELECT x, 2 * CAST(coalesce(sum(ct) OVER (ORDER BY x ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS BIGINT) + ct + 1 AS r2
+        | FROM px),
+        |py AS (SELECT y, CAST(count(*) AS BIGINT) AS ct
+        | FROM v GROUP BY y),
+        |my AS (SELECT y, 2 * CAST(coalesce(sum(ct) OVER (ORDER BY y ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS BIGINT) + ct + 1 AS r2
+        | FROM py),
+        |j AS (SELECT mx.r2 AS rx, my.r2 AS ry
+        | FROM v JOIN mx ON v.x = mx.x JOIN my ON v.y = my.y),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(rx AS HUGEINT)) AS sx, sum(CAST(ry AS HUGEINT)) AS sy,
+        |  sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+        |  sum(CAST(ry AS HUGEINT) * ry) AS syy,
+        |  sum(CAST(rx AS HUGEINT) * ry) AS sxy
+        | FROM j)
+        |SELECT n,
+        | CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |   AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |     CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 THEN
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |       CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |      (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |       CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        | END AS rho
+        |FROM agg""".stripMargin,
     "q_corr_matrix" -> {
       val cs = Seq("l_quantity" -> "q", "l_extendedprice" -> "e",
         "l_discount" -> "d", "l_tax" -> "t")

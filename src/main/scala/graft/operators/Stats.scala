@@ -1344,6 +1344,66 @@ object Stats {
       .agg(min(coalesce(col("cnt"), lit(0L))).as(estCol))
   }
 
+  /** Spearman rank correlation between two numeric columns — the
+    * monotone-association complement of [[corrMatrix]]'s Pearson:
+    * immune to monotone transforms and to the heavy tails that let a
+    * few whale rows dictate a Pearson coefficient (the same reason
+    * [[mannWhitney]] sits next to [[welchT]]). Complete-case rows
+    * (both values present).
+    *
+    * Scale shape: two [[globalRankByValue]] passes (the two-phase
+    * distributed prefix sum — no single-partition window); tie-aware
+    * AVERAGE ranks need no join-back — doubled average rank
+    * 2r̄ = min+max over the equal-value window partition, one
+    * exchange keyed by the value. One final 1-row aggregate of six
+    * exact DECIMAL(38,0) moments (cast BEFORE the multiply; the
+    * doubling cancels in ρ).
+    *
+    * Determinism: rank moments are exact integers; ρ's closed form
+    * runs once on the 1-row frame in literal oracle order. NULL when
+    * either margin is constant (zero rank variance).
+    *
+    * Returns one row: (n, rho). */
+  def spearman(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      nRanges: Int = 256): DataFrame = {
+    val staged = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast(DoubleType).as("__x"),
+        col(yCol).cast(DoubleType).as("__y"))
+      .withColumn("__t", lit(0))
+    val (rx, _) = globalRankByValue(staged, "__x", "__t", nRanges)
+    val wx = Window.partitionBy(col("__x"))
+    val withRx = rx
+      .withColumn("__rx", min(col("__rank")).over(wx) +
+        max(col("__rank")).over(wx))
+      .drop("__rank")
+    val (ry, _) = globalRankByValue(withRx, "__y", "__t", nRanges)
+    val wy = Window.partitionBy(col("__y"))
+    val ranked = ry
+      .withColumn("__ry", min(col("__rank")).over(wy) +
+        max(col("__rank")).over(wy))
+    val dec = DecimalType(38, 0)
+    val agg = ranked.agg(count(lit(1)).as("n"),
+      sum(col("__rx").cast(dec)).as("__sx"),
+      sum(col("__ry").cast(dec)).as("__sy"),
+      sum(col("__rx").cast(dec) * col("__rx")).as("__sxx"),
+      sum(col("__ry").cast(dec) * col("__ry")).as("__syy"),
+      sum(col("__rx").cast(dec) * col("__ry")).as("__sxy"))
+    def d(c: Column) = c.cast(DoubleType)
+    def safe(c: Column) = when(c =!= 0.0, c).otherwise(lit(1.0))
+    val nD = d(col("n"))
+    val num = nD * d(col("__sxy")) - d(col("__sx")) * d(col("__sy"))
+    val denx = nD * d(col("__sxx")) - d(col("__sx")) * d(col("__sx"))
+    val deny = nD * d(col("__syy")) - d(col("__sy")) * d(col("__sy"))
+    agg.select(col("n"),
+      when(denx > 0.0 && deny > 0.0,
+        round(num / safe(sqrt(denx * deny)), 6))
+        .otherwise(lit(null).cast(DoubleType)).as("rho"))
+  }
+
   /** The limb width of [[corrMatrix]]'s two-long exact sums. */
   private val CorrLimb = 1L << 23
 

@@ -1195,6 +1195,26 @@ class StatsSpec extends SparkSpecBase {
     assert(f.getAs[String]("trend") == "none", s"got $f")
   }
 
+  test("spearman: monotone pairs score +/-1 under any transform; " +
+    "ties average; a constant margin abstains") {
+    import spark.implicits._
+    val mono = Seq((1.0, 1.0), (2.0, 4.0), (3.0, 9.0), (4.0, 16.0))
+      .toDF("x", "y")
+    assert(Stats.spearman(mono, "x", "y").collect()(0)
+      .getAs[Double]("rho") == 1.0)
+    val anti = Seq((1.0, 16.0), (2.0, 9.0), (3.0, 4.0), (4.0, 1.0))
+      .toDF("x", "y")
+    assert(Stats.spearman(anti, "x", "y").collect()(0)
+      .getAs[Double]("rho") == -1.0)
+    // tied x {1,1,2} vs y {3,5,4}: hand-computed moments give rho 0
+    val tied = Seq((1.0, 3.0), (1.0, 5.0), (2.0, 4.0)).toDF("x", "y")
+    assert(Stats.spearman(tied, "x", "y").collect()(0)
+      .getAs[Double]("rho") == 0.0)
+    val const = Seq((1.0, 3.0), (1.0, 5.0)).toDF("x", "y")
+    val c = Stats.spearman(const, "x", "y").collect()(0)
+    assert(c.isNullAt(c.fieldIndex("rho")))
+  }
+
   test("pathMining: sliding windows stay inside a key; shares are " +
     "exact ppm; the top-k order is total") {
     import spark.implicits._
