@@ -2340,6 +2340,42 @@ object Queries {
         .withColumn("p_ppm", expr("n_trans * 1000000 div __tot"))
         .drop("__tot")
     }),
+    "q_stream_assoc" -> ((s, dir) => {
+      // Streaming market-basket census: per-user distinct-item SET
+      // state emits pair/item/basket increments only for never-seen
+      // items, so the drained sums rebuild q_assoc_rules' census
+      // independent of how events split into batches. Same metric
+      // closed form, same oracle, gated value-for-value.
+      val name = s"q_stream_assoc_${streamRun.incrementAndGet()}"
+      implicit val sp: SparkSession = s
+      val raw = graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.assocSetState(
+          graft.streaming.Streams.eventsStream(s, dir)).toDF(), name,
+        shufflePartitions = Some(8))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val users = raw.filter(col("kind") === "user")
+        .agg(sum(col("n_inc")).as("__n"))
+      val items = raw.filter(col("kind") === "item")
+        .groupBy(col("a")).agg(sum(col("n_inc")).as("__c"))
+      val pairs = raw.filter(col("kind") === "pair")
+        .groupBy(col("a").as("__a"), col("b").as("__b"))
+        .agg(sum(col("n_inc")).as("__cab"))
+      val out = pairs
+        .join(broadcast(items.withColumnRenamed("a", "__a")
+          .withColumnRenamed("__c", "__ca")), Seq("__a"))
+        .join(broadcast(items.withColumnRenamed("a", "__b")
+          .withColumnRenamed("__c", "__cb")), Seq("__b"))
+        .crossJoin(broadcast(users))
+        .select(col("__a").as("antecedent"), col("__b").as("consequent"),
+          col("__cab").as("n_both"),
+          expr("__cab * 1000000 div __n").as("support_ppm"),
+          expr("__cab * 1000000 div __ca").as("confidence_ppm"),
+          expr("__cab * __n * 1000000 div (__ca * __cb)")
+            .as("lift_x1m"))
+        .localCheckpoint(true)
+      raw.unpersist(false)
+      out
+    }),
     "q_stream_paths" -> ((s, dir) => {
       // Streaming path census: per-user last-TWO-event state links
       // length-3 paths across micro-batch boundaries; the drained
@@ -8246,23 +8282,10 @@ object Queries {
         |FROM hh""".stripMargin,
     // association-rule replica: distinct (user, type) baskets, pair
     // self-join, the same exact integer ppm floor divisions
-    "q_assoc_rules" ->
-      """WITH b AS (SELECT DISTINCT user_id AS u, event_type AS i
-        | FROM events
-        | WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
-        |nu AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n FROM b),
-        |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS c
-        | FROM b GROUP BY i),
-        |pc AS (SELECT a.i AS ant, b2.i AS con,
-        |  CAST(count(*) AS BIGINT) AS cab
-        | FROM b a JOIN b b2 ON a.u = b2.u AND a.i <> b2.i
-        | GROUP BY 1, 2)
-        |SELECT ant AS antecedent, con AS consequent, cab AS n_both,
-        | cab * 1000000 // n AS support_ppm,
-        | cab * 1000000 // ca.c AS confidence_ppm,
-        | cab * n * 1000000 // (ca.c * cb.c) AS lift_x1m
-        |FROM pc, nu, ic ca, ic cb
-        |WHERE pc.ant = ca.i AND pc.con = cb.i""".stripMargin,
+    "q_assoc_rules" -> assocRulesOracle,
+    // the drained set-state increments ARE the batch basket census —
+    // batch oracle verbatim
+    "q_stream_assoc" -> assocRulesOracle,
     // conformal replica: the MLR moment/Cramer fit on the hash-calib
     // half, the same integer conformal rank over (residual, id)
     // order, raw-q comparisons on the held-out half
@@ -9231,6 +9254,26 @@ object Queries {
       |  OVER (PARTITION BY from_state) AS BIGINT) AS tot FROM c)
       |SELECT from_state, to_state, n_trans,
       | n_trans * 1000000 // tot AS p_ppm FROM t""".stripMargin
+
+  /** assocRules replica, shared by the batch query and its streaming
+    * twin (whose drained increments must rebuild the same census). */
+  private def assocRulesOracle: String =
+    """WITH b AS (SELECT DISTINCT user_id AS u, event_type AS i
+      | FROM events
+      | WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      |nu AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n FROM b),
+      |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS c
+      | FROM b GROUP BY i),
+      |pc AS (SELECT a.i AS ant, b2.i AS con,
+      |  CAST(count(*) AS BIGINT) AS cab
+      | FROM b a JOIN b b2 ON a.u = b2.u AND a.i <> b2.i
+      | GROUP BY 1, 2)
+      |SELECT ant AS antecedent, con AS consequent, cab AS n_both,
+      | cab * 1000000 // n AS support_ppm,
+      | cab * 1000000 // ca.c AS confidence_ppm,
+      | cab * n * 1000000 // (ca.c * cb.c) AS lift_x1m
+      |FROM pc, nu, ic ca, ic cb
+      |WHERE pc.ant = ca.i AND pc.con = cb.i""".stripMargin
 
   /** pathMining replica, shared by the batch query and its streaming
     * twin (whose drained census must be identical). */

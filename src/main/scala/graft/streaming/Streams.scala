@@ -463,6 +463,62 @@ object Streams {
       }
   }
 
+  /** Per-batch basket-census increment (see [[assocSetState]]):
+    * kind ∈ {user, item, pair}. */
+  final case class AssocInc(kind: String, a: String, b: String,
+      n_inc: Long)
+
+  /** The distinct items a basket has accumulated so far. */
+  final case class ItemSet(items: Seq[String])
+
+  /** Streaming market-basket census — the incremental form of
+    * [[graft.operators.Stats.assocRules]]'s counting stage (the ppm
+    * metrics happen on the drained sums, where the totals are
+    * known). Each user's distinct-item SET carries across
+    * micro-batches; a batch's events add only the items the user has
+    * never produced, and each NEW item emits its ordered pair
+    * increments against the items already held — so after any drain
+    * the summed pair counts equal the batch operator's
+    * distinct-(user, item) self-join, however the events were split
+    * into batches (set semantics: arrival order cannot matter). A
+    * first-ever event also emits the basket-count increment the
+    * support denominators need.
+    *
+    * State per user is its distinct item vector — bounded by the
+    * item vocabulary (event types, provenance labels), NOT by event
+    * volume; hash-partitioned by user across executors. */
+  def assocSetState(
+      events: DataFrame)(
+      implicit spark: SparkSession): Dataset[AssocInc] = {
+    import spark.implicits._
+    events
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id").as[Long], col("event_type").as[String])
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[(Long, String)],
+         state: GroupState[ItemSet]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[AssocInc]
+          if (!state.exists) out += AssocInc("user", "", "", 1L)
+          var cur = state.getOption.map(_.items.toSet)
+            .getOrElse(Set.empty[String])
+          rows.foreach { case (_, tpe) =>
+            if (!cur.contains(tpe)) {
+              out += AssocInc("item", tpe, "", 1L)
+              cur.foreach { j =>
+                out += AssocInc("pair", tpe, j, 1L)
+                out += AssocInc("pair", j, tpe, 1L)
+              }
+              cur = cur + tpe
+            }
+          }
+          state.update(ItemSet(cur.toSeq.sorted))
+          out.iterator
+      }
+  }
+
   /** Streaming exact deduplication: first arrival per key survives,
     * later duplicates are suppressed, and — the part a plain streaming
     * `dropDuplicates` gets wrong at scale — state for a key is RELEASED

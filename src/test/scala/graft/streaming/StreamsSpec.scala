@@ -486,6 +486,40 @@ class StreamsSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
+  test("basket set-state census: an item re-seen in a later batch " +
+      "adds nothing; a cross-batch new item pairs against carried " +
+      "items exactly once") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val tmp = java.nio.file.Files.createTempDirectory("assoc_mb").toFile
+    // batch 1: user 1 {a, b}, user 2 {a}; batch 2: user 1 sees b
+    // AGAIN (no-op) then c — c must pair with carried {a, b} only
+    writeTypedEventsFile(tmp, "b1.parquet",
+      Seq((0L, 1L, "a", 1L), (min, 1L, "b", 2L), (0L, 2L, "a", 3L)),
+      modTime = 1000L)
+    writeTypedEventsFile(tmp, "b2.parquet",
+      Seq((2 * min, 1L, "b", 4L), (3 * min, 1L, "c", 5L)),
+      modTime = 2000L)
+    val raw = Streams.runAvailableNow(
+      Streams.assocSetState(Streams.eventsStream(
+        spark, tmp.getPath, glob = "*.parquet", maxFilesPerTrigger = 1))
+        .toDF(),
+      "assoc_multibatch")
+    val sums = raw.groupBy(col("kind"), col("a"), col("b"))
+      .agg(sum(col("n_inc")).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    assert(sums(("user", "", "")) == 2L)
+    assert(sums(("item", "a", "")) == 2L) // users 1 and 2
+    assert(sums(("item", "b", "")) == 1L) // the re-seen b adds nothing
+    assert(sums(("item", "c", "")) == 1L)
+    // user 1's pairs: all ordered pairs of {a,b,c}, each exactly once
+    val pairs = sums.collect { case (("pair", x, y), n) => (x, y) -> n }
+    assert(pairs.toMap == Map(("a", "b") -> 1L, ("b", "a") -> 1L,
+      ("c", "a") -> 1L, ("a", "c") -> 1L, ("c", "b") -> 1L,
+      ("b", "c") -> 1L), s"got $pairs")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   /** One parquet file of documents rows — building block for
     * multi-batch near-dup drains. */
   private def writeDocsFile(
