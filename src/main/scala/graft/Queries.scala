@@ -2179,6 +2179,16 @@ object Queries {
       Stats.nelsonAalen(Tables.events(s, dir), col("user_id"),
         col("ts"), censorDays = 7)
     }),
+    "q_logrank" -> ((s, dir) => {
+      // Did the variant change churn AT ALL? Log-rank test between
+      // the two user-parity arms' survival, same censoring semantics
+      // as q_survival_churn. Exact long counts per duration, 9-dp
+      // decimal term folds, one division + sqrt, literal 1.96
+      // verdict.
+      Stats.logRank(Tables.events(s, dir), col("user_id"), col("ts"),
+        col("user_id") % 2, groupA = "0", groupB = "1",
+        censorDays = 7)
+    }),
     "q_events_rfm" -> ((s, dir) => {
       // RFM segmentation: per-user Recency / Frequency / Monetary
       // quartile scores, rolled up to segment counts — the classic
@@ -6273,6 +6283,68 @@ object Queries {
         |   OVER (ORDER BY t_days ASC ROWS UNBOUNDED PRECEDING)
         |   AS DOUBLE), 6) AS cum_hazard
         |FROM r""".stripMargin,
+    // log-rank replica: same spans/censoring as the survival oracle,
+    // per-duration hypergeometric terms in literal order, 9-dp
+    // decimal folds, verdict on the emitted 6-dp z
+    "q_logrank" ->
+      """WITH s AS (SELECT user_id, CAST(min(ts) AS DATE) AS f,
+        |  CAST(max(ts) AS DATE) AS l,
+        |  min(CAST(user_id % 2 AS VARCHAR)) AS g
+        | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        | GROUP BY user_id),
+        |e AS (SELECT max(l) AS endd FROM s),
+        |m AS (SELECT g, CAST(date_diff('day', f, l) AS BIGINT) AS t,
+        |  CASE WHEN date_diff('day', l, endd) < 7 THEN 1 ELSE 0 END
+        |    AS cens
+        | FROM s, e),
+        |b AS (SELECT t,
+        |  CAST(coalesce(sum(CASE WHEN g = '0' THEN 1 - cens END), 0)
+        |    AS BIGINT) AS da,
+        |  CAST(coalesce(sum(CASE WHEN g = '1' THEN 1 - cens END), 0)
+        |    AS BIGINT) AS db,
+        |  CAST(coalesce(sum(CASE WHEN g = '0' THEN 1 END), 0)
+        |    AS BIGINT) AS ea,
+        |  CAST(coalesce(sum(CASE WHEN g = '1' THEN 1 END), 0)
+        |    AS BIGINT) AS eb
+        | FROM m GROUP BY t),
+        |r AS (SELECT t, da, db,
+        |  CAST(sum(ea) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS na,
+        |  CAST(sum(eb) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS nb
+        | FROM b),
+        |terms AS (SELECT
+        |  CAST(round(CAST(da AS DOUBLE) -
+        |    CAST(da + db AS DOUBLE) * CAST(na AS DOUBLE) /
+        |      CAST(na + nb AS DOUBLE), 9) AS DECIMAL(28,9)) AS oe,
+        |  CAST(round(CAST(da + db AS DOUBLE) *
+        |    (CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE)) *
+        |    (CAST(nb AS DOUBLE) / CAST(na + nb AS DOUBLE)) *
+        |    (CAST(na + nb AS DOUBLE) - CAST(da + db AS DOUBLE)) /
+        |    (CAST(na + nb AS DOUBLE) - 1.0), 9) AS DECIMAL(28,9)) AS vv
+        | FROM r WHERE da + db > 0 AND na + nb > 1),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_times,
+        |  coalesce(sum(oe), CAST(0 AS DECIMAL(28,9))) AS oe,
+        |  coalesce(sum(vv), CAST(0 AS DECIMAL(28,9))) AS vv
+        | FROM terms),
+        |sz AS (SELECT
+        |  CAST(coalesce(sum(CASE WHEN g = '0' THEN 1 END), 0)
+        |    AS BIGINT) AS n_a,
+        |  CAST(coalesce(sum(CASE WHEN g = '1' THEN 1 END), 0)
+        |    AS BIGINT) AS n_b
+        | FROM m),
+        |z AS (SELECT n_a, n_b, n_times,
+        |  round(CAST(oe AS DOUBLE), 6) AS o_minus_e,
+        |  round(CAST(vv AS DOUBLE), 6) AS var_sum,
+        |  CASE WHEN CAST(vv AS DOUBLE) > 0 THEN
+        |    round(CAST(oe AS DOUBLE) / sqrt(CAST(vv AS DOUBLE)), 6)
+        |  END AS z
+        | FROM sz, agg)
+        |SELECT n_a, n_b, n_times, o_minus_e, var_sum, z,
+        | CASE WHEN z IS NOT NULL THEN
+        |   CASE WHEN abs(z) > 1.96 THEN 'reject' ELSE 'keep' END
+        | END AS verdict
+        |FROM z""".stripMargin,
     "q_events_rfm" ->
       """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS d, value
         | FROM events WHERE event_type = 'purchase'),

@@ -721,6 +721,105 @@ object Stats {
         col("n_censored"), col("hazard"), col("cum_hazard"))
   }
 
+  /** Log-rank test between two groups' survival — "did the variant
+    * change churn AT ALL", the significance companion of
+    * [[nelsonAalen]]'s hazard curve (Mantel 1966; the standard
+    * two-sample censored-survival test). At each distinct duration
+    * t, group A's observed events d_A compare against the
+    * expectation under equal hazards E_A = d·n_A/n with
+    * hypergeometric variance d·(n_A/n)·(n_B/n)·(n−d)/(n−1);
+    * Z = Σ(d_A − E_A)/√ΣV. Censoring (via `censorDays`, same spell
+    * semantics as [[nelsonAalen]]) reduces the at-risk sets without
+    * contributing events.
+    *
+    * Scale shape: one exchange to per-key spans; everything after
+    * runs on the distinct-duration control frame (bounded by the
+    * observation span in days — [[Guards.boundedSeries]] enforced),
+    * with the two at-risk curves as descending cumulative windows.
+    * `groupExpr` must be key-functional (evaluated per row, min per
+    * key — a user in both arms is an assignment bug upstream).
+    *
+    * Determinism: d/n counts are exact longs; each duration's
+    * (d_A − E_A) and variance terms compute in literal oracle order,
+    * round to 9 dp and fold as DECIMAL(28,9) (order-free); Z is one
+    * division + IEEE sqrt on the 1-row frame, verdict vs the
+    * literal 1.96. NULL-gated when ΣV = 0.
+    *
+    * Returns one row: (n_a, n_b, n_times, o_minus_e, var_sum, z,
+    * verdict). */
+  def logRank(
+      df: DataFrame,
+      idCol: Column,
+      tsCol: Column,
+      groupExpr: Column,
+      groupA: String,
+      groupB: String,
+      censorDays: Int = 7): DataFrame = {
+    require(censorDays >= 0 && censorDays <= 3650,
+      s"censorDays out of range: $censorDays")
+    val spans = df
+      .select(idCol.as("__id"), tsCol.cast(TimestampType).as("__ts"),
+        groupExpr.cast(StringType).as("__g"))
+      .filter(col("__id").isNotNull && col("__ts").isNotNull &&
+        col("__g").isin(groupA, groupB))
+      .groupBy(col("__id"))
+      .agg(min(col("__ts")).as("__first"), max(col("__ts")).as("__last"),
+        min(col("__g")).as("__g"))
+    val end = spans.agg(max(col("__last")).as("__end"))
+    val marked = spans.crossJoin(broadcast(end))
+      .select(col("__g"),
+        datediff(to_date(col("__last")), to_date(col("__first")))
+          .cast(LongType).as("__t"),
+        when(datediff(to_date(col("__end")), to_date(col("__last")))
+          < censorDays, 1L).otherwise(0L).as("__cens"))
+    def cnt(g: String, c: Column) =
+      coalesce(sum(when(col("__g") === g, c)), lit(0L))
+    val byT = marked.groupBy(col("__t"))
+      .agg(cnt(groupA, lit(1L) - col("__cens")).as("__da"),
+        cnt(groupB, lit(1L) - col("__cens")).as("__db"),
+        cnt(groupA, lit(1L)).as("__ea"),
+        cnt(groupB, lit(1L)).as("__eb"))
+    val wDesc = Guards.seriesWindow(col("__t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def d(c: Column) = c.cast(DoubleType)
+    def safe(c: Column) = when(c =!= 0.0, c).otherwise(lit(1.0))
+    val curves = Guards.boundedSeries(byT, "logRank durations")
+      .withColumn("__na", sum(col("__ea")).over(wDesc))
+      .withColumn("__nb", sum(col("__eb")).over(wDesc))
+    val dTot = col("__da") + col("__db")
+    val nTot = col("__na") + col("__nb")
+    val e1 = d(dTot) * d(col("__na")) / safe(d(nTot))
+    val v = d(dTot) * (d(col("__na")) / safe(d(nTot))) *
+      (d(col("__nb")) / safe(d(nTot))) *
+      (d(nTot) - d(dTot)) / safe(d(nTot) - lit(1.0))
+    val fold = DecimalType(28, 9)
+    val agg = curves
+      .filter(dTot > 0 && nTot > 1)
+      .agg(count(lit(1)).as("n_times"),
+        coalesce(sum(round(d(col("__da")) - e1, 9).cast(fold)),
+          lit(0).cast(fold)).as("__oe"),
+        coalesce(sum(round(v, 9).cast(fold)), lit(0).cast(fold))
+          .as("__v"))
+    val sizes = marked.groupBy()
+      .agg(coalesce(sum(when(col("__g") === groupA, 1L)), lit(0L))
+        .as("n_a"),
+        coalesce(sum(when(col("__g") === groupB, 1L)), lit(0L))
+          .as("n_b"))
+    val z = when(col("__v").cast(DoubleType) > 0.0,
+      round(col("__oe").cast(DoubleType) /
+        safe(sqrt(col("__v").cast(DoubleType))), 6))
+      .otherwise(lit(null).cast(DoubleType))
+    sizes.crossJoin(broadcast(agg)) // 1-row control plane
+      .select(col("n_a"), col("n_b"), col("n_times"),
+        round(col("__oe").cast(DoubleType), 6).as("o_minus_e"),
+        round(col("__v").cast(DoubleType), 6).as("var_sum"),
+        z.as("z"))
+      .withColumn("verdict",
+        when(col("z").isNotNull,
+          when(abs(col("z")) > 1.96, lit("reject")).otherwise(lit("keep")))
+          .otherwise(lit(null).cast(StringType)))
+  }
+
   /** Wald's Sequential Probability Ratio Test over an
     * ALREADY-AGGREGATED daily (n, successes) series — the
     * group-sequential "stop the experiment early" monitor (Wald

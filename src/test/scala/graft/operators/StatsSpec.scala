@@ -1195,6 +1195,29 @@ class StatsSpec extends SparkSpecBase {
     assert(f.getAs[String]("trend") == "none", s"got $f")
   }
 
+  test("logRank: hand-computed O-E, variance, and Z over two " +
+    "uncensored arms") {
+    import spark.implicits._
+    // arm 0: spans {0, 1}; arm 1: spans {0, 2}; censorDays = 0
+    // t=0: d=2 n=4 -> oe 0, v 1/3; t=1: dA=1 n=2 -> oe .5, v .25;
+    // t=2: n=1 excluded. Z = 0.5 / sqrt(0.583333333)
+    val ev = Seq(
+      (0L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:00:00"),
+      (2L, "2024-01-01 00:00:00"), (2L, "2024-01-02 00:00:00"),
+      (3L, "2024-01-01 00:00:00"), (3L, "2024-01-03 00:00:00"))
+      .toDF("id", "ts")
+    val r = Stats.logRank(ev, col("id"), col("ts"), col("id") % 2,
+      "0", "1", censorDays = 0).collect()(0)
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("n_times") == 2L) // t=2 has n=1: excluded
+    assert(r.getAs[Double]("o_minus_e") == 0.5)
+    assert(r.getAs[Double]("var_sum") == 0.583333, s"got $r") // 6-dp emit
+    val z = BigDecimal(0.5 / math.sqrt(0.583333333))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("z") == z)
+    assert(r.getAs[String]("verdict") == "keep")
+  }
+
   test("spearman: monotone pairs score +/-1 under any transform; " +
     "ties average; a constant margin abstains") {
     import spark.implicits._
