@@ -1240,6 +1240,17 @@ object Queries {
         when(TextAnalysis.tokenCount(col("text")) >= 70, "pass")
           .otherwise("fail"))
     }),
+    "q_trend_ca" -> ((s, dir) => {
+      // Does the word-count gate's pass rate TREND across ordered
+      // length buckets (w = n_chars div 200, capped at 9)? Cochran–
+      // Armitage uses the stratum order χ² throws away. ONE
+      // map-side-combined pass to five exact long accumulators,
+      // 1-row literal-order closed form, literal 1.96 verdict.
+      val docs = Tables.documents(s, dir)
+      Stats.cochranArmitage(docs,
+        least(expr("n_chars div 200"), lit(9L)),
+        TextAnalysis.tokenCount(col("text")) >= 70)
+    }),
     "q_fleiss_kappa" -> ((s, dir) => {
       // Does the three-gate quality battery agree beyond chance AT
       // ALL? Fleiss' kappa over the length gate, the word-count gate,
@@ -8723,6 +8734,38 @@ object Queries {
         |     CAST(pe AS DOUBLE)) / (1.0 - CAST(pe AS DOUBLE)), 6)
         |  END AS kappa
         |FROM pe""".stripMargin,
+    // Cochran–Armitage replica: same five exact accumulators and
+    // literal-order closed form, verdict on the emitted 6-dp z
+    "q_trend_ca" ->
+      """WITH r AS (SELECT least(n_chars // 200, 9) AS w,
+        |  CASE WHEN coalesce(len(list_filter(
+        |      regexp_split_to_array(text, '\s+'),
+        |      x -> len(x) > 0)) >= 70, false) THEN 1 ELSE 0 END AS s
+        | FROM documents WHERE least(n_chars // 200, 9) IS NOT NULL),
+        |one AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT w) AS BIGINT) AS k_strata,
+        |  coalesce(CAST(sum(s) AS BIGINT), 0) AS r_total,
+        |  coalesce(CAST(sum(w) AS BIGINT), 0) AS swn,
+        |  coalesce(CAST(sum(w * s) AS BIGINT), 0) AS swr,
+        |  coalesce(CAST(sum(w * w) AS BIGINT), 0) AS sww
+        | FROM r),
+        |f AS (SELECT n, k_strata, r_total,
+        |  CAST(swr AS DOUBLE) - CAST(r_total AS DOUBLE) /
+        |    CAST(n AS DOUBLE) * CAST(swn AS DOUBLE) AS t,
+        |  CAST(r_total AS DOUBLE) / CAST(n AS DOUBLE) *
+        |    (1.0 - CAST(r_total AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    (CAST(sww AS DOUBLE) - CAST(swn AS DOUBLE) *
+        |      CAST(swn AS DOUBLE) / CAST(n AS DOUBLE)) AS v
+        | FROM one),
+        |z AS (SELECT n, k_strata, r_total,
+        |  CASE WHEN n > 0 AND v > 0 THEN round(t / sqrt(v), 6) END
+        |   AS z
+        | FROM f)
+        |SELECT n, k_strata, r_total, z,
+        | CASE WHEN z IS NOT NULL THEN
+        |   CASE WHEN abs(z) > 1.96 THEN 'reject' ELSE 'keep' END
+        | END AS verdict
+        |FROM z""".stripMargin,
     // Fleiss replica: the same three gates, exact integer per-item
     // agreement numerators, literal-order closed form
     "q_fleiss_kappa" ->

@@ -2505,6 +2505,52 @@ object Stats {
     out
   }
 
+  /** Cochran–Armitage test for a TREND in a pass rate across ORDERED
+    * strata (Armitage 1955, no continuity correction) — the
+    * middle ground between [[chiSquare]] (which ignores stratum
+    * order) and a full regression: "does the gate's pass rate rise
+    * or fall systematically along length buckets / quality deciles /
+    * schema versions". Scores are the stratum ordinals themselves.
+    *
+    * T = Σwr − (R/N)·Σwn and
+    * V = (R/N)(1 − R/N)·(Σw²n − (Σwn)²/N), Z = T/√V — five exact
+    * long accumulators (w is a small ordinal, so every product is
+    * integer-exact) from ONE map-side-combined aggregate pass; the
+    * closed form runs on the 1-row frame in literal oracle order.
+    * NULL predicate = fail (the [[graft.operators.Expectations]]
+    * discipline); NULL stratum rows are excluded. NULL-gated when
+    * V ≤ 0 (all mass in one stratum, or a 0%/100% overall rate).
+    *
+    * Returns one row: (n, k_strata, r_total, z, verdict). */
+  def cochranArmitage(
+      df: DataFrame,
+      strataOrdinal: Column,
+      pred: Column): DataFrame = {
+    val w = strataOrdinal.cast(LongType)
+    val s = when(coalesce(pred, lit(false)), 1L).otherwise(0L)
+    val one = df.filter(w.isNotNull).agg(
+      count(lit(1)).as("n"),
+      countDistinct(w).as("k_strata"),
+      coalesce(sum(s), lit(0L)).as("r_total"),
+      coalesce(sum(w), lit(0L)).as("__swn"),
+      coalesce(sum(w * s), lit(0L)).as("__swr"),
+      coalesce(sum(w * w), lit(0L)).as("__sww"))
+    def d(c: Column) = c.cast(DoubleType)
+    def safe(c: Column) = when(c =!= 0.0, c).otherwise(lit(1.0))
+    val nD = d(col("n"))
+    val rate = d(col("r_total")) / safe(nD)
+    val t = d(col("__swr")) - rate * d(col("__swn"))
+    val v = rate * (lit(1.0) - rate) *
+      (d(col("__sww")) - d(col("__swn")) * d(col("__swn")) / safe(nD))
+    one.select(col("n"), col("k_strata"), col("r_total"),
+      when(col("n") > 0 && v > 0.0, round(t / safe(sqrt(v)), 6))
+        .otherwise(lit(null).cast(DoubleType)).as("z"))
+      .withColumn("verdict",
+        when(col("z").isNotNull,
+          when(abs(col("z")) > 1.96, lit("reject")).otherwise(lit("keep")))
+          .otherwise(lit(null).cast(StringType)))
+  }
+
   /** Fleiss' kappa over n ≥ 2 binary "raters" (heuristic gates) on
     * the same rows — the multi-rater extension of [[cohenKappa]]:
     * with a whole battery of quality gates, pairwise kappas grow

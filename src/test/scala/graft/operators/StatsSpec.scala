@@ -1195,6 +1195,30 @@ class StatsSpec extends SparkSpecBase {
     assert(f.getAs[String]("trend") == "none", s"got $f")
   }
 
+  test("cochranArmitage: hand-computed trend Z; a flat rate keeps; " +
+    "single-stratum data abstains") {
+    import spark.implicits._
+    // strata 0/1/2, 2 rows each, pass counts 0/1/2 (perfect rising
+    // trend): N=6 R=3 Σwn=6 Σwr=5 Σw²n=10
+    // T = 5 − 3 = 2; V = .25·(10 − 6) = 1 → Z = 2
+    val df = Seq((0L, false), (0L, false), (1L, true), (1L, false),
+      (2L, true), (2L, true)).toDF("w", "p")
+    val r = Stats.cochranArmitage(df, col("w"), col("p")).collect()(0)
+    assert(r.getAs[Long]("k_strata") == 3L)
+    assert(r.getAs[Double]("z") == 2.0, s"got $r")
+    assert(r.getAs[String]("verdict") == "reject")
+    // flat 50% everywhere: T = 0 → keep
+    val flat = Seq((0L, true), (0L, false), (1L, true), (1L, false))
+      .toDF("w", "p")
+    val f = Stats.cochranArmitage(flat, col("w"), col("p")).collect()(0)
+    assert(f.getAs[Double]("z") == 0.0 &&
+      f.getAs[String]("verdict") == "keep")
+    // one stratum: V = 0 → NULL abstention
+    val one = Seq((1L, true), (1L, false)).toDF("w", "p")
+    val o = Stats.cochranArmitage(one, col("w"), col("p")).collect()(0)
+    assert(o.isNullAt(o.fieldIndex("z")))
+  }
+
   test("logRank: hand-computed O-E, variance, and Z over two " +
     "uncensored arms") {
     import spark.implicits._
