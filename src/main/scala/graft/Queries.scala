@@ -655,6 +655,18 @@ object Queries {
       Stats.quantilesByGroup(Tables.events(s, dir), Seq("event_type"),
         col("value"), col("event_id"))
     }),
+    "q_qte" -> ((s, dir) => {
+      // WHERE did the variant move the metric? Quantile treatment
+      // effect at p10/p50/p90 of purchase values between the
+      // user-parity arms — a mean shift can be a tail improvement
+      // with a flat median or the reverse; the mean readouts can't
+      // tell. Exact order-statistic quantiles per arm, diffs on the
+      // 2-row control frame.
+      Stats.quantileTreatmentEffect(
+        Tables.events(s, dir).filter(col("event_type") === "purchase"),
+        col("user_id") % 2, col("value"), col("event_id"),
+        variantA = "0", variantB = "1")
+    }),
     "q_quantile_sketch" -> ((s, dir) => {
       // The 100 TB escape hatch for q_quantile_by_group: per-type
       // p10/p50/p90 ESTIMATES from a 256-bin mergeable histogram
@@ -5527,6 +5539,38 @@ object Queries {
         | CAST(min(CASE WHEN rk = greatest(1, (n * 900 + 999) // 1000)
         |   THEN v END) AS DOUBLE) AS p_900
         |FROM r GROUP BY g""".stripMargin,
+    // QTE replica: the grouped order-statistic quantiles per arm,
+    // diffs on the control frame, one UNION ALL row per permille
+    "q_qte" ->
+      """WITH v AS (SELECT CAST(user_id % 2 AS VARCHAR) AS g,
+        |  CAST(value AS DECIMAL(18,4)) AS v, event_id AS id
+        | FROM events
+        | WHERE event_type = 'purchase' AND value IS NOT NULL
+        |   AND user_id IS NOT NULL),
+        |r AS (SELECT g, v,
+        |  count(*) OVER (PARTITION BY g) AS n,
+        |  row_number() OVER (PARTITION BY g
+        |    ORDER BY v ASC, id ASC) AS rk FROM v),
+        |q AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        | CAST(min(CASE WHEN rk = greatest(1, (n * 100 + 999) // 1000)
+        |   THEN v END) AS DOUBLE) AS p100,
+        | CAST(min(CASE WHEN rk = greatest(1, (n * 500 + 999) // 1000)
+        |   THEN v END) AS DOUBLE) AS p500,
+        | CAST(min(CASE WHEN rk = greatest(1, (n * 900 + 999) // 1000)
+        |   THEN v END) AS DOUBLE) AS p900
+        | FROM r GROUP BY g),
+        |a AS (SELECT n AS n_a, p100 AS a100, p500 AS a500,
+        |  p900 AS a900 FROM q WHERE g = '0'),
+        |b AS (SELECT n AS n_b, p100 AS b100, p500 AS b500,
+        |  p900 AS b900 FROM q WHERE g = '1')
+        |SELECT 100 AS permille, n_a, n_b, a100 AS q_a, b100 AS q_b,
+        | round(b100 - a100, 6) AS qte FROM a, b
+        |UNION ALL
+        |SELECT 500, n_a, n_b, a500, b500, round(b500 - a500, 6)
+        | FROM a, b
+        |UNION ALL
+        |SELECT 900, n_a, n_b, a900, b900, round(b900 - a900, 6)
+        | FROM a, b""".stripMargin,
     // sketch replica: the same 10⁻⁴ integer scaling, equal-width
     // integer bins (w = (max − min) // 256 + 1), cumulative bin walk,
     // and lower-bound pick — bitwise, because every intermediate is a

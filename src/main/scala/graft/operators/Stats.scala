@@ -537,6 +537,52 @@ object Stats {
       .agg(count(lit(1)).as("n"), qs: _*)
   }
 
+  /** Quantile treatment effect — WHERE in the distribution an
+    * experiment's effect landed: the per-permille difference between
+    * the two arms' EXACT order-statistic quantiles (a mean shift of
+    * +2% can be a +10% tail improvement and a flat median, or the
+    * reverse — the mean-based readouts can't tell them apart).
+    * Composes [[quantilesByGroup]] with the variant as the group;
+    * same (value, id) total order, no interpolation.
+    *
+    * Scale shape: the grouped-quantile rank machinery (one exchange,
+    * per-arm window sort), then everything runs on the 2-row
+    * quantile frame — localCheckpointed both to avoid a second
+    * corpus scan per arm and to break the self-join lineage (the
+    * bounded-frame rule).
+    *
+    * Returns one row per permille: (permille, n_a, n_b, q_a, q_b,
+    * qte = q_b − q_a rounded to 6 dp). */
+  def quantileTreatmentEffect(
+      df: DataFrame,
+      variantCol: Column,
+      value: Column,
+      idCol: Column,
+      variantA: String,
+      variantB: String,
+      permilles: Seq[Int] = Seq(100, 500, 900)): DataFrame = {
+    val staged = df
+      .select(variantCol.cast(StringType).as("__variant"),
+        value.as("__val"), idCol.as("__qid"))
+      .filter(col("__variant").isin(variantA, variantB))
+    val q = quantilesByGroup(staged, Seq("__variant"), col("__val"),
+      col("__qid"), permilles)
+      .localCheckpoint(true) // 2 rows; two consumers below
+    val a = q.filter(col("__variant") === variantA)
+      .select(col("n").as("n_a") +:
+        permilles.map(p => col(s"p_$p").as(s"__a$p")): _*)
+    val b = q.filter(col("__variant") === variantB)
+      .select(col("n").as("n_b") +:
+        permilles.map(p => col(s"p_$p").as(s"__b$p")): _*)
+    val one = a.crossJoin(broadcast(b)) // 1×1 control plane
+    val stacked = permilles.map { p =>
+      struct(lit(p).as("permille"), col("n_a"), col("n_b"),
+        col(s"__a$p").as("q_a"), col(s"__b$p").as("q_b"),
+        round(col(s"__b$p") - col(s"__a$p"), 6).as("qte"))
+    }
+    one.select(explode(array(stacked: _*)).as("x")).select(col("x.*"))
+  }
+
   /** Per-group histogram-sketch STATE for [[quantileSketchByGroup]]:
     * values scale to exact 10⁻⁴ integers (`DECIMAL(18,4) · 10⁴`,
     * exact in both engines), each group gets `bins` equal-width

@@ -1195,6 +1195,29 @@ class StatsSpec extends SparkSpecBase {
     assert(f.getAs[String]("trend") == "none", s"got $f")
   }
 
+  test("quantileTreatmentEffect: per-permille diffs of exact order " +
+    "statistics between arms") {
+    import spark.implicits._
+    // arm 0: {10,20,30,40,50}; arm 1: {10,20,30,40,150} — the whole
+    // effect sits in the tail: p10/p50 flat, p90 +100
+    val rows = Seq(10, 20, 30, 40, 50).zipWithIndex.map {
+      case (v, i) => (0L, v.toDouble, i.toLong)
+    } ++ Seq(10, 20, 30, 40, 150).zipWithIndex.map {
+      case (v, i) => (1L, v.toDouble, 100L + i)
+    }
+    val df = rows.toDF("arm", "v", "id")
+    val got = Stats.quantileTreatmentEffect(df, col("arm"), col("v"),
+      col("id"), "0", "1").collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(got(100).getAs[Double]("qte") == 0.0)
+    assert(got(500).getAs[Double]("qte") == 0.0)
+    assert(got(900).getAs[Double]("q_a") == 50.0)
+    assert(got(900).getAs[Double]("q_b") == 150.0)
+    assert(got(900).getAs[Double]("qte") == 100.0, s"got $got")
+    assert(got(500).getAs[Long]("n_a") == 5L &&
+      got(500).getAs[Long]("n_b") == 5L)
+  }
+
   test("cochranArmitage: hand-computed trend Z; a flat rate keeps; " +
     "single-stratum data abstains") {
     import spark.implicits._
