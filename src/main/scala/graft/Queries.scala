@@ -1318,6 +1318,14 @@ object Queries {
         .agg(dsum(col("o_totalprice")).as("rev"))
       Stats.cusumMaxShift(daily, "d", "rev")
     }),
+    "q_tail_index" -> ((s, dir) => {
+      // HOW heavy is the doc-length upper tail — Hill estimator over
+      // the top-100 order statistics (α ≤ 2 means infinite variance:
+      // packing budgets and mean-based stats stop being trustworthy).
+      // One TakeOrderedAndProject cut; the estimate runs on the
+      // 101-row control frame with 6-dp decimal-fixed logs.
+      Stats.hillTailIndex(Tables.documents(s, dir), "n_chars", k = 100)
+    }),
     "q_benford" -> ((s, dir) => {
       // First-digit law audit of order values — the synthetic-data /
       // truncation smell test. Digit from the integer part's string
@@ -8958,6 +8966,27 @@ object Queries {
     // Benford replica: digit from the floored integer part's string;
     // expected probabilities are the same 6-dp literals the Spark
     // plan bakes in (Stats.benfordExpected).
+    // Hill replica: top-(k+1) order statistics, 6-dp decimal-fixed
+    // logs, alpha from the UNROUNDED inverse in literal order
+    "q_tail_index" ->
+      """WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS x
+        | FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |top AS (SELECT x FROM v ORDER BY x DESC LIMIT 101),
+        |rk AS (SELECT x, row_number() OVER (ORDER BY x DESC) AS r
+        | FROM top),
+        |mn AS (SELECT x AS x_min FROM rk WHERE r = 101),
+        |s AS (SELECT sum(CAST(round(ln(x), 6) AS DECIMAL(18,6)))
+        |   AS sl
+        | FROM rk WHERE r <= 100)
+        |SELECT CAST(100 AS BIGINT) AS k, x_min,
+        | round((CAST(sl AS DOUBLE) - 100.0 * round(ln(x_min), 6))
+        |   / 100.0, 6) AS alpha_inv,
+        | CASE WHEN (CAST(sl AS DOUBLE) - 100.0 * round(ln(x_min), 6))
+        |     / 100.0 > 0 THEN
+        |   round(1.0 / ((CAST(sl AS DOUBLE) -
+        |     100.0 * round(ln(x_min), 6)) / 100.0), 6)
+        | END AS alpha
+        |FROM mn, s""".stripMargin,
     "q_benford" -> {
       val vals = Stats.benfordExpected
         .map { case (d, p) => s"($d, ${f"$p%.6f"})" }.mkString(", ")

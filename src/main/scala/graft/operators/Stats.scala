@@ -3397,6 +3397,55 @@ object Stats {
           col("__n").cast(DoubleType), 6).as("s_max"))
   }
 
+  /** Hill tail-index estimator over the top-k order statistics of a
+    * positive magnitude (Hill 1975): α̂ = k / Σᵢ₌₁ᵏ(ln x₍ᵢ₎ −
+    * ln x₍ₖ₊₁₎) — HOW heavy the upper tail is, the number behind
+    * every "can one document blow the packing budget / does the mean
+    * even exist" question (α ≤ 1: infinite mean; α ≤ 2: infinite
+    * variance; the [[benfordDigits]]-adjacent shape diagnostic for
+    * lengths and prices).
+    *
+    * Scale shape: one TakeOrderedAndProject top-(k+1) cut (per-
+    * partition top-k + driver merge — no global sort), then
+    * everything runs on the (k+1)-row control frame. Ties straddling
+    * the k-boundary are value-deterministic: the top-k VALUE multiset
+    * is unique even when the row pick is not.
+    *
+    * Determinism: each ln rounds to 6 dp and fixes as DECIMAL(18,6)
+    * before the sum (the [[graft.operators.TextAnalysis.zipfFit]]
+    * discipline); α̂ finishes in literal order on the 1-row frame.
+    * Fewer than k+1 positive rows → EMPTY output (no tail to
+    * estimate), α NULL when the tail is degenerate (all top values
+    * equal).
+    *
+    * Returns one row: (k, x_min, alpha_inv, alpha). */
+  def hillTailIndex(
+      df: DataFrame,
+      valueCol: String,
+      k: Int = 100): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    val v = col(valueCol).cast(DoubleType)
+    val top = df.filter(v.isNotNull && v > 0).select(v.as("__x"))
+      .orderBy(col("__x").desc).limit(k + 1)
+    val rk = Guards.boundedSeries(top, "hillTailIndex top order stats")
+      .withColumn("__r", row_number().over(
+        Guards.seriesWindow(col("__x").desc)))
+    val dec = DecimalType(18, 6)
+    val mn = rk.filter(col("__r") === k + 1)
+      .select(col("__x").as("x_min"))
+    val sl = rk.filter(col("__r") <= k)
+      .agg(sum(round(log(col("__x")), 6).cast(dec)).as("__sl"))
+    def safe(c: Column) = when(c =!= 0.0, c).otherwise(lit(1.0))
+    val kD = lit(k.toDouble)
+    val aInv = (col("__sl").cast(DoubleType) -
+      kD * round(log(col("x_min")), 6)) / kD
+    mn.crossJoin(broadcast(sl)) // 1×1 control plane
+      .select(lit(k.toLong).as("k"), col("x_min"),
+        round(aInv, 6).as("alpha_inv"),
+        when(aInv > 0.0, round(lit(1.0) / safe(aInv), 6))
+          .otherwise(lit(null).cast(DoubleType)).as("alpha"))
+  }
+
   /** Benford first-digit audit: the distribution of leading digits of
     * a positive magnitude column against Benford's law
     * p(d) = log₁₀(1 + 1/d) — the fraud/synthetic-data smell test for

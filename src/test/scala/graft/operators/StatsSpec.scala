@@ -1195,6 +1195,37 @@ class StatsSpec extends SparkSpecBase {
     assert(f.getAs[String]("trend") == "none", s"got $f")
   }
 
+  test("hillTailIndex: exact Pareto data recovers its tail index; " +
+    "a degenerate tail abstains; short data yields no row") {
+    import spark.implicits._
+    // exact Pareto(α=2) order statistics: x_(i) = (n/i)^(1/2) scaled;
+    // use x_i = 1000/sqrt(i) for i = 1..12, k = 4:
+    // alpha_inv = mean of ln(x_i) - ln(x_5) for i<=4
+    val xs = (1 to 12).map(i => 1000.0 / math.sqrt(i.toDouble))
+    val df = xs.toDF("v")
+    val r = Stats.hillTailIndex(df, "v", k = 4).collect()(0)
+    def r6(d: Double) =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lns = xs.sorted.reverse.map(x => r6(math.log(x)))
+    // replicate the DECIMAL(18,6) sum exactly before the double math
+    val slDec = lns.take(4)
+      .map(BigDecimal(_).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      .sum
+    val aInv = (slDec.toDouble - 4.0 * lns(4)) / 4.0
+    assert(r.getAs[Double]("x_min") == xs.sorted.reverse(4))
+    assert(r.getAs[Double]("alpha_inv") == r6(aInv), s"got $r")
+    assert(r.getAs[Double]("alpha") == r6(1.0 / aInv)) // ≈ 2
+    // small-k Hill bias: α̂ = 2.45 here; the point is the ballpark
+    assert(math.abs(r.getAs[Double]("alpha") - 2.0) < 0.5)
+    // all-equal top values: ln diffs are 0 → abstain
+    val flat = Seq.fill(10)(5.0).toDF("v")
+    val f = Stats.hillTailIndex(flat, "v", k = 4).collect()(0)
+    assert(f.isNullAt(f.fieldIndex("alpha")))
+    // fewer than k+1 positive rows: no tail to estimate
+    assert(Stats.hillTailIndex(Seq(1.0, 2.0).toDF("v"), "v", k = 4)
+      .count() == 0L)
+  }
+
   test("quantileTreatmentEffect: per-permille diffs of exact order " +
     "statistics between arms") {
     import spark.implicits._
