@@ -782,6 +782,16 @@ object Queries {
         .agg(dsum(col("value")).as("v"))
       Stats.mannKendallByGroup(daily, Seq("event_type"), "d", "v")
     }),
+    "q_durbin_watson" -> ((s, dir) => {
+      // Can you trust the daily-revenue trend line's error bars?
+      // Durbin–Watson on the OLS residuals (emitted 6-dp fit, 6-dp
+      // residuals, 9-dp decimal folds): < 1.5 = positively
+      // autocorrelated errors — every trend CI is optimistic.
+      val daily = Tables.orders(s, dir)
+        .groupBy(dateFmt(col("o_orderdate")).as("d"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      Stats.durbinWatson(daily, "d", "rev")
+    }),
     "q_trend_mk" -> ((s, dir) => {
       // Mann–Kendall significance test on the daily-revenue series:
       // the non-parametric "is there a monotone trend AT ALL" verdict
@@ -5712,6 +5722,58 @@ object Queries {
         | CASE WHEN trend IS NOT NULL
         |   THEN round(det - seasonal, 6) END AS resid
         |FROM dt LEFT JOIN sz ON dt.dow = sz.dow""".stripMargin,
+    // Durbin–Watson replica: same OLS fit arithmetic, emitted 6-dp
+    // fit, 6-dp residuals, 9-dp decimal folds, literal fences
+    "q_durbin_watson" ->
+      """WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    AS DOUBLE), 4) AS rev
+        | FROM orders GROUP BY 1),
+        |idx AS (SELECT CAST(rev AS DECIMAL(18,4)) AS y,
+        |  CAST(row_number() OVER (ORDER BY d ASC) AS BIGINT) AS i
+        | FROM daily),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(i AS DECIMAL(18,0))) AS sx,
+        |  sum(CAST(i * i AS DECIMAL(18,0))) AS sxx,
+        |  sum(y) AS sy,
+        |  sum(CAST(i AS DECIMAL(18,0)) * y) AS sxy
+        | FROM idx),
+        |f AS (SELECT n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |   (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+        |  round((CAST(sy AS DOUBLE) -
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |    CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+        | FROM a),
+        |e AS (SELECT i,
+        |  round(CAST(y AS DOUBLE) - (intercept + slope * i), 6) AS e
+        | FROM idx, f),
+        |l AS (SELECT e, lag(e) OVER (ORDER BY i ASC) AS ep FROM e),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_periods,
+        |  coalesce(sum(CASE WHEN ep IS NOT NULL THEN
+        |    CAST(round((e - ep) * (e - ep), 9) AS DECIMAL(28,9)) END),
+        |    CAST(0 AS DECIMAL(28,9))) AS num,
+        |  coalesce(sum(CAST(round(e * e, 9) AS DECIMAL(28,9))),
+        |    CAST(0 AS DECIMAL(28,9))) AS den
+        | FROM l),
+        |z AS (SELECT n_periods,
+        |  (SELECT slope FROM f) AS slope,
+        |  (SELECT intercept FROM f) AS intercept,
+        |  CASE WHEN n_periods >= 3 AND CAST(den AS DOUBLE) > 0 THEN
+        |    round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+        |  END AS dw
+        | FROM s)
+        |SELECT n_periods, slope, intercept, dw,
+        | CASE WHEN dw IS NULL THEN NULL
+        |      WHEN dw < 1.5 THEN 'positive'
+        |      WHEN dw > 2.5 THEN 'negative'
+        |      ELSE 'none' END AS verdict
+        |FROM z""".stripMargin,
     // Mann–Kendall replica: same exact-integer S and tie census,
     // /18, IEEE sqrt, continuity-corrected Z, literal 1.96 verdict
     "q_trend_mk" ->

@@ -300,6 +300,60 @@ object Stats {
       slope.as("slope"), intercept.as("intercept"), r2.as("r2")): _*)
   }
 
+  /** Durbin–Watson autocorrelation check on the residuals of an OLS
+    * trend fit — "is the trend line's error structure serially
+    * correlated", i.e. can you trust the fit's error bars at all
+    * (positively autocorrelated residuals make every trend CI
+    * optimistic; the classic post-fit diagnostic). DW =
+    * Σ(e_t − e_{t−1})² / Σe_t² ∈ [0, 4]; ≈ 2 means independent,
+    * < 1.5 positive, > 2.5 negative autocorrelation (rule-of-thumb
+    * literals, no table lookup).
+    *
+    * Residuals use the EMITTED 6-dp slope/intercept from
+    * [[groupedTrend]] (the gate-replays-emitted rule) and round to
+    * 6 dp themselves; both DW sums fold as 9-dp DECIMAL(28,9)
+    * (order-free). The series is [[Guards.boundedSeries]]-guarded
+    * control plane; the 1-row fit broadcasts back.
+    *
+    * Returns one row: (n_periods, slope, intercept, dw, verdict). */
+  def durbinWatson(
+      series: DataFrame,
+      orderCol: String,
+      valueCol: String): DataFrame = {
+    val idx = Guards.boundedSeries(series, "durbinWatson series")
+      .select(col(valueCol).cast(DecimalType(18, 4)).as("__y"),
+        row_number().over(Guards.seriesWindow(col(orderCol).asc))
+          .as("__i"))
+    val fit = groupedTrend(idx, Seq.empty, col("__i"), col("__y"))
+    val joined = idx.crossJoin(broadcast(fit)) // 1-row control plane
+      .withColumn("__e", round(col("__y").cast(DoubleType) -
+        (col("intercept") + col("slope") * col("__i")), 6))
+      .withColumn("__ep",
+        lag(col("__e"), 1).over(Guards.seriesWindow(col("__i").asc)))
+    val fold = DecimalType(28, 9)
+    def safe(c: Column) = when(c =!= 0.0, c).otherwise(lit(1.0))
+    val agg = joined.agg(
+      count(lit(1)).as("n_periods"),
+      max(col("slope")).as("slope"), max(col("intercept")).as("intercept"),
+      coalesce(sum(when(col("__ep").isNotNull,
+        round((col("__e") - col("__ep")) * (col("__e") - col("__ep")),
+          9).cast(fold))), lit(0).cast(fold)).as("__num"),
+      coalesce(sum(round(col("__e") * col("__e"), 9).cast(fold)),
+        lit(0).cast(fold)).as("__den"))
+    val dw = when(col("n_periods") >= 3 &&
+      col("__den").cast(DoubleType) > 0.0,
+      round(col("__num").cast(DoubleType) /
+        safe(col("__den").cast(DoubleType)), 6))
+      .otherwise(lit(null).cast(DoubleType))
+    agg.select(col("n_periods"), col("slope"), col("intercept"),
+      dw.as("dw"))
+      .withColumn("verdict",
+        when(col("dw").isNull, lit(null).cast(StringType))
+          .when(col("dw") < 1.5, lit("positive"))
+          .when(col("dw") > 2.5, lit("negative"))
+          .otherwise(lit("none")))
+  }
+
   /** Per-group trimmed mean: drop the lowest and highest
     * `trimPermille`/1000 of rows by value rank (ties broken by id, so
     * the trimmed SET is deterministic — a value-only cutoff would make

@@ -1195,6 +1195,24 @@ class StatsSpec extends SparkSpecBase {
     assert(f.getAs[String]("trend") == "none", s"got $f")
   }
 
+  test("durbinWatson: alternating residuals push DW toward 4, a " +
+    "smooth ramp stays near 2 on its own scale") {
+    import spark.implicits._
+    // perfectly linear y = 2i: residuals 0 -> den 0 -> NULL dw
+    val lin = (1 to 6).map(i => (f"2024-01-0$i", 2.0 * i)).toDF("d", "v")
+    val l = Stats.durbinWatson(lin, "d", "v").collect()(0)
+    assert(l.getAs[Double]("slope") == 2.0)
+    assert(l.isNullAt(l.fieldIndex("dw")), s"got $l")
+    // alternating +/-1 around a flat line: e = ±1, every step ±2:
+    // DW = Σ4/Σ1 ≈ 4·(n−1)/n → 'negative' autocorrelation
+    val alt = (1 to 8).map(i =>
+      (f"2024-01-0$i", 10.0 + (if (i % 2 == 0) 1.0 else -1.0)))
+      .toDF("d", "v")
+    val a = Stats.durbinWatson(alt, "d", "v").collect()(0)
+    assert(a.getAs[String]("verdict") == "negative", s"got $a")
+    assert(a.getAs[Double]("dw") > 2.5 && a.getAs[Double]("dw") <= 4.0)
+  }
+
   test("hillTailIndex: exact Pareto data recovers its tail index; " +
     "a degenerate tail abstains; short data yields no row") {
     import spark.implicits._
