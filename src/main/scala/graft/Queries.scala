@@ -2157,6 +2157,17 @@ object Queries {
           col("value"))
       Stats.diffInDiff(staged, col("t"), col("p"), col("value"))
     }),
+    "q_permutation_test" -> ((s, dir) => {
+      // Randomization inference WITHOUT rand(): 32 seeded-hash
+      // re-assignments of the per-user purchase totals rebuild the
+      // no-effect null; the report ranks the observed arm-mean diff
+      // against the replicate |t|s — Fisher's p upper bound with no
+      // normality assumption, reproducible on any engine.
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+      Stats.permutationTest(ev, col("user_id"), col("user_id") % 2,
+        col("value"), variantA = "0", variantB = "1")
+    }),
     "q_power_mde" -> ((s, dir) => {
       // Experiment-DESIGN readout: with the unit counts and metric
       // variance this experiment actually has, what lift could it
@@ -6286,6 +6297,62 @@ object Queries {
     // CUPED replica: same per-row decimal staging, fix2 cross-moment
     // folds (one operand widened — DuckDB 18+18-digit products
     // overflow), and the identical closed-form double op order
+    // permutation replica: the same per-unit totals, 32 inlined
+    // affine-hash re-assignments (seed-specific literal A/B), the
+    // identical literal-order t form, integer p upper bound
+    "q_permutation_test" -> {
+      val repSelects = (0 until 32).map { r =>
+        val a = Dedup.affineA(r); val b = Dedup.affineB(r)
+        s"""SELECT $r AS seed,
+           | CASE WHEN (((u % $M) * (u % $M) % $M) * $a
+           |   + (u % $M) * $b + $r) % $M % 1000000 < 500000
+           |  THEN 0 ELSE 1 END AS arm, y FROM per""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH per AS (SELECT user_id AS u,
+         |  CAST(user_id % 2 AS VARCHAR) AS v,
+         |  coalesce(sum(CAST(value AS DECIMAL(18,4))),
+         |    CAST(0 AS DECIMAL(18,4))) AS y
+         | FROM events
+         | WHERE event_type = 'purchase' AND user_id IS NOT NULL
+         | GROUP BY 1, 2),
+         |obs AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+         |  CAST(sum(CASE WHEN v = '0' THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n0,
+         |  sum(CASE WHEN v = '0' THEN y END) AS s0,
+         |  CAST(sum(CASE WHEN v = '1' THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n1,
+         |  sum(CASE WHEN v = '1' THEN y END) AS s1
+         | FROM per),
+         |o2 AS (SELECT n_units, CASE WHEN n0 > 0 AND n1 > 0 THEN
+         |  CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+         |  CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) END AS tobs
+         | FROM obs),
+         |reps AS ($repSelects),
+         |g AS (SELECT seed,
+         |  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n0,
+         |  sum(CASE WHEN arm = 0 THEN y END) AS s0,
+         |  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n1,
+         |  sum(CASE WHEN arm = 1 THEN y END) AS s1
+         | FROM reps GROUP BY seed),
+         |t AS (SELECT seed, CASE WHEN n0 > 0 AND n1 > 0 THEN
+         |  CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+         |  CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) END AS t
+         | FROM g),
+         |f AS (SELECT max(n_units) AS n_units,
+         |  CAST(count(*) AS BIGINT) AS r_total,
+         |  CAST(sum(CASE WHEN t IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS r_effective,
+         |  max(round(tobs, 6)) AS t_obs,
+         |  coalesce(CAST(sum(CASE WHEN t IS NOT NULL
+         |    AND abs(t) >= abs(tobs) THEN 1 ELSE 0 END) AS BIGINT), 0)
+         |   AS n_ge
+         | FROM t, o2)
+         |SELECT n_units, r_total, r_effective, t_obs, n_ge,
+         | (1 + n_ge) * 1000000 // (r_effective + 1) AS p_ub_ppm
+         |FROM f""".stripMargin
+    },
     // MDE replica: per-unit decimal totals, the cuped-style 2-dp
     // fixed squares, welch-order variance, (1.96 + 0.8416)·sqrt(se2)
     "q_power_mde" ->

@@ -1165,6 +1165,103 @@ object Stats {
         .as("did"))
   }
 
+  /** Randomization (permutation) test on the arm-mean difference —
+    * WITHOUT rand(): each of `reps` replicates re-assigns every unit
+    * by a SEEDED portable affine hash ([[graft.operators.Sampling.idBucket]]
+    * family), rebuilds the mean difference under the null of
+    * no-effect, and the report says how many replicate |t| reach the
+    * observed |t| — the Fisherian p-value upper bound
+    * (1 + n_ge)/(R + 1) with no normality assumption at all, and
+    * fully reproducible across runs, retries, and engines (the
+    * determinism contract every rand()-based permutation test
+    * breaks).
+    *
+    * Scale shape: one exchange to per-unit totals (persisted — two
+    * consumers), a `reps`-way bounded explode (REPS × units rows, a
+    * constant fan-out), one map-side-combined groupBy(seed) to R
+    * rows, and the 1-row observed frame broadcast back. Exact
+    * decimal sums everywhere; each t is the same literal-order
+    * double form, so the |t| comparisons replay bitwise.
+    *
+    * Returns one row: (n_units, r_total, r_effective — replicates
+    * where both hash arms are non-empty, t_obs, n_ge, p_ub_ppm =
+    * (1 + n_ge)·10⁶ div (r_effective + 1)). */
+  def permutationTest(
+      df: DataFrame,
+      unitCol: Column,
+      variantCol: Column,
+      yCol: Column,
+      variantA: String,
+      variantB: String,
+      reps: Int = 32): DataFrame = {
+    require(reps >= 1 && reps <= 256, s"reps out of range: $reps")
+    val dec = DecimalType(18, 4)
+    val per = df
+      .select(unitCol.cast(LongType).as("__u"),
+        variantCol.cast(StringType).as("__v"),
+        yCol.cast(dec).as("__y"))
+      .filter(col("__u").isNotNull && col("__v").isin(variantA, variantB))
+      .groupBy(col("__u"), col("__v"))
+      .agg(coalesce(sum(col("__y")), lit(0).cast(dec)).as("__y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def d(c: Column) = c.cast(DoubleType)
+    def safe(c: Column) = when(c =!= 0.0, c).otherwise(lit(1.0))
+    def tOf(n0: String, s0: String, n1: String, s1: String) =
+      d(col(s1)) / safe(d(col(n1))) - d(col(s0)) / safe(d(col(n0)))
+    val obs = per.agg(
+      count(lit(1)).as("n_units"),
+      sum(when(col("__v") === variantA, 1L).otherwise(0L)).as("__n0"),
+      sum(when(col("__v") === variantA, col("__y"))).as("__s0"),
+      sum(when(col("__v") === variantB, 1L).otherwise(0L)).as("__n1"),
+      sum(when(col("__v") === variantB, col("__y"))).as("__s1"))
+      .select(col("n_units"),
+        when(col("__n0") > 0 && col("__n1") > 0,
+          tOf("__n0", "__s0", "__n1", "__s1")).as("__tobs"))
+    // QUADRATIC portable hash, not the affine idBucket: an affine
+    // map of consecutive ids is itself (anti-)correlated with id
+    // parity on some seeds — exactly the structure experiment
+    // variants are usually derived from, which would bias the null.
+    // The u² term makes consecutive ids step by a varying 2u+1, and
+    // the arm is a THRESHOLD on the bucket (the low bit of an
+    // arithmetic hash is its weakest bit). Verified structure-free
+    // across all default seeds in StatsSpec.
+    val um = pmod(col("__u"), lit(Dedup.PortableMod))
+    def armOf(r: Int): Column =
+      when(pmod((um * um % Dedup.PortableMod) * Dedup.affineA(r) +
+        um * Dedup.affineB(r) + r, lit(Dedup.PortableMod)) %
+        Sampling.Buckets < Sampling.Buckets / 2, 0)
+        .otherwise(1).cast(IntegerType)
+    val arms = (0 until reps).map { r =>
+      struct(lit(r).as("seed"), armOf(r).as("arm"))
+    }
+    val repFrame = per
+      .select(col("__y"), explode(array(arms: _*)).as("x"))
+      .select(col("x.seed").as("__seed"), col("x.arm").as("__arm"),
+        col("__y"))
+      .groupBy(col("__seed"))
+      .agg(sum(when(col("__arm") === 0, 1L).otherwise(0L)).as("__n0"),
+        sum(when(col("__arm") === 0, col("__y"))).as("__s0"),
+        sum(when(col("__arm") === 1, 1L).otherwise(0L)).as("__n1"),
+        sum(when(col("__arm") === 1, col("__y"))).as("__s1"))
+      .withColumn("__t",
+        when(col("__n0") > 0 && col("__n1") > 0,
+          tOf("__n0", "__s0", "__n1", "__s1")))
+    val out = repFrame.crossJoin(broadcast(obs)) // 1-row control plane
+      .agg(max(col("n_units")).as("n_units"),
+        count(lit(1)).as("r_total"),
+        sum(when(col("__t").isNotNull, 1L).otherwise(0L))
+          .as("r_effective"),
+        max(round(col("__tobs"), 6)).as("t_obs"),
+        coalesce(sum(when(col("__t").isNotNull &&
+          abs(col("__t")) >= abs(col("__tobs")), 1L).otherwise(0L)),
+          lit(0L)).as("n_ge"))
+      .withColumn("p_ub_ppm",
+        expr("(1 + n_ge) * 1000000 div (r_effective + 1)"))
+      .localCheckpoint(true) // 1 row; free per afterwards
+    per.unpersist(false)
+    out
+  }
+
   /** Minimum-detectable-effect readout — the experiment-DESIGN
     * companion of [[welchT]]/[[cupedAdjust]]: given the unit counts
     * and metric variances the experiment actually has, what absolute

@@ -1195,6 +1195,31 @@ class StatsSpec extends SparkSpecBase {
     assert(f.getAs[String]("trend") == "none", s"got $f")
   }
 
+  test("permutationTest: a massive separation is never reached by " +
+    "hash nulls; a label-independent metric is reached by most; " +
+    "reruns are bit-identical") {
+    import spark.implicits._
+    // arm 1 pays 1000x arm 0: no hash split should reach |t_obs|
+    val big = (1L to 20L).map(u =>
+      (u, (u % 2).toString, if (u % 2 == 1) 1000.0 else 1.0))
+      .toDF("u", "v", "y")
+    val r = Stats.permutationTest(big, col("u"), col("v"), col("y"),
+      "0", "1", reps = 32).collect()(0)
+    assert(r.getAs[Long]("r_effective") == 32L)
+    assert(r.getAs[Long]("n_ge") == 0L, s"got $r")
+    assert(r.getAs[Long]("p_ub_ppm") == 30303L) // (1+0)*1e6 div 33
+    // y independent of the label: most replicate |t| reach |t_obs|
+    val flat = (1L to 20L).map(u => (u, (u % 2).toString, u.toDouble))
+      .toDF("u", "v", "y")
+    val f = Stats.permutationTest(flat, col("u"), col("v"), col("y"),
+      "0", "1", reps = 32).collect()(0)
+    assert(f.getAs[Long]("n_ge") >= 16L, s"got $f")
+    // determinism: the exact same row on a rerun
+    val f2 = Stats.permutationTest(flat, col("u"), col("v"), col("y"),
+      "0", "1", reps = 32).collect()(0)
+    assert(f.toSeq == f2.toSeq)
+  }
+
   test("durbinWatson: alternating residuals push DW toward 4, a " +
     "smooth ramp stays near 2 on its own scale") {
     import spark.implicits._
