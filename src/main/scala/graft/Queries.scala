@@ -462,6 +462,16 @@ object Queries {
         .agg(count(lit(1)).as("conversions"),
           dsum(col("value")).as("value_sum"))
     }),
+    "q_conversion_lag" -> ((s, dir) => {
+      // HOW LONG does conversion take — the companion to q_funnel's
+      // WHO: of first-viewers, the share that later purchased (exact
+      // ppm) and the p50/p90 first-view→first-purchase lag in whole
+      // seconds via the two-phase distributed rank. The number
+      // behind attribution windows and streaming watermark choices.
+      Stats.conversionLag(Tables.events(s, dir), col("user_id"),
+        col("ts"), col("event_type"), fromState = "view",
+        toState = "purchase")
+    }),
     "q_funnel" -> ((s, dir) => {
       // Ordered 3-step funnel (view → click → purchase, strictly
       // later at each step, earliest-completion semantics): per-stage
@@ -5304,6 +5314,33 @@ object Queries {
         |   AS value_sum
         |FROM o WHERE event_type = 'purchase'
         |GROUP BY 1""".stripMargin,
+    // conversion-lag replica: per-user first-event times, integer
+    // epoch-micro lags, the grouped-quantile rank rule on (lag, key)
+    "q_conversion_lag" ->
+      """WITH per AS (SELECT user_id AS k,
+        |  min(CASE WHEN event_type = 'view' THEN ts END) AS tf,
+        |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS tt
+        | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        | GROUP BY 1),
+        |f AS (SELECT * FROM per WHERE tf IS NOT NULL),
+        |c AS (SELECT k,
+        |  (epoch_us(tt) - epoch_us(tf)) // 1000000 AS lag
+        | FROM f WHERE tt IS NOT NULL AND tt >= tf),
+        |r AS (SELECT lag, count(*) OVER () AS n,
+        |  row_number() OVER (ORDER BY lag ASC, k ASC) AS rk FROM c),
+        |q AS (SELECT
+        |  min(CASE WHEN rk = greatest(1, (n * 500 + 999) // 1000)
+        |    THEN lag END) AS p_500_lag_s,
+        |  min(CASE WHEN rk = greatest(1, (n * 900 + 999) // 1000)
+        |    THEN lag END) AS p_900_lag_s
+        | FROM r),
+        |nf AS (SELECT CAST(count(*) AS BIGINT) AS n_from FROM f),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_converted FROM c)
+        |SELECT n_from, n_converted,
+        | CASE WHEN n_from > 0 THEN n_converted * 1000000 // n_from
+        |  END AS conversion_ppm,
+        | p_500_lag_s, p_900_lag_s
+        |FROM nf, nc, q""".stripMargin,
     "q_funnel" ->
       """WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
         |  WHERE event_type = 'view' GROUP BY 1),

@@ -1165,6 +1165,71 @@ object Stats {
         .as("did"))
   }
 
+  /** Time-to-convert readout: of the keys that performed
+    * `fromState`, how many later performed `toState`, how fast —
+    * conversion share in exact ppm plus EXACT order-statistic
+    * p50/p90 of the first-from → first-to lag in whole seconds (the
+    * funnel tells you WHO converts; this tells you HOW LONG the
+    * corpus must wait — the number behind attribution windows and
+    * streaming watermark choices).
+    *
+    * Scale shape: one map-side-combined conditional aggregate to
+    * per-key first-event times, then the converter lags rank through
+    * [[globalRankByValue]]'s two-phase prefix sum (NOT a
+    * single-partition window), and the two order statistics reduce
+    * to one bounded aggregate. Lags are exact integer seconds
+    * (unix_micros div 10⁶); the order-statistic pick is the
+    * [[quantilesByGroup]] rank rule with (lag, key) as the total
+    * order.
+    *
+    * Returns one row: (n_from, n_converted, conversion_ppm,
+    * p50_lag_s, p90_lag_s) — quantiles NULL when nothing converts. */
+  def conversionLag(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      stateCol: Column,
+      fromState: String,
+      toState: String): DataFrame = {
+    val per = df
+      .filter(keyCol.isNotNull && tsCol.isNotNull)
+      .select(keyCol.as("__k"), tsCol.cast(TimestampType).as("__ts"),
+        stateCol.cast(StringType).as("__s"))
+      .groupBy(col("__k"))
+      .agg(min(when(col("__s") === fromState, col("__ts"))).as("__tf"),
+        min(when(col("__s") === toState, col("__ts"))).as("__tt"))
+      .filter(col("__tf").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val conv = per
+      .filter(col("__tt").isNotNull && col("__tt") >= col("__tf"))
+      .select(col("__k"),
+        expr("(unix_micros(__tt) - unix_micros(__tf)) div 1000000")
+          .as("__lag"))
+    val counts = per.agg(count(lit(1)).as("n_from"))
+    val out = (if (conv.isEmpty) {
+      // nothing converted: no rank pass to run, quantiles abstain
+      counts.select(col("n_from"), lit(0L).as("n_converted"),
+        when(col("n_from") > 0, lit(0L)).as("conversion_ppm"),
+        lit(null).cast(LongType).as("p_500_lag_s"),
+        lit(null).cast(LongType).as("p_900_lag_s"))
+    } else {
+      val (ranked, nConv) = globalRankByValue(conv, "__lag", "__k")
+      def pick(p: Int) =
+        min(when(col("__rank") ===
+          expr(s"greatest(1, (__n * $p + 999) div 1000)"), col("__lag")))
+          .as(s"p_${p}_lag_s")
+      val qs = ranked.withColumn("__n", lit(nConv))
+        .agg(pick(500), pick(900))
+      counts.crossJoin(broadcast(qs)) // 1-row control plane
+        .select(col("n_from"), lit(nConv).as("n_converted"),
+          when(col("n_from") > 0,
+            expr(s"$nConv * 1000000 div n_from")).as("conversion_ppm"),
+          col("p_500_lag_s"), col("p_900_lag_s"))
+    }).localCheckpoint(true) // 1 row; free per afterwards
+    per.unpersist(false)
+    out
+  }
+
   /** Randomization (permutation) test on the arm-mean difference —
     * WITHOUT rand(): each of `reps` replicates re-assigns every unit
     * by a SEEDED portable affine hash ([[graft.operators.Sampling.idBucket]]

@@ -1195,6 +1195,38 @@ class StatsSpec extends SparkSpecBase {
     assert(f.getAs[String]("trend") == "none", s"got $f")
   }
 
+  test("conversionLag: hand-computed share and lag quantiles; " +
+    "pre-view purchases don't count; zero converters abstain") {
+    import spark.implicits._
+    // u1: view@0 purchase@+10s; u2: view@0 purchase@+100s;
+    // u3: view only; u4: purchase BEFORE view (not a conversion);
+    // u5: purchase only (never viewed -> not in the base)
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", "view"),
+      (1L, "2024-01-01 00:00:10", "purchase"),
+      (2L, "2024-01-01 00:00:00", "view"),
+      (2L, "2024-01-01 00:01:40", "purchase"),
+      (3L, "2024-01-01 00:00:00", "view"),
+      (4L, "2024-01-01 00:00:30", "view"),
+      (4L, "2024-01-01 00:00:00", "purchase"),
+      (5L, "2024-01-01 00:00:00", "purchase"))
+      .toDF("u", "ts", "t")
+    val r = Stats.conversionLag(ev, col("u"), col("ts"), col("t"),
+      "view", "purchase").collect()(0)
+    assert(r.getAs[Long]("n_from") == 4L)
+    assert(r.getAs[Long]("n_converted") == 2L, s"got $r")
+    assert(r.getAs[Long]("conversion_ppm") == 500000L)
+    // lags {10, 100}: p50 rank = ceil(2·.5) = 1 -> 10; p90 -> 100
+    assert(r.getAs[Long]("p_500_lag_s") == 10L)
+    assert(r.getAs[Long]("p_900_lag_s") == 100L)
+    val none = Seq((1L, "2024-01-01 00:00:00", "view"))
+      .toDF("u", "ts", "t")
+    val n = Stats.conversionLag(none, col("u"), col("ts"), col("t"),
+      "view", "purchase").collect()(0)
+    assert(n.getAs[Long]("n_converted") == 0L &&
+      n.isNullAt(n.fieldIndex("p_500_lag_s")))
+  }
+
   test("permutationTest: a massive separation is never reached by " +
     "hash nulls; a label-independent metric is reached by most; " +
     "reruns are bit-identical") {
