@@ -4338,6 +4338,16 @@ object Queries {
         .agg(countDistinct(col("source")).as("n_sources"),
           count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_sum"))
     }),
+    "q_kish_ess" -> ((s, dir) => {
+      // What the q_mix_sources re-weighting costs in power: Kish
+      // n_eff = (Σw)²/Σw² and the design effect over the same
+      // integer-permille source weights — a deff of 2 means error
+      // bars √2 wider than the row count suggests. One aggregate,
+      // exact DECIMAL(38,0) moments.
+      val w = lit(250) +
+        (expr("CAST(substring(source, 4) AS BIGINT)") % 7) * lit(500)
+      Sampling.kishEss(Tables.documents(s, dir), w)
+    }),
     "q_mix_plan" -> ((s, dir) => {
       // Feasibility planner for a target training mixture under
       // subsampling only: N* = min over recipe strata of
@@ -7578,6 +7588,27 @@ object Queries {
          | CAST(sum(n_chars) AS BIGINT) AS chars_sum
          |FROM a GROUP BY split""".stripMargin
     },
+    // Kish replica: the same permille weights, HUGEINT moments,
+    // literal-order ratios
+    "q_kish_ess" ->
+      """WITH w AS (SELECT 250 +
+        |  (CAST(substring(source, 4) AS BIGINT) % 7) * 500 AS w
+        | FROM documents),
+        |one AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  coalesce(CAST(sum(CASE WHEN w <= 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT), 0) AS bad,
+        |  coalesce(sum(CAST(w AS HUGEINT)), 0) AS sw,
+        |  coalesce(sum(CAST(w AS HUGEINT) * w), 0) AS sww
+        | FROM w WHERE w IS NOT NULL)
+        |SELECT n, CAST(sw AS BIGINT) AS sum_w,
+        | CASE WHEN n > 0 AND bad = 0 AND CAST(sww AS DOUBLE) > 0 THEN
+        |   round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) /
+        |     CAST(sww AS DOUBLE), 6) END AS n_eff,
+        | CASE WHEN n > 0 AND bad = 0 AND CAST(sww AS DOUBLE) > 0 THEN
+        |   round(CAST(n AS DOUBLE) * CAST(sww AS DOUBLE) /
+        |     (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)), 6)
+        | END AS design_effect
+        |FROM one""".stripMargin,
     // mixture-plan replica: VALUES recipe, left join to counts, the
     // same exact integer floor divisions and binding flag
     "q_mix_plan" ->

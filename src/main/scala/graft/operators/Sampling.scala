@@ -464,6 +464,48 @@ object Sampling {
         (col("__k") > col("__nf")).as("capped"))
   }
 
+  /** Kish effective sample size of a WEIGHTED corpus: n_eff =
+    * (Σw)²/Σw² and the design effect n/n_eff (Kish 1965) — what a
+    * mixture's up-weighting actually costs in statistical power. A
+    * corpus reweighted like [[mixtureUpsample]] keeps its row count
+    * but NOT its information content: every variance estimate on the
+    * weighted data behaves like a sample of n_eff rows, and a
+    * design effect of 2 means error bars √2 wider than the row count
+    * suggests.
+    *
+    * ONE map-side-combined aggregate; Σw and Σw² accumulate as
+    * exact DECIMAL(38,0) with the cast BEFORE the multiply (integer
+    * permille weights — [[mixtureUpsample]]'s unit); the two ratios
+    * run in literal oracle order on the 1-row frame. NULL weights
+    * are excluded; non-positive weights are rejected loudly.
+    *
+    * Returns one row: (n, sum_w, n_eff, design_effect). */
+  def kishEss(
+      df: DataFrame,
+      weight: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dbl = org.apache.spark.sql.types.DoubleType
+    val lt = org.apache.spark.sql.types.LongType
+    val w = weight.cast(lt)
+    val one = df.filter(w.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(w <= 0, 1L).otherwise(0L)), lit(0L))
+          .as("__bad"),
+        coalesce(sum(w.cast(dec)), lit(0).cast(dec)).as("__sw"),
+        coalesce(sum(w.cast(dec) * w), lit(0).cast(dec)).as("__sww"))
+    def d(c: Column) = c.cast(dbl)
+    def safe(c: Column) = when(c =!= 0.0, c).otherwise(lit(1.0))
+    val ok = col("n") > 0 && col("__bad") === 0 &&
+      d(col("__sww")) > 0.0
+    val nEff = d(col("__sw")) * d(col("__sw")) / safe(d(col("__sww")))
+    one.select(col("n"), col("__sw").cast(lt).as("sum_w"),
+      when(ok, round(nEff, 6))
+        .otherwise(lit(null).cast(dbl)).as("n_eff"),
+      when(ok, round(d(col("n")) * d(col("__sww")) /
+        safe(d(col("__sw")) * d(col("__sw"))), 6))
+        .otherwise(lit(null).cast(dbl)).as("design_effect"))
+  }
+
   /** Subsampling-only plan to hit a TARGET mixture: given per-stratum
     * target shares in ppm (the published training-mix recipe), the
     * largest total sample N* every stratum can support without

@@ -554,6 +554,24 @@ class CurationSpec extends SparkSpecBase {
       "σ = 0 ⇒ weight 0 ⇒ no allocation, for every stratum")
   }
 
+  test("kishEss: equal weights cost nothing; a 3:1 split pays the " +
+    "hand-computed design effect; non-positive weights abstain") {
+    import spark.implicits._
+    val eq = Seq(5L, 5L, 5L, 5L).toDF("w")
+    val e = Sampling.kishEss(eq, col("w")).collect()(0)
+    assert(e.getAs[Double]("n_eff") == 4.0)
+    assert(e.getAs[Double]("design_effect") == 1.0)
+    // weights {3,1,1,1}: n_eff = 36/12 = 3; deff = 4·12/36 = 1.333333
+    val sk = Seq(3L, 1L, 1L, 1L).toDF("w")
+    val s = Sampling.kishEss(sk, col("w")).collect()(0)
+    assert(s.getAs[Long]("sum_w") == 6L)
+    assert(s.getAs[Double]("n_eff") == 3.0, s"got $s")
+    assert(s.getAs[Double]("design_effect") == 1.333333)
+    val bad = Seq(1L, 0L).toDF("w")
+    val b = Sampling.kishEss(bad, col("w")).collect()(0)
+    assert(b.isNullAt(b.fieldIndex("n_eff")))
+  }
+
   test("targetMixturePlan: the binding stratum sets N*; an empty " +
     "recipe stratum pins the plan to zero") {
     import spark.implicits._
