@@ -1030,6 +1030,20 @@ object Queries {
       Stats.spearman(Tables.lineitem(s, dir), "l_quantity",
         "l_extendedprice")
     }),
+    "q_kendall_tau" -> ((s, dir) => {
+      // Concordance association between daily revenue and daily
+      // order count: of all period pairs, how many move the same
+      // way? The pair-sign sibling of q_spearman (one wild day flips
+      // at most n−1 pair signs, not every rank difference) and the
+      // companion of q_trend_theilsen, whose slope is the median of
+      // exactly these pairs. Bounded-series crossJoin under the
+      // maxPeriods require; exact integer counts, one sqrt.
+      val daily = Tables.orders(s, dir)
+        .groupBy(dateFmt(col("o_orderdate")).as("d"))
+        .agg(dsum(col("o_totalprice")).as("rev"),
+          count(lit(1)).as("cnt"))
+      Stats.kendallTau(daily, "d", "rev", "cnt")
+    }),
     "q_corpus_report" -> ((s, dir) => {
       // THE per-source corpus health report a training-data team
       // ships: volume, language-mix entropy, quality, near-dup rate
@@ -1127,6 +1141,18 @@ object Queries {
         .agg(dsum(col("o_totalprice")).as("rev"))
       Stats.autocorrelation(daily, "d", "rev", maxLag = 7)
     }),
+    "q_ljung_box" -> ((s, dir) => {
+      // Is the revenue series white noise AT ALL? Ljung–Box +
+      // Box–Pierce portmanteau over q_autocorr's first 7 lags — the
+      // joint test of what q_autocorr shows lag by lag. Computed
+      // from the EMITTED 6-dp acf lifted to exact ppm integers with
+      // floor-divided per-lag terms (order-free integer sum, the
+      // Lorenz scaled-integer contract); literal χ²(7) verdict.
+      val daily = Tables.orders(s, dir)
+        .groupBy(dateFmt(col("o_orderdate")).as("d"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      Stats.ljungBox(daily, "d", "rev", maxLag = 7)
+    }),
     "q_quantile_bins" -> ((s, dir) => {
       // Exact equi-depth deciles of order value — the discretizer
       // behind per-decile quality reports. The global rank is the
@@ -1152,6 +1178,37 @@ object Queries {
       Stats.mannWhitney(Tables.orders(s, dir), "o_totalprice",
         "o_orderstatus", groupA = "F", groupB = "O")
     }),
+    "q_cliffs_delta" -> ((s, dir) => {
+      // The MAGNITUDE companion of q_mann_whitney on the same
+      // contrast: Cliff's δ = P(F > O) − P(F < O), computed WITHOUT
+      // the n²pair join — with average ranks δ = 2U/(n_a·n_b) − 1,
+      // so it rides the same two-phase rank topology and one exact
+      // DECIMAL(38,0) rank-sum. Romano-threshold label on |δ|.
+      Stats.cliffsDelta(Tables.orders(s, dir), "o_totalprice",
+        "o_orderstatus", groupA = "F", groupB = "O")
+    }),
+    "q_quality_auc" -> ((s, dir) => {
+      // Signal-cheapening audit: how well does the FREE byte-length
+      // column rank documents against the tokenizer-priced word gate
+      // (≥ 70 tokens)? Tie-aware ROC AUC = normalized Mann–Whitney U
+      // over the two-phase distributed ranks — an AUC near 1 means
+      // the cheap scan can pre-filter before tokenization at 100 TB.
+      val docs = Tables.documents(s, dir)
+      Stats.rocAuc(docs, col("n_chars"),
+        TextAnalysis.tokenCount(col("text")) >= 70)
+    }),
+    "q_brier" -> ((s, dir) => {
+      // The CALIBRATION half of the q_quality_auc audit: treat
+      // min(n_chars, 1000) as a permille confidence that the doc
+      // clears the token gate, and score it — Brier MSE plus the
+      // Murphy reliability / resolution / uncertainty split. AUC
+      // near 1 with terrible reliability = the cheap score ranks
+      // fine but its magnitude lies (rescale before thresholding).
+      // Pure integer Brier sum; 9-dp decimal bin fold.
+      val docs = Tables.documents(s, dir)
+      Stats.brierDecomposition(docs, least(col("n_chars"), lit(1000L)),
+        TextAnalysis.tokenCount(col("text")) >= 70)
+    }),
     "q_welch_ttest" -> ((s, dir) => {
       // Parametric two-sample mean test: Welch's t (no equal-variance
       // assumption — the Satterthwaite dof absorbs unequal spreads)
@@ -1169,6 +1226,17 @@ object Queries {
       // triples; SSB/SSW terms round to 9 dp and fix as DECIMAL
       // before the cross-group fold so group order cannot move a bit.
       Stats.anovaF(Tables.events(s, dir), "value", "event_type")
+    }),
+    "q_levene" -> ((s, dir) => {
+      // Do order values SPREAD differently across the five
+      // priorities, regardless of their means? Brown–Forsythe =
+      // one-way ANOVA on |x − group median| — the variance-
+      // homogeneity gate q_anova silently assumes, and a drift
+      // signal in its own right. Exact order-statistic medians
+      // (the quantilesByGroup rank convention), broadcast median
+      // join, anovaF's 9-dp decimal fold, F(df1, ∞) verdict.
+      Stats.brownForsythe(Tables.orders(s, dir), "o_totalprice",
+        "o_orderpriority", col("o_orderkey"))
     }),
     "q_kruskal_wallis" -> ((s, dir) => {
       // The rank-based omnibus: Kruskal–Wallis H across ALL five
@@ -1307,6 +1375,28 @@ object Queries {
       val docs = Tables.documents(s, dir)
       Stats.mcnemar(docs, col("n_chars") >= 400,
         TextAnalysis.tokenCount(col("text")) >= 70)
+    }),
+    "q_cochran_q" -> ((s, dir) => {
+      // The k-gate omnibus over the SAME three-gate battery
+      // q_fleiss_kappa scores: Cochran's Q asks whether the gates
+      // PASS at the same marginal rate (kappa asks whether they
+      // agree row-by-row) — the 3-gate generalization of q_mcnemar.
+      // ONE aggregate pass, exact integer cells, DECIMAL cast before
+      // the squares, literal 5.991 verdict.
+      val docs = Tables.documents(s, dir)
+      val tk = TextAnalysis.tokenCount(col("text"))
+      Stats.cochranQ(docs, Seq(
+        col("n_chars") >= 400,
+        tk >= 70,
+        col("n_chars") <= tk * 8))
+    }),
+    "q_jarque_bera" -> ((s, dir) => {
+      // Shape screen on document length: Jarque–Bera from exact
+      // integer power sums (per-row x² x³ x⁴ stay in Long under the
+      // require-checked 55000 bound; sums are DECIMAL(38,0)), then
+      // one literal-order double formula — says WHY the distribution
+      // is non-Gaussian (skew vs tails), not just that it drifted.
+      Stats.jarqueBera(Tables.documents(s, dir), col("n_chars"))
     }),
     "q_cramers_v" -> ((s, dir) => {
       // Effect size for categorical association: χ² normalized to
@@ -8204,6 +8294,39 @@ object Queries {
         |       CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
         | END AS rho
         |FROM agg""".stripMargin,
+    // Kendall tau-b replica: the same bounded daily series, the same
+    // i<j pair frame, exact integer pair counts, one sqrt on the
+    // exact (< 2^53) double product
+    "q_kendall_tau" ->
+      """WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    AS DOUBLE), 4) AS rev,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        | FROM orders GROUP BY 1),
+        |i AS (SELECT CAST(rev AS DOUBLE) AS x, CAST(cnt AS DOUBLE) AS y,
+        |  row_number() OVER (ORDER BY d ASC) AS i FROM daily),
+        |p AS (SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+        | FROM i a JOIN i b ON b.i > a.i),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS pp,
+        |  coalesce(CAST(sum(CASE WHEN (xa < xb AND ya < yb) OR
+        |    (xa > xb AND ya > yb) THEN 1 ELSE 0 END) AS BIGINT), 0)
+        |   AS c,
+        |  coalesce(CAST(sum(CASE WHEN (xa < xb AND ya > yb) OR
+        |    (xa > xb AND ya < yb) THEN 1 ELSE 0 END) AS BIGINT), 0)
+        |   AS dd,
+        |  coalesce(CAST(sum(CASE WHEN xa = xb THEN 1 ELSE 0 END)
+        |    AS BIGINT), 0) AS ex,
+        |  coalesce(CAST(sum(CASE WHEN ya = yb THEN 1 ELSE 0 END)
+        |    AS BIGINT), 0) AS ey
+        | FROM p)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily)
+        |  AS n_periods,
+        | pp AS n_pairs, c AS concordant, dd AS discordant,
+        | CASE WHEN pp - ex > 0 AND pp - ey > 0 THEN
+        |   round(CAST(c - dd AS DOUBLE) /
+        |     sqrt(CAST(pp - ex AS DOUBLE) * CAST(pp - ey AS DOUBLE)),
+        |     6) END AS tau_b
+        |FROM agg""".stripMargin,
     "q_corr_matrix" -> {
       val cs = Seq("l_quantity" -> "q", "l_extendedprice" -> "e",
         "l_discount" -> "d", "l_tax" -> "t")
@@ -8392,6 +8515,59 @@ object Queries {
          | FROM lg)
          |$arms""".stripMargin
     },
+    // Ljung–Box replica: the q_autocorr pipeline, then the emitted
+    // 6-dp acf lifted to ppm integers, floor-divided per-lag terms,
+    // HUGEINT products, literal chi2(7) verdict on the rounded q_lb
+    "q_ljung_box" -> {
+      val ks = 1 to 7
+      val lags = ks.map(k => s"lag(rev, $k) OVER w AS x$k").mkString(", ")
+      val nums = ks.map(k =>
+        s"CAST(sum(CAST(round((x - m) * (x$k - m), 2) AS DECIMAL(28,2)))" +
+          s" AS DOUBLE) AS num$k, count(x$k) AS cnt$k").mkString(",\n  ")
+      val msel = ks.map(k =>
+        s"CASE WHEN den > 0 THEN CAST(round(round(num$k / den, 6) * " +
+          s"1000000.0, 0) AS BIGINT) END AS m$k, cnt$k").mkString(",\n  ")
+      val badExpr = ks.map(k => s"m$k IS NULL").mkString(" OR ")
+      val minExpr = "least(" + ks.map(k => s"cnt$k").mkString(", ") + ")"
+      val slbExpr = ks.map(k =>
+        s"CASE WHEN cnt$k > 0 AND m$k IS NOT NULL THEN " +
+          s"m$k * m$k // cnt$k ELSE 0 END").mkString(" +\n   ")
+      val sbpExpr = ks.map(k => s"coalesce(m$k * m$k, 0)")
+        .mkString(" +\n   ")
+      s"""WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+         |    AS DOUBLE), 4) AS rev
+         | FROM orders GROUP BY 1),
+         |lg AS (SELECT rev AS x,
+         |  CAST(sum(CAST(rev AS DECIMAL(18,4))) OVER () AS DOUBLE)
+         |    / count(*) OVER () AS m, $lags
+         | FROM daily WINDOW w AS (ORDER BY d ASC)),
+         |agg AS (SELECT
+         |  CAST(sum(CAST(round((x - m) * (x - m), 2) AS DECIMAL(28,2)))
+         |    AS DOUBLE) AS den,
+         |  $nums
+         | FROM lg),
+         |mm AS (SELECT cnt1 + 1 AS n, $msel FROM agg),
+         |s AS (SELECT n,
+         |  CASE WHEN $badExpr THEN 1 ELSE 0 END AS bad,
+         |  $minExpr AS mink,
+         |  ($slbExpr) AS slb,
+         |  ($sbpExpr) AS sbp
+         | FROM mm),
+         |q AS (SELECT n, bad, mink,
+         |  round(CAST(CAST(sbp AS HUGEINT) * n AS DOUBLE)
+         |    / 1000000000000.0, 6) AS qbp,
+         |  round(CAST(CAST(slb AS HUGEINT) * n * (n + 2) AS DOUBLE)
+         |    / 1000000000000.0, 6) AS qlb
+         | FROM s)
+         |SELECT n, CAST(7 AS INTEGER) AS max_lag,
+         | CASE WHEN bad = 0 AND mink > 0 THEN qbp END AS q_bp,
+         | CASE WHEN bad = 0 AND mink > 0 THEN qlb END AS q_lb,
+         | CASE WHEN bad = 0 AND mink > 0 THEN
+         |   CASE WHEN qlb > 14.067 THEN 'reject' ELSE 'keep' END
+         | END AS verdict
+         |FROM q""".stripMargin
+    },
     // paddingWaste replica: one ranked CTE fans out to the three
     // bucket counts; bucket = the equiDepthBins floor form.
     "q_padding_waste" ->
@@ -8477,6 +8653,112 @@ object Queries {
         |      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))
         |  ELSE NULL END, 6) AS z
         |FROM agg""".stripMargin,
+    // Cliff's delta replica: the same per-value rank spans
+    // (lo+hi = 2·cb+ct+1), exact HUGEINT rank-sum, then the literal
+    // 2U/(na·nb) − 1 double order and Romano labels on the
+    // unrounded value
+    "q_cliffs_delta" ->
+      """WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS x,
+        |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS a
+        | FROM orders
+        | WHERE o_orderstatus IN ('F','O') AND o_totalprice IS NOT NULL),
+        |pv AS (SELECT x, CAST(count(*) AS BIGINT) AS ct,
+        |  CAST(sum(a) AS BIGINT) AS ca FROM v GROUP BY x),
+        |rk AS (SELECT x, ct, ca,
+        |  CAST(coalesce(sum(ct) OVER (ORDER BY x ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS BIGINT) AS cb
+        | FROM pv),
+        |agg AS (SELECT
+        |  CAST(sum(ca) AS BIGINT) AS na, CAST(sum(ct) AS BIGINT) AS n,
+        |  sum(CAST(ca AS HUGEINT) * (2 * cb + ct + 1)) AS r2a
+        | FROM rk),
+        |d AS (SELECT na, n - na AS nb,
+        |  (CAST(r2a AS DOUBLE) / 2.0 -
+        |   CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0) / 2.0)
+        |   * 2.0 /
+        |  (CAST(na AS DOUBLE) * CAST(n - na AS DOUBLE)) - 1.0 AS draw
+        | FROM agg)
+        |SELECT na AS n_a, nb AS n_b,
+        | CASE WHEN na > 0 AND nb > 0 THEN round(draw, 6) END AS delta,
+        | CASE WHEN na > 0 AND nb > 0 THEN
+        |   CASE WHEN abs(draw) < 0.147 THEN 'negligible'
+        |     WHEN abs(draw) < 0.33 THEN 'small'
+        |     WHEN abs(draw) < 0.474 THEN 'medium'
+        |     ELSE 'large' END END AS magnitude
+        |FROM d""".stripMargin,
+    // ROC-AUC replica: same rank spans over distinct n_chars, exact
+    // HUGEINT positive rank-sum, one double division; gini from the
+    // same unrounded value
+    "q_quality_auc" ->
+      """WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS x,
+        |  CASE WHEN coalesce(len(list_filter(
+        |      regexp_split_to_array(text, '\s+'),
+        |      w -> len(w) > 0)) >= 70, false) THEN 1 ELSE 0 END AS y
+        | FROM documents WHERE n_chars IS NOT NULL),
+        |pv AS (SELECT x, CAST(count(*) AS BIGINT) AS ct,
+        |  CAST(sum(y) AS BIGINT) AS cp FROM v GROUP BY x),
+        |rk AS (SELECT x, ct, cp,
+        |  CAST(coalesce(sum(ct) OVER (ORDER BY x ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS BIGINT) AS cb
+        | FROM pv),
+        |agg AS (SELECT
+        |  CAST(sum(cp) AS BIGINT) AS np, CAST(sum(ct) AS BIGINT) AS n,
+        |  sum(CAST(cp AS HUGEINT) * (2 * cb + ct + 1)) AS r2p
+        | FROM rk),
+        |a AS (SELECT np, n - np AS nn,
+        |  (CAST(r2p AS DOUBLE) / 2.0 -
+        |   CAST(np AS DOUBLE) * (CAST(np AS DOUBLE) + 1.0) / 2.0) /
+        |  (CAST(np AS DOUBLE) * CAST(n - np AS DOUBLE)) AS araw
+        | FROM agg)
+        |SELECT np AS n_pos, nn AS n_neg,
+        | CASE WHEN np > 0 AND nn > 0 THEN round(araw, 6) END AS auc,
+        | CASE WHEN np > 0 AND nn > 0 THEN round(araw * 2.0 - 1.0, 6)
+        |  END AS gini
+        |FROM a""".stripMargin,
+    // Brier replica: pure integer Brier sum, the same integer bins,
+    // 9-dp DECIMAL(28,9) fold over the <= 10-row bin frame, literal
+    // double order throughout
+    "q_brier" ->
+      """WITH v AS (SELECT least(n_chars, 1000) AS m,
+        |  CASE WHEN coalesce(len(list_filter(
+        |      regexp_split_to_array(text, '\s+'),
+        |      w -> len(w) > 0)) >= 70, false) THEN 1 ELSE 0 END AS y
+        | FROM documents WHERE n_chars IS NOT NULL),
+        |b AS (SELECT least((m * 10) // 1000, 9) AS b,
+        |  CAST(count(*) AS BIGINT) AS nk,
+        |  sum(CAST(m AS HUGEINT)) AS sm,
+        |  CAST(sum(y) AS BIGINT) AS sy,
+        |  sum(CAST((m - 1000 * y) * (m - 1000 * y) AS HUGEINT)) AS sq
+        | FROM v GROUP BY 1),
+        |st AS (SELECT nk, sy,
+        |  sum(nk) OVER () AS nt, sum(sy) OVER () AS syt,
+        |  sum(sq) OVER () AS sqt,
+        |  CAST(sm AS DOUBLE) / (CAST(nk AS DOUBLE) * 1000.0) AS pk,
+        |  CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE) AS yk
+        | FROM b),
+        |one AS (SELECT CAST(max(nt) AS BIGINT) AS n,
+        |  CAST(max(syt) AS BIGINT) AS syg,
+        |  CAST(max(sqt) AS HUGEINT) AS sqg,
+        |  sum(CAST(round(CAST(nk AS DOUBLE) * (pk - yk) * (pk - yk),
+        |    9) AS DECIMAL(28,9))) AS rel,
+        |  sum(CAST(round(CAST(nk AS DOUBLE) *
+        |    (yk - CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)) *
+        |    (yk - CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)), 9)
+        |   AS DECIMAL(28,9))) AS res
+        | FROM st)
+        |SELECT CAST(coalesce(n, 0) AS BIGINT) AS n,
+        | CASE WHEN n > 0 THEN round(CAST(sqg AS DOUBLE) /
+        |   (1000000.0 * CAST(n AS DOUBLE)), 6) END AS brier,
+        | CASE WHEN n > 0 THEN round(CAST(rel AS DOUBLE) /
+        |   CAST(n AS DOUBLE), 6) END AS reliability,
+        | CASE WHEN n > 0 THEN round(CAST(res AS DOUBLE) /
+        |   CAST(n AS DOUBLE), 6) END AS resolution,
+        | CASE WHEN n > 0 THEN round((CAST(syg AS DOUBLE) /
+        |    CAST(n AS DOUBLE)) * (1.0 - CAST(syg AS DOUBLE) /
+        |    CAST(n AS DOUBLE)), 6) END AS uncertainty
+        |FROM one""".stripMargin,
     // Welch replica: identical exact DECIMAL(18,4) accumulators and
     // the same literal double op order (va, se², t, Satterthwaite
     // dof, pooled-sd Cohen's d) before each 6-dp round
@@ -8560,6 +8842,59 @@ object Queries {
         |     (CAST(ssb AS DOUBLE) + CAST(ssw AS DOUBLE)), 6)
         |  END AS eta_sq
         |FROM f""".stripMargin,
+    // Brown–Forsythe replica: exact per-group order-statistic median
+    // (the quantilesByGroup rank convention), |x − med| in decimal,
+    // then the q_anova fold verbatim; F(df1, ∞) literal verdict in
+    // the large-sample regime only
+    "q_levene" ->
+      """WITH v AS (SELECT o_orderpriority AS g,
+        |  CAST(o_totalprice AS DECIMAL(18,4)) AS v, o_orderkey AS id
+        | FROM orders
+        | WHERE o_orderpriority IS NOT NULL
+        |   AND o_totalprice IS NOT NULL),
+        |r AS (SELECT g, v,
+        |  count(*) OVER (PARTITION BY g) AS n,
+        |  row_number() OVER (PARTITION BY g
+        |    ORDER BY v ASC, id ASC) AS rk FROM v),
+        |med AS (SELECT g,
+        |  min(CASE WHEN rk = greatest(1, (n * 500 + 999) // 1000)
+        |    THEN v END) AS med
+        | FROM r GROUP BY g),
+        |z AS (SELECT v.g AS g, abs(v.v - med.med) AS y
+        | FROM v JOIN med USING (g)),
+        |pg AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |  sum(y) AS s,
+        |  sum(CAST(y AS DECIMAL(19,4)) * y) AS ss FROM z GROUP BY g),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(n) AS BIGINT) AS nt, sum(s) AS st FROM pg),
+        |terms AS (SELECT k, nt,
+        |  CAST(round(CAST(n AS DOUBLE) *
+        |    (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) -
+        |     CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)) *
+        |    (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) -
+        |     CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)), 9)
+        |   AS DECIMAL(28,9)) AS tb,
+        |  CAST(round(CAST(ss AS DOUBLE) -
+        |    CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE),
+        |    9) AS DECIMAL(28,9)) AS tw
+        | FROM pg, tot),
+        |f AS (SELECT min(k) AS k, min(nt) AS n,
+        |  sum(tb) AS ssb, sum(tw) AS ssw FROM terms),
+        |o AS (SELECT k, n, k - 1 AS df1, n - k AS df2,
+        |  CASE WHEN k - 1 > 0 AND n - k > 0 AND CAST(ssw AS DOUBLE) > 0
+        |    THEN round((CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE)) /
+        |      (CAST(ssw AS DOUBLE) / CAST(n - k AS DOUBLE)), 6)
+        |   END AS w
+        | FROM f)
+        |SELECT k, n, df1, df2, w,
+        | CASE WHEN w IS NOT NULL AND df1 BETWEEN 1 AND 8
+        |     AND df2 >= 1000 THEN
+        |   CASE WHEN w > (CASE df1 WHEN 1 THEN 3.841 WHEN 2 THEN 2.996
+        |     WHEN 3 THEN 2.605 WHEN 4 THEN 2.372 WHEN 5 THEN 2.214
+        |     WHEN 6 THEN 2.099 WHEN 7 THEN 2.010 ELSE 1.938 END)
+        |    THEN 'reject' ELSE 'keep' END
+        | END AS verdict
+        |FROM o""".stripMargin,
     // Kruskal–Wallis replica: same per-value rank ranges from the
     // cumulative count (lo = cb+1, hi = cb+ct), exact HUGEINT rank
     // sums + tie census, the O(1)-normalized per-group term in the
@@ -9079,6 +9414,84 @@ object Queries {
         |   CASE WHEN chi2 > 3.841 THEN 'reject' ELSE 'keep' END
         | END AS verdict
         |FROM c""".stripMargin,
+    // Cochran's Q replica: the same three gates, exact HUGEINT
+    // cells, one double division, verdict on the ROUNDED q (the
+    // emitted-precision rule)
+    "q_cochran_q" ->
+      """WITH r AS (SELECT
+        |  CASE WHEN coalesce(n_chars >= 400, false)
+        |   THEN 1 ELSE 0 END AS g0,
+        |  CASE WHEN coalesce(len(list_filter(
+        |      regexp_split_to_array(text, '\s+'),
+        |      w -> len(w) > 0)) >= 70, false) THEN 1 ELSE 0 END AS g1,
+        |  CASE WHEN coalesce(n_chars <= len(list_filter(
+        |      regexp_split_to_array(text, '\s+'),
+        |      w -> len(w) > 0)) * 8, false) THEN 1 ELSE 0 END AS g2
+        | FROM documents),
+        |one AS (SELECT CAST(count(*) AS BIGINT) AS ni,
+        |  coalesce(CAST(sum(g0) AS BIGINT), 0) AS c0,
+        |  coalesce(CAST(sum(g1) AS BIGINT), 0) AS c1,
+        |  coalesce(CAST(sum(g2) AS BIGINT), 0) AS c2,
+        |  coalesce(sum(CAST(g0 + g1 + g2 AS HUGEINT)), 0) AS nn,
+        |  coalesce(sum(CAST(g0 + g1 + g2 AS HUGEINT)
+        |    * (g0 + g1 + g2)), 0) AS rr
+        | FROM r),
+        |f AS (SELECT ni,
+        |  CAST(2 * (3 * (CAST(c0 AS HUGEINT) * c0 +
+        |      CAST(c1 AS HUGEINT) * c1 + CAST(c2 AS HUGEINT) * c2) -
+        |    CAST(nn AS HUGEINT) * nn) AS DOUBLE) AS num,
+        |  CAST(3 * nn - rr AS DOUBLE) AS den
+        | FROM one),
+        |qq AS (SELECT ni,
+        |  CASE WHEN den > 0.0 THEN round(num / den, 6) END AS q
+        | FROM f)
+        |SELECT ni AS n_items, CAST(3 AS BIGINT) AS k_gates, q,
+        | CASE WHEN q IS NOT NULL THEN
+        |   CASE WHEN q > 5.991 THEN 'reject' ELSE 'keep' END
+        | END AS verdict
+        |FROM qq""".stripMargin,
+    // Jarque–Bera replica: exact HUGEINT power sums (per-row cubes
+    // stay in BIGINT under the 55000 input bound), then the same
+    // literal central-moment / skew / kurtosis / JB double order
+    "q_jarque_bera" ->
+      """WITH v AS (SELECT CAST(n_chars AS BIGINT) AS x
+        | FROM documents WHERE n_chars IS NOT NULL),
+        |one AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  coalesce(sum(CAST(x AS HUGEINT)), 0) AS s1,
+        |  coalesce(sum(CAST(x * x AS HUGEINT)), 0) AS s2,
+        |  coalesce(sum(CAST(x * x * x AS HUGEINT)), 0) AS s3,
+        |  coalesce(sum(CAST(x * x AS HUGEINT) * (x * x)), 0) AS s4
+        | FROM v),
+        |m AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+        |  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |  CAST(s2 AS DOUBLE) AS s2d, CAST(s3 AS DOUBLE) AS s3d,
+        |  CAST(s4 AS DOUBLE) AS s4d
+        | FROM one),
+        |c AS (SELECT n, nd,
+        |  s2d / nd - mean * mean AS m2,
+        |  s3d / nd - 3.0 * mean * (s2d / nd)
+        |    + 2.0 * mean * mean * mean AS m3,
+        |  s4d / nd - 4.0 * mean * (s3d / nd)
+        |    + 6.0 * (mean * mean) * (s2d / nd)
+        |    - 3.0 * (mean * mean) * (mean * mean) AS m4
+        | FROM m),
+        |k AS (SELECT n, nd, m2,
+        |  m3 / (m2 * sqrt(m2)) AS skew,
+        |  m4 / (m2 * m2) - 3.0 AS exk
+        | FROM c),
+        |j AS (SELECT n, m2, skew, exk,
+        |  nd / 6.0 * (skew * skew + exk * exk / 4.0) AS jb
+        | FROM k)
+        |SELECT n,
+        | CASE WHEN n >= 2 AND m2 > 0.0 THEN round(skew, 6)
+        |  END AS skewness,
+        | CASE WHEN n >= 2 AND m2 > 0.0 THEN round(exk, 6)
+        |  END AS kurtosis_excess,
+        | CASE WHEN n >= 2 AND m2 > 0.0 THEN round(jb, 6) END AS jb,
+        | CASE WHEN n >= 2 AND m2 > 0.0 THEN
+        |   CASE WHEN jb > 5.991 THEN 'reject' ELSE 'keep' END
+        | END AS verdict
+        |FROM j""".stripMargin,
     // Cramér's V replica: the q_chi_square contingency arithmetic on
     // (status, priority), plus V from the 6-dp-rounded χ².
     "q_cramers_v" ->

@@ -2377,6 +2377,146 @@ object Stats {
         col("__r.acf").as("acf"))
   }
 
+  /** Ljung–Box (and Box–Pierce) portmanteau test: are the first
+    * `maxLag` autocorrelations of the series JOINTLY zero, i.e. is
+    * the series white noise? The one-number summary of
+    * [[autocorrelation]]'s per-lag curve — the standard pre-model
+    * check before trusting an i.i.d. assumption on a daily metric.
+    *
+    * Q_LB = n(n+2)·Σ r_k²/(n−k), Q_BP = n·Σ r_k². Determinism: both
+    * compute from the EMITTED 6-dp acf values (the gate-replays-
+    * emitted-precision rule) lifted to exact integers m_k = r_k·10⁶;
+    * the Ljung–Box per-lag division is INTEGER floor division
+    * (m_k² div (n−k)) so the cross-lag sum is order-free — the
+    * statistic is defined at that ppm-squared granularity (bias
+    * < n²·K/10¹², invisible at 6 dp for daily-scale series), the
+    * same scaled-integer contract as the Lorenz ppm shares. The
+    * corpus-sized work is whatever builds the series; everything
+    * here runs on the ≤ 64-row acf frame.
+    *
+    * Returns one row: (n, max_lag, q_bp, q_lb, verdict) — verdict
+    * vs the literal χ²(maxLag) 5% critical value (maxLag ≤ 8;
+    * NULL otherwise), NULL-gated when any acf is NULL or a lag has
+    * no terms. */
+  def ljungBox(
+      series: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64,
+      s"maxLag out of range: $maxLag")
+    val dec = DecimalType(38, 0)
+    val acf = autocorrelation(series, orderCol, valueCol, maxLag)
+    // ≤ 64-row control-plane frame from here on
+    val m = round(col("acf") * 1000000.0, 0).cast(LongType)
+    val terms = acf.select(
+      (col("n_terms") + col("lag")).as("__n"),
+      col("n_terms").as("__nk"),
+      (m * m).as("__m2"),
+      when(col("acf").isNull, 1L).otherwise(0L).as("__bad"))
+      .withColumn("__lb",
+        when(col("__m2").isNotNull && col("__nk") > 0,
+          expr("__m2 div __nk")).otherwise(lit(null).cast(LongType)))
+    val one = terms.agg(
+      max(col("__n")).as("__nn"),
+      min(col("__nk")).as("__mink"),
+      coalesce(sum(col("__bad")), lit(0L)).as("__nbad"),
+      coalesce(sum(col("__lb").cast(dec)), lit(0).cast(dec)).as("__s"),
+      coalesce(sum(col("__m2").cast(dec)), lit(0).cast(dec))
+        .as("__sbp"))
+    val nnDec = col("__nn").cast(dec)
+    val qLbRaw = (col("__s") * nnDec * (col("__nn") + lit(2L)).cast(dec))
+      .cast(DoubleType) / 1.0e12
+    val qBpRaw = (col("__sbp") * nnDec).cast(DoubleType) / 1.0e12
+    val ok = col("__nbad") === 0L && col("__mink") > 0L
+    val qLb = when(ok, round(qLbRaw, 6))
+      .otherwise(lit(null).cast(DoubleType))
+    val crit: Option[Double] = maxLag match {
+      case 1 => Some(3.841); case 2 => Some(5.991); case 3 => Some(7.815)
+      case 4 => Some(9.488); case 5 => Some(11.070); case 6 => Some(12.592)
+      case 7 => Some(14.067); case 8 => Some(15.507); case _ => None
+    }
+    one.select(col("__nn").as("n"), lit(maxLag).as("max_lag"),
+      when(ok, round(qBpRaw, 6)).otherwise(lit(null).cast(DoubleType))
+        .as("q_bp"),
+      qLb.as("q_lb"),
+      crit.map(c => when(qLb.isNotNull,
+          when(qLb > c, lit("reject")).otherwise(lit("keep")))
+          .otherwise(lit(null).cast(StringType)))
+        .getOrElse(lit(null).cast(StringType)).as("verdict"))
+  }
+
+  /** Kendall's τ-b rank correlation between two per-period metrics —
+    * the concordance view of association: of all period pairs, how
+    * many move the SAME way in x and y? More robust to outliers than
+    * [[spearman]] (one wild period perturbs every Spearman rank
+    * difference; it flips at most n−1 of τ's pair signs), and the
+    * natural companion of [[theilSenTrend]], whose slope is the
+    * median of exactly these pairs.
+    *
+    * τ_b = (C − D) / √((P − T_x)(P − T_y)) over strictly concordant /
+    * discordant pair counts, tie-adjusted in both margins. The pair
+    * frame is P = p(p−1)/2 — the [[theilSenTrend]] maxPeriods=10k
+    * contract (a require, not a silent cross join) bounds it at ~50M
+    * rows; every count is an exact integer and the only doubles are
+    * one product (exact under 2⁵³) and one sqrt.
+    *
+    * Returns one row: (n_periods, n_pairs, concordant, discordant,
+    * tau_b); NULL τ when either margin is all ties. */
+  def kendallTau(
+      series: DataFrame,
+      orderCol: String,
+      xCol: String,
+      yCol: String,
+      maxPeriods: Long = 10000L): DataFrame = {
+    val w = Guards.seriesWindow(col(orderCol).asc)
+    val idx = Guards.boundedSeries(series, "kendallTau series")
+      .select(col(xCol).cast(DoubleType).as("__x"),
+        col(yCol).cast(DoubleType).as("__y"),
+        row_number().over(w).as("__i"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = idx.count()
+    if (p < 2 || p > maxPeriods) {
+      idx.unpersist(false)
+      require(p >= 2, s"kendallTau needs >= 2 periods, got $p")
+      require(p <= maxPeriods,
+        s"kendallTau: $p periods -> ${p * (p - 1) / 2} pairs exceeds " +
+          s"the maxPeriods=$maxPeriods cap; aggregate to coarser " +
+          "periods first")
+    }
+    val a = idx.select(col("__i").as("__ia"), col("__x").as("__xa"),
+      col("__y").as("__ya"))
+    val b = idx.select(col("__i").as("__ib"), col("__x").as("__xb"),
+      col("__y").as("__yb"))
+    val one = a.crossJoin(b).filter(col("__ib") > col("__ia")).agg(
+      count(lit(1)).as("__pp"),
+      coalesce(sum(when(
+        (col("__xa") < col("__xb") && col("__ya") < col("__yb")) ||
+          (col("__xa") > col("__xb") && col("__ya") > col("__yb")), 1L)
+        .otherwise(0L)), lit(0L)).as("__c"),
+      coalesce(sum(when(
+        (col("__xa") < col("__xb") && col("__ya") > col("__yb")) ||
+          (col("__xa") > col("__xb") && col("__ya") < col("__yb")), 1L)
+        .otherwise(0L)), lit(0L)).as("__d"),
+      coalesce(sum(when(col("__xa") === col("__xb"), 1L)
+        .otherwise(0L)), lit(0L)).as("__ex"),
+      coalesce(sum(when(col("__ya") === col("__yb"), 1L)
+        .otherwise(0L)), lit(0L)).as("__ey"))
+    val okT = (col("__pp") - col("__ex")) > 0 &&
+      (col("__pp") - col("__ey")) > 0
+    val tau = (col("__c") - col("__d")).cast(DoubleType) /
+      sqrt((col("__pp") - col("__ex")).cast(DoubleType) *
+        (col("__pp") - col("__ey")).cast(DoubleType))
+    val out = one.select(lit(p).as("n_periods"),
+      col("__pp").as("n_pairs"), col("__c").as("concordant"),
+      col("__d").as("discordant"),
+      when(okT, round(tau, 6)).otherwise(lit(null).cast(DoubleType))
+        .as("tau_b"))
+      .localCheckpoint(true) // 1 row; free idx afterwards
+    idx.unpersist(false)
+    out
+  }
+
   /** Equal-width histogram of `valueCol` over its observed [min, max]
     * — the one-glance distribution shape (bounds from a cheap
     * min/max-only first pass; at warehouse scale they'd come from
@@ -2561,6 +2701,200 @@ object Stats {
     out
   }
 
+  /** ROC AUC of a score predicting a binary label, tie-aware — the
+    * standard discrimination readout for a quality-filter audit:
+    * AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻). Numerically it
+    * IS the normalized Mann–Whitney U, and that is exactly how it
+    * computes: ranks from [[globalRankByValue]]'s two-phase prefix
+    * sum (no single-partition window), average ranks per distinct
+    * score from the contiguous (lo+hi) span, the positive rank-sum
+    * as exact DECIMAL(38,0) (cast BEFORE multiply — the
+    * [[mannWhitney]] contract), then ONE double division. Gini
+    * (accuracy ratio) = 2·AUC − 1 rides along from the same
+    * unrounded value.
+    *
+    * Returns one row: (n_pos, n_neg, auc, gini); metrics NULL when
+    * either class is empty (AUC is undefined, not 0.5). */
+  def rocAuc(
+      df: DataFrame,
+      scoreCol: Column,
+      labelPred: Column,
+      nRanges: Int = 256): DataFrame = {
+    val v = df
+      .select(scoreCol.cast(DoubleType).as("__x"),
+        when(coalesce(labelPred, lit(false)), 1L).otherwise(0L)
+          .as("__y"))
+      .filter(col("__x").isNotNull)
+      .withColumn("__t", lit(0))
+    val (ranked, _) = globalRankByValue(v, "__x", "__t", nRanges)
+    val dec = DecimalType(38, 0)
+    val perVal = ranked.groupBy(col("__x"))
+      .agg(min(col("__rank")).as("__lo"), max(col("__rank")).as("__hi"),
+        sum(col("__y")).as("__cp"), count(lit(1)).as("__ct"))
+    val agg1 = perVal.agg(
+      coalesce(sum(col("__cp")), lit(0L)).as("__np"),
+      coalesce(sum(col("__ct")), lit(0L)).as("__n"),
+      coalesce(sum(col("__cp").cast(dec) * (col("__lo") + col("__hi"))),
+        lit(0).cast(dec)).as("__r2p"))
+    val npd = col("__np").cast(DoubleType)
+    val nnd = (col("__n") - col("__np")).cast(DoubleType)
+    val aucRaw = (col("__r2p").cast(DoubleType) / 2.0 -
+      npd * (npd + 1.0) / 2.0) / (npd * nnd)
+    val ok = col("__np") > 0 && (col("__n") - col("__np")) > 0
+    agg1.select(
+      col("__np").as("n_pos"),
+      (col("__n") - col("__np")).as("n_neg"),
+      when(ok, round(aucRaw, 6)).otherwise(lit(null).cast(DoubleType))
+        .as("auc"),
+      when(ok, round(aucRaw * 2.0 - 1.0, 6))
+        .otherwise(lit(null).cast(DoubleType)).as("gini"))
+  }
+
+  /** Brier score with the Murphy reliability/resolution/uncertainty
+    * decomposition — the CALIBRATION companion of [[rocAuc]] (AUC
+    * says whether the score RANKS well; Brier says whether its
+    * magnitude means what it claims): mean squared error of a
+    * probabilistic forecast against the binary outcome, split into
+    * reliability (calibration gap per forecast bin — lower better),
+    * resolution (how far bin outcomes move from the base rate —
+    * higher better), and uncertainty (the base rate's own variance,
+    * the no-skill floor).
+    *
+    * The forecast arrives as an exact PERMILLE integer (0..1000,
+    * require-checked by a one-row pre-scan), so the Brier sum is
+    * pure integer arithmetic: Σ(m − 1000y)² / (10⁶·n). Bins are
+    * integer (m·nBins) div 1000; per-bin aggregates are exact
+    * DECIMAL sums; the ≤ nBins-row decomposition fold fixes each
+    * double term at 9 dp as DECIMAL(28,9) (the [[anovaF]] fold) so
+    * bin order cannot move a bit.
+    *
+    * Returns one row: (n, brier, reliability, resolution,
+    * uncertainty); all NULL when the input is empty. */
+  def brierDecomposition(
+      df: DataFrame,
+      forecastPermille: Column,
+      labelPred: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1 && nBins <= 1000,
+      s"nBins out of range: $nBins")
+    val v = df
+      .select(forecastPermille.cast(LongType).as("__m"),
+        when(coalesce(labelPred, lit(false)), 1L).otherwise(0L)
+          .as("__y"))
+      .filter(col("__m").isNotNull)
+    val pre = v.agg(coalesce(min(col("__m")), lit(0L)),
+      coalesce(max(col("__m")), lit(0L))).collect()(0)
+    require(pre.getLong(0) >= 0L && pre.getLong(1) <= 1000L,
+      s"brierDecomposition: forecast permille range [${pre.getLong(0)}," +
+        s" ${pre.getLong(1)}] outside [0, 1000] — rescale first")
+    val dec = DecimalType(38, 0)
+    val err = col("__m") - lit(1000L) * col("__y")
+    val bins = v
+      .withColumn("__b", least(expr(s"(__m * $nBins) div 1000"),
+        lit(nBins.toLong - 1L)))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("__nk"),
+        coalesce(sum(col("__m").cast(dec)), lit(0).cast(dec))
+          .as("__sm"),
+        coalesce(sum(col("__y")), lit(0L)).as("__sy"),
+        coalesce(sum((err * err).cast(dec)), lit(0).cast(dec))
+          .as("__sq"))
+    // ≤ nBins rows: global totals ride a full-frame window on the
+    // same pass (the autocorrelation idiom — no second corpus scan)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val staged = bins
+      .withColumn("__nt", sum(col("__nk")).over(wAll))
+      .withColumn("__syt", sum(col("__sy")).over(wAll))
+      .withColumn("__sqt", sum(col("__sq")).over(wAll))
+    val nkD = col("__nk").cast(DoubleType)
+    val ntD = col("__nt").cast(DoubleType)
+    val pk = col("__sm").cast(DoubleType) / (nkD * 1000.0)
+    val yk = col("__sy").cast(DoubleType) / nkD
+    val ybar = col("__syt").cast(DoubleType) / ntD
+    val fold = DecimalType(28, 9)
+    val one = staged.agg(
+      max(col("__nt")).as("__n"),
+      max(col("__syt")).as("__syg"),
+      max(col("__sqt")).as("__sqg"),
+      sum(round(nkD * (pk - yk) * (pk - yk), 9).cast(fold))
+        .as("__rel"),
+      sum(round(nkD * (yk - ybar) * (yk - ybar), 9).cast(fold))
+        .as("__res"))
+    val nD = col("__n").cast(DoubleType)
+    val yb = col("__syg").cast(DoubleType) / nD
+    val ok = col("__n") > 0
+    one.select(coalesce(col("__n"), lit(0L)).as("n"),
+      when(ok, round(col("__sqg").cast(DoubleType) /
+        (lit(1000000.0) * nD), 6))
+        .otherwise(lit(null).cast(DoubleType)).as("brier"),
+      when(ok, round(col("__rel").cast(DoubleType) / nD, 6))
+        .otherwise(lit(null).cast(DoubleType)).as("reliability"),
+      when(ok, round(col("__res").cast(DoubleType) / nD, 6))
+        .otherwise(lit(null).cast(DoubleType)).as("resolution"),
+      when(ok, round(yb * (lit(1.0) - yb), 6))
+        .otherwise(lit(null).cast(DoubleType)).as("uncertainty"))
+  }
+
+  /** Cliff's delta ordinal effect size between two groups:
+    * δ = (#(a>b) − #(a<b)) / (n_a·n_b) ∈ [−1, 1] — the MAGNITUDE
+    * companion of [[mannWhitney]] (U says whether the shift is
+    * real; δ says whether anyone should care), assumption-free like
+    * the test itself. Computed WITHOUT the pair join: with tie-aware
+    * average ranks, δ = 2·U_a/(n_a·n_b) − 1, so the whole statistic
+    * reuses the [[globalRankByValue]] two-phase prefix-sum topology
+    * and one exact DECIMAL(38,0) rank-sum.
+    *
+    * Magnitude labels use the Romano et al. thresholds on |δ|
+    * (0.147 / 0.33 / 0.474 — negligible / small / medium / large),
+    * applied to the unrounded value (pure double compares, so both
+    * engines agree).
+    *
+    * Returns one row: (n_a, n_b, delta, magnitude); NULL when either
+    * group is empty. */
+  def cliffsDelta(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      groupA: String,
+      groupB: String,
+      nRanges: Int = 256): DataFrame = {
+    val v = df
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull)
+      .select(col(groupCol).cast(StringType).as("__g"),
+        col(valueCol).cast(DoubleType).as("__x"))
+      .withColumn("__t", lit(0))
+    val (ranked, _) = globalRankByValue(v, "__x", "__t", nRanges)
+    val dec = DecimalType(38, 0)
+    val perVal = ranked.groupBy(col("__x"))
+      .agg(min(col("__rank")).as("__lo"), max(col("__rank")).as("__hi"),
+        sum(when(col("__g") === groupA, 1L).otherwise(0L)).as("__ca"),
+        count(lit(1)).as("__ct"))
+    val agg1 = perVal.agg(
+      coalesce(sum(col("__ca")), lit(0L)).as("__na"),
+      coalesce(sum(col("__ct")), lit(0L)).as("__n"),
+      coalesce(sum(col("__ca").cast(dec) * (col("__lo") + col("__hi"))),
+        lit(0).cast(dec)).as("__r2a"))
+    val nad = col("__na").cast(DoubleType)
+    val nbd = (col("__n") - col("__na")).cast(DoubleType)
+    val uRaw = col("__r2a").cast(DoubleType) / 2.0 -
+      nad * (nad + 1.0) / 2.0
+    val deltaRaw = uRaw * 2.0 / (nad * nbd) - 1.0
+    val ok = col("__na") > 0 && (col("__n") - col("__na")) > 0
+    val mag = when(abs(deltaRaw) < 0.147, lit("negligible"))
+      .when(abs(deltaRaw) < 0.33, lit("small"))
+      .when(abs(deltaRaw) < 0.474, lit("medium"))
+      .otherwise(lit("large"))
+    agg1.select(
+      col("__na").as("n_a"),
+      (col("__n") - col("__na")).as("n_b"),
+      when(ok, round(deltaRaw, 6)).otherwise(lit(null).cast(DoubleType))
+        .as("delta"),
+      when(ok, mag).otherwise(lit(null).cast(StringType))
+        .as("magnitude"))
+  }
+
   /** Welch's unequal-variance t-test between two groups, plus Cohen's
     * d effect size — the parametric sibling of [[mannWhitney]] (which
     * compares ranks; Welch compares means when the values themselves
@@ -2701,6 +3035,54 @@ object Stats {
       .localCheckpoint(true)
     perGroup.unpersist(false)
     out
+  }
+
+  /** Brown–Forsythe test for variance homogeneity across k groups —
+    * the robust Levene variant: do the groups SPREAD differently,
+    * regardless of their centers? The companion gate [[anovaF]] and
+    * [[welchT]] silently assume away (ANOVA compares means; this
+    * asks whether comparing means was even fair), and a drift signal
+    * in its own right — a source whose variance doubles changed even
+    * if its mean held.
+    *
+    * W is literally one-way ANOVA on z = |x − median_g|: per-group
+    * EXACT order-statistic medians from [[quantilesByGroup]] (the
+    * (n·500+999) div 1000 rank, value+id total order), a broadcast
+    * join of the ≤ |groups|-row median frame back onto the data, and
+    * then [[anovaF]]'s exact-decimal fold verbatim — z stays
+    * DECIMAL(18,4) end to end, so the only doubles are the fold's
+    * 9-dp-fixed terms.
+    *
+    * Returns one row: (k, n, df1, df2, w, verdict) — verdict vs the
+    * literal F(df1, ∞) 5% critical value, emitted only in the
+    * large-sample regime (df2 ≥ 1000, df1 ≤ 8) where the ∞ row is
+    * the right reference; NULL otherwise. */
+  def brownForsythe(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      idCol: Column): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast(StringType).as("__g"),
+        col(valueCol).cast(dec).as("__v"), idCol.as("__vid"))
+    val med = quantilesByGroup(base, Seq("__g"), col("__v"),
+        col("__vid"), permilles = Seq(500))
+      .select(col("__g"), col("p_500").cast(dec).as("__med"))
+    val z = base.join(broadcast(med), Seq("__g"))
+      .select(col("__g"), abs(col("__v") - col("__med")).as("__z"))
+    val a = anovaF(z, "__z", "__g")
+    val crit = when(col("df1") === 1, 3.841).when(col("df1") === 2, 2.996)
+      .when(col("df1") === 3, 2.605).when(col("df1") === 4, 2.372)
+      .when(col("df1") === 5, 2.214).when(col("df1") === 6, 2.099)
+      .when(col("df1") === 7, 2.010).when(col("df1") === 8, 1.938)
+      .otherwise(lit(null).cast(DoubleType))
+    a.select(col("k"), col("n"), col("df1"), col("df2"),
+      col("f").as("w"),
+      when(col("f").isNotNull && crit.isNotNull && col("df2") >= 1000,
+        when(col("f") > crit, lit("reject")).otherwise(lit("keep")))
+        .otherwise(lit(null).cast(StringType)).as("verdict"))
   }
 
   /** Cohen's kappa: chance-corrected agreement between two categorical
@@ -2908,6 +3290,123 @@ object Stats {
       col("neither"), chi2.as("chi2"),
       when(chi2.isNotNull,
         when(chi2 > 3.841, lit("reject")).otherwise(lit("keep")))
+        .otherwise(lit(null).cast(StringType)).as("verdict"))
+  }
+
+  /** Cochran's Q test over k ≥ 2 PAIRED binary judgments on the same
+    * rows — the k-gate generalization of [[mcnemar]] (and the binary
+    * special case of Friedman's test): do the gates pass at the same
+    * rate, or does at least one differ systematically? The omnibus
+    * companion of [[fleissKappa]] on the same battery (kappa asks
+    * "do they agree per row"; Q asks "do their marginal rates
+    * match").
+    *
+    * Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²) with C_j the per-gate
+    * pass totals, R_i the per-row pass counts, N = ΣR. ONE
+    * map-side-combined aggregate pass; every term is an exact
+    * integer with the DECIMAL(38,0) cast BEFORE the squaring (N² at
+    * 10¹⁴ rows wraps a Long), then one double division. NULL-gated
+    * when the denominator is 0 (every row passes all-or-none of the
+    * gates — no within-row discordance to test). Verdict against
+    * the literal χ²(k−1) 5% critical value, df ≤ 8.
+    *
+    * Returns one row: (n_items, k_gates, q, verdict). */
+  def cochranQ(
+      df: DataFrame,
+      preds: Seq[Column]): DataFrame = {
+    val k = preds.size
+    require(k >= 2 && k <= 9, s"cochranQ needs 2..9 gates, got $k")
+    val dec = DecimalType(38, 0)
+    val bits = preds.map(p =>
+      when(coalesce(p, lit(false)), 1L).otherwise(0L))
+    val r = bits.reduce(_ + _)
+    val cAggs = bits.zipWithIndex.map { case (b, j) =>
+      coalesce(sum(b), lit(0L)).as(s"__c$j") }
+    val aggs = cAggs ++ Seq(
+      count(lit(1)).as("__ni"),
+      coalesce(sum(r), lit(0L)).as("__nn"),
+      coalesce(sum(r * r), lit(0L)).as("__rr"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val sumC2 = (0 until k)
+      .map(j => col(s"__c$j").cast(dec) * col(s"__c$j"))
+      .reduce(_ + _)
+    val num = (lit(k.toLong - 1L).cast(dec) *
+      (lit(k.toLong) * sumC2 -
+        col("__nn").cast(dec) * col("__nn"))).cast(DoubleType)
+    val den = (lit(k.toLong) * col("__nn") - col("__rr"))
+      .cast(DoubleType)
+    val q = when(den > 0.0, round(num / den, 6))
+      .otherwise(lit(null).cast(DoubleType))
+    val crit = k - 1 match {
+      case 1 => 3.841; case 2 => 5.991; case 3 => 7.815
+      case 4 => 9.488; case 5 => 11.070; case 6 => 12.592
+      case 7 => 14.067; case _ => 15.507
+    }
+    one.select(col("__ni").as("n_items"),
+      lit(k.toLong).as("k_gates"), q.as("q"),
+      when(q.isNotNull,
+        when(q > crit, lit("reject")).otherwise(lit("keep")))
+        .otherwise(lit(null).cast(StringType)).as("verdict"))
+  }
+
+  /** Jarque–Bera normality test over an integer-valued column: is
+    * the distribution's shape consistent with a Gaussian, measured
+    * by its sample skewness and excess kurtosis?
+    * JB = n/6·(S² + K²/4) ~ χ²(2) — the moment-based screen that
+    * says WHY a distribution fails (asymmetry vs tails), where
+    * [[ksByGroup]] only says THAT it differs.
+    *
+    * Scale shape: ONE map-side-combined aggregate accumulates the
+    * four raw power sums as exact DECIMAL(38,0) — per-row x² x³ x⁴
+    * stay in Long because the input is require-bounded to
+    * |x| ≤ 55 000 (x⁴ < 2⁶³; a one-row pre-scan enforces it loudly —
+    * scale prices to integers OUTSIDE that bound before calling).
+    * The central moments then derive from the exact sums in ONE
+    * fixed double formula both engines replay literally (no pow():
+    * m2^1.5 is m2·sqrt(m2)).
+    *
+    * Returns one row: (n, skewness, kurtosis_excess, jb, verdict);
+    * metrics NULL when n < 2 or the variance is 0. */
+  def jarqueBera(
+      df: DataFrame,
+      valueCol: Column): DataFrame = {
+    val v = df.select(valueCol.cast(LongType).as("__x"))
+      .filter(col("__x").isNotNull)
+    val pre = v.agg(coalesce(max(abs(col("__x"))), lit(0L))).collect()(0)
+    require(pre.getLong(0) <= 55000L,
+      s"jarqueBera: max |value| ${pre.getLong(0)} exceeds the " +
+        "exact-moment bound 55000 — rescale the input first")
+    val dec = DecimalType(38, 0)
+    val p = v.withColumn("__x2", col("__x") * col("__x"))
+    val one = p.agg(
+      count(lit(1)).as("__n"),
+      coalesce(sum(col("__x").cast(dec)), lit(0).cast(dec)).as("__s1"),
+      coalesce(sum(col("__x2").cast(dec)), lit(0).cast(dec)).as("__s2"),
+      coalesce(sum((col("__x2") * col("__x")).cast(dec)),
+        lit(0).cast(dec)).as("__s3"),
+      coalesce(sum((col("__x2") * col("__x2")).cast(dec)),
+        lit(0).cast(dec)).as("__s4"))
+    val nD = col("__n").cast(DoubleType)
+    def s(i: Int) = col(s"__s$i").cast(DoubleType)
+    val mean = s(1) / nD
+    val m2 = s(2) / nD - mean * mean
+    val m3 = s(3) / nD - lit(3.0) * mean * (s(2) / nD) +
+      lit(2.0) * mean * mean * mean
+    val m4 = s(4) / nD - lit(4.0) * mean * (s(3) / nD) +
+      lit(6.0) * (mean * mean) * (s(2) / nD) -
+      lit(3.0) * (mean * mean) * (mean * mean)
+    val skew = m3 / (m2 * sqrt(m2))
+    val exk = m4 / (m2 * m2) - 3.0
+    val jb = nD / 6.0 * (skew * skew + exk * exk / 4.0)
+    val ok = col("__n") >= 2 && m2 > 0.0
+    one.select(col("__n").as("n"),
+      when(ok, round(skew, 6)).otherwise(lit(null).cast(DoubleType))
+        .as("skewness"),
+      when(ok, round(exk, 6)).otherwise(lit(null).cast(DoubleType))
+        .as("kurtosis_excess"),
+      when(ok, round(jb, 6)).otherwise(lit(null).cast(DoubleType))
+        .as("jb"),
+      when(ok, when(jb > 5.991, lit("reject")).otherwise(lit("keep")))
         .otherwise(lit(null).cast(StringType)).as("verdict"))
   }
 

@@ -1802,4 +1802,196 @@ class StatsSpec extends SparkSpecBase {
         s"group $g: estimate $e +/- $err must bracket ${exact(g)}")
     }
   }
+
+  test("rocAuc: perfect separation, hand-computed tie case, and " +
+    "one-class abstention") {
+    import spark.implicits._
+    // pos {3,4} all above neg {1,2}: AUC = 1, gini = 1
+    val sep = Seq((3.0, true), (4.0, true), (1.0, false), (2.0, false))
+      .toDF("s", "y")
+    val p = Stats.rocAuc(sep, col("s"), col("y")).collect()(0)
+    assert(p.getAs[Long]("n_pos") == 2L && p.getAs[Long]("n_neg") == 2L)
+    assert(p.getAs[Double]("auc") == 1.0 &&
+      p.getAs[Double]("gini") == 1.0, s"got $p")
+    // pos {2,3} vs neg {1,2}: pairs (2>1)+(2=2 half)+(3>1)+(3>2)
+    // = 3.5/4 = 0.875, gini 0.75
+    val tie = Seq((2.0, true), (3.0, true), (1.0, false), (2.0, false))
+      .toDF("s", "y")
+    val t = Stats.rocAuc(tie, col("s"), col("y")).collect()(0)
+    assert(t.getAs[Double]("auc") == 0.875 &&
+      t.getAs[Double]("gini") == 0.75, s"got $t")
+    // all one class: AUC undefined, not 0.5
+    val one = Seq((1.0, true), (2.0, true)).toDF("s", "y")
+    val o = Stats.rocAuc(one, col("s"), col("y")).collect()(0)
+    assert(o.isNullAt(o.fieldIndex("auc")) &&
+      o.isNullAt(o.fieldIndex("gini")))
+  }
+
+  test("cliffsDelta: full dominance is large; hand-computed mixed " +
+    "case lands in the small band") {
+    import spark.implicits._
+    // a {3,4} dominates b {1,2}: delta = +1 -> large
+    val dom = Seq(("a", 3.0), ("a", 4.0), ("b", 1.0), ("b", 2.0))
+      .toDF("g", "v")
+    val d = Stats.cliffsDelta(dom, "v", "g", "a", "b").collect()(0)
+    assert(d.getAs[Double]("delta") == 1.0 &&
+      d.getAs[String]("magnitude") == "large", s"got $d")
+    // a {1,3} vs b {2,3}: (#a>b - #a<b)/4 = (1-2)/4 = -0.25 -> small
+    val mix = Seq(("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 3.0))
+      .toDF("g", "v")
+    val m = Stats.cliffsDelta(mix, "v", "g", "a", "b").collect()(0)
+    assert(m.getAs[Double]("delta") == -0.25 &&
+      m.getAs[String]("magnitude") == "small", s"got $m")
+  }
+
+  test("cochranQ: hand-computed Q over three gates; all-or-none " +
+    "rows abstain") {
+    import spark.implicits._
+    // rows (1,1,0),(1,0,0),(1,1,1),(1,0,0): C=(4,2,1), N=7,
+    // sumR2=15 -> Q = 2*(3*21-49)/(21-15) = 28/6 = 4.666667 -> keep
+    val df = Seq((true, true, false), (true, false, false),
+      (true, true, true), (true, false, false)).toDF("a", "b", "c")
+    val r = Stats.cochranQ(df, Seq(col("a"), col("b"), col("c")))
+      .collect()(0)
+    assert(r.getAs[Long]("n_items") == 4L &&
+      r.getAs[Long]("k_gates") == 3L)
+    assert(r.getAs[Double]("q") == 4.666667 &&
+      r.getAs[String]("verdict") == "keep", s"got $r")
+    // every row passes all or none: denominator 0, loud abstention
+    val allnone = Seq((true, true, true), (false, false, false))
+      .toDF("a", "b", "c")
+    val a = Stats.cochranQ(allnone, Seq(col("a"), col("b"), col("c")))
+      .collect()(0)
+    assert(a.isNullAt(a.fieldIndex("q")) &&
+      a.isNullAt(a.fieldIndex("verdict")))
+  }
+
+  test("jarqueBera: hand-computed moments on 1..5; constant column " +
+    "abstains; out-of-bound input fails loudly") {
+    import spark.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 1..5: mean 3, m2 2, m3 0, m4 6.8 (replay the operator's own
+    // double op order so the assert is bitwise)
+    val df = Seq(1L, 2L, 3L, 4L, 5L).toDF("x")
+    val r = Stats.jarqueBera(df, col("x")).collect()(0)
+    val m4 = 979.0 / 5.0 - 4.0 * 3.0 * (225.0 / 5.0) +
+      6.0 * (3.0 * 3.0) * (55.0 / 5.0) - 3.0 * (3.0 * 3.0) * (3.0 * 3.0)
+    val exk = m4 / (2.0 * 2.0) - 3.0
+    val jb = 5.0 / 6.0 * (0.0 + exk * exk / 4.0)
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Double]("skewness") == 0.0)
+    assert(r.getAs[Double]("kurtosis_excess") == r6(exk))
+    assert(r.getAs[Double]("jb") == r6(jb), s"got $r")
+    assert(r.getAs[String]("verdict") == "keep")
+    // zero variance: shape undefined
+    val const = Seq(7L, 7L, 7L).toDF("x")
+    val c = Stats.jarqueBera(const, col("x")).collect()(0)
+    assert(c.isNullAt(c.fieldIndex("jb")) &&
+      c.isNullAt(c.fieldIndex("verdict")))
+    // beyond the exact-moment bound: require, not silent overflow
+    val big = Seq(60000L).toDF("x")
+    val e = intercept[IllegalArgumentException] {
+      Stats.jarqueBera(big, col("x")).collect()
+    }
+    assert(e.getMessage.contains("55000"))
+  }
+
+  test("ljungBox: hand-computed Q_LB/Q_BP on an alternating series") {
+    import spark.implicits._
+    // 1,2,1,2,... (n=8), lag 1: mean 1.5, den = 8*0.25 = 2,
+    // num1 = 7*(-0.25) -> r1 = -0.875 -> m = -875000
+    // Q_BP = 8 * 765625000000 / 1e12 = 6.125
+    // Q_LB = 8*10 * (765625000000 div 7) / 1e12 = 8.75 > 3.841
+    val df = (1 to 8).map(i => (i, if (i % 2 == 1) 1.0 else 2.0))
+      .toDF("t", "v")
+    val r = Stats.ljungBox(df, "t", "v", maxLag = 1).collect()(0)
+    assert(r.getAs[Long]("n") == 8L && r.getAs[Int]("max_lag") == 1)
+    assert(r.getAs[Double]("q_bp") == 6.125, s"got $r")
+    assert(r.getAs[Double]("q_lb") == 8.75, s"got $r")
+    assert(r.getAs[String]("verdict") == "reject")
+  }
+
+  test("kendallTau: hand-computed tau on a 4-period series; ties " +
+    "adjust the margins; an all-tie margin abstains") {
+    import spark.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // x=1,2,3,4 y=1,3,2,4: C=5, D=1, no ties -> tau = 4/6
+    val df = Seq((1, 1.0, 1.0), (2, 2.0, 3.0), (3, 3.0, 2.0),
+      (4, 4.0, 4.0)).toDF("t", "x", "y")
+    val r = Stats.kendallTau(df, "t", "x", "y").collect()(0)
+    assert(r.getAs[Long]("n_pairs") == 6L &&
+      r.getAs[Long]("concordant") == 5L &&
+      r.getAs[Long]("discordant") == 1L)
+    assert(r.getAs[Double]("tau_b") ==
+      r6(4.0 / math.sqrt(6.0 * 6.0)), s"got $r")
+    // x=(1,1,2) y=(1,2,3): one x-tie pair -> tau = 2/sqrt(2*3)
+    val tie = Seq((1, 1.0, 1.0), (2, 1.0, 2.0), (3, 2.0, 3.0))
+      .toDF("t", "x", "y")
+    val t = Stats.kendallTau(tie, "t", "x", "y").collect()(0)
+    assert(t.getAs[Double]("tau_b") ==
+      r6(2.0 / math.sqrt(2.0 * 3.0)), s"got $t")
+    // both pairs tie in x: the x margin carries no order information
+    val flat = Seq((1, 1.0, 1.0), (2, 1.0, 2.0)).toDF("t", "x", "y")
+    val f = Stats.kendallTau(flat, "t", "x", "y").collect()(0)
+    assert(f.isNullAt(f.fieldIndex("tau_b")))
+  }
+
+  test("brownForsythe: hand-computed W on two spreads around equal-" +
+    "rank medians; large-sample verdict rejects a 10x spread") {
+    import spark.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // a={1,2,3} med 2 -> z={1,0,1}; b={10,20,30} med 20 -> z={10,0,10}
+    val df = Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("a", 3.0, 3L),
+      ("b", 10.0, 4L), ("b", 20.0, 5L), ("b", 30.0, 6L))
+      .toDF("g", "v", "id")
+    val r = Stats.brownForsythe(df, "v", "g", col("id")).collect()(0)
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 6L)
+    val grand = 22.0 / 6.0
+    val ssb = r9(3.0 * (2.0 / 3.0 - grand) * (2.0 / 3.0 - grand)) +
+      r9(3.0 * (20.0 / 3.0 - grand) * (20.0 / 3.0 - grand))
+    val ssw = r9(2.0 - 2.0 * 2.0 / 3.0) + r9(200.0 - 20.0 * 20.0 / 3.0)
+    assert(r.getAs[Double]("w") == r6((ssb / 1.0) / (ssw / 4.0)),
+      s"got $r")
+    // df2 < 1000: no large-sample verdict
+    assert(r.isNullAt(r.fieldIndex("verdict")))
+    // 600+600 rows, one group 10x the spread: W huge, verdict fires
+    val bigA = (0 until 600).map(i => ("a", i.toDouble, i.toLong))
+    val bigB = (0 until 600).map(i => ("b", i * 10.0, 600L + i))
+    val big = (bigA ++ bigB).toDF("g", "v", "id")
+    val vb = Stats.brownForsythe(big, "v", "g", col("id")).collect()(0)
+    assert(vb.getAs[String]("verdict") == "reject", s"got $vb")
+  }
+
+  test("brierDecomposition: perfect forecasts score 0; a flat 0.5 " +
+    "forecast is all uncertainty; out-of-range permille fails loudly") {
+    import spark.implicits._
+    // perfect: brier 0, rel 0, res = unc = 0.25
+    val perfect = Seq((1000L, true), (0L, false)).toDF("m", "y")
+    val p = Stats.brierDecomposition(perfect, col("m"), col("y"))
+      .collect()(0)
+    assert(p.getAs[Long]("n") == 2L)
+    assert(p.getAs[Double]("brier") == 0.0 &&
+      p.getAs[Double]("reliability") == 0.0 &&
+      p.getAs[Double]("resolution") == 0.25 &&
+      p.getAs[Double]("uncertainty") == 0.25, s"got $p")
+    // flat 0.5 on a 50% base rate: calibrated but zero resolution
+    val flat = Seq((500L, true), (500L, false)).toDF("m", "y")
+    val f = Stats.brierDecomposition(flat, col("m"), col("y"))
+      .collect()(0)
+    assert(f.getAs[Double]("brier") == 0.25 &&
+      f.getAs[Double]("reliability") == 0.0 &&
+      f.getAs[Double]("resolution") == 0.0 &&
+      f.getAs[Double]("uncertainty") == 0.25, s"got $f")
+    // permille out of range: loud require, not a silent clamp
+    val bad = Seq((1500L, true)).toDF("m", "y")
+    val e = intercept[IllegalArgumentException] {
+      Stats.brierDecomposition(bad, col("m"), col("y")).collect()
+    }
+    assert(e.getMessage.contains("[0, 1000]"))
+  }
 }
