@@ -802,6 +802,18 @@ object Queries {
         .agg(dsum(col("o_totalprice")).as("rev"))
       Stats.durbinWatson(daily, "d", "rev")
     }),
+    "q_runs_test" -> ((s, dir) => {
+      // Is the above/below-median sign sequence of daily revenue
+      // RANDOM, or does it clump into regimes? Wald-Wolfowitz runs
+      // test - the model-free companion of q_durbin_watson (DW needs
+      // a fitted trend; runs see any sign non-randomness). Exact
+      // order-statistic median, exact integer run counts, one
+      // literal-order z formula, |z| vs the literal 1.96.
+      val daily = Tables.orders(s, dir)
+        .groupBy(dateFmt(col("o_orderdate")).as("d"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      Stats.runsTest(daily, "d", "rev")
+    }),
     "q_trend_mk" -> ((s, dir) => {
       // Mann–Kendall significance test on the daily-revenue series:
       // the non-parametric "is there a monotone trend AT ALL" verdict
@@ -1209,6 +1221,18 @@ object Queries {
       Stats.brierDecomposition(docs, least(col("n_chars"), lit(1000L)),
         TextAnalysis.tokenCount(col("text")) >= 70)
     }),
+    "q_quality_prauc" -> ((s, dir) => {
+      // The class-imbalance half of the ranking audit: AUC counts
+      // every negative pair equally, so with few positives it can
+      // flatter a score whose TOP bucket is still junk - average
+      // precision weighs performance exactly where the positives
+      // live. Distinct-score blocks descending (ties enter as one
+      // block), 9-dp decimal term fold, random-classifier baseline
+      // alongside.
+      val docs = Tables.documents(s, dir)
+      Stats.prAuc(docs, col("n_chars"),
+        TextAnalysis.tokenCount(col("text")) >= 70)
+    }),
     "q_welch_ttest" -> ((s, dir) => {
       // Parametric two-sample mean test: Welch's t (no equal-variance
       // assumption — the Satterthwaite dof absorbs unequal spreads)
@@ -1386,6 +1410,33 @@ object Queries {
       val docs = Tables.documents(s, dir)
       val tk = TextAnalysis.tokenCount(col("text"))
       Stats.cochranQ(docs, Seq(
+        col("n_chars") >= 400,
+        tk >= 70,
+        col("n_chars") <= tk * 8))
+    }),
+    "q_friedman" -> ((s, dir) => {
+      // Does any event type consistently out-earn the others DAY BY
+      // DAY? Friedman ranks the five types within each day, so
+      // weekday/weekend level swings cancel where q_kruskal_wallis
+      // would absorb them into noise. Complete-block census, k from
+      // a 1-row pre-scan, within-day average ranks as exact
+      // DECIMAL(38,0) 2R sums, literal chi2(4) verdict.
+      val cells = Tables.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"),
+          col("event_type"))
+        .agg(dsum(col("value")).as("v"))
+      Stats.friedman(cells, "d", "event_type", "v")
+    }),
+    "q_cronbach" -> ((s, dir) => {
+      // Does the three-gate battery hang together as ONE quality
+      // scale? Cronbach's alpha - the reliability complement of
+      // q_fleiss_kappa (agreement) and q_cochran_q (marginal rates):
+      // a battery can agree per row and still be incoherent as a
+      // composite score. Binary items clear the variance
+      // denominators exactly; one aggregate pass, one division.
+      val docs = Tables.documents(s, dir)
+      val tk = TextAnalysis.tokenCount(col("text"))
+      Stats.cronbachAlpha(docs, Seq(
         col("n_chars") >= 400,
         tk >= 70,
         col("n_chars") <= tk * 8))
@@ -2268,6 +2319,17 @@ object Queries {
       Stats.permutationTest(ev, col("user_id"), col("user_id") % 2,
         col("value"), variantA = "0", variantB = "1")
     }),
+    "q_fdr_bh" -> ((s, dir) => {
+      // Twenty per-source drift tests at 5% each expect one false
+      // alarm per report; Benjamini–Hochberg controls the false-
+      // discovery RATE across the family instead. Each source's
+      // length-gate rate tests against the rest of the corpus under
+      // the rand-free quadratic-hash null (32 seeded redraws at the
+      // global rate); the step-up decision runs in pure integer ppm
+      // arithmetic on the bounded per-source frame.
+      Stats.fdrByGroup(Tables.documents(s, dir), "source",
+        col("doc_id"), col("n_chars") >= 400)
+    }),
     "q_power_mde" -> ((s, dir) => {
       // Experiment-DESIGN readout: with the unit counts and metric
       // variance this experiment actually has, what lift could it
@@ -2725,6 +2787,32 @@ object Queries {
       Stats.sprtBernoulli(daily, "d", col("n"), col("s"),
         p0 = 0.45, p1 = 0.55)
     }),
+    "q_stream_ewma" -> ((s, dir) => {
+      // Drift smoothing AT INGEST: per-day purchase revenue
+      // accumulates in keyed state as events arrive (three longs per
+      // day, values fixed at 4 dp as scaled integers so the
+      // cross-batch sum is exact regardless of the file-to-batch
+      // split); the drained latest-per-day sums equal the batch
+      // daily aggregate bit for bit, so the shared trailing-EWMA
+      // tail must reproduce the batch smoother row for row — the
+      // q_stream_sprt feeder pattern with a different series tail.
+      val name = s"q_stream_ewma_${streamRun.incrementAndGet()}"
+      implicit val sp: SparkSession = s
+      val purchases = graft.streaming.Streams.eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("d"),
+          col("value"))
+      val drained = graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.dailySumState(purchases,
+          col("d"), col("value")).toDF(),
+        name, shufflePartitions = Some(8))
+      val latest = drained.groupBy(col("d"))
+        .agg(max(struct(col("updates"), col("n"), col("s4")))
+          .as("__x"))
+        .select(col("d"),
+          (col("__x.s4").cast(DoubleType) / 10000.0).as("rev"))
+      Stats.ewmaTrailing(latest, "d", "rev", k = 10)
+    }),
     "q_stream_budget" -> ((s, dir) => {
       // Streaming quota admission: each source spends its token
       // budget as documents arrive (keyed state = ONE cumulative long
@@ -3144,6 +3232,40 @@ object Queries {
       require(expiredFails, "expired snapshot still readable")
       graft.io.Lakehouse.readLatest(s, tmp)
         .groupBy((col("o_orderkey") % 10).as("k"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("price_sum"))
+    }),
+    "q_lake_delete" -> ((s, dir) => {
+      // Merge-on-read DELETE end-to-end: orders land once as the
+      // base, two deletion vectors subtract the %7 and %11 keys
+      // WITHOUT touching a base file (a delete is metadata until
+      // vacuum pays for the rewrite once), and the REQUIREs pin
+      // that the merge-on-read scan equals the post-vacuum
+      // copy-on-write scan row for row and that vacuum cleared the
+      // vector ledger. The gated result reads the vacuumed base —
+      // any key wrongly kept or dropped diverges from the oracle's
+      // plain filter.
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_dv").toString
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      o.write.mode("overwrite").parquet(s"$tmp/base")
+      graft.io.Lakehouse.appendDeleteVector(s, tmp,
+        o.filter(col("o_orderkey") % 7 === 0).select(col("o_orderkey")))
+      graft.io.Lakehouse.appendDeleteVector(s, tmp,
+        o.filter(col("o_orderkey") % 11 === 0).select(col("o_orderkey")))
+      require(graft.io.Lakehouse.deleteVectorIds(s, tmp) == Seq(1, 2),
+        "deletion-vector ledger diverged")
+      val morCount = graft.io.Lakehouse
+        .readMergeOnRead(s, tmp, "o_orderkey").count()
+      graft.io.Lakehouse.vacuumDeletes(s, tmp, "o_orderkey")
+      require(graft.io.Lakehouse.deleteVectorIds(s, tmp).isEmpty,
+        "vacuum left vectors behind")
+      val after = graft.io.Lakehouse.readMergeOnRead(s, tmp,
+        "o_orderkey")
+      require(after.count() == morCount,
+        "vacuum changed the visible row set")
+      after.groupBy((col("o_orderkey") % 10).as("k"))
         .agg(count(lit(1)).as("n"),
           dsum(col("o_totalprice")).as("price_sum"))
     }),
@@ -4274,6 +4396,17 @@ object Queries {
       // q_text_surprisal (templated continuations score near 0).
       TextAnalysis.bigramSurprisal(
         Tables.documents(s, dir), "doc_id", col("text"))
+    }),
+    "q_text_crossent" -> ((s, dir) => {
+      // Validation loss for the corpus itself: train an add-one
+      // unigram LM on one hash-half, score held-out mean -ln p on
+      // the other - q_text_surprisal cannot see distribution shift
+      // (it scores under the corpus own counts); this number rises
+      // when the halves genuinely differ. Vocab-bounded join (eval
+      // reduces to distinct-token counts first), 6-dp ln terms
+      // weighted by exact integer counts.
+      TextAnalysis.heldOutCrossEntropy(Tables.documents(s, dir),
+        col("doc_id"), col("text"))
     }),
     "q_text_surprisal" -> ((s, dir) => {
       // Unigram-LM quality score: per-doc mean −ln p(tok) under the
@@ -6490,6 +6623,78 @@ object Queries {
          | (1 + n_ge) * 1000000 // (r_effective + 1) AS p_ub_ppm
          |FROM f""".stripMargin
     },
+    // BH-FDR replica: same quadratic-hash redraws at the global-rate
+    // threshold, identical rate-difference double order, and the
+    // same all-integer ppm step-up on the ranked per-group frame
+    "q_fdr_bh" -> {
+      val repSelects = (0 until 32).map { r =>
+        val a = Dedup.affineA(r); val b = Dedup.affineB(r)
+        s"""SELECT $r AS seed, g,
+           | CASE WHEN (((u % $M) * (u % $M) % $M) * $a
+           |   + (u % $M) * $b + $r) % $M % 1000000 <
+           |   (SELECT thr FROM tot) THEN 1 ELSE 0 END AS y
+           | FROM rows_""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH rows_ AS (SELECT source AS g, doc_id AS u,
+         |  CASE WHEN coalesce(n_chars >= 400, false) THEN 1 ELSE 0 END
+         |   AS y
+         | FROM documents
+         | WHERE source IS NOT NULL AND doc_id IS NOT NULL),
+         |cells AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+         |  coalesce(CAST(sum(y) AS BIGINT), 0) AS k
+         | FROM rows_ GROUP BY g),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+         |  CAST(sum(k) AS BIGINT) AS kk,
+         |  CAST(sum(k) AS BIGINT) * 1000000 //
+         |    CAST(sum(n) AS BIGINT) AS thr
+         | FROM cells),
+         |obs AS (SELECT g, n, k,
+         |  CASE WHEN n < (SELECT nn FROM tot) THEN
+         |    abs(CAST(k AS DOUBLE) / CAST(n AS DOUBLE) -
+         |      CAST((SELECT kk FROM tot) - k AS DOUBLE) /
+         |      CAST((SELECT nn FROM tot) - n AS DOUBLE))
+         |  END AS tobs
+         | FROM cells),
+         |reps AS ($repSelects),
+         |rc AS (SELECT seed, g, CAST(count(*) AS BIGINT) AS n,
+         |  coalesce(CAST(sum(y) AS BIGINT), 0) AS kr
+         | FROM reps GROUP BY 1, 2),
+         |rt AS (SELECT seed, CAST(sum(kr) AS BIGINT) AS ktot
+         | FROM rc GROUP BY 1),
+         |tr AS (SELECT rc.g AS g,
+         |  CASE WHEN rc.n < (SELECT nn FROM tot) THEN
+         |    abs(CAST(kr AS DOUBLE) / CAST(rc.n AS DOUBLE) -
+         |      CAST(ktot - kr AS DOUBLE) /
+         |      CAST((SELECT nn FROM tot) - rc.n AS DOUBLE))
+         |  END AS t
+         | FROM rc JOIN rt USING (seed)),
+         |pv AS (SELECT tr.g AS g,
+         |  CAST(sum(CASE WHEN t IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS reff,
+         |  coalesce(CAST(sum(CASE WHEN t IS NOT NULL
+         |    AND t >= obs.tobs THEN 1 ELSE 0 END) AS BIGINT), 0)
+         |   AS nge
+         | FROM tr JOIN obs ON tr.g = obs.g GROUP BY 1),
+         |p2 AS (SELECT obs.g AS g, obs.n AS n, obs.k AS k, obs.tobs,
+         |  CASE WHEN obs.tobs IS NOT NULL THEN
+         |    (1 + nge) * 1000000 // (reff + 1) END AS p
+         | FROM obs JOIN pv ON obs.g = pv.g),
+         |rk AS (SELECT *, CASE WHEN p IS NOT NULL THEN
+         |    row_number() OVER (ORDER BY p ASC NULLS LAST, g ASC)
+         |  END AS i,
+         |  sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) OVER ()
+         |   AS m
+         | FROM p2),
+         |rk2 AS (SELECT *,
+         |  max(CASE WHEN p * m <= i * 50 * 1000 THEN i END) OVER ()
+         |   AS imax
+         | FROM rk)
+         |SELECT g AS source, n, k * 1000000 // n AS pass_ppm,
+         | round(tobs, 6) AS t_obs, p AS p_ppm, i AS bh_rank,
+         | CASE WHEN i IS NOT NULL THEN coalesce(i <= imax, false)
+         |  END AS rejected
+         |FROM rk2""".stripMargin
+    },
     // MDE replica: per-unit decimal totals, the cuped-style 2-dp
     // fixed squares, welch-order variance, (1.96 + 0.8416)·sqrt(se2)
     "q_power_mde" ->
@@ -6585,6 +6790,38 @@ object Queries {
     // the drained per-day (n, s) state IS the batch daily aggregate —
     // batch oracle verbatim
     "q_stream_sprt" -> sprtMonitorOracle,
+    // streaming EWMA replica: the q_ewma tail over the EVENTS daily
+    // purchase revenue, rebuilt from the same 4-dp scaled-integer
+    // sums the keyed state accumulates
+    "q_stream_ewma" -> {
+      val k = 10
+      def xj(j: Int) = if (j == 0) "rev" else s"x$j"
+      val lags = (1 until k)
+        .map(j => s"lag(rev, $j) OVER w AS x$j").mkString(", ")
+      def wlit(j: Int) =
+        s"CAST(${BigDecimal(math.pow(0.5, j)).bigDecimal.toPlainString}" +
+          " AS DOUBLE)"
+      val num = (0 until k)
+        .map(j => s"coalesce(${xj(j)} * ${wlit(j)}, 0.0)")
+        .mkString(" + ")
+      val den = (0 until k)
+        .map(j =>
+          s"CASE WHEN ${xj(j)} IS NOT NULL THEN ${wlit(j)} ELSE 0.0 END")
+        .mkString(" + ")
+      val nt = (0 until k)
+        .map(j => s"CASE WHEN ${xj(j)} IS NOT NULL THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS d,
+         |  CAST(CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+         |    AS BIGINT) AS DOUBLE) / 10000.0 AS rev
+         | FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |lg AS (SELECT d, rev, $lags
+         | FROM daily WINDOW w AS (ORDER BY d ASC))
+         |SELECT d, rev, ($nt) AS n_terms,
+         | CASE WHEN ($den) > 0 THEN round(($num) / ($den), 6)
+         |  ELSE NULL END AS ewma
+         |FROM lg""".stripMargin
+    },
     // Nelson–Aalen replica: same spans, censor flag, descending
     // at-risk cumulative, and 9-dp decimal hazard fold
     "q_survival_churn" ->
@@ -7125,6 +7362,15 @@ object Queries {
         | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
         |   AS DOUBLE), 4) AS price_sum
         |FROM orders GROUP BY 1""".stripMargin,
+    // deletion-vector replica: the layout work is all REQUIRE-pinned
+    // on the Spark side; the content contract is a plain filter
+    "q_lake_delete" ->
+      """SELECT o_orderkey % 10 AS k, count(*) AS n,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |   AS DOUBLE), 4) AS price_sum
+        |FROM orders
+        |WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0
+        |GROUP BY 1""".stripMargin,
     "q_lake_timetravel" ->
       """WITH v1 AS (SELECT o_orderkey AS k, o_totalprice AS p
         | FROM orders WHERE o_orderkey % 3 <> 0),
@@ -8051,6 +8297,36 @@ object Queries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
          | round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS mean_surprisal
          |FROM s GROUP BY doc_id""".stripMargin,
+    // held-out cross-entropy replica: the same idBucket split (seed
+    // 41), vocab-bounded left join, 6-dp ln terms weighted by exact
+    // integer eval counts as DECIMAL(19,0)x(18,6) products
+    "q_text_crossent" -> {
+      val a = Dedup.affineA(41); val b = Dedup.affineB(41)
+      val bucket = s"((id % $M) * $a + $b) % $M % ${Sampling.Buckets}"
+      s"""WITH toks AS (SELECT id, tok FROM (
+         |  SELECT doc_id AS id, unnest($toksSql) AS tok
+         |  FROM documents) WHERE id IS NOT NULL),
+         |tr AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks
+         | WHERE $bucket < ${Sampling.Buckets / 2} GROUP BY tok),
+         |tot AS (SELECT coalesce(CAST(sum(c) AS BIGINT), 0) AS ntr,
+         |  CAST(count(*) AS BIGINT) AS v FROM tr),
+         |ev AS (SELECT tok, CAST(count(*) AS BIGINT) AS e FROM toks
+         | WHERE NOT ($bucket < ${Sampling.Buckets / 2}) GROUP BY tok),
+         |j AS (SELECT e,
+         |  CASE WHEN (SELECT ntr FROM tot) + (SELECT v FROM tot) > 0
+         |   THEN CAST(round(ln(CAST(coalesce(c, 0) + 1 AS DOUBLE) /
+         |     CAST((SELECT ntr FROM tot) + (SELECT v FROM tot)
+         |      AS DOUBLE)), 6) AS DECIMAL(18,6)) END AS lp
+         | FROM ev LEFT JOIN tr USING (tok)),
+         |one AS (SELECT coalesce(CAST(sum(e) AS BIGINT), 0) AS ne,
+         |  sum(CAST(e AS DECIMAL(19,0)) * lp) AS s FROM j)
+         |SELECT (SELECT ntr FROM tot) AS n_train_tok,
+         | (SELECT v FROM tot) AS vocab, ne AS n_eval_tok,
+         | CASE WHEN ne > 0 AND (SELECT ntr FROM tot) > 0 THEN
+         |   round((CAST(s AS DOUBLE) * -1.0) / CAST(ne AS DOUBLE), 6)
+         |  END AS cross_entropy
+         |FROM one""".stripMargin
+    },
     "q_sort_topk_global" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"""
@@ -8568,6 +8844,48 @@ object Queries {
          | END AS verdict
          |FROM q""".stripMargin
     },
+    // runs-test replica: same order-statistic median convention,
+    // post-exclusion lag over the day order, exact integer counts,
+    // literal mu/sigma/z double order
+    "q_runs_test" ->
+      """WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    AS DOUBLE), 4) AS rev
+        | FROM orders GROUP BY 1),
+        |r AS (SELECT d, rev,
+        |  row_number() OVER (ORDER BY rev ASC, d ASC) AS rk,
+        |  count(*) OVER () AS nn FROM daily),
+        |med AS (SELECT min(CASE WHEN rk =
+        |    greatest(1, (nn * 500 + 999) // 1000) THEN rev END)
+        |   AS med FROM r),
+        |sg AS (SELECT d, rev > (SELECT med FROM med) AS s
+        | FROM daily WHERE rev <> (SELECT med FROM med)),
+        |rn AS (SELECT s, CASE WHEN lag(s) OVER (ORDER BY d ASC)
+        |    IS NULL OR s <> lag(s) OVER (ORDER BY d ASC)
+        |  THEN 1 ELSE 0 END AS nw FROM sg),
+        |one AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  coalesce(CAST(sum(CASE WHEN s THEN 1 ELSE 0 END)
+        |    AS BIGINT), 0) AS n1,
+        |  coalesce(CAST(sum(nw) AS BIGINT), 0) AS r FROM rn),
+        |z AS (SELECT n, n1, n - n1 AS n0, r,
+        |  2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+        |    / CAST(n AS DOUBLE) + 1.0 AS mu,
+        |  2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) *
+        |   (2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) -
+        |    CAST(n AS DOUBLE)) /
+        |   (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) *
+        |    (CAST(n AS DOUBLE) - 1.0)) AS sig2
+        | FROM one)
+        |SELECT n AS n_periods, n1 AS n_above, n0 AS n_below,
+        | r AS runs,
+        | CASE WHEN n1 > 0 AND n - n1 > 0 AND n > 1 AND sig2 > 0.0
+        |  THEN round((CAST(r AS DOUBLE) - mu) / sqrt(sig2), 6)
+        | END AS z,
+        | CASE WHEN n1 > 0 AND n - n1 > 0 AND n > 1 AND sig2 > 0.0
+        |  THEN CASE WHEN abs((CAST(r AS DOUBLE) - mu) / sqrt(sig2))
+        |    > 1.96 THEN 'reject' ELSE 'keep' END
+        | END AS verdict
+        |FROM z""".stripMargin,
     // paddingWaste replica: one ranked CTE fans out to the three
     // bucket counts; bucket = the equiDepthBins floor form.
     "q_padding_waste" ->
@@ -8717,6 +9035,42 @@ object Queries {
         | CASE WHEN np > 0 AND nn > 0 THEN round(araw * 2.0 - 1.0, 6)
         |  END AS gini
         |FROM a""".stripMargin,
+    // average-precision replica: distinct-score blocks descending,
+    // cumulative tp/n windows over the bounded value frame, 9-dp
+    // DECIMAL(28,9) term fold, literal double order
+    "q_quality_prauc" ->
+      """WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS x,
+        |  CASE WHEN coalesce(len(list_filter(
+        |      regexp_split_to_array(text, '\s+'),
+        |      w -> len(w) > 0)) >= 70, false) THEN 1 ELSE 0 END AS y
+        | FROM documents WHERE n_chars IS NOT NULL),
+        |pv AS (SELECT x, CAST(count(*) AS BIGINT) AS ct,
+        |  coalesce(CAST(sum(y) AS BIGINT), 0) AS cp
+        | FROM v GROUP BY x),
+        |st AS (SELECT cp,
+        |  sum(ct) OVER (ORDER BY x DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ncum,
+        |  sum(cp) OVER (ORDER BY x DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        |  sum(cp) OVER () AS pt, sum(ct) OVER () AS nt
+        | FROM pv),
+        |one AS (SELECT CAST(max(pt) AS BIGINT) AS p,
+        |  CAST(max(nt) AS BIGINT) AS n,
+        |  coalesce(sum(CAST(CASE WHEN cp > 0 THEN
+        |    round(CAST(cp AS DOUBLE) *
+        |      (CAST(tp AS DOUBLE) / CAST(ncum AS DOUBLE)), 9)
+        |   ELSE 0.0 END AS DECIMAL(28,9))),
+        |   CAST(0 AS DECIMAL(28,9))) AS s
+        | FROM st)
+        |SELECT coalesce(p, 0) AS n_pos,
+        | coalesce(n, 0) - coalesce(p, 0) AS n_neg,
+        | CASE WHEN p > 0 THEN
+        |   round(CAST(s AS DOUBLE) / CAST(p AS DOUBLE), 6)
+        |  END AS pr_auc,
+        | CASE WHEN n > 0 THEN
+        |   round(CAST(p AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |  END AS baseline
+        |FROM one""".stripMargin,
     // Brier replica: pure integer Brier sum, the same integer bins,
     // 9-dp DECIMAL(28,9) fold over the <= 10-row bin frame, literal
     // double order throughout
@@ -9450,6 +9804,86 @@ object Queries {
         |   CASE WHEN q > 5.991 THEN 'reject' ELSE 'keep' END
         | END AS verdict
         |FROM qq""".stripMargin,
+    // Cronbach replica: the same three gates, exact HUGEINT
+    // variance cells with the n-squared denominators cleared, one
+    // double division in the literal k/(k-1)*(1 - num/den) order
+    "q_cronbach" ->
+      """WITH r AS (SELECT
+        |  CASE WHEN coalesce(n_chars >= 400, false)
+        |   THEN 1 ELSE 0 END AS g0,
+        |  CASE WHEN coalesce(len(list_filter(
+        |      regexp_split_to_array(text, '\s+'),
+        |      w -> len(w) > 0)) >= 70, false) THEN 1 ELSE 0 END AS g1,
+        |  CASE WHEN coalesce(n_chars <= len(list_filter(
+        |      regexp_split_to_array(text, '\s+'),
+        |      w -> len(w) > 0)) * 8, false) THEN 1 ELSE 0 END AS g2
+        | FROM documents),
+        |one AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  coalesce(CAST(sum(g0) AS BIGINT), 0) AS c0,
+        |  coalesce(CAST(sum(g1) AS BIGINT), 0) AS c1,
+        |  coalesce(CAST(sum(g2) AS BIGINT), 0) AS c2,
+        |  coalesce(sum(CAST(g0 + g1 + g2 AS HUGEINT)), 0) AS sr,
+        |  coalesce(sum(CAST(g0 + g1 + g2 AS HUGEINT)
+        |    * (g0 + g1 + g2)), 0) AS rr
+        | FROM r),
+        |f AS (SELECT n,
+        |  CAST(CAST(c0 AS HUGEINT) * (n - c0) +
+        |    CAST(c1 AS HUGEINT) * (n - c1) +
+        |    CAST(c2 AS HUGEINT) * (n - c2) AS DOUBLE) AS num,
+        |  CAST(CAST(n AS HUGEINT) * rr -
+        |    CAST(sr AS HUGEINT) * sr AS DOUBLE) AS den
+        | FROM one)
+        |SELECT n, CAST(3 AS BIGINT) AS k_items,
+        | CASE WHEN den > 0.0 THEN
+        |   round(3.0 / 2.0 * (1.0 - num / den), 6) END AS alpha
+        |FROM f""".stripMargin,
+    // Friedman replica: same complete-block census, within-block
+    // (lo+hi) average-rank spans, HUGEINT 2R sums, the identical
+    // 3·S/(n·k·(k+1)) − 3n(k+1) double order, verdict on the
+    // ROUNDED chi2
+    "q_friedman" ->
+      """WITH cells AS (SELECT strftime(ts, '%Y-%m-%d') AS b,
+        |  event_type AS tr,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |   AS x
+        | FROM events GROUP BY 1, 2),
+        |base AS (SELECT b, tr, x FROM cells
+        | WHERE b IS NOT NULL AND tr IS NOT NULL AND x IS NOT NULL),
+        |kk AS (SELECT CAST(count(DISTINCT tr) AS BIGINT) AS k
+        | FROM base),
+        |blocks AS (SELECT b FROM base GROUP BY b
+        | HAVING count(*) = (SELECT k FROM kk)
+        |   AND count(DISTINCT tr) = (SELECT k FROM kk)),
+        |cb AS (SELECT base.b AS b, base.tr AS tr, base.x AS x
+        | FROM base JOIN blocks USING (b)),
+        |rk AS (SELECT b, tr, x, row_number() OVER (PARTITION BY b
+        |    ORDER BY x ASC, tr ASC) AS rk FROM cb),
+        |av AS (SELECT b, tr,
+        |  min(rk) OVER (PARTITION BY b, x) +
+        |  max(rk) OVER (PARTITION BY b, x) AS r2 FROM rk),
+        |pt AS (SELECT tr, coalesce(sum(CAST(r2 AS HUGEINT)), 0)
+        |    AS rr2,
+        |  CAST(count(*) AS BIGINT) AS n FROM av GROUP BY tr),
+        |one AS (SELECT CAST(max(n) AS BIGINT) AS nb,
+        |  coalesce(sum(rr2 * rr2), 0) AS s FROM pt),
+        |f AS (SELECT nb, (SELECT k FROM kk) AS k,
+        |  CASE WHEN nb IS NOT NULL AND nb > 0 THEN
+        |    round(3.0 * CAST(s AS DOUBLE) /
+        |      (CAST(nb AS DOUBLE) * CAST((SELECT k FROM kk) AS DOUBLE)
+        |       * (CAST((SELECT k FROM kk) AS DOUBLE) + 1.0)) -
+        |      3.0 * CAST(nb AS DOUBLE) *
+        |      (CAST((SELECT k FROM kk) AS DOUBLE) + 1.0), 6)
+        |  END AS chi2
+        | FROM one)
+        |SELECT coalesce(nb, 0) AS n_blocks, k AS k_treatments, chi2,
+        | CASE WHEN chi2 IS NOT NULL THEN
+        |   CASE WHEN chi2 > (CASE k - 1 WHEN 1 THEN 3.841
+        |     WHEN 2 THEN 5.991 WHEN 3 THEN 7.815 WHEN 4 THEN 9.488
+        |     WHEN 5 THEN 11.070 WHEN 6 THEN 12.592
+        |     WHEN 7 THEN 14.067 ELSE 15.507 END)
+        |    THEN 'reject' ELSE 'keep' END
+        | END AS verdict
+        |FROM f""".stripMargin,
     // Jarque–Bera replica: exact HUGEINT power sums (per-row cubes
     // stay in BIGINT under the 55000 input bound), then the same
     // literal central-moment / skew / kurtosis / JB double order

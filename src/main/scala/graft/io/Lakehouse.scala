@@ -295,4 +295,85 @@ object Lakehouse {
     }
     fs.delete(old, true)
   }
+
+  // ---- merge-on-read deletion vectors -------------------------------
+  //
+  // A DELETE against an immutable parquet table should not rewrite
+  // terabytes of base files to drop a few keys: the delete lands as a
+  // tiny key-list file ("deletion vector", the Delta/Iceberg v2 idea
+  // re-expressed as plain parquet), reads subtract it with an anti
+  // join (broadcast-sized in practice — vectors are metadata next to
+  // the base), and a VACUUM pays for the physical rewrite once,
+  // folding all vectors into the base. Layout: `path/base/` holds the
+  // data, `path/_deletes/d=N/` the numbered vectors (the writeVersion
+  // _SUCCESS-marker discipline makes half-written vectors invisible).
+
+  /** Append a deletion vector: `keys` (one column, the delete keys)
+    * lands as `path/_deletes/d=<next>`. Returns the vector id. */
+  def appendDeleteVector(
+      spark: SparkSession, path: String, keys: DataFrame): Int = {
+    val next = deleteVectorIds(spark, path).lastOption.getOrElse(0) + 1
+    keys.write.mode("overwrite").parquet(s"$path/_deletes/d=$next")
+    next
+  }
+
+  /** Complete (marker-bearing) deletion-vector ids, ascending. */
+  def deleteVectorIds(spark: SparkSession, path: String): Seq[Int] = {
+    val hp = new org.apache.hadoop.fs.Path(path, "_deletes")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) Seq.empty
+    else fs.listStatus(hp).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("d="))
+      .filter(st => fs.exists(
+        new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("d=").toInt)
+      .sorted
+  }
+
+  /** Merge-on-read scan: the base table minus every complete
+    * deletion vector, applied as ONE broadcast anti join on the
+    * distinct delete keys (vectors are small by contract — a delete
+    * that removes half the table should be a rewrite, not a
+    * vector). */
+  def readMergeOnRead(
+      spark: SparkSession, path: String, keyCol: String): DataFrame = {
+    val base = spark.read.parquet(s"$path/base")
+    val ids = deleteVectorIds(spark, path)
+    if (ids.isEmpty) base
+    else {
+      val dels = spark.read
+        .parquet(ids.map(i => s"$path/_deletes/d=$i"): _*)
+        .select(col(keyCol)).distinct()
+      base.join(broadcast(dels), Seq(keyCol), "left_anti")
+    }
+  }
+
+  /** VACUUM: fold every deletion vector into the base (the
+    * merge-on-read → copy-on-write compaction), then clear
+    * `_deletes/`. Swap is the [[compact]] rename-aside idiom — every
+    * crash point leaves a recoverable full copy. After vacuum,
+    * [[readMergeOnRead]] returns the same rows with zero vectors to
+    * subtract. */
+  def vacuumDeletes(
+      spark: SparkSession, path: String, keyCol: String): Unit = {
+    if (deleteVectorIds(spark, path).isEmpty) return
+    val basePath = s"$path/base"
+    val tmp = basePath + "__vacuum_tmp"
+    readMergeOnRead(spark, path, keyCol)
+      .write.mode("overwrite").parquet(tmp)
+    val hBase = new org.apache.hadoop.fs.Path(basePath)
+    val fs = hBase.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(basePath + "__vacuum_old")
+    if (fs.exists(old)) fs.delete(old, true) // leftover from a crash
+    if (!fs.rename(hBase, old))
+      throw new java.io.IOException(s"vacuum: rename aside failed: $hBase")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), hBase)) {
+      fs.rename(old, hBase) // restore the canonical location
+      throw new java.io.IOException(s"vacuum: swap-in failed: $tmp")
+    }
+    fs.delete(old, true)
+    // vectors last: a crash before this leaves them applied twice,
+    // which the anti join makes idempotent (delete of a deleted key)
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_deletes"), true)
+  }
 }

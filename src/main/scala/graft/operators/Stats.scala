@@ -354,6 +354,76 @@ object Stats {
           .otherwise(lit("none")))
   }
 
+  /** Wald–Wolfowitz runs test: is the sequence of above/below-median
+    * periods RANDOM, or does it clump (regimes, level shifts) or
+    * alternate (overcorrection)? The distribution-free companion of
+    * [[durbinWatson]] — DW needs a fitted trend and measures linear
+    * lag-1 correlation; the runs test sees any non-randomness in the
+    * signs with no model at all.
+    *
+    * Signs split at the series' exact order-statistic median (the
+    * quantilesByGroup rank convention; equal-to-median periods drop,
+    * the textbook rule). R = #runs; z = (R − μ)/σ with
+    * μ = 2n₁n₀/n + 1, σ² = 2n₁n₀(2n₁n₀ − n)/(n²(n−1)) — exact
+    * integer counts into one literal-order double formula. The
+    * series is [[Guards.boundedSeries]]-guarded control plane; the
+    * 1-row median broadcasts back.
+    *
+    * Returns one row: (n_periods, n_above, n_below, runs, z,
+    * verdict ∈ {reject, keep, NULL}) — |z| vs the literal 1.96. */
+  def runsTest(
+      series: DataFrame,
+      orderCol: String,
+      valueCol: String): DataFrame = {
+    val base = Guards.boundedSeries(series, "runsTest")
+      .select(col(orderCol).as("__o"),
+        col(valueCol).cast(DoubleType).as("__x"))
+      .filter(col("__x").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wRk = Guards.seriesWindow(col("__x").asc, col("__o").asc)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val med = base
+      .withColumn("__rk", row_number().over(wRk))
+      .withColumn("__nn", count(lit(1)).over(wAll))
+      .agg(min(when(col("__rk") ===
+        expr("greatest(1, (__nn * 500 + 999) div 1000)"), col("__x")))
+        .as("__med"))
+    val w = Guards.seriesWindow(col("__o").asc)
+    val lg = lag(col("__s"), 1).over(w)
+    val signs = base.crossJoin(broadcast(med))
+      .filter(col("__x") =!= col("__med"))
+      .withColumn("__s", col("__x") > col("__med"))
+      .withColumn("__new",
+        when(lg.isNull || col("__s") =!= lg, 1L).otherwise(0L))
+    val one = signs.agg(
+      count(lit(1)).as("__n"),
+      coalesce(sum(when(col("__s"), 1L).otherwise(0L)), lit(0L))
+        .as("__n1"),
+      coalesce(sum(col("__new")), lit(0L)).as("__r"))
+    val nd = col("__n").cast(DoubleType)
+    val n1d = col("__n1").cast(DoubleType)
+    val n0d = (col("__n") - col("__n1")).cast(DoubleType)
+    val mu = lit(2.0) * n1d * n0d / nd + lit(1.0)
+    val sig2 = lit(2.0) * n1d * n0d *
+      (lit(2.0) * n1d * n0d - nd) / (nd * nd * (nd - lit(1.0)))
+    val zRaw = (col("__r").cast(DoubleType) - mu) / sqrt(sig2)
+    val ok = col("__n1") > 0 && (col("__n") - col("__n1")) > 0 &&
+      col("__n") > 1 && sig2 > 0.0
+    val out = one.select(col("__n").as("n_periods"),
+      col("__n1").as("n_above"),
+      (col("__n") - col("__n1")).as("n_below"),
+      col("__r").as("runs"),
+      when(ok, round(zRaw, 6)).otherwise(lit(null).cast(DoubleType))
+        .as("z"),
+      when(ok, when(abs(zRaw) > 1.96, lit("reject"))
+        .otherwise(lit("keep")))
+        .otherwise(lit(null).cast(StringType)).as("verdict"))
+      .localCheckpoint(true) // 1 row; free base afterwards
+    base.unpersist(false)
+    out
+  }
+
   /** Per-group trimmed mean: drop the lowest and highest
     * `trimPermille`/1000 of rows by value rank (ties broken by id, so
     * the trimmed SET is deterministic — a value-only cutoff would make
@@ -1324,6 +1394,133 @@ object Stats {
         expr("(1 + n_ge) * 1000000 div (r_effective + 1)"))
       .localCheckpoint(true) // 1 row; free per afterwards
     per.unpersist(false)
+    out
+  }
+
+  /** Grouped randomization tests + Benjamini–Hochberg FDR step-up —
+    * the MULTIPLE-TESTING operator a per-source health dashboard
+    * needs: testing 20 sources at α = 5% each expects one false
+    * "this source drifted" alarm per report; BH controls the false
+    * discovery RATE across the whole family instead.
+    *
+    * Per group g: does g's pass rate for `pred` differ from the rest
+    * of the corpus? The null re-draws every row's label from the
+    * global rate via the [[permutationTest]] seeded QUADRATIC hash
+    * (rand()-free randomization inference, reproducible on any
+    * engine); T = |rate_in − rate_out|, p_g = (1 + #{r: T_r ≥
+    * T_obs})/(R+1) in exact ppm. The BH step-up then runs entirely
+    * in INTEGER arithmetic on the ≤ |groups| frame: reject the
+    * i-ranked p iff p_ppm·m ≤ i·α_permille·1000 for some rank ≥ i —
+    * no double ever enters the decision.
+    *
+    * Scale shape: one groupBy to the (group, n, k) cell frame
+    * (persisted — the multi-consumer rule), one reps-wide explode of
+    * the row frame (linear ×R, the permutationTest cost shape), two
+    * bounded aggregations, and the step-up window over ≤ |groups|
+    * rows. The global threshold is a 1-row pre-scan collected as a
+    * driver literal.
+    *
+    * `idCol` is the stable per-row unit id the portable hash draws
+    * from (a primary key — the oracle replays the same draws from
+    * the same ids).
+    *
+    * Returns one row per group: (groupCol, n, pass_ppm, t_obs,
+    * p_ppm, bh_rank, rejected); p/rank/rejected NULL for a group
+    * that IS the whole corpus (no complement to test against). */
+  def fdrByGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: Column,
+      pred: Column,
+      reps: Int = 32,
+      alphaPermille: Int = 50): DataFrame = {
+    require(reps >= 1 && reps <= 256, s"reps out of range: $reps")
+    require(alphaPermille > 0 && alphaPermille < 1000,
+      s"alphaPermille out of range: $alphaPermille")
+    val rows = df
+      .select(col(groupCol).cast(StringType).as("__g"),
+        idCol.cast(LongType).as("__u"),
+        when(coalesce(pred, lit(false)), 1L).otherwise(0L).as("__y"))
+      .filter(col("__g").isNotNull && col("__u").isNotNull)
+    val cells = rows.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), coalesce(sum(col("__y")), lit(0L))
+        .as("__k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totRow = cells.agg(coalesce(sum(col("__n")), lit(0L)),
+      coalesce(sum(col("__k")), lit(0L))).collect()(0)
+    val bigN = totRow.getLong(0)
+    val bigK = totRow.getLong(1)
+    require(bigN > 0, "fdrByGroup: empty input")
+    val thr = bigK * 1000000L / bigN // global pass rate as a bucket cut
+    def d(c: Column) = c.cast(DoubleType)
+    def safe(c: Column) = when(c =!= 0.0, c).otherwise(lit(1.0))
+    def tOf(k: Column, n: Column, kr: Column, nr: Column) =
+      abs(d(k) / safe(d(n)) - d(kr) / safe(d(nr)))
+    val obs = cells.select(col("__g"), col("__n"), col("__k"),
+      when(col("__n") < bigN,
+        tOf(col("__k"), col("__n"), lit(bigK) - col("__k"),
+          lit(bigN) - col("__n"))).as("__tobs"))
+    val um = pmod(col("__u"), lit(Dedup.PortableMod))
+    val draws = (0 until reps).map { r =>
+      struct(lit(r).as("seed"),
+        when(pmod((um * um % Dedup.PortableMod) * Dedup.affineA(r) +
+          um * Dedup.affineB(r) + r, lit(Dedup.PortableMod)) %
+          Sampling.Buckets < thr, 1L).otherwise(0L).as("y"))
+    }
+    // linear ×R explode; the (seed, group) frame is 32·|groups| rows
+    val repCells = rows
+      .select(col("__g"), explode(array(draws: _*)).as("x"))
+      .groupBy(col("x.seed").as("__seed"), col("__g"))
+      .agg(count(lit(1)).as("__n"), coalesce(sum(col("x.y")), lit(0L))
+        .as("__kr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repTot = repCells.groupBy(col("__seed"))
+      .agg(coalesce(sum(col("__kr")), lit(0L)).as("__ktot"))
+    val tRep = repCells.join(repTot, Seq("__seed"))
+      .select(col("__g"),
+        when(col("__n") < bigN,
+          tOf(col("__kr"), col("__n"), col("__ktot") - col("__kr"),
+            lit(bigN) - col("__n"))).as("__t"))
+    val pv = tRep.join(obs.select(col("__g"), col("__tobs")), Seq("__g"))
+      .groupBy(col("__g"))
+      .agg(
+        sum(when(col("__t").isNotNull, 1L).otherwise(0L))
+          .as("__reff"),
+        coalesce(sum(when(col("__t").isNotNull &&
+          col("__t") >= col("__tobs"), 1L).otherwise(0L)), lit(0L))
+          .as("__nge"))
+      .join(obs, Seq("__g"))
+      .withColumn("__p",
+        when(col("__tobs").isNotNull,
+          expr("(1 + __nge) * 1000000 div (__reff + 1)")))
+    // BH step-up on the bounded per-group frame: ranks over the
+    // tested family (NULL p = untestable, excluded from m)
+    val wRank = Guards.seriesWindow(col("__p").asc_nulls_last,
+      col("__g").asc)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = Guards.boundedSeries(pv, "fdrByGroup groups")
+      .withColumn("__i",
+        when(col("__p").isNotNull, row_number().over(wRank)))
+      .withColumn("__m",
+        sum(when(col("__p").isNotNull, 1L).otherwise(0L)).over(wAll))
+      .withColumn("__ok",
+        col("__p") * col("__m") <=
+          col("__i") * lit(alphaPermille.toLong) * 1000L)
+      .withColumn("__imax",
+        max(when(col("__ok"), col("__i"))).over(wAll))
+    val out = ranked.select(col("__g").as(groupCol),
+      col("__n").as("n"),
+      expr("__k * 1000000 div __n").as("pass_ppm"),
+      round(col("__tobs"), 6).as("t_obs"),
+      col("__p").as("p_ppm"),
+      col("__i").as("bh_rank"),
+      when(col("__i").isNotNull,
+        coalesce(col("__i") <= col("__imax"), lit(false)))
+        .as("rejected"))
+      .localCheckpoint(true) // ≤ |groups| rows; free the memos
+    cells.unpersist(false)
+    repCells.unpersist(false)
     out
   }
 
@@ -2836,6 +3033,67 @@ object Stats {
         .otherwise(lit(null).cast(DoubleType)).as("uncertainty"))
   }
 
+  /** Average precision (area under the precision–recall curve, step
+    * interpolation at distinct-score blocks) — the CLASS-IMBALANCE
+    * companion of [[rocAuc]]: with 1% positives, AUC 0.95 can hide a
+    * filter whose top bucket is still mostly junk; AP weights
+    * performance where the positives actually live. Baseline (the
+    * random-classifier AP) = the positive rate, emitted alongside.
+    *
+    * AP = Σ_b ΔR_b·P_b over distinct scores DESCENDING: tied scores
+    * enter as ONE block (no intra-tie order exists to exploit),
+    * P_b = precision at the block's end, ΔR_b = the block's share of
+    * all positives. The cumulative window runs over the
+    * distinct-VALUE frame, never rows (quantize a continuous score
+    * first — the [[ksByGroup]] note); per-block terms fix at 9 dp as
+    * DECIMAL(28,9) so block order cannot move a bit.
+    *
+    * Returns one row: (n_pos, n_neg, pr_auc, baseline); AP NULL when
+    * no positives exist. */
+  def prAuc(
+      df: DataFrame,
+      scoreCol: Column,
+      labelPred: Column): DataFrame = {
+    val v = df
+      .select(scoreCol.cast(DoubleType).as("__x"),
+        when(coalesce(labelPred, lit(false)), 1L).otherwise(0L)
+          .as("__y"))
+      .filter(col("__x").isNotNull)
+    val perVal = v.groupBy(col("__x"))
+      .agg(count(lit(1)).as("__ct"),
+        coalesce(sum(col("__y")), lit(0L)).as("__cp"))
+    val wCum = Guards.seriesWindow(col("__x").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val staged = Guards.boundedSeries(perVal, "prAuc distinct scores")
+      .withColumn("__ncum", sum(col("__ct")).over(wCum))
+      .withColumn("__tp", sum(col("__cp")).over(wCum))
+      .withColumn("__pt", sum(col("__cp")).over(wAll))
+      .withColumn("__nt", sum(col("__ct")).over(wAll))
+    val term = when(col("__cp") > 0,
+      round(col("__cp").cast(DoubleType) *
+        (col("__tp").cast(DoubleType) /
+          col("__ncum").cast(DoubleType)), 9))
+      .otherwise(lit(0.0))
+    val fold = DecimalType(28, 9)
+    val one = staged.agg(
+      max(col("__pt")).as("__p"), max(col("__nt")).as("__n"),
+      coalesce(sum(term.cast(fold)), lit(0).cast(fold)).as("__s"))
+    one.select(
+      coalesce(col("__p"), lit(0L)).as("n_pos"),
+      (coalesce(col("__n"), lit(0L)) - coalesce(col("__p"), lit(0L)))
+        .as("n_neg"),
+      when(col("__p") > 0,
+        round(col("__s").cast(DoubleType) /
+          col("__p").cast(DoubleType), 6))
+        .otherwise(lit(null).cast(DoubleType)).as("pr_auc"),
+      when(col("__n") > 0,
+        round(col("__p").cast(DoubleType) /
+          col("__n").cast(DoubleType), 6))
+        .otherwise(lit(null).cast(DoubleType)).as("baseline"))
+  }
+
   /** Cliff's delta ordinal effect size between two groups:
     * δ = (#(a>b) − #(a<b)) / (n_a·n_b) ∈ [−1, 1] — the MAGNITUDE
     * companion of [[mannWhitney]] (U says whether the shift is
@@ -3245,6 +3503,50 @@ object Stats {
         .otherwise(lit(null).cast(DoubleType)).as("kappa"))
   }
 
+  /** Cronbach's α — internal consistency of a k-item battery: do the
+    * gates measure ONE underlying quality trait, or k unrelated
+    * things? The scale-reliability complement of [[fleissKappa]]
+    * (kappa asks whether raters agree per item; α asks whether the
+    * items hang together as a scale — a battery can agree perfectly
+    * and still be incoherent as a composite score).
+    *
+    * α = k/(k−1)·(1 − Σσᵢ²/σ_T²). With binary items the population
+    * variances clear their n² denominators exactly:
+    * Σσᵢ²/σ_T² = Σkᵢ(n−kᵢ) / (n·ΣR² − (ΣR)²) — ONE aggregate pass to
+    * exact integer cells, DECIMAL(38,0) cast before each product
+    * (the [[cochranQ]] contract), one double division. NULL when the
+    * total-score variance is 0 (every row passes the same count).
+    *
+    * Returns one row: (n, k_items, alpha). */
+  def cronbachAlpha(
+      df: DataFrame,
+      preds: Seq[Column]): DataFrame = {
+    val k = preds.size
+    require(k >= 2 && k <= 9, s"cronbachAlpha needs 2..9 items, got $k")
+    val dec = DecimalType(38, 0)
+    val bits = preds.map(p =>
+      when(coalesce(p, lit(false)), 1L).otherwise(0L))
+    val r = bits.reduce(_ + _)
+    val cAggs = bits.zipWithIndex.map { case (b, j) =>
+      coalesce(sum(b), lit(0L)).as(s"__c$j") }
+    val aggs = cAggs ++ Seq(
+      count(lit(1)).as("__ni"),
+      coalesce(sum(r), lit(0L)).as("__sr"),
+      coalesce(sum(r * r), lit(0L)).as("__srr"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val num = (0 until k)
+      .map(j => col(s"__c$j").cast(dec) * (col("__ni") - col(s"__c$j")))
+      .reduce(_ + _)
+    val den = col("__ni").cast(dec) * col("__srr") -
+      col("__sr").cast(dec) * col("__sr")
+    val denD = den.cast(DoubleType)
+    val alpha = lit(k.toDouble) / lit((k - 1).toDouble) *
+      (lit(1.0) - num.cast(DoubleType) / denD)
+    one.select(col("__ni").as("n"), lit(k.toLong).as("k_items"),
+      when(denD > 0.0, round(alpha, 6))
+        .otherwise(lit(null).cast(DoubleType)).as("alpha"))
+  }
+
   /** McNemar's test on PAIRED binary judgments — did swapping gate A
     * for gate B change the pass/fail outcome on the same rows, or do
     * they only differ by noise? The marginal-homogeneity companion of
@@ -3347,6 +3649,88 @@ object Stats {
       when(q.isNotNull,
         when(q > crit, lit("reject")).otherwise(lit("keep")))
         .otherwise(lit(null).cast(StringType)).as("verdict"))
+  }
+
+  /** Friedman test — the BLOCKED k-sample rank test: does any of k
+    * treatments consistently rank higher WITHIN blocks (days,
+    * cohorts), where [[kruskalWallis]] would let between-block
+    * variation (weekday/weekend swings) drown the signal? The
+    * k-level generalization the [[cochranQ]]/[[mcnemar]] pair gives
+    * binary outcomes, for ordered values.
+    *
+    * χ²_F = 12/(n·k·(k+1))·ΣR_j² − 3n(k+1) over within-block average
+    * ranks. Only COMPLETE blocks (all k treatments present) enter —
+    * the classic design requirement, enforced by a per-block census,
+    * with k from a 1-row pre-scan. Ranks average via the contiguous
+    * (lo+hi) span per (block, value) — 2R_j accumulates as exact
+    * DECIMAL(38,0), ΣR_j² = Σ(2R_j)²/4 folds into the double formula
+    * (3·Σ(2R)²/(n·k·(k+1)) instead of 12·ΣR²/…), so the only doubles
+    * are one literal-order expression. No tie-correction term
+    * (conservative under ties, the textbook form). Windows partition
+    * per block — never a global sort.
+    *
+    * Returns one row: (n_blocks, k_treatments, chi2, verdict) —
+    * verdict vs the literal χ²(k−1) 5% critical value (k ≤ 9);
+    * NULL-gated when no complete block exists. */
+  def friedman(
+      df: DataFrame,
+      blockCol: String,
+      treatCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.select(col(blockCol).cast(StringType).as("__b"),
+        col(treatCol).cast(StringType).as("__tr"),
+        col(valueCol).cast(DoubleType).as("__x"))
+      .filter(col("__b").isNotNull && col("__tr").isNotNull &&
+        col("__x").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val k = base.select(countDistinct(col("__tr"))).collect()(0)
+      .getLong(0)
+    if (k < 2 || k > 9) {
+      base.unpersist(false)
+      require(k >= 2 && k <= 9,
+        s"friedman needs 2..9 treatments, got $k")
+    }
+    val blocks = base.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__nb"),
+        countDistinct(col("__tr")).as("__kb"))
+      .filter(col("__nb") === k && col("__kb") === k)
+      .select(col("__b"))
+    val cb = base.join(blocks, Seq("__b"))
+    val wR = Window.partitionBy(col("__b"))
+      .orderBy(col("__x").asc, col("__tr").asc)
+    val wV = Window.partitionBy(col("__b"), col("__x"))
+    val dec = DecimalType(38, 0)
+    val avg2 = cb.withColumn("__rk", row_number().over(wR))
+      .withColumn("__r2",
+        min(col("__rk")).over(wV) + max(col("__rk")).over(wV))
+    val perT = avg2.groupBy(col("__tr"))
+      .agg(coalesce(sum(col("__r2").cast(dec)), lit(0).cast(dec))
+        .as("__R2t"), count(lit(1)).as("__n"))
+    val one = perT.agg(
+      max(col("__n")).as("__nblocks"),
+      coalesce(sum(col("__R2t") * col("__R2t")), lit(0).cast(dec))
+        .as("__S"))
+    val nd = col("__nblocks").cast(DoubleType)
+    val chiRaw = lit(3.0) * col("__S").cast(DoubleType) /
+      (nd * lit(k.toDouble) * lit(k + 1.0)) -
+      lit(3.0) * nd * lit(k + 1.0)
+    val ok = col("__nblocks").isNotNull && col("__nblocks") > 0
+    val chi = when(ok, round(chiRaw, 6))
+      .otherwise(lit(null).cast(DoubleType))
+    val crit = (k - 1) match {
+      case 1 => 3.841; case 2 => 5.991; case 3 => 7.815
+      case 4 => 9.488; case 5 => 11.070; case 6 => 12.592
+      case 7 => 14.067; case _ => 15.507
+    }
+    val out = one.select(
+      coalesce(col("__nblocks"), lit(0L)).as("n_blocks"),
+      lit(k).as("k_treatments"), chi.as("chi2"),
+      when(chi.isNotNull,
+        when(chi > crit, lit("reject")).otherwise(lit("keep")))
+        .otherwise(lit(null).cast(StringType)).as("verdict"))
+      .localCheckpoint(true) // 1 row; free base afterwards
+    base.unpersist(false)
+    out
   }
 
   /** Jarque–Bera normality test over an integer-valued column: is

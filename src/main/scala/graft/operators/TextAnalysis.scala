@@ -259,6 +259,67 @@ object TextAnalysis {
           .as("mean_surprisal"))
   }
 
+  /** Held-out cross-entropy of an add-one-smoothed unigram LM: train
+    * on one deterministic hash-half of the corpus, score mean
+    * −ln p̂(tok) on the other — the VALIDATION-LOSS twin of
+    * [[unigramSurprisal]], which scores tokens under the corpus's
+    * own distribution and therefore cannot see distribution shift; a
+    * held-out loss rises when the halves genuinely differ (and it is
+    * the number a "did the new crawl drop change the corpus?" gate
+    * actually wants). p̂(t) = (c_train(t)+1)/(N_train+V), V the
+    * train vocabulary (unseen eval tokens get the smoothing mass).
+    *
+    * Scale shape: the train frequency table is vocab-bounded and
+    * persisted for its two consumers; EVAL REDUCES TO PER-DISTINCT-
+    * TOKEN COUNTS BEFORE THE JOIN, so the join probes a vocab-sized
+    * frame, never the token stream. Determinism: per-token ln terms
+    * round at 6 dp and weight by exact integer eval counts as
+    * DECIMAL(19,0)×(18,6) products; the split is the portable
+    * [[Sampling.idBucket]].
+    *
+    * Returns one row: (n_train_tok, vocab, n_eval_tok,
+    * cross_entropy) in nats/token; NULL when either half is
+    * empty. */
+  def heldOutCrossEntropy(
+      docs: DataFrame,
+      idCol: Column,
+      text: Column,
+      seed: Int = 41): DataFrame = {
+    val toks = docs
+      .select(idCol.cast(LongType).as("__id"),
+        explode(tokens(lower(text))).as("__tok"))
+      .filter(col("__id").isNotNull)
+    val isTrain = Sampling.idBucket(col("__id"), seed) <
+      Sampling.Buckets / 2
+    val trainC = toks.filter(isTrain).groupBy(col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = trainC.agg(
+      coalesce(sum(col("__c")), lit(0L)).as("__ntr"),
+      count(lit(1)).as("__v"))
+    val evalC = toks.filter(!isTrain).groupBy(col("__tok"))
+      .agg(count(lit(1)).as("__e"))
+    val joined = evalC.join(trainC, Seq("__tok"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("__e"),
+        when(col("__ntr") + col("__v") > 0,
+          round(log((coalesce(col("__c"), lit(0L)) + lit(1L))
+              .cast(DoubleType) /
+            (col("__ntr") + col("__v")).cast(DoubleType)), 6)
+            .cast(DecimalType(18, 6)))
+          .otherwise(lit(null).cast(DecimalType(18, 6))).as("__lp"))
+    val one = joined.agg(
+      coalesce(sum(col("__e")), lit(0L)).as("__ne"),
+      sum(col("__e").cast(DecimalType(19, 0)) * col("__lp")).as("__s"))
+      .crossJoin(broadcast(tot))
+    val ok = col("__ne") > 0 && col("__ntr") > 0
+    one.select(col("__ntr").as("n_train_tok"), col("__v").as("vocab"),
+      col("__ne").as("n_eval_tok"),
+      when(ok, round((col("__s").cast(DoubleType) * lit(-1.0)) /
+        col("__ne").cast(DoubleType), 6))
+        .otherwise(lit(null).cast(DoubleType)).as("cross_entropy"))
+  }
+
   /** Per-document mean BIGRAM surprisal — the conditional-model step
     * up from [[unigramSurprisal]]: mean of −ln p(w₂|w₁) =
     * ln c(w₁·) − ln c(w₁w₂) over the doc's bigram occurrences, with

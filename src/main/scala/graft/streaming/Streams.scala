@@ -750,6 +750,45 @@ object Streams {
       }
   }
 
+  /** Latest cumulative per-day (count, Σ value·10⁴) after each batch
+    * that touched the day; `updates` is the monotone keep-the-max
+    * drain counter. */
+  final case class DaySum(d: String, updates: Long, n: Long, s4: Long)
+
+  /** Per-day EXACT value accumulation across micro-batches — the
+    * streaming feeder for any batch series tail (EWMA, CUSUM, SPRT,
+    * trend tests): the [[dailySuccessState]] shape with a revenue
+    * sum instead of a success count. State is three longs per day;
+    * values fix at 4 dp as scaled integers (the
+    * [[runningMomentsState]] contract) so the cross-batch sum is
+    * exact and independent of the file-to-batch split. Each touched
+    * day re-emits its cumulative row tagged with the monotone
+    * `updates` counter; consumers keep the max-counter row per day
+    * (the [[cdcLatestState]] latest-wins drain). */
+  def dailySumState(
+      rows: DataFrame,
+      dayCol: Column,
+      valueCol: Column)(
+      implicit spark: SparkSession): Dataset[DaySum] = {
+    import spark.implicits._
+    rows
+      .select(dayCol.cast(StringType).as("__d"),
+        floor(valueCol * 10000 + lit(0.5)).cast(LongType).as("__v4"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (day: String, it: Iterator[(String, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          var n = 0L; var s = 0L
+          while (it.hasNext) { s += it.next()._2; n += 1 }
+          val (pu, pn, ps) = state.getOption.getOrElse((0L, 0L, 0L))
+          val tot = (pu + 1L, pn + n, ps + s)
+          state.update(tot)
+          Iterator(DaySum(day, tot._1, tot._2, tot._3))
+      }
+  }
+
   /** One band-local near-dup verdict: did `doc_id` collide (within the
     * Hamming budget) with an EARLIER doc in this band bucket? */
   final case class BandFlag(doc_id: Long, dup: Boolean)

@@ -216,4 +216,43 @@ class LakehouseSpec extends SparkSpecBase {
     assert(Lakehouse.expireVersions(spark, path, keepLast = 5).isEmpty)
     assert(Lakehouse.versions(spark, path) == Seq(3, 4))
   }
+
+  test("deletion vectors subtract on read without touching the base; " +
+    "vacuum folds them in and clears the ledger") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("dv").toString + "/t"
+    val base = (1L to 10L).map(k => (k, s"r$k")).toDF("k", "v")
+    base.write.parquet(s"$path/base")
+    def baseFiles: Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/base")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getPath.getName).toSet
+    }
+    val before = baseFiles
+    assert(Lakehouse.appendDeleteVector(spark, path,
+      Seq(2L, 4L).toDF("k")) == 1)
+    assert(Lakehouse.appendDeleteVector(spark, path,
+      Seq(4L, 6L).toDF("k")) == 2) // overlapping delete is fine
+    assert(Lakehouse.deleteVectorIds(spark, path) == Seq(1, 2))
+    // merge-on-read subtracts; the base files are untouched
+    val mor = Lakehouse.readMergeOnRead(spark, path, "k")
+      .select("k").as[Long].collect().toSet
+    assert(mor == Set(1L, 3L, 5L, 7L, 8L, 9L, 10L))
+    assert(baseFiles == before, "a delete must not rewrite the base")
+    // vacuum: same rows, zero vectors, base physically rewritten
+    Lakehouse.vacuumDeletes(spark, path, "k")
+    assert(Lakehouse.deleteVectorIds(spark, path).isEmpty)
+    val after = Lakehouse.readMergeOnRead(spark, path, "k")
+      .select("k").as[Long].collect().toSet
+    assert(after == mor, "vacuum changed the visible row set")
+    // the ledger restarts cleanly after a vacuum
+    assert(Lakehouse.appendDeleteVector(spark, path,
+      Seq(10L).toDF("k")) == 1)
+    assert(Lakehouse.readMergeOnRead(spark, path, "k")
+      .count() == 6L)
+    // vacuum with no vectors is a no-op
+    Lakehouse.vacuumDeletes(spark, path, "k")
+    Lakehouse.vacuumDeletes(spark, path, "k")
+    assert(Lakehouse.readMergeOnRead(spark, path, "k").count() == 6L)
+  }
 }

@@ -1994,4 +1994,146 @@ class StatsSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("[0, 1000]"))
   }
+
+  test("friedman: hand-computed chi2 on consistent blocks; an " +
+    "incomplete block is excluded; an all-tie block contributes " +
+    "averaged ranks") {
+    import spark.implicits._
+    // two identical blocks a<b<c: 2R=(4,8,12), S=224,
+    // chi2 = 3*224/(2*3*4) - 3*2*4 = 28 - 24 = 4 -> keep (df=2)
+    val df = Seq(("d1", "a", 1.0), ("d1", "b", 2.0), ("d1", "c", 3.0),
+      ("d2", "a", 1.0), ("d2", "b", 2.0), ("d2", "c", 3.0))
+      .toDF("b", "t", "v")
+    val r = Stats.friedman(df, "b", "t", "v").collect()(0)
+    assert(r.getAs[Long]("n_blocks") == 2L &&
+      r.getAs[Long]("k_treatments") == 3L)
+    assert(r.getAs[Double]("chi2") == 4.0 &&
+      r.getAs[String]("verdict") == "keep", s"got $r")
+    // a block missing a treatment must not enter the census
+    val withPartial = df.union(
+      Seq(("d3", "a", 9.0), ("d3", "b", 1.0)).toDF("b", "t", "v"))
+    val p = Stats.friedman(withPartial, "b", "t", "v").collect()(0)
+    assert(p.getAs[Long]("n_blocks") == 2L &&
+      p.getAs[Double]("chi2") == 4.0, s"got $p")
+    // one all-tie block: every treatment gets 2R = 1+3 = 4 ->
+    // S = 3*16, chi2 = 3*48/(1*3*4) - 3*1*4 = 0
+    val ties = Seq(("d1", "a", 5.0), ("d1", "b", 5.0), ("d1", "c", 5.0))
+      .toDF("b", "t", "v")
+    val t = Stats.friedman(ties, "b", "t", "v").collect()(0)
+    assert(t.getAs[Double]("chi2") == 0.0, s"got $t")
+  }
+
+  test("fdrByGroup: an extreme group ranks first and rejects; the " +
+    "rejected set is downward-closed in rank; a lone group abstains; " +
+    "reruns are bit-identical") {
+    import spark.implicits._
+    // 4 groups x 50 ids; g0 passes everything, the rest nothing
+    val df = (0L until 200L)
+      .map(i => (s"g${i % 4}", i, i % 4 == 0)).toDF("g", "id", "y")
+    val out = Stats.fdrByGroup(df, "g", col("id"), col("y"),
+      reps = 32, alphaPermille = 50)
+    val rows = out.collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(rows.size == 4)
+    val hot = rows("g0")
+    assert(hot.getAs[Long]("pass_ppm") == 1000000L)
+    assert(hot.getAs[Int]("bh_rank") == 1 &&
+      hot.getAs[Boolean]("rejected"), s"got $hot")
+    // step-up property: if rank i rejected, every smaller rank is too
+    val byRank = out.collect()
+      .filter(r => !r.isNullAt(r.fieldIndex("bh_rank")))
+      .sortBy(_.getAs[Int]("bh_rank"))
+    val flags = byRank.map(_.getAs[Boolean]("rejected")).toSeq
+    assert(flags == flags.sortBy(!_),
+      s"rejected set must be a rank prefix: $flags")
+    // p bounds: (1 + n_ge) / 33 in ppm
+    byRank.foreach { r =>
+      val p = r.getAs[Long]("p_ppm")
+      assert(p >= 1000000L / 33 && p <= 1000000L, s"p out of range: $r")
+    }
+    // determinism: the whole frame replays bit for bit
+    val again = Stats.fdrByGroup(df, "g", col("id"), col("y"),
+      reps = 32, alphaPermille = 50)
+    assert(out.collect().map(_.toString).sorted.toSeq ==
+      again.collect().map(_.toString).sorted.toSeq)
+    // a group that IS the corpus has no complement to test against
+    val solo = (0L until 40L).map(i => ("only", i, i % 2 == 0))
+      .toDF("g", "id", "y")
+    val s0 = Stats.fdrByGroup(solo, "g", col("id"), col("y"),
+      reps = 8, alphaPermille = 50).collect()(0)
+    assert(s0.isNullAt(s0.fieldIndex("p_ppm")) &&
+      s0.isNullAt(s0.fieldIndex("bh_rank")) &&
+      s0.isNullAt(s0.fieldIndex("rejected")), s"got $s0")
+  }
+
+  test("prAuc: perfect separation scores 1; hand-computed tie-block " +
+    "case; no positives abstains with the baseline intact") {
+    import spark.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sep = Seq((3.0, true), (4.0, true), (1.0, false), (2.0, false))
+      .toDF("s", "y")
+    val p = Stats.prAuc(sep, col("s"), col("y")).collect()(0)
+    assert(p.getAs[Double]("pr_auc") == 1.0 &&
+      p.getAs[Double]("baseline") == 0.5, s"got $p")
+    // pos {3, 2} neg {2, 1}: blocks desc 3(1p), 2(1p of 2), 1(0p):
+    // AP = (1*(1/1) + 1*(2/3)) / 2
+    val tie = Seq((3.0, true), (2.0, true), (2.0, false), (1.0, false))
+      .toDF("s", "y")
+    val t = Stats.prAuc(tie, col("s"), col("y")).collect()(0)
+    val exp = r6((r9(1.0 * (1.0 / 1.0)) + r9(1.0 * (2.0 / 3.0))) / 2.0)
+    assert(t.getAs[Double]("pr_auc") == exp, s"got $t")
+    // no positives: AP undefined, baseline still reported
+    val neg = Seq((1.0, false), (2.0, false)).toDF("s", "y")
+    val n = Stats.prAuc(neg, col("s"), col("y")).collect()(0)
+    assert(n.isNullAt(n.fieldIndex("pr_auc")) &&
+      n.getAs[Double]("baseline") == 0.0, s"got $n")
+  }
+
+  test("runsTest: hand-computed z on an alternating series; the " +
+    "equal-to-median period drops; a one-sided split abstains") {
+    import spark.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 1,9,2,8,3: median (rank 3) = 3 drops; signs B,A,B,A -> 4 runs
+    val df = Seq((1, 1.0), (2, 9.0), (3, 2.0), (4, 8.0), (5, 3.0))
+      .toDF("t", "v")
+    val r = Stats.runsTest(df, "t", "v").collect()(0)
+    assert(r.getAs[Long]("n_periods") == 4L &&
+      r.getAs[Long]("n_above") == 2L &&
+      r.getAs[Long]("n_below") == 2L &&
+      r.getAs[Long]("runs") == 4L, s"got $r")
+    val mu = 2.0 * 2.0 * 2.0 / 4.0 + 1.0
+    val sig2 = 2.0 * 2.0 * 2.0 * (2.0 * 2.0 * 2.0 - 4.0) /
+      (4.0 * 4.0 * 3.0)
+    assert(r.getAs[Double]("z") == r6((4.0 - mu) / math.sqrt(sig2)))
+    assert(r.getAs[String]("verdict") == "keep")
+    // every surviving period on one side: no runs distribution
+    val flat = Seq((1, 1.0), (2, 5.0), (3, 5.0)).toDF("t", "v")
+    val f = Stats.runsTest(flat, "t", "v").collect()(0)
+    assert(f.isNullAt(f.fieldIndex("z")) &&
+      f.isNullAt(f.fieldIndex("verdict")), s"got $f")
+  }
+
+  test("cronbachAlpha: perfectly aligned items score 1; independent " +
+    "items score 0; zero total-score variance abstains") {
+    import spark.implicits._
+    val aligned = Seq((true, true), (false, false)).toDF("a", "b")
+    val a = Stats.cronbachAlpha(aligned, Seq(col("a"), col("b")))
+      .collect()(0)
+    assert(a.getAs[Long]("k_items") == 2L &&
+      a.getAs[Double]("alpha") == 1.0, s"got $a")
+    // uncorrelated 2x2 battery: alpha = 0
+    val indep = Seq((true, true), (true, false), (false, true),
+      (false, false)).toDF("a", "b")
+    val i = Stats.cronbachAlpha(indep, Seq(col("a"), col("b")))
+      .collect()(0)
+    assert(i.getAs[Double]("alpha") == 0.0, s"got $i")
+    // constant total score: variance 0, loud abstention
+    val const = Seq((true, false), (false, true)).toDF("a", "b")
+    val c = Stats.cronbachAlpha(const, Seq(col("a"), col("b")))
+      .collect()(0)
+    assert(c.isNullAt(c.fieldIndex("alpha")), s"got $c")
+  }
 }

@@ -451,4 +451,50 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(TextAnalysis.tokenBurstiness(docs, col("id"), col("text"),
       minDocs = 1L).collect()(0).getString(0) == "b")
   }
+
+  test("heldOutCrossEntropy matches a local add-one replica over the " +
+    "same idBucket split; an empty train half abstains") {
+    import spark.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Seq((1L, "the cat sat"), (2L, "the dog sat"),
+      (3L, "the cat ran"), (4L, "a new cat"), (5L, "the the the"),
+      (6L, "dog ran far")).toDF("id", "text")
+    // learn the split the operator uses (idBucket is pinned in
+    // CurationSpec) and replicate the LM locally
+    val half = Sampling.Buckets / 2
+    val split = docs.select(col("id"),
+        (Sampling.idBucket(col("id"), 41) < half).as("tr"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val toks = Seq(1L -> "the cat sat", 2L -> "the dog sat",
+      3L -> "the cat ran", 4L -> "a new cat", 5L -> "the the the",
+      6L -> "dog ran far")
+      .flatMap { case (id, t) => t.split("\\s+").map(id -> _.toLowerCase) }
+    val trainToks = toks.filter(p => split(p._1)).map(_._2)
+    val evalToks = toks.filter(p => !split(p._1)).map(_._2)
+    assume(trainToks.nonEmpty && evalToks.nonEmpty)
+    val cnt = trainToks.groupBy(identity).map { case (t, o) =>
+      t -> o.size.toLong }
+    val nTr = trainToks.size.toLong
+    val v = cnt.size.toLong
+    val terms = evalToks.map { t =>
+      r6(math.log((cnt.getOrElse(t, 0L) + 1L).toDouble /
+        (nTr + v).toDouble))
+    }
+    val expected = r6(terms.map(BigDecimal(_)).sum.toDouble * -1.0 /
+      evalToks.size.toDouble)
+    val r = TextAnalysis.heldOutCrossEntropy(docs, col("id"),
+      col("text")).collect()(0)
+    assert(r.getAs[Long]("n_train_tok") == nTr &&
+      r.getAs[Long]("vocab") == v &&
+      r.getAs[Long]("n_eval_tok") == evalToks.size.toLong, s"got $r")
+    assert(r.getAs[Double]("cross_entropy") == expected, s"got $r")
+    // every doc on the eval side: no model to score under
+    val evalOnly = docs.filter(!col("id").isin(
+      split.filter(_._2).keys.toSeq.map(Long.box): _*))
+    val e = TextAnalysis.heldOutCrossEntropy(evalOnly, col("id"),
+      col("text")).collect()(0)
+    assert(e.getAs[Long]("n_train_tok") == 0L &&
+      e.isNullAt(e.fieldIndex("cross_entropy")), s"got $e")
+  }
 }

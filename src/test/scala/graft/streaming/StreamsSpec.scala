@@ -653,6 +653,31 @@ class StreamsSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
+  test("dailySumState carries per-period scaled-integer sums ACROSS " +
+    "micro-batches (the streaming EWMA feeder)") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val tmp = java.nio.file.Files.createTempDirectory("dsum_mb").toFile
+    val t0 = System.currentTimeMillis()
+    // one period key: batch 1 lands lengths 9+2 (s4=110000, n=2);
+    // batch 2 adds length 9 -> the carried state re-emits the
+    // cumulative (updates=2, n=3, s4=200000), not a fresh (1, 90000)
+    writeDocsFile(tmp, "a.parquet", Seq((1L, "long text"), (2L, "no")),
+      t0 - 60000)
+    writeDocsFile(tmp, "b.parquet", Seq((3L, "also long")), t0)
+    val raw = Streams.runAvailableNow(
+      Streams.dailySumState(
+        Streams.docsStream(spark, tmp.getPath, glob = "*.parquet",
+          maxFilesPerTrigger = 1),
+        lit("D"), length(col("text")).cast("double")).toDF(),
+      "dsum_multibatch")
+    val emissions = raw.collect()
+      .map(r => (r.getAs[Long]("updates"), r.getAs[Long]("n"),
+        r.getAs[Long]("s4"))).sorted.toSeq
+    assert(emissions == Seq((1L, 2L, 110000L), (2L, 3L, 200000L)),
+      s"got $emissions")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   test("cmsCellsState carries cell counts ACROSS micro-batches (the " +
     "streaming count-min backbone)") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
