@@ -4308,6 +4308,67 @@ object Queries {
               col("__kth").cast(DoubleType), 6))
             .as("kmv_estimate"))
     }),
+    "q_sketch_intersect" -> ((s, dir) => {
+      // Set-OPERATION estimates from sketches alone — the
+      // theta-sketch intersection idea on the portable KMV family:
+      // the k smallest hashes of the union vote on membership
+      // (ρ = the fraction present in BOTH sides' sketches), giving
+      // |A∩B| ≈ ρ·D̂_union and Jaccard ≈ ρ without re-touching the
+      // corpus. The sketch twin of q_source_overlap's exact shingle
+      // Jaccard, here between the two source-parity halves; the
+      // exact counts ride alongside as the accuracy reference, and
+      // an under-full union sketch (n_u < k) degrades to EXACT
+      // set arithmetic by construction.
+      val k = 64
+      val docs = Tables.documents(s, dir)
+      val sh = docs.select(
+          (expr("CAST(substring(source, 4) AS BIGINT)") % 2).as("g"),
+          explode(Dedup.shinglesOfTokens(
+            TextAnalysis.tokens(lower(col("text"))), 3)).as("__s"))
+        .select(col("g"), graft.functions.KmvSketch.uniformize(
+          graft.functions.GraftFunctions.polyHash(col("__s")))
+          .as("__h"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sides = sh.groupBy(col("__h"))
+        .agg(max(when(col("g") === 0, 1).otherwise(0)).as("__a"),
+          max(when(col("g") === 1, 1).otherwise(0)).as("__b"))
+      val ex = sides.agg(count(lit(1)).as("exact_union"),
+        coalesce(sum(when(col("__a") === 1 && col("__b") === 1, 1L)
+          .otherwise(0L)), lit(0L)).as("exact_intersect"),
+        coalesce(sum(col("__a").cast(LongType)), lit(0L)).as("n_a"),
+        coalesce(sum(col("__b").cast(LongType)), lit(0L)).as("n_b"))
+      val exploded = sh.groupBy(col("g"))
+        .agg(graft.functions.KmvSketch.kmvSketchAgg(col("__h"), k)
+          .as("sk"))
+        .select(col("g"), explode(col("sk")).as("h"))
+      val unionK = exploded.select(col("h")).distinct()
+        .orderBy(col("h").asc).limit(k)
+      val est = unionK.join(exploded, Seq("h"))
+        .groupBy(col("h"))
+        .agg(max(when(col("g") === 0, 1).otherwise(0)).as("__ia"),
+          max(when(col("g") === 1, 1).otherwise(0)).as("__ib"))
+        .agg(count(lit(1)).as("__nu"),
+          coalesce(sum(when(col("__ia") === 1 && col("__ib") === 1, 1L)
+            .otherwise(0L)), lit(0L)).as("__c"),
+          max(col("h")).as("__kth"))
+      val cD = col("__c").cast(DoubleType)
+      val dU = lit((k - 1).toDouble) * Dedup.PortableMod /
+        col("__kth").cast(DoubleType)
+      val out = ex.crossJoin(est) // two 1-row control-plane frames
+        .select(col("n_a"), col("n_b"), col("exact_union"),
+          col("exact_intersect"),
+          when(col("__nu") < k, cD)
+            .otherwise(round(cD / lit(k.toDouble) * dU, 6))
+            .as("est_intersect"),
+          when(col("__nu") < k,
+            round(cD / col("__nu").cast(DoubleType), 6))
+            .otherwise(round(cD / lit(k.toDouble), 6))
+            .as("est_jaccard"))
+        .localCheckpoint(true) // 1 row; free sh afterwards
+      sh.unpersist(false)
+      out
+    }),
     "q_schema_evolution" -> ((s, dir) => {
       // Schema evolution across parquet generations: generation 1
       // lacks a column generation 2 added; a mergeSchema read unifies
@@ -8399,6 +8460,56 @@ object Queries {
         | CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
         |      ELSE round(63.0 * 1000000007 / kth, 6) END AS kmv_estimate
         |FROM s""".stripMargin,
+    // KMV-intersection replica: the same per-side k-minima sketches,
+    // union k-minima membership vote, identical estimate order, and
+    // the exact side counts from the full distinct hash sets
+    "q_sketch_intersect" -> {
+      val h = s"(${polySql("s")} * 104729 + 12345) % 1000000007"
+      s"""WITH t AS (SELECT
+         |  CAST(substring(source, 4) AS BIGINT) % 2 AS g,
+         |  $toksSql AS toks FROM documents),
+         |p0 AS (SELECT g, unnest($shinglesSql) AS s FROM t),
+         |p AS (SELECT DISTINCT g, $h AS h FROM p0),
+         |sides AS (SELECT h,
+         |  max(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS a,
+         |  max(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS b
+         | FROM p GROUP BY h),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_union,
+         |  coalesce(CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0
+         |    END) AS BIGINT), 0) AS exact_intersect,
+         |  coalesce(CAST(sum(a) AS BIGINT), 0) AS n_a,
+         |  coalesce(CAST(sum(b) AS BIGINT), 0) AS n_b
+         | FROM sides),
+         |ska AS (SELECT h FROM (SELECT h,
+         |   row_number() OVER (ORDER BY h) AS rn
+         |  FROM (SELECT DISTINCT h FROM p WHERE g = 0)) WHERE rn <= 64),
+         |skb AS (SELECT h FROM (SELECT h,
+         |   row_number() OVER (ORDER BY h) AS rn
+         |  FROM (SELECT DISTINCT h FROM p WHERE g = 1)) WHERE rn <= 64),
+         |uk AS (SELECT h FROM (SELECT h,
+         |   row_number() OVER (ORDER BY h) AS rn
+         |  FROM (SELECT DISTINCT h FROM (SELECT h FROM ska
+         |    UNION ALL SELECT h FROM skb))) WHERE rn <= 64),
+         |fl AS (SELECT uk.h AS h,
+         |  CASE WHEN ska.h IS NOT NULL THEN 1 ELSE 0 END AS ia,
+         |  CASE WHEN skb.h IS NOT NULL THEN 1 ELSE 0 END AS ib
+         | FROM uk LEFT JOIN ska ON uk.h = ska.h
+         | LEFT JOIN skb ON uk.h = skb.h),
+         |es AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+         |  coalesce(CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1
+         |    ELSE 0 END) AS BIGINT), 0) AS c,
+         |  max(h) AS kth FROM fl)
+         |SELECT n_a, n_b, exact_union, exact_intersect,
+         | CASE WHEN nu < 64 THEN CAST(c AS DOUBLE)
+         |  ELSE round(CAST(c AS DOUBLE) / 64.0 *
+         |    (63.0 * 1000000007 / CAST(kth AS DOUBLE)), 6)
+         | END AS est_intersect,
+         | CASE WHEN nu < 64 THEN
+         |   round(CAST(c AS DOUBLE) / CAST(nu AS DOUBLE), 6)
+         |  ELSE round(CAST(c AS DOUBLE) / 64.0, 6)
+         | END AS est_jaccard
+         |FROM ex, es""".stripMargin
+    },
     "q_schema_evolution" ->
       """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
         |  ELSE '<pre-evolution>' END AS status,

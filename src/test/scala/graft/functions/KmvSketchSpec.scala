@@ -74,4 +74,36 @@ class KmvSketchSpec extends SparkSpecBase {
     assert(merged.getLong(0) == whole.getLong(0))
     assert(merged.getLong(1) == whole.getLong(1))
   }
+
+  test("intersection vote: under-full union sketch degrades to exact " +
+    "set arithmetic; a known overlap estimates within sketch error") {
+    import spark.implicits._
+    def sketch(ids: Seq[Long], k: Int): Set[Long] = {
+      val hashed = ids.toDF("id")
+        .select(KmvSketch.uniformize(GraftFunctions.polyHash(
+          col("id").cast("string"))).as("h"))
+        .agg(KmvSketch.kmvSketchAgg(col("h"), k).as("sk"))
+        .select(explode(col("sk")).as("h"))
+      hashed.collect().map(_.getLong(0)).toSet
+    }
+    // two 40-element sets sharing 20: under k=64 both sketches are
+    // the full sets, so the membership vote IS the intersection
+    val a = (0L until 40L)
+    val b = (20L until 60L)
+    val ska = sketch(a, 64); val skb = sketch(b, 64)
+    val union = (ska ++ skb).toSeq.sorted.take(64).toSet
+    val c = union.count(h => ska(h) && skb(h))
+    assert(c == 20, s"exact-regime vote must equal the overlap: $c")
+    // 2000-vs-2000 with 1000 shared, k=64: the rho vote lands within
+    // 4 SDs of the true Jaccard 1/3 (deterministic hash - this is a
+    // fixed number, the bound just documents the magnitude)
+    val bigA = (0L until 2000L)
+    val bigB = (1000L until 3000L)
+    val sa = sketch(bigA, 64); val sb = sketch(bigB, 64)
+    val uk = (sa ++ sb).toSeq.sorted.take(64)
+    val rho = uk.count(h => sa(h) && sb(h)).toDouble / 64.0
+    val sd = math.sqrt(1.0 / 3.0 * (2.0 / 3.0) / 64.0)
+    assert(math.abs(rho - 1.0 / 3.0) < 4 * sd,
+      s"rho $rho too far from 1/3")
+  }
 }
