@@ -3235,6 +3235,41 @@ object Queries {
         .agg(count(lit(1)).as("n"),
           dsum(col("o_totalprice")).as("price_sum"))
     }),
+    "q_lake_occ" -> ((s, dir) => {
+      // The commit protocol under WRITER CONTENTION: writer A lands
+      // v1; writer B, still holding the v0 view, tries to commit and
+      // MUST be refused (optimistic concurrency — the version
+      // pre-check plus an atomic rename compare-and-swap on the slot
+      // itself); B then rebases onto v1, reapplies its intent (drop
+      // the %5 keys), and lands v2. The REQUIREs pin the refusal and
+      // the final ledger; the gated read is the rebased table, so a
+      // lost update or double-apply diverges from the oracle.
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_occ").toString
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val v1 = graft.io.Lakehouse.commitVersion(s, tmp, 0, o)
+      require(v1 == 1, s"writer A expected v1, got $v1")
+      val refused =
+        try {
+          graft.io.Lakehouse.commitVersion(s, tmp, 0,
+            o.filter(col("o_orderkey") % 5 =!= 0))
+          false
+        } catch {
+          case _: java.util.ConcurrentModificationException => true
+        }
+      require(refused, "stale commit must be refused, not applied")
+      val rebased = graft.io.Lakehouse.readLatest(s, tmp)
+        .filter(col("o_orderkey") % 5 =!= 0)
+      val v2 = graft.io.Lakehouse.commitVersion(s, tmp, 1, rebased)
+      require(v2 == 2 &&
+        graft.io.Lakehouse.versions(s, tmp) == Seq(1, 2),
+        "ledger diverged after the rebase")
+      graft.io.Lakehouse.readLatest(s, tmp)
+        .groupBy((col("o_orderkey") % 10).as("k"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("price_sum"))
+    }),
     "q_lake_delete" -> ((s, dir) => {
       // Merge-on-read DELETE end-to-end: orders land once as the
       // base, two deletion vectors subtract the %7 and %11 keys
@@ -4468,6 +4503,19 @@ object Queries {
       // weighted by exact integer counts.
       TextAnalysis.heldOutCrossEntropy(Tables.documents(s, dir),
         col("doc_id"), col("text"))
+    }),
+    "q_text_transfer" -> ((s, dir) => {
+      // Which domains predict which: the 4x4 cross-source unigram
+      // transfer matrix H(b|a) — eval b's tokens under a's add-one
+      // LM; the diagonal is the in-domain overfit reference, an
+      // asymmetric off-diagonal says "a covers b but not vice
+      // versa". Token-keyed vocab-bounded self-join; the unseen
+      // mass is closed-form arithmetic, never a materialized
+      // anti-join.
+      TextAnalysis.domainTransfer(
+        Tables.documents(s, dir).filter(
+          col("source").isin("src0", "src1", "src2", "src3")),
+        col("source"), col("text"))
     }),
     "q_text_surprisal" -> ((s, dir) => {
       // Unigram-LM quality score: per-doc mean −ln p(tok) under the
@@ -7423,6 +7471,14 @@ object Queries {
         | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
         |   AS DOUBLE), 4) AS price_sum
         |FROM orders GROUP BY 1""".stripMargin,
+    // OCC replica: the protocol work is REQUIRE-pinned on the Spark
+    // side; the content contract is writer B's rebased intent
+    "q_lake_occ" ->
+      """SELECT o_orderkey % 10 AS k, count(*) AS n,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |   AS DOUBLE), 4) AS price_sum
+        |FROM orders WHERE o_orderkey % 5 <> 0
+        |GROUP BY 1""".stripMargin,
     // deletion-vector replica: the layout work is all REQUIRE-pinned
     // on the Spark side; the content contract is a plain filter
     "q_lake_delete" ->
@@ -8388,6 +8444,43 @@ object Queries {
          |  END AS cross_entropy
          |FROM one""".stripMargin
     },
+    // transfer-matrix replica: the same (source, token) counts, the
+    // same 6-dp ln terms, the closed-form unseen mass, one row per
+    // (train, eval) pair from the totals grid
+    "q_text_transfer" ->
+      s"""WITH t0 AS (SELECT source AS src, $toksSql AS toks
+         | FROM documents
+         | WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+         |tk AS (SELECT src, unnest(toks) AS tok FROM t0),
+         |cnt AS (SELECT src, tok, CAST(count(*) AS BIGINT) AS c
+         | FROM tk GROUP BY 1, 2),
+         |tot AS (SELECT src, CAST(sum(c) AS BIGINT) AS n,
+         |  CAST(count(*) AS BIGINT) AS v FROM cnt GROUP BY 1),
+         |tr AS (SELECT cnt.src AS ta, tok,
+         |  CAST(round(ln(CAST(c + 1 AS DOUBLE) /
+         |    CAST(n + v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp
+         | FROM cnt JOIN tot ON cnt.src = tot.src),
+         |ev AS (SELECT src AS tb, tok, c AS e FROM cnt),
+         |m AS (SELECT ta, tb,
+         |  coalesce(sum(CAST(e AS DECIMAL(19,0)) * lp),
+         |    CAST(0 AS DECIMAL(38,6))) AS sm,
+         |  coalesce(CAST(sum(e) AS BIGINT), 0) AS em
+         | FROM ev JOIN tr USING (tok) GROUP BY 1, 2),
+         |grid AS (SELECT a.src AS ta, CAST(a.n + a.v AS BIGINT) AS den,
+         |  b.src AS tb, b.n AS nb
+         | FROM tot a, tot b),
+         |f AS (SELECT g.ta AS train_src, g.tb AS eval_src,
+         |  g.nb AS n_eval_tok,
+         |  coalesce(m.sm, CAST(0 AS DECIMAL(38,6))) +
+         |   CAST(g.nb - coalesce(m.em, 0) AS DECIMAL(19,0)) *
+         |   CAST(round(ln(1.0 / CAST(g.den AS DOUBLE)), 6)
+         |    AS DECIMAL(18,6)) AS s
+         | FROM grid g LEFT JOIN m ON m.ta = g.ta AND m.tb = g.tb)
+         |SELECT train_src, eval_src, n_eval_tok,
+         | CASE WHEN n_eval_tok > 0 THEN
+         |   round(CAST(s AS DOUBLE) * -1.0 /
+         |     CAST(n_eval_tok AS DOUBLE), 6) END AS cross_entropy
+         |FROM f""".stripMargin,
     "q_sort_topk_global" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"""

@@ -224,6 +224,42 @@ object Lakehouse {
     next
   }
 
+  /** Optimistic-concurrency commit against the [[writeVersion]]
+    * snapshot ledger: stage the full snapshot, then claim version
+    * `expectedLatest + 1` with ONE atomic directory rename — if the
+    * ledger moved past `expectedLatest` (a pre-check), or another
+    * writer claims the same slot between check and rename (the
+    * rename fails because the target exists), the commit throws
+    * `ConcurrentModificationException` and the caller REBASES: read
+    * the new latest, reapply the intent, retry. This is the
+    * Delta/Iceberg commit-protocol shape on plain directories — the
+    * rename is the compare-and-swap (atomic on HDFS-like stores),
+    * the staged copy means a loser leaves no partial state behind.
+    * Returns the committed version. */
+  def commitVersion(
+      spark: SparkSession, path: String, expectedLatest: Int,
+      df: DataFrame): Int = {
+    val latest = versions(spark, path).lastOption.getOrElse(0)
+    if (latest != expectedLatest)
+      throw new java.util.ConcurrentModificationException(
+        s"commitVersion: ledger at v=$latest, expected v=$expectedLatest" +
+          " — rebase and retry")
+    val next = expectedLatest + 1
+    val stage = s"$path/__stage_v$next"
+    df.write.mode("overwrite").parquet(stage)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path, s"v=$next")
+    // the compare-and-swap: rename fails if a racer claimed the slot
+    if (fs.exists(target) ||
+      !fs.rename(new org.apache.hadoop.fs.Path(stage), target)) {
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      throw new java.util.ConcurrentModificationException(
+        s"commitVersion: lost the race for v=$next — rebase and retry")
+    }
+    next
+  }
+
   /** Complete (marker-bearing) snapshot versions, ascending. */
   def versions(spark: SparkSession, path: String): Seq[Int] = {
     val hp = new org.apache.hadoop.fs.Path(path)

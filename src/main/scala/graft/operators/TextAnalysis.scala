@@ -320,6 +320,76 @@ object TextAnalysis {
         .otherwise(lit(null).cast(DoubleType)).as("cross_entropy"))
   }
 
+  /** Cross-domain unigram TRANSFER MATRIX: H(b‖a) = mean −ln p̂_a(tok)
+    * of source b's tokens under source a's add-one unigram LM, for
+    * every (a, b) pair — which domains predict which (the number
+    * behind "will adding source a help or hurt a model evaluated on
+    * b's distribution"; the diagonal is the in-domain overfit
+    * reference). The grouped generalization of
+    * [[heldOutCrossEntropy]].
+    *
+    * Scale shape: ONE (source, token) count frame serves train and
+    * eval sides (persisted — the multi-consumer rule); the pair
+    * cross-terms come from a TOKEN-keyed join of that vocab-bounded
+    * frame with itself (≤ |vocab|·S² rows — never the token stream),
+    * and the UNSEEN mass never materializes: tokens of b absent from
+    * a's vocabulary contribute the closed form
+    * (n_b − matched)·(−ln(1/(N_a+V_a))), so the left-anti side is
+    * pure arithmetic. Per-source totals are a bounded broadcast.
+    * Determinism: 6-dp ln terms weighted by exact integer counts as
+    * DECIMAL(19,0)×(18,6) products.
+    *
+    * Returns one row per pair: (train_src, eval_src, n_eval_tok,
+    * cross_entropy) in nats/token. */
+  def domainTransfer(
+      docs: DataFrame,
+      srcCol: Column,
+      text: Column): DataFrame = {
+    val cnt = docs
+      .select(srcCol.cast(StringType).as("__src"),
+        explode(tokens(lower(text))).as("__tok"))
+      .filter(col("__src").isNotNull)
+      .groupBy(col("__src"), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = cnt.groupBy(col("__src"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("__n"),
+        count(lit(1)).as("__v"))
+    val dec6 = DecimalType(18, 6)
+    val tr = cnt.join(broadcast(tot), Seq("__src"))
+      .select(col("__src").as("__ta"), col("__tok"),
+        round(log((col("__c") + lit(1L)).cast(DoubleType) /
+          (col("__n") + col("__v")).cast(DoubleType)), 6)
+          .cast(dec6).as("__lp"))
+    val ev = cnt.select(col("__src").as("__tb"), col("__tok"),
+      col("__c").as("__e"))
+    val zero = lit(0).cast(DecimalType(38, 6))
+    val matched = ev.join(tr, Seq("__tok"))
+      .groupBy(col("__ta"), col("__tb"))
+      .agg(coalesce(sum(col("__e").cast(DecimalType(19, 0)) *
+        col("__lp")), zero).as("__sm"),
+        coalesce(sum(col("__e")), lit(0L)).as("__em"))
+    val grid = tot.select(col("__src").as("__ta"),
+        (col("__n") + col("__v")).as("__den"))
+      .crossJoin(tot.select(col("__src").as("__tb"),
+        col("__n").as("__nb")))
+    val unseenLp = round(log(lit(1.0) /
+      col("__den").cast(DoubleType)), 6).cast(dec6)
+    val out = grid.join(matched, Seq("__ta", "__tb"), "left")
+      .select(col("__ta").as("train_src"), col("__tb").as("eval_src"),
+        col("__nb").as("n_eval_tok"),
+        when(col("__nb") > 0,
+          round((coalesce(col("__sm"), zero) +
+            (col("__nb") - coalesce(col("__em"), lit(0L)))
+              .cast(DecimalType(19, 0)) * unseenLp)
+            .cast(DoubleType) * lit(-1.0) /
+            col("__nb").cast(DoubleType), 6))
+          .otherwise(lit(null).cast(DoubleType)).as("cross_entropy"))
+      .localCheckpoint(true) // S² rows; free cnt afterwards
+    cnt.unpersist(false)
+    out
+  }
+
   /** Per-document mean BIGRAM surprisal — the conditional-model step
     * up from [[unigramSurprisal]]: mean of −ln p(w₂|w₁) =
     * ln c(w₁·) − ln c(w₁w₂) over the doc's bigram occurrences, with

@@ -255,4 +255,37 @@ class LakehouseSpec extends SparkSpecBase {
     Lakehouse.vacuumDeletes(spark, path, "k")
     assert(Lakehouse.readMergeOnRead(spark, path, "k").count() == 6L)
   }
+
+  test("commitVersion: stale expected version is refused; a racer's " +
+    "claimed slot loses the rename CAS and leaves no staging behind") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("occ").toString + "/t"
+    val df1 = Seq((1L, "a")).toDF("k", "v")
+    assert(Lakehouse.commitVersion(spark, path, 0, df1) == 1)
+    // stale view: the ledger moved past v0
+    intercept[java.util.ConcurrentModificationException] {
+      Lakehouse.commitVersion(spark, path, 0, df1)
+    }
+    assert(Lakehouse.versions(spark, path) == Seq(1))
+    // a racer mid-write holds v=2 without a marker: versions() does
+    // not list it, so the pre-check passes — the rename CAS must
+    // still refuse the slot and clean the staged copy
+    val hp = new org.apache.hadoop.fs.Path(path, "v=2")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(hp)
+    intercept[java.util.ConcurrentModificationException] {
+      Lakehouse.commitVersion(spark, path, 1, df1)
+    }
+    val leftovers = fs.listStatus(
+      new org.apache.hadoop.fs.Path(path)).map(_.getPath.getName)
+      .filter(_.startsWith("__stage"))
+    assert(leftovers.isEmpty, s"staging left behind: ${leftovers.toSeq}")
+    // clear the stale claim: the retry lands
+    fs.delete(hp, true)
+    assert(Lakehouse.commitVersion(spark, path, 1,
+      Seq((2L, "b")).toDF("k", "v")) == 2)
+    assert(Lakehouse.versions(spark, path) == Seq(1, 2))
+    assert(Lakehouse.readLatest(spark, path)
+      .as[(Long, String)].collect().toSet == Set((2L, "b")))
+  }
 }

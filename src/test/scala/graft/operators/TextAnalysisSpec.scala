@@ -497,4 +497,32 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(e.getAs[Long]("n_train_tok") == 0L &&
       e.isNullAt(e.fieldIndex("cross_entropy")), s"got $e")
   }
+
+  test("domainTransfer: hand-computed 2x2 matrix with closed-form " +
+    "unseen mass on both off-diagonals") {
+    import spark.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def h(terms: Seq[(Long, Double)], n: Long) =
+      r6(terms.map { case (e, lp) =>
+        BigDecimal(e) * BigDecimal(r6(lp)) }.sum.toDouble * -1.0 /
+        n.toDouble)
+    // a: "x x y" (N=3, V=2, den 5); b: "x z" (N=2, V=2, den 4)
+    val docs = Seq(("a", "x x y"), ("b", "x z")).toDF("src", "text")
+    val got = TextAnalysis.domainTransfer(docs, col("src"), col("text"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got.size == 4)
+    assert(got(("a", "a")).getAs[Long]("n_eval_tok") == 3L)
+    assert(got(("a", "a")).getAs[Double]("cross_entropy") ==
+      h(Seq(2L -> math.log(3.0 / 5.0), 1L -> math.log(2.0 / 5.0)), 3L))
+    // b under a: x matches (c=2 -> ln 3/5), z is unseen (ln 1/5)
+    assert(got(("a", "b")).getAs[Double]("cross_entropy") ==
+      h(Seq(1L -> math.log(3.0 / 5.0), 1L -> math.log(1.0 / 5.0)), 2L))
+    // a under b: x matches (c=1 -> ln 2/4), y is unseen (ln 1/4)
+    assert(got(("b", "a")).getAs[Double]("cross_entropy") ==
+      h(Seq(2L -> math.log(2.0 / 4.0), 1L -> math.log(1.0 / 4.0)), 3L))
+    assert(got(("b", "b")).getAs[Double]("cross_entropy") ==
+      h(Seq(1L -> math.log(2.0 / 4.0), 1L -> math.log(2.0 / 4.0)), 2L))
+  }
 }
