@@ -2344,6 +2344,21 @@ object Queries {
       Stats.powerMde(ev, col("user_id"), col("user_id") % 2,
         col("value"), variantA = "0", variantB = "1")
     }),
+    "q_ate_stratified" -> ((s, dir) => {
+      // Post-stratified experiment readout: per-user purchase
+      // revenue, arms by user parity, stratified by the %5
+      // registration cohort — the estimator that survives an
+      // imbalanced stratum mix, where the naive diff (emitted
+      // alongside) confounds treatment with composition. Exact
+      // per-unit decimal totals, bounded cohort frame, 9-dp folds;
+      // a single-unit arm in any retained stratum abstains the SE
+      // loudly.
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+      Stats.ateStratified(ev, col("user_id"), col("user_id") % 2,
+        col("user_id") % 5, col("value"),
+        variantA = "0", variantB = "1")
+    }),
     "q_cuped" -> ((s, dir) => {
       // CUPED experiment readout: per-user purchase revenue in the
       // SECOND half of the window, adjusted by the first-half
@@ -6848,6 +6863,86 @@ object Queries {
         |   THEN round((1.96 + 0.8416) * sqrt(se2) / ma, 6) END
         |  AS mde_rel
         |FROM e""".stripMargin,
+    // post-stratified ATE replica: per-unit decimal totals, the
+    // 2-dp fixed squares, per-stratum cells, retained-strata window
+    // total, identical w·d and w·w·(v1/n1 + v0/n0) double orders
+    // into 9-dp DECIMAL(28,9) folds
+    "q_ate_stratified" ->
+      """WITH per AS (SELECT user_id AS u,
+        |  CAST(user_id % 2 AS VARCHAR) AS v,
+        |  CAST(user_id % 5 AS VARCHAR) AS st,
+        |  coalesce(sum(CAST(value AS DECIMAL(18,4))),
+        |    CAST(0 AS DECIMAL(18,4))) AS y
+        | FROM events
+        | WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        | GROUP BY 1, 2, 3),
+        |cells AS (SELECT st,
+        |  coalesce(CAST(sum(CASE WHEN v = '0' THEN 1 END) AS BIGINT),
+        |    0) AS n0,
+        |  coalesce(sum(CASE WHEN v = '0' THEN y END),
+        |    CAST(0 AS DECIMAL(18,4))) AS s0,
+        |  coalesce(sum(CASE WHEN v = '0' THEN
+        |    CAST(round(CAST(y AS DECIMAL(19,4)) * y, 2)
+        |     AS DECIMAL(28,2)) END), CAST(0 AS DECIMAL(28,2))) AS ss0,
+        |  coalesce(CAST(sum(CASE WHEN v = '1' THEN 1 END) AS BIGINT),
+        |    0) AS n1,
+        |  coalesce(sum(CASE WHEN v = '1' THEN y END),
+        |    CAST(0 AS DECIMAL(18,4))) AS s1,
+        |  coalesce(sum(CASE WHEN v = '1' THEN
+        |    CAST(round(CAST(y AS DECIMAL(19,4)) * y, 2)
+        |     AS DECIMAL(28,2)) END), CAST(0 AS DECIMAL(28,2))) AS ss1
+        | FROM per GROUP BY 1),
+        |kept AS (SELECT * FROM cells WHERE n0 > 0 AND n1 > 0),
+        |st2 AS (SELECT *, sum(n0 + n1) OVER () AS nr FROM kept),
+        |terms AS (SELECT n0, n1, nr,
+        |  CAST(round(CAST(n0 + n1 AS DOUBLE) / CAST(nr AS DOUBLE) *
+        |    (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+        |     CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)), 9)
+        |   AS DECIMAL(28,9)) AS ta,
+        |  CAST(CASE WHEN n0 > 1 AND n1 > 1 THEN
+        |    round(CAST(n0 + n1 AS DOUBLE) / CAST(nr AS DOUBLE) *
+        |      (CAST(n0 + n1 AS DOUBLE) / CAST(nr AS DOUBLE)) *
+        |      ((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) *
+        |         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) /
+        |        (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE) +
+        |       (CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) *
+        |         CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) /
+        |        (CAST(n0 AS DOUBLE) - 1.0) / CAST(n0 AS DOUBLE)), 9)
+        |   ELSE 0.0 END AS DECIMAL(28,9)) AS tv
+        | FROM st2),
+        |agg1 AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  CAST(max(nr) AS BIGINT) AS nu,
+        |  coalesce(CAST(sum(CASE WHEN n0 < 2 OR n1 < 2 THEN 1
+        |    ELSE 0 END) AS BIGINT), 0) AS small,
+        |  coalesce(sum(ta), CAST(0 AS DECIMAL(28,9))) AS sa,
+        |  coalesce(sum(tv), CAST(0 AS DECIMAL(28,9))) AS sv
+        | FROM terms),
+        |naive AS (SELECT
+        |  coalesce(CAST(sum(CASE WHEN v = '0' THEN 1 END) AS BIGINT),
+        |    0) AS tn0,
+        |  coalesce(sum(CASE WHEN v = '0' THEN y END),
+        |    CAST(0 AS DECIMAL(18,4))) AS ts0,
+        |  coalesce(CAST(sum(CASE WHEN v = '1' THEN 1 END) AS BIGINT),
+        |    0) AS tn1,
+        |  coalesce(sum(CASE WHEN v = '1' THEN y END),
+        |    CAST(0 AS DECIMAL(18,4))) AS ts1
+        | FROM per)
+        |SELECT coalesce(nu, 0) AS n_units, k AS k_strata,
+        | CASE WHEN tn0 > 0 AND tn1 > 0 THEN
+        |   round(CAST(ts1 AS DOUBLE) / CAST(tn1 AS DOUBLE) -
+        |     CAST(ts0 AS DOUBLE) / CAST(tn0 AS DOUBLE), 6)
+        |  END AS diff_naive,
+        | CASE WHEN k > 0 THEN round(CAST(sa AS DOUBLE), 6)
+        |  END AS ate,
+        | CASE WHEN k > 0 AND small = 0 THEN
+        |   round(sqrt(CAST(sv AS DOUBLE)), 6) END AS se,
+        | CASE WHEN k > 0 AND small = 0 THEN
+        |   round(CAST(sa AS DOUBLE) - 1.96 * sqrt(CAST(sv AS DOUBLE)),
+        |     6) END AS ci_lo,
+        | CASE WHEN k > 0 AND small = 0 THEN
+        |   round(CAST(sa AS DOUBLE) + 1.96 * sqrt(CAST(sv AS DOUBLE)),
+        |     6) END AS ci_hi
+        |FROM agg1, naive""".stripMargin,
     "q_cuped" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d, value
         | FROM events WHERE event_type = 'purchase'),

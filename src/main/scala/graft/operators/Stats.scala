@@ -1131,6 +1131,119 @@ object Stats {
           round(covN * covN / safe(varX * varY), 6)).as("rho2"))
   }
 
+  /** Post-stratified average treatment effect: the per-stratum arm
+    * difference, weighted by stratum size — the ADJUSTMENT-BY-
+    * STRATIFICATION member of the experiment family ([[cupedAdjust]]
+    * adjusts by a pre-period covariate, [[didEstimate]] by a control
+    * series; this one by a categorical confounder like cohort or
+    * platform, and it is the estimator that survives when the arms'
+    * stratum mix is imbalanced — a naive diff would confound the
+    * treatment with the mix).
+    *
+    * ATE = Σ_s w_s·(ȳ₁ₛ − ȳ₀ₛ), w_s = n_s/N over RETAINED strata
+    * (both arms present; an unrepresented stratum has no within-
+    * stratum contrast — dropped and the weights renormalize,
+    * documented standard practice). SE² = Σ w_s²·(s₁ₛ²/n₁ₛ +
+    * s₀ₛ²/n₀ₛ); NULL when any retained stratum has a single-unit
+    * arm (no variance — loud abstention, the [[powerMde]] rule).
+    *
+    * Scale shape: one exchange to per-UNIT totals (randomization-
+    * unit variance, the [[cupedAdjust]] staging; the frame persists
+    * for its two consumers), one groupBy to the ≤ |strata| cell
+    * frame, full-frame windows over that bounded frame, 9-dp
+    * DECIMAL(28,9) folds for both cross-stratum sums. Exact decimal
+    * accumulators with the 2-dp-fixed squares throughout.
+    *
+    * Returns one row: (n_units, k_strata, diff_naive, ate, se,
+    * ci_lo, ci_hi). */
+  def ateStratified(
+      df: DataFrame,
+      unitCol: Column,
+      variantCol: Column,
+      strataCol: Column,
+      yCol: Column,
+      variantA: String,
+      variantB: String): DataFrame = {
+    val dec = DecimalType(18, 4)
+    def fix2(c: Column) = round(c, 2).cast(DecimalType(28, 2))
+    val per = df
+      .select(unitCol.cast(LongType).as("__u"),
+        variantCol.cast(StringType).as("__v"),
+        strataCol.cast(StringType).as("__st"),
+        yCol.cast(dec).as("__y"))
+      .filter(col("__u").isNotNull && col("__st").isNotNull &&
+        col("__v").isin(variantA, variantB))
+      .groupBy(col("__u"), col("__v"), col("__st"))
+      .agg(coalesce(sum(col("__y")), lit(0).cast(dec)).as("__y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def arm(v: String, c: Column) = when(col("__v") === v, c)
+    val cells = per.groupBy(col("__st")).agg(
+      coalesce(sum(arm(variantA, lit(1L))), lit(0L)).as("__n0"),
+      coalesce(sum(arm(variantA, col("__y"))), lit(0).cast(dec))
+        .as("__s0"),
+      coalesce(sum(arm(variantA, fix2(col("__y") * col("__y")))),
+        lit(0).cast(DecimalType(28, 2))).as("__ss0"),
+      coalesce(sum(arm(variantB, lit(1L))), lit(0L)).as("__n1"),
+      coalesce(sum(arm(variantB, col("__y"))), lit(0).cast(dec))
+        .as("__s1"),
+      coalesce(sum(arm(variantB, fix2(col("__y") * col("__y")))),
+        lit(0).cast(DecimalType(28, 2))).as("__ss1"))
+    val kept = cells.filter(col("__n0") > 0 && col("__n1") > 0)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val staged = kept
+      .withColumn("__nr", sum(col("__n0") + col("__n1")).over(wAll))
+    def d(c: Column) = c.cast(DoubleType)
+    val w = d(col("__n0") + col("__n1")) / d(col("__nr"))
+    val diff = d(col("__s1")) / d(col("__n1")) -
+      d(col("__s0")) / d(col("__n0"))
+    def va(ss: String, s: String, n: String) =
+      (d(col(ss)) - d(col(s)) * d(col(s)) / d(col(n))) /
+        (d(col(n)) - lit(1.0))
+    val termV = when(col("__n0") > 1 && col("__n1") > 1,
+      round(w * w * (va("__ss1", "__s1", "__n1") / d(col("__n1")) +
+        va("__ss0", "__s0", "__n0") / d(col("__n0"))), 9))
+      .otherwise(lit(0.0))
+    val fold = DecimalType(28, 9)
+    val agg1 = staged.agg(
+      count(lit(1)).as("__k"),
+      max(col("__nr")).as("__nu"),
+      coalesce(sum(when(col("__n0") < 2 || col("__n1") < 2, 1L)
+        .otherwise(0L)), lit(0L)).as("__small"),
+      coalesce(sum(round(w * diff, 9).cast(fold)), lit(0).cast(fold))
+        .as("__sa"),
+      coalesce(sum(termV.cast(fold)), lit(0).cast(fold)).as("__sv"))
+    val naive = per.agg(
+      coalesce(sum(arm(variantA, lit(1L))), lit(0L)).as("__tn0"),
+      coalesce(sum(arm(variantA, col("__y"))), lit(0).cast(dec))
+        .as("__ts0"),
+      coalesce(sum(arm(variantB, lit(1L))), lit(0L)).as("__tn1"),
+      coalesce(sum(arm(variantB, col("__y"))), lit(0).cast(dec))
+        .as("__ts1"))
+    val ateD = col("__sa").cast(DoubleType)
+    val seD = sqrt(col("__sv").cast(DoubleType))
+    val okA = col("__k") > 0
+    val okV = okA && col("__small") === 0L
+    val out = agg1.crossJoin(naive) // two 1-row control-plane frames
+      .select(coalesce(col("__nu"), lit(0L)).as("n_units"),
+        col("__k").as("k_strata"),
+        when(col("__tn0") > 0 && col("__tn1") > 0,
+          round(d(col("__ts1")) / d(col("__tn1")) -
+            d(col("__ts0")) / d(col("__tn0")), 6))
+          .otherwise(lit(null).cast(DoubleType)).as("diff_naive"),
+        when(okA, round(ateD, 6)).otherwise(lit(null).cast(DoubleType))
+          .as("ate"),
+        when(okV, round(seD, 6)).otherwise(lit(null).cast(DoubleType))
+          .as("se"),
+        when(okV, round(ateD - lit(1.96) * seD, 6))
+          .otherwise(lit(null).cast(DoubleType)).as("ci_lo"),
+        when(okV, round(ateD + lit(1.96) * seD, 6))
+          .otherwise(lit(null).cast(DoubleType)).as("ci_hi"))
+      .localCheckpoint(true) // 1 row; free per afterwards
+    per.unpersist(false)
+    out
+  }
+
   /** Sample-ratio-mismatch check — the experiment guardrail every
     * platform runs FIRST: a χ² goodness-of-fit of observed per-variant
     * UNIT counts against the equal-split design. A significant

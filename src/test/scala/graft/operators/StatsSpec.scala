@@ -2136,4 +2136,62 @@ class StatsSpec extends SparkSpecBase {
       .collect()(0)
     assert(c.isNullAt(c.fieldIndex("alpha")), s"got $c")
   }
+
+  test("ateStratified: an imbalanced stratum mix separates the naive " +
+    "diff from the ATE; incomplete strata drop; a single-unit arm " +
+    "abstains the SE") {
+    import spark.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // s1: arm0 {10,12} arm1 {20,22} (d=10, n=4);
+    // s2: arm0 {30,32} arm1 {40..50 by 2} (d=14, n=8) — arm 1 is
+    // over-exposed to the high-value stratum, so naive = 18 != ATE
+    val df = Seq(
+      (1L, "0", "s1", 10.0), (2L, "0", "s1", 12.0),
+      (3L, "1", "s1", 20.0), (4L, "1", "s1", 22.0),
+      (5L, "0", "s2", 30.0), (6L, "0", "s2", 32.0),
+      (7L, "1", "s2", 40.0), (8L, "1", "s2", 42.0),
+      (9L, "1", "s2", 44.0), (10L, "1", "s2", 46.0),
+      (11L, "1", "s2", 48.0), (12L, "1", "s2", 50.0))
+      .toDF("u", "v", "st", "y")
+    val r = Stats.ateStratified(df, col("u"), col("v"), col("st"),
+      col("y"), "0", "1").collect()(0)
+    assert(r.getAs[Long]("n_units") == 12L &&
+      r.getAs[Long]("k_strata") == 2L)
+    assert(r.getAs[Double]("diff_naive") == 18.0, s"got $r")
+    // replay the operator's double op order
+    def va(ss: Double, s: Double, n: Double) = (ss - s * s / n) / (n - 1.0)
+    val ta1 = r9(4.0 / 12.0 * (42.0 / 2.0 - 22.0 / 2.0))
+    val ta2 = r9(8.0 / 12.0 * (270.0 / 6.0 - 62.0 / 2.0))
+    val sa = (BigDecimal(ta1) + BigDecimal(ta2)).toDouble
+    assert(r.getAs[Double]("ate") == r6(sa), s"got $r")
+    val w1 = 4.0 / 12.0; val w2 = 8.0 / 12.0
+    val tv1 = r9(w1 * w1 * (va(884.0, 42.0, 2.0) / 2.0 +
+      va(244.0, 22.0, 2.0) / 2.0))
+    val tv2 = r9(w2 * w2 * (va(12220.0, 270.0, 6.0) / 6.0 +
+      va(1924.0, 62.0, 2.0) / 2.0))
+    val sv = (BigDecimal(tv1) + BigDecimal(tv2)).toDouble
+    assert(r.getAs[Double]("se") == r6(math.sqrt(sv)), s"got $r")
+    assert(r.getAs[Double]("ci_lo") ==
+      r6(sa - 1.96 * math.sqrt(sv)), s"got $r")
+    // a stratum with one arm only carries no contrast: dropped, the
+    // weights renormalize over what remains
+    val withOrphan = df.union(
+      Seq((13L, "0", "s3", 999.0)).toDF("u", "v", "st", "y"))
+    val o = Stats.ateStratified(withOrphan, col("u"), col("v"),
+      col("st"), col("y"), "0", "1").collect()(0)
+    assert(o.getAs[Long]("k_strata") == 2L &&
+      o.getAs[Double]("ate") == r6(sa), s"got $o")
+    // a retained stratum with a single-unit arm: ATE stands, SE
+    // abstains loudly
+    val thin = df.union(Seq((14L, "0", "s4", 5.0),
+      (15L, "1", "s4", 6.0)).toDF("u", "v", "st", "y"))
+    val t = Stats.ateStratified(thin, col("u"), col("v"), col("st"),
+      col("y"), "0", "1").collect()(0)
+    assert(!t.isNullAt(t.fieldIndex("ate")) &&
+      t.isNullAt(t.fieldIndex("se")) &&
+      t.isNullAt(t.fieldIndex("ci_lo")), s"got $t")
+  }
 }
