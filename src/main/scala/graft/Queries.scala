@@ -2802,6 +2802,40 @@ object Queries {
       Stats.sprtBernoulli(daily, "d", col("n"), col("s"),
         p0 = 0.45, p1 = 0.55)
     }),
+    "q_stream_distinct" -> ((s, dir) => {
+      // Approximate COUNT(DISTINCT) AT INGEST: each source carries
+      // its <=64 smallest portable fingerprint hashes as keyed state
+      // (O(k) longs per key); the drained sketch equals the batch
+      // kmvAgg bit for bit because the insert-fold is associative —
+      // so the q_sketch_distinct oracle gates this twin verbatim.
+      // The exact reference column reads the static table (it exists
+      // to show the estimate's error, not to stream).
+      val name = s"q_stream_distinct_${streamRun.incrementAndGet()}"
+      implicit val sp: SparkSession = s
+      val k = 64
+      val hashed = graft.streaming.Streams.docsStream(s, dir)
+        .select(col("source"), graft.functions.KmvSketch.uniformize(
+          TextAnalysis.fingerprintRolling(col("text"))).as("h"))
+      val drained = graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.kmvCellsState(hashed, col("source"),
+          col("h"), k).toDF(),
+        name, shufflePartitions = Some(8))
+      val latest = drained.groupBy(col("src"))
+        .agg(max(struct(col("updates"), col("n"), col("kth")))
+          .as("__x"))
+        .select(col("src").as("source"),
+          struct(col("__x.n").as("n"), col("__x.kth").as("kth"))
+            .as("kmv"))
+      val h = graft.functions.KmvSketch.uniformize(
+        TextAnalysis.fingerprintRolling(col("text")))
+      val exact = Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(countDistinct(h).as("exact_distinct"))
+      exact.join(latest, Seq("source"))
+        .select(col("source"), col("exact_distinct"),
+          graft.functions.KmvSketch.estimate(col("kmv"), k,
+            Dedup.PortableMod).as("kmv_estimate"))
+    }),
     "q_stream_ewma" -> ((s, dir) => {
       // Drift smoothing AT INGEST: per-day purchase revenue
       // accumulates in keyed state as events arrive (three longs per
@@ -4371,10 +4405,13 @@ object Queries {
       // set arithmetic by construction.
       val k = 64
       val docs = Tables.documents(s, dir)
+      // tokens staged as an attribute BEFORE the shingle HOF fans
+      // out (the README select-boundary rule — 8x on this shape)
       val sh = docs.select(
           (expr("CAST(substring(source, 4) AS BIGINT)") % 2).as("g"),
-          explode(Dedup.shinglesOfTokens(
-            TextAnalysis.tokens(lower(col("text"))), 3)).as("__s"))
+          TextAnalysis.tokens(lower(col("text"))).as("__tk"))
+        .select(col("g"),
+          explode(Dedup.shinglesOfTokens(col("__tk"), 3)).as("__s"))
         .select(col("g"), graft.functions.KmvSketch.uniformize(
           graft.functions.GraftFunctions.polyHash(col("__s")))
           .as("__h"))
@@ -4392,6 +4429,7 @@ object Queries {
         .agg(graft.functions.KmvSketch.kmvSketchAgg(col("__h"), k)
           .as("sk"))
         .select(col("g"), explode(col("sk")).as("h"))
+        .localCheckpoint(true) // ≤ 2k rows; two consumers below
       val unionK = exploded.select(col("h")).distinct()
         .orderBy(col("h").asc).limit(k)
       val est = unionK.join(exploded, Seq("h"))
@@ -8597,32 +8635,11 @@ object Queries {
         |WHERE o_orderkey % 7 = 0
         |GROUP BY f.fmt, o_orderstatus""".stripMargin,
 
-    "q_sketch_distinct" ->
-      """WITH h AS (
-        | SELECT DISTINCT source,
-        |  (list_reduce(
-        |    list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(
-        |        list_filter(string_split(
-        |          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''),
-        |          c -> len(c) > 0),
-        |        c -> CAST(ascii(c) AS BIGINT))),
-        |    (acc, c) -> (acc * 31 + c) % 1000000007) * 104729 + 12345)
-        |    % 1000000007 AS h
-        | FROM documents),
-        |r AS (
-        | SELECT source, h,
-        |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
-        |  count(*) OVER (PARTITION BY source) AS nd
-        | FROM h),
-        |s AS (
-        | SELECT source, max(nd) AS nd,
-        |  max(CASE WHEN rn = 64 THEN h END) AS kth
-        | FROM r GROUP BY source)
-        |SELECT source, nd AS exact_distinct,
-        | CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
-        |      ELSE round(63.0 * 1000000007 / kth, 6) END AS kmv_estimate
-        |FROM s""".stripMargin,
+    "q_sketch_distinct" -> sketchDistinctOracle,
+    // streaming twin: the drained keyed KMV state must reproduce the
+    // batch sketch bit for bit (associative insert-fold), so the
+    // SAME oracle gates both
+    "q_stream_distinct" -> sketchDistinctOracle,
     // merged-sketch estimate = sketch of the union (mergeability),
     // so the oracle computes straight from the global hash set
     "q_sketch_union" ->
@@ -10770,6 +10787,36 @@ object Queries {
       | THEN list_distinct(list_transform(range(1, len(toks) - 1),
       |   i -> array_to_string(toks[i:i+2], ' ')))
       | ELSE [array_to_string(toks, ' ')] END""".stripMargin
+
+  /** q_sketch_distinct replica, shared by the batch query and
+    * its streaming twin (whose drained sketch state must be
+    * identical). */
+  private def sketchDistinctOracle: String =
+      """WITH h AS (
+        | SELECT DISTINCT source,
+        |  (list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        list_filter(string_split(
+        |          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''),
+        |          c -> len(c) > 0),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) * 104729 + 12345)
+        |    % 1000000007 AS h
+        | FROM documents),
+        |r AS (
+        | SELECT source, h,
+        |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+        |  count(*) OVER (PARTITION BY source) AS nd
+        | FROM h),
+        |s AS (
+        | SELECT source, max(nd) AS nd,
+        |  max(CASE WHEN rn = 64 THEN h END) AS kth
+        | FROM r GROUP BY source)
+        |SELECT source, nd AS exact_distinct,
+        | CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+        |      ELSE round(63.0 * 1000000007 / kth, 6) END AS kmv_estimate
+        |FROM s""".stripMargin
 
   /** transitionMatrix replica, shared by the batch query and its
     * streaming twin (whose drained counts must be identical). */

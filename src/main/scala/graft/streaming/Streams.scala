@@ -750,6 +750,51 @@ object Streams {
       }
   }
 
+  /** Latest per-key KMV summary after each touching batch: n =
+    * min(distinct, k) and the k-th minimum (MaxValue while under
+    * k), with the monotone keep-the-max drain counter. */
+  final case class KmvCell(src: String, updates: Long, n: Long,
+      kth: Long)
+
+  /** Streaming KMV distinct-count state — approximate
+    * COUNT(DISTINCT) AT INGEST: each key carries its ≤k smallest
+    * portable hashes across micro-batches (O(k) longs per key, the
+    * mergeable-sketch discipline), so a per-source distinct estimate
+    * is live while the crawl drop lands instead of waiting for the
+    * nightly batch. The insert-fold is associative and commutative,
+    * so the file-to-batch split CANNOT change the sketch: the
+    * drained (n, kth) summary equals the batch
+    * [[graft.functions.KmvSketch.kmvAgg]] bit for bit, which is the
+    * correctness gate (the batch oracle replays the same k-minima).
+    * Consumers keep the max-counter row per key and apply the
+    * standard (k−1)·M/kth estimate. */
+  def kmvCellsState(
+      rows: DataFrame,
+      keyCol: Column,
+      hashCol: Column,
+      k: Int)(
+      implicit spark: SparkSession): Dataset[KmvCell] = {
+    import spark.implicits._
+    val agg = new graft.functions.KmvSketch.KmvAggregator(k)
+    rows
+      .select(keyCol.cast(StringType).as("__k"),
+        hashCol.cast(LongType).as("__h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[(String, Long)],
+         state: GroupState[(Long, Array[Long])]) =>
+          val (pu, pbuf) = state.getOption
+            .getOrElse((0L, Array.emptyLongArray))
+          var buf = pbuf
+          while (it.hasNext) buf = agg.reduce(buf, it.next()._2)
+          state.update((pu + 1L, buf))
+          val fin = agg.finish(buf)
+          Iterator(KmvCell(key, pu + 1L, fin.n, fin.kth))
+      }
+  }
+
   /** Latest cumulative per-day (count, Σ value·10⁴) after each batch
     * that touched the day; `updates` is the monotone keep-the-max
     * drain counter. */

@@ -1827,6 +1827,30 @@ class StatsSpec extends SparkSpecBase {
       o.isNullAt(o.fieldIndex("gini")))
   }
 
+  test("rocAuc equals mannWhitney's normalized U on the same data " +
+    "(the identity both derive from)") {
+    import spark.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vals = sample(Gen.listOfN(200, Gen.chooseNum(0, 40)), 11L)
+      .map(_.toDouble)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (v + (i % 3), i % 2 == 0) }
+      .toDF("s", "y")
+    val auc = Stats.rocAuc(df, col("s"), col("y")).collect()(0)
+    val mw = Stats.mannWhitney(
+      df.select(col("s"), when(col("y"), "p").otherwise("n").as("g")),
+      "s", "g", groupA = "p", groupB = "n").collect()(0)
+    val u = mw.getAs[Double]("u_a")
+    val na = mw.getAs[Long]("n_a").toDouble
+    val nb = mw.getAs[Long]("n_b").toDouble
+    assert(auc.getAs[Long]("n_pos") == mw.getAs[Long]("n_a"))
+    // same tie-aware rank topology -> AUC must equal U/(n1*n0) to
+    // within the two paths' 6-dp emission granularity
+    assert(math.abs(auc.getAs[Double]("auc") - r6(u / (na * nb)))
+      <= 2e-6, s"auc $auc vs U $u")
+  }
+
   test("cliffsDelta: full dominance is large; hand-computed mixed " +
     "case lands in the small band") {
     import spark.implicits._

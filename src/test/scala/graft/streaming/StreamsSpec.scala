@@ -678,6 +678,41 @@ class StreamsSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
+  test("kmvCellsState carries k-minima ACROSS micro-batches and the " +
+    "drained sketch equals the batch aggregator's") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val tmp = java.nio.file.Files.createTempDirectory("kmv_mb").toFile
+    val t0 = System.currentTimeMillis()
+    writeDocsFile(tmp, "a.parquet",
+      (1L to 5L).map(i => (i, s"doc number $i")), t0 - 60000)
+    writeDocsFile(tmp, "b.parquet",
+      (6L to 9L).map(i => (i, s"doc number $i")), t0)
+    def hashOf(c: org.apache.spark.sql.Column) =
+      graft.functions.KmvSketch.uniformize(
+        graft.operators.TextAnalysis.fingerprintRolling(c))
+    val raw = Streams.runAvailableNow(
+      Streams.kmvCellsState(
+        Streams.docsStream(spark, tmp.getPath, glob = "*.parquet",
+          maxFilesPerTrigger = 1)
+          .select(lit("S").as("k"), hashOf(col("text")).as("h")),
+        col("k"), col("h"), k = 3).toDF(), "kmv_multibatch")
+    val byUpd = raw.collect()
+      .map(r => r.getAs[Long]("updates") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("kth"))).toMap
+    // batch 1 fills the sketch (5 distinct > k=3); batch 2's state
+    // must extend batch 1's, not restart
+    assert(byUpd(1L)._1 == 3L)
+    val batch = spark.read.parquet(tmp.getPath)
+      .agg(graft.functions.KmvSketch.kmvAgg(hashOf(col("text")), 3)
+        .as("kmv"))
+      .select(col("kmv.n"), col("kmv.kth")).collect()(0)
+    assert(byUpd(2L) == ((batch.getLong(0), batch.getLong(1))),
+      s"drained ${byUpd(2L)} vs batch $batch")
+    // the k-th minimum can only shrink as data arrives
+    assert(byUpd(2L)._2 <= byUpd(1L)._2)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   test("cmsCellsState carries cell counts ACROSS micro-batches (the " +
     "streaming count-min backbone)") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
