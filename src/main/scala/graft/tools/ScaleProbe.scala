@@ -62,7 +62,8 @@ object ScaleProbe {
     "q_conformal", "q_graph_jaccard", "q_cluster_inertia", "q_profile",
     "q_stream_join", "q_markov_steady", "q_lake_merge", "q_events_rfm",
     "q_join_salted", "q_graph_linkpred", "q_profile_approx",
-    "q_text_boilerplate", "q_join_bucketed")
+    "q_text_boilerplate", "q_join_bucketed", "q_sketch_intersect",
+    "q_fdr_bh", "q_text_transfer", "q_stream_ewma", "q_lake_delete")
 
   private val Shift = 100000000000L // 10^11: far above any base key
 
