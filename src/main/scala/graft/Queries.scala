@@ -3409,6 +3409,31 @@ object Queries {
           dsum(col("click_value")).as("click_sum"),
           dsum(col("purchase_value")).as("purchase_sum"))
     }),
+    "q_join_asof_nearest" -> ((s, dir) => {
+      // Symmetric attribution: every click matched to the user's
+      // NEAREST purchase looking BOTH ways (equidistant ties go
+      // backward — the pandas merge_asof "nearest" convention),
+      // for when click/purchase ordering is not known a priori.
+      // Same single key-shuffle as the one-sided joins: two window
+      // passes over ONE exchange, one integer gap compare. DuckDB
+      // has no nearest ASOF, so the oracle picks per click by
+      // row_number over (|gap|, direction).
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("value").as("click_value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+        .withColumnRenamed("ts", "purchase_ts")
+      graft.operators.Joins.asofJoinNearest(clicks, purchases,
+          Seq("user_id"), "click_ts", "purchase_ts")
+        .groupBy((col("user_id") % 50).as("user_mod"))
+        .agg(count(lit(1)).as("n_clicks"),
+          count(col("purchase_ts")).as("n_matched"),
+          dsum(col("click_value")).as("click_sum"),
+          dsum(col("purchase_value")).as("purchase_sum"))
+    }),
     "q_join_asof_tol" -> ((s, dir) => {
       // As-of with FRESHNESS tolerance (pandas merge_asof tolerance):
       // the same click→latest-purchase match, but a purchase older
@@ -7664,6 +7689,39 @@ object Queries {
         |FROM j GROUP BY 1""".stripMargin,
     // tolerance replica: the native ASOF match, then the stale-match
     // guard nulls BOTH carried columns past 30 min (no re-match).
+    // nearest-asof replica: DuckDB has no nearest direction, so the
+    // per-click best comes from row_number over (|gap|, direction) —
+    // direction 0 = backward wins ties, the operator's convention
+    "q_join_asof_nearest" ->
+      """WITH clicks AS (
+        | SELECT event_id AS cid, user_id, ts AS click_ts,
+        |  value AS click_value
+        | FROM events WHERE event_type = 'click'),
+        |purch AS (
+        | SELECT user_id, ts AS purchase_ts, max(value) AS purchase_value
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |cand AS (
+        | SELECT c.cid, p.purchase_ts, p.purchase_value,
+        |  abs(epoch_us(c.click_ts) - epoch_us(p.purchase_ts)) AS gap,
+        |  CASE WHEN p.purchase_ts <= c.click_ts THEN 0 ELSE 1 END
+        |   AS fwd
+        | FROM clicks c JOIN purch p ON c.user_id = p.user_id),
+        |best AS (SELECT cid, purchase_ts, purchase_value FROM (
+        |  SELECT cid, purchase_ts, purchase_value,
+        |   row_number() OVER (PARTITION BY cid
+        |     ORDER BY gap ASC, fwd ASC) AS rn
+        |  FROM cand) WHERE rn = 1),
+        |j AS (
+        | SELECT c.user_id, c.click_value, b.purchase_ts,
+        |  b.purchase_value
+        | FROM clicks c LEFT JOIN best b ON c.cid = b.cid)
+        |SELECT user_id % 50 AS user_mod, count(*) AS n_clicks,
+        | count(purchase_ts) AS n_matched,
+        | round(CAST(sum(CAST(click_value AS DECIMAL(18,4)))
+        |   AS DOUBLE), 4) AS click_sum,
+        | round(CAST(sum(CAST(purchase_value AS DECIMAL(18,4)))
+        |   AS DOUBLE), 4) AS purchase_sum
+        |FROM j GROUP BY 1""".stripMargin,
     "q_join_asof_tol" ->
       """WITH clicks AS (
         | SELECT user_id, ts AS click_ts, value AS click_value

@@ -75,16 +75,18 @@ object Joins {
     * NOT re-matched to an older candidate; "the last quote, but only
     * if fresh"). Applied as a post-match guard on the carried right
     * struct, so the join topology is unchanged. */
-  private def asofJoinImpl(
+  /** The shared union staging of the as-of family: left rows at
+    * __side 1 with a NULL right struct, NULL-key/NULL-ts right rows
+    * stripped (SQL join semantics — the union+window formulation
+    * would otherwise co-partition NULL-key left rows with NULL-key
+    * right rows), right payload carried as one struct. Returns the
+    * unioned frame plus the (leftOnly, rightOnly) payload names. */
+  private def asofSides(
       left: DataFrame,
       right: DataFrame,
       keys: Seq[String],
       leftTs: String,
-      rightTs: String,
-      forward: Boolean,
-      toleranceUs: Option[Long] = None): DataFrame = {
-    require(toleranceUs.forall(_ >= 0),
-      s"tolerance must be non-negative: $toleranceUs")
+      rightTs: String): (DataFrame, Seq[String], Seq[String]) = {
     // leftTs travels as __ts and is restored under its own name at the
     // end, so it is excluded from the pass-through payload list
     val leftOnly = left.columns
@@ -100,11 +102,6 @@ object Joins {
         Seq(col(leftTs).as("__ts"), lit(1).as("__side"),
           lit(null).cast(rStruct).as("__r")) ++
         leftOnly.map(col): _*)
-    // SQL join semantics: a NULL key never matches. The union+window
-    // formulation would otherwise co-partition NULL-key left rows with
-    // NULL-key right rows (groupBy treats NULL = NULL), so strip
-    // NULL-key right rows — NULL-key left rows then match nothing and
-    // come out NULL-extended, exactly like ASOF LEFT JOIN.
     val rSide = right
       .filter(col(rightTs).isNotNull &&
         keys.map(col(_).isNotNull).reduce(_ && _))
@@ -114,6 +111,21 @@ object Joins {
             struct(rightOnly.map(col): _*).as("__r")) ++
           left.schema.fields.filter(f => leftOnly.contains(f.name)).map(f =>
             lit(null).cast(f.dataType).as(f.name)): _*)
+    (lSide.unionByName(rSide), leftOnly, rightOnly)
+  }
+
+  private def asofJoinImpl(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      forward: Boolean,
+      toleranceUs: Option[Long] = None): DataFrame = {
+    require(toleranceUs.forall(_ >= 0),
+      s"tolerance must be non-negative: $toleranceUs")
+    val (unioned, leftOnly, rightOnly) =
+      asofSides(left, right, keys, leftTs, rightTs)
     // Backward: right (side 0) sorts before left (side 1) at equal ts,
     // running `last` over the preceding frame → inclusive ≤ match, and
     // NULL left ts (sorting first) naturally sees no right row.
@@ -142,9 +154,65 @@ object Joins {
         m => when(m.isNotNull && gap <= t, m)
       case None => identity
     }
-    lSide.unionByName(rSide)
+    unioned
       .withColumn("__m", matched(agg.over(w)))
       .withColumn("__m", guarded(col("__m")))
+      .filter(col("__side") === 1)
+      .select(
+        keys.map(col) ++
+          Seq(col("__ts").as(leftTs)) ++
+          leftOnly.map(col) ++
+          rightOnly.map(n => col("__m").getField(n).as(n)): _*)
+  }
+
+  /** NEAREST-match as-of LEFT join: for every left row, attach the
+    * right row with the SMALLEST |rightTs − leftTs|, looking BOTH
+    * ways (pandas `merge_asof(direction="nearest")`) — the symmetric
+    * attribution window: "the purchase closest to this click, before
+    * or after". Ties (equidistant candidates either side) go to the
+    * BACKWARD match, the pandas convention. `toleranceUs` guards the
+    * PICKED match (a too-far nearest row comes out NULL-extended, it
+    * is not re-matched — the [[asofJoin]] contract).
+    *
+    * Topology: the same single shuffle on the keys as the one-sided
+    * joins; both directional candidates come from two window passes
+    * over the SAME partitioning (one exchange, two sorts — the sort
+    * direction differs only in the side tie-break), then one
+    * gap-compare picks per row. Still no range-join candidate
+    * blowup. */
+  def asofJoinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      toleranceUs: Option[Long] = None): DataFrame = {
+    require(toleranceUs.forall(_ >= 0),
+      s"tolerance must be non-negative: $toleranceUs")
+    val (unioned, leftOnly, rightOnly) =
+      asofSides(left, right, keys, leftTs, rightTs)
+    val base = Window.partitionBy(keys.map(col): _*)
+    val wb = base.orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = base.orderBy(col("__ts").asc, col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val mb = last(col("__r"), ignoreNulls = true).over(wb)
+    val mf = when(col("__ts").isNotNull,
+      first(col("__r"), ignoreNulls = true).over(wf))
+    def gapOf(m: Column) = abs(unix_micros(col("__ts")) -
+      unix_micros(m.getField(rightTs)))
+    val picked = when(col("__mb").isNull, col("__mf"))
+      .when(col("__mf").isNull, col("__mb"))
+      .when(gapOf(col("__mb")) <= gapOf(col("__mf")), col("__mb"))
+      .otherwise(col("__mf"))
+    val guarded: Column => Column = toleranceUs match {
+      case Some(t) => m => when(m.isNotNull && gapOf(m) <= t, m)
+      case None => identity
+    }
+    unioned
+      .withColumn("__mb", mb)
+      .withColumn("__mf", mf)
+      .withColumn("__m", guarded(picked))
       .filter(col("__side") === 1)
       .select(
         keys.map(col) ++

@@ -322,4 +322,34 @@ class JoinsSpec extends SparkSpecBase {
     assert(ok2.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((1L, 10L)))
   }
+
+  test("asofJoinNearest: picks the closer side, backward wins exact " +
+    "ties, tolerance NULL-extends, empty sides NULL-safe") {
+    import spark.implicits._
+    val left = Seq(
+      (1, "2024-01-01 10:00:00", 1),  // 09:30 (30m back) vs 11:00 -> back
+      (1, "2024-01-01 10:50:00", 2),  // 11:00 (10m fwd) closer than 09:30
+      (1, "2024-01-01 10:15:00", 3),  // 09:30 vs 11:00 equidistant -> back
+      (2, "2024-01-01 10:00:00", 4),  // only a FORWARD candidate exists
+      (3, "2024-01-01 10:00:00", 5))  // key with no right rows
+      .toDF("k", "lts", "lv")
+      .withColumn("lts", col("lts").cast("timestamp"))
+    val right = Seq(
+      (1, "2024-01-01 09:30:00", 10),
+      (1, "2024-01-01 11:00:00", 20),
+      (2, "2024-01-01 10:45:00", 30))
+      .toDF("k", "rts", "rv")
+      .withColumn("rts", col("rts").cast("timestamp"))
+    def run(tol: Option[Long]) =
+      Joins.asofJoinNearest(left, right, Seq("k"), "lts", "rts", tol)
+        .select("k", "lv", "rv")
+        .collect().map(r => (r.getInt(0), r.getInt(1),
+          if (r.isNullAt(2)) -1 else r.getInt(2))).sorted.toSeq
+    assert(run(None) == Seq((1, 1, 10), (1, 2, 20), (1, 3, 10),
+      (2, 4, 30), (3, 5, -1)))
+    // 20-minute tolerance: only the 10m-forward and 45m... only
+    // gaps <= 20m survive (lv=2 at 10m); the rest NULL-extend
+    assert(run(Some(20L * 60 * 1000000)) ==
+      Seq((1, 1, -1), (1, 2, 20), (1, 3, -1), (2, 4, -1), (3, 5, -1)))
+  }
 }
