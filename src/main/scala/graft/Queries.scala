@@ -501,6 +501,38 @@ object Queries {
         .unionByName(stage("2_click", t2))
         .unionByName(stage("3_purchase", t3))
     }),
+    "q_funnel_windowed" -> ((s, dir) => {
+      // The CONVERSION-WINDOW funnel: view → click → purchase where
+      // each step must land within 24h of the previous one
+      // (anchored earliest-completion: the first view anchors, the
+      // first within-window click re-anchors). q_funnel counts a
+      // purchase weeks later as converted; a product funnel does
+      // not. Same |users|-bounded stage frames and broadcastable
+      // joins; the window guard is one exact integer microsecond
+      // compare, portable to the oracle.
+      val win = 86400000000L // 24h in micros
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+      def step(evType: String, prev: DataFrame) =
+        ev.filter(col("event_type") === evType)
+          .join(prev.withColumnRenamed("t", "__p"), Seq("user_id"))
+          .filter(col("ts") > col("__p") &&
+            unix_micros(col("ts")) - unix_micros(col("__p")) <= win)
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+      val t2 = step("click", t1)
+      val t3 = step("purchase", t2)
+      def stage(name: String, df: DataFrame) = df.agg(
+        count(lit(1)).as("n_users"),
+        tsFmt(min(col("t"))).as("first_done"),
+        tsFmt(max(col("t"))).as("last_done"))
+        .select(lit(name).as("stage"), col("n_users"),
+          col("first_done"), col("last_done"))
+      stage("1_view", t1)
+        .unionByName(stage("2_click", t2))
+        .unionByName(stage("3_purchase", t3))
+    }),
     "q_cohort_retention" -> ((s, dir) => {
       // Weekly cohort retention: users active in week w who are also
       // active in w+1. The distinct (week, user) frame is tiny next
@@ -5769,6 +5801,30 @@ object Queries {
         |  WHERE e.event_type = 'click' GROUP BY 1),
         |t3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
         |  JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT '1_view' AS stage, count(*) AS n_users,
+        | strftime(min(t), '%Y-%m-%d %H:%M:%S') AS first_done,
+        | strftime(max(t), '%Y-%m-%d %H:%M:%S') AS last_done FROM t1
+        |UNION ALL
+        |SELECT '2_click', count(*),
+        | strftime(min(t), '%Y-%m-%d %H:%M:%S'),
+        | strftime(max(t), '%Y-%m-%d %H:%M:%S') FROM t2
+        |UNION ALL
+        |SELECT '3_purchase', count(*),
+        | strftime(min(t), '%Y-%m-%d %H:%M:%S'),
+        | strftime(max(t), '%Y-%m-%d %H:%M:%S') FROM t3""".stripMargin,
+    // windowed-funnel replica: the same anchored earliest-completion
+    // chain with an exact integer microsecond window guard per step
+    "q_funnel_windowed" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+        |   AND epoch_us(e.ts) - epoch_us(t1.t) <= 86400000000
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t
+        |   AND epoch_us(e.ts) - epoch_us(t2.t) <= 86400000000
         |  WHERE e.event_type = 'purchase' GROUP BY 1)
         |SELECT '1_view' AS stage, count(*) AS n_users,
         | strftime(min(t), '%Y-%m-%d %H:%M:%S') AS first_done,
