@@ -1931,6 +1931,33 @@ object Queries {
           sum(col("id")).as("id_sum"),
           max(col("id")).as("max_id"))
     }),
+    "q_graph_reciprocity" -> ((s, dir) => {
+      // Hubness audit of the embedding k-NN graph: what share of
+      // DIRECTED nearest-neighbor edges are reciprocated (a lists b
+      // AND b lists a)? Low reciprocity = hub vectors crowding
+      // everyone's neighbor list — the curse-of-dimensionality
+      // warning to read BEFORE trusting the symmetrized graph the
+      // component/community family builds. One self-join of the
+      // directed top-k frame on the reversed pair (persisted — the
+      // self-join-of-same-lineage rule).
+      val nn = Similarity.lshTopKPerQuery(
+          Tables.embeddings(s, dir), Tables.embeddings(s, dir),
+          "vec_id", "embedding", 5, portable = true,
+          excludeSelf = true)
+        .select(col("query_id").as("src"), col("corpus_id").as("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val rev = nn.select(col("dst").as("src"), col("src").as("dst"),
+        lit(1L).as("__m"))
+      val out = nn.join(rev, Seq("src", "dst"), "left")
+        .agg(count(lit(1)).as("n_edges"),
+          coalesce(sum(col("__m")), lit(0L)).as("n_reciprocated"))
+        .withColumn("reciprocity_ppm",
+          when(col("n_edges") > 0,
+            expr("n_reciprocated * 1000000 div n_edges")))
+        .localCheckpoint(true) // 1 row; free nn afterwards
+      nn.unpersist(false)
+      out
+    }),
     "q_graph_communities" -> ((s, dir) => {
       // Label-propagation communities on the k-NN graph (deterministic
       // synchronous variant, 3 rounds): neighborhoods coarser than
@@ -7532,6 +7559,21 @@ object Queries {
         |FROM deg GROUP BY 1""".stripMargin,
     "q_graph_kcore" -> graphKcoreOracle,
     "q_graph_triangles" -> graphTrianglesOracle,
+    // reciprocity replica: the shared DIRECTED nn CTE (the same
+    // chain knnEdgesCte symmetrizes), reversed-pair left join,
+    // exact integer ppm
+    "q_graph_reciprocity" ->
+      s"""WITH $knnNnCte,
+         |j AS (SELECT nn.qid AS src, nn.cid AS dst,
+         |  CASE WHEN y.qid IS NOT NULL THEN 1 ELSE 0 END AS m
+         | FROM nn LEFT JOIN nn y
+         |   ON nn.qid = y.cid AND nn.cid = y.qid)
+         |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         | coalesce(CAST(sum(m) AS BIGINT), 0) AS n_reciprocated,
+         | CASE WHEN count(*) > 0 THEN
+         |   coalesce(CAST(sum(m) AS BIGINT), 0) * 1000000 // count(*)
+         |  END AS reciprocity_ppm
+         |FROM j""".stripMargin,
     "q_graph_bfs" -> graphBfsOracle,
     "q_graph_components" -> graphComponentsOracle,
     "q_graph_communities" -> graphCommunitiesOracle,
@@ -12496,7 +12538,9 @@ object Queries {
     * in `e(a, b)` — the canonical undirected k-NN edge set the graph
     * census queries consume. Same signature arithmetic as
     * [[simLshOracle]]. */
-  private def knnEdgesCte: String = {
+  /** The DIRECTED top-k neighbor CTE chain (through `nn`), shared by
+    * the symmetrized [[knnEdgesCte]] and the reciprocity audit. */
+  private def knnNnCte: String = {
     val dim = 64; val bits = 32; val bands = 4; val bandBits = 8; val k = 5
     def planeList(p: Int): String =
       (0 until dim).map(d =>
@@ -12523,10 +12567,13 @@ object Queries {
        |nn AS (SELECT qid, cid FROM (
        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid
        |    ORDER BY cos DESC, cid ASC) AS rn FROM scored)
-       |  WHERE rn <= $k),
+       |  WHERE rn <= $k)""".stripMargin
+  }
+
+  private def knnEdgesCte: String =
+    knnNnCte + """,
        |e AS (SELECT DISTINCT least(qid, cid) AS a,
        |  greatest(qid, cid) AS b FROM nn)""".stripMargin
-  }
 
   /** Shared DuckDB CTE chain replicating Similarity.assignClusters
     * over the embeddings (`nCells` lowest-id seeds, ONE Lloyd round):
