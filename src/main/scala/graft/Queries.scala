@@ -501,6 +501,37 @@ object Queries {
         .unionByName(stage("2_click", t2))
         .unionByName(stage("3_purchase", t3))
     }),
+    "q_stream_funnel" -> ((s, dir) => {
+      // Conversion tracking AT INGEST: each user's (t1, t2, t3)
+      // anchored-earliest chain carries across micro-batches as
+      // three longs; the drained latest states aggregate to exactly
+      // the batch q_funnel stages (same oracle, gated verbatim) —
+      // a user's funnel position is live while the day's events
+      // land, not at the nightly rollup.
+      val name = s"q_stream_funnel_${streamRun.incrementAndGet()}"
+      implicit val sp: SparkSession = s
+      val drained = graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.funnelStageState(
+          graft.streaming.Streams.eventsStream(s, dir),
+          Seq("view", "click", "purchase")).toDF(),
+        name, shufflePartitions = Some(8))
+      val latest = drained.groupBy(col("user_id"))
+        .agg(max(struct(col("updates"), col("t1"), col("t2"),
+          col("t3"))).as("__x"))
+        .select(col("__x.t1").as("t1"), col("__x.t2").as("t2"),
+          col("__x.t3").as("t3"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      def stage(nm: String, tc: String) = latest
+        .filter(col(tc) >= 0)
+        .agg(count(lit(1)).as("n_users"),
+          tsFmt(timestamp_micros(min(col(tc)))).as("first_done"),
+          tsFmt(timestamp_micros(max(col(tc)))).as("last_done"))
+        .select(lit(nm).as("stage"), col("n_users"),
+          col("first_done"), col("last_done"))
+      stage("1_view", "t1")
+        .unionByName(stage("2_click", "t2"))
+        .unionByName(stage("3_purchase", "t3"))
+    }),
     "q_funnel_windowed" -> ((s, dir) => {
       // The CONVERSION-WINDOW funnel: view → click → purchase where
       // each step must land within 24h of the previous one
@@ -5820,26 +5851,11 @@ object Queries {
         |  END AS conversion_ppm,
         | p_500_lag_s, p_900_lag_s
         |FROM nf, nc, q""".stripMargin,
-    "q_funnel" ->
-      """WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
-        |  WHERE event_type = 'view' GROUP BY 1),
-        |t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
-        |  JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
-        |  WHERE e.event_type = 'click' GROUP BY 1),
-        |t3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
-        |  JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t
-        |  WHERE e.event_type = 'purchase' GROUP BY 1)
-        |SELECT '1_view' AS stage, count(*) AS n_users,
-        | strftime(min(t), '%Y-%m-%d %H:%M:%S') AS first_done,
-        | strftime(max(t), '%Y-%m-%d %H:%M:%S') AS last_done FROM t1
-        |UNION ALL
-        |SELECT '2_click', count(*),
-        | strftime(min(t), '%Y-%m-%d %H:%M:%S'),
-        | strftime(max(t), '%Y-%m-%d %H:%M:%S') FROM t2
-        |UNION ALL
-        |SELECT '3_purchase', count(*),
-        | strftime(min(t), '%Y-%m-%d %H:%M:%S'),
-        | strftime(max(t), '%Y-%m-%d %H:%M:%S') FROM t3""".stripMargin,
+    "q_funnel" -> funnelOracle,
+    // streaming twin: the drained per-user (t1, t2, t3) chain must
+    // reproduce the batch anchored-earliest funnel stage for stage,
+    // so the SAME oracle gates both
+    "q_stream_funnel" -> funnelOracle,
     // windowed-funnel replica: the same anchored earliest-completion
     // chain with an exact integer microsecond window guard per step
     "q_funnel_windowed" ->
@@ -10943,6 +10959,29 @@ object Queries {
       | THEN list_distinct(list_transform(range(1, len(toks) - 1),
       |   i -> array_to_string(toks[i:i+2], ' ')))
       | ELSE [array_to_string(toks, ' ')] END""".stripMargin
+
+  /** q_funnel replica, shared by the batch query and its streaming
+    * twin (whose drained per-user chain must be identical). */
+  private def funnelOracle: String =
+    """WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+      |  WHERE e.event_type = 'click' GROUP BY 1),
+      |t3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t
+      |  WHERE e.event_type = 'purchase' GROUP BY 1)
+      |SELECT '1_view' AS stage, count(*) AS n_users,
+      | strftime(min(t), '%Y-%m-%d %H:%M:%S') AS first_done,
+      | strftime(max(t), '%Y-%m-%d %H:%M:%S') AS last_done FROM t1
+      |UNION ALL
+      |SELECT '2_click', count(*),
+      | strftime(min(t), '%Y-%m-%d %H:%M:%S'),
+      | strftime(max(t), '%Y-%m-%d %H:%M:%S') FROM t2
+      |UNION ALL
+      |SELECT '3_purchase', count(*),
+      | strftime(min(t), '%Y-%m-%d %H:%M:%S'),
+      | strftime(max(t), '%Y-%m-%d %H:%M:%S') FROM t3""".stripMargin
 
   /** q_sketch_distinct replica, shared by the batch query and
     * its streaming twin (whose drained sketch state must be

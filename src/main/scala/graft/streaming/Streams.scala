@@ -463,6 +463,60 @@ object Streams {
       }
   }
 
+  /** Latest per-user funnel chain after each touching batch: stage
+    * completion times in epoch micros, −1 = stage not reached;
+    * `updates` is the monotone keep-the-max drain counter. */
+  final case class FunnelStage(user_id: Long, updates: Long,
+      t1: Long, t2: Long, t3: Long)
+
+  /** Streaming anchored-earliest funnel — conversion tracking AT
+    * INGEST: each user carries (t1, t2, t3), the completion times of
+    * the three-step chain (first step-1 event; first step-2 event
+    * STRICTLY after t1; first step-3 strictly after t2 — exactly the
+    * batch q_funnel contract), across micro-batches as three longs.
+    * A user's funnel stage is live while the day's events land
+    * instead of waiting for the nightly batch rollup.
+    *
+    * Ordering contract (the [[pathCountsState]] replay discipline):
+    * batches are event-time ordered across files and each batch
+    * sorts per user by (ts, event_id), so the anchored-earliest
+    * chain is deterministic; the strictly-later requirement means
+    * same-timestamp steps never advance the chain, matching the
+    * batch operator's `>` comparisons whatever the within-timestamp
+    * processing order. */
+  def funnelStageState(
+      events: DataFrame,
+      steps: Seq[String])(
+      implicit spark: SparkSession): Dataset[FunnelStage] = {
+    require(steps.size == 3 && steps.distinct.size == 3,
+      s"funnelStageState needs 3 distinct steps, got $steps")
+    import spark.implicits._
+    events
+      .select(col("user_id").as[Long],
+        expr("ts_ns div 1000").as[Long],
+        col("event_id").as[Long], col("event_type").as[String])
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (u: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          val evs = rows.toArray.sortBy(e => (e._2, e._3))
+          var (pu, t1, t2, t3) = state.getOption
+            .getOrElse((0L, -1L, -1L, -1L))
+          evs.foreach { case (_, ts, _, tpe) =>
+            if (tpe == steps(0)) { if (t1 < 0) t1 = ts }
+            else if (tpe == steps(1)) {
+              if (t1 >= 0 && ts > t1 && t2 < 0) t2 = ts
+            } else if (tpe == steps(2)) {
+              if (t2 >= 0 && ts > t2 && t3 < 0) t3 = ts
+            }
+          }
+          state.update((pu + 1L, t1, t2, t3))
+          Iterator(FunnelStage(u, pu + 1L, t1, t2, t3))
+      }
+  }
+
   /** Per-batch basket-census increment (see [[assocSetState]]):
     * kind ∈ {user, item, pair}. */
   final case class AssocInc(kind: String, a: String, b: String,

@@ -678,6 +678,54 @@ class StreamsSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
+  test("funnelStageState links the chain ACROSS micro-batches and " +
+    "ignores out-of-order pre-anchor steps") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("funnel_mb").toFile
+    val t0 = System.currentTimeMillis()
+    def write(name: String, rows: Seq[(Long, Long, Long, String)],
+        mod: Long): Unit = {
+      val stage = new java.io.File(tmp, s"__stage_$name")
+      rows.map { case (id, t, u, tp) => (id, t, u, tp, 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value",
+          "props")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))
+          .cast(org.apache.spark.sql.types.TimestampNTZType))
+        .coalesce(1).write.mode("overwrite").parquet(stage.getPath)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(tmp, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mod)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    // batch 1: user 1 clicks BEFORE its first view (never a step-2),
+    // then views; batch 2 delivers click+purchase — the carried t1
+    // must link them. user 2 purchases with no prior chain: stuck.
+    write("a.parquet", Seq(
+      (1L, 500000000L, 1L, "click"), (2L, 1000000000L, 1L, "view")),
+      t0 - 60000)
+    write("b.parquet", Seq(
+      (3L, 2000000000L, 1L, "click"), (4L, 3000000000L, 1L, "purchase"),
+      (5L, 1000000000L, 2L, "purchase")), t0)
+    val raw = Streams.runAvailableNow(
+      Streams.funnelStageState(
+        Streams.eventsStream(spark, tmp.getPath, glob = "*.parquet",
+          maxFilesPerTrigger = 1),
+        Seq("view", "click", "purchase")).toDF(), "funnel_multibatch")
+    val latest = raw.collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, rs) =>
+        val r = rs.maxBy(_.getAs[Long]("updates"))
+        u -> (r.getAs[Long]("t1"), r.getAs[Long]("t2"),
+          r.getAs[Long]("t3"))
+      }
+    assert(latest(1L) == ((1000000L, 2000000L, 3000000L)),
+      s"got ${latest(1L)}")
+    assert(latest(2L) == ((-1L, -1L, -1L)), s"got ${latest(2L)}")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   test("kmvCellsState carries k-minima ACROSS micro-batches and the " +
     "drained sketch equals the batch aggregator's") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
