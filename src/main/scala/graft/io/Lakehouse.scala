@@ -235,6 +235,15 @@ object Lakehouse {
     * Delta/Iceberg commit-protocol shape on plain directories — the
     * rename is the compare-and-swap (atomic on HDFS-like stores),
     * the staged copy means a loser leaves no partial state behind.
+    *
+    * Each attempt stages under its OWN uuid-named directory, so the
+    * rename is the single shared point: two writers that both pass
+    * the pre-check never overwrite each other's staged files, the
+    * CAS winner promotes exactly the snapshot it wrote, and the
+    * loser's cleanup deletes only its own attempt directory
+    * (a shared deterministic stage path would let the loser's
+    * Overwrite or cleanup corrupt the winner's staged data in the
+    * check→rename window — ADVICE r10).
     * Returns the committed version. */
   def commitVersion(
       spark: SparkSession, path: String, expectedLatest: Int,
@@ -245,7 +254,8 @@ object Lakehouse {
         s"commitVersion: ledger at v=$latest, expected v=$expectedLatest" +
           " — rebase and retry")
     val next = expectedLatest + 1
-    val stage = s"$path/__stage_v$next"
+    val attempt = java.util.UUID.randomUUID().toString
+    val stage = s"$path/__stage_$attempt"
     df.write.mode("overwrite").parquet(stage)
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)

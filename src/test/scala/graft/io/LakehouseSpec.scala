@@ -288,4 +288,51 @@ class LakehouseSpec extends SparkSpecBase {
     assert(Lakehouse.readLatest(spark, path)
       .as[(Long, String)].collect().toSet == Set((2L, "b")))
   }
+
+  test("commitVersion: two writers staging CONCURRENTLY for the same " +
+    "slot — the winner's snapshot is promoted intact, the loser " +
+    "rebases, and neither attempt's staging survives") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("occ2").toString + "/t"
+    assert(Lakehouse.commitVersion(spark, path, 0,
+      Seq((0L, "seed")).toDF("k", "v")) == 1)
+    // both writers read latest=1 and race for v=2; a shared stage dir
+    // would let the loser's Overwrite/cleanup corrupt the winner's
+    // staged files — per-attempt staging makes the rename the only
+    // shared point (ADVICE r10)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Any]()
+    def writer(tag: String, rows: Seq[(Long, String)]): Thread = {
+      val t = new Thread(() => {
+        barrier.await()
+        try results.put(tag, Lakehouse.commitVersion(
+          spark, path, 1, rows.toDF("k", "v")))
+        catch { case e: java.util.ConcurrentModificationException =>
+          results.put(tag, e) }
+      })
+      t.start(); t
+    }
+    val ta = writer("a", Seq((1L, "a"), (2L, "a")))
+    val tb = writer("b", Seq((1L, "b"), (2L, "b")))
+    ta.join(120000); tb.join(120000)
+    val (ra, rb) = (results.get("a"), results.get("b"))
+    val wins = Seq(ra, rb).count(_ == 2)
+    assert(wins == 1, s"exactly one writer must win: a=$ra b=$rb")
+    val winnerTag = if (ra == 2) "a" else "b"
+    // the promoted snapshot is EXACTLY the winner's frame — no mixed
+    // or partial content from the loser's concurrent stage
+    val got = Lakehouse.readVersion(spark, path, 2)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, winnerTag), (2L, winnerTag)), s"got $got")
+    // no staging directories survive either attempt
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftovers = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).filter(_.startsWith("__stage"))
+    assert(leftovers.isEmpty, s"staging left behind: ${leftovers.toSeq}")
+    // the loser rebases on the new latest and lands v=3
+    assert(Lakehouse.commitVersion(spark, path, 2,
+      Seq((9L, "rebased")).toDF("k", "v")) == 3)
+    assert(Lakehouse.versions(spark, path) == Seq(1, 2, 3))
+  }
 }
