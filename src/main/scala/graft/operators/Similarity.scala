@@ -1030,14 +1030,104 @@ object Similarity {
     require(iters > 0, s"iters must be positive: $iters")
     val spark = corpus.sparkSession
     import spark.implicits._
-    // one scan: each row contributes its full outer product; the
-    // double posexplode fans a row to d² cells that collapse in the
-    // per-partition aggregate before any shuffle
+    val g = collectGram(corpus, vecCol)
+    if (g.isEmpty)
+      return Seq.empty[(Long, Double)].toDF("d", "weight")
+    powerIterate(g, iters).toIndexedSeq.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("d", "weight")
+  }
+
+  /** Top-`k` principal components via DRIVER-SIDE deflation over one
+    * collected Gram matrix: component 1 is [[topPrincipalComponent]]'s
+    * trajectory bit-for-bit; each next component power-iterates the
+    * DEFLATED matrix G' = G − λ·(c·cᵀ)/(cᵀc) with λ the Rayleigh
+    * quotient of the previous component — every deflation step stays
+    * in the same replayable arithmetic (12-dp HALF_UP products, exact
+    * decimal sums, one double division), so an external engine
+    * rebuilds the full component chain from the same Gram cells.
+    * Still ONE corpus scan: deflation is d×d driver arithmetic.
+    *
+    * Returns (component — 1-based, d, weight), each component
+    * max-normalized like the dominant one. */
+  def topPrincipalComponents(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 3): DataFrame = {
+    require(iters > 0, s"iters must be positive: $iters")
+    require(k >= 1 && k <= 16,
+      s"k components out of the deflation contract [1, 16]: $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val g = collectGram(corpus, vecCol)
+    if (g.isEmpty)
+      return Seq.empty[(Long, Long, Double)].toDF("component", "d", "weight")
+    val dim = g.length
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    var cur = g
+    for (comp <- 1 to k) {
+      val c = powerIterate(cur, iters)
+      out ++= c.toIndexedSeq.zipWithIndex
+        .map { case (w, i) => (comp.toLong, i.toLong, w) }
+      if (comp < k) {
+        // Rayleigh quotient in the replayable idiom: t = G'·c via the
+        // iteration's own rounded-product decimal sums, then
+        // num = Σ round(t_i·c_i, 12), den = Σ round(c_i·c_i, 12)
+        val t = Array.tabulate(dim) { i =>
+          var acc = java.math.BigDecimal.ZERO
+          var j = 0
+          while (j < dim) {
+            acc = acc.add(roundHalfUp(cur(i)(j) * c(j), 12)); j += 1
+          }
+          acc.doubleValue
+        }
+        var numAcc = java.math.BigDecimal.ZERO
+        var denAcc = java.math.BigDecimal.ZERO
+        var i = 0
+        while (i < dim) {
+          numAcc = numAcc.add(roundHalfUp(t(i) * c(i), 12))
+          denAcc = denAcc.add(roundHalfUp(c(i) * c(i), 12))
+          i += 1
+        }
+        val den = denAcc.doubleValue
+        if (den == 0.0) return out.toSeq.toDF("component", "d", "weight")
+        val lam = numAcc.doubleValue / den
+        // deflate in literal op order the oracle replays:
+        // g − lam·c_i·c_j/den, rounded to 12 dp
+        cur = Array.tabulate(dim, dim) { (a, b) =>
+          roundHalfUp(cur(a)(b) - lam * c(a) * c(b) / den, 12).doubleValue
+        }
+      }
+    }
+    out.toSeq.toDF("component", "d", "weight")
+  }
+
+  /** The documented ceiling on embedding dimension for the collected
+    * Gram matrix: dim² cells land on the driver, so 1024 → ~10⁶ cells
+    * (the same order as every other control-plane collect bound —
+    * union-find 2²⁰ edges, series 10⁵ rows). A wider embedding needs
+    * a distributed eigensolver, not a bigger driver. */
+  val MaxPcaDim = 1024
+
+  /** One-scan Gram accumulation (see [[topPrincipalComponent]] for
+    * the arithmetic contract), collected to a d×d driver array.
+    * The dimension bound rides IN the plan: an `assert_true` filter
+    * on the exploded dimension index kills the scan loudly before a
+    * super-[[MaxPcaDim]] corpus can stream dim² cells to the driver
+    * (VERDICT r10 item 3) — zero extra jobs, like Guards. */
+  private def collectGram(
+      corpus: DataFrame, vecCol: String): Array[Array[Double]] = {
     val prod = col("x1") * col("x2").cast(DoubleType)
     val scaled = when(prod >= 0, floor(prod * lit(1e12) + lit(0.5)))
       .otherwise(-floor(-prod * lit(1e12) + lit(0.5)))
     val gram = corpus.select(col(vecCol).as("__v"))
       .select(posexplode(col("__v")).as(Seq("d1", "x1")), col("__v"))
+      .filter(assert_true(col("d1") < lit(MaxPcaDim),
+        lit(s"topPrincipalComponent: embedding dimension exceeds the " +
+          s"$MaxPcaDim-dim Gram-collect bound (dim² cells land on the " +
+          "driver) — use a distributed eigensolver for wider vectors"))
+        .isNull)
       .select(col("d1"), col("x1").cast(DoubleType).as("x1"),
         posexplode(col("__v")).as(Seq("d2", "x2")))
       .select(spark_partition_id().as("__pid"), col("d1"), col("d2"),
@@ -1047,15 +1137,26 @@ object Similarity {
       .groupBy(col("d1"), col("d2"))
       .agg(sum(col("__ps").cast(DecimalType(38, 0))).as("__s"))
       .collect()
-    if (gram.isEmpty) return Seq.empty[(Long, Double)].toDF("d", "weight")
+    if (gram.isEmpty) return Array.empty
     val dim = gram.map(_.getInt(0)).max + 1
     val g = Array.ofDim[Double](dim, dim)
     gram.foreach { r =>
       g(r.getInt(0))(r.getInt(1)) = r.getDecimal(2).doubleValue / 1e12
     }
-    def roundHalfUp(x: Double, scale: Int): java.math.BigDecimal =
-      java.math.BigDecimal.valueOf(x)
-        .setScale(scale, java.math.RoundingMode.HALF_UP)
+    g
+  }
+
+  private def roundHalfUp(x: Double, scale: Int): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP)
+
+  /** The driver power iteration over a collected Gram matrix —
+    * 12-dp HALF_UP rounded products, exact decimal sums, 6-dp
+    * max-|s| rescale per round, v₀ = 1⃗ (the oracle-replayable
+    * trajectory [[topPrincipalComponent]] documents). */
+  private def powerIterate(
+      g: Array[Array[Double]], iters: Int): Array[Double] = {
+    val dim = g.length
     var c = Array.fill(dim)(1.0)
     for (_ <- 1 to iters) {
       val s = Array.tabulate(dim) { i =>
@@ -1071,8 +1172,7 @@ object Similarity {
       c = s.map(x =>
         if (m != 0.0) roundHalfUp(x / m, 6).doubleValue else 0.0)
     }
-    c.toIndexedSeq.zipWithIndex
-      .map { case (w, i) => (i.toLong, w) }.toDF("d", "weight")
+    c
   }
 
   /** Per-dimension feature health of an embedding corpus: n, mean,

@@ -81,6 +81,50 @@ class SimilaritySpec extends SparkSpecBase {
     assert(math.abs(w(1L)) < 0.01, s"off-axis weight too big: ${w(1L)}")
   }
 
+  test("topPrincipalComponents: component 1 matches the dominant " +
+    "operator bit-for-bit; component 2 finds the deflated second axis") {
+    import spark.implicits._
+    // two planted orthogonal axes with distinct variance: axis 0
+    // dominates, axis 1 is the runner-up, axis 2 carries nothing
+    val rows = Seq(
+      (0L, Seq(3f, 0f, 0f)), (1L, Seq(2f, 0f, 0f)),
+      (2L, Seq(0f, 2f, 0f)), (3L, Seq(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val both = Similarity
+      .topPrincipalComponents(rows, "vec_id", "embedding", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val one = Similarity
+      .topPrincipalComponent(rows, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (0L to 2L).foreach { d =>
+      assert(both((1L, d)) == one(d), s"component 1 drifted at d=$d")
+    }
+    assert(both((2L, 1L)) == 1.0,
+      s"component 2 must peak on axis 1: $both")
+    // component 1 is only 3-iteration-approximate, so deflation
+    // leaves a small axis-0 residue in component 2 — the peak moves
+    // to axis 1 regardless
+    assert(math.abs(both((2L, 0L))) < 0.2 &&
+      math.abs(both((2L, 2L))) < 0.05, s"component 2 off-axis: $both")
+  }
+
+  test("topPrincipalComponent refuses an embedding wider than the " +
+    "Gram-collect dimension bound") {
+    import spark.implicits._
+    val wide = Seq((0L, (0 until Similarity.MaxPcaDim + 1)
+      .map(_.toFloat).toSeq)).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.topPrincipalComponent(wide, "vec_id", "embedding")
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("Gram-collect bound")),
+      s"got: ${messages(e).mkString(" | ")}")
+  }
+
   test("componentEnergy: on-axis energy vs total, hand-computed") {
     import spark.implicits._
     // v = e0: removed = (x·v)² / 1 → 9 for [3,0], 0 for [0,4];
