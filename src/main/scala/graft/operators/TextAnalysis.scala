@@ -1336,15 +1336,38 @@ object TextAnalysis {
     merges
   }
 
+  /** Dict-size bound under which [[bpeTrain]]'s merge loop runs on
+    * the DRIVER over the collected word dict: 2²⁰ distinct words
+    * (the union-find collect idiom — tens of MB), far above any
+    * gate corpus and a deliberate, documented ceiling. Above it the
+    * distributed per-round loop takes over unchanged. */
+  val MaxBpeDictDriver = 1L << 20
+
   /** The full BPE training artifact pair: the merge table of
     * [[bpeMerges]] AND the final segmented dict (word, s, f) with `s`
     * the space-delimited subword split of each distinct word after
     * all merges — persisted, caller-owned (the encode path joins the
-    * corpus against it; see [[bpeSubwordStats]]). */
+    * corpus against it; see [[bpeSubwordStats]]).
+    *
+    * Action count (VERDICT r10 item 7): the dict is VOCAB-sized, so
+    * when it fits the documented [[MaxBpeDictDriver]] bound the whole
+    * merge loop runs driver-side over the collected dict — ONE
+    * corpus-scale action total instead of two Spark jobs per merge
+    * (nMerges × (aggregate + materialize) ≈ 17 scheduler round-trips
+    * for 8 merges, pure overhead on a vocab-sized frame). The driver
+    * loop replays the distributed arithmetic exactly: the same
+    * adjacent-pair frequency sums, the same (freq DESC, l ASC UTF-8,
+    * r ASC UTF-8) tie-break, and the same double space-wrapped
+    * literal replace — so the fast path is bit-identical (gated by
+    * q_bpe_merges / q_bpe_encode and pinned by TextAnalysisSpec's
+    * path-equality test). Past the bound, the distributed per-round
+    * loop below is the 100 TB contract (one map-side-combined pair
+    * aggregate + 1-row argmax per round). */
   def bpeTrain(
       docs: DataFrame,
       textCol: Column,
-      nMerges: Int): (DataFrame, DataFrame) = {
+      nMerges: Int,
+      maxDictDriver: Long = MaxBpeDictDriver): (DataFrame, DataFrame) = {
     require(nMerges > 0 && nMerges <= 64,
       s"nMerges out of range: $nMerges")
     val spark = docs.sparkSession
@@ -1356,7 +1379,13 @@ object TextAnalysis {
         trim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"),
         col("f"))
       .persist(lvl)
-    dict.count()
+    val nWords = dict.count()
+    if (nWords <= maxDictDriver) {
+      val rows = dict.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      dict.unpersist(false)
+      return bpeTrainDriver(spark, rows, nMerges)
+    }
     val merges =
       scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
     var step = 0
@@ -1391,6 +1420,76 @@ object TextAnalysis {
       }
     }
     (merges.toSeq.toDF("step", "l", "r", "merged", "pair_freq"), dict)
+  }
+
+  /** UTF-8 byte order — what Spark's string ASC sort compares; the
+    * driver tie-break must match it, not UTF-16 compareTo (they
+    * disagree above the BMP). */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Driver-side BPE merge loop over the collected (word, seq, freq)
+    * dict — the [[bpeTrain]] fast path. Identical arithmetic to the
+    * distributed rounds: adjacent-pair frequency sums over every
+    * occurrence, (freq DESC, l, r ASC UTF-8) argmax, and the same
+    * double space-wrapped literal replace (Java `String.replace`
+    * shares the resume-after-replacement scan with Spark and
+    * DuckDB). */
+  private def bpeTrainDriver(
+      spark: org.apache.spark.sql.SparkSession,
+      rows: Array[(String, String, Long)],
+      nMerges: Int): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val segs = rows.map { case (w, s, f) => (w, s, f) }
+    val merges =
+      scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    var step = 0
+    var exhausted = false
+    while (step < nMerges && !exhausted) {
+      step += 1
+      val pf = scala.collection.mutable.HashMap[(String, String), Long]()
+      segs.foreach { case (_, s, f) =>
+        val a = s.split(" ")
+        var i = 0
+        while (i + 1 < a.length) {
+          val k = (a(i), a(i + 1))
+          pf(k) = pf.getOrElse(k, 0L) + f
+          i += 1
+        }
+      }
+      if (pf.isEmpty) exhausted = true
+      else {
+        val ((l, r), best) = pf.foldLeft(
+          (("", ""), Long.MinValue)) { case (acc @ ((bl, br), bf), ((cl, cr), cf)) =>
+          if (cf > bf ||
+            (cf == bf && (utf8Lt(cl, bl) ||
+              (cl == bl && utf8Lt(cr, br)))))
+            ((cl, cr), cf)
+          else acc
+        }
+        merges += ((step.toLong, l, r, l + r, best))
+        val pat = s" $l $r "
+        val rep = s" $l$r "
+        var i = 0
+        while (i < segs.length) {
+          val (w, s, f) = segs(i)
+          segs(i) = (w,
+            (" " + s + " ").replace(pat, rep).replace(pat, rep).trim, f)
+          i += 1
+        }
+      }
+    }
+    (merges.toSeq.toDF("step", "l", "r", "merged", "pair_freq"),
+      segs.toSeq.toDF("w", "s", "f"))
   }
 
   /** Tokenizer-fertility audit: encode the corpus with a trained BPE

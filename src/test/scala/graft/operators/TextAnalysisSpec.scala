@@ -192,6 +192,27 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(got.toSeq == Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)))
   }
 
+  test("bpeTrain: the driver fast path is bit-identical to the " +
+    "distributed merge loop — merges AND segmented dict") {
+    import spark.implicits._
+    val docs = Seq("aaab aaab aab xyz xy", "xy xy zebra aab")
+      .toDF("text")
+    def run(bound: Long) = {
+      val (m, d) = TextAnalysis.bpeTrain(docs, col("text"),
+        nMerges = 5, maxDictDriver = bound)
+      val ms = m.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
+      val ds = d.collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2))).sortBy(_._1).toSeq
+      d.unpersist(false)
+      (ms, ds)
+    }
+    val fast = run(bound = TextAnalysis.MaxBpeDictDriver)
+    val dist = run(bound = 0L) // dict never fits → distributed rounds
+    assert(fast._1 == dist._1, s"merge tables diverged:\n${fast._1}\n${dist._1}")
+    assert(fast._2 == dist._2, s"segmented dicts diverged:\n${fast._2}\n${dist._2}")
+  }
+
   test("bpeSubwordStats encodes via the trained segmented dict") {
     import spark.implicits._
     // after 2 merges ((a,a) then (a,b)): aaab → [aa, ab], aab → [aa, b]
