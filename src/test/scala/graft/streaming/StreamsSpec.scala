@@ -726,6 +726,194 @@ class StreamsSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
+  test("funnelStageState TTL: an idle user's state EVICTS once the " +
+    "watermark passes (closure record emitted, chain restarts from " +
+    "scratch); non-expired keys are byte-identical to the NoTimeout run") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("funnel_ttl").toFile
+    val t0 = System.currentTimeMillis()
+    def write(name: String, rows: Seq[(Long, Long, Long, String)],
+        mod: Long): Unit = {
+      val stage = new java.io.File(tmp, s"__stage_$name")
+      rows.map { case (id, t, u, tp) => (id, t, u, tp, 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value",
+          "props")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))
+          .cast(org.apache.spark.sql.types.TimestampNTZType))
+        .coalesce(1).write.mode("overwrite").parquet(stage.getPath)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(tmp, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mod)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    val h = 3600L * 1000 * 1000 * 1000 // 1 hour in ns
+    val s = 1000L * 1000 * 1000 // 1 second in ns
+    // batch 1: users 1 & 2 view at 1h (TTL 1h → both expire at 2h)
+    write("a.parquet",
+      Seq((1L, h, 1L, "view"), (2L, h, 2L, "view")), t0 - 90000)
+    // batch 2: user 2 clicks at 4h — watermark AFTER this batch is
+    // 3h50m, past user 1's 2h expiry; user 2 re-arms to 5h
+    write("b.parquet", Seq((3L, 4 * h, 2L, "click")), t0 - 60000)
+    // batch 3: only user 3 — user 1 gets NO data while the watermark
+    // (3h50m) exceeds its expiry → timeout fires: closure + eviction
+    write("c.parquet", Seq((4L, 4 * h + s, 3L, "view")), t0 - 30000)
+    // batch 4: user 1 returns with a click — a FRESH chain cannot
+    // anchor on a click; user 2 completes the funnel
+    write("d.parquet", Seq((5L, 4 * h + 2 * s, 1L, "click"),
+      (6L, 4 * h + 2 * s, 2L, "purchase")), t0)
+    def drain(ttl: Option[Long], name: String) = Streams.runAvailableNow(
+      Streams.funnelStageState(
+        Streams.eventsStream(spark, tmp.getPath, glob = "*.parquet",
+          maxFilesPerTrigger = 1),
+        Seq("view", "click", "purchase"), ttlMs = ttl,
+        watermark = "10 minutes").toDF(), name)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("updates"),
+        r.getAs[Long]("t1"), r.getAs[Long]("t2"), r.getAs[Long]("t3")))
+    val ttlRows = drain(Some(3600L * 1000), "funnel_ttl")
+    val hUs = h / 1000
+    // user 1's emission history: batch-1 anchor, the timeout CLOSURE
+    // record (same chain, updates bumped), then the restart where the
+    // returning click cannot anchor — proof the state was dropped
+    val u1 = ttlRows.filter(_._1 == 1L).map(t => (t._2, t._3, t._4, t._5))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(u1 == Seq((1L, -1L, -1L, -1L), (1L, hUs, -1L, -1L),
+      (2L, hUs, -1L, -1L)), s"user 1 history: $u1")
+    // user 2 stayed live throughout (each batch re-armed its TTL):
+    // the full chain completes exactly as in the NoTimeout run
+    val u2Latest = ttlRows.filter(_._1 == 2L).maxBy(_._2)
+    assert((u2Latest._3, u2Latest._4, u2Latest._5) ==
+      ((hUs, 4 * hUs, 4 * hUs + 2 * s / 1000)), s"user 2: $u2Latest")
+    val plainRows = drain(None, "funnel_nottl")
+    val u2Plain = plainRows.filter(_._1 == 2L).map(t =>
+      (t._2, t._3, t._4, t._5)).sorted.toSeq
+    val u2Ttl = ttlRows.filter(_._1 == 2L).map(t =>
+      (t._2, t._3, t._4, t._5)).sorted.toSeq
+    assert(u2Ttl == u2Plain,
+      s"non-expired key diverged: ttl=$u2Ttl plain=$u2Plain")
+    // and WITHOUT the TTL, user 1's carried anchor lets the returning
+    // click advance the chain — the behavior the eviction removed
+    val u1Plain = plainRows.filter(_._1 == 1L).maxBy(_._2)
+    assert((u1Plain._3, u1Plain._4) == ((hUs, 4 * hUs + 2 * s / 1000)),
+      s"user 1 without TTL: $u1Plain")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
+  test("cdcLatestState TTL: an idle key expires into a TOMBSTONE " +
+    "(latest-wins drain drops it); a later change restarts the key") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("cdc_ttl").toFile
+    val t0 = System.currentTimeMillis()
+    def write(name: String, rows: Seq[(Long, Long, Long, String)],
+        mod: Long): Unit = {
+      val stage = new java.io.File(tmp, s"__stage_$name")
+      rows.map { case (id, t, u, tp) => (id, t, u, tp, 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value",
+          "props")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))
+          .cast(org.apache.spark.sql.types.TimestampNTZType))
+        .coalesce(1).write.mode("overwrite").parquet(stage.getPath)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(tmp, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mod)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    val h = 3600L * 1000 * 1000 * 1000
+    val s = 1000L * 1000 * 1000
+    // key 1 upserts at 1h then goes idle; key 2 stays live
+    write("a.parquet",
+      Seq((1L, h, 1L, "up"), (2L, h, 2L, "up")), t0 - 90000)
+    write("b.parquet", Seq((3L, 4 * h, 2L, "up")), t0 - 60000)
+    // key 1 idle while the watermark (3h50m) passes its 2h expiry →
+    // tombstone + eviction fires in this batch
+    write("c.parquet", Seq((4L, 4 * h + s, 3L, "up")), t0 - 30000)
+    val changes = Streams.eventsStream(spark, tmp.getPath,
+        glob = "*.parquet", maxFilesPerTrigger = 1)
+      .withColumn("op", lit("U"))
+      .select(col("user_id"), col("ts"), col("ts_ns"), col("event_id"),
+        col("op"), col("value"))
+    val drained = Streams.runAvailableNow(
+      Streams.cdcLatestState(changes, ttlMs = Some(3600L * 1000),
+        watermark = "10 minutes").toDF(), "cdc_ttl").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("updates"),
+        r.getAs[String]("op")))
+    // key 1: one upsert, then the retention tombstone
+    val k1 = drained.filter(_._1 == 1L).sortBy(_._2).toSeq
+    assert(k1.map(_._3) == Seq("U", "D"), s"key 1 history: $k1")
+    // latest-wins drain: key 1 resolves to the tombstone (dropped by
+    // consumers), keys 2 and 3 stay live
+    val latest = drained.groupBy(_._1)
+      .map { case (k, rs) => k -> rs.maxBy(_._2)._3 }
+    assert(latest == Map(1L -> "D", 2L -> "U", 3L -> "U"),
+      s"latest ops: $latest")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
+  test("quantileSketchCellsState: cell counts accumulate ACROSS " +
+    "micro-batches and the drained histogram equals the batch sketch") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("qsk_mb").toFile
+    val t0 = System.currentTimeMillis()
+    // one group; values 1..6 split across two files — the drained
+    // cells must equal the batch histogram over the union
+    def mkFile(name: String, vals: Seq[Double], mod: Long): Unit = {
+      val stage = new java.io.File(tmp, s"__stage_$name")
+      vals.zipWithIndex.map { case (v, i) =>
+        (i.toLong, 1000000000L * (i + 1), 1L, "click", v, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))
+          .cast(org.apache.spark.sql.types.TimestampNTZType))
+        .coalesce(1).write.mode("overwrite").parquet(stage.getPath)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(tmp, name).toPath)
+      new java.io.File(tmp, name).setLastModified(mod)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    mkFile("a.parquet", Seq(1.0, 2.0, 2.0), t0 - 60000)
+    mkFile("b.parquet", Seq(2.0, 5.0, 6.0), t0)
+    def e4(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type").as("__g"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4))
+          * 10000).cast("long").as("__e4"))
+      .filter(col("__e4").isNotNull)
+    val batchRows = e4(spark.read.parquet(tmp.getPath))
+    // `min` here is the spec's ns constant — qualify the aggregate
+    val bounds = batchRows.groupBy(col("__g"))
+      .agg(org.apache.spark.sql.functions.min(col("__e4")).as("__min"),
+        max(col("__e4")).as("__max"))
+    def toCells(df: org.apache.spark.sql.DataFrame) = df
+      .join(broadcast(bounds), Seq("__g"))
+      .select(col("__g"), col("__min"),
+        expr("(__max - __min) div 256 + 1").as("__w"),
+        expr("(__e4 - __min) div ((__max - __min) div 256 + 1)")
+          .as("__idx"))
+    val drained = Streams.runAvailableNow(
+      Streams.quantileSketchCellsState(toCells(e4(
+        Streams.eventsStream(spark, tmp.getPath, glob = "*.parquet",
+          maxFilesPerTrigger = 1)))).toDF(), "qsk_multibatch")
+    // cross-batch accumulation really happened: the value-2 cell was
+    // emitted at n=2 (batch 1) then n=3 (batch 2 extended the STATE)
+    val cell2 = drained.filter(col("n") === 3L).count()
+    assert(cell2 == 1L, s"expected the shared cell to reach n=3:\n" +
+      drained.collect().mkString("\n"))
+    val latest = drained.groupBy(col("g"), col("mn"), col("w"),
+        col("idx")).agg(max(col("n")).as("cnt"))
+      .collect().map(r => (r.getLong(3), r.getLong(4))).toMap
+    val batchCells = graft.operators.Stats.quantileSketchState(
+        batchRows.select(col("__g"), col("__e4").as("v")),
+        Seq("__g"), col("v") / 10000.0)
+      .collect().map(r => (r.getAs[Long]("__idx"), r.getAs[Long]("__cnt")))
+      .toMap
+    assert(latest == batchCells, s"drained $latest vs batch $batchCells")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   test("kmvCellsState carries k-minima ACROSS micro-batches and the " +
     "drained sketch equals the batch aggregator's") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
