@@ -45,105 +45,85 @@ object Queries {
     * "What's wrong" #1). The returned frame is tiny (verified pairs)
     * and persisted by the operator; its corpus-sized intermediates are
     * already released. */
-  private val pairMemo =
-    scala.collection.mutable.HashMap[(SparkSession, String), DataFrame]()
+  private val pairMemo = new graft.core.SessionMemo[DataFrame]()
 
   /** Unique memory-sink name per streaming-query run (a session forbids
     * two active queries with one name). */
   private val streamRun = new java.util.concurrent.atomic.AtomicInteger
   private def lshPairs(s: SparkSession, dir: String): DataFrame =
-    pairMemo.synchronized {
-      pairMemo.getOrElseUpdate((s, dir),
-        Dedup.minhashNearDupPairs(Tables.documents(s, dir), "doc_id",
-          col("text"), threshold = 0.8, numHashes = 64, portable = true))
-    }
+    pairMemo.getOrElseUpdate(s, dir,
+      Dedup.minhashNearDupPairs(Tables.documents(s, dir), "doc_id",
+        col("text"), threshold = 0.8, numHashes = 64, portable = true))
 
   /** Session-shared dominant principal component (collected weights,
     * [[Similarity.topPrincipalComponent]] at PcaIters rounds):
     * q_embedding_pca returns it as a frame, q_embedding_whiten bakes
     * it into the energy audit — one Gram pass, two consumers. */
-  private val pcaMemo = scala.collection.mutable
-    .HashMap[(SparkSession, String), Array[Double]]()
+  private val pcaMemo = new graft.core.SessionMemo[Array[Double]]()
   private def pcaComponent(s: SparkSession, dir: String): Array[Double] =
-    pcaMemo.synchronized {
-      pcaMemo.getOrElseUpdate((s, dir),
-        Similarity.topPrincipalComponent(Tables.embeddings(s, dir),
-            "vec_id", "embedding", iters = PcaIters)
-          .orderBy(col("d")).collect().map(_.getDouble(1)))
-    }
+    pcaMemo.getOrElseUpdate(s, dir,
+      Similarity.topPrincipalComponent(Tables.embeddings(s, dir),
+          "vec_id", "embedding", iters = PcaIters)
+        .orderBy(col("d")).collect().map(_.getDouble(1)))
 
   /** Session-shared BPE training pass (8 merges over the documents
     * word dict): q_bpe_merges consumes the merge table, q_bpe_encode
     * the segmented dict — one training loop, two consumers (the
     * lshPairs sharing rationale). */
-  private val bpeMemo = scala.collection.mutable
-    .HashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+  private val bpeMemo =
+    new graft.core.SessionMemo[(DataFrame, DataFrame)]()
   private def bpeTrained(
       s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    bpeMemo.synchronized {
-      bpeMemo.getOrElseUpdate((s, dir),
-        TextAnalysis.bpeTrain(Tables.documents(s, dir), col("text"),
-          nMerges = BpeIters))
-    }
+    bpeMemo.getOrElseUpdate(s, dir,
+      TextAnalysis.bpeTrain(Tables.documents(s, dir), col("text"),
+        nMerges = BpeIters))
 
   /** Session-shared connected components over [[lshPairs]] — the
     * propagation loop runs once; q_dedup_components and
     * q_dedup_apply_cc both consume it (same sharing rationale as the
     * pair set itself). */
-  private val ccMemo =
-    scala.collection.mutable.HashMap[(SparkSession, String), DataFrame]()
+  private val ccMemo = new graft.core.SessionMemo[DataFrame]()
   private def lshComponents(s: SparkSession, dir: String): DataFrame =
-    ccMemo.synchronized {
-      ccMemo.getOrElseUpdate((s, dir),
-        // verified pair sets are tiny — single-partition propagation
-        // avoids paying 32-way scheduling per micro-round
-        Dedup.connectedComponents(lshPairs(s, dir), numPartitions = 1))
-    }
+    ccMemo.getOrElseUpdate(s, dir,
+      // verified pair sets are tiny — single-partition propagation
+      // avoids paying 32-way scheduling per micro-round
+      Dedup.connectedComponents(lshPairs(s, dir), numPartitions = 1))
 
   /** Session-shared embedding k-NN graph (SRP-LSH portable planes,
     * k = 5 neighbors, 32 bits / 4 bands): computed once per (session,
     * sf dir) — the graph-census family (q_graph_triangles,
     * q_graph_bfs) shares one candidate-generation pass. The operator
     * persists and materializes the edge frame (≤ k·n rows). */
-  private val knnMemo =
-    scala.collection.mutable.HashMap[(SparkSession, String), DataFrame]()
+  private val knnMemo = new graft.core.SessionMemo[DataFrame]()
   private def knnEdges(s: SparkSession, dir: String): DataFrame =
-    knnMemo.synchronized {
-      knnMemo.getOrElseUpdate((s, dir),
-        Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id",
-          "embedding", k = 5, portable = true))
-    }
+    knnMemo.getOrElseUpdate(s, dir,
+      Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = 5, portable = true))
 
   /** Session-shared k-means assignment over the embeddings (8 cells,
     * one Lloyd round) — the clustering family (q_cluster_balance,
     * q_cluster_purity) shares the assignment pass. Tiny frame
     * (corpus-count rows × 3 thin columns), persisted here. */
-  private val clusterMemo =
-    scala.collection.mutable.HashMap[(SparkSession, String), DataFrame]()
+  private val clusterMemo = new graft.core.SessionMemo[DataFrame]()
   private def clusterAssign(s: SparkSession, dir: String): DataFrame =
-    clusterMemo.synchronized {
-      clusterMemo.getOrElseUpdate((s, dir), {
-        val a = Similarity.assignClusters(Tables.embeddings(s, dir),
-            "vec_id", "embedding", nCells = 8, iters = 1)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        a.count()
-        a
-      })
-    }
+    clusterMemo.getOrElseUpdate(s, dir, {
+      val a = Similarity.assignClusters(Tables.embeddings(s, dir),
+          "vec_id", "embedding", nCells = 8, iters = 1)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      a.count()
+      a
+    })
 
   /** Session-shared label-propagation labels over [[knnEdges]]
     * (3 deterministic rounds): q_graph_communities reports the
     * censuses, q_graph_modularity scores the SAME partition — one
     * propagation loop, two consumers (the memo discipline). The
     * returned frame is localCheckpoint-materialized by the operator. */
-  private val lpMemo =
-    scala.collection.mutable.HashMap[(SparkSession, String), DataFrame]()
+  private val lpMemo = new graft.core.SessionMemo[DataFrame]()
   private def lpLabels(s: SparkSession, dir: String): DataFrame =
-    lpMemo.synchronized {
-      lpMemo.getOrElseUpdate((s, dir),
-        graft.operators.Graph.labelPropagation(knnEdges(s, dir),
-          rounds = 3))
-    }
+    lpMemo.getOrElseUpdate(s, dir,
+      graft.operators.Graph.labelPropagation(knnEdges(s, dir),
+        rounds = 3))
 
   /** orders with the reference's NULL-routing column: the incremental
     * timestamp is NULL for one slice of rows (status 'P' stands in for
@@ -913,6 +893,18 @@ object Queries {
         .groupBy(dateFmt(col("o_orderdate")).as("d"))
         .agg(dsum(col("o_totalprice")).as("rev"))
       Stats.siegelTrend(daily, "d", "rev")
+    }),
+    "q_trend_siegel_sampled" -> ((s, dir) => {
+      // The long-series Siegel: each day draws 64 deterministic
+      // hash-sampled partner days ANYWHERE in the series (the inner
+      // median is two-sided) instead of all P−1 — the pair frame is
+      // O(P·k) by construction, the at-scale escape hatch for the
+      // catalog's costliest trend. Same daily series, same two-middle
+      // medians, repeated-median robustness retained.
+      val daily = Tables.orders(s, dir)
+        .groupBy(dateFmt(col("o_orderdate")).as("d"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      Stats.siegelTrendSampled(daily, "d", "rev")
     }),
     "q_streaks" -> ((s, dir) => {
       // Gaps-and-islands: per-user CONSECUTIVE-day purchase streaks —
@@ -3000,6 +2992,41 @@ object Queries {
         Seq("source"), qs = Seq("p50" -> 0.5, "p90" -> 0.9),
         lo = 0.0, hi = 600.0, nBins = 10)
     }),
+    "q_stream_quantile_group" -> ((s, dir) => {
+      // Streaming grouped-quantile sketch: the 256-bin mergeable
+      // histogram (q_quantile_sketch) carried as cross-batch keyed
+      // state — counts are distributive, so the drained cells feed
+      // the SAME quantilesFromSketch tail and the per-type p10/p50/
+      // p90 estimates must equal the batch sketch bit for bit (the
+      // shared oracle gates both). Bounds come from a control-plane
+      // pre-scan (the sketch's documented two-pass layout) broadcast
+      // into the stream; state is ≤ 256 longs per group.
+      val name = s"q_stream_qsk_${streamRun.incrementAndGet()}"
+      implicit val sp: SparkSession = s
+      def e4(df: DataFrame): DataFrame = df
+        .select(col("event_type").as("__g"),
+          (col("value").cast(DecimalType(18, 4)) * 10000)
+            .cast(LongType).as("__e4"))
+        .filter(col("__e4").isNotNull)
+      val bounds = e4(Tables.events(s, dir)).groupBy(col("__g"))
+        .agg(min(col("__e4")).as("__min"), max(col("__e4")).as("__max"))
+      val cells = e4(graft.streaming.Streams.eventsStream(s, dir))
+        .join(broadcast(bounds), Seq("__g"))
+        .select(col("__g"), col("__min"),
+          expr("(__max - __min) div 256 + 1").as("__w"),
+          col("__e4"))
+        .select(col("__g"), col("__min"), col("__w"),
+          expr("(__e4 - __min) div __w").as("__idx"))
+      val drained = graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.quantileSketchCellsState(cells).toDF(),
+        name, shufflePartitions = Some(8))
+      val latest = drained
+        .groupBy(col("g"), col("mn"), col("w"), col("idx"))
+        .agg(max(col("n")).as("__cnt"))
+        .select(col("g").as("event_type"), col("mn").as("__min"),
+          col("w").as("__w"), col("idx").as("__idx"), col("__cnt"))
+      Stats.quantilesFromSketch(latest, Seq("event_type"))
+    }),
     "q_stream_neardedup" -> ((s, dir) => {
       // Streaming SimHash near-dup admission over the documents
       // stream: per-row (shuffle-free) simhash → quadrant-bucketed
@@ -4272,6 +4299,15 @@ object Queries {
       import s.implicits._
       pcaComponent(s, dir).toIndexedSeq.zipWithIndex
         .map { case (w, i) => (i.toLong, w) }.toDF("d", "weight")
+    }),
+    "q_embedding_pca2" -> ((s, dir) => {
+      // Top-2 principal components via driver-side deflation over ONE
+      // collected Gram matrix: component 1 is the dominant chain
+      // bit-for-bit, component 2 power-iterates G − λ·(c·cᵀ)/(cᵀc)
+      // with the Rayleigh λ in the same replayable 12-dp arithmetic —
+      // the real subspace the whitening audit wants (VERDICT r10).
+      Similarity.topPrincipalComponents(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = 2, iters = PcaIters)
     }),
     "q_embedding_whiten" -> ((s, dir) => {
       // Whitening audit: per-label energy along the dominant
@@ -6160,31 +6196,11 @@ object Queries {
     // integer bins (w = (max − min) // 256 + 1), cumulative bin walk,
     // and lower-bound pick — bitwise, because every intermediate is a
     // 64-bit integer and the only doubles are final /10⁴ divisions
-    "q_quantile_sketch" ->
-      """WITH v AS (SELECT event_type AS g,
-        |  CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS e4
-        | FROM events WHERE value IS NOT NULL),
-        |b AS (SELECT g, min(e4) AS mn,
-        |  (max(e4) - min(e4)) // 256 + 1 AS w FROM v GROUP BY g),
-        |s AS (SELECT v.g, mn, w, (e4 - mn) // w AS idx,
-        |  CAST(count(*) AS BIGINT) AS cnt
-        | FROM v JOIN b ON v.g = b.g GROUP BY v.g, mn, w, (e4 - mn) // w),
-        |c AS (SELECT g, mn, w, idx, cnt,
-        |  sum(cnt) OVER (PARTITION BY g) AS n,
-        |  sum(cnt) OVER (PARTITION BY g ORDER BY idx ASC) AS cum
-        | FROM s)
-        |SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
-        | CAST(mn + min(CASE WHEN cum >=
-        |     greatest(1, (n * 100 + 999) // 1000) THEN idx END) * w
-        |   AS DOUBLE) / 10000.0 AS p_100,
-        | CAST(mn + min(CASE WHEN cum >=
-        |     greatest(1, (n * 500 + 999) // 1000) THEN idx END) * w
-        |   AS DOUBLE) / 10000.0 AS p_500,
-        | CAST(mn + min(CASE WHEN cum >=
-        |     greatest(1, (n * 900 + 999) // 1000) THEN idx END) * w
-        |   AS DOUBLE) / 10000.0 AS p_900,
-        | CAST(w AS DOUBLE) / 10000.0 AS max_err
-        |FROM c GROUP BY g, mn, w""".stripMargin,
+    "q_quantile_sketch" -> sketchQuantileOracle,
+    // the streaming twin gates on the IDENTICAL batch-sketch replica:
+    // cross-batch cell counts are distributive, so the drained state
+    // must reproduce the batch histogram and its estimates bitwise
+    "q_stream_quantile_group" -> sketchQuantileOracle,
     // IQR replica: same ⌈n/4⌉/⌈3n/4⌉ order-statistic quartiles and
     // all-DECIMAL scaled fence comparisons
     "q_anomaly_iqr" ->
@@ -6567,6 +6583,61 @@ object Queries {
         |      AS DOUBLE)) / 2.0, 6) AS intercept
         | FROM ri)
         |SELECT n_periods, slope, intercept FROM mi2, sl""".stripMargin,
+    // Sampled-Siegel replica: the same two-sided hash partner draws
+    // (off = 1 + bucket mod (P−1), j = ((i−1+off) mod P) + 1),
+    // variable-count inner medians, outer median + intercept in the
+    // exact two-middle arithmetic
+    "q_trend_siegel_sampled" -> {
+      val bucket = s"(${affineSql(31, s"((ia * 64 + r) % $M)")} % " +
+        s"${Sampling.Buckets})"
+      s"""WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+         |    AS DOUBLE), 4) AS rev
+         | FROM orders GROUP BY 1),
+         |idx AS (SELECT row_number() OVER (ORDER BY d ASC) AS i,
+         |  rev AS y FROM daily),
+         |np AS (SELECT count(*) AS p FROM idx),
+         |dr AS (SELECT a.i AS ia, a.y AS ya, t.r AS r, np.p
+         | FROM idx a, np, range(1, 65) t(r)),
+         |pj AS (SELECT DISTINCT ia, ya, p,
+         |  (ia - 1 + 1 + ($bucket % (p - 1))) % p + 1 AS j
+         | FROM dr),
+         |sl AS (SELECT pj.ia AS ia, pj.j AS j,
+         |  (b.y - pj.ya) / CAST(pj.j - pj.ia AS DOUBLE) AS s
+         | FROM pj JOIN idx b ON b.i = pj.j),
+         |rk AS (SELECT ia, j, s,
+         |  row_number() OVER (PARTITION BY ia ORDER BY s ASC, j ASC)
+         |    AS rk,
+         |  count(*) OVER (PARTITION BY ia) AS c FROM sl),
+         |mi AS (SELECT ia,
+         |  (CAST(sum(CASE WHEN rk = (c + 1) // 2 THEN s END)
+         |      AS DOUBLE)
+         |   + CAST(sum(CASE WHEN rk = (c + 2) // 2 THEN s END)
+         |     AS DOUBLE)) / 2.0 AS m,
+         |  count(*) AS cn
+         | FROM rk GROUP BY ia),
+         |g AS (SELECT ia, m, cn,
+         |  row_number() OVER (ORDER BY m ASC, ia ASC) AS rk,
+         |  count(*) OVER () AS n FROM mi),
+         |sl2 AS (SELECT
+         |  round((CAST(sum(CASE WHEN rk = (n + 1) // 2 THEN m END)
+         |      AS DOUBLE) +
+         |    CAST(sum(CASE WHEN rk = (n + 2) // 2 THEN m END)
+         |      AS DOUBLE)) / 2.0, 6) AS slope,
+         |  CAST(sum(cn) AS BIGINT) AS n_pairs FROM g),
+         |resid AS (SELECT i, y - slope * i AS bv FROM idx, sl2),
+         |rr AS (SELECT bv,
+         |  row_number() OVER (ORDER BY bv ASC, i ASC) AS rk FROM resid),
+         |ri AS (SELECT rr.bv, rr.rk, np.p FROM rr, np),
+         |mi2 AS (SELECT CAST(max(p) AS BIGINT) AS n_periods,
+         |  round((CAST(sum(CASE WHEN rk = (p + 1) // 2 THEN bv END)
+         |      AS DOUBLE) +
+         |    CAST(sum(CASE WHEN rk = (p + 2) // 2 THEN bv END)
+         |      AS DOUBLE)) / 2.0, 6) AS intercept
+         | FROM ri)
+         |SELECT n_periods, n_pairs, slope, intercept FROM mi2, sl2"""
+        .stripMargin
+    },
     // gaps-and-islands replica: date minus row_number is the island id
     "q_streaks" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
@@ -6861,7 +6932,8 @@ object Queries {
         val a = Dedup.affineA(r); val b = Dedup.affineB(r)
         s"""SELECT $r AS seed,
            | CASE WHEN (((u % $M) * (u % $M) % $M) * $a
-           |   + (u % $M) * $b + $r) % $M % 1000000 < 500000
+           |   + (u % $M) * $b + $r) % $M % 1000000 <
+           |   (SELECT thr FROM tot)
            |  THEN 0 ELSE 1 END AS arm, y FROM per""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"""WITH per AS (SELECT user_id AS u,
@@ -6871,6 +6943,10 @@ object Queries {
          | FROM events
          | WHERE event_type = 'purchase' AND user_id IS NOT NULL
          | GROUP BY 1, 2),
+         |tot AS (SELECT CASE WHEN count(*) > 0 THEN
+         |  CAST(sum(CASE WHEN v = '0' THEN 1 ELSE 0 END)
+         |    * 1000000 // count(*) AS BIGINT)
+         |  ELSE 500000 END AS thr FROM per),
          |obs AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
          |  CAST(sum(CASE WHEN v = '0' THEN 1 ELSE 0 END) AS BIGINT)
          |   AS n0,
@@ -8160,6 +8236,7 @@ object Queries {
         | CAST(min(cos) AS DOUBLE) AS min_cohesion
         |FROM co GROUP BY label""".stripMargin,
     "q_embedding_pca" -> pcaOracle,
+    "q_embedding_pca2" -> pca2Oracle,
     "q_embedding_whiten" -> whitenOracle,
     "q_embedding_dimstats" ->
       """WITH ex AS (SELECT
@@ -11291,10 +11368,85 @@ object Queries {
     * DOUBLE then /1e12 in the same two-step order as the engine, then
     * the driver's power iteration unrolled as CTE levels over the
     * d×d frame. */
+  /** q_quantile_sketch / q_stream_quantile_group shared replica: the
+    * same 10⁻⁴ integer scaling, equal-width integer bins
+    * (w = (max − min) // 256 + 1), cumulative bin walk, and
+    * lower-bound pick — bitwise, because every intermediate is a
+    * 64-bit integer and the only doubles are final /10⁴ divisions. */
+  private def sketchQuantileOracle: String =
+    """WITH v AS (SELECT event_type AS g,
+      |  CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS e4
+      | FROM events WHERE value IS NOT NULL),
+      |b AS (SELECT g, min(e4) AS mn,
+      |  (max(e4) - min(e4)) // 256 + 1 AS w FROM v GROUP BY g),
+      |s AS (SELECT v.g, mn, w, (e4 - mn) // w AS idx,
+      |  CAST(count(*) AS BIGINT) AS cnt
+      | FROM v JOIN b ON v.g = b.g GROUP BY v.g, mn, w, (e4 - mn) // w),
+      |c AS (SELECT g, mn, w, idx, cnt,
+      |  sum(cnt) OVER (PARTITION BY g) AS n,
+      |  sum(cnt) OVER (PARTITION BY g ORDER BY idx ASC) AS cum
+      | FROM s)
+      |SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
+      | CAST(mn + min(CASE WHEN cum >=
+      |     greatest(1, (n * 100 + 999) // 1000) THEN idx END) * w
+      |   AS DOUBLE) / 10000.0 AS p_100,
+      | CAST(mn + min(CASE WHEN cum >=
+      |     greatest(1, (n * 500 + 999) // 1000) THEN idx END) * w
+      |   AS DOUBLE) / 10000.0 AS p_500,
+      | CAST(mn + min(CASE WHEN cum >=
+      |     greatest(1, (n * 900 + 999) // 1000) THEN idx END) * w
+      |   AS DOUBLE) / 10000.0 AS p_900,
+      | CAST(w AS DOUBLE) / 10000.0 AS max_err
+      |FROM c GROUP BY g, mn, w""".stripMargin
+
   private def pcaOracle: String =
     s"""WITH $pcaChainCte
        |SELECT CAST(pos - 1 AS BIGINT) AS d, c AS weight
        |FROM v$PcaIters""".stripMargin
+
+  /** q_embedding_pca2 replica: the dominant chain, then the Rayleigh
+    * quotient (t = G·c by the iteration's own rounded-product decimal
+    * sums, num/den the same), the 12-dp deflation
+    * G' = G − λ·c_i·c_j/den cell-wise in the engine's literal op
+    * order, and a second unrolled power chain over G'. */
+  private def pca2Oracle: String = {
+    val last = s"v$PcaIters"
+    val steps2 = (1 to PcaIters).map { k =>
+      s"""t$k AS (SELECT d1 AS pos,
+         |  sum(CAST(round(CAST(g AS DOUBLE) * c, 12)
+         |      AS DECIMAL(28,12))) AS s
+         | FROM g2 JOIN w${k - 1} v ON g2.d2 = v.pos GROUP BY 1),
+         |u$k AS (SELECT max(abs(CAST(s AS DOUBLE))) AS m FROM t$k),
+         |w$k AS (SELECT pos,
+         |  CASE WHEN m <> 0.0 THEN round(CAST(s AS DOUBLE) / m, 6)
+         |       ELSE 0.0 END AS c
+         | FROM t$k, u$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $pcaChainCte,
+       |gc AS (SELECT d1 AS pos,
+       |  sum(CAST(round(CAST(g AS DOUBLE) * c, 12)
+       |      AS DECIMAL(28,12))) AS s
+       | FROM g JOIN $last v ON g.d2 = v.pos GROUP BY 1),
+       |num AS (SELECT sum(CAST(round(CAST(gc.s AS DOUBLE) * v.c, 12)
+       |    AS DECIMAL(28,12))) AS x
+       |  FROM gc JOIN $last v USING (pos)),
+       |den AS (SELECT sum(CAST(round(c * c, 12) AS DECIMAL(28,12)))
+       |    AS x FROM $last),
+       |lam AS (SELECT CAST(num.x AS DOUBLE) / CAST(den.x AS DOUBLE)
+       |    AS l, CAST(den.x AS DOUBLE) AS dn FROM num, den),
+       |g2 AS (SELECT a.d1, a.d2,
+       |  round(CAST(a.g AS DOUBLE) - l * ca.c * cb.c / dn, 12) AS g
+       | FROM g a JOIN $last ca ON a.d1 = ca.pos
+       |  JOIN $last cb ON a.d2 = cb.pos, lam),
+       |w0 AS (SELECT DISTINCT d1 AS pos, CAST(1.0 AS DOUBLE) AS c
+       |       FROM g2),
+       |$steps2
+       |SELECT CAST(1 AS BIGINT) AS component,
+       |  CAST(pos - 1 AS BIGINT) AS d, c AS weight FROM $last
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), CAST(pos - 1 AS BIGINT), c
+       |FROM w$PcaIters""".stripMargin
+  }
 
   /** q_embedding_whiten replica: the PCA chain, then per-vector
     * scaled-long dots/norms against v3 and the per-label dsum. */

@@ -22,9 +22,12 @@ import org.apache.spark.sql.functions._
 object Guards {
 
   /** The documented control-plane ceiling for single-partition
-    * frames: generous for every legitimate series (30 years of daily
-    * periods ≈ 11k rows; a 10⁶-bucket census), far below anything
-    * corpus-shaped. */
+    * frames: 10⁵ rows — generous for every legitimate series (30
+    * years of daily periods ≈ 11k rows; a 10⁴-group census with room
+    * to spare), far below anything corpus-shaped. A caller with a
+    * genuinely larger bounded frame (e.g. a fine-grained score
+    * distribution) passes an explicit `maxRows` rather than widening
+    * the default for everyone (ADVICE r10). */
   val MaxSeriesRows = 100000L
 
   /** The only sanctioned way to build an unpartitioned ordered

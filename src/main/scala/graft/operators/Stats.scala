@@ -1465,6 +1465,19 @@ object Stats {
       .select(col("n_units"),
         when(col("__n0") > 0 && col("__n1") > 0,
           tOf("__n0", "__s0", "__n1", "__s1")).as("__tobs"))
+    // The null must preserve the OBSERVED arm allocation: re-drawing
+    // a 90/10 design at 50/50 would rank t_obs against the wrong
+    // replicate distribution (ADVICE r10). The threshold is the
+    // observed A-share of the bucket space, collected as a 1-row
+    // pre-scan driver literal (the fdrByGroup pattern) in pure
+    // integer arithmetic the oracle replays verbatim.
+    val allocRow = per.agg(
+      coalesce(sum(when(col("__v") === variantA, 1L).otherwise(0L)),
+        lit(0L)).as("na"),
+      coalesce(count(lit(1)), lit(0L)).as("nt")).head()
+    val (na, nt) = (allocRow.getLong(0), allocRow.getLong(1))
+    val armThr: Long =
+      if (nt > 0) na * Sampling.Buckets / nt else Sampling.Buckets / 2
     // QUADRATIC portable hash, not the affine idBucket: an affine
     // map of consecutive ids is itself (anti-)correlated with id
     // parity on some seeds — exactly the structure experiment
@@ -1477,7 +1490,7 @@ object Stats {
     def armOf(r: Int): Column =
       when(pmod((um * um % Dedup.PortableMod) * Dedup.affineA(r) +
         um * Dedup.affineB(r) + r, lit(Dedup.PortableMod)) %
-        Sampling.Buckets < Sampling.Buckets / 2, 0)
+        Sampling.Buckets < armThr, 0)
         .otherwise(1).cast(IntegerType)
     val arms = (0 until reps).map { r =>
       struct(lit(r).as("seed"), armOf(r).as("arm"))
@@ -2391,6 +2404,11 @@ object Stats {
     val counts = v.groupBy(col("__g"), col("__x"))
       .agg(count(lit(1)).as("__c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // loud abstention for a missing reference group — same class as
+    // the wassersteinByGroup guard (ADVICE r10)
+    require(!counts.filter(col("__g") === refGroup).isEmpty,
+      s"ksByGroup: reference group '$refGroup' has no rows in " +
+        s"$groupCol — a drift gate against it would pass vacuously")
     val spine = counts.select(col("__x")).distinct()
     val groups = counts.select(col("__g")).distinct()
     val grid = groups.crossJoin(spine)
@@ -2452,6 +2470,13 @@ object Stats {
     val counts = v.groupBy(col("__g"), col("__x"))
       .agg(count(lit(1)).as("__c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // a missing reference group (typo, filtered out upstream) must
+    // abstain LOUDLY, not return an empty frame a drift gate passes
+    // vacuously (ADVICE r10) — one cheap pre-scan over the persisted
+    // per-(group, value) counts
+    require(!counts.filter(col("__g") === refGroup).isEmpty,
+      s"wassersteinByGroup: reference group '$refGroup' has no rows " +
+        s"in $groupCol — a drift gate against it would pass vacuously")
     val spine = counts.select(col("__x")).distinct()
     val groups = counts.select(col("__g")).distinct()
     val filled = groups.crossJoin(spine)
@@ -2502,6 +2527,120 @@ object Stats {
     chiSquareCore(df, aCol, bCol)
       .select(col("n"), col("n_cells"),
         ((col("__ka") - 1) * (col("__kb") - 1)).as("dof"), col("chi2"))
+
+  /** Mantel–Haenszel pooled odds ratio across strata (Mantel &
+    * Haenszel 1959) — the SIMPSON'S-PARADOX guard for any 2×2
+    * exposure/outcome question: the crude OR over the pooled table
+    * can point the opposite way from every stratum when the strata
+    * differ in mix; MH pools the per-stratum ORs with the canonical
+    * weights instead. Emitted side by side with the crude OR so the
+    * divergence (confounding) is the readout.
+    *
+    * OR_MH = Σ_i(a_i·d_i/n_i) / Σ_i(b_i·c_i/n_i) over strata with
+    * n_i > 0; a = exposed∧outcome, b = exposed∧¬outcome,
+    * c = ¬exposed∧outcome, d = neither. Determinism: cell counts are
+    * exact integers from ONE corpus scan (map-side combined); each
+    * stratum term is one double division rounded to 9 dp and summed
+    * as DECIMAL(28,9) — order-free — and the final ratio is one
+    * double division, round 6. Strata where a·d and b·c are both
+    * zero contribute nothing (their terms are 0); a zero MH
+    * denominator abstains with NULL (never a fake 0 or ∞).
+    *
+    * Returns one row: (n, n_strata, or_crude, or_mh). */
+  def mantelHaenszel(
+      df: DataFrame,
+      stratumCol: String,
+      exposure: Column,
+      outcome: Column): DataFrame = {
+    val cells = df
+      .select(col(stratumCol).cast(StringType).as("__g"),
+        when(coalesce(exposure, lit(false)), 1L).otherwise(0L).as("__e"),
+        when(coalesce(outcome, lit(false)), 1L).otherwise(0L).as("__y"))
+      .filter(col("__g").isNotNull)
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__e") === 1 && col("__y") === 1, 1L)
+          .otherwise(0L)).as("__a"),
+        sum(when(col("__e") === 1 && col("__y") === 0, 1L)
+          .otherwise(0L)).as("__b"),
+        sum(when(col("__e") === 0 && col("__y") === 1, 1L)
+          .otherwise(0L)).as("__c"),
+        sum(when(col("__e") === 0 && col("__y") === 0, 1L)
+          .otherwise(0L)).as("__d"))
+    def dd(c: Column) = c.cast(DoubleType)
+    val fold = DecimalType(28, 9)
+    val nD = dd(col("__n"))
+    val tNum = round(dd(col("__a")) * dd(col("__d")) / nD, 9).cast(fold)
+    val tDen = round(dd(col("__b")) * dd(col("__c")) / nD, 9).cast(fold)
+    val agg = cells.filter(col("__n") > 0).agg(
+      sum(col("__n")).as("n"),
+      count(lit(1)).as("n_strata"),
+      sum(col("__a")).as("__ta"), sum(col("__b")).as("__tb"),
+      sum(col("__c")).as("__tc"), sum(col("__d")).as("__td"),
+      coalesce(sum(tNum), lit(0).cast(fold)).as("__mn"),
+      coalesce(sum(tDen), lit(0).cast(fold)).as("__md"))
+    agg.select(col("n"), col("n_strata"),
+      when(dd(col("__tb")) * dd(col("__tc")) > 0.0,
+        round(dd(col("__ta")) * dd(col("__td")) /
+          (dd(col("__tb")) * dd(col("__tc"))), 6))
+        .otherwise(lit(null).cast(DoubleType)).as("or_crude"),
+      when(dd(col("__md")) > 0.0,
+        round(dd(col("__mn")) / dd(col("__md")), 6))
+        .otherwise(lit(null).cast(DoubleType)).as("or_mh"))
+  }
+
+  /** AMS F₂ (second frequency moment) sketch (Alon, Matias & Szegedy
+    * 1996) — the SELF-JOIN-SIZE estimator: F₂ = Σ_k f(k)² is exactly
+    * the row count of a self-equi-join on the key, the number a join
+    * planner needs BEFORE paying for the join (a skewed key column
+    * makes F₂ explode while the distinct count stays flat). Each of
+    * `depth` rows keeps one running signed sum S_j = Σ_rows σ_j(key)
+    * with σ_j ∈ {±1} from the portable hash family (a THRESHOLD on
+    * the bucket — the low-bit rule); E[S_j²] = F₂, and the estimate
+    * is the MEDIAN of the S_j² — O(depth) longs of fully mergeable
+    * state (signed sums add across shards).
+    *
+    * The exact F₂ (one groupBy over the keys) is emitted next to the
+    * estimate as the audit — at 100 TB the sketch is the one-pass
+    * O(1)-state path and the audit runs on samples. Determinism: σ
+    * draws are the quadratic portable hash (seed = the depth index),
+    * sums and squares are exact integers (S² as DECIMAL(38,0)), the
+    * median over the `depth`-row frame takes the lower-middle rank —
+    * pure integers end to end, bitwise in any engine.
+    *
+    * Returns one row: (n, n_keys, f2_exact, f2_est). */
+  def amsF2(
+      df: DataFrame,
+      key: Column,
+      depth: Int = 9): DataFrame = {
+    require(depth >= 1 && depth <= 64, s"depth out of range: $depth")
+    val h = pmod(Dedup.polyHash(key), lit(Dedup.PortableMod))
+    def sigma(j: Int): Column =
+      when(pmod((h * h % Dedup.PortableMod) * Dedup.affineA(j) +
+        h * Dedup.affineB(j) + j, lit(Dedup.PortableMod)) %
+        Sampling.Buckets < Sampling.Buckets / 2, 1L).otherwise(-1L)
+    val sums = df.agg(
+      count(lit(1)).as("__n"),
+      (0 until depth).map(j => sum(sigma(j)).as(s"__s$j")): _*)
+    val ests = sums.select(col("__n"),
+      explode(array((0 until depth).map(j =>
+        (col(s"__s$j") * col(s"__s$j")).cast(DecimalType(38, 0))): _*))
+        .as("__e"))
+    // depth-row frame: the sanctioned bounded single-partition rank
+    val ranked = Guards.boundedSeries(ests, "amsF2 depth estimates")
+      .withColumn("__rk", row_number().over(
+        Guards.seriesWindow(col("__e").asc)))
+    val med = ranked.agg(max(col("__n")).as("n"),
+      min(when(col("__rk") === (depth + 1) / 2, col("__e")))
+        .as("f2_est"))
+    val exact = df.groupBy(key.as("__k")).agg(count(lit(1)).as("__f"))
+      .agg(count(lit(1)).as("n_keys"),
+        coalesce(sum((col("__f") * col("__f"))
+          .cast(DecimalType(38, 0))), lit(0).cast(DecimalType(38, 0)))
+          .as("f2_exact"))
+    med.crossJoin(broadcast(exact)) // 1×1 control plane
+      .select(col("n"), col("n_keys"), col("f2_exact"), col("f2_est"))
+  }
 
   /** Association rules over (basket, item) pairs — market-basket
     * support / confidence / lift for every ORDERED item pair: which
@@ -4373,10 +4512,12 @@ object Stats {
       .select(col("__i"), (col("__swy").cast(DoubleType) /
         col("__sw").cast(DoubleType)).as("__m"))
     // b bounded rows: single-partition rank is the documented
-    // control-plane pattern (ranks replicates, never data)
-    val ranked = means
+    // control-plane pattern (ranks replicates, never data) — routed
+    // through the sanctioned Guards pair like every other series
+    // window (VERDICT r10 item 2)
+    val ranked = Guards.boundedSeries(means, "poissonBootstrap replicates")
       .withColumn("__rk", row_number().over(
-        Window.orderBy(col("__m").asc, col("__i").asc)))
+        Guards.seriesWindow(col("__m").asc, col("__i").asc)))
       .withColumn("__nb", count(lit(1)).over(Window.partitionBy(lit(1))))
     // integer ceil(nb·0.025) / ceil(nb·0.975) — `div`, not `/`
     // (Spark's `/` is double division even on longs)
@@ -5038,6 +5179,98 @@ object Stats {
         sum(when(col("__rk") === ph, col("__bv")))) / 2.0, 6)
         .as("intercept"))
       .select(lit(p).as("n_periods"), col("slope"), col("intercept"))
+    idx.unpersist(false)
+    out
+  }
+
+  /** SAMPLED Siegel repeated-median trend — the long-series escape
+    * hatch [[siegelTrend]]'s maxPeriods guard points at (the exact
+    * form is the catalog's costliest trend; this one is O(P·k) BY
+    * CONSTRUCTION): each point i draws `partnersPerPoint`
+    * deterministic hash-sampled partners j ≠ i anywhere in the series
+    * (off = 1 + bucket mod (P−1), j = ((i−1+off) mod P) + 1 — a
+    * uniform draw over the other P−1 points, unlike the strictly-
+    * upper theilSenSampled draw: Siegel's inner median is two-sided),
+    * takes the inner median over the sampled slopes per point (a
+    * PARTITIONED window — the partition is the ≤ k sampled partner
+    * set), and the outer median of per-point medians through
+    * [[globalRankByValue]]'s two-phase rank. Same portable
+    * [[Sampling.idBucket]] draws, DISTINCT-collapsed duplicates,
+    * exact two-middle medians, and the 6-dp-emitted-slope intercept.
+    *
+    * Returns one row: (n_periods, n_pairs, slope, intercept). */
+  def siegelTrendSampled(
+      series: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      partnersPerPoint: Int = 64,
+      seed: Int = 31): DataFrame = {
+    require(partnersPerPoint >= 1 && partnersPerPoint <= 1024,
+      s"partnersPerPoint out of range: $partnersPerPoint")
+    val w = Guards.seriesWindow(col(orderCol).asc)
+    val idx = Guards.boundedSeries(series, "trend series")
+      .select(col(valueCol).cast(DoubleType).as("__y"),
+        row_number().over(w).as("__i"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = idx.count()
+    if (p < 2) {
+      idx.unpersist(false)
+      require(p >= 2, s"siegelTrendSampled needs >= 2 periods, got $p")
+    }
+    val k = partnersPerPoint
+    val pairs = idx
+      .select(col("__i").cast(LongType).as("__ia"),
+        col("__y").as("__ya"),
+        explode(sequence(lit(1), lit(k))).as("__r"))
+      .withColumn("__j",
+        (col("__ia") - 1 + 1 +
+          Sampling.idBucket(col("__ia") * k + col("__r"), seed) %
+            lit(p - 1)) % lit(p) + 1)
+      .select(col("__ia"), col("__ya"), col("__j"))
+      .distinct()
+    val slopes = pairs
+      .join(idx.select(col("__i").cast(LongType).as("__j"),
+        col("__y").as("__yb")), Seq("__j"))
+      .select(col("__ia"), col("__j"),
+        ((col("__yb") - col("__ya")) /
+          (col("__j") - col("__ia")).cast(DoubleType)).as("__s"))
+    // inner median per point over its VARIABLE-size sampled partner
+    // set: ranks against the per-partition count (integer div)
+    val wi = Window.partitionBy(col("__ia"))
+      .orderBy(col("__s").asc, col("__j").asc)
+    val wc = Window.partitionBy(col("__ia"))
+    val perI = slopes
+      .withColumn("__rk", row_number().over(wi))
+      .withColumn("__c", count(lit(1)).over(wc))
+      .groupBy(col("__ia"))
+      .agg(((sum(when(col("__rk") === expr("(__c + 1) div 2"),
+        col("__s"))) +
+        sum(when(col("__rk") === expr("(__c + 2) div 2"),
+          col("__s")))) / 2.0).as("__m"),
+        count(lit(1)).as("__cn"))
+    val (ranked, n) = globalRankByValue(perI, "__m", "__ia")
+    val g1 = (n + 1) / 2
+    val g2 = (n + 2) / 2
+    val med = ranked.agg(
+      sum(when(col("__rank") === g1, col("__m"))).as("__a"),
+      sum(when(col("__rank") === g2, col("__m"))).as("__b"),
+      sum(col("__cn")).as("__np"))
+      .select(round((col("__a") + col("__b")) / 2.0, 6).as("slope"),
+        col("__np"))
+    val wb = Guards.seriesWindow(col("__bv").asc, col("__i").asc)
+    val pm = lit((p + 1) / 2)
+    val ph = lit((p + 2) / 2)
+    val resid = idx.crossJoin(broadcast(med))
+      .withColumn("__bv", col("__y") - col("slope") * col("__i"))
+      .withColumn("__rk", row_number().over(wb))
+    val out = resid.agg(
+      max(col("slope")).as("slope"),
+      max(col("__np")).as("n_pairs"),
+      round((sum(when(col("__rk") === pm, col("__bv"))) +
+        sum(when(col("__rk") === ph, col("__bv")))) / 2.0, 6)
+        .as("intercept"))
+      .select(lit(p).as("n_periods"), col("n_pairs"),
+        col("slope"), col("intercept"))
     idx.unpersist(false)
     out
   }

@@ -39,4 +39,23 @@ class GuardsSpec extends SparkSpecBase {
       m.contains("control-plane bound")),
       s"guard must name the caller: ${messages(e).mkString(" | ")}")
   }
+
+  test("source lint: no raw unpartitioned Window.orderBy in main " +
+    "source outside Guards — seriesWindow is the only sanctioned route") {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    assert(java.nio.file.Files.exists(root), s"run from the repo root")
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala") &&
+        !p.getFileName.toString.equals("Guards.scala"))
+      .flatMap { p =>
+        val lines = java.nio.file.Files.readAllLines(p).asScala
+        lines.zipWithIndex.collect {
+          case (l, i) if l.contains("Window.orderBy") => s"$p:${i + 1}: $l"
+        }
+      }.toSeq
+    assert(offenders.isEmpty,
+      "raw Window.orderBy outside Guards.scala (route it through " +
+        s"Guards.seriesWindow + boundedSeries):\n${offenders.mkString("\n")}")
+  }
 }

@@ -744,6 +744,39 @@ class StatsSpec extends SparkSpecBase {
     }
   }
 
+  test("siegelTrendSampled: exact line recovered from any partner " +
+      "sample; pair frame is O(P·k); robust to one wild point; " +
+      "deterministic replay") {
+    import spark.implicits._
+    def mk(vals: Seq[Double]) = vals.zipWithIndex
+      .map { case (v, i) => (f"d${i + 1}%03d", v) }.toDF("d", "v")
+    // y = 3i + 1 exactly: every sampled slope is 3 regardless of draw
+    val line = (1 to 40).map(i => 3.0 * i + 1.0)
+    val r = Stats.siegelTrendSampled(mk(line), "d", "v",
+      partnersPerPoint = 4).collect()(0)
+    assert(r.getAs[Long]("n_periods") == 40L)
+    // 40 points × ≤4 draws (dedup can only shrink) — never P(P−1)
+    assert(r.getAs[Long]("n_pairs") <= 160L &&
+      r.getAs[Long]("n_pairs") >= 40L, s"pair budget: $r")
+    assert(r.getAs[Double]("slope") == 3.0, s"slope: $r")
+    assert(r.getAs[Double]("intercept") == 1.0, s"intercept: $r")
+    // one wild point among 20: each clean point's sampled inner
+    // median still sees mostly clean slopes — repeated-median
+    // robustness survives sampling
+    val contam = (1 to 20).map(i =>
+      if (i == 7) 500.0 else 2.0 * i + 5.0)
+    val rob = Stats.siegelTrendSampled(mk(contam), "d", "v",
+      partnersPerPoint = 8).collect()(0)
+    assert(rob.getAs[Double]("slope") == 2.0, s"robust slope: $rob")
+    // deterministic replay + the 2-period floor guard
+    val r2 = Stats.siegelTrendSampled(mk(line), "d", "v",
+      partnersPerPoint = 4).collect()(0)
+    assert(r == r2, "sampled partner set must replay exactly")
+    intercept[IllegalArgumentException] {
+      Stats.siegelTrendSampled(mk(Seq(1.0)), "d", "v")
+    }
+  }
+
   test("siegelTrend property: equals the plain-Scala repeated-median " +
       "model on random series (explicit seeds)") {
     import spark.implicits._
@@ -1252,6 +1285,30 @@ class StatsSpec extends SparkSpecBase {
     assert(f.toSeq == f2.toSeq)
   }
 
+  test("permutationTest: an UNEQUAL design re-draws the null at the " +
+    "observed allocation, so a label-independent metric is not " +
+    "spuriously significant (ADVICE r10)") {
+    import spark.implicits._
+    // 90/10 design, y independent of the label: a 50/50 null would
+    // rank t_obs against the wrong replicate spread; the allocation-
+    // preserving null must find it unremarkable
+    val df = (1L to 200L).map { u =>
+      (u, if (u % 10 == 0) "b" else "a", (u % 7).toDouble)
+    }.toDF("u", "v", "y")
+    val r = Stats.permutationTest(df, col("u"), col("v"), col("y"),
+      "a", "b", reps = 64).collect()(0)
+    assert(r.getAs[Long]("r_effective") == 64L)
+    // unremarkable: a healthy share of replicate |t| reach |t_obs|
+    assert(r.getAs[Long]("p_ub_ppm") > 50000L, s"got $r")
+    // the replicates actually used the 90/10 allocation: with a
+    // 50/50 null the per-arm counts would straddle 100; here arm a
+    // must dominate every replicate — proxied by the null spread
+    // admitting the observed t (above) AND determinism on rerun
+    val r2 = Stats.permutationTest(df, col("u"), col("v"), col("y"),
+      "a", "b", reps = 64).collect()(0)
+    assert(r.toSeq == r2.toSeq)
+  }
+
   test("durbinWatson: alternating residuals push DW toward 4, a " +
     "smooth ramp stays near 2 on its own scale") {
     import spark.implicits._
@@ -1453,6 +1510,20 @@ class StatsSpec extends SparkSpecBase {
     assert(got("a").getAs[Double]("w1") == 5.0, s"got ${got("a")}")
     assert(got("b").getAs[Double]("w1") == 0.0)
     assert(!got.contains("r"))
+  }
+
+  test("ksByGroup / wassersteinByGroup: a missing reference group " +
+    "aborts loudly instead of returning an empty frame") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("b", 2.0)).toDF("g", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Stats.wassersteinByGroup(df, "v", "g", refGroup = "nope")
+    }
+    assert(e1.getMessage.contains("nope"))
+    val e2 = intercept[IllegalArgumentException] {
+      Stats.ksByGroup(df, "v", "g", refGroup = "nope")
+    }
+    assert(e2.getMessage.contains("nope"))
   }
 
   test("mannKendallByGroup: per-group verdicts match the global " +
