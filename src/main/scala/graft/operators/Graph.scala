@@ -619,4 +619,48 @@ object Graph {
     eSrc.unpersist(false); eDst.unpersist(false); nodes.unpersist(false)
     (out, it)
   }
+
+  /** Degree assortativity (Newman 2002, Phys. Rev. Lett. 89.208701):
+    * the Pearson correlation of (deg(src), deg(dst)) over the DIRECTED
+    * edge list — positive means hubs link to hubs (a social-network
+    * shape), negative means hubs fan out to leaves (the hub-dominated
+    * k-NN pathology [[graft.operators]] reciprocity also probes, read
+    * as one number). On a symmetrized edge list the coefficient is the
+    * standard undirected form.
+    *
+    * Scale shape: one degree aggregate (map-side combined), two
+    * broadcast-sized joins of edges against the degree table (at web
+    * scale: the degree frame is |nodes| — shuffle-join on the
+    * endpoint; Spark picks by size), ONE 1-row aggregate. Exactness:
+    * degrees and their per-edge products are integers summed as
+    * DECIMAL(38,0) — order-free at any scale; the Pearson assembly is
+    * closed-form double arithmetic in a literal op order the oracle
+    * mirrors, one IEEE sqrt, round 6.
+    *
+    * Returns one row: (n_edges, assortativity — NULL when either
+    * variance is zero, e.g. a regular graph). */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+    val p = edges
+      .join(deg.select(col("src"), col("__d").as("__dx")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("__d").as("__dy")),
+        Seq("dst"))
+    val dec = DecimalType(38, 0)
+    val agg = p.agg(
+      count(lit(1)).as("n_edges"),
+      sum(col("__dx").cast(dec)).as("__sx"),
+      sum(col("__dy").cast(dec)).as("__sy"),
+      sum((col("__dx") * col("__dy")).cast(dec)).as("__sxy"),
+      sum((col("__dx") * col("__dx")).cast(dec)).as("__sxx"),
+      sum((col("__dy") * col("__dy")).cast(dec)).as("__syy"))
+    def d(c: String) = col(c).cast(DoubleType)
+    val n = col("n_edges").cast(DoubleType)
+    val num = n * d("__sxy") - d("__sx") * d("__sy")
+    val vx = n * d("__sxx") - d("__sx") * d("__sx")
+    val vy = n * d("__syy") - d("__sy") * d("__sy")
+    agg.select(col("n_edges"),
+      when(vx > 0.0 && vy > 0.0,
+        round(num / sqrt(vx * vy), 6))
+        .otherwise(lit(null).cast(DoubleType)).as("assortativity"))
+  }
 }

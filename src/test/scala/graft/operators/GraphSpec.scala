@@ -322,4 +322,24 @@ class GraphSpec extends SparkSpecBase {
       (r.getLong(0), r.getDecimal(1).toPlainString)).toSet
     assert(a == b, "early-exit scores must equal the full run's")
   }
+
+  test("degreeAssortativity: a star is exactly -1, a regular graph " +
+    "abstains (zero degree variance)") {
+    // K_{1,3} symmetrized: hub degree 3, leaves 1 — every edge pairs
+    // (3,1): the textbook perfectly DISassortative graph, r = -1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val s = Graph.degreeAssortativity(star).collect()(0)
+    assert(s.getAs[Long]("n_edges") == 6L)
+    assert(s.getAs[Double]("assortativity") == -1.0, s"got $s")
+    // a 4-cycle is 2-regular: zero variance on both endpoints — the
+    // coefficient must abstain with NULL, not divide by zero
+    val cycle = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val c = Graph.degreeAssortativity(cycle).collect()(0)
+    assert(c.getAs[Long]("n_edges") == 8L)
+    assert(c.isNullAt(c.fieldIndex("assortativity")), s"got $c")
+  }
 }
