@@ -995,6 +995,69 @@ object Similarity {
     out
   }
 
+  /** Per-label centroid DRIFT between two corpus halves — the
+    * embedding-space form of the distribution-drift monitors (PSI/KS
+    * watch scalar columns; this watches the geometry): for each
+    * label, the cosine between its early-half and late-half
+    * centroids. A drift_cos well below 1 means the label's region
+    * MOVED between ingestion waves — retrain/recalibrate before
+    * trusting nearest-neighbor structure built on the mix.
+    *
+    * Scale shape: ONE corpus pass to the (label, half, pos) centroid
+    * frame ([[labelCohesion]]'s exact-decimal 9-dp discipline: scaled
+    * 1e9 longs summed in a DECIMAL(38,0) buffer); everything after
+    * runs on that |labels|·2·dim control frame. Products round to 12
+    * dp as scaled longs and sum exactly; the cosine emits at 6 dp.
+    * Labels present in only one half drop (no drift is defined).
+    *
+    * Returns (labelCol, n_early, n_late, drift_cos). */
+  def centroidDrift(
+      emb: DataFrame,
+      labelCol: String,
+      vecCol: String,
+      lateFlag: Column): DataFrame = {
+    def s9(p: Column): Column =
+      when(p >= 0, floor(p * lit(1e9) + lit(0.5)))
+        .otherwise(-floor(-p * lit(1e9) + lit(0.5))).cast(LongType)
+    def s12(p: Column): Column =
+      when(p >= 0, floor(p * lit(1e12) + lit(0.5)))
+        .otherwise(-floor(-p * lit(1e12) + lit(0.5))).cast(LongType)
+    val ex = emb.select(col(labelCol),
+      when(coalesce(lateFlag, lit(false)), 1).otherwise(0).as("__h"),
+      posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast(DoubleType))
+    val cent = ex.groupBy(col(labelCol), col("__h"), col("pos"))
+      .agg(count(lit(1)).as("__n"),
+        round((sum(s9(col("v")).cast(DecimalType(38, 0)))
+            .cast(DoubleType) / lit(1e9)) /
+          count(lit(1)), 9).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cn = cent.groupBy(col(labelCol), col("__h"))
+      .agg(max(col("__n")).as("__cnt"),
+        (sum(s12(col("c") * col("c"))).cast(DoubleType) / lit(1e12))
+          .as("cn2"))
+    val a = cent.filter(col("__h") === 0)
+      .select(col(labelCol), col("pos"), col("c").as("__ca"))
+    val b = cent.filter(col("__h") === 1)
+      .select(col(labelCol), col("pos"), col("c").as("__cb"))
+    val num = a.join(b, Seq(labelCol, "pos"))
+      .groupBy(col(labelCol))
+      .agg((sum(s12(col("__ca") * col("__cb"))).cast(DoubleType) /
+        lit(1e12)).as("num"))
+    // |labels|-row result: materialize, then release the centroids
+    val out = num
+      .join(broadcast(cn.filter(col("__h") === 0).select(col(labelCol),
+        col("__cnt").as("n_early"), col("cn2").as("__na"))), Seq(labelCol))
+      .join(broadcast(cn.filter(col("__h") === 1).select(col(labelCol),
+        col("__cnt").as("n_late"), col("cn2").as("__nb"))), Seq(labelCol))
+      .select(col(labelCol), col("n_early"), col("n_late"),
+        round(col("num") / sqrt(col("__na") * col("__nb")), 6)
+          .as("drift_cos"))
+      .localCheckpoint(true)
+    cent.unpersist(false)
+    out
+  }
+
   /** Dominant principal component of an embedding corpus: ONE
     * distributed pass accumulates the Gram matrix G = Σ_rows x·xᵀ
     * (per-row outer products, d² = 4096 cells for d = 64, map-side

@@ -2609,17 +2609,25 @@ object Stats {
     * pure integers end to end, bitwise in any engine.
     *
     * Returns one row: (n, n_keys, f2_exact, f2_est). */
+  /** The AMS ±1 draw for depth row `j`: the quadratic portable hash
+    * of the key, thresholded on the bucket midpoint (the low-bit
+    * rule). Shared by [[amsF2]], [[amsJoinSize]], and the streaming
+    * signed-sum state — one definition, one oracle replica. */
+  def amsSigma(key: Column, j: Int): Column = {
+    val h = pmod(Dedup.polyHash(key), lit(Dedup.PortableMod))
+    when(pmod((h * h % Dedup.PortableMod) * Dedup.affineA(j) +
+      h * Dedup.affineB(j) + j, lit(Dedup.PortableMod)) %
+      Sampling.Buckets < Sampling.Buckets / 2, 1L).otherwise(-1L)
+  }
+
   def amsF2(
       df: DataFrame,
       key: Column,
       depth: Int = 9): DataFrame = {
     require(depth >= 1 && depth <= 64, s"depth out of range: $depth")
-    val h = pmod(Dedup.polyHash(key), lit(Dedup.PortableMod))
-    def sigma(j: Int): Column =
-      when(pmod((h * h % Dedup.PortableMod) * Dedup.affineA(j) +
-        h * Dedup.affineB(j) + j, lit(Dedup.PortableMod)) %
-        Sampling.Buckets < Sampling.Buckets / 2, 1L).otherwise(-1L)
-    val sums = df.agg(
+    val base = df.filter(key.isNotNull) // a NULL key is no key
+    def sigma(j: Int): Column = amsSigma(key, j)
+    val sums = base.agg(
       count(lit(1)).as("__n"),
       (0 until depth).map(j => sum(sigma(j)).as(s"__s$j")): _*)
     val ests = sums.select(col("__n"),
@@ -2633,13 +2641,68 @@ object Stats {
     val med = ranked.agg(max(col("__n")).as("n"),
       min(when(col("__rk") === (depth + 1) / 2, col("__e")))
         .as("f2_est"))
-    val exact = df.groupBy(key.as("__k")).agg(count(lit(1)).as("__f"))
+    val exact = base.groupBy(key.as("__k")).agg(count(lit(1)).as("__f"))
       .agg(count(lit(1)).as("n_keys"),
         coalesce(sum((col("__f") * col("__f"))
           .cast(DecimalType(38, 0))), lit(0).cast(DecimalType(38, 0)))
           .as("f2_exact"))
     med.crossJoin(broadcast(exact)) // 1×1 control plane
       .select(col("n"), col("n_keys"), col("f2_exact"), col("f2_est"))
+  }
+
+  /** AMS sketched JOIN-SIZE estimate between two tables — the
+    * companion of [[amsF2]] (F₂ is the self-join special case): the
+    * inner product Σ_k f_A(k)·f_B(k) IS |A ⋈ B| on the key, and with
+    * BOTH sides sketched by the SAME ±1 hash family,
+    * E[S_A,j · S_B,j] equals it — the classic AMS inner-product
+    * estimator. Each side's state is `depth` mergeable longs built in
+    * one pass; the planner question "how big is this join" gets an
+    * answer without shuffling either table. Exact join size emitted
+    * beside the estimate as the audit.
+    *
+    * Determinism: the same quadratic portable draws as [[amsF2]],
+    * exact signed sums, per-depth products as DECIMAL(38,0), and the
+    * lower-middle median over the depth-row frame — integers end to
+    * end (the estimate can be negative; the median is over signed
+    * values, exactly as the literature defines it).
+    *
+    * Returns one row: (n_a, n_b, join_exact, join_est). */
+  def amsJoinSize(
+      dfA: DataFrame,
+      keyA: Column,
+      dfB: DataFrame,
+      keyB: Column,
+      depth: Int = 9): DataFrame = {
+    require(depth >= 1 && depth <= 64, s"depth out of range: $depth")
+    def sums(df: DataFrame, key: Column, tag: String): DataFrame =
+      df.filter(key.isNotNull)
+        .agg(count(lit(1)).as(s"__n$tag"),
+          (0 until depth).map(j =>
+            coalesce(sum(amsSigma(key, j)), lit(0L)).as(s"__$tag$j")): _*)
+    val sa = sums(dfA, keyA, "a")
+    val sb = sums(dfB, keyB, "b")
+    val both = sa.crossJoin(broadcast(sb)) // 1×1 control plane
+    val ests = both.select(col("__na"), col("__nb"),
+      explode(array((0 until depth).map(j =>
+        (col(s"__a$j") * col(s"__b$j")).cast(DecimalType(38, 0))): _*))
+        .as("__e"))
+    val ranked = Guards.boundedSeries(ests, "amsJoinSize depth estimates")
+      .withColumn("__rk", row_number().over(
+        Guards.seriesWindow(col("__e").asc)))
+    val med = ranked.agg(
+      max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+      min(when(col("__rk") === (depth + 1) / 2, col("__e")))
+        .as("join_est"))
+    val fa = dfA.filter(keyA.isNotNull)
+      .groupBy(keyA.as("__k")).agg(count(lit(1)).as("__fa"))
+    val fb = dfB.filter(keyB.isNotNull)
+      .groupBy(keyB.as("__k")).agg(count(lit(1)).as("__fb"))
+    val exact = fa.join(fb, Seq("__k"))
+      .agg(coalesce(sum((col("__fa") * col("__fb"))
+        .cast(DecimalType(38, 0))), lit(0).cast(DecimalType(38, 0)))
+        .as("join_exact"))
+    med.crossJoin(broadcast(exact)) // 1×1 control plane
+      .select(col("n_a"), col("n_b"), col("join_exact"), col("join_est"))
   }
 
   /** Association rules over (basket, item) pairs — market-basket

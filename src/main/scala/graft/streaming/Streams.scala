@@ -980,6 +980,49 @@ object Streams {
       }
   }
 
+  /** Latest signed AMS sum of one depth row after each touching
+    * batch, with the monotone keep-the-max drain counter. */
+  final case class AmsSum(j: Int, updates: Long, n: Long, s: Long)
+
+  /** Streaming AMS F₂ state — the self-join-size monitor AT INGEST:
+    * each depth row carries ONE signed sum S_j = Σ σ_j(key) across
+    * micro-batches (the [[graft.operators.Stats.amsSigma]] ±1 draws —
+    * one definition with the batch sketch), so the live F₂ estimate
+    * (median of S_j²) is available while the drop lands. Signed sums
+    * are associative/commutative integers: the file-to-batch split
+    * CANNOT change the drained state, which therefore equals the
+    * batch [[graft.operators.Stats.amsF2]] sums bit for bit — the
+    * q_stream_f2 gate replays the batch oracle verbatim (the
+    * q_stream_drift pattern). State is `depth` (long, long) pairs
+    * TOTAL — the smallest monitor state in the module alongside the
+    * CMS cells. */
+  def amsSumsState(
+      rows: DataFrame,
+      key: Column,
+      depth: Int = 9)(
+      implicit spark: SparkSession): Dataset[AmsSum] = {
+    import spark.implicits._
+    require(depth >= 1 && depth <= 64, s"depth out of range: $depth")
+    rows.filter(key.isNotNull)
+      .select(explode(array((0 until depth).map(j =>
+        struct(lit(j).as("j"),
+          graft.operators.Stats.amsSigma(key, j).as("sg"))): _*))
+        .as("x"))
+      .select(col("x.j").as[Int], col("x.sg").as[Long])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (j: Int, it: Iterator[(Int, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          var n = 0L; var s = 0L
+          while (it.hasNext) { s += it.next()._2; n += 1 }
+          val (pu, pn, ps) = state.getOption.getOrElse((0L, 0L, 0L))
+          val tot = (pu + 1L, pn + n, ps + s)
+          state.update(tot)
+          Iterator(AmsSum(j, tot._1, tot._2, tot._3))
+      }
+  }
+
   /** Latest per-key KMV summary after each touching batch: n =
     * min(distinct, k) and the k-th minimum (MaxValue while under
     * k), with the monotone keep-the-max drain counter. */

@@ -125,6 +125,25 @@ class SimilaritySpec extends SparkSpecBase {
       s"got: ${messages(e).mkString(" | ")}")
   }
 
+  test("centroidDrift: identical halves score 1, orthogonal halves " +
+    "0, a single-half label is absent") {
+    import spark.implicits._
+    // x: same vector in both halves (even ids early, odd late);
+    // y: early on axis 0, late on axis 1; z: early only
+    val emb = Seq(
+      (0L, "x", Seq(1f, 0f)), (1L, "x", Seq(1f, 0f)),
+      (2L, "y", Seq(1f, 0f)), (3L, "y", Seq(0f, 1f)),
+      (4L, "z", Seq(1f, 1f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.centroidDrift(emb, "label", "embedding",
+        lateFlag = col("vec_id") % 2 === 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set("x", "y"), s"got $got")
+    assert(got("x") == ((1L, 1L, 1.0)), s"got ${got("x")}")
+    assert(got("y") == ((1L, 1L, 0.0)), s"got ${got("y")}")
+  }
+
   test("componentEnergy: on-axis energy vs total, hand-computed") {
     import spark.implicits._
     // v = e0: removed = (x·v)² / 1 → 9 for [3,0], 0 for [0,4];

@@ -1309,6 +1309,82 @@ class StatsSpec extends SparkSpecBase {
     assert(r.toSeq == r2.toSeq)
   }
 
+  test("mantelHaenszel: the textbook Simpson layout — every stratum " +
+    "OR is 1, the crude OR is not, MH recovers 1") {
+    import spark.implicits._
+    // stratum 1: exposed 40/40, unexposed 10/10 (OR 1);
+    // stratum 2: exposed 2/18, unexposed 8/72 (OR 1);
+    // pooled crude: (42*82)/(58*18) = 3.298851 — pure mix confounding
+    def rows(g: String, e: Boolean, y: Boolean, k: Int) =
+      Seq.fill(k)((g, e, y))
+    val df = (rows("s1", true, true, 40) ++ rows("s1", true, false, 40)
+      ++ rows("s1", false, true, 10) ++ rows("s1", false, false, 10)
+      ++ rows("s2", true, true, 2) ++ rows("s2", true, false, 18)
+      ++ rows("s2", false, true, 8) ++ rows("s2", false, false, 72))
+      .toDF("g", "e", "y")
+    val r = Stats.mantelHaenszel(df, "g", col("e"), col("y"))
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 200L &&
+      r.getAs[Long]("n_strata") == 2L)
+    assert(r.getAs[Double]("or_crude") == 3.298851, s"got $r")
+    assert(r.getAs[Double]("or_mh") == 1.0, s"got $r")
+    // a zero MH denominator abstains (no unexposed-with-outcome or
+    // exposed-without anywhere)
+    val degenerate = (rows("s1", true, true, 5) ++
+      rows("s1", false, false, 5)).toDF("g", "e", "y")
+    val d = Stats.mantelHaenszel(degenerate, "g", col("e"), col("y"))
+      .collect()(0)
+    assert(d.isNullAt(d.fieldIndex("or_mh")), s"got $d")
+  }
+
+  test("amsF2: a single distinct key estimates its F2 exactly; a " +
+    "mixed corpus reports the exact F2 beside a deterministic " +
+    "estimate") {
+    import spark.implicits._
+    // one key x5: every sign vector sums to ±5, every square is 25 —
+    // the median IS the exact F2
+    val mono = Seq.fill(5)("k").toDF("k")
+    val m = Stats.amsF2(mono, col("k")).collect()(0)
+    assert(m.getAs[Long]("n") == 5L && m.getAs[Long]("n_keys") == 1L)
+    assert(m.getAs[java.math.BigDecimal]("f2_exact").longValueExact == 25L)
+    assert(m.getAs[java.math.BigDecimal]("f2_est").longValueExact == 25L)
+    // mixed: a=3, b=2, c=1 → F2 = 9 + 4 + 1 = 14; the estimate is
+    // hash-deterministic — bitwise equal on a rerun
+    val mixed = (Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq("c"))
+      .toDF("k")
+    val r1 = Stats.amsF2(mixed, col("k")).collect()(0)
+    val r2 = Stats.amsF2(mixed, col("k")).collect()(0)
+    assert(r1.getAs[Long]("n") == 6L && r1.getAs[Long]("n_keys") == 3L)
+    assert(r1.getAs[java.math.BigDecimal]("f2_exact").longValueExact == 14L)
+    assert(r1.getAs[java.math.BigDecimal]("f2_est").longValueExact >= 0L)
+    assert(r1.toSeq == r2.toSeq, "estimate must replay bitwise")
+    // NULL keys are no keys
+    val withNulls = (Seq.fill(5)(Some("k")) ++ Seq(None, None))
+      .toDF("k")
+    val n = Stats.amsF2(withNulls, col("k")).collect()(0)
+    assert(n.getAs[Long]("n") == 5L && n.getAs[Long]("n_keys") == 1L)
+    assert(n.getAs[java.math.BigDecimal]("f2_exact").longValueExact == 25L)
+  }
+
+  test("amsJoinSize: exact inner product of key frequencies; " +
+    "disjoint keys give zero; estimate replays bitwise") {
+    import spark.implicits._
+    // A: a x2, b x1; B: a x3, c x4 -> |A join B| = 2*3 = 6
+    val a = (Seq.fill(2)("a") ++ Seq("b")).toDF("k")
+    val b = (Seq.fill(3)("a") ++ Seq.fill(4)("c")).toDF("k")
+    val r1 = Stats.amsJoinSize(a, col("k"), b, col("k")).collect()(0)
+    assert(r1.getAs[Long]("n_a") == 3L && r1.getAs[Long]("n_b") == 7L)
+    assert(r1.getAs[java.math.BigDecimal]("join_exact")
+      .longValueExact == 6L)
+    val r2 = Stats.amsJoinSize(a, col("k"), b, col("k")).collect()(0)
+    assert(r1.toSeq == r2.toSeq, "estimate must replay bitwise")
+    // disjoint key sets: exact join size 0 (estimate unbiased-around-0)
+    val d = Stats.amsJoinSize(a, col("k"),
+      Seq("z", "z").toDF("k"), col("k")).collect()(0)
+    assert(d.getAs[java.math.BigDecimal]("join_exact")
+      .longValueExact == 0L)
+  }
+
   test("durbinWatson: alternating residuals push DW toward 4, a " +
     "smooth ramp stays near 2 on its own scale") {
     import spark.implicits._

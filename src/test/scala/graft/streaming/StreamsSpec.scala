@@ -853,6 +853,55 @@ class StreamsSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
+  test("amsSumsState: signed sums accumulate ACROSS micro-batches " +
+    "and the drained state equals the batch AMS sketch sums") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ams_mb").toFile
+    val t0 = System.currentTimeMillis()
+    def mkFile(name: String, types: Seq[String], mod: Long): Unit = {
+      val stage = new java.io.File(tmp, s"__stage_$name")
+      types.zipWithIndex.map { case (tp, i) =>
+        (i.toLong, 1000000000L * (i + 1), 1L, tp, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))
+          .cast(org.apache.spark.sql.types.TimestampNTZType))
+        .coalesce(1).write.mode("overwrite").parquet(stage.getPath)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(tmp, name).toPath)
+      new java.io.File(tmp, name).setLastModified(mod)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    mkFile("a.parquet", Seq("x", "x", "y"), t0 - 60000)
+    mkFile("b.parquet", Seq("y", "z", "x"), t0)
+    val drained = Streams.runAvailableNow(
+      Streams.amsSumsState(
+        Streams.eventsStream(spark, tmp.getPath, glob = "*.parquet",
+          maxFilesPerTrigger = 1),
+        col("event_type"), depth = 3).toDF(), "ams_multibatch")
+    // every depth row was re-emitted per batch (updates 1 then 2)
+    assert(drained.filter(col("updates") === 2L).count() == 3L,
+      s"expected 3 second-batch emissions:\n" +
+        drained.collect().mkString("\n"))
+    val latest = drained.groupBy(col("j"))
+      .agg(max(struct(col("updates"), col("n"), col("s"))).as("x"))
+      .select(col("j"), col("x.n"), col("x.s"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // the batch sums over the union must match exactly
+    val batch = spark.read.parquet(tmp.getPath)
+      .agg(count(lit(1)).as("n"),
+        (0 until 3).map(j => sum(graft.operators.Stats
+          .amsSigma(col("event_type"), j)).as(s"s$j")): _*)
+      .collect()(0)
+    (0 until 3).foreach { j =>
+      assert(latest(j) == ((batch.getLong(0), batch.getLong(j + 1))),
+        s"depth $j: drained ${latest(j)} vs batch $batch")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   test("quantileSketchCellsState: cell counts accumulate ACROSS " +
     "micro-batches and the drained histogram equals the batch sketch") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
