@@ -1190,6 +1190,18 @@ object Queries {
       // threshold lookup. One corpus scan.
       Stats.chiSquare(Tables.documents(s, dir), "lang", "source")
     }),
+    "q_mantel_haenszel" -> ((s, dir) => {
+      // Simpson's-paradox guard: does doc LENGTH (≥400 chars) predict
+      // containing the corpus's top token ('spark'), CONTROLLING for
+      // language strata? The crude pooled odds ratio and the
+      // Mantel–Haenszel stratum-weighted one are emitted side by side
+      // — their divergence IS the confounding readout. One corpus
+      // scan to integer 2×2 cells; 9-dp-rounded stratum terms fold in
+      // DECIMAL, two final double divisions.
+      Stats.mantelHaenszel(Tables.documents(s, dir), "lang",
+        exposure = col("n_chars") >= 400,
+        outcome = col("text").contains("spark"))
+    }),
     "q_mutual_info" -> ((s, dir) => {
       // Are lang and source independent labeling dimensions? MI + NMI
       // from ONE corpus scan (marginals and entropies all derive from
@@ -1980,6 +1992,18 @@ object Queries {
         .localCheckpoint(true) // 1 row; free nn afterwards
       nn.unpersist(false)
       out
+    }),
+    "q_graph_assortativity" -> ((s, dir) => {
+      // Degree assortativity of the embedding k-NN graph (Newman
+      // 2002): the Pearson correlation of endpoint degrees over the
+      // symmetrized edge list, read as one number — negative means
+      // hub vectors fan out to leaves (the same pathology
+      // q_graph_reciprocity probes edge-by-edge). Exact DECIMAL(38,0)
+      // integer moments, closed-form double assembly, one IEEE sqrt.
+      val e = knnEdges(s, dir)
+      val directed = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+      graft.operators.Graph.degreeAssortativity(directed)
     }),
     "q_graph_communities" -> ((s, dir) => {
       // Label-propagation communities on the k-NN graph (deterministic
@@ -2991,6 +3015,39 @@ object Queries {
       graft.operators.Stats.quantilesFromBinCounts(latest,
         Seq("source"), qs = Seq("p50" -> 0.5, "p90" -> 0.9),
         lo = 0.0, hi = 600.0, nBins = 10)
+    }),
+    "q_stream_f2" -> ((s, dir) => {
+      // Self-join-size monitor AT INGEST: nine signed AMS sums
+      // carried as cross-batch state (one (n, s) pair per depth row —
+      // the smallest monitor state beside the CMS cells); the drained
+      // sums equal the batch sketch's bit for bit because signed-sum
+      // folds are associative integers, so the rebuilt estimate gates
+      // on the SAME oracle as q_sketch_f2.
+      val name = s"q_stream_f2_${streamRun.incrementAndGet()}"
+      implicit val sp: SparkSession = s
+      val drained = graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.amsSumsState(
+          graft.streaming.Streams.eventsStream(s, dir),
+          col("event_type")).toDF(), name, shufflePartitions = Some(8))
+      val latest = drained.groupBy(col("j"))
+        .agg(max(struct(col("updates"), col("n"), col("s"))).as("x"))
+        .select(col("x.n").as("__n"),
+          (col("x.s") * col("x.s")).cast(DecimalType(38, 0)).as("__e"))
+      val ranked = Guards
+        .boundedSeries(latest, "q_stream_f2 depth estimates")
+        .withColumn("__rk", row_number().over(
+          Guards.seriesWindow(col("__e").asc)))
+      val med = ranked.agg(max(col("__n")).as("n"),
+        min(when(col("__rk") === 5, col("__e"))).as("f2_est"))
+      val exact = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("__f"))
+        .agg(count(lit(1)).as("n_keys"),
+          coalesce(sum((col("__f") * col("__f"))
+            .cast(DecimalType(38, 0))),
+            lit(0).cast(DecimalType(38, 0))).as("f2_exact"))
+      med.crossJoin(broadcast(exact))
+        .select(col("n"), col("n_keys"), col("f2_exact"), col("f2_est"))
     }),
     "q_stream_quantile_group" -> ((s, dir) => {
       // Streaming grouped-quantile sketch: the 256-bin mergeable
@@ -4300,6 +4357,16 @@ object Queries {
       pcaComponent(s, dir).toIndexedSeq.zipWithIndex
         .map { case (w, i) => (i.toLong, w) }.toDF("d", "weight")
     }),
+    "q_embedding_drift" -> ((s, dir) => {
+      // Geometry drift between ingestion halves: per label, the
+      // cosine between its early-half and late-half centroids —
+      // PSI/KS watch scalar columns, this watches the embedding
+      // space itself. One corpus pass to (label, half, pos)
+      // centroids in the exact-decimal 9-dp discipline; everything
+      // downstream is the |labels|·2·dim control frame.
+      Similarity.centroidDrift(Tables.embeddings(s, dir), "label",
+        "embedding", lateFlag = col("vec_id") % 2 === 1)
+    }),
     "q_embedding_pca2" -> ((s, dir) => {
       // Top-2 principal components via driver-side deflation over ONE
       // collected Gram matrix: component 1 is the dominant chain
@@ -4494,6 +4561,28 @@ object Queries {
         .agg(count(lit(1)).as("n_sessions"),
           max(col("n")).as("max_session_events"),
           sum(col("n") * col("n")).as("sum_sq"))
+    }),
+    "q_sketch_joinsize" -> ((s, dir) => {
+      // AMS inner-product JOIN-SIZE estimate: how many rows would
+      // events ⋈ orders on the customer key produce? Both sides
+      // sketched by the SAME ±1 hash family in one pass each —
+      // O(depth) mergeable longs per side, no shuffle of either
+      // table — with the exact join size beside it as the audit.
+      // The before-you-pay-for-it number a join planner (and AQE's
+      // strategy pick) runs on.
+      Stats.amsJoinSize(
+        Tables.events(s, dir), col("user_id").cast(StringType),
+        Tables.orders(s, dir), col("o_custkey").cast(StringType))
+    }),
+    "q_sketch_f2" -> ((s, dir) => {
+      // AMS F₂ (second frequency moment) sketch over event_type —
+      // the SELF-JOIN-SIZE estimate a join planner wants before
+      // paying for the join (skew explodes F₂ while the distinct
+      // count stays flat): 9 signed sums of ±1 portable-hash draws,
+      // O(depth) mergeable longs of state, median of the squares;
+      // exact F₂ emitted beside it as the audit. Pure integers end
+      // to end — the oracle replays every signed sum bitwise.
+      Stats.amsF2(Tables.events(s, dir), col("event_type"))
     }),
     "q_sketch_distinct" -> ((s, dir) => {
       // KMV distinct-count sketch (k-minimum-values, Bar-Yossef et al.
@@ -6743,6 +6832,37 @@ object Queries {
     // kNN label-agreement replica over the shared k-NN CTE chain
     "q_label_consistency" -> labelConsistencyOracle,
     // label-centroid cosine matrix replica (the cohesion centroid CTE)
+    // centroid-drift replica: per-(label, half) centroids in the
+    // same exact-decimal 9-dp discipline, 12-dp rounded products,
+    // inner-joined halves
+    "q_embedding_drift" ->
+      """WITH ex AS (SELECT label,
+        |  CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END AS h,
+        |  unnest(range(1, len(embedding) + 1)) AS pos, embedding
+        | FROM embeddings),
+        |e2 AS (SELECT label, h, pos,
+        |  CAST(embedding[pos] AS DOUBLE) AS v FROM ex),
+        |cent AS (SELECT label, h, pos,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(v AS DECIMAL(28,9))) AS DOUBLE)
+        |    / count(*), 9) AS c
+        | FROM e2 GROUP BY 1, 2, 3),
+        |cn AS (SELECT label, h, CAST(max(n) AS BIGINT) AS n,
+        |  sum(CAST(round(c * c, 12) AS DECIMAL(28,12))) AS cn2
+        | FROM cent GROUP BY 1, 2),
+        |nm AS (SELECT a.label AS label,
+        |  sum(CAST(round(a.c * b.c, 12) AS DECIMAL(28,12))) AS num
+        | FROM cent a JOIN cent b
+        |   ON a.label = b.label AND a.pos = b.pos
+        |   AND a.h = 0 AND b.h = 1
+        | GROUP BY 1)
+        |SELECT nm.label, x.n AS n_early, y.n AS n_late,
+        | round(CAST(num AS DOUBLE) /
+        |   sqrt(CAST(x.cn2 AS DOUBLE) * CAST(y.cn2 AS DOUBLE)), 6)
+        |   AS drift_cos
+        |FROM nm JOIN cn x ON nm.label = x.label AND x.h = 0
+        |        JOIN cn y ON nm.label = y.label AND y.h = 1"""
+        .stripMargin,
     "q_embedding_affinity" ->
       """WITH ex AS (SELECT label,
         |  unnest(range(1, len(embedding) + 1)) AS pos, embedding
@@ -7654,6 +7774,37 @@ object Queries {
     // reciprocity replica: the shared DIRECTED nn CTE (the same
     // chain knnEdgesCte symmetrizes), reversed-pair left join,
     // exact integer ppm
+    // assortativity replica: the symmetrized knn edges, per-endpoint
+    // degrees, DECIMAL(38,0) integer moments, and the Pearson
+    // assembly in the engine's literal double op order
+    "q_graph_assortativity" ->
+      s"""WITH $knnEdgesCte,
+         |ed AS (SELECT a AS src, b AS dst FROM e
+         |       UNION ALL SELECT b, a FROM e),
+         |d AS (SELECT src, CAST(count(*) AS BIGINT) AS dg
+         |      FROM ed GROUP BY 1),
+         |p AS (SELECT dx.dg AS dx, dy.dg AS dy
+         | FROM ed JOIN d dx ON ed.src = dx.src
+         |  JOIN d dy ON ed.dst = dy.src),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         |  sum(CAST(dx AS DECIMAL(38,0))) AS sx,
+         |  sum(CAST(dy AS DECIMAL(38,0))) AS sy,
+         |  sum(CAST(dx * dy AS DECIMAL(38,0))) AS sxy,
+         |  sum(CAST(dx * dx AS DECIMAL(38,0))) AS sxx,
+         |  sum(CAST(dy * dy AS DECIMAL(38,0))) AS syy FROM p)
+         |SELECT n_edges,
+         | CASE WHEN CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+         |   AND CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+         |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+         |  THEN round((CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |   / sqrt((CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |   * (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+         |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         | END AS assortativity
+         |FROM g""".stripMargin,
     "q_graph_reciprocity" ->
       s"""WITH $knnNnCte,
          |j AS (SELECT nn.qid AS src, nn.cid AS dst,
@@ -8884,6 +9035,54 @@ object Queries {
         |WHERE o_orderkey % 7 = 0
         |GROUP BY f.fmt, o_orderstatus""".stripMargin,
 
+    // AMS join-size replica: both sides' signed sums from the same
+    // quadratic draws over the stringified key, DECIMAL(38,0)
+    // per-depth products, lower-middle median, exact join size
+    "q_sketch_joinsize" -> {
+      def side(table: String, key: String, tag: String): String = {
+        val signs = (0 until 9).map { j =>
+          val a = Dedup.affineA(j); val b = Dedup.affineB(j)
+          s"""coalesce(sum(CASE WHEN ((h * h % $M) * $a + h * $b + $j)
+             |  % $M % 1000000 < 500000 THEN 1 ELSE -1 END), 0)
+             |  AS $tag$j""".stripMargin
+        }.mkString(",\n ")
+        s"""v$tag AS (SELECT CAST($key AS VARCHAR) AS k,
+           |  ${polySql(s"CAST($key AS VARCHAR)")} AS h
+           | FROM $table WHERE $key IS NOT NULL),
+           |s$tag AS (SELECT CAST(count(*) AS BIGINT) AS n$tag,
+           | $signs
+           | FROM v$tag)""".stripMargin
+      }
+      val sqs = (0 until 9)
+        .map(j => s"CAST(a$j * b$j AS DECIMAL(38,0))").mkString(", ")
+      s"""WITH ${side("events", "user_id", "a")},
+         |${side("orders", "o_custkey", "b")},
+         |est AS (SELECT na, nb, unnest([$sqs]) AS e FROM sa, sb),
+         |rk AS (SELECT na, nb, e,
+         |  row_number() OVER (ORDER BY e ASC) AS rk FROM est),
+         |med AS (SELECT CAST(max(na) AS BIGINT) AS n_a,
+         |  CAST(max(nb) AS BIGINT) AS n_b,
+         |  min(CASE WHEN rk = 5 THEN e END) AS join_est FROM rk),
+         |fa AS (SELECT CAST(user_id AS VARCHAR) AS k,
+         |  CAST(count(*) AS BIGINT) AS f FROM events
+         | WHERE user_id IS NOT NULL GROUP BY 1),
+         |fb AS (SELECT CAST(o_custkey AS VARCHAR) AS k,
+         |  CAST(count(*) AS BIGINT) AS f FROM orders
+         | WHERE o_custkey IS NOT NULL GROUP BY 1),
+         |ex AS (SELECT coalesce(sum(CAST(fa.f * fb.f AS DECIMAL(38,0))),
+         |  CAST(0 AS DECIMAL(38,0))) AS join_exact
+         | FROM fa JOIN fb ON fa.k = fb.k)
+         |SELECT med.n_a, med.n_b, ex.join_exact, med.join_est
+         |FROM med, ex""".stripMargin
+    },
+    // AMS F2 replica: the same quadratic +/-1 draws per depth row,
+    // exact signed sums, DECIMAL(38,0) squares, lower-middle median,
+    // exact F2 beside it
+    "q_sketch_f2" -> f2Oracle,
+    // the streaming twin gates on the IDENTICAL batch replica: the
+    // cross-batch signed sums are associative integer folds, so the
+    // drained state must reproduce the batch sketch bitwise
+    "q_stream_f2" -> f2Oracle,
     "q_sketch_distinct" -> sketchDistinctOracle,
     // streaming twin: the drained keyed KMV state must reproduce the
     // batch sketch bit for bit (associative insert-fold), so the
@@ -9280,6 +9479,46 @@ object Queries {
         |  AS w1
         |FROM t GROUP BY g""".stripMargin,
     "q_corpus_report" -> corpusReportOracle,
+    // Mantel-Haenszel replica: the same integer 2x2 cells per
+    // stratum, 9-dp-rounded a*d/n and b*c/n terms folded in DECIMAL,
+    // and both odds ratios in the engine's literal double op order
+    "q_mantel_haenszel" ->
+      """WITH rows_ AS (SELECT lang AS g,
+        |  CASE WHEN coalesce(n_chars >= 400, false)
+        |   THEN 1 ELSE 0 END AS e,
+        |  CASE WHEN coalesce(text LIKE '%spark%', false)
+        |   THEN 1 ELSE 0 END AS y
+        | FROM documents WHERE lang IS NOT NULL),
+        |cells AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN e = 1 AND y = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS a,
+        |  CAST(sum(CASE WHEN e = 1 AND y = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS b,
+        |  CAST(sum(CASE WHEN e = 0 AND y = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS c,
+        |  CAST(sum(CASE WHEN e = 0 AND y = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS d
+        | FROM rows_ GROUP BY 1),
+        |f AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_strata,
+        |  CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb,
+        |  CAST(sum(c) AS BIGINT) AS tc, CAST(sum(d) AS BIGINT) AS td,
+        |  coalesce(sum(CAST(round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+        |    / CAST(n AS DOUBLE), 9) AS DECIMAL(28,9))),
+        |    CAST(0 AS DECIMAL(28,9))) AS mn,
+        |  coalesce(sum(CAST(round(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+        |    / CAST(n AS DOUBLE), 9) AS DECIMAL(28,9))),
+        |    CAST(0 AS DECIMAL(28,9))) AS md
+        | FROM cells WHERE n > 0)
+        |SELECT n, n_strata,
+        | CASE WHEN CAST(tb AS DOUBLE) * CAST(tc AS DOUBLE) > 0.0
+        |  THEN round(CAST(ta AS DOUBLE) * CAST(td AS DOUBLE)
+        |    / (CAST(tb AS DOUBLE) * CAST(tc AS DOUBLE)), 6)
+        | END AS or_crude,
+        | CASE WHEN CAST(md AS DOUBLE) > 0.0
+        |  THEN round(CAST(mn AS DOUBLE) / CAST(md AS DOUBLE), 6)
+        | END AS or_mh
+        |FROM f""".stripMargin,
     "q_chi_square" ->
       """WITH ab AS (SELECT lang, source, count(*) AS cab
         |  FROM documents GROUP BY 1, 2),
@@ -11368,6 +11607,35 @@ object Queries {
     * DOUBLE then /1e12 in the same two-step order as the engine, then
     * the driver's power iteration unrolled as CTE levels over the
     * d×d frame. */
+  /** q_sketch_f2 / q_stream_f2 shared replica: the same quadratic
+    * +/-1 draws per depth row, exact signed sums, DECIMAL(38,0)
+    * squares, lower-middle median, exact F2 beside it. */
+  private def f2Oracle: String = {
+      val signs = (0 until 9).map { j =>
+        val a = Dedup.affineA(j); val b = Dedup.affineB(j)
+        s"""sum(CASE WHEN ((h * h % $M) * $a + h * $b + $j) % $M
+           |  % 1000000 < 500000 THEN 1 ELSE -1 END) AS s$j""".stripMargin
+      }.mkString(",\n ")
+      val sqs = (0 until 9)
+        .map(j => s"CAST(s$j * s$j AS DECIMAL(38,0))").mkString(", ")
+      s"""WITH v AS (SELECT event_type AS k, ${polySql("event_type")} AS h
+         | FROM events WHERE event_type IS NOT NULL),
+         |sums AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         | $signs
+         | FROM v),
+         |est AS (SELECT n, unnest([$sqs]) AS e FROM sums),
+         |rk AS (SELECT n, e,
+         |  row_number() OVER (ORDER BY e ASC) AS rk FROM est),
+         |med AS (SELECT CAST(max(n) AS BIGINT) AS n,
+         |  min(CASE WHEN rk = 5 THEN e END) AS f2_est FROM rk),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         |  coalesce(sum(CAST(f * f AS DECIMAL(38,0))),
+         |    CAST(0 AS DECIMAL(38,0))) AS f2_exact
+         | FROM (SELECT CAST(count(*) AS BIGINT) AS f FROM v GROUP BY k))
+         |SELECT med.n, ex.n_keys, ex.f2_exact, med.f2_est
+         |FROM med, ex""".stripMargin
+  }
+
   /** q_quantile_sketch / q_stream_quantile_group shared replica: the
     * same 10⁻⁴ integer scaling, equal-width integer bins
     * (w = (max − min) // 256 + 1), cumulative bin walk, and
