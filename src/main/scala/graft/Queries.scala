@@ -1993,6 +1993,15 @@ object Queries {
       nn.unpersist(false)
       out
     }),
+    "q_graph_richclub" -> ((s, dir) => {
+      // Rich-club curve of the k-NN graph: per degree cut k, do the
+      // hub vectors wire to EACH OTHER (φ(k) = 2E_k/(N_k(N_k−1)))?
+      // The third face of the hubness triad — reciprocity says how
+      // many directed picks return, assortativity gives the one-number
+      // trend, this localizes WHERE in the degree spectrum the
+      // crowding lives. Integer counts; one bounded k-explode.
+      graft.operators.Graph.richClub(knnEdges(s, dir), maxK = 8)
+    }),
     "q_graph_assortativity" -> ((s, dir) => {
       // Degree assortativity of the embedding k-NN graph (Newman
       // 2002): the Pearson correlation of endpoint degrees over the
@@ -2413,6 +2422,19 @@ object Queries {
           (datediff(to_date(col("ts")), col("__m")) >= 15).as("p"),
           col("value"))
       Stats.diffInDiff(staged, col("t"), col("p"), col("value"))
+    }),
+    "q_cvm_test" -> ((s, dir) => {
+      // Cramér–von Mises two-sample test on the purchase values by
+      // user-parity arm — the INTEGRATED distribution gap next to
+      // KS's sup and Mann–Whitney's location shift: a moderate
+      // difference persisting across the whole range scores here
+      // where KS under-reacts. Three two-phase distributed ranks
+      // under the (value, event_id) total order; exact DECIMAL
+      // squared rank gaps; T ≳ 0.46 rejects at ~5%.
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+      Stats.cramerVonMises(ev, col("value"), col("event_id"),
+        (col("user_id") % 2).cast(StringType), "0", "1")
     }),
     "q_permutation_test" -> ((s, dir) => {
       // Randomization inference WITHOUT rand(): 32 seeded-hash
@@ -7047,6 +7069,47 @@ object Queries {
     // permutation replica: the same per-unit totals, 32 inlined
     // affine-hash re-assignments (seed-specific literal A/B), the
     // identical literal-order t form, integer p upper bound
+    // CvM replica: the identical (value, event_id) total-order ranks
+    // for the pool and each sample, exact DECIMAL squared gaps, and
+    // Anderson's T in the engine's literal double op order
+    "q_cvm_test" ->
+      """WITH v AS (SELECT CAST(user_id % 2 AS VARCHAR) AS g,
+        |  CAST(value AS DOUBLE) AS x, event_id AS t
+        | FROM events WHERE event_type = 'purchase'
+        |  AND value IS NOT NULL AND event_id IS NOT NULL
+        |  AND CAST(user_id % 2 AS VARCHAR) IN ('0', '1')),
+        |p AS (SELECT g, t,
+        |  row_number() OVER (ORDER BY x ASC, t ASC) AS r FROM v),
+        |wa AS (SELECT t,
+        |  row_number() OVER (ORDER BY x ASC, t ASC) AS i
+        | FROM v WHERE g = '0'),
+        |wb AS (SELECT t,
+        |  row_number() OVER (ORDER BY x ASC, t ASC) AS i
+        | FROM v WHERE g = '1'),
+        |w AS (SELECT * FROM wa UNION ALL SELECT * FROM wb),
+        |j AS (SELECT g, r, i FROM p JOIN w USING (t)),
+        |a AS (SELECT
+        |  CAST(sum(CASE WHEN g = '0' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS na,
+        |  CAST(sum(CASE WHEN g = '1' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS nb,
+        |  coalesce(sum(CASE WHEN g = '0' THEN
+        |    CAST((r - i) * (r - i) AS DECIMAL(38,0)) END),
+        |    CAST(0 AS DECIMAL(38,0))) AS ua,
+        |  coalesce(sum(CASE WHEN g = '1' THEN
+        |    CAST((r - i) * (r - i) AS DECIMAL(38,0)) END),
+        |    CAST(0 AS DECIMAL(38,0))) AS ub
+        | FROM j)
+        |SELECT na AS n_a, nb AS n_b,
+        | CASE WHEN na > 0 AND nb > 0 THEN
+        |  round((CAST(na AS DOUBLE) * CAST(ua AS DOUBLE)
+        |    + CAST(nb AS DOUBLE) * CAST(ub AS DOUBLE))
+        |   / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+        |     * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+        |   - (4.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) - 1.0)
+        |   / (6.0 * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))), 6)
+        | END AS cvm_t
+        |FROM a""".stripMargin,
     "q_permutation_test" -> {
       val repSelects = (0 until 32).map { r =>
         val a = Dedup.affineA(r); val b = Dedup.affineB(r)
@@ -7774,6 +7837,28 @@ object Queries {
     // reciprocity replica: the shared DIRECTED nn CTE (the same
     // chain knnEdgesCte symmetrizes), reversed-pair left join,
     // exact integer ppm
+    // rich-club replica: the same symmetrized degrees, bounded k
+    // cuts, integer counts, one double division per cut
+    "q_graph_richclub" ->
+      s"""WITH $knnEdgesCte,
+         |ed AS (SELECT a AS src, b AS dst FROM e
+         |       UNION ALL SELECT b, a FROM e),
+         |d AS (SELECT src, CAST(count(*) AS BIGINT) AS dg
+         |      FROM ed GROUP BY 1),
+         |p AS (SELECT da.dg AS da, db.dg AS db FROM e
+         |  JOIN d da ON e.a = da.src JOIN d db ON e.b = db.src),
+         |ks AS (SELECT unnest(range(1, 9)) AS k),
+         |ek AS (SELECT k, CAST(count(*) AS BIGINT) AS e_k FROM p, ks
+         |  WHERE da > k AND db > k GROUP BY k),
+         |nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_k FROM d, ks
+         |  WHERE dg > k GROUP BY k)
+         |SELECT CAST(nk.k AS BIGINT) AS k, n_k,
+         | coalesce(e_k, 0) AS e_k,
+         | CASE WHEN n_k > 1 THEN
+         |  round(2.0 * CAST(coalesce(e_k, 0) AS DOUBLE)
+         |   / (CAST(n_k AS DOUBLE) * (CAST(n_k AS DOUBLE) - 1.0)), 6)
+         | END AS phi
+         |FROM nk LEFT JOIN ek ON nk.k = ek.k""".stripMargin,
     // assortativity replica: the symmetrized knn edges, per-endpoint
     // degrees, DECIMAL(38,0) integer moments, and the Pearson
     // assembly in the engine's literal double op order

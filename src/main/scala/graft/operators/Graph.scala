@@ -663,4 +663,53 @@ object Graph {
         round(num / sqrt(vx * vy), 6))
         .otherwise(lit(null).cast(DoubleType)).as("assortativity"))
   }
+
+  /** Rich-club coefficient curve (Zhou & Mondragón 2004): for each
+    * degree cut k, φ(k) = 2·E_k / (N_k·(N_k − 1)) where N_k counts
+    * nodes of degree > k and E_k the UNDIRECTED edges between two
+    * such nodes — do the hubs form their own densely-wired club?
+    * Rising φ(k) with k is the rich-club effect; on a k-NN graph it
+    * reads as "the most-listed vectors also list each other", the
+    * third face of the hubness triad next to reciprocity and
+    * assortativity (and the one that localizes WHERE in the degree
+    * spectrum the crowding lives).
+    *
+    * Input: distinct undirected pairs (`a`, `b`). Scale shape: one
+    * degree aggregate, two joins of the edge list against it, one
+    * bounded explode over the k cuts (maxK rows per edge/node), two
+    * k-keyed count aggregates. Integer counts end to end; φ is one
+    * double division, round 6 — NULL when fewer than two nodes clear
+    * the cut.
+    *
+    * Returns one row per k in [1, maxK] with N_k > 0:
+    * (k, n_k, e_k, phi). */
+  def richClub(edges: DataFrame, maxK: Int = 8): DataFrame = {
+    require(maxK >= 1 && maxK <= 1024, s"maxK out of range: $maxK")
+    val directed = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+    val deg = directed.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+    val p = edges
+      .join(deg.select(col("src").as("a"), col("__d").as("__da")),
+        Seq("a"))
+      .join(deg.select(col("src").as("b"), col("__d").as("__db")),
+        Seq("b"))
+    val ek = p
+      .select(col("__da"), col("__db"),
+        explode(sequence(lit(1), lit(maxK))).as("k"))
+      .filter(col("__da") > col("k") && col("__db") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("e_k"))
+    val nk = deg
+      .select(col("__d"), explode(sequence(lit(1), lit(maxK))).as("k"))
+      .filter(col("__d") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_k"))
+    val nkD = col("n_k").cast(DoubleType)
+    nk.join(ek, Seq("k"), "left")
+      .select(col("k").cast(org.apache.spark.sql.types.LongType).as("k"),
+        col("n_k"), coalesce(col("e_k"), lit(0L)).as("e_k"))
+      .withColumn("phi",
+        when(col("n_k") > 1,
+          round(lit(2.0) * col("e_k").cast(DoubleType) /
+            (nkD * (nkD - 1.0)), 6))
+          .otherwise(lit(null).cast(DoubleType)))
+  }
 }

@@ -3122,6 +3122,95 @@ object Stats {
           .otherwise(lit(null).cast(DoubleType)), 6).as("z"))
   }
 
+  /** Cramér–von Mises two-sample statistic — the INTEGRATED
+    * distribution-difference test that completes the two-sample trio:
+    * KS is the sup of |F_A − F_B| (one worst point), Mann–Whitney a
+    * location shift; CvM integrates the squared gap over the whole
+    * pooled sample, so a moderate difference that PERSISTS across the
+    * range scores where KS under-reacts. Anderson's two-sample form:
+    * U = n·Σ_A (r_i − i)² + m·Σ_B (s_j − j)², T = U/(nm(n+m)) −
+    * (4nm − 1)/(6(n+m)), with r/s the pooled ranks and i/j the
+    * within-sample ranks. T ≳ 0.46 rejects at ~5%.
+    *
+    * Ranks use the (value, tieCol) TOTAL order — the deterministic
+    * convention, replayed verbatim by the oracle (classical
+    * mid-ranks for ties belong to [[mannWhitney]]; here a stable
+    * unique order keeps every intermediate an exact integer).
+    *
+    * Scale shape: the pooled [[globalRankByValue]] two-phase rank,
+    * then per sample a SECOND two-phase rank OVER the pooled rank
+    * itself (ranking a sample's rows by their unique pooled rank IS
+    * the within-sample rank — a chain, never a self-join of one
+    * lineage, never a single-partition window); the squared rank
+    * gaps accumulate as DECIMAL(38,0) with the cast before the
+    * multiply.
+    *
+    * Returns one row: (n_a, n_b, cvm_t). */
+  def cramerVonMises(
+      df: DataFrame,
+      valueCol: Column,
+      tieCol: Column,
+      groupCol: Column,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val v = df
+      .filter(groupCol.cast(StringType).isin(groupA, groupB) &&
+        valueCol.isNotNull && tieCol.isNotNull)
+      .select(groupCol.cast(StringType).as("__g"),
+        valueCol.cast(DoubleType).as("__x"),
+        tieCol.cast(LongType).as("__t"))
+    val (pool, _) = globalRankByValue(v, "__x", "__t")
+    // pooled rank under a name globalRankByValue's internal __r
+    // column cannot collide with; persisted — both samples read it
+    val poolr = pool.withColumnRenamed("__rank", "__pr")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // an empty arm abstains up front (the two-phase rank needs a
+    // non-empty frame for its bounds pre-scan)
+    val cnts = poolr.agg(
+      sum(when(col("__g") === groupA, 1L).otherwise(0L)),
+      sum(when(col("__g") === groupB, 1L).otherwise(0L))).collect()(0)
+    val (ca, cb) = (if (cnts.isNullAt(0)) 0L else cnts.getLong(0),
+      if (cnts.isNullAt(1)) 0L else cnts.getLong(1))
+    if (ca == 0L || cb == 0L) {
+      poolr.unpersist(false)
+      val spark = df.sparkSession
+      import spark.implicits._
+      return Seq((ca, cb)).toDF("n_a", "n_b")
+        .withColumn("cvm_t", lit(null).cast(DoubleType))
+    }
+    val dec = DecimalType(38, 0)
+    def gaps(g: String): DataFrame = {
+      val (rr, _) = globalRankByValue(
+        poolr.filter(col("__g") === g), "__pr", "__t")
+      val gap2 = (col("__pr") - col("__rank")) *
+        (col("__pr") - col("__rank"))
+      rr.agg(count(lit(1)).as("n"),
+        coalesce(sum(gap2.cast(dec)), lit(0).cast(dec)).as("u"))
+    }
+    // side B collects as 1-row driver literals: the two aggregates
+    // share poolr's lineage, and a crossJoin of both would be the
+    // conflicting-attribute self-join (the sanctioned fix)
+    val bRow = gaps(groupB).collect()(0)
+    val agg = gaps(groupA)
+      .select(col("n").as("__na"), col("u").as("__ua"),
+        lit(bRow.getLong(0)).as("__nb"),
+        lit(bRow.getDecimal(1)).cast(dec).as("__ub"))
+    val naD = col("__na").cast(DoubleType)
+    val nbD = col("__nb").cast(DoubleType)
+    val u = naD * col("__ua").cast(DoubleType) +
+      nbD * col("__ub").cast(DoubleType)
+    val out = agg.select(
+      col("__na").as("n_a"), col("__nb").as("n_b"),
+      round(
+        when(col("__na") > 0 && col("__nb") > 0,
+          u / (naD * nbD * (naD + nbD)) -
+            (lit(4.0) * naD * nbD - 1.0) / (lit(6.0) * (naD + nbD)))
+          .otherwise(lit(null).cast(DoubleType)), 6).as("cvm_t"))
+      .localCheckpoint(true) // 1 row; free the pooled ranks afterwards
+    poolr.unpersist(false)
+    out
+  }
+
   /** Kruskal–Wallis H test: does `valueCol`'s distribution differ in
     * location across ALL k groups at once? The k-group step up from
     * [[mannWhitney]] and the rank-based (assumption-free) sibling of

@@ -342,4 +342,27 @@ class GraphSpec extends SparkSpecBase {
     assert(c.getAs[Long]("n_edges") == 8L)
     assert(c.isNullAt(c.fieldIndex("assortativity")), s"got $c")
   }
+
+  test("richClub: two wired hubs give phi = 1 at every cut they " +
+    "clear; a lone hub abstains") {
+    // hubs 0, 1 (degree 3 each) connected to each other + leaves:
+    // at k = 1 and 2 the club is exactly {0, 1} with their one edge
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 4L), (1L, 5L))
+      .toDF("a", "b")
+    val got = Graph.richClub(edges, maxK = 4).collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[Long]("n_k"), r.getAs[Long]("e_k"),
+          Option(r.getAs[java.lang.Double]("phi")))).toMap
+    assert(got.keySet == Set(1L, 2L), s"got $got")
+    assert(got(1L) == ((2L, 1L, Some(1.0))), s"got ${got(1L)}")
+    assert(got(2L) == ((2L, 1L, Some(1.0))), s"got ${got(2L)}")
+    // a single node above the cut: no pair exists — NULL phi
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val lone = Graph.richClub(star, maxK = 2).collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[Long]("n_k"), r.getAs[Long]("e_k"),
+          Option(r.getAs[java.lang.Double]("phi")))).toMap
+    assert(lone(1L) == ((1L, 0L, None)), s"got $lone")
+    assert(lone(2L) == ((1L, 0L, None)), s"got $lone")
+  }
 }

@@ -1366,6 +1366,33 @@ class StatsSpec extends SparkSpecBase {
     assert(n.getAs[java.math.BigDecimal]("f2_exact").longValueExact == 25L)
   }
 
+  test("cramerVonMises: hand-computed T for interleaved and " +
+    "separated samples; empty arm abstains") {
+    import spark.implicits._
+    // A = {1,3}, B = {2,4} interleaved: gaps A Σ=1, B Σ=5,
+    // U = 2·1 + 2·5 = 12, T = 12/16/... = 0.75 − 15/24 = 0.125
+    val inter = Seq(("a", 1.0, 1L), ("a", 3.0, 2L),
+      ("b", 2.0, 3L), ("b", 4.0, 4L)).toDF("g", "v", "id")
+    val r = Stats.cramerVonMises(inter, col("v"), col("id"),
+      col("g"), "a", "b").collect()(0)
+    assert((r.getAs[Long]("n_a"), r.getAs[Long]("n_b")) == ((2L, 2L)))
+    assert(r.getAs[Double]("cvm_t") == 0.125, s"got $r")
+    // fully separated: T = 81/54 − 35/36 = 0.527778 — rejects (≥.46)
+    val sep = (Seq(1.0, 2.0, 3.0).zipWithIndex.map { case (v, i) =>
+      ("a", v, i.toLong)
+    } ++ Seq(10.0, 11.0, 12.0).zipWithIndex.map { case (v, i) =>
+      ("b", v, 10L + i)
+    }).toDF("g", "v", "id")
+    val s = Stats.cramerVonMises(sep, col("v"), col("id"),
+      col("g"), "a", "b").collect()(0)
+    assert(s.getAs[Double]("cvm_t") == 0.527778, s"got $s")
+    // an arm with no rows abstains
+    val one = Seq(("a", 1.0, 1L)).toDF("g", "v", "id")
+    val o = Stats.cramerVonMises(one, col("v"), col("id"),
+      col("g"), "a", "b").collect()(0)
+    assert(o.isNullAt(o.fieldIndex("cvm_t")), s"got $o")
+  }
+
   test("amsJoinSize: exact inner product of key frequencies; " +
     "disjoint keys give zero; estimate replays bitwise") {
     import spark.implicits._
