@@ -4944,6 +4944,16 @@ object Queries {
           col("doc_id"), weight = col("n_chars"), k = 15, seed = 17)
         .select(col("lang"), col("doc_id"), col("n_chars"))
     }),
+    "q_sample_ht" -> ((s, dir) => {
+      // The ESTIMATOR audit priority sampling exists for: the DLT
+      // per-item estimate max(w, τ) over the 200-doc weighted sample
+      // must land near the exact corpus character total — the number
+      // that says the sample's totals can be trusted before anyone
+      // aggregates on it. Integer priorities, one TakeOrdered
+      // top-(k+1), control-plane estimate assembly.
+      Sampling.priorityEstimate(Tables.documents(s, dir),
+        col("doc_id"), weight = col("n_chars"), k = 200)
+    }),
     "q_snapshot_diff" -> ((s, dir) => {
       // Dataset versioning: what did snapshot N+1 touch? Old = corpus
       // minus (id % 11 = 3); new = corpus minus (id % 13 = 5) with
@@ -8610,6 +8620,36 @@ object Queries {
         |FROM s GROUP BY 1, 2""".stripMargin,
     // prioritySample replica: pri = 10^12 · bucket17 // n_chars (both
     // engines floor-divide), rank (pri, doc_id) per lang, keep 15
+    // DLT estimator replica: the same integer priorities, top-(k+1)
+    // order statistic for tau, per-item max(w, scale/tau) rounded to
+    // 6 dp and folded in DECIMAL, exact total beside it
+    "q_sample_ht" -> {
+      val bucket = s"(${affineSql(0, s"(doc_id % $M)")} % ${Sampling.Buckets})"
+      s"""WITH st AS (SELECT doc_id AS id,
+         |  CAST(n_chars AS BIGINT) AS w,
+         |  (${Sampling.PriorityScale} * $bucket)
+         |    // CAST(n_chars AS BIGINT) AS pri
+         | FROM documents WHERE CAST(n_chars AS BIGINT) > 0),
+         |top AS (SELECT pri, id, w FROM st
+         | ORDER BY pri ASC, id ASC LIMIT 201),
+         |rk AS (SELECT pri, id, w,
+         |  row_number() OVER (ORDER BY pri ASC, id ASC) AS rk
+         | FROM top),
+         |tau AS (SELECT min(CASE WHEN rk = 201 THEN pri END) AS taupri
+         | FROM rk),
+         |est AS (SELECT CAST(count(*) AS BIGINT) AS k_used,
+         |  round(CAST(coalesce(sum(CAST(round(
+         |    CASE WHEN taupri IS NULL THEN CAST(w AS DOUBLE)
+         |    ELSE greatest(CAST(w AS DOUBLE),
+         |      1000000000000000000.0 / CAST(taupri AS DOUBLE))
+         |    END, 6) AS DECIMAL(28,6))), CAST(0 AS DECIMAL(28,6)))
+         |   AS DOUBLE), 6) AS total_est
+         | FROM rk, tau WHERE rk <= 200),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  coalesce(CAST(sum(w) AS BIGINT), 0) AS total_exact FROM st)
+         |SELECT n, total_exact, k_used, total_est FROM ex, est"""
+        .stripMargin
+    },
     "q_sample_priority" -> {
       val bucket = s"(${affineSql(17, s"(doc_id % $M)")} % ${Sampling.Buckets})"
       s"""WITH p AS (SELECT lang, doc_id, n_chars,

@@ -145,6 +145,81 @@ object Sampling {
     }
   }
 
+  /** Priority-sampling ESTIMATOR audit (Duffield–Lund–Thorup 2007):
+    * the point of weighted sampling without replacement is that the
+    * sample can ESTIMATE population totals — per kept item the DLT
+    * estimator is max(w_i, τ) with τ the weight equivalent of the
+    * (k+1)-th smallest priority, and Σ max(w_i, τ) is unbiased for
+    * Σ w. This operator runs [[prioritySample]]'s exact priority
+    * arithmetic, rebuilds the estimate, and emits it NEXT TO the
+    * exact total — the audit that says how much the k-row sample's
+    * totals can be trusted before anyone aggregates on it. When the
+    * population fits in k the estimate IS the exact total.
+    *
+    * Scale shape: one scan + a global top-(k+1) (TakeOrdered — no
+    * full sort); the (k+1)-row frame is control-plane and rides the
+    * sanctioned bounded single-partition rank. Determinism: the
+    * integer priorities replay in any engine; τ = scale/pri_{k+1} and
+    * the per-item max are double arithmetic in a literal op order,
+    * rounded to 6 dp and summed as DECIMAL(28,6) — order-free.
+    *
+    * Returns one row: (n, total_exact, k_used, total_est). */
+  def priorityEstimate(
+      df: DataFrame,
+      idCol: Column,
+      weight: Column,
+      k: Int,
+      seed: Int = 0): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val staged = df
+      .withColumn("__w",
+        weight.cast(org.apache.spark.sql.types.LongType))
+      .filter(col("__w") > 0L)
+      .withColumn("__u", idBucket(idCol, seed))
+      .withColumn("__pri", expr(s"(${PriorityScale}L * __u) div __w"))
+      .withColumn("__id", idCol.cast(org.apache.spark.sql.types.LongType))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = staged.orderBy(col("__pri").asc, col("__id").asc)
+      .limit(k + 1)
+      .select(col("__pri"), col("__id"), col("__w"))
+    val ranked = Guards
+      .boundedSeries(top, "priorityEstimate top-k", maxRows = k + 1L)
+      .withColumn("__rk", row_number().over(
+        Guards.seriesWindow(col("__pri").asc, col("__id").asc)))
+    // τ in WEIGHT units: q_i = w_i/U_i with U = u/Buckets uniform in
+    // [0,1), and pri = scale·u/w ⇒ q = scale·Buckets/pri — so the
+    // (k+1)-th smallest priority converts via scale·Buckets = 1e18
+    // (exactly representable in double)
+    val tauW = lit(1.0e18) /
+      col("__taupri").cast(org.apache.spark.sql.types.DoubleType)
+    val wD = col("__w").cast(org.apache.spark.sql.types.DoubleType)
+    val est = ranked
+      .crossJoin(broadcast(ranked.agg(
+        min(when(col("__rk") === k + 1, col("__pri"))).as("__taupri"))
+        .localCheckpoint(true))) // 1 row; breaks the shared lineage
+      .filter(col("__rk") <= k)
+      .select(col("__w"),
+        when(col("__taupri").isNull, wD) // population fits in k
+          .otherwise(greatest(wD, tauW)).as("__est"))
+      .agg(count(lit(1)).as("k_used"),
+        coalesce(sum(round(col("__est"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6))),
+          lit(0).cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .as("__sum"))
+      .select(col("k_used"),
+        round(col("__sum").cast(org.apache.spark.sql.types.DoubleType),
+          6).as("total_est"))
+      .localCheckpoint(true) // 1 row; exact below shares staged's lineage
+    val exact = staged.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("__w")), lit(0L)).as("total_exact"))
+    val out = exact.crossJoin(broadcast(est))
+      .select(col("n"), col("total_exact"), col("k_used"),
+        col("total_est"))
+      .localCheckpoint(true) // 1 row; free staged afterwards
+    staged.unpersist(false)
+    out
+  }
+
   /** Deterministic train/validation/test assignment: each row gets a
     * `split` column decided by its id's bucket (permille) against the
     * cumulative split bounds. `splits` are (name, permille) pairs

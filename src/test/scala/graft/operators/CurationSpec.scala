@@ -9,6 +9,39 @@ import graft.SparkSpecBase
 class CurationSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("priorityEstimate: a population that fits in k estimates its " +
+    "total EXACTLY; a real sample's estimate replays bitwise") {
+    import spark.implicits._
+    val small = (1L to 5L).map(i => (i, i * 10L)).toDF("id", "w")
+    val fit = Sampling.priorityEstimate(small, col("id"), col("w"),
+      k = 10).collect()(0)
+    assert(fit.getAs[Long]("n") == 5L &&
+      fit.getAs[Long]("k_used") == 5L)
+    assert(fit.getAs[Long]("total_exact") == 150L)
+    assert(fit.getAs[Double]("total_est") == 150.0, s"got $fit")
+    // genuine sampling: k < n — the DLT estimate is deterministic
+    // and within an order of magnitude of the exact total
+    val big = (1L to 200L).map(i => (i, 1L + i % 50)).toDF("id", "w")
+    val r1 = Sampling.priorityEstimate(big, col("id"), col("w"),
+      k = 20).collect()(0)
+    val r2 = Sampling.priorityEstimate(big, col("id"), col("w"),
+      k = 20).collect()(0)
+    assert(r1.getAs[Long]("k_used") == 20L)
+    assert(r1.getAs[Long]("n") == 200L)
+    val exact = r1.getAs[Long]("total_exact").toDouble
+    val est = r1.getAs[Double]("total_est")
+    assert(est > 0.2 * exact && est < 5.0 * exact,
+      s"estimate wildly off: $r1")
+    assert(r1.toSeq == r2.toSeq, "estimate must replay bitwise")
+    // rows with non-positive weight are excluded everywhere
+    val withZero = ((1L to 5L).map(i => (i, i * 10L)) ++
+      Seq((9L, 0L))).toDF("id", "w")
+    val z = Sampling.priorityEstimate(withZero, col("id"), col("w"),
+      k = 10).collect()(0)
+    assert(z.getAs[Long]("n") == 5L &&
+      z.getAs[Long]("total_exact") == 150L)
+  }
+
   test("stratifiedSample: strata at or under target pass through whole") {
     val df = ((1L to 100L).map(i => (i, "big")) ++
       (101L to 110L).map(i => (i, "small"))).toDF("id", "s")
