@@ -341,40 +341,59 @@ object Streams {
     * open session rather than retroactively splitting closed ones.
     * Per-user batch events are sorted in memory — bounded by one
     * user's events per micro-batch, hash-partitioned across
-    * executors. */
+    * executors.
+    *
+    * State TTL (`ttlMs`): an idle user's OPEN session closes once the
+    * watermark passes — the eviction emits the session's final extent
+    * (already the latest-wins row consumers keep, so a drain's
+    * results are unchanged) and drops the key; a returning user
+    * starts a fresh session, which is exactly the gap rule's verdict
+    * anyway whenever ttl ≥ gap. Requires a `ts` column. */
   def sessionCountsState(
       events: DataFrame,
-      gapMs: Long = 10 * 60 * 1000L)(
+      gapMs: Long = 10 * 60 * 1000L,
+      ttlMs: Option[Long] = None,
+      watermark: String = "10 minutes")(
       implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._
     val gapUs = gapMs * 1000L
-    events
+    withTtlWatermark(events, ttlMs, watermark)
       // integer division: ts_ns exceeds 2^53, a double round-trip
       // would corrupt the microsecond value
       .select(col("user_id").as[Long],
-        expr("ts_ns div 1000").as[Long])
-      .as[(Long, Long)]
+        expr("ts_ns div 1000").as[Long],
+        ttlTsCol(ttlMs).as[java.sql.Timestamp])
+      .as[(Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (user: Long, rows: Iterator[(Long, Long)],
+        OutputMode.Update(), ttlConf(ttlMs)) {
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
          state: GroupState[OpenSession]) =>
-          val ts = rows.map(_._2).toArray.sorted
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          var cur: OpenSession = state.getOption.orNull
-          ts.foreach { t =>
-            if (cur == null) cur = OpenSession(t, t, 1L)
-            else if (t - cur.lastUs >= gapUs) {
-              out += SessionOut(user, cur.startUs, cur.n) // closed final
-              cur = OpenSession(t, t, 1L)
-            } else cur = OpenSession(cur.startUs, math.max(cur.lastUs, t),
-              cur.n + 1L)
+          if (state.hasTimedOut) {
+            // the open session's final extent was already emitted;
+            // re-emit it as the closure record and evict
+            val cur = state.get
+            state.remove()
+            Iterator(SessionOut(user, cur.startUs, cur.n))
+          } else {
+            val ts = rows.map(_._2).toArray.sorted
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var cur: OpenSession = state.getOption.orNull
+            ts.foreach { t =>
+              if (cur == null) cur = OpenSession(t, t, 1L)
+              else if (t - cur.lastUs >= gapUs) {
+                out += SessionOut(user, cur.startUs, cur.n) // closed final
+                cur = OpenSession(t, t, 1L)
+              } else cur = OpenSession(cur.startUs,
+                math.max(cur.lastUs, t), cur.n + 1L)
+            }
+            if (cur != null) {
+              out += SessionOut(user, cur.startUs, cur.n) // current extent
+              state.update(cur)
+              armTtl(state, ttlMs, cur.lastUs)
+            }
+            out.iterator
           }
-          if (cur != null) {
-            out += SessionOut(user, cur.startUs, cur.n) // current extent
-            state.update(cur)
-          }
-          out.iterator
       }
   }
 

@@ -63,7 +63,10 @@ object ScaleProbe {
     "q_stream_join", "q_markov_steady", "q_lake_merge", "q_events_rfm",
     "q_join_salted", "q_graph_linkpred", "q_profile_approx",
     "q_text_boilerplate", "q_join_bucketed", "q_sketch_intersect",
-    "q_fdr_bh", "q_text_transfer", "q_stream_ewma", "q_lake_delete")
+    "q_fdr_bh", "q_text_transfer", "q_stream_ewma", "q_lake_delete",
+    // round 11 entrants into the top costs
+    "q_trend_siegel_sampled", "q_cvm_test", "q_graph_richclub",
+    "q_stream_quantile_group", "q_stream_f2")
 
   private val Shift = 100000000000L // 10^11: far above any base key
 

@@ -801,6 +801,41 @@ class StreamsSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
+  test("sessionCountsState TTL: an idle user's OPEN session evicts " +
+    "(drained sessions unchanged); a return starts a FRESH session " +
+    "even within the gap") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("sess_ttl").toFile
+    val t0 = System.currentTimeMillis()
+    val h = 3600L * 1000 * 1000 * 1000
+    val s = 1000L * 1000 * 1000
+    // user 1: two events at 1h, then idle; users 2/3 advance the
+    // watermark past 1h + TTL(30min) in later batches
+    writeEventsFile(tmp, "a.parquet",
+      Seq((h, 1L), (h + s, 1L)), t0 - 90000)
+    writeEventsFile(tmp, "b.parquet", Seq((3 * h, 2L)), t0 - 60000)
+    writeEventsFile(tmp, "c.parquet", Seq((3 * h + s, 3L)), t0 - 30000)
+    // user 1 returns at 3h+2s — with a HUGE gap parameter the old
+    // session would absorb it; only eviction forces a fresh one
+    writeEventsFile(tmp, "d.parquet", Seq((3 * h + 2 * s, 1L)), t0)
+    val raw = Streams.runAvailableNow(
+      Streams.sessionCountsState(
+        Streams.eventsStream(spark, tmp.getPath, glob = "*.parquet",
+          maxFilesPerTrigger = 1),
+        gapMs = Long.MaxValue / 2000, // gap never splits — TTL must
+        ttlMs = Some(30L * 60 * 1000),
+        watermark = "10 minutes").toDF(), "sess_ttl")
+    val u1 = raw.filter(col("user_id") === 1L)
+      .groupBy(col("session_start_us")).agg(max(col("n")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // TWO sessions for user 1: the evicted 2-event one at 1h and the
+    // fresh 1-event one at 3h+2s — a NoTimeout run would show ONE
+    assert(u1 == Map(h / 1000 -> 2L, (3 * h + 2 * s) / 1000 -> 1L),
+      s"got $u1")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   test("cdcLatestState TTL: an idle key expires into a TOMBSTONE " +
     "(latest-wins drain drops it); a later change restarts the key") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
