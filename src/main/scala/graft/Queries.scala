@@ -3071,6 +3071,57 @@ object Queries {
       med.crossJoin(broadcast(exact))
         .select(col("n"), col("n_keys"), col("f2_exact"), col("f2_est"))
     }),
+    "q_stream_joinsize" -> ((s, dir) => {
+      // Live JOIN-SIZE monitor: the events side's nine signed AMS
+      // sums accumulate as cross-batch state while the static orders
+      // side is sketched once with the SAME hash family; the median
+      // of per-depth products estimates |events ⋈ orders| on the
+      // customer key AT INGEST — the planner number refreshed as the
+      // drop lands. Signed sums are associative integer folds, so
+      // the drained estimate gates on the IDENTICAL oracle as
+      // q_sketch_joinsize.
+      val name = s"q_stream_joinsize_${streamRun.incrementAndGet()}"
+      implicit val sp: SparkSession = s
+      val drained = graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.amsSumsState(
+          graft.streaming.Streams.eventsStream(s, dir),
+          col("user_id").cast(StringType)).toDF(), name,
+        shufflePartitions = Some(8))
+      val latestA = drained.groupBy(col("j"))
+        .agg(max(struct(col("updates"), col("n"), col("s"))).as("x"))
+        .select(col("j"), col("x.n").as("__na"), col("x.s").as("__sa"))
+      val keyB = col("o_custkey").cast(StringType)
+      val sideB = Tables.orders(s, dir).filter(keyB.isNotNull)
+        .select(explode(array((0 until 9).map(j =>
+          struct(lit(j).as("j"),
+            Stats.amsSigma(keyB, j).as("sg"))): _*)).as("x"))
+        .groupBy(col("x.j").as("j"))
+        .agg(count(lit(1)).as("__nb"),
+          coalesce(sum(col("x.sg")), lit(0L)).as("__sb"))
+      val ests = latestA.join(sideB, Seq("j"))
+        .select(col("__na"), col("__nb"),
+          (col("__sa") * col("__sb")).cast(DecimalType(38, 0)).as("__e"))
+      val ranked = Guards
+        .boundedSeries(ests, "q_stream_joinsize depth estimates")
+        .withColumn("__rk", row_number().over(
+          Guards.seriesWindow(col("__e").asc)))
+      val med = ranked.agg(max(col("__na")).as("n_a"),
+        max(col("__nb")).as("n_b"),
+        min(when(col("__rk") === 5, col("__e"))).as("join_est"))
+      val fa = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id").cast(StringType).as("__k"))
+        .agg(count(lit(1)).as("__fa"))
+      val fb = Tables.orders(s, dir).filter(keyB.isNotNull)
+        .groupBy(keyB.as("__k")).agg(count(lit(1)).as("__fb"))
+      val exact = fa.join(fb, Seq("__k"))
+        .agg(coalesce(sum((col("__fa") * col("__fb"))
+          .cast(DecimalType(38, 0))),
+          lit(0).cast(DecimalType(38, 0))).as("join_exact"))
+      med.crossJoin(broadcast(exact))
+        .select(col("n_a"), col("n_b"), col("join_exact"),
+          col("join_est"))
+    }),
     "q_stream_quantile_group" -> ((s, dir) => {
       // Streaming grouped-quantile sketch: the 256-bin mergeable
       // histogram (q_quantile_sketch) carried as cross-batch keyed
@@ -9163,43 +9214,10 @@ object Queries {
     // AMS join-size replica: both sides' signed sums from the same
     // quadratic draws over the stringified key, DECIMAL(38,0)
     // per-depth products, lower-middle median, exact join size
-    "q_sketch_joinsize" -> {
-      def side(table: String, key: String, tag: String): String = {
-        val signs = (0 until 9).map { j =>
-          val a = Dedup.affineA(j); val b = Dedup.affineB(j)
-          s"""coalesce(sum(CASE WHEN ((h * h % $M) * $a + h * $b + $j)
-             |  % $M % 1000000 < 500000 THEN 1 ELSE -1 END), 0)
-             |  AS $tag$j""".stripMargin
-        }.mkString(",\n ")
-        s"""v$tag AS (SELECT CAST($key AS VARCHAR) AS k,
-           |  ${polySql(s"CAST($key AS VARCHAR)")} AS h
-           | FROM $table WHERE $key IS NOT NULL),
-           |s$tag AS (SELECT CAST(count(*) AS BIGINT) AS n$tag,
-           | $signs
-           | FROM v$tag)""".stripMargin
-      }
-      val sqs = (0 until 9)
-        .map(j => s"CAST(a$j * b$j AS DECIMAL(38,0))").mkString(", ")
-      s"""WITH ${side("events", "user_id", "a")},
-         |${side("orders", "o_custkey", "b")},
-         |est AS (SELECT na, nb, unnest([$sqs]) AS e FROM sa, sb),
-         |rk AS (SELECT na, nb, e,
-         |  row_number() OVER (ORDER BY e ASC) AS rk FROM est),
-         |med AS (SELECT CAST(max(na) AS BIGINT) AS n_a,
-         |  CAST(max(nb) AS BIGINT) AS n_b,
-         |  min(CASE WHEN rk = 5 THEN e END) AS join_est FROM rk),
-         |fa AS (SELECT CAST(user_id AS VARCHAR) AS k,
-         |  CAST(count(*) AS BIGINT) AS f FROM events
-         | WHERE user_id IS NOT NULL GROUP BY 1),
-         |fb AS (SELECT CAST(o_custkey AS VARCHAR) AS k,
-         |  CAST(count(*) AS BIGINT) AS f FROM orders
-         | WHERE o_custkey IS NOT NULL GROUP BY 1),
-         |ex AS (SELECT coalesce(sum(CAST(fa.f * fb.f AS DECIMAL(38,0))),
-         |  CAST(0 AS DECIMAL(38,0))) AS join_exact
-         | FROM fa JOIN fb ON fa.k = fb.k)
-         |SELECT med.n_a, med.n_b, ex.join_exact, med.join_est
-         |FROM med, ex""".stripMargin
-    },
+    "q_sketch_joinsize" -> joinSizeOracle,
+    // the streaming twin gates on the IDENTICAL replica: the stream
+    // side's cross-batch signed sums are associative integer folds
+    "q_stream_joinsize" -> joinSizeOracle,
     // AMS F2 replica: the same quadratic +/-1 draws per depth row,
     // exact signed sums, DECIMAL(38,0) squares, lower-middle median,
     // exact F2 beside it
@@ -11732,6 +11750,48 @@ object Queries {
     * DOUBLE then /1e12 in the same two-step order as the engine, then
     * the driver's power iteration unrolled as CTE levels over the
     * d×d frame. */
+  /** q_sketch_joinsize / q_stream_joinsize shared replica: both
+    * sides' signed sums from the same quadratic draws over the
+    * stringified key, DECIMAL(38,0) per-depth products, lower-middle
+    * median, exact join size. */
+  private def joinSizeOracle: String = {
+      def side(table: String, key: String, tag: String): String = {
+        val signs = (0 until 9).map { j =>
+          val a = Dedup.affineA(j); val b = Dedup.affineB(j)
+          s"""coalesce(sum(CASE WHEN ((h * h % $M) * $a + h * $b + $j)
+             |  % $M % 1000000 < 500000 THEN 1 ELSE -1 END), 0)
+             |  AS $tag$j""".stripMargin
+        }.mkString(",\n ")
+        s"""v$tag AS (SELECT CAST($key AS VARCHAR) AS k,
+           |  ${polySql(s"CAST($key AS VARCHAR)")} AS h
+           | FROM $table WHERE $key IS NOT NULL),
+           |s$tag AS (SELECT CAST(count(*) AS BIGINT) AS n$tag,
+           | $signs
+           | FROM v$tag)""".stripMargin
+      }
+      val sqs = (0 until 9)
+        .map(j => s"CAST(a$j * b$j AS DECIMAL(38,0))").mkString(", ")
+      s"""WITH ${side("events", "user_id", "a")},
+         |${side("orders", "o_custkey", "b")},
+         |est AS (SELECT na, nb, unnest([$sqs]) AS e FROM sa, sb),
+         |rk AS (SELECT na, nb, e,
+         |  row_number() OVER (ORDER BY e ASC) AS rk FROM est),
+         |med AS (SELECT CAST(max(na) AS BIGINT) AS n_a,
+         |  CAST(max(nb) AS BIGINT) AS n_b,
+         |  min(CASE WHEN rk = 5 THEN e END) AS join_est FROM rk),
+         |fa AS (SELECT CAST(user_id AS VARCHAR) AS k,
+         |  CAST(count(*) AS BIGINT) AS f FROM events
+         | WHERE user_id IS NOT NULL GROUP BY 1),
+         |fb AS (SELECT CAST(o_custkey AS VARCHAR) AS k,
+         |  CAST(count(*) AS BIGINT) AS f FROM orders
+         | WHERE o_custkey IS NOT NULL GROUP BY 1),
+         |ex AS (SELECT coalesce(sum(CAST(fa.f * fb.f AS DECIMAL(38,0))),
+         |  CAST(0 AS DECIMAL(38,0))) AS join_exact
+         | FROM fa JOIN fb ON fa.k = fb.k)
+         |SELECT med.n_a, med.n_b, ex.join_exact, med.join_est
+         |FROM med, ex""".stripMargin
+  }
+
   /** q_sketch_f2 / q_stream_f2 shared replica: the same quadratic
     * +/-1 draws per depth row, exact signed sums, DECIMAL(38,0)
     * squares, lower-middle median, exact F2 beside it. */
