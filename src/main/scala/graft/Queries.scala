@@ -11753,13 +11753,17 @@ object Queries {
   /** q_sketch_joinsize / q_stream_joinsize shared replica: both
     * sides' signed sums from the same quadratic draws over the
     * stringified key, DECIMAL(38,0) per-depth products, lower-middle
-    * median, exact join size. */
+    * median, exact join size. Every signed sum is CAST to BIGINT at
+    * the aggregate (DuckDB's sum(INTEGER) is HUGEINT — an INT128
+    * intermediate whose representation is version-sensitive under a
+    * typed hash) and every product runs DECIMAL(19,0)×DECIMAL(19,0)
+    * → DECIMAL(38,0), so no HUGEINT exists anywhere in the plan. */
   private def joinSizeOracle: String = {
       def side(table: String, key: String, tag: String): String = {
         val signs = (0 until 9).map { j =>
           val a = Dedup.affineA(j); val b = Dedup.affineB(j)
-          s"""coalesce(sum(CASE WHEN ((h * h % $M) * $a + h * $b + $j)
-             |  % $M % 1000000 < 500000 THEN 1 ELSE -1 END), 0)
+          s"""CAST(coalesce(sum(CASE WHEN ((h * h % $M) * $a + h * $b + $j)
+             |  % $M % 1000000 < 500000 THEN 1 ELSE -1 END), 0) AS BIGINT)
              |  AS $tag$j""".stripMargin
         }.mkString(",\n ")
         s"""v$tag AS (SELECT CAST($key AS VARCHAR) AS k,
@@ -11770,7 +11774,8 @@ object Queries {
            | FROM v$tag)""".stripMargin
       }
       val sqs = (0 until 9)
-        .map(j => s"CAST(a$j * b$j AS DECIMAL(38,0))").mkString(", ")
+        .map(j => s"CAST(CAST(a$j AS DECIMAL(19,0)) * " +
+          s"CAST(b$j AS DECIMAL(19,0)) AS DECIMAL(38,0))").mkString(", ")
       s"""WITH ${side("events", "user_id", "a")},
          |${side("orders", "o_custkey", "b")},
          |est AS (SELECT na, nb, unnest([$sqs]) AS e FROM sa, sb),
@@ -11785,7 +11790,8 @@ object Queries {
          |fb AS (SELECT CAST(o_custkey AS VARCHAR) AS k,
          |  CAST(count(*) AS BIGINT) AS f FROM orders
          | WHERE o_custkey IS NOT NULL GROUP BY 1),
-         |ex AS (SELECT coalesce(sum(CAST(fa.f * fb.f AS DECIMAL(38,0))),
+         |ex AS (SELECT coalesce(sum(CAST(CAST(fa.f AS DECIMAL(19,0))
+         |    * CAST(fb.f AS DECIMAL(19,0)) AS DECIMAL(38,0))),
          |  CAST(0 AS DECIMAL(38,0))) AS join_exact
          | FROM fa JOIN fb ON fa.k = fb.k)
          |SELECT med.n_a, med.n_b, ex.join_exact, med.join_est
@@ -11794,15 +11800,20 @@ object Queries {
 
   /** q_sketch_f2 / q_stream_f2 shared replica: the same quadratic
     * +/-1 draws per depth row, exact signed sums, DECIMAL(38,0)
-    * squares, lower-middle median, exact F2 beside it. */
+    * squares, lower-middle median, exact F2 beside it. Signed sums
+    * CAST to BIGINT at the aggregate and squares computed as
+    * DECIMAL(19,0)×DECIMAL(19,0) → DECIMAL(38,0) — no HUGEINT
+    * intermediate anywhere (see [[joinSizeOracle]]). */
   private def f2Oracle: String = {
       val signs = (0 until 9).map { j =>
         val a = Dedup.affineA(j); val b = Dedup.affineB(j)
-        s"""sum(CASE WHEN ((h * h % $M) * $a + h * $b + $j) % $M
-           |  % 1000000 < 500000 THEN 1 ELSE -1 END) AS s$j""".stripMargin
+        s"""CAST(sum(CASE WHEN ((h * h % $M) * $a + h * $b + $j) % $M
+           |  % 1000000 < 500000 THEN 1 ELSE -1 END) AS BIGINT)
+           |  AS s$j""".stripMargin
       }.mkString(",\n ")
       val sqs = (0 until 9)
-        .map(j => s"CAST(s$j * s$j AS DECIMAL(38,0))").mkString(", ")
+        .map(j => s"CAST(CAST(s$j AS DECIMAL(19,0)) * " +
+          s"CAST(s$j AS DECIMAL(19,0)) AS DECIMAL(38,0))").mkString(", ")
       s"""WITH v AS (SELECT event_type AS k, ${polySql("event_type")} AS h
          | FROM events WHERE event_type IS NOT NULL),
          |sums AS (SELECT CAST(count(*) AS BIGINT) AS n,
@@ -11814,7 +11825,8 @@ object Queries {
          |med AS (SELECT CAST(max(n) AS BIGINT) AS n,
          |  min(CASE WHEN rk = 5 THEN e END) AS f2_est FROM rk),
          |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
-         |  coalesce(sum(CAST(f * f AS DECIMAL(38,0))),
+         |  coalesce(sum(CAST(CAST(f AS DECIMAL(19,0))
+         |      * CAST(f AS DECIMAL(19,0)) AS DECIMAL(38,0))),
          |    CAST(0 AS DECIMAL(38,0))) AS f2_exact
          | FROM (SELECT CAST(count(*) AS BIGINT) AS f FROM v GROUP BY k))
          |SELECT med.n, ex.n_keys, ex.f2_exact, med.f2_est

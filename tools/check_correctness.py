@@ -8,6 +8,17 @@ run the corresponding oracle SQL (oracle_sql.json) in DuckDB with the
 sf tables registered as views, sort columns by name and rows by value,
 and compare cell-by-cell. Queries without an oracle get a rows-only
 check (>0 rows).
+
+REPLICA-PARITY NOTE (r11 lesson): this gate is a replica of the
+driver's typed-hash gate, not the gate itself. The driver runs its own
+DuckDB build; an oracle whose plan contains a version-sensitive
+intermediate (HUGEINT from sum(INTEGER), implicit list-type
+unification, ...) can PASS here and FAIL there. Keep oracle SQL free
+of HUGEINT (CAST every integer sum to BIGINT, widen products through
+DECIMAL(19,0)) and check the printed duckdb version when triaging a
+driver-only failure. On any cell mismatch the JSON record carries the
+first differing cells from BOTH sides ("first_diffs") so a replica gap
+costs a look, not a round.
 """
 import json
 import math
@@ -67,6 +78,7 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     json_out = sys.argv[3] if len(sys.argv) > 3 else None
     records = {}
+    print(f"duckdb {duckdb.__version__}")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -167,6 +179,12 @@ def main():
             print(f"FAIL {q} {len(bad)}/{len(gr)} rows differ; first:")
             print(f"  spark : {bad[0][0]}")
             print(f"  oracle: {bad[0][1]}")
+            # Artifact the first differing cells (both sides, typed)
+            # so a local-vs-driver hash gap is diagnosable from the
+            # JSON alone (VERDICT r11 item 1c).
+            records[q]["first_diffs"] = [
+                {"spark": repr(a), "oracle": repr(b)}
+                for a, b in bad[:3]]
             n_fail += 1
         else:
             print(f"PASS {q} ({len(gr)} rows)")
