@@ -272,7 +272,18 @@ object Streams {
     * keeping the max-counter row per key drop it, exactly the delete
     * drain) and evicts; a later change for the key starts fresh, the
     * LWW fold unbroken. Requires a `ts` event-time column on the
-    * input (alongside the exact `ts_ns` the fold orders by). */
+    * input (alongside the exact `ts_ns` the fold orders by).
+    *
+    * TTL counter discipline (ADVICE r11): with TTL on, `updates` is
+    * event-time-derived — `max(prev + 1, maxEventMicros)` — so a key
+    * that RETURNS after eviction re-emits with a counter strictly
+    * above its own tombstone (whose counter is the evicted chain's
+    * `prev + 1`): the max-counter drain resolves to the live row, a
+    * restart can never be shadowed by the closure record. Holds
+    * whenever the return gap (≥ ttl − watermark delay) exceeds the
+    * evicted chain's batch count in microseconds — every real
+    * configuration. Without TTL the counter stays the plain 1,2,3,…
+    * per-key sequence. */
   def cdcLatestState(
       changes: DataFrame,
       ttlMs: Option[Long] = None,
@@ -300,13 +311,20 @@ object Streams {
           } else {
             val prev = state.getOption.getOrElse(
               CdcState(0L, Long.MinValue, Long.MinValue, "", 0.0))
+            var maxUs = Long.MinValue
             val best = rows.foldLeft(prev) {
               case (acc, (_, (ts, id, op, v), _)) =>
+                maxUs = math.max(maxUs, ts / 1000L)
                 if (ts > acc.tsNs || (ts == acc.tsNs && id >= acc.id))
                   acc.copy(tsNs = ts, id = id, op = op, value = v)
                 else acc
             }
-            val next = best.copy(updates = prev.updates + 1)
+            // TTL mode: event-time-derived counter (restart-proof
+            // vs the eviction tombstone); plain sequence otherwise.
+            val ctr =
+              if (ttlMs.isDefined) math.max(prev.updates + 1, maxUs)
+              else prev.updates + 1
+            val next = best.copy(updates = ctr)
             state.update(next)
             armTtl(state, ttlMs, next.tsNs / 1000L)
             Iterator(CdcOut(k, next.updates, next.tsNs, next.id,
@@ -601,7 +619,14 @@ object Streams {
     * final [[FunnelStage]] (the chain as it stood, `updates` bumped —
     * the closure record a conversion report keeps), and a later
     * return starts a fresh chain. Requires the input to carry the
-    * `ts` event-time column; `watermark` is the lateness bound. */
+    * `ts` event-time column; `watermark` is the lateness bound.
+    *
+    * TTL counter discipline (ADVICE r11): with TTL on, `updates` is
+    * event-time-derived — `max(prev + 1, maxEventMicros)` — so a
+    * returning user's fresh chain always out-counts the old chain's
+    * closure record (`prev + 1`) in the max-counter drain; a restart
+    * is never shadowed (see [[cdcLatestState]] for the bound).
+    * Without TTL the counter is the plain per-key sequence. */
   def funnelStageState(
       events: DataFrame,
       steps: Seq[String],
@@ -639,9 +664,14 @@ object Streams {
                 if (t2 >= 0 && ts > t2 && t3 < 0) t3 = ts
               }
             }
-            state.update((pu + 1L, t1, t2, t3))
+            // TTL mode: event-time-derived counter (restart-proof
+            // vs the closure record); plain sequence otherwise.
+            val ctr =
+              if (ttlMs.isDefined) math.max(pu + 1L, evs.map(_._2).max)
+              else pu + 1L
+            state.update((ctr, t1, t2, t3))
             armTtl(state, ttlMs, evs.map(_._2).max)
-            Iterator(FunnelStage(u, pu + 1L, t1, t2, t3))
+            Iterator(FunnelStage(u, ctr, t1, t2, t3))
           }
       }
   }

@@ -774,23 +774,33 @@ class StreamsSpec extends SparkSpecBase {
         r.getAs[Long]("t1"), r.getAs[Long]("t2"), r.getAs[Long]("t3")))
     val ttlRows = drain(Some(3600L * 1000), "funnel_ttl")
     val hUs = h / 1000
-    // user 1's emission history: batch-1 anchor, the timeout CLOSURE
-    // record (same chain, updates bumped), then the restart where the
-    // returning click cannot anchor — proof the state was dropped
+    // user 1's emission history in counter order: batch-1 anchor, the
+    // timeout CLOSURE record (same chain, counter bumped), then the
+    // restart where the returning click cannot anchor — proof the
+    // state was dropped. TTL counters are event-time-derived
+    // (ADVICE r11), so the restart row's counter (4h in µs) exceeds
+    // the closure's (1h µs + 1).
     val u1 = ttlRows.filter(_._1 == 1L).map(t => (t._2, t._3, t._4, t._5))
       .sortBy(t => (t._1, t._2)).toSeq
-    assert(u1 == Seq((1L, -1L, -1L, -1L), (1L, hUs, -1L, -1L),
-      (2L, hUs, -1L, -1L)), s"user 1 history: $u1")
+    assert(u1 == Seq((hUs, hUs, -1L, -1L), (hUs + 1, hUs, -1L, -1L),
+      (4 * hUs + 2 * s / 1000, -1L, -1L, -1L)), s"user 1 history: $u1")
+    // THE DRAIN FIX: the max-counter row per key is the RESTART, not
+    // the stale closure record — a returning user is never shadowed
+    val u1Latest = ttlRows.filter(_._1 == 1L).maxBy(_._2)
+    assert((u1Latest._3, u1Latest._4, u1Latest._5) == ((-1L, -1L, -1L)),
+      s"restart row must win the max-counter drain: $u1Latest")
     // user 2 stayed live throughout (each batch re-armed its TTL):
     // the full chain completes exactly as in the NoTimeout run
     val u2Latest = ttlRows.filter(_._1 == 2L).maxBy(_._2)
     assert((u2Latest._3, u2Latest._4, u2Latest._5) ==
       ((hUs, 4 * hUs, 4 * hUs + 2 * s / 1000)), s"user 2: $u2Latest")
     val plainRows = drain(None, "funnel_nottl")
+    // chains (not counters — TTL counters are event-time-derived)
+    // match the NoTimeout run for the non-expired key
     val u2Plain = plainRows.filter(_._1 == 2L).map(t =>
-      (t._2, t._3, t._4, t._5)).sorted.toSeq
+      (t._3, t._4, t._5)).sorted.toSeq
     val u2Ttl = ttlRows.filter(_._1 == 2L).map(t =>
-      (t._2, t._3, t._4, t._5)).sorted.toSeq
+      (t._3, t._4, t._5)).sorted.toSeq
     assert(u2Ttl == u2Plain,
       s"non-expired key diverged: ttl=$u2Ttl plain=$u2Plain")
     // and WITHOUT the TTL, user 1's carried anchor lets the returning
@@ -866,6 +876,10 @@ class StreamsSpec extends SparkSpecBase {
     // key 1 idle while the watermark (3h50m) passes its 2h expiry →
     // tombstone + eviction fires in this batch
     write("c.parquet", Seq((4L, 4 * h + s, 3L, "up")), t0 - 30000)
+    // key 1 RETURNS after eviction — the fresh chain's event-time-
+    // derived counter must exceed the tombstone's (ADVICE r11: a
+    // plain restart-at-1 counter left the key shadowed forever)
+    write("d.parquet", Seq((5L, 4 * h + 2 * s, 1L, "up")), t0)
     val changes = Streams.eventsStream(spark, tmp.getPath,
         glob = "*.parquet", maxFilesPerTrigger = 1)
       .withColumn("op", lit("U"))
@@ -875,16 +889,17 @@ class StreamsSpec extends SparkSpecBase {
       Streams.cdcLatestState(changes, ttlMs = Some(3600L * 1000),
         watermark = "10 minutes").toDF(), "cdc_ttl").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("updates"),
-        r.getAs[String]("op")))
-    // key 1: one upsert, then the retention tombstone
+        r.getAs[String]("op"), r.getAs[Long]("event_id")))
+    // key 1: upsert, retention tombstone, then the post-return upsert
     val k1 = drained.filter(_._1 == 1L).sortBy(_._2).toSeq
-    assert(k1.map(_._3) == Seq("U", "D"), s"key 1 history: $k1")
-    // latest-wins drain: key 1 resolves to the tombstone (dropped by
-    // consumers), keys 2 and 3 stay live
+    assert(k1.map(_._3) == Seq("U", "D", "U"), s"key 1 history: $k1")
+    // latest-wins drain: key 1 resolves to the RETURNED upsert (the
+    // tombstone lost — the drain fix), keys 2 and 3 stay live
     val latest = drained.groupBy(_._1)
-      .map { case (k, rs) => k -> rs.maxBy(_._2)._3 }
-    assert(latest == Map(1L -> "D", 2L -> "U", 3L -> "U"),
-      s"latest ops: $latest")
+      .map { case (k, rs) =>
+        val w = rs.maxBy(_._2); k -> ((w._3, w._4)) }
+    assert(latest == Map(1L -> (("U", 5L)), 2L -> (("U", 3L)),
+      3L -> (("U", 4L))), s"latest: $latest")
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
