@@ -7927,11 +7927,13 @@ object Queries {
       s"""WITH $knnEdgesCte,
          |ed AS (SELECT a AS src, b AS dst FROM e
          |       UNION ALL SELECT b, a FROM e),
-         |d AS (SELECT src, CAST(count(*) AS BIGINT) AS dg
+         |do_ AS (SELECT src, CAST(count(*) AS BIGINT) AS dg
+         |      FROM ed GROUP BY 1),
+         |di AS (SELECT dst, CAST(count(*) AS BIGINT) AS dg
          |      FROM ed GROUP BY 1),
          |p AS (SELECT dx.dg AS dx, dy.dg AS dy
-         | FROM ed JOIN d dx ON ed.src = dx.src
-         |  JOIN d dy ON ed.dst = dy.src),
+         | FROM ed JOIN do_ dx ON ed.src = dx.src
+         |  JOIN di dy ON ed.dst = dy.dst),
          |g AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
          |  sum(CAST(dx AS DECIMAL(38,0))) AS sx,
          |  sum(CAST(dy AS DECIMAL(38,0))) AS sy,

@@ -15,6 +15,13 @@ import org.apache.spark.sql.SparkSession
   *    entry keyed by that session, so harness-lifetime driver memory
   *    no longer outlives the session that produced it.
   *
+  * Every drop — LRU victim, race-loser discard, session eviction —
+  * best-effort RELEASES the value (ADVICE r11): a memoized Dataset
+  * (or tuple of Datasets) is unpersisted so its cache blocks /
+  * localCheckpoint RDDs free with the map entry instead of surviving
+  * to session end; the bound guards executor memory, not just the
+  * driver map.
+  *
   * All access synchronizes on the memo (the listener fires on the
   * listener-bus thread).
   */
@@ -39,7 +46,9 @@ final class SessionMemo[V](maxEntries: Int = 8) {
     val computed = v
     synchronized {
       m.get((s, key)) match {
-        case Some(raced) => raced // a racer computed it first — reuse
+        case Some(raced) =>
+          release(computed) // the losing duplicate's cache blocks
+          raced // a racer computed it first — reuse
         case None =>
           if (!hooked.contains(s)) {
             hooked += s
@@ -49,16 +58,33 @@ final class SessionMemo[V](maxEntries: Int = 8) {
             })
           }
           m.put((s, key), computed)
-          while (m.size > maxEntries) m.remove(m.head._1)
+          while (m.size > maxEntries) {
+            val victim = m.head._1
+            m.remove(victim).foreach(release)
+          }
           computed
       }
     }
   }
 
+  /** Best-effort unpersist of a dropped value: a cached Dataset (or
+    * any Product holding Datasets — the (pairs, survivors) tuples)
+    * frees its storage with the map entry. Failures (stopped
+    * context) are swallowed — release is an optimization, never a
+    * correctness step. */
+  private def release(v: Any): Unit = v match {
+    case d: org.apache.spark.sql.Dataset[_] =>
+      try d.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    case p: Product => p.productIterator.foreach(release)
+    case _ => ()
+  }
+
   /** Drop every entry keyed by `s` (listener-called on application
     * end; callable directly in tests). */
   def evictSession(s: SparkSession): Unit = synchronized {
-    m.filterInPlace { case ((ss, _), _) => ss ne s }
+    m.keys.filter(_._1 eq s).toList
+      .foreach(k => m.remove(k).foreach(release))
     hooked -= s
   }
 

@@ -255,19 +255,30 @@ object Lakehouse {
           " — rebase and retry")
     val next = expectedLatest + 1
     val attempt = java.util.UUID.randomUUID().toString
-    val stage = s"$path/__stage_$attempt"
-    df.write.mode("overwrite").parquet(stage)
+    val stagePath = new org.apache.hadoop.fs.Path(s"$path/__stage_$attempt")
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val target = new org.apache.hadoop.fs.Path(path, s"v=$next")
-    // the compare-and-swap: rename fails if a racer claimed the slot
-    if (fs.exists(target) ||
-      !fs.rename(new org.apache.hadoop.fs.Path(stage), target)) {
-      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-      throw new java.util.ConcurrentModificationException(
-        s"commitVersion: lost the race for v=$next — rebase and retry")
+    // Any non-success path — a failed write job, a lost CAS race, an
+    // interrupt between write and rename — deletes this attempt's
+    // stage dir (ADVICE r11: orphaned attempts used to pile up until
+    // a vacuum). A hard driver kill can still orphan one; the
+    // [[expireVersions]] sweep collects those.
+    var committed = false
+    try {
+      df.write.mode("overwrite").parquet(stagePath.toString)
+      val target = new org.apache.hadoop.fs.Path(path, s"v=$next")
+      // the compare-and-swap: rename fails if a racer claimed the slot
+      if (fs.exists(target) || !fs.rename(stagePath, target))
+        throw new java.util.ConcurrentModificationException(
+          s"commitVersion: lost the race for v=$next — rebase and retry")
+      committed = true
+      next
+    } finally {
+      if (!committed) {
+        try fs.delete(stagePath, true)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
-    next
   }
 
   /** Complete (marker-bearing) snapshot versions, ascending. */
@@ -303,9 +314,16 @@ object Lakehouse {
     * directory deletion; nothing references expired versions — the
     * ledger is the directory listing itself, see [[writeVersion]]).
     * Time travel to an expired version fails loudly afterwards.
-    * Returns the versions dropped, ascending. */
+    *
+    * Also sweeps ORPHANED commit attempts: `__stage_*` directories
+    * (hard-killed [[commitVersion]] writers) idle longer than
+    * `staleStageMs` are deleted. The age guard keeps the sweep from
+    * racing an IN-FLIGHT commit — a live attempt's stage dir is
+    * seconds old; deleting it mid-rename could promote a partial
+    * snapshot. Returns the versions dropped, ascending. */
   def expireVersions(
-      spark: SparkSession, path: String, keepLast: Int): Seq[Int] = {
+      spark: SparkSession, path: String, keepLast: Int,
+      staleStageMs: Long = 3600L * 1000): Seq[Int] = {
     require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
     val vs = versions(spark, path)
     val drop = vs.dropRight(keepLast)
@@ -313,6 +331,14 @@ object Lakehouse {
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     drop.foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(path, s"v=$v"), true)
+    }
+    if (fs.exists(hp)) {
+      val cutoff = System.currentTimeMillis() - staleStageMs
+      fs.listStatus(hp).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("__stage_") &&
+          st.getModificationTime < cutoff)
+        .foreach(st => fs.delete(st.getPath, true))
     }
     drop
   }

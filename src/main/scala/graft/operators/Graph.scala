@@ -621,14 +621,17 @@ object Graph {
   }
 
   /** Degree assortativity (Newman 2002, Phys. Rev. Lett. 89.208701):
-    * the Pearson correlation of (deg(src), deg(dst)) over the DIRECTED
-    * edge list — positive means hubs link to hubs (a social-network
-    * shape), negative means hubs fan out to leaves (the hub-dominated
-    * k-NN pathology [[graft.operators]] reciprocity also probes, read
-    * as one number). On a symmetrized edge list the coefficient is the
-    * standard undirected form.
+    * the Pearson correlation of (out-deg(src), in-deg(dst)) over the
+    * DIRECTED edge list — Newman's directed form (ADVICE r11: the dst
+    * endpoint takes its IN-degree, which every node appearing as a
+    * dst has by construction, so the degree joins are lossless on any
+    * directed input). Positive means hubs link to hubs (a
+    * social-network shape), negative means hubs fan out to leaves
+    * (the hub-dominated k-NN pathology reciprocity also probes, read
+    * as one number). On a symmetrized edge list in-degree equals
+    * out-degree and the coefficient is the standard undirected form.
     *
-    * Scale shape: one degree aggregate (map-side combined), two
+    * Scale shape: two degree aggregates (map-side combined), two
     * broadcast-sized joins of edges against the degree table (at web
     * scale: the degree frame is |nodes| — shuffle-join on the
     * endpoint; Spark picks by size), ONE 1-row aggregate. Exactness:
@@ -640,11 +643,11 @@ object Graph {
     * Returns one row: (n_edges, assortativity — NULL when either
     * variance is zero, e.g. a regular graph). */
   def degreeAssortativity(edges: DataFrame): DataFrame = {
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+    val inDeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("__d"))
     val p = edges
-      .join(deg.select(col("src"), col("__d").as("__dx")), Seq("src"))
-      .join(deg.select(col("src").as("dst"), col("__d").as("__dy")),
-        Seq("dst"))
+      .join(outDeg.select(col("src"), col("__d").as("__dx")), Seq("src"))
+      .join(inDeg.select(col("dst"), col("__d").as("__dy")), Seq("dst"))
     val dec = DecimalType(38, 0)
     val agg = p.agg(
       count(lit(1)).as("n_edges"),

@@ -33,4 +33,35 @@ class SessionMemoSpec extends SparkSpecBase {
     get("aa")
     assert(computes == b2 + 1, "post-eviction read must recompute")
   }
+
+  test("memo: a dropped entry's Dataset is UNPERSISTED — LRU victims, " +
+    "tuple members, and session eviction all free their cache blocks " +
+    "(ADVICE r11)") {
+    import org.apache.spark.storage.StorageLevel
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    def cached(n: Int): DataFrame = {
+      val df = (1 to n).toDF("x").persist(StorageLevel.MEMORY_ONLY)
+      df.count() // materialize so storageLevel reflects a live cache
+      df
+    }
+    val memo = new SessionMemo[DataFrame](maxEntries = 1)
+    val a = memo.getOrElseUpdate(spark, "a", cached(3))
+    assert(a.storageLevel != StorageLevel.NONE)
+    val b = memo.getOrElseUpdate(spark, "b", cached(4))
+    assert(a.storageLevel == StorageLevel.NONE,
+      "LRU victim must be unpersisted")
+    assert(b.storageLevel != StorageLevel.NONE)
+    memo.evictSession(spark)
+    assert(b.storageLevel == StorageLevel.NONE,
+      "session eviction must unpersist")
+    // tuple values: every Dataset member releases
+    val tmemo = new SessionMemo[(DataFrame, DataFrame)](maxEntries = 1)
+    val (t1, t2) =
+      tmemo.getOrElseUpdate(spark, "t", (cached(2), cached(5)))
+    tmemo.evictSession(spark)
+    assert(t1.storageLevel == StorageLevel.NONE &&
+      t2.storageLevel == StorageLevel.NONE,
+      "tuple members must be unpersisted")
+  }
 }

@@ -217,6 +217,46 @@ class LakehouseSpec extends SparkSpecBase {
     assert(Lakehouse.versions(spark, path) == Seq(3, 4))
   }
 
+  test("expireVersions sweeps STALE orphaned __stage_* attempts but " +
+    "leaves fresh (possibly in-flight) ones alone (ADVICE r11)") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("swp").toString + "/t"
+    Lakehouse.writeVersion(spark, path, Seq((1L, "a")).toDF("k", "v"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a hard-killed writer's orphan (old mtime) and a live attempt
+    val stale = new org.apache.hadoop.fs.Path(path, "__stage_dead")
+    val fresh = new org.apache.hadoop.fs.Path(path, "__stage_live")
+    fs.mkdirs(stale); fs.mkdirs(fresh)
+    fs.setTimes(stale, System.currentTimeMillis() - 7200L * 1000, -1)
+    Lakehouse.expireVersions(spark, path, keepLast = 1)
+    assert(!fs.exists(stale), "stale stage dir must be swept")
+    assert(fs.exists(fresh), "fresh stage dir must survive the sweep")
+    assert(Lakehouse.versions(spark, path) == Seq(1))
+  }
+
+  test("commitVersion: a FAILED write job deletes its own stage dir " +
+    "(ADVICE r11: no orphan per failed attempt)") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("occ3").toString + "/t"
+    Lakehouse.commitVersion(spark, path, 0, Seq((1L, "a")).toDF("k", "v"))
+    val boom = Seq((1L, "x")).toDF("k", "v")
+      .withColumn("v", org.apache.spark.sql.functions
+        .raise_error(org.apache.spark.sql.functions.lit("boom")))
+    intercept[Exception] {
+      Lakehouse.commitVersion(spark, path, 1, boom)
+    }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftovers = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).filter(_.startsWith("__stage"))
+    assert(leftovers.isEmpty, s"staging left behind: ${leftovers.toSeq}")
+    // the ledger is untouched and the next commit lands normally
+    assert(Lakehouse.versions(spark, path) == Seq(1))
+    assert(Lakehouse.commitVersion(spark, path, 1,
+      Seq((2L, "b")).toDF("k", "v")) == 2)
+  }
+
   test("deletion vectors subtract on read without touching the base; " +
     "vacuum folds them in and clears the ledger") {
     import spark.implicits._

@@ -343,6 +343,27 @@ class GraphSpec extends SparkSpecBase {
     assert(c.isNullAt(c.fieldIndex("assortativity")), s"got $c")
   }
 
+  test("degreeAssortativity on a genuinely DIRECTED edge list: dst " +
+    "takes its IN-degree (Newman's directed form) and no edge is " +
+    "dropped for a dst without outgoing edges (ADVICE r11)") {
+    // 0→1, 0→2, 1→2, 2→0: out-degrees (0:2, 1:1, 2:1), in-degrees
+    // (1:1, 2:2, 0:1) → per-edge (out(src), in(dst)) pairs
+    // (2,1),(2,2),(1,2),(1,1): n=4, sx=sy=6, sxy=9, sxx=syy=10 →
+    // num = 4·9 − 36 = 0 → r = 0 exactly. The old out-degree-only
+    // join gave sy=5, syy=7 (and a directed star dropped ALL edges).
+    val directed = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L))
+      .toDF("src", "dst")
+    val r = Graph.degreeAssortativity(directed).collect()(0)
+    assert(r.getAs[Long]("n_edges") == 4L, s"got $r")
+    assert(r.getAs[Double]("assortativity") == 0.0, s"got $r")
+    // directed star: every dst is a sink — the in-degree join keeps
+    // all 3 edges (the out-degree join found none)
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val s = Graph.degreeAssortativity(star).collect()(0)
+    assert(s.getAs[Long]("n_edges") == 3L, s"got $s")
+    assert(s.isNullAt(s.fieldIndex("assortativity")), s"got $s")
+  }
+
   test("richClub: two wired hubs give phi = 1 at every cut they " +
     "clear; a lone hub abstains") {
     // hubs 0, 1 (degree 3 each) connected to each other + leaves:
