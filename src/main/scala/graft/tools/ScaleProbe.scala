@@ -137,7 +137,9 @@ object ScaleProbe {
       "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SCALE_DIR", "tmp/sfx10")
     val factor = 10
-    val flagFactor = 15.0
+    // 12×, not 15 (VERDICT r11 item 3): a 14× quadratic hid under the
+    // old bound; anything past ~n·log-n territory should surface
+    val flagFactor = 12.0
     val probes =
       if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains)
       else DefaultProbes
@@ -165,35 +167,50 @@ object ScaleProbe {
           println(s"[scale] $name FAILED: ${e.getMessage}")
           None
       }
+    // (name, base, x10, keptRatio, firstRatioIfRetried)
     val results = probes.flatMap { name =>
       // a long sequential session accumulates executor pressure that
       // can produce a phantom 50x on one unlucky query (r11: a 65x
       // q_join_salted that re-measured at 2.2x in isolation) — give
       // any over-threshold measurement ONE retry and keep the better
-      // ratio, the bench's min-of-retries idiom
+      // ratio, the bench's min-of-retries idiom. BOTH measurements go
+      // to the artifact (ADVICE r11): a retry-cleared flag stays
+      // auditable instead of silently reading as clean.
       val first = measure(name)
-      val kept = first match {
-        case Some(m) if m._4 > flagFactor =>
-          println(s"[scale] ${m._1} ratio=${fmt(m._4)} over " +
-            s"$flagFactor - retrying once")
-          measure(name).filter(_._4 < m._4).orElse(first)
-        case other => other
-      }
-      kept.foreach { case (n, tb, tx, ratio) =>
+      val kept: Option[(String, Double, Double, Double, Option[Double])] =
+        first match {
+          case Some(m) if m._4 > flagFactor =>
+            println(s"[scale] ${m._1} ratio=${fmt(m._4)} over " +
+              s"$flagFactor - retrying once")
+            val retry = measure(name)
+            val best = retry.filter(_._4 < m._4).getOrElse(m)
+            Some((best._1, best._2, best._3, best._4, Some(m._4)))
+          case other => other.map(m => (m._1, m._2, m._3, m._4, None))
+        }
+      kept.foreach { case (n, tb, tx, ratio, firstR) =>
         println(s"[scale] $n base=${fmt(tb)}s x$factor=${fmt(tx)}s " +
-          s"ratio=${fmt(ratio)}")
+          s"ratio=${fmt(ratio)}" +
+          firstR.map(f => s" (first=${fmt(f)})").getOrElse(""))
       }
       kept
     }
     val flagged = results.filter(_._4 > flagFactor).map(_._1)
-    val qs = results.map { case (n, tb, tx, r) =>
+    // top-3 ratios are ALWAYS emitted (VERDICT r11 item 3): a
+    // near-miss under the bound must never read as clean
+    val nearFlag = results.sortBy(-_._4).take(3).map { r =>
+      s"""{"query":"${r._1}","ratio":${fmt(r._4)}}"""
+    }
+    val qs = results.map { case (n, tb, tx, r, firstR) =>
       s""""$n":{"base_sec":${fmt(tb)},"x10_sec":${fmt(tx)},""" +
-        s""""ratio":${fmt(r)}}"""
+        s""""ratio":${fmt(r)}""" +
+        firstR.map(f => s""","first_try_ratio":${fmt(f)}""").getOrElse("") +
+        "}"
     }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"scale_probe","rows_factor":$factor,""" +
         s""""base":"$base","scaled":"$out","flag_factor":$flagFactor,""" +
         s""""flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""near_flag":${nearFlag.mkString("[", ",", "]")},""" +
         s""""queries":$qs}"""
     Files.writeString(Paths.get("BENCH_SCALE.json"), json + "\n")
     println(s"GRAFT_SCALE_JSON $json")

@@ -250,6 +250,48 @@ class SimilaritySpec extends SparkSpecBase {
     assert(withinA.subsetOf(got) && got.contains((20L, 21L)))
   }
 
+  test("lshTopKPerQuery scale-adaptive banding: a corpus past the " +
+    "width threshold runs WIDER band keys, planted duplicates still " +
+    "collide (identical signatures at any width), and results below " +
+    "the threshold are bit-identical to the fixed geometry " +
+    "(VERDICT r11 item 2)") {
+    import spark.implicits._
+    // 6000 vectors > targetCohort·2^(bits/bands) = 16·256 = 4096 →
+    // bandBits widens past the 8-bit floor. Deterministic pseudo-
+    // random directions plus 10 planted duplicate pairs (ids
+    // 100000+i duplicates id i·37) — identical vectors share every
+    // band at ANY width, so each query id must report its twin first.
+    def vec(i: Long): Array[Float] = {
+      def h(a: Long, m: Int) = (((i * a + m * 2654435761L) %
+        1000003L + 1000003L) % 1000003L).toFloat / 1000003f - 0.5f
+      Array(h(48271, 1), h(69621, 2), h(40692, 3), h(16807, 4))
+    }
+    val base = (0L until 6000L).map(i => (i, vec(i)))
+    val twins = (0 until 10).map(j => (100000L + j, vec(j * 37L)))
+    val corpus = (base ++ twins).toDF("vec_id", "embedding")
+    val queries = twins.toDF("vec_id", "embedding")
+    val got = Similarity.lshTopKPerQuery(corpus, queries,
+      "vec_id", "embedding", k = 1, portable = true,
+      excludeSelf = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 10).foreach { j =>
+      assert(got(100000L + j) == j * 37L,
+        s"twin of ${100000L + j} not found: $got")
+    }
+    // below the threshold the adaptive width floors at bits/bands:
+    // identical output to an explicitly small corpus run
+    val small = (0L until 100L).map(i => (i, vec(i))).toDF(
+      "vec_id", "embedding")
+    val a = Similarity.lshTopKPerQuery(small, small, "vec_id",
+      "embedding", k = 3, portable = true, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Similarity.lshTopKPerQuery(small, small, "vec_id",
+      "embedding", k = 3, portable = true, excludeSelf = true,
+      targetCohort = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b, "below-threshold geometry must be unchanged")
+  }
+
   test("assignClusters: separable groups land on their own centroid") {
     import spark.implicits._
     // seeds = two lowest ids (0 → [1,0], 1 → [0,1]); identical members
