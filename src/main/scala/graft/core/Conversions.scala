@@ -15,12 +15,35 @@ import org.apache.spark.sql.types._
   */
 object Conversions {
 
+  /** Exactly the strings an ANSI string→integral cast accepts
+    * (pinned empirically, `ConversionsSpec`): leading/trailing chars
+    * in `[\x00-\x20\x7F]` are trimmed (`UTF8String.trimAll`; NEL,
+    * NBSP, and Unicode spaces are NOT), then one optional sign and
+    * ASCII digits only — no decimal point, exponent, or radix prefix.
+    * Overflow is the one accept-then-fail case, left to `try_cast`. */
+  private val IntegralShape =
+    "^[\\x00-\\x20\\x7F]*[+-]?[0-9]+[\\x00-\\x20\\x7F]*$"
+
+  /** TRY-mode string casts reach NULL by throwing and catching a
+    * per-row NumberFormatException (~20µs/row) — on a column where
+    * most values are unparseable (exactly the coercion-audit shape)
+    * that exception path dominated the whole profile aggregate at
+    * 10× rows. The codegen'd rlike prefilter routes shape-failing
+    * rows straight to NULL; shape-passing rows defer to `try_cast`
+    * so overflow semantics are untouched. Bit-identical to a bare
+    * `try_cast` on STRING input (these helpers coerce text — the
+    * reference's `errors='coerce'` runs on CSV/JSON fields). */
+  private def integralGuard(c: Column, t: DataType): Column = {
+    val s = c.cast(StringType)
+    when(s.rlike(IntegralShape), s.try_cast(t))
+  }
+
   /** C1: to-bigint with coercion — unparseable → NULL
     * (csv_to_mssqldb.py:259-264). */
-  def tryToLong(c: Column): Column = c.try_cast(LongType)
+  def tryToLong(c: Column): Column = integralGuard(c, LongType)
 
   /** C2: to-int with coercion (csv_to_mssqldb.py:321-326). */
-  def tryToInt(c: Column): Column = c.try_cast(IntegerType)
+  def tryToInt(c: Column): Column = integralGuard(c, IntegerType)
 
   /** C3: to-decimal with coercion; keeps DECIMAL(18,4) source precision
     * rather than the reference's lossy float64 hop

@@ -28,6 +28,30 @@ class ConversionsSpec extends SparkSpecBase {
       == Seq(42L, -7L, null, null, null))
   }
 
+  test("C1/C2 shape prefilter is bit-identical to a bare try_cast") {
+    // The guarded coercions skip TRY-mode's thrown-exception NULL path
+    // via an rlike prefilter; this battery pins equivalence on every
+    // acceptance-boundary case observed from the ANSI cast itself:
+    // trimAll's exact character set, sign/digit shapes, overflow, and
+    // the lookalikes the cast rejects (Unicode spaces/digits, NEL,
+    // decimals, exponents, radix prefixes, interior controls).
+    val trimmed = Seq(0x00, 0x09, 0x0a, 0x0b, 0x0c, 0x0d, 0x1f, 0x20,
+      0x7f).map(cp => cp.toChar + "1" + cp.toChar)
+    val untrimmed = Seq(0x85, 0x9f, 0xa0, 0x1680, 0x2000, 0x2028,
+      0x202f, 0x3000).map(cp => new String(Character.toChars(cp)) + "1")
+    val battery = Seq("1", "+1", "-1", " 12 ", "007", "1.0", "1.", ".5",
+      "1e2", "0x1F", "", " ", "++1", "+-1", "+ 1", "1 2", "abc", "1a",
+      "a1", "NaN", "-", "+", "1_000", "１２", "٣",
+      "2147483647", "2147483648", "-2147483648", "-2147483649",
+      "9223372036854775807", "9223372036854775808",
+      "-9223372036854775808", "-9223372036854775809",
+      "99999999999999999999999") ++ trimmed ++ untrimmed
+    assert(one(tryToInt(col("raw")), battery)
+      == one(col("raw").try_cast(IntegerType), battery))
+    assert(one(tryToLong(col("raw")), battery)
+      == one(col("raw").try_cast(LongType), battery))
+  }
+
   test("C3 tryToDecimal keeps DECIMAL(18,4), coerces junk to NULL") {
     val got = one(tryToDecimal(col("raw")), Seq("12.3456", "1e2", "abc"))
     assert(got(0) == new java.math.BigDecimal("12.3456"))
