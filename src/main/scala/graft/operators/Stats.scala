@@ -2313,6 +2313,62 @@ object Stats {
     (ranked, n)
   }
 
+  /** The k-th smallest value (1-based ascending, NULLs excluded) of
+    * `valueCol` by iterative histogram refinement — a distributed
+    * quickselect: each round one pass coarse-bins the surviving rows
+    * into `nRanges` equal-width ranges, the collected counts
+    * (≤ nRanges integers, bounded control-plane) locate the range
+    * holding rank k, and only that range survives to the next round.
+    * No shuffle, no sort, no window — every round is a scan plus a
+    * bounded collect, the candidate span shrinks ≥ nRanges× per
+    * round, so a 10¹¹-row frame resolves in 3–4 passes; once ≤
+    * `maxLocal` candidates remain they sort on the driver (bounded by
+    * construction). Ties need no tie-breaker: equal values share a
+    * bin, and the k-th VALUE is identical whichever tied row formally
+    * holds rank k.
+    *
+    * The single-order-statistic complement to [[globalRankByValue]]
+    * (which materializes EVERY rank and pays a full shuffle plus a
+    * per-range sort) — use this when exactly one quantile/threshold
+    * is consumed downstream ([[splitConformal]]'s q̂). */
+  def kthValue(df: DataFrame, valueCol: String, k: Long,
+      nRanges: Int = 256, maxLocal: Int = 1 << 20): Double = {
+    require(k >= 1, s"kthValue: k out of range: $k")
+    val cur = df.select(col(valueCol).cast(DoubleType).as("__kv"))
+      .filter(col("__kv").isNotNull)
+    kthLoop(cur, k, nRanges, maxLocal, rounds = 0)
+  }
+
+  @annotation.tailrec
+  private def kthLoop(cur: DataFrame, kk: Long, nRanges: Int,
+      maxLocal: Int, rounds: Int): Double = {
+    require(rounds < 64, "kthValue failed to converge")
+    val b = cur.agg(min(col("__kv")).as("lo"), max(col("__kv")).as("hi"),
+      count(lit(1)).as("n")).collect()(0)
+    val n = b.getLong(2)
+    require(n >= kk, s"kthValue: k=$kk exceeds surviving rows $n")
+    val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+    if (lo == hi) lo
+    else if (n <= maxLocal) {
+      val arr = cur.collect().map(_.getDouble(0))
+      java.util.Arrays.sort(arr)
+      arr((kk - 1).toInt)
+    } else {
+      val counts = cur
+        .groupBy(binExpr("__kv", lo, hi, nRanges).as("__kb"))
+        .agg(count(lit(1)).as("__t"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      var pick = -1
+      for ((r, t) <- counts if pick < 0) {
+        if (acc + t >= kk) pick = r else acc += t
+      }
+      require(pick >= 0, "kthValue: histogram lost the target rank")
+      kthLoop(cur.filter(binExpr("__kv", lo, hi, nRanges) === pick),
+        kk - acc, nRanges, maxLocal, rounds + 1)
+    }
+  }
+
   def equiDepthBins(
       df: DataFrame,
       valueCol: String,
@@ -4209,9 +4265,12 @@ object Stats {
     * ([[poissonBootstrap]] mean / [[medianCI]] median / this for
     * predictions).
     *
-    * Scale shape: one pass fits the plane (ten exact moments), one
-    * two-phase distributed rank over calibration residuals, one
-    * broadcast-q scoring pass over the test half. Determinism: the
+    * Scale shape: one pass fits the plane (ten exact moments); the
+    * single order statistic q̂ comes from [[kthValue]]'s histogram
+    * refinement — a few shuffle-free scans of the (persisted)
+    * calibration half, never a full rank materialization or window
+    * sort; then one broadcast-q scoring pass over the test half.
+    * Determinism: the
     * split is the portable [[Sampling.idBucket]]; ŷ uses the EMITTED
     * 6-dp betas (the gate-replays-emitted-precision rule); the
     * conformal rank is pure integer arithmetic
@@ -4237,33 +4296,36 @@ object Stats {
         Sampling.idBucket(col("__id"), seed) < Sampling.Buckets / 2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val calib = base.filter(col("__calib"))
-    val fit = ols2(calib, col("__y"), col("__x1"), col("__x2"))
-      .select(col("b0"), col("b1"), col("b2"))
-    def resid = abs(col("__y").cast(DoubleType) -
-      (col("b0") + col("b1") * col("__x1").cast(DoubleType) +
-        col("b2") * col("__x2").cast(DoubleType)))
-    // "__res", not "__r" — globalRankByValue drops an internal "__r"
-    val cres = calib.crossJoin(broadcast(fit))
-      .select(resid.as("__res"), col("__id").as("__t"))
-    val (ranked, nc) = globalRankByValue(cres, "__res", "__t")
+    // the fit is a 1-row scalar consumed by every later pass — collect
+    // it to driver literals once, or kthValue's refinement scans (and
+    // the test-half scoring pass) would each re-run the OLS aggregate
+    // through a lazy crossJoin
+    val fitRow = ols2(calib, col("__y"), col("__x1"), col("__x2"))
+      .select(col("n"), col("b0"), col("b1"), col("b2")).collect()(0)
+    // ols2's n is count(*) over calib (base is already na-dropped),
+    // so the calibration count rides the fit pass for free
+    val nc = fitRow.getLong(0)
     require(nc >= 1, "conformal calibration half is empty")
+    require(!fitRow.anyNull, "conformal: degenerate calibration fit")
+    val (b0, b1, b2) =
+      (fitRow.getDouble(1), fitRow.getDouble(2), fitRow.getDouble(3))
+    def resid = abs(col("__y").cast(DoubleType) -
+      (lit(b0) + lit(b1) * col("__x1").cast(DoubleType) +
+        lit(b2) * col("__x2").cast(DoubleType)))
+    val cres = calib.select(resid.as("__res"), col("__id").as("__t"))
     // ⌈(n_c+1)(1−α)⌉ in pure integer arithmetic, clamped into 1..n_c
     val keep = 1000L - alphaPermille
     val k = math.min(nc, math.max(1L, ((nc + 1) * keep + 999L) / 1000L))
-    val q = ranked.agg(
-      min(when(col("__rank") === k, col("__res"))).as("q_alpha"))
+    // one order statistic, not a full rank: histogram-refined select
+    val qv = kthValue(cres, "__res", k)
     val out = base.filter(!col("__calib"))
-      .crossJoin(broadcast(fit))
-      .crossJoin(broadcast(q))
       .agg(count(lit(1)).as("n_test"),
-        max(col("b0")).as("b0"), max(col("b1")).as("b1"),
-        max(col("b2")).as("b2"),
-        round(max(col("q_alpha")), 6).as("q_alpha"),
-        round(sum(when(resid <= col("q_alpha"), 1L).otherwise(0L))
+        round(sum(when(resid <= lit(qv), 1L).otherwise(0L))
           .cast(DoubleType) / count(lit(1)).cast(DoubleType), 6)
           .as("coverage"))
-      .select(lit(nc).as("n_calib"), col("n_test"), col("b0"),
-        col("b1"), col("b2"), col("q_alpha"), col("coverage"))
+      .select(lit(nc).as("n_calib"), col("n_test"), lit(b0).as("b0"),
+        lit(b1).as("b1"), lit(b2).as("b2"),
+        round(lit(qv), 6).as("q_alpha"), col("coverage"))
       .localCheckpoint(true)
     base.unpersist(false)
     out

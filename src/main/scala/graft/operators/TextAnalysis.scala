@@ -553,12 +553,16 @@ object TextAnalysis {
     * dropped — repeated navigation chrome, disclaimers, and templated
     * spans disappear while unique content survives.
     *
-    * Scale shape: one explode + one map-side-combined count on the
-    * segment key, one join back — the same two-shuffle topology as
-    * every corpus-statistics operator here. Segments join by text for
-    * oracle replication; at 100 TB the join key would be the segment's
-    * 8-byte hash ([[graft.operators.Dedup.hashedShingleFrame]]'s
-    * trade).
+    * Scale shape: one explode, then the corpus-wide document frequency
+    * as an unordered count-over-partition window on the segment key —
+    * ONE shuffle of the segment frame, no join back, and the tokenize/
+    * chunk lineage runs once (the groupBy+rejoin alternative shuffles
+    * the frame twice and recomputes the explode on the probe side).
+    * Token arrays are staged as an attribute before the chunking HOF
+    * fans out (the staging rule: per-element work must not re-evaluate
+    * the tokenizer). Segments key by text for oracle replication; at
+    * 100 TB the window key would be the segment's 8-byte hash
+    * ([[graft.operators.Dedup.hashedShingleFrame]]'s trade).
     *
     * Returns surviving (idCol, seg_id, seg_text, seg_df) rows;
     * reassemble with array_join over seg_id order if full text is
@@ -571,14 +575,17 @@ object TextAnalysis {
       maxDf: Int = 2): DataFrame = {
     require(segTokens > 0 && maxDf > 0, "segTokens and maxDf must be > 0")
     val segs = docs
+      .select(col(idCol), tokens(lower(text)).as("__toks"))
       .select(col(idCol),
-        posexplode(chunkTokens(tokens(lower(text)), segTokens, segTokens))
+        posexplode(chunkTokens(col("__toks"), segTokens, segTokens))
           .as(Seq("seg_id", "seg")))
       .select(col(idCol), col("seg_id"),
         array_join(col("seg"), " ").as("seg_text"))
-    val freq = segs.groupBy(col("seg_text"))
-      .agg(count(lit(1)).as("seg_df"))
-    segs.join(freq, Seq("seg_text"))
+    // unordered full-frame window on the segment key (the accepted
+    // corpus-statistics idiom — no ordering, so no sort-based rank)
+    val byPseg = Window.partitionBy(col("seg_text"))
+    segs
+      .withColumn("seg_df", count(lit(1)).over(byPseg))
       .filter(col("seg_df") <= maxDf)
       .select(col(idCol), col("seg_id"), col("seg_text"), col("seg_df"))
   }

@@ -1072,6 +1072,32 @@ class StatsSpec extends SparkSpecBase {
     assert(cov >= 0.85 && cov <= 1.0, s"coverage ≈ 0.9 expected: $r1")
   }
 
+  test("kthValue: histogram-refined selection equals the sorted " +
+      "oracle for every k, under duplicates, and on both exit paths") {
+    import spark.implicits._
+    // heavy duplication + a wide outlier so several refinement rounds
+    // fire before the driver-side finish; maxLocal = 16 forces the
+    // distributed path on a small fixture
+    val vals = Seq.tabulate(500)(i => (i % 13).toDouble * 3.5 - 7.0) ++
+      Seq(1e12, -1e12, 0.0, 0.0, 0.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+      .toDF("v", "id")
+    val sorted = vals.sorted
+    for (k <- Seq(1, 2, 7, 252, 253, 254, 500, vals.size)) {
+      assert(Stats.kthValue(df, "v", k.toLong, nRanges = 8,
+        maxLocal = 16) == sorted(k - 1), s"k=$k")
+    }
+    // all-equal input short-circuits on lo == hi
+    val const = Seq.fill(100)(42.0).zipWithIndex
+      .map { case (v, i) => (v, i.toLong) }.toDF("v", "id")
+    assert(Stats.kthValue(const, "v", 50L, nRanges = 8,
+      maxLocal = 16) == 42.0)
+    // k beyond the row count refuses loudly
+    intercept[IllegalArgumentException] {
+      Stats.kthValue(df, "v", vals.size + 1L)
+    }
+  }
+
   test("iqrOutliers: hand-built group — quartile ranks, exact " +
       "fences, and only the planted spike flagged") {
     import spark.implicits._
