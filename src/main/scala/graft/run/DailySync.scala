@@ -67,15 +67,22 @@ object DailySync {
       s"--entity ${e.name} syncs DB-to-DB: pass --source-url " +
         "(or GRAFT_SOURCE_URL)")
     val cfg = Pipeline.entityConfig(base, e)
-    Pipeline.ensureEntityTables(cfg, e)
+    val hook = Alerts.fromEnv(opts.alertEnv)
+    Alerts.onFailure(hook, e.name, dates.head, "ensure-tables") {
+      Pipeline.ensureEntityTables(cfg, e)
+    }
     var allOk = true
     for (date <- dates) {
       println(s"[daily-sync] === ${e.name} logical date $date ===")
-      val slice = Pipeline.extractEntityForDay(spark, cfg, e, date)
-      val extracted = slice.count()
-      Pipeline.loadEntityBatch(cfg, e, slice)
-      val loaded = Pipeline.countEntityLoadedForDay(cfg, e, date)
-      allOk &= Pipeline.reconcile(s"${e.name} $date", extracted, loaded)
+      Alerts.onFailure(hook, e.name, date, "daily-sync") {
+        val slice = Pipeline.extractEntityForDay(spark, cfg, e, date)
+        val extracted = slice.count()
+        Pipeline.loadEntityBatch(cfg, e, slice)
+        val loaded = Pipeline.countEntityLoadedForDay(cfg, e, date)
+        val ok = Pipeline.reconcile(s"${e.name} $date", extracted, loaded)
+        if (!ok) Alerts.onMismatch(hook, e.name, date, extracted, loaded)
+        allOk &= ok
+      }
     }
     println(s"[daily-sync] done: ${dates.size} day(s), " +
       (if (allOk) "all counts reconciled" else "MISMATCHES logged above"))
@@ -87,10 +94,14 @@ object DailySync {
       sfDir: String,
       dates: Seq[String]): Unit = {
     val cfg = opts.config
-    Pipeline.ensureTargetTables(cfg)
+    val hook = Alerts.fromEnv(opts.alertEnv)
+    Alerts.onFailure(hook, "orders", dates.head, "ensure-tables") {
+      Pipeline.ensureTargetTables(cfg)
+    }
     var allOk = true
     for (date <- dates) {
       println(s"[daily-sync] === logical date $date ===")
+      Alerts.onFailure(hook, "orders", date, "daily-sync") {
       val (complete, incomplete) =
         Pipeline.extractForDay(spark, cfg, sfDir, date)
 
@@ -110,11 +121,16 @@ object DailySync {
         cfg.targetDialect.table(cfg.targetSchemaName,
           cfg.targetIncompleteTable), "1=1")
 
-      // Validation is log-only, like the reference (:580-584)
+      // Validation is log-only, like the reference (:580-584) — but
+      // an armed alert hook hears about a mismatch
       val ok1 = Pipeline.reconcile(s"complete $date", extracted, loaded)
+      if (!ok1) Alerts.onMismatch(hook, "orders", date, extracted, loaded)
       val ok2 = Pipeline.reconcile("incomplete (full refresh)",
         extractedNull, loadedNull)
+      if (!ok2) Alerts.onMismatch(hook, "incomplete_orders", date,
+        extractedNull, loadedNull)
       allOk &= ok1 && ok2
+      }
     }
     println(s"[daily-sync] done: ${dates.size} day(s), " +
       (if (allOk) "all counts reconciled" else "MISMATCHES logged above"))
@@ -128,6 +144,10 @@ private[run] final case class Args(kv: Map[String, String]) {
     kv.getOrElse(k, sys.error(s"missing required --$k"))
   def sfDir: String = kv.getOrElse("sf-dir",
     sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+  /** Env view for [[Alerts.fromEnv]] with CLI overrides applied. */
+  def alertEnv: Map[String, String] = sys.env ++
+    kv.get("alert-recipients").map("ALERT_EMAIL_RECIPIENTS" -> _) ++
+    kv.get("alert-sink").map("GRAFT_ALERT_SINK" -> _)
   def config: Config = {
     val env = sys.env ++
       kv.get("target-url").map("GRAFT_TARGET_URL" -> _) ++

@@ -57,17 +57,23 @@ object RangeSync {
       s"--entity ${e.name} syncs DB-to-DB: pass --source-url " +
         "(or GRAFT_SOURCE_URL)")
     val cfg = Pipeline.entityConfig(base, e)
-    Pipeline.ensureEntityTables(cfg, e)
+    val hook = Alerts.fromEnv(opts.alertEnv)
+    Alerts.onFailure(hook, e.name, dates.head, "ensure-tables") {
+      Pipeline.ensureEntityTables(cfg, e)
+    }
 
-    val slice = Pipeline
-      .extractEntityForRange(spark, cfg, e, start, end)
-      .cache()
+    val slice = Alerts.onFailure(hook, e.name, s"$start..$end",
+      "range-extract") {
+      Pipeline.extractEntityForRange(spark, cfg, e, start, end).cache()
+    }
     val extracted = slice
       .groupBy(to_date(col(e.incrementalColumn)).as("d"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
 
-    Pipeline.loadEntityBatch(cfg, e, slice)
+    Alerts.onFailure(hook, e.name, s"$start..$end", "range-load") {
+      Pipeline.loadEntityBatch(cfg, e, slice)
+    }
     slice.unpersist()
 
     val tsCol = col(e.targetIncrementalColumn)
@@ -80,8 +86,10 @@ object RangeSync {
 
     var allOk = true
     for (d <- dates) {
-      allOk &= Pipeline.reconcile(s"${e.name} range $d",
-        extracted.getOrElse(d, 0L), loaded.getOrElse(d, 0L))
+      val (x, l) = (extracted.getOrElse(d, 0L), loaded.getOrElse(d, 0L))
+      val ok = Pipeline.reconcile(s"${e.name} range $d", x, l)
+      if (!ok) Alerts.onMismatch(hook, e.name, d, x, l)
+      allOk &= ok
     }
     println(s"[range-sync] done: ${dates.size} day(s), " +
       (if (allOk) "all counts reconciled" else "MISMATCHES logged above"))
@@ -94,8 +102,11 @@ object RangeSync {
       end: String,
       dates: Seq[String]): Unit = {
     val cfg = opts.config
+    val hook = Alerts.fromEnv(opts.alertEnv)
 
-    Pipeline.ensureTargetTables(cfg)
+    Alerts.onFailure(hook, "orders", dates.head, "ensure-tables") {
+      Pipeline.ensureTargetTables(cfg)
+    }
     val slice = Pipeline
       .extractForRange(spark, cfg, opts.sfDir, start, end)
       .cache()
@@ -106,7 +117,9 @@ object RangeSync {
       .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
 
-    Pipeline.upsertBatch(cfg, slice, Upsert.Unconditional)
+    Alerts.onFailure(hook, "orders", s"$start..$end", "range-load") {
+      Pipeline.upsertBatch(cfg, slice, Upsert.Unconditional)
+    }
     slice.unpersist()
 
     // per-date loaded counts from the target, one aggregation (S11/A1)
@@ -122,8 +135,9 @@ object RangeSync {
 
     var allOk = true
     for (d <- dates) {
-      val ok = Pipeline.reconcile(
-        s"range $d", extracted.getOrElse(d, 0L), loaded.getOrElse(d, 0L))
+      val (x, l) = (extracted.getOrElse(d, 0L), loaded.getOrElse(d, 0L))
+      val ok = Pipeline.reconcile(s"range $d", x, l)
+      if (!ok) Alerts.onMismatch(hook, "orders", d, x, l)
       allOk &= ok
     }
     println(s"[range-sync] done: ${dates.size} day(s), " +
