@@ -808,32 +808,55 @@ object Streams {
     * hash-partitioned across executors; the stream side shuffles only
     * the (group, bin) pairs (map-side combine does not apply to
     * flatMapGroupsWithState, so at extreme rates pre-aggregate each
-    * micro-batch before the stateful operator). */
+    * micro-batch before the stateful operator).
+    *
+    * State TTL (`ttlMs`, VERDICT r11 item 8): bounded retention for
+    * the monitor — a cell idle past the TTL (event time; requires a
+    * `ts` timestamp column on `rows`) EVICTS, emitting one zero-count
+    * row so a live consumer sees the reset; a returning cell restarts
+    * from zero. TTL mode therefore needs a LATEST-wins drain (counts
+    * are no longer monotone) — the bounded-drain max-per-cell gate
+    * requires the default NoTimeout, which stays byte-identical. */
   def histogramCountsState(
       rows: DataFrame,
       valueCol: String,
       groupCol: String,
       lo: Double,
       hi: Double,
-      nBins: Int)(
+      nBins: Int,
+      ttlMs: Option[Long] = None,
+      watermark: String = "10 minutes")(
       implicit spark: SparkSession): Dataset[GroupBinCount] = {
     import spark.implicits._
-    rows
+    withTtlWatermark(rows, ttlMs, watermark)
       .select(col(groupCol).cast(StringType).as("__g"),
         graft.operators.Stats.binExpr(valueCol, lo, hi, nBins)
-          .as("__bin"))
+          .as("__bin"),
+        ttlTsCol(ttlMs).as("__ts"))
       .filter(col("__bin").isNotNull)
-      .as[(String, Int)]
-      .groupByKey(identity)
+      .as[(String, Int, java.sql.Timestamp)]
+      .groupByKey(t => (t._1, t._2))
       .flatMapGroupsWithState(
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (key: (String, Int), it: Iterator[(String, Int)],
+        OutputMode.Update(), ttlConf(ttlMs)) {
+        (key: (String, Int),
+         it: Iterator[(String, Int, java.sql.Timestamp)],
          state: GroupState[CumCount]) =>
-          var add = 0L
-          while (it.hasNext) { it.next(); add += 1 }
-          val tot = state.getOption.map(_.n).getOrElse(0L) + add
-          state.update(CumCount(tot))
-          Iterator(GroupBinCount(key._1, key._2, tot))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator(GroupBinCount(key._1, key._2, 0L))
+          } else {
+            var add = 0L
+            var maxUs = Long.MinValue
+            while (it.hasNext) {
+              val t = it.next(); add += 1
+              if (t._3 != null)
+                maxUs = math.max(maxUs, t._3.getTime * 1000L)
+            }
+            val tot = state.getOption.map(_.n).getOrElse(0L) + add
+            state.update(CumCount(tot))
+            if (maxUs != Long.MinValue) armTtl(state, ttlMs, maxUs)
+            Iterator(GroupBinCount(key._1, key._2, tot))
+          }
       }
   }
 
@@ -860,30 +883,52 @@ object Streams {
     * executors; the stream side shuffles (half, token) occurrence
     * rows (flatMapGroupsWithState gets no map-side combine, so at
     * extreme rates pre-aggregate each micro-batch first — the
-    * histogramCountsState caveat). A production deployment would
-    * TTL rare tokens; NoTimeout keeps the bounded-drain gate
-    * deterministic. */
+    * histogramCountsState caveat).
+    *
+    * State TTL (`ttlMs`): the vocabulary IS this monitor's unbounded
+    * state — one cell per distinct (half, token), growing with the
+    * crawl — so bounded retention matters most here. A token idle
+    * past the TTL (event time; requires a `ts` column on `docs`)
+    * evicts with one zero-count row and restarts from zero if it
+    * returns: TTL mode needs a LATEST-wins drain (counts are no
+    * longer monotone); the bounded-drain max gate requires the
+    * default NoTimeout, which stays byte-identical. */
   def tokenCountsState(
       docs: DataFrame,
       lateFlag: Column,
-      text: Column)(
+      text: Column,
+      ttlMs: Option[Long] = None,
+      watermark: String = "10 minutes")(
       implicit spark: SparkSession): Dataset[HalfTokenCount] = {
     import spark.implicits._
-    docs
+    withTtlWatermark(docs, ttlMs, watermark)
       .select(lateFlag.cast(BooleanType).as("__late"),
         explode(graft.operators.TextAnalysis.tokens(lower(text)))
-          .as("__w"))
-      .as[(Boolean, String)]
-      .groupByKey(identity)
+          .as("__w"),
+        ttlTsCol(ttlMs).as("__ts"))
+      .as[(Boolean, String, java.sql.Timestamp)]
+      .groupByKey(t => (t._1, t._2))
       .flatMapGroupsWithState(
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (key: (Boolean, String), it: Iterator[(Boolean, String)],
+        OutputMode.Update(), ttlConf(ttlMs)) {
+        (key: (Boolean, String),
+         it: Iterator[(Boolean, String, java.sql.Timestamp)],
          state: GroupState[CumCount]) =>
-          var add = 0L
-          while (it.hasNext) { it.next(); add += 1 }
-          val tot = state.getOption.map(_.n).getOrElse(0L) + add
-          state.update(CumCount(tot))
-          Iterator(HalfTokenCount(key._1, key._2, tot))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator(HalfTokenCount(key._1, key._2, 0L))
+          } else {
+            var add = 0L
+            var maxUs = Long.MinValue
+            while (it.hasNext) {
+              val t = it.next(); add += 1
+              if (t._3 != null)
+                maxUs = math.max(maxUs, t._3.getTime * 1000L)
+            }
+            val tot = state.getOption.map(_.n).getOrElse(0L) + add
+            state.update(CumCount(tot))
+            if (maxUs != Long.MinValue) armTtl(state, ttlMs, maxUs)
+            Iterator(HalfTokenCount(key._1, key._2, tot))
+          }
       }
   }
 
@@ -907,34 +952,58 @@ object Streams {
     * state footprint of any monitor here (4 · 2^20 at production
     * width); the stream side shuffles depth rows per occurrence
     * (flatMapGroupsWithState gets no map-side combine — at extreme
-    * rates pre-aggregate each micro-batch per key first). */
+    * rates pre-aggregate each micro-batch per key first).
+    *
+    * State TTL (`ttlMs`): bounded retention for the heavy-hitter
+    * monitor — a cell idle past the TTL (event time; requires a `ts`
+    * column on `rows`) evicts with one zero-count row and restarts
+    * from zero if touched again, turning the cumulative sketch into
+    * a trailing-window one. TTL mode needs a LATEST-wins drain; the
+    * bounded-drain max gate requires the default NoTimeout
+    * (byte-identical). */
   def cmsCellsState(
       rows: DataFrame,
       key: Column,
       depth: Int = 4,
-      width: Int = 1 << 20)(
+      width: Int = 1 << 20,
+      ttlMs: Option[Long] = None,
+      watermark: String = "10 minutes")(
       implicit spark: SparkSession): Dataset[CmsCell] = {
     import spark.implicits._
     import graft.operators.Dedup
     require(depth > 0 && width > 0)
-    rows
-      .select(Dedup.polyHash(key).as("__h"))
+    withTtlWatermark(rows, ttlMs, watermark)
+      .select(Dedup.polyHash(key).as("__h"), ttlTsCol(ttlMs).as("__ts"))
       .select(explode(array((0 until depth).map(j =>
         struct(lit(j).as("r"),
           (pmod(col("__h") * Dedup.affineA(j) + Dedup.affineB(j),
-            lit(Dedup.PortableMod)) % width).as("b"))): _*)).as("__c"))
-      .select(col("__c.r").as("__r"), col("__c.b").as("__b"))
-      .as[(Int, Long)]
-      .groupByKey(identity)
+            lit(Dedup.PortableMod)) % width).as("b"))): _*)).as("__c"),
+        col("__ts"))
+      .select(col("__c.r").as("__r"), col("__c.b").as("__b"),
+        col("__ts"))
+      .as[(Int, Long, java.sql.Timestamp)]
+      .groupByKey(t => (t._1, t._2))
       .flatMapGroupsWithState(
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (cell: (Int, Long), it: Iterator[(Int, Long)],
+        OutputMode.Update(), ttlConf(ttlMs)) {
+        (cell: (Int, Long),
+         it: Iterator[(Int, Long, java.sql.Timestamp)],
          state: GroupState[CumCount]) =>
-          var add = 0L
-          while (it.hasNext) { it.next(); add += 1 }
-          val tot = state.getOption.map(_.n).getOrElse(0L) + add
-          state.update(CumCount(tot))
-          Iterator(CmsCell(cell._1, cell._2, tot))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator(CmsCell(cell._1, cell._2, 0L))
+          } else {
+            var add = 0L
+            var maxUs = Long.MinValue
+            while (it.hasNext) {
+              val t = it.next(); add += 1
+              if (t._3 != null)
+                maxUs = math.max(maxUs, t._3.getTime * 1000L)
+            }
+            val tot = state.getOption.map(_.n).getOrElse(0L) + add
+            state.update(CumCount(tot))
+            if (maxUs != Long.MinValue) armTtl(state, ttlMs, maxUs)
+            Iterator(CmsCell(cell._1, cell._2, tot))
+          }
       }
   }
 
@@ -1006,26 +1075,48 @@ object Streams {
     * per-batch bounds would break mergeability). State is one long
     * per occupied cell — ≤ bins per group regardless of stream
     * length; update-mode re-emission with monotone counts, consumers
-    * take max per cell. */
+    * take max per cell.
+    *
+    * State TTL (`ttlMs`): bounded retention per cell — an idle
+    * (group, min, width, bin) cell past the TTL (event time;
+    * requires a `ts` column on `cells`) evicts with one zero-count
+    * row and restarts from zero if touched again. TTL mode needs a
+    * LATEST-wins drain; the bounded-drain max gate (the
+    * q_stream_quantile_group contract) requires the default
+    * NoTimeout, which stays byte-identical. */
   def quantileSketchCellsState(
-      cells: DataFrame)(
+      cells: DataFrame,
+      ttlMs: Option[Long] = None,
+      watermark: String = "10 minutes")(
       implicit spark: SparkSession): Dataset[SketchCell] = {
     import spark.implicits._
-    cells
+    withTtlWatermark(cells, ttlMs, watermark)
       .select(col("__g").cast(StringType), col("__min").cast(LongType),
-        col("__w").cast(LongType), col("__idx").cast(LongType))
-      .as[(String, Long, Long, Long)]
-      .groupByKey(identity)
+        col("__w").cast(LongType), col("__idx").cast(LongType),
+        ttlTsCol(ttlMs).as("__ts"))
+      .as[(String, Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(t => (t._1, t._2, t._3, t._4))
       .flatMapGroupsWithState(
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), ttlConf(ttlMs)) {
         (key: (String, Long, Long, Long),
-         it: Iterator[(String, Long, Long, Long)],
+         it: Iterator[(String, Long, Long, Long, java.sql.Timestamp)],
          state: GroupState[CumCount]) =>
-          var add = 0L
-          while (it.hasNext) { it.next(); add += 1 }
-          val tot = state.getOption.map(_.n).getOrElse(0L) + add
-          state.update(CumCount(tot))
-          Iterator(SketchCell(key._1, key._2, key._3, key._4, tot))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator(SketchCell(key._1, key._2, key._3, key._4, 0L))
+          } else {
+            var add = 0L
+            var maxUs = Long.MinValue
+            while (it.hasNext) {
+              val t = it.next(); add += 1
+              if (t._5 != null)
+                maxUs = math.max(maxUs, t._5.getTime * 1000L)
+            }
+            val tot = state.getOption.map(_.n).getOrElse(0L) + add
+            state.update(CumCount(tot))
+            if (maxUs != Long.MinValue) armTtl(state, ttlMs, maxUs)
+            Iterator(SketchCell(key._1, key._2, key._3, key._4, tot))
+          }
       }
   }
 
@@ -1089,31 +1180,66 @@ object Streams {
     * [[graft.functions.KmvSketch.kmvAgg]] bit for bit, which is the
     * correctness gate (the batch oracle replays the same k-minima).
     * Consumers keep the max-counter row per key and apply the
-    * standard (k−1)·M/kth estimate. */
+    * standard (k−1)·M/kth estimate.
+    *
+    * State TTL (`ttlMs`): a source idle past the TTL (event time;
+    * requires a `ts` column on `rows`) evicts — one empty-sketch
+    * record (n = 0) is emitted, then the k-minima drop; a returning
+    * source re-sketches from scratch. TTL-mode counters are
+    * event-time-derived (the [[cdcLatestState]] drain rule), so the
+    * max-counter drain stays correct across evictions: a post-return
+    * emission always out-counts the expiry record. Default NoTimeout
+    * is byte-identical to the gated replays. */
   def kmvCellsState(
       rows: DataFrame,
       keyCol: Column,
       hashCol: Column,
-      k: Int)(
+      k: Int,
+      ttlMs: Option[Long] = None,
+      watermark: String = "10 minutes")(
       implicit spark: SparkSession): Dataset[KmvCell] = {
     import spark.implicits._
     val agg = new graft.functions.KmvSketch.KmvAggregator(k)
-    rows
+    withTtlWatermark(rows, ttlMs, watermark)
       .select(keyCol.cast(StringType).as("__k"),
-        hashCol.cast(LongType).as("__h"))
-      .as[(String, Long)]
+        hashCol.cast(LongType).as("__h"),
+        ttlTsCol(ttlMs).as("__ts"))
+      .as[(String, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (key: String, it: Iterator[(String, Long)],
+        OutputMode.Update(), ttlConf(ttlMs)) {
+        (key: String, it: Iterator[(String, Long, java.sql.Timestamp)],
          state: GroupState[(Long, Array[Long])]) =>
-          val (pu, pbuf) = state.getOption
-            .getOrElse((0L, Array.emptyLongArray))
-          var buf = pbuf
-          while (it.hasNext) buf = agg.reduce(buf, it.next()._2)
-          state.update((pu + 1L, buf))
-          val fin = agg.finish(buf)
-          Iterator(KmvCell(key, pu + 1L, fin.n, fin.kth))
+          if (state.hasTimedOut) {
+            // retention expiry: one empty-sketch record, then
+            // eviction — its counter stays BELOW any post-return
+            // emission (event-time-derived, the CDC drain rule)
+            val (pu, _) = state.get
+            state.remove()
+            val fin = agg.finish(Array.emptyLongArray)
+            Iterator(KmvCell(key, pu + 1L, fin.n, fin.kth))
+          } else {
+            val (pu, pbuf) = state.getOption
+              .getOrElse((0L, Array.emptyLongArray))
+            var buf = pbuf
+            var maxUs = Long.MinValue
+            while (it.hasNext) {
+              val t = it.next()
+              buf = agg.reduce(buf, t._2)
+              if (t._3 != null)
+                maxUs = math.max(maxUs, t._3.getTime * 1000L)
+            }
+            // TTL mode: event-time-derived counter so a key returning
+            // after eviction always out-counts its expiry record
+            val ctr =
+              if (ttlMs.isDefined && maxUs != Long.MinValue)
+                math.max(pu + 1L, maxUs)
+              else pu + 1L
+            state.update((ctr, buf))
+            if (maxUs != Long.MinValue) armTtl(state, ttlMs, maxUs)
+            val fin = agg.finish(buf)
+            Iterator(KmvCell(key, ctr, fin.n, fin.kth))
+          }
       }
   }
 

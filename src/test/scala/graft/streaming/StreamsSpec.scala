@@ -1121,6 +1121,113 @@ class StreamsSpec extends SparkSpecBase {
     assert(streamed == batch)
   }
 
+  test("histogramCountsState TTL: an idle cell EVICTS with a zero " +
+    "row and restarts from scratch; live cells match the NoTimeout run") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("hist_ttl").toFile
+    val t0 = System.currentTimeMillis()
+    def write(name: String, rows: Seq[(Long, Long, String)],
+        mod: Long): Unit = {
+      val stage = new java.io.File(tmp, s"__stage_$name")
+      rows.map { case (id, t, tp) => (id, t, 1L, tp, 10.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value",
+          "props")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))
+          .cast(org.apache.spark.sql.types.TimestampNTZType))
+        .coalesce(1).write.mode("overwrite").parquet(stage.getPath)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(tmp, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mod)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    val h = 3600L * 1000 * 1000 * 1000
+    val s = 1000L * 1000 * 1000
+    // group "a" lands two values at 1h then goes idle; "b" stays live
+    write("a.parquet", Seq((1L, h, "a"), (2L, h, "a"), (3L, h, "b")),
+      t0 - 90000)
+    write("b.parquet", Seq((4L, 4 * h, "b")), t0 - 60000)
+    // "a" gets no data while the watermark (3h50m) passes its 2h
+    // expiry → the zero-count eviction row fires in this batch
+    write("c.parquet", Seq((5L, 4 * h + s, "b")), t0 - 30000)
+    // "a" returns: the restarted cell counts from scratch
+    write("d.parquet", Seq((6L, 4 * h + 2 * s, "a")), t0)
+    def drain(ttl: Option[Long], name: String) = Streams.runAvailableNow(
+      Streams.histogramCountsState(
+        Streams.eventsStream(spark, tmp.getPath, glob = "*.parquet",
+          maxFilesPerTrigger = 1),
+        "value", "event_type", lo = 0.0, hi = 100.0, nBins = 10,
+        ttlMs = ttl, watermark = "10 minutes").toDF(), name)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Int]("bin"),
+        r.getAs[Long]("n")))
+    val ttlRows = drain(Some(3600L * 1000), "hist_ttl")
+    // cell (a, 1) emission history: 2 (batch 1), 0 (eviction), then
+    // the restart at 1 — the state was dropped, not carried
+    val aCell = ttlRows.filter(t => t._1 == "a" && t._2 == 1).map(_._3)
+    assert(aCell.sorted.toSeq == Seq(0L, 1L, 2L), s"cell history: $aCell")
+    assert(aCell.last == 1L, "restart row must be the LATEST emission")
+    // the live group is byte-identical to the NoTimeout run
+    val plainRows = drain(None, "hist_nottl")
+    assert(ttlRows.filter(_._1 == "b").sorted.toSeq
+      == plainRows.filter(_._1 == "b").sorted.toSeq,
+      "non-expired cells must match the NoTimeout run")
+    // NoTimeout keeps cumulative semantics for the idle group too
+    assert(plainRows.filter(t => t._1 == "a" && t._2 == 1).map(_._3)
+      .sorted.toSeq == Seq(2L, 3L))
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
+  test("kmvCellsState TTL: an idle source expires into an empty-" +
+    "sketch record whose counter LOSES the max-counter drain to the " +
+    "post-return re-sketch") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("kmv_ttl").toFile
+    val t0 = System.currentTimeMillis()
+    def write(name: String, rows: Seq[(Long, Long, String)],
+        mod: Long): Unit = {
+      val stage = new java.io.File(tmp, s"__stage_$name")
+      rows.map { case (id, t, src) => (id, t, 1L, src, 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value",
+          "props")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))
+          .cast(org.apache.spark.sql.types.TimestampNTZType))
+        .coalesce(1).write.mode("overwrite").parquet(stage.getPath)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(tmp, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mod)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    val h = 3600L * 1000 * 1000 * 1000
+    val s = 1000L * 1000 * 1000
+    // source "a" sketches two distinct hashes at 1h then idles
+    write("a.parquet", Seq((1L, h, "a"), (2L, h, "a"), (3L, h, "b")),
+      t0 - 90000)
+    write("b.parquet", Seq((4L, 4 * h, "b")), t0 - 60000)
+    write("c.parquet", Seq((5L, 4 * h + s, "b")), t0 - 30000)
+    write("d.parquet", Seq((6L, 4 * h + 2 * s, "a")), t0)
+    val rows = Streams.eventsStream(spark, tmp.getPath,
+      glob = "*.parquet", maxFilesPerTrigger = 1)
+    val drained = Streams.runAvailableNow(
+      Streams.kmvCellsState(rows, col("event_type"),
+        col("event_id") * 1000L + 7L, k = 4,
+        ttlMs = Some(3600L * 1000), watermark = "10 minutes").toDF(),
+      "kmv_ttl").collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[Long]("updates"),
+        r.getAs[Long]("n")))
+    // source "a" history in counter order: the 2-hash sketch, the
+    // empty-sketch expiry record, then the 1-hash re-sketch
+    val a = drained.filter(_._1 == "a").sortBy(_._2).map(t => t._3)
+    assert(a.toSeq == Seq(2L, 0L, 1L), s"source a history: $a")
+    // the re-sketch's event-time-derived counter out-counts the
+    // expiry record: the max-counter drain never resolves to n = 0
+    val aLatest = drained.filter(_._1 == "a").maxBy(_._2)
+    assert(aLatest._3 == 1L, s"drain must pick the re-sketch: $aLatest")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   test("flatMapGroupsWithState carries per-user LWW state") {
     implicit val s = spark
     val out = Streams.runAvailableNow(
