@@ -1671,6 +1671,18 @@ object Queries {
         sum(when(col("__rank") === at(0.90), col("__v"))).as("p90"),
         sum(when(col("__rank") === at(0.99), col("__v"))).as("p99"))
     }),
+    "q_len_cap_quantile" -> ((s, dir) => {
+      // Exact-quantile length cap (the sequence-length trimming step
+      // of a training-data pipeline): the cap is the EXACT p99 order
+      // statistic of n_chars via kthValue's histogram-refined
+      // distributed selection — a few shuffle-free scans, no sort,
+      // no full-rank materialization — then one report aggregate
+      // says how many documents the clamp touches and the post-clip
+      // token mass. Everything integral → bitwise oracle.
+      Stats.capReportAtQuantile(
+        Tables.documents(s, dir).select(col("n_chars")),
+        "n_chars", permille = 990)
+    }),
     "q_window_percentrank" -> ((s, dir) => {
       // Relative standing within a partition: percent_rank (ties
       // share a rank — ordering on the value alone keeps tied rows
@@ -11140,6 +11152,26 @@ object Queries {
         | sum(CASE WHEN rk = CAST(ceil(0.99 * n) AS BIGINT)
         |   THEN x END) AS p99
         |FROM r""".stripMargin,
+    // exact-quantile cap: the k-th smallest value by value order (the
+    // tie-insensitive order statistic kthValue selects), then the
+    // integral clip report — sums BIGINT-cast (no HUGEINT leaves)
+    "q_len_cap_quantile" ->
+      """WITH base AS (SELECT n_chars FROM documents
+        |  WHERE n_chars IS NOT NULL),
+        |n AS (SELECT count(*) AS c FROM base),
+        |k AS (SELECT (990 * c + 999) // 1000 AS k FROM n),
+        |cap AS (SELECT r.n_chars AS cap FROM
+        |  (SELECT n_chars, row_number() OVER (ORDER BY n_chars ASC)
+        |     AS rk FROM base) r, k
+        |  WHERE r.rk = k.k)
+        |SELECT CAST(n.c AS BIGINT) AS n_rows,
+        | CAST(k.k AS BIGINT) AS k,
+        | CAST(cap.cap AS BIGINT) AS cap_value,
+        | CAST(sum(CASE WHEN b.n_chars > cap.cap THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_clipped,
+        | CAST(sum(least(b.n_chars, cap.cap)) AS BIGINT) AS sum_kept
+        |FROM base b, n, k, cap
+        |GROUP BY n.c, k.k, cap.cap""".stripMargin,
     "q_window_percentrank" ->
       """SELECT user_id, event_id,
         | round(percent_rank() OVER w, 6) AS pr,

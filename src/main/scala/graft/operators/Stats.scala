@@ -1899,10 +1899,15 @@ object Stats {
     * Scale shape: ONE global aggregate; the multiple exact
     * count-distincts plan via Expand (each input row fans out once
     * per profiled column inside the map task — no extra scan, one
-    * shuffle of the expanded keys). Exact distinct is the GATE mode;
-    * at the 100 TB scale use [[profileApprox]], which swaps the
-    * distinct terms for [[graft.functions.KmvSketch]] estimates in
-    * the same output shape (and drops the Expand fanout entirely).
+    * shuffle of the expanded keys). COST CONTRACT: the Expand
+    * shuffle carries every distinct value of every profiled column —
+    * the one term here that grows with corpus cardinality, so this
+    * exact profile scales superlinearly on high-cardinality columns
+    * (the 10×-rows probe shows it ~4×). Exact distinct is the GATE
+    * mode; at the 100 TB scale use [[profileApprox]] — the escape
+    * hatch — which swaps the distinct terms for
+    * [[graft.functions.KmvSketch]] estimates in the same output
+    * shape, drops the Expand fanout entirely, and probes ~linear.
     * String min/max comparisons are binary in both engines —
     * profile string and integral columns (float/timestamp → string
     * rendering is engine-specific).
@@ -2367,6 +2372,41 @@ object Stats {
       kthLoop(cur.filter(binExpr("__kv", lo, hi, nRanges) === pick),
         kk - acc, nRanges, maxLocal, rounds + 1)
     }
+  }
+
+  /** Exact-quantile cap report over an integral column — the
+    * sequence-length trimming step of a training-data pipeline
+    * ("clip every document at the corpus p99 length"): the cap is
+    * the ⌈permille·n/1000⌉-th smallest value (an EXACT order
+    * statistic, not a sketch estimate — the cut must replay), found
+    * by [[kthValue]]'s histogram refinement, and one aggregate then
+    * reports what the clamp would do.
+    *
+    * Scale shape: one count, kthValue's few shuffle-free scans, one
+    * scan for the report — no sort, no window, no full-rank
+    * materialization anywhere. Integral values make the report
+    * exact (the cap double is an integer below 2⁵³).
+    *
+    * Returns one row: (n_rows, k, cap_value, n_clipped, sum_kept) —
+    * sum_kept = Σ min(value, cap), the post-clip token mass. */
+  def capReportAtQuantile(
+      df: DataFrame,
+      valueCol: String,
+      permille: Int): DataFrame = {
+    require(permille >= 1 && permille <= 1000,
+      s"permille out of range: $permille")
+    val v = col(valueCol)
+    val base = df.filter(v.isNotNull)
+    val n = base.count()
+    require(n >= 1, "capReportAtQuantile: empty input")
+    val k = (permille.toLong * n + 999L) / 1000L
+    val cap = kthValue(base, valueCol, k).toLong
+    base.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(v > cap, 1L).otherwise(0L)).as("n_clipped"),
+      sum(least(v.cast(LongType), lit(cap))).as("sum_kept"))
+      .select(col("n_rows"), lit(k).as("k"), lit(cap).as("cap_value"),
+        col("n_clipped"), col("sum_kept"))
   }
 
   def equiDepthBins(
