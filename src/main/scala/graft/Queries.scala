@@ -5365,6 +5365,20 @@ object Queries {
       TextAnalysis.trendingTokens(Tables.documents(s, dir),
         col("doc_id") % 8 >= 4, col("text"))
     }),
+    "q_dsir_select" -> ((s, dir) => {
+      // DSIR importance selection (Xie et al. 2023): score every
+      // document by how much its hashed-bigram bag resembles the
+      // ENGLISH slice (the target distribution) versus the corpus as
+      // a whole — Σ ln(p̂_t/p̂_raw) over 4096 Laplace-smoothed hash
+      // buckets. Two linear corpus scans + a bucket-bounded
+      // broadcast; the head of the ranking is what importance
+      // resampling keeps. Scores are exact decimal sums of 6-dp
+      // bucket log-ratios → bitwise top-20.
+      TextAnalysis.dsirLogWeights(Tables.documents(s, dir), "doc_id",
+          col("text"), col("lang") === "en")
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+    }),
     "q_vocab_unseen" -> ((s, dir) => {
       // Good–Turing unseen-mass + Chao1 richness per source: "how
       // much vocabulary does this source still hide" — the
@@ -9073,6 +9087,7 @@ object Queries {
     "q_text_pmi" -> pmiOracle,
     "q_text_keyphrases" -> keyphrasesOracle,
     "q_text_trending" -> trendingOracle,
+    "q_dsir_select" -> dsirOracle,
     "q_partition_prune" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderstatus,
         | count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
@@ -11600,6 +11615,37 @@ object Queries {
   }
 
   /** rolling polynomial hash of a string expression */
+  /** DSIR replica: the same bigram bag (multiplicity kept, no
+    * distinct), polyHash bucket, Laplace log-ratio in the identical
+    * literal op order (+ln(ct+1) − ln(nt+B) − ln(cr+1) + ln(nr+B),
+    * rounded once at 6 dp, DECIMAL(18,6)), exact decimal per-doc
+    * sums, ties by doc id. */
+  private def dsirOracle: String = {
+    val b = 4096
+    s"""WITH tk AS (SELECT doc_id, lang, $toksSql AS toks
+       |  FROM documents),
+       |g AS (SELECT doc_id, (lang = 'en') AS t,
+       |  unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i + 1])) AS bg
+       | FROM tk WHERE len(toks) >= 2),
+       |gb AS (SELECT doc_id, t, (${polySql("bg")} % $b) AS b FROM g),
+       |c AS (SELECT b, CAST(count(*) AS BIGINT) AS cr,
+       |  CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+       | FROM gb GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+       |  CAST(sum(ct) AS BIGINT) AS nt FROM c),
+       |lr AS (SELECT b, CAST(round(ln(CAST(ct AS DOUBLE) + 1.0) -
+       |    ln(CAST(nt + $b AS DOUBLE)) -
+       |    ln(CAST(cr AS DOUBLE) + 1.0) +
+       |    ln(CAST(nr + $b AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lr
+       | FROM c, tot)
+       |SELECT gb.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       | round(CAST(sum(lr.lr) AS DOUBLE), 6) AS score
+       |FROM gb JOIN lr ON gb.b = lr.b
+       |GROUP BY 1
+       |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+  }
+
   private def polySql(e: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |  list_transform(list_filter(string_split($e, ''),

@@ -900,6 +900,83 @@ object TextAnalysis {
     out
   }
 
+  /** Word n-grams WITH multiplicity (the bag the DSIR bucket model
+    * counts — [[graft.operators.Dedup.shinglesOfTokens]] dedups, this
+    * must not): consecutive `n`-token windows joined by one space;
+    * a doc under `n` tokens contributes nothing. */
+  private def gramsOfTokens(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** DSIR-style importance log-weights over hashed bigrams (Xie,
+    * Santurkar, Ma, Liang — "Data Selection for Language Models via
+    * Importance Resampling", NeurIPS 2023): every document scores
+    * Σ_g [ln p̂_target(b(g)) − ln p̂_raw(b(g))] over its bigram bag,
+    * where b hashes a bigram into one of `buckets` cells with the
+    * portable polynomial hash and both distributions are Laplace-
+    * smoothed bucket frequencies ((c+1)/(N+buckets)) — p̂_target from
+    * the `isTarget` rows (the corpus slice that LOOKS like what you
+    * want more of), p̂_raw from the whole frame. High scores mark raw
+    * documents that resemble the target distribution: rank by score
+    * and keep the head (or Gumbel-resample) — the standard
+    * quality-data selection step between dedup and mixing.
+    *
+    * Scale shape: one corpus pass to the ≤`buckets`-row hashed count
+    * frame (map-side combined — the bucket model is WHY DSIR scales:
+    * the vocabulary never materializes), the log-ratio table is a
+    * ≤`buckets`-row broadcast, and scoring is one more pass + a
+    * per-doc aggregate. Nothing grows with corpus size except the
+    * two linear scans.
+    *
+    * Determinism (the gate discipline): the per-bucket log-ratio is
+    * rounded to 6 dp and fixed as DECIMAL(18,6) — per-doc scores are
+    * then exact decimal sums (order-free), and ties rank by doc id
+    * downstream.
+    *
+    * Returns (idCol, n_grams, score) for every document with at
+    * least one bigram; score reported at 6 dp. */
+  def dsirLogWeights(
+      docs: DataFrame,
+      idCol: String,
+      text: Column,
+      isTarget: Column,
+      buckets: Int = 4096): DataFrame = {
+    require(buckets > 1, s"buckets out of range: $buckets")
+    val grams = docs
+      .select(col(idCol), tokens(lower(text)).as("__toks"),
+        isTarget.as("__t"))
+      .select(col(idCol), explode(gramsOfTokens(col("__toks"), 2))
+        .as("__g"), col("__t"))
+      .select(col(idCol),
+        pmod(graft.operators.Dedup.polyHash(col("__g")), lit(buckets))
+          .as("__b"), col("__t"))
+    val counts = grams
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("__cr"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"))
+      .localCheckpoint(true)
+    val tot = counts.agg(sum(col("__cr")).as("nr"), sum(col("__ct"))
+      .as("nt")).collect()(0)
+    val (nr, nt) = (tot.getLong(0), tot.getLong(1))
+    require(nt >= 1 && nt < nr,
+      "dsirLogWeights: the target slice must be a proper subset")
+    // same literal op order as the oracle: +ln(ct+1) − ln(nt+B)
+    // − ln(cr+1) + ln(nr+B), rounded ONCE at 6 dp
+    val lr = counts.select(col("__b"),
+      round(log(col("__ct").cast(DoubleType) + 1.0) -
+        log(lit((nt + buckets).toDouble)) -
+        log(col("__cr").cast(DoubleType) + 1.0) +
+        log(lit((nr + buckets).toDouble)), 6)
+        .cast(DecimalType(18, 6)).as("__lr"))
+    grams
+      .join(broadcast(lr), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        round(sum(col("__lr")).cast(DoubleType), 6).as("score"))
+  }
+
   /** Trending tokens between two corpus halves: the top-k RISING and
     * top-k FALLING tokens by smoothed log-rate-ratio
     * ln(((c_late+1)/n_late) / ((c_early+1)/n_early)) — the "what

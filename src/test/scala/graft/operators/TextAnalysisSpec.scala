@@ -437,6 +437,38 @@ class TextAnalysisSpec extends SparkSpecBase {
       s"stable token: $rows")
   }
 
+  test("dsirLogWeights: a raw doc sharing the target's signature " +
+      "bigram outranks one that doesn't; runs replay exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // target docs (t = true) repeat the bigram 'clean prose'; raw
+    // doc 100 contains it, raw doc 101 only shares the unigram mass
+    // ('clean text' / 'rough text' bigrams hash elsewhere)
+    val target = (1 to 10).map(i =>
+      (i.toLong, true, "clean prose clean prose"))
+    val raw = Seq(
+      (100L, false, "clean prose clean text"),
+      (101L, false, "rough text rough text"))
+    val docs = (target ++ raw).toDF("doc_id", "t", "text")
+    def run() = TextAnalysis.dsirLogWeights(docs, "doc_id",
+        col("text"), col("t"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Double]("score")))).toMap
+    val got = run()
+    // every doc has 3 bigrams
+    assert(got.values.forall(_._1 == 3L), s"grams: $got")
+    // target-resembling raw doc scores strictly higher
+    assert(got(100L)._2 > got(101L)._2, s"scores: $got")
+    // target docs score highest of all (pure signature mass)
+    assert(got(1L)._2 > got(100L)._2, s"scores: $got")
+    assert(run() == got, "DSIR weights must replay exactly")
+    // a degenerate target slice refuses loudly
+    intercept[IllegalArgumentException] {
+      TextAnalysis.dsirLogWeights(docs, "doc_id", col("text"),
+        lit(true))
+    }
+  }
+
   test("vocabCoverage: hand-computed Good-Turing unseen mass and " +
     "Chao1 on a tiny corpus") {
     import spark.implicits._
