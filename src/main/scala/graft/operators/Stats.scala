@@ -2341,36 +2341,47 @@ object Stats {
     require(k >= 1, s"kthValue: k out of range: $k")
     val cur = df.select(col(valueCol).cast(DoubleType).as("__kv"))
       .filter(col("__kv").isNotNull)
-    kthLoop(cur, k, nRanges, maxLocal, rounds = 0)
+    kthLoop(cur, k, nRanges, maxLocal, known = None, rounds = 0)
   }
 
+  /** `known`: the exact surviving-row count when the caller already
+    * has it (the picked histogram bin's count) — skips the bounds
+    * re-scan a refinement round would otherwise pay. */
   @annotation.tailrec
   private def kthLoop(cur: DataFrame, kk: Long, nRanges: Int,
-      maxLocal: Int, rounds: Int): Double = {
+      maxLocal: Int, known: Option[Long], rounds: Int): Double = {
     require(rounds < 64, "kthValue failed to converge")
-    val b = cur.agg(min(col("__kv")).as("lo"), max(col("__kv")).as("hi"),
-      count(lit(1)).as("n")).collect()(0)
-    val n = b.getLong(2)
-    require(n >= kk, s"kthValue: k=$kk exceeds surviving rows $n")
-    val (lo, hi) = (b.getDouble(0), b.getDouble(1))
-    if (lo == hi) lo
-    else if (n <= maxLocal) {
+    if (known.exists(_ <= maxLocal)) {
       val arr = cur.collect().map(_.getDouble(0))
+      require(arr.length >= kk, s"kthValue: k=$kk exceeds ${arr.length}")
       java.util.Arrays.sort(arr)
       arr((kk - 1).toInt)
     } else {
-      val counts = cur
-        .groupBy(binExpr("__kv", lo, hi, nRanges).as("__kb"))
-        .agg(count(lit(1)).as("__t"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-      var acc = 0L
-      var pick = -1
-      for ((r, t) <- counts if pick < 0) {
-        if (acc + t >= kk) pick = r else acc += t
+      val b = cur.agg(min(col("__kv")).as("lo"),
+        max(col("__kv")).as("hi"), count(lit(1)).as("n")).collect()(0)
+      val n = b.getLong(2)
+      require(n >= kk, s"kthValue: k=$kk exceeds surviving rows $n")
+      val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+      if (lo == hi) lo
+      else if (n <= maxLocal) {
+        val arr = cur.collect().map(_.getDouble(0))
+        java.util.Arrays.sort(arr)
+        arr((kk - 1).toInt)
+      } else {
+        val counts = cur
+          .groupBy(binExpr("__kv", lo, hi, nRanges).as("__kb"))
+          .agg(count(lit(1)).as("__t"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        var acc = 0L
+        var pick = -1
+        var tPick = 0L
+        for ((r, t) <- counts if pick < 0) {
+          if (acc + t >= kk) { pick = r; tPick = t } else acc += t
+        }
+        require(pick >= 0, "kthValue: histogram lost the target rank")
+        kthLoop(cur.filter(binExpr("__kv", lo, hi, nRanges) === pick),
+          kk - acc, nRanges, maxLocal, Some(tPick), rounds + 1)
       }
-      require(pick >= 0, "kthValue: histogram lost the target rank")
-      kthLoop(cur.filter(binExpr("__kv", lo, hi, nRanges) === pick),
-        kk - acc, nRanges, maxLocal, rounds + 1)
     }
   }
 
@@ -4352,7 +4363,8 @@ object Stats {
     def resid = abs(col("__y").cast(DoubleType) -
       (lit(b0) + lit(b1) * col("__x1").cast(DoubleType) +
         lit(b2) * col("__x2").cast(DoubleType)))
-    val cres = calib.select(resid.as("__res"), col("__id").as("__t"))
+    // selection is tie-insensitive — no tie column needed
+    val cres = calib.select(resid.as("__res"))
     // ⌈(n_c+1)(1−α)⌉ in pure integer arithmetic, clamped into 1..n_c
     val keep = 1000L - alphaPermille
     val k = math.min(nc, math.max(1L, ((nc + 1) * keep + 999L) / 1000L))
