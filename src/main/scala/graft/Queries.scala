@@ -2882,6 +2882,32 @@ object Queries {
           sum(when(col("late"), col("__c")).otherwise(0L)).as("c_late"))
       TextAnalysis.trendingFromCounts(counts)
     }),
+    "q_stream_dsir" -> ((s, dir) => {
+      // Streaming DSIR: the importance model's (raw, target) bucket
+      // counters accumulate in keyed state as documents arrive — the
+      // selection model updates AT INGEST. After the drain the
+      // LATEST counts (max per bucket — both counters monotone) feed
+      // the SAME scoring tail over the batch gram bag, so the
+      // streamed top-20 must equal q_dsir_select row for row (the
+      // gate reuses that oracle verbatim — the q_stream_drift
+      // pattern): integer count folds are associative, the
+      // file-to-batch split cannot change the model.
+      val name = s"q_stream_dsir_${streamRun.incrementAndGet()}"
+      implicit val sp: SparkSession = s
+      val drained = graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.dsirBucketCountsState(
+          graft.streaming.Streams.docsStream(s, dir),
+          col("lang") === "en", col("text")).toDF(),
+        name, shufflePartitions = Some(8))
+      val counts = drained.groupBy(col("b"))
+        .agg(max(col("cr")).as("__cr"), max(col("ct")).as("__ct"))
+        .select(col("b").as("__b"), col("__cr"), col("__ct"))
+      val grams = TextAnalysis.dsirGrams(Tables.documents(s, dir),
+        "doc_id", col("text"), col("lang") === "en", 4096)
+      TextAnalysis.dsirScore(grams, counts, "doc_id", 4096)
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+    }),
     "q_stream_heavy_hitters" -> ((s, dir) => {
       // Streaming count-min sketch: the depth·width cells of
       // q_sketch_heavy_hitters' CMS accumulate in keyed state as
@@ -9088,6 +9114,9 @@ object Queries {
     "q_text_keyphrases" -> keyphrasesOracle,
     "q_text_trending" -> trendingOracle,
     "q_dsir_select" -> dsirOracle,
+    // stream-drained bucket counts + the shared scoring tail must
+    // reproduce the batch selection exactly (associative count folds)
+    "q_stream_dsir" -> dsirOracle,
     "q_partition_prune" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderstatus,
         | count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,

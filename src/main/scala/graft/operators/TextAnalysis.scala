@@ -944,19 +944,48 @@ object TextAnalysis {
       isTarget: Column,
       buckets: Int = 4096): DataFrame = {
     require(buckets > 1, s"buckets out of range: $buckets")
-    val grams = docs
-      .select(col(idCol), tokens(lower(text)).as("__toks"),
-        isTarget.as("__t"))
-      .select(col(idCol), explode(gramsOfTokens(col("__toks"), 2))
-        .as("__g"), col("__t"))
-      .select(col(idCol),
-        pmod(graft.operators.Dedup.polyHash(col("__g")), lit(buckets))
-          .as("__b"), col("__t"))
+    val grams = dsirGrams(docs, idCol, text, isTarget, buckets)
     val counts = grams
       .groupBy(col("__b"))
       .agg(count(lit(1)).as("__cr"),
         sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"))
       .localCheckpoint(true)
+    dsirScore(grams, counts, idCol, buckets)
+  }
+
+  /** The hashed-bigram bag of [[dsirLogWeights]]: one row per gram
+    * occurrence — (idCol, __b bucket, __t target flag, keep*). Shared
+    * by the batch scorer and the streaming bucket-count state so both
+    * sides hash identically; `keep` names input columns carried
+    * through (the stream threads its watermark-tagged event time). */
+  private[graft] def dsirGrams(
+      docs: DataFrame,
+      idCol: String,
+      text: Column,
+      isTarget: Column,
+      buckets: Int,
+      keep: Seq[String] = Nil): DataFrame = {
+    val kept = keep.map(col)
+    docs
+      .select(Seq(col(idCol), tokens(lower(text)).as("__toks"),
+        isTarget.as("__t")) ++ kept: _*)
+      .select(Seq(col(idCol), explode(gramsOfTokens(col("__toks"), 2))
+        .as("__g"), col("__t")) ++ kept: _*)
+      .select(Seq(col(idCol),
+        pmod(graft.operators.Dedup.polyHash(col("__g")), lit(buckets))
+          .as("__b"), col("__t")) ++ kept: _*)
+  }
+
+  /** [[dsirLogWeights]]'s scoring tail over an ALREADY-BUILT bucket
+    * count frame (__b, __cr, __ct) — counts are associative integer
+    * folds, so the frame can come from the one-pass batch groupBy or
+    * from drained streaming state ([[graft.streaming.Streams
+    * .dsirBucketCountsState]]) and the scores are identical. */
+  private[graft] def dsirScore(
+      grams: DataFrame,
+      counts: DataFrame,
+      idCol: String,
+      buckets: Int): DataFrame = {
     val tot = counts.agg(sum(col("__cr")).as("nr"), sum(col("__ct"))
       .as("nt")).collect()(0)
     val (nr, nt) = (tot.getLong(0), tot.getLong(1))

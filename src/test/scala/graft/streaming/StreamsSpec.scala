@@ -1228,6 +1228,57 @@ class StreamsSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
+  test("dsirBucketCountsState: (raw, target) bucket counters " +
+    "accumulate ACROSS micro-batches and the drained state equals " +
+    "the batch gram counts") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("dsir_mb").toFile
+    val t0 = System.currentTimeMillis()
+    def writeDocs(name: String, docs: Seq[(Long, String, String)],
+        mod: Long): Unit = {
+      val stage = new java.io.File(tmp, s"__stage_$name")
+      docs.map { case (id, lang, t) => (id, t, lang, "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(stage.getPath)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(tmp, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mod)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    // the shared bigram 'clean prose' lands in one bucket from BOTH
+    // batches and both languages — the carried state must merge them
+    writeDocs("a.parquet", Seq((1L, "en", "clean prose here"),
+      (2L, "de", "clean prose there")), t0 - 60000)
+    writeDocs("b.parquet", Seq((3L, "en", "clean prose again")), t0)
+    val drained = Streams.runAvailableNow(
+      Streams.dsirBucketCountsState(
+        Streams.docsStream(spark, tmp.getPath, glob = "*.parquet",
+          maxFilesPerTrigger = 1),
+        col("lang") === "en", col("text"), buckets = 64).toDF(),
+      "dsir_mb").collect()
+      .map(r => (r.getAs[Long]("b"), r.getAs[Long]("cr"),
+        r.getAs[Long]("ct")))
+    val latest = drained.groupBy(_._1).map { case (b, rs) =>
+      b -> ((rs.map(_._2).max, rs.map(_._3).max)) }
+    val batch = graft.operators.TextAnalysis.dsirGrams(
+      spark.read.parquet(tmp.getPath), "doc_id", col("text"),
+      col("lang") === "en", 64)
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("ct"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(latest == batch,
+      s"drained $latest must equal batch $batch")
+    // the 'clean prose' bucket was touched by both batches: some
+    // bucket must have been re-emitted with a GROWN count
+    assert(drained.groupBy(_._1).exists(_._2.map(_._2).distinct.size > 1),
+      "no bucket accumulated across batches — state not carried")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   test("flatMapGroupsWithState carries per-user LWW state") {
     implicit val s = spark
     val out = Streams.runAvailableNow(
