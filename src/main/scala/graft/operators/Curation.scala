@@ -34,6 +34,16 @@ object Curation {
     * @param dropPermille bottom fraction dropped per stratum
     * @param totalTarget  post-rebalance row budget
     * @param nShards      output shard count
+    * @param dsirTarget   optional DSIR stage (between dedup and the
+    *                     rebalance — the canonical slot for
+    *                     distribution-matching selection): rows where
+    *                     this predicate holds define the target
+    *                     distribution, and only documents whose
+    *                     [[TextAnalysis.dsirLogWeights]] score reaches
+    *                     the corpus (1000 − dsirKeepPermille)‰ order
+    *                     statistic survive (ties at the threshold are
+    *                     kept — deterministic and replicable)
+    * @param dsirKeepPermille head share kept by the DSIR stage
     * @return input columns + (shard, seq) */
   def standardPipeline(
       docs: DataFrame,
@@ -45,14 +55,18 @@ object Curation {
       totalTarget: Long,
       nShards: Int,
       sampleSeed: Int = 19,
-      shardSeed: Int = 23): DataFrame = {
+      shardSeed: Int = 23,
+      dsirTarget: Option[Column] = None,
+      dsirKeepPermille: Int = 1000): DataFrame = {
     val gated = Sampling.quantileFilter(
       docs, strataCols, qualityCol, col(idCol), dropPermille)
     val deduped = Dedup.exact(
         gated, TextAnalysis.fingerprintMd5(text), idCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val selected = dsirSelect(deduped, idCol, text, dsirTarget,
+      dsirKeepPermille)
     val sampled = Sampling.temperatureSample(
-      deduped, strataCols, col(idCol), totalTarget, sampleSeed)
+      selected, strataCols, col(idCol), totalTarget, sampleSeed)
     // Force the small composed result so the dedup-survivor cache
     // (corpus-sized) can be dropped before returning — the
     // Dedup.ownResult idiom: the caller owns only `out`.
@@ -61,6 +75,40 @@ object Curation {
     out.count()
     deduped.unpersist(false)
     out
+  }
+
+  /** The optional DSIR selection stage of [[standardPipeline]]: score
+    * every surviving document against the `target` slice
+    * ([[TextAnalysis.dsirLogWeights]]), find the keep threshold as ONE
+    * order statistic ([[Stats.kthValue]] — no full rank), and keep
+    * rows at or above it. `target = None` or `keepPermille = 1000` is
+    * the identity (the pre-DSIR pipelines replay unchanged). */
+  private[operators] def dsirSelect(
+      docs: DataFrame,
+      idCol: String,
+      text: Column,
+      target: Option[Column],
+      keepPermille: Int): DataFrame = {
+    require(keepPermille >= 1 && keepPermille <= 1000,
+      s"dsirKeepPermille out of range: $keepPermille")
+    if (target.isEmpty || keepPermille == 1000) docs
+    else {
+      val w = TextAnalysis.dsirLogWeights(docs, idCol, text, target.get)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n = w.count()
+      require(n >= 1, "dsirSelect: no scored documents")
+      // threshold = the ((1000 − keep)‰ · n, ceil)-th smallest score;
+      // rows BELOW it drop, ties at it are kept
+      val k = math.max(1L,
+        ((1000L - keepPermille) * n + 999L) / 1000L)
+      val thr = Stats.kthValue(w, "score", k)
+      val kept = docs.join(
+        w.filter(col("score") >= thr).select(col(idCol)), Seq(idCol))
+      val out = kept.persist(StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      w.unpersist(false)
+      out
+    }
   }
 
   /** The staged, RESTARTABLE form of [[standardPipeline]]: each stage
@@ -89,7 +137,9 @@ object Curation {
       nShards: Int,
       stageDir: String,
       sampleSeed: Int = 19,
-      shardSeed: Int = 23): DataFrame = {
+      shardSeed: Int = 23,
+      dsirTarget: Option[Column] = None,
+      dsirKeepPermille: Int = 1000): DataFrame = {
     val spark = docs.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     def stage(name: String)(build: => DataFrame): DataFrame = {
@@ -104,8 +154,12 @@ object Curation {
       docs, strataCols, qualityCol, col(idCol), dropPermille))
     val deduped = stage("deduped")(Dedup.exact(
       gated, TextAnalysis.fingerprintMd5(text), idCol))
+    val selected =
+      if (dsirTarget.isEmpty || dsirKeepPermille == 1000) deduped
+      else stage("dsir")(dsirSelect(deduped, idCol, text, dsirTarget,
+        dsirKeepPermille))
     val sampled = stage("sampled")(Sampling.temperatureSample(
-      deduped, strataCols, col(idCol), totalTarget, sampleSeed))
+      selected, strataCols, col(idCol), totalTarget, sampleSeed))
     stage("sharded")(Sampling.shardOrder(
       sampled, col(idCol), nShards, shardSeed))
   }

@@ -14,10 +14,14 @@ import graft.operators.Curation
   * and versions, not a Scala change.
   *
   * Format: one `key=value` per line; `#` starts a comment; blank lines
-  * ignored. `text` and `quality` are Spark SQL EXPRESSIONS over the
-  * input columns (e.g. `quality=ln(1 + n_chars)`), so a recipe can
-  * derive its gate metric without a code hook. Unknown keys are
-  * REJECTED (a typo must not silently fall back to a default).
+  * ignored. `text`, `quality`, and the optional `dsir_target` are
+  * Spark SQL EXPRESSIONS over the input columns (e.g.
+  * `quality=ln(1 + n_chars)`, `dsir_target=lang = 'en'`), so a
+  * recipe can derive its gate metric — and name its DSIR target
+  * slice — without a code hook; `dsir_keep_permille` arms the
+  * distribution-matching selection stage between dedup and the
+  * rebalance. Unknown keys are REJECTED (a typo must not silently
+  * fall back to a default).
   */
 final case class CurationRecipe(
     strata: Seq[String],
@@ -28,7 +32,9 @@ final case class CurationRecipe(
     totalTarget: Long,
     nShards: Int,
     sampleSeed: Int,
-    shardSeed: Int) {
+    shardSeed: Int,
+    dsirTargetExpr: Option[String],
+    dsirKeepPermille: Int) {
 
   /** Compile against `docs`: pure composition of the individually
     * gated stages — identical semantics to calling
@@ -37,7 +43,8 @@ final case class CurationRecipe(
   def run(docs: DataFrame): DataFrame =
     Curation.standardPipeline(
       docs, strata, idCol, expr(textExpr), expr(qualityExpr),
-      dropPermille, totalTarget, nShards, sampleSeed, shardSeed)
+      dropPermille, totalTarget, nShards, sampleSeed, shardSeed,
+      dsirTargetExpr.map(expr), dsirKeepPermille)
 
   /** The restartable form: stages materialize under `stageDir` and a
     * re-run resumes from the last completed stage — same result
@@ -46,7 +53,7 @@ final case class CurationRecipe(
     Curation.standardPipelineStaged(
       docs, strata, idCol, expr(textExpr), expr(qualityExpr),
       dropPermille, totalTarget, nShards, stageDir, sampleSeed,
-      shardSeed)
+      shardSeed, dsirTargetExpr.map(expr), dsirKeepPermille)
 }
 
 object CurationRecipe {
@@ -54,7 +61,8 @@ object CurationRecipe {
   private val Required =
     Seq("strata", "id", "text", "quality", "drop_permille",
       "total_target", "n_shards")
-  private val Optional = Seq("sample_seed", "shard_seed")
+  private val Optional = Seq("sample_seed", "shard_seed",
+    "dsir_target", "dsir_keep_permille")
 
   /** Parse and VALIDATE a recipe; every failure names the key. */
   def parse(content: String): CurationRecipe = {
@@ -104,7 +112,17 @@ object CurationRecipe {
       totalTarget = target,
       nShards = shards,
       sampleSeed = m.get("sample_seed").map(_.toInt).getOrElse(19),
-      shardSeed = m.get("shard_seed").map(_.toInt).getOrElse(23))
+      shardSeed = m.get("shard_seed").map(_.toInt).getOrElse(23),
+      dsirTargetExpr = m.get("dsir_target"),
+      dsirKeepPermille = {
+        val p = m.get("dsir_keep_permille").map(_ =>
+          intKey("dsir_keep_permille")).getOrElse(1000)
+        require(p >= 1 && p <= 1000,
+          s"dsir_keep_permille must be in [1, 1000]: $p")
+        require(p == 1000 || m.contains("dsir_target"),
+          "dsir_keep_permille needs a dsir_target expression")
+        p
+      })
   }
 }
 

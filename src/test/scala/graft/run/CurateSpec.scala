@@ -45,6 +45,45 @@ class CurateSpec extends SparkSpecBase {
     assert(r2.sampleSeed == 7 && r2.shardSeed == 11)
   }
 
+  test("a DSIR-armed recipe inserts the selection stage between " +
+      "dedup and the rebalance; identity settings replay the plain run") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val armed = CurationRecipe.parse(recipeText +
+      "dsir_target = lang = 'en'\ndsir_keep_permille = 500\n")
+    assert(armed.dsirTargetExpr.contains("lang = 'en'") &&
+      armed.dsirKeepPermille == 500)
+    val viaRecipe = armed.run(docs)
+    val direct = Curation.standardPipeline(
+      docs, Seq("lang"), "doc_id", expr("text"),
+      expr("ln(1 + n_chars)"), dropPermille = 100, totalTarget = 200,
+      nShards = 4, dsirTarget = Some(expr("lang = 'en'")),
+      dsirKeepPermille = 500)
+    assert(viaRecipe.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(viaRecipe).count() == 0)
+    assert(viaRecipe.count() > 0)
+    // the selection is not a no-op: the armed run keeps a different
+    // (smaller-or-reshaped) id set than the plain pipeline
+    val plain = CurationRecipe.parse(recipeText).run(docs)
+    assert(viaRecipe.select(col("doc_id")).exceptAll(
+      plain.select(col("doc_id"))).count() +
+      plain.select(col("doc_id")).exceptAll(
+        viaRecipe.select(col("doc_id"))).count() > 0,
+      "DSIR stage changed nothing — suspicious")
+    // keep_permille = 1000 (or no target) is the identity
+    val ident = Curation.standardPipeline(
+      docs, Seq("lang"), "doc_id", expr("text"),
+      expr("ln(1 + n_chars)"), dropPermille = 100, totalTarget = 200,
+      nShards = 4, dsirTarget = Some(expr("lang = 'en'")),
+      dsirKeepPermille = 1000)
+    assert(ident.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(ident).count() == 0)
+    Seq(viaRecipe, direct, plain, ident).foreach(_.unpersist(false))
+    // arming the share without naming a target refuses loudly
+    val e = intercept[IllegalArgumentException](CurationRecipe.parse(
+      recipeText + "dsir_keep_permille = 500\n"))
+    assert(e.getMessage.contains("dsir_target"))
+  }
+
   test("validation failures name the offending key") {
     def err(s: String): String =
       intercept[IllegalArgumentException](CurationRecipe.parse(s))
