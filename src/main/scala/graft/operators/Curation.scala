@@ -82,7 +82,11 @@ object Curation {
     * ([[TextAnalysis.dsirLogWeights]]), find the keep threshold as ONE
     * order statistic ([[Stats.kthValue]] — no full rank), and keep
     * rows at or above it. `target = None` or `keepPermille = 1000` is
-    * the identity (the pre-DSIR pipelines replay unchanged). */
+    * the identity (the pre-DSIR pipelines replay unchanged). A
+    * document without a single bigram (< 2 tokens) has no score under
+    * the bag model and is DROPPED when the stage is armed — at
+    * training-data granularity such documents are noise, but set
+    * `keepPermille = 1000` if they must survive. */
   private[operators] def dsirSelect(
       docs: DataFrame,
       idCol: String,
