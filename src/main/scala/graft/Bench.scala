@@ -210,12 +210,7 @@ object Bench {
       "q_bpe_merges", "q_bpe_encode")
       .filter(selected.contains)
 
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def jstr(s: String): String = graft.core.Jsons.str(s)
     val qs = results
       .map { case (k, v, _, _) => s"${jstr(k)}:${fmt("%.4f", v)}" }
       .mkString("{", ",", "}")

@@ -73,6 +73,9 @@ object Curation {
     val out = Sampling.shardOrder(sampled, col(idCol), nShards, shardSeed)
       .persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
+    // release BOTH corpus-scale stage caches (selected is its own
+    // persisted frame only when the DSIR stage was armed)
+    if (!(selected eq deduped)) selected.unpersist(false)
     deduped.unpersist(false)
     out
   }
@@ -160,8 +163,21 @@ object Curation {
       gated, TextAnalysis.fingerprintMd5(text), idCol))
     val selected =
       if (dsirTarget.isEmpty || dsirKeepPermille == 1000) deduped
-      else stage("dsir")(dsirSelect(deduped, idCol, text, dsirTarget,
-        dsirKeepPermille))
+      else {
+        // dsirSelect persists its result for multi-consumer reads;
+        // here the parquet stage IS the durable copy, so the
+        // operator-internal cache is released right after the write
+        // (None when the stage was already complete and not rebuilt)
+        var built: Option[DataFrame] = None
+        val st = stage("dsir") {
+          val s0 = dsirSelect(deduped, idCol, text, dsirTarget,
+            dsirKeepPermille)
+          built = Some(s0)
+          s0
+        }
+        built.foreach(_.unpersist(false))
+        st
+      }
     val sampled = stage("sampled")(Sampling.temperatureSample(
       selected, strataCols, col(idCol), totalTarget, sampleSeed))
     stage("sharded")(Sampling.shardOrder(

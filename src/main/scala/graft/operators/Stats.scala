@@ -2337,30 +2337,45 @@ object Stats {
     * per-range sort) — use this when exactly one quantile/threshold
     * is consumed downstream ([[splitConformal]]'s q̂). */
   def kthValue(df: DataFrame, valueCol: String, k: Long,
+      nRanges: Int = 256, maxLocal: Int = 1 << 20): Double =
+    kthValueBy(df, valueCol, _ => k, nRanges, maxLocal)
+
+  /** [[kthValue]] with k derived FROM the row count — `kOf(n)` is
+    * evaluated on the n the first bounds pass measures, so callers
+    * whose rank depends on the population (a permille cut: ⌈p·n/1000⌉)
+    * skip the separate counting scan they would otherwise pay.
+    * NULL and NaN values are excluded before counting (NaN has no
+    * place in a total order; callers needing them must pre-map). */
+  def kthValueBy(df: DataFrame, valueCol: String, kOf: Long => Long,
       nRanges: Int = 256, maxLocal: Int = 1 << 20): Double = {
-    require(k >= 1, s"kthValue: k out of range: $k")
     val cur = df.select(col(valueCol).cast(DoubleType).as("__kv"))
-      .filter(col("__kv").isNotNull)
-    kthLoop(cur, k, nRanges, maxLocal, known = None, rounds = 0)
+      .filter(col("__kv").isNotNull && !isnan(col("__kv")))
+    kthLoop(cur, kOf, nRanges, maxLocal, known = None, rounds = 0)
   }
 
   /** `known`: the exact surviving-row count when the caller already
     * has it (the picked histogram bin's count) — skips the bounds
-    * re-scan a refinement round would otherwise pay. */
+    * re-scan a refinement round would otherwise pay. `kOf` resolves
+    * the target rank from the measured count on the FIRST round
+    * (recursions pass a constant). */
   @annotation.tailrec
-  private def kthLoop(cur: DataFrame, kk: Long, nRanges: Int,
+  private def kthLoop(cur: DataFrame, kOf: Long => Long, nRanges: Int,
       maxLocal: Int, known: Option[Long], rounds: Int): Double = {
     require(rounds < 64, "kthValue failed to converge")
     if (known.exists(_ <= maxLocal)) {
       val arr = cur.collect().map(_.getDouble(0))
-      require(arr.length >= kk, s"kthValue: k=$kk exceeds ${arr.length}")
+      val kk = kOf(arr.length.toLong)
+      require(kk >= 1 && kk <= arr.length,
+        s"kthValue: k=$kk out of range for ${arr.length} rows")
       java.util.Arrays.sort(arr)
       arr((kk - 1).toInt)
     } else {
       val b = cur.agg(min(col("__kv")).as("lo"),
         max(col("__kv")).as("hi"), count(lit(1)).as("n")).collect()(0)
       val n = b.getLong(2)
-      require(n >= kk, s"kthValue: k=$kk exceeds surviving rows $n")
+      val kk = kOf(n)
+      require(kk >= 1 && kk <= n,
+        s"kthValue: k=$kk out of range for $n surviving rows")
       val (lo, hi) = (b.getDouble(0), b.getDouble(1))
       if (lo == hi) lo
       else if (n <= maxLocal) {
@@ -2379,8 +2394,9 @@ object Stats {
           if (acc + t >= kk) { pick = r; tPick = t } else acc += t
         }
         require(pick >= 0, "kthValue: histogram lost the target rank")
+        val kNext = kk - acc
         kthLoop(cur.filter(binExpr("__kv", lo, hi, nRanges) === pick),
-          kk - acc, nRanges, maxLocal, Some(tPick), rounds + 1)
+          _ => kNext, nRanges, maxLocal, Some(tPick), rounds + 1)
       }
     }
   }
@@ -2408,10 +2424,15 @@ object Stats {
       s"permille out of range: $permille")
     val v = col(valueCol)
     val base = df.filter(v.isNotNull)
-    val n = base.count()
-    require(n >= 1, "capReportAtQuantile: empty input")
-    val k = (permille.toLong * n + 999L) / 1000L
-    val cap = kthValue(base, valueCol, k).toLong
+    // k derives from the count kthValue's first bounds pass measures
+    // anyway — no separate counting scan (the capture runs once, on
+    // the first refinement round)
+    var k = 0L
+    val cap = kthValueBy(base, valueCol, { n =>
+      require(n >= 1, "capReportAtQuantile: empty input")
+      k = (permille.toLong * n + 999L) / 1000L
+      k
+    }).toLong
     base.agg(
       count(lit(1)).as("n_rows"),
       sum(when(v > cap, 1L).otherwise(0L)).as("n_clipped"),

@@ -988,6 +988,8 @@ object TextAnalysis {
       buckets: Int): DataFrame = {
     val tot = counts.agg(sum(col("__cr")).as("nr"), sum(col("__ct"))
       .as("nt")).collect()(0)
+    require(!tot.isNullAt(0) && !tot.isNullAt(1),
+      "dsirScore: empty bucket-count frame (no document has a bigram)")
     val (nr, nt) = (tot.getLong(0), tot.getLong(1))
     require(nt >= 1 && nt < nr,
       "dsirLogWeights: the target slice must be a proper subset")

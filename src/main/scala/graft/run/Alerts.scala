@@ -39,7 +39,10 @@ object Alerts {
   /** Build the failure hook from the environment. Unarmed (no valid
     * recipient) → log-only, mirroring the reference's warning +
     * `email_on_failure=False`. Armed → log + append a JSON line to the
-    * sink spool when one is configured. */
+    * sink spool when one is configured. The spool append is
+    * BEST-EFFORT: a broken spool (unwritable path, full disk) logs its
+    * own warning and never throws — alerting must not mask the
+    * failure it reports, nor turn log-only validation into an abort. */
   def fromEnv(env: Map[String, String] = sys.env): Hook = {
     val to = recipients(env.getOrElse("ALERT_EMAIL_RECIPIENTS", ""))
     val sink = env.get("GRAFT_ALERT_SINK")
@@ -48,52 +51,59 @@ object Alerts {
     } else { a =>
       println(s"[alert] to=${to.mkString(",")} ${render(a)}")
       sink.foreach { path =>
-        val p = Paths.get(path)
-        Option(p.getParent).foreach(Files.createDirectories(_))
-        val line = jsonLine(a, to) + "\n"
-        Files.write(p, line.getBytes(StandardCharsets.UTF_8),
-          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        try {
+          val p = Paths.get(path)
+          Option(p.getParent).foreach(Files.createDirectories(_))
+          val line = jsonLine(a, to) + "\n"
+          Files.write(p, line.getBytes(StandardCharsets.UTF_8),
+            StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        } catch {
+          case e: Exception =>
+            println(s"[alert] WARN spool append failed ($path): $e")
+        }
       }
     }
   }
 
   /** Run `body`; on any exception fire the hook with the run-date
-    * context and rethrow (the task still fails — alerting never
-    * swallows, exactly Airflow's on-failure semantics). */
+    * context and rethrow the ORIGINAL failure (the task still fails —
+    * alerting never swallows, exactly Airflow's on-failure semantics;
+    * a throwing hook is contained so it can never shadow the root
+    * cause). */
   def onFailure[T](hook: Hook, entity: String, runDate: String,
       stage: String)(body: => T): T =
     try body
     catch {
       case e: Throwable =>
-        hook(Alert(entity, runDate, stage,
+        fireSafely(hook, Alert(entity, runDate, stage,
           Option(e.getMessage).getOrElse(e.getClass.getName)))
         throw e
     }
 
   /** Count-reconciliation mismatch notification: validation stays
     * log-only (the run proceeds, orders_daily.py:580-584), but an
-    * armed hook hears about it. */
+    * armed hook hears about it — and a broken hook cannot turn the
+    * log-only contract into a run abort. */
   def onMismatch(hook: Hook, entity: String, runDate: String,
       extracted: Long, loaded: Long): Unit =
-    hook(Alert(entity, runDate, "validate",
+    fireSafely(hook, Alert(entity, runDate, "validate",
       s"count mismatch: extracted=$extracted loaded=$loaded"))
+
+  private def fireSafely(hook: Hook, a: Alert): Unit =
+    try hook(a)
+    catch {
+      case e: Exception =>
+        println(s"[alert] WARN alert hook failed: $e (for ${render(a)})")
+    }
 
   private def render(a: Alert): String =
     s"entity=${a.entity} run_date=${a.runDate} stage=${a.stage}: " +
       a.message
 
   private def jsonLine(a: Alert, to: Seq[String]): String = {
-    def esc(s: String) = s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c    => c.toString
-    }
-    s"""{"to":[${to.map(t => s""""${esc(t)}"""").mkString(",")}],""" +
-      s""""entity":"${esc(a.entity)}","run_date":"${esc(a.runDate)}",""" +
-      s""""stage":"${esc(a.stage)}","message":"${esc(a.message)}"}"""
+    import graft.core.Jsons.{str => js}
+    s"{\"to\":[${to.map(js).mkString(",")}]," +
+      s"\"entity\":${js(a.entity)},\"run_date\":${js(a.runDate)}," +
+      s"\"stage\":${js(a.stage)},\"message\":${js(a.message)}}"
   }
 }

@@ -62,14 +62,17 @@ object RangeSync {
       Pipeline.ensureEntityTables(cfg, e)
     }
 
-    val slice = Alerts.onFailure(hook, e.name, s"$start..$end",
-      "range-extract") {
+    val slice =
       Pipeline.extractEntityForRange(spark, cfg, e, start, end).cache()
+    // the wrap sits on the ACTION (collect) — the extract plan itself
+    // is lazy and only fails here
+    val extracted = Alerts.onFailure(hook, e.name, s"$start..$end",
+      "range-extract") {
+      slice
+        .groupBy(to_date(col(e.incrementalColumn)).as("d"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
     }
-    val extracted = slice
-      .groupBy(to_date(col(e.incrementalColumn)).as("d"))
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
 
     Alerts.onFailure(hook, e.name, s"$start..$end", "range-load") {
       Pipeline.loadEntityBatch(cfg, e, slice)
@@ -77,12 +80,15 @@ object RangeSync {
     slice.unpersist()
 
     val tsCol = col(e.targetIncrementalColumn)
-    val loaded = Pipeline.readTarget(spark, cfg, cfg.targetTable)
-      .filter(tsCol >= lit(start).cast("timestamp") &&
-        tsCol < date_add(lit(end).cast("date"), 1).cast("timestamp"))
-      .groupBy(to_date(tsCol).as("d"))
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val loaded = Alerts.onFailure(hook, e.name, s"$start..$end",
+      "range-validate") {
+      Pipeline.readTarget(spark, cfg, cfg.targetTable)
+        .filter(tsCol >= lit(start).cast("timestamp") &&
+          tsCol < date_add(lit(end).cast("date"), 1).cast("timestamp"))
+        .groupBy(to_date(tsCol).as("d"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    }
 
     var allOk = true
     for (d <- dates) {
@@ -111,11 +117,15 @@ object RangeSync {
       .extractForRange(spark, cfg, opts.sfDir, start, end)
       .cache()
 
-    // per-date extracted counts, one aggregation (A2)
-    val extracted = slice
-      .groupBy(to_date(col("order_created_at")).as("d"))
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // per-date extracted counts, one aggregation (A2); the alert wrap
+    // sits on the ACTION — the extract plan is lazy and fails here
+    val extracted = Alerts.onFailure(hook, "orders", s"$start..$end",
+      "range-extract") {
+      slice
+        .groupBy(to_date(col("order_created_at")).as("d"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    }
 
     Alerts.onFailure(hook, "orders", s"$start..$end", "range-load") {
       Pipeline.upsertBatch(cfg, slice, Upsert.Unconditional)
@@ -130,8 +140,11 @@ object RangeSync {
             date_add(lit(end).cast("date"), 1).cast("timestamp"))
       .groupBy(to_date(col("order_created_at")).as("d"))
       .agg(count(lit(1)).as("n"))
-    val loaded = loadedDf.collect()
-      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val loaded = Alerts.onFailure(hook, "orders", s"$start..$end",
+      "range-validate") {
+      loadedDf.collect()
+        .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    }
 
     var allOk = true
     for (d <- dates) {

@@ -786,11 +786,49 @@ object Streams {
     r2.parquet(dir)
   }
 
-  /** Cumulative occupancy of one (group, bin) histogram cell. */
-  final case class GroupBinCount(g: String, bin: Int, n: Long)
+  /** Cumulative occupancy of one (group, bin) histogram cell;
+    * `updates` is the monotone drain counter. */
+  final case class GroupBinCount(g: String, bin: Int, updates: Long,
+      n: Long)
 
-  /** The carried cumulative count per (group, bin). */
-  final case class CumCount(n: Long)
+  /** Shared cumulative-count state body for the keyed COUNT monitors
+    * (histogram / vocab / CMS / quantile-sketch cells): state carries
+    * (updates, n). `updates` is the drain counter — a plain sequence
+    * under NoTimeout (totals byte-identical to the pre-counter
+    * emissions), EVENT-TIME-DERIVED in TTL mode (the
+    * [[cdcLatestState]] drain rule), so a cell returning after
+    * eviction always out-counts its zero-count expiry record and a
+    * max-counter drain resolves correctly on ANY sink — ordered or
+    * not. Eviction emits `out(key, prevUpdates + 1, 0)` then drops
+    * the state. */
+  private def cumCountFn[K, V, O](
+      ttlMs: Option[Long],
+      ts: V => java.sql.Timestamp,
+      out: (K, Long, Long) => O)
+      : (K, Iterator[V], GroupState[(Long, Long)]) => Iterator[O] =
+    (key, it, state) =>
+      if (state.hasTimedOut) {
+        val (pu, _) = state.get
+        state.remove()
+        Iterator(out(key, pu + 1L, 0L))
+      } else {
+        var add = 0L
+        var maxUs = Long.MinValue
+        while (it.hasNext) {
+          val t = ts(it.next()); add += 1
+          if (t != null)
+            maxUs = math.max(maxUs, t.getTime * 1000L)
+        }
+        val (pu, pn) = state.getOption.getOrElse((0L, 0L))
+        val ctr =
+          if (ttlMs.isDefined && maxUs != Long.MinValue)
+            math.max(pu + 1L, maxUs)
+          else pu + 1L
+        val tot = pn + add
+        state.update((ctr, tot))
+        if (maxUs != Long.MinValue) armTtl(state, ttlMs, maxUs)
+        Iterator(out(key, ctr, tot))
+      }
 
   /** Streaming cumulative histogram — the state backbone of the drift
     * monitor: as documents arrive, each (group, bin) cell's count
@@ -814,9 +852,11 @@ object Streams {
     * the monitor — a cell idle past the TTL (event time; requires a
     * `ts` timestamp column on `rows`) EVICTS, emitting one zero-count
     * row so a live consumer sees the reset; a returning cell restarts
-    * from zero. TTL mode therefore needs a LATEST-wins drain (counts
-    * are no longer monotone) — the bounded-drain max-per-cell gate
-    * requires the default NoTimeout, which stays byte-identical. */
+    * from zero. Every emission carries the `updates` drain counter —
+    * event-time-derived in TTL mode (the [[cdcLatestState]] rule), so
+    * the max-COUNTER row per cell is the current truth on any sink,
+    * ordered or not; the bounded-drain max-per-COUNT gate requires
+    * the default NoTimeout, whose totals stay byte-identical. */
   def histogramCountsState(
       rows: DataFrame,
       valueCol: String,
@@ -837,31 +877,15 @@ object Streams {
       .as[(String, Int, java.sql.Timestamp)]
       .groupByKey(t => (t._1, t._2))
       .flatMapGroupsWithState(
-        OutputMode.Update(), ttlConf(ttlMs)) {
-        (key: (String, Int),
-         it: Iterator[(String, Int, java.sql.Timestamp)],
-         state: GroupState[CumCount]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator(GroupBinCount(key._1, key._2, 0L))
-          } else {
-            var add = 0L
-            var maxUs = Long.MinValue
-            while (it.hasNext) {
-              val t = it.next(); add += 1
-              if (t._3 != null)
-                maxUs = math.max(maxUs, t._3.getTime * 1000L)
-            }
-            val tot = state.getOption.map(_.n).getOrElse(0L) + add
-            state.update(CumCount(tot))
-            if (maxUs != Long.MinValue) armTtl(state, ttlMs, maxUs)
-            Iterator(GroupBinCount(key._1, key._2, tot))
-          }
-      }
+        OutputMode.Update(), ttlConf(ttlMs))(
+        cumCountFn[(String, Int), (String, Int, java.sql.Timestamp),
+          GroupBinCount](ttlMs, _._3,
+          (k, u, n) => GroupBinCount(k._1, k._2, u, n)))
   }
 
   /** Cumulative occurrence count of one token in one corpus half. */
-  final case class HalfTokenCount(late: Boolean, w: String, n: Long)
+  final case class HalfTokenCount(late: Boolean, w: String,
+      updates: Long, n: Long)
 
   /** Streaming cumulative per-(half, token) counts — the state
     * backbone of the TRENDING-TOKEN monitor (VERDICT r9 item 5): as
@@ -890,9 +914,10 @@ object Streams {
     * crawl — so bounded retention matters most here. A token idle
     * past the TTL (event time; requires a `ts` column on `docs`)
     * evicts with one zero-count row and restarts from zero if it
-    * returns: TTL mode needs a LATEST-wins drain (counts are no
-    * longer monotone); the bounded-drain max gate requires the
-    * default NoTimeout, which stays byte-identical. */
+    * returns; the emitted `updates` counter (event-time-derived in
+    * TTL mode) makes the max-counter drain correct across evictions.
+    * The bounded-drain max-per-count gate keeps the default
+    * NoTimeout, whose totals stay byte-identical. */
   def tokenCountsState(
       docs: DataFrame,
       lateFlag: Column,
@@ -909,31 +934,15 @@ object Streams {
       .as[(Boolean, String, java.sql.Timestamp)]
       .groupByKey(t => (t._1, t._2))
       .flatMapGroupsWithState(
-        OutputMode.Update(), ttlConf(ttlMs)) {
-        (key: (Boolean, String),
-         it: Iterator[(Boolean, String, java.sql.Timestamp)],
-         state: GroupState[CumCount]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator(HalfTokenCount(key._1, key._2, 0L))
-          } else {
-            var add = 0L
-            var maxUs = Long.MinValue
-            while (it.hasNext) {
-              val t = it.next(); add += 1
-              if (t._3 != null)
-                maxUs = math.max(maxUs, t._3.getTime * 1000L)
-            }
-            val tot = state.getOption.map(_.n).getOrElse(0L) + add
-            state.update(CumCount(tot))
-            if (maxUs != Long.MinValue) armTtl(state, ttlMs, maxUs)
-            Iterator(HalfTokenCount(key._1, key._2, tot))
-          }
-      }
+        OutputMode.Update(), ttlConf(ttlMs))(
+        cumCountFn[(Boolean, String),
+          (Boolean, String, java.sql.Timestamp), HalfTokenCount](
+          ttlMs, _._3, (k, u, n) => HalfTokenCount(k._1, k._2, u, n)))
   }
 
   /** Cumulative (raw, target) gram counts of one DSIR hash bucket. */
-  final case class DsirBucket(b: Long, cr: Long, ct: Long)
+  final case class DsirBucket(b: Long, updates: Long, cr: Long,
+      ct: Long)
 
   /** Streaming DSIR bucket counts — the importance model UPDATING AT
     * INGEST: each arriving document's hashed-bigram bag bumps its
@@ -956,9 +965,10 @@ object Streams {
     * State TTL (`ttlMs`): bounded retention — a bucket idle past the
     * TTL (event time; requires a `ts` column on `docs`) evicts with
     * one zero-count row, turning the model into a trailing-window
-    * importance estimate; TTL mode needs a LATEST-wins drain, the
-    * bounded-drain max gate keeps the default NoTimeout
-    * (byte-identical). */
+    * importance estimate; the emitted `updates` counter (event-time-
+    * derived in TTL mode) makes the max-counter drain correct across
+    * evictions. The bounded-drain max-per-count gate keeps the
+    * default NoTimeout, whose totals stay byte-identical. */
   def dsirBucketCountsState(
       docs: DataFrame,
       isTarget: Column,
@@ -972,8 +982,12 @@ object Streams {
       .withColumn("__ets", ttlTsCol(ttlMs))
     // the doc id rides along only because dsirGrams carries one; the
     // state op keys on the bucket alone
+    // NULL target flags count as non-target, exactly the batch
+    // when(__t, 1).otherwise(0) semantics — the tuple encoder's
+    // Boolean field is non-nullable, so normalize before encoding
     val grams = graft.operators.TextAnalysis.dsirGrams(
-      in, "doc_id", text, isTarget, buckets, keep = Seq("__ets"))
+      in, "doc_id", text, coalesce(isTarget, lit(false)), buckets,
+      keep = Seq("__ets"))
     grams
       .select(col("__b"), col("__t"), col("__ets"))
       .as[(Long, Boolean, java.sql.Timestamp)]
@@ -981,10 +995,11 @@ object Streams {
       .flatMapGroupsWithState(
         OutputMode.Update(), ttlConf(ttlMs)) {
         (b: Long, it: Iterator[(Long, Boolean, java.sql.Timestamp)],
-         state: GroupState[(Long, Long)]) =>
+         state: GroupState[(Long, Long, Long)]) =>
           if (state.hasTimedOut) {
+            val (pu, _, _) = state.get
             state.remove()
-            Iterator(DsirBucket(b, 0L, 0L))
+            Iterator(DsirBucket(b, pu + 1L, 0L, 0L))
           } else {
             var cr = 0L; var ct = 0L
             var maxUs = Long.MinValue
@@ -994,17 +1009,23 @@ object Streams {
               if (t._3 != null)
                 maxUs = math.max(maxUs, t._3.getTime * 1000L)
             }
-            val (pcr, pct) = state.getOption.getOrElse((0L, 0L))
-            val tot = (pcr + cr, pct + ct)
+            val (pu, pcr, pct) = state.getOption.getOrElse((0L, 0L, 0L))
+            // the cumCountFn drain-counter rule, dual-count form
+            val ctr =
+              if (ttlMs.isDefined && maxUs != Long.MinValue)
+                math.max(pu + 1L, maxUs)
+              else pu + 1L
+            val tot = (ctr, pcr + cr, pct + ct)
             state.update(tot)
             if (maxUs != Long.MinValue) armTtl(state, ttlMs, maxUs)
-            Iterator(DsirBucket(b, tot._1, tot._2))
+            Iterator(DsirBucket(b, ctr, tot._2, tot._3))
           }
       }
   }
 
   /** Cumulative occupancy of one count-min cell. */
-  final case class CmsCell(depth: Int, bucket: Long, n: Long)
+  final case class CmsCell(depth: Int, bucket: Long, updates: Long,
+      n: Long)
 
   /** Streaming count-min sketch — cumulative cell counts in keyed
     * state: each arriving key occurrence bumps its `depth` cells
@@ -1029,9 +1050,10 @@ object Streams {
     * monitor — a cell idle past the TTL (event time; requires a `ts`
     * column on `rows`) evicts with one zero-count row and restarts
     * from zero if touched again, turning the cumulative sketch into
-    * a trailing-window one. TTL mode needs a LATEST-wins drain; the
-    * bounded-drain max gate requires the default NoTimeout
-    * (byte-identical). */
+    * a trailing-window one; the emitted `updates` counter
+    * (event-time-derived in TTL mode) makes the max-counter drain
+    * correct across evictions. The bounded-drain max-per-count gate
+    * keeps the default NoTimeout, whose totals stay byte-identical. */
   def cmsCellsState(
       rows: DataFrame,
       key: Column,
@@ -1055,27 +1077,10 @@ object Streams {
       .as[(Int, Long, java.sql.Timestamp)]
       .groupByKey(t => (t._1, t._2))
       .flatMapGroupsWithState(
-        OutputMode.Update(), ttlConf(ttlMs)) {
-        (cell: (Int, Long),
-         it: Iterator[(Int, Long, java.sql.Timestamp)],
-         state: GroupState[CumCount]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator(CmsCell(cell._1, cell._2, 0L))
-          } else {
-            var add = 0L
-            var maxUs = Long.MinValue
-            while (it.hasNext) {
-              val t = it.next(); add += 1
-              if (t._3 != null)
-                maxUs = math.max(maxUs, t._3.getTime * 1000L)
-            }
-            val tot = state.getOption.map(_.n).getOrElse(0L) + add
-            state.update(CumCount(tot))
-            if (maxUs != Long.MinValue) armTtl(state, ttlMs, maxUs)
-            Iterator(CmsCell(cell._1, cell._2, tot))
-          }
-      }
+        OutputMode.Update(), ttlConf(ttlMs))(
+        cumCountFn[(Int, Long), (Int, Long, java.sql.Timestamp),
+          CmsCell](ttlMs, _._3,
+          (k, u, n) => CmsCell(k._1, k._2, u, n)))
   }
 
   /** Cumulative (trials, successes) of one period. */
@@ -1124,7 +1129,7 @@ object Streams {
   /** Latest cumulative count of one grouped-quantile sketch cell
     * (group, min, width, bin index) after each touching batch. */
   final case class SketchCell(
-      g: String, mn: Long, w: Long, idx: Long, n: Long)
+      g: String, mn: Long, w: Long, idx: Long, updates: Long, n: Long)
 
   /** Streaming grouped-quantile sketch — the
     * [[graft.operators.Stats.quantileSketchState]] histogram carried
@@ -1151,10 +1156,11 @@ object Streams {
     * State TTL (`ttlMs`): bounded retention per cell — an idle
     * (group, min, width, bin) cell past the TTL (event time;
     * requires a `ts` column on `cells`) evicts with one zero-count
-    * row and restarts from zero if touched again. TTL mode needs a
-    * LATEST-wins drain; the bounded-drain max gate (the
-    * q_stream_quantile_group contract) requires the default
-    * NoTimeout, which stays byte-identical. */
+    * row and restarts from zero if touched again; the emitted
+    * `updates` counter (event-time-derived in TTL mode) makes the
+    * max-counter drain correct across evictions. The bounded-drain
+    * max-per-count gate (the q_stream_quantile_group contract) keeps
+    * the default NoTimeout, whose totals stay byte-identical. */
   def quantileSketchCellsState(
       cells: DataFrame,
       ttlMs: Option[Long] = None,
@@ -1168,27 +1174,11 @@ object Streams {
       .as[(String, Long, Long, Long, java.sql.Timestamp)]
       .groupByKey(t => (t._1, t._2, t._3, t._4))
       .flatMapGroupsWithState(
-        OutputMode.Update(), ttlConf(ttlMs)) {
-        (key: (String, Long, Long, Long),
-         it: Iterator[(String, Long, Long, Long, java.sql.Timestamp)],
-         state: GroupState[CumCount]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator(SketchCell(key._1, key._2, key._3, key._4, 0L))
-          } else {
-            var add = 0L
-            var maxUs = Long.MinValue
-            while (it.hasNext) {
-              val t = it.next(); add += 1
-              if (t._5 != null)
-                maxUs = math.max(maxUs, t._5.getTime * 1000L)
-            }
-            val tot = state.getOption.map(_.n).getOrElse(0L) + add
-            state.update(CumCount(tot))
-            if (maxUs != Long.MinValue) armTtl(state, ttlMs, maxUs)
-            Iterator(SketchCell(key._1, key._2, key._3, key._4, tot))
-          }
-      }
+        OutputMode.Update(), ttlConf(ttlMs))(
+        cumCountFn[(String, Long, Long, Long),
+          (String, Long, Long, Long, java.sql.Timestamp), SketchCell](
+          ttlMs, _._5,
+          (k, u, n) => SketchCell(k._1, k._2, k._3, k._4, u, n)))
   }
 
   /** Latest signed AMS sum of one depth row after each touching

@@ -50,6 +50,33 @@ class AlertsSpec extends AnyFunSuite {
     assert(lines2(1).contains(""""stage":"validate""""))
   }
 
+  test("a broken spool never masks the original failure, and a " +
+      "mismatch notification never aborts the run") {
+    val dir = Files.createTempDirectory("alerts").toString
+    // the sink path IS a directory — every append attempt fails
+    val hook = Alerts.fromEnv(Map(
+      "ALERT_EMAIL_RECIPIENTS" -> "ops@example.com",
+      "GRAFT_ALERT_SINK" -> dir))
+    val boom = intercept[IllegalStateException] {
+      Alerts.onFailure(hook, "orders", "1996-03-09", "load") {
+        throw new IllegalStateException("root cause")
+      }
+    }
+    assert(boom.getMessage == "root cause",
+      "the ORIGINAL failure must propagate, not the spool IOException")
+    // log-only validation stays log-only even when the spool is broken
+    Alerts.onMismatch(hook, "orders", "1996-03-09", 10L, 9L)
+    // a hook that itself throws is contained too
+    val throwing: Alerts.Hook = _ => sys.error("hook bug")
+    Alerts.onMismatch(throwing, "orders", "1996-03-09", 10L, 9L)
+    val boom2 = intercept[IllegalStateException] {
+      Alerts.onFailure(throwing, "orders", "1996-03-09", "x") {
+        throw new IllegalStateException("still the root cause")
+      }
+    }
+    assert(boom2.getMessage == "still the root cause")
+  }
+
   test("no valid recipient leaves the hook unarmed: nothing spooled, " +
       "body result passes through") {
     val dir = Files.createTempDirectory("alerts").toString

@@ -1160,20 +1160,27 @@ class StreamsSpec extends SparkSpecBase {
         "value", "event_type", lo = 0.0, hi = 100.0, nBins = 10,
         ttlMs = ttl, watermark = "10 minutes").toDF(), name)
       .collect().map(r => (r.getAs[String]("g"), r.getAs[Int]("bin"),
-        r.getAs[Long]("n")))
+        r.getAs[Long]("updates"), r.getAs[Long]("n")))
     val ttlRows = drain(Some(3600L * 1000), "hist_ttl")
-    // cell (a, 1) emission history: 2 (batch 1), 0 (eviction), then
-    // the restart at 1 — the state was dropped, not carried
-    val aCell = ttlRows.filter(t => t._1 == "a" && t._2 == 1).map(_._3)
-    assert(aCell.sorted.toSeq == Seq(0L, 1L, 2L), s"cell history: $aCell")
-    assert(aCell.last == 1L, "restart row must be the LATEST emission")
-    // the live group is byte-identical to the NoTimeout run
+    // cell (a, 1) history in COUNTER order: 2 (batch 1), the
+    // zero-count eviction record, then the restart at 1 — the state
+    // was dropped, not carried
+    val aCell = ttlRows.filter(t => t._1 == "a" && t._2 == 1)
+      .sortBy(_._3).map(_._4)
+    assert(aCell.toSeq == Seq(2L, 0L, 1L), s"cell history: $aCell")
+    // THE DRAIN RULE: the max-counter row is the restart (TTL
+    // counters are event-time-derived), on any sink ordering
+    val aLatest = ttlRows.filter(t => t._1 == "a" && t._2 == 1)
+      .maxBy(_._3)
+    assert(aLatest._4 == 1L, s"max-counter drain must pick: $aLatest")
+    // the live group matches the NoTimeout run cell for cell
+    // (counts, not counters — TTL counters are event-time-derived)
     val plainRows = drain(None, "hist_nottl")
-    assert(ttlRows.filter(_._1 == "b").sorted.toSeq
-      == plainRows.filter(_._1 == "b").sorted.toSeq,
+    assert(ttlRows.filter(_._1 == "b").map(t => (t._2, t._4)).sorted.toSeq
+      == plainRows.filter(_._1 == "b").map(t => (t._2, t._4)).sorted.toSeq,
       "non-expired cells must match the NoTimeout run")
     // NoTimeout keeps cumulative semantics for the idle group too
-    assert(plainRows.filter(t => t._1 == "a" && t._2 == 1).map(_._3)
+    assert(plainRows.filter(t => t._1 == "a" && t._2 == 1).map(_._4)
       .sorted.toSeq == Seq(2L, 3L))
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
