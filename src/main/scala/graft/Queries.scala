@@ -1683,6 +1683,29 @@ object Queries {
         Tables.documents(s, dir).select(col("n_chars")),
         "n_chars", permille = 990)
     }),
+    "q_dsir_resample" -> ((s, dir) => {
+      // DSIR phase 2 — importance RESAMPLING (Xie et al. 2023): keep
+      // k documents drawn without replacement with probability
+      // ∝ exp(score/τ) over the phase-1 importance log-weights
+      // (τ = 100 tempers the draw; the exp is clamped at 1e15 so an
+      // extreme score can never overflow the integer weight), via
+      // the gated integer priority sampler — the weight is the 6-dp
+      // score pushed through exp and fixed as a 1e6-scaled integer,
+      // so the whole draw replays bitwise. The compact rollup gates
+      // the kept SET (order-free).
+      val w8 = TextAnalysis.dsirLogWeights(Tables.documents(s, dir),
+        "doc_id", col("text"), col("lang") === "en")
+      val weighted = w8.withColumn("__wt",
+        least(round(exp(col("score") / lit(100.0)) * lit(1000000.0), 0),
+          lit(1.0e15)))
+      operators.Sampling.prioritySample(weighted, Nil, col("doc_id"),
+          col("__wt"), k = 50, seed = 29)
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("n_grams")).as("gram_sum"),
+          round(sum(col("score").cast(DecimalType(18, 6)))
+            .cast(DoubleType), 6).as("score_sum"))
+    }),
     "q_window_percentrank" -> ((s, dir) => {
       // Relative standing within a partition: percent_rank (ties
       // share a rank — ordering on the value alone keeps tied rows
@@ -9117,6 +9140,7 @@ object Queries {
     // stream-drained bucket counts + the shared scoring tail must
     // reproduce the batch selection exactly (associative count folds)
     "q_stream_dsir" -> dsirOracle,
+    "q_dsir_resample" -> dsirResampleOracle,
     "q_partition_prune" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderstatus,
         | count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
@@ -11649,7 +11673,11 @@ object Queries {
     * literal op order (+ln(ct+1) − ln(nt+B) − ln(cr+1) + ln(nr+B),
     * rounded once at 6 dp, DECIMAL(18,6)), exact decimal per-doc
     * sums, ties by doc id. */
-  private def dsirOracle: String = {
+  /** The shared scored-documents CTE chain of the DSIR family —
+    * phase-1 per-doc importance log-weights, used verbatim by the
+    * selection oracle (top-20) and the resampling oracle (priority
+    * draw over exp-tempered weights). */
+  private def dsirScoredSql: String = {
     val b = 4096
     s"""WITH tk AS (SELECT doc_id, lang, $toksSql AS toks
        |  FROM documents),
@@ -11667,12 +11695,40 @@ object Queries {
        |    ln(CAST(nt + $b AS DOUBLE)) -
        |    ln(CAST(cr AS DOUBLE) + 1.0) +
        |    ln(CAST(nr + $b AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lr
-       | FROM c, tot)
-       |SELECT gb.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-       | round(CAST(sum(lr.lr) AS DOUBLE), 6) AS score
-       |FROM gb JOIN lr ON gb.b = lr.b
-       |GROUP BY 1
+       | FROM c, tot),
+       |scored AS (SELECT gb.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |  round(CAST(sum(lr.lr) AS DOUBLE), 6) AS score
+       | FROM gb JOIN lr ON gb.b = lr.b
+       | GROUP BY 1)""".stripMargin
+  }
+
+  private def dsirOracle: String =
+    s"""$dsirScoredSql
+       |SELECT doc_id, n_grams, score FROM scored
        |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  /** Resample replica: exp-tempered clamped integer weights, the
+    * prioritySample integer arithmetic (seed 29), order-free rollup
+    * of the kept set. */
+  private def dsirResampleOracle: String = {
+    val bucket =
+      s"(${affineSql(29, s"(doc_id % $M)")} % ${Sampling.Buckets})"
+    s"""$dsirScoredSql,
+       |wts AS (SELECT doc_id, n_grams, score,
+       |  CAST(least(round(exp(score / 100.0) * 1000000.0, 0), 1e15)
+       |    AS BIGINT) AS wt
+       | FROM scored),
+       |p AS (SELECT doc_id, n_grams, score,
+       |  (${Sampling.PriorityScale} * $bucket) // wt AS pri
+       | FROM wts WHERE wt > 0),
+       |r AS (SELECT *, row_number() OVER (ORDER BY pri, doc_id) AS rk
+       | FROM p)
+       |SELECT CAST(count(*) AS BIGINT) AS n_kept,
+       | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       | CAST(sum(n_grams) AS BIGINT) AS gram_sum,
+       | round(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE), 6)
+       |  AS score_sum
+       |FROM r WHERE rk <= 50""".stripMargin
   }
 
   private def polySql(e: String): String =
