@@ -1589,6 +1589,20 @@ object Queries {
         .agg(dsum(col("o_totalprice")).as("rev"))
       Stats.seasonalNaiveBacktest(daily, "d", "rev", season = 7)
     }),
+    "q_trend_holt" -> ((s, dir) => {
+      // Holt's linear-trend smoothing of daily revenue (α=0.3, β=0.1)
+      // — the level+trend state a forecasting pipeline carries, with
+      // the one-step-ahead backtest column. One distributed aggregate
+      // builds the date series; the recursion is sequential by nature
+      // and runs on the driver over the bounded period frame (dates,
+      // not rows — identical cost at any SF); per-step 6-dp fixing
+      // makes the whole trajectory replay in the oracle's recursive
+      // CTE.
+      val daily = Tables.orders(s, dir)
+        .groupBy(dateFmt(col("o_orderdate")).as("d"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      Stats.holtLinear(daily, "d", "rev", alpha = 0.3, beta = 0.1)
+    }),
     "q_anomaly_seasonal" -> ((s, dir) => {
       // Weekday-adjusted robust anomaly fence: each ISO weekday gets
       // its own median/MAD gate over the daily revenue series, so a
@@ -2571,6 +2585,18 @@ object Queries {
       Stats.nelsonAalen(Tables.events(s, dir), col("user_id"),
         col("ts"), censorDays = 7)
     }),
+    "q_survival_km" -> ((s, dir) => {
+      // Kaplan–Meier product-limit survival beside q_survival_churn's
+      // cumulative hazard — the product the hazard op's doc deferred
+      // as float-unreplayable, made bitwise by the INTEGER floor
+      // discipline: f₆ = (10⁶·(n−d)) div n per duration, running
+      // S₆ ← (S₆·f₆) div 10⁶ (deterministic ≤ t·10⁻⁶ downward drift,
+      // invisible at 6 dp). Same spans/censoring; the sequential walk
+      // runs on the driver over the days-bounded duration frame (the
+      // holtLinear discipline).
+      Stats.kaplanMeier(Tables.events(s, dir), col("user_id"),
+        col("ts"), censorDays = 7)
+    }),
     "q_logrank" -> ((s, dir) => {
       // Did the variant change churn AT ALL? Log-rank test between
       // the two user-parity arms' survival, same censoring semantics
@@ -3098,6 +3124,44 @@ object Queries {
       graft.operators.Stats.quantilesFromBinCounts(latest,
         Seq("source"), qs = Seq("p50" -> 0.5, "p90" -> 0.9),
         lo = 0.0, hi = 600.0, nBins = 10)
+    }),
+    "q_stream_hll" -> ((s, dir) => {
+      // HLL distinct-user monitor AT INGEST: per-(event_type,
+      // register) max ranks carry as cross-batch state (one long per
+      // cell, |groups|·256 total — and the max fold is IDEMPOTENT, so
+      // even a replayed batch cannot corrupt it); the drained latest
+      // registers equal the batch register frame bit for bit, so the
+      // shared HllSketch.estimate tail reproduces q_sketch_hll row
+      // for row — both gate on the one hllOracle def (the f2Oracle
+      // pattern).
+      import graft.functions.{GraftFunctions, HllSketch, KmvSketch}
+      val name = s"q_stream_hll_${streamRun.incrementAndGet()}"
+      implicit val sp: SparkSession = s
+      val src = graft.streaming.Streams.eventsStream(s, dir)
+        .filter(col("user_id").isNotNull)
+      val h = KmvSketch.uniformize(
+        GraftFunctions.polyHash(col("user_id").cast(StringType)))
+      val drained = graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.hllRegistersState(
+          src, col("event_type"), h).toDF(),
+        name, shufflePartitions = Some(8))
+      val regs = drained.groupBy(col("g"), col("j"))
+        .agg(max(struct(col("updates"), col("m"))).as("x"))
+        .select(col("g"), col("j"), col("x.m").as("m"))
+        .filter(col("m") >= 1L) // TTL eviction rows carry m = 0
+        .localCheckpoint(true)  // ≤ 5·256 rows; two consumers below
+      val global = regs.groupBy(col("j")).agg(max(col("m")).as("m"))
+        .select(lit("__all__").as("g"), col("j"), col("m"))
+      val est = HllSketch.estimate(regs.unionByName(global))
+      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      val exact = ev.groupBy(col("event_type").as("g"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      val exactAll = ev
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+        .select(lit("__all__").as("g"), col("exact_distinct"))
+      est.join(exact.unionByName(exactAll), Seq("g"))
+        .select(col("g").as("event_type"), col("exact_distinct"),
+          col("n_occupied"), col("zsum_scaled"), col("hll_estimate"))
     }),
     "q_stream_f2" -> ((s, dir) => {
       // Self-join-size monitor AT INGEST: nine signed AMS sums
@@ -4765,6 +4829,38 @@ object Queries {
             .otherwise(round(lit((k - 1).toDouble) * Dedup.PortableMod /
               col("__kth").cast(DoubleType), 6))
             .as("kmv_estimate"))
+    }),
+    "q_sketch_hll" -> ((s, dir) => {
+      // HyperLogLog distinct users per event type + the merged global
+      // sketch (Flajolet et al. 2007) — the register-based complement
+      // to the KMV family: state is 256 byte registers, merge is a
+      // per-register MAX (associative, commutative, IDEMPOTENT — the
+      // friendliest combine at 100 TB, it even survives replayed
+      // batches), and the global row folds from the per-group register
+      // frame ALONE, never re-touching the events. Portable hash ⇒
+      // every register replays in DuckDB (unlike Spark's own HLL++,
+      // whose registers are opaque); the scaled register sum
+      // Σ 2^(23−M_j) gates as an exact BIGINT next to the 6-dp
+      // estimate, and the exact distincts ride alongside as the
+      // accuracy reference.
+      import graft.functions.{GraftFunctions, HllSketch, KmvSketch}
+      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      val h = KmvSketch.uniformize(
+        GraftFunctions.polyHash(col("user_id").cast(StringType)))
+      // ≤ 5·256 rows; two consumers (per-group + merged global)
+      val regs = HllSketch.registers(ev, col("event_type"), h)
+        .localCheckpoint(true)
+      val global = regs.groupBy(col("j")).agg(max(col("m")).as("m"))
+        .select(lit("__all__").as("g"), col("j"), col("m"))
+      val est = HllSketch.estimate(regs.unionByName(global))
+      val exact = ev.groupBy(col("event_type").as("g"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      val exactAll = ev
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+        .select(lit("__all__").as("g"), col("exact_distinct"))
+      est.join(exact.unionByName(exactAll), Seq("g"))
+        .select(col("g").as("event_type"), col("exact_distinct"),
+          col("n_occupied"), col("zsum_scaled"), col("hll_estimate"))
     }),
     "q_sketch_intersect" -> ((s, dir) => {
       // Set-OPERATION estimates from sketches alone — the
@@ -7610,6 +7706,42 @@ object Queries {
         |   OVER (ORDER BY t_days ASC ROWS UNBOUNDED PRECEDING)
         |   AS DOUBLE), 6) AS cum_hazard
         |FROM r""".stripMargin,
+    // KM replica: the identical spans/censoring/at-risk chain as the
+    // churn oracle, then the integer floor-product as a recursive CTE
+    // (// is BIGINT floor division in DuckDB — same truncation as the
+    // driver's nonnegative Long division); survival converts exactly
+    // via DECIMAL multiply by 10⁻⁶
+    "q_survival_km" ->
+      """WITH RECURSIVE s AS (SELECT user_id,
+        |  CAST(min(ts) AS DATE) AS f, CAST(max(ts) AS DATE) AS l
+        | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        | GROUP BY user_id),
+        |e AS (SELECT max(l) AS endd FROM s),
+        |m AS (SELECT CAST(date_diff('day', f, l) AS BIGINT) AS t_days,
+        |  CASE WHEN date_diff('day', l, endd) < 7 THEN 1 ELSE 0 END
+        |    AS cens
+        | FROM s, e),
+        |b AS (SELECT t_days,
+        |  CAST(sum(1 - cens) AS BIGINT) AS n_events,
+        |  CAST(sum(cens) AS BIGINT) AS n_censored
+        | FROM m GROUP BY t_days),
+        |r AS (SELECT t_days, n_events, n_censored,
+        |  CAST(sum(n_events + n_censored) OVER (ORDER BY t_days DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk,
+        |  row_number() OVER (ORDER BY t_days ASC) AS i FROM b),
+        |km AS (
+        | SELECT i, t_days, n_at_risk, n_events, n_censored,
+        |  (1000000 * (n_at_risk - n_events)) // n_at_risk AS s6
+        | FROM r WHERE i = 1
+        | UNION ALL
+        | SELECT x.i, x.t_days, x.n_at_risk, x.n_events, x.n_censored,
+        |  (k.s6 * ((1000000 * (x.n_at_risk - x.n_events))
+        |    // x.n_at_risk)) // 1000000 AS s6
+        | FROM km k JOIN r x ON x.i = k.i + 1)
+        |SELECT t_days, n_at_risk, n_events, n_censored,
+        | CAST(CAST(s6 AS DECIMAL(13,0)) * 0.000001 AS DECIMAL(18,6))
+        |   AS survival
+        |FROM km""".stripMargin,
     // log-rank replica: same spans/censoring as the survival oracle,
     // per-duration hypergeometric terms in literal order, 9-dp
     // decimal folds, verdict on the emitted 6-dp z
@@ -9309,6 +9441,11 @@ object Queries {
     // drained state must reproduce the batch sketch bitwise
     "q_stream_f2" -> f2Oracle,
     "q_sketch_distinct" -> sketchDistinctOracle,
+    "q_sketch_hll" -> hllOracle,
+    // streaming twin: drained per-register maxes are the batch
+    // register frame bit for bit (idempotent max fold), so the SAME
+    // oracle gates both
+    "q_stream_hll" -> hllOracle,
     // streaming twin: the drained keyed KMV state must reproduce the
     // batch sketch bit for bit (associative insert-fold), so the
     // SAME oracle gates both
@@ -10987,6 +11124,38 @@ object Queries {
     // EWMA replica: same daily spine as q_autocorr; terms coalesce to
     // 0 and fold in the identical lag order with exact binary-weight
     // literals, so the doubles are bit-identical before round(…, 6).
+    // Holt replica: the identical recursion as a recursive CTE in
+    // EXACT DECIMAL — short-decimal smoothing constants, 4-dp period
+    // values, per-step scale-6 HALF_UP fixes (DuckDB's decimal round
+    // is half-away-from-zero = HALF_UP on signed values); exactness
+    // removes every op-order constraint a float recursion would carry
+    "q_trend_holt" -> {
+      val a = java.math.BigDecimal.valueOf(0.3)
+      val b = java.math.BigDecimal.valueOf(0.1)
+      val ia = java.math.BigDecimal.ONE.subtract(a)
+      val ib = java.math.BigDecimal.ONE.subtract(b)
+      val lvl = s"round($a * x.rev + $ia * (r.level + r.trend), 6)"
+      s"""WITH RECURSIVE daily AS (
+         | SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+         |    AS DECIMAL(18,4)) AS rev
+         | FROM orders GROUP BY 1),
+         |idx AS (SELECT d, rev,
+         |  row_number() OVER (ORDER BY d ASC) AS i FROM daily),
+         |rec AS (
+         | SELECT i, d, rev, CAST(rev AS DECIMAL(18,6)) AS level,
+         |  CAST(0 AS DECIMAL(18,6)) AS trend,
+         |  CAST(NULL AS DECIMAL(18,6)) AS fcst
+         | FROM idx WHERE i = 1
+         | UNION ALL
+         | SELECT x.i, x.d, x.rev,
+         |  CAST($lvl AS DECIMAL(18,6)) AS level,
+         |  CAST(round($b * ($lvl - r.level) + $ib * r.trend, 6)
+         |    AS DECIMAL(18,6)) AS trend,
+         |  CAST(r.level + r.trend AS DECIMAL(18,6)) AS fcst
+         | FROM rec r JOIN idx x ON x.i = r.i + 1)
+         |SELECT d, rev, level, trend, fcst FROM rec""".stripMargin
+    },
     "q_ewma" -> {
       val k = 10
       def xj(j: Int) = if (j == 0) "rev" else s"x$j"
@@ -11961,6 +12130,48 @@ object Queries {
          | FROM fa JOIN fb ON fa.k = fb.k)
          |SELECT med.n_a, med.n_b, ex.join_exact, med.join_est
          |FROM med, ex""".stripMargin
+  }
+
+  /** q_sketch_hll replica (shared with its streaming twin): the same
+    * integer register derivation (j = h mod 256, ρ = 23 −
+    * length(bin(h div 256)) — DuckDB's bin renders the identical
+    * minimal binary string), per-register max, merged '__all__' row
+    * folded from the register frame alone, EXACT scaled register sum
+    * (every count/sum CAST to BIGINT at the aggregate — no HUGEINT,
+    * the AMS lesson), and the literal-identical estimate arithmetic
+    * (α·m²·2²³ interpolated from the SAME Scala double; ln in the
+    * same op order; one 6-dp round). */
+  private def hllOracle: String = {
+    val num = graft.functions.HllSketch.AlphaNumerator
+    val est = s"CASE WHEN $num / zsum_scaled <= 640.0 AND " +
+      "(256 - n_occupied) > 0 " +
+      "THEN 256.0 * ln(256.0 / (256 - n_occupied)) " +
+      s"ELSE $num / zsum_scaled END"
+    s"""WITH e AS (SELECT event_type AS g,
+       |  ((${polySql("CAST(user_id AS VARCHAR)")}) * 104729 + 12345)
+       |    % $M AS h
+       | FROM events WHERE user_id IS NOT NULL),
+       |r AS (SELECT g, h % 256 AS j,
+       |  CASE WHEN h // 256 = 0 THEN 23
+       |       ELSE 23 - length(bin(h // 256)) END AS rho
+       | FROM e),
+       |regs AS (SELECT g, j, max(rho) AS m FROM r GROUP BY 1, 2),
+       |au AS (SELECT '__all__' AS g, j, max(m) AS m
+       | FROM regs GROUP BY 2),
+       |u AS (SELECT * FROM regs UNION ALL SELECT * FROM au),
+       |agg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_occupied,
+       |  CAST(sum(CAST(pow(2.0, 23 - m) AS BIGINT)) AS BIGINT)
+       |    + (256 - CAST(count(*) AS BIGINT)) * 8388608 AS zsum_scaled
+       | FROM u GROUP BY g),
+       |ex AS (SELECT event_type AS g,
+       |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+       | FROM events WHERE user_id IS NOT NULL GROUP BY 1
+       | UNION ALL SELECT '__all__',
+       |  CAST(count(DISTINCT user_id) AS BIGINT)
+       | FROM events WHERE user_id IS NOT NULL)
+       |SELECT agg.g AS event_type, ex.exact_distinct, agg.n_occupied,
+       | agg.zsum_scaled, round($est, 6) AS hll_estimate
+       |FROM agg JOIN ex ON agg.g = ex.g""".stripMargin
   }
 
   /** q_sketch_f2 / q_stream_f2 shared replica: the same quadratic

@@ -63,18 +63,23 @@ object Graph {
     // it from the block manager every round — without the repartition
     // the cached edges re-shuffle once per iteration (persist stores
     // whatever partitioning the distinct left, which is on (src, dst),
-    // not src). outdeg inherits the same partitioning for free.
-    val e = edges.select(col("src"), col("dst"))
+    // not src). The out-degree rides ON the edge rows (`__d`): one
+    // setup join replaces the per-round outdeg join the loop used to
+    // pay — the loop body is now exactly one join + one aggregate.
+    val base = edges.select(col("src"), col("dst"))
       .distinct()
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
+    val outdeg = base.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+    val e = base.join(outdeg, Seq("src"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = base.select(col("src").as("node"))
+      .union(base.select(col("dst").as("node")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__d"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    nodes.count(); outdeg.count() // materialize the loop invariants
+    nodes.count(); e.count() // materialize the loop invariants
+    base.unpersist(false)    // only the setup reads it
 
     var ranks = nodes
       .withColumn("rank", lit("1.000000").cast(DecimalType(18, 6)))
@@ -87,7 +92,6 @@ object Graph {
       it += 1
       val contrib = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
         .select(col("dst").as("node"),
           round(col("rank").cast(DoubleType) * lit(0.85) /
             col("__d").cast(DoubleType), 6)
@@ -119,7 +123,7 @@ object Graph {
       ranks.unpersist(false)
       ranks = next
     }
-    e.unpersist(false); outdeg.unpersist(false); nodes.unpersist(false)
+    e.unpersist(false); nodes.unpersist(false)
     (ranks, it)
   }
 
@@ -156,20 +160,25 @@ object Graph {
       iters: Int,
       tolerance: Option[Double] = None): (DataFrame, Int) = {
     require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
-    val e = edges.select(col("src"), col("dst"))
+    // same setup as [[pageRankConverged]]: the out-degree rides on the
+    // cached edge rows, so each round is one join + one aggregate
+    val eRaw = edges.select(col("src"), col("dst"))
       .distinct()
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val outdeg = eRaw.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+    val e = eRaw.join(outdeg, Seq("src"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sd = seeds.select(col("node")).distinct()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
+    val nodes = eRaw.select(col("src").as("node"))
+      .union(eRaw.select(col("dst").as("node")))
       .distinct()
       .join(sd.withColumn("__s", lit(true)), Seq("node"), "left")
       .select(col("node"), coalesce(col("__s"), lit(false)).as("__seed"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__d"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    nodes.count(); outdeg.count()
+    nodes.count(); e.count()
+    eRaw.unpersist(false)
     val dec = DecimalType(18, 6)
     val base = when(col("__seed"), lit("0.150000").cast(dec))
       .otherwise(lit(0).cast(dec))
@@ -185,7 +194,6 @@ object Graph {
       it += 1
       val contrib = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
         .select(col("dst").as("node"),
           round(col("rank").cast(DoubleType) * lit(0.85) /
             col("__d").cast(DoubleType), 6).cast(dec).as("__c"))
@@ -210,7 +218,7 @@ object Graph {
       ranks.unpersist(false)
       ranks = next
     }
-    e.unpersist(false); outdeg.unpersist(false); nodes.unpersist(false)
+    e.unpersist(false); nodes.unpersist(false)
     (ranks, it)
   }
 

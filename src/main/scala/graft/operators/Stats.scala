@@ -891,6 +891,85 @@ object Stats {
         col("n_censored"), col("hazard"), col("cum_hazard"))
   }
 
+  /** Kaplan–Meier product-limit survival over per-key activity
+    * spans — [[nelsonAalen]]'s PRODUCT twin (Kaplan & Meier 1958):
+    * S(t) = Π_{s≤t} (n_s − d_s)/n_s with identical span/censoring
+    * semantics. The hazard op's doc names why the product was
+    * deferred there: a running FLOAT product neither folds order-free
+    * nor replays across engines. This one is INTEGER: each factor
+    * fixes as f₆ = (10⁶·(n−d)) div n and the running product steps
+    * S₆ ← (S₆·f₆) div 10⁶ — 64-bit floors both engines replay
+    * bitwise (f₆, S₆ ≤ 10⁶ ⇒ the product ≤ 10¹², no overflow) at the
+    * price of a deterministic downward drift ≤ t·10⁻⁶ against the
+    * real-valued KM — invisible at the 6-dp reporting resolution the
+    * whole catalog uses.
+    *
+    * Scale shape: one exchange to per-key spans (map-side combined
+    * min/max); the product is sequential BY NATURE and runs on the
+    * driver over the distinct-duration control frame (bounded by the
+    * observation span in days, never the corpus — the [[holtLinear]]
+    * discipline, ceiling enforced loudly before the collect).
+    *
+    * Returns one row per distinct duration: (t_days, n_at_risk,
+    * n_events, n_censored, survival DECIMAL(18,6)). */
+  def kaplanMeier(
+      df: DataFrame,
+      idCol: Column,
+      tsCol: Column,
+      censorDays: Int = 7): DataFrame = {
+    require(censorDays >= 0 && censorDays <= 3650,
+      s"censorDays out of range: $censorDays")
+    val spans = df
+      .select(idCol.as("__id"), tsCol.cast(TimestampType).as("__ts"))
+      .filter(col("__id").isNotNull && col("__ts").isNotNull)
+      .groupBy(col("__id"))
+      .agg(min(col("__ts")).as("__first"), max(col("__ts")).as("__last"))
+    val end = spans.agg(max(col("__last")).as("__end"))
+    val byT = spans.crossJoin(broadcast(end))
+      .select(
+        datediff(to_date(col("__last")), to_date(col("__first")))
+          .cast(LongType).as("t_days"),
+        when(datediff(to_date(col("__end")), to_date(col("__last")))
+          < censorDays, 1L).otherwise(0L).as("__cens"))
+      .groupBy(col("t_days"))
+      .agg(sum(lit(1L) - col("__cens")).as("n_events"),
+        sum(col("__cens")).as("n_censored"))
+    val n = byT.count()
+    require(n >= 1, "kaplanMeier: no spans")
+    require(n <= Guards.MaxSeriesRows,
+      s"kaplanMeier: $n durations exceed the ${Guards.MaxSeriesRows}" +
+        "-row control-plane bound")
+    val pts = byT.orderBy(col("t_days").asc).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // at-risk = spells ending at or after t: suffix sums, then the
+    // integer floor-product walk
+    val totals = pts.map(p => p._2 + p._3)
+    val atRisk = new Array[Long](pts.length)
+    var acc = 0L
+    var i = pts.length - 1
+    while (i >= 0) { acc += totals(i); atRisk(i) = acc; i -= 1 }
+    val out = Array.newBuilder[org.apache.spark.sql.Row]
+    var s6 = 1000000L
+    i = 0
+    while (i < pts.length) {
+      val (t, d, c) = pts(i)
+      val f6 = 1000000L * (atRisk(i) - d) / atRisk(i)
+      s6 = s6 * f6 / 1000000L
+      out += org.apache.spark.sql.Row(t, atRisk(i), d, c,
+        java.math.BigDecimal.valueOf(s6, 6))
+      i += 1
+    }
+    val schema = StructType(Seq(
+      StructField("t_days", LongType, nullable = false),
+      StructField("n_at_risk", LongType, nullable = false),
+      StructField("n_events", LongType, nullable = false),
+      StructField("n_censored", LongType, nullable = false),
+      StructField("survival", DecimalType(18, 6), nullable = false)))
+    df.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(out.result(): _*)), schema)
+  }
+
   /** Log-rank test between two groups' survival — "did the variant
     * change churn AT ALL", the significance companion of
     * [[nelsonAalen]]'s hazard curve (Mantel 1966; the standard
@@ -5192,6 +5271,85 @@ object Stats {
     one.select(explode(array(rows: _*)).as("__r"))
       .select(col("__r.lag").as("lag"), col("__r.n_terms").as("n_terms"),
         col("__r.ccf").as("ccf"))
+  }
+
+  /** Holt's linear-trend double exponential smoothing over an
+    * ALREADY-AGGREGATED period series (Holt 1957/2004 reprint) — the
+    * level+trend member of the smoothing family, between the ewma
+    * moving smoother and [[seasonalNaiveBacktest]]'s accuracy bar:
+    *
+    *   l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *
+    * initialized l_1 = y_1, b_1 = 0. Emits one row per period:
+    * (d, rev, level, trend, fcst) where fcst is the one-step-ahead
+    * forecast the PREVIOUS state made for this period (l+b, NULL at
+    * t = 1) — the backtest view a forecasting pipeline scores.
+    *
+    * Scale shape: ONE distributed aggregate builds the period series
+    * upstream; the recursion is sequential BY NATURE, so it runs on
+    * the driver over the collected series — a per-period control
+    * frame that never grows with corpus size (dates, not rows; the
+    * [[Guards.MaxSeriesRows]] ceiling is enforced loudly before the
+    * collect). Identical cost at sf0.001 and 100 TB.
+    *
+    * Determinism: the recursion is EXACT DECIMAL end to end — the
+    * smoothing constants are short decimals (α = 0.3 is exact, where
+    * its double is not), period values fix at 4 dp, every product and
+    * sum is exact decimal arithmetic, and each step's (level, trend,
+    * fcst) sets scale 6 HALF_UP before entering the next step. No
+    * float exists anywhere, so the trajectory replays bit for bit in
+    * a recursive-CTE oracle with NO op-order constraint (exact
+    * arithmetic is associative — the one discipline float recursions
+    * can never offer). */
+  def holtLinear(
+      series: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      alpha: Double,
+      beta: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta >= 0 && beta < 1,
+      s"holtLinear: smoothing constants out of range ($alpha, $beta)")
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    // valueOf goes through the shortest decimal form: 0.3d → exact 0.3
+    val a = JBD.valueOf(alpha)
+    val b1 = JBD.valueOf(beta)
+    val ia = JBD.ONE.subtract(a)
+    val ib = JBD.ONE.subtract(b1)
+    def r6(x: JBD): JBD = x.setScale(6, RoundingMode.HALF_UP)
+    val src = series.select(col(orderCol).cast(StringType).as("d"),
+        col(valueCol).cast(DecimalType(18, 4)).as("y"))
+      .filter(col("d").isNotNull && col("y").isNotNull)
+    val n = src.count()
+    require(n >= 1, "holtLinear: empty series")
+    require(n <= Guards.MaxSeriesRows,
+      s"holtLinear: $n periods exceed the ${Guards.MaxSeriesRows}-row " +
+        "control-plane bound — aggregate to coarser periods")
+    val pts = src.orderBy(col("d").asc).collect()
+      .map(r => (r.getString(0), r.getDecimal(1)))
+    val out = Array.newBuilder[org.apache.spark.sql.Row]
+    var l = r6(pts(0)._2)
+    var b = r6(JBD.ZERO)
+    out += org.apache.spark.sql.Row(pts(0)._1, pts(0)._2, l, b, null)
+    var i = 1
+    while (i < pts.length) {
+      val (d, y) = pts(i)
+      val fcst = r6(l.add(b))
+      val lNew = r6(a.multiply(y).add(ia.multiply(l.add(b))))
+      val bNew = r6(b1.multiply(lNew.subtract(l)).add(ib.multiply(b)))
+      out += org.apache.spark.sql.Row(d, y, lNew, bNew, fcst)
+      l = lNew; b = bNew
+      i += 1
+    }
+    val schema = StructType(Seq(
+      StructField("d", StringType, nullable = false),
+      StructField("rev", DecimalType(18, 4), nullable = false),
+      StructField("level", DecimalType(18, 6), nullable = false),
+      StructField("trend", DecimalType(18, 6), nullable = false),
+      StructField("fcst", DecimalType(18, 6), nullable = true)))
+    series.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(out.result(): _*)), schema)
   }
 
   /** Seasonal-naive forecast backtest over an ALREADY-AGGREGATED

@@ -1304,6 +1304,88 @@ object Streams {
       }
   }
 
+  /** Cumulative value of one HLL register. */
+  final case class HllReg(g: String, j: Long, updates: Long, m: Long)
+
+  /** Streaming HyperLogLog — per-(group, register) MAX rank in keyed
+    * state: each arriving key's (j, ρ) bumps its register to
+    * max(M_j, ρ) across micro-batches and the refreshed register
+    * re-emits (update mode — consumers take max per cell; the
+    * register value is monotone BY DEFINITION, max-merge is HLL's
+    * native combine). Registers derive from the SAME
+    * [[graft.functions.HllSketch.bucket]]/[[graft.functions.HllSketch.rho]]
+    * expressions as the batch sketch, and max-folds are associative
+    * and idempotent, so the drained latest registers equal the batch
+    * register frame bit for bit whatever the file-to-batch split —
+    * feeding them to the shared
+    * [[graft.functions.HllSketch.estimate]] tail reproduces
+    * q_sketch_hll row for row (both gate on one oracle def, the
+    * f2Oracle pattern).
+    *
+    * 100 TB notes: state is one long per (group, register) —
+    * |groups|·256 cells TOTAL regardless of stream length, the
+    * smallest monitor state in the module beside the DSIR buckets;
+    * idempotent max even survives REPLAYED batches, which no counting
+    * monitor here can claim. The stream side shuffles one (g, j, ρ)
+    * row per key occurrence (flatMapGroupsWithState gets no map-side
+    * combine — at extreme rates pre-aggregate each micro-batch per
+    * (g, j) first).
+    *
+    * State TTL (`ttlMs`): bounded retention — a register idle past
+    * the TTL (event time; requires a `ts` column on `rows`) evicts
+    * with one zero-rank row (m = 0: "no register"; the estimate tail
+    * treats it as absent), turning the cumulative sketch into a
+    * trailing-window distinct estimate; the emitted `updates` counter
+    * (event-time-derived in TTL mode) makes the max-counter drain
+    * correct across evictions. The gate keeps the default NoTimeout,
+    * whose registers stay byte-identical. */
+  def hllRegistersState(
+      rows: DataFrame,
+      groupCol: Column,
+      hashCol: Column,
+      ttlMs: Option[Long] = None,
+      watermark: String = "10 minutes")(
+      implicit spark: SparkSession): Dataset[HllReg] = {
+    import spark.implicits._
+    import graft.functions.HllSketch
+    withTtlWatermark(rows, ttlMs, watermark)
+      .select(groupCol.cast(StringType).as("__g"),
+        HllSketch.bucket(hashCol).as("__j"),
+        HllSketch.rho(hashCol).as("__r"),
+        ttlTsCol(ttlMs).as("__ts"))
+      .as[(String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroupsWithState(
+        OutputMode.Update(), ttlConf(ttlMs)) {
+        (k: (String, Long),
+         it: Iterator[(String, Long, Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (pu, _) = state.get
+            state.remove()
+            Iterator(HllReg(k._1, k._2, pu + 1L, 0L))
+          } else {
+            var add = 0L
+            var maxUs = Long.MinValue
+            while (it.hasNext) {
+              val t = it.next()
+              add = math.max(add, t._3)
+              if (t._4 != null)
+                maxUs = math.max(maxUs, t._4.getTime * 1000L)
+            }
+            val (pu, pm) = state.getOption.getOrElse((0L, 0L))
+            val ctr =
+              if (ttlMs.isDefined && maxUs != Long.MinValue)
+                math.max(pu + 1L, maxUs)
+              else pu + 1L
+            val m = math.max(pm, add)
+            state.update((ctr, m))
+            if (maxUs != Long.MinValue) armTtl(state, ttlMs, maxUs)
+            Iterator(HllReg(k._1, k._2, ctr, m))
+          }
+      }
+  }
+
   /** Latest cumulative per-day (count, Σ value·10⁴) after each batch
     * that touched the day; `updates` is the monotone keep-the-max
     * drain counter. */

@@ -651,6 +651,64 @@ class StatsSpec extends SparkSpecBase {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("holtLinear: hand-computed level/trend/forecast trajectory; " +
+      "a perfect line is tracked exactly in the limit step") {
+    import spark.implicits._
+    val df = Seq(("d1", 10.0), ("d2", 20.0), ("d3", 30.0))
+      .toDF("d", "v")
+    val rows = Stats.holtLinear(df, "d", "v", alpha = 0.5, beta = 0.5)
+      .collect().map(r => (r.getString(0),
+        Option(r.getDecimal(2)).map(_.doubleValue).get,
+        Option(r.getDecimal(3)).map(_.doubleValue).get,
+        Option(r.getDecimal(4)).map(_.doubleValue)))
+    // t1: l=10, b=0, no forecast
+    assert(rows(0) == (("d1", 10.0, 0.0, None)))
+    // t2: fcst=10; l=.5·20+.5·10=15; b=.5·(15−10)+.5·0=2.5
+    assert(rows(1) == (("d2", 15.0, 2.5, Some(10.0))))
+    // t3: fcst=17.5; l=.5·30+.5·17.5=23.75; b=.5·8.75+.5·2.5=5.625
+    assert(rows(2) == (("d3", 23.75, 5.625, Some(17.5))))
+    // exact-decimal fixing: a value needing the HALF_UP 6-dp rule
+    val half = Stats.holtLinear(
+      Seq(("d1", 0.0), ("d2", 0.0000025)).toDF("d", "v"),
+      "d", "v", alpha = 0.5, beta = 0.1).collect()
+    // rev fixes at 4 dp first (0.0000025 → 0.0000), so the whole
+    // trajectory stays at zero — the 4-dp input contract
+    assert(half(1).getDecimal(2).doubleValue == 0.0)
+    // empty series refuses loudly
+    val err = intercept[IllegalArgumentException] {
+      Stats.holtLinear(Seq.empty[(String, Double)].toDF("d", "v"),
+        "d", "v", alpha = 0.3, beta = 0.1).collect()
+    }
+    assert(err.getMessage.contains("empty series"))
+  }
+
+  test("kaplanMeier: hand-computed product-limit curve with " +
+      "censoring; integer floors replay the textbook values") {
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-${day}%02d 12:00:00")
+    // corpus end = day 20; censorDays = 3 ⇒ last event on day 18+ is
+    // censored. Spans: u1 d1→d3 (t=2, event), u2 d1→d3 (t=2, event),
+    // u3 d1→d5 (t=4, event), u4 d1→d19 (t=18, censored),
+    // u5 d2→d20 (t=18, censored)
+    val df = Seq(
+      (1L, ts(1)), (1L, ts(3)),
+      (2L, ts(1)), (2L, ts(3)),
+      (3L, ts(1)), (3L, ts(5)),
+      (4L, ts(1)), (4L, ts(19)),
+      (5L, ts(2)), (5L, ts(20))).toDF("u", "ts")
+    val rows = Stats.kaplanMeier(df, col("u"), col("ts"),
+      censorDays = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDecimal(4).doubleValue))
+    // t=2: n=5, d=2 → f=.6, S=.6; t=4: n=3, d=1 → f=.666666
+    //   (floor), S=.399999 (floor of .6·.666666); t=18: n=2, d=0,
+    //   c=2 → S unchanged
+    assert(rows(0) == ((2L, 5L, 2L, 0L, 0.6)))
+    assert(rows(1) == ((4L, 3L, 1L, 0L, 0.399999)))
+    assert(rows(2) == ((18L, 2L, 0L, 2L, 0.399999)))
+  }
+
   test("theilSenTrend: exact line recovered; one wild outlier leaves " +
       "the median slope untouched") {
     import spark.implicits._

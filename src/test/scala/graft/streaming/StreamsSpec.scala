@@ -1286,6 +1286,41 @@ class StreamsSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
+  test("hllRegistersState: drained per-register maxes equal the batch " +
+    "register frame whatever the file-to-batch split") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val tmp = java.nio.file.Files.createTempDirectory("hll_mb").toFile
+    val t0 = System.currentTimeMillis()
+    writeDocsFile(tmp, "a.parquet",
+      (1L to 40L).map(i => (i, s"doc number $i")), t0 - 60000)
+    writeDocsFile(tmp, "b.parquet",
+      (30L to 70L).map(i => (i, s"doc number $i")), t0)
+    def hashOf(c: org.apache.spark.sql.Column) =
+      graft.functions.KmvSketch.uniformize(
+        graft.operators.TextAnalysis.fingerprintRolling(c))
+    val raw = Streams.runAvailableNow(
+      Streams.hllRegistersState(
+        Streams.docsStream(spark, tmp.getPath, glob = "*.parquet",
+          maxFilesPerTrigger = 1)
+          .select(lit("S").as("g0"), hashOf(col("text")).as("h")),
+        col("g0"), col("h")).toDF(), "hll_multibatch")
+    val latest = raw.groupBy(col("g"), col("j"))
+      .agg(max(struct(col("updates"), col("m"))).as("x"))
+      .select(col("j"), col("x.m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = graft.functions.HllSketch.registers(
+        spark.read.parquet(tmp.getPath), lit("S"), hashOf(col("text")))
+      .select(col("j"), col("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(latest == batch, s"drained $latest vs batch $batch")
+    // the overlap rows (30–40) re-touch batch-1 registers: at least
+    // one cell must show a second update with an UNCHANGED max —
+    // idempotence across replayed keys, HLL's signature property
+    val reEmits = raw.filter(col("updates") >= 2L).count()
+    assert(reEmits >= 1L, "no register updated across batches")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   test("flatMapGroupsWithState carries per-user LWW state") {
     implicit val s = spark
     val out = Streams.runAvailableNow(
