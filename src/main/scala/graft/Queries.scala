@@ -1456,6 +1456,20 @@ object Queries {
         tk >= 70,
         col("n_chars") <= tk * 8))
     }),
+    "q_label_alpha" -> ((s, dir) => {
+      // Krippendorff's α over the q_fleiss_kappa gate battery WITH
+      // abstention: the gibberish gate (n_chars ≤ 8·tokens) returns
+      // NULL on token-free docs instead of a fabricated verdict —
+      // exactly the missing-data case kappa cannot absorb and α was
+      // built for. LCM-scaled integer coincidences, one aggregate
+      // pass, three literal divisions.
+      val docs = Tables.documents(s, dir)
+      val tk = TextAnalysis.tokenCount(col("text"))
+      Stats.krippendorffAlpha(docs, Seq(
+        col("n_chars") >= 400,
+        tk >= 70,
+        when(tk > 0L, col("n_chars") <= tk * 8)))
+    }),
     "q_mcnemar" -> ((s, dir) => {
       // McNemar on the SAME two gates q_label_kappa scores: kappa
       // says whether they agree, McNemar says whether one passes
@@ -10902,6 +10916,56 @@ object Queries {
         |   round((pbar - (pp * pp + pf * pf)) /
         |     (1.0 - (pp * pp + pf * pf)), 6) END AS kappa
         |FROM f""".stripMargin,
+    // Krippendorff replica: the same three gates with the gibberish
+    // gate NULL on token-free docs; LCM-scaled integer coincidences
+    // (L = 2 for three raters; // is exact here by construction),
+    // DECIMAL(38,0) final products, the same three literal divisions
+    "q_label_alpha" ->
+      """WITH g AS (SELECT n_chars,
+        |  len(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> len(x) > 0)) AS tk
+        | FROM documents),
+        |rt AS (SELECT
+        |  (CASE WHEN coalesce(n_chars >= 400, false) THEN 1 ELSE 0 END
+        |   + CASE WHEN coalesce(tk >= 70, false) THEN 1 ELSE 0 END
+        |   + CASE WHEN tk > 0 AND coalesce(n_chars <= tk * 8, false)
+        |       THEN 1 ELSE 0 END) AS t,
+        |  (CASE WHEN coalesce(n_chars < 400, false) THEN 1 ELSE 0 END
+        |   + CASE WHEN coalesce(tk < 70, false) THEN 1 ELSE 0 END
+        |   + CASE WHEN tk > 0 AND coalesce(n_chars > tk * 8, false)
+        |       THEN 1 ELSE 0 END) AS f
+        | FROM g),
+        |one AS (SELECT CAST(count(*) AS BIGINT) AS u,
+        |  CAST(coalesce(sum(CASE WHEN t + f >= 2 THEN 1 ELSE 0 END),
+        |    0) AS BIGINT) AS p,
+        |  CAST(coalesce(sum(CASE WHEN t + f >= 2
+        |    THEN (2 * t * f) // (t + f - 1) ELSE 0 END), 0)
+        |    AS DECIMAL(38,0)) AS s,
+        |  CAST(coalesce(sum(CASE WHEN t + f >= 2 THEN t ELSE 0 END),
+        |    0) AS BIGINT) AS nt,
+        |  CAST(coalesce(sum(CASE WHEN t + f >= 2 THEN f ELSE 0 END),
+        |    0) AS BIGINT) AS nf
+        | FROM rt),
+        |fin AS (SELECT u, p, s, nt, nf, nt + nf AS n,
+        |  CAST(s AS DOUBLE) / CAST(CAST(
+        |    CAST(2 AS DECIMAL(38,0)) * CAST(nt + nf AS DECIMAL(38,0))
+        |    AS DECIMAL(38,0)) AS DOUBLE) AS d_o,
+        |  CAST(CAST(CAST(2 AS DECIMAL(38,0)) *
+        |      CAST(nt AS DECIMAL(38,0)) * CAST(nf AS DECIMAL(38,0))
+        |    AS DECIMAL(38,0)) AS DOUBLE) /
+        |  CAST(CAST(CAST(nt + nf AS DECIMAL(38,0)) *
+        |      CAST(nt + nf - 1 AS DECIMAL(38,0))
+        |    AS DECIMAL(38,0)) AS DOUBLE) AS d_e
+        | FROM one)
+        |SELECT u AS n_units, p AS n_pairable, n AS n_ratings,
+        | nt AS n_true, nf AS n_false,
+        | CASE WHEN p > 0 AND nt > 0 AND nf > 0 AND n >= 2
+        |   THEN round(d_o, 6) END AS d_o,
+        | CASE WHEN p > 0 AND nt > 0 AND nf > 0 AND n >= 2
+        |   THEN round(d_e, 6) END AS d_e,
+        | CASE WHEN p > 0 AND nt > 0 AND nf > 0 AND n >= 2
+        |   THEN round(1.0 - d_o / d_e, 6) END AS alpha
+        |FROM fin""".stripMargin,
     // McNemar replica: same gates as the kappa oracle, exact integer
     // cells, the clamped continuity-corrected χ², literal verdict
     "q_mcnemar" ->

@@ -4114,6 +4114,82 @@ object Stats {
         .otherwise(lit(null).cast(DoubleType)).as("kappa"))
   }
 
+  /** Krippendorff's α (nominal, binary categories) over R rating
+    * columns with MISSING ratings — the agreement coefficient that
+    * tolerates absent annotations (Krippendorff 2004), the gap
+    * [[fleissKappa]] leaves open (kappa needs a complete panel; a
+    * NULL rating here simply drops out of its unit, and a unit with
+    * < 2 remaining ratings is unpairable and drops entirely). The
+    * labeling-QA question it answers: "across however many gates
+    * actually fired per document, do the verdicts agree beyond
+    * chance?"
+    *
+    * α = 1 − D_o/D_e over the coincidence matrix; for binary nominal
+    * data D_o = (Σ_u t_u·f_u/(m_u−1))/n and D_e = 2·n_t·n_f/(n(n−1))
+    * with t/f the per-unit true/false counts, m = t+f, n the pairable
+    * rating total.
+    *
+    * Exactness: per-unit contributions scale by L = lcm(1..R−1), so
+    * L·t·f/(m−1) is an exact integer for EVERY m ≤ R (R ≤ 9 ⇒
+    * L ≤ 840) — one aggregate pass to exact integer cells,
+    * DECIMAL(38,0) casts before the final products (the [[cochranQ]]
+    * contract), three literal double divisions, 6-dp rounds. α NULL
+    * when chance disagreement is 0 (single-category margin) or no
+    * unit is pairable.
+    *
+    * Returns one row: (n_units, n_pairable, n_ratings, n_true,
+    * n_false, d_o, d_e, alpha). */
+  def krippendorffAlpha(
+      df: DataFrame,
+      ratings: Seq[Column]): DataFrame = {
+    val rr = ratings.size
+    require(rr >= 2 && rr <= 9,
+      s"krippendorffAlpha needs 2..9 raters, got $rr")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val L = (1L until rr.toLong).foldLeft(1L)((a, i) => a / gcd(a, i) * i)
+    val dec = DecimalType(38, 0)
+    // NULL ratings count toward neither category (=== on NULL is
+    // NULL, falling through to 0)
+    val t = ratings.map(r =>
+      when(r === true, 1L).otherwise(0L)).reduce(_ + _)
+    val f = ratings.map(r =>
+      when(r === false, 1L).otherwise(0L)).reduce(_ + _)
+    val m = t + f
+    val pairable = m >= 2L
+    // L/(m−1) is integral for every m ≤ R by the lcm construction —
+    // resolved to a literal per m, so the contribution never touches
+    // a division (Spark's `/` on longs would go through double)
+    val factor = (2 to rr).foldLeft(lit(0L)) { (acc, mm) =>
+      when(m === mm.toLong, lit(L / (mm - 1))).otherwise(acc) }
+    val contrib = when(pairable, t * f * factor).otherwise(lit(0L))
+    val one = df.agg(
+      count(lit(1)).as("__u"),
+      coalesce(sum(when(pairable, 1L).otherwise(0L)), lit(0L))
+        .as("__p"),
+      coalesce(sum(contrib.cast(dec)), lit(0).cast(dec)).as("__s"),
+      coalesce(sum(when(pairable, t).otherwise(0L)), lit(0L))
+        .as("__nt"),
+      coalesce(sum(when(pairable, f).otherwise(0L)), lit(0L))
+        .as("__nf"))
+    def d(c: Column) = c.cast(DoubleType)
+    val n = col("__nt") + col("__nf")
+    val dO = d(col("__s")) / d((lit(L).cast(dec) * n.cast(dec)).cast(dec))
+    val dE = d((lit(2L).cast(dec) * col("__nt").cast(dec) *
+        col("__nf").cast(dec)).cast(dec)) /
+      d((n.cast(dec) * (n - 1L).cast(dec)).cast(dec))
+    val ok = col("__p") > 0L && col("__nt") > 0L && col("__nf") > 0L &&
+      n >= 2L
+    one.select(col("__u").as("n_units"), col("__p").as("n_pairable"),
+      n.as("n_ratings"), col("__nt").as("n_true"),
+      col("__nf").as("n_false"),
+      when(ok, round(dO, 6)).otherwise(lit(null).cast(DoubleType))
+        .as("d_o"),
+      when(ok, round(dE, 6)).otherwise(lit(null).cast(DoubleType))
+        .as("d_e"),
+      when(ok, round(lit(1.0) - dO / dE, 6))
+        .otherwise(lit(null).cast(DoubleType)).as("alpha"))
+  }
+
   /** Cronbach's α — internal consistency of a k-item battery: do the
     * gates measure ONE underlying quality trait, or k unrelated
     * things? The scale-reliability complement of [[fleissKappa]]

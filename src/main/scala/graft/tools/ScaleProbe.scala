@@ -80,7 +80,16 @@ object ScaleProbe {
     // part file to <table>.parquet
     def writeFile(df: DataFrame, table: String): Unit = {
       val stage = s"$out/_build_$table"
-      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      // small row groups (8 MB vs the 128 MB default): coalesce(1)
+      // with the default produced ONE row group per file — a single
+      // task then decodes the whole 10x table (parquet splits at row-
+      // group granularity), serializing every probe's scan phase and
+      // inflating all x10 ratios by the lost parallelism. ~20 groups
+      // per replica file restore the multi-task scan a real
+      // multi-file layout would have.
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", 8L * 1024 * 1024)
+        .parquet(stage)
       val dir = Paths.get(stage)
       val part = Files.list(dir).filter(_.getFileName.toString
         .endsWith(".parquet")).findFirst().get()

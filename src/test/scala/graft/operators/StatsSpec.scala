@@ -682,6 +682,48 @@ class StatsSpec extends SparkSpecBase {
     assert(err.getMessage.contains("empty series"))
   }
 
+  test("krippendorffAlpha: perfect agreement is 1, a NULL rating " +
+      "drops out, and a hand-computed mixed panel matches") {
+    import spark.implicits._
+    def ratings = Seq(col("r1"), col("r2"), col("r3"))
+    // perfect agreement (all three true or all three false) → α = 1
+    val perfect = Seq((true, true, true), (false, false, false))
+      .toDF("r1", "r2", "r3")
+    val p = Stats.krippendorffAlpha(perfect, ratings).collect()(0)
+    assert(p.getAs[Double]("alpha") == 1.0 &&
+      p.getAs[Double]("d_o") == 0.0, s"got $p")
+    // unpairable unit: two NULLs leave one rating — dropped entirely
+    val dropped = Seq(
+      (Some(true), Some(true), Some(true)),
+      (Some(true), None, None))
+      .toDF("r1", "r2", "r3")
+    val dr = Stats.krippendorffAlpha(dropped, ratings).collect()(0)
+    assert(dr.getAs[Long]("n_units") == 2L &&
+      dr.getAs[Long]("n_pairable") == 1L &&
+      dr.getAs[Long]("n_ratings") == 3L, s"got $dr")
+    // hand-computed mixed panel: u1 (T,T,F): t=2 f=1 m=3 → tf/(m−1)=1
+    //   u2 (T,F,NULL): t=1 f=1 m=2 → tf/(m−1)=1
+    // n=5 (3+2), S=2 → D_o = 2/5 = .4
+    // n_t=3, n_f=2 → D_e = 2·3·2/(5·4) = .6 → α = 1 − .4/.6 = 1/3
+    val mixed = Seq(
+      (Some(true), Some(true), Some(false)),
+      (Some(true), Some(false), Option.empty[Boolean]))
+      .toDF("r1", "r2", "r3")
+    val mx = Stats.krippendorffAlpha(mixed, ratings).collect()(0)
+    assert(mx.getAs[Long]("n_ratings") == 5L &&
+      mx.getAs[Double]("d_o") == 0.4 &&
+      mx.getAs[Double]("d_e") == 0.6, s"got $mx")
+    assert(mx.getAs[Double]("alpha") ==
+      BigDecimal(1.0 - 0.4 / 0.6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      s"got $mx")
+    // single-category margin abstains (chance disagreement is 0)
+    val oc = Stats.krippendorffAlpha(
+      Seq((true, true, true)).toDF("r1", "r2", "r3"), ratings)
+      .collect()(0)
+    assert(oc.isNullAt(oc.fieldIndex("alpha")), s"got $oc")
+  }
+
   test("kaplanMeier: hand-computed product-limit curve with " +
       "censoring; integer floors replay the textbook values") {
     import spark.implicits._
