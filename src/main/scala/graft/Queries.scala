@@ -3091,6 +3091,34 @@ object Queries {
           (col("__x.s4").cast(DoubleType) / 10000.0).as("rev"))
       Stats.ewmaTrailing(latest, "d", "rev", k = 10)
     }),
+    "q_stream_holt" -> ((s, dir) => {
+      // Forecast state AT INGEST: the q_stream_ewma daily-revenue
+      // feeder (exact 4-dp scaled-integer sums in keyed state)
+      // drained into the q_trend_holt exact-decimal recursion — the
+      // level/trend pair a forecaster carries updates as the day's
+      // events land, and the replayed trajectory gates on the shared
+      // recursive-CTE oracle over the same spine (holtOracle def,
+      // the f2Oracle pattern). The 10⁻⁴-scaled integer state sum
+      // converts to DECIMAL(18,4) by an exact decimal multiply — no
+      // float touches the series.
+      val name = s"q_stream_holt_${streamRun.incrementAndGet()}"
+      implicit val sp: SparkSession = s
+      val purchases = graft.streaming.Streams.eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("d"),
+          col("value"))
+      val drained = graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.dailySumState(purchases,
+          col("d"), col("value")).toDF(),
+        name, shufflePartitions = Some(8))
+      val latest = drained.groupBy(col("d"))
+        .agg(max(struct(col("updates"), col("n"), col("s4")))
+          .as("__x"))
+        .select(col("d"),
+          (col("__x.s4").cast(DecimalType(18, 0)) *
+            lit(new java.math.BigDecimal("0.0001"))).as("rev"))
+      Stats.holtLinear(latest, "d", "rev", alpha = 0.3, beta = 0.1)
+    }),
     "q_stream_budget" -> ((s, dir) => {
       // Streaming quota admission: each source spends its token
       // budget as documents arrive (keyed state = ONE cumulative long
@@ -11193,33 +11221,20 @@ object Queries {
     // values, per-step scale-6 HALF_UP fixes (DuckDB's decimal round
     // is half-away-from-zero = HALF_UP on signed values); exactness
     // removes every op-order constraint a float recursion would carry
-    "q_trend_holt" -> {
-      val a = java.math.BigDecimal.valueOf(0.3)
-      val b = java.math.BigDecimal.valueOf(0.1)
-      val ia = java.math.BigDecimal.ONE.subtract(a)
-      val ib = java.math.BigDecimal.ONE.subtract(b)
-      val lvl = s"round($a * x.rev + $ia * (r.level + r.trend), 6)"
-      s"""WITH RECURSIVE daily AS (
-         | SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
-         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
-         |    AS DECIMAL(18,4)) AS rev
-         | FROM orders GROUP BY 1),
-         |idx AS (SELECT d, rev,
-         |  row_number() OVER (ORDER BY d ASC) AS i FROM daily),
-         |rec AS (
-         | SELECT i, d, rev, CAST(rev AS DECIMAL(18,6)) AS level,
-         |  CAST(0 AS DECIMAL(18,6)) AS trend,
-         |  CAST(NULL AS DECIMAL(18,6)) AS fcst
-         | FROM idx WHERE i = 1
-         | UNION ALL
-         | SELECT x.i, x.d, x.rev,
-         |  CAST($lvl AS DECIMAL(18,6)) AS level,
-         |  CAST(round($b * ($lvl - r.level) + $ib * r.trend, 6)
-         |    AS DECIMAL(18,6)) AS trend,
-         |  CAST(r.level + r.trend AS DECIMAL(18,6)) AS fcst
-         | FROM rec r JOIN idx x ON x.i = r.i + 1)
-         |SELECT d, rev, level, trend, fcst FROM rec""".stripMargin
-    },
+    "q_trend_holt" -> holtOracle(
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    AS DECIMAL(18,4)) AS rev
+        | FROM orders GROUP BY 1""".stripMargin),
+    // streaming twin: the drained 4-dp scaled-integer daily sums ARE
+    // the batch spine (associative integer folds), converted by one
+    // exact decimal multiply — the shared recursion gates both
+    "q_stream_holt" -> holtOracle(
+      """SELECT strftime(ts, '%Y-%m-%d') AS d,
+        |  CAST(CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+        |    AS DECIMAL(18,0)) * 0.0001 AS DECIMAL(18,4)) AS rev
+        | FROM events WHERE event_type = 'purchase'
+        | GROUP BY 1""".stripMargin),
     "q_ewma" -> {
       val k = 10
       def xj(j: Int) = if (j == 0) "rev" else s"x$j"
@@ -12236,6 +12251,39 @@ object Queries {
        |SELECT agg.g AS event_type, ex.exact_distinct, agg.n_occupied,
        | agg.zsum_scaled, round($est, 6) AS hll_estimate
        |FROM agg JOIN ex ON agg.g = ex.g""".stripMargin
+  }
+
+  /** Holt replica shared by q_trend_holt and its streaming twin: the
+    * identical EXACT-DECIMAL recursion as a recursive CTE over the
+    * caller's daily spine — short-decimal smoothing constants, 4-dp
+    * period values, per-step scale-6 HALF_UP fixes (DuckDB's decimal
+    * round is half-away-from-zero = HALF_UP on signed values);
+    * exactness removes every op-order constraint a float recursion
+    * would carry. `spineSql` must emit (d VARCHAR, rev
+    * DECIMAL(18,4)). */
+  private def holtOracle(spineSql: String): String = {
+    val a = java.math.BigDecimal.valueOf(0.3)
+    val b = java.math.BigDecimal.valueOf(0.1)
+    val ia = java.math.BigDecimal.ONE.subtract(a)
+    val ib = java.math.BigDecimal.ONE.subtract(b)
+    val lvl = s"round($a * x.rev + $ia * (r.level + r.trend), 6)"
+    s"""WITH RECURSIVE daily AS (
+       | $spineSql),
+       |idx AS (SELECT d, rev,
+       |  row_number() OVER (ORDER BY d ASC) AS i FROM daily),
+       |rec AS (
+       | SELECT i, d, rev, CAST(rev AS DECIMAL(18,6)) AS level,
+       |  CAST(0 AS DECIMAL(18,6)) AS trend,
+       |  CAST(NULL AS DECIMAL(18,6)) AS fcst
+       | FROM idx WHERE i = 1
+       | UNION ALL
+       | SELECT x.i, x.d, x.rev,
+       |  CAST($lvl AS DECIMAL(18,6)) AS level,
+       |  CAST(round($b * ($lvl - r.level) + $ib * r.trend, 6)
+       |    AS DECIMAL(18,6)) AS trend,
+       |  CAST(r.level + r.trend AS DECIMAL(18,6)) AS fcst
+       | FROM rec r JOIN idx x ON x.i = r.i + 1)
+       |SELECT d, rev, level, trend, fcst FROM rec""".stripMargin
   }
 
   /** q_sketch_f2 / q_stream_f2 shared replica: the same quadratic
