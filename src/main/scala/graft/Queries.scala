@@ -2016,6 +2016,21 @@ object Queries {
         .groupBy(col("dist"))
         .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("id_sum"))
     }),
+    "q_graph_harmonic" -> ((s, dir) => {
+      // Sampled harmonic centrality over the k-NN graph: Σ_s 1/d(s,v)
+      // from the four lowest-id vectors within the 3-hop horizon —
+      // "which corpus regions sit closest to the trusted exemplars",
+      // the centrality that stays finite on disconnected graphs
+      // (unreached contributes 0, where closeness breaks). The bfs
+      // frontier fold keyed by seed; census gate per distinct
+      // centrality value (the score space is a bounded reciprocal-sum
+      // lattice, so the census is control-plane).
+      graft.operators.Graph.harmonicCentrality(knnEdges(s, dir),
+          Seq(0L, 1L, 2L, 3L), iters = 3)
+        .groupBy(col("harmonic"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("id_sum"),
+          sum(col("n_reached")).as("reach_sum"))
+    }),
     "q_graph_components" -> ((s, dir) => {
       // Connected components of the k-NN graph: embedding-space
       // neighborhoods — the semantic analogue of the LSH text-dup
@@ -8215,6 +8230,7 @@ object Queries {
          |  END AS reciprocity_ppm
          |FROM j""".stripMargin,
     "q_graph_bfs" -> graphBfsOracle,
+    "q_graph_harmonic" -> graphHarmonicOracle,
     "q_graph_components" -> graphComponentsOracle,
     "q_graph_communities" -> graphCommunitiesOracle,
     "q_graph_modularity" -> graphModularityOracle,
@@ -13945,6 +13961,38 @@ object Queries {
        |SELECT dist, count(*) AS n_nodes,
        |  CAST(sum(node) AS BIGINT) AS id_sum
        |FROM d3 GROUP BY 1""".stripMargin
+  }
+
+  /** q_graph_harmonic replica: the graphBfsOracle level unroll KEYED
+    * BY SEED (four anchor rows), the same 6-dp reciprocal DECIMAL
+    * folds, then the per-centrality census. */
+  private def graphHarmonicOracle: String = {
+    val levels = (1 to 3).map { i =>
+      val p = i - 1
+      s"""n$i AS (SELECT d$p.seed, bi.v AS node,
+         |  min(d$p.dist + 1) AS dist
+         |  FROM bi JOIN d$p ON bi.u = d$p.node GROUP BY 1, 2),
+         |d$i AS (SELECT seed, node, min(dist) AS dist FROM (
+         |  SELECT seed, node, dist FROM d$p
+         |  UNION ALL SELECT seed, node, dist FROM n$i) GROUP BY 1, 2)"""
+        .stripMargin
+    }.mkString(",\n")
+    val anchors = (0 to 3).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS seed, CAST($k AS BIGINT) AS node," +
+        s" CAST(0 AS BIGINT) AS dist").mkString("\n       UNION ALL ")
+    s"""WITH $knnEdgesCte,
+       |bi AS (SELECT a AS u, b AS v FROM e
+       |       UNION ALL SELECT b AS u, a AS v FROM e),
+       |d0 AS ($anchors),
+       |$levels,
+       |h AS (SELECT node, CAST(count(*) AS BIGINT) AS n_reached,
+       |  CAST(sum(CAST(round(1.0 / dist, 6) AS DECIMAL(18,6)))
+       |    AS DECIMAL(18,6)) AS harmonic
+       | FROM d3 WHERE dist > 0 GROUP BY 1)
+       |SELECT harmonic, count(*) AS n_nodes,
+       | CAST(sum(node) AS BIGINT) AS id_sum,
+       | CAST(sum(n_reached) AS BIGINT) AS reach_sum
+       |FROM h GROUP BY 1""".stripMargin
   }
 
   /** q_graph_components replica: recursive reachability closure over

@@ -321,6 +321,62 @@ object Graph {
     dist
   }
 
+  /** Sampled harmonic centrality over an undirected canonical edge
+    * list (Marchiori & Latora 2000; Boldi & Vigna 2014 for why
+    * harmonic beats closeness on disconnected graphs — an unreached
+    * node contributes 0 instead of poisoning the mean): per node,
+    * Σ_s 1/d(s, node) over a FIXED seed set within a BFS horizon.
+    * Exact centrality is a BFS from every node (O(n·m) — hopeless at
+    * corpus scale); the standard estimator samples seeds, here
+    * deterministic ones so the gate replays.
+    *
+    * Scale shape: the [[bfsHops]] frontier fold KEYED BY SEED — one
+    * (seed, node, dist) frame (≤ k·n rows, k bounded ≤ 64), one
+    * u-clustered join + one min-merge aggregate per round, eager
+    * localCheckpoint generation management. Determinism: distances
+    * are exact integers; each reciprocal rounds to 6 dp and folds as
+    * DECIMAL(18,6) (the pageRank discipline).
+    *
+    * Returns (node, n_reached, harmonic DECIMAL(18,6)) for every
+    * node reached by at least one seed (seeds earn no self-term). */
+  def harmonicCentrality(
+      edges: DataFrame,
+      seeds: Seq[Long],
+      iters: Int): DataFrame = {
+    require(seeds.nonEmpty && seeds.size <= 64,
+      s"harmonicCentrality needs 1..64 seeds, got ${seeds.size}")
+    require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val bi = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+      .repartition(col("u"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    bi.count()
+    var dist = seeds.toDF("seed")
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val nbr = bi
+        .join(dist.withColumnRenamed("node", "u"), Seq("u"))
+        .select(col("seed"), col("v").as("node"),
+          (col("dist") + lit(1L)).as("dist"))
+      val next = dist.union(nbr)
+        .groupBy(col("seed"), col("node"))
+        .agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      dist.unpersist(false)
+      dist = next
+    }
+    bi.unpersist(false)
+    dist.filter(col("dist") > 0L)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(round(lit(1.0) / col("dist").cast(DoubleType), 6)
+          .cast(DecimalType(18, 6)))
+          .cast(DecimalType(18, 6)).as("harmonic"))
+  }
+
   /** Link-prediction features over an undirected canonical edge list
     * (`a` < `b`): for every NON-adjacent pair with at least one common
     * neighbor, the common-neighbor count and the Adamic–Adar score

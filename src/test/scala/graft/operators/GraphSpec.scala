@@ -115,6 +115,24 @@ class GraphSpec extends SparkSpecBase {
       Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
   }
 
+  test("harmonicCentrality: per-seed reciprocal sums on a path, " +
+      "horizon cut, disconnected component contributes nothing") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 8L))
+      .toDF("a", "b")
+    val got = Graph.harmonicCentrality(e, Seq(1L, 5L), iters = 3)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getDecimal(2).doubleValue))).toMap
+    // node 2: d(1,2)=1, d(5,2)=3 → 1 + .333333; node 3: 1/2 + 1/2;
+    // node 4 mirrors node 2. The seeds themselves sit 4 hops apart —
+    // beyond the horizon — and self-terms are excluded, so neither
+    // seed appears; 7/8 are a different component and never appear
+    assert(got(2L) == ((2L, 1.333333)))
+    assert(got(3L) == ((2L, 1.0)))
+    assert(got(4L) == ((2L, 1.333333)))
+    assert(!got.contains(1L) && !got.contains(5L))
+    assert(!got.contains(7L) && !got.contains(8L))
+  }
+
   test("triangleStats matches brute force on a seeded random graph") {
     val rnd = new scala.util.Random(42)
     val n = 24
