@@ -4639,6 +4639,17 @@ object Queries {
       Similarity.componentEnergy(Tables.embeddings(s, dir), "label",
         "embedding", pcaComponent(s, dir))
     }),
+    "q_embedding_twonn" -> ((s, dir) => {
+      // TwoNN intrinsic dimension of the embedding cloud (Facco et
+      // al. 2017): μ = d₂/d₁ per vector over its two nearest LSH
+      // candidates, ID̂ = n/Σ ln μ — "is this 64-d embedding really
+      // using 64 dimensions?", the gauge that sizes PQ budgets and
+      // reduction targets. Same banded candidate pass as the k-NN
+      // graph (never all pairs); duplicates and single-candidate
+      // vectors excluded and counted.
+      Similarity.twoNNDimension(Tables.embeddings(s, dir),
+        "vec_id", "embedding", portable = true)
+    }),
     "q_embedding_dimstats" -> ((s, dir) => {
       // Per-dimension feature health: n, mean, population variance
       // for each of the 64 coordinates — the dead-dim / exploding-dim
@@ -8802,6 +8813,31 @@ object Queries {
     "q_embedding_pca" -> pcaOracle,
     "q_embedding_pca2" -> pca2Oracle,
     "q_embedding_whiten" -> whitenOracle,
+    // TwoNN replica: the shared LSH scored chain, rank ≤ 2 per query
+    // on the UNROUNDED cosine, 6-dp distance fixes, 9-dp ln μ DECIMAL
+    // folds, one literal division
+    "q_embedding_twonn" ->
+      s"""WITH $knnScoredCte,
+         |r2 AS (SELECT qid, round(cos, 6) AS c,
+         |  row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, cid ASC) AS rn FROM scored),
+         |p AS (SELECT qid,
+         |  max(CASE WHEN rn = 1 THEN c END) AS c1,
+         |  max(CASE WHEN rn = 2 THEN c END) AS c2
+         | FROM r2 WHERE rn <= 2 GROUP BY 1),
+         |u AS (SELECT * FROM p WHERE c2 IS NOT NULL AND c1 < 1.0),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n_used,
+         |  CAST(coalesce(sum(CAST(round(ln((1.0 - c2) / (1.0 - c1)),
+         |      9) AS DECIMAL(18,9))), 0) AS DECIMAL(28,9)) AS sl
+         | FROM u),
+         |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors
+         | FROM embeddings)
+         |SELECT n_vectors, n_used,
+         | round(CAST(sl AS DOUBLE), 6) AS sum_log_mu,
+         | CASE WHEN sl > 0 THEN
+         |   round(CAST(n_used AS DOUBLE) / CAST(sl AS DOUBLE), 6)
+         | END AS id_hat
+         |FROM nv, s""".stripMargin,
     "q_embedding_dimstats" ->
       """WITH ex AS (SELECT
         |  unnest(range(1, len(embedding) + 1)) AS pos, embedding
@@ -13700,8 +13736,10 @@ object Queries {
     * [[simLshOracle]]. */
   /** The DIRECTED top-k neighbor CTE chain (through `nn`), shared by
     * the symmetrized [[knnEdgesCte]] and the reciprocity audit. */
-  private def knnNnCte: String = {
-    val dim = 64; val bits = 32; val bands = 4; val bandBits = 8; val k = 5
+  /** The LSH candidate chain through `scored(qid, cid, cos)` — the
+    * shared prefix of [[knnNnCte]] and the TwoNN oracle. */
+  private def knnScoredCte: String = {
+    val dim = 64; val bits = 32; val bands = 4; val bandBits = 8
     def planeList(p: Int): String =
       (0 until dim).map(d =>
         graft.operators.Similarity.planeWeightPortable(p, d).toString)
@@ -13723,7 +13761,12 @@ object Queries {
        |scored AS (SELECT qid, cid, ${cosSql("cv", "qv")} AS cos FROM (
        |  SELECT cand.qid, cand.cid, q.v AS qv, c.v AS cv
        |  FROM cand JOIN c0 q ON cand.qid = q.id
-       |            JOIN c0 c ON cand.cid = c.id)),
+       |            JOIN c0 c ON cand.cid = c.id))""".stripMargin
+  }
+
+  private def knnNnCte: String = {
+    val k = 5
+    knnScoredCte + s""",
        |nn AS (SELECT qid, cid FROM (
        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid
        |    ORDER BY cos DESC, cid ASC) AS rn FROM scored)

@@ -247,6 +247,57 @@ object Similarity {
       .drop("__rn")
   }
 
+  /** TwoNN intrinsic-dimension estimate of the embedding cloud
+    * (Facco, d'Errico, Rodriguez & Laio, Scientific Reports 2017):
+    * per vector, μ = d₂/d₁ over its two nearest neighbors in cosine
+    * distance; under the local-Pareto model the MLE is
+    * ID̂ = n / Σ ln μ. The curse-of-dimensionality gauge — "is this
+    * 64-d embedding really using 64 dimensions, or 9?" — that sizes
+    * PQ budgets, LSH widths, and dimension-reduction targets.
+    *
+    * Approximation honesty: neighbors come from the SAME banded
+    * SRP-LSH candidate pass as [[knnGraph]] (never all pairs, the
+    * 100 TB shape); a missed true 1-NN biases μ toward 1 and the
+    * estimate UP — audit-tier semantics, and [[recallAtK]] measures
+    * exactly that gap. Duplicate vectors (d₁ = 0) and vectors with
+    * fewer than two candidates are excluded and counted.
+    *
+    * Determinism: cosines fix at 6 dp, distances are 1 − c, each
+    * ln μ rounds at 9 dp and folds as DECIMAL(18,9) (order-free);
+    * the estimate is one literal double division rounded at 6 dp.
+    *
+    * Returns one row: (n_vectors, n_used, sum_log_mu, id_hat);
+    * id_hat NULL when every μ is 1 (a fully duplicated cloud). */
+  def twoNNDimension(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      portable: Boolean = false): DataFrame = {
+    val top2 = lshTopKPerQuery(corpus, corpus, idCol, embCol, k = 2,
+      portable = portable, excludeSelf = true)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    val per = top2.withColumn("__rn", row_number().over(w))
+      .groupBy(col("query_id"))
+      .agg(max(when(col("__rn") === 1, round(col("cos"), 6)))
+          .as("__c1"),
+        max(when(col("__rn") === 2, round(col("cos"), 6)))
+          .as("__c2"))
+    val used = per.filter(col("__c2").isNotNull && col("__c1") < 1.0)
+    val s = used.agg(count(lit(1)).as("n_used"),
+      coalesce(sum(round(log((lit(1.0) - col("__c2")) /
+          (lit(1.0) - col("__c1"))), 9).cast(DecimalType(18, 9))),
+        lit(0).cast(DecimalType(18, 9))).as("__s"))
+    val nv = corpus.agg(count(lit(1)).as("n_vectors"))
+    nv.crossJoin(broadcast(s))
+      .select(col("n_vectors"), col("n_used"),
+        round(col("__s").cast(DoubleType), 6).as("sum_log_mu"),
+        when(col("__s") > 0,
+          round(col("n_used").cast(DoubleType) /
+            col("__s").cast(DoubleType), 6))
+          .otherwise(lit(null).cast(DoubleType)).as("id_hat"))
+  }
+
   /** Sparse k-NN graph over an embedding corpus: SRP-LSH banded
     * candidate generation ([[lshTopKPerQuery]] with corpus as its own
     * query side, self-pairs excluded), exact-cosine verification,

@@ -16,6 +16,27 @@ class SimilaritySpec extends SparkSpecBase {
     df.select("query_id", "corpus_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("twoNNDimension: real testdata yields a positive estimate " +
+      "well under the ambient dimension; a duplicated corpus abstains") {
+    import spark.implicits._
+    val r = Similarity.twoNNDimension(Tables.embeddings(spark, dir),
+      "vec_id", "embedding", portable = true).collect()(0)
+    val nv = r.getAs[Long]("n_vectors")
+    assert(nv > 0 && r.getAs[Long]("n_used") <= nv)
+    val id = r.getAs[Double]("id_hat")
+    // a real 64-d cloud occupies more than 1 effective dimension and
+    // the estimator can't exceed ambient by an order of magnitude
+    assert(id > 1.0 && id < 640.0, s"id_hat $id")
+    // all-duplicates cloud: every d1 = 0 → every vector excluded →
+    // abstention (id_hat NULL, n_used 0)
+    val dup = (1L to 12L).map(i => (i, Array.fill(8)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val d = Similarity.twoNNDimension(dup, "vec_id", "embedding",
+      portable = true).collect()(0)
+    assert(d.getAs[Long]("n_used") == 0L &&
+      d.isNullAt(d.fieldIndex("id_hat")), s"got $d")
+  }
+
   test("s9/s12 scaled-long rounds agree with decimal HALF_UP on every " +
       "fixture value and self-product (ADVICE r7 boundary-caveat gate)") {
     // The operators' ±floor(|p|·10^s + 0.5) shortcut is only
