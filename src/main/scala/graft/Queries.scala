@@ -1276,6 +1276,17 @@ object Queries {
       Stats.rocAuc(docs, col("n_chars"),
         TextAnalysis.tokenCount(col("text")) >= 70)
     }),
+    "q_quality_lift" -> ((s, dir) => {
+      // The budget-cut view of the q_quality_auc audit: per
+      // n_chars-descending decile, the token-gate pass rate,
+      // cumulative capture, and lift over base — "scan the top-k
+      // deciles by the free column, skip tokenizing the rest".
+      // Two-phase distributed rank (never an ntile window); exact
+      // integer ppm capture.
+      val docs = Tables.documents(s, dir)
+      Stats.liftTable(docs, col("n_chars"),
+        TextAnalysis.tokenCount(col("text")) >= 70, col("doc_id"))
+    }),
     "q_brier" -> ((s, dir) => {
       // The CALIBRATION half of the q_quality_auc audit: treat
       // min(n_chars, 1000) as a permille confidence that the doc
@@ -10708,6 +10719,39 @@ object Queries {
         | CAST((CAST(cum * 10000 AS HUGEINT) * 1000000) //
         |   CAST(tot * 10000 AS HUGEINT) AS BIGINT) AS cum_share_ppm
         |FROM c""".stripMargin,
+    // Lift replica: the same negated-score rank order, integer decile
+    // cut, HUGEINT-exact ppm capture, literal rate/lift divisions
+    "q_quality_lift" ->
+      """WITH g AS (SELECT doc_id, n_chars,
+        |  (len(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> len(x) > 0)) >= 70) AS pos
+        | FROM documents WHERE n_chars IS NOT NULL),
+        |r AS (SELECT
+        |  CASE WHEN coalesce(pos, false) THEN 1 ELSE 0 END AS p,
+        |  row_number() OVER (ORDER BY CAST(-n_chars AS DOUBLE) ASC,
+        |    doc_id ASC) AS rk,
+        |  count(*) OVER () AS n
+        | FROM g),
+        |b AS (SELECT CAST((rk - 1) * 10 // n + 1 AS INTEGER)
+        |    AS decile, p FROM r),
+        |d AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(p) AS BIGINT) AS n_pos FROM b GROUP BY 1),
+        |f AS (SELECT decile, n_rows, n_pos,
+        |  CAST(sum(n_pos) OVER () AS BIGINT) AS totp,
+        |  CAST(sum(n_rows) OVER () AS BIGINT) AS totn,
+        |  CAST(sum(n_pos) OVER (ORDER BY decile ASC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cump
+        | FROM d)
+        |SELECT decile, n_rows, n_pos,
+        | round(CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+        |   AS pos_rate,
+        | CASE WHEN totp > 0 THEN CAST((CAST(cump AS HUGEINT) *
+        |   1000000) // CAST(totp AS HUGEINT) AS BIGINT) END
+        |   AS cum_capture_ppm,
+        | CASE WHEN totp > 0 THEN round((CAST(n_pos AS DOUBLE) /
+        |   CAST(n_rows AS DOUBLE)) / (CAST(totp AS DOUBLE) /
+        |   CAST(totn AS DOUBLE)), 6) END AS lift
+        |FROM f""".stripMargin,
     // Gini replica: same per-customer rollup, (value, id) rank
     // order, exact rank·value DECIMAL sums and literal closed form
     "q_gini_revenue" ->

@@ -4644,6 +4644,60 @@ object Stats {
           .as("cum_share_ppm"))
   }
 
+  /** Decile lift / gains table of a ranking score against a binary
+    * label — the model-eval view [[rocAuc]] compresses away: per
+    * score-DESCENDING decile, the positive rate, the cumulative
+    * capture ("the top 20% of docs by the cheap score hold 61% of
+    * the gate passes"), and the lift over the base rate — the table
+    * that decides where to CUT when the expensive stage has a budget.
+    *
+    * Scale shape: decile assignment via [[globalRankByValue]]'s
+    * two-phase distributed rank on the NEGATED score (never a
+    * single-partition ntile), one decile aggregate, then windows
+    * over the ≤ 10-row control frame. Determinism: counts are exact
+    * longs; capture is exact integer ppm (cum·10⁶ div total — the
+    * [[lorenzDeciles]] discipline); rate and lift are fixed-form
+    * double divisions rounded at 6 dp.
+    *
+    * Returns ≤ 10 rows: (decile, n_rows, n_pos, pos_rate,
+    * cum_capture_ppm, lift); lift NULL when the corpus has no
+    * positives. */
+  def liftTable(
+      df: DataFrame,
+      scoreCol: Column,
+      labelCol: Column,
+      tieCol: Column): DataFrame = {
+    val v = df.select((-scoreCol.cast(DoubleType)).as("__x"),
+        when(coalesce(labelCol, lit(false)), 1L).otherwise(0L)
+          .as("__p"), tieCol.as("__t"))
+      .filter(col("__x").isNotNull)
+    val (ranked, n) = globalRankByValue(v, "__x", "__t")
+    require(n >= 1, "liftTable: empty input")
+    val byDec = ranked
+      .withColumn("decile",
+        expr(s"CAST((__rank - 1) * 10 div $n + 1 AS INT)"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__p")).as("n_pos"))
+    val wAll = Window.partitionBy(lit(1))
+    val wCum = Guards.seriesWindow(col("decile").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def d(c: Column) = c.cast(DoubleType)
+    Guards.boundedSeries(byDec, "liftTable")
+      .withColumn("__totp", sum(col("n_pos")).over(wAll))
+      .withColumn("__totn", sum(col("n_rows")).over(wAll))
+      .withColumn("__cump", sum(col("n_pos")).over(wCum))
+      .select(col("decile"), col("n_rows"), col("n_pos"),
+        round(d(col("n_pos")) / d(col("n_rows")), 6).as("pos_rate"),
+        when(col("__totp") > 0,
+          expr("CAST((CAST(__cump AS DECIMAL(38,0)) * 1000000) div " +
+            "CAST(__totp AS DECIMAL(38,0)) AS BIGINT)"))
+          .as("cum_capture_ppm"),
+        when(col("__totp") > 0,
+          round((d(col("n_pos")) / d(col("n_rows"))) /
+            (d(col("__totp")) / d(col("__totn"))), 6))
+          .otherwise(lit(null).cast(DoubleType)).as("lift"))
+  }
+
   /** Two-sample proportion z-test: is the success RATE different
     * between groups A and B? The pooled-variance normal test
     * z = (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)) — the conversion-

@@ -682,6 +682,28 @@ class StatsSpec extends SparkSpecBase {
     assert(err.getMessage.contains("empty series"))
   }
 
+  test("liftTable: hand-computed gains on a perfectly ranked fixture") {
+    import spark.implicits._
+    // scores 10..1, positives at scores 10 and 9 → top two deciles
+    // capture everything; base rate 0.2 → lift 5 in each
+    val df = (1 to 10).map(i => (11 - i, 11 - i >= 9, i.toLong))
+      .toDF("score", "label", "id")
+    val rows = Stats.liftTable(df, col("score"), col("label"),
+        col("id"))
+      .orderBy(col("decile"))
+      .collect().map(r => (r.getInt(0), r.getLong(2),
+        r.getAs[Long]("cum_capture_ppm"), r.getAs[Double]("lift")))
+    assert(rows(0) == ((1, 1L, 500000L, 5.0)))
+    assert(rows(1) == ((2, 1L, 1000000L, 5.0)))
+    assert(rows(9) == ((10, 0L, 1000000L, 0.0)))
+    // no positives anywhere → capture and lift abstain
+    val nada = Stats.liftTable(
+      (1 to 10).map(i => (i, false, i.toLong)).toDF("score", "label",
+        "id"), col("score"), col("label"), col("id")).collect()(0)
+    assert(nada.isNullAt(nada.fieldIndex("lift")) &&
+      nada.isNullAt(nada.fieldIndex("cum_capture_ppm")))
+  }
+
   test("krippendorffAlpha: perfect agreement is 1, a NULL rating " +
       "drops out, and a hand-computed mixed panel matches") {
     import spark.implicits._
