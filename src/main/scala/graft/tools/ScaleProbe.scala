@@ -66,7 +66,10 @@ object ScaleProbe {
     "q_fdr_bh", "q_text_transfer", "q_stream_ewma", "q_lake_delete",
     // round 11 entrants into the top costs
     "q_trend_siegel_sampled", "q_cvm_test", "q_graph_richclub",
-    "q_stream_quantile_group", "q_stream_f2")
+    "q_stream_quantile_group", "q_stream_f2",
+    // round 12 entrants
+    "q_stream_joinsize", "q_stream_dsir", "q_sketch_hll",
+    "q_graph_harmonic", "q_embedding_twonn")
 
   private val Shift = 100000000000L // 10^11: far above any base key
 
