@@ -2547,6 +2547,17 @@ object Queries {
       Stats.fdrByGroup(Tables.documents(s, dir), "source",
         col("doc_id"), col("n_chars") >= 400)
     }),
+    "q_fdr_by" -> ((s, dir) => {
+      // The same per-source drift family under Benjamini–Yekutieli:
+      // the 20 tests share one corpus (every "rest of corpus"
+      // overlaps every other's), exactly the arbitrary-dependence
+      // case BH's independence assumption waives and BY's α/H_m
+      // covers. The harmonic enters as the truncated-ppm integer
+      // Σ(10⁶ div i) — the decision stays pure 64-bit arithmetic,
+      // and truncation only tightens it.
+      Stats.fdrByGroup(Tables.documents(s, dir), "source",
+        col("doc_id"), col("n_chars") >= 400, dependent = true)
+    }),
     "q_power_mde" -> ((s, dir) => {
       // Experiment-DESIGN readout: with the unit counts and metric
       // variance this experiment actually has, what lift could it
@@ -7482,75 +7493,11 @@ object Queries {
     // BH-FDR replica: same quadratic-hash redraws at the global-rate
     // threshold, identical rate-difference double order, and the
     // same all-integer ppm step-up on the ranked per-group frame
-    "q_fdr_bh" -> {
-      val repSelects = (0 until 32).map { r =>
-        val a = Dedup.affineA(r); val b = Dedup.affineB(r)
-        s"""SELECT $r AS seed, g,
-           | CASE WHEN (((u % $M) * (u % $M) % $M) * $a
-           |   + (u % $M) * $b + $r) % $M % 1000000 <
-           |   (SELECT thr FROM tot) THEN 1 ELSE 0 END AS y
-           | FROM rows_""".stripMargin
-      }.mkString("\nUNION ALL\n")
-      s"""WITH rows_ AS (SELECT source AS g, doc_id AS u,
-         |  CASE WHEN coalesce(n_chars >= 400, false) THEN 1 ELSE 0 END
-         |   AS y
-         | FROM documents
-         | WHERE source IS NOT NULL AND doc_id IS NOT NULL),
-         |cells AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
-         |  coalesce(CAST(sum(y) AS BIGINT), 0) AS k
-         | FROM rows_ GROUP BY g),
-         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
-         |  CAST(sum(k) AS BIGINT) AS kk,
-         |  CAST(sum(k) AS BIGINT) * 1000000 //
-         |    CAST(sum(n) AS BIGINT) AS thr
-         | FROM cells),
-         |obs AS (SELECT g, n, k,
-         |  CASE WHEN n < (SELECT nn FROM tot) THEN
-         |    abs(CAST(k AS DOUBLE) / CAST(n AS DOUBLE) -
-         |      CAST((SELECT kk FROM tot) - k AS DOUBLE) /
-         |      CAST((SELECT nn FROM tot) - n AS DOUBLE))
-         |  END AS tobs
-         | FROM cells),
-         |reps AS ($repSelects),
-         |rc AS (SELECT seed, g, CAST(count(*) AS BIGINT) AS n,
-         |  coalesce(CAST(sum(y) AS BIGINT), 0) AS kr
-         | FROM reps GROUP BY 1, 2),
-         |rt AS (SELECT seed, CAST(sum(kr) AS BIGINT) AS ktot
-         | FROM rc GROUP BY 1),
-         |tr AS (SELECT rc.g AS g,
-         |  CASE WHEN rc.n < (SELECT nn FROM tot) THEN
-         |    abs(CAST(kr AS DOUBLE) / CAST(rc.n AS DOUBLE) -
-         |      CAST(ktot - kr AS DOUBLE) /
-         |      CAST((SELECT nn FROM tot) - rc.n AS DOUBLE))
-         |  END AS t
-         | FROM rc JOIN rt USING (seed)),
-         |pv AS (SELECT tr.g AS g,
-         |  CAST(sum(CASE WHEN t IS NOT NULL THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS reff,
-         |  coalesce(CAST(sum(CASE WHEN t IS NOT NULL
-         |    AND t >= obs.tobs THEN 1 ELSE 0 END) AS BIGINT), 0)
-         |   AS nge
-         | FROM tr JOIN obs ON tr.g = obs.g GROUP BY 1),
-         |p2 AS (SELECT obs.g AS g, obs.n AS n, obs.k AS k, obs.tobs,
-         |  CASE WHEN obs.tobs IS NOT NULL THEN
-         |    (1 + nge) * 1000000 // (reff + 1) END AS p
-         | FROM obs JOIN pv ON obs.g = pv.g),
-         |rk AS (SELECT *, CASE WHEN p IS NOT NULL THEN
-         |    row_number() OVER (ORDER BY p ASC NULLS LAST, g ASC)
-         |  END AS i,
-         |  sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) OVER ()
-         |   AS m
-         | FROM p2),
-         |rk2 AS (SELECT *,
-         |  max(CASE WHEN p * m <= i * 50 * 1000 THEN i END) OVER ()
-         |   AS imax
-         | FROM rk)
-         |SELECT g AS source, n, k * 1000000 // n AS pass_ppm,
-         | round(tobs, 6) AS t_obs, p AS p_ppm, i AS bh_rank,
-         | CASE WHEN i IS NOT NULL THEN coalesce(i <= imax, false)
-         |  END AS rejected
-         |FROM rk2""".stripMargin
-    },
+    "q_fdr_bh" -> fdrOracle(dependent = false),
+    // BY twin: identical prefix; the step-up divides alpha by the
+    // truncated-ppm integer harmonic (window sum over tested ranks)
+    "q_fdr_by" -> fdrOracle(dependent = true),
+    
     // MDE replica: per-unit decimal totals, the cuped-style 2-dp
     // fixed squares, welch-order variance, (1.96 + 0.8416)·sqrt(se2)
     "q_power_mde" ->
@@ -12347,6 +12294,88 @@ object Queries {
        |SELECT agg.g AS event_type, ex.exact_distinct, agg.n_occupied,
        | agg.zsum_scaled, round($est, 6) AS hll_estimate
        |FROM agg JOIN ex ON agg.g = ex.g""".stripMargin
+  }
+
+  /** q_fdr_bh / q_fdr_by shared replica: one prefix (cells,
+    * seeded redraws, ppm p-values, ranks), two step-up decisions —
+    * BH p·m ≤ i·α‰·10³; BY divides α by the truncated-ppm integer
+    * harmonic c₆ = Σ(10⁶ div i) over the tested ranks (a window
+    * sum), keeping the decision pure 64-bit arithmetic. */
+  private def fdrOracle(dependent: Boolean): String = {
+    val cond =
+      if (dependent) "p * m * c6 <= i * 50 * 1000 * 1000000"
+      else "p * m <= i * 50 * 1000"
+
+      val repSelects = (0 until 32).map { r =>
+        val a = Dedup.affineA(r); val b = Dedup.affineB(r)
+        s"""SELECT $r AS seed, g,
+           | CASE WHEN (((u % $M) * (u % $M) % $M) * $a
+           |   + (u % $M) * $b + $r) % $M % 1000000 <
+           |   (SELECT thr FROM tot) THEN 1 ELSE 0 END AS y
+           | FROM rows_""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH rows_ AS (SELECT source AS g, doc_id AS u,
+         |  CASE WHEN coalesce(n_chars >= 400, false) THEN 1 ELSE 0 END
+         |   AS y
+         | FROM documents
+         | WHERE source IS NOT NULL AND doc_id IS NOT NULL),
+         |cells AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+         |  coalesce(CAST(sum(y) AS BIGINT), 0) AS k
+         | FROM rows_ GROUP BY g),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+         |  CAST(sum(k) AS BIGINT) AS kk,
+         |  CAST(sum(k) AS BIGINT) * 1000000 //
+         |    CAST(sum(n) AS BIGINT) AS thr
+         | FROM cells),
+         |obs AS (SELECT g, n, k,
+         |  CASE WHEN n < (SELECT nn FROM tot) THEN
+         |    abs(CAST(k AS DOUBLE) / CAST(n AS DOUBLE) -
+         |      CAST((SELECT kk FROM tot) - k AS DOUBLE) /
+         |      CAST((SELECT nn FROM tot) - n AS DOUBLE))
+         |  END AS tobs
+         | FROM cells),
+         |reps AS ($repSelects),
+         |rc AS (SELECT seed, g, CAST(count(*) AS BIGINT) AS n,
+         |  coalesce(CAST(sum(y) AS BIGINT), 0) AS kr
+         | FROM reps GROUP BY 1, 2),
+         |rt AS (SELECT seed, CAST(sum(kr) AS BIGINT) AS ktot
+         | FROM rc GROUP BY 1),
+         |tr AS (SELECT rc.g AS g,
+         |  CASE WHEN rc.n < (SELECT nn FROM tot) THEN
+         |    abs(CAST(kr AS DOUBLE) / CAST(rc.n AS DOUBLE) -
+         |      CAST(ktot - kr AS DOUBLE) /
+         |      CAST((SELECT nn FROM tot) - rc.n AS DOUBLE))
+         |  END AS t
+         | FROM rc JOIN rt USING (seed)),
+         |pv AS (SELECT tr.g AS g,
+         |  CAST(sum(CASE WHEN t IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS reff,
+         |  coalesce(CAST(sum(CASE WHEN t IS NOT NULL
+         |    AND t >= obs.tobs THEN 1 ELSE 0 END) AS BIGINT), 0)
+         |   AS nge
+         | FROM tr JOIN obs ON tr.g = obs.g GROUP BY 1),
+         |p2 AS (SELECT obs.g AS g, obs.n AS n, obs.k AS k, obs.tobs,
+         |  CASE WHEN obs.tobs IS NOT NULL THEN
+         |    (1 + nge) * 1000000 // (reff + 1) END AS p
+         | FROM obs JOIN pv ON obs.g = pv.g),
+         |rk AS (SELECT *, CASE WHEN p IS NOT NULL THEN
+         |    row_number() OVER (ORDER BY p ASC NULLS LAST, g ASC)
+         |  END AS i,
+         |  sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) OVER ()
+         |   AS m
+         | FROM p2),
+         |rkc AS (SELECT *,
+         |  sum(CASE WHEN i IS NOT NULL THEN 1000000 // i END) OVER ()
+         |   AS c6
+         | FROM rk),
+         |rk2 AS (SELECT *,
+         |  max(CASE WHEN $cond THEN i END) OVER () AS imax
+         | FROM rkc)
+         |SELECT g AS source, n, k * 1000000 // n AS pass_ppm,
+         | round(tobs, 6) AS t_obs, p AS p_ppm, i AS bh_rank,
+         | CASE WHEN i IS NOT NULL THEN coalesce(i <= imax, false)
+         |  END AS rejected
+         |FROM rk2""".stripMargin
   }
 
   /** Holt replica shared by q_trend_holt and its streaming twin: the

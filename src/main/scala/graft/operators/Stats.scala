@@ -1629,6 +1629,18 @@ object Stats {
     * from (a primary key — the oracle replays the same draws from
     * the same ids).
     *
+    * `dependent = true` switches the step-up to Benjamini–Yekutieli
+    * (2001): the same decision with α divided by the harmonic number
+    * H_m — valid under ARBITRARY dependence between the tests, which
+    * per-source drift tests on one shared corpus genuinely have (every
+    * test's "rest of corpus" overlaps every other's). Kept integer:
+    * H_m enters as the per-rank truncated-ppm harmonic
+    * c₆ = Σᵢ(10⁶ div i) (a window sum over the tested ranks), and the
+    * decision becomes p·m·c₆ ≤ i·α‰·10⁹ — products stay under 2⁶³ for
+    * every family the control-plane bound admits. The truncation
+    * (< 1 ppm per term) only ever makes the test more conservative —
+    * the safe direction for a validity correction.
+    *
     * Returns one row per group: (groupCol, n, pass_ppm, t_obs,
     * p_ppm, bh_rank, rejected); p/rank/rejected NULL for a group
     * that IS the whole corpus (no complement to test against). */
@@ -1638,7 +1650,8 @@ object Stats {
       idCol: Column,
       pred: Column,
       reps: Int = 32,
-      alphaPermille: Int = 50): DataFrame = {
+      alphaPermille: Int = 50,
+      dependent: Boolean = false): DataFrame = {
     require(reps >= 1 && reps <= 256, s"reps out of range: $reps")
     require(alphaPermille > 0 && alphaPermille < 1000,
       s"alphaPermille out of range: $alphaPermille")
@@ -1710,8 +1723,16 @@ object Stats {
       .withColumn("__m",
         sum(when(col("__p").isNotNull, 1L).otherwise(0L)).over(wAll))
       .withColumn("__ok",
-        col("__p") * col("__m") <=
-          col("__i") * lit(alphaPermille.toLong) * 1000L)
+        if (dependent) {
+          // BY: α / H_m via the truncated-ppm harmonic — integer,
+          // and truncation only tightens the test
+          val c6 = sum(when(col("__i").isNotNull,
+            expr("1000000 div __i"))).over(wAll)
+          col("__p") * col("__m") * c6 <=
+            col("__i") * lit(alphaPermille.toLong) * 1000L * 1000000L
+        } else
+          col("__p") * col("__m") <=
+            col("__i") * lit(alphaPermille.toLong) * 1000L)
       .withColumn("__imax",
         max(when(col("__ok"), col("__i"))).over(wAll))
     val out = ranked.select(col("__g").as(groupCol),

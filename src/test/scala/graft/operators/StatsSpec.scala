@@ -2411,6 +2411,37 @@ class StatsSpec extends SparkSpecBase {
       s0.isNullAt(s0.fieldIndex("rejected")), s"got $s0")
   }
 
+  test("fdrByGroup dependent=true (Benjamini-Yekutieli): decisions " +
+    "replay the integer harmonic formula and never exceed BH's set") {
+    import spark.implicits._
+    val df = (0L until 200L)
+      .map(i => (s"g${i % 4}", i, i % 4 == 0)).toDF("g", "id", "y")
+    val bh = Stats.fdrByGroup(df, "g", col("id"), col("y"))
+      .collect().map(r => r.getAs[String]("g") ->
+        Option(r.getAs[Boolean]("rejected"))).toMap
+    val by = Stats.fdrByGroup(df, "g", col("id"), col("y"),
+      dependent = true).collect()
+    // BY ⊆ BH: dividing alpha by H_m can only un-reject
+    by.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("rejected")) &&
+          r.getAs[Boolean]("rejected"))
+        assert(bh(r.getAs[String]("g")).contains(true),
+          s"BY rejected where BH did not: $r")
+    }
+    // replay the decision from the emitted (p, rank) pairs: the
+    // truncated-ppm harmonic over the m tested ranks
+    val tested = by.filter(r => !r.isNullAt(r.fieldIndex("bh_rank")))
+      .map(r => (r.getAs[Int]("bh_rank"), r.getAs[Long]("p_ppm"),
+        r.getAs[Boolean]("rejected"))).sortBy(_._1)
+    val m = tested.length.toLong
+    val c6 = (1L to m).map(1000000L / _).sum
+    val okRanks = tested.filter { case (i, p, _) =>
+      p * m * c6 <= i.toLong * 50L * 1000L * 1000000L }.map(_._1)
+    val imax = if (okRanks.nonEmpty) okRanks.max else Int.MinValue
+    tested.foreach { case (i, _, rej) =>
+      assert(rej == (i <= imax), s"rank $i decision mismatch") }
+  }
+
   test("prAuc: perfect separation scores 1; hand-computed tie-block " +
     "case; no positives abstains with the baseline intact") {
     import spark.implicits._
