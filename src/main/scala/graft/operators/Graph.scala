@@ -18,9 +18,10 @@ import org.apache.spark.storage.StorageLevel
   *    iteration ~10 an uncut plan tree is exponentially re-analyzed by
   *    Catalyst and task binaries bloat (the classic iterative-Spark
   *    failure mode);
-  *  - the edge list and out-degrees persist once and are reused by
-  *    every iteration (at 100 TB: hash-partitioned on src, so the
-  *    per-iteration join co-locates without a re-shuffle of edges).
+  *  - the edge list persists once WITH the out-degree riding on every
+  *    edge row (one setup join, so the loop body is exactly one join
+  *    + one aggregate per round; at 100 TB: hash-partitioned on src,
+  *    so the per-iteration join co-locates without a re-shuffle).
   *
   * Determinism discipline (the dsum rule, applied per iteration):
   * contributions are computed in DOUBLE (IEEE +,*,/ are correctly
