@@ -934,13 +934,15 @@ object Stats {
       .groupBy(col("t_days"))
       .agg(sum(lit(1L) - col("__cens")).as("n_events"),
         sum(col("__cens")).as("n_censored"))
-    val n = byT.count()
-    require(n >= 1, "kaplanMeier: no spans")
-    require(n <= Guards.MaxSeriesRows,
-      s"kaplanMeier: $n durations exceed the ${Guards.MaxSeriesRows}" +
-        "-row control-plane bound")
-    val pts = byT.orderBy(col("t_days").asc).collect()
+    // one collect with the bound guard riding it (the holtLinear
+    // discipline: limit bound+1 → TakeOrdered, no counting scan)
+    val pts = byT.orderBy(col("t_days").asc)
+      .limit(Guards.MaxSeriesRows.toInt + 1).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    require(pts.length >= 1, "kaplanMeier: no spans")
+    require(pts.length <= Guards.MaxSeriesRows,
+      s"kaplanMeier: the duration frame exceeds the " +
+        s"${Guards.MaxSeriesRows}-row control-plane bound")
     // at-risk = spells ending at or after t: suffix sums, then the
     // integer floor-product walk
     val totals = pts.map(p => p._2 + p._3)
@@ -5471,13 +5473,16 @@ object Stats {
     val src = series.select(col(orderCol).cast(StringType).as("d"),
         col(valueCol).cast(DecimalType(18, 4)).as("y"))
       .filter(col("d").isNotNull && col("y").isNotNull)
-    val n = src.count()
-    require(n >= 1, "holtLinear: empty series")
-    require(n <= Guards.MaxSeriesRows,
-      s"holtLinear: $n periods exceed the ${Guards.MaxSeriesRows}-row " +
-        "control-plane bound — aggregate to coarser periods")
-    val pts = src.orderBy(col("d").asc).collect()
+    // the bound guard rides the ONE collect (limit bound+1 → a
+    // TakeOrdered, never a full sort, and no separate counting scan):
+    // bound+1 rows back means the series is over the ceiling
+    val pts = src.orderBy(col("d").asc)
+      .limit(Guards.MaxSeriesRows.toInt + 1).collect()
       .map(r => (r.getString(0), r.getDecimal(1)))
+    require(pts.length >= 1, "holtLinear: empty series")
+    require(pts.length <= Guards.MaxSeriesRows,
+      s"holtLinear: the series exceeds the ${Guards.MaxSeriesRows}" +
+        "-row control-plane bound — aggregate to coarser periods")
     val out = Array.newBuilder[org.apache.spark.sql.Row]
     var l = r6(pts(0)._2)
     var b = r6(JBD.ZERO)
