@@ -4756,6 +4756,38 @@ object Queries {
           round(sum(col("n_chars")).cast(DoubleType) /
             sum(col("__bp")).cast(DoubleType), 6).as("chars_per_token"))
     }),
+    "q_text_readability" -> ((s, dir) => {
+      // Coleman–Liau readability per source (Coleman & Liau 1975) —
+      // the grade-level filter that needs NO syllable counting (pure
+      // letter/word/sentence counts, unlike Flesch): CLI = 0.0588·L −
+      // 0.296·S − 15.8 with L = letters per 100 words and S =
+      // sentence terminators per 100 words, computed over the
+      // source's EXACT integer totals (one aggregate pass; the only
+      // doubles are the final literal-form ratios). A training
+      // pipeline cuts sources whose grade level says boilerplate
+      // or gibberish.
+      val docs = Tables.documents(s, dir)
+      val staged = docs.select(col("source"),
+        TextAnalysis.letterCount(col("text")).cast(LongType)
+          .as("__l"),
+        TextAnalysis.tokenCount(col("text")).cast(LongType)
+          .as("__w"),
+        TextAnalysis.sentenceCount(col("text")).cast(LongType)
+          .as("__s"))
+      val agg = staged.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("__l")), lit(0L)).as("letters"),
+          coalesce(sum(col("__w")), lit(0L)).as("words"),
+          coalesce(sum(col("__s")), lit(0L)).as("sentences"))
+      def d(c: Column) = c.cast(DoubleType)
+      val bigL = lit(100.0) * d(col("letters")) / d(col("words"))
+      val bigS = lit(100.0) * d(col("sentences")) / d(col("words"))
+      agg.select(col("source"), col("n_docs"), col("letters"),
+        col("words"), col("sentences"),
+        when(col("words") > 0L,
+          round(lit(0.0588) * bigL - lit(0.296) * bigS - lit(15.8), 6))
+          .otherwise(lit(null).cast(DoubleType)).as("cli"))
+    }),
     "q_quality_by_lang" -> ((s, dir) => {
       // Token array staged as an attribute before scoring: HOFs defeat
       // Catalyst subexpression elimination, so the inline form would
@@ -8879,6 +8911,30 @@ object Queries {
         |   AS chars_per_token
         |FROM d GROUP BY lang""".stripMargin,
     "q_quality_by_lang" -> qualityOracle,
+    // Coleman–Liau replica: the same fixed ASCII letter class
+    // (DuckDB regexp_replace needs the explicit 'g' flag Spark
+    // defaults to), terminator-RUN counts, exact integer totals,
+    // literal-form final ratios
+    "q_text_readability" ->
+      """WITH t AS (SELECT source,
+        |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |    AS BIGINT) AS l,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> len(x) > 0)) AS BIGINT) AS w,
+        |  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS s
+        | FROM documents),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(l), 0) AS BIGINT) AS letters,
+        |  CAST(coalesce(sum(w), 0) AS BIGINT) AS words,
+        |  CAST(coalesce(sum(s), 0) AS BIGINT) AS sentences
+        | FROM t GROUP BY 1)
+        |SELECT source, n_docs, letters, words, sentences,
+        | CASE WHEN words > 0 THEN round(
+        |   0.0588 * (100.0 * CAST(letters AS DOUBLE) /
+        |     CAST(words AS DOUBLE)) -
+        |   0.296 * (100.0 * CAST(sentences AS DOUBLE) /
+        |     CAST(words AS DOUBLE)) - 15.8, 6) END AS cli
+        |FROM a""".stripMargin,
     "q_lang_id" -> langIdOracle,
     "q_lang_margin" -> langMarginOracle,
     "q_fingerprint" ->

@@ -30,6 +30,16 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     regexp_count(text, lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"))
 
+  /** Letter count (ASCII alphabetic only — the Coleman–Liau input;
+    * a fixed class keeps both engines' regex semantics identical). */
+  def letterCount(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z]", ""))
+
+  /** Sentence-terminator RUN count ([.!?]+ as one terminator — "..."
+    * is one sentence end, not three). */
+  def sentenceCount(text: Column): Column =
+    regexp_count(text, lit("[.!?]+"))
+
   /** Mean whitespace-token length in characters (0 for empty docs).
     * Convenience form — tokenizes inline twice; hot paths should stage
     * the token array and call [[meanTokenLengthFromTokens]]. */
