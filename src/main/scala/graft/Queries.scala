@@ -3273,7 +3273,13 @@ object Queries {
             .cast(DecimalType(38, 0))),
             lit(0).cast(DecimalType(38, 0))).as("f2_exact"))
       med.crossJoin(broadcast(exact))
-        .select(col("n"), col("n_keys"), col("f2_exact"), col("f2_est"))
+        .select(col("n"), col("n_keys"),
+          // BIGINT boundary over the DECIMAL(38,0) internals — the
+          // amsF2 emit note (r12 decimal-boundary lesson)
+          Guards.emitBigint(col("f2_exact"), "q_stream_f2 f2_exact")
+            .as("f2_exact"),
+          Guards.emitBigint(col("f2_est"), "q_stream_f2 f2_est")
+            .as("f2_est"))
     }),
     "q_stream_joinsize" -> ((s, dir) => {
       // Live JOIN-SIZE monitor: the events side's nine signed AMS
@@ -3323,8 +3329,11 @@ object Queries {
           .cast(DecimalType(38, 0))),
           lit(0).cast(DecimalType(38, 0))).as("join_exact"))
       med.crossJoin(broadcast(exact))
-        .select(col("n_a"), col("n_b"), col("join_exact"),
-          col("join_est"))
+        .select(col("n_a"), col("n_b"),
+          Guards.emitBigint(col("join_exact"),
+            "q_stream_joinsize join_exact").as("join_exact"),
+          Guards.emitBigint(col("join_est"),
+            "q_stream_joinsize join_est").as("join_est"))
     }),
     "q_stream_quantile_group" -> ((s, dir) => {
       // Streaming grouped-quantile sketch: the 256-bin mergeable
@@ -7797,8 +7806,7 @@ object Queries {
         |    // x.n_at_risk)) // 1000000 AS s6
         | FROM km k JOIN r x ON x.i = k.i + 1)
         |SELECT t_days, n_at_risk, n_events, n_censored,
-        | CAST(CAST(s6 AS DECIMAL(13,0)) * 0.000001 AS DECIMAL(18,6))
-        |   AS survival
+        | CAST(s6 AS DOUBLE) / 1000000.0 AS survival
         |FROM km""".stripMargin,
     // log-rank replica: same spans/censoring as the survival oracle,
     // per-duration hypergeometric terms in literal order, 9-dp
@@ -12306,7 +12314,9 @@ object Queries {
          |    * CAST(fb.f AS DECIMAL(19,0)) AS DECIMAL(38,0))),
          |  CAST(0 AS DECIMAL(38,0))) AS join_exact
          | FROM fa JOIN fb ON fa.k = fb.k)
-         |SELECT med.n_a, med.n_b, ex.join_exact, med.join_est
+         |SELECT med.n_a, med.n_b,
+         | CAST(ex.join_exact AS BIGINT) AS join_exact,
+         | CAST(med.join_est AS BIGINT) AS join_est
          |FROM med, ex""".stripMargin
   }
 
@@ -12441,7 +12451,8 @@ object Queries {
     * round is half-away-from-zero = HALF_UP on signed values);
     * exactness removes every op-order constraint a float recursion
     * would carry. `spineSql` must emit (d VARCHAR, rev
-    * DECIMAL(18,4)). */
+    * DECIMAL(18,4)). The boundary is DOUBLE via exact scaled-long
+    * divisions (no decimal leaves the CTE — the r12 emit lesson). */
   private def holtOracle(spineSql: String): String = {
     val a = java.math.BigDecimal.valueOf(0.3)
     val b = java.math.BigDecimal.valueOf(0.1)
@@ -12464,7 +12475,16 @@ object Queries {
        |    AS DECIMAL(18,6)) AS trend,
        |  CAST(r.level + r.trend AS DECIMAL(18,6)) AS fcst
        | FROM rec r JOIN idx x ON x.i = r.i + 1)
-       |SELECT d, rev, level, trend, fcst FROM rec""".stripMargin
+       |SELECT d,
+       | CAST(CAST(CAST(rev AS DECIMAL(28,4)) * 10000 AS BIGINT)
+       |   AS DOUBLE) / 10000.0 AS rev,
+       | CAST(CAST(CAST(level AS DECIMAL(28,6)) * 1000000 AS BIGINT)
+       |   AS DOUBLE) / 1000000.0 AS level,
+       | CAST(CAST(CAST(trend AS DECIMAL(28,6)) * 1000000 AS BIGINT)
+       |   AS DOUBLE) / 1000000.0 AS trend,
+       | CAST(CAST(CAST(fcst AS DECIMAL(28,6)) * 1000000 AS BIGINT)
+       |   AS DOUBLE) / 1000000.0 AS fcst
+       |FROM rec""".stripMargin
   }
 
   /** q_sketch_f2 / q_stream_f2 shared replica: the same quadratic
@@ -12498,7 +12518,9 @@ object Queries {
          |      * CAST(f AS DECIMAL(19,0)) AS DECIMAL(38,0))),
          |    CAST(0 AS DECIMAL(38,0))) AS f2_exact
          | FROM (SELECT CAST(count(*) AS BIGINT) AS f FROM v GROUP BY k))
-         |SELECT med.n, ex.n_keys, ex.f2_exact, med.f2_est
+         |SELECT med.n, ex.n_keys,
+         | CAST(ex.f2_exact AS BIGINT) AS f2_exact,
+         | CAST(med.f2_est AS BIGINT) AS f2_est
          |FROM med, ex""".stripMargin
   }
 
@@ -14158,8 +14180,8 @@ object Queries {
        |d0 AS ($anchors),
        |$levels,
        |h AS (SELECT node, CAST(count(*) AS BIGINT) AS n_reached,
-       |  CAST(sum(CAST(round(1.0 / dist, 6) AS DECIMAL(18,6)))
-       |    AS DECIMAL(18,6)) AS harmonic
+       |  CAST(CAST(sum(CAST(round(1.0 / dist, 6) AS DECIMAL(18,6)))
+       |      * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS harmonic
        | FROM d3 WHERE dist > 0 GROUP BY 1)
        |SELECT harmonic, count(*) AS n_nodes,
        | CAST(sum(node) AS BIGINT) AS id_sum,

@@ -338,8 +338,10 @@ object Graph {
     * are exact integers; each reciprocal rounds to 6 dp and folds as
     * DECIMAL(18,6) (the pageRank discipline).
     *
-    * Returns (node, n_reached, harmonic DECIMAL(18,6)) for every
-    * node reached by at least one seed (seeds earn no self-term). */
+    * Returns (node, n_reached, harmonic DOUBLE — the 6-dp lattice
+    * value, decimal-folded internally and emitted through the exact
+    * scaled-long division) for every node reached by at least one
+    * seed (seeds earn no self-term). */
   def harmonicCentrality(
       edges: DataFrame,
       seeds: Seq[Long],
@@ -373,9 +375,14 @@ object Graph {
     dist.filter(col("dist") > 0L)
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_reached"),
-        sum(round(lit(1.0) / col("dist").cast(DoubleType), 6)
-          .cast(DecimalType(18, 6)))
-          .cast(DecimalType(18, 6)).as("harmonic"))
+        // 6-dp reciprocal DECIMAL fold internally (order-free
+        // exactness — the pageRank discipline), DOUBLE at the
+        // boundary via the scaled-long division (catalog emit
+        // convention, VERDICT r12)
+        Guards.emitDouble(
+          sum(round(lit(1.0) / col("dist").cast(DoubleType), 6)
+            .cast(DecimalType(18, 6))),
+          6, "harmonicCentrality").as("harmonic"))
   }
 
   /** Link-prediction features over an undirected canonical edge list

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 /** Guard rails for SINGLE-PARTITION window topology (VERDICT r9 item
   * 4). An unpartitioned `Window.orderBy` moves its whole input to one
@@ -57,5 +58,36 @@ object Guards {
             "— aggregate to coarser periods or partition the window")))
         .isNull)
       .drop("__guard_rows")
+  }
+
+  /** The catalog's emit-type convention (VERDICT r12 item 1): gated
+    * outputs carry NO decimal columns — decimals are INTERNAL
+    * arithmetic, the boundary is BIGINT or DOUBLE. The driver's typed
+    * hash canonicalizes a Spark-parquet decimal and a DuckDB decimal
+    * differently (scale retention / INT128 backing), so a decimal at
+    * the boundary is a hash mismatch even when every value is
+    * bit-identical — the r12 red set was EXACTLY the catalog's 8
+    * decimal-output queries. These two helpers are the sanctioned
+    * conversions; `EmitTypesSpec` lints every gated schema. */
+
+  /** Checked DECIMAL→BIGINT emit cast: exact while |v| fits a long,
+    * loud in-plan failure past it (a raw `.cast(LongType)` would
+    * silently NULL on overflow in non-ANSI mode). */
+  def emitBigint(c: Column, what: String): Column =
+    when(c.isNull, lit(null).cast(LongType))
+      .when(abs(c) <= lit(Long.MaxValue), c.cast(LongType))
+      .otherwise(raise_error(concat(
+        lit(s"$what: value "), c.cast(StringType),
+        lit(" exceeds the BIGINT emit range"))).cast(LongType))
+
+  /** Checked DECIMAL(scale ≤ s)→DOUBLE emit via the scaled-long
+    * division both engines replay bitwise: v·10^s is an exact
+    * integer (range-guarded), long→double is exact below 2⁵³, and
+    * the single IEEE division by 10^s is correctly rounded — the
+    * q_quantile_sketch oracle pattern (`CAST(x AS DOUBLE) / 10^s`). */
+  def emitDouble(c: Column, scale: Int, what: String): Column = {
+    require(scale >= 0 && scale <= 9, s"emit scale out of range: $scale")
+    val f = math.pow(10, scale).toLong
+    emitBigint(c * lit(f), what).cast(DoubleType) / lit(f.toDouble)
   }
 }

@@ -957,8 +957,12 @@ object Stats {
       val (t, d, c) = pts(i)
       val f6 = 1000000L * (atRisk(i) - d) / atRisk(i)
       s6 = s6 * f6 / 1000000L
+      // integer walk internally, DOUBLE at the boundary (catalog emit
+      // convention, VERDICT r12): s6 ≤ 10⁶ so long→double is exact
+      // and the one IEEE division replays the oracle's
+      // `CAST(s6 AS DOUBLE) / 1000000.0` bit for bit
       out += org.apache.spark.sql.Row(t, atRisk(i), d, c,
-        java.math.BigDecimal.valueOf(s6, 6))
+        s6.toDouble / 1e6)
       i += 1
     }
     val schema = StructType(Seq(
@@ -966,7 +970,7 @@ object Stats {
       StructField("n_at_risk", LongType, nullable = false),
       StructField("n_events", LongType, nullable = false),
       StructField("n_censored", LongType, nullable = false),
-      StructField("survival", DecimalType(18, 6), nullable = false)))
+      StructField("survival", DoubleType, nullable = false)))
     df.sparkSession.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
         java.util.Arrays.asList(out.result(): _*)), schema)
@@ -2877,7 +2881,16 @@ object Stats {
           .cast(DecimalType(38, 0))), lit(0).cast(DecimalType(38, 0)))
           .as("f2_exact"))
     med.crossJoin(broadcast(exact)) // 1×1 control plane
-      .select(col("n"), col("n_keys"), col("f2_exact"), col("f2_est"))
+      .select(col("n"), col("n_keys"),
+        // DECIMAL(38,0) is the internal overflow-proof square; the
+        // BOUNDARY is BIGINT (the catalog emit convention — a decimal
+        // at the boundary hash-mismatches the driver's typed gate
+        // even when bit-identical, VERDICT r12). |est| ≤ n² fits a
+        // long through ~3·10⁹ rows per sketch; past that the guard
+        // raises loudly instead of silently nulling.
+        Guards.emitBigint(col("f2_exact"), "amsF2 f2_exact")
+          .as("f2_exact"),
+        Guards.emitBigint(col("f2_est"), "amsF2 f2_est").as("f2_est"))
   }
 
   /** AMS sketched JOIN-SIZE estimate between two tables — the
@@ -2932,7 +2945,13 @@ object Stats {
         .cast(DecimalType(38, 0))), lit(0).cast(DecimalType(38, 0)))
         .as("join_exact"))
     med.crossJoin(broadcast(exact)) // 1×1 control plane
-      .select(col("n_a"), col("n_b"), col("join_exact"), col("join_est"))
+      .select(col("n_a"), col("n_b"),
+        // BIGINT boundary over the DECIMAL(38,0) internals — see
+        // [[amsF2]]'s emit note (the r12 decimal-boundary lesson).
+        Guards.emitBigint(col("join_exact"), "amsJoinSize join_exact")
+          .as("join_exact"),
+        Guards.emitBigint(col("join_est"), "amsJoinSize join_est")
+          .as("join_est"))
   }
 
   /** Association rules over (basket, item) pairs — market-basket
@@ -5483,26 +5502,38 @@ object Stats {
     require(pts.length <= Guards.MaxSeriesRows,
       s"holtLinear: the series exceeds the ${Guards.MaxSeriesRows}" +
         "-row control-plane bound — aggregate to coarser periods")
+    // Emit boundary: the recursion is exact decimal INTERNALLY; the
+    // OUTPUT is DOUBLE (the catalog emit convention — a decimal at
+    // the boundary hash-mismatches the driver's typed gate, VERDICT
+    // r12). Each fixed-scale decimal converts via its exact scaled
+    // long and ONE IEEE division — bitwise replayable in the oracle's
+    // `CAST(x · 10^s AS BIGINT) AS DOUBLE) / 10^s` tail.
+    def d4(x: JBD): Double =
+      x.movePointRight(4).longValueExact.toDouble / 1e4
+    def d6(x: JBD): Double =
+      x.movePointRight(6).longValueExact.toDouble / 1e6
     val out = Array.newBuilder[org.apache.spark.sql.Row]
     var l = r6(pts(0)._2)
     var b = r6(JBD.ZERO)
-    out += org.apache.spark.sql.Row(pts(0)._1, pts(0)._2, l, b, null)
+    out += org.apache.spark.sql.Row(
+      pts(0)._1, d4(pts(0)._2), d6(l), d6(b), null)
     var i = 1
     while (i < pts.length) {
       val (d, y) = pts(i)
       val fcst = r6(l.add(b))
       val lNew = r6(a.multiply(y).add(ia.multiply(l.add(b))))
       val bNew = r6(b1.multiply(lNew.subtract(l)).add(ib.multiply(b)))
-      out += org.apache.spark.sql.Row(d, y, lNew, bNew, fcst)
+      out += org.apache.spark.sql.Row(d, d4(y), d6(lNew), d6(bNew),
+        d6(fcst))
       l = lNew; b = bNew
       i += 1
     }
     val schema = StructType(Seq(
       StructField("d", StringType, nullable = false),
-      StructField("rev", DecimalType(18, 4), nullable = false),
-      StructField("level", DecimalType(18, 6), nullable = false),
-      StructField("trend", DecimalType(18, 6), nullable = false),
-      StructField("fcst", DecimalType(18, 6), nullable = true)))
+      StructField("rev", DoubleType, nullable = false),
+      StructField("level", DoubleType, nullable = false),
+      StructField("trend", DoubleType, nullable = false),
+      StructField("fcst", DoubleType, nullable = true)))
     series.sparkSession.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
         java.util.Arrays.asList(out.result(): _*)), schema)

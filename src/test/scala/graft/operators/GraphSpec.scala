@@ -121,7 +121,7 @@ class GraphSpec extends SparkSpecBase {
       .toDF("a", "b")
     val got = Graph.harmonicCentrality(e, Seq(1L, 5L), iters = 3)
       .collect().map(r => (r.getLong(0),
-        (r.getLong(1), r.getDecimal(2).doubleValue))).toMap
+        (r.getLong(1), r.getDouble(2)))).toMap
     // node 2: d(1,2)=1, d(5,2)=3 → 1 + .333333; node 3: 1/2 + 1/2;
     // node 4 mirrors node 2. The seeds themselves sit 4 hops apart —
     // beyond the horizon — and self-terms are excluded, so neither

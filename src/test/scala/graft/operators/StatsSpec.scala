@@ -657,10 +657,9 @@ class StatsSpec extends SparkSpecBase {
     val df = Seq(("d1", 10.0), ("d2", 20.0), ("d3", 30.0))
       .toDF("d", "v")
     val rows = Stats.holtLinear(df, "d", "v", alpha = 0.5, beta = 0.5)
-      .collect().map(r => (r.getString(0),
-        Option(r.getDecimal(2)).map(_.doubleValue).get,
-        Option(r.getDecimal(3)).map(_.doubleValue).get,
-        Option(r.getDecimal(4)).map(_.doubleValue)))
+      .collect().map(r => (r.getString(0), r.getDouble(2),
+        r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
     // t1: l=10, b=0, no forecast
     assert(rows(0) == (("d1", 10.0, 0.0, None)))
     // t2: fcst=10; l=.5·20+.5·10=15; b=.5·(15−10)+.5·0=2.5
@@ -673,7 +672,7 @@ class StatsSpec extends SparkSpecBase {
       "d", "v", alpha = 0.5, beta = 0.1).collect()
     // rev fixes at 4 dp first (0.0000025 → 0.0000), so the whole
     // trajectory stays at zero — the 4-dp input contract
-    assert(half(1).getDecimal(2).doubleValue == 0.0)
+    assert(half(1).getDouble(2) == 0.0)
     // empty series refuses loudly
     val err = intercept[IllegalArgumentException] {
       Stats.holtLinear(Seq.empty[(String, Double)].toDF("d", "v"),
@@ -764,7 +763,7 @@ class StatsSpec extends SparkSpecBase {
     val rows = Stats.kaplanMeier(df, col("u"), col("ts"),
       censorDays = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getDecimal(4).doubleValue))
+        r.getLong(3), r.getDouble(4)))
     // t=2: n=5, d=2 → f=.6, S=.6; t=4: n=3, d=1 → f=.666666
     //   (floor), S=.399999 (floor of .6·.666666); t=18: n=2, d=0,
     //   c=2 → S unchanged
@@ -1494,8 +1493,8 @@ class StatsSpec extends SparkSpecBase {
     val mono = Seq.fill(5)("k").toDF("k")
     val m = Stats.amsF2(mono, col("k")).collect()(0)
     assert(m.getAs[Long]("n") == 5L && m.getAs[Long]("n_keys") == 1L)
-    assert(m.getAs[java.math.BigDecimal]("f2_exact").longValueExact == 25L)
-    assert(m.getAs[java.math.BigDecimal]("f2_est").longValueExact == 25L)
+    assert(m.getAs[Long]("f2_exact") == 25L)
+    assert(m.getAs[Long]("f2_est") == 25L)
     // mixed: a=3, b=2, c=1 → F2 = 9 + 4 + 1 = 14; the estimate is
     // hash-deterministic — bitwise equal on a rerun
     val mixed = (Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq("c"))
@@ -1503,15 +1502,15 @@ class StatsSpec extends SparkSpecBase {
     val r1 = Stats.amsF2(mixed, col("k")).collect()(0)
     val r2 = Stats.amsF2(mixed, col("k")).collect()(0)
     assert(r1.getAs[Long]("n") == 6L && r1.getAs[Long]("n_keys") == 3L)
-    assert(r1.getAs[java.math.BigDecimal]("f2_exact").longValueExact == 14L)
-    assert(r1.getAs[java.math.BigDecimal]("f2_est").longValueExact >= 0L)
+    assert(r1.getAs[Long]("f2_exact") == 14L)
+    assert(r1.getAs[Long]("f2_est") >= 0L)
     assert(r1.toSeq == r2.toSeq, "estimate must replay bitwise")
     // NULL keys are no keys
     val withNulls = (Seq.fill(5)(Some("k")) ++ Seq(None, None))
       .toDF("k")
     val n = Stats.amsF2(withNulls, col("k")).collect()(0)
     assert(n.getAs[Long]("n") == 5L && n.getAs[Long]("n_keys") == 1L)
-    assert(n.getAs[java.math.BigDecimal]("f2_exact").longValueExact == 25L)
+    assert(n.getAs[Long]("f2_exact") == 25L)
   }
 
   test("cramerVonMises: hand-computed T for interleaved and " +
@@ -1549,15 +1548,13 @@ class StatsSpec extends SparkSpecBase {
     val b = (Seq.fill(3)("a") ++ Seq.fill(4)("c")).toDF("k")
     val r1 = Stats.amsJoinSize(a, col("k"), b, col("k")).collect()(0)
     assert(r1.getAs[Long]("n_a") == 3L && r1.getAs[Long]("n_b") == 7L)
-    assert(r1.getAs[java.math.BigDecimal]("join_exact")
-      .longValueExact == 6L)
+    assert(r1.getAs[Long]("join_exact") == 6L)
     val r2 = Stats.amsJoinSize(a, col("k"), b, col("k")).collect()(0)
     assert(r1.toSeq == r2.toSeq, "estimate must replay bitwise")
     // disjoint key sets: exact join size 0 (estimate unbiased-around-0)
     val d = Stats.amsJoinSize(a, col("k"),
       Seq("z", "z").toDF("k"), col("k")).collect()(0)
-    assert(d.getAs[java.math.BigDecimal]("join_exact")
-      .longValueExact == 0L)
+    assert(d.getAs[Long]("join_exact") == 0L)
   }
 
   test("durbinWatson: alternating residuals push DW toward 4, a " +

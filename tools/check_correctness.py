@@ -48,10 +48,15 @@ def norm_cell(v):
         return ("float", struct.pack(">d", v))
     if isinstance(v, int):
         return ("int", v)
-    try:  # Decimal: distinct from float, normalized textual form
+    try:  # Decimal: distinct from float, REPRESENTATION-level compare
+        # (sign, digits, exponent) — NOT normalize(): the driver's
+        # typed hash sees a scale difference between a Spark-parquet
+        # decimal and a DuckDB decimal even when the values are equal
+        # (VERDICT r12 item 1: the whole r12 red set), and normalize()
+        # was hiding exactly that class of gap from this replica.
         import decimal
         if isinstance(v, decimal.Decimal):
-            return ("decimal", str(v.normalize()))
+            return ("decimal", str(v.as_tuple()))
     except Exception:
         pass
     return ("other", str(v))
@@ -141,6 +146,27 @@ def main():
                 (r[0], canon_type(r[1])) for r in con.execute(
                     f"DESCRIBE SELECT * FROM '{out_dir}/{q}/*.parquet'"
                 ).fetchall())
+            # Emit-convention ban (VERDICT r12): a DECIMAL (or HUGEINT)
+            # column at the output boundary of EITHER side is a driver
+            # hash mismatch even when every value is bit-identical —
+            # the r12 red set was exactly the catalog's decimal-output
+            # queries, and this replica passed them all. Fail here so
+            # the gap costs a local run, not a round.
+            banned = {c: (gtypes.get(c), etypes.get(c))
+                      for c in set(etypes) | set(gtypes)
+                      if any(t and (t.startswith("DECIMAL")
+                                    or t == "HUGEINT")
+                             for t in (gtypes.get(c), etypes.get(c)))}
+            if banned:
+                print(f"FAIL {q} decimal/hugeint at the emit boundary "
+                      f"(driver-red by convention): {banned}")
+                records[q] = {"rows_match": len(grows) == len(erows),
+                              "schema_match": False, "hash_match": False,
+                              "spark_rows": len(grows),
+                              "oracle_rows": len(erows),
+                              "err": "decimal emit"}
+                n_fail += 1
+                continue
             tdiff = {c: (gtypes.get(c), etypes.get(c))
                      for c in set(etypes) | set(gtypes)
                      if gtypes.get(c) != etypes.get(c)}
