@@ -2552,9 +2552,9 @@ object Queries {
       // the 20 tests share one corpus (every "rest of corpus"
       // overlaps every other's), exactly the arbitrary-dependence
       // case BH's independence assumption waives and BY's α/H_m
-      // covers. The harmonic enters as the truncated-ppm integer
-      // Σ(10⁶ div i) — the decision stays pure 64-bit arithmetic,
-      // and truncation only tightens it.
+      // covers. The harmonic enters as the CEIL-ppm integer
+      // Σ⌈10⁶/i⌉ — the decision stays pure 64-bit arithmetic, and
+      // rounding H_m UP tightens the test (the safe direction).
       Stats.fdrByGroup(Tables.documents(s, dir), "source",
         col("doc_id"), col("n_chars") >= 400, dependent = true)
     }),
@@ -11082,9 +11082,8 @@ object Queries {
         |    0) AS BIGINT) AS nf
         | FROM rt),
         |fin AS (SELECT u, p, s, nt, nf, nt + nf AS n,
-        |  CAST(s AS DOUBLE) / CAST(CAST(
-        |    CAST(2 AS DECIMAL(38,0)) * CAST(nt + nf AS DECIMAL(38,0))
-        |    AS DECIMAL(38,0)) AS DOUBLE) AS d_o,
+        |  CAST(s AS DOUBLE)
+        |    / CAST(CAST(nt + nf AS DECIMAL(38,0)) AS DOUBLE) AS d_o,
         |  CAST(CAST(CAST(2 AS DECIMAL(38,0)) *
         |      CAST(nt AS DECIMAL(38,0)) * CAST(nf AS DECIMAL(38,0))
         |    AS DECIMAL(38,0)) AS DOUBLE) /
@@ -12431,8 +12430,8 @@ object Queries {
          |   AS m
          | FROM p2),
          |rkc AS (SELECT *,
-         |  sum(CASE WHEN i IS NOT NULL THEN 1000000 // i END) OVER ()
-         |   AS c6
+         |  sum(CASE WHEN i IS NOT NULL
+         |    THEN (1000000 + i - 1) // i END) OVER () AS c6
          | FROM rk),
          |rk2 AS (SELECT *,
          |  max(CASE WHEN $cond THEN i END) OVER () AS imax

@@ -1640,12 +1640,14 @@ object Stats {
     * H_m — valid under ARBITRARY dependence between the tests, which
     * per-source drift tests on one shared corpus genuinely have (every
     * test's "rest of corpus" overlaps every other's). Kept integer:
-    * H_m enters as the per-rank truncated-ppm harmonic
-    * c₆ = Σᵢ(10⁶ div i) (a window sum over the tested ranks), and the
+    * H_m enters as the per-rank CEIL-ppm harmonic
+    * c₆ = Σᵢ⌈10⁶/i⌉ (a window sum over the tested ranks), and the
     * decision becomes p·m·c₆ ≤ i·α‰·10⁹ — products stay under 2⁶³ for
-    * every family the control-plane bound admits. The truncation
-    * (< 1 ppm per term) only ever makes the test more conservative —
-    * the safe direction for a validity correction.
+    * every family the control-plane bound admits. Rounding each term
+    * UP overstates H_m by < 1 ppm per term, shrinking the rejection
+    * region — genuinely conservative relative to exact α/H_m (a
+    * floor would round the harmonic DOWN and loosen the test by the
+    * same hair — ADVICE r12).
     *
     * Returns one row per group: (groupCol, n, pass_ppm, t_obs,
     * p_ppm, bh_rank, rejected); p/rank/rejected NULL for a group
@@ -1730,10 +1732,11 @@ object Stats {
         sum(when(col("__p").isNotNull, 1L).otherwise(0L)).over(wAll))
       .withColumn("__ok",
         if (dependent) {
-          // BY: α / H_m via the truncated-ppm harmonic — integer,
-          // and truncation only tightens the test
+          // BY: α / H_m via the CEIL-ppm harmonic — integer, and
+          // rounding H_m UP tightens the test (ADVICE r12: a floor
+          // would loosen it by a few ppm)
           val c6 = sum(when(col("__i").isNotNull,
-            expr("1000000 div __i"))).over(wAll)
+            expr("(1000000 + __i - 1) div __i"))).over(wAll)
           col("__p") * col("__m") * c6 <=
             col("__i") * lit(alphaPermille.toLong) * 1000L * 1000000L
         } else
@@ -4167,9 +4170,12 @@ object Stats {
     * chance?"
     *
     * α = 1 − D_o/D_e over the coincidence matrix; for binary nominal
-    * data D_o = (Σ_u t_u·f_u/(m_u−1))/n and D_e = 2·n_t·n_f/(n(n−1))
+    * data D_o = (Σ_u 2·t_u·f_u/(m_u−1))/n and D_e = 2·n_t·n_f/(n(n−1))
     * with t/f the per-unit true/false counts, m = t+f, n the pairable
-    * rating total.
+    * rating total — the 2 is the ORDERED-pair factor (a (T,F) unit
+    * contributes both (T,F) and (F,T) coincidences; D_e carries the
+    * same factor, ADVICE r12). Sanity anchor: one two-rater (T,F)
+    * unit gives D_o = D_e = 1 → α = 0, the Scott's-π reduction.
     *
     * Exactness: per-unit contributions scale by L = lcm(1..R−1), so
     * L·t·f/(m−1) is an exact integer for EVERY m ≤ R (R ≤ 9 ⇒
@@ -4203,7 +4209,10 @@ object Stats {
     // a division (Spark's `/` on longs would go through double)
     val factor = (2 to rr).foldLeft(lit(0L)) { (acc, mm) =>
       when(m === mm.toLong, lit(L / (mm - 1))).otherwise(acc) }
-    val contrib = when(pairable, t * f * factor).otherwise(lit(0L))
+    // ordered-pair factor 2: without it D_o is halved and agreement
+    // systematically inflated (ADVICE r12)
+    val contrib =
+      when(pairable, lit(2L) * t * f * factor).otherwise(lit(0L))
     val one = df.agg(
       count(lit(1)).as("__u"),
       coalesce(sum(when(pairable, 1L).otherwise(0L)), lit(0L))

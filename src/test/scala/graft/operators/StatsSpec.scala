@@ -722,22 +722,31 @@ class StatsSpec extends SparkSpecBase {
     assert(dr.getAs[Long]("n_units") == 2L &&
       dr.getAs[Long]("n_pairable") == 1L &&
       dr.getAs[Long]("n_ratings") == 3L, s"got $dr")
-    // hand-computed mixed panel: u1 (T,T,F): t=2 f=1 m=3 → tf/(m−1)=1
-    //   u2 (T,F,NULL): t=1 f=1 m=2 → tf/(m−1)=1
-    // n=5 (3+2), S=2 → D_o = 2/5 = .4
-    // n_t=3, n_f=2 → D_e = 2·3·2/(5·4) = .6 → α = 1 − .4/.6 = 1/3
+    // hand-computed mixed panel (ordered-pair factor 2, ADVICE r12):
+    //   u1 (T,T,F): t=2 f=1 m=3 → 2tf/(m−1)=2
+    //   u2 (T,F,NULL): t=1 f=1 m=2 → 2tf/(m−1)=2
+    // n=5 (3+2), S=4 → D_o = 4/5 = .8
+    // n_t=3, n_f=2 → D_e = 2·3·2/(5·4) = .6 → α = 1 − .8/.6 = −1/3
     val mixed = Seq(
       (Some(true), Some(true), Some(false)),
       (Some(true), Some(false), Option.empty[Boolean]))
       .toDF("r1", "r2", "r3")
     val mx = Stats.krippendorffAlpha(mixed, ratings).collect()(0)
     assert(mx.getAs[Long]("n_ratings") == 5L &&
-      mx.getAs[Double]("d_o") == 0.4 &&
+      mx.getAs[Double]("d_o") == 0.8 &&
       mx.getAs[Double]("d_e") == 0.6, s"got $mx")
     assert(mx.getAs[Double]("alpha") ==
-      BigDecimal(1.0 - 0.4 / 0.6)
+      BigDecimal(1.0 - 0.8 / 0.6)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
       s"got $mx")
+    // the Scott's-π reduction: ONE two-rater (T,F) unit has
+    // D_o = D_e = 1 → α = 0 exactly (the halved-D_o bug returned .5)
+    val tf2 = Stats.krippendorffAlpha(
+      Seq((true, false)).toDF("r1", "r2"),
+      Seq(col("r1"), col("r2"))).collect()(0)
+    assert(tf2.getAs[Double]("d_o") == 1.0 &&
+      tf2.getAs[Double]("d_e") == 1.0 &&
+      tf2.getAs[Double]("alpha") == 0.0, s"got $tf2")
     // single-category margin abstains (chance disagreement is 0)
     val oc = Stats.krippendorffAlpha(
       Seq((true, true, true)).toDF("r1", "r2", "r3"), ratings)
