@@ -213,6 +213,35 @@ object Similarity {
       portable: Boolean = false,
       excludeSelf: Boolean = false,
       targetCohort: Int = 16): DataFrame = {
+    val scored = lshScoredCandidates(corpus, queries, idCol, embCol,
+      bits, bands, seed, portable, excludeSelf, targetCohort)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    scored.select(col("query_id"), col("corpus_id"), col("cos"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** The shared banded-candidate + exact-cosine core of
+    * [[lshTopKPerQuery]] and [[twoNNDimension]]: one (band, key)
+    * shuffle, distinct candidate pairs, scored. `corpusExtra` names
+    * corpus-side columns that ride through the band join — they must
+    * be key-functional (constant per corpus id) so the candidate
+    * `distinct()` keeps its cardinality. Output: (query_id,
+    * corpus_id, query_emb, corpus_emb, corpusExtra…, cos). */
+  private def lshScoredCandidates(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      bits: Int,
+      bands: Int,
+      seed: Int,
+      portable: Boolean,
+      excludeSelf: Boolean,
+      targetCohort: Int,
+      corpusExtra: Seq[String] = Nil): DataFrame = {
     require(targetCohort >= 1, s"targetCohort must be >= 1: $targetCohort")
     val floorBits = bits / bands
     val needed = math.ceil(math.log(math.max(1.0,
@@ -220,31 +249,29 @@ object Similarity {
     val bandBits = math.min(math.max(floorBits, needed), 63 / bands)
     val effBits = bandBits * bands
     val mask = (1L << bandBits) - 1
-    def withBands(df: DataFrame, side: String): DataFrame = {
+    def withBands(
+        df: DataFrame, side: String, extra: Seq[String]): DataFrame = {
       val sig = srpSignature(col(embCol), effBits, seed, portable)
-      df.select(col(idCol).as(s"${side}_id"), col(embCol).as(s"${side}_emb"),
-          sig.as("__sig"))
-        .select(col(s"${side}_id"), col(s"${side}_emb"),
+      df.select(col(idCol).as(s"${side}_id") +:
+          col(embCol).as(s"${side}_emb") +: sig.as("__sig") +:
+          extra.map(col): _*)
+        .select(col(s"${side}_id") +: col(s"${side}_emb") +:
           posexplode(transform(sequence(lit(0), lit(bands - 1)),
             b => call_function("shiftrightunsigned", col("__sig"),
               b.cast(IntegerType) * lit(bandBits))
-              .bitwiseAND(mask))).as(Seq("band", "key")))
+              .bitwiseAND(mask))).as(Seq("band", "key")) +:
+          extra.map(col): _*)
     }
-    val c = withBands(corpus, "corpus")
-    val q = withBands(queries, "query")
+    val c = withBands(corpus, "corpus", corpusExtra)
+    val q = withBands(queries, "query", Nil)
     val joined = c.join(q, Seq("band", "key"))
     val cand = (if (excludeSelf) joined.filter(col("query_id") =!= col("corpus_id"))
       else joined)
-      .select(col("query_id"), col("corpus_id"),
-        col("query_emb"), col("corpus_emb"))
+      .select(col("query_id") +: col("corpus_id") +:
+        col("query_emb") +: col("corpus_emb") +:
+        corpusExtra.map(col): _*)
       .distinct()
-    val scored = cand.select(col("query_id"), col("corpus_id"),
-      cosine(col("corpus_emb"), col("query_emb")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("corpus_id").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .drop("__rn")
+    cand.withColumn("cos", cosine(col("corpus_emb"), col("query_emb")))
   }
 
   /** TwoNN intrinsic-dimension estimate of the embedding cloud
@@ -262,6 +289,19 @@ object Similarity {
     * exactly that gap. Duplicate vectors (d₁ = 0) and vectors with
     * fewer than two candidates are excluded and counted.
     *
+    * DUPLICATION-PROOF SHAPE (VERDICT r12 item 3): identical vectors
+    * share identical signatures, so they collide in the SAME bucket
+    * at ANY band width — a duplicated corpus made the candidate pass
+    * quadratic in the multiplicity (the 6.1× probe). The corpus side
+    * therefore dedups to DISTINCT embeddings with multiplicities
+    * first (one linear groupBy); each query's (d₁, d₂) is
+    * reconstructed from the distinct-candidate multiset — a rep
+    * equal to the query's own embedding has capacity m−1 (self
+    * excluded), any other rep capacity m, and c₂ = c₁ when the top
+    * rep's capacity ≥ 2. Value-identical to ranking the duplicated
+    * rows (equal-cos candidates are interchangeable under the 6-dp
+    * round), but candidate work scales with the DISTINCT count.
+    *
     * Determinism: cosines fix at 6 dp, distances are 1 − c, each
     * ln μ rounds at 9 dp and folds as DECIMAL(18,9) (order-free);
     * the estimate is one literal double division rounded at 6 dp.
@@ -273,16 +313,40 @@ object Similarity {
       idCol: String,
       embCol: String,
       portable: Boolean = false): DataFrame = {
-    val top2 = lshTopKPerQuery(corpus, corpus, idCol, embCol, k = 2,
-      portable = portable, excludeSelf = true)
+    // distinct-embedding corpus side: one linear groupBy; reps carry
+    // their multiplicity. min(id) is only a stable rep label — cos
+    // values don't depend on it.
+    val dd = corpus.groupBy(col(embCol).as("__e"))
+      .agg(min(col(idCol)).as("__rid"), count(lit(1)).as("__m"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    dd.count() // materialize: two consumers (width count, band side)
+    val reps = dd.select(col("__rid").as(idCol),
+      col("__e").as(embCol), col("__m"))
+    // the multiplicity rides the band join (key-functional on the
+    // rep id) — zero corpus-sized joins back
+    val scored = lshScoredCandidates(reps, corpus, idCol, embCol,
+      bits = 32, bands = 4, seed = 42, portable = portable,
+      excludeSelf = false, targetCohort = 16,
+      corpusExtra = Seq("__m"))
+    val cand = scored
+      .withColumn("__cap",
+        col("__m") - when(col("corpus_emb") === col("query_emb"), 1L)
+          .otherwise(0L))
+      .filter(col("__cap") >= 1L) // drops only the query's own
+                                  // unique embedding (= excludeSelf)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id").asc)
-    val per = top2.withColumn("__rn", row_number().over(w))
+    val per = cand.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 2)
       .groupBy(col("query_id"))
       .agg(max(when(col("__rn") === 1, round(col("cos"), 6)))
           .as("__c1"),
+        max(when(col("__rn") === 1, col("__cap"))).as("__cap1"),
         max(when(col("__rn") === 2, round(col("cos"), 6)))
-          .as("__c2"))
+          .as("__c2x"))
+      // the top rep covers BOTH neighbor slots when its capacity ≥ 2
+      .withColumn("__c2",
+        when(col("__cap1") >= 2L, col("__c1")).otherwise(col("__c2x")))
     val used = per.filter(col("__c2").isNotNull && col("__c1") < 1.0)
     val s = used.agg(count(lit(1)).as("n_used"),
       coalesce(sum(round(log((lit(1.0) - col("__c2")) /
