@@ -570,9 +570,16 @@ object TextAnalysis {
     * the frame twice and recomputes the explode on the probe side).
     * Token arrays are staged as an attribute before the chunking HOF
     * fans out (the staging rule: per-element work must not re-evaluate
-    * the tokenizer). Segments key by text for oracle replication; at
-    * 100 TB the window key would be the segment's 8-byte hash
-    * ([[graft.operators.Dedup.hashedShingleFrame]]'s trade).
+    * the tokenizer). Segments key by text for oracle replication
+    * (`hashKey = false`, the gated default); `hashKey = true` is the
+    * 100 TB path — the window partitions on the segment's 8-byte
+    * xxhash64 so the shuffle carries a long key instead of the full
+    * segment text ([[graft.operators.Dedup]]'s hashed-shingle trade:
+    * a 64-bit collision conflates two segments' document frequencies,
+    * ~n²/2⁶⁵ expected — acceptable for a ≤-maxDf filter). Survivors
+    * are identical absent a collision; the 10× probe measures 2.5×
+    * for the text key (the recorded cost contract: the shuffle
+    * payload is the segment text itself).
     *
     * Returns surviving (idCol, seg_id, seg_text, seg_df) rows;
     * reassemble with array_join over seg_id order if full text is
@@ -582,7 +589,8 @@ object TextAnalysis {
       idCol: String,
       text: Column,
       segTokens: Int = 8,
-      maxDf: Int = 2): DataFrame = {
+      maxDf: Int = 2,
+      hashKey: Boolean = false): DataFrame = {
     require(segTokens > 0 && maxDf > 0, "segTokens and maxDf must be > 0")
     val segs = docs
       .select(col(idCol), tokens(lower(text)).as("__toks"))
@@ -593,7 +601,8 @@ object TextAnalysis {
         array_join(col("seg"), " ").as("seg_text"))
     // unordered full-frame window on the segment key (the accepted
     // corpus-statistics idiom — no ordering, so no sort-based rank)
-    val byPseg = Window.partitionBy(col("seg_text"))
+    val byPseg = Window.partitionBy(
+      if (hashKey) xxhash64(col("seg_text")) else col("seg_text"))
     segs
       .withColumn("seg_df", count(lit(1)).over(byPseg))
       .filter(col("seg_df") <= maxDf)

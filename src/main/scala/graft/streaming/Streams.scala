@@ -121,28 +121,52 @@ object Streams {
     * as events arrive — `flatMapGroupsWithState` is the custom-state
     * path the brief calls for (the reference's nightly MERGE becomes a
     * continuously-maintained keyed state). Emits the refreshed state of
-    * every key touched in the micro-batch. */
+    * every key touched in the micro-batch.
+    *
+    * State TTL (`ttlMs` — VERDICT r12 item 5, the same option every
+    * other per-user op takes): a user idle past the TTL (event time)
+    * is EVICTED once the watermark passes — the eviction re-emits the
+    * final state as the closure record and drops the key; a returning
+    * user restarts the count (n_events is monotone only within one
+    * retention span — the documented trade that bounds a month-scale
+    * deployment's unbounded user_id key space). Requires a `ts`
+    * column; `ttlMs = None` is byte-identical to the old NoTimeout. */
   def runningUserState(
-      events: DataFrame)(implicit spark: SparkSession): Dataset[UserUpdate] = {
+      events: DataFrame,
+      ttlMs: Option[Long] = None,
+      watermark: String = "10 minutes")(
+      implicit spark: SparkSession): Dataset[UserUpdate] = {
     import spark.implicits._
-    events
+    withTtlWatermark(events, ttlMs, watermark)
       .select(col("user_id").as[Long],
-        struct(col("ts_ns"), col("event_type")).as("e"))
-      .as[(Long, (Long, String))]
+        struct(col("ts_ns"), col("event_type")).as("e"),
+        ttlTsCol(ttlMs).as[java.sql.Timestamp])
+      .as[(Long, (Long, String), java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (user: Long, rows: Iterator[(Long, (Long, String))],
+        OutputMode.Update(), ttlConf(ttlMs)) {
+        (user: Long, rows: Iterator[(Long, (Long, String), java.sql.Timestamp)],
          state: GroupState[UserState]) =>
-          val prev = state.getOption.getOrElse(UserState(0L, Long.MinValue, ""))
-          val next = rows.foldLeft(prev) { case (acc, (_, (tsNs, tpe))) =>
-            // last-write-wins on the event timestamp (S7 semantics)
-            if (tsNs >= acc.lastTsNs)
-              UserState(acc.nEvents + 1, tsNs, tpe)
-            else acc.copy(nEvents = acc.nEvents + 1)
+          if (state.hasTimedOut) {
+            val cur = state.get
+            state.remove()
+            Iterator(UserUpdate(user, cur.nEvents, cur.lastTsNs,
+              cur.lastType))
+          } else {
+            val prev = state.getOption
+              .getOrElse(UserState(0L, Long.MinValue, ""))
+            val next = rows.foldLeft(prev) { case (acc, (_, (tsNs, tpe), _)) =>
+              // last-write-wins on the event timestamp (S7 semantics)
+              if (tsNs >= acc.lastTsNs)
+                UserState(acc.nEvents + 1, tsNs, tpe)
+              else acc.copy(nEvents = acc.nEvents + 1)
+            }
+            state.update(next)
+            if (next.lastTsNs != Long.MinValue)
+              armTtl(state, ttlMs, next.lastTsNs / 1000L)
+            Iterator(UserUpdate(user, next.nEvents, next.lastTsNs,
+              next.lastType))
           }
-          state.update(next)
-          Iterator(UserUpdate(user, next.nEvents, next.lastTsNs, next.lastType))
       }
   }
 
@@ -160,29 +184,59 @@ object Streams {
     * latest-wins drain pattern). The merge is a pure function of the
     * candidate MULTISET — batch order and in-batch order cannot
     * change it — so the drained leaderboard must equal the batch
-    * window top-k, whatever the file-to-batch split. */
+    * window top-k, whatever the file-to-batch split.
+    *
+    * State TTL (`ttlMs` — VERDICT r12 item 5): an idle key's
+    * leaderboard evicts past the TTL (event time), emitting its final
+    * rows as the closure record; with TTL on, `updates` is
+    * event-time-derived (the [[cdcLatestState]] counter rule) so a
+    * returning key's fresh board out-counts the closure in a
+    * max-counter drain. `ttlMs = None` (the gated default) is
+    * byte-identical to the old NoTimeout operator. */
   def topKPerKeyState(
       events: DataFrame,
-      k: Int = 3)(implicit spark: SparkSession): Dataset[TopKOut] = {
+      k: Int = 3,
+      ttlMs: Option[Long] = None,
+      watermark: String = "10 minutes")(
+      implicit spark: SparkSession): Dataset[TopKOut] = {
     import spark.implicits._
     require(k >= 1 && k <= 100, s"k out of range: $k")
-    events
+    withTtlWatermark(events, ttlMs, watermark)
       .select(col("event_type").as[String],
-        struct(col("value"), col("event_id")).as("e"))
-      .as[(String, (Double, Long))]
+        struct(col("value"), col("event_id")).as("e"),
+        ttlTsCol(ttlMs).as[java.sql.Timestamp])
+      .as[(String, (Double, Long), java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (g: String, rows: Iterator[(String, (Double, Long))],
+        OutputMode.Update(), ttlConf(ttlMs)) {
+        (g: String, rows: Iterator[(String, (Double, Long), java.sql.Timestamp)],
          state: GroupState[TopKState]) =>
-          val prev = state.getOption.getOrElse(TopKState(0L, Seq.empty))
-          val merged = (prev.top ++ rows.map(_._2))
-            .sortBy { case (v, id) => (-v, id) }
-            .take(k)
-          val next = TopKState(prev.updates + 1, merged)
-          state.update(next)
-          merged.iterator.zipWithIndex.map { case ((v, id), i) =>
-            TopKOut(g, next.updates, i + 1, v, id)
+          if (state.hasTimedOut) {
+            // closure record: the leaderboard as it stood, then evict
+            val cur = state.get
+            state.remove()
+            cur.top.iterator.zipWithIndex.map { case ((v, id), i) =>
+              TopKOut(g, cur.updates, i + 1, v, id)
+            }
+          } else {
+            val batch = rows.toArray
+            val prev = state.getOption.getOrElse(TopKState(0L, Seq.empty))
+            val merged = (prev.top ++ batch.map(_._2))
+              .sortBy { case (v, id) => (-v, id) }
+              .take(k)
+            // TTL counter discipline (ADVICE r11): event-time-derived
+            // so a post-eviction fresh leaderboard out-counts the old
+            // closure rows in a max-counter drain
+            val maxUs = if (ttlMs.isDefined && batch.nonEmpty)
+              batch.map(_._3.getTime * 1000L).max else Long.MinValue
+            val ctr = if (maxUs != Long.MinValue)
+              math.max(prev.updates + 1L, maxUs) else prev.updates + 1L
+            val next = TopKState(ctr, merged)
+            state.update(next)
+            if (maxUs != Long.MinValue) armTtl(state, ttlMs, maxUs)
+            merged.iterator.zipWithIndex.map { case ((v, id), i) =>
+              TopKOut(g, next.updates, i + 1, v, id)
+            }
           }
       }
   }
@@ -211,29 +265,55 @@ object Streams {
     * Emits each touched key's full state per micro-batch tagged with
     * a monotone `updates` counter (latest-wins drain); consumers
     * reassemble mean/variance from the exact integers. O(1) state
-    * per key. */
+    * per key.
+    *
+    * State TTL (`ttlMs` — VERDICT r12 item 5): an idle key evicts
+    * past the TTL (event time), re-emitting its final state as the
+    * closure record; event-time-derived counter in TTL mode (the
+    * [[cdcLatestState]] rule). `ttlMs = None` (the gated default) is
+    * byte-identical to the old NoTimeout operator. */
   def runningMomentsState(
-      events: DataFrame)(
+      events: DataFrame,
+      ttlMs: Option[Long] = None,
+      watermark: String = "10 minutes")(
       implicit spark: SparkSession): Dataset[MomOut] = {
     import spark.implicits._
     val L = 1000000000L
-    events
+    withTtlWatermark(events, ttlMs, watermark)
       .select(col("event_type").as[String],
-        floor(col("value") * 10000 + lit(0.5)).cast("long").as[Long])
+        floor(col("value") * 10000 + lit(0.5)).cast("long").as[Long],
+        ttlTsCol(ttlMs).as[java.sql.Timestamp])
+      .as[(String, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (g: String, rows: Iterator[(String, Long)],
+        OutputMode.Update(), ttlConf(ttlMs)) {
+        (g: String, rows: Iterator[(String, Long, java.sql.Timestamp)],
          state: GroupState[MomState]) =>
-          var st = state.getOption.getOrElse(MomState(0L, 0L, 0L, 0L, 0L))
-          rows.foreach { case (_, t) =>
-            val sq = t * t
-            st = st.copy(n = st.n + 1, s = st.s + t,
-              hi = st.hi + sq / L, lo = st.lo + sq % L)
+          if (state.hasTimedOut) {
+            // closure record (the latest-wins row consumers already
+            // hold), then evict; a returning key restarts from zero
+            val cur = state.get
+            state.remove()
+            Iterator(MomOut(g, cur.updates, cur.n, cur.s, cur.hi,
+              cur.lo))
+          } else {
+            var st = state.getOption.getOrElse(MomState(0L, 0L, 0L, 0L, 0L))
+            var maxUs = Long.MinValue
+            rows.foreach { case (_, t, ts) =>
+              val sq = t * t
+              st = st.copy(n = st.n + 1, s = st.s + t,
+                hi = st.hi + sq / L, lo = st.lo + sq % L)
+              if (ttlMs.isDefined && ts != null)
+                maxUs = math.max(maxUs, ts.getTime * 1000L)
+            }
+            // event-time counter in TTL mode (the cdcLatestState rule)
+            val ctr = if (maxUs != Long.MinValue)
+              math.max(st.updates + 1, maxUs) else st.updates + 1
+            st = st.copy(updates = ctr)
+            state.update(st)
+            if (maxUs != Long.MinValue) armTtl(state, ttlMs, maxUs)
+            Iterator(MomOut(g, st.updates, st.n, st.s, st.hi, st.lo))
           }
-          st = st.copy(updates = st.updates + 1)
-          state.update(st)
-          Iterator(MomOut(g, st.updates, st.n, st.s, st.hi, st.lo))
       }
   }
 

@@ -1340,4 +1340,82 @@ class StreamsSpec extends SparkSpecBase {
     assert(got.view.mapValues(_._2).toMap
       == batch.view.mapValues(_._2).toMap, "LWW timestamp per user")
   }
+
+  test("TTL uniformity (VERDICT r12 item 5): runningUserState, " +
+    "topKPerKeyState and runningMomentsState evict idle keys and " +
+    "restart from scratch on return") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ttl_uni").toFile
+    val t0 = System.currentTimeMillis()
+    def write(name: String,
+        rows: Seq[(Long, Long, Long, String, Double)],
+        mod: Long): Unit = {
+      val stage = new java.io.File(tmp, s"__stage_$name")
+      rows.map { case (id, t, u, tp, v) => (id, t, u, tp, v, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value",
+          "props")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))
+          .cast(org.apache.spark.sql.types.TimestampNTZType))
+        .coalesce(1).write.mode("overwrite").parquet(stage.getPath)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(tmp, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mod)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    val h = 3600L * 1000 * 1000 * 1000 // 1h in ns
+    val s1 = 1000L * 1000 * 1000 // 1s in ns
+    // the funnelStageState TTL fixture shape: key "alpha"/user 1 live
+    // at 1h (TTL 1h → expiry 2h), "beta" keeps the watermark moving,
+    // batch 3 fires alpha's timeout, batch 4 is alpha's return
+    write("a.parquet", Seq((1L, h, 1L, "alpha", 5.0),
+      (2L, h, 2L, "beta", 3.0)), t0 - 90000)
+    write("b.parquet", Seq((3L, 4 * h, 2L, "beta", 7.0)), t0 - 60000)
+    write("c.parquet", Seq((4L, 4 * h + s1, 3L, "beta", 1.0)),
+      t0 - 30000)
+    write("d.parquet", Seq((5L, 4 * h + 2 * s1, 1L, "alpha", 9.0)), t0)
+    val ttl = Some(3600L * 1000)
+    def src = Streams.eventsStream(spark, tmp.getPath,
+      glob = "*.parquet", maxFilesPerTrigger = 1)
+    // runningUserState: user 1's return restarts at n_events = 1
+    // (the carried state was dropped); without TTL it would be 2
+    val users = Streams.runAvailableNow(
+      Streams.runningUserState(src, ttlMs = ttl).toDF(), "ttl_user")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val u1Final = users.filter(u => u._1 == 1L && u._3 == 4 * h + 2 * s1)
+    assert(u1Final.map(_._2).toSeq == Seq(1L),
+      s"return must restart the count: ${users.toSeq}")
+    val plainUsers = Streams.runAvailableNow(
+      Streams.runningUserState(src).toDF(), "ttl_user_plain")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(plainUsers.filter(_._1 == 1L).map(_._2).max == 2L,
+      "without TTL the carried state must keep counting")
+    // topKPerKeyState: alpha's fresh post-eviction board holds ONLY
+    // the returning event, and out-counts the closure in a
+    // max-counter drain (event-time-derived counters)
+    val topk = Streams.runAvailableNow(
+      Streams.topKPerKeyState(src, k = 2, ttlMs = ttl).toDF(),
+      "ttl_topk").collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("updates"),
+        r.getAs[Int]("rank"), r.getAs[Double]("value"),
+        r.getAs[Long]("event_id")))
+    val aMax = topk.filter(_._1 == "alpha").map(_._2).max
+    val aBoard = topk.filter(t => t._1 == "alpha" && t._2 == aMax)
+      .map(t => (t._3, t._4, t._5)).toSeq.sorted
+    assert(aBoard == Seq((1, 9.0, 5L)),
+      s"fresh board must hold only the return: $aBoard")
+    // runningMomentsState: alpha's max-counter state restarts at
+    // n = 1, s = 9.0·10⁴ — the evicted 5.0 is gone
+    val mom = Streams.runAvailableNow(
+      Streams.runningMomentsState(src, ttlMs = ttl).toDF(),
+      "ttl_mom").collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("updates"),
+        r.getAs[Long]("n"), r.getAs[Long]("s")))
+    val mMax = mom.filter(_._1 == "alpha").map(_._2).max
+    val mRow = mom.filter(m => m._1 == "alpha" && m._2 == mMax).head
+    assert((mRow._3, mRow._4) == ((1L, 90000L)),
+      s"fresh moments must restart: $mRow")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
 }
