@@ -39,6 +39,11 @@ object Queries {
 
   private def dateFmt(c: Column): Column = date_format(c, "yyyy-MM-dd")
 
+  /** q_trend_ph alarm threshold, ppm of the value unit (5·10⁵ revenue
+    * units) — ONE definition feeding both the Spark query and the
+    * oracle SQL (the shared-constant rule). */
+  private val PhLambdaPpm = 500000000000L
+
   /** Session-shared MinHash-LSH near-dup pair set (portable mode,
     * t=0.8): computed once per (session, sf dir) and reused by every
     * consumer — the report query AND the apply query (VERDICT r2
@@ -1628,6 +1633,19 @@ object Queries {
         .agg(dsum(col("o_totalprice")).as("rev"))
       Stats.holtLinear(daily, "d", "rev", alpha = 0.3, beta = 0.1)
     }),
+    "q_trend_ph" -> ((s, dir) => {
+      // Page–Hinkley sequential drift alarm over the same daily
+      // revenue spine Holt forecasts: has the level shifted UP since
+      // any historical low-water mark? Pure 64-bit integer windows
+      // over the days-bounded frame (terms fix at 6 dp by truncating
+      // division — identical in both engines), doubles only at the
+      // emit divisions.
+      val daily = Tables.orders(s, dir)
+        .groupBy(dateFmt(col("o_orderdate")).as("d"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      Stats.pageHinkley(daily, "d", "rev",
+        deltaPpm = 0L, lambdaPpm = PhLambdaPpm)
+    }),
     "q_anomaly_seasonal" -> ((s, dir) => {
       // Weekday-adjusted robust anomaly fence: each ISO weekday gets
       // its own median/MAD gate over the daily revenue series, so a
@@ -2041,6 +2059,18 @@ object Queries {
         .groupBy(col("harmonic"))
         .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("id_sum"),
           sum(col("n_reached")).as("reach_sum"))
+    }),
+    "q_graph_clustering" -> ((s, dir) => {
+      // Per-node local clustering coefficient census over the k-NN
+      // graph: which embedding regions are tight cliques and which
+      // are sparse bridgework — the node-level signal
+      // q_graph_triangles' one global coefficient averages away.
+      // cc is the exact integer lattice value (2T·10⁶ div d(d−1)),
+      // so the census groups a pure 64-bit derivation.
+      graft.operators.Graph.localClustering(knnEdges(s, dir))
+        .groupBy(col("cc"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"),
+          sum(col("n_tri")).as("tri_sum"))
     }),
     "q_graph_components" -> ((s, dir) => {
       // Connected components of the k-NN graph: embedding-space
@@ -4444,6 +4474,18 @@ object Queries {
           "vec_id", "embedding", k = 10)
         .select(col("query_id"), col("corpus_id"),
           round(col("cos"), 6).as("cos"))
+    }),
+    "q_sim_mips" -> ((s, dir) => {
+      // Maximum-inner-product retrieval — cosine's sibling when
+      // magnitude carries signal (reranker scores, recommendation
+      // embeddings): the same 4 anchor queries, ranked by raw ⟨q,c⟩
+      // with ties on id. Queries broadcast, the corpus scans once;
+      // at 100 TB the asymmetric norm-augmentation transform rides
+      // the banded LSH path and THIS exact operator is its recall
+      // oracle (see mipsTopKPerQuery's scaladoc).
+      val emb = Tables.embeddings(s, dir)
+      Similarity.mipsTopKPerQuery(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10)
     }),
     "q_sim_ivfpq" -> ((s, dir) => {
       // IVF-PQ, the production serving composition: coarse cells
@@ -8240,6 +8282,7 @@ object Queries {
          |FROM j""".stripMargin,
     "q_graph_bfs" -> graphBfsOracle,
     "q_graph_harmonic" -> graphHarmonicOracle,
+    "q_graph_clustering" -> graphClusteringOracle,
     "q_graph_components" -> graphComponentsOracle,
     "q_graph_communities" -> graphCommunitiesOracle,
     "q_graph_modularity" -> graphModularityOracle,
@@ -8750,6 +8793,7 @@ object Queries {
         | max(s) AS max_variant
         |FROM cc JOIN ids USING (id) GROUP BY component""".stripMargin,
     "q_sim_topk" -> simTopKOracle,
+    "q_sim_mips" -> simMipsOracle,
     "q_sim_pq" -> simPqOracle,
     "q_sim_ivfpq" -> simIvfPqOracle,
     "q_sim_dim_budget" -> simDimBudgetOracle,
@@ -11332,6 +11376,32 @@ object Queries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
         |    AS DECIMAL(18,4)) AS rev
         | FROM orders GROUP BY 1""".stripMargin),
+    // Page–Hinkley replica: the identical pure-integer window chain —
+    // 4-dp scaled longs, 6-dp truncating-division terms (`//` and
+    // Spark's `div` both truncate toward zero on BIGINTs), integer
+    // cumulative sum/min, doubles only at the emit divisions. Every
+    // window sum CAST to BIGINT (no HUGEINT).
+    "q_trend_ph" ->
+      s"""WITH daily AS (
+         | SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+         |    AS DECIMAL(18,4)) AS rev
+         | FROM orders GROUP BY 1),
+         |idx AS (SELECT d,
+         |  CAST(CAST(rev AS DECIMAL(28,4)) * 10000 AS BIGINT) AS x4,
+         |  row_number() OVER (ORDER BY d ASC) AS i FROM daily),
+         |c AS (SELECT *, CAST(sum(x4) OVER (ORDER BY d ASC
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s4 FROM idx),
+         |t AS (SELECT *, ((x4 * i - s4) * 100) // i AS t6 FROM c),
+         |m AS (SELECT *, CAST(sum(t6) OVER (ORDER BY d ASC
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS m6 FROM t),
+         |p AS (SELECT *, CAST(min(m6) OVER (ORDER BY d ASC
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS mn6 FROM m)
+         |SELECT d, CAST(x4 AS DOUBLE) / 10000.0 AS x,
+         | CAST(m6 AS DOUBLE) / 1000000.0 AS m,
+         | CAST(m6 - mn6 AS DOUBLE) / 1000000.0 AS ph,
+         | (m6 - mn6) > $PhLambdaPpm AS alarm
+         |FROM p""".stripMargin,
     // streaming twin: the drained 4-dp scaled-integer daily sums ARE
     // the batch spine (associative integer folds), converted by one
     // exact decimal multiply — the shared recursion gates both
@@ -13649,6 +13719,24 @@ object Queries {
       |    ORDER BY cos DESC, cid ASC) AS rn
       | FROM s) WHERE rn <= 10""".stripMargin
 
+  /** q_sim_mips replica: the same anchor queries ranked by the RAW
+    * inner product (list_dot_product — the identical left-to-right
+    * IEEE fold as Spark's dot), ties on corpus id, score rounded
+    * once at the edge. */
+  private def simMipsOracle: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+      |      FROM embeddings),
+      |s AS (SELECT qid, cid, list_dot_product(ce, qe) AS ip
+      |  FROM c, q WHERE cid <> qid)
+      |SELECT query_id, corpus_id, CAST(rn AS INT) AS rank,
+      | round(ip, 6) AS ip FROM (
+      | SELECT qid AS query_id, cid AS corpus_id, ip,
+      |  row_number() OVER (PARTITION BY qid
+      |    ORDER BY ip DESC, cid ASC) AS rn
+      | FROM s) WHERE rn <= 10""".stripMargin
+
   /** q_sim_pq replica: codebook = first-16 slices per subspace,
     * encoding argmin on raw-double L2² (dot expansion — same
     * evaluation order), ADC sum of 9-dp DECIMAL per-subspace
@@ -14187,6 +14275,33 @@ object Queries {
        | CAST(sum(n_reached) AS BIGINT) AS reach_sum
        |FROM h GROUP BY 1""".stripMargin
   }
+
+  /** q_graph_clustering replica: canonical-triangle enumeration over
+    * the replicated k-NN edge set (a<b<c via the ordered two-hop
+    * join), corner explode, the exact integer cc lattice
+    * (2T·10⁶ // d(d−1) — both engines truncate), census per cc. */
+  private def graphClusteringOracle: String =
+    s"""WITH $knnEdgesCte,
+       |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+       |  SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+       | GROUP BY 1),
+       |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+       |  WHERE EXISTS (SELECT 1 FROM e e3
+       |    WHERE e3.a = e1.a AND e3.b = e2.b)),
+       |tpn AS (SELECT node, CAST(count(*) AS BIGINT) AS t FROM (
+       |  SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY 1),
+       |n AS (SELECT deg.node, deg.deg,
+       |  CAST(coalesce(t, 0) AS BIGINT) AS t,
+       |  CASE WHEN deg >= 2 THEN
+       |    CAST((2 * CAST(coalesce(t, 0) AS BIGINT) * 1000000)
+       |      // (deg * (deg - 1)) AS DOUBLE) / 1000000.0
+       |  END AS cc
+       | FROM deg LEFT JOIN tpn ON deg.node = tpn.node)
+       |SELECT cc, count(*) AS n_nodes,
+       | CAST(sum(deg) AS BIGINT) AS deg_sum,
+       | CAST(sum(t) AS BIGINT) AS tri_sum
+       |FROM n GROUP BY cc""".stripMargin
 
   /** q_graph_components replica: recursive reachability closure over
     * the replicated k-NN edge set (the dedupComponentsOracle shape),

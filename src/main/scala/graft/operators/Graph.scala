@@ -281,6 +281,55 @@ object Graph {
     out
   }
 
+  /** PER-NODE local clustering coefficient — the node-level companion
+    * of [[triangleStats]]'s one global number (Watts & Strogatz
+    * 1998): cc(v) = 2·T(v) / (d(v)·(d(v)−1)), the fraction of v's
+    * neighbor pairs that are themselves connected. On a k-NN
+    * embedding graph this is the LOCAL density gauge — high-cc
+    * regions are tight semantic clusters, cc ≈ 0 nodes sit in sparse
+    * bridgework — the per-node signal the global coefficient
+    * averages away.
+    *
+    * Scale shape: canonical triangles enumerate ONCE each via the
+    * ordered two-hop join (e₁(a,b) ⋈ e₂(b,c) semi-⋈ e(a,c), all keys
+    * ascending — Σdeg² wedge work, bounded on a k-NN graph), then
+    * explode to the 3 corners and count per node; degrees are one
+    * groupBy on the doubled edge list. No driver state.
+    *
+    * Determinism: cc is the exact integer floor division
+    * (2·T·10⁶) div (d·(d−1)) — a pure 64-bit lattice value — emitted
+    * as DOUBLE by the one exact /10⁶ division; NULL for d < 2
+    * (undefined, not zero: a degree-1 node has no neighbor pair).
+    *
+    * Returns (node, deg, n_tri, cc). */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // canonical a < b < c: each triangle appears exactly once
+    val tri = e.select(col("a").as("__x"), col("b").as("__y"))
+      .join(e.select(col("a").as("__y"), col("b").as("__z")), Seq("__y"))
+      .join(e.select(col("a").as("__x"), col("b").as("__z")),
+        Seq("__x", "__z"), "left_semi")
+    val triPerNode = tri
+      .select(explode(array(col("__x"), col("__y"), col("__z")))
+        .as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    // e stays persisted (four lazy consumers: deg + the three tri
+    // legs — the knnGraph materialized-multi-consumer precedent);
+    // Spark's LRU reclaims it
+    deg.join(triPerNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2L,
+          expr("(2 * coalesce(n_tri, 0L) * 1000000) " +
+            "div (deg * (deg - 1))").cast(DoubleType) / lit(1e6))
+          .otherwise(lit(null).cast(DoubleType)).as("cc"))
+  }
+
   /** Multi-source BFS hop distances over an undirected canonical edge
     * list (`a` < `b`): `iters` synchronous frontier expansions from
     * `seeds`, returning (node, dist) for every node reached within

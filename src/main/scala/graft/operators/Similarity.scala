@@ -75,6 +75,48 @@ object Similarity {
       .drop("__rn")
   }
 
+  /** Exact maximum-inner-product top-k per query — retrieval when the
+    * embeddings are NOT length-normalized and magnitude carries
+    * signal (recommendation scores, learned rerankers): score =
+    * ⟨q, c⟩, NOT cosine. The query set broadcasts; the corpus scans
+    * once with no shuffle beyond the per-query top-k window — the
+    * legitimate shape when queries are control-plane-sized (the eval
+    * set), which is the MIPS audit case.
+    *
+    * 100 TB path: MIPS reduces to cosine NN by the asymmetric
+    * norm-augmentation transform (Shrivastava & Li, NeurIPS 2014 —
+    * append √(M² − ‖c‖²) to each corpus vector and 0 to queries,
+    * M = max corpus norm); the augmented vectors then ride the SAME
+    * banded SRP-LSH path as [[lshTopKPerQuery]]. This exact operator
+    * is that index's recall oracle, exactly as [[topKPerQuery]] is
+    * cosine-LSH's.
+    *
+    * Determinism: the dot fold is the engine-portable left-to-right
+    * IEEE sum ([[dot]] — the cosSql replica contract); ranking is on
+    * the RAW dot (ties by corpus id), the emitted score rounds once
+    * at 6 dp. Self-pairs excluded by id. */
+  def mipsTopKPerQuery(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val c = corpus.select(col(idCol).as("corpus_id"), col(embCol).as("c_emb"))
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val scored = c
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        dot(col("c_emb"), col("q_emb")).as("__ip"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__ip").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("rank"),
+        round(col("__ip"), 6).as("ip"))
+  }
+
   /** Recall of an approximate ANN result set against the exact
     * ground truth, as one labeled row: pair-set intersection size over
     * the truth size. Both inputs are (query_id, corpus_id) frames.

@@ -5297,6 +5297,65 @@ object Stats {
           col("__n").cast(DoubleType), 6).as("s_max"))
   }
 
+  /** Page–Hinkley sequential change detection over an
+    * ALREADY-AGGREGATED period series (Page 1954; Hinkley 1971 — the
+    * SEQUENTIAL drift alarm beside [[cusumMaxShift]]'s retrospective
+    * single-change locator): m_t = Σᵢ≤t (x_i − x̄_i − δ) with x̄_i
+    * the running mean, and the statistic PH_t = m_t − minⱼ≤t m_j
+    * alarms when it exceeds λ — "has the level shifted UP since any
+    * historical low-water mark", the monitor a daily-revenue or
+    * daily-doc-count pipeline pages on.
+    *
+    * Scale shape: the [[cusumMaxShift]] control-frame discipline —
+    * one distributed aggregate builds the period series upstream;
+    * everything here is four windows over the days-bounded frame
+    * ([[Guards.boundedSeries]] enforced). No driver recursion: the
+    * running mean is a prefix-sum ratio, not carried state.
+    *
+    * Determinism: PURE 64-BIT INTEGER end to end — values fix at 4 dp
+    * (x₄ = x·10⁴ as long), each deviation term fixes at 6 dp by
+    * integer division (term₆ = (x₄·i − S₄ᵢ)·100 div i, truncation
+    * toward zero in BOTH engines), and m/min/PH are integer window
+    * folds. The only doubles are the final /10⁴ and /10⁶ emit
+    * divisions. RANGE: |x₄·i·100| must fit a long — |x| ≤ ~10⁹ over
+    * ~10⁴ periods; the period aggregate upstream owns that contract
+    * (a corpus-scale caller aggregates to coarser periods first).
+    *
+    * δ and λ arrive in ppm of the value unit (`deltaPpm`,
+    * `lambdaPpm`). Returns one row per period: (orderCol, x, m, ph,
+    * alarm). */
+  def pageHinkley(
+      series: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      deltaPpm: Long = 0L,
+      lambdaPpm: Long): DataFrame = {
+    require(lambdaPpm > 0, s"lambdaPpm must be positive: $lambdaPpm")
+    require(deltaPpm >= 0, s"deltaPpm must be non-negative: $deltaPpm")
+    val wCum = Guards.seriesWindow(col(orderCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val src = Guards.boundedSeries(
+      series.select(col(orderCol),
+        (col(valueCol).cast(DecimalType(18, 4)) * 10000)
+          .cast(LongType).as("__x4"))
+        .filter(col(orderCol).isNotNull && col("__x4").isNotNull),
+      "pageHinkley")
+    src
+      .withColumn("__i",
+        row_number().over(Guards.seriesWindow(col(orderCol).asc)))
+      .withColumn("__s4", sum(col("__x4")).over(wCum))
+      .withColumn("__t6",
+        expr(s"((__x4 * __i - __s4) * 100) div __i") - deltaPpm)
+      .withColumn("__m6", sum(col("__t6")).over(wCum))
+      .withColumn("__mn6", min(col("__m6")).over(wCum))
+      .select(col(orderCol),
+        (col("__x4").cast(DoubleType) / lit(1e4)).as("x"),
+        (col("__m6").cast(DoubleType) / lit(1e6)).as("m"),
+        ((col("__m6") - col("__mn6")).cast(DoubleType) / lit(1e6))
+          .as("ph"),
+        (col("__m6") - col("__mn6") > lambdaPpm).as("alarm"))
+  }
+
   /** Hill tail-index estimator over the top-k order statistics of a
     * positive magnitude (Hill 1975): α̂ = k / Σᵢ₌₁ᵏ(ln x₍ᵢ₎ −
     * ln x₍ₖ₊₁₎) — HOW heavy the upper tail is, the number behind

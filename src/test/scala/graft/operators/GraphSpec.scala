@@ -404,4 +404,26 @@ class GraphSpec extends SparkSpecBase {
     assert(lone(1L) == ((1L, 0L, None)), s"got $lone")
     assert(lone(2L) == ((1L, 0L, None)), s"got $lone")
   }
+
+  test("localClustering: triangle corners score 1, the bridging " +
+      "node 1/3, a pendant abstains") {
+    // triangle 1-2-3 plus pendant 3-4: nodes 1,2 have d=2 and their
+    // one neighbor pair connected (cc=1); node 3 has d=3, one of
+    // three pairs connected (2·1·10⁶ div 6 = 333333); node 4 d=1 → NULL
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = Graph.localClustering(e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        Option(r.getAs[java.lang.Double]("cc")))).toMap
+    assert(got(1L) == ((2L, 1L, Some(1.0))), s"got $got")
+    assert(got(2L) == ((2L, 1L, Some(1.0))), s"got $got")
+    assert(got(3L) == ((3L, 1L, Some(0.333333))), s"got $got")
+    assert(got(4L) == ((1L, 0L, None)), s"got $got")
+    // triangle-free graph: every cc with d ≥ 2 is exactly 0
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val p = Graph.localClustering(path).collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getAs[java.lang.Double]("cc"))).toMap
+    assert(p(2L) == Some(0.0) && p(1L).isEmpty && p(3L).isEmpty,
+      s"got $p")
+  }
 }

@@ -511,4 +511,25 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rows.last.getAs[Long]("n_moved") == 0L,
       s"converged run must stop moving: ${rows.toSeq}")
   }
+
+  test("mipsTopKPerQuery ranks by INNER PRODUCT, not cosine — " +
+      "magnitude wins; self excluded; ties break on corpus id") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // the query
+      (2L, Seq(10.0f, 0.0f)),  // ip 10, cos 1
+      (3L, Seq(0.9f, 0.1f)),   // ip 0.9, cos ≈ .994 — cosine would
+                               // rank it right behind 2; MIPS won't
+      (4L, Seq(2.0f, 9.0f)),   // ip 2.0
+      (5L, Seq(2.0f, -9.0f)),  // ip 2.0 — ties with 4, id order
+      (6L, Seq(-5.0f, 0.0f))   // ip −5
+    ).toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 1L)
+    val got = Similarity.mipsTopKPerQuery(emb, q, "vec_id",
+        "embedding", k = 4)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(2), r.getLong(1), r.getDouble(3)))
+    assert(got.toSeq == Seq((1, 2L, 10.0), (2, 4L, 2.0), (3, 5L, 2.0),
+      (4, 3L, 0.9)), s"got ${got.toSeq}")
+  }
 }

@@ -2577,4 +2577,35 @@ class StatsSpec extends SparkSpecBase {
       t.isNullAt(t.fieldIndex("se")) &&
       t.isNullAt(t.fieldIndex("ci_lo")), s"got $t")
   }
+
+  test("pageHinkley: a flat series never alarms, a level shift " +
+      "alarms once PH crosses lambda, a dip resets the low-water mark") {
+    import spark.implicits._
+    // 10,10,10,20: PH stays 0 on the flat prefix; at t4 the term is
+    // (20 − 12.5) = 7.5 → PH = 7.5 > λ = 5
+    val df = Seq(("d1", 10.0), ("d2", 10.0), ("d3", 10.0),
+      ("d4", 20.0)).toDF("d", "v")
+    val rows = Stats.pageHinkley(df, "d", "v",
+        deltaPpm = 0L, lambdaPpm = 5000000L)
+      .orderBy(col("d")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(rows(0) == (("d1", 10.0, 0.0, 0.0, false)))
+    assert(rows(2) == (("d3", 10.0, 0.0, 0.0, false)))
+    assert(rows(3) == (("d4", 20.0, 7.5, 7.5, true)), s"got ${rows(3)}")
+    // a dip drags m DOWN with it and becomes the new low-water mark:
+    // 10, 0 → t2 term = (0 − 5) = −5, m = −5 = min → PH 0
+    val dip = Stats.pageHinkley(
+        Seq(("d1", 10.0), ("d2", 0.0)).toDF("d", "v"),
+        "d", "v", deltaPpm = 0L, lambdaPpm = 5000000L)
+      .orderBy(col("d")).collect()
+    assert(dip(1).getDouble(2) == -5.0 && dip(1).getDouble(3) == 0.0,
+      s"got ${dip.toSeq}")
+    // delta discounts drift: with δ = 7.5 (ppm 7500000) the same
+    // shift stays under the mark (term 0 at t4)
+    val damped = Stats.pageHinkley(df, "d", "v",
+        deltaPpm = 7500000L, lambdaPpm = 5000000L)
+      .orderBy(col("d")).collect()
+    assert(!damped(3).getBoolean(4), s"got ${damped.toSeq}")
+  }
 }
