@@ -44,6 +44,36 @@ object Queries {
     * oracle SQL (the shared-constant rule). */
   private val PhLambdaPpm = 500000000000L
 
+  /** q_stream_ph threshold — the daily PURCHASE-value spine runs ~3
+    * orders of magnitude under the order-revenue spine. */
+  private val PhStreamLambdaPpm = 500000000L
+
+  /** Page–Hinkley replica shared by q_trend_ph and its streaming
+    * twin: the identical pure-integer window chain — 4-dp scaled
+    * longs, 6-dp truncating-division terms (`//` and Spark's `div`
+    * both truncate toward zero on BIGINTs), integer cumulative
+    * sum/min, doubles only at the emit divisions. Every window sum
+    * CAST to BIGINT (no HUGEINT). `spineSql` must emit (d VARCHAR,
+    * rev DECIMAL(18,4)). */
+  private def phOracle(spineSql: String, lambdaPpm: Long): String =
+    s"""WITH daily AS (
+       | $spineSql),
+       |idx AS (SELECT d,
+       |  CAST(CAST(rev AS DECIMAL(28,4)) * 10000 AS BIGINT) AS x4,
+       |  row_number() OVER (ORDER BY d ASC) AS i FROM daily),
+       |c AS (SELECT *, CAST(sum(x4) OVER (ORDER BY d ASC
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s4 FROM idx),
+       |t AS (SELECT *, ((x4 * i - s4) * 100) // i AS t6 FROM c),
+       |m AS (SELECT *, CAST(sum(t6) OVER (ORDER BY d ASC
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS m6 FROM t),
+       |p AS (SELECT *, CAST(min(m6) OVER (ORDER BY d ASC
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS mn6 FROM m)
+       |SELECT d, CAST(x4 AS DOUBLE) / 10000.0 AS x,
+       | CAST(m6 AS DOUBLE) / 1000000.0 AS m,
+       | CAST(m6 - mn6 AS DOUBLE) / 1000000.0 AS ph,
+       | (m6 - mn6) > $lambdaPpm AS alarm
+       |FROM p""".stripMargin
+
   /** Session-shared MinHash-LSH near-dup pair set (portable mode,
     * t=0.8): computed once per (session, sf dir) and reused by every
     * consumer — the report query AND the apply query (VERDICT r2
@@ -956,6 +986,19 @@ object Queries {
           sum(when(!col("__r.r_stopword"), 1L).otherwise(0L))
             .as("n_fail_stopword"),
           sum(when(col("__r.pass"), 1L).otherwise(0L)).as("n_pass"))
+    }),
+    "q_quality_isotonic" -> ((s, dir) => {
+      // Isotonic (PAV) calibration of the FREE n_chars score against
+      // the token gate: the monotone step function that turns "doc
+      // length" into a calibrated pass probability — where
+      // q_quality_calibration AUDITS a score's reliability, this one
+      // CORRECTS it (the lookup table a cheap-filter cascade
+      // deploys). Minimax PAV over the 10-bin cell frame — block
+      // means are exact-prefix-long ratios, nBins² control-plane
+      // pairs.
+      Stats.isotonicCalibration(Tables.documents(s, dir), "n_chars",
+        TextAnalysis.tokenCount(col("text")) >= 70,
+        lo = 0.0, hi = 600.0, nBins = 10)
     }),
     "q_quality_calibration" -> ((s, dir) => {
       // Reliability curve: does the SOFT quality score actually
@@ -3185,6 +3228,31 @@ object Queries {
           (col("__x.s4").cast(DecimalType(18, 0)) *
             lit(new java.math.BigDecimal("0.0001"))).as("rev"))
       Stats.holtLinear(latest, "d", "rev", alpha = 0.3, beta = 0.1)
+    }),
+    "q_stream_ph" -> ((s, dir) => {
+      // Drift alarm AT INGEST: the same drained daily-purchase state
+      // q_stream_holt forecasts from, fed into the Page–Hinkley
+      // integer window chain — "did today's drop shift the level" is
+      // answered as the events land, and the replayed trajectory
+      // gates on the SHARED phOracle over the same spine.
+      val name = s"q_stream_ph_${streamRun.incrementAndGet()}"
+      implicit val sp: SparkSession = s
+      val purchases = graft.streaming.Streams.eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("d"),
+          col("value"))
+      val drained = graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.dailySumState(purchases,
+          col("d"), col("value")).toDF(),
+        name, shufflePartitions = Some(8))
+      val latest = drained.groupBy(col("d"))
+        .agg(max(struct(col("updates"), col("n"), col("s4")))
+          .as("__x"))
+        .select(col("d"),
+          (col("__x.s4").cast(DecimalType(18, 0)) *
+            lit(new java.math.BigDecimal("0.0001"))).as("rev"))
+      Stats.pageHinkley(latest, "d", "rev",
+        deltaPpm = 0L, lambdaPpm = PhStreamLambdaPpm)
     }),
     "q_stream_budget" -> ((s, dir) => {
       // Streaming quota admission: each source spends its token
@@ -7205,6 +7273,36 @@ object Queries {
     // verdict feed the same bounded cell frame; decile assignment is
     // the identical integer interval intersection with (q, p) tie
     // order
+    // isotonic replica: identical binning and token gate, the same
+    // minimax PAV over the bounded cell frame — block means are
+    // single IEEE divisions of exact BIGINT prefix sums, so min/max
+    // pick identical doubles in both engines
+    "q_quality_isotonic" ->
+      """WITH b AS (SELECT
+        |  least(9, greatest(0, CAST(floor(n_chars / 60.0) AS INT)))
+        |    AS bin,
+        |  CASE WHEN len(list_filter(regexp_split_to_array(text,
+        |    '\s+'), x -> len(x) > 0)) >= 70 THEN 1 ELSE 0 END AS y
+        | FROM documents),
+        |c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(y) AS BIGINT) AS k FROM b GROUP BY 1),
+        |g AS (SELECT bin, n, k,
+        |  row_number() OVER (ORDER BY bin ASC) AS i,
+        |  CAST(sum(n) OVER (ORDER BY bin ASC ROWS UNBOUNDED
+        |    PRECEDING) AS BIGINT) AS cn,
+        |  CAST(sum(k) OVER (ORDER BY bin ASC ROWS UNBOUNDED
+        |    PRECEDING) AS BIGINT) AS ck FROM c),
+        |p AS (SELECT gj.i AS j, gl.i AS l,
+        |  CAST(gl.ck - (gj.ck - gj.k) AS DOUBLE) /
+        |    CAST(gl.cn - (gj.cn - gj.n) AS DOUBLE) AS mu
+        | FROM g gj JOIN g gl ON gl.i >= gj.i),
+        |mi AS (SELECT g.i AS i, p.j AS j, min(mu) AS mn
+        | FROM g JOIN p ON p.j <= g.i AND p.l >= g.i GROUP BY 1, 2),
+        |iso AS (SELECT i, max(mn) AS iso FROM mi GROUP BY 1)
+        |SELECT g.bin, g.n AS n_rows, g.k AS n_pos,
+        | round(CAST(g.k AS DOUBLE) / CAST(g.n AS DOUBLE), 6) AS rate,
+        | round(iso.iso, 6) AS iso_rate
+        |FROM g JOIN iso ON g.i = iso.i""".stripMargin,
     "q_quality_calibration" ->
       """WITH t AS (SELECT text,
         |  list_filter(regexp_split_to_array(text, '\s+'),
@@ -11376,32 +11474,20 @@ object Queries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
         |    AS DECIMAL(18,4)) AS rev
         | FROM orders GROUP BY 1""".stripMargin),
-    // Page–Hinkley replica: the identical pure-integer window chain —
-    // 4-dp scaled longs, 6-dp truncating-division terms (`//` and
-    // Spark's `div` both truncate toward zero on BIGINTs), integer
-    // cumulative sum/min, doubles only at the emit divisions. Every
-    // window sum CAST to BIGINT (no HUGEINT).
-    "q_trend_ph" ->
-      s"""WITH daily AS (
-         | SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
-         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
-         |    AS DECIMAL(18,4)) AS rev
-         | FROM orders GROUP BY 1),
-         |idx AS (SELECT d,
-         |  CAST(CAST(rev AS DECIMAL(28,4)) * 10000 AS BIGINT) AS x4,
-         |  row_number() OVER (ORDER BY d ASC) AS i FROM daily),
-         |c AS (SELECT *, CAST(sum(x4) OVER (ORDER BY d ASC
-         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s4 FROM idx),
-         |t AS (SELECT *, ((x4 * i - s4) * 100) // i AS t6 FROM c),
-         |m AS (SELECT *, CAST(sum(t6) OVER (ORDER BY d ASC
-         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS m6 FROM t),
-         |p AS (SELECT *, CAST(min(m6) OVER (ORDER BY d ASC
-         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS mn6 FROM m)
-         |SELECT d, CAST(x4 AS DOUBLE) / 10000.0 AS x,
-         | CAST(m6 AS DOUBLE) / 1000000.0 AS m,
-         | CAST(m6 - mn6 AS DOUBLE) / 1000000.0 AS ph,
-         | (m6 - mn6) > $PhLambdaPpm AS alarm
-         |FROM p""".stripMargin,
+    "q_trend_ph" -> phOracle(
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    AS DECIMAL(18,4)) AS rev
+        | FROM orders GROUP BY 1""".stripMargin, PhLambdaPpm),
+    // streaming twin: the drained 4-dp scaled-integer daily sums ARE
+    // the batch spine (the q_stream_holt pattern) — the shared
+    // integer window chain gates both
+    "q_stream_ph" -> phOracle(
+      """SELECT strftime(ts, '%Y-%m-%d') AS d,
+        |  CAST(CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+        |    AS DECIMAL(18,0)) * 0.0001 AS DECIMAL(18,4)) AS rev
+        | FROM events WHERE event_type = 'purchase'
+        | GROUP BY 1""".stripMargin, PhStreamLambdaPpm),
     // streaming twin: the drained 4-dp scaled-integer daily sums ARE
     // the batch spine (associative integer folds), converted by one
     // exact decimal multiply — the shared recursion gates both

@@ -5356,6 +5356,72 @@ object Stats {
         (col("__m6") - col("__mn6") > lambdaPpm).as("alarm"))
   }
 
+  /** Isotonic (PAV) calibration of a cheap score against a binary
+    * gate — THE standard monotone probability calibrator (Barlow et
+    * al. 1972; Zadrozny & Elkan 2002): bin the score, then fit the
+    * non-decreasing step function closest to the per-bin pass rates
+    * in L², via the minimax identity ŷᵢ = max_{j≤i} min_{l≥i}
+    * mean(j..l) — the closed form of pool-adjacent-violators. The
+    * output is the lookup table that turns a raw heuristic score
+    * into a calibrated pass probability; where [[liftTable]] ranks
+    * and `q_quality_calibration` audits, this one CORRECTS.
+    *
+    * Scale shape: ONE map-side-combined aggregate to the ≤ nBins
+    * cell frame; the minimax runs as two joins over that bounded
+    * frame (≤ nBins² control-plane pairs, broadcast — nBins ≤ 64 by
+    * contract). Corpus size only touches the first aggregate.
+    *
+    * Determinism: block means are single IEEE divisions of exact
+    * long prefix sums (correctly rounded → engine-identical), and
+    * min/max over identical double sets pick identical values; the
+    * emitted rates round once at 6 dp. Empty bins are absent rows
+    * (PAV runs over the occupied bins in order). */
+  def isotonicCalibration(
+      df: DataFrame,
+      scoreCol: String,
+      label: Column,
+      lo: Double,
+      hi: Double,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 64, s"nBins out of range: $nBins")
+    val wCum = Guards.seriesWindow(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cells = df
+      .select(binExpr(scoreCol, lo, hi, nBins).as("bin"),
+        when(coalesce(label, lit(false)), 1L).otherwise(0L).as("__y"))
+      .filter(col("bin").isNotNull)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("__y")), lit(0L))
+        .as("k"))
+    val g = Guards.boundedSeries(cells, "isotonicCalibration bins",
+        maxRows = 64)
+      .withColumn("__i",
+        row_number().over(Guards.seriesWindow(col("bin").asc)))
+      .withColumn("__cn", sum(col("n")).over(wCum))
+      .withColumn("__ck", sum(col("k")).over(wCum))
+      .localCheckpoint(true) // ≤ 64 rows; three consumers below
+    // block means over every (j, l) span — exact-prefix-long ratios
+    val pairs = g.select(col("__i").as("__j"),
+        (col("__cn") - col("n")).as("__cnp"),
+        (col("__ck") - col("k")).as("__ckp"))
+      .join(broadcast(g.select(col("__i").as("__l"),
+        col("__cn").as("__cnl"), col("__ck").as("__ckl"))),
+        col("__l") >= col("__j"))
+      .select(col("__j"), col("__l"),
+        ((col("__ckl") - col("__ckp")).cast(DoubleType) /
+          (col("__cnl") - col("__cnp")).cast(DoubleType)).as("__mu"))
+    val iso = g.select(col("__i"))
+      .join(broadcast(pairs),
+        col("__j") <= col("__i") && col("__l") >= col("__i"))
+      .groupBy(col("__i"), col("__j")).agg(min(col("__mu")).as("__mn"))
+      .groupBy(col("__i")).agg(max(col("__mn")).as("__iso"))
+    g.join(broadcast(iso), Seq("__i"))
+      .select(col("bin"), col("n").as("n_rows"), col("k").as("n_pos"),
+        round(col("k").cast(DoubleType) / col("n").cast(DoubleType), 6)
+          .as("rate"),
+        round(col("__iso"), 6).as("iso_rate"))
+  }
+
   /** Hill tail-index estimator over the top-k order statistics of a
     * positive magnitude (Hill 1975): α̂ = k / Σᵢ₌₁ᵏ(ln x₍ᵢ₎ −
     * ln x₍ₖ₊₁₎) — HOW heavy the upper tail is, the number behind

@@ -2608,4 +2608,32 @@ class StatsSpec extends SparkSpecBase {
       .orderBy(col("d")).collect()
     assert(!damped(3).getBoolean(4), s"got ${damped.toSeq}")
   }
+
+  test("isotonicCalibration: PAV pools adjacent violators — " +
+      "hand-computed minimax on a 4-bin fixture; monotone output") {
+    import spark.implicits._
+    // per-bin rates [.5, 0, 1, .5] → PAV [.25, .25, .75, .75]
+    val df = Seq(
+      (0.5, true), (0.5, false),   // bin 0: 1/2
+      (1.5, false), (1.5, false),  // bin 1: 0/2
+      (2.5, true), (2.5, true),    // bin 2: 2/2
+      (3.5, true), (3.5, false)    // bin 3: 1/2
+    ).toDF("score", "pass")
+    val rows = Stats.isotonicCalibration(df, "score", col("pass"),
+        lo = 0.0, hi = 4.0, nBins = 4)
+      .orderBy(col("bin")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.toSeq == Seq((0, 2L, 1L, 0.5, 0.25),
+      (1, 2L, 0L, 0.0, 0.25), (2, 2L, 2L, 1.0, 0.75),
+      (3, 2L, 1L, 0.5, 0.75)), s"got ${rows.toSeq}")
+    // already-monotone rates are a fixed point
+    val mono = Seq((0.5, false), (0.5, false), (1.5, true),
+      (1.5, false), (2.5, true), (2.5, true)).toDF("score", "pass")
+    val m = Stats.isotonicCalibration(mono, "score", col("pass"),
+        lo = 0.0, hi = 3.0, nBins = 3)
+      .orderBy(col("bin")).collect()
+      .map(r => (r.getDouble(3), r.getDouble(4)))
+    assert(m.forall(t => t._1 == t._2), s"got ${m.toSeq}")
+  }
 }
