@@ -2103,6 +2103,17 @@ object Queries {
         .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("id_sum"),
           sum(col("n_reached")).as("reach_sum"))
     }),
+    "q_graph_ktruss" -> ((s, dir) => {
+      // 4-truss skeleton of the k-NN graph: three synchronous peels
+      // of every edge in fewer than 2 triangles — hub-spoke
+      // bridgework dies, mutually-acquainted cliques survive (the
+      // cohesion core one notch stronger than q_graph_kcore's
+      // degree peel). Census per final support value.
+      graft.operators.Graph.kTruss(knnEdges(s, dir), k = 4, iters = 3)
+        .groupBy(col("support"))
+        .agg(count(lit(1)).as("n_edges"), sum(col("a")).as("a_sum"),
+          sum(col("b")).as("b_sum"))
+    }),
     "q_graph_clustering" -> ((s, dir) => {
       // Per-node local clustering coefficient census over the k-NN
       // graph: which embedding regions are tight cliques and which
@@ -8381,6 +8392,7 @@ object Queries {
     "q_graph_bfs" -> graphBfsOracle,
     "q_graph_harmonic" -> graphHarmonicOracle,
     "q_graph_clustering" -> graphClusteringOracle,
+    "q_graph_ktruss" -> graphKtrussOracle,
     "q_graph_components" -> graphComponentsOracle,
     "q_graph_communities" -> graphCommunitiesOracle,
     "q_graph_modularity" -> graphModularityOracle,
@@ -14360,6 +14372,48 @@ object Queries {
        | CAST(sum(node) AS BIGINT) AS id_sum,
        | CAST(sum(n_reached) AS BIGINT) AS reach_sum
        |FROM h GROUP BY 1""".stripMargin
+  }
+
+  /** q_graph_ktruss replica: the three synchronous peels unrolled —
+    * per round, canonical triangles over the previous round's edge
+    * set, per-edge support (each triangle credits its three edges),
+    * filter support ≥ k−2 = 2 — then the final-support census.
+    * Every round CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    * with ~13 references per round the unrolled chain would re-inline
+    * the whole LSH prefix thousands of times (the first attempt died
+    * on "too many open files" re-opening the embeddings parquet). */
+  private def graphKtrussOracle: String = {
+    def round(i: Int): String = {
+      val prev = s"r${i - 1}"
+      s"""t$i AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM $prev e1 JOIN $prev e2 ON e2.a = e1.b
+         |  WHERE EXISTS (SELECT 1 FROM $prev e3
+         |    WHERE e3.a = e1.a AND e3.b = e2.b)),
+         |s$i AS (SELECT a, b, CAST(count(*) AS BIGINT) AS s FROM (
+         |  SELECT x AS a, y AS b FROM t$i
+         |  UNION ALL SELECT y, z FROM t$i
+         |  UNION ALL SELECT x, z FROM t$i) GROUP BY 1, 2),
+         |r$i AS MATERIALIZED (SELECT $prev.a, $prev.b FROM $prev
+         |  JOIN s$i USING (a, b) WHERE s >= 2)""".stripMargin
+    }
+    s"""WITH $knnEdgesCte,
+       |r0 AS MATERIALIZED (SELECT a, b FROM e),
+       |${(1 to 3).map(round).mkString(",\n")},
+       |tf AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM r3 e1 JOIN r3 e2 ON e2.a = e1.b
+       |  WHERE EXISTS (SELECT 1 FROM r3 e3
+       |    WHERE e3.a = e1.a AND e3.b = e2.b)),
+       |sf AS (SELECT a, b, CAST(count(*) AS BIGINT) AS s FROM (
+       |  SELECT x AS a, y AS b FROM tf
+       |  UNION ALL SELECT y, z FROM tf
+       |  UNION ALL SELECT x, z FROM tf) GROUP BY 1, 2),
+       |fin AS (SELECT r3.a, r3.b,
+       |  CAST(coalesce(sf.s, 0) AS BIGINT) AS support
+       | FROM r3 LEFT JOIN sf USING (a, b))
+       |SELECT support, count(*) AS n_edges,
+       | CAST(sum(a) AS BIGINT) AS a_sum,
+       | CAST(sum(b) AS BIGINT) AS b_sum
+       |FROM fin GROUP BY support""".stripMargin
   }
 
   /** q_graph_clustering replica: canonical-triangle enumeration over

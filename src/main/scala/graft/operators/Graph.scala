@@ -330,6 +330,60 @@ object Graph {
           .otherwise(lit(null).cast(DoubleType)).as("cc"))
   }
 
+  /** Per-edge triangle support over a canonical edge list (`a` < `b`):
+    * canonical triangles enumerate once (the [[localClustering]]
+    * two-hop join), then each triangle credits its three edges. */
+  private def edgeSupport(e: DataFrame): DataFrame = {
+    val tri = e.select(col("a").as("__x"), col("b").as("__y"))
+      .join(e.select(col("a").as("__y"), col("b").as("__z")), Seq("__y"))
+      .join(e.select(col("a").as("__x"), col("b").as("__z")),
+        Seq("__x", "__z"), "left_semi")
+    tri.select(explode(array(
+        struct(col("__x").as("a"), col("__y").as("b")),
+        struct(col("__y").as("a"), col("__z").as("b")),
+        struct(col("__x").as("a"), col("__z").as("b")))).as("__e"))
+      .select(col("__e.a").as("a"), col("__e.b").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("support"))
+  }
+
+  /** Bounded k-truss peeling (Cohen 2008): `iters` synchronous rounds
+    * of "drop every edge in fewer than k−2 triangles", the
+    * cohesion-core extractor one notch stronger than [[kCore]]
+    * (degree counts neighbors; support counts neighbors that KNOW
+    * EACH OTHER — a k-truss edge sits inside k−2 mutual
+    * acquaintances). On the k-NN embedding graph the surviving truss
+    * is the high-confidence cluster skeleton: hub-spoke bridgework
+    * dies, tight semantic cliques survive.
+    *
+    * Scale shape: per round, ONE canonical-triangle enumeration
+    * (Σdeg² wedge work, bounded on a k-NN graph — [[localClustering]]'s
+    * shape) + one support groupBy + one semi filter, with an eager
+    * localCheckpoint cutting lineage per round (the [[pageRank]]
+    * iteration discipline). SYNCHRONOUS bounded rounds, not
+    * run-to-fixpoint: `iters` peels are the documented contract (the
+    * LPA treatment — a fixpoint loop at corpus scale is a driver
+    * decision, made by re-invoking with the previous truss).
+    *
+    * Returns the surviving edges with their FINAL support (recomputed
+    * after the last peel — it may sit below k−2 if the peel has not
+    * converged in `iters` rounds): (a, b, support). */
+  def kTruss(edges: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 3 && k <= 64, s"k out of range: $k")
+    require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
+    var e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
+    for (_ <- 1 to iters) {
+      val sup = edgeSupport(e)
+      e = e.join(sup, Seq("a", "b"))
+        .filter(col("support") >= (k - 2).toLong)
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+    }
+    e.join(edgeSupport(e), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** Multi-source BFS hop distances over an undirected canonical edge
     * list (`a` < `b`): `iters` synchronous frontier expansions from
     * `seeds`, returning (node, dist) for every node reached within

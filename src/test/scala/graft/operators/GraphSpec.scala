@@ -426,4 +426,23 @@ class GraphSpec extends SparkSpecBase {
     assert(p(2L) == Some(0.0) && p(1L).isEmpty && p(3L).isEmpty,
       s"got $p")
   }
+
+  test("kTruss: a 4-clique survives k=4 while a pendant triangle " +
+      "and a bridge peel away; k=3 keeps both triangles") {
+    // 4-clique on 1..4 (every edge in 2 triangles), pendant triangle
+    // 4-5-6 (support 1), bridge 6-7 (support 0)
+    val clique = for {
+      x <- 1L to 4L; y <- (x + 1) to 4L
+    } yield (x, y)
+    val e = (clique ++ Seq((4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L)))
+      .toDF("a", "b")
+    val t4 = Graph.kTruss(e, k = 4, iters = 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(t4.keySet == clique.toSet, s"got $t4")
+    assert(t4.values.forall(_ == 2L), s"got $t4")
+    val t3 = Graph.kTruss(e, k = 3, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t3 == clique.toSet ++ Set((4L, 5L), (4L, 6L), (5L, 6L)),
+      s"got $t3")
+  }
 }
