@@ -5404,6 +5404,20 @@ object Queries {
           col("doc_id"), weight = col("n_chars"), k = 15, seed = 17)
         .select(col("lang"), col("doc_id"), col("n_chars"))
     }),
+    "q_sample_pps" -> ((s, dir) => {
+      // Systematic PPS: sample ~300 documents with inclusion
+      // probability proportional to n_chars by pacing through the
+      // hash-shuffled order in fixed weight steps — the "sample docs
+      // proportional to token count" mix primitive; heavy docs can
+      // never be missed. Distributed two-phase prefix sum (the
+      // takeBudget topology); census per source.
+      Sampling.ppsSystematic(Tables.documents(s, dir), col("doc_id"),
+          col("n_chars"), nTarget = 300L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sel"),
+          sum(col("n_chars").cast(LongType)).as("w_sum"),
+          sum(col("doc_id")).as("id_sum"))
+    }),
     "q_sample_ht" -> ((s, dir) => {
       // The ESTIMATOR audit priority sampling exists for: the DLT
       // per-item estimate max(w, τ) over the 200-doc weighted sample
@@ -9153,6 +9167,27 @@ object Queries {
     // DLT estimator replica: the same integer priorities, top-(k+1)
     // order statistic for tau, per-item max(w, scale/tau) rounded to
     // 6 dp and folded in DECIMAL, exact total beside it
+    // ppsSystematic replica: the same seed-0 bucket order, ONE global
+    // window cumsum (partition-cum + exclusive offsets equals it by
+    // the takeBudget contiguity argument), the integer crossing test
+    // against step = total // 300
+    "q_sample_pps" -> {
+      val bucket = s"(${affineSql(0, s"(doc_id % $M)")} % ${Sampling.Buckets})"
+      s"""WITH b AS (SELECT source, doc_id,
+         |  greatest(CAST(n_chars AS BIGINT), 0) AS w,
+         |  $bucket AS bkt
+         | FROM documents),
+         |t AS (SELECT CAST(sum(w) AS BIGINT) // 300 AS step FROM b),
+         |c AS (SELECT source, doc_id, w,
+         |  CAST(sum(w) OVER (ORDER BY bkt ASC, doc_id ASC
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM b),
+         |s AS (SELECT source, doc_id, w FROM c, t
+         | WHERE cum // step > (cum - w) // step)
+         |SELECT source, count(*) AS n_sel,
+         | CAST(sum(w) AS BIGINT) AS w_sum,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM s GROUP BY source""".stripMargin
+    },
     "q_sample_ht" -> {
       val bucket = s"(${affineSql(0, s"(doc_id % $M)")} % ${Sampling.Buckets})"
       s"""WITH st AS (SELECT doc_id AS id,

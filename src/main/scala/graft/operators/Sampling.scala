@@ -476,6 +476,75 @@ object Sampling {
       .drop("__p", "__b", "__off", "__cum")
   }
 
+  /** Systematic probability-proportional-to-size sampling: walk the
+    * corpus in deterministic-shuffle order ([[idBucket]], id) and
+    * select every row whose cumulative weight crosses a multiple of
+    * the step T div nTarget (T = total weight) — the classic
+    * fixed-interval PPS design (Madow 1949): inclusion probability
+    * ∝ weight for weights under the step, and heavy rows can never
+    * be missed (weight ≥ step ⇒ always crosses a boundary). The
+    * realized count is T div step when every weight is under the
+    * step; a row spanning j boundaries selects ONCE and absorbs the
+    * other j−1 slots (the standard certainty-unit behavior). The weighted complement of [[prioritySample]]
+    * (which ranks; this one PACES — one pass, no per-stratum k), and
+    * the standard "sample documents proportional to their token
+    * count" primitive of a training-mix pipeline.
+    *
+    * Deterministic by construction: the conventional random start
+    * u ∈ [0, step) is pinned to the hash-shuffled order instead of a
+    * random draw (the [[idBucket]] replay discipline) — membership is
+    * a pure function of ids and weights, identical on any engine.
+    *
+    * Scale shape: [[takeBudget]]'s distributed two-phase prefix sum
+    * verbatim — per-range totals (control-plane collect), driver
+    * exclusive offsets, broadcast back, per-range window — never a
+    * global single-task window. Selection is the integer crossing
+    * test cum div step > (cum − w) div step; zero-weight rows never
+    * select.
+    *
+    * Range contract: Σ weight must fit a Long (10¹⁳ tokens ≪ 2⁶³). */
+  def ppsSystematic(
+      df: DataFrame,
+      idCol: Column,
+      weightCol: Column,
+      nTarget: Long,
+      seed: Int = 0,
+      nRanges: Int = 256): DataFrame = {
+    require(nTarget > 0, s"nTarget must be positive: $nTarget")
+    require(nRanges > 0, s"nRanges must be positive: $nRanges")
+    val width = (Buckets + nRanges - 1) / nRanges
+    val longW = weightCol.cast(org.apache.spark.sql.types.LongType)
+    val withB = df
+      .withColumn("__w", greatest(longW, lit(0L)))
+      .withColumn("__b", idBucket(idCol, seed))
+      .withColumn("__p", floor(col("__b") / lit(width))
+        .cast(org.apache.spark.sql.types.LongType))
+    val totals = withB.groupBy(col("__p"))
+      .agg(coalesce(sum(col("__w")), lit(0L)).as("__t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (p, t) =>
+      val o = (p, acc); acc += t; o
+    }
+    val total = acc
+    require(total >= nTarget,
+      s"ppsSystematic: total weight $total < nTarget $nTarget")
+    val step = total / nTarget
+    val spark = df.sparkSession
+    val offDf = spark.createDataset(offsets.toSeq)(
+      org.apache.spark.sql.Encoders.product[(Long, Long)])
+      .toDF("__p", "__off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__p")).orderBy(col("__b").asc, idCol.asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    withB.join(broadcast(offDf), Seq("__p"))
+      .withColumn("__cum", sum(col("__w")).over(w) + col("__off"))
+      .filter(expr(s"__cum div $step") >
+        expr(s"(__cum - __w) div $step"))
+      .drop("__p", "__b", "__off", "__cum", "__w")
+  }
+
   /** Water-filling token-budget allocation across sources — the
     * fair-mixing primitive behind "spend B tokens over these domains":
     * every source below the waterline is fully funded, every source

@@ -431,6 +431,48 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("ppsSystematic: equals the brute-force crossing walk in the " +
+      "global shuffled order; heavy rows always selected; " +
+      "selection count = total div step") {
+    val rows = (0L until 400L).map(i =>
+      (i, if (i == 123L) 5000L else 1L + i % 29)) // one heavy row
+    val df = rows.toDF("id", "w")
+    val order = df.select(col("id"), col("w"),
+        Sampling.idBucket(col("id"), 0).as("b"))
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+      .sortBy(t => (t._1, t._2))
+    val total = rows.map(_._2).sum
+    for (nTarget <- Seq(10L, 50L, 200L); nRanges <- Seq(1, 7, 256)) {
+      val step = total / nTarget
+      var acc = 0L
+      val expected = order.flatMap { case (_, id, w) =>
+        val prev = acc; acc += w
+        if (acc / step > prev / step) Some(id) else None
+      }.toSet
+      val got = Sampling.ppsSystematic(df, col("id"), col("w"),
+          nTarget, seed = 0, nRanges = nRanges)
+        .select("id").as[Long].collect().toSet
+      assert(got == expected, s"nTarget=$nTarget nRanges=$nRanges")
+      // the heavy row's weight exceeds every step here: never missed
+      assert(got.contains(123L), s"heavy row missed at $nTarget")
+    }
+    // with every weight under the step, the realized count is exactly
+    // total div step (a heavy row spanning j boundaries selects once,
+    // absorbing j−1 slots — hence the separate uniform fixture)
+    val uni = (0L until 300L).map(i => (i, 1L + i % 7)).toDF("id", "w")
+    val uniTotal = (0L until 300L).map(i => 1L + i % 7).sum
+    val uniGot = Sampling.ppsSystematic(uni, col("id"), col("w"),
+      nTarget = 25L, seed = 0).count()
+    assert(uniGot == uniTotal / (uniTotal / 25L),
+      s"got $uniGot of ${uniTotal / (uniTotal / 25L)}")
+    // total < nTarget refuses loudly
+    val err = intercept[IllegalArgumentException] {
+      Sampling.ppsSystematic(Seq((1L, 1L)).toDF("id", "w"),
+        col("id"), col("w"), nTarget = 5L)
+    }
+    assert(err.getMessage.contains("total weight"))
+  }
+
   test("dimensionStats: mean and variance per coordinate") {
     val emb = Seq((1L, Seq(1f, 3f)), (2L, Seq(3f, 3f)))
       .toDF("vec_id", "embedding")
