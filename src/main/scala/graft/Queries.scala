@@ -48,6 +48,70 @@ object Queries {
     * orders of magnitude under the order-revenue spine. */
   private val PhStreamLambdaPpm = 500000000L
 
+  /** q_trend_hurst replica: the identical block decomposition per
+    * window size — exact-integer range (P₄ₜ·w − t·S₄ longs) over a
+    * DECIMAL(38,0) variance term under one sqrt, 9-dp ln folds, one
+    * IEEE mean division per w, and the OLS slope as a CASE of
+    * LITERAL coefficients interpolated from the same Scala doubles
+    * the Spark plan uses. */
+  private def hurstOracle: String = {
+    val windows = Seq(8, 16, 32, 64)
+    val xs = windows.map(w => math.log(w.toDouble))
+    val xbar = xs.sum / xs.size
+    val den = xs.map(x => (x - xbar) * (x - xbar)).sum
+    val cases = windows.zip(xs).map { case (w, x) =>
+      s"WHEN $w THEN ${(x - xbar) / den}"
+    }.mkString(" ")
+    s"""WITH daily AS (
+       | SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+       |    AS DECIMAL(18,4)) AS rev
+       | FROM orders GROUP BY 1),
+       |idx AS (SELECT d,
+       |  CAST(CAST(rev AS DECIMAL(28,4)) * 10000 AS BIGINT) AS x4,
+       |  row_number() OVER (ORDER BY d ASC) AS i,
+       |  count(*) OVER () AS n FROM daily),
+       |ws AS (SELECT unnest([${windows.mkString(", ")}]) AS w),
+       |e AS (SELECT w, (i - 1) // w AS blk, (i - 1) % w + 1 AS t,
+       |  x4, i FROM idx, ws WHERE (i - 1) // w < n // w),
+       |dv AS (SELECT w, blk, t, x4,
+       |  CAST(sum(x4) OVER (PARTITION BY w, blk ORDER BY i ASC
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p4,
+       |  CAST(sum(x4) OVER (PARTITION BY w, blk) AS BIGINT) AS s4
+       | FROM e),
+       |b AS (SELECT w, blk,
+       |  CAST(max(p4 * w - t * s4) - min(p4 * w - t * s4) AS BIGINT)
+       |    AS rng,
+       |  CAST(max(CAST(CAST(s4 AS DECIMAL(19,0)) *
+       |    CAST(s4 AS DECIMAL(19,0)) AS DECIMAL(38,0)))
+       |    AS DECIMAL(38,0)) AS sq,
+       |  CAST(coalesce(sum(CAST(CAST(x4 AS DECIMAL(19,0)) *
+       |      CAST(x4 AS DECIMAL(19,0)) AS DECIMAL(38,0))),
+       |    CAST(0 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS xx,
+       |  max(w) AS wv
+       | FROM dv GROUP BY 1, 2),
+       |l AS (SELECT w,
+       |  CAST(round(ln(CAST(rng AS DOUBLE) /
+       |    sqrt(CAST(CAST(CAST(wv AS DECIMAL(38,0)) * xx
+       |      AS DECIMAL(38,0)) - sq AS DOUBLE))), 9)
+       |    AS DECIMAL(28,9)) AS lnb
+       | FROM b WHERE rng > 0
+       |   AND CAST(CAST(wv AS DECIMAL(38,0)) * xx AS DECIMAL(38,0))
+       |     - sq > 0),
+       |pw AS (SELECT w, CAST(count(*) AS BIGINT) AS n_blocks,
+       |  CAST(CAST(sum(lnb) AS DECIMAL(38,9)) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS y
+       | FROM l GROUP BY 1),
+       |hc AS (SELECT w, n_blocks, y,
+       |  CAST(round((CASE w $cases END) * y, 9) AS DECIMAL(28,9))
+       |    AS ht FROM pw)
+       |SELECT CAST(w AS BIGINT) AS w, n_blocks, y AS ln_rs_mean,
+       | CASE WHEN (SELECT count(*) FROM hc) = ${windows.size}
+       |   THEN CAST((SELECT CAST(sum(ht) AS DECIMAL(38,9)) FROM hc)
+       |     AS DOUBLE) END AS hurst
+       |FROM hc""".stripMargin
+  }
+
   /** Page–Hinkley replica shared by q_trend_ph and its streaming
     * twin: the identical pure-integer window chain — 4-dp scaled
     * longs, 6-dp truncating-division terms (`//` and Spark's `div`
@@ -1675,6 +1739,18 @@ object Queries {
         .groupBy(dateFmt(col("o_orderdate")).as("d"))
         .agg(dsum(col("o_totalprice")).as("rev"))
       Stats.holtLinear(daily, "d", "rev", alpha = 0.3, beta = 0.1)
+    }),
+    "q_trend_hurst" -> ((s, dir) => {
+      // Rescaled-range Hurst exponent of daily revenue: does the
+      // series TREND across scales (H → 1) or mean-revert (H < 0.5)?
+      // — the scaling question ACF's fixed lags can't answer. R/S
+      // reduces to exact integers under one sqrt per block; the
+      // slope folds literal-coefficient products, so the whole fit
+      // replays bitwise.
+      val daily = Tables.orders(s, dir)
+        .groupBy(dateFmt(col("o_orderdate")).as("d"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      Stats.hurstRS(daily, "d", "rev", windows = Seq(8, 16, 32, 64))
     }),
     "q_trend_ph" -> ((s, dir) => {
       // Page–Hinkley sequential drift alarm over the same daily
@@ -11516,6 +11592,7 @@ object Queries {
     // values, per-step scale-6 HALF_UP fixes (DuckDB's decimal round
     // is half-away-from-zero = HALF_UP on signed values); exactness
     // removes every op-order constraint a float recursion would carry
+    "q_trend_hurst" -> hurstOracle,
     "q_trend_holt" -> holtOracle(
       """SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))

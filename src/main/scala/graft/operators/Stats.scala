@@ -5356,6 +5356,112 @@ object Stats {
         (col("__m6") - col("__mn6") > lambdaPpm).as("alarm"))
   }
 
+  /** Hurst exponent by rescaled-range analysis (Hurst 1951; Mandelbrot
+    * & Wallis 1969) over an ALREADY-AGGREGATED period series: for
+    * each window size w the series splits into ⌊n/w⌋ full blocks,
+    * each block scores R/S = (max−min cumulative deviation) / (its
+    * population std), and H is the OLS slope of mean ln(R/S) on
+    * ln w. H ≈ 0.5 = memoryless walk; H → 1 = long-range persistence
+    * (trending regimes); H < 0.5 = mean reversion — whether
+    * yesterday's anomaly predicts tomorrow's, the question ACF's
+    * fixed lags can't answer about SCALING.
+    *
+    * Scale shape: the [[cusumMaxShift]] control-frame discipline —
+    * windows and groupBys over the days-bounded frame × |windows|
+    * copies ([[Guards.boundedSeries]] enforced); the per-(w, block)
+    * windows are PARTITIONED (never a data-sized single partition).
+    *
+    * Determinism: R and S share the block scale, so R/S reduces to
+    * EXACT INTEGERS under one sqrt — R·w·10⁴ = max−min of
+    * (P₄ₜ·w − t·S₄) (pure longs) and (S·w·10⁴)² = w·Σx₄² − S₄²
+    * (DECIMAL(38,0) squares, the [[cochranQ]] contract), giving
+    * R/S = range / √num with both operands exact. Each ln rounds at
+    * 9 dp and folds as DECIMAL (order-free); the per-w mean is one
+    * IEEE division; the slope folds literal-coefficient products
+    * (cᵢ interpolated from the SAME Scala doubles as the oracle)
+    * rounded at 9 dp — no order-dependent double sum anywhere.
+    * Blocks with zero range or zero variance are excluded (ln
+    * undefined); H is NULL unless every window produced blocks.
+    *
+    * Returns one row per window: (w, n_blocks, ln_rs_mean, hurst —
+    * the same fitted slope on every row). */
+  def hurstRS(
+      series: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      windows: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    require(windows.nonEmpty && windows.size >= 2 &&
+      windows.distinct.size == windows.size &&
+      windows.forall(w => w >= 2 && w <= 65536),
+      s"bad window set: $windows")
+    val dec = DecimalType(38, 0)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val src = Guards.boundedSeries(
+      series.select(col(orderCol).as("__d"),
+        (col(valueCol).cast(DecimalType(18, 4)) * 10000)
+          .cast(LongType).as("__x4"))
+        .filter(col("__d").isNotNull && col("__x4").isNotNull),
+      "hurstRS")
+      .withColumn("__i",
+        row_number().over(Guards.seriesWindow(col("__d").asc)))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val e = src
+      .withColumn("__w", explode(lit(windows.toArray)))
+      .filter(expr("(__i - 1) div __w") < expr("__n div __w"))
+      .withColumn("__blk", expr("(__i - 1) div __w"))
+      .withColumn("__t", expr("(__i - 1) % __w + 1"))
+    val wBlk = Window.partitionBy(col("__w"), col("__blk"))
+    val wCumBlk = wBlk.orderBy(col("__i").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dev = e
+      .withColumn("__p4", sum(col("__x4")).over(wCumBlk))
+      .withColumn("__s4", sum(col("__x4")).over(
+        wBlk.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("__dw", col("__p4") * col("__w") -
+        col("__t") * col("__s4"))
+    val blocks = dev.groupBy(col("__w"), col("__blk"))
+      .agg((max(col("__dw")) - min(col("__dw"))).as("__rng"),
+        (max(col("__s4").cast(dec) * col("__s4").cast(dec))).as("__sq"),
+        coalesce(sum((col("__x4").cast(dec) * col("__x4").cast(dec))
+          .cast(dec)), lit(0).cast(dec)).as("__xx"),
+        max(col("__w")).as("__wv"))
+      .withColumn("__num",
+        (col("__wv").cast(dec) * col("__xx") - col("__sq")).cast(dec))
+      .filter(col("__rng") > 0L && col("__num") > 0)
+      .withColumn("__ln",
+        round(log(col("__rng").cast(DoubleType) /
+          sqrt(col("__num").cast(DoubleType))), 9)
+          .cast(DecimalType(28, 9)))
+    val perW = blocks.groupBy(col("__w").as("w"))
+      .agg(count(lit(1)).as("n_blocks"),
+        coalesce(sum(col("__ln")), lit(0).cast(DecimalType(28, 9)))
+          .as("__lnsum"))
+      .withColumn("ln_rs_mean", col("__lnsum").cast(DoubleType) /
+        col("n_blocks").cast(DoubleType))
+    // OLS slope via LITERAL coefficients: cᵢ = (ln wᵢ − mean)/den
+    // depends only on the window set, so it interpolates from the
+    // same Scala doubles into the oracle text
+    val xs = windows.map(w => math.log(w.toDouble))
+    val xbar = xs.sum / xs.size
+    val den = xs.map(x => (x - xbar) * (x - xbar)).sum
+    val coef = windows.zip(xs).foldLeft(lit(null).cast(DoubleType)) {
+      case (acc, (w, x)) =>
+        when(col("w") === w, lit((x - xbar) / den)).otherwise(acc)
+    }
+    perW
+      .withColumn("__hterm",
+        round(coef * col("ln_rs_mean"), 9).cast(DecimalType(28, 9)))
+      .withColumn("__k", count(lit(1)).over(wAll))
+      .withColumn("hurst",
+        when(col("__k") === windows.size,
+          sum(col("__hterm")).over(wAll).cast(DoubleType))
+          .otherwise(lit(null).cast(DoubleType)))
+      .select(col("w").cast(LongType).as("w"), col("n_blocks"),
+        col("ln_rs_mean"), col("hurst"))
+  }
+
   /** Isotonic (PAV) calibration of a cheap score against a binary
     * gate — THE standard monotone probability calibrator (Barlow et
     * al. 1972; Zadrozny & Elkan 2002): bin the score, then fit the

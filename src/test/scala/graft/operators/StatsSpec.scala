@@ -2609,6 +2609,33 @@ class StatsSpec extends SparkSpecBase {
     assert(!damped(3).getBoolean(4), s"got ${damped.toSeq}")
   }
 
+  test("hurstRS: a deterministic ramp scores near 1, an alternating " +
+      "series near 0, a constant series abstains") {
+    import spark.implicits._
+    def series(vals: Seq[Double]) = vals.zipWithIndex
+      .map { case (v, i) => (f"d${i + 1}%04d", v) }.toDF("d", "v")
+    val ws = Seq(4, 8, 16)
+    // pure trend: R/S grows ~linearly in w → slope ≈ 1
+    val ramp = Stats.hurstRS(series((1 to 64).map(_.toDouble)),
+      "d", "v", ws).collect()
+    assert(ramp.length == 3)
+    val hRamp = ramp.head.getAs[Double]("hurst")
+    assert(ramp.forall(_.getAs[Double]("hurst") == hRamp))
+    assert(hRamp > 0.85, s"ramp H: $hRamp")
+    assert(ramp.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((4L, 16L), (8L, 8L), (16L, 4L)), s"got ${ramp.toSeq}")
+    // alternation: bounded range at every scale → slope ≈ 0
+    val alt = Stats.hurstRS(
+      series((1 to 64).map(i => if (i % 2 == 0) 11.0 else 9.0)),
+      "d", "v", ws).collect()
+    val hAlt = alt.head.getAs[Double]("hurst")
+    assert(hAlt < 0.3, s"alternating H: $hAlt")
+    // constant series: every block has zero range — nothing to fit
+    val const = Stats.hurstRS(series(Seq.fill(64)(5.0)), "d", "v", ws)
+      .collect()
+    assert(const.isEmpty, s"got ${const.toSeq}")
+  }
+
   test("isotonicCalibration: PAV pools adjacent violators — " +
       "hand-computed minimax on a 4-bin fixture; monotone output") {
     import spark.implicits._
