@@ -69,7 +69,10 @@ object ScaleProbe {
     "q_stream_quantile_group", "q_stream_f2",
     // round 12 entrants
     "q_stream_joinsize", "q_stream_dsir", "q_sketch_hll",
-    "q_graph_harmonic", "q_embedding_twonn")
+    "q_graph_harmonic", "q_embedding_twonn",
+    // round 13 entrants
+    "q_graph_ktruss", "q_graph_clustering", "q_trend_hurst",
+    "q_sample_pps", "q_sim_mips", "q_trend_ph", "q_quality_isotonic")
 
   private val Shift = 100000000000L // 10^11: far above any base key
 
