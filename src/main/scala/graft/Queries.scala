@@ -2961,6 +2961,17 @@ object Queries {
           graft.streaming.Streams.eventsStream(s, dir)), name,
         shufflePartitions = Some(8))
     }),
+    "q_stream_sliding" -> ((s, dir) => {
+      // SLIDING windows at ingest: every event lands in TWO
+      // overlapping 10-minute windows (5-minute slide) — the smoothed
+      // rolling view the tumbling q_stream_windows staircases. The
+      // oracle replays each event into both covering window starts.
+      val name = s"q_stream_sliding_${streamRun.incrementAndGet()}"
+      graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.slidingWindowCounts(
+          graft.streaming.Streams.eventsStream(s, dir)), name,
+        shufflePartitions = Some(8))
+    }),
     "q_stream_transitions" -> ((s, dir) => {
       // Streaming Markov counting: per-user last-event state links
       // transitions across micro-batches; the drained increment sums
@@ -8232,6 +8243,20 @@ object Queries {
         | round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
         |   AS value_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // sliding replica: each event unnests into its two covering
+    // 10-minute window starts (the 5-minute bucket and the one
+    // before), then the same per-(start, type) aggregate
+    "q_stream_sliding" ->
+      """WITH w AS (SELECT event_type, value,
+        |  unnest([time_bucket(INTERVAL '5 minutes', ts),
+        |          time_bucket(INTERVAL '5 minutes', ts)
+        |            - INTERVAL '5 minutes']) AS ws
+        | FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        | event_type, count(*) AS n,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |   AS value_sum
+        |FROM w GROUP BY 1, 2""".stripMargin,
     // streaming session drain = batch session assignment
     "q_stream_sessions" -> sessionWindowOracle,
     // streaming inner interval join = the batch interval join

@@ -112,6 +112,28 @@ object Streams {
         col("event_type"), col("n"),
         round(col("value_sum").cast(DoubleType), 4).as("value_sum"))
 
+  /** SLIDING watermarked windows — [[windowedCounts]]'s overlapping
+    * sibling: every event lands in size/slide windows (10 min / 5 min
+    * ⇒ two), giving the smoothed rolling view a tumbling bucket
+    * staircases. Same deterministic late-drop, same emit shape; the
+    * batch oracle replays each event into its ⌈size/slide⌉ covering
+    * window starts. */
+  def slidingWindowCounts(
+      events: DataFrame,
+      size: String = "10 minutes",
+      slide: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), size, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).as("value_sum"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("event_type"), col("n"),
+        round(col("value_sum").cast(DoubleType), 4).as("value_sum"))
+
   /** Per-user running state carried across micro-batches. */
   final case class UserState(nEvents: Long, lastTsNs: Long, lastType: String)
   final case class UserUpdate(
