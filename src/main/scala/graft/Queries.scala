@@ -1579,6 +1579,22 @@ object Queries {
         tk >= 70,
         col("n_chars") <= tk * 8))
     }),
+    "q_label_alpha_interval" -> ((s, dir) => {
+      // Interval-data Krippendorff α over three CONTINUOUS character
+      // estimators of the same doc (exact n_chars, the 8-chars-per-
+      // token proxy — abstaining on token-free docs, the
+      // non-whitespace count): do the cheap length scorers agree
+      // beyond chance on a shared numeric scale — the continuous
+      // labeling-QA gauge the binary q_label_alpha can't express.
+      // Pair-sum identity → one aggregate; both D's fix at 6 dp by
+      // exact integer division before any double exists.
+      val docs = Tables.documents(s, dir)
+      val tk = TextAnalysis.tokenCount(col("text"))
+      Stats.krippendorffAlphaInterval(docs, Seq(
+        col("n_chars"),
+        when(tk > 0L, tk * 8L),
+        length(regexp_replace(col("text"), "\\s", ""))), scale = 0)
+    }),
     "q_label_alpha" -> ((s, dir) => {
       // Krippendorff's α over the q_fleiss_kappa gate battery WITH
       // abstention: the gibberish gate (n_chars ≤ 8·tokens) returns
@@ -11354,6 +11370,65 @@ object Queries {
     // gate NULL on token-free docs; LCM-scaled integer coincidences
     // (L = 2 for three raters; // is exact here by construction),
     // DECIMAL(38,0) final products, the same three literal divisions
+    // interval-α replica: identical raters, pair-sum identity, the
+    // L-scaled integer disagreement, and the 6-dp integer-division
+    // fixes (HUGEINT intermediates INTERNAL only — BIGINT/DOUBLE at
+    // the boundary)
+    "q_label_alpha_interval" ->
+      """WITH g AS (SELECT CAST(n_chars AS BIGINT) AS v1,
+        |  CASE WHEN tk > 0 THEN CAST(tk * 8 AS BIGINT) END AS v2,
+        |  CAST(len(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+        |    AS v3
+        | FROM (SELECT n_chars, text,
+        |  len(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> len(x) > 0)) AS tk FROM documents)),
+        |u AS (SELECT
+        |  (CASE WHEN v1 IS NULL THEN 0 ELSE 1 END
+        |   + CASE WHEN v2 IS NULL THEN 0 ELSE 1 END
+        |   + CASE WHEN v3 IS NULL THEN 0 ELSE 1 END) AS m,
+        |  CAST(coalesce(v1, 0) + coalesce(v2, 0) + coalesce(v3, 0)
+        |    AS BIGINT) AS s,
+        |  CAST(coalesce(CAST(CAST(v1 AS DECIMAL(19,0))
+        |      * CAST(v1 AS DECIMAL(19,0)) AS DECIMAL(38,0)), 0)
+        |   + coalesce(CAST(CAST(v2 AS DECIMAL(19,0))
+        |      * CAST(v2 AS DECIMAL(19,0)) AS DECIMAL(38,0)), 0)
+        |   + coalesce(CAST(CAST(v3 AS DECIMAL(19,0))
+        |      * CAST(v3 AS DECIMAL(19,0)) AS DECIMAL(38,0)), 0)
+        |   AS DECIMAL(38,0)) AS q
+        | FROM g),
+        |one AS (SELECT CAST(count(*) AS BIGINT) AS un,
+        |  CAST(coalesce(sum(CASE WHEN m >= 2 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS p,
+        |  CAST(coalesce(sum(CASE WHEN m >= 2 THEN
+        |    CAST(2 AS DECIMAL(38,0)) * (CAST(m AS DECIMAL(38,0)) * q
+        |      - CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0)))
+        |      * (CASE m WHEN 2 THEN 2 ELSE 1 END) END), 0)
+        |    AS DECIMAL(38,0)) AS do_,
+        |  CAST(coalesce(sum(CASE WHEN m >= 2 THEN m END), 0)
+        |    AS BIGINT) AS n,
+        |  CAST(coalesce(sum(CASE WHEN m >= 2 THEN s END), 0)
+        |    AS BIGINT) AS st,
+        |  CAST(coalesce(sum(CASE WHEN m >= 2 THEN q END),
+        |    CAST(0 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS qt
+        | FROM u),
+        |f AS (SELECT un, p, n,
+        |  CAST((CAST(do_ AS HUGEINT) * 1000000)
+        |    // CAST(2 * n AS HUGEINT) AS BIGINT) AS do6,
+        |  CAST((CAST(CAST(2 AS DECIMAL(38,0))
+        |      * (CAST(n AS DECIMAL(38,0)) * qt
+        |        - CAST(st AS DECIMAL(19,0)) * CAST(st AS DECIMAL(19,0)))
+        |      AS HUGEINT) * 1000000)
+        |    // CAST(n * (n - 1) AS HUGEINT) AS BIGINT) AS de6
+        | FROM one)
+        |SELECT un AS n_units, p AS n_pairable, n AS n_ratings,
+        | CASE WHEN p > 0 AND n >= 2 AND de6 > 0
+        |   THEN CAST(do6 AS DOUBLE) / 1000000.0 END AS d_o,
+        | CASE WHEN p > 0 AND n >= 2 AND de6 > 0
+        |   THEN CAST(de6 AS DOUBLE) / 1000000.0 END AS d_e,
+        | CASE WHEN p > 0 AND n >= 2 AND de6 > 0
+        |   THEN round(1.0 - CAST(do6 AS DOUBLE) / CAST(de6 AS DOUBLE),
+        |     6) END AS alpha
+        |FROM f""".stripMargin,
     "q_label_alpha" ->
       """WITH g AS (SELECT n_chars,
         |  len(list_filter(regexp_split_to_array(text, '\s+'),

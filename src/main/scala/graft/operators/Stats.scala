@@ -4241,6 +4241,100 @@ object Stats {
         .otherwise(lit(null).cast(DoubleType)).as("alpha"))
   }
 
+  /** Krippendorff's α for INTERVAL data — the continuous-scale
+    * sibling of [[krippendorffAlpha]] (Krippendorff 2004, δ² metric):
+    * the agreement gauge when the "raters" emit NUMBERS on a shared
+    * scale (competing quality scorers, length estimators, duplicate
+    * annotation passes) rather than verdicts. Same missing-data
+    * tolerance: a NULL rating drops out of its unit; units with < 2
+    * remaining ratings are unpairable.
+    *
+    * α = 1 − D_o/D_e with squared-difference disagreement. Both
+    * sides reduce to ONE aggregate over exact integers via the
+    * pair-sum identity Σ_{i≠j}(xᵢ−xⱼ)² = 2(m·Σx² − (Σx)²):
+    * D_o = Σ_u 2(m_u·Q_u − S_u²)/(m_u−1) / n (L-scaled by
+    * lcm(1..R−1) so every /(m−1) is exact — the nominal op's trick)
+    * and D_e = 2(n·Q − S²)/(n(n−1)) over the pooled ratings. Values
+    * fix at `scale` dp (x·10^s longs); squares fold as DECIMAL(38,0);
+    * both D's then fix at 6 dp in value² units by EXACT integer
+    * division (the huge decimal intermediates never convert to
+    * double), and α = 1 − D_o⁶/D_e⁶ is ONE correctly-rounded IEEE
+    * division over the emitted values — self-consistent and
+    * engine-portable. α NULL when the fixed chance disagreement is 0
+    * or nothing is pairable. Binary values as interval reduce to the
+    * nominal [[krippendorffAlpha]] (a (1,0) two-rater unit: α = 0).
+    *
+    * Returns one row: (n_units, n_pairable, n_ratings, d_o, d_e,
+    * alpha). */
+  def krippendorffAlphaInterval(
+      df: DataFrame,
+      ratings: Seq[Column],
+      scale: Int = 4): DataFrame = {
+    val rr = ratings.size
+    require(rr >= 2 && rr <= 9,
+      s"krippendorffAlphaInterval needs 2..9 raters, got $rr")
+    require(scale >= 0 && scale <= 4, s"scale out of range: $scale")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val L = (1L until rr.toLong).foldLeft(1L)((a, i) => a / gcd(a, i) * i)
+    val dec = DecimalType(38, 0)
+    val pow = math.pow(10, scale).toLong
+    val vs = ratings.map(r =>
+      (r.cast(DecimalType(18, scale)) * pow).cast(LongType))
+    val m = vs.map(v => when(v.isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val s = vs.map(v => coalesce(v, lit(0L))).reduce(_ + _)
+    val q = vs.map(v =>
+      coalesce((v.cast(dec) * v.cast(dec)).cast(dec),
+        lit(0).cast(dec))).reduce(_ + _).cast(dec)
+    val pairable = m >= 2L
+    val factor = (2 to rr).foldLeft(lit(0L)) { (acc, mm) =>
+      when(m === mm.toLong, lit(L / (mm - 1))).otherwise(acc) }
+    // 2(m·Q − S²)·L/(m−1): the ordered-pair squared disagreement,
+    // exactly integral by the lcm construction
+    val contrib = when(pairable,
+      (lit(2).cast(dec) * (m.cast(dec) * q - s.cast(dec) * s.cast(dec))
+        .cast(dec) * factor.cast(dec)).cast(dec))
+      .otherwise(lit(0).cast(dec))
+    val one = df.agg(
+      count(lit(1)).as("__u"),
+      coalesce(sum(when(pairable, 1L).otherwise(0L)), lit(0L))
+        .as("__p"),
+      coalesce(sum(contrib), lit(0).cast(dec)).as("__do"),
+      coalesce(sum(when(pairable, m).otherwise(0L)), lit(0L))
+        .as("__n"),
+      coalesce(sum(when(pairable, s).otherwise(0L)), lit(0L))
+        .as("__s"),
+      coalesce(sum(when(pairable, q).otherwise(lit(0).cast(dec))),
+        lit(0).cast(dec)).as("__q"))
+    val n = col("__n")
+    val deNum = (lit(2).cast(dec) *
+      (n.cast(dec) * col("__q") - col("__s").cast(dec) *
+        col("__s").cast(dec)).cast(dec)).cast(dec)
+    // BOTH D's fix at 6 dp in value² units by EXACT integer division
+    // BEFORE any double exists (the huge decimal intermediates —
+    // n·Q reaches ~10²⁴ — can't convert to double reproducibly across
+    // engines; the ≤ var·10⁶ quotients can, exactly). α is then
+    // computed FROM the fixed D's — self-consistent with the emitted
+    // d_o/d_e, and one correctly-rounded IEEE division.
+    val sq = pow * pow
+    val do6 = expr(s"(__do * 1000000) div (${L * sq} * __n)")
+    val de6 = expr(
+      s"(__deNum * 1000000) div (__n * (__n - 1) * $sq)")
+    val ok = col("__p") > 0L && n >= 2L && col("__de6") > 0L
+    one.withColumn("__deNum", deNum)
+      .withColumn("__do6", do6)
+      .withColumn("__de6", de6)
+      .select(col("__u").as("n_units"), col("__p").as("n_pairable"),
+        n.as("n_ratings"),
+        when(ok, col("__do6").cast(DoubleType) / lit(1e6))
+          .otherwise(lit(null).cast(DoubleType)).as("d_o"),
+        when(ok, col("__de6").cast(DoubleType) / lit(1e6))
+          .otherwise(lit(null).cast(DoubleType)).as("d_e"),
+        when(ok, round(lit(1.0) - col("__do6").cast(DoubleType) /
+            col("__de6").cast(DoubleType), 6))
+          .otherwise(lit(null).cast(DoubleType)).as("alpha"))
+  }
+
   /** Cronbach's α — internal consistency of a k-item battery: do the
     * gates measure ONE underlying quality trait, or k unrelated
     * things? The scale-reliability complement of [[fleissKappa]]

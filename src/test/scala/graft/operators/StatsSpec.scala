@@ -754,6 +754,45 @@ class StatsSpec extends SparkSpecBase {
     assert(oc.isNullAt(oc.fieldIndex("alpha")), s"got $oc")
   }
 
+  test("krippendorffAlphaInterval: hand-computed squared-difference " +
+      "panel; perfect agreement is 1; binary-as-interval reduces to " +
+      "the nominal alpha; a NULL rating drops out") {
+    import spark.implicits._
+    def r2 = Seq(col("r1"), col("r2"))
+    // u1 (0,2): ordered-pair disagreement 8; u2 (1,1): 0 →
+    // D_o = 8/4 = 2; pooled {0,2,1,1} → D_e = 16/12 = 1.333333 →
+    // α = 1 − 2000000/1333333 ≈ −0.5
+    val mixed = Seq((0.0, 2.0), (1.0, 1.0)).toDF("r1", "r2")
+    val mx = Stats.krippendorffAlphaInterval(mixed, r2).collect()(0)
+    assert(mx.getAs[Long]("n_ratings") == 4L &&
+      mx.getAs[Double]("d_o") == 2.0 &&
+      mx.getAs[Double]("d_e") == 1.333333, s"got $mx")
+    assert(mx.getAs[Double]("alpha") ==
+      BigDecimal(1.0 - 2000000.0 / 1333333.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      s"got $mx")
+    // perfect agreement on a non-degenerate pool
+    val perfect = Seq((1.0, 1.0), (2.0, 2.0)).toDF("r1", "r2")
+    val p = Stats.krippendorffAlphaInterval(perfect, r2).collect()(0)
+    assert(p.getAs[Double]("d_o") == 0.0 &&
+      p.getAs[Double]("alpha") == 1.0, s"got $p")
+    // binary-as-interval: one (1,0) two-rater unit → α = 0, the
+    // nominal reduction
+    val tf = Stats.krippendorffAlphaInterval(
+      Seq((1.0, 0.0)).toDF("r1", "r2"), r2).collect()(0)
+    assert(tf.getAs[Double]("d_o") == 1.0 &&
+      tf.getAs[Double]("d_e") == 1.0 &&
+      tf.getAs[Double]("alpha") == 0.0, s"got $tf")
+    // NULL tolerance: a 3-rater unit with one abstention is pairable
+    val nul = Stats.krippendorffAlphaInterval(
+      Seq((Some(1.0), Option.empty[Double], Some(2.0)),
+        (Some(1.0), Some(1.0), Some(1.0))).toDF("r1", "r2", "r3"),
+      Seq(col("r1"), col("r2"), col("r3"))).collect()(0)
+    assert(nul.getAs[Long]("n_units") == 2L &&
+      nul.getAs[Long]("n_pairable") == 2L &&
+      nul.getAs[Long]("n_ratings") == 5L, s"got $nul")
+  }
+
   test("kaplanMeier: hand-computed product-limit curve with " +
       "censoring; integer floors replay the textbook values") {
     import spark.implicits._
