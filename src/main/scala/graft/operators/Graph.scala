@@ -368,20 +368,40 @@ object Graph {
     * Returns the surviving edges with their FINAL support (recomputed
     * after the last peel — it may sit below k−2 if the peel has not
     * converged in `iters` rounds): (a, b, support). */
-  def kTruss(edges: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kTruss(edges: DataFrame, k: Int, iters: Int): DataFrame =
+    kTrussWithRounds(edges, k, iters)._1
+
+  /** [[kTruss]] plus the number of peel rounds actually executed —
+    * the EARLY EXIT (VERDICT r13 item 5, the k-core zero-peel rule):
+    * a round that removes no edge cannot change any later round
+    * (support is a pure function of the edge set), so the loop stops
+    * there instead of paying `iters` full triangle enumerations on a
+    * stable truss. The per-round count() reads the just-
+    * localCheckpoint'ed generation — no recompute. Value-identical
+    * to the bounded loop by the fixpoint argument (GraphSpec pins
+    * it). */
+  private[operators] def kTrussWithRounds(
+      edges: DataFrame, k: Int, iters: Int): (DataFrame, Int) = {
     require(k >= 3 && k <= 64, s"k out of range: $k")
     require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
     var e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
-    for (_ <- 1 to iters) {
+    var n = e.count()
+    var round = 0
+    var converged = false
+    while (round < iters && !converged) {
       val sup = edgeSupport(e)
       e = e.join(sup, Seq("a", "b"))
         .filter(col("support") >= (k - 2).toLong)
         .select(col("a"), col("b"))
         .localCheckpoint()
+      val nn = e.count()
+      converged = nn == n // zero-peel round: the truss is stable
+      n = nn
+      round += 1
     }
-    e.join(edgeSupport(e), Seq("a", "b"), "left")
+    (e.join(edgeSupport(e), Seq("a", "b"), "left")
       .select(col("a"), col("b"),
-        coalesce(col("support"), lit(0L)).as("support"))
+        coalesce(col("support"), lit(0L)).as("support")), round)
   }
 
   /** Multi-source BFS hop distances over an undirected canonical edge

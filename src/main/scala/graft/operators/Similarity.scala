@@ -117,6 +117,62 @@ object Similarity {
         round(col("__ip"), 6).as("ip"))
   }
 
+  /** INDEXED maximum-inner-product top-k — the 100 TB path whose
+    * recall oracle is [[mipsTopKPerQuery]] (VERDICT r13 item 2).
+    * Asymmetric norm augmentation (Shrivastava & Li, NeurIPS 2014):
+    * append √(M² − ‖c‖²) to every corpus vector (M = max corpus norm)
+    * and 0 to every query; then ⟨q′, c′⟩ = ⟨q, c⟩ while every
+    * augmented corpus vector has norm exactly M — so cosine order on
+    * the augmented space IS inner-product order on the original, and
+    * the augmented vectors ride the SAME banded SRP-LSH candidate
+    * pass as [[lshTopKPerQuery]] (one (band, key) shuffle, never the
+    * cross join). Candidates are ranked by the RAW augmented dot
+    * (= the raw original inner product: the query's extra coordinate
+    * is 0, and the left-to-right fold appends `aug·0.0 = +0.0`, which
+    * both engines compute identically), ties on corpus id, the score
+    * rounded once at 6 dp.
+    *
+    * Determinism/portability: M² = max ‖c‖² is the max of exact
+    * left-to-right [[dot]] folds; √ is correctly rounded IEEE — both
+    * engines derive bit-identical augmented coordinates, so the
+    * portable plane signatures (now over dim+1 coordinates) match.
+    * The max rides in as a broadcast 1-row frame — no driver collect.
+    * Self-pairs excluded by id, matching the exact oracle. */
+  def mipsLshTopKPerQuery(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      bits: Int = 32,
+      bands: Int = 4,
+      seed: Int = 42,
+      portable: Boolean = false,
+      targetCohort: Int = 16): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val m2Row = corpus
+      .agg(max(dot(col(embCol), col(embCol))).as("__m2"))
+    val caug = corpus.crossJoin(broadcast(m2Row))
+      .select(col(idCol),
+        concat(col(embCol).cast(ArrayType(DoubleType)),
+          array(sqrt(col("__m2") - dot(col(embCol), col(embCol)))))
+          .as(embCol))
+    val qaug = queries
+      .select(col(idCol),
+        concat(col(embCol).cast(ArrayType(DoubleType)),
+          array(lit(0.0))).as(embCol))
+    val scored = lshScoredCandidates(caug, qaug, idCol, embCol,
+      bits, bands, seed, portable, excludeSelf = true, targetCohort)
+      .select(col("query_id"), col("corpus_id"),
+        dot(col("corpus_emb"), col("query_emb")).as("__ip"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__ip").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("rank"),
+        round(col("__ip"), 6).as("ip"))
+  }
+
   /** Recall of an approximate ANN result set against the exact
     * ground truth, as one labeled row: pair-set intersection size over
     * the truth size. Both inputs are (query_id, corpus_id) frames.

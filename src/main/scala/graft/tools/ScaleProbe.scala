@@ -72,7 +72,9 @@ object ScaleProbe {
     "q_graph_harmonic", "q_embedding_twonn",
     // round 13 entrants
     "q_graph_ktruss", "q_graph_clustering", "q_trend_hurst",
-    "q_sample_pps", "q_sim_mips", "q_trend_ph", "q_quality_isotonic")
+    "q_sample_pps", "q_sim_mips", "q_trend_ph", "q_quality_isotonic",
+    // round 14 entrants
+    "q_sim_mips_lsh", "q_sim_mips_recall")
 
   private val Shift = 100000000000L // 10^11: far above any base key
 
@@ -209,26 +211,69 @@ object ScaleProbe {
       }
       kept
     }
-    val flagged = results.filter(_._4 > flagFactor).map(_._1)
-    // top-3 ratios are ALWAYS emitted (VERDICT r11 item 3): a
-    // near-miss under the bound must never read as clean
-    val nearFlag = results.sortBy(-_._4).take(3).map { r =>
-      s"""{"query":"${r._1}","ratio":${fmt(r._4)}}"""
-    }
+    // AUTOMATIC SOLO RE-MEASURE (VERDICT r13 item 3, the recorded
+    // measurement-discipline rule made driver-visible): a long
+    // sequential session co-schedules 40+ probes, and executor
+    // pressure alone has produced 3-4× phantom ratios that re-measure
+    // well under 3× in isolation (r12/r13 PLANS audits, done by hand
+    // twice). Any query whose full-session ratio exceeds soloFactor
+    // gets an automatic re-run in a FRESH SparkSession (memos cold —
+    // the solo cost includes any shared-pass build, exactly like the
+    // manual single-query procedure), and the artifact carries BOTH
+    // numbers. Only a ratio that survives the solo re-measure is an
+    // operator problem.
+    val soloFactor = 3.0
+    val soloNames = results.filter(_._4 > soloFactor).map(_._1)
+    if (soloNames.nonEmpty) spark.stop()
+    val solo: Map[String, Double] = soloNames.map { name =>
+      val s2 = Sessions.local(s"graft-scale-solo")
+      try {
+        force(SparkEntry.queries("q_agg_pricing")(s2, base))
+        force(SparkEntry.queries("q_agg_pricing")(s2, out))
+        val tb = time1(s2, name, base)
+        val tx = time1(s2, name, out)
+        val r = tx / math.max(tb, 1e-9)
+        println(s"[scale] $name SOLO base=${fmt(tb)}s x$factor=" +
+          s"${fmt(tx)}s ratio=${fmt(r)}")
+        name -> r
+      } finally s2.stop()
+    }.toMap
+    // a query is FLAGGED only when the solo re-measure (always taken
+    // for anything over soloFactor, hence for anything over
+    // flagFactor) also exceeds the bound
+    val flagged = results
+      .filter(r => r._4 > flagFactor &&
+        solo.getOrElse(r._1, r._4) > flagFactor)
+      .map(_._1)
+    def entry(name: String, full: Double): String =
+      s"""{"query":"$name","ratio_full":${fmt(full)}""" +
+        solo.get(name).map(s => s""","ratio_solo":${fmt(s)}""")
+          .getOrElse("") + "}"
+    // every solo-re-measured query is a near-flag entry, plus the
+    // top-3 full ratios (VERDICT r11 item 3): a near-miss under the
+    // bound must never read as clean
+    val nearNames = (soloNames ++
+      results.sortBy(-_._4).take(3).map(_._1)).distinct
+    val fullByName = results.map(r => r._1 -> r._4).toMap
+    val nearFlag = nearNames
+      .sortBy(n => -fullByName.getOrElse(n, 0.0))
+      .map(n => entry(n, fullByName(n)))
     val qs = results.map { case (n, tb, tx, r, firstR) =>
       s""""$n":{"base_sec":${fmt(tb)},"x10_sec":${fmt(tx)},""" +
         s""""ratio":${fmt(r)}""" +
         firstR.map(f => s""","first_try_ratio":${fmt(f)}""").getOrElse("") +
+        solo.get(n).map(s => s""","ratio_solo":${fmt(s)}""").getOrElse("") +
         "}"
     }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"scale_probe","rows_factor":$factor,""" +
         s""""base":"$base","scaled":"$out","flag_factor":$flagFactor,""" +
+        s""""solo_factor":$soloFactor,""" +
         s""""flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""near_flag":${nearFlag.mkString("[", ",", "]")},""" +
         s""""queries":$qs}"""
     Files.writeString(Paths.get("BENCH_SCALE.json"), json + "\n")
     println(s"GRAFT_SCALE_JSON $json")
-    spark.stop()
+    if (soloNames.isEmpty) spark.stop()
   }
 }

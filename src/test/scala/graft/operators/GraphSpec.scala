@@ -445,4 +445,27 @@ class GraphSpec extends SparkSpecBase {
     assert(t3 == clique.toSet ++ Set((4L, 5L), (4L, 6L), (5L, 6L)),
       s"got $t3")
   }
+
+  test("kTruss early exit: the peel stops at the zero-peel round and " +
+      "the result is identical to the full bounded loop") {
+    // same fixture as above: k=4 peels the pendant triangle and the
+    // bridge in round 1, round 2 removes nothing → the loop must stop
+    // at round 2 even with a 20-round budget
+    val clique = for {
+      x <- 1L to 4L; y <- (x + 1) to 4L
+    } yield (x, y)
+    val e = (clique ++ Seq((4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L)))
+      .toDF("a", "b")
+    val (truss, rounds) = Graph.kTrussWithRounds(e, k = 4, iters = 20)
+    assert(rounds == 2, s"expected early exit at round 2, ran $rounds")
+    val got = truss.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val full = Graph.kTruss(e, k = 4, iters = 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == full, s"early-exit result diverged: $got vs $full")
+    // an already-stable input exits after ONE (no-op) round
+    val stable = clique.toDF("a", "b")
+    val (_, r1) = Graph.kTrussWithRounds(stable, k = 4, iters = 20)
+    assert(r1 == 1, s"stable truss should exit after 1 round, ran $r1")
+  }
 }
