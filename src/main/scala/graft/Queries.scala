@@ -118,8 +118,12 @@ object Queries {
     * both truncate toward zero on BIGINTs), integer cumulative
     * sum/min, doubles only at the emit divisions. Every window sum
     * CAST to BIGINT (no HUGEINT). `spineSql` must emit (d VARCHAR,
-    * rev DECIMAL(18,4)). */
-  private def phOracle(spineSql: String, lambdaPpm: Long): String =
+    * rev DECIMAL(18,4)). `deltaPpm` subtracts AFTER the truncating
+    * `// i` division, exactly where Stats.pageHinkley subtracts it
+    * (ADVICE r13: both gated uses pass 0, but a future delta > 0 must
+    * carry into the replica instead of silently hash-diverging). */
+  private def phOracle(
+      spineSql: String, lambdaPpm: Long, deltaPpm: Long = 0L): String =
     s"""WITH daily AS (
        | $spineSql),
        |idx AS (SELECT d,
@@ -127,7 +131,8 @@ object Queries {
        |  row_number() OVER (ORDER BY d ASC) AS i FROM daily),
        |c AS (SELECT *, CAST(sum(x4) OVER (ORDER BY d ASC
        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s4 FROM idx),
-       |t AS (SELECT *, ((x4 * i - s4) * 100) // i AS t6 FROM c),
+       |t AS (SELECT *, (((x4 * i - s4) * 100) // i) - $deltaPpm
+       |  AS t6 FROM c),
        |m AS (SELECT *, CAST(sum(t6) OVER (ORDER BY d ASC
        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS m6 FROM t),
        |p AS (SELECT *, CAST(min(m6) OVER (ORDER BY d ASC
@@ -3385,6 +3390,36 @@ object Queries {
             lit(new java.math.BigDecimal("0.0001"))).as("rev"))
       Stats.pageHinkley(latest, "d", "rev",
         deltaPpm = 0L, lambdaPpm = PhStreamLambdaPpm)
+    }),
+    "q_stream_isotonic" -> ((s, dir) => {
+      // Isotonic calibration AT INGEST (VERDICT r13 item 6, the
+      // drift-family batch/stream-pair rule): per-bin (n, k) keyed
+      // state over the documents stream — bin is q_quality_isotonic's
+      // n_chars lattice, k counts token-gate passes — drained into
+      // the SAME ≤64-bin PAV finish (isotonicFromCells), so the
+      // calibration lookup table exists as the docs land and the
+      // replayed trajectory gates on the SAME oracle as the batch
+      // query. State is two longs per occupied bin (≤ 10 keys).
+      val name = s"q_stream_isotonic_${streamRun.incrementAndGet()}"
+      implicit val sp: SparkSession = s
+      val binned = graft.streaming.Streams.docsStream(s, dir)
+        .select(Stats.binExpr("n_chars", 0.0, 600.0, 10).as("bin"),
+          when(TextAnalysis.tokenCount(col("text")) >= 70, 1.0)
+            .otherwise(0.0).as("y"))
+        .filter(col("bin").isNotNull)
+      val drained = graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.dailySumState(binned,
+          col("bin"), col("y")).toDF(),
+        name, shufflePartitions = Some(8))
+      // latest state per bin: n = rows, k = positives (y folds ×10⁴
+      // through the state's scaled-long sum — exact integers back out)
+      val cells = drained.groupBy(col("d"))
+        .agg(max(struct(col("updates"), col("n"), col("s4")))
+          .as("__x"))
+        .select(col("d").cast(IntegerType).as("bin"),
+          col("__x.n").as("n"),
+          (col("__x.s4") / lit(10000L)).cast(LongType).as("k"))
+      Stats.isotonicFromCells(cells)
     }),
     "q_stream_budget" -> ((s, dir) => {
       // Streaming quota admission: each source spends its token
@@ -7467,32 +7502,11 @@ object Queries {
     // minimax PAV over the bounded cell frame — block means are
     // single IEEE divisions of exact BIGINT prefix sums, so min/max
     // pick identical doubles in both engines
-    "q_quality_isotonic" ->
-      """WITH b AS (SELECT
-        |  least(9, greatest(0, CAST(floor(n_chars / 60.0) AS INT)))
-        |    AS bin,
-        |  CASE WHEN len(list_filter(regexp_split_to_array(text,
-        |    '\s+'), x -> len(x) > 0)) >= 70 THEN 1 ELSE 0 END AS y
-        | FROM documents),
-        |c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(y) AS BIGINT) AS k FROM b GROUP BY 1),
-        |g AS (SELECT bin, n, k,
-        |  row_number() OVER (ORDER BY bin ASC) AS i,
-        |  CAST(sum(n) OVER (ORDER BY bin ASC ROWS UNBOUNDED
-        |    PRECEDING) AS BIGINT) AS cn,
-        |  CAST(sum(k) OVER (ORDER BY bin ASC ROWS UNBOUNDED
-        |    PRECEDING) AS BIGINT) AS ck FROM c),
-        |p AS (SELECT gj.i AS j, gl.i AS l,
-        |  CAST(gl.ck - (gj.ck - gj.k) AS DOUBLE) /
-        |    CAST(gl.cn - (gj.cn - gj.n) AS DOUBLE) AS mu
-        | FROM g gj JOIN g gl ON gl.i >= gj.i),
-        |mi AS (SELECT g.i AS i, p.j AS j, min(mu) AS mn
-        | FROM g JOIN p ON p.j <= g.i AND p.l >= g.i GROUP BY 1, 2),
-        |iso AS (SELECT i, max(mn) AS iso FROM mi GROUP BY 1)
-        |SELECT g.bin, g.n AS n_rows, g.k AS n_pos,
-        | round(CAST(g.k AS DOUBLE) / CAST(g.n AS DOUBLE), 6) AS rate,
-        | round(iso.iso, 6) AS iso_rate
-        |FROM g JOIN iso ON g.i = iso.i""".stripMargin,
+    "q_quality_isotonic" -> isotonicOracle,
+    // the streaming twin drains per-bin (n, k) state into the SAME
+    // PAV finish — one oracle, two trajectories (the drift-family
+    // batch/stream-pair rule)
+    "q_stream_isotonic" -> isotonicOracle,
     "q_quality_calibration" ->
       """WITH t AS (SELECT text,
         |  list_filter(regexp_split_to_array(text, '\s+'),
@@ -14097,6 +14111,38 @@ object Queries {
     * inner product (list_dot_product — the identical left-to-right
     * IEEE fold as Spark's dot), ties on corpus id, score rounded
     * once at the edge. */
+  /** Shared replica of the PAV calibration (q_quality_isotonic and
+    * its streaming twin q_stream_isotonic — identical final state by
+    * the drained-state-equals-batch-aggregate argument): bin lattice,
+    * exact-prefix-long block means, minimax over the bounded pair
+    * frame, 6-dp edge rounds. */
+  private def isotonicOracle: String =
+    """WITH b AS (SELECT
+      |  least(9, greatest(0, CAST(floor(n_chars / 60.0) AS INT)))
+      |    AS bin,
+      |  CASE WHEN len(list_filter(regexp_split_to_array(text,
+      |    '\s+'), x -> len(x) > 0)) >= 70 THEN 1 ELSE 0 END AS y
+      | FROM documents),
+      |c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(y) AS BIGINT) AS k FROM b GROUP BY 1),
+      |g AS (SELECT bin, n, k,
+      |  row_number() OVER (ORDER BY bin ASC) AS i,
+      |  CAST(sum(n) OVER (ORDER BY bin ASC ROWS UNBOUNDED
+      |    PRECEDING) AS BIGINT) AS cn,
+      |  CAST(sum(k) OVER (ORDER BY bin ASC ROWS UNBOUNDED
+      |    PRECEDING) AS BIGINT) AS ck FROM c),
+      |p AS (SELECT gj.i AS j, gl.i AS l,
+      |  CAST(gl.ck - (gj.ck - gj.k) AS DOUBLE) /
+      |    CAST(gl.cn - (gj.cn - gj.n) AS DOUBLE) AS mu
+      | FROM g gj JOIN g gl ON gl.i >= gj.i),
+      |mi AS (SELECT g.i AS i, p.j AS j, min(mu) AS mn
+      | FROM g JOIN p ON p.j <= g.i AND p.l >= g.i GROUP BY 1, 2),
+      |iso AS (SELECT i, max(mn) AS iso FROM mi GROUP BY 1)
+      |SELECT g.bin, g.n AS n_rows, g.k AS n_pos,
+      | round(CAST(g.k AS DOUBLE) / CAST(g.n AS DOUBLE), 6) AS rate,
+      | round(iso.iso, 6) AS iso_rate
+      |FROM g JOIN iso ON g.i = iso.i""".stripMargin
+
   private def simMipsOracle: String =
     """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
       |           FROM embeddings WHERE vec_id < 5),

@@ -88,6 +88,17 @@ object Guards {
   def emitDouble(c: Column, scale: Int, what: String): Column = {
     require(scale >= 0 && scale <= 9, s"emit scale out of range: $scale")
     val f = math.pow(10, scale).toLong
-    emitBigint(c * lit(f), what).cast(DoubleType) / lit(f.toDouble)
+    val scaled = c * lit(f)
+    val emitted =
+      emitBigint(scaled, what).cast(DoubleType) / lit(f.toDouble)
+    // INTEGRALITY guard (ADVICE r13): if the input carries fractional
+    // digits beyond `scale`, the LongType cast would silently truncate
+    // them in non-ANSI mode — contradicting this helper's loud-failure
+    // exactness contract. Fail in-plan instead.
+    when(scaled.isNull || scaled === floor(scaled), emitted)
+      .otherwise(raise_error(concat(
+        lit(s"$what: value "), c.cast(StringType),
+        lit(s" has fractional digits beyond emit scale $scale")))
+        .cast(DoubleType))
   }
 }

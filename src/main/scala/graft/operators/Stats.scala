@@ -5584,8 +5584,6 @@ object Stats {
       hi: Double,
       nBins: Int): DataFrame = {
     require(nBins >= 2 && nBins <= 64, s"nBins out of range: $nBins")
-    val wCum = Guards.seriesWindow(col("bin").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cells = df
       .select(binExpr(scoreCol, lo, hi, nBins).as("bin"),
         when(coalesce(label, lit(false)), 1L).otherwise(0L).as("__y"))
@@ -5593,6 +5591,19 @@ object Stats {
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), coalesce(sum(col("__y")), lit(0L))
         .as("k"))
+    isotonicFromCells(cells)
+  }
+
+  /** The PAV finish of [[isotonicCalibration]] over a PRE-AGGREGATED
+    * (bin, n, k) cell frame — split out so the streaming twin's
+    * drained per-bin keyed state feeds the IDENTICAL minimax
+    * arithmetic (the psiFromBinCounts treatment): same exact-prefix-
+    * long block means, same ≤ nBins² broadcast pair frame, same 6-dp
+    * edge rounds. `cells` must be ≤ 64 occupied bins with integer n
+    * (rows) and k (positives). */
+  def isotonicFromCells(cells: DataFrame): DataFrame = {
+    val wCum = Guards.seriesWindow(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val g = Guards.boundedSeries(cells, "isotonicCalibration bins",
         maxRows = 64)
       .withColumn("__i",

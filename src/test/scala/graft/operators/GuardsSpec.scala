@@ -40,6 +40,37 @@ class GuardsSpec extends SparkSpecBase {
       s"guard must name the caller: ${messages(e).mkString(" | ")}")
   }
 
+  test("emitDouble: exact at the declared scale, NULL-transparent, " +
+    "and LOUD on fractional digits beyond it (ADVICE r13)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    // scale-2 decimals through a scale-2 emit: exact round trip
+    val ok = Seq("1.25", "-3.10", "0.00").toDF("s")
+      .select(col("s").cast(DecimalType(10, 2)).as("v"))
+      .select(Guards.emitDouble(col("v"), 2, "t").as("d"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(ok == Seq(1.25, -3.10, 0.0), s"got $ok")
+    // NULL passes through as NULL
+    val nul = Seq("1.25").toDF("s")
+      .select(lit(null).cast(DecimalType(10, 2)).as("v"))
+      .select(Guards.emitDouble(col("v"), 2, "t").as("d"))
+      .collect()(0)
+    assert(nul.isNullAt(0), s"got $nul")
+    // scale-4 value through a scale-2 emit: the old silent truncation
+    // must now raise in-plan
+    val ex = intercept[Exception] {
+      Seq("1.2345").toDF("s")
+        .select(col("s").cast(DecimalType(10, 4)).as("v"))
+        .select(Guards.emitDouble(col("v"), 2, "t").as("d"))
+        .collect()
+    }
+    assert(ex.getMessage != null &&
+      (ex.getMessage.contains("fractional digits") ||
+        Option(ex.getCause).exists(
+          _.getMessage.contains("fractional digits"))),
+      s"wrong failure: $ex")
+  }
+
   test("source lint: no raw unpartitioned Window.orderBy in main " +
     "source outside Guards — seriesWindow is the only sanctioned route") {
     import scala.jdk.CollectionConverters._

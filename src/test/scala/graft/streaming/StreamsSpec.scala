@@ -1418,4 +1418,19 @@ class StreamsSpec extends SparkSpecBase {
       s"fresh moments must restart: $mRow")
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
+
+  test("streaming isotonic drain equals the batch PAV calibration " +
+      "row for row (the drift-family batch/stream-pair rule)") {
+    // the gated pair end-to-end: the drained per-bin (n, k) state fed
+    // through isotonicFromCells must reproduce the batch lookup table
+    // EXACTLY — same bins, counts, rates, iso_rates
+    def rows(q: String) =
+      graft.SparkEntry.queries(q)(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+    val streamed = rows("q_stream_isotonic")
+    val batch = rows("q_quality_isotonic")
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream $streamed vs batch $batch")
+  }
 }
