@@ -54,8 +54,8 @@ object Queries {
     * IEEE mean division per w, and the OLS slope as a CASE of
     * LITERAL coefficients interpolated from the same Scala doubles
     * the Spark plan uses. */
-  private def hurstOracle: String = {
-    val windows = Seq(8, 16, 32, 64)
+  private def hurstOracle(
+      spineSql: String, windows: Seq[Int]): String = {
     val xs = windows.map(w => math.log(w.toDouble))
     val xbar = xs.sum / xs.size
     val den = xs.map(x => (x - xbar) * (x - xbar)).sum
@@ -63,10 +63,7 @@ object Queries {
       s"WHEN $w THEN ${(x - xbar) / den}"
     }.mkString(" ")
     s"""WITH daily AS (
-       | SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
-       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
-       |    AS DECIMAL(18,4)) AS rev
-       | FROM orders GROUP BY 1),
+       | $spineSql),
        |idx AS (SELECT d,
        |  CAST(CAST(rev AS DECIMAL(28,4)) * 10000 AS BIGINT) AS x4,
        |  row_number() OVER (ORDER BY d ASC) AS i,
@@ -1390,6 +1387,26 @@ object Queries {
       Stats.mannWhitney(Tables.orders(s, dir), "o_totalprice",
         "o_orderstatus", groupA = "F", groupB = "O")
     }),
+    "q_wilcoxon_signed" -> ((s, dir) => {
+      // Paired nonparametric test — the signed-rank sibling of
+      // q_mann_whitney: per DAY (the blocking unit), does purchase
+      // value exceed view value? Differences of exact 4-dp scaled
+      // daily sums, average ranks as 2·rank integers, tie-corrected
+      // z — integers until the final two IEEE ops.
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "view"))
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+        .agg(
+          (coalesce(sum(when(col("event_type") === "purchase",
+            floor(col("value") * 10000 + 0.5).cast(LongType))),
+            lit(0L)).cast(DecimalType(18, 0)) *
+            lit(new java.math.BigDecimal("0.0001"))).as("p"),
+          (coalesce(sum(when(col("event_type") === "view",
+            floor(col("value") * 10000 + 0.5).cast(LongType))),
+            lit(0L)).cast(DecimalType(18, 0)) *
+            lit(new java.math.BigDecimal("0.0001"))).as("v"))
+      Stats.wilcoxonSignedRank(daily, "p", "v")
+    }),
     "q_cliffs_delta" -> ((s, dir) => {
       // The MAGNITUDE companion of q_mann_whitney on the same
       // contrast: Cliff's δ = P(F > O) − P(F < O), computed WITHOUT
@@ -2425,6 +2442,18 @@ object Queries {
       Similarity.kCenterGreedy(Tables.embeddings(s, dir), "vec_id",
         "embedding", k = 8)
     }),
+    "q_cluster_silhouette" -> ((s, dir) => {
+      // Simplified (centroid-based) silhouette per cluster: a = cosine
+      // distance to the OWN refined centroid, b = to the nearest
+      // OTHER, s = (b−a)/max(a,b) — "which clusters are real" next to
+      // inertia (objective), purity/vmeasure (label agreement) and
+      // balance (occupancy). Full silhouette is O(n²) point pairs;
+      // against the broadcast centroids it is one linear corpus scan,
+      // the standard at-scale form (Hruschka et al. 2004). Same 8-cell
+      // one-Lloyd-round partition as the rest of the cluster family.
+      Similarity.simplifiedSilhouette(Tables.embeddings(s, dir),
+        "vec_id", "embedding", nCells = 8, iters = 1)
+    }),
     "q_cluster_inertia" -> ((s, dir) => {
       // k-means convergence curve: seed assignment + two Lloyd rounds
       // over the embeddings (16 cells), per iteration the mean
@@ -3390,6 +3419,32 @@ object Queries {
             lit(new java.math.BigDecimal("0.0001"))).as("rev"))
       Stats.pageHinkley(latest, "d", "rev",
         deltaPpm = 0L, lambdaPpm = PhStreamLambdaPpm)
+    }),
+    "q_stream_hurst" -> ((s, dir) => {
+      // Hurst exponent AT INGEST: the same drained daily-purchase
+      // state q_stream_ph alarms on, fed into the rescaled-range
+      // block decomposition — does the live revenue series TREND
+      // across scales or mean-revert, answered as events land.
+      // Windows sized to the 30-day purchase span (blocks 10/6/3/2);
+      // the replayed spine gates on the SAME parameterized
+      // hurstOracle as the batch query.
+      val name = s"q_stream_hurst_${streamRun.incrementAndGet()}"
+      implicit val sp: SparkSession = s
+      val purchases = graft.streaming.Streams.eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("d"),
+          col("value"))
+      val drained = graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.dailySumState(purchases,
+          col("d"), col("value")).toDF(),
+        name, shufflePartitions = Some(8))
+      val latest = drained.groupBy(col("d"))
+        .agg(max(struct(col("updates"), col("n"), col("s4")))
+          .as("__x"))
+        .select(col("d"),
+          (col("__x.s4").cast(DecimalType(18, 0)) *
+            lit(new java.math.BigDecimal("0.0001"))).as("rev"))
+      Stats.hurstRS(latest, "d", "rev", windows = Seq(3, 5, 10, 15))
     }),
     "q_stream_isotonic" -> ((s, dir) => {
       // Isotonic calibration AT INGEST (VERDICT r13 item 6, the
@@ -4920,6 +4975,45 @@ object Queries {
       // round to 12 dp and sum as DECIMAL — engine-exact cosines.
       Similarity.labelCohesion(Tables.embeddings(s, dir),
         "vec_id", "label", "embedding")
+    }),
+    "q_embedding_jl" -> ((s, dir) => {
+      // Johnson–Lindenstrauss distortion audit: project 64 → 16 dims
+      // through the portable plane family (entries w/2000 ∈ [−1, 1],
+      // unbiased √(3/k) scaling for uniform entries) and histogram
+      // the squared-distance ratio ‖ŷa−ŷb‖²/‖xa−xb‖² over the k-NN
+      // candidate pairs — the "how few dimensions can this corpus
+      // serve from" answer MEASURED on the pairs that matter (near
+      // neighbors), not asserted from the JL bound. Ratio ~1 = safe
+      // to project; heavy sub-1 tail = the projection crushes real
+      // neighbor structure. Pairs are the bounded knnEdges memo; one
+      // linear projection pass, pair work ≤ k·n.
+      val k = 16
+      val scale = math.sqrt(3.0 / k)
+      val planes: Seq[Array[Double]] = (0 until k).map(j =>
+        (0 until 64).map(d =>
+          Similarity.planeWeightPortable(j, d) / 2000.0).toArray)
+      def proj(e: Column): Column = array((0 until k).map(j =>
+        Similarity.dot(e, lit(planes(j))) * lit(scale)): _*)
+      def l2(a: Column, b: Column): Column =
+        Similarity.dot(a, a) - lit(2.0) * Similarity.dot(a, b) +
+          Similarity.dot(b, b)
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast(DoubleType)).as("e"))
+      val withP = emb.select(col("vec_id"), col("e"),
+        proj(col("e")).as("p"))
+      knnEdges(s, dir)
+        .join(withP.select(col("vec_id").as("a"), col("e").as("ea"),
+          col("p").as("pa")), Seq("a"))
+        .join(withP.select(col("vec_id").as("b"), col("e").as("eb"),
+          col("p").as("pb")), Seq("b"))
+        .select(
+          round(l2(col("pa"), col("pb")) / l2(col("ea"), col("eb")), 6)
+            .as("__rho"),
+          l2(col("ea"), col("eb")).as("__d0"))
+        .filter(col("__d0") > 0)
+        .groupBy(floor(col("__rho") * 20).cast(LongType).as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"))
     }),
     "q_embedding_norms" -> ((s, dir) => {
       Tables.embeddings(s, dir)
@@ -8612,6 +8706,7 @@ object Queries {
     "q_cluster_inertia" -> clusterInertiaOracle,
     "q_cluster_purity" -> clusterPurityOracle,
     "q_cluster_vmeasure" -> clusterVmeasureOracle,
+    "q_cluster_silhouette" -> clusterSilhouetteOracle,
     "q_dedup_semantic" -> dedupSemanticOracle,
     "q_stream_enrich" ->
       """WITH dim AS (
@@ -9215,6 +9310,7 @@ object Queries {
         |    ((CAST(s1 AS DOUBLE) / 1e12) / n) *
         |    ((CAST(s1 AS DOUBLE) / 1e12) / n), 6) AS variance
         |FROM a""".stripMargin,
+    "q_embedding_jl" -> embeddingJlOracle,
     "q_embedding_norms" ->
       """SELECT label, count(*) AS n,
         | round(CAST(sum(CAST(sqrt(list_dot_product(
@@ -10605,6 +10701,45 @@ object Queries {
         |FROM g, w""".stripMargin,
     // Mann–Whitney replica: per-value counts, window cumulative count
     // over the value spine (lo+hi = 2·cum_before + ct + 1), HUGEINT
+    // paired signed-rank: exact integer chain (4-dp scaled daily
+    // sums, 2·avg-rank integers, 48σ² integer variance), two IEEE
+    // ops at the edge — the Spark plan's arithmetic replayed verbatim
+    "q_wilcoxon_signed" ->
+      """WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS d,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(floor(value * 10000 + 0.5) AS BIGINT) END), 0)
+        |    AS BIGINT) AS p4,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'view'
+        |    THEN CAST(floor(value * 10000 + 0.5) AS BIGINT) END), 0)
+        |    AS BIGINT) AS v4
+        | FROM events WHERE event_type IN ('purchase', 'view')
+        | GROUP BY 1),
+        |dd AS (SELECT p4 - v4 AS d4 FROM daily),
+        |nz AS (SELECT abs(d4) AS ad,
+        |  CASE WHEN d4 > 0 THEN 1 ELSE 0 END AS pos
+        | FROM dd WHERE d4 <> 0),
+        |g AS (SELECT ad, CAST(count(*) AS BIGINT) AS m,
+        |  CAST(coalesce(sum(pos), 0) AS BIGINT) AS mp
+        | FROM nz GROUP BY 1),
+        |r AS (SELECT ad, m, mp,
+        |  CAST(sum(m) OVER (ORDER BY ad ASC ROWS UNBOUNDED
+        |    PRECEDING) AS BIGINT) AS cum FROM g),
+        |t AS (SELECT (2 * (cum - m) + m + 1) * mp AS w2pg,
+        |  m * m * m - m AS tie, m FROM r),
+        |a AS (SELECT CAST(coalesce(sum(m), 0) AS BIGINT) AS n,
+        |  CAST(coalesce(sum(w2pg), 0) AS BIGINT) AS w2p,
+        |  CAST(coalesce(sum(tie), 0) AS BIGINT) AS ties FROM t),
+        |z AS (SELECT CAST(count(*) AS BIGINT) AS n_zero FROM dd
+        |      WHERE d4 = 0)
+        |SELECT n AS n_pairs, n_zero,
+        | CAST(w2p AS DOUBLE) / 2.0 AS w_plus,
+        | CAST(n * (n + 1) - w2p AS DOUBLE) / 2.0 AS w_minus,
+        | CASE WHEN n > 0
+        |     AND (2 * n * (n + 1) * (2 * n + 1) - ties) > 0
+        |   THEN round(CAST(2 * w2p - n * (n + 1) AS DOUBLE) /
+        |     sqrt(CAST(2 * n * (n + 1) * (2 * n + 1) - ties
+        |       AS DOUBLE) / 3.0), 6) END AS z
+        |FROM a, z""".stripMargin,
     // rank sums mirror the DECIMAL(38,0) exactly, then the identical
     // fixed double formula for U and the tie-corrected z.
     "q_mann_whitney" ->
@@ -11770,7 +11905,22 @@ object Queries {
     // values, per-step scale-6 HALF_UP fixes (DuckDB's decimal round
     // is half-away-from-zero = HALF_UP on signed values); exactness
     // removes every op-order constraint a float recursion would carry
-    "q_trend_hurst" -> hurstOracle,
+    "q_trend_hurst" -> hurstOracle(
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    AS DECIMAL(18,4)) AS rev
+        | FROM orders GROUP BY 1""".stripMargin,
+      Seq(8, 16, 32, 64)),
+    // streaming twin: the drained 4-dp scaled-integer daily sums ARE
+    // the batch spine (the q_stream_ph pattern); windows sized to the
+    // 30-day purchase span (blocks 10/6/3/2)
+    "q_stream_hurst" -> hurstOracle(
+      """SELECT strftime(ts, '%Y-%m-%d') AS d,
+        |  CAST(CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+        |    AS DECIMAL(18,0)) * 0.0001 AS DECIMAL(18,4)) AS rev
+        | FROM events WHERE event_type = 'purchase'
+        | GROUP BY 1""".stripMargin,
+      Seq(3, 5, 10, 15)),
     "q_trend_holt" -> holtOracle(
       """SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
@@ -14552,6 +14702,68 @@ object Queries {
   /** q_cluster_vmeasure replica: the kmeans assignment chain + the
     * mutualInformation entropy arithmetic over (label, cid), then
     * homogeneity/completeness/V from the 6-dp emitted values. */
+  /** q_embedding_jl replica: the SAME 16×64 plane literals (w/2000
+    * from planeWeightPortable, the float-constant portability rule —
+    * each Scala double prints into the SQL and parses back to the
+    * identical double), √(3/k) scaling, dot-expansion L2², one ratio
+    * division, 6-dp round, 0.05 buckets — over the shared knn edge
+    * chain. */
+  private def embeddingJlOracle: String = {
+    val k = 16
+    val scale = math.sqrt(3.0 / k)
+    def planeList(j: Int): String =
+      (0 until 64).map(d =>
+        (graft.operators.Similarity.planeWeightPortable(j, d) / 2000.0)
+          .toString)
+        .mkString("[", ",", "]::DOUBLE[]")
+    def projList(v: String): String =
+      (0 until k).map(j =>
+        s"list_dot_product($v, ${planeList(j)}) * $scale")
+        .mkString("[", ",", "]")
+    def l2(a: String, b: String): String =
+      s"(list_dot_product($a, $a) - 2.0 * list_dot_product($a, $b) + " +
+        s"list_dot_product($b, $b))"
+    s"""WITH $knnEdgesCte,
+       |emb2 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |         FROM embeddings),
+       |pj AS (SELECT id, v, ${projList("v")} AS p FROM emb2),
+       |pr AS (SELECT x.v AS va, x.p AS pa, y.v AS vb, y.p AS pb
+       | FROM e JOIN pj x ON e.a = x.id JOIN pj y ON e.b = y.id),
+       |rho AS (SELECT
+       |  round(${l2("pa", "pb")} / ${l2("va", "vb")}, 6) AS rho,
+       |  ${l2("va", "vb")} AS d0 FROM pr)
+       |SELECT CAST(floor(rho * 20) AS BIGINT) AS bucket,
+       | CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM rho WHERE d0 > 0 GROUP BY 1""".stripMargin
+  }
+
+  /** q_cluster_silhouette replica: the kmeans centroid chain + the
+    * per-point (own, nearest-other) centroid cosines, s rounded 6 dp
+    * per point, DECIMAL-folded per cluster, one edge division —
+    * identical a/b/op order to Similarity.simplifiedSilhouette. */
+  private def clusterSilhouetteOracle: String =
+    s"""WITH ${kmeansAssignCte(8)},
+       |sc AS (SELECT c0.id, cent.cid,
+       |  ${cosSql("c0.v", "cent.cv")} AS cos,
+       |  row_number() OVER (PARTITION BY c0.id
+       |    ORDER BY ${cosSql("c0.v", "cent.cv")} DESC, cent.cid ASC)
+       |    AS rn
+       | FROM c0 CROSS JOIN cent),
+       |own AS (SELECT id, cid, cos AS co FROM sc WHERE rn = 1),
+       |oth AS (SELECT id, max(cos) AS cb FROM sc WHERE rn > 1
+       |        GROUP BY 1),
+       |si AS (SELECT own.cid,
+       |  round(CASE WHEN greatest(1.0 - co, 1.0 - cb) > 0
+       |    THEN ((1.0 - cb) - (1.0 - co)) /
+       |      greatest(1.0 - co, 1.0 - cb)
+       |    ELSE 0.0 END, 6) AS s
+       | FROM own JOIN oth USING (id))
+       |SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+       | round(CAST(CAST(sum(CAST(s AS DECIMAL(18,6)))
+       |     AS DECIMAL(38,6)) AS DOUBLE) /
+       |   CAST(count(*) AS DOUBLE), 6) AS mean_sil
+       |FROM si GROUP BY cid""".stripMargin
+
   private def clusterVmeasureOracle: String =
     s"""WITH ${kmeansAssignCte(8)},
        |lb AS (SELECT e.label, ca.cid

@@ -687,6 +687,59 @@ object Similarity {
       .select(col(idCol), col("cid"), round(col("__d"), 6).as("cos"))
   }
 
+  /** Simplified (centroid-based) silhouette per cluster — the cluster-
+    * quality score next to inertia/purity/V-measure: for each point,
+    * a = cosine distance to its OWN refined centroid, b = distance to
+    * the nearest OTHER centroid, s = (b − a) / max(a, b) ∈ [−1, 1]
+    * (Rousseeuw 1987; the centroid-based simplification of Hruschka
+    * et al. 2004 — full silhouette needs all point-pair distances,
+    * O(n²) and hopeless at corpus scale; against centroids it is ONE
+    * broadcast cross join, linear in n, the standard at-scale form).
+    * s near 1 = tight and well-separated; near 0 = boundary straddler;
+    * negative = likely mis-assigned — the per-cluster mean is the
+    * "which clusters are real" read on a k-means partition.
+    *
+    * Scale shape: nCells centroids broadcast, one corpus scan, a
+    * per-point window over nCells rows. Determinism: assignment ranks
+    * on the raw cosine (identical arithmetic both engines — the
+    * [[assignClusters]] contract); each s rounds at 6 dp and folds as
+    * DECIMAL (order-free); the per-cluster mean is one IEEE division
+    * rounded at the edge.
+    *
+    * Returns (cid, n_members, mean_sil) per cluster. */
+  def simplifiedSilhouette(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      nCells: Int,
+      iters: Int = 1): DataFrame = {
+    val cent = kmeansRefine(corpus, idCol, embCol, nCells, iters)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__cos").desc, col("cid").asc)
+    val sc = corpus.select(col(idCol), col(embCol))
+      .crossJoin(broadcast(cent))
+      .select(col(idCol), col("cid"),
+        cosine(col(embCol), col("cemb")).as("__cos"))
+      .withColumn("__rn", row_number().over(w))
+    val own = sc.filter(col("__rn") === 1)
+      .select(col(idCol), col("cid"), col("__cos").as("__co"))
+    val oth = sc.filter(col("__rn") > 1)
+      .groupBy(col(idCol)).agg(max(col("__cos")).as("__cb"))
+    val a = lit(1.0) - col("__co")
+    val b = lit(1.0) - col("__cb")
+    val s = own.join(oth, Seq(idCol))
+      .select(col("cid"),
+        round(when(greatest(a, b) > 0, (b - a) / greatest(a, b))
+          .otherwise(lit(0.0)), 6).as("__s"))
+    s.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        coalesce(sum(col("__s").cast(DecimalType(18, 6))),
+          lit(0).cast(DecimalType(18, 6))).as("__sum"))
+      .select(col("cid"), col("n_members"),
+        round(col("__sum").cast(DoubleType) /
+          col("n_members").cast(DoubleType), 6).as("mean_sil"))
+  }
+
   /** k-center greedy coreset selection (Gonzalez farthest-point
     * traversal; the coreset construction of Sener & Savarese 2018):
     * starting from the lowest-id vector, each round adds the

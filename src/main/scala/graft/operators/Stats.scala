@@ -3330,6 +3330,72 @@ object Stats {
     * Returns one row: (n_a, n_b, u_a, z) — u_a the U statistic of
     * `groupA` (exact to .5, emitted at 1 dp), z the tie-corrected
     * normal approximation. */
+  /** Wilcoxon signed-rank test over PAIRED samples (Wilcoxon 1945) —
+    * the paired sibling of [[mannWhitney]]: each row carries the two
+    * conditions of one experimental unit (a day, a user, a doc); the
+    * test asks whether the differences are symmetric about zero,
+    * which a two-sample rank test cannot (pairing removes the
+    * unit-level variance). The workhorse of "did the metric move
+    * after the change, blocked by day" questions.
+    *
+    * Arithmetic is EXACT integers until the final z: values fix at
+    * 4 dp (DECIMAL(28,4)·10⁴ → long, exact when inputs carry ≤ 4 dp);
+    * zero differences drop (counted); |d| ranks use AVERAGE ranks
+    * carried as 2·rank integers (2·avg = 2·prev + m + 1 for a tie
+    * group of m); W⁺ accumulates as Σ(2·rank)·positives; the
+    * tie-corrected variance stays integer through 48σ² =
+    * 2n(n+1)(2n+1) − Σ(t³−t); z = (2·W2⁺ − n(n+1)) / √(48σ²/3) is
+    * two IEEE ops both engines replay bitwise, rounded once.
+    *
+    * Scale shape: one map-side-combined groupBy to the distinct-|d|
+    * frame, one bounded-series cumulative (the paired spine — days,
+    * cohorts — is control-plane by contract; [[Guards.boundedSeries]]
+    * fails loudly past it), one 1-row aggregate. Long arithmetic is
+    * exact to n ≈ 1.6·10⁶ pairs (2n³ < 2⁶³).
+    *
+    * Returns one row: (n_pairs, n_zero, w_plus, w_minus, z — NULL
+    * when no nonzero pair or the variance degenerates). */
+  def wilcoxonSignedRank(
+      df: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    def x4(c: String): Column =
+      (col(c).cast(DecimalType(28, 4)) * 10000).cast(LongType)
+    val dd = df.select((x4(aCol) - x4(bCol)).as("__d4"))
+      .filter(col("__d4").isNotNull)
+    val nz = dd.filter(col("__d4") =!= 0L)
+      .select(abs(col("__d4")).as("__ad"),
+        when(col("__d4") > 0, 1L).otherwise(0L).as("__pos"))
+    val g = nz.groupBy(col("__ad"))
+      .agg(count(lit(1)).as("__m"),
+        coalesce(sum(col("__pos")), lit(0L)).as("__mp"))
+    val wCum = Guards.seriesWindow(col("__ad").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = Guards.boundedSeries(g, "wilcoxonSignedRank |d| frame")
+      .withColumn("__cum", sum(col("__m")).over(wCum))
+      .select(
+        ((lit(2L) * (col("__cum") - col("__m")) + col("__m") + 1L) *
+          col("__mp")).as("__w2pg"),
+        (col("__m") * col("__m") * col("__m") - col("__m")).as("__tie"),
+        col("__m"))
+    val a = r.agg(
+      coalesce(sum(col("__m")), lit(0L)).as("__n"),
+      coalesce(sum(col("__w2pg")), lit(0L)).as("__w2p"),
+      coalesce(sum(col("__tie")), lit(0L)).as("__ties"))
+    val zeros = dd.filter(col("__d4") === 0L)
+      .agg(count(lit(1)).as("n_zero"))
+    val n = col("__n"); val w2p = col("__w2p")
+    val i48 = lit(2L) * n * (n + 1L) * (lit(2L) * n + 1L) - col("__ties")
+    a.crossJoin(broadcast(zeros)).select(
+      n.as("n_pairs"), col("n_zero"),
+      (w2p.cast(DoubleType) / lit(2.0)).as("w_plus"),
+      ((n * (n + 1L) - w2p).cast(DoubleType) / lit(2.0)).as("w_minus"),
+      when(n > 0L && i48 > 0L,
+        round((lit(2L) * w2p - n * (n + 1L)).cast(DoubleType) /
+          sqrt(i48.cast(DoubleType) / lit(3.0)), 6))
+        .otherwise(lit(null).cast(DoubleType)).as("z"))
+  }
+
   def mannWhitney(
       df: DataFrame,
       valueCol: String,

@@ -74,7 +74,9 @@ object ScaleProbe {
     "q_graph_ktruss", "q_graph_clustering", "q_trend_hurst",
     "q_sample_pps", "q_sim_mips", "q_trend_ph", "q_quality_isotonic",
     // round 14 entrants
-    "q_sim_mips_lsh", "q_sim_mips_recall")
+    "q_sim_mips_lsh", "q_sim_mips_recall", "q_cluster_silhouette",
+    "q_embedding_jl", "q_stream_hurst", "q_stream_isotonic",
+    "q_wilcoxon_signed")
 
   private val Shift = 100000000000L // 10^11: far above any base key
 

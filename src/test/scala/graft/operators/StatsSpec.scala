@@ -550,6 +550,37 @@ class StatsSpec extends SparkSpecBase {
     assert(r2.getAs[Double]("z") > 2.0)
   }
 
+  test("wilcoxonSignedRank matches the hand-computed signed-rank " +
+      "statistic with average ranks, tie correction and a dropped " +
+      "zero difference") {
+    import spark.implicits._
+    // d = a − b = [2, −1, 3, 0, 2, −5]; nonzero |d| = [2,1,3,2,5]
+    // ranks: 1→1, {2,2}→2.5 each, 3→4, 5→5; W+ = 2.5+4+2.5 = 9,
+    // W− = 1+5 = 6, n = 5, one zero dropped; Σ(t³−t) = 6,
+    // 48σ² = 2·5·6·11 − 6 = 654, z = (2·18 − 30)/√(654/3) = 6/√218
+    val df = Seq((3.0, 1.0), (1.0, 2.0), (4.0, 1.0), (7.0, 7.0),
+      (2.5, 0.5), (0.0, 5.0)).toDF("a", "b")
+    val r = Stats.wilcoxonSignedRank(df, "a", "b").collect()(0)
+    assert(r.getAs[Long]("n_pairs") == 5L, s"got $r")
+    assert(r.getAs[Long]("n_zero") == 1L, s"got $r")
+    assert(r.getAs[Double]("w_plus") == 9.0, s"got $r")
+    assert(r.getAs[Double]("w_minus") == 6.0, s"got $r")
+    val zExp = BigDecimal(6.0 / math.sqrt(218.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("z") == zExp, s"got $r expected $zExp")
+    // symmetry sanity: swapping the sides flips W+/W− and negates z
+    val s2 = Stats.wilcoxonSignedRank(df, "b", "a").collect()(0)
+    assert(s2.getAs[Double]("w_plus") == 6.0 &&
+      s2.getAs[Double]("w_minus") == 9.0, s"got $s2")
+    assert(s2.getAs[Double]("z") == -r.getAs[Double]("z"), s"got $s2")
+    // all-zero differences: no nonzero pair → z NULL, counts only
+    val z0 = Stats.wilcoxonSignedRank(
+      Seq((1.0, 1.0), (2.0, 2.0)).toDF("a", "b"), "a", "b").collect()(0)
+    assert(z0.getAs[Long]("n_pairs") == 0L &&
+      z0.getAs[Long]("n_zero") == 2L &&
+      z0.isNullAt(z0.fieldIndex("z")), s"got $z0")
+  }
+
   test("cramersV: a deterministic relabeling scores 1, an exactly " +
       "independent table scores 0") {
     import spark.implicits._
