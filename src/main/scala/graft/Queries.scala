@@ -4976,6 +4976,47 @@ object Queries {
       Similarity.labelCohesion(Tables.embeddings(s, dir),
         "vec_id", "label", "embedding")
     }),
+    "q_embedding_mmd" -> ((s, dir) => {
+      // Kernel two-sample drift per label: MMD² under the degree-2
+      // polynomial kernel k(x,y) = ⟨x,y⟩², which collapses EXACTLY to
+      // ‖M_label − M_rest‖²_F over the mean outer products M = E[xxᵀ]
+      // (Gretton et al. 2012 §6 — the V-statistic form; no pair
+      // enumeration, no random features, no libm trig). "Does this
+      // label's embedding DISTRIBUTION differ in second moments" —
+      // the drift gauge q_embedding_drift's per-dim means can't see
+      // (it misses covariance rotation). Scale shape: one map-side-
+      // combined groupBy to |labels|·d² cells (d = 64 → 4096); the
+      // rest is control-plane. Determinism: per-row products fix as
+      // DECIMAL(27,12) (the kmeans-mean discipline), cell means round
+      // at 9 dp, squared diffs at 12 dp fold as DECIMAL, one edge
+      // round.
+      val emb = Tables.embeddings(s, dir)
+        .select(col("label"),
+          transform(col("embedding"), x => x.cast(DoubleType)).as("e"))
+      val cells = emb
+        .select(col("label"), posexplode(flatten(transform(col("e"),
+          xi => transform(col("e"), xj => xi * xj))))
+          .as(Seq("k", "p")))
+        .groupBy(col("label"), col("k"))
+        .agg(sum(col("p").cast(DecimalType(27, 12))).as("__s"),
+          count(lit(1)).as("__n"))
+      val all = cells.groupBy(col("k"))
+        .agg(sum(col("__s")).as("__sa"), sum(col("__n")).as("__na"))
+      cells.join(all, Seq("k"))
+        .select(col("label"), col("__n"), (col("__na") - col("__n"))
+          .as("__nr"),
+          (round(col("__s").cast(DoubleType) /
+              col("__n").cast(DoubleType), 9) -
+            round((col("__sa") - col("__s")).cast(DoubleType) /
+              (col("__na") - col("__n")).cast(DoubleType), 9))
+            .as("__d"))
+        .select(col("label"), col("__n"), col("__nr"),
+          round(col("__d") * col("__d"), 12)
+            .cast(DecimalType(38, 12)).as("__d2"))
+        .groupBy(col("label"))
+        .agg(max(col("__n")).as("n"), max(col("__nr")).as("n_rest"),
+          round(sum(col("__d2")).cast(DoubleType), 6).as("mmd2"))
+    }),
     "q_embedding_jl" -> ((s, dir) => {
       // Johnson–Lindenstrauss distortion audit: project 64 → 16 dims
       // through the portable plane family (entries w/2000 ∈ [−1, 1],
@@ -5140,6 +5181,31 @@ object Queries {
       val docs = Tables.documents(s, dir)
       TextAnalysis.bpeSubwordStats(docs, "source", col("text"),
         bpeTrained(s, dir)._2)
+    }),
+    "q_text_feature_hash" -> ((s, dir) => {
+      // Feature-hashing collision audit (Weinberger et al. 2009): the
+      // distinct vocabulary hashed into 2¹⁴ buckets via the portable
+      // polynomial family — collision rate and max bucket load are
+      // the numbers that size a hashed bag-of-words width before
+      // anyone trains on it. One distinct pass + one bounded-bucket
+      // groupBy; the hash arithmetic replays in the oracle verbatim.
+      val tok = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+        .distinct()
+      val loads = tok
+        .select(pmod(graft.functions.GraftFunctions.polyHash(col("t")),
+          lit(16384L)).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("__ld"))
+      loads.agg(
+          coalesce(sum(col("__ld")), lit(0L)).as("n_tokens"),
+          count(lit(1)).as("n_buckets_used"),
+          coalesce(max(col("__ld")), lit(0L)).as("max_load"))
+        .select(col("n_tokens"), col("n_buckets_used"),
+          lit(16384L).as("n_buckets_total"),
+          round((col("n_tokens") - col("n_buckets_used"))
+            .cast(DoubleType) / col("n_tokens").cast(DoubleType), 6)
+            .as("collision_rate"),
+          col("max_load"))
     }),
     "q_token_stats" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -9311,6 +9377,33 @@ object Queries {
         |    ((CAST(s1 AS DOUBLE) / 1e12) / n), 6) AS variance
         |FROM a""".stripMargin,
     "q_embedding_jl" -> embeddingJlOracle,
+    // poly-2 MMD: the identical flattened outer-product lattice,
+    // DECIMAL(27,12) cell folds, 9-dp means, 12-dp squared diffs
+    "q_embedding_mmd" ->
+      """WITH e0 AS (SELECT label, embedding::DOUBLE[] AS v
+        |            FROM embeddings),
+        |fl AS (SELECT label,
+        |  flatten(list_transform(v, xi ->
+        |    list_transform(v, xj -> xi * xj))) AS f FROM e0),
+        |px AS (SELECT label, unnest(f) AS p,
+        |  generate_subscripts(f, 1) AS k FROM fl),
+        |cells AS (SELECT label, k,
+        |  CAST(sum(CAST(p AS DECIMAL(27,12))) AS DECIMAL(38,12)) AS s,
+        |  CAST(count(*) AS BIGINT) AS n FROM px GROUP BY 1, 2),
+        |al AS (SELECT k, CAST(sum(s) AS DECIMAL(38,12)) AS sa,
+        |  CAST(sum(n) AS BIGINT) AS na FROM cells GROUP BY 1),
+        |d AS (SELECT label, n, na - n AS nr,
+        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 9) -
+        |    round(CAST(sa - s AS DOUBLE) /
+        |      CAST(na - n AS DOUBLE), 9) AS dd
+        | FROM cells JOIN al USING (k)),
+        |d2 AS (SELECT label, n, nr,
+        |  CAST(round(dd * dd, 12) AS DECIMAL(38,12)) AS sq FROM d)
+        |SELECT label, CAST(max(n) AS BIGINT) AS n,
+        | CAST(max(nr) AS BIGINT) AS n_rest,
+        | round(CAST(CAST(sum(sq) AS DECIMAL(38,12)) AS DOUBLE), 6)
+        |   AS mmd2
+        |FROM d2 GROUP BY label""".stripMargin,
     "q_embedding_norms" ->
       """SELECT label, count(*) AS n,
         | round(CAST(sum(CAST(sqrt(list_dot_product(
@@ -9354,6 +9447,24 @@ object Queries {
     "q_text_encode" -> textEncodeOracle,
     "q_bpe_merges" -> bpeMergesOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
+    // feature-hash audit: same tokens replica, same poly family, one
+    // 2¹⁴-bucket groupBy — collisions are exact integer arithmetic
+    "q_text_feature_hash" ->
+      s"""WITH tk AS (SELECT DISTINCT t FROM (
+         |  SELECT unnest(list_filter(regexp_split_to_array(text,
+         |    '\\s+'), x -> len(x) > 0)) AS t FROM documents)),
+         |b AS (SELECT ${polySql("t")} % 16384 AS bucket FROM tk),
+         |l AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ld
+         |      FROM b GROUP BY 1)
+         |SELECT CAST(coalesce(sum(ld), 0) AS BIGINT) AS n_tokens,
+         | CAST(count(*) AS BIGINT) AS n_buckets_used,
+         | CAST(16384 AS BIGINT) AS n_buckets_total,
+         | round(CAST(CAST(coalesce(sum(ld), 0) AS BIGINT) - count(*)
+         |     AS DOUBLE) /
+         |   CAST(CAST(coalesce(sum(ld), 0) AS BIGINT) AS DOUBLE), 6)
+         |   AS collision_rate,
+         | CAST(coalesce(max(ld), 0) AS BIGINT) AS max_load
+         |FROM l""".stripMargin,
     "q_token_stats" ->
       """SELECT source, count(*) AS n_docs,
         | CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
