@@ -1069,6 +1069,42 @@ object Queries {
             .as("n_fail_stopword"),
           sum(when(col("__r.pass"), 1L).otherwise(0L)).as("n_pass"))
     }),
+    "q_quality_ece" -> ((s, dir) => {
+      // Expected calibration error over the SAME n_chars/token-gate
+      // lattice as q_quality_isotonic: per bin, |pass rate − mean
+      // normalized score|, weighted by occupancy — the single number
+      // that says whether the cheap score's MAGNITUDE can be read as
+      // a probability (the audit/correct/score trio's third leg:
+      // calibration curves audit, isotonic corrects, ECE scores).
+      // Confidence = mean n_chars/600 clamped to [0,1] from exact
+      // integer sums; every term fixes at 6 dp before the weighted
+      // DECIMAL fold; one edge division.
+      val b = Tables.documents(s, dir)
+        .select(Stats.binExpr("n_chars", 0.0, 600.0, 10).as("bin"),
+          least(col("n_chars").cast(LongType), lit(600L)).as("__c"),
+          when(TextAnalysis.tokenCount(col("text")) >= 70, 1L)
+            .otherwise(0L).as("__y"))
+        .filter(col("bin").isNotNull)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("__y")).as("__k"),
+          sum(col("__c")).as("__cs"))
+        .select(col("bin"), col("n"),
+          round(col("__k").cast(DoubleType) /
+            col("n").cast(DoubleType), 6).as("rate"),
+          round(col("__cs").cast(DoubleType) /
+            (col("n").cast(DoubleType) * 600.0), 6).as("conf"))
+      val w = b.select(col("bin"), col("n"), col("rate"), col("conf"),
+        round(abs(col("rate") - col("conf")), 6)
+          .cast(DecimalType(18, 6)).as("__gap"))
+      w.crossJoin(broadcast(w.agg(
+          coalesce(sum(col("n")), lit(0L)).as("__nt"),
+          coalesce(sum(col("__gap") * col("n").cast(DecimalType(18, 0))),
+            lit(0).cast(DecimalType(38, 6))).as("__wg"))))
+        .select(col("bin"), col("n"), col("rate"), col("conf"),
+          round(col("__gap").cast(DoubleType), 6).as("gap"),
+          round(col("__wg").cast(DoubleType) /
+            col("__nt").cast(DoubleType), 6).as("ece"))
+    }),
     "q_quality_isotonic" -> ((s, dir) => {
       // Isotonic (PAV) calibration of the FREE n_chars score against
       // the token gate: the monotone step function that turns "doc
@@ -7663,6 +7699,33 @@ object Queries {
     // single IEEE divisions of exact BIGINT prefix sums, so min/max
     // pick identical doubles in both engines
     "q_quality_isotonic" -> isotonicOracle,
+    // ECE over the same lattice: exact integer bin sums, 6-dp
+    // rate/conf/gap, DECIMAL-weighted fold, one edge division
+    "q_quality_ece" ->
+      """WITH b0 AS (SELECT
+        |  least(9, greatest(0, CAST(floor(n_chars / 60.0) AS INT)))
+        |    AS bin,
+        |  least(CAST(n_chars AS BIGINT), 600) AS c,
+        |  CASE WHEN len(list_filter(regexp_split_to_array(text,
+        |    '\s+'), x -> len(x) > 0)) >= 70 THEN 1 ELSE 0 END AS y
+        | FROM documents),
+        |c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(y) AS BIGINT) AS k, CAST(sum(c) AS BIGINT) AS cs
+        | FROM b0 GROUP BY 1),
+        |r AS (SELECT bin, n,
+        |  round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+        |  round(CAST(cs AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * 600.0), 6) AS conf FROM c),
+        |g AS (SELECT bin, n, rate, conf,
+        |  CAST(round(abs(rate - conf), 6) AS DECIMAL(18,6)) AS gap
+        | FROM r),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+        |  CAST(sum(gap * CAST(n AS DECIMAL(18,0)))
+        |    AS DECIMAL(38,6)) AS wg FROM g)
+        |SELECT bin, n, rate, conf,
+        | round(CAST(gap AS DOUBLE), 6) AS gap,
+        | round(CAST(wg AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS ece
+        |FROM g, t""".stripMargin,
     // the streaming twin drains per-bin (n, k) state into the SAME
     // PAV finish — one oracle, two trajectories (the drift-family
     // batch/stream-pair rule)
