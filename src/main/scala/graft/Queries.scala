@@ -2269,6 +2269,21 @@ object Queries {
         .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("id_sum"),
           sum(col("n_reached")).as("reach_sum"))
     }),
+    "q_graph_betweenness" -> ((s, dir) => {
+      // Sampled-seed bounded-horizon Brandes betweenness over the
+      // k-NN graph: from the four lowest-id seeds, exact σ path
+      // counts forward, dependency accumulation backward within the
+      // 3-hop horizon — "which vectors BROKER the neighborhood
+      // graph", the bridge-detector degree/pagerank/harmonic miss.
+      // Census per distinct centrality value (the score space is a
+      // bounded 9-dp lattice, so the census is control-plane), the
+      // q_graph_harmonic gate shape.
+      graft.operators.Graph.betweennessSampled(knnEdges(s, dir),
+          Seq(0L, 1L, 2L, 3L), horizon = 3)
+        .groupBy(col("bc"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("id_sum"),
+          sum(col("n_seeds")).as("seed_sum"))
+    }),
     "q_graph_ktruss" -> ((s, dir) => {
       // 4-truss skeleton of the k-NN graph: three synchronous peels
       // of every edge in fewer than 2 triangles — hub-spoke
@@ -5029,22 +5044,41 @@ object Queries {
       val emb = Tables.embeddings(s, dir)
         .select(col("label"),
           transform(col("embedding"), x => x.cast(DoubleType)).as("e"))
+      // SPLIT-LONG EXACT FOLD: a per-row decimal cast on the 4096-
+      // products-per-row hot path benched 15.7 s at sf0.1 vs 3.3 s
+      // for long sums (Spark's decimal hash-agg is the cost, not the
+      // explode). Products fix at 12 dp as scaled longs (|p| ≤ 1 →
+      // |p12| ≤ 10¹²), split hi = p12 div 10⁶ / lo = p12 % 10⁶
+      // (truncating div/mod pair — exact identity, both engines), and
+      // the two halves sum as codegen'd longs: |hi|,|lo| ≤ 10⁶ keeps
+      // both sums exact to ~9·10¹² rows PER CELL. The exact decimal
+      // Σp12 = 10⁶·Σhi + Σlo reconstructs once per cell (40k decimal
+      // ops, control-plane).
       val cells = emb
         .select(col("label"), posexplode(flatten(transform(col("e"),
           xi => transform(col("e"), xj => xi * xj))))
           .as(Seq("k", "p")))
+        .select(col("label"), col("k"),
+          round(col("p") * lit(1e12), 0).cast(LongType).as("__p12"))
+        .select(col("label"), col("k"),
+          expr("__p12 div 1000000").as("__hi"),
+          (col("__p12") % 1000000L).as("__lo"))
         .groupBy(col("label"), col("k"))
-        .agg(sum(col("p").cast(DecimalType(27, 12))).as("__s"),
+        .agg(sum(col("__hi")).as("__sh"), sum(col("__lo")).as("__sl"),
           count(lit(1)).as("__n"))
+        .select(col("label"), col("k"), col("__n"),
+          (col("__sh").cast(DecimalType(38, 0)) * 1000000L +
+            col("__sl").cast(DecimalType(38, 0))).as("__s"))
       val all = cells.groupBy(col("k"))
         .agg(sum(col("__s")).as("__sa"), sum(col("__n")).as("__na"))
       cells.join(all, Seq("k"))
         .select(col("label"), col("__n"), (col("__na") - col("__n"))
           .as("__nr"),
           (round(col("__s").cast(DoubleType) /
-              col("__n").cast(DoubleType), 9) -
+              (col("__n").cast(DoubleType) * lit(1e12)), 9) -
             round((col("__sa") - col("__s")).cast(DoubleType) /
-              (col("__na") - col("__n")).cast(DoubleType), 9))
+              ((col("__na") - col("__n")).cast(DoubleType) * lit(1e12)),
+              9))
             .as("__d"))
         .select(col("label"), col("__n"), col("__nr"),
           round(col("__d") * col("__d"), 12)
@@ -8821,6 +8855,7 @@ object Queries {
          |FROM j""".stripMargin,
     "q_graph_bfs" -> graphBfsOracle,
     "q_graph_harmonic" -> graphHarmonicOracle,
+    "q_graph_betweenness" -> graphBetweennessOracle,
     "q_graph_clustering" -> graphClusteringOracle,
     "q_graph_ktruss" -> graphKtrussOracle,
     "q_graph_components" -> graphComponentsOracle,
@@ -9441,24 +9476,30 @@ object Queries {
         |FROM a""".stripMargin,
     "q_embedding_jl" -> embeddingJlOracle,
     // poly-2 MMD: the identical flattened outer-product lattice,
-    // DECIMAL(27,12) cell folds, 9-dp means, 12-dp squared diffs
+    // 12-dp scaled-long split fold (hi/lo halves, exact decimal
+    // reconstruction per cell), 9-dp means, 12-dp squared diffs
     "q_embedding_mmd" ->
       """WITH e0 AS (SELECT label, embedding::DOUBLE[] AS v
         |            FROM embeddings),
         |fl AS (SELECT label,
         |  flatten(list_transform(v, xi ->
         |    list_transform(v, xj -> xi * xj))) AS f FROM e0),
-        |px AS (SELECT label, unnest(f) AS p,
+        |px AS (SELECT label,
+        |  CAST(round(unnest(f) * 1e12, 0) AS BIGINT) AS p12,
         |  generate_subscripts(f, 1) AS k FROM fl),
         |cells AS (SELECT label, k,
-        |  CAST(sum(CAST(p AS DECIMAL(27,12))) AS DECIMAL(38,12)) AS s,
-        |  CAST(count(*) AS BIGINT) AS n FROM px GROUP BY 1, 2),
-        |al AS (SELECT k, CAST(sum(s) AS DECIMAL(38,12)) AS sa,
+        |  CAST(CAST(sum(p12 // 1000000) AS BIGINT) AS DECIMAL(38,0))
+        |      * 1000000 +
+        |    CAST(CAST(sum(p12 % 1000000) AS BIGINT) AS DECIMAL(38,0))
+        |    AS s,
+        |  CAST(count(*) AS BIGINT) AS n FROM px GROUP BY 1, k),
+        |al AS (SELECT k, CAST(sum(s) AS DECIMAL(38,0)) AS sa,
         |  CAST(sum(n) AS BIGINT) AS na FROM cells GROUP BY 1),
         |d AS (SELECT label, n, na - n AS nr,
-        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 9) -
+        |  round(CAST(s AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * 1e12), 9) -
         |    round(CAST(sa - s AS DOUBLE) /
-        |      CAST(na - n AS DOUBLE), 9) AS dd
+        |      (CAST(na - n AS DOUBLE) * 1e12), 9) AS dd
         | FROM cells JOIN al USING (k)),
         |d2 AS (SELECT label, n, nr,
         |  CAST(round(dd * dd, 12) AS DECIMAL(38,12)) AS sq FROM d)
@@ -15132,6 +15173,77 @@ object Queries {
   /** q_graph_harmonic replica: the graphBfsOracle level unroll KEYED
     * BY SEED (four anchor rows), the same 6-dp reciprocal DECIMAL
     * folds, then the per-centrality census. */
+  /** q_graph_betweenness replica: the 3-level forward BFS unrolled
+    * with exact σ sums (a level's candidates draw ONLY on the
+    * previous level's frontier — the synchronous-round contract),
+    * then the backward dependency unroll — each term the identical
+    * (σu/σw)·(1+δw) double rounded at 9 dp into a DECIMAL fold,
+    * levels deepest-first so every δw is final when read. */
+  private def graphBetweennessOracle: String = {
+    val horizon = 3
+    val anchors = (0 to 3).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS seed, CAST($k AS BIGINT) AS node," +
+        s" CAST(0 AS BIGINT) AS dist, CAST(1 AS BIGINT) AS sigma")
+      .mkString("\n       UNION ALL ")
+    val fwd = (1 to horizon).map { i =>
+      val p = i - 1
+      s"""c$i AS (SELECT d$p.seed, bi.v AS node,
+         |  CAST(sum(d$p.sigma) AS BIGINT) AS sigma
+         | FROM bi JOIN d$p ON bi.u = d$p.node AND d$p.dist = $p
+         | GROUP BY 1, 2),
+         |n$i AS (SELECT c$i.seed, c$i.node, c$i.sigma FROM c$i
+         | WHERE NOT EXISTS (SELECT 1 FROM d$p
+         |   WHERE d$p.seed = c$i.seed AND d$p.node = c$i.node)),
+         |d$i AS MATERIALIZED (
+         | SELECT seed, node, dist, sigma FROM d$p
+         | UNION ALL SELECT seed, node, CAST($i AS BIGINT), sigma
+         | FROM n$i)""".stripMargin
+    }.mkString(",\n")
+    val bwd = (horizon to 1 by -1).map { l =>
+      val (w, u) = (s"b$l", s"b${l - 1}")
+      s"""t$l AS (SELECT us.seed, us.node,
+         |  CAST(round((CAST(us.sigma AS DOUBLE) /
+         |      CAST($w.sigma AS DOUBLE)) *
+         |    (1.0 + CAST($w.delta AS DOUBLE)), 9) AS DECIMAL(28,9))
+         |    AS t
+         | FROM (SELECT seed, node, sigma FROM d$horizon
+         |       WHERE dist = ${l - 1}) us
+         | JOIN bi ON bi.u = us.node
+         | JOIN $w ON $w.seed = us.seed AND $w.node = bi.v),
+         |g$l AS (SELECT seed, node,
+         |  CAST(sum(t) AS DECIMAL(28,9)) AS d FROM t$l GROUP BY 1, 2),
+         |$u AS MATERIALIZED (SELECT us.seed, us.node, us.sigma,
+         |  coalesce(g$l.d, CAST(0 AS DECIMAL(28,9))) AS delta
+         | FROM (SELECT seed, node, sigma FROM d$horizon
+         |       WHERE dist = ${l - 1}) us
+         | LEFT JOIN g$l ON g$l.seed = us.seed AND g$l.node = us.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    val allB = (0 to horizon).map(l =>
+      if (l == horizon)
+        s"SELECT seed, node, delta FROM b$horizon"
+      else s"SELECT seed, node, delta FROM b$l")
+      .mkString("\n UNION ALL ")
+    s"""WITH $knnEdgesCte,
+       |bi AS (SELECT a AS u, b AS v FROM e
+       |       UNION ALL SELECT b AS u, a AS v FROM e),
+       |d0 AS ($anchors),
+       |$fwd,
+       |b$horizon AS MATERIALIZED (SELECT seed, node, sigma,
+       |  CAST(0 AS DECIMAL(28,9)) AS delta
+       | FROM d$horizon WHERE dist = $horizon),
+       |$bwd,
+       |ab AS ($allB),
+       |bc0 AS (SELECT node, CAST(count(*) AS BIGINT) AS n_seeds,
+       |  round(CAST(CAST(sum(delta) AS DECIMAL(38,9)) AS DOUBLE), 6)
+       |    AS bc
+       | FROM ab WHERE node <> seed GROUP BY 1)
+       |SELECT bc, count(*) AS n_nodes,
+       | CAST(sum(node) AS BIGINT) AS id_sum,
+       | CAST(sum(n_seeds) AS BIGINT) AS seed_sum
+       |FROM bc0 GROUP BY 1""".stripMargin
+  }
+
   private def graphHarmonicOracle: String = {
     val levels = (1 to 3).map { i =>
       val p = i - 1

@@ -508,6 +508,107 @@ object Graph {
           6, "harmonicCentrality").as("harmonic"))
   }
 
+  /** Sampled-seed, bounded-horizon betweenness centrality (Brandes
+    * 2001 dependency accumulation; Brandes & Pich 2007 for the seed
+    * sampling): from each seed, a synchronous BFS computes level and
+    * shortest-path counts σ, then dependencies accumulate backward —
+    * δ(u) = Σ_{w ∈ succ(u)} σ(u)/σ(w) · (1 + δ(w)) — and betweenness
+    * is Σ_seeds δ(v), v ≠ seed. The "which nodes BROKER the graph"
+    * centrality (bridges between clusters, single points of routing
+    * failure) that degree/pagerank/harmonic all miss. Exact Brandes
+    * is one BFS per NODE (O(nm) — hopeless at corpus scale); the
+    * standard estimator samples seeds, and the horizon bounds the
+    * frontier exactly like [[harmonicCentrality]] (paths longer than
+    * `horizon` contribute 0 — the κ-path flavor).
+    *
+    * Scale shape: the [[bfsHops]] frontier fold keyed by seed, ONE
+    * u-clustered join + one aggregate per round in each direction
+    * (forward σ, backward δ), eager localCheckpoint generation
+    * management; ≤ seeds·n state rows.
+    *
+    * Determinism: levels and σ are exact integers; each backward term
+    * rounds at 9 dp from the same IEEE expression both engines
+    * compute ((σu/σw)·(1+δw), δw a fixed 9-dp decimal cast to the
+    * identical double) and folds as DECIMAL — order-free; the emitted
+    * centrality rounds once at 6 dp.
+    *
+    * Returns (node, n_seeds, bc) for every non-seed node reached by
+    * at least one seed within the horizon. */
+  def betweennessSampled(
+      edges: DataFrame,
+      seeds: Seq[Long],
+      horizon: Int): DataFrame = {
+    require(seeds.nonEmpty && seeds.size <= 64,
+      s"betweennessSampled needs 1..64 seeds, got ${seeds.size}")
+    require(horizon >= 1 && horizon <= 16,
+      s"horizon out of range: $horizon")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val dec = DecimalType(28, 9)
+    val bi = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+      .repartition(col("u"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    bi.count()
+    // FORWARD: (seed, node, dist, sigma) — σ(v) at first reach is the
+    // sum of σ over all level-(ℓ−1) parents (complete per synchronous
+    // round, so path counts are exact)
+    var dist = seeds.toDF("seed")
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"),
+        lit(1L).as("sigma"))
+      .localCheckpoint()
+    for (l <- 1 to horizon) {
+      val frontier = dist.filter(col("dist") === (l - 1).toLong)
+      val cand = bi
+        .join(frontier.withColumnRenamed("node", "u"), Seq("u"))
+        .groupBy(col("seed"), col("v").as("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+      val fresh = cand
+        .join(dist.select(col("seed"), col("node")),
+          Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(l.toLong).as("dist"),
+          col("sigma"))
+      val next = dist.unionByName(fresh).localCheckpoint()
+      dist.unpersist(false)
+      dist = next
+    }
+    // BACKWARD: process levels deepest-first; a node's δ finalizes
+    // when its level is reached (its successors' δ are already final)
+    var cur = dist.filter(col("dist") === horizon.toLong)
+      .select(col("seed"), col("node"), col("sigma"),
+        lit(0).cast(dec).as("delta"))
+      .localCheckpoint()
+    var acc = cur
+    for (l <- horizon to 1 by -1) {
+      val uSide = dist.filter(col("dist") === (l - 1).toLong)
+      val contrib = bi
+        .join(uSide.select(col("seed"), col("node").as("u"),
+          col("sigma").as("__su")), Seq("u"))
+        .join(cur.select(col("seed"), col("node").as("v"),
+          col("sigma").as("__sw"), col("delta").as("__dw")),
+          Seq("seed", "v"))
+        .select(col("seed"), col("u").as("node"),
+          round((col("__su").cast(DoubleType) /
+              col("__sw").cast(DoubleType)) *
+            (lit(1.0) + col("__dw").cast(DoubleType)), 9)
+            .cast(dec).as("__t"))
+        .groupBy(col("seed"), col("node"))
+        .agg(sum(col("__t")).cast(dec).as("__dsum"))
+      val prev = cur
+      cur = uSide.join(contrib, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"), col("sigma"),
+          coalesce(col("__dsum"), lit(0).cast(dec)).as("delta"))
+        .localCheckpoint()
+      prev.unpersist(false)
+      acc = acc.unionByName(cur)
+    }
+    bi.unpersist(false)
+    acc.filter(col("node") =!= col("seed"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_seeds"),
+        round(sum(col("delta")).cast(DoubleType), 6).as("bc"))
+  }
+
   /** Link-prediction features over an undirected canonical edge list
     * (`a` < `b`): for every NON-adjacent pair with at least one common
     * neighbor, the common-neighbor count and the Adamic–Adar score

@@ -76,7 +76,8 @@ object ScaleProbe {
     // round 14 entrants
     "q_sim_mips_lsh", "q_sim_mips_recall", "q_cluster_silhouette",
     "q_embedding_jl", "q_stream_hurst", "q_stream_isotonic",
-    "q_wilcoxon_signed", "q_embedding_mmd", "q_text_feature_hash")
+    "q_wilcoxon_signed", "q_embedding_mmd", "q_text_feature_hash",
+    "q_graph_betweenness", "q_quality_ece")
 
   private val Shift = 100000000000L // 10^11: far above any base key
 

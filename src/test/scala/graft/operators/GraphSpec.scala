@@ -446,6 +446,31 @@ class GraphSpec extends SparkSpecBase {
       s"got $t3")
   }
 
+  test("betweennessSampled: path-graph dependencies accumulate " +
+      "1+delta down the chain; a diamond splits sigma and halves the " +
+      "dependency") {
+    // path 0−1−2−3−4 from seed 0: σ = 1 everywhere, δ(v) counts the
+    // nodes strictly beyond v: bc = 3, 2, 1, 0 for nodes 1..4
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val p = Graph.betweennessSampled(path, Seq(0L), horizon = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(p == Map(1L -> 3.0, 2L -> 2.0, 3L -> 1.0, 4L -> 0.0),
+      s"got $p")
+    // diamond 0−{1,2}−3: two shortest paths to 3 (σ = 2), so each
+    // middle node brokers half a dependency
+    val dia = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    val d = Graph.betweennessSampled(dia, Seq(0L), horizon = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(d == Map(1L -> 0.5, 2L -> 0.5, 3L -> 0.0), s"got $d")
+    // two seeds sum: every interior node brokers 4 in total
+    // (3 + 1, 2 + 2, 1 + 3); the path ENDS broker nothing from
+    // either seed
+    val p2 = Graph.betweennessSampled(path, Seq(0L, 4L), horizon = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(p2 == Map(0L -> 0.0, 1L -> 4.0, 2L -> 4.0, 3L -> 4.0,
+      4L -> 0.0), s"got $p2")
+  }
+
   test("kTruss early exit: the peel stops at the zero-peel round and " +
       "the result is identical to the full bounded loop") {
     // same fixture as above: k=4 peels the pendant triangle and the
