@@ -5054,10 +5054,18 @@ object Queries {
       // both sums exact to ~9·10¹² rows PER CELL. The exact decimal
       // Σp12 = 10⁶·Σhi + Σlo reconstructs once per cell (40k decimal
       // ops, control-plane).
+      // SYMMETRIC HALF: M is symmetric (products commute, so the
+      // (i,j) and (j,i) means are the SAME doubles) — build only the
+      // upper triangle (2080 of 4096 cells) and weight off-diagonal
+      // squared diffs ×2 at the end. Value-identical to the full
+      // lattice, half the explode/fold work.
+      val dim = 64
+      val tri = concat((0 until dim).map(i =>
+        transform(slice(col("e"), i + 1, dim - i),
+          x => element_at(col("e"), i + 1) * x)): _*)
+      val diagK = (0 until dim).map(i => i * dim - i * (i - 1) / 2)
       val cells = emb
-        .select(col("label"), posexplode(flatten(transform(col("e"),
-          xi => transform(col("e"), xj => xi * xj))))
-          .as(Seq("k", "p")))
+        .select(col("label"), posexplode(tri).as(Seq("k", "p")))
         .select(col("label"), col("k"),
           round(col("p") * lit(1e12), 0).cast(LongType).as("__p12"))
         .select(col("label"), col("k"),
@@ -5072,8 +5080,8 @@ object Queries {
       val all = cells.groupBy(col("k"))
         .agg(sum(col("__s")).as("__sa"), sum(col("__n")).as("__na"))
       cells.join(all, Seq("k"))
-        .select(col("label"), col("__n"), (col("__na") - col("__n"))
-          .as("__nr"),
+        .select(col("label"), col("k"), col("__n"),
+          (col("__na") - col("__n")).as("__nr"),
           (round(col("__s").cast(DoubleType) /
               (col("__n").cast(DoubleType) * lit(1e12)), 9) -
             round((col("__sa") - col("__s")).cast(DoubleType) /
@@ -5081,7 +5089,12 @@ object Queries {
               9))
             .as("__d"))
         .select(col("label"), col("__n"), col("__nr"),
-          round(col("__d") * col("__d"), 12)
+          // weight in the DOUBLE domain (doubling a double is exact;
+          // a decimal×long multiply would overflow Spark's precision
+          // rule and silently reduce the 12-dp scale)
+          (round(col("__d") * col("__d"), 12) *
+            when(col("k").isin(diagK.map(Integer.valueOf): _*),
+              lit(1.0)).otherwise(lit(2.0)))
             .cast(DecimalType(38, 12)).as("__d2"))
         .groupBy(col("label"))
         .agg(max(col("__n")).as("n"), max(col("__nr")).as("n_rest"),
@@ -9475,39 +9488,12 @@ object Queries {
         |    ((CAST(s1 AS DOUBLE) / 1e12) / n), 6) AS variance
         |FROM a""".stripMargin,
     "q_embedding_jl" -> embeddingJlOracle,
-    // poly-2 MMD: the identical flattened outer-product lattice,
-    // 12-dp scaled-long split fold (hi/lo halves, exact decimal
-    // reconstruction per cell), 9-dp means, 12-dp squared diffs
-    "q_embedding_mmd" ->
-      """WITH e0 AS (SELECT label, embedding::DOUBLE[] AS v
-        |            FROM embeddings),
-        |fl AS (SELECT label,
-        |  flatten(list_transform(v, xi ->
-        |    list_transform(v, xj -> xi * xj))) AS f FROM e0),
-        |px AS (SELECT label,
-        |  CAST(round(unnest(f) * 1e12, 0) AS BIGINT) AS p12,
-        |  generate_subscripts(f, 1) AS k FROM fl),
-        |cells AS (SELECT label, k,
-        |  CAST(CAST(sum(p12 // 1000000) AS BIGINT) AS DECIMAL(38,0))
-        |      * 1000000 +
-        |    CAST(CAST(sum(p12 % 1000000) AS BIGINT) AS DECIMAL(38,0))
-        |    AS s,
-        |  CAST(count(*) AS BIGINT) AS n FROM px GROUP BY 1, k),
-        |al AS (SELECT k, CAST(sum(s) AS DECIMAL(38,0)) AS sa,
-        |  CAST(sum(n) AS BIGINT) AS na FROM cells GROUP BY 1),
-        |d AS (SELECT label, n, na - n AS nr,
-        |  round(CAST(s AS DOUBLE) /
-        |      (CAST(n AS DOUBLE) * 1e12), 9) -
-        |    round(CAST(sa - s AS DOUBLE) /
-        |      (CAST(na - n AS DOUBLE) * 1e12), 9) AS dd
-        | FROM cells JOIN al USING (k)),
-        |d2 AS (SELECT label, n, nr,
-        |  CAST(round(dd * dd, 12) AS DECIMAL(38,12)) AS sq FROM d)
-        |SELECT label, CAST(max(n) AS BIGINT) AS n,
-        | CAST(max(nr) AS BIGINT) AS n_rest,
-        | round(CAST(CAST(sum(sq) AS DECIMAL(38,12)) AS DOUBLE), 6)
-        |   AS mmd2
-        |FROM d2 GROUP BY label""".stripMargin,
+    // poly-2 MMD: the identical UPPER-TRIANGLE outer-product lattice
+    // (off-diagonal squared diffs weight ×2 — M is symmetric, so this
+    // is value-identical to the full 64² sum), 12-dp scaled-long
+    // split fold (hi/lo halves, exact decimal reconstruction per
+    // cell), 9-dp means, 12-dp squared diffs
+    "q_embedding_mmd" -> embeddingMmdOracle,
     "q_embedding_norms" ->
       """SELECT label, count(*) AS n,
         | round(CAST(sum(CAST(sqrt(list_dot_product(
@@ -14917,6 +14903,50 @@ object Queries {
   /** q_cluster_vmeasure replica: the kmeans assignment chain + the
     * mutualInformation entropy arithmetic over (label, cid), then
     * homogeneity/completeness/V from the 6-dp emitted values. */
+  /** q_embedding_mmd replica: the same 64 upper-triangle slice blocks
+    * (f[k] ordering matches Spark's concat-of-slices posexplode), the
+    * same truncating hi/lo split-long fold, diagonal positions as a
+    * literal IN-list from the same Scala arithmetic. */
+  private def embeddingMmdOracle: String = {
+    val dim = 64
+    val triBlocks = (0 until dim).map(i =>
+      s"list_transform(list_slice(v, ${i + 1}, $dim), " +
+        s"x -> v[${i + 1}] * x)").mkString("[", ",\n    ", "]")
+    // 1-based diagonal positions in the flattened triangle
+    val diagK = (0 until dim)
+      .map(i => i * dim - i * (i - 1) / 2 + 1).mkString(", ")
+    s"""WITH e0 AS (SELECT label, embedding::DOUBLE[] AS v
+       |            FROM embeddings),
+       |fl AS (SELECT label, flatten(
+       |    $triBlocks) AS f FROM e0),
+       |px AS (SELECT label,
+       |  CAST(round(unnest(f) * 1e12, 0) AS BIGINT) AS p12,
+       |  generate_subscripts(f, 1) AS k FROM fl),
+       |cells AS (SELECT label, k,
+       |  CAST(CAST(sum(p12 // 1000000) AS BIGINT) AS DECIMAL(38,0))
+       |      * 1000000 +
+       |    CAST(CAST(sum(p12 % 1000000) AS BIGINT) AS DECIMAL(38,0))
+       |    AS s,
+       |  CAST(count(*) AS BIGINT) AS n FROM px GROUP BY 1, k),
+       |al AS (SELECT k, CAST(sum(s) AS DECIMAL(38,0)) AS sa,
+       |  CAST(sum(n) AS BIGINT) AS na FROM cells GROUP BY 1),
+       |d AS (SELECT label, k, n, na - n AS nr,
+       |  round(CAST(s AS DOUBLE) /
+       |      (CAST(n AS DOUBLE) * 1e12), 9) -
+       |    round(CAST(sa - s AS DOUBLE) /
+       |      (CAST(na - n AS DOUBLE) * 1e12), 9) AS dd
+       | FROM cells JOIN al USING (k)),
+       |d2 AS (SELECT label, n, nr,
+       |  CAST(round(dd * dd, 12) *
+       |    (CASE WHEN k IN ($diagK) THEN 1.0 ELSE 2.0 END)
+       |    AS DECIMAL(38,12)) AS sq FROM d)
+       |SELECT label, CAST(max(n) AS BIGINT) AS n,
+       | CAST(max(nr) AS BIGINT) AS n_rest,
+       | round(CAST(CAST(sum(sq) AS DECIMAL(38,12)) AS DOUBLE), 6)
+       |   AS mmd2
+       |FROM d2 GROUP BY label""".stripMargin
+  }
+
   /** q_embedding_jl replica: the SAME 16×64 plane literals (w/2000
     * from planeWeightPortable, the float-constant portability rule —
     * each Scala double prints into the SQL and parses back to the
