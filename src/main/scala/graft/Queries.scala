@@ -231,6 +231,48 @@ object Queries {
       w
     })
 
+  /** q_embedding_mmd's upper-triangle outer-product lattice over the
+    * double-cast embedding column `e` (64 dims): block i multiplies
+    * eᵢ by e[i..63]; M is symmetric, so 2080 cells carry the full 64²
+    * matrix. Shared by the batch query and its streaming twin. */
+  private val MmdDim = 64
+  private def mmdTri: Column =
+    concat((0 until MmdDim).map(i =>
+      transform(slice(col("e"), i + 1, MmdDim - i),
+        x => element_at(col("e"), i + 1) * x)): _*)
+  private val MmdDiagK: Seq[Int] =
+    (0 until MmdDim).map(i => i * MmdDim - i * (i - 1) / 2)
+
+  /** Shared MMD² finish over the exact per-(label, k) cell frame
+    * (label, k, __n rows, __s = exact decimal Σp12): per-cell means
+    * at 9 dp, label-vs-rest diffs, 12-dp squared diffs weighted ×2
+    * off-diagonal IN THE DOUBLE DOMAIN (doubling a double is exact; a
+    * decimal×long multiply would overflow Spark's precision rule and
+    * silently reduce the scale), one edge round. One definition for
+    * the batch query and the drained-state twin — the oracle replays
+    * it once. */
+  private def mmdFinish(cells: DataFrame): DataFrame = {
+    val all = cells.groupBy(col("k"))
+      .agg(sum(col("__s")).as("__sa"), sum(col("__n")).as("__na"))
+    cells.join(all, Seq("k"))
+      .select(col("label"), col("k"), col("__n"),
+        (col("__na") - col("__n")).as("__nr"),
+        (round(col("__s").cast(DoubleType) /
+            (col("__n").cast(DoubleType) * lit(1e12)), 9) -
+          round((col("__sa") - col("__s")).cast(DoubleType) /
+            ((col("__na") - col("__n")).cast(DoubleType) * lit(1e12)),
+            9))
+          .as("__d"))
+      .select(col("label"), col("__n"), col("__nr"),
+        (round(col("__d") * col("__d"), 12) *
+          when(col("k").isin(MmdDiagK.map(Integer.valueOf): _*),
+            lit(1.0)).otherwise(lit(2.0)))
+          .cast(DecimalType(38, 12)).as("__d2"))
+      .groupBy(col("label"))
+      .agg(max(col("__n")).as("n"), max(col("__nr")).as("n_rest"),
+        round(sum(col("__d2")).cast(DoubleType), 6).as("mmd2"))
+  }
+
   /** Session-shared label-propagation labels over [[knnEdges]]
     * (3 deterministic rounds): q_graph_communities reports the
     * censuses, q_graph_modularity scores the SAME partition — one
@@ -5059,13 +5101,8 @@ object Queries {
       // upper triangle (2080 of 4096 cells) and weight off-diagonal
       // squared diffs ×2 at the end. Value-identical to the full
       // lattice, half the explode/fold work.
-      val dim = 64
-      val tri = concat((0 until dim).map(i =>
-        transform(slice(col("e"), i + 1, dim - i),
-          x => element_at(col("e"), i + 1) * x)): _*)
-      val diagK = (0 until dim).map(i => i * dim - i * (i - 1) / 2)
       val cells = emb
-        .select(col("label"), posexplode(tri).as(Seq("k", "p")))
+        .select(col("label"), posexplode(mmdTri).as(Seq("k", "p")))
         .select(col("label"), col("k"),
           round(col("p") * lit(1e12), 0).cast(LongType).as("__p12"))
         .select(col("label"), col("k"),
@@ -5077,28 +5114,44 @@ object Queries {
         .select(col("label"), col("k"), col("__n"),
           (col("__sh").cast(DecimalType(38, 0)) * 1000000L +
             col("__sl").cast(DecimalType(38, 0))).as("__s"))
-      val all = cells.groupBy(col("k"))
-        .agg(sum(col("__s")).as("__sa"), sum(col("__n")).as("__na"))
-      cells.join(all, Seq("k"))
-        .select(col("label"), col("k"), col("__n"),
-          (col("__na") - col("__n")).as("__nr"),
-          (round(col("__s").cast(DoubleType) /
-              (col("__n").cast(DoubleType) * lit(1e12)), 9) -
-            round((col("__sa") - col("__s")).cast(DoubleType) /
-              ((col("__na") - col("__n")).cast(DoubleType) * lit(1e12)),
-              9))
-            .as("__d"))
-        .select(col("label"), col("__n"), col("__nr"),
-          // weight in the DOUBLE domain (doubling a double is exact;
-          // a decimal×long multiply would overflow Spark's precision
-          // rule and silently reduce the 12-dp scale)
-          (round(col("__d") * col("__d"), 12) *
-            when(col("k").isin(diagK.map(Integer.valueOf): _*),
-              lit(1.0)).otherwise(lit(2.0)))
-            .cast(DecimalType(38, 12)).as("__d2"))
-        .groupBy(col("label"))
-        .agg(max(col("__n")).as("n"), max(col("__nr")).as("n_rest"),
-          round(sum(col("__d2")).cast(DoubleType), 6).as("mmd2"))
+      mmdFinish(cells)
+    }),
+    "q_stream_mmd" -> ((s, dir) => {
+      // Embedding-distribution drift AT INGEST: the poly-2 MMD cells
+      // as keyed split-long state — each arriving embedding adds its
+      // 2080 upper-triangle products into the (label, k) cell's exact
+      // hi/lo integer sums, and the drained state feeds the SAME
+      // per-label MMD² finish (means, 9 dp; weighted squared diffs)
+      // as q_embedding_mmd. Associative integer folds: the
+      // file-to-batch split cannot change the drained state, so the
+      // trajectory gates on the IDENTICAL oracle. State: 4 longs per
+      // (label, cell) key.
+      val name = s"q_stream_mmd_${streamRun.incrementAndGet()}"
+      implicit val sp: SparkSession = s
+      val labelType =
+        Tables.embeddings(s, dir).schema("label").dataType
+      val prods = graft.streaming.Streams.embeddingsStream(s, dir)
+        .select(col("label"),
+          transform(col("embedding"), x => x.cast(DoubleType)).as("e"))
+        .select(col("label"), posexplode(mmdTri).as(Seq("k", "p")))
+        .select(concat_ws("|", col("label").cast(StringType),
+          col("k").cast(StringType)).as("gk"),
+          round(col("p") * lit(1e12), 0).cast(LongType).as("p12"))
+      val drained = graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.splitSumState(prods,
+          col("gk"), col("p12")).toDF(),
+        name, shufflePartitions = Some(8))
+      val cells = drained.groupBy(col("g"))
+        .agg(max(struct(col("updates"), col("n"), col("sh"),
+          col("sl"))).as("__x"))
+        .select(
+          split(col("g"), "\\|").getItem(0).cast(labelType)
+            .as("label"),
+          split(col("g"), "\\|").getItem(1).cast(IntegerType).as("k"),
+          col("__x.n").as("__n"),
+          (col("__x.sh").cast(DecimalType(38, 0)) * 1000000L +
+            col("__x.sl").cast(DecimalType(38, 0))).as("__s"))
+      mmdFinish(cells)
     }),
     "q_embedding_jl" -> ((s, dir) => {
       // Johnson–Lindenstrauss distortion audit: project 64 → 16 dims
@@ -9494,6 +9547,9 @@ object Queries {
     // split fold (hi/lo halves, exact decimal reconstruction per
     // cell), 9-dp means, 12-dp squared diffs
     "q_embedding_mmd" -> embeddingMmdOracle,
+    // the streaming twin's drained split-long cells ARE the batch
+    // cells (associative integer folds) — one oracle, two trajectories
+    "q_stream_mmd" -> embeddingMmdOracle,
     "q_embedding_norms" ->
       """SELECT label, count(*) AS n,
         | round(CAST(sum(CAST(sqrt(list_dot_product(

@@ -888,6 +888,24 @@ object Streams {
     r2.parquet(dir)
   }
 
+  /** File stream over the embeddings table (the [[docsStream]]
+    * shape): schema probed from a batch read, glob-pinned. */
+  def embeddingsStream(
+      spark: SparkSession,
+      dir: String,
+      glob: String = "embeddings.parquet",
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val probed = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    require(Seq("vec_id", "embedding", "label")
+      .forall(probed.fieldNames.contains),
+      s"$dir/$glob lacks vec_id/embedding/label: " +
+        probed.fieldNames.mkString(","))
+    val r = spark.readStream.schema(probed).option("pathGlobFilter", glob)
+    val r2 = if (maxFilesPerTrigger > 0)
+      r.option("maxFilesPerTrigger", maxFilesPerTrigger) else r
+    r2.parquet(dir)
+  }
+
   /** Cumulative occupancy of one (group, bin) histogram cell;
     * `updates` is the monotone drain counter. */
   final case class GroupBinCount(g: String, bin: Int, updates: Long,
@@ -1491,6 +1509,54 @@ object Streams {
   /** Latest cumulative per-day (count, Σ value·10⁴) after each batch
     * that touched the day; `updates` is the monotone keep-the-max
     * drain counter. */
+  /** Latest per-key split-long sum: the EXACT unbounded-scale integer
+    * fold of [[graft.Queries]]' q_embedding_mmd cells — each value is
+    * a 12-dp scaled long p12 split into hi = p12 div 10⁶ / lo =
+    * p12 % 10⁶ halves (truncating div/mod — the exact identity both
+    * engines share), each half summed as a plain long: |hi|,|lo| ≤
+    * 10⁶ keeps both sums exact to ~9·10¹² rows PER KEY, and the two
+    * halves reconstruct the exact decimal Σp12 = 10⁶·Σsh + Σsl at
+    * drain time. Associative/commutative integers: the file-to-batch
+    * split cannot change the drained state (the q_stream_f2
+    * argument). */
+  final case class SplitSum(
+      g: String, updates: Long, n: Long, sh: Long, sl: Long)
+
+  /** Per-key split-long accumulation across micro-batches (see
+    * [[SplitSum]]). `p12` must already be the 12-dp scaled long. */
+  def splitSumState(
+      rows: DataFrame,
+      key: Column,
+      p12: Column)(
+      implicit spark: SparkSession): Dataset[SplitSum] = {
+    import spark.implicits._
+    rows
+      .select(key.cast(StringType).as("__g"),
+        p12.cast(LongType).as("__p"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (g: String, it: Iterator[(String, Long)],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          var n = 0L; var h = 0L; var l = 0L
+          while (it.hasNext) {
+            val p = it.next()._2
+            // Scala / and % on Long truncate toward zero and follow
+            // the dividend's sign — the same pair as Spark's div/%
+            // and DuckDB's // and %
+            h += p / 1000000L
+            l += p % 1000000L
+            n += 1
+          }
+          val (pu, pn, ph, pl) = state.getOption
+            .getOrElse((0L, 0L, 0L, 0L))
+          val tot = (pu + 1L, pn + n, ph + h, pl + l)
+          state.update(tot)
+          Iterator(SplitSum(g, tot._1, tot._2, tot._3, tot._4))
+      }
+  }
+
   final case class DaySum(d: String, updates: Long, n: Long, s4: Long)
 
   /** Per-day EXACT value accumulation across micro-batches — the

@@ -77,7 +77,7 @@ object ScaleProbe {
     "q_sim_mips_lsh", "q_sim_mips_recall", "q_cluster_silhouette",
     "q_embedding_jl", "q_stream_hurst", "q_stream_isotonic",
     "q_wilcoxon_signed", "q_embedding_mmd", "q_text_feature_hash",
-    "q_graph_betweenness", "q_quality_ece")
+    "q_graph_betweenness", "q_quality_ece", "q_stream_mmd")
 
   private val Shift = 100000000000L // 10^11: far above any base key
 

@@ -1419,6 +1419,55 @@ class StreamsSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
+  test("splitSumState: hi/lo halves accumulate ACROSS micro-batches " +
+      "and reconstruct the exact signed sum, negatives included") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("splitsum").toFile
+    // two files = two micro-batches with maxFilesPerTrigger = 1
+    Seq(("a", 1500000L), ("a", -2500001L), ("b", 999999L))
+      .toDF("g", "p").coalesce(1).write
+      .parquet(tmp.getAbsolutePath + "/f1")
+    Seq(("a", 7L), ("b", -1000001L))
+      .toDF("g", "p").coalesce(1).write
+      .parquet(tmp.getAbsolutePath + "/f2")
+    val src = spark.readStream
+      .schema("g STRING, p BIGINT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(tmp.getAbsolutePath + "/f*")
+    val out = Streams.runAvailableNow(
+      Streams.splitSumState(src, col("g"), col("p")).toDF(),
+      "splitsum_drain")
+    val last = out.groupBy(col("g"))
+      .agg(max(struct(col("updates"), col("n"), col("sh"), col("sl")))
+        .as("x"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getStruct(1).getLong(1), r.getStruct(1).getLong(2),
+          r.getStruct(1).getLong(3)))).toMap
+    // a: 1500000 → (1, 500000); −2500001 → (−2, −500001); 7 → (0, 7)
+    //    totals (−1, −499994) → exact sum −1000006... wait: −1·10⁶ +
+    //    (−499994)? reconstruct: sh·10⁶ + sl = −1000000 − 499994?
+    // assert via reconstruction against the plain sum instead:
+    def recon(t: (Long, Long, Long)) = t._2 * 1000000L + t._3
+    assert(last("a")._1 == 3L &&
+      recon(last("a")) == 1500000L - 2500001L + 7L, s"got $last")
+    assert(last("b")._1 == 2L &&
+      recon(last("b")) == 999999L - 1000001L, s"got $last")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
+  test("streaming MMD drain equals the batch poly-2 MMD row for row") {
+    def rows(q: String) =
+      graft.SparkEntry.queries(q)(spark, dir).collect()
+        .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2),
+          r.getDouble(3))).sortBy(_._1).toSeq
+    val streamed = rows("q_stream_mmd")
+    val batch = rows("q_embedding_mmd")
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream $streamed vs batch $batch")
+  }
+
   test("streaming isotonic drain equals the batch PAV calibration " +
       "row for row (the drift-family batch/stream-pair rule)") {
     // the gated pair end-to-end: the drained per-bin (n, k) state fed
