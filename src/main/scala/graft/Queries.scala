@@ -5140,6 +5140,10 @@ object Queries {
       val drained = graft.streaming.Streams.runAvailableNow(
         graft.streaming.Streams.splitSumState(prods,
           col("gk"), col("p12")).toDF(),
+        // 8 state partitions like the rest of the stream family: 32
+        // was measured SLOWER (13.3 vs 10.3 s at sf0.1) — in
+        // availableNow mode the per-partition state-store commit
+        // overhead dominates the wider shuffle's parallelism gain
         name, shufflePartitions = Some(8))
       val cells = drained.groupBy(col("g"))
         .agg(max(struct(col("updates"), col("n"), col("sh"),
