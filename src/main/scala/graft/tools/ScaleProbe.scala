@@ -228,8 +228,11 @@ object ScaleProbe {
     val soloFactor = 3.0
     val soloNames = results.filter(_._4 > soloFactor).map(_._1)
     if (soloNames.nonEmpty) spark.stop()
-    val solo: Map[String, Double] = soloNames.map { name =>
+    val solo: Map[String, Double] = soloNames.flatMap { name =>
       val s2 = Sessions.local(s"graft-scale-solo")
+      // a solo failure must not sink the sweep's 40+ measurements —
+      // the query keeps only its full-session ratio (conservative:
+      // still near-flagged, still flaggable)
       try {
         force(SparkEntry.queries("q_agg_pricing")(s2, base))
         force(SparkEntry.queries("q_agg_pricing")(s2, out))
@@ -238,7 +241,11 @@ object ScaleProbe {
         val r = tx / math.max(tb, 1e-9)
         println(s"[scale] $name SOLO base=${fmt(tb)}s x$factor=" +
           s"${fmt(tx)}s ratio=${fmt(r)}")
-        name -> r
+        Some(name -> r)
+      } catch {
+        case e: Throwable =>
+          println(s"[scale] $name SOLO FAILED: ${e.getMessage}")
+          None
       } finally s2.stop()
     }.toMap
     // a query is FLAGGED only when the solo re-measure (always taken
