@@ -5118,43 +5118,48 @@ object Queries {
     }),
     "q_stream_mmd" -> ((s, dir) => {
       // Embedding-distribution drift AT INGEST: the poly-2 MMD cells
-      // as keyed split-long state — each arriving embedding adds its
-      // 2080 upper-triangle products into the (label, k) cell's exact
-      // hi/lo integer sums, and the drained state feeds the SAME
-      // per-label MMD² finish (means, 9 dp; weighted squared diffs)
-      // as q_embedding_mmd. Associative integer folds: the
-      // file-to-batch split cannot change the drained state, so the
-      // trajectory gates on the IDENTICAL oracle. State: 4 longs per
-      // (label, cell) key.
+      // as keyed split-long state, drained into the SAME per-label
+      // MMD² finish (means, 9 dp; weighted squared diffs) as
+      // q_embedding_mmd. Associative integer folds: the file-to-batch
+      // split cannot change the drained state, so the trajectory
+      // gates on the IDENTICAL oracle.
+      // STATE SHAPE (VERDICT r14 item 1): one ARRAY-packed state row
+      // per label — the 2080 upper-triangle products are computed
+      // INSIDE the state function (mmdCellState replicates the batch
+      // round/split arithmetic bit for bit), so the stream shuffles
+      // the n raw embedding rows instead of n·2080 exploded tuples
+      // and each micro-batch commits |labels| state rows instead of
+      // |labels|·2080. Measured at sf0.1: 8.3 s (row-per-cell keying)
+      // → see PLANS.md for the packed number.
+      // Key: the label itself behind a " " sentinel for NULL (ADVICE
+      // r14 — the old concat_ws key silently collapsed NULL labels);
+      // integer labels render without spaces, so no collision.
       val name = s"q_stream_mmd_${streamRun.incrementAndGet()}"
       implicit val sp: SparkSession = s
       val labelType =
         Tables.embeddings(s, dir).schema("label").dataType
-      val prods = graft.streaming.Streams.embeddingsStream(s, dir)
-        .select(col("label"),
-          transform(col("embedding"), x => x.cast(DoubleType)).as("e"))
-        .select(col("label"), posexplode(mmdTri).as(Seq("k", "p")))
-        .select(concat_ws("|", col("label").cast(StringType),
-          col("k").cast(StringType)).as("gk"),
-          round(col("p") * lit(1e12), 0).cast(LongType).as("p12"))
+      val emb = graft.streaming.Streams.embeddingsStream(s, dir)
       val drained = graft.streaming.Streams.runAvailableNow(
-        graft.streaming.Streams.splitSumState(prods,
-          col("gk"), col("p12")).toDF(),
-        // 8 state partitions like the rest of the stream family: 32
-        // was measured SLOWER (13.3 vs 10.3 s at sf0.1) — in
-        // availableNow mode the per-partition state-store commit
-        // overhead dominates the wider shuffle's parallelism gain
+        graft.streaming.Streams.mmdCellState(emb,
+          coalesce(col("label").cast(StringType), lit(" ")),
+          col("embedding"), MmdDim).toDF(),
+        // 8 state partitions like the rest of the stream family (10
+        // label keys — the commit overhead argument of r14 holds a
+        // fortiori at one row per label)
         name, shufflePartitions = Some(8))
       val cells = drained.groupBy(col("g"))
         .agg(max(struct(col("updates"), col("n"), col("sh"),
           col("sl"))).as("__x"))
         .select(
-          split(col("g"), "\\|").getItem(0).cast(labelType)
-            .as("label"),
-          split(col("g"), "\\|").getItem(1).cast(IntegerType).as("k"),
+          when(col("g") === lit(" "), lit(null))
+            .otherwise(col("g")).cast(labelType).as("label"),
           col("__x.n").as("__n"),
-          (col("__x.sh").cast(DecimalType(38, 0)) * 1000000L +
-            col("__x.sl").cast(DecimalType(38, 0))).as("__s"))
+          posexplode(arrays_zip(col("__x.sh").as("sh"),
+            col("__x.sl").as("sl"))).as(Seq("k", "c")))
+        .select(col("label"), col("k").cast(IntegerType).as("k"),
+          col("__n"),
+          (col("c.sh").cast(DecimalType(38, 0)) * 1000000L +
+            col("c.sl").cast(DecimalType(38, 0))).as("__s"))
       mmdFinish(cells)
     }),
     "q_embedding_jl" -> ((s, dir) => {

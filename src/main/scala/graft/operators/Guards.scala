@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
 
 /** Guard rails for SINGLE-PARTITION window topology (VERDICT r9 item
   * 4). An unpartitioned `Window.orderBy` moves its whole input to one
@@ -88,14 +88,32 @@ object Guards {
   def emitDouble(c: Column, scale: Int, what: String): Column = {
     require(scale >= 0 && scale <= 9, s"emit scale out of range: $scale")
     val f = math.pow(10, scale).toLong
-    val scaled = c * lit(f)
+    // The scaled long comes from the HALF_UP-rounded product, not a
+    // truncating cast: for a DoubleType input whose value IS in-scale
+    // as a decimal (8.7 at scale 2), c·10^s in double space can land
+    // just below the integer (869.999…); round(·, 0) recovers the
+    // exact integer (shortest-decimal HALF_UP — a no-op on already-
+    // integral DECIMAL products, so existing emits are unchanged).
+    val scaled = round(c * lit(f), 0)
     val emitted =
       emitBigint(scaled, what).cast(DoubleType) / lit(f.toDouble)
-    // INTEGRALITY guard (ADVICE r13): if the input carries fractional
-    // digits beyond `scale`, the LongType cast would silently truncate
-    // them in non-ANSI mode — contradicting this helper's loud-failure
-    // exactness contract. Fail in-plan instead.
-    when(scaled.isNull || scaled === floor(scaled), emitted)
+    // INTEGRALITY guard (ADVICE r13/r14): if the input carries
+    // fractional digits beyond `scale`, the emit would silently round
+    // them away — contradicting this helper's loud-failure exactness
+    // contract. Fail in-plan instead. The check is a decimal
+    // round-trip, exact for DOUBLE inputs too (`scaled ===
+    // floor(scaled)` in double space raised spuriously on in-scale
+    // doubles like 8.7·100 = 869.99…, ADVICE r14). Both sides cast
+    // EXPLICITLY to the same DECIMAL(38, 18): a bare `c === c.cast(
+    // DECIMAL(38, scale))` lets the precision-loss coercion cast the
+    // LEFT side to (38, scale) as well — a tautology. Inputs must
+    // carry ≤ 18 fractional digits (catalog emits are ≤ 12-dp sums);
+    // double→decimal goes through the shortest-decimal rendering, so
+    // an in-scale double round-trips bitwise.
+    val hi = DecimalType(38, 18)
+    when(c.isNull ||
+        c.cast(hi) === c.cast(DecimalType(38, scale)).cast(hi),
+      emitted)
       .otherwise(raise_error(concat(
         lit(s"$what: value "), c.cast(StringType),
         lit(s" has fractional digits beyond emit scale $scale")))

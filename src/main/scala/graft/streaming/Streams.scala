@@ -1557,6 +1557,89 @@ object Streams {
       }
   }
 
+  /** Per-key ARRAY-packed split-long cell sums: one state row per
+    * label carrying all upper-triangle MMD cells (VERDICT r14 item 1
+    * — the row-per-cell [[splitSumState]] keying paid labels × 2080
+    * state-store commits AND shuffled n·2080 exploded tuples through
+    * the non-codegen groupByKey; this shape shuffles only the n raw
+    * embedding rows and commits one row per label). */
+  final case class SplitSumVec(
+      g: String, updates: Long, n: Long, sh: Array[Long],
+      sl: Array[Long])
+
+  /** Streaming poly-2 MMD cell accumulation — the keyed-state twin of
+    * [[graft.Queries]]' q_embedding_mmd fold, with the 2080
+    * upper-triangle products computed INSIDE the state function so the
+    * stream shuffles embedding rows, not exploded cells. Arithmetic
+    * replicates the batch expressions bit for bit: per cell (i ≤ j),
+    * p = eᵢ·eⱼ (double), x = p·10¹² (double), p12 = the shortest-
+    * decimal HALF_UP round (`BigDecimal.valueOf(x).setScale(0,
+    * HALF_UP)` — exactly Spark's `round(double, 0)`), split into the
+    * truncating hi = p12 div 10⁶ / lo = p12 % 10⁶ halves summed as
+    * plain longs (exact to ~9·10¹² rows per cell, the [[SplitSum]]
+    * argument). Associative integer folds: the file-to-batch split
+    * cannot change the drained state. Embedding elements must be
+    * non-null (the batch twin's double lattice is null-free on the
+    * gated corpus; a null element here fails loudly instead of
+    * silently skewing a cell). Cell k orders i-major, j ∈ [i, dim) —
+    * the mmdTri lattice. State: (updates, n, hi[2080], lo[2080]) per
+    * label — ~50 KB for dim 64, committed once per (label, batch). */
+  def mmdCellState(
+      rows: DataFrame,
+      key: Column,
+      emb: Column,
+      dim: Int)(
+      implicit spark: SparkSession): Dataset[SplitSumVec] = {
+    import spark.implicits._
+    val cells = dim * (dim + 1) / 2
+    rows
+      .select(key.cast(StringType).as("__g"),
+        emb.cast(ArrayType(DoubleType)).as("__e"))
+      .as[(String, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (g: String, it: Iterator[(String, Seq[Double])],
+         state: GroupState[(Long, Long, Array[Long], Array[Long])]) =>
+          val (pu, pn, h, l) = state.getOption.getOrElse(
+            (0L, 0L, new Array[Long](cells), new Array[Long](cells)))
+          var n = 0L
+          while (it.hasNext) {
+            val e = it.next()._2
+            require(e.length == dim,
+              s"mmdCellState: embedding width ${e.length} != $dim")
+            val a = e.toArray
+            var k = 0
+            var i = 0
+            while (i < dim) {
+              val ei = a(i)
+              var j = i
+              while (j < dim) {
+                val p = ei * a(j)
+                val x = p * 1e12
+                val p12 = java.math.BigDecimal.valueOf(x)
+                  .setScale(0, java.math.RoundingMode.HALF_UP)
+                  .longValue()
+                // truncating div/mod pair — the exact identity both
+                // engines share (the splitSumState contract)
+                h(k) += p12 / 1000000L
+                l(k) += p12 % 1000000L
+                k += 1
+                j += 1
+              }
+              i += 1
+            }
+            n += 1
+          }
+          val tot = (pu + 1L, pn + n, h, l)
+          state.update(tot)
+          // emit clones: the state store serializes `tot` after this
+          // iterator drains, so emitted rows must not alias arrays a
+          // later batch mutates
+          Iterator(SplitSumVec(g, tot._1, tot._2, h.clone(), l.clone()))
+      }
+  }
+
   final case class DaySum(d: String, updates: Long, n: Long, s4: Long)
 
   /** Per-day EXACT value accumulation across micro-batches — the

@@ -225,7 +225,10 @@ object ScaleProbe {
     // manual single-query procedure), and the artifact carries BOTH
     // numbers. Only a ratio that survives the solo re-measure is an
     // operator problem.
-    val soloFactor = 3.0
+    // the flagged filter below relies on every over-flagFactor query
+    // having a solo entry, which holds only while flagFactor >=
+    // soloFactor (ADVICE r14) — pin the invariant
+    val soloFactor = math.min(3.0, flagFactor)
     val soloNames = results.filter(_._4 > soloFactor).map(_._1)
     if (soloNames.nonEmpty) spark.stop()
     val solo: Map[String, Double] = soloNames.flatMap { name =>
@@ -256,7 +259,10 @@ object ScaleProbe {
         solo.getOrElse(r._1, r._4) > flagFactor)
       .map(_._1)
     def entry(name: String, full: Double): String =
-      s"""{"query":"$name","ratio_full":${fmt(full)}""" +
+      // "ratio" stays as a compatibility alias of "ratio_full" for
+      // pre-r14 consumers of the near_flag schema (ADVICE r14)
+      s"""{"query":"$name","ratio":${fmt(full)},""" +
+        s""""ratio_full":${fmt(full)}""" +
         solo.get(name).map(s => s""","ratio_solo":${fmt(s)}""")
           .getOrElse("") + "}"
     // every solo-re-measured query is a near-flag entry, plus the

@@ -56,6 +56,24 @@ class GuardsSpec extends SparkSpecBase {
       .select(Guards.emitDouble(col("v"), 2, "t").as("d"))
       .collect()(0)
     assert(nul.isNullAt(0), s"got $nul")
+    // DOUBLE inputs that ARE in-scale as decimals must pass even when
+    // c·10^s lands just under the integer in double space (8.7·100 =
+    // 869.99…; the r13 floor-guard raised spuriously here, ADVICE r14)
+    val dok = Seq(8.7, -0.07, 2.55).toDF("v")
+      .select(Guards.emitDouble(col("v"), 2, "t").as("d"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(dok == Seq(8.7, -0.07, 2.55), s"got $dok")
+    // and a genuinely out-of-scale DOUBLE still raises
+    val dex = intercept[Exception] {
+      Seq(1.2345).toDF("v")
+        .select(Guards.emitDouble(col("v"), 2, "t").as("d"))
+        .collect()
+    }
+    assert(dex.getMessage != null &&
+      (dex.getMessage.contains("fractional digits") ||
+        Option(dex.getCause).exists(
+          _.getMessage.contains("fractional digits"))),
+      s"wrong failure: $dex")
     // scale-4 value through a scale-2 emit: the old silent truncation
     // must now raise in-plan
     val ex = intercept[Exception] {

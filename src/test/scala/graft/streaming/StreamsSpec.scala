@@ -1446,9 +1446,8 @@ class StreamsSpec extends SparkSpecBase {
         ((r.getStruct(1).getLong(1), r.getStruct(1).getLong(2),
           r.getStruct(1).getLong(3)))).toMap
     // a: 1500000 → (1, 500000); −2500001 → (−2, −500001); 7 → (0, 7)
-    //    totals (−1, −499994) → exact sum −1000006... wait: −1·10⁶ +
-    //    (−499994)? reconstruct: sh·10⁶ + sl = −1000000 − 499994?
-    // assert via reconstruction against the plain sum instead:
+    //    totals (Σhi, Σlo) = (−1, 6); reconstruct sh·10⁶ + sl =
+    //    −1000000 + 6 = −999994 = 1500000 − 2500001 + 7 ✓
     def recon(t: (Long, Long, Long)) = t._2 * 1000000L + t._3
     assert(last("a")._1 == 3L &&
       recon(last("a")) == 1500000L - 2500001L + 7L, s"got $last")
