@@ -4878,32 +4878,55 @@ object Queries {
       // q_sim_lsh, then ranks candidates by the raw inner product.
       // Portable plane family over 65 coordinates → the banding and
       // augmentation arithmetic are fully oracle-replicated.
-      // Geometry 36 bits / 6 bands (6-bit floor): augmented angles
-      // concentrate nearer 90° than raw cosine's, so the floor bands
-      // are narrower than q_sim_lsh's 8-bit ones — measured at the
-      // gate: recall 0.30 at ~9% of brute-force candidate work (vs
-      // 0.06 at 8-bit bands); the scale-adaptive width governs past
-      // 1024 vectors either way, and 63/6 = 10 capped band bits keep
-      // the 10×-probe cohort ≈ targetCohort.
+      // Geometry 36 bits / 6 bands (6-bit floor) + MULTI-PROBE 1
+      // (VERDICT r14 item 2): this corpus's true top-10 sit at
+      // ip ≈ 0.3 (per-bit SRP collision 0.596 vs 0.5 random), so
+      // exact-key banding recalled only 0.30; probing every band key
+      // at Hamming distance 1 on the QUERY side lifts the per-band
+      // hit rate ~5× at zero extra corpus hashing — measured at the
+      // gate: recall 0.74 (see q_sim_mips_recall) at 47% of
+      // brute-force candidate work on the 500-vector gate corpus
+      // (the fraction falls as n^-0.25 under the scale-adaptive band
+      // width; the cluster-aligned IVF path below is the low-work
+      // high-recall index on clustered corpora — PLANS.md records
+      // the trade).
       val emb = Tables.embeddings(s, dir)
       Similarity.mipsLshTopKPerQuery(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 10, bits = 36, bands = 6,
-        portable = true)
+        portable = true, probes = 1)
+    }),
+    "q_sim_mips_ivf" -> ((s, dir) => {
+      // INDEXED MIPS via the inverted file in the norm-augmented
+      // space — the cluster-aligned index (IVF answers cosine NN on
+      // this clustered corpus at 0.92 recall where SRP gets 0.14):
+      // augment, coarse-quantize with the deterministic seed
+      // centroids, probe 4 of 16 cells, rank by the raw inner
+      // product. Candidate work = the probed-cell fraction, which
+      // vanishes at scale as nCells grows ~√n. Fully oracle-replayed
+      // (centroids, assignment ties, probing, ip ranking).
+      val emb = Tables.embeddings(s, dir)
+      Similarity.mipsIvfTopKPerQuery(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, nCells = 16, nProbe = 4)
     }),
     "q_sim_mips_recall" -> ((s, dir) => {
-      // Recall@10 of the norm-augmented MIPS index against the exact
-      // inner-product ground truth — the audit that closes the
-      // oracle/index pair exactly as q_sim_recall does for cosine.
+      // Recall@10 of BOTH norm-augmented MIPS indexes against the
+      // exact inner-product ground truth — the audit that closes the
+      // oracle/index pairs exactly as q_sim_recall does for cosine:
+      // one row for the multi-probe SRP index, one for the IVF index.
       // Truth is bounded (5 probes × k); the comparison is pair-set
       // semi-join arithmetic, embeddings never re-shuffle.
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") < 5)
-      Similarity.recallAtK(
-        Similarity.mipsTopKPerQuery(emb, q, "vec_id", "embedding",
-          k = 10),
+      val truth = Similarity.mipsTopKPerQuery(emb, q, "vec_id",
+        "embedding", k = 10)
+      Similarity.recallAtK(truth,
         Similarity.mipsLshTopKPerQuery(emb, q, "vec_id", "embedding",
-          k = 10, bits = 36, bands = 6, portable = true),
+          k = 10, bits = 36, bands = 6, portable = true, probes = 1),
         "mips_lsh")
+        .unionAll(Similarity.recallAtK(truth,
+          Similarity.mipsIvfTopKPerQuery(emb, q, "vec_id",
+            "embedding", k = 10, nCells = 16, nProbe = 4),
+          "mips_ivf"))
     }),
     "q_sim_ivfpq" -> ((s, dir) => {
       // IVF-PQ, the production serving composition: coarse cells
@@ -9446,6 +9469,7 @@ object Queries {
     "q_sim_topk" -> simTopKOracle,
     "q_sim_mips" -> simMipsOracle,
     "q_sim_mips_lsh" -> simMipsLshOracle,
+    "q_sim_mips_ivf" -> simMipsIvfOracle,
     "q_sim_mips_recall" -> simMipsRecallOracle,
     "q_sim_pq" -> simPqOracle,
     "q_sim_ivfpq" -> simIvfPqOracle,
@@ -14578,11 +14602,14 @@ object Queries {
     * signature arithmetic as [[simLshOracle]], now over 65
     * coordinates; candidates rank by the raw augmented dot (= the
     * original inner product — the appended query coordinate is 0 and
-    * both engines fold left-to-right). Geometry 36 bits / 6 bands —
-    * see the q_sim_mips_lsh query doc. The `bw` CTE asserts the
-    * fixed-6-bit-band regime (corpus ≤ 16·2⁶ rows) so a future
-    * larger gate corpus fails LOUDLY instead of hash-diverging from
-    * the scale-adaptive Spark band width (ADVICE r13). */
+    * both engines fold left-to-right). Geometry 36 bits / 6 bands
+    * with Hamming-1 MULTI-PROBE on the query side (each band key
+    * additionally XORed with each single-bit flip — the qb DISTINCT
+    * over the 7-key probe set) — see the q_sim_mips_lsh query doc.
+    * The `bw` CTE asserts the fixed-6-bit-band regime (corpus ≤
+    * 16·2⁶ rows) so a future larger gate corpus fails LOUDLY instead
+    * of hash-diverging from the scale-adaptive Spark band width
+    * (ADVICE r13). */
   private def simMipsLshOracle: String = {
     val dim = 65; val bits = 36; val bands = 6; val bandBits = 6
     def planeList(p: Int): String =
@@ -14612,8 +14639,12 @@ object Queries {
        |         FROM qa),
        |csig AS (SELECT cid, CAST(${sigExpr("ce")} AS BIGINT) AS sig
        |         FROM ca),
-       |qb AS (SELECT qid, band, key FROM qsig,
-       |  LATERAL (${bandKeys.mkString(" UNION ALL ")})),
+       |flips AS (SELECT unnest([${
+         (0L +: (0 until bandBits).map(1L << _).toList)
+           .mkString(",")}]::BIGINT[]) AS f),
+       |qb AS (SELECT DISTINCT qid, band, xor(key, f) AS key FROM
+       |  (SELECT qid, band, key FROM qsig,
+       |   LATERAL (${bandKeys.mkString(" UNION ALL ")})), flips),
        |cb AS (SELECT cid, band, key FROM csig,
        |  LATERAL (${bandKeys.mkString(" UNION ALL ")})),
        |cand AS (SELECT DISTINCT qid, cid FROM qb
@@ -14629,16 +14660,64 @@ object Queries {
        | FROM scored) WHERE rn <= 10""".stripMargin
   }
 
+  /** q_sim_mips_ivf replica: the norm-augmented corpus/queries (the
+    * [[simMipsLshOracle]] ca/qa CTEs) through the [[simIvfOracle]]
+    * coarse-quantization chain — 16 lowest-id AUGMENTED centroids,
+    * nearest-cell assignment by augmented cosine (ties to lower cid),
+    * 4-cell probing, raw-inner-product ranking, self excluded. */
+  private def simMipsIvfOracle: String = {
+    val nCells = 16; val nProbe = 4; val k = 10
+    s"""WITH q0 AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe0
+       |            FROM embeddings WHERE vec_id < 5),
+       |c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce0
+       |       FROM embeddings),
+       |bw AS (SELECT max(list_dot_product(ce0, ce0)) AS m2 FROM c0),
+       |ca AS (SELECT cid,
+       |  list_append(ce0, sqrt(m2 - list_dot_product(ce0, ce0))) AS v
+       | FROM c0, bw),
+       |qa AS (SELECT qid, list_append(qe0, 0.0) AS v FROM q0),
+       |cent AS (SELECT cid AS ccid, v AS cv FROM ca
+       |         ORDER BY cid LIMIT $nCells),
+       |asg AS (SELECT cid, v, ccid FROM (
+       |  SELECT ca.cid, ca.v, cent.ccid,
+       |   row_number() OVER (PARTITION BY ca.cid
+       |     ORDER BY ${cosSql("ca.v", "cent.cv")} DESC, cent.ccid ASC)
+       |     AS rn
+       |  FROM ca CROSS JOIN cent) WHERE rn = 1),
+       |qp AS (SELECT qid, v, ccid FROM (
+       |  SELECT qa.qid, qa.v, cent.ccid,
+       |   row_number() OVER (PARTITION BY qa.qid
+       |     ORDER BY ${cosSql("qa.v", "cent.cv")} DESC, cent.ccid ASC)
+       |     AS rn
+       |  FROM qa CROSS JOIN cent) WHERE rn <= $nProbe),
+       |scored AS (SELECT qp.qid AS query_id, asg.cid AS corpus_id,
+       |  list_dot_product(asg.v, qp.v) AS ip
+       | FROM qp JOIN asg ON qp.ccid = asg.ccid
+       | WHERE qp.qid <> asg.cid)
+       |SELECT query_id, corpus_id, CAST(rn AS INT) AS rank,
+       | round(ip, 6) AS ip FROM (
+       | SELECT query_id, corpus_id, ip,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ip DESC, corpus_id ASC) AS rn
+       | FROM scored) WHERE rn <= $k""".stripMargin
+  }
+
   /** q_sim_mips_recall replica: the exact-MIPS and indexed-MIPS
     * chains replay as derived tables; recall@k is pure integer
     * pair-set arithmetic on top (the [[simRecallOracle]] shape). */
   private def simMipsRecallOracle: String =
     s"""WITH truth AS (SELECT query_id, corpus_id FROM ($simMipsOracle)),
-       |approx AS (SELECT query_id, corpus_id
-       |           FROM ($simMipsLshOracle)),
+       |lshx AS (SELECT query_id, corpus_id
+       |         FROM ($simMipsLshOracle)),
+       |ivfx AS (SELECT query_id, corpus_id
+       |         FROM ($simMipsIvfOracle)),
        |denom AS (SELECT count(*) AS n_total FROM truth),
-       |hits AS (SELECT 'mips_lsh' AS method, count(*) AS n_hits
-       | FROM approx JOIN truth USING (query_id, corpus_id))
+       |hits AS (
+       | SELECT 'mips_lsh' AS method, count(*) AS n_hits
+       | FROM lshx JOIN truth USING (query_id, corpus_id)
+       | UNION ALL
+       | SELECT 'mips_ivf' AS method, count(*) AS n_hits
+       | FROM ivfx JOIN truth USING (query_id, corpus_id))
        |SELECT method, n_hits, n_total,
        | round(CAST(n_hits AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
        |  AS recall

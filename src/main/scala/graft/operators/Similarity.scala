@@ -148,7 +148,8 @@ object Similarity {
       bands: Int = 4,
       seed: Int = 42,
       portable: Boolean = false,
-      targetCohort: Int = 16): DataFrame = {
+      targetCohort: Int = 16,
+      probes: Int = 0): DataFrame = {
     require(k >= 1, s"k must be positive: $k")
     val m2Row = corpus
       .agg(max(dot(col(embCol), col(embCol))).as("__m2"))
@@ -162,7 +163,63 @@ object Similarity {
         concat(col(embCol).cast(ArrayType(DoubleType)),
           array(lit(0.0))).as(embCol))
     val scored = lshScoredCandidates(caug, qaug, idCol, embCol,
-      bits, bands, seed, portable, excludeSelf = true, targetCohort)
+      bits, bands, seed, portable, excludeSelf = true, targetCohort,
+      probes = probes)
+      .select(col("query_id"), col("corpus_id"),
+        dot(col("corpus_emb"), col("query_emb")).as("__ip"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__ip").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("rank"),
+        round(col("__ip"), 6).as("ip"))
+  }
+
+  /** INDEXED maximum-inner-product top-k via an INVERTED FILE in the
+    * norm-augmented space — the cluster-aligned sibling of
+    * [[mipsLshTopKPerQuery]]: the Shrivastava–Li augmentation reduces
+    * MIPS to cosine NN, and on clustered corpora an IVF index answers
+    * cosine NN with far higher recall per unit of candidate work than
+    * SRP banding (this corpus: IVF 0.92 vs SRP 0.14 recall on the
+    * cosine side — the gated q_sim_recall numbers; SRP's per-bit
+    * contrast collapses when true neighbors sit at cos ≈ 0.3).
+    * Composition: augment (per [[mipsLshTopKPerQuery]] — broadcast
+    * 1-row max-norm frame, no driver collect), coarse-quantize with
+    * the SAME deterministic seed centroids / assignment / probing as
+    * [[ivfTopKPerQuery]] but in the augmented space, then rank the
+    * probed cells' members by the RAW augmented dot (= the original
+    * inner product; the query's appended coordinate is 0). Self
+    * excluded by id, matching [[mipsTopKPerQuery]].
+    *
+    * Scale shape: candidate work per query = the nProbe/nCells cell
+    * fraction — at 100 TB nCells grows ~√n and the probed fraction
+    * vanishes, while every stage stays one broadcast join + one
+    * equi-join on cell id (the q_sim_ivf scale argument). */
+  def mipsIvfTopKPerQuery(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val m2Row = corpus
+      .agg(max(dot(col(embCol), col(embCol))).as("__m2"))
+    val caug = corpus.crossJoin(broadcast(m2Row))
+      .select(col(idCol),
+        concat(col(embCol).cast(ArrayType(DoubleType)),
+          array(sqrt(col("__m2") - dot(col(embCol), col(embCol)))))
+          .as(embCol))
+    val qaug = queries
+      .select(col(idCol),
+        concat(col(embCol).cast(ArrayType(DoubleType)),
+          array(lit(0.0))).as(embCol))
+    val cent = seedCentroids(caug, idCol, embCol, nCells)
+    val assigned = coarseCells(caug, idCol, embCol, cent, "corpus", 1)
+    val probed = coarseCells(qaug, idCol, embCol, cent, "query", nProbe)
+    val scored = probed.join(assigned, Seq("cid"))
+      .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         dot(col("corpus_emb"), col("query_emb")).as("__ip"))
     val w = Window.partitionBy(col("query_id"))
@@ -339,8 +396,11 @@ object Similarity {
       portable: Boolean,
       excludeSelf: Boolean,
       targetCohort: Int,
-      corpusExtra: Seq[String] = Nil): DataFrame = {
+      corpusExtra: Seq[String] = Nil,
+      probes: Int = 0): DataFrame = {
     require(targetCohort >= 1, s"targetCohort must be >= 1: $targetCohort")
+    require(probes >= 0 && probes <= 1,
+      s"probes supports 0 (exact keys) or 1 (Hamming-1): $probes")
     val floorBits = bits / bands
     val needed = math.ceil(math.log(math.max(1.0,
       corpus.count().toDouble / targetCohort)) / math.log(2.0)).toInt
@@ -361,7 +421,23 @@ object Similarity {
           extra.map(col): _*)
     }
     val c = withBands(corpus, "corpus", corpusExtra)
-    val q = withBands(queries, "query", Nil)
+    // MULTI-PROBE (Lv et al., VLDB 2007, adapted to banded SRP): the
+    // QUERY side also probes every band key at Hamming distance 1 —
+    // a true neighbor that misses a band by exactly one sign bit is
+    // still found, at (1 + bandBits)× the query-side keys and ZERO
+    // extra corpus work (the corpus hashes once; only the bounded
+    // query set explodes further). No new shuffle shape: the same
+    // (band, key) equi-join, distinct() dedups pairs found via
+    // several probes.
+    val q0 = withBands(queries, "query", Nil)
+    val q = if (probes <= 0) q0 else {
+      val flips = array(
+        (0L +: (0 until bandBits).map(1L << _).toList).map(lit(_)): _*)
+      q0.select(col("query_id"), col("query_emb"), col("band"),
+          col("key"), explode(flips).as("__f"))
+        .select(col("query_id"), col("query_emb"), col("band"),
+          col("key").bitwiseXOR(col("__f")).as("key"))
+    }
     val joined = c.join(q, Seq("band", "key"))
     val cand = (if (excludeSelf) joined.filter(col("query_id") =!= col("corpus_id"))
       else joined)
