@@ -1147,6 +1147,41 @@ object Queries {
           round(col("__wg").cast(DoubleType) /
             col("__nt").cast(DoubleType), 6).as("ece"))
     }),
+    "q_quality_spiegelhalter" -> ((s, dir) => {
+      // Spiegelhalter's Z calibration test (Spiegelhalter, Stat. Med.
+      // 1986) on the SAME confidence/outcome pair as q_quality_ece —
+      // the per-doc test ECE's binning can wash out: Z =
+      // Σ(yᵢ−pᵢ)(1−2pᵢ) / √(Σ(1−2pᵢ)²pᵢ(1−pᵢ)). With p = c/600
+      // (c = min(n_chars, 600), integer), both sums are EXACT 64-bit
+      // integers scaled by 600² and 600⁴: numᵢ = (600y−c)(600−2c)
+      // (|·| ≤ 3.6·10⁵), denᵢ = (600−2c)²·c·(600−c) (≤ 3.3·10¹⁰ —
+      // exact to ~2.8·10⁸ docs). The only doubles are the two scale
+      // divisions, one IEEE sqrt, and the final division — literal
+      // order both engines replay. One map-side-combined aggregate,
+      // no shuffle beyond the 1-row fold.
+      val d = Tables.documents(s, dir)
+        .filter(col("n_chars").isNotNull)
+        .select(least(col("n_chars").cast(LongType), lit(600L))
+            .as("__c"),
+          when(TextAnalysis.tokenCount(col("text")) >= 70, 1L)
+            .otherwise(0L).as("__y"))
+      d.select(
+          ((col("__y") * 600L - col("__c")) *
+            (lit(600L) - col("__c") * 2L)).as("__num"),
+          ((lit(600L) - col("__c") * 2L) *
+            (lit(600L) - col("__c") * 2L) * col("__c") *
+            (lit(600L) - col("__c"))).as("__den"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("__num")), lit(0L)).as("sum_num"),
+          coalesce(sum(col("__den")), lit(0L)).as("sum_den"))
+        .select(col("n"), col("sum_num"), col("sum_den"),
+          when(col("sum_den") > 0,
+            round((col("sum_num").cast(DoubleType) / 360000.0) /
+              sqrt(col("sum_den").cast(DoubleType) / 1.296e11), 6))
+            .as("z"))
+        .withColumn("calibrated",
+          when(col("z").isNotNull, abs(col("z")) <= 1.96))
+    }),
     "q_quality_isotonic" -> ((s, dir) => {
       // Isotonic (PAV) calibration of the FREE n_chars score against
       // the token gate: the monotone step function that turns "doc
@@ -1294,6 +1329,39 @@ object Queries {
       // count); the pair explode runs on that single row.
       Stats.corrMatrix(Tables.lineitem(s, dir),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    }),
+    "q_corr_partial" -> ((s, dir) => {
+      // Partial correlation — the confound check q_corr_matrix's raw
+      // pairwise r can't answer: do daily clicks and purchases still
+      // covary once total traffic is controlled for? r_xy·z =
+      // (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)) over the SAME
+      // limb-exact Pearson machinery (corrMatrix at 4-dp scaled
+      // integers); the three 6-dp-emitted r's feed the closed form in
+      // literal IEEE order, one edge round. Control-plane after the
+      // one-scan moment aggregate.
+      val daily = Tables.events(s, dir)
+        .groupBy(dateFmt(col("ts")).as("d"))
+        .agg(sum(when(col("event_type") === "click", 1L)
+            .otherwise(0L)).as("clicks"),
+          sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("purchases"),
+          count(lit(1)).as("total"))
+      val cm = Stats.corrMatrix(daily,
+        Seq("clicks", "purchases", "total"))
+      cm.agg(max(col("n")).as("n"),
+          max(when(col("x") === "clicks" && col("y") === "purchases",
+            col("corr"))).as("r_xy"),
+          max(when(col("x") === "clicks" && col("y") === "total",
+            col("corr"))).as("r_xz"),
+          max(when(col("x") === "purchases" && col("y") === "total",
+            col("corr"))).as("r_yz"))
+        .select(col("n"), col("r_xy"), col("r_xz"), col("r_yz"),
+          when((lit(1.0) - col("r_xz") * col("r_xz")) *
+              (lit(1.0) - col("r_yz") * col("r_yz")) > 0,
+            round((col("r_xy") - col("r_xz") * col("r_yz")) /
+              sqrt((lit(1.0) - col("r_xz") * col("r_xz")) *
+                (lit(1.0) - col("r_yz") * col("r_yz"))), 6))
+            .as("r_partial"))
     }),
     "q_spearman" -> ((s, dir) => {
       // Monotone association immune to the whale rows that dictate a
@@ -1823,6 +1891,39 @@ object Queries {
       // 101-row control frame with 6-dp decimal-fixed logs.
       Stats.hillTailIndex(Tables.documents(s, dir), "n_chars", k = 100)
     }),
+    "q_pareto_front" -> ((s, dir) => {
+      // Multi-objective curation skyline: the documents on the
+      // 2-criteria Pareto front of (length, lexical diversity) — the
+      // non-dominated set a "pick long AND diverse docs" selector
+      // chooses from without committing to a weighting. A doc is
+      // dominated iff some doc is ≥ on both criteria and > on one;
+      // with criteria (a = n_chars, b = 6-dp distinct-token ratio)
+      // the front is: per-a max b, kept iff STRICTLY above every
+      // higher-a group's max (the classic sort + running-max sweep,
+      // here as one distributed per-a groupBy + one window over the
+      // bounded distinct-a frame — boundedSeries-guarded; ~500
+      // distinct lengths, control-plane). Emits one row per front
+      // point with its occupancy and a stable witness id.
+      val docs = Tables.documents(s, dir)
+        .filter(col("n_chars").isNotNull)
+        .select(col("doc_id"), col("n_chars").as("a"),
+          TextAnalysis.tokens(lower(col("text"))).as("__tk"))
+        .filter(size(col("__tk")) > 0)
+        .select(col("doc_id"), col("a"),
+          round(size(array_distinct(col("__tk"))).cast(DoubleType) /
+            size(col("__tk")).cast(DoubleType), 6).as("b"))
+      val pts = docs.groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      val ga = docs.groupBy(col("a")).agg(max(col("b")).as("mb"))
+      val w = Guards.seriesWindow(col("a").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val front = Guards.boundedSeries(ga, "paretoFront length groups")
+        .withColumn("__pm", max(col("mb")).over(w))
+        .filter(col("__pm").isNull || col("mb") > col("__pm"))
+      front.join(pts, front("a") === pts("a") && col("mb") === col("b"))
+        .select(front("a").as("n_chars"), col("mb").as("diversity"),
+          col("n_docs"), col("min_doc"))
+    }),
     "q_benford" -> ((s, dir) => {
       // First-digit law audit of order values — the synthetic-data /
       // truncation smell test. Digit from the integer part's string
@@ -2310,6 +2411,18 @@ object Queries {
         .groupBy(col("harmonic"))
         .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("id_sum"),
           sum(col("n_reached")).as("reach_sum"))
+    }),
+    "q_graph_eccentricity" -> ((s, dir) => {
+      // Sampled-seed bounded-horizon eccentricity over the k-NN
+      // graph: per anchor seed, the farthest hop reached within 3
+      // rounds + the reach count — max over seeds is the standard
+      // sampled lower bound on the graph diameter ("how stretched is
+      // the neighborhood graph"), next to q_graph_bfs's ring census
+      // and q_graph_harmonic's closeness view. Same seed-keyed
+      // frontier fold; exact integer distances, oracle unrolls the
+      // identical min-merge levels.
+      graft.operators.Graph.eccentricitySampled(knnEdges(s, dir),
+        Seq(0L, 1L, 2L, 3L), iters = 3)
     }),
     "q_graph_betweenness" -> ((s, dir) => {
       // Sampled-seed bounded-horizon Brandes betweenness over the
@@ -3459,6 +3572,58 @@ object Queries {
         .select(col("d"),
           (col("__x.s4").cast(DoubleType) / 10000.0).as("rev"))
       Stats.ewmaTrailing(latest, "d", "rev", k = 10)
+    }),
+    "q_stream_cusum" -> ((s, dir) => {
+      // Changepoint location AT INGEST: the q_stream_ewma feeder
+      // (exact 4-dp scaled-integer daily purchase sums in keyed
+      // state) drained into the q_cusum integer-exact max-shift
+      // locator (T_i = n·cum_i − i·total in DECIMAL) — "which day
+      // did the level shift" updated as events land, gating on the
+      // same spine-parameterized oracle as the batch tail (the
+      // f2Oracle shared-def pattern). The drained latest-per-day
+      // sums equal the batch daily aggregate bit for bit, so the
+      // argmax never turns on the file-to-batch split.
+      val name = s"q_stream_cusum_${streamRun.incrementAndGet()}"
+      implicit val sp: SparkSession = s
+      val purchases = graft.streaming.Streams.eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("d"),
+          col("value"))
+      val drained = graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.dailySumState(purchases,
+          col("d"), col("value")).toDF(),
+        name, shufflePartitions = Some(8))
+      val latest = drained.groupBy(col("d"))
+        .agg(max(struct(col("updates"), col("n"), col("s4")))
+          .as("__x"))
+        .select(col("d"),
+          (col("__x.s4").cast(DoubleType) / 10000.0).as("rev"))
+      Stats.cusumMaxShift(latest, "d", "rev")
+    }),
+    "q_stream_mk" -> ((s, dir) => {
+      // Trend significance AT INGEST: the same exact daily-sum drain
+      // through the q_trend_mk Mann–Kendall tail — exact integer S
+      // and tie-corrected variance over the drained series, the
+      // non-parametric "is the stream drifting AT ALL" verdict a
+      // monitor carries between micro-batches. Shared
+      // spine-parameterized oracle with the batch query; the only
+      // doubles are /18, one IEEE sqrt, and the Z division.
+      val name = s"q_stream_mk_${streamRun.incrementAndGet()}"
+      implicit val sp: SparkSession = s
+      val purchases = graft.streaming.Streams.eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("d"),
+          col("value"))
+      val drained = graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.dailySumState(purchases,
+          col("d"), col("value")).toDF(),
+        name, shufflePartitions = Some(8))
+      val latest = drained.groupBy(col("d"))
+        .agg(max(struct(col("updates"), col("n"), col("s4")))
+          .as("__x"))
+        .select(col("d"),
+          (col("__x.s4").cast(DoubleType) / 10000.0).as("rev"))
+      Stats.mannKendall(latest, "d", "rev")
     }),
     "q_stream_holt" -> ((s, dir) => {
       // Forecast state AT INGEST: the q_stream_ewma daily-revenue
@@ -5108,35 +5273,37 @@ object Queries {
       // round.
       val emb = Tables.embeddings(s, dir)
         .select(col("label"),
-          transform(col("embedding"), x => x.cast(DoubleType)).as("e"))
-      // SPLIT-LONG EXACT FOLD: a per-row decimal cast on the 4096-
-      // products-per-row hot path benched 15.7 s at sf0.1 vs 3.3 s
-      // for long sums (Spark's decimal hash-agg is the cost, not the
-      // explode). Products fix at 12 dp as scaled longs (|p| ≤ 1 →
+          col("embedding").cast(ArrayType(DoubleType)).as("e"))
+      // SPLIT-LONG EXACT FOLD, packed into the MmdFold AGGREGATOR
+      // (round 15): products fix at 12 dp as scaled longs (|p| ≤ 1 →
       // |p12| ≤ 10¹²), split hi = p12 div 10⁶ / lo = p12 % 10⁶
       // (truncating div/mod pair — exact identity, both engines), and
-      // the two halves sum as codegen'd longs: |hi|,|lo| ≤ 10⁶ keeps
-      // both sums exact to ~9·10¹² rows PER CELL. The exact decimal
-      // Σp12 = 10⁶·Σhi + Σlo reconstructs once per cell (40k decimal
-      // ops, control-plane).
+      // the halves sum as plain longs exact to ~9·10¹² rows PER CELL.
+      // The r14 shape exploded n·2080 lattice rows through the hash
+      // aggregate (4.4 s at sf0.1; and a per-row DECIMAL fold before
+      // that benched 15.7 s — Spark's decimal hash-agg); the typed
+      // aggregate folds each row's 2080 products in place and
+      // map-side-combines ~50 KB packed states, so the shuffle
+      // carries |labels| rows at ANY corpus size. Values are
+      // bit-identical to the explode fold the oracle replays
+      // (MmdFold scaladoc) — the hash is unchanged.
       // SYMMETRIC HALF: M is symmetric (products commute, so the
-      // (i,j) and (j,i) means are the SAME doubles) — build only the
-      // upper triangle (2080 of 4096 cells) and weight off-diagonal
-      // squared diffs ×2 at the end. Value-identical to the full
-      // lattice, half the explode/fold work.
-      val cells = emb
-        .select(col("label"), posexplode(mmdTri).as(Seq("k", "p")))
-        .select(col("label"), col("k"),
-          round(col("p") * lit(1e12), 0).cast(LongType).as("__p12"))
-        .select(col("label"), col("k"),
-          expr("__p12 div 1000000").as("__hi"),
-          (col("__p12") % 1000000L).as("__lo"))
-        .groupBy(col("label"), col("k"))
-        .agg(sum(col("__hi")).as("__sh"), sum(col("__lo")).as("__sl"),
-          count(lit(1)).as("__n"))
-        .select(col("label"), col("k"), col("__n"),
-          (col("__sh").cast(DecimalType(38, 0)) * 1000000L +
-            col("__sl").cast(DecimalType(38, 0))).as("__s"))
+      // (i,j) and (j,i) means are the SAME doubles) — only the upper
+      // triangle (2080 of 4096 cells) is folded and off-diagonal
+      // squared diffs weight ×2 at the end. The exact decimal
+      // Σp12 = 10⁶·Σhi + Σlo reconstructs once per cell (20k decimal
+      // ops, control-plane).
+      val packed = emb.groupBy(col("label"))
+        .agg(graft.functions.MmdFold.mmdCellsAgg(col("e"), MmdDim)
+          .as("__x"))
+      val cells = packed
+        .select(col("label"), col("__x.n").as("__n"),
+          posexplode(arrays_zip(col("__x.sh").as("sh"),
+            col("__x.sl").as("sl"))).as(Seq("k", "c")))
+        .select(col("label"), col("k").cast(IntegerType).as("k"),
+          col("__n"),
+          (col("c.sh").cast(DecimalType(38, 0)) * 1000000L +
+            col("c.sl").cast(DecimalType(38, 0))).as("__s"))
       mmdFinish(cells)
     }),
     "q_stream_mmd" -> ((s, dir) => {
@@ -5184,6 +5351,86 @@ object Queries {
           (col("c.sh").cast(DecimalType(38, 0)) * 1000000L +
             col("c.sl").cast(DecimalType(38, 0))).as("__s"))
       mmdFinish(cells)
+    }),
+    "q_embedding_cka" -> ((s, dir) => {
+      // Linear CKA between the two HALVES of the embedding
+      // (Kornblith et al., ICML 2019): CKA = ‖C_xy‖²_F /
+      // (‖C_xx‖_F·‖C_yy‖_F) over the centered cross-covariance of
+      // dims 0–31 vs 32–63 — the representation-redundancy gauge
+      // ("do the halves measure the same structure?") that sizes
+      // truncation budgets next to q_embedding_jl's distance audit
+      // and q_embedding_pca's spectrum. ALL second moments come from
+      // ONE mmdTri upper-triangle pass (the 2080 cells partition
+      // exactly into X-block 528 + Y-block 528 + cross 1024); first
+      // moments are one 64-cell pass. Exact split-long folds (the
+      // q_embedding_mmd discipline), 9-dp means, raw-double centering
+      // diff, 12-dp squared cells folded as DECIMAL with the
+      // symmetric ×2 applied in the double domain, one edge round.
+      // Everything after the two linear scans is control-plane
+      // (2080 + 64 rows, broadcast joins).
+      val emb = Tables.embeddings(s, dir)
+        .select(col("embedding").cast(ArrayType(DoubleType)).as("e"))
+      // second moments via the packed MmdFold aggregate (one ~50 KB
+      // map-side-combined state instead of an n·2080-row explode —
+      // the q_embedding_mmd round-15 shape, bit-identical values)
+      val cells = emb
+        .agg(graft.functions.MmdFold.mmdCellsAgg(col("e"), MmdDim)
+          .as("__x"))
+        .select(col("__x.n").as("__n"),
+          posexplode(arrays_zip(col("__x.sh").as("sh"),
+            col("__x.sl").as("sl"))).as(Seq("k", "c")))
+        .select(col("k"), col("__n"),
+          (col("c.sh").cast(DecimalType(38, 0)) * 1000000L +
+            col("c.sl").cast(DecimalType(38, 0))).as("__s"))
+      val mus = emb
+        .select(posexplode(col("e")).as(Seq("i", "x")))
+        .select(col("i"),
+          round(col("x") * lit(1e12), 0).cast(LongType).as("__x12"))
+        .select(col("i"), expr("__x12 div 1000000").as("__hi"),
+          (col("__x12") % 1000000L).as("__lo"))
+        .groupBy(col("i"))
+        .agg(sum(col("__hi")).as("__sh"), sum(col("__lo")).as("__sl"),
+          count(lit(1)).as("__nn"))
+        .select(col("i"),
+          round((col("__sh").cast(DecimalType(38, 0)) * 1000000L +
+              col("__sl").cast(DecimalType(38, 0))).cast(DoubleType) /
+            (col("__nn").cast(DoubleType) * lit(1e12)), 9).as("mu"))
+      import s.implicits._
+      val kmap = (for { i <- 0 until MmdDim; j <- i until MmdDim }
+        yield (i, j)).zipWithIndex
+        .map { case ((i, j), k) => (k, i, j) }.toDF("k", "i", "j")
+      val half = MmdDim / 2
+      val c = cells.join(broadcast(kmap), Seq("k"))
+        .join(broadcast(mus.select(col("i").as("__mi"),
+          col("mu").as("mu_i"))), col("i") === col("__mi"))
+        .join(broadcast(mus.select(col("i").as("__mj"),
+          col("mu").as("mu_j"))), col("j") === col("__mj"))
+        .select(col("i"), col("j"), col("__n"),
+          (round(col("__s").cast(DoubleType) /
+              (col("__n").cast(DoubleType) * lit(1e12)), 9) -
+            col("mu_i") * col("mu_j")).as("__c"))
+      val dbl = when(col("i") === col("j"), lit(1.0)).otherwise(lit(2.0))
+      val sq = c.select(col("__n"),
+        when(col("j") < half, round(col("__c") * col("__c"), 12) * dbl)
+          .cast(DecimalType(38, 12)).as("__qxx"),
+        when(col("i") >= half, round(col("__c") * col("__c"), 12) * dbl)
+          .cast(DecimalType(38, 12)).as("__qyy"),
+        when(col("i") < half && col("j") >= half,
+          round(col("__c") * col("__c"), 12))
+          .cast(DecimalType(38, 12)).as("__qxy"))
+      sq.agg(max(col("__n")).as("n"),
+          coalesce(sum(col("__qxy")), lit(0).cast(DecimalType(38, 12)))
+            .cast(DoubleType).as("__xy"),
+          coalesce(sum(col("__qxx")), lit(0).cast(DecimalType(38, 12)))
+            .cast(DoubleType).as("__xx"),
+          coalesce(sum(col("__qyy")), lit(0).cast(DecimalType(38, 12)))
+            .cast(DoubleType).as("__yy"))
+        .select(col("n"), round(col("__xy"), 6).as("s_xy"),
+          round(col("__xx"), 6).as("s_xx"),
+          round(col("__yy"), 6).as("s_yy"),
+          when(col("__xx") * col("__yy") > 0,
+            round(col("__xy") / sqrt(col("__xx") * col("__yy")), 6))
+            .as("cka"))
     }),
     "q_embedding_jl" -> ((s, dir) => {
       // Johnson–Lindenstrauss distortion audit: project 64 → 16 dims
@@ -7496,38 +7743,7 @@ object Queries {
         |FROM z""".stripMargin,
     // Mann–Kendall replica: same exact-integer S and tie census,
     // /18, IEEE sqrt, continuity-corrected Z, literal 1.96 verdict
-    "q_trend_mk" ->
-      """WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
-        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
-        |    AS DOUBLE), 4) AS rev
-        | FROM orders GROUP BY 1),
-        |idx AS (SELECT CAST(rev AS DECIMAL(18,4)) AS y,
-        |  row_number() OVER (ORDER BY d ASC) AS i FROM daily),
-        |np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx),
-        |s AS (SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1
-        |    WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
-        | FROM idx a JOIN idx b ON b.i > a.i),
-        |tt AS (SELECT COALESCE(CAST(sum(t * (t - 1) * (2 * t + 5))
-        |    AS BIGINT), 0) AS tt
-        | FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM idx
-        |   GROUP BY y)),
-        |v AS (SELECT n AS n_periods, s_stat,
-        |  round(CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE)
-        |    / 18.0, 6) AS var_s
-        | FROM np, s, tt),
-        |z AS (SELECT n_periods, s_stat, var_s,
-        |  CASE WHEN var_s > 0 THEN
-        |    round((CASE WHEN s_stat > 0 THEN
-        |        CAST(s_stat - 1 AS DOUBLE)
-        |      WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
-        |      ELSE 0.0 END) / sqrt(var_s), 6)
-        |  ELSE 0.0 END AS z
-        | FROM v)
-        |SELECT n_periods, s_stat, var_s, z,
-        | CASE WHEN z > 1.96 THEN 'increasing'
-        |      WHEN z < -1.96 THEN 'decreasing'
-        |      ELSE 'none' END AS trend
-        |FROM z""".stripMargin,
+    "q_trend_mk" -> mkOracle(ordersDailyRevSpine),
     // grouped Theil–Sen replica: per-group pair self-join, the same
     // (slope, ia, ib) total order for the slope median, and the
     // residual median against the 6-dp EMITTED slope
@@ -8952,6 +9168,7 @@ object Queries {
          |  END AS reciprocity_ppm
          |FROM j""".stripMargin,
     "q_graph_bfs" -> graphBfsOracle,
+    "q_graph_eccentricity" -> graphEccentricityOracle,
     "q_graph_harmonic" -> graphHarmonicOracle,
     "q_graph_betweenness" -> graphBetweennessOracle,
     "q_graph_clustering" -> graphClusteringOracle,
@@ -9580,6 +9797,10 @@ object Queries {
     // split fold (hi/lo halves, exact decimal reconstruction per
     // cell), 9-dp means, 12-dp squared diffs
     "q_embedding_mmd" -> embeddingMmdOracle,
+    "q_embedding_cka" -> embeddingCkaOracle,
+    "q_corr_partial" -> corrPartialOracle,
+    "q_pareto_front" -> paretoFrontOracle,
+    "q_quality_spiegelhalter" -> spiegelhalterOracle,
     // the streaming twin's drained split-long cells ARE the batch
     // cells (associative integer folds) — one oracle, two trajectories
     "q_stream_mmd" -> embeddingMmdOracle,
@@ -12271,23 +12492,9 @@ object Queries {
     // CUSUM replica: identical daily spine; T_i = n·cum_i − i·total
     // exact in DECIMAL(38,4) (DuckDB's decimal engine is hugeint),
     // argmax on exact decimals, magnitude divides back to double.
-    "q_cusum" ->
-      """WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
-        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
-        |    AS DOUBLE), 4) AS rev
-        | FROM orders GROUP BY 1),
-        |c AS (SELECT d, CAST(rev AS DECIMAL(18,4)) AS x FROM daily),
-        |cum AS (SELECT d,
-        |  CAST(sum(x) OVER (ORDER BY d ASC ROWS BETWEEN UNBOUNDED
-        |    PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS cm,
-        |  row_number() OVER (ORDER BY d ASC) AS i,
-        |  CAST(sum(x) OVER () AS DECIMAL(38,4)) AS tot,
-        |  count(*) OVER () AS n
-        | FROM c),
-        |t AS (SELECT d, n, cm * n - tot * i AS ti FROM cum)
-        |SELECT d AS change_at, CAST(n AS BIGINT) AS n,
-        | round(CAST(abs(ti) AS DOUBLE) / CAST(n AS DOUBLE), 6) AS s_max
-        |FROM t ORDER BY abs(ti) DESC, d ASC LIMIT 1""".stripMargin,
+    "q_cusum" -> cusumOracle(ordersDailyRevSpine),
+    "q_stream_cusum" -> cusumOracle(purchaseDailyRevSpine),
+    "q_stream_mk" -> mkOracle(purchaseDailyRevSpine),
     // Benford replica: digit from the floored integer part's string;
     // expected probabilities are the same 6-dp literals the Spark
     // plan bakes in (Stats.benfordExpected).
@@ -14702,6 +14909,77 @@ object Queries {
        | FROM scored) WHERE rn <= $k""".stripMargin
   }
 
+  /** Daily order-revenue spine — the batch series the trend/change
+    * tails run over (q_cusum, q_trend_mk, …). */
+  private val ordersDailyRevSpine: String =
+    """SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+      |    AS DOUBLE), 4) AS rev
+      | FROM orders GROUP BY 1""".stripMargin
+
+  /** Daily purchase-revenue spine via the exact 4-dp scaled-integer
+    * sum — the SQL replica of the dailySumState drain (the
+    * q_stream_ewma feeder), shared by every streaming series-tail
+    * twin (q_stream_cusum, q_stream_mk; same arithmetic as the
+    * q_stream_ewma/holt/sprt oracles). */
+  private val purchaseDailyRevSpine: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS d,
+      |  CAST(CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS DOUBLE) / 10000.0 AS rev
+      | FROM events WHERE event_type = 'purchase' GROUP BY 1""".stripMargin
+
+  /** CUSUM max-shift replica over any daily spine (q_cusum and its
+    * streaming twin — the f2Oracle spine-parameterization pattern):
+    * exact DECIMAL T_i = n·cum_i − i·total, argmax with day
+    * tiebreak, one 6-dp edge round. */
+  private def cusumOracle(spine: String): String =
+    s"""WITH daily AS ($spine),
+       |c AS (SELECT d, CAST(rev AS DECIMAL(18,4)) AS x FROM daily),
+       |cum AS (SELECT d,
+       |  CAST(sum(x) OVER (ORDER BY d ASC ROWS BETWEEN UNBOUNDED
+       |    PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS cm,
+       |  row_number() OVER (ORDER BY d ASC) AS i,
+       |  CAST(sum(x) OVER () AS DECIMAL(38,4)) AS tot,
+       |  count(*) OVER () AS n
+       | FROM c),
+       |t AS (SELECT d, n, cm * n - tot * i AS ti FROM cum)
+       |SELECT d AS change_at, CAST(n AS BIGINT) AS n,
+       | round(CAST(abs(ti) AS DOUBLE) / CAST(n AS DOUBLE), 6) AS s_max
+       |FROM t ORDER BY abs(ti) DESC, d ASC LIMIT 1""".stripMargin
+
+  /** Mann–Kendall replica over any daily spine (q_trend_mk and its
+    * streaming twin): exact integer S + tie census, /18, IEEE sqrt,
+    * literal 1.96 verdict. */
+  private def mkOracle(spine: String): String =
+    s"""WITH daily AS ($spine),
+       |idx AS (SELECT CAST(rev AS DECIMAL(18,4)) AS y,
+       |  row_number() OVER (ORDER BY d ASC) AS i FROM daily),
+       |np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx),
+       |s AS (SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1
+       |    WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+       | FROM idx a JOIN idx b ON b.i > a.i),
+       |tt AS (SELECT COALESCE(CAST(sum(t * (t - 1) * (2 * t + 5))
+       |    AS BIGINT), 0) AS tt
+       | FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM idx
+       |   GROUP BY y)),
+       |v AS (SELECT n AS n_periods, s_stat,
+       |  round(CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE)
+       |    / 18.0, 6) AS var_s
+       | FROM np, s, tt),
+       |z AS (SELECT n_periods, s_stat, var_s,
+       |  CASE WHEN var_s > 0 THEN
+       |    round((CASE WHEN s_stat > 0 THEN
+       |        CAST(s_stat - 1 AS DOUBLE)
+       |      WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+       |      ELSE 0.0 END) / sqrt(var_s), 6)
+       |  ELSE 0.0 END AS z
+       | FROM v)
+       |SELECT n_periods, s_stat, var_s, z,
+       | CASE WHEN z > 1.96 THEN 'increasing'
+       |      WHEN z < -1.96 THEN 'decreasing'
+       |      ELSE 'none' END AS trend
+       |FROM z""".stripMargin
+
   /** q_sim_mips_recall replica: the exact-MIPS and indexed-MIPS
     * chains replay as derived tables; recall@k is pure integer
     * pair-set arithmetic on top (the [[simRecallOracle]] shape). */
@@ -15091,6 +15369,167 @@ object Queries {
        |FROM d2 GROUP BY label""".stripMargin
   }
 
+  /** q_embedding_cka replica: the [[embeddingMmdOracle]] explode /
+    * split-long cell machinery WITHOUT the label key, a 64-cell
+    * first-moment pass, the 1-based (k → i, j) triangle map as a
+    * row_number over the (i ≤ j) lattice, 9-dp means, raw-double
+    * centering, 12-dp squared cells folded as DECIMAL with the
+    * symmetric ×2 in the double domain, one edge round. */
+  private def embeddingCkaOracle: String = {
+    val dim = 64; val half = dim / 2
+    val triBlocks = (0 until dim).map(i =>
+      s"list_transform(list_slice(v, ${i + 1}, $dim), " +
+        s"x -> v[${i + 1}] * x)").mkString("[", ",\n    ", "]")
+    s"""WITH e0 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+       |fl AS (SELECT flatten(
+       |    $triBlocks) AS f FROM e0),
+       |px AS (SELECT CAST(round(unnest(f) * 1e12, 0) AS BIGINT) AS p12,
+       |  generate_subscripts(f, 1) AS k FROM fl),
+       |cells AS (SELECT k,
+       |  CAST(CAST(sum(p12 // 1000000) AS BIGINT) AS DECIMAL(38,0))
+       |      * 1000000 +
+       |    CAST(CAST(sum(p12 % 1000000) AS BIGINT) AS DECIMAL(38,0))
+       |    AS s,
+       |  CAST(count(*) AS BIGINT) AS n FROM px GROUP BY 1),
+       |xs AS (SELECT CAST(round(unnest(v) * 1e12, 0) AS BIGINT) AS x12,
+       |  generate_subscripts(v, 1) AS i1 FROM e0),
+       |mus AS (SELECT i1 - 1 AS i,
+       |  round(CAST(CAST(CAST(sum(x12 // 1000000) AS BIGINT)
+       |      AS DECIMAL(38,0)) * 1000000 +
+       |    CAST(CAST(sum(x12 % 1000000) AS BIGINT) AS DECIMAL(38,0))
+       |    AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e12), 9) AS mu
+       | FROM xs GROUP BY 1),
+       |km AS (SELECT CAST(row_number() OVER (ORDER BY i, j) AS BIGINT)
+       |    AS k, i, j
+       | FROM (SELECT a.i AS i, b.j AS j
+       |   FROM range($dim) a(i), range($dim) b(j) WHERE b.j >= a.i)),
+       |c AS (SELECT km.i, km.j, cells.n,
+       |  round(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12), 9) -
+       |    mi.mu * mj.mu AS cc
+       | FROM cells JOIN km USING (k)
+       | JOIN mus mi ON mi.i = km.i JOIN mus mj ON mj.i = km.j),
+       |sq AS (SELECT n,
+       |  CASE WHEN j < $half THEN CAST(round(cc * cc, 12) *
+       |    (CASE WHEN i = j THEN 1.0 ELSE 2.0 END)
+       |    AS DECIMAL(38,12)) END AS qxx,
+       |  CASE WHEN i >= $half THEN CAST(round(cc * cc, 12) *
+       |    (CASE WHEN i = j THEN 1.0 ELSE 2.0 END)
+       |    AS DECIMAL(38,12)) END AS qyy,
+       |  CASE WHEN i < $half AND j >= $half THEN
+       |    CAST(round(cc * cc, 12) AS DECIMAL(38,12)) END AS qxy
+       | FROM c),
+       |agg AS (SELECT CAST(max(n) AS BIGINT) AS n,
+       |  CAST(coalesce(sum(qxy), 0) AS DOUBLE) AS xy,
+       |  CAST(coalesce(sum(qxx), 0) AS DOUBLE) AS xx,
+       |  CAST(coalesce(sum(qyy), 0) AS DOUBLE) AS yy FROM sq)
+       |SELECT n, round(xy, 6) AS s_xy, round(xx, 6) AS s_xx,
+       | round(yy, 6) AS s_yy,
+       | CASE WHEN xx * yy > 0 THEN round(xy / sqrt(xx * yy), 6) END
+       |   AS cka
+       |FROM agg""".stripMargin
+  }
+
+  /** q_corr_partial replica: the [[Queries]] corr-matrix limb
+    * machinery over the daily (clicks, purchases, total) spine, the
+    * three 6-dp r's, then the partial-correlation closed form in the
+    * same literal IEEE order as the Spark plan. */
+  private def corrPartialOracle: String = {
+    val cs = Seq("clicks" -> "x", "purchases" -> "y", "total" -> "z")
+    val limb = 1L << 23
+    def tSql(e: String) =
+      s"CAST(CASE WHEN ($e) >= 0 THEN floor(($e) * 1e4 + 0.5) " +
+        s"ELSE -floor(-($e) * 1e4 + 0.5) END AS BIGINT)"
+    def hiSql(t: String) =
+      s"CAST(floor(CAST($t AS DOUBLE) / $limb) AS BIGINT)"
+    val prs = for { i <- cs.indices; j <- cs.indices if i < j }
+      yield (cs(i), cs(j))
+    val momentList =
+      cs.flatMap { case (c, a) =>
+        Seq(s"s_$a" -> c, s"ss_$a" -> s"$c * $c") } ++
+      prs.map { case ((ca, aa), (cb, ab)) => s"sp_$aa$ab" -> s"$ca * $cb" }
+    val pre = momentList.map { case (m, e) => s"${tSql(e)} AS t_$m" }
+    val sums = momentList.map { case (m, _) =>
+      s"CAST(sum(${hiSql(s"t_$m")}) AS BIGINT) AS h_$m,\n  " +
+        s"CAST(sum(t_$m - ${hiSql(s"t_$m")} * $limb) AS BIGINT) AS l_$m" }
+    val vals = momentList.map { case (m, _) =>
+      s"CAST(CAST(h_$m AS HUGEINT) * $limb + l_$m AS DOUBLE) / 1e4 AS $m" }
+    def rOf(aa: String, ab: String) =
+      s"round((nd * sp_$aa$ab - s_$aa * s_$ab) /\n" +
+        s"   sqrt((nd * ss_$aa - s_$aa * s_$aa) *\n" +
+        s"        (nd * ss_$ab - s_$ab * s_$ab)), 6)"
+    s"""WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS d,
+       |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       |    AS DOUBLE) AS clicks,
+       |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |    AS DOUBLE) AS purchases,
+       |  CAST(count(*) AS DOUBLE) AS total
+       | FROM events GROUP BY 1),
+       |pre AS (
+       | SELECT ${pre.mkString(",\n  ")}
+       | FROM daily),
+       |m AS (
+       | SELECT count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
+       |  ${sums.mkString(",\n  ")}
+       | FROM pre),
+       |v AS (SELECT n, nd, ${vals.mkString(",\n  ")} FROM m),
+       |rs AS (SELECT CAST(n AS BIGINT) AS n,
+       |  ${rOf("x", "y")} AS r_xy,
+       |  ${rOf("x", "z")} AS r_xz,
+       |  ${rOf("y", "z")} AS r_yz FROM v)
+       |SELECT n, r_xy, r_xz, r_yz,
+       | CASE WHEN (1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz) > 0 THEN
+       |   round((r_xy - r_xz * r_yz) /
+       |     sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)), 6) END
+       |   AS r_partial
+       |FROM rs""".stripMargin
+  }
+
+  /** q_pareto_front replica: the same per-length max-diversity sweep
+    * — 6-dp distinct-token ratio, per-a groups, the strict running-
+    * max dominance filter over descending length, front points joined
+    * back for occupancy and the min-id witness. */
+  private def paretoFrontOracle: String =
+    s"""WITH t AS (SELECT doc_id, n_chars, $toksSql AS toks
+       | FROM documents WHERE n_chars IS NOT NULL),
+       |b0 AS (SELECT doc_id, n_chars AS a,
+       |  round(CAST(len(list_distinct(toks)) AS DOUBLE) /
+       |    CAST(len(toks) AS DOUBLE), 6) AS b
+       | FROM t WHERE len(toks) > 0),
+       |pts AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_docs,
+       |  min(doc_id) AS min_doc FROM b0 GROUP BY 1, 2),
+       |ga AS (SELECT a, max(b) AS mb FROM b0 GROUP BY 1),
+       |fr AS (SELECT a, mb,
+       |  max(mb) OVER (ORDER BY a DESC ROWS BETWEEN UNBOUNDED
+       |    PRECEDING AND 1 PRECEDING) AS pm FROM ga)
+       |SELECT fr.a AS n_chars, fr.mb AS diversity, pts.n_docs,
+       | pts.min_doc
+       |FROM fr JOIN pts ON pts.a = fr.a AND pts.b = fr.mb
+       |WHERE fr.pm IS NULL OR fr.mb > fr.pm""".stripMargin
+
+  /** q_quality_spiegelhalter replica: the exact 600-scaled integer
+    * sums and the two-division + sqrt z in the Spark plan's literal
+    * order. */
+  private def spiegelhalterOracle: String =
+    """WITH d AS (SELECT least(CAST(n_chars AS BIGINT), 600) AS c,
+      |  CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'),
+      |    x -> len(x) > 0)) >= 70 THEN CAST(1 AS BIGINT)
+      |   ELSE CAST(0 AS BIGINT) END AS y
+      | FROM documents WHERE n_chars IS NOT NULL),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(coalesce(sum((y * 600 - c) * (600 - 2 * c)), 0)
+      |    AS BIGINT) AS sum_num,
+      |  CAST(coalesce(sum((600 - 2 * c) * (600 - 2 * c) * c *
+      |    (600 - c)), 0) AS BIGINT) AS sum_den
+      | FROM d),
+      |zt AS (SELECT n, sum_num, sum_den,
+      |  CASE WHEN sum_den > 0 THEN
+      |    round((CAST(sum_num AS DOUBLE) / 360000.0) /
+      |      sqrt(CAST(sum_den AS DOUBLE) / 129600000000.0), 6) END AS z
+      | FROM t)
+      |SELECT n, sum_num, sum_den, z,
+      | CASE WHEN z IS NOT NULL THEN abs(z) <= 1.96 END AS calibrated
+      |FROM zt""".stripMargin
+
   /** q_embedding_jl replica: the SAME 16×64 plane literals (w/2000
     * from planeWeightPortable, the float-constant portability rule —
     * each Scala double prints into the SQL and parses back to the
@@ -15445,6 +15884,33 @@ object Queries {
        | CAST(sum(node) AS BIGINT) AS id_sum,
        | CAST(sum(n_reached) AS BIGINT) AS reach_sum
        |FROM h GROUP BY 1""".stripMargin
+  }
+
+  /** q_graph_eccentricity replica: the [[graphHarmonicOracle]]
+    * seed-keyed level unroll with the per-seed max-dist/reach tail. */
+  private def graphEccentricityOracle: String = {
+    val levels = (1 to 3).map { i =>
+      val p = i - 1
+      s"""n$i AS (SELECT d$p.seed, bi.v AS node,
+         |  min(d$p.dist + 1) AS dist
+         |  FROM bi JOIN d$p ON bi.u = d$p.node GROUP BY 1, 2),
+         |d$i AS (SELECT seed, node, min(dist) AS dist FROM (
+         |  SELECT seed, node, dist FROM d$p
+         |  UNION ALL SELECT seed, node, dist FROM n$i) GROUP BY 1, 2)"""
+        .stripMargin
+    }.mkString(",\n")
+    val anchors = (0 to 3).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS seed, CAST($k AS BIGINT) AS node," +
+        s" CAST(0 AS BIGINT) AS dist").mkString("\n       UNION ALL ")
+    s"""WITH $knnEdgesCte,
+       |bi AS (SELECT a AS u, b AS v FROM e
+       |       UNION ALL SELECT b AS u, a AS v FROM e),
+       |d0 AS ($anchors),
+       |$levels
+       |SELECT seed, CAST(max(dist) AS BIGINT) AS ecc,
+       | CAST(sum(CASE WHEN dist > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_reached
+       |FROM d3 GROUP BY 1""".stripMargin
   }
 
   /** q_graph_ktruss replica: the three synchronous peels unrolled —

@@ -468,9 +468,33 @@ object Graph {
   def harmonicCentrality(
       edges: DataFrame,
       seeds: Seq[Long],
-      iters: Int): DataFrame = {
+      iters: Int): DataFrame =
+    seedHops(edges, seeds, iters, "harmonicCentrality")
+      .filter(col("dist") > 0L)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_reached"),
+        // 6-dp reciprocal DECIMAL fold internally (order-free
+        // exactness — the pageRank discipline), DOUBLE at the
+        // boundary via the scaled-long division (catalog emit
+        // convention, VERDICT r12)
+        Guards.emitDouble(
+          sum(round(lit(1.0) / col("dist").cast(DoubleType), 6)
+            .cast(DecimalType(18, 6))),
+          6, "harmonicCentrality").as("harmonic"))
+
+  /** Shared seed-keyed synchronous BFS: (seed, node, dist) for every
+    * node reached from each seed within `iters` hops — the
+    * [[bfsHops]] frontier fold KEYED BY SEED (one u-clustered join +
+    * one min-merge per round, eager localCheckpoint generation
+    * management; ≤ seeds·n rows). Backbone of [[harmonicCentrality]]
+    * and [[eccentricitySampled]]. */
+  private def seedHops(
+      edges: DataFrame,
+      seeds: Seq[Long],
+      iters: Int,
+      what: String): DataFrame = {
     require(seeds.nonEmpty && seeds.size <= 64,
-      s"harmonicCentrality needs 1..64 seeds, got ${seeds.size}")
+      s"$what needs 1..64 seeds, got ${seeds.size}")
     require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
     val spark = edges.sparkSession
     import spark.implicits._
@@ -495,18 +519,29 @@ object Graph {
       dist = next
     }
     bi.unpersist(false)
-    dist.filter(col("dist") > 0L)
-      .groupBy(col("node"))
-      .agg(count(lit(1)).as("n_reached"),
-        // 6-dp reciprocal DECIMAL fold internally (order-free
-        // exactness — the pageRank discipline), DOUBLE at the
-        // boundary via the scaled-long division (catalog emit
-        // convention, VERDICT r12)
-        Guards.emitDouble(
-          sum(round(lit(1.0) / col("dist").cast(DoubleType), 6)
-            .cast(DecimalType(18, 6))),
-          6, "harmonicCentrality").as("harmonic"))
+    dist
   }
+
+  /** Sampled-seed bounded-horizon ECCENTRICITY: per seed, the
+    * farthest hop distance reached within `iters` rounds, plus the
+    * reach count — max over seeds is the standard sampled LOWER
+    * bound on the graph diameter (the double-sweep family of bounds;
+    * exact eccentricity is all-pairs BFS, hopeless at corpus scale).
+    * A bounded horizon makes the semantics honest by construction:
+    * ecc caps at `iters`, and `n_reached` says how much of the graph
+    * the bound actually saw. Same [[seedHops]] shape as
+    * [[harmonicCentrality]] — integer distances, no rounding
+    * discipline needed; the oracle unrolls the identical min-merge
+    * levels. */
+  def eccentricitySampled(
+      edges: DataFrame,
+      seeds: Seq[Long],
+      iters: Int): DataFrame =
+    seedHops(edges, seeds, iters, "eccentricitySampled")
+      .groupBy(col("seed"))
+      .agg(max(col("dist")).as("ecc"),
+        coalesce(sum(when(col("dist") > 0L, 1L).otherwise(0L)),
+          lit(0L)).as("n_reached"))
 
   /** Sampled-seed, bounded-horizon betweenness centrality (Brandes
     * 2001 dependency accumulation; Brandes & Pich 2007 for the seed

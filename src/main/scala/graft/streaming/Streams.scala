@@ -1605,30 +1605,10 @@ object Streams {
             (0L, 0L, new Array[Long](cells), new Array[Long](cells)))
           var n = 0L
           while (it.hasNext) {
-            val e = it.next()._2
-            require(e.length == dim,
-              s"mmdCellState: embedding width ${e.length} != $dim")
-            val a = e.toArray
-            var k = 0
-            var i = 0
-            while (i < dim) {
-              val ei = a(i)
-              var j = i
-              while (j < dim) {
-                val p = ei * a(j)
-                val x = p * 1e12
-                val p12 = java.math.BigDecimal.valueOf(x)
-                  .setScale(0, java.math.RoundingMode.HALF_UP)
-                  .longValue()
-                // truncating div/mod pair — the exact identity both
-                // engines share (the splitSumState contract)
-                h(k) += p12 / 1000000L
-                l(k) += p12 % 1000000L
-                k += 1
-                j += 1
-              }
-              i += 1
-            }
+            // shared exact fold with the batch aggregate
+            // (graft.functions.MmdFold — one arithmetic, two shapes)
+            graft.functions.MmdFold.addRow(it.next()._2.toArray, dim,
+              h, l)
             n += 1
           }
           val tot = (pu + 1L, pn + n, h, l)

@@ -493,4 +493,20 @@ class GraphSpec extends SparkSpecBase {
     val (_, r1) = Graph.kTrussWithRounds(stable, k = 4, iters = 20)
     assert(r1 == 1, s"stable truss should exit after 1 round, ran $r1")
   }
+
+  test("eccentricitySampled: path-graph hops cap at the horizon and " +
+      "the reach count says how much each seed saw") {
+    import spark.implicits._
+    // path 0-1-2-3-4-5 plus an isolated edge 10-11: from seed 0 the
+    // true ecc is 5 but the 3-hop horizon caps it at 3 (reach 3);
+    // from seed 2 everything on the path is within 3 hops (ecc 3,
+    // reach 5); seed 10 sees only 11 (ecc 1, reach 1)
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L)).toDF("a", "b")
+    val got = Graph.eccentricitySampled(e, Seq(0L, 2L, 10L), iters = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(0L -> ((3L, 3L)), 2L -> ((3L, 5L)),
+      10L -> ((1L, 1L))), s"got $got")
+  }
 }
