@@ -828,6 +828,39 @@ object Queries {
         Stats.transitionMatrix(Tables.events(s, dir), col("user_id"),
           col("ts"), col("event_id"), col("event_type")))
     }),
+    "q_events_markov_entropy" -> ((s, dir) => {
+      // Entropy RATE of the event chain (Shannon; Cover & Thomas
+      // ch. 4): H = −Σᵢ πᵢ Σⱼ pᵢⱼ ln pᵢⱼ over q_event_transitions'
+      // matrix with q_markov_steady's stationary π — the one-number
+      // "how predictable is a user's next event" that the matrix and
+      // the steady state individually don't give (low H = funnel-like
+      // sessions, high H = random browsing; the session-modeling
+      // budget gauge). One corpus scan builds the matrix; everything
+      // downstream is |types|²-row control-plane. Determinism: pᵢⱼ
+      // are exact integer ppm, π is the 6-dp steady output, each
+      // term rounds at 9 dp and folds as DECIMAL, one edge round.
+      val tr = Stats.transitionMatrix(Tables.events(s, dir),
+          col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .localCheckpoint(true) // bounded |types|² rows, two consumers
+      val pi = Stats.markovSteadyState(tr)
+      val p = col("p_ppm").cast(DoubleType) / lit(1000000.0)
+      val terms = tr.filter(col("p_ppm") > 0)
+        .join(pi.withColumnRenamed("state", "from_state"),
+          Seq("from_state"))
+        .select(round(col("pi") * p * log(p), 9)
+          .cast(DecimalType(28, 9)).as("__t"))
+      val nst = tr.select(col("from_state").as("state"))
+        .union(tr.select(col("to_state").as("state"))).distinct()
+        .agg(count(lit(1)).as("n_states"))
+      val ntr = tr.agg(count(lit(1)).as("n_transitions"))
+      terms
+        .agg(coalesce(sum(col("__t")), lit(0).cast(DecimalType(28, 9)))
+          .cast(DoubleType).as("__s"))
+        .crossJoin(broadcast(nst)).crossJoin(broadcast(ntr))
+        .select(col("n_states"), col("n_transitions"),
+          round(-col("__s"), 6).as("entropy_rate"))
+    }),
     "q_source_overlap" -> ((s, dir) => {
       // Cross-provenance duplication: exact shingle-set Jaccard for
       // every source pair (ppm) — how much of each source is already
@@ -1146,6 +1179,45 @@ object Queries {
           round(col("__gap").cast(DoubleType), 6).as("gap"),
           round(col("__wg").cast(DoubleType) /
             col("__nt").cast(DoubleType), 6).as("ece"))
+    }),
+    "q_quality_hosmer" -> ((s, dir) => {
+      // Hosmer–Lemeshow calibration χ² over the SAME n_chars/token
+      // lattice as q_quality_ece/isotonic/spiegelhalter: per bin,
+      // (O − E)² / (E(1 − E/n)) with O the observed passes and E the
+      // summed confidences — the grouped test between ECE's weighted
+      // gap and Spiegelhalter's per-doc Z. With p = c/600 the term is
+      // the EXACT rational (600k − Σc)²·n / (600·Σc·(600n − Σc)) —
+      // DECIMAL(38,0) integer products (no precision cliff at any
+      // bin size), one double division per bin rounded at 9 dp,
+      // DECIMAL fold, one edge round. Degenerate bins (E = 0 or
+      // E = n) are excluded and counted via n_used.
+      val d0 = DecimalType(38, 0)
+      val b = Tables.documents(s, dir)
+        .select(Stats.binExpr("n_chars", 0.0, 600.0, 10).as("bin"),
+          least(col("n_chars").cast(LongType), lit(600L)).as("__c"),
+          when(TextAnalysis.tokenCount(col("text")) >= 70, 1L)
+            .otherwise(0L).as("__y"))
+        .filter(col("bin").isNotNull)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("__y")), lit(0L)).as("__k"),
+          coalesce(sum(col("__c")), lit(0L)).as("__cs"))
+      val diff = (col("__k") * 600L - col("__cs")).cast(d0)
+      val num = diff * diff * col("n").cast(d0)
+      val den = col("__cs").cast(d0) * lit(600L).cast(d0) *
+        (col("n") * 600L - col("__cs")).cast(d0)
+      b.select(col("bin"),
+          when(den > 0,
+            round(num.cast(DoubleType) / den.cast(DoubleType), 9))
+            .as("__term"))
+        .agg(count(lit(1)).as("n_bins"),
+          coalesce(sum(when(col("__term").isNotNull, 1L)
+            .otherwise(0L)), lit(0L)).as("n_used"),
+          coalesce(sum(col("__term").cast(DecimalType(28, 9))),
+            lit(0).cast(DecimalType(28, 9)))
+            .cast(DoubleType).as("__h"))
+        .select(col("n_bins"), col("n_used"),
+          round(col("__h"), 6).as("hl_stat"))
     }),
     "q_quality_spiegelhalter" -> ((s, dir) => {
       // Spiegelhalter's Z calibration test (Spiegelhalter, Stat. Med.
@@ -3624,6 +3696,33 @@ object Queries {
         .select(col("d"),
           (col("__x.s4").cast(DoubleType) / 10000.0).as("rev"))
       Stats.mannKendall(latest, "d", "rev")
+    }),
+    "q_stream_theilsen" -> ((s, dir) => {
+      // Robust trend AT INGEST: the same exact daily-sum drain
+      // through the q_trend_theilsen estimator — the median-of-pair-
+      // slopes line over the drained series, the outlier-immune
+      // drift slope a monitor carries between micro-batches (one
+      // wild batch day cannot drag it, unlike the OLS/EWMA family).
+      // The pair spine runs over the bounded drained period frame
+      // (maxPeriods-guarded), the medians through the two-phase
+      // distributed rank; shared spine-parameterized oracle with the
+      // batch query.
+      val name = s"q_stream_theilsen_${streamRun.incrementAndGet()}"
+      implicit val sp: SparkSession = s
+      val purchases = graft.streaming.Streams.eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("d"),
+          col("value"))
+      val drained = graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.dailySumState(purchases,
+          col("d"), col("value")).toDF(),
+        name, shufflePartitions = Some(8))
+      val latest = drained.groupBy(col("d"))
+        .agg(max(struct(col("updates"), col("n"), col("s4")))
+          .as("__x"))
+        .select(col("d"),
+          (col("__x.s4").cast(DoubleType) / 10000.0).as("rev"))
+      Stats.theilSenTrend(latest, "d", "rev")
     }),
     "q_stream_holt" -> ((s, dir) => {
       // Forecast state AT INGEST: the q_stream_ewma daily-revenue
@@ -6397,6 +6496,17 @@ object Queries {
       TextAnalysis.vocabGrowth(Tables.documents(s, dir),
         col("doc_id") % 8, col("text"))
     }),
+    "q_token_heaps" -> ((s, dir) => {
+      // Heaps-law exponent over the q_vocab_growth curve: OLS of
+      // ln(cum_types) on ln(cum_tokens) across the 8 ingestion waves
+      // — slope = β in V(N) ≈ K·N^β, the vocabulary-budget planner's
+      // "how fast does vocab grow if we 10× the corpus" number
+      // (intercept = ln K; no exp() — not correctly-rounded across
+      // engines). One corpus token shuffle builds the curve; the fit
+      // is an 8-row control frame through the shared zipfFit OLS.
+      TextAnalysis.heapsFit(TextAnalysis.vocabGrowth(
+        Tables.documents(s, dir), col("doc_id") % 8, col("text")))
+    }),
     "q_vocab_coverage" -> ((s, dir) => {
       // Tokenizer-design curve: corpus-occurrence coverage of the
       // top-V tokens at five candidate vocabulary sizes (the testdata
@@ -7862,38 +7972,8 @@ object Queries {
          |SELECT n_periods, n_pairs, slope, intercept FROM mi, m"""
         .stripMargin
     },
-    "q_trend_theilsen" ->
-      """WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
-        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
-        |    AS DOUBLE), 4) AS rev
-        | FROM orders GROUP BY 1),
-        |idx AS (SELECT row_number() OVER (ORDER BY d ASC) AS i,
-        |  rev AS y FROM daily),
-        |np AS (SELECT count(*) AS p FROM idx),
-        |pr AS (SELECT (b.y - a.y) / CAST(b.i - a.i AS DOUBLE) AS s,
-        |  a.i AS ia, b.i AS ib
-        | FROM idx a JOIN idx b ON b.i > a.i),
-        |r AS (SELECT s,
-        |  row_number() OVER (ORDER BY s ASC, ia ASC, ib ASC) AS rk,
-        |  count(*) OVER () AS n FROM pr),
-        |m AS (SELECT CAST(max(n) AS BIGINT) AS n_pairs,
-        |  round((CAST(sum(CASE WHEN rk = (n + 1) // 2 THEN s END)
-        |      AS DOUBLE) +
-        |    CAST(sum(CASE WHEN rk = (n + 2) // 2 THEN s END)
-        |      AS DOUBLE)) / 2.0, 6) AS slope
-        | FROM r),
-        |resid AS (SELECT i, y - slope * i AS bv FROM idx, m),
-        |rr AS (SELECT bv,
-        |  row_number() OVER (ORDER BY bv ASC, i ASC) AS rk FROM resid),
-        |ri AS (SELECT rr.bv, rr.rk, np.p FROM rr, np),
-        |mi AS (SELECT CAST(max(p) AS BIGINT) AS n_periods,
-        |  round((CAST(sum(CASE WHEN rk = (p + 1) // 2 THEN bv END)
-        |      AS DOUBLE) +
-        |    CAST(sum(CASE WHEN rk = (p + 2) // 2 THEN bv END)
-        |      AS DOUBLE)) / 2.0, 6) AS intercept
-        | FROM ri)
-        |SELECT n_periods, n_pairs, slope, intercept FROM mi, m"""
-        .stripMargin,
+    "q_trend_theilsen" -> theilSenOracle(ordersDailyRevSpine),
+    "q_stream_theilsen" -> theilSenOracle(purchaseDailyRevSpine),
     // Siegel repeated-median replica: inner medians as partitioned
     // windows over the full i≠j pair set, outer median + intercept
     // with the theilsen two-middle arithmetic.
@@ -9801,6 +9881,9 @@ object Queries {
     "q_corr_partial" -> corrPartialOracle,
     "q_pareto_front" -> paretoFrontOracle,
     "q_quality_spiegelhalter" -> spiegelhalterOracle,
+    "q_quality_hosmer" -> hosmerOracle,
+    "q_token_heaps" -> tokenHeapsOracle,
+    "q_events_markov_entropy" -> markovEntropyOracle,
     // the streaming twin's drained split-long cells ARE the batch
     // cells (associative integer folds) — one oracle, two trajectories
     "q_stream_mmd" -> embeddingMmdOracle,
@@ -13089,7 +13172,11 @@ object Queries {
     * 20 unrolled power-iteration steps — uniform start, 9-dp
     * round-then-DECIMAL fold per state, dangling mass leaks, states
     * with no incoming transitions coalesce to 0. */
-  private def markovSteadyOracle: String = {
+  /** The transition-matrix + 20-round power-iteration CTE chain
+    * shared by [[markovSteadyOracle]] and the entropy-rate oracle:
+    * returns (cte prefix text, final π relation name). `tr` and `st`
+    * stay visible for downstream composition. */
+  private def markovSteadyCte: (String, String) = {
     val iters = 20
     val head =
       """WITH s AS (SELECT user_id, event_type,
@@ -13121,9 +13208,36 @@ object Queries {
          |  GROUP BY tr.to_state) n ON n.state = st.state)"""
         .stripMargin
     }.mkString(",\n")
-    s"""$head,
-       |$steps
-       |SELECT state, round(pi, 6) AS pi FROM p$iters""".stripMargin
+    (s"""$head,
+       |$steps""".stripMargin, s"p$iters")
+  }
+
+  private def markovSteadyOracle: String = {
+    val (cte, last) = markovSteadyCte
+    s"""$cte
+       |SELECT state, round(pi, 6) AS pi FROM $last""".stripMargin
+  }
+
+  /** q_events_markov_entropy replica: the shared steady chain, the
+    * 6-dp π, then each pᵢⱼ term in the identical literal order
+    * (π · p · ln p, p = ppm/10⁶), 9-dp DECIMAL fold, one edge
+    * round. */
+  private def markovEntropyOracle: String = {
+    val (cte, last) = markovSteadyCte
+    s"""$cte,
+       |piR AS (SELECT state, round(pi, 6) AS pi FROM $last),
+       |terms AS (SELECT CAST(round(piR.pi *
+       |    (CAST(tr.p_ppm AS DOUBLE) / 1000000.0) *
+       |    ln(CAST(tr.p_ppm AS DOUBLE) / 1000000.0), 9)
+       |   AS DECIMAL(28,9)) AS t
+       |  FROM tr JOIN piR ON tr.from_state = piR.state
+       |  WHERE tr.p_ppm > 0),
+       |agg AS (SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM st) AS n_states,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_transitions,
+       |  CAST(coalesce(sum(t), 0) AS DOUBLE) AS s FROM terms)
+       |SELECT n_states, n_transitions, round(-s, 6) AS entropy_rate
+       |FROM agg""".stripMargin
   }
 
   /** rolling polynomial hash of a string expression */
@@ -14928,6 +15042,41 @@ object Queries {
       |    AS BIGINT) AS DOUBLE) / 10000.0 AS rev
       | FROM events WHERE event_type = 'purchase' GROUP BY 1""".stripMargin
 
+  /** Theil–Sen replica over any daily spine (q_trend_theilsen and
+    * its streaming twin): pairwise slopes over the 1-based period
+    * index (exact integer gaps), doubled-rank median with the total
+    * (s, ia, ib) tie order, intercept median from the 6-dp emitted
+    * slope — the theilSenTrend arithmetic step for step. */
+  private def theilSenOracle(spine: String): String =
+    s"""WITH daily AS ($spine),
+       |idx AS (SELECT row_number() OVER (ORDER BY d ASC) AS i,
+       |  rev AS y FROM daily),
+       |np AS (SELECT count(*) AS p FROM idx),
+       |pr AS (SELECT (b.y - a.y) / CAST(b.i - a.i AS DOUBLE) AS s,
+       |  a.i AS ia, b.i AS ib
+       | FROM idx a JOIN idx b ON b.i > a.i),
+       |r AS (SELECT s,
+       |  row_number() OVER (ORDER BY s ASC, ia ASC, ib ASC) AS rk,
+       |  count(*) OVER () AS n FROM pr),
+       |m AS (SELECT CAST(max(n) AS BIGINT) AS n_pairs,
+       |  round((CAST(sum(CASE WHEN rk = (n + 1) // 2 THEN s END)
+       |      AS DOUBLE) +
+       |    CAST(sum(CASE WHEN rk = (n + 2) // 2 THEN s END)
+       |      AS DOUBLE)) / 2.0, 6) AS slope
+       | FROM r),
+       |resid AS (SELECT i, y - slope * i AS bv FROM idx, m),
+       |rr AS (SELECT bv,
+       |  row_number() OVER (ORDER BY bv ASC, i ASC) AS rk FROM resid),
+       |ri AS (SELECT rr.bv, rr.rk, np.p FROM rr, np),
+       |mi AS (SELECT CAST(max(p) AS BIGINT) AS n_periods,
+       |  round((CAST(sum(CASE WHEN rk = (p + 1) // 2 THEN bv END)
+       |      AS DOUBLE) +
+       |    CAST(sum(CASE WHEN rk = (p + 2) // 2 THEN bv END)
+       |      AS DOUBLE)) / 2.0, 6) AS intercept
+       | FROM ri)
+       |SELECT n_periods, n_pairs, slope, intercept FROM mi, m"""
+      .stripMargin
+
   /** CUSUM max-shift replica over any daily spine (q_cusum and its
     * streaming twin — the f2Oracle spine-parameterization pattern):
     * exact DECIMAL T_i = n·cum_i − i·total, argmax with day
@@ -15483,6 +15632,88 @@ object Queries {
        |   AS r_partial
        |FROM rs""".stripMargin
   }
+
+  /** q_token_heaps replica: the q_vocab_growth curve chain, 6-dp
+    * decimal-fixed logs of both cumulatives, then the shared zipf
+    * OLS closed form (slope/intercept/r² in the identical double op
+    * order) labeled n_waves. */
+  private def tokenHeapsOracle: String =
+    s"""WITH cnt AS (
+       | SELECT doc_id % 8 AS wave, tok, CAST(count(*) AS BIGINT) AS c
+       | FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+       | GROUP BY 1, 2),
+       |pw AS (SELECT wave, CAST(sum(c) AS BIGINT) AS n_tokens
+       |       FROM cnt GROUP BY wave),
+       |fs AS (SELECT wave, CAST(count(*) AS BIGINT) AS n_new_types
+       |       FROM (SELECT tok, min(wave) AS wave FROM cnt GROUP BY tok)
+       |       GROUP BY wave),
+       |g AS (SELECT
+       | CAST(sum(n_tokens) OVER (ORDER BY pw.wave
+       |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       | CAST(sum(COALESCE(n_new_types, 0)) OVER (ORDER BY pw.wave
+       |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+       | FROM pw LEFT JOIN fs ON pw.wave = fs.wave),
+       |pts AS (
+       | SELECT CAST(round(ln(cum_tokens), 6) AS DECIMAL(18,6)) AS x,
+       |        CAST(round(ln(cum_types), 6) AS DECIMAL(18,6)) AS y
+       | FROM g WHERE cum_tokens > 0 AND cum_types > 0),
+       |s AS (
+       | SELECT CAST(count(*) AS BIGINT) AS n_waves,
+       |  sum(x) AS sx, sum(x*x) AS sxx,
+       |  sum(y) AS sy, sum(x*y) AS sxy, sum(y*y) AS syy
+       | FROM pts)
+       |SELECT n_waves,
+       | round((CAST(n_waves AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |  / (CAST(n_waves AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+       | round((CAST(sy AS DOUBLE)
+       |   - (CAST(n_waves AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |     / (CAST(n_waves AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |     * CAST(sx AS DOUBLE)) / CAST(n_waves AS DOUBLE), 6)
+       |   AS intercept,
+       | round((CAST(n_waves AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |  * (CAST(n_waves AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |  / ((CAST(n_waves AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |   * (CAST(n_waves AS DOUBLE) * CAST(syy AS DOUBLE)
+       |   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+       |FROM s""".stripMargin
+
+  /** q_quality_hosmer replica: the exact integer HL term
+    * (600k − Σc)²·n / (600·Σc·(600n − Σc)) per bin via HUGEINT
+    * products, one double division rounded at 9 dp, DECIMAL fold,
+    * edge round — degenerate bins excluded and counted. */
+  private def hosmerOracle: String =
+    """WITH d AS (SELECT
+      |  least(9, greatest(0, CAST(floor(n_chars / 60.0) AS INT)))
+      |    AS bin,
+      |  least(CAST(n_chars AS BIGINT), 600) AS c,
+      |  CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'),
+      |    x -> len(x) > 0)) >= 70 THEN CAST(1 AS BIGINT)
+      |   ELSE CAST(0 AS BIGINT) END AS y
+      | FROM documents WHERE n_chars IS NOT NULL),
+      |b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(coalesce(sum(y), 0) AS BIGINT) AS k,
+      |  CAST(coalesce(sum(c), 0) AS BIGINT) AS cs
+      | FROM d GROUP BY 1),
+      |t AS (SELECT bin,
+      |  CASE WHEN CAST(cs AS HUGEINT) * 600 * (n * 600 - cs) > 0 THEN
+      |    round(CAST(CAST(k * 600 - cs AS HUGEINT) *
+      |        (k * 600 - cs) * n AS DOUBLE) /
+      |      CAST(CAST(cs AS HUGEINT) * 600 * (n * 600 - cs)
+      |        AS DOUBLE), 9) END AS term
+      | FROM b)
+      |SELECT CAST(count(*) AS BIGINT) AS n_bins,
+      | CAST(coalesce(sum(CASE WHEN term IS NOT NULL THEN 1 ELSE 0
+      |   END), 0) AS BIGINT) AS n_used,
+      | round(CAST(coalesce(sum(CAST(term AS DECIMAL(28,9))),
+      |   0) AS DOUBLE), 6) AS hl_stat
+      |FROM t""".stripMargin
 
   /** q_pareto_front replica: the same per-length max-diversity sweep
     * — 6-dp distinct-token ratio, per-a groups, the strict running-

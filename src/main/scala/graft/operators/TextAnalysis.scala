@@ -1345,24 +1345,52 @@ object TextAnalysis {
     val dec = (c: Column) =>
       round(log(c.cast(DoubleType)), 6).cast(DecimalType(18, 6))
     val pts = ranked.select(dec(col("__r")).as("__x"), dec(col("__c")).as("__y"))
-    val agg = pts.agg(count(lit(1)).as("n_ranks"),
+    logLogOls(pts, "n_ranks")
+  }
+
+  /** Shared log-log OLS finale over a (__x, __y) DECIMAL(18,6) point
+    * frame: exact decimal moment sums, then the slope / intercept /
+    * r² closed form in a fixed double op order — the [[zipfFit]]
+    * arithmetic, reused by [[heapsFit]]. `nName` labels the point
+    * count in the output. */
+  private def logLogOls(pts: DataFrame, nName: String): DataFrame = {
+    val agg = pts.agg(count(lit(1)).as(nName),
       sum(col("__x")).as("__sx"),
       sum(col("__x") * col("__x")).as("__sxx"),
       sum(col("__y")).as("__sy"),
       sum(col("__x") * col("__y")).as("__sxy"),
       sum(col("__y") * col("__y")).as("__syy"))
-    val nD = col("n_ranks").cast(DoubleType)
+    val nD = col(nName).cast(DoubleType)
     val sx = col("__sx").cast(DoubleType)
     val sy = col("__sy").cast(DoubleType)
     val num = nD * col("__sxy").cast(DoubleType) - sx * sy
     val den = nD * col("__sxx").cast(DoubleType) - sx * sx
     val denY = nD * col("__syy").cast(DoubleType) - sy * sy
-    agg.select(col("n_ranks"),
+    agg.select(col(nName),
       when(den =!= 0.0, round(num / den, 6)).as("slope"),
       when(den =!= 0.0,
         round((sy - num / den * sx) / nD, 6)).as("intercept"),
       when(den =!= 0.0 && denY =!= 0.0,
         round(num * num / (den * denY), 6)).as("r2"))
+  }
+
+  /** Heaps-law exponent fit: OLS of ln(cum_types) on ln(cum_tokens)
+    * over a [[vocabGrowth]] curve — V(N) ≈ K·N^β, so the slope IS β
+    * (healthy natural text sits near 0.4–0.6; β → 0 means new waves
+    * re-crawl known vocabulary, β → 1 means near-random token soup).
+    * The vocabulary-budget planner's one-number answer to "how fast
+    * does vocab grow if we 10× the corpus". Intercept = ln K (emitted
+    * as-is — no exp(), which is not correctly-rounded across
+    * engines). Waves with a zero cumulative are excluded (ln
+    * undefined); the fit runs on the |waves|-row control frame. */
+  def heapsFit(growth: DataFrame): DataFrame = {
+    val dec = (c: Column) =>
+      round(log(c.cast(DoubleType)), 6).cast(DecimalType(18, 6))
+    val pts = growth
+      .filter(col("cum_tokens") > 0 && col("cum_types") > 0)
+      .select(dec(col("cum_tokens")).as("__x"),
+        dec(col("cum_types")).as("__y"))
+    logLogOls(pts, "n_waves")
   }
 
   /** Heaps-law vocabulary-growth table: per ingestion wave (shard,
