@@ -3697,6 +3697,86 @@ object Queries {
           (col("__x.s4").cast(DoubleType) / 10000.0).as("rev"))
       Stats.mannKendall(latest, "d", "rev")
     }),
+    "q_stream_pareto" -> ((s, dir) => {
+      // Curation skyline AT INGEST — incremental Pareto-front
+      // maintenance: as documents arrive, each length's best
+      // diversity cell updates in keyed state (argmax semigroup —
+      // split-independent), and the drained bounded per-length frame
+      // runs the SAME strict running-max dominance sweep as
+      // q_pareto_front, gating on the IDENTICAL oracle. The "keep
+      // the non-dominated candidates current as the crawl lands"
+      // topology; state is one 4-long cell per distinct length,
+      // keyed by length (no global-front bottleneck).
+      val name = s"q_stream_pareto_${streamRun.incrementAndGet()}"
+      implicit val sp: SparkSession = s
+      val docs = graft.streaming.Streams.docsStream(s, dir)
+        .filter(col("n_chars").isNotNull)
+        .select(col("doc_id"), col("n_chars"),
+          TextAnalysis.tokens(lower(col("text"))).as("__tk"))
+        .filter(size(col("__tk")) > 0)
+        .select(col("doc_id"), col("n_chars"),
+          round(size(array_distinct(col("__tk"))).cast(DoubleType) /
+            size(col("__tk")).cast(DoubleType), 6).as("__b"))
+      val drained = graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.frontMaxState(docs, col("n_chars"),
+          col("__b"), col("doc_id")).toDF(),
+        name, shufflePartitions = Some(8))
+      val ga = drained.groupBy(col("a"))
+        .agg(max(struct(col("updates"), col("b"), col("n"),
+          col("min_id"))).as("__x"))
+        .select(col("a"), col("__x.b").as("mb"),
+          col("__x.n").as("n_docs"), col("__x.min_id").as("min_doc"))
+      val w = Guards.seriesWindow(col("a").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Guards.boundedSeries(ga, "streamPareto length groups")
+        .withColumn("__pm", max(col("mb")).over(w))
+        .filter(col("__pm").isNull || col("mb") > col("__pm"))
+        .select(col("a").as("n_chars"), col("mb").as("diversity"),
+          col("n_docs"), col("min_doc"))
+    }),
+    "q_stream_spiegelhalter" -> ((s, dir) => {
+      // Calibration monitoring AT INGEST: the q_quality_spiegelhalter
+      // exact 600-scaled integer sums as a streaming GLOBAL AGGREGATE
+      // — the third streaming state shape in the catalog (built-in
+      // partial-aggregated streaming agg: one state row, map-side
+      // combine per micro-batch; vs flatMapGroupsWithState keyed
+      // state and foreachBatch). The running Z a quality gate reads
+      // between batches; sums are associative integers, so the
+      // drained state equals the batch aggregate and gates on the
+      // IDENTICAL oracle.
+      val name =
+        s"q_stream_spiegelhalter_${streamRun.incrementAndGet()}"
+      implicit val sp: SparkSession = s
+      val d = graft.streaming.Streams.docsStream(s, dir)
+        .filter(col("n_chars").isNotNull)
+        .select(least(col("n_chars").cast(LongType), lit(600L))
+            .as("__c"),
+          when(TextAnalysis.tokenCount(col("text")) >= 70, 1L)
+            .otherwise(0L).as("__y"))
+        .select(
+          ((col("__y") * 600L - col("__c")) *
+            (lit(600L) - col("__c") * 2L)).as("__num"),
+          ((lit(600L) - col("__c") * 2L) *
+            (lit(600L) - col("__c") * 2L) * col("__c") *
+            (lit(600L) - col("__c"))).as("__den"))
+      val agg = d.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("__num")), lit(0L)).as("sum_num"),
+        coalesce(sum(col("__den")), lit(0L)).as("sum_den"))
+      val drained = graft.streaming.Streams.runAvailableNow(
+        agg, name, shufflePartitions = Some(8))
+      drained
+        .agg(max(struct(col("n"), col("sum_num"), col("sum_den")))
+          .as("__x"))
+        .select(col("__x.n").as("n"), col("__x.sum_num").as("sum_num"),
+          col("__x.sum_den").as("sum_den"))
+        .select(col("n"), col("sum_num"), col("sum_den"),
+          when(col("sum_den") > 0,
+            round((col("sum_num").cast(DoubleType) / 360000.0) /
+              sqrt(col("sum_den").cast(DoubleType) / 1.296e11), 6))
+            .as("z"))
+        .withColumn("calibrated",
+          when(col("z").isNotNull, abs(col("z")) <= 1.96))
+    }),
     "q_stream_theilsen" -> ((s, dir) => {
       // Robust trend AT INGEST: the same exact daily-sum drain
       // through the q_trend_theilsen estimator — the median-of-pair-
@@ -9880,7 +9960,9 @@ object Queries {
     "q_embedding_cka" -> embeddingCkaOracle,
     "q_corr_partial" -> corrPartialOracle,
     "q_pareto_front" -> paretoFrontOracle,
+    "q_stream_pareto" -> paretoFrontOracle,
     "q_quality_spiegelhalter" -> spiegelhalterOracle,
+    "q_stream_spiegelhalter" -> spiegelhalterOracle,
     "q_quality_hosmer" -> hosmerOracle,
     "q_token_heaps" -> tokenHeapsOracle,
     "q_events_markov_entropy" -> markovEntropyOracle,

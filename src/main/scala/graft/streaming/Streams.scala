@@ -1620,6 +1620,50 @@ object Streams {
       }
   }
 
+  /** Per-key ARGMAX-with-stats: the current maximum `b` seen for the
+    * key plus the occupancy and min-id witness of that maximum. */
+  final case class FrontMax(
+      a: Long, updates: Long, b: Double, n: Long, min_id: Long)
+
+  /** Streaming per-key argmax state — the incremental form of the
+    * batch "per-a max-b cell with count and min-id witness" aggregate
+    * (q_pareto_front's pts/ga join): a strictly larger `b` replaces
+    * the cell (count restarts at 1), an equal `b` accumulates count
+    * and min-id. (max, count-of-argmax, min-witness) is a semigroup,
+    * so the drained state is independent of the file-to-batch split;
+    * `b` must be a deterministic per-row value (the 6-dp rounded
+    * ratio here — equal doubles compare exactly). Keyed by `a`
+    * (distributed; no global-front bottleneck): the front sweep
+    * itself runs batch-side on the drained bounded per-a frame. */
+  def frontMaxState(
+      rows: DataFrame,
+      aCol: Column,
+      bCol: Column,
+      idCol: Column)(
+      implicit spark: SparkSession): Dataset[FrontMax] = {
+    import spark.implicits._
+    rows
+      .select(aCol.cast(LongType).as("__a"),
+        bCol.cast(DoubleType).as("__b"),
+        idCol.cast(LongType).as("__i"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (a: Long, it: Iterator[(Long, Double, Long)],
+         state: GroupState[(Long, Double, Long, Long)]) =>
+          var (pu, b, n, mi) = state.getOption.getOrElse(
+            (0L, Double.NegativeInfinity, 0L, Long.MaxValue))
+          while (it.hasNext) {
+            val (_, vb, vi) = it.next()
+            if (vb > b) { b = vb; n = 1L; mi = vi }
+            else if (vb == b) { n += 1L; mi = math.min(mi, vi) }
+          }
+          state.update((pu + 1L, b, n, mi))
+          Iterator(FrontMax(a, pu + 1L, b, n, mi))
+      }
+  }
+
   final case class DaySum(d: String, updates: Long, n: Long, s4: Long)
 
   /** Per-day EXACT value accumulation across micro-batches — the

@@ -82,7 +82,8 @@ object ScaleProbe {
     "q_sim_mips_ivf", "q_embedding_cka", "q_stream_cusum",
     "q_stream_mk", "q_graph_eccentricity", "q_pareto_front",
     "q_corr_partial", "q_quality_spiegelhalter",
-    "q_events_markov_entropy", "q_token_heaps")
+    "q_events_markov_entropy", "q_token_heaps", "q_stream_pareto",
+    "q_stream_spiegelhalter")
 
   private val Shift = 100000000000L // 10^11: far above any base key
 
