@@ -5272,6 +5272,32 @@ object Queries {
             "embedding", k = 10, nCells = 16, nProbe = 4),
           "mips_ivf"))
     }),
+    "q_sim_mips_cost" -> ((s, dir) => {
+      // The OTHER half of the index audit: candidate WORK per method
+      // as a gated artifact (q_sim_mips_recall gates what the indexes
+      // find; this gates what they pay) — distinct candidate pairs
+      // vs the brute-force n_q·(n_c−1), in exact integer ppm. The
+      // number PLANS.md used to carry as a hand measurement (47% /
+      // 24% at the gate) is now driver-verified every round; at
+      // scale the LSH fraction falls as n^-0.25 under the adaptive
+      // band width and the IVF fraction as nProbe/nCells.
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 5)
+      val denom = emb.agg(
+        (sum(when(col("vec_id") < 5, 1L).otherwise(0L)) *
+          (count(lit(1)) - 1L)).as("n_total"))
+      def row(method: String, cand: DataFrame): DataFrame =
+        cand.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(broadcast(denom))
+          .select(lit(method).as("method"), col("n_candidates"),
+            col("n_total"),
+            expr("n_candidates * 1000000 div n_total").as("work_ppm"))
+      row("mips_lsh", Similarity.mipsLshCandidatePairs(emb, q,
+          "vec_id", "embedding", bits = 36, bands = 6,
+          portable = true, probes = 1))
+        .unionAll(row("mips_ivf", Similarity.mipsIvfCandidatePairs(
+          emb, q, "vec_id", "embedding", nCells = 16, nProbe = 4)))
+    }),
     "q_sim_ivfpq" -> ((s, dir) => {
       // IVF-PQ, the production serving composition: coarse cells
       // generate candidates, 8-byte ADC codes rank them — a query
@@ -9848,6 +9874,7 @@ object Queries {
     "q_sim_mips_lsh" -> simMipsLshOracle,
     "q_sim_mips_ivf" -> simMipsIvfOracle,
     "q_sim_mips_recall" -> simMipsRecallOracle,
+    "q_sim_mips_cost" -> simMipsCostOracle,
     "q_sim_pq" -> simPqOracle,
     "q_sim_ivfpq" -> simIvfPqOracle,
     "q_sim_dim_budget" -> simDimBudgetOracle,
@@ -15013,7 +15040,10 @@ object Queries {
     * 16·2⁶ rows) so a future larger gate corpus fails LOUDLY instead
     * of hash-diverging from the scale-adaptive Spark band width
     * (ADVICE r13). */
-  private def simMipsLshOracle: String = {
+  /** The multi-probe SRP-MIPS candidate chain as a CTE prefix ending
+    * at `cand` (qa/ca stay visible) — shared by the top-k replica
+    * and the candidate-work audit. */
+  private def simMipsLshCandCtes: String = {
     val dim = 65; val bits = 36; val bands = 6; val bandBits = 6
     def planeList(p: Int): String =
       (0 until dim).map(d =>
@@ -15026,7 +15056,7 @@ object Queries {
     val bandKeys = (0 until bands).map(b =>
       s"SELECT $b AS band, (sig >> ${b * bandBits}) & " +
         s"${(1 << bandBits) - 1} AS key")
-    s"""WITH q0 AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe0
+    s"""q0 AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe0
        |            FROM embeddings WHERE vec_id < 5),
        |c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce0
        |       FROM embeddings),
@@ -15052,7 +15082,11 @@ object Queries {
        |  LATERAL (${bandKeys.mkString(" UNION ALL ")})),
        |cand AS (SELECT DISTINCT qid, cid FROM qb
        |  JOIN cb ON qb.band = cb.band AND qb.key = cb.key
-       |  WHERE qid <> cid),
+       |  WHERE qid <> cid)""".stripMargin
+  }
+
+  private def simMipsLshOracle: String =
+    s"""WITH $simMipsLshCandCtes,
        |scored AS (SELECT qid, cid, list_dot_product(ce, qe) AS ip
        |  FROM cand JOIN qa USING (qid) JOIN ca USING (cid))
        |SELECT query_id, corpus_id, CAST(rn AS INT) AS rank,
@@ -15061,16 +15095,18 @@ object Queries {
        |  row_number() OVER (PARTITION BY qid
        |    ORDER BY ip DESC, cid ASC) AS rn
        | FROM scored) WHERE rn <= 10""".stripMargin
-  }
 
   /** q_sim_mips_ivf replica: the norm-augmented corpus/queries (the
     * [[simMipsLshOracle]] ca/qa CTEs) through the [[simIvfOracle]]
     * coarse-quantization chain — 16 lowest-id AUGMENTED centroids,
     * nearest-cell assignment by augmented cosine (ties to lower cid),
     * 4-cell probing, raw-inner-product ranking, self excluded. */
-  private def simMipsIvfOracle: String = {
-    val nCells = 16; val nProbe = 4; val k = 10
-    s"""WITH q0 AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe0
+  /** The IVF-MIPS coarse-quantization chain as a CTE prefix ending at
+    * asg/qp — shared by the top-k replica and the candidate-work
+    * audit. */
+  private def simMipsIvfCandCtes: String = {
+    val nCells = 16; val nProbe = 4
+    s"""q0 AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe0
        |            FROM embeddings WHERE vec_id < 5),
        |c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce0
        |       FROM embeddings),
@@ -15092,7 +15128,12 @@ object Queries {
        |   row_number() OVER (PARTITION BY qa.qid
        |     ORDER BY ${cosSql("qa.v", "cent.cv")} DESC, cent.ccid ASC)
        |     AS rn
-       |  FROM qa CROSS JOIN cent) WHERE rn <= $nProbe),
+       |  FROM qa CROSS JOIN cent) WHERE rn <= $nProbe)""".stripMargin
+  }
+
+  private def simMipsIvfOracle: String = {
+    val k = 10
+    s"""WITH $simMipsIvfCandCtes,
        |scored AS (SELECT qp.qid AS query_id, asg.cid AS corpus_id,
        |  list_dot_product(asg.v, qp.v) AS ip
        | FROM qp JOIN asg ON qp.ccid = asg.ccid
@@ -15104,6 +15145,28 @@ object Queries {
        |    ORDER BY ip DESC, corpus_id ASC) AS rn
        | FROM scored) WHERE rn <= $k""".stripMargin
   }
+
+  /** q_sim_mips_cost replica: the two candidate chains as derived
+    * tables, counted; the denominator is the brute-force pair count
+    * n_q·(n_c − 1); work_ppm by exact BIGINT floor division. */
+  private def simMipsCostOracle: String =
+    s"""WITH denom AS (SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+       |    WHERE vec_id < 5) *
+       |  ((SELECT CAST(count(*) AS BIGINT) FROM embeddings) - 1)
+       |    AS n_total),
+       |cnts AS (
+       | SELECT 'mips_lsh' AS method, (SELECT CAST(count(*) AS BIGINT)
+       |   FROM (WITH $simMipsLshCandCtes
+       |     SELECT qid, cid FROM cand)) AS n_candidates
+       | UNION ALL
+       | SELECT 'mips_ivf', (SELECT CAST(count(*) AS BIGINT)
+       |   FROM (WITH $simMipsIvfCandCtes
+       |     SELECT qp.qid, asg.cid FROM qp JOIN asg
+       |      ON qp.ccid = asg.ccid WHERE qp.qid <> asg.cid)))
+       |SELECT method, n_candidates, n_total,
+       | n_candidates * 1000000 // n_total AS work_ppm
+       |FROM cnts, denom""".stripMargin
 
   /** Daily order-revenue spine — the batch series the trend/change
     * tails run over (q_cusum, q_trend_mk, …). */

@@ -138,6 +138,49 @@ object Similarity {
     * portable plane signatures (now over dim+1 coordinates) match.
     * The max rides in as a broadcast 1-row frame — no driver collect.
     * Self-pairs excluded by id, matching the exact oracle. */
+  /** The Shrivastava–Li norm augmentation shared by every MIPS index:
+    * corpus vectors append √(M² − ‖c‖²) (M² riding as a broadcast
+    * 1-row frame — no driver collect), queries append 0. */
+  private def mipsAugmented(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String): (DataFrame, DataFrame) = {
+    val m2Row = corpus
+      .agg(max(dot(col(embCol), col(embCol))).as("__m2"))
+    val caug = corpus.crossJoin(broadcast(m2Row))
+      .select(col(idCol),
+        concat(col(embCol).cast(ArrayType(DoubleType)),
+          array(sqrt(col("__m2") - dot(col(embCol), col(embCol)))))
+          .as(embCol))
+    val qaug = queries
+      .select(col(idCol),
+        concat(col(embCol).cast(ArrayType(DoubleType)),
+          array(lit(0.0))).as(embCol))
+    (caug, qaug)
+  }
+
+  /** The banded-SRP MIPS index's DISTINCT candidate pair set
+    * (query_id, corpus_id) — the frame whose size IS the index's
+    * candidate work ([[mipsLshTopKPerQuery]] ranks exactly these). */
+  def mipsLshCandidatePairs(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      bits: Int = 32,
+      bands: Int = 4,
+      seed: Int = 42,
+      portable: Boolean = false,
+      targetCohort: Int = 16,
+      probes: Int = 0): DataFrame = {
+    val (caug, qaug) = mipsAugmented(corpus, queries, idCol, embCol)
+    lshScoredCandidates(caug, qaug, idCol, embCol,
+      bits, bands, seed, portable, excludeSelf = true, targetCohort,
+      probes = probes)
+      .select(col("query_id"), col("corpus_id"))
+  }
+
   def mipsLshTopKPerQuery(
       corpus: DataFrame,
       queries: DataFrame,
@@ -151,17 +194,7 @@ object Similarity {
       targetCohort: Int = 16,
       probes: Int = 0): DataFrame = {
     require(k >= 1, s"k must be positive: $k")
-    val m2Row = corpus
-      .agg(max(dot(col(embCol), col(embCol))).as("__m2"))
-    val caug = corpus.crossJoin(broadcast(m2Row))
-      .select(col(idCol),
-        concat(col(embCol).cast(ArrayType(DoubleType)),
-          array(sqrt(col("__m2") - dot(col(embCol), col(embCol)))))
-          .as(embCol))
-    val qaug = queries
-      .select(col(idCol),
-        concat(col(embCol).cast(ArrayType(DoubleType)),
-          array(lit(0.0))).as(embCol))
+    val (caug, qaug) = mipsAugmented(corpus, queries, idCol, embCol)
     val scored = lshScoredCandidates(caug, qaug, idCol, embCol,
       bits, bands, seed, portable, excludeSelf = true, targetCohort,
       probes = probes)
@@ -195,6 +228,25 @@ object Similarity {
     * fraction — at 100 TB nCells grows ~√n and the probed fraction
     * vanishes, while every stage stays one broadcast join + one
     * equi-join on cell id (the q_sim_ivf scale argument). */
+  /** The IVF-MIPS index's candidate pair set — each corpus vector
+    * lives in exactly one cell, so the probed join is distinct by
+    * construction ([[mipsIvfTopKPerQuery]] ranks exactly these). */
+  def mipsIvfCandidatePairs(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      nCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val (caug, qaug) = mipsAugmented(corpus, queries, idCol, embCol)
+    val cent = seedCentroids(caug, idCol, embCol, nCells)
+    val assigned = coarseCells(caug, idCol, embCol, cent, "corpus", 1)
+    val probed = coarseCells(qaug, idCol, embCol, cent, "query", nProbe)
+    probed.join(assigned, Seq("cid"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"))
+  }
+
   def mipsIvfTopKPerQuery(
       corpus: DataFrame,
       queries: DataFrame,
@@ -204,17 +256,7 @@ object Similarity {
       nCells: Int = 16,
       nProbe: Int = 4): DataFrame = {
     require(k >= 1, s"k must be positive: $k")
-    val m2Row = corpus
-      .agg(max(dot(col(embCol), col(embCol))).as("__m2"))
-    val caug = corpus.crossJoin(broadcast(m2Row))
-      .select(col(idCol),
-        concat(col(embCol).cast(ArrayType(DoubleType)),
-          array(sqrt(col("__m2") - dot(col(embCol), col(embCol)))))
-          .as(embCol))
-    val qaug = queries
-      .select(col(idCol),
-        concat(col(embCol).cast(ArrayType(DoubleType)),
-          array(lit(0.0))).as(embCol))
+    val (caug, qaug) = mipsAugmented(corpus, queries, idCol, embCol)
     val cent = seedCentroids(caug, idCol, embCol, nCells)
     val assigned = coarseCells(caug, idCol, embCol, cent, "corpus", 1)
     val probed = coarseCells(qaug, idCol, embCol, cent, "query", nProbe)
