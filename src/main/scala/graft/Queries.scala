@@ -273,6 +273,34 @@ object Queries {
         round(sum(col("__d2")).cast(DoubleType), 6).as("mmd2"))
   }
 
+  /** Shared Hosmer–Lemeshow finish over a per-bin (bin, n, __k, __cs)
+    * frame: the exact rational term (600k − Σc)²·n /
+    * (600·Σc·(600n − Σc)) in DECIMAL(38,0) products, one double
+    * division per bin rounded at 9 dp, DECIMAL fold, edge round —
+    * one definition for q_quality_hosmer and its streaming twin (the
+    * drained grouped-aggregate state equals the batch bin aggregate,
+    * so both gate on the same oracle). Degenerate bins (E = 0 or
+    * E = n) excluded and counted. */
+  private def hosmerTail(b: DataFrame): DataFrame = {
+    val d0 = DecimalType(38, 0)
+    val diff = (col("__k") * 600L - col("__cs")).cast(d0)
+    val num = diff * diff * col("n").cast(d0)
+    val den = col("__cs").cast(d0) * lit(600L).cast(d0) *
+      (col("n") * 600L - col("__cs")).cast(d0)
+    b.select(col("bin"),
+        when(den > 0,
+          round(num.cast(DoubleType) / den.cast(DoubleType), 9))
+          .as("__term"))
+      .agg(count(lit(1)).as("n_bins"),
+        coalesce(sum(when(col("__term").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_used"),
+        coalesce(sum(col("__term").cast(DecimalType(28, 9))),
+          lit(0).cast(DecimalType(28, 9)))
+          .cast(DoubleType).as("__h"))
+      .select(col("n_bins"), col("n_used"),
+        round(col("__h"), 6).as("hl_stat"))
+  }
+
   /** Session-shared label-propagation labels over [[knnEdges]]
     * (3 deterministic rounds): q_graph_communities reports the
     * censuses, q_graph_modularity scores the SAME partition — one
@@ -1191,8 +1219,7 @@ object Queries {
       // bin size), one double division per bin rounded at 9 dp,
       // DECIMAL fold, one edge round. Degenerate bins (E = 0 or
       // E = n) are excluded and counted via n_used.
-      val d0 = DecimalType(38, 0)
-      val b = Tables.documents(s, dir)
+      hosmerTail(Tables.documents(s, dir)
         .select(Stats.binExpr("n_chars", 0.0, 600.0, 10).as("bin"),
           least(col("n_chars").cast(LongType), lit(600L)).as("__c"),
           when(TextAnalysis.tokenCount(col("text")) >= 70, 1L)
@@ -1201,23 +1228,37 @@ object Queries {
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n"),
           coalesce(sum(col("__y")), lit(0L)).as("__k"),
+          coalesce(sum(col("__c")), lit(0L)).as("__cs")))
+    }),
+    "q_stream_hosmer" -> ((s, dir) => {
+      // Grouped-calibration monitoring AT INGEST: the
+      // Hosmer–Lemeshow per-bin (n, passes, Σconfidence) sums as a
+      // streaming GROUPED aggregate (built-in partial-agg state, one
+      // row per bin — the q_stream_spiegelhalter shape keyed by the
+      // calibration lattice), drained into the SAME exact-rational
+      // HL tail and gating on the IDENTICAL oracle. Closes the
+      // calibration-family twins: isotonic, PH, Spiegelhalter,
+      // Hosmer–Lemeshow all have ingest forms; ECE/Brier remain the
+      // documented batch-only scores.
+      val name = s"q_stream_hosmer_${streamRun.incrementAndGet()}"
+      implicit val sp: SparkSession = s
+      val d = graft.streaming.Streams.docsStream(s, dir)
+        .filter(col("n_chars").isNotNull)
+        .select(Stats.binExpr("n_chars", 0.0, 600.0, 10).as("bin"),
+          least(col("n_chars").cast(LongType), lit(600L)).as("__c"),
+          when(TextAnalysis.tokenCount(col("text")) >= 70, 1L)
+            .otherwise(0L).as("__y"))
+        .filter(col("bin").isNotNull)
+      val agg = d.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("__y")), lit(0L)).as("__k"),
           coalesce(sum(col("__c")), lit(0L)).as("__cs"))
-      val diff = (col("__k") * 600L - col("__cs")).cast(d0)
-      val num = diff * diff * col("n").cast(d0)
-      val den = col("__cs").cast(d0) * lit(600L).cast(d0) *
-        (col("n") * 600L - col("__cs")).cast(d0)
-      b.select(col("bin"),
-          when(den > 0,
-            round(num.cast(DoubleType) / den.cast(DoubleType), 9))
-            .as("__term"))
-        .agg(count(lit(1)).as("n_bins"),
-          coalesce(sum(when(col("__term").isNotNull, 1L)
-            .otherwise(0L)), lit(0L)).as("n_used"),
-          coalesce(sum(col("__term").cast(DecimalType(28, 9))),
-            lit(0).cast(DecimalType(28, 9)))
-            .cast(DoubleType).as("__h"))
-        .select(col("n_bins"), col("n_used"),
-          round(col("__h"), 6).as("hl_stat"))
+      val drained = graft.streaming.Streams.runAvailableNow(
+        agg, name, shufflePartitions = Some(8))
+      hosmerTail(drained.groupBy(col("bin"))
+        .agg(max(struct(col("n"), col("__k"), col("__cs"))).as("__x"))
+        .select(col("bin"), col("__x.n").as("n"),
+          col("__x.__k").as("__k"), col("__x.__cs").as("__cs")))
     }),
     "q_quality_spiegelhalter" -> ((s, dir) => {
       // Spiegelhalter's Z calibration test (Spiegelhalter, Stat. Med.
@@ -9991,6 +10032,7 @@ object Queries {
     "q_quality_spiegelhalter" -> spiegelhalterOracle,
     "q_stream_spiegelhalter" -> spiegelhalterOracle,
     "q_quality_hosmer" -> hosmerOracle,
+    "q_stream_hosmer" -> hosmerOracle,
     "q_token_heaps" -> tokenHeapsOracle,
     "q_events_markov_entropy" -> markovEntropyOracle,
     // the streaming twin's drained split-long cells ARE the batch

@@ -83,7 +83,7 @@ object ScaleProbe {
     "q_stream_mk", "q_graph_eccentricity", "q_pareto_front",
     "q_corr_partial", "q_quality_spiegelhalter",
     "q_events_markov_entropy", "q_token_heaps", "q_stream_pareto",
-    "q_stream_spiegelhalter")
+    "q_stream_spiegelhalter", "q_stream_hosmer")
 
   private val Shift = 100000000000L // 10^11: far above any base key
 
