@@ -85,6 +85,26 @@ object Bench {
       .split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Machine-wide (user+nice+system, idle+iowait) jiffy counters from
+    * the aggregate `cpu ` line of /proc/stat. WHY (VERDICT r15 item
+    * 1): three rounds of driver-bench totals (225 → 327 → 455 s) were
+    * attributed to "a busy machine" from loadavg alone — a 1-minute
+    * EMA that lags the query it is sampled next to. The busy/total
+    * jiffy DELTA across a query's own wall-clock window is the direct
+    * measurement: busy fraction ≈ cores-in-use / cores, sampled over
+    * exactly the interval being timed, so a slow rep under external
+    * contention carries its own evidence in the artifact. */
+  private def cpuJiffies(): (Long, Long) =
+    try {
+      val cols = Files.readString(Paths.get("/proc/stat"))
+        .linesIterator.next().trim.split("\\s+")
+      // cpu user nice system idle iowait irq softirq steal ...
+      val v = cols.drop(1).map(_.toLong)
+      val busy = v(0) + v(1) + v(2)
+      val total = v.take(8).sum
+      (busy, total)
+    } catch { case _: Throwable => (-1L, -1L) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-bench")
@@ -130,11 +150,14 @@ object Bench {
     spark.sparkContext.addSparkListener(bytes)
 
     // Per rep: (seconds, error, (shuffleWrite, spill) byte deltas,
-    // loadavg sampled at rep start).
+    // loadavg sampled at rep start, machine busy-CPU fraction over
+    // the rep's own wall-clock window).
     val timed = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        def runRep(): (Double, Option[String], (Long, Long), Double) = {
+        def runRep():
+            (Double, Option[String], (Long, Long), Double, Double) = {
           val load = loadAvg()
+          val (cb0, ct0) = cpuJiffies()
           val (sw0, sp0) = bytes.snapshot
           val t0 = System.nanoTime()
           val err =
@@ -143,9 +166,13 @@ object Bench {
               Some(Option(e.getMessage).getOrElse(e.getClass.getName))
             }
           val sec = (System.nanoTime() - t0) / 1e9
+          val (cb1, ct1) = cpuJiffies()
           flushListeners(spark.sparkContext)
           val (sw1, sp1) = bytes.snapshot
-          (sec, err, (sw1 - sw0, sp1 - sp0), load)
+          val busy =
+            if (cb0 < 0 || cb1 < 0 || ct1 <= ct0) -1.0
+            else (cb1 - cb0).toDouble / (ct1 - ct0)
+          (sec, err, (sw1 - sw0, sp1 - sp0), load, busy)
         }
         var reps = (1 to repeat).map(_ => runRep())
         // Load-robustness (VERDICT r9 item 2): when the two passes
@@ -154,7 +181,7 @@ object Bench {
         // published minimum is a min-of-3, not a coin flip between a
         // clean and a poisoned measurement.
         if (repeat >= 2) {
-          val ok = reps.collect { case (t, None, _, _) => t }
+          val ok = reps.collect { case (t, None, _, _, _) => t }
           if (ok.size >= 2 && ok.max > 3.0 * ok.min) reps :+= runRep()
         }
         (name, reps)
@@ -170,10 +197,17 @@ object Bench {
       // timing); a query errors only when every rep failed. Bytes come
       // from the LAST rep — steady state, shared memos already built,
       // so cross-round byte diffs compare plans, not cache luck.
-      val ok = reps.collect { case (t, None, _, _) => t }
-      if (ok.nonEmpty) (name, ok.min, None, reps.last._3)
-      else (name, reps.map(_._1).min, reps.flatMap(_._2).headOption,
-        reps.last._3)
+      // loadavg + busy-CPU fraction come from the PUBLISHED (min) rep
+      // (VERDICT r15 item 1): the published total is the sum of
+      // minima, so a contended minimum — the case where even the best
+      // rep was poisoned — is self-evident per query in the artifact.
+      val ok = reps.collect { case r @ (_, None, _, _, _) => r }
+      if (ok.nonEmpty) {
+        val best = ok.minBy(_._1)
+        (name, best._1, None, reps.last._3, best._4, best._5)
+      } else
+        (name, reps.map(_._1).min, reps.flatMap(_._2).headOption,
+          reps.last._3, reps.head._4, reps.head._5)
     }
     // Per-pass totals: pass k = sum of every query's k-th rep. Under
     // external load the passes disagree (and both exceed the minima
@@ -191,6 +225,19 @@ object Bench {
     val loadMax = {
       val ls = timed.flatMap(_._2.map(_._4)).filter(_ >= 0)
       if (ls.isEmpty) -1.0 else ls.max
+    }
+    // Per-pass TIME-WEIGHTED busy-CPU fraction (each query's k-th rep
+    // busy fraction weighted by that rep's wall-clock): the direct
+    // "was the machine busy during this pass" number that loadavg
+    // only proxies. An idle-box pass on local[32] typically reads the
+    // bench's own utilization; a pass whose busy fraction is much
+    // higher than its twin's explains its slower total by itself
+    // (VERDICT r15 item 1).
+    val passBusy = (0 until repeat).map { k =>
+      val rs = timed.map { case (_, reps) => reps(k) }
+        .filter(_._5 >= 0)
+      val w = rs.map(_._1).sum
+      if (w <= 0) -1.0 else rs.map(r => r._1 * r._5).sum / w
     }
     // Queries that earned a third (tie-break) rep this run.
     val retried = timed.collect {
@@ -212,24 +259,37 @@ object Bench {
 
     def jstr(s: String): String = graft.core.Jsons.str(s)
     val qs = results
-      .map { case (k, v, _, _) => s"${jstr(k)}:${fmt("%.4f", v)}" }
+      .map { case (k, v, _, _, _, _) =>
+        s"${jstr(k)}:${fmt("%.4f", v)}" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e), _) =>
+    val errs = results.collect { case (k, _, Some(e), _, _, _) =>
       s"${jstr(k)}:${jstr(e.take(300))}"
     }.mkString("{", ",", "}")
     // Load-invariant per-query data movement (MB, steady-state rep):
     // the numbers to regress on when wall-clock is suspect.
     def mb(b: Long): String = fmt("%.2f", b / 1e6)
     def byteMap(pick: ((Long, Long)) => Long): String = results
-      .map { case (k, _, _, d) => s"${jstr(k)}:${mb(pick(d))}" }
+      .map { case (k, _, _, d, _, _) => s"${jstr(k)}:${mb(pick(d))}" }
       .mkString("{", ",", "}")
     val shuffleMb = byteMap(_._1)
     val spillMb = byteMap(_._2)
+    // Per-query contention record for the PUBLISHED rep (VERDICT r15
+    // item 1): `load_q` = 1-min loadavg at that rep's start, `busy_q`
+    // = machine busy-CPU fraction over exactly that rep's window. A
+    // cross-round per-query regression whose busy_q also jumped is
+    // environment; one whose busy_q held steady is a plan change.
+    val loadQ = results
+      .map { case (k, _, _, _, l, _) => s"${jstr(k)}:${fmt("%.2f", l)}" }
+      .mkString("{", ",", "}")
+    val busyQ = results
+      .map { case (k, _, _, _, _, b) => s"${jstr(k)}:${fmt("%.3f", b)}" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val shuffleTotalMb = results.map(_._4._1).sum / 1e6
     val spillTotalMb = results.map(_._4._2).sum / 1e6
     val passes = passTotals.map(fmt("%.2f", _)).mkString("[", ",", "]")
     val loads = passLoads.map(fmt("%.2f", _)).mkString("[", ",", "]")
+    val busies = passBusy.map(fmt("%.3f", _)).mkString("[", ",", "]")
     val retr = retried.map(jstr).mkString("[", ",", "]")
     val memo = memoTagged.map(jstr).mkString("[", ",", "]")
     val json =
@@ -237,10 +297,12 @@ object Bench {
         s""""repeat":$repeat,"pass_totals":$passes,""" +
         s""""loadavg_per_pass":$loads,""" +
         s""""loadavg_max":${fmt("%.2f", loadMax)},""" +
+        s""""cpu_busy_per_pass":$busies,""" +
         s""""retried_queries":$retr,"memo_queries":$memo,""" +
         s""""shuffle_total_mb":${fmt("%.2f", shuffleTotalMb)},""" +
         s""""spill_total_mb":${fmt("%.2f", spillTotalMb)},""" +
         s""""shuffle_mb":$shuffleMb,"spill_mb":$spillMb,""" +
+        s""""load_q":$loadQ,"busy_q":$busyQ,""" +
         s""""queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
 
     // Always land the artifact at a well-known repo path (the driver
@@ -275,18 +337,19 @@ object Bench {
       // round-7 families
       "q_graph_pagerank", "q_mixture_divergence", "q_sample_temperature",
       "q_cdc_apply", "q_join_scd2", "q_shard_order", "q_agg_incremental")
-    val byName = results.map { case (k, v, _, _) => k -> v }.toMap
+    val byName = results.map { case (k, v, _, _, _, _) => k -> v }.toMap
     def compactLine(nHead: Int): String = {
       val hq = headline.take(nHead)
         .flatMap(k => byName.get(k).map(v => s"${jstr(k)}:${fmt("%.2f", v)}"))
         .mkString("{", ",", "}")
-      val cerrs = results.collect { case (k, _, Some(e), _) =>
+      val cerrs = results.collect { case (k, _, Some(e), _, _, _) =>
         s"${jstr(k)}:${jstr(e.take(80))}"
       }.take(3).mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt("%.2f", total)},"unit":"sec",""" +
         s""""repeat":$repeat,"pass_totals":$passes,""" +
         s""""loadavg_per_pass":$loads,""" +
         s""""loadavg_max":${fmt("%.2f", loadMax)},""" +
+        s""""cpu_busy_per_pass":$busies,""" +
         s""""n_retried":${retried.size},""" +
         s""""shuffle_total_mb":${fmt("%.2f", shuffleTotalMb)},""" +
         s""""spill_total_mb":${fmt("%.2f", spillTotalMb)},""" +

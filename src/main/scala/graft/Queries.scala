@@ -273,6 +273,111 @@ object Queries {
         round(sum(col("__d2")).cast(DoubleType), 6).as("mmd2"))
   }
 
+  /** The full per-label MMD² chain over a (label, e) frame — shared
+    * by q_embedding_mmd and its seeded row-sampled twin.
+    *
+    * SPLIT-LONG EXACT FOLD, packed into the MmdFold AGGREGATOR
+    * (round 15): products fix at 12 dp as scaled longs (|p| ≤ 1 →
+    * |p12| ≤ 10¹²), split hi = p12 div 10⁶ / lo = p12 % 10⁶
+    * (truncating div/mod pair — exact identity, both engines), and
+    * the halves sum as plain longs exact to ~9·10¹² rows PER CELL.
+    * The r14 shape exploded n·2080 lattice rows through the hash
+    * aggregate (4.4 s at sf0.1; and a per-row DECIMAL fold before
+    * that benched 15.7 s — Spark's decimal hash-agg); the typed
+    * aggregate folds each row's 2080 products in place and
+    * map-side-combines ~50 KB packed states, so the shuffle
+    * carries |labels| rows at ANY corpus size. Values are
+    * bit-identical to the explode fold the oracle replays
+    * (MmdFold scaladoc) — the hash is unchanged.
+    * SYMMETRIC HALF: M is symmetric (products commute, so the
+    * (i,j) and (j,i) means are the SAME doubles) — only the upper
+    * triangle (2080 of 4096 cells) is folded and off-diagonal
+    * squared diffs weight ×2 at the end. The exact decimal
+    * Σp12 = 10⁶·Σhi + Σlo reconstructs once per cell (20k decimal
+    * ops, control-plane). */
+  private def mmdOver(emb: DataFrame): DataFrame = {
+    val packed = emb.groupBy(col("label"))
+      .agg(graft.functions.MmdFold.mmdCellsAgg(col("e"), MmdDim)
+        .as("__x"))
+    val cells = packed
+      .select(col("label"), col("__x.n").as("__n"),
+        posexplode(arrays_zip(col("__x.sh").as("sh"),
+          col("__x.sl").as("sl"))).as(Seq("k", "c")))
+      .select(col("label"), col("k").cast(IntegerType).as("k"),
+        col("__n"),
+        (col("c.sh").cast(DecimalType(38, 0)) * 1000000L +
+          col("c.sl").cast(DecimalType(38, 0))).as("__s"))
+    mmdFinish(cells)
+  }
+
+  /** The full linear-CKA chain over an (e) frame — shared by
+    * q_embedding_cka and its seeded row-sampled twin. Second moments
+    * via the packed MmdFold aggregate (one ~50 KB map-side-combined
+    * state instead of an n·2080-row explode — the q_embedding_mmd
+    * round-15 shape, bit-identical values); first moments one
+    * 64-cell split-long pass; everything downstream is control-plane
+    * (2080 + 64 rows, broadcast joins). */
+  private def ckaOver(s: SparkSession, emb: DataFrame): DataFrame = {
+    val cells = emb
+      .agg(graft.functions.MmdFold.mmdCellsAgg(col("e"), MmdDim)
+        .as("__x"))
+      .select(col("__x.n").as("__n"),
+        posexplode(arrays_zip(col("__x.sh").as("sh"),
+          col("__x.sl").as("sl"))).as(Seq("k", "c")))
+      .select(col("k"), col("__n"),
+        (col("c.sh").cast(DecimalType(38, 0)) * 1000000L +
+          col("c.sl").cast(DecimalType(38, 0))).as("__s"))
+    val mus = emb
+      .select(posexplode(col("e")).as(Seq("i", "x")))
+      .select(col("i"),
+        round(col("x") * lit(1e12), 0).cast(LongType).as("__x12"))
+      .select(col("i"), expr("__x12 div 1000000").as("__hi"),
+        (col("__x12") % 1000000L).as("__lo"))
+      .groupBy(col("i"))
+      .agg(sum(col("__hi")).as("__sh"), sum(col("__lo")).as("__sl"),
+        count(lit(1)).as("__nn"))
+      .select(col("i"),
+        round((col("__sh").cast(DecimalType(38, 0)) * 1000000L +
+            col("__sl").cast(DecimalType(38, 0))).cast(DoubleType) /
+          (col("__nn").cast(DoubleType) * lit(1e12)), 9).as("mu"))
+    import s.implicits._
+    val kmap = (for { i <- 0 until MmdDim; j <- i until MmdDim }
+      yield (i, j)).zipWithIndex
+      .map { case ((i, j), k) => (k, i, j) }.toDF("k", "i", "j")
+    val half = MmdDim / 2
+    val c = cells.join(broadcast(kmap), Seq("k"))
+      .join(broadcast(mus.select(col("i").as("__mi"),
+        col("mu").as("mu_i"))), col("i") === col("__mi"))
+      .join(broadcast(mus.select(col("i").as("__mj"),
+        col("mu").as("mu_j"))), col("j") === col("__mj"))
+      .select(col("i"), col("j"), col("__n"),
+        (round(col("__s").cast(DoubleType) /
+            (col("__n").cast(DoubleType) * lit(1e12)), 9) -
+          col("mu_i") * col("mu_j")).as("__c"))
+    val dbl = when(col("i") === col("j"), lit(1.0)).otherwise(lit(2.0))
+    val sq = c.select(col("__n"),
+      when(col("j") < half, round(col("__c") * col("__c"), 12) * dbl)
+        .cast(DecimalType(38, 12)).as("__qxx"),
+      when(col("i") >= half, round(col("__c") * col("__c"), 12) * dbl)
+        .cast(DecimalType(38, 12)).as("__qyy"),
+      when(col("i") < half && col("j") >= half,
+        round(col("__c") * col("__c"), 12))
+        .cast(DecimalType(38, 12)).as("__qxy"))
+    sq.agg(max(col("__n")).as("n"),
+        coalesce(sum(col("__qxy")), lit(0).cast(DecimalType(38, 12)))
+          .cast(DoubleType).as("__xy"),
+        coalesce(sum(col("__qxx")), lit(0).cast(DecimalType(38, 12)))
+          .cast(DoubleType).as("__xx"),
+        coalesce(sum(col("__qyy")), lit(0).cast(DecimalType(38, 12)))
+          .cast(DoubleType).as("__yy"))
+      .select(col("n"), round(col("__xy"), 6).as("s_xy"),
+        round(col("__xx"), 6).as("s_xx"),
+        round(col("__yy"), 6).as("s_yy"),
+        when(col("__xx") * col("__yy") > 0,
+          round(col("__xy") / sqrt(col("__xx") * col("__yy")), 6))
+          .as("cka"))
+  }
+
   /** Shared Hosmer–Lemeshow finish over a per-bin (bin, n, __k, __cs)
     * frame: the exact rational term (600k − Σc)²·n /
     * (600·Σc·(600n − Σc)) in DECIMAL(38,0) products, one double
@@ -5520,37 +5625,24 @@ object Queries {
       val emb = Tables.embeddings(s, dir)
         .select(col("label"),
           col("embedding").cast(ArrayType(DoubleType)).as("e"))
-      // SPLIT-LONG EXACT FOLD, packed into the MmdFold AGGREGATOR
-      // (round 15): products fix at 12 dp as scaled longs (|p| ≤ 1 →
-      // |p12| ≤ 10¹²), split hi = p12 div 10⁶ / lo = p12 % 10⁶
-      // (truncating div/mod pair — exact identity, both engines), and
-      // the halves sum as plain longs exact to ~9·10¹² rows PER CELL.
-      // The r14 shape exploded n·2080 lattice rows through the hash
-      // aggregate (4.4 s at sf0.1; and a per-row DECIMAL fold before
-      // that benched 15.7 s — Spark's decimal hash-agg); the typed
-      // aggregate folds each row's 2080 products in place and
-      // map-side-combines ~50 KB packed states, so the shuffle
-      // carries |labels| rows at ANY corpus size. Values are
-      // bit-identical to the explode fold the oracle replays
-      // (MmdFold scaladoc) — the hash is unchanged.
-      // SYMMETRIC HALF: M is symmetric (products commute, so the
-      // (i,j) and (j,i) means are the SAME doubles) — only the upper
-      // triangle (2080 of 4096 cells) is folded and off-diagonal
-      // squared diffs weight ×2 at the end. The exact decimal
-      // Σp12 = 10⁶·Σhi + Σlo reconstructs once per cell (20k decimal
-      // ops, control-plane).
-      val packed = emb.groupBy(col("label"))
-        .agg(graft.functions.MmdFold.mmdCellsAgg(col("e"), MmdDim)
-          .as("__x"))
-      val cells = packed
-        .select(col("label"), col("__x.n").as("__n"),
-          posexplode(arrays_zip(col("__x.sh").as("sh"),
-            col("__x.sl").as("sl"))).as(Seq("k", "c")))
-        .select(col("label"), col("k").cast(IntegerType).as("k"),
-          col("__n"),
-          (col("c.sh").cast(DecimalType(38, 0)) * 1000000L +
-            col("c.sl").cast(DecimalType(38, 0))).as("__s"))
-      mmdFinish(cells)
+      mmdOver(emb)
+    }),
+    "q_embedding_mmd_sampled" -> ((s, dir) => {
+      // The long-corpus MMD²: the IDENTICAL packed-fold chain over a
+      // deterministic 25% row sample (idBucket(vec_id, seed 41) <
+      // 250000 of 10⁶ — the portable affine family, replayed
+      // arithmetically by the oracle). The probe tier's escape hatch
+      // for the catalog's biggest per-row constant (VERDICT r15 item
+      // 5, the Theil–Sen-sampled precedent): the exact query stays
+      // the contract; this twin is the 100 TB shape where rows × 2080
+      // products dominate and a seeded sample holds the second-moment
+      // estimate. Filter is a codegen'd integer predicate AT THE SCAN
+      // — the 75% never enters the fold.
+      val emb = Tables.embeddings(s, dir)
+        .filter(Sampling.idBucket(col("vec_id"), 41) < lit(250000L))
+        .select(col("label"),
+          col("embedding").cast(ArrayType(DoubleType)).as("e"))
+      mmdOver(emb)
     }),
     "q_stream_mmd" -> ((s, dir) => {
       // Embedding-distribution drift AT INGEST: the poly-2 MMD cells
@@ -5567,17 +5659,27 @@ object Queries {
       // and each micro-batch commits |labels| state rows instead of
       // |labels|·2080. Measured at sf0.1: 8.3 s (row-per-cell keying)
       // → see PLANS.md for the packed number.
-      // Key: the label itself behind a " " sentinel for NULL (ADVICE
-      // r14 — the old concat_ws key silently collapsed NULL labels);
-      // integer labels render without spaces, so no collision.
+      // Key: the label itself behind a "\u0000" (NUL) sentinel for
+      // NULL (ADVICE r14 — the old concat_ws key silently collapsed
+      // NULL labels). Written as the 6-char escape, NOT a raw byte:
+      // a raw NUL makes grep/ripgrep treat this file as binary and
+      // silently skip it in leak/copy sweeps (VERDICT r15 item 3).
+      // Collision-safety is ASSERTED, not assumed (ADVICE r15): the
+      // sentinel is sound only when no real label can render as a
+      // NUL string, so string-typed label columns are rejected loudly
+      // instead of risking a silent NULL-group merge.
       val name = s"q_stream_mmd_${streamRun.incrementAndGet()}"
       implicit val sp: SparkSession = s
       val labelType =
         Tables.embeddings(s, dir).schema("label").dataType
+      require(!labelType.isInstanceOf[StringType],
+        s"q_stream_mmd NUL sentinel requires a non-string label " +
+          s"column (got $labelType): a string label could itself " +
+          "contain \\u0000 and collapse into the NULL group")
       val emb = graft.streaming.Streams.embeddingsStream(s, dir)
       val drained = graft.streaming.Streams.runAvailableNow(
         graft.streaming.Streams.mmdCellState(emb,
-          coalesce(col("label").cast(StringType), lit(" ")),
+          coalesce(col("label").cast(StringType), lit("\u0000")),
           col("embedding"), MmdDim).toDF(),
         // 8 state partitions like the rest of the stream family (10
         // label keys — the commit overhead argument of r14 holds a
@@ -5587,7 +5689,7 @@ object Queries {
         .agg(max(struct(col("updates"), col("n"), col("sh"),
           col("sl"))).as("__x"))
         .select(
-          when(col("g") === lit(" "), lit(null))
+          when(col("g") === lit("\u0000"), lit(null))
             .otherwise(col("g")).cast(labelType).as("label"),
           col("__x.n").as("__n"),
           posexplode(arrays_zip(col("__x.sh").as("sh"),
@@ -5616,67 +5718,20 @@ object Queries {
       // (2080 + 64 rows, broadcast joins).
       val emb = Tables.embeddings(s, dir)
         .select(col("embedding").cast(ArrayType(DoubleType)).as("e"))
-      // second moments via the packed MmdFold aggregate (one ~50 KB
-      // map-side-combined state instead of an n·2080-row explode —
-      // the q_embedding_mmd round-15 shape, bit-identical values)
-      val cells = emb
-        .agg(graft.functions.MmdFold.mmdCellsAgg(col("e"), MmdDim)
-          .as("__x"))
-        .select(col("__x.n").as("__n"),
-          posexplode(arrays_zip(col("__x.sh").as("sh"),
-            col("__x.sl").as("sl"))).as(Seq("k", "c")))
-        .select(col("k"), col("__n"),
-          (col("c.sh").cast(DecimalType(38, 0)) * 1000000L +
-            col("c.sl").cast(DecimalType(38, 0))).as("__s"))
-      val mus = emb
-        .select(posexplode(col("e")).as(Seq("i", "x")))
-        .select(col("i"),
-          round(col("x") * lit(1e12), 0).cast(LongType).as("__x12"))
-        .select(col("i"), expr("__x12 div 1000000").as("__hi"),
-          (col("__x12") % 1000000L).as("__lo"))
-        .groupBy(col("i"))
-        .agg(sum(col("__hi")).as("__sh"), sum(col("__lo")).as("__sl"),
-          count(lit(1)).as("__nn"))
-        .select(col("i"),
-          round((col("__sh").cast(DecimalType(38, 0)) * 1000000L +
-              col("__sl").cast(DecimalType(38, 0))).cast(DoubleType) /
-            (col("__nn").cast(DoubleType) * lit(1e12)), 9).as("mu"))
-      import s.implicits._
-      val kmap = (for { i <- 0 until MmdDim; j <- i until MmdDim }
-        yield (i, j)).zipWithIndex
-        .map { case ((i, j), k) => (k, i, j) }.toDF("k", "i", "j")
-      val half = MmdDim / 2
-      val c = cells.join(broadcast(kmap), Seq("k"))
-        .join(broadcast(mus.select(col("i").as("__mi"),
-          col("mu").as("mu_i"))), col("i") === col("__mi"))
-        .join(broadcast(mus.select(col("i").as("__mj"),
-          col("mu").as("mu_j"))), col("j") === col("__mj"))
-        .select(col("i"), col("j"), col("__n"),
-          (round(col("__s").cast(DoubleType) /
-              (col("__n").cast(DoubleType) * lit(1e12)), 9) -
-            col("mu_i") * col("mu_j")).as("__c"))
-      val dbl = when(col("i") === col("j"), lit(1.0)).otherwise(lit(2.0))
-      val sq = c.select(col("__n"),
-        when(col("j") < half, round(col("__c") * col("__c"), 12) * dbl)
-          .cast(DecimalType(38, 12)).as("__qxx"),
-        when(col("i") >= half, round(col("__c") * col("__c"), 12) * dbl)
-          .cast(DecimalType(38, 12)).as("__qyy"),
-        when(col("i") < half && col("j") >= half,
-          round(col("__c") * col("__c"), 12))
-          .cast(DecimalType(38, 12)).as("__qxy"))
-      sq.agg(max(col("__n")).as("n"),
-          coalesce(sum(col("__qxy")), lit(0).cast(DecimalType(38, 12)))
-            .cast(DoubleType).as("__xy"),
-          coalesce(sum(col("__qxx")), lit(0).cast(DecimalType(38, 12)))
-            .cast(DoubleType).as("__xx"),
-          coalesce(sum(col("__qyy")), lit(0).cast(DecimalType(38, 12)))
-            .cast(DoubleType).as("__yy"))
-        .select(col("n"), round(col("__xy"), 6).as("s_xy"),
-          round(col("__xx"), 6).as("s_xx"),
-          round(col("__yy"), 6).as("s_yy"),
-          when(col("__xx") * col("__yy") > 0,
-            round(col("__xy") / sqrt(col("__xx") * col("__yy")), 6))
-            .as("cka"))
+      ckaOver(s, emb)
+    }),
+    "q_embedding_cka_sampled" -> ((s, dir) => {
+      // The long-corpus CKA: the IDENTICAL one-pass chain over the
+      // SAME deterministic 25% row sample as q_embedding_mmd_sampled
+      // (idBucket(vec_id, seed 41) < 250000 — one seed for the
+      // family, so the two sampled gauges describe the same
+      // sub-corpus). Probe-tier escape hatch for the catalog's other
+      // top per-row constant (VERDICT r15 item 5); the exact query
+      // stays the contract.
+      val emb = Tables.embeddings(s, dir)
+        .filter(Sampling.idBucket(col("vec_id"), 41) < lit(250000L))
+        .select(col("embedding").cast(ArrayType(DoubleType)).as("e"))
+      ckaOver(s, emb)
     }),
     "q_embedding_jl" -> ((s, dir) => {
       // Johnson–Lindenstrauss distortion audit: project 64 → 16 dims
@@ -10025,7 +10080,9 @@ object Queries {
     // split fold (hi/lo halves, exact decimal reconstruction per
     // cell), 9-dp means, 12-dp squared diffs
     "q_embedding_mmd" -> embeddingMmdOracle,
+    "q_embedding_mmd_sampled" -> embeddingMmdSampledOracle,
     "q_embedding_cka" -> embeddingCkaOracle,
+    "q_embedding_cka_sampled" -> embeddingCkaSampledOracle,
     "q_corr_partial" -> corrPartialOracle,
     "q_pareto_front" -> paretoFrontOracle,
     "q_stream_pareto" -> paretoFrontOracle,
@@ -15069,19 +15126,6 @@ object Queries {
       |    ORDER BY ip DESC, cid ASC) AS rn
       | FROM s) WHERE rn <= 10""".stripMargin
 
-  /** q_sim_mips_lsh replica: the norm-augmented corpus (append
-    * √(M² − ‖c‖²); queries append 0.0) rides the same portable SRP
-    * signature arithmetic as [[simLshOracle]], now over 65
-    * coordinates; candidates rank by the raw augmented dot (= the
-    * original inner product — the appended query coordinate is 0 and
-    * both engines fold left-to-right). Geometry 36 bits / 6 bands
-    * with Hamming-1 MULTI-PROBE on the query side (each band key
-    * additionally XORed with each single-bit flip — the qb DISTINCT
-    * over the 7-key probe set) — see the q_sim_mips_lsh query doc.
-    * The `bw` CTE asserts the fixed-6-bit-band regime (corpus ≤
-    * 16·2⁶ rows) so a future larger gate corpus fails LOUDLY instead
-    * of hash-diverging from the scale-adaptive Spark band width
-    * (ADVICE r13). */
   /** The multi-probe SRP-MIPS candidate chain as a CTE prefix ending
     * at `cand` (qa/ca stay visible) — shared by the top-k replica
     * and the candidate-work audit. */
@@ -15127,6 +15171,19 @@ object Queries {
        |  WHERE qid <> cid)""".stripMargin
   }
 
+  /** q_sim_mips_lsh replica: the norm-augmented corpus (append
+    * √(M² − ‖c‖²); queries append 0.0) rides the same portable SRP
+    * signature arithmetic as [[simLshOracle]], now over 65
+    * coordinates; candidates rank by the raw augmented dot (= the
+    * original inner product — the appended query coordinate is 0 and
+    * both engines fold left-to-right). Geometry 36 bits / 6 bands
+    * with Hamming-1 MULTI-PROBE on the query side (each band key
+    * additionally XORed with each single-bit flip — the qb DISTINCT
+    * over the 7-key probe set) — see the q_sim_mips_lsh query doc.
+    * The `bw` CTE asserts the fixed-6-bit-band regime (corpus ≤
+    * 16·2⁶ rows) so a future larger gate corpus fails LOUDLY instead
+    * of hash-diverging from the scale-adaptive Spark band width
+    * (ADVICE r13). */
   private def simMipsLshOracle: String =
     s"""WITH $simMipsLshCandCtes,
        |scored AS (SELECT qid, cid, list_dot_product(ce, qe) AS ip
@@ -15138,11 +15195,6 @@ object Queries {
        |    ORDER BY ip DESC, cid ASC) AS rn
        | FROM scored) WHERE rn <= 10""".stripMargin
 
-  /** q_sim_mips_ivf replica: the norm-augmented corpus/queries (the
-    * [[simMipsLshOracle]] ca/qa CTEs) through the [[simIvfOracle]]
-    * coarse-quantization chain — 16 lowest-id AUGMENTED centroids,
-    * nearest-cell assignment by augmented cosine (ties to lower cid),
-    * 4-cell probing, raw-inner-product ranking, self excluded. */
   /** The IVF-MIPS coarse-quantization chain as a CTE prefix ending at
     * asg/qp — shared by the top-k replica and the candidate-work
     * audit. */
@@ -15173,6 +15225,11 @@ object Queries {
        |  FROM qa CROSS JOIN cent) WHERE rn <= $nProbe)""".stripMargin
   }
 
+  /** q_sim_mips_ivf replica: the norm-augmented corpus/queries (the
+    * [[simMipsLshOracle]] ca/qa CTEs) through the [[simIvfOracle]]
+    * coarse-quantization chain — 16 lowest-id AUGMENTED centroids,
+    * nearest-cell assignment by augmented cosine (ties to lower cid),
+    * 4-cell probing, raw-inner-product ranking, self excluded. */
   private def simMipsIvfOracle: String = {
     val k = 10
     s"""WITH $simMipsIvfCandCtes,
@@ -15665,7 +15722,18 @@ object Queries {
     * (f[k] ordering matches Spark's concat-of-slices posexplode), the
     * same truncating hi/lo split-long fold, diagonal positions as a
     * literal IN-list from the same Scala arithmetic. */
-  private def embeddingMmdOracle: String = {
+  /** The deterministic 25% sample both `_sampled` twins share:
+    * idBucket(vec_id, seed 41) < 250000 of 10⁶, the portable affine
+    * family replicated arithmetically (the q_split_assign pattern). */
+  private def embSampledWhere: String =
+    s" WHERE ((vec_id % ${Dedup.PortableMod}) * ${Dedup.affineA(41)}" +
+      s" + ${Dedup.affineB(41)}) % ${Dedup.PortableMod}" +
+      s" % ${Sampling.Buckets} < 250000"
+
+  private def embeddingMmdOracle: String = embeddingMmdOracleOver("")
+  private def embeddingMmdSampledOracle: String =
+    embeddingMmdOracleOver(embSampledWhere)
+  private def embeddingMmdOracleOver(where: String): String = {
     val dim = 64
     val triBlocks = (0 until dim).map(i =>
       s"list_transform(list_slice(v, ${i + 1}, $dim), " +
@@ -15674,7 +15742,7 @@ object Queries {
     val diagK = (0 until dim)
       .map(i => i * dim - i * (i - 1) / 2 + 1).mkString(", ")
     s"""WITH e0 AS (SELECT label, embedding::DOUBLE[] AS v
-       |            FROM embeddings),
+       |            FROM embeddings$where),
        |fl AS (SELECT label, flatten(
        |    $triBlocks) AS f FROM e0),
        |px AS (SELECT label,
@@ -15711,12 +15779,16 @@ object Queries {
     * row_number over the (i ≤ j) lattice, 9-dp means, raw-double
     * centering, 12-dp squared cells folded as DECIMAL with the
     * symmetric ×2 in the double domain, one edge round. */
-  private def embeddingCkaOracle: String = {
+  private def embeddingCkaOracle: String = embeddingCkaOracleOver("")
+  private def embeddingCkaSampledOracle: String =
+    embeddingCkaOracleOver(embSampledWhere)
+  private def embeddingCkaOracleOver(where: String): String = {
     val dim = 64; val half = dim / 2
     val triBlocks = (0 until dim).map(i =>
       s"list_transform(list_slice(v, ${i + 1}, $dim), " +
         s"x -> v[${i + 1}] * x)").mkString("[", ",\n    ", "]")
-    s"""WITH e0 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e0 AS (SELECT embedding::DOUBLE[] AS v
+       |            FROM embeddings$where),
        |fl AS (SELECT flatten(
        |    $triBlocks) AS f FROM e0),
        |px AS (SELECT CAST(round(unnest(f) * 1e12, 0) AS BIGINT) AS p12,

@@ -111,9 +111,22 @@ object Guards {
     // double→decimal goes through the shortest-decimal rendering, so
     // an in-scale double round-trips bitwise.
     val hi = DecimalType(38, 18)
-    when(c.isNull ||
-        c.cast(hi) === c.cast(DecimalType(38, scale)).cast(hi),
-      emitted)
+    // MAGNITUDE pre-check (ADVICE r15): at |c| ≥ 1e20 the
+    // DECIMAL(38, 18) casts below overflow to NULL in non-ANSI mode,
+    // the equality evaluates NULL, and the value would fall through
+    // to the integrality branch with a misattributed "fractional
+    // digits" message. Raise a RANGE error first so overflow reads as
+    // overflow. (emitBigint's own range guard fires inside `emitted`,
+    // but only on the branch that is taken — the guard predicate
+    // itself must stay non-NULL.)
+    when(c.isNull, emitted)
+      .when(abs(c.cast(DoubleType)) >= lit(1e20),
+        raise_error(concat(
+          lit(s"$what: value "), c.cast(StringType),
+          lit(" exceeds the DECIMAL(38,18) emit guard range")))
+          .cast(DoubleType))
+      .when(c.cast(hi) === c.cast(DecimalType(38, scale)).cast(hi),
+        emitted)
       .otherwise(raise_error(concat(
         lit(s"$what: value "), c.cast(StringType),
         lit(s" has fractional digits beyond emit scale $scale")))

@@ -117,27 +117,6 @@ object Similarity {
         round(col("__ip"), 6).as("ip"))
   }
 
-  /** INDEXED maximum-inner-product top-k — the 100 TB path whose
-    * recall oracle is [[mipsTopKPerQuery]] (VERDICT r13 item 2).
-    * Asymmetric norm augmentation (Shrivastava & Li, NeurIPS 2014):
-    * append √(M² − ‖c‖²) to every corpus vector (M = max corpus norm)
-    * and 0 to every query; then ⟨q′, c′⟩ = ⟨q, c⟩ while every
-    * augmented corpus vector has norm exactly M — so cosine order on
-    * the augmented space IS inner-product order on the original, and
-    * the augmented vectors ride the SAME banded SRP-LSH candidate
-    * pass as [[lshTopKPerQuery]] (one (band, key) shuffle, never the
-    * cross join). Candidates are ranked by the RAW augmented dot
-    * (= the raw original inner product: the query's extra coordinate
-    * is 0, and the left-to-right fold appends `aug·0.0 = +0.0`, which
-    * both engines compute identically), ties on corpus id, the score
-    * rounded once at 6 dp.
-    *
-    * Determinism/portability: M² = max ‖c‖² is the max of exact
-    * left-to-right [[dot]] folds; √ is correctly rounded IEEE — both
-    * engines derive bit-identical augmented coordinates, so the
-    * portable plane signatures (now over dim+1 coordinates) match.
-    * The max rides in as a broadcast 1-row frame — no driver collect.
-    * Self-pairs excluded by id, matching the exact oracle. */
   /** The Shrivastava–Li norm augmentation shared by every MIPS index:
     * corpus vectors append √(M² − ‖c‖²) (M² riding as a broadcast
     * 1-row frame — no driver collect), queries append 0. */
@@ -181,6 +160,27 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"))
   }
 
+  /** INDEXED maximum-inner-product top-k — the 100 TB path whose
+    * recall oracle is [[mipsTopKPerQuery]] (VERDICT r13 item 2).
+    * Asymmetric norm augmentation (Shrivastava & Li, NeurIPS 2014):
+    * append √(M² − ‖c‖²) to every corpus vector (M = max corpus norm)
+    * and 0 to every query; then ⟨q′, c′⟩ = ⟨q, c⟩ while every
+    * augmented corpus vector has norm exactly M — so cosine order on
+    * the augmented space IS inner-product order on the original, and
+    * the augmented vectors ride the SAME banded SRP-LSH candidate
+    * pass as [[lshTopKPerQuery]] (one (band, key) shuffle, never the
+    * cross join). Candidates are ranked by the RAW augmented dot
+    * (= the raw original inner product: the query's extra coordinate
+    * is 0, and the left-to-right fold appends `aug·0.0 = +0.0`, which
+    * both engines compute identically), ties on corpus id, the score
+    * rounded once at 6 dp.
+    *
+    * Determinism/portability: M² = max ‖c‖² is the max of exact
+    * left-to-right [[dot]] folds; √ is correctly rounded IEEE — both
+    * engines derive bit-identical augmented coordinates, so the
+    * portable plane signatures (now over dim+1 coordinates) match.
+    * The max rides in as a broadcast 1-row frame — no driver collect.
+    * Self-pairs excluded by id, matching the exact oracle. */
   def mipsLshTopKPerQuery(
       corpus: DataFrame,
       queries: DataFrame,
@@ -208,6 +208,25 @@ object Similarity {
         round(col("__ip"), 6).as("ip"))
   }
 
+  /** The IVF-MIPS index's candidate pair set — each corpus vector
+    * lives in exactly one cell, so the probed join is distinct by
+    * construction ([[mipsIvfTopKPerQuery]] ranks exactly these). */
+  def mipsIvfCandidatePairs(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      nCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val (caug, qaug) = mipsAugmented(corpus, queries, idCol, embCol)
+    val cent = seedCentroids(caug, idCol, embCol, nCells)
+    val assigned = coarseCells(caug, idCol, embCol, cent, "corpus", 1)
+    val probed = coarseCells(qaug, idCol, embCol, cent, "query", nProbe)
+    probed.join(assigned, Seq("cid"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"))
+  }
+
   /** INDEXED maximum-inner-product top-k via an INVERTED FILE in the
     * norm-augmented space — the cluster-aligned sibling of
     * [[mipsLshTopKPerQuery]]: the Shrivastava–Li augmentation reduces
@@ -228,25 +247,6 @@ object Similarity {
     * fraction — at 100 TB nCells grows ~√n and the probed fraction
     * vanishes, while every stage stays one broadcast join + one
     * equi-join on cell id (the q_sim_ivf scale argument). */
-  /** The IVF-MIPS index's candidate pair set — each corpus vector
-    * lives in exactly one cell, so the probed join is distinct by
-    * construction ([[mipsIvfTopKPerQuery]] ranks exactly these). */
-  def mipsIvfCandidatePairs(
-      corpus: DataFrame,
-      queries: DataFrame,
-      idCol: String,
-      embCol: String,
-      nCells: Int = 16,
-      nProbe: Int = 4): DataFrame = {
-    val (caug, qaug) = mipsAugmented(corpus, queries, idCol, embCol)
-    val cent = seedCentroids(caug, idCol, embCol, nCells)
-    val assigned = coarseCells(caug, idCol, embCol, cent, "corpus", 1)
-    val probed = coarseCells(qaug, idCol, embCol, cent, "query", nProbe)
-    probed.join(assigned, Seq("cid"))
-      .filter(col("query_id") =!= col("corpus_id"))
-      .select(col("query_id"), col("corpus_id"))
-  }
-
   def mipsIvfTopKPerQuery(
       corpus: DataFrame,
       queries: DataFrame,

