@@ -244,9 +244,10 @@ object Similarity {
     * excluded by id, matching [[mipsTopKPerQuery]].
     *
     * Scale shape: candidate work per query = the nProbe/nCells cell
-    * fraction — at 100 TB nCells grows ~√n and the probed fraction
-    * vanishes, while every stage stays one broadcast join + one
-    * equi-join on cell id (the q_sim_ivf scale argument). */
+    * fraction — at 100 TB nCells grows ~√n ([[ivfCellsFor]], the ONE
+    * sizing rule shared with the cosine [[ivfTopKPerQuery]]) and the
+    * probed fraction vanishes, while every stage stays one broadcast
+    * join + one equi-join on cell id (the q_sim_ivf scale argument). */
   def mipsIvfTopKPerQuery(
       corpus: DataFrame,
       queries: DataFrame,
@@ -617,20 +618,6 @@ object Similarity {
     e
   }
 
-  /** IVF-flat approximate top-k: the "inverted file" scale path.
-    *
-    *  1. coarse centroids = the `nCells` lowest-id corpus vectors
-    *     (deterministic sampling; at 100 TB you'd k-means-refine them,
-    *     which only changes this CTE — the topology stays);
-    *  2. every corpus vector is assigned to its nearest centroid (one
-    *     broadcast cross join, N·nCells dots, embarrassingly parallel);
-    *  3. each query probes its `nProbe` nearest cells and scores ONLY
-    *     vectors in those cells — the candidate join replaces the full
-    *     cross join, touching ~nProbe/nCells of the corpus.
-    *
-    * Assignment ties break by centroid id; fully deterministic, so the
-    * DuckDB oracle replicates the whole pipeline value-for-value.
-    */
   /** Deterministic Lloyd (k-means) refinement of the IVF coarse
     * centroids: `iters` rounds of assign-to-nearest (cosine, ties by
     * cid asc) then per-cell element-wise mean. Cells that lose every
@@ -1043,6 +1030,37 @@ object Similarity {
       .select(col(s"${side}_id"), col(s"${side}_emb"), col("cid"))
   }
 
+  /** The ONE cell-count sizing rule for every IVF index in the
+    * catalog — cosine ([[ivfTopKPerQuery]]) and MIPS
+    * ([[mipsIvfTopKPerQuery]]) alike (VERDICT r15 item 4): nCells ≈
+    * √n, clamped to [16, 2²⁰]. √n balances the two candidate-work
+    * terms — each query scores nCells centroid dots plus
+    * ~nProbe·n/nCells members, so total work per query is minimized
+    * at nCells ~ √(nProbe·n) and the probed corpus fraction
+    * nProbe/nCells VANISHES as the corpus grows. The GATED queries
+    * pin nCells = 16 instead of calling this: the oracle replays the
+    * centroid set literally, so gate geometry is a fixed contract
+    * (exactly like the SRP oracles' fixed 6-bit band regime) — a
+    * corpus-adaptive gate would silently hash-diverge the day the
+    * gate corpus grows. Production sizing goes through here.
+    *
+    * Index guidance (the gated recall/cost quartet, round 15):
+    * on clustered corpora the IVF index dominates BOTH metrics —
+    * cosine 0.92-vs-0.14 recall (q_sim_recall) and MIPS 0.92 recall
+    * at 24% of brute-force candidate work vs SRP multi-probe's 0.74
+    * at 47% (q_sim_mips_recall / q_sim_mips_cost). SRP banding stays
+    * the DISTRIBUTION-FREE fallback: it needs no cluster structure
+    * and no centroid pass, but its per-bit contrast collapses when
+    * true neighbors sit at moderate similarity (this corpus: 0.596,
+    * ρ ≈ 0.75 — the honest SRP information limit recorded in
+    * PLANS.md round 15). Default to IVF; reach for SRP when the
+    * corpus is unclustered or adversarially shifting. */
+  def ivfCellsFor(n: Long, nProbe: Int = 4): Int = {
+    require(n >= 0 && nProbe >= 1, s"bad ivfCellsFor($n, $nProbe)")
+    math.min(1 << 20,
+      math.max(16L, math.round(math.sqrt(n.toDouble * nProbe)))).toInt
+  }
+
   /** Seed centroids: the first `nCells` corpus vectors (deterministic;
     * [[kmeansRefine]] is the Lloyd-refined alternative). */
   private def seedCentroids(
@@ -1052,6 +1070,22 @@ object Similarity {
       .orderBy(col("cid").asc)
       .limit(nCells)
 
+  /** IVF-flat approximate top-k: the "inverted file" scale path.
+    *
+    *  1. coarse centroids = the `nCells` lowest-id corpus vectors
+    *     (deterministic sampling; at 100 TB you'd k-means-refine them,
+    *     which only changes this CTE — the topology stays);
+    *  2. every corpus vector is assigned to its nearest centroid (one
+    *     broadcast cross join, N·nCells dots, embarrassingly parallel);
+    *  3. each query probes its `nProbe` nearest cells and scores ONLY
+    *     vectors in those cells — the candidate join replaces the full
+    *     cross join, touching ~nProbe/nCells of the corpus.
+    *
+    * Assignment ties break by centroid id; fully deterministic, so the
+    * DuckDB oracle replicates the whole pipeline value-for-value.
+    * Production `nCells` sizing: [[ivfCellsFor]] — the √n rule shared
+    * with [[mipsIvfTopKPerQuery]].
+    */
   def ivfTopKPerQuery(
       corpus: DataFrame,
       queries: DataFrame,

@@ -662,4 +662,23 @@ class SimilaritySpec extends SparkSpecBase {
           s"ip mismatch: $ip vs ${r.getDouble(3)}")))
     }
   }
+
+  test("ivfCellsFor: the shared sqrt-n sizing rule") {
+    // floor at tiny corpora (the gate regime), sqrt(n*nProbe) growth,
+    // hard cap, monotone in n
+    assert(Similarity.ivfCellsFor(0) == 16)
+    assert(Similarity.ivfCellsFor(64, nProbe = 1) == 16)
+    assert(Similarity.ivfCellsFor(10000, nProbe = 1) == 100)
+    assert(Similarity.ivfCellsFor(10000, nProbe = 4) == 200)
+    assert(Similarity.ivfCellsFor(Long.MaxValue / 8) == (1 << 20))
+    val ns = Seq(1L, 100L, 10000L, 1000000L, 100000000L)
+    val cells = ns.map(Similarity.ivfCellsFor(_))
+    assert(cells == cells.sorted, s"non-monotone: $cells")
+    // the probed corpus fraction nProbe/nCells vanishes with n
+    val fr = ns.map(n => 4.0 / Similarity.ivfCellsFor(n))
+    assert(fr == fr.sorted.reverse, s"fraction not shrinking: $fr")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfCellsFor(-1)
+    }
+  }
 }
