@@ -1365,6 +1365,35 @@ object Queries {
         .select(col("bin"), col("__x.n").as("n"),
           col("__x.__k").as("__k"), col("__x.__cs").as("__cs")))
     }),
+    "q_stream_theil" -> ((s, dir) => {
+      // Inequality monitoring AT INGEST: the (lang, n_chars) count
+      // lattice as a streaming GROUPED aggregate (built-in
+      // partial-agg state, one row per (lang, value) cell - the
+      // q_stream_hosmer shape keyed by the inequality lattice),
+      // drained into the SAME Theil within/between finish and gating
+      // on the IDENTICAL oracle. Integer counts are associative, so
+      // the file-to-batch split cannot change the drained state; the
+      // state is bounded by |langs| x |distinct lengths| (quantized
+      // by contract upstream at corpus scale).
+      val name = s"q_stream_theil_${streamRun.incrementAndGet()}"
+      implicit val sp: SparkSession = s
+      val d = graft.streaming.Streams.docsStream(s, dir)
+        .filter(col("n_chars").isNotNull && col("n_chars") > 0 &&
+          col("lang").isNotNull)
+        .select(col("lang").cast(StringType).as("__g"),
+          col("n_chars").cast(LongType).as("__v"))
+      val agg = d.groupBy(col("__g"), col("__v"))
+        .agg(count(lit(1)).as("__c"))
+      val drained = graft.streaming.Streams.runAvailableNow(
+        agg, name, shufflePartitions = Some(8))
+      // localCheckpoint: theilFromCounts self-joins its input (byG /
+      // tot derive from the same frame) and a memory-sink VIEW on
+      // both sides trips resolver reference-dedup (INTERNAL_ERROR);
+      // materializing the bounded lattice gives each consumer a
+      // plain LogicalRDD. Eager + tiny (|langs|·|values| rows).
+      Stats.theilFromCounts(drained.groupBy(col("__g"), col("__v"))
+        .agg(max(col("__c")).as("__c")).localCheckpoint(true))
+    }),
     "q_quality_spiegelhalter" -> ((s, dir) => {
       // Spiegelhalter's Z calibration test (Spiegelhalter, Stat. Med.
       // 1986) on the SAME confidence/outcome pair as q_quality_ece —
@@ -1676,6 +1705,34 @@ object Queries {
       // DECIMAL(38,4).
       Stats.wassersteinByGroup(Tables.documents(s, dir), "n_chars",
         "source", refGroup = "src0")
+    }),
+    "q_anderson_darling" -> ((s, dir) => {
+      // Tail-sensitive k-sample distribution test on the SAME
+      // doc-length-by-source question as q_ks_test/q_wasserstein:
+      // Scholz-Stephens A2_kN (version 1, discrete/tied form). KS
+      // reads the max CDF gap (pinched to 0 in the tails by
+      // F(1-F) geometry); AD's 1/(B(N-B)) weight magnifies exactly
+      // there - the test that catches a source whose LENGTH TAIL
+      // drifted while its bulk stayed put. E[A2] = k-1 under H0.
+      // Same bounded (group, value) grid topology as ksByGroup;
+      // exact-integer numerators in DECIMAL(38,0), 9-dp per-cell
+      // division, DECIMAL fold, one edge round.
+      Stats.adTestByGroup(Tables.documents(s, dir), "n_chars",
+        "source")
+    }),
+    "q_theil_index" -> ((s, dir) => {
+      // Decomposable inequality: Theil T over doc lengths with the
+      // within/between-language split - the question q_gini_revenue's
+      // Lorenz machinery cannot answer ("is length inequality a
+      // BETWEEN-languages story or a within-language story"; a
+      // between-dominated T says rebalance the language mix, a
+      // within-dominated T says cap/split long docs everywhere).
+      // One bounded (lang, n_chars) count frame; ln of exact-integer
+      // ratios at 9 dp (the entropy discipline), exact
+      // DECIMAL(19,0)x(18,9) products, one /X division per component
+      // at the emit edge.
+      Stats.theilDecomposition(Tables.documents(s, dir), "n_chars",
+        "lang")
     }),
     "q_chi_square" -> ((s, dir) => {
       // Frequentist independence test on the same (lang, source)
@@ -2100,6 +2157,18 @@ object Queries {
         .groupBy(dateFmt(col("o_orderdate")).as("d"))
         .agg(dsum(col("o_totalprice")).as("rev"))
       Stats.cusumMaxShift(daily, "d", "rev")
+    }),
+    "q_changepoint_pettitt" -> ((s, dir) => {
+      // Rank-based changepoint on the same daily revenue series as
+      // q_cusum: Pettitt's U_t = 2*sum(ranks<=t) - t(P+1), argmax
+      // |U_t| - the outlier-robust locator (one spike drags cusum's
+      // mean-shift argmax; it moves a rank by one step). Integer
+      // doubled-midranks end to end; the only doubles are the
+      // approximate p = 2*exp(-6K^2/(P^3+P^2)) and the emit.
+      val daily = Tables.orders(s, dir)
+        .groupBy(dateFmt(col("o_orderdate")).as("d"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      Stats.pettittTest(daily, "d", "rev")
     }),
     "q_tail_index" -> ((s, dir) => {
       // HOW heavy is the doc-length upper tail — Hill estimator over
@@ -6905,6 +6974,18 @@ object Queries {
       TextAnalysis.pmiCollocations(Tables.documents(s, dir), col("text"),
         minCount = 5, k = 30)
     }),
+    "q_text_gtest" -> ((s, dir) => {
+      // The small-count-safe collocation ranking next to q_text_pmi:
+      // Dunning's G^2 log-likelihood ratio over the bigram 2x2 table
+      // - PMI divides by tiny expectations and so crowns rare pairs,
+      // G^2 weights association by its evidence, so the top-30 here
+      // are pairs that are BOTH associated and well-attested. Same
+      // bigram count shuffle; margins derive from the persisted
+      // vocab-sized frame; exact-integer xlx terms at 9 dp folded as
+      // DECIMAL, one edge round.
+      TextAnalysis.gtestCollocations(Tables.documents(s, dir),
+        col("text"), minCount = 5, k = 30)
+    }),
     "q_partition_prune" -> ((s, dir) => {
       // Partition pruning end-to-end: write orders Hive-partitioned by
       // month (one file per partition — writePartitioned's small-file
@@ -11205,6 +11286,11 @@ object Queries {
         |FROM one JOIN sev USING (d)""".stripMargin,
     "q_label_entropy" -> labelEntropyOracle,
     "q_ks_test" -> ksTestOracle,
+    "q_anderson_darling" -> adTestOracle,
+    "q_theil_index" -> theilOracle,
+    "q_changepoint_pettitt" -> pettittOracle(ordersDailyRevSpine),
+    "q_stream_theil" -> theilOracle,
+    "q_text_gtest" -> gtestOracle,
     // Wasserstein replica: same spine × groups grid as KS, the
     // integer common-denominator gap × DECIMAL(18,4) step, one
     // double division at the edge
@@ -15325,6 +15411,142 @@ object Queries {
     * streaming twin — the f2Oracle spine-parameterization pattern):
     * exact DECIMAL T_i = n·cum_i − i·total, argmax with day
     * tiebreak, one 6-dp edge round. */
+  /** q_anderson_darling replica: the ksTestOracle grid topology
+    * (pooled distinct-value spine, per-group cumulative windows),
+    * exact HUGEINT numerators/denominators, 9-dp per-cell division,
+    * DECIMAL(28,9) fold, one edge round. */
+  private def adTestOracle: String =
+    """WITH v AS (SELECT CAST(source AS VARCHAR) AS g,
+      |  CAST(n_chars AS DOUBLE) AS x FROM documents
+      | WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+      |c AS (SELECT g, x, CAST(count(*) AS BIGINT) AS c
+      | FROM v GROUP BY 1, 2),
+      |pool AS (SELECT x, CAST(sum(c) AS BIGINT) AS l,
+      |  CAST(sum(sum(c)) OVER (ORDER BY x ASC) AS BIGINT) AS b,
+      |  CAST(sum(sum(c)) OVER () AS BIGINT) AS nn
+      | FROM c GROUP BY x),
+      |gi AS (SELECT g, CAST(sum(c) AS BIGINT) AS ni
+      | FROM c GROUP BY g),
+      |grid AS (SELECT gi.g, gi.ni, pool.x, pool.l, pool.b, pool.nn
+      | FROM gi CROSS JOIN pool),
+      |fil AS (SELECT grid.g, grid.ni, grid.x, grid.l, grid.b,
+      |  grid.nn, coalesce(c.c, 0) AS c
+      | FROM grid LEFT JOIN c ON grid.g = c.g AND grid.x = c.x),
+      |cum AS (SELECT g, ni, x, l, b, nn,
+      |  CAST(sum(c) OVER (PARTITION BY g ORDER BY x ASC)
+      |    AS BIGINT) AS m
+      | FROM fil),
+      |terms AS (SELECT g, nn AS n,
+      |  round(CAST(CAST(l AS HUGEINT) * (nn * m - ni * b) *
+      |      (nn * m - ni * b) AS DOUBLE) /
+      |    CAST(CAST(nn AS HUGEINT) * b * (nn - b) * ni AS DOUBLE), 9)
+      |    AS t
+      | FROM cum WHERE b < nn)
+      |SELECT CAST(count(DISTINCT g) AS BIGINT) AS k,
+      | CAST(max(n) AS BIGINT) AS n,
+      | (SELECT CAST(count(*) AS BIGINT) FROM pool) AS n_values,
+      | round(CAST(sum(CAST(t AS DECIMAL(28,9))) AS DOUBLE), 6) AS a2
+      |FROM terms""".stripMargin
+
+  /** q_theil_index replica: the same (group, value) count frame,
+    * exact integer/HUGEINT ln arguments, 9-dp DECIMAL(18,9) logs,
+    * exact DECIMAL(19,0)x(18,9) products, one /X per component. */
+  private def theilOracle: String =
+    """WITH r AS (SELECT CAST(lang AS VARCHAR) AS g,
+      |  CAST(n_chars AS BIGINT) AS v FROM documents
+      | WHERE n_chars IS NOT NULL AND n_chars > 0
+      |   AND lang IS NOT NULL),
+      |c AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+      | FROM r GROUP BY 1, 2),
+      |bg AS (SELECT g, CAST(sum(c * v) AS BIGINT) AS xg,
+      |  CAST(sum(c) AS BIGINT) AS ng FROM c GROUP BY g),
+      |tot AS (SELECT CAST(sum(xg) AS BIGINT) AS xx,
+      |  CAST(sum(ng) AS BIGINT) AS nn,
+      |  CAST(count(*) AS BIGINT) AS k FROM bg),
+      |tt AS (SELECT round(CAST(sum(CAST(cv * v AS DECIMAL(19,0)) *
+      |    CAST(round(ln(CAST(v * nn AS DOUBLE) /
+      |      CAST(xx AS DOUBLE)), 9) AS DECIMAL(18,9))) AS DOUBLE) /
+      |    CAST(max(xx) AS DOUBLE), 6) AS theil_total
+      | FROM (SELECT v, CAST(sum(c) AS BIGINT) AS cv
+      |       FROM c GROUP BY v), tot),
+      |tb AS (SELECT CAST(max(nn) AS BIGINT) AS n,
+      |  CAST(max(k) AS BIGINT) AS n_groups,
+      |  round(CAST(sum(CAST(xg AS DECIMAL(19,0)) *
+      |    CAST(round(ln(CAST(CAST(xg AS HUGEINT) * nn AS DOUBLE) /
+      |      CAST(CAST(xx AS HUGEINT) * ng AS DOUBLE)), 9)
+      |      AS DECIMAL(18,9))) AS DOUBLE) /
+      |    CAST(max(xx) AS DOUBLE), 6) AS theil_between
+      | FROM bg, tot),
+      |tw AS (SELECT round(CAST(sum(CAST(c.c * c.v AS DECIMAL(19,0)) *
+      |    CAST(round(ln(CAST(c.v * bg.ng AS DOUBLE) /
+      |      CAST(bg.xg AS DOUBLE)), 9) AS DECIMAL(18,9))) AS DOUBLE) /
+      |    CAST(max(tot.xx) AS DOUBLE), 6) AS theil_within
+      | FROM c JOIN bg USING (g), tot)
+      |SELECT n, n_groups, theil_total, theil_between, theil_within
+      |FROM tb, tt, tw""".stripMargin
+
+  /** q_changepoint_pettitt replica over any daily spine: integer
+    * doubled midranks (2*minrank + ties - 1), exact prefix-sum U_t,
+    * earliest-period argmax, the classic exp p-approximation in
+    * literal IEEE order. */
+  private def pettittOracle(spine: String): String =
+    s"""WITH daily AS ($spine),
+       |c AS (SELECT d, CAST(rev AS DECIMAL(18,4)) AS x FROM daily),
+       |rk AS (SELECT d, x,
+       |  rank() OVER (ORDER BY x ASC) AS mr,
+       |  count(*) OVER (PARTITION BY x) AS ties,
+       |  row_number() OVER (ORDER BY d ASC) AS t,
+       |  count(*) OVER () AS p
+       | FROM c),
+       |u AS (SELECT d, t, p,
+       |  CAST(sum(2 * mr + ties - 1) OVER (ORDER BY d ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) - t * (p + 1) AS u
+       | FROM rk)
+       |SELECT CAST(p AS BIGINT) AS n_periods, d AS change_at,
+       | CAST(abs(u) AS BIGINT) AS u_abs,
+       | round(2.0 * exp(-6.0 * CAST(u AS DOUBLE) * CAST(u AS DOUBLE) /
+       |   (CAST(p AS DOUBLE) * CAST(p AS DOUBLE) * CAST(p AS DOUBLE) +
+       |    CAST(p AS DOUBLE) * CAST(p AS DOUBLE))), 6) AS p_approx
+       |FROM u WHERE t < p
+       |ORDER BY abs(u) DESC, d ASC LIMIT 1""".stripMargin
+
+  /** q_text_gtest replica: the pmiOracle bigram machinery with
+    * BIGRAM-table margins, the nine xlx(n) = n*round(ln n, 9) terms
+    * as exact DECIMAL(19,0)x(18,9) products folded in DECIMAL, x2
+    * after the double cast, one 6-dp edge round. */
+  private def gtestOracle: String = {
+    def xlx(e: String): String =
+      s"(CASE WHEN ($e) > 0 THEN CAST(CAST(($e) AS DECIMAL(19,0)) * " +
+        s"CAST(round(ln(CAST(($e) AS DOUBLE)), 9) AS DECIMAL(18,9)) " +
+        s"AS DECIMAL(28,9)) ELSE CAST(0 AS DECIMAL(28,9)) END)"
+    s"""WITH tk AS (SELECT $toksSql AS toks FROM documents),
+       |bgf AS (SELECT bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+       |  SELECT unnest(list_transform(range(1, len(toks)),
+       |    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg
+       |  FROM tk WHERE len(toks) >= 2)),
+       |cab0 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab
+       | FROM bgf GROUP BY 1, 2),
+       |cab AS (SELECT * FROM cab0 WHERE n_ab >= 5),
+       |rm AS (SELECT w1, CAST(sum(n_ab) AS BIGINT) AS ca
+       | FROM cab0 GROUP BY 1),
+       |cm AS (SELECT w2, CAST(sum(n_ab) AS BIGINT) AS cb
+       | FROM cab0 GROUP BY 1),
+       |tt AS (SELECT CAST(sum(n_ab) AS BIGINT) AS t FROM cab0)
+       |SELECT w1, w2, n_ab,
+       | round(CAST((
+       |   ${xlx("n_ab")} + ${xlx("ca - n_ab")} + ${xlx("cb - n_ab")} +
+       |   ${xlx("tt.t - ca - cb + n_ab")} -
+       |   ${xlx("ca")} - ${xlx("tt.t - ca")} - ${xlx("cb")} -
+       |   ${xlx("tt.t - cb")} +
+       |   ${xlx("tt.t")}) AS DOUBLE) * 2.0, 6) AS g2
+       |FROM cab
+       | JOIN rm USING (w1)
+       | JOIN cm USING (w2)
+       | CROSS JOIN tt
+       |ORDER BY g2 DESC, w1 ASC, w2 ASC LIMIT 30""".stripMargin
+  }
+
   private def cusumOracle(spine: String): String =
     s"""WITH daily AS ($spine),
        |c AS (SELECT d, CAST(rev AS DECIMAL(18,4)) AS x FROM daily),

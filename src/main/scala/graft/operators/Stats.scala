@@ -6602,4 +6602,257 @@ object Stats {
     idx.unpersist(false)
     out
   }
+
+  /** k-sample Anderson–Darling test (Scholz & Stephens 1987,
+    * "version 1" right-continuous-ECDF statistic, ties handled by
+    * the discrete formula): over the pooled distinct values z_j with
+    * pooled multiplicity l_j, pooled cumulative B_j, and per-sample
+    * cumulative M_ij,
+    *
+    *   A² = Σ_i (1/n_i) Σ_{j: B_j<N} l_j·(N·M_ij − n_i·B_j)² /
+    *        (N·B_j·(N−B_j))
+    *
+    * — the tail-sensitive sibling of [[ksByGroup]] (KS is blind in
+    * the tails where its CDF gap is pinched; AD's 1/(B(N−B)) weight
+    * is exactly the tail magnifier) and of [[wassersteinByGroup]].
+    * E[A²] = k−1 under H₀, so a2 ≫ k−1 rejects "all sources draw
+    * one length distribution". The statistic is the UNstandardized
+    * A²_kN; the Scholz–Stephens σ_N standardization is a closed
+    * form of (k, N) alone, replayable downstream of the gate.
+    *
+    * Scale shape: the [[ksByGroup]] topology — ONE map-side-combined
+    * (group, value) count, a distinct-value spine × groups grid,
+    * per-group cumulative windows; the value spine's global
+    * cumulative is a [[Guards.boundedSeries]] single-partition
+    * window (distinct values are quantized/bounded by contract).
+    *
+    * Determinism: every numerator/denominator is an exact integer —
+    * (N·M − n_i·B)² fixes as DECIMAL(38,0) (N·M can pass 2³¹ but the
+    * square must not hit double space), one division per (i, j) cell
+    * rounds at 9 dp, DECIMAL(28,9) fold, one 6-dp edge round.
+    *
+    * Returns one row: (k, n, n_values, a2). */
+  def adTestByGroup(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String): DataFrame = {
+    val d0 = DecimalType(38, 0)
+    val v = df
+      .select(col(groupCol).cast(StringType).as("__g"),
+        col(valueCol).cast(DoubleType).as("__x"))
+      .filter(col("__x").isNotNull && col("__g").isNotNull)
+    val counts = v.groupBy(col("__g"), col("__x"))
+      .agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pooled spine: l_j and B_j over distinct values (bounded frame)
+    val wPool = Guards.seriesWindow(col("__x").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAllPool = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pooled = Guards.boundedSeries(
+        counts.groupBy(col("__x")).agg(sum(col("__c")).as("__l")),
+        "adTestByGroup value spine")
+      .withColumn("__b", sum(col("__l")).over(wPool))
+      .withColumn("__nn", sum(col("__l")).over(wAllPool))
+    val groups = counts.groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__ni"))
+    val grid = groups.select(col("__g"), col("__ni"))
+      .crossJoin(pooled.select(col("__x"), col("__l"), col("__b"),
+        col("__nn")))
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__x").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = grid
+      .join(counts, Seq("__g", "__x"), "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+      .withColumn("__m", sum(col("__c")).over(wCum))
+    // __nn is the POOLED N (the formula's N); __ni the sample size
+    val diff = (col("__nn") * col("__m") -
+      col("__ni") * col("__b")).cast(d0)
+    val terms = filled
+      .filter(col("__b") < col("__nn"))
+      .select(col("__g"), col("__nn").as("__n"), col("__ni"),
+        round((col("__l").cast(d0) * diff * diff).cast(DoubleType) /
+          (col("__nn").cast(d0) * col("__b").cast(d0) *
+            (col("__nn") - col("__b")).cast(d0) *
+            col("__ni").cast(d0)).cast(DoubleType), 9)
+          .cast(DecimalType(28, 9)).as("__t"))
+    val out = terms
+      .agg(count_distinct(col("__g")).as("k"),
+        max(col("__n")).as("n"),
+        round(sum(col("__t")).cast(DoubleType), 6).as("a2"))
+      .crossJoin(broadcast(
+        pooled.agg(count(lit(1)).as("n_values"))))
+      .select(col("k"), col("n"), col("n_values"), col("a2"))
+      .localCheckpoint(true)
+    counts.unpersist(false)
+    out
+  }
+
+  /** Theil T inequality index with its within/between-group
+    * decomposition (Theil 1967) — the DECOMPOSABLE complement of
+    * the Gini/Lorenz pair: T_total = T_between + T_within exactly
+    * (in real arithmetic; each side here is computed independently
+    * under the 9-dp fold, so the identity holds to emit precision),
+    * which answers "is corpus length inequality a BETWEEN-languages
+    * story or a within-language story" — the question Gini cannot
+    * split.
+    *
+    *   T_total   = Σ_v (c_v·v/X) · ln(v·N/X)
+    *   T_between = Σ_g (X_g/X) · ln(X_g·N / (X·n_g))
+    *   T_within  = Σ_{g,v} (c_gv·v/X) · ln(v·n_g/X_g)
+    *
+    * over positive integer values v (here: per-doc sizes), pooled
+    * count c_v, group totals X_g = Σ c_gv·v, grand total X, counts
+    * n_g, N.
+    *
+    * Scale shape: ONE map-side-combined (group, value) count frame
+    * (bounded by |groups|·|distinct values|); group and grand totals
+    * are aggregates of that frame, broadcast back; no window touches
+    * corpus-sized data.
+    *
+    * Determinism: each ln argument is a ratio of exact integers
+    * (both < 2⁵³, cast to DOUBLE exactly; the division is correctly
+    * rounded in both engines, ln's ≤1-ulp wobble is absorbed by the
+    * 9-dp round — the [[entropyByGroup]] discipline), each ln fixes
+    * at 9 dp as DECIMAL(18,9), multiplies by the exact long c·v
+    * (→ DECIMAL(38,9), exact), folds as DECIMAL, and the single /X
+    * division + 6-dp round happen once at the emit edge.
+    *
+    * Returns one row: (n, n_groups, theil_total, theil_between,
+    * theil_within). */
+  def theilDecomposition(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String): DataFrame = {
+    val rows = df
+      .select(col(groupCol).cast(StringType).as("__g"),
+        col(valueCol).cast(LongType).as("__v"))
+      .filter(col("__v").isNotNull && col("__v") > 0 &&
+        col("__g").isNotNull)
+    theilFromCounts(rows.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__c")))
+  }
+
+  /** The Theil finish over an already-aggregated (__g, __v, __c)
+    * count frame — shared by [[theilDecomposition]] and the
+    * streaming twin (whose drained grouped-aggregate state IS this
+    * frame, so both gate on one oracle). */
+  def theilFromCounts(countsIn: DataFrame): DataFrame = {
+    // exact decimal products: DECIMAL(19,0)·DECIMAL(18,9) → (38,9)
+    // stays under the 38-precision cap (a (38,9) left side would trip
+    // Spark's precision-loss rule and silently reduce the scale)
+    val d9 = DecimalType(19, 0)
+    val counts = countsIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val byG = counts.groupBy(col("__g"))
+      .agg(sum(col("__c") * col("__v")).as("__xg"),
+        sum(col("__c")).as("__ng"))
+    val tot = byG.agg(sum(col("__xg")).as("__xx"),
+      sum(col("__ng")).as("__nn"), count(lit(1)).as("__k"))
+    def ln9(c: Column): Column =
+      round(log(c), 9).cast(DecimalType(18, 9))
+    // T_total over the pooled value spine
+    val tTot = counts.groupBy(col("__v"))
+      .agg(sum(col("__c")).as("__cv"))
+      .crossJoin(broadcast(tot))
+      .select((col("__cv") * col("__v")).cast(d9) *
+        ln9((col("__v") * col("__nn")).cast(DoubleType) /
+          col("__xx").cast(DoubleType)) as "__t",
+        col("__xx"))
+      .groupBy(col("__xx"))
+      .agg(sum(col("__t")).as("__s"))
+      .select(round(col("__s").cast(DoubleType) /
+        col("__xx").cast(DoubleType), 6).as("theil_total"))
+    // T_between over the group frame
+    val tBet = byG.crossJoin(broadcast(tot))
+      .select(col("__xg").cast(d9) *
+        ln9((col("__xg").cast(DecimalType(38, 0)) * col("__nn"))
+            .cast(DoubleType) /
+          (col("__xx").cast(DecimalType(38, 0)) * col("__ng"))
+            .cast(DoubleType)) as "__t",
+        col("__xx"), col("__nn"), col("__k"))
+      .groupBy(col("__xx"), col("__nn"), col("__k"))
+      .agg(sum(col("__t")).as("__s"))
+      .select(col("__nn").as("n"), col("__k").as("n_groups"),
+        round(col("__s").cast(DoubleType) /
+          col("__xx").cast(DoubleType), 6).as("theil_between"),
+        col("__xx"))
+    // T_within over the (group, value) frame
+    val tWit = counts.join(broadcast(byG), Seq("__g"))
+      .crossJoin(broadcast(tot))
+      .select((col("__c") * col("__v")).cast(d9) *
+        ln9((col("__v") * col("__ng")).cast(DoubleType) /
+          col("__xg").cast(DoubleType)) as "__t",
+        col("__xx"))
+      .groupBy(col("__xx"))
+      .agg(sum(col("__t")).as("__s"))
+      .select(round(col("__s").cast(DoubleType) /
+        col("__xx").cast(DoubleType), 6).as("theil_within"))
+    val out = tBet.crossJoin(broadcast(tTot))
+      .crossJoin(broadcast(tWit))
+      .select(col("n"), col("n_groups"), col("theil_total"),
+        col("theil_between"), col("theil_within"))
+      .localCheckpoint(true)
+    counts.unpersist(false)
+    out
+  }
+
+  /** Pettitt changepoint test (Pettitt 1979) over an
+    * ALREADY-AGGREGATED period series — the RANK-based (outlier-
+    * robust) sibling of [[cusumMaxShift]]'s mean-shift locator: with
+    * midranks R_i of the values, U_t = 2·Σ_{i≤t} R_i − t·(P+1), the
+    * change point is argmax |U_t| over t < P, and the classic
+    * approximation p ≈ 2·exp(−6K²/(P³+P²)) gates significance. A
+    * single revenue spike that drags cusum's argmax leaves Pettitt's
+    * ranks almost untouched.
+    *
+    * Scale shape: the [[cusumMaxShift]] control-frame discipline —
+    * the caller aggregates the corpus to periods upstream; here
+    * everything is two [[Guards.boundedSeries]] windows (one rank
+    * pass, one prefix sum) over the days-bounded frame.
+    *
+    * Determinism: midranks are held as the INTEGER doubled midrank
+    * D_i = 2·minrank_i + ties_i − 1 (so U_t = Σ D_i − t·(P+1) is an
+    * exact long fold — no half-rank floats); argmax ties break to
+    * the earliest period; the only doubles are the final p-value exp
+    * (1-ulp wobble absorbed by the 6-dp round) and the emitted K.
+    *
+    * Returns one row: (n_periods, change_at, u_abs, p_approx). */
+  def pettittTest(
+      series: DataFrame,
+      orderCol: String,
+      valueCol: String): DataFrame = {
+    val x4 = col(valueCol).cast(DecimalType(18, 4))
+    val base = Guards.boundedSeries(series, "pettittTest")
+      .select(col(orderCol), x4.as("__x"))
+    // doubled midrank: 2·minrank + ties − 1 (integer; ties share it)
+    val wRank = Guards.seriesWindow(col("__x").asc)
+    val ranked = base
+      .withColumn("__mr", rank().over(wRank))
+      .withColumn("__ties",
+        count(lit(1)).over(Window.partitionBy(col("__x"))))
+      .withColumn("__d", lit(2L) * col("__mr") + col("__ties") - 1L)
+    val wCum = Guards.seriesWindow(col(orderCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val u = ranked
+      .withColumn("__t",
+        row_number().over(Guards.seriesWindow(col(orderCol).asc)))
+      .withColumn("__p", count(lit(1)).over(wAll))
+      .withColumn("__u",
+        sum(col("__d")).over(wCum) - col("__t") * (col("__p") + 1L))
+    u.filter(col("__t") < col("__p"))
+      .orderBy(abs(col("__u")).desc, col(orderCol).asc)
+      .limit(1)
+      .select(col("__p").as("n_periods"),
+        col(orderCol).as("change_at"),
+        abs(col("__u")).as("u_abs"),
+        round(lit(2.0) * exp(lit(-6.0) *
+          col("__u").cast(DoubleType) * col("__u").cast(DoubleType) /
+          (col("__p").cast(DoubleType) * col("__p").cast(DoubleType) *
+            col("__p").cast(DoubleType) +
+            col("__p").cast(DoubleType) * col("__p").cast(DoubleType))),
+          6).as("p_approx"))
+  }
 }

@@ -919,6 +919,84 @@ object TextAnalysis {
     out
   }
 
+  /** Bigram collocation mining by Dunning's log-likelihood ratio
+    * (Dunning 1993, "Accurate Methods for the Statistics of Surprise
+    * and Coincidence") — the SMALL-COUNT-SAFE sibling of
+    * [[pmiCollocations]]: PMI explodes for rare pairs (it divides by
+    * tiny expected counts), while G² weights evidence by how much
+    * data supports it, so high-G² pairs are both associated AND
+    * well-attested. Over the bigram 2×2 table (first-word = a) ×
+    * (second-word = b) with cell k11 = c_ab, margins c_a· (bigrams
+    * starting with a), c_·b (ending with b), total T:
+    *
+    *   G² = 2·[ Σ_cells xlx − Σ_rows xlx − Σ_cols xlx + xlx(T) ]
+    *
+    * with xlx(n) = n·ln n (0 at n = 0) — the entropy form, all
+    * arguments exact integers.
+    *
+    * Scale shape: one bigram count shuffle (map-side combined); the
+    * two margin frames are aggregates of that persisted
+    * vocabulary-sized frame joined back on a word key; T broadcasts;
+    * the global top-`k` is a TakeOrderedAndProject.
+    *
+    * Determinism: ln of each exact integer fixes at 9 dp as
+    * DECIMAL(18,9), multiplies by the exact long count (DECIMAL
+    * (38,9), exact), the nine ±terms fold as DECIMAL, one 6-dp edge
+    * round — both engines replay bit-for-bit.
+    *
+    * Returns (w1, w2, n_ab, g2) — the top-`k` by (g2 desc, w1, w2). */
+  def gtestCollocations(
+      docs: DataFrame,
+      text: Column,
+      minCount: Int,
+      k: Int): DataFrame = {
+    require(minCount > 0 && k > 0, "minCount and k must be positive")
+    val toks = docs.select(tokens(lower(text)).as("__tk"))
+      .filter(size(col("__tk")) >= 2)
+    val bigrams = toks.select(explode(expr(
+        "transform(sequence(0, size(__tk) - 2), " +
+          "i -> struct(__tk[i] AS w1, __tk[i + 1] AS w2))")).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // one corpus pass; margins and the total derive from this frame
+    val bgAll = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .persist(lvl)
+    val rowM = bgAll.groupBy(col("w1")).agg(sum(col("n_ab")).as("ca"))
+    val colM = bgAll.groupBy(col("w2")).agg(sum(col("n_ab")).as("cb"))
+    val totals = bgAll.agg(sum(col("n_ab")).as("__t"))
+    // exact decimal product: DECIMAL(19,0)·DECIMAL(18,9) fits the
+    // 38-precision cap at scale 9 — a (38,9)·(18,9) multiply would
+    // trip Spark's precision-loss rule and silently reduce the scale
+    // each term narrows to DECIMAL(28,9) (values ≤ T·ln T ≈ 10¹⁷/10⁹
+    // — 17 digits, fits with room) so the nine chained ±adds stay
+    // under the 38-digit width cap in BOTH engines
+    def xlx(c: Column): Column =
+      when(c > 0, (c.cast(DecimalType(19, 0)) *
+          round(log(c.cast(DoubleType)), 9).cast(DecimalType(18, 9)))
+          .cast(DecimalType(28, 9)))
+        .otherwise(lit(0).cast(DecimalType(28, 9)))
+    val out = bgAll.filter(col("n_ab") >= minCount)
+      .join(rowM, Seq("w1"))
+      .join(colM, Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_ab"),
+        // the nine ±terms fold exactly in DECIMAL; the ×2 happens
+        // after the cast to double (doubling a double is exact)
+        round((xlx(col("n_ab")) + xlx(col("ca") - col("n_ab")) +
+            xlx(col("cb") - col("n_ab")) +
+            xlx(col("__t") - col("ca") - col("cb") + col("n_ab")) -
+            xlx(col("ca")) - xlx(col("__t") - col("ca")) -
+            xlx(col("cb")) - xlx(col("__t") - col("cb")) +
+            xlx(col("__t"))).cast(DoubleType) * lit(2.0), 6).as("g2"))
+      .orderBy(col("g2").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+      .persist(lvl)
+    out.count()
+    bgAll.unpersist(false)
+    out
+  }
+
   /** Word n-grams WITH multiplicity (the bag the DSIR bucket model
     * counts — [[graft.operators.Dedup.shinglesOfTokens]] dedups, this
     * must not): consecutive `n`-token windows joined by one space;

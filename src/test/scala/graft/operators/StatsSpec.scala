@@ -2733,4 +2733,58 @@ class StatsSpec extends SparkSpecBase {
       .map(r => (r.getDouble(3), r.getDouble(4)))
     assert(m.forall(t => t._1 == t._2), s"got ${m.toSeq}")
   }
+
+  test("adTestByGroup: hand-computed 2-sample A2; equal samples -> 0") {
+    import spark.implicits._
+    // X = {1,2}, Y = {3,4}: pooled B = (1,2,3,4); Scholz-Stephens
+    // version-1 components are 5/6 each -> A2 = 5/3
+    val df = Seq(("a", 1), ("a", 2), ("b", 3), ("b", 4)).toDF("g", "x")
+    val r = Stats.adTestByGroup(df, "x", "g").collect()(0)
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 4L &&
+      r.getAs[Long]("n_values") == 4L, s"got $r")
+    assert(math.abs(r.getAs[Double]("a2") - 5.0 / 3.0) < 2e-6,
+      s"a2: ${r.getAs[Double]("a2")}")
+    // identical distributions: every M_ij = n_i*B_j/N exactly -> 0
+    val same = Seq(("a", 1), ("a", 2), ("b", 1), ("b", 2)).toDF("g", "x")
+    val r2 = Stats.adTestByGroup(same, "x", "g").collect()(0)
+    assert(r2.getAs[Double]("a2") == 0.0, s"got $r2")
+  }
+
+  test("theilDecomposition: equality -> 0; within+between = total " +
+      "to emit precision on a skewed fixture") {
+    import spark.implicits._
+    val eq = Seq(("a", 10), ("a", 10), ("b", 10), ("b", 10))
+      .toDF("g", "v")
+    val r0 = Stats.theilDecomposition(eq, "v", "g").collect()(0)
+    assert(r0.getAs[Double]("theil_total") == 0.0 &&
+      r0.getAs[Double]("theil_between") == 0.0 &&
+      r0.getAs[Double]("theil_within") == 0.0, s"got $r0")
+    // skew between groups AND within one group
+    val df = Seq(("a", 1), ("a", 9), ("b", 40), ("b", 50))
+      .toDF("g", "v")
+    val r = Stats.theilDecomposition(df, "v", "g").collect()(0)
+    val (t, b, w) = (r.getAs[Double]("theil_total"),
+      r.getAs[Double]("theil_between"), r.getAs[Double]("theil_within"))
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("n_groups") == 2L)
+    assert(t > 0 && b > 0 && w > 0, s"got $r")
+    assert(math.abs(t - (b + w)) < 1e-5,
+      s"decomposition identity: $t vs ${b + w}")
+    // between dominates: the a/b gap dwarfs the within-b spread
+    assert(b > w, s"expected between-dominated: $r")
+  }
+
+  test("pettittTest: level shift located at the break; p small") {
+    import spark.implicits._
+    val days = (1 to 20).map(i => (f"2024-01-$i%02d",
+      if (i <= 10) 10.0 + (i % 3) else 50.0 + (i % 3)))
+    val r = Stats.pettittTest(days.toDF("d", "v"), "d", "v")
+      .collect()(0)
+    assert(r.getAs[Long]("n_periods") == 20L, s"got $r")
+    assert(r.getAs[String]("change_at") == "2024-01-10",
+      s"change_at: $r")
+    // max |U| for a clean split of 10 vs 10 is 2*10*10/2... exact:
+    // all first-10 ranks below all last-10 -> |U_10| = 100
+    assert(r.getAs[Long]("u_abs") == 100L, s"u_abs: $r")
+    assert(r.getAs[Double]("p_approx") < 0.01, s"p: $r")
+  }
 }
