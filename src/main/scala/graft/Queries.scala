@@ -1847,6 +1847,30 @@ object Queries {
       Stats.rocAuc(docs, col("n_chars"),
         TextAnalysis.tokenCount(col("text")) >= 70)
     }),
+    "q_quality_ndcg" -> ((s, dir) => {
+      // The HEAD-quality view of the q_quality_auc audit: NDCG@100
+      // of the free byte-length ranking against the token gate. AUC
+      // scores the whole order; a pre-filter consumes only the top
+      // slice, and NDCG's log discount scores exactly that slice.
+      // Top-k is a TakeOrderedAndProject; discounts are the fixed
+      // 9-dp 1/log2(i+1) table both engines generate.
+      val docs = Tables.documents(s, dir)
+        .filter(col("n_chars").isNotNull)
+      Stats.ndcgAtK(docs, col("n_chars"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")) >= 70, k = 100)
+    }),
+    "q_quality_mcc" -> ((s, dir) => {
+      // The single-threshold confusion summary next to the
+      // threshold-free q_quality_auc: Matthews correlation of the
+      // "n_chars >= 300" cheap gate against the token gate -
+      // symmetric in classes and 0 for any constant classifier,
+      // which accuracy and F1 are not under imbalance. One
+      // conditional-count scan; exact DECIMAL(38,0) products.
+      val docs = Tables.documents(s, dir)
+        .filter(col("n_chars").isNotNull)
+      Stats.mcc(docs, col("n_chars") >= 300L,
+        TextAnalysis.tokenCount(col("text")) >= 70)
+    }),
     "q_quality_lift" -> ((s, dir) => {
       // The budget-cut view of the q_quality_auc audit: per
       // n_chars-descending decile, the token-gate pass rate,
@@ -2105,6 +2129,21 @@ object Queries {
           col("event_type"))
         .agg(dsum(col("value")).as("v"))
       Stats.friedman(cells, "d", "event_type", "v")
+    }),
+    "q_page_trend" -> ((s, dir) => {
+      // Does revenue RISE THROUGH THE WEEK? Page's L across the
+      // Monday-first weekday order within complete ISO weeks - the
+      // ordered-alternative sibling of q_friedman (which only asks
+      // "do weekdays differ at all"). Complete-week blocks, the
+      // friedman doubled-rank trick for ties, exact-integer L and z
+      // numerator, one sqrt at the edge.
+      val dow = (dayofweek(col("dt")) + lit(5)) % 7
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("dt"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+        .select(date_sub(col("dt"), dow).cast(StringType).as("wk"),
+          (dow + 1).as("dowi"), col("rev"))
+      Stats.pageTrend(daily, "wk", "dowi", "rev")
     }),
     "q_cronbach" -> ((s, dir) => {
       // Does the three-gate battery hang together as ONE quality
@@ -3886,6 +3925,29 @@ object Queries {
         .select(col("d"),
           (col("__x.s4").cast(DoubleType) / 10000.0).as("rev"))
       Stats.cusumMaxShift(latest, "d", "rev")
+    }),
+    "q_stream_pettitt" -> ((s, dir) => {
+      // Rank-based changepoint AT INGEST: the same exact daily-sum
+      // drain as q_stream_cusum, finished by the Pettitt rank
+      // locator - the outlier-robust ingest alarm beside the
+      // mean-shift one, gating on the same spine-parameterized
+      // oracle as the batch tail.
+      val name = s"q_stream_pettitt_${streamRun.incrementAndGet()}"
+      implicit val sp: SparkSession = s
+      val purchases = graft.streaming.Streams.eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("d"),
+          col("value"))
+      val drained = graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.dailySumState(purchases,
+          col("d"), col("value")).toDF(),
+        name, shufflePartitions = Some(8))
+      val latest = drained.groupBy(col("d"))
+        .agg(max(struct(col("updates"), col("n"), col("s4")))
+          .as("__x"))
+        .select(col("d"),
+          (col("__x.s4").cast(DoubleType) / 10000.0).as("rev"))
+      Stats.pettittTest(latest, "d", "rev")
     }),
     "q_stream_mk" -> ((s, dir) => {
       // Trend significance AT INGEST: the same exact daily-sum drain
@@ -11290,6 +11352,10 @@ object Queries {
     "q_theil_index" -> theilOracle,
     "q_changepoint_pettitt" -> pettittOracle(ordersDailyRevSpine),
     "q_stream_theil" -> theilOracle,
+    "q_stream_pettitt" -> pettittOracle(purchaseDailyRevSpine),
+    "q_quality_ndcg" -> ndcgOracle,
+    "q_quality_mcc" -> mccOracle,
+    "q_page_trend" -> pageTrendOracle,
     "q_text_gtest" -> gtestOracle,
     // Wasserstein replica: same spine × groups grid as KS, the
     // integer common-denominator gap × DECIMAL(18,4) step, one
@@ -15484,6 +15550,106 @@ object Queries {
       | FROM c JOIN bg USING (g), tot)
       |SELECT n, n_groups, theil_total, theil_between, theil_within
       |FROM tb, tt, tw""".stripMargin
+
+  /** q_quality_ndcg replica: top-100 by (n_chars desc, doc_id asc),
+    * 9-dp DECIMAL(18,9) discount table, ideal fold over
+    * i = 1..min(k, P), 6-dp edges, division of rounded operands. */
+  private def ndcgOracle: String =
+    """WITH b AS (SELECT CAST(n_chars AS BIGINT) AS s, doc_id AS id,
+      |  CASE WHEN coalesce(len(list_filter(
+      |      regexp_split_to_array(text, '\s+'),
+      |      w -> len(w) > 0)) >= 70, false) THEN 1 ELSE 0 END AS r
+      | FROM documents WHERE n_chars IS NOT NULL),
+      |top AS (SELECT * FROM b ORDER BY s DESC, id ASC LIMIT 100),
+      |d AS (SELECT r,
+      |  row_number() OVER (ORDER BY s DESC, id ASC) AS i FROM top),
+      |dcg AS (SELECT coalesce(sum(CASE WHEN r = 1 THEN
+      |    CAST(round(1.0 / log2(i + 1), 9) AS DECIMAL(18,9))
+      |    ELSE CAST(0 AS DECIMAL(18,9)) END),
+      |    CAST(0 AS DECIMAL(18,9))) AS dcg,
+      |  CAST(coalesce(sum(r), 0) AS BIGINT) AS n_pos_topk FROM d),
+      |p AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT)
+      |    AS n_pos_total FROM b),
+      |ideal AS (SELECT max(n_pos_total) AS n_pos_total,
+      |  coalesce(sum(CAST(round(1.0 / log2(i + 1), 9)
+      |    AS DECIMAL(18,9))), CAST(0 AS DECIMAL(18,9))) AS idcg
+      | FROM (SELECT n_pos_total,
+      |   unnest(range(1, greatest(least(100, n_pos_total), 0) + 1))
+      |     AS i FROM p)),
+      |j AS (SELECT * FROM dcg, ideal)
+      |SELECT CAST(100 AS BIGINT) AS k, n_pos_total, n_pos_topk,
+      | round(CAST(dcg AS DOUBLE), 6) AS dcg,
+      | round(CAST(idcg AS DOUBLE), 6) AS idcg,
+      | CASE WHEN idcg > 0 THEN
+      |   round(round(CAST(dcg AS DOUBLE), 6) /
+      |     round(CAST(idcg AS DOUBLE), 6), 6) END AS ndcg
+      |FROM j""".stripMargin
+
+  /** q_quality_mcc replica: four conditional counts, HUGEINT
+    * products, one sqrt + division, NULL on degenerate margins. */
+  private def mccOracle: String =
+    """WITH v AS (SELECT n_chars >= 300 AS p,
+      |  coalesce(len(list_filter(
+      |    regexp_split_to_array(text, '\s+'),
+      |    w -> len(w) > 0)) >= 70, false) AS y
+      | FROM documents WHERE n_chars IS NOT NULL),
+      |m AS (SELECT
+      |  CAST(coalesce(sum(CASE WHEN p AND y THEN 1 ELSE 0 END), 0)
+      |    AS BIGINT) AS tp,
+      |  CAST(coalesce(sum(CASE WHEN p AND NOT y THEN 1 ELSE 0 END), 0)
+      |    AS BIGINT) AS fp,
+      |  CAST(coalesce(sum(CASE WHEN NOT p AND y THEN 1 ELSE 0 END), 0)
+      |    AS BIGINT) AS fn,
+      |  CAST(coalesce(sum(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END),
+      |    0) AS BIGINT) AS tn
+      | FROM v)
+      |SELECT tp + fp + fn + tn AS n, tp, fp, fn, tn,
+      | CASE WHEN CAST(tp + fp AS HUGEINT) * (tp + fn) * (tn + fp) *
+      |     (tn + fn) > 0 THEN
+      |   round(CAST(CAST(tp AS HUGEINT) * tn -
+      |       CAST(fp AS HUGEINT) * fn AS DOUBLE) /
+      |     sqrt(CAST(CAST(tp + fp AS HUGEINT) * (tp + fn) *
+      |       (tn + fp) * (tn + fn) AS DOUBLE)), 6) END AS mcc
+      |FROM m""".stripMargin
+
+  /** q_page_trend replica: Monday-first weekday positions within
+    * complete ISO weeks, the friedman doubled-rank windows, exact
+    * DECIMAL L2 = Σ j·2R and z numerator, one sqrt. */
+  private def pageTrendOracle: String =
+    """WITH daily AS (SELECT o_orderdate AS dt,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+      |    AS DOUBLE), 4) AS rev
+      | FROM orders GROUP BY 1),
+      |c AS (SELECT strftime(CAST(dt - (isodow(dt) - 1) * INTERVAL 1 DAY
+      |    AS DATE), '%Y-%m-%d') AS b,
+      |  CAST(isodow(dt) AS BIGINT) AS j, CAST(rev AS DOUBLE) AS x
+      | FROM daily),
+      |bl AS (SELECT b FROM c GROUP BY b
+      | HAVING count(*) = 7 AND count(DISTINCT j) = 7),
+      |cb AS (SELECT c.* FROM c JOIN bl USING (b)),
+      |rk AS (SELECT b, j, x,
+      |  row_number() OVER (PARTITION BY b ORDER BY x ASC, j ASC)
+      |    AS rk FROM cb),
+      |r2 AS (SELECT b, j,
+      |  min(rk) OVER (PARTITION BY b, x) +
+      |  max(rk) OVER (PARTITION BY b, x) AS r2 FROM rk),
+      |agg AS (SELECT CAST(count(*) / 7 AS BIGINT) AS nb,
+      |  CAST(coalesce(sum(CAST(j AS DECIMAL(38,0)) * r2), 0)
+      |    AS DECIMAL(38,0)) AS l2 FROM r2)
+      |SELECT nb AS n_blocks, CAST(7 AS BIGINT) AS k_treatments,
+      | round(CAST(l2 AS DOUBLE) / 2.0, 1) AS l_stat,
+      | CASE WHEN nb > 0 THEN
+      |   round(CAST(CAST(6 AS DECIMAL(38,0)) * l2 -
+      |       CAST(1344 AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0))
+      |       AS DOUBLE) /
+      |     (7.0 * 8.0 * sqrt(CAST(nb AS DOUBLE) * 6.0)), 6) END AS z,
+      | CASE WHEN nb > 0 THEN (CASE WHEN abs(
+      |   round(CAST(CAST(6 AS DECIMAL(38,0)) * l2 -
+      |       CAST(1344 AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0))
+      |       AS DOUBLE) /
+      |     (7.0 * 8.0 * sqrt(CAST(nb AS DOUBLE) * 6.0)), 6)) > 1.96
+      |   THEN 'reject' ELSE 'keep' END) END AS verdict
+      |FROM agg""".stripMargin
 
   /** q_changepoint_pettitt replica over any daily spine: integer
     * doubled midranks (2*minrank + ties - 1), exact prefix-sum U_t,

@@ -6855,4 +6855,194 @@ object Stats {
             col("__p").cast(DoubleType) * col("__p").cast(DoubleType))),
           6).as("p_approx"))
   }
+
+  /** NDCG@k of a cheap ranking score against a boolean relevance
+    * label — the RANK-QUALITY audit beside [[rocAuc]] (AUC scores
+    * the whole order; NDCG@k scores the HEAD, which is what a
+    * "scan the top slice by the free column" pre-filter actually
+    * consumes): DCG = Σ_{i≤k} rel_i/log₂(i+1) over the (score desc,
+    * id asc) top-k, IDCG = the same sum with all of the corpus's P
+    * positives packed first (i ≤ min(k, P)), ndcg = DCG/IDCG.
+    *
+    * Scale shape: the top-k is a TakeOrderedAndProject (never a full
+    * sort); P is one map-side-combined count; the discount table and
+    * both folds live on k-row control frames.
+    *
+    * Determinism: each discount 1/log₂(i+1) rounds at 9 dp and
+    * folds as DECIMAL(18,9) (rel is 0/1, so gains are sums of the
+    * same fixed table both engines generate); ndcg is one division
+    * of 6-dp-rounded operands. Ties rank by id asc.
+    *
+    * Returns one row: (k, n_pos_total, n_pos_topk, dcg, idcg,
+    * ndcg). */
+  def ndcgAtK(
+      df: DataFrame,
+      scoreCol: Column,
+      idCol: Column,
+      label: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val base = df.select(scoreCol.as("__s"), idCol.as("__id"),
+      when(label, 1L).otherwise(0L).as("__r"))
+    val top = base
+      .orderBy(col("__s").desc, col("__id").asc).limit(k)
+    val disc9 = round(lit(1.0) /
+      log(2.0, col("__i").cast(DoubleType) + lit(1.0)), 9)
+      .cast(DecimalType(18, 9))
+    val dcg = top
+      .withColumn("__i",
+        row_number().over(Guards.seriesWindow(col("__s").desc,
+          col("__id").asc)))
+      .agg(coalesce(sum(when(col("__r") === 1L, disc9)
+          .otherwise(lit(0).cast(DecimalType(18, 9)))),
+          lit(0).cast(DecimalType(18, 9))).as("__dcg"),
+        coalesce(sum(col("__r")), lit(0L)).as("n_pos_topk"))
+    val pos = base.agg(coalesce(sum(col("__r")), lit(0L))
+      .as("n_pos_total"))
+    // ideal fold: the same 9-dp discount table over i = 1..min(k, P)
+    val idcg = pos
+      .select(col("n_pos_total"),
+        explode(sequence(lit(1L),
+          greatest(least(lit(k.toLong), col("n_pos_total")), lit(0L))))
+          .as("__i"))
+      .agg(max(col("n_pos_total")).as("n_pos_total"),
+        coalesce(sum(disc9), lit(0).cast(DecimalType(18, 9)))
+          .as("__idcg"))
+    dcg.crossJoin(broadcast(idcg))
+      .select(lit(k.toLong).as("k"),
+        coalesce(col("n_pos_total"), lit(0L)).as("n_pos_total"),
+        col("n_pos_topk"),
+        round(col("__dcg").cast(DoubleType), 6).as("dcg"),
+        round(col("__idcg").cast(DoubleType), 6).as("idcg"),
+        when(col("__idcg") > 0,
+          round(round(col("__dcg").cast(DoubleType), 6) /
+            round(col("__idcg").cast(DoubleType), 6), 6))
+          .as("ndcg"))
+  }
+
+  /** Matthews correlation coefficient of a thresholded score against
+    * a boolean label — the single-number confusion-matrix summary
+    * that, unlike accuracy or F1, is symmetric in classes and honest
+    * under imbalance (MCC = 0 for any constant classifier):
+    * MCC = (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN)).
+    *
+    * ONE map-side-combined conditional-count scan; the closed form
+    * runs on the 1-row frame. Products fix as DECIMAL(38,0) (four
+    * counts up to n each — n⁴ passes 2⁶³ long before 38 digits),
+    * one IEEE sqrt, one division, 6-dp edge round. Degenerate
+    * margins (any factor 0) emit NULL mcc, not a division crash.
+    *
+    * Returns one row: (n, tp, fp, fn, tn, mcc). */
+  def mcc(
+      df: DataFrame,
+      predicted: Column,
+      label: Column): DataFrame = {
+    val d0 = DecimalType(38, 0)
+    def cnt(c: Column): Column =
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+    val m = df.agg(
+      cnt(predicted && label).as("tp"),
+      cnt(predicted && !label).as("fp"),
+      cnt(!predicted && label).as("fn"),
+      cnt(!predicted && !label).as("tn"))
+    val num = (col("tp").cast(d0) * col("tn").cast(d0) -
+      col("fp").cast(d0) * col("fn").cast(d0))
+    val den = (col("tp") + col("fp")).cast(d0) *
+      (col("tp") + col("fn")).cast(d0) *
+      (col("tn") + col("fp")).cast(d0) *
+      (col("tn") + col("fn")).cast(d0)
+    m.select(
+      (col("tp") + col("fp") + col("fn") + col("tn")).as("n"),
+      col("tp"), col("fp"), col("fn"), col("tn"),
+      when(den > 0,
+        round(num.cast(DoubleType) / sqrt(den.cast(DoubleType)), 6))
+        .as("mcc"))
+  }
+
+  /** Page's L test for a MONOTONE trend across ordered treatments
+    * within blocks (Page 1963) — the ordered-alternative sibling of
+    * [[friedman]] (Friedman asks "do treatments differ AT ALL";
+    * Page asks "do they rise IN THIS ORDER", which is strictly more
+    * powerful when the order is the hypothesis): with within-block
+    * ranks R and treatment positions j = 1..k,
+    * L = Σ_j j·R_j, z = (12L − 3·b·k(k+1)²)/(k(k+1)·√(b(k−1))).
+    *
+    * Only COMPLETE blocks count (a missing treatment would deflate
+    * its column sum); ties take average ranks via the [[friedman]]
+    * doubled-rank trick (2R = min+max of row_number over the tied
+    * span — integer, exact; the z denominator is the no-ties form,
+    * the standard approximation under sparse ties). All of L, E[L],
+    * and the z numerator are exact integers (12L = 6·ΣjR2); the
+    * only doubles are one sqrt and the final division, 6-dp edge
+    * round.
+    *
+    * Scale shape: the [[friedman]] topology — one aggregate to the
+    * (block, treatment) cell frame upstream, per-block rank windows
+    * on the bounded cell frame, a k-row column-sum fold.
+    *
+    * Returns one row: (n_blocks, k_treatments, l_stat, z, verdict)
+    * — verdict rejects H₀ (no trend) in favor of a MONOTONE
+    * INCREASE across the given order at |z| > 1.96 two-sided
+    * (negative z = decreasing trend). */
+  def pageTrend(
+      df: DataFrame,
+      blockCol: String,
+      treatPosCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.select(col(blockCol).cast(StringType).as("__b"),
+        col(treatPosCol).cast(LongType).as("__j"),
+        col(valueCol).cast(DoubleType).as("__x"))
+      .filter(col("__b").isNotNull && col("__j").isNotNull &&
+        col("__x").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val k = base.select(countDistinct(col("__j"))).collect()(0)
+      .getLong(0)
+    if (k < 3 || k > 20) {
+      base.unpersist(false)
+      require(k >= 3 && k <= 20,
+        s"pageTrend needs 3..20 ordered treatments, got $k")
+    }
+    val blocks = base.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__nb"),
+        countDistinct(col("__j")).as("__kb"))
+      .filter(col("__nb") === k && col("__kb") === k)
+      .select(col("__b"))
+    val cb = base.join(blocks, Seq("__b"))
+    val wR = Window.partitionBy(col("__b"))
+      .orderBy(col("__x").asc, col("__j").asc)
+    val wV = Window.partitionBy(col("__b"), col("__x"))
+    val dec = DecimalType(38, 0)
+    // positions are re-densified to 1..k by global rank of __j so a
+    // caller's ordering column may be any ordered integers
+    val posRank = base.select(col("__j")).distinct()
+      .withColumn("__p",
+        row_number().over(Guards.seriesWindow(col("__j").asc)))
+    val l2 = cb
+      .withColumn("__rk", row_number().over(wR))
+      .withColumn("__r2",
+        min(col("__rk")).over(wV) + max(col("__rk")).over(wV))
+      .join(broadcast(posRank), Seq("__j"))
+      .agg((count(lit(1)) / lit(k)).cast(LongType).as("__nblocks"),
+        coalesce(sum((col("__p") * col("__r2")).cast(dec)),
+          lit(0).cast(dec)).as("__l2"))
+    val bD = col("__nblocks").cast(DoubleType)
+    val kD = lit(k.toDouble)
+    val zNum = lit(6L).cast(dec) * col("__l2") -
+      (lit(3L * k * (k + 1) * (k + 1)).cast(dec) *
+        col("__nblocks").cast(dec))
+    val z = round(zNum.cast(DoubleType) /
+      (kD * lit(k + 1.0) * sqrt(bD * lit(k - 1.0))), 6)
+    val out = l2
+      .select(col("__nblocks").as("n_blocks"),
+        lit(k).as("k_treatments"),
+        round(col("__l2").cast(DoubleType) / 2.0, 1).as("l_stat"),
+        when(col("__nblocks") > 0, z)
+          .otherwise(lit(null).cast(DoubleType)).as("z"),
+        when(col("__nblocks") > 0,
+          when(abs(z) > 1.96, lit("reject")).otherwise(lit("keep")))
+          .otherwise(lit(null).cast(StringType)).as("verdict"))
+      .localCheckpoint(true)
+    base.unpersist(false)
+    out
+  }
 }

@@ -2787,4 +2787,64 @@ class StatsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("u_abs") == 100L, s"u_abs: $r")
     assert(r.getAs[Double]("p_approx") < 0.01, s"p: $r")
   }
+
+  test("ndcgAtK: hand-computed top-3; ideal packing") {
+    import spark.implicits._
+    // scores 5..1, labels T F T F F, k=3: DCG = 1 + 0 + 1/2 = 1.5;
+    // P = 2 -> IDCG = 1 + 1/log2(3)
+    val df = Seq((5L, 1L, true), (4L, 2L, false), (3L, 3L, true),
+      (2L, 4L, false), (1L, 5L, false)).toDF("s", "id", "y")
+    val r = Stats.ndcgAtK(df, col("s"), col("id"), col("y"), k = 3)
+      .collect()(0)
+    assert(r.getAs[Long]("n_pos_total") == 2L &&
+      r.getAs[Long]("n_pos_topk") == 2L, s"got $r")
+    assert(r.getAs[Double]("dcg") == 1.5, s"dcg: $r")
+    val idealExp = 1.0 + 1.0 / (math.log(3.0) / math.log(2.0))
+    assert(math.abs(r.getAs[Double]("idcg") - idealExp) < 1e-6,
+      s"idcg: $r")
+    assert(math.abs(r.getAs[Double]("ndcg") - 1.5 / idealExp) < 1e-5,
+      s"ndcg: $r")
+    // perfect head: all top-k relevant -> ndcg = 1 exactly (same
+    // rounded table on both sides of the division)
+    val perfect = Seq((5L, 1L, true), (4L, 2L, true), (3L, 3L, true),
+      (2L, 4L, false)).toDF("s", "id", "y")
+    val rp = Stats.ndcgAtK(perfect, col("s"), col("id"), col("y"), 3)
+      .collect()(0)
+    assert(rp.getAs[Double]("ndcg") == 1.0, s"got $rp")
+  }
+
+  test("mcc: perfect = 1, inverted = -1, degenerate margin = NULL") {
+    import spark.implicits._
+    val df = Seq((true, true), (true, true), (false, false),
+      (false, false)).toDF("p", "y")
+    val r = Stats.mcc(df, col("p"), col("y")).collect()(0)
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Double]("mcc") == 1.0,
+      s"got $r")
+    val inv = Stats.mcc(df, !col("p"), col("y")).collect()(0)
+    assert(inv.getAs[Double]("mcc") == -1.0, s"got $inv")
+    val const = Stats.mcc(df, lit(true), col("y")).collect()(0)
+    assert(const.isNullAt(const.fieldIndex("mcc")), s"got $const")
+  }
+
+  test("pageTrend: monotone blocks give the exact closed-form z") {
+    import spark.implicits._
+    // k = 3, b = 8, values rise with position in every block:
+    // L = 14b, z = sqrt(2b) = 4 exactly
+    val rows = for { b <- 1 to 8; j <- 1 to 3 }
+      yield (s"blk$b", j, j * 10.0 + b)
+    val r = Stats.pageTrend(rows.toDF("b", "j", "v"), "b", "j", "v")
+      .collect()(0)
+    assert(r.getAs[Long]("n_blocks") == 8L &&
+      r.getAs[Long]("k_treatments") == 3L, s"got $r")
+    assert(r.getAs[Double]("l_stat") == 112.0, s"l: $r")
+    assert(r.getAs[Double]("z") == 4.0, s"z: $r")
+    assert(r.getAs[String]("verdict") == "reject", s"got $r")
+    // decreasing -> z = -4; incomplete blocks are dropped
+    val dec = (for { b <- 1 to 8; j <- 1 to 3 }
+      yield (s"blk$b", j, -j * 10.0 + b)) ++ Seq(("partial", 1, 1.0))
+    val rd = Stats.pageTrend(dec.toDF("b", "j", "v"), "b", "j", "v")
+      .collect()(0)
+    assert(rd.getAs[Long]("n_blocks") == 8L && 
+      rd.getAs[Double]("z") == -4.0, s"got $rd")
+  }
 }
