@@ -296,7 +296,12 @@ object Queries {
     * Σp12 = 10⁶·Σhi + Σlo reconstructs once per cell (20k decimal
     * ops, control-plane). */
   private def mmdOver(emb: DataFrame): DataFrame = {
-    val packed = emb.groupBy(col("label"))
+    // parallelized: the MmdFold lattice (2080 split-long cells per
+    // row) is the whole cost, and a one-split embeddings scan would
+    // fold it on a single task; split-long sums are exact, pinned
+    // across partitionings by MmdFoldSpec (no-op at scale)
+    val packed = graft.operators.Guards.parallelized(emb)
+      .groupBy(col("label"))
       .agg(graft.functions.MmdFold.mmdCellsAgg(col("e"), MmdDim)
         .as("__x"))
     val cells = packed
@@ -318,7 +323,7 @@ object Queries {
     * 64-cell split-long pass; everything downstream is control-plane
     * (2080 + 64 rows, broadcast joins). */
   private def ckaOver(s: SparkSession, emb: DataFrame): DataFrame = {
-    val cells = emb
+    val cells = graft.operators.Guards.parallelized(emb)
       .agg(graft.functions.MmdFold.mmdCellsAgg(col("e"), MmdDim)
         .as("__x"))
       .select(col("__x.n").as("__n"),
@@ -2071,12 +2076,18 @@ object Queries {
       // labeling-QA gauge the binary q_label_alpha can't express.
       // Pair-sum identity → one aggregate; both D's fix at 6 dp by
       // exact integer division before any double exists.
+      // raters STAGED as projected attributes: a Column passed into
+      // the one-pass aggregate is inlined into every coincidence
+      // term (m, S, Q, the pairable gate …), so an inline tokenizer
+      // would re-tokenize each row ~6× — the meanTokenLengthFromTokens
+      // staging rule (OPTIMIZATION_r16)
+      val tk0 = TextAnalysis.tokenCount(col("text"))
       val docs = Tables.documents(s, dir)
-      val tk = TextAnalysis.tokenCount(col("text"))
+        .select(col("n_chars"),
+          when(tk0 > 0L, tk0 * 8L).as("__tk8"),
+          length(regexp_replace(col("text"), "\\s", "")).as("__nws"))
       Stats.krippendorffAlphaInterval(docs, Seq(
-        col("n_chars"),
-        when(tk > 0L, tk * 8L),
-        length(regexp_replace(col("text"), "\\s", ""))), scale = 0)
+        col("n_chars"), col("__tk8"), col("__nws")), scale = 0)
     }),
     "q_label_alpha" -> ((s, dir) => {
       // Krippendorff's α over the q_fleiss_kappa gate battery WITH
@@ -2085,12 +2096,14 @@ object Queries {
       // exactly the missing-data case kappa cannot absorb and α was
       // built for. LCM-scaled integer coincidences, one aggregate
       // pass, three literal divisions.
+      // gates staged as projected attributes (see q_label_alpha_interval)
+      val tk0 = TextAnalysis.tokenCount(col("text"))
       val docs = Tables.documents(s, dir)
-      val tk = TextAnalysis.tokenCount(col("text"))
-      Stats.krippendorffAlpha(docs, Seq(
-        col("n_chars") >= 400,
-        tk >= 70,
-        when(tk > 0L, col("n_chars") <= tk * 8)))
+        .select((col("n_chars") >= 400).as("__g1"),
+          (tk0 >= 70).as("__g2"),
+          when(tk0 > 0L, col("n_chars") <= tk0 * 8).as("__g3"))
+      Stats.krippendorffAlpha(docs,
+        Seq(col("__g1"), col("__g2"), col("__g3")))
     }),
     "q_mcnemar" -> ((s, dir) => {
       // McNemar on the SAME two gates q_label_kappa scores: kappa
@@ -4335,7 +4348,11 @@ object Queries {
         .agg(max(struct(col("updates"), col("n"), col("s"))).as("x"))
         .select(col("j"), col("x.n").as("__na"), col("x.s").as("__sa"))
       val keyB = col("o_custkey").cast(StringType)
-      val sideB = Tables.orders(s, dir).filter(keyB.isNotNull)
+      // parallelized: 9 sigma hashes × |orders| explode inside a
+      // one-split scan task otherwise (exact integer folds)
+      val sideB = Guards.parallelized(
+          Tables.orders(s, dir).filter(keyB.isNotNull)
+            .select(col("o_custkey")))
         .select(explode(array((0 until 9).map(j =>
           struct(lit(j).as("j"),
             Stats.amsSigma(keyB, j).as("sg"))): _*)).as("x"))

@@ -31,6 +31,14 @@ object Sessions {
       .master(s"local[$cpus,2]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // The generated-code cache defaults to 100 entries; a 399-query
+      // catalog generates thousands of distinct codegen units per
+      // pass, so pass 2 recompiles (Janino, tens of ms per unit) what
+      // pass 1 already compiled. Sizing the cache to the catalog is a
+      // driver/executor-memory-for-CPU trade that holds at any data
+      // scale (the cache is keyed by generated source, not data).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")

@@ -10,8 +10,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * so nothing else in the engine hard-codes paths.
   */
 object Tables {
+  /** Per-session memo of the RESOLVED reader plan for each (dir,
+    * table): `spark.read.parquet` pays DataSource resolution — file
+    * listing plus a parquet-footer schema read — on every call, and a
+    * full catalog run issues it ~400× per pass for the same immutable
+    * files. Memoizing the lazy DataFrame is a catalog lookup (exactly
+    * what `spark.table` does for a registered table): NO data or
+    * results are cached — the plan is an unexecuted scan, and every
+    * query still computes from the parquet inputs. Keyed by session
+    * so tests with fresh sessions never see a stale plan. */
+  private val readerMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    readerMemo.computeIfAbsent((spark, dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")

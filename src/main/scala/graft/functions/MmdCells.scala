@@ -29,6 +29,44 @@ import org.apache.spark.sql.functions.udaf
   */
 object MmdFold {
 
+  /** `BigDecimal.valueOf(x).setScale(0, HALF_UP).longValue()` without
+    * the `Double.toString` that `valueOf` pays per call — the fold's
+    * former hot spot (one shortest-decimal rendering per lattice cell,
+    * ~4M per embedding aggregate at sf0.1; JFR put >90 % of the
+    * aggregate's task time here). Equivalence argument, pinned by
+    * `MmdFoldSpec`:
+    *  - the shortest decimal rendering r of a finite double x
+    *    round-trips to x, and every exact half-integer below 2⁵³ is
+    *    itself a representable double — so r's fractional part is on
+    *    the same side of .5 as x's, and r ends in exactly .5 iff x IS
+    *    an exact half-integer. HALF_UP on the rendering therefore
+    *    equals round-half-away-from-zero on the binary value.
+    *  - |x| < 1 is decided by direct comparison against ±0.5 (the
+    *    floor-subtract route is inexact only in (−1, 0), where
+    *    x − (−1) can round ONTO 0.5).
+    *  - elsewhere frac = x − floor(x) is exact (Sterbenz: x and
+    *    floor(x) are within a factor of two for |floor(x)| ≥ 1), and
+    *    for |x| ≥ 2⁵³ the value is already integral.
+    * Non-finite inputs stay loud (the old path threw from
+    * `BigDecimal.valueOf`). */
+  private[graft] def roundHalfUpToLong(x: Double): Long = {
+    if (!java.lang.Double.isFinite(x))
+      throw new ArithmeticException(
+        s"MmdFold: non-finite lattice product $x")
+    if (x > -1.0 && x < 1.0) {
+      if (x >= 0.5) 1L else if (x <= -0.5) -1L else 0L
+    } else {
+      val f = Math.floor(x)
+      val frac = x - f
+      val r =
+        if (frac > 0.5) f + 1.0
+        else if (frac < 0.5) f
+        else if (x >= 0.0) f + 1.0 // exact .5 tie: away from zero
+        else f
+      r.toLong
+    }
+  }
+
   /** Fold one embedding row into the (hi, lo) split-sum arrays.
     * Elements must be non-null (the lattice is null-free on gated
     * corpora; a null here fails loudly instead of skewing a cell). */
@@ -44,9 +82,7 @@ object MmdFold {
       while (j < dim) {
         val p = ei * e(j)
         val x = p * 1e12
-        val p12 = java.math.BigDecimal.valueOf(x)
-          .setScale(0, java.math.RoundingMode.HALF_UP)
-          .longValue()
+        val p12 = roundHalfUpToLong(x)
         // truncating div/mod pair — the exact identity both engines
         // share (the splitSumState contract)
         hi(k) += p12 / 1000000L

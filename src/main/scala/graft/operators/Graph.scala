@@ -889,8 +889,14 @@ object Graph {
     nodes.count(); eDst.count() // materialize the loop invariants
 
     // normalize a raw decimal score vector: coalesce the no-edge
-    // nodes to 0, divide by the exact L1 total in double, round 6
-    def normalized(raw: DataFrame, outCol: String): DataFrame = {
+    // nodes to 0, divide by the exact L1 total in double, round 6.
+    // The raw join+aggregate is checkpointed FIRST: the L1-total
+    // scalar subquery and the node join are two consumers, and
+    // without the materialization each round evaluated the
+    // edge⋈score aggregate twice (once under the broadcast total,
+    // once under the join — the multi-consumer rule, guide §2.4).
+    def normalized(raw0: DataFrame, outCol: String): DataFrame = {
+      val raw = raw0.localCheckpoint(true) // |nodes| rows
       val tot = raw.agg(sum(col("__raw")).cast(DoubleType).as("__tot"))
       nodes.join(raw, Seq("node"), "left")
         .crossJoin(broadcast(tot))

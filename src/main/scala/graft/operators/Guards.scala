@@ -22,6 +22,33 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType
   */
 object Guards {
 
+  /** Scale-adaptive repartition-after-read (guide §2.5 "one huge
+    * unsplittable file → repartition immediately after the read"):
+    * when a frame's physical plan yields FEWER partitions than the
+    * cluster's default parallelism — single-row-group parquet, a
+    * single gzip member, a post-window one-partition cache — every
+    * downstream per-row stage (decimal moment folds, per-row regex,
+    * custom aggregators) runs on that handful of tasks while the
+    * rest of the cluster idles. This helper widens such a frame to
+    * defaultParallelism with one round-robin exchange and is a
+    * strict NO-OP whenever the source is already at least that
+    * parallel — at 100 TB a real table scan has thousands of splits
+    * and no exchange is added, so it cannot regress scaled runs.
+    * Values are untouched (repartition reorders rows only; callers
+    * are aggregates/order-insensitive folds). */
+  def parallelized(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions < par)
+      // deterministic content-hash distribution, NOT round-robin:
+      // keyless repartition pays a full local sort of its input
+      // (spark.sql.execution.sortBeforeRepartition, for retry
+      // determinism) which measurably ate the parallelism win; a
+      // hash of the whole row is retry-deterministic by construction
+      // (guide §2.5: derive synthetic keys deterministically)
+      df.repartition(par, xxhash64(struct(df.columns.map(col): _*)))
+    else df
+  }
+
   /** The documented control-plane ceiling for single-partition
     * frames: 10⁵ rows — generous for every legitimate series (30
     * years of daily periods ≈ 11k rows; a 10⁴-group census with room

@@ -1962,7 +1962,7 @@ object Stats {
     val p0 = 1.0 / nStates
     var pi = states.withColumn("pi", lit(p0))
     val fold = DecimalType(18, 9)
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val next = tr
         .join(pi.withColumnRenamed("state", "from_state"),
           Seq("from_state"))
@@ -1973,7 +1973,13 @@ object Stats {
         .agg(sum(col("__m")).cast(DoubleType).as("pi"))
       pi = states.join(next, Seq("state"), "left")
         .select(col("state"), coalesce(col("pi"), lit(0.0)).as("pi"))
-        .localCheckpoint(true)
+      // Lineage cut every 4th round, not every round: the matrix is
+      // control-plane (≤ |states|² rows), so each eager checkpoint was
+      // a ~fixed-cost job — 20 of them dominated the operator's
+      // wall-clock. A 4-round lazy chain keeps the plan shallow enough
+      // to analyze cheaply while paying a quarter of the job overhead;
+      // values are untouched (same per-round arithmetic, same order).
+      if (i % 4 == 0 || i == iters) pi = pi.localCheckpoint(true)
     }
     pi.select(col("state"), round(col("pi"), 6).as("pi"))
   }
@@ -2031,7 +2037,11 @@ object Stats {
         min(col(c)).cast(StringType).as(s"__mn_$c"),
         max(col(c)).cast(StringType).as(s"__mx_$c"))
     }
-    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    // parallelized: the Expand plan fans every row out |cols|+1 ways
+    // INSIDE the scan stage — on a one-split input that multiplied
+    // work lands on a single task (exact counts/min/max: partitioning
+    // cannot change them; no-op on an already-parallel scan)
+    val row = Guards.parallelized(df).agg(count(lit(1)).as("__n"), aggs: _*)
     val stacked = cols.map { c =>
       struct(lit(c).as("column"), col("__n").as("n_rows"),
         (col("__n") - col(s"__nn_$c")).as("n_null"),
@@ -4279,7 +4289,9 @@ object Stats {
     // systematically inflated (ADVICE r12)
     val contrib =
       when(pairable, lit(2L) * t * f * factor).otherwise(lit(0L))
-    val one = df.agg(
+    // parallelized: all-integer coincidence sums over a possibly
+    // one-split scan (exact folds — partitioning cannot move a digit)
+    val one = Guards.parallelized(df).agg(
       count(lit(1)).as("__u"),
       coalesce(sum(when(pairable, 1L).otherwise(0L)), lit(0L))
         .as("__p"),
@@ -4361,7 +4373,9 @@ object Stats {
       (lit(2).cast(dec) * (m.cast(dec) * q - s.cast(dec) * s.cast(dec))
         .cast(dec) * factor.cast(dec)).cast(dec))
       .otherwise(lit(0).cast(dec))
-    val one = df.agg(
+    // parallelized: exact integer/decimal coincidence sums (see
+    // krippendorffAlpha)
+    val one = Guards.parallelized(df).agg(
       count(lit(1)).as("__u"),
       coalesce(sum(when(pairable, 1L).otherwise(0L)), lit(0L))
         .as("__p"),
@@ -4726,12 +4740,18 @@ object Stats {
     require(alphaPermille > 0 && alphaPermille < 1000,
       s"alphaPermille out of range: $alphaPermille")
     val dec = DecimalType(18, 4)
-    val base = df.select(idCol.cast(LongType).as("__id"),
+    // parallelized BEFORE the persist: a one-split scan would leave
+    // the cache single-partition, making every downstream pass (fit
+    // moments, kthValue refinement scans, the coverage pass) a
+    // single-task job; all of them are exact-arithmetic folds, so the
+    // widened partitioning cannot move a digit (no-op at scale)
+    val base = Guards.parallelized(
+      df.select(idCol.cast(LongType).as("__id"),
         y.cast(dec).as("__y"), x1.cast(dec).as("__x1"),
         x2.cast(dec).as("__x2"))
-      .na.drop("any", Seq("__id", "__y", "__x1", "__x2"))
-      .withColumn("__calib",
-        Sampling.idBucket(col("__id"), seed) < Sampling.Buckets / 2)
+        .na.drop("any", Seq("__id", "__y", "__x1", "__x2"))
+        .withColumn("__calib",
+          Sampling.idBucket(col("__id"), seed) < Sampling.Buckets / 2))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val calib = base.filter(col("__calib"))
     // the fit is a 1-row scalar consumed by every later pass — collect
@@ -5113,9 +5133,15 @@ object Stats {
       x1: Column,
       x2: Column): DataFrame = {
     val dec = DecimalType(18, 4)
-    val d = df.select(y.cast(dec).as("__y"), x1.cast(dec).as("__x1"),
+    // parallelized: the ten exact-decimal moment folds are the whole
+    // cost of this operator, and a single-split input (one-row-group
+    // parquet) would run them on one task while 31 cores idle; the
+    // widened partial aggregation is exact-decimal, so partitioning
+    // cannot move a digit (no-op on an already-parallel scan)
+    val d = Guards.parallelized(
+      df.select(y.cast(dec).as("__y"), x1.cast(dec).as("__x1"),
         x2.cast(dec).as("__x2"))
-      .na.drop("any", Seq("__y", "__x1", "__x2"))
+        .na.drop("any", Seq("__y", "__x1", "__x2")))
     val one = d.agg(count(lit(1)).as("__n"),
       sum(col("__x1")).as("__s1"), sum(col("__x2")).as("__s2"),
       sum(col("__y")).as("__sy"),
@@ -6016,10 +6042,16 @@ object Stats {
       valueCol: String,
       maxPeriods: Long = 10000L): DataFrame = {
     val w = Guards.seriesWindow(col(orderCol).asc)
+    // Eager localCheckpoint, not persist-then-unpersist: the old
+    // build-time unpersist released the cache BEFORE the caller's
+    // action ran, so the exec-time plan recomputed the whole
+    // scan→agg→global-sort chain once per reference (OPTIMIZATION_r16,
+    // guide §5 cache discipline). The checkpointed spine is ≤
+    // maxPeriods rows and serves every consumer, build and exec alike.
     val idx = Guards.boundedSeries(series, "trend series")
       .select(col(valueCol).cast(DoubleType).as("__y"),
         row_number().over(w).as("__i"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val p = idx.count()
     // Contract guard (VERDICT r8 item 3 / ADVICE r8): the pair frame is
     // P²/2 — fine for the documented per-period (daily/hourly) series,
@@ -6028,28 +6060,47 @@ object Stats {
     // ~50M pairs; longer series need the sampled / repeated-median
     // Theil–Sen variant (Siegel 1982), not a bigger cap. p >= 2 also
     // guards the empty-slope-frame NPE inside globalRankByValue.
-    if (p < 2 || p > maxPeriods) {
-      idx.unpersist(false)
-      require(p >= 2, s"theilSenTrend needs >= 2 periods, got $p")
-      require(p <= maxPeriods,
-        s"theilSenTrend: $p periods -> ${p * (p - 1) / 2} pairwise " +
-          s"slopes exceeds the maxPeriods=$maxPeriods cap; aggregate " +
-          "the series to coarser periods or raise the cap deliberately")
-    }
-    val a = idx.select(col("__i").as("__ia"), col("__y").as("__ya"))
+    require(p >= 2, s"theilSenTrend needs >= 2 periods, got $p")
+    require(p <= maxPeriods,
+      s"theilSenTrend: $p periods -> ${p * (p - 1) / 2} pairwise " +
+        s"slopes exceeds the maxPeriods=$maxPeriods cap; aggregate " +
+        "the series to coarser periods or raise the cap deliberately")
+    // The checkpointed spine is ONE partition (global window), and a
+    // BroadcastNestedLoopJoin streams the left side — without the
+    // repartition every one of the P²/2 pair rows is produced and
+    // filtered by a single task (guide §2: the pair spine was the
+    // catalog's worst single-core straggler). Hash-repartitioning the
+    // streamed side by __i is deterministic and spreads the per-point
+    // pair generation across the cluster.
+    val par = series.sparkSession.sparkContext.defaultParallelism
+    val a = idx.repartition(par, col("__i"))
+      .select(col("__i").as("__ia"), col("__y").as("__ya"))
     val b = idx.select(col("__i").as("__ib"), col("__y").as("__yb"))
     val slopes = a.crossJoin(b).filter(col("__ib") > col("__ia"))
       .select(
         ((col("__yb") - col("__ya")) /
-          (col("__ib") - col("__ia")).cast(DoubleType)).as("__s"),
-        (col("__ia").cast(LongType) * (p + 1) + col("__ib")).as("__t"))
-    val (ranked, n) = globalRankByValue(slopes, "__s", "__t")
+          (col("__ib") - col("__ia")).cast(DoubleType)).as("__s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The slope median consumes exactly TWO adjacent order statistics,
+    // so the full globalRankByValue pass it used to pay — whose
+    // equal-width coarse bins concentrate the heavy-tailed slope
+    // distribution into one range, making phase 2 a single-task sort
+    // of all P²/2 rows — is replaced by [[kthValue]]'s histogram-
+    // refined quickselect: scan-and-collect rounds over the persisted
+    // pair frame, no shuffle, no sort (its own scaladoc prescribes
+    // this exact swap). The k-th VALUE under the (value, tie) total
+    // order is the k-th smallest value, so the median is unchanged.
+    val n = slopes.count()
     val midLo = (n + 1) / 2
     val midHi = (n + 2) / 2
-    val med = ranked.agg(
-      sum(when(col("__rank") === midLo, col("__s"))).as("__a"),
-      sum(when(col("__rank") === midHi, col("__s"))).as("__b"))
-      .select(round((col("__a") + col("__b")) / 2.0, 6).as("slope"))
+    val vLo = kthValue(slopes, "__s", midLo)
+    val vHi = if (midHi == midLo) vLo else kthValue(slopes, "__s", midHi)
+    slopes.unpersist(false)
+    // the 6-dp round runs IN Catalyst on the same (a+b)/2 expression
+    // the ranked median used — bit-identical emitted slope
+    val med = series.sparkSession.range(1)
+      .select(round((lit(vLo) + lit(vHi)) / 2.0, 6).as("slope"))
+      .localCheckpoint(true)
     // residual frame = idx (≤ maxPeriods rows, require-guarded above)
     val wb = Guards.seriesWindow(col("__bv").asc, col("__i").asc)
     val pm = lit((p + 1) / 2)
@@ -6057,15 +6108,13 @@ object Stats {
     val resid = idx.crossJoin(broadcast(med))
       .withColumn("__bv", col("__y") - col("slope") * col("__i"))
       .withColumn("__rk", row_number().over(wb))
-    val out = resid.agg(
+    resid.agg(
       max(col("slope")).as("slope"),
       round((sum(when(col("__rk") === pm, col("__bv"))) +
         sum(when(col("__rk") === ph, col("__bv")))) / 2.0, 6)
         .as("intercept"))
       .select(lit(p).as("n_periods"), lit(n).as("n_pairs"),
         col("slope"), col("intercept"))
-    idx.unpersist(false)
-    out
   }
 
   /** SAMPLED Theil–Sen trend — the long-series escape hatch the
@@ -6095,17 +6144,17 @@ object Stats {
     require(pairsPerPoint >= 1 && pairsPerPoint <= 1024,
       s"pairsPerPoint out of range: $pairsPerPoint")
     val w = Guards.seriesWindow(col(orderCol).asc)
+    // Eager localCheckpoint (see [[theilSenTrend]]): the spine is ≤
+    // bounded-series rows and must survive into the caller's exec.
     val idx = Guards.boundedSeries(series, "trend series")
       .select(col(valueCol).cast(DoubleType).as("__y"),
         row_number().over(w).as("__i"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val p = idx.count()
-    if (p < 2) {
-      idx.unpersist(false)
-      require(p >= 2, s"theilSenSampled needs >= 2 periods, got $p")
-    }
+    require(p >= 2, s"theilSenSampled needs >= 2 periods, got $p")
     val k = pairsPerPoint
-    val pairs = idx.filter(col("__i") < p)
+    val par = series.sparkSession.sparkContext.defaultParallelism
+    val pairs = idx.repartition(par, col("__i")).filter(col("__i") < p)
       .select(col("__i").cast(LongType).as("__ia"), col("__y").as("__ya"),
         explode(sequence(lit(1), lit(k))).as("__r"))
       .withColumn("__j", col("__ia") + 1 +
@@ -6117,15 +6166,19 @@ object Stats {
       .join(idx.select(col("__i").cast(LongType).as("__j"),
         col("__y").as("__yb")), Seq("__j"))
       .select(((col("__yb") - col("__ya")) /
-          (col("__j") - col("__ia")).cast(DoubleType)).as("__s"),
-        (col("__ia") * (p + 1) + col("__j")).as("__t"))
-    val (ranked, n) = globalRankByValue(slopes, "__s", "__t")
+          (col("__j") - col("__ia")).cast(DoubleType)).as("__s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // two order statistics via [[kthValue]] instead of a full rank —
+    // the [[theilSenTrend]] swap (same median, no shuffle/sort)
+    val n = slopes.count()
     val midLo = (n + 1) / 2
     val midHi = (n + 2) / 2
-    val med = ranked.agg(
-      sum(when(col("__rank") === midLo, col("__s"))).as("__a"),
-      sum(when(col("__rank") === midHi, col("__s"))).as("__b"))
-      .select(round((col("__a") + col("__b")) / 2.0, 6).as("slope"))
+    val vLo = kthValue(slopes, "__s", midLo)
+    val vHi = if (midHi == midLo) vLo else kthValue(slopes, "__s", midHi)
+    slopes.unpersist(false)
+    val med = series.sparkSession.range(1)
+      .select(round((lit(vLo) + lit(vHi)) / 2.0, 6).as("slope"))
+      .localCheckpoint(true)
     // residual frame = idx (≤ maxPeriods rows, require-guarded above)
     val wb = Guards.seriesWindow(col("__bv").asc, col("__i").asc)
     val pm = lit((p + 1) / 2)
@@ -6133,15 +6186,13 @@ object Stats {
     val resid = idx.crossJoin(broadcast(med))
       .withColumn("__bv", col("__y") - col("slope") * col("__i"))
       .withColumn("__rk", row_number().over(wb))
-    val out = resid.agg(
+    resid.agg(
       max(col("slope")).as("slope"),
       round((sum(when(col("__rk") === pm, col("__bv"))) +
         sum(when(col("__rk") === ph, col("__bv")))) / 2.0, 6)
         .as("intercept"))
       .select(lit(p).as("n_periods"), lit(n).as("n_pairs"),
         col("slope"), col("intercept"))
-    idx.unpersist(false)
-    out
   }
 
   /** Siegel REPEATED-median trend (Siegel 1982): slope = the median
@@ -6173,27 +6224,35 @@ object Stats {
       valueCol: String,
       maxPeriods: Long = 10000L): DataFrame = {
     val w = Guards.seriesWindow(col(orderCol).asc)
+    // Eager localCheckpoint + streamed-side repartition + eager inner
+    // medians (see [[theilSenTrend]]): the exact repeated-median was
+    // the catalog's slowest query BECAUSE the old persist was released
+    // at build time and the P(P−1) pair pipeline ran single-task and
+    // was re-evaluated by each of globalRankByValue's two collects
+    // plus the exec — ~3 single-core passes over the pair frame.
     val idx = Guards.boundedSeries(series, "trend series")
       .select(col(valueCol).cast(DoubleType).as("__y"),
         row_number().over(w).as("__i"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val p = idx.count()
-    if (p < 2 || p > maxPeriods) {
-      idx.unpersist(false)
-      require(p >= 2, s"siegelTrend needs >= 2 periods, got $p")
-      require(p <= maxPeriods,
-        s"siegelTrend: $p periods -> ${p * (p - 1)} pair slopes " +
-          s"exceeds the maxPeriods=$maxPeriods cap; aggregate the " +
-          "series to coarser periods or raise the cap deliberately")
-    }
-    val a = idx.select(col("__i").as("__ia"), col("__y").as("__ya"))
+    require(p >= 2, s"siegelTrend needs >= 2 periods, got $p")
+    require(p <= maxPeriods,
+      s"siegelTrend: $p periods -> ${p * (p - 1)} pair slopes " +
+        s"exceeds the maxPeriods=$maxPeriods cap; aggregate the " +
+        "series to coarser periods or raise the cap deliberately")
+    val par = series.sparkSession.sparkContext.defaultParallelism
+    val a = idx.repartition(par, col("__i"))
+      .select(col("__i").as("__ia"), col("__y").as("__ya"))
     val b = idx.select(col("__i").as("__ib"), col("__y").as("__yb"))
     val pairs = a.crossJoin(b).filter(col("__ib") =!= col("__ia"))
       .select(col("__ia").as("__i"), col("__ib").as("__j"),
         ((col("__yb") - col("__ya")) /
           (col("__ib") - col("__ia")).cast(DoubleType)).as("__s"))
     // inner median per point: every partition holds exactly P−1 rows,
-    // so the middle ranks are compile-time constants
+    // so the middle ranks are compile-time constants. The per-point
+    // median frame is P rows — eagerly checkpointed so the pair
+    // blow-up is evaluated exactly ONCE (globalRankByValue's two
+    // collects and the outer-median pass all read the P-row artifact).
     val wi = Window.partitionBy(col("__i"))
       .orderBy(col("__s").asc, col("__j").asc)
     val m1 = (p - 1 + 1) / 2
@@ -6202,6 +6261,7 @@ object Stats {
       .groupBy(col("__i"))
       .agg(((sum(when(col("__rk") === m1, col("__s"))) +
         sum(when(col("__rk") === m2, col("__s")))) / 2.0).as("__m"))
+      .localCheckpoint(true)
     val (ranked, n) = globalRankByValue(perI, "__m", "__i")
     val g1 = (n + 1) / 2
     val g2 = (n + 2) / 2
@@ -6209,6 +6269,7 @@ object Stats {
       sum(when(col("__rank") === g1, col("__m"))).as("__a"),
       sum(when(col("__rank") === g2, col("__m"))).as("__b"))
       .select(round((col("__a") + col("__b")) / 2.0, 6).as("slope"))
+      .localCheckpoint(true)
     // residual frame = idx (≤ maxPeriods rows, require-guarded above)
     val wb = Guards.seriesWindow(col("__bv").asc, col("__i").asc)
     val pm = lit((p + 1) / 2)
@@ -6216,14 +6277,12 @@ object Stats {
     val resid = idx.crossJoin(broadcast(med))
       .withColumn("__bv", col("__y") - col("slope") * col("__i"))
       .withColumn("__rk", row_number().over(wb))
-    val out = resid.agg(
+    resid.agg(
       max(col("slope")).as("slope"),
       round((sum(when(col("__rk") === pm, col("__bv"))) +
         sum(when(col("__rk") === ph, col("__bv")))) / 2.0, 6)
         .as("intercept"))
       .select(lit(p).as("n_periods"), col("slope"), col("intercept"))
-    idx.unpersist(false)
-    out
   }
 
   /** SAMPLED Siegel repeated-median trend — the long-series escape
@@ -6251,17 +6310,17 @@ object Stats {
     require(partnersPerPoint >= 1 && partnersPerPoint <= 1024,
       s"partnersPerPoint out of range: $partnersPerPoint")
     val w = Guards.seriesWindow(col(orderCol).asc)
+    // eager localCheckpoint + streamed-side repartition + eager
+    // per-point medians — the [[siegelTrend]] discipline
     val idx = Guards.boundedSeries(series, "trend series")
       .select(col(valueCol).cast(DoubleType).as("__y"),
         row_number().over(w).as("__i"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val p = idx.count()
-    if (p < 2) {
-      idx.unpersist(false)
-      require(p >= 2, s"siegelTrendSampled needs >= 2 periods, got $p")
-    }
+    require(p >= 2, s"siegelTrendSampled needs >= 2 periods, got $p")
     val k = partnersPerPoint
-    val pairs = idx
+    val par = series.sparkSession.sparkContext.defaultParallelism
+    val pairs = idx.repartition(par, col("__i"))
       .select(col("__i").cast(LongType).as("__ia"),
         col("__y").as("__ya"),
         explode(sequence(lit(1), lit(k))).as("__r"))
@@ -6291,6 +6350,7 @@ object Stats {
         sum(when(col("__rk") === expr("(__c + 2) div 2"),
           col("__s")))) / 2.0).as("__m"),
         count(lit(1)).as("__cn"))
+      .localCheckpoint(true) // P rows; pair blow-up evaluated once
     val (ranked, n) = globalRankByValue(perI, "__m", "__ia")
     val g1 = (n + 1) / 2
     val g2 = (n + 2) / 2
@@ -6300,13 +6360,14 @@ object Stats {
       sum(col("__cn")).as("__np"))
       .select(round((col("__a") + col("__b")) / 2.0, 6).as("slope"),
         col("__np"))
+      .localCheckpoint(true)
     val wb = Guards.seriesWindow(col("__bv").asc, col("__i").asc)
     val pm = lit((p + 1) / 2)
     val ph = lit((p + 2) / 2)
     val resid = idx.crossJoin(broadcast(med))
       .withColumn("__bv", col("__y") - col("slope") * col("__i"))
       .withColumn("__rk", row_number().over(wb))
-    val out = resid.agg(
+    resid.agg(
       max(col("slope")).as("slope"),
       max(col("__np")).as("n_pairs"),
       round((sum(when(col("__rk") === pm, col("__bv"))) +
@@ -6314,8 +6375,6 @@ object Stats {
         .as("intercept"))
       .select(lit(p).as("n_periods"), col("n_pairs"),
         col("slope"), col("intercept"))
-    idx.unpersist(false)
-    out
   }
 
   /** Mann–Kendall trend TEST over an ALREADY-AGGREGATED period
@@ -6358,7 +6417,13 @@ object Stats {
         s"mannKendall: $p periods exceeds maxPeriods=$maxPeriods; " +
           "aggregate to coarser periods")
     }
-    val a = idx.select(col("__i").as("__ia"), col("__y").as("__ya"))
+    // streamed-side repartition: spread the single-partition spine's
+    // P²/2 pair generation across the cluster (the [[theilSenTrend]]
+    // fix — a BroadcastNestedLoopJoin inherits the streamed side's
+    // one post-window partition otherwise)
+    val par = series.sparkSession.sparkContext.defaultParallelism
+    val a = idx.repartition(par, col("__i"))
+      .select(col("__i").as("__ia"), col("__y").as("__ya"))
     val b = idx.select(col("__i").as("__ib"), col("__y").as("__yb"))
     val sAgg = a.crossJoin(b).filter(col("__ib") > col("__ia"))
       .agg(sum(when(col("__yb") > col("__ya"), 1L)
@@ -6546,19 +6611,21 @@ object Stats {
       maxPeriods: Long = 10000L): DataFrame = {
     val grp = groupCols.map(col)
     val wIdx = Window.partitionBy(grp: _*).orderBy(col(orderCol).asc)
+    // eager localCheckpoint, not persist-then-unpersist: the old
+    // build-time unpersist made the caller's exec recompute the
+    // indexed series once per reference (×3: both self-join sides and
+    // the residual join — the [[theilSenTrend]] fix). The series is
+    // an already-aggregated per-period spine, bounded by contract.
     val idx = series
       .select(grp ++ Seq(col(valueCol).cast(DoubleType).as("__y"),
         row_number().over(wIdx).as("__i")): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val pmax = idx.groupBy(grp: _*).agg(count(lit(1)).as("__p"))
       .agg(max(col("__p"))).collect()(0).getLong(0)
-    if (pmax > maxPeriods) {
-      idx.unpersist(false)
-      require(pmax <= maxPeriods,
-        s"theilSenByGroup: largest group has $pmax periods -> " +
-          s"${pmax * (pmax - 1) / 2} pair slopes exceeds the " +
-          s"maxPeriods=$maxPeriods cap; aggregate to coarser periods")
-    }
+    require(pmax <= maxPeriods,
+      s"theilSenByGroup: largest group has $pmax periods -> " +
+        s"${pmax * (pmax - 1) / 2} pair slopes exceeds the " +
+        s"maxPeriods=$maxPeriods cap; aggregate to coarser periods")
     val a = idx.select(grp ++ Seq(col("__i").as("__ia"),
       col("__y").as("__ya")): _*)
     val b = idx.select(grp ++ Seq(col("__i").as("__ib"),
@@ -6599,7 +6666,6 @@ object Stats {
             col("__bv")))) / 2.0, 6).as("intercept"))
       .select(grp ++ Seq(col("n_periods"), col("n_pairs"),
         col("slope"), col("intercept")): _*)
-    idx.unpersist(false)
     out
   }
 

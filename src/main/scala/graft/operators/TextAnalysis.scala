@@ -17,9 +17,30 @@ import org.apache.spark.sql.types._
   */
 object TextAnalysis {
 
-  /** Whitespace tokenization; empty tokens removed. */
-  def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => length(t) > 0)
+  /** Whitespace tokenization; empty tokens removed.
+    *
+    * NOT `filter(split(text, "\\s+"), len > 0)`: higher-order array
+    * functions (`ArrayFilter`) are CodegenFallback expressions, and
+    * one in a projection knocks the WHOLE stage out of whole-stage
+    * codegen — JFR showed entire text-family aggregates running
+    * through interpreted `MutableProjection` because of this one
+    * call (guide step "eliminate non-codegen expressions in the hot
+    * path"). Trimming the outer whitespace first makes `split` emit
+    * no empty tokens at all — `"\\s+"`-split empties can only come
+    * from a leading separator match or a trailing one (Spark splits
+    * with limit −1, keeping trailing empties) — so the filter is
+    * unnecessary: identical array for every input, including
+    * NULL (both forms propagate NULL) and empty/all-whitespace text
+    * (the explicit empty-array branch; a bare split would yield
+    * [""]). Everything here is codegen-capable. */
+  def tokens(text: Column): Column = {
+    // btrim with exactly Java-regex \s = [ \t\n\x0B\f\r]: one linear
+    // scan (an anchored-alternation regexp_replace backtracks per
+    // whitespace run at every position — measurably slower on prose)
+    val t = btrim(text, lit(" \t\n\u000B\f\r"))
+    when(t === "", array().cast(ArrayType(StringType)))
+      .otherwise(split(t, "\\s+"))
+  }
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))

@@ -1935,6 +1935,15 @@ object Streams {
       spark.conf.set("spark.sql.shuffle.partitions", n)
       p
     }
+    // These drains checkpoint into a throwaway temp dir that is never
+    // restored from, so the per-file checksum companion writes (Spark
+    // 4.x checkpoint integrity protection) are pure fixed overhead
+    // here — disabled for the drain and restored after. A durable
+    // production checkpoint (e.g. upsertStreamAvailableNow's caller-
+    // provided location) keeps the default.
+    val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val prevCk = spark.conf.getOption(ckKey)
+    spark.conf.set(ckKey, "false")
     try {
       val q = df.writeStream
         .format("memory")
@@ -1943,8 +1952,14 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally prev.foreach(p =>
-      spark.conf.set("spark.sql.shuffle.partitions", p))
+    } finally {
+      prev.foreach(p =>
+        spark.conf.set("spark.sql.shuffle.partitions", p))
+      prevCk match {
+        case Some(v) => spark.conf.set(ckKey, v)
+        case None => spark.conf.unset(ckKey)
+      }
+    }
     spark.table(queryName)
   }
 

@@ -87,4 +87,45 @@ class MmdFoldSpec extends SparkSpecBase {
       viaAgg.getLong(1) == viaExpr.getLong(1),
       s"agg $viaAgg vs expr $viaExpr")
   }
+
+  test("roundHalfUpToLong is bit-for-bit the BigDecimal shortest-" +
+      "decimal HALF_UP round it replaced (adversarial + random)") {
+    def ref(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    // exact half-integer ties (both signs, small and large), the
+    // largest-double-below-.5 family, the (-1, 0) region where
+    // x - floor(x) can round ONTO 0.5, magnitudes where binary
+    // near-tie sums misround floor(x + 0.5), zeros, integral giants
+    val adversarial = Seq(
+      0.5, -0.5, 1.5, -1.5, 2.5, -2.5, 3.5, -3.5,
+      1e12 + 0.5, -(1e12 + 0.5), 4503599627370495.5,
+      0.49999999999999994, -0.49999999999999994,
+      -0.9999999999999999, 0.9999999999999999,
+      -0.5000000000000001, 0.5000000000000001,
+      1e12 + 0.49993896484375, -(1e12 + 0.49993896484375),
+      0.0, -0.0, 1e-300, -1e-300, 1.0, -1.0,
+      9.007199254740992e15, -9.007199254740992e15,
+      123456789012345.5, -123456789012345.5)
+    adversarial.foreach { x =>
+      assert(MmdFold.roundHalfUpToLong(x) == ref(x),
+        s"adversarial x=$x (bits ${java.lang.Double.doubleToLongBits(x)})")
+    }
+    val rnd = new scala.util.Random(20260819)
+    (1 to 200000).foreach { _ =>
+      // mix magnitudes across the lattice's realistic p·1e12 range
+      val mag = math.pow(10, rnd.nextDouble() * 16 - 2)
+      val x = (rnd.nextDouble() * 2 - 1) * mag
+      assert(MmdFold.roundHalfUpToLong(x) == ref(x),
+        s"random x=$x (bits ${java.lang.Double.doubleToLongBits(x)})")
+      // and the exact-tie neighborhood at this magnitude
+      val t = Math.floor(x) + 0.5
+      if (t == Math.floor(t) + 0.5)
+        assert(MmdFold.roundHalfUpToLong(t) == ref(t), s"tie x=$t")
+    }
+    // non-finite stays loud, as BigDecimal.valueOf did
+    intercept[ArithmeticException](
+      MmdFold.roundHalfUpToLong(Double.NaN))
+    intercept[ArithmeticException](
+      MmdFold.roundHalfUpToLong(Double.PositiveInfinity))
+  }
 }
