@@ -655,8 +655,15 @@ object Queries {
     // --- analytics core: agg / join / window / set ----------------------
     "q_agg_pricing" -> ((s, dir) => {
       // TPC-H Q1 shape: wide aggregate with derived decimal measures.
-      val li = Tables.lineitem(s, dir)
-        .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      // filter first (pushed to the scan), then a pruning select +
+      // parallelized so the exact-decimal Q1 folds leave the one-split
+      // scan task (see q_cube)
+      val li = graft.operators.Guards.parallelized(
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")))
       val e  = col("l_extendedprice").cast(DecimalType(12, 4))
       val d1 = (lit(1) - col("l_discount").cast(DecimalType(8, 4)))
         .cast(DecimalType(8, 4))
@@ -3443,6 +3450,12 @@ object Queries {
       val p = Tables.events(s, dir)
         .filter(col("event_type") === "purchase")
       val mx = p.agg(max(to_date(col("ts"))).as("__mxd"))
+      // per-user frame and each scored generation are EAGERLY
+      // checkpointed: globalRankByValue issues two collects per score
+      // and the three scores chain, so without materialization the
+      // R pass re-ran inside the F pass inside the M pass — the
+      // corpus scan multiplied ~9x (OPTIMIZATION_r16). |users| rows
+      // per artifact — the operator's own output scale.
       val per = p.groupBy(col("user_id"))
         .agg(max(to_date(col("ts"))).as("__last"),
           count(lit(1)).as("__f"), dsum(col("value")).as("__m"))
@@ -3451,12 +3464,14 @@ object Queries {
           datediff(col("__mxd"), col("__last")).cast(LongType)
             .as("__rec"),
           col("__f"), col("__m"))
+        .localCheckpoint(true)
       def score(df: DataFrame, v: Column, out: String): DataFrame = {
         val (rk, n) = Stats.globalRankByValue(
           df.withColumn("__sv", v), "__sv", "user_id")
         rk.withColumn(out,
           expr(s"CAST((__rank - 1) * 4 div $n + 1 AS INT)"))
           .drop("__sv", "__rank")
+          .localCheckpoint(true)
       }
       val scored = score(score(score(per,
         col("__rec"), "r_score"),
@@ -4636,7 +4651,11 @@ object Queries {
       // unpivot to (metric, val) rows via Dataset.unpivot — ONE
       // Expand in one scan (the oracle's UNION ALL form would scan
       // four times), then a tiny per-metric aggregate.
-      Tables.lineitem(s, dir)
+      // parallelized after a pruning select (see q_cube)
+      graft.operators.Guards.parallelized(
+          Tables.lineitem(s, dir)
+            .select(col("l_orderkey"), col("l_quantity"),
+              col("l_extendedprice"), col("l_discount"), col("l_tax")))
         .unpivot(
           Array(col("l_orderkey")),
           Array(col("l_quantity"), col("l_extendedprice"),
@@ -4650,7 +4669,12 @@ object Queries {
       // CUBE over (returnflag, linestatus) with grouping_id — all four
       // grouping sets in one pass (Spark expands to a single Expand +
       // aggregate; no per-set rescan).
-      Tables.lineitem(s, dir)
+      // parallelized after a pruning select: the Expand fan-out and
+      // exact-decimal folds otherwise run in the one-split scan task
+      graft.operators.Guards.parallelized(
+          Tables.lineitem(s, dir)
+            .select(col("l_returnflag"), col("l_linestatus"),
+              col("l_quantity")))
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty_sum"),
           grouping_id().as("gid"))

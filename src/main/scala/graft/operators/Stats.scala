@@ -1937,12 +1937,15 @@ object Stats {
     * formulation, like the PageRank dangling contract); states with
     * no incoming transitions finish at 0.
     *
-    * Scale shape: the input is the ALREADY-BOUNDED |states|² matrix —
-    * every iteration is a join+aggregate over ≤ |states|² rows,
-    * localCheckpoint-flattened so 20 rounds don't stack lineage; the
-    * corpus is never rescanned. Determinism: probabilities are the
-    * exact integer ppm / 10⁶; each fold term rounds to 9 dp and
-    * fixes as DECIMAL before the per-state sum.
+    * Scale shape: the input is the ALREADY-BOUNDED |states|² matrix
+    * (the corpus was folded to the bigram census upstream and is
+    * never rescanned), so the fixpoint runs as a guarded DRIVER
+    * power iteration over the collected matrix — the
+    * [[graft.operators.Similarity]] powerIterate pattern; 20
+    * cluster rounds over a few-hundred-row frame were pure job
+    * overhead. Determinism: probabilities are the exact integer
+    * ppm / 10⁶; each term replays Spark's round(·, 9) +
+    * cast(DECIMAL(18,9)) bit-for-bit and sums exactly.
     *
     * Returns one row per state: (state, pi), π after `iters` rounds
     * from the uniform start, 6-dp. */
@@ -1950,38 +1953,71 @@ object Stats {
       transitions: DataFrame,
       iters: Int = 20): DataFrame = {
     require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
+    // DRIVER power iteration over the COLLECTED matrix — the
+    // [[graft.operators.Similarity]] powerIterate precedent: the
+    // input is ≤ |states|² control-plane rows by this operator's own
+    // contract (the corpus was already folded to the event-type
+    // bigram census), and the previous cluster form paid 20 rounds ×
+    // (join + aggregate + lineage management) of fixed job cost to
+    // move a few-hundred-row frame — the catalog's single largest
+    // pure-overhead loop (OPTIMIZATION_r16; neither 1-partition
+    // shuffles nor per-round broadcasts helped, measured). The
+    // collect is guarded loudly; a 10⁶-state chain must partition the
+    // fixpoint, not raise the bound.
+    //
+    // Arithmetic replicates the distributed fold BIT-FOR-BIT (pinned
+    // by StatsSpec and the DuckDB oracle):
+    //   p        = p_ppm / 10⁶ (long→double exact, one IEEE divide)
+    //   round9   = BigDecimal.valueOf(π_from·p).setScale(9, HALF_UP)
+    //              .doubleValue            — Spark round(double, 9)
+    //   term     = BigDecimal.valueOf(round9).setScale(9, HALF_UP)
+    //              — Spark cast(double → DECIMAL(18,9))
+    //   π'_to    = Σ term (exact decimal, order-free) .doubleValue
+    //              — Spark sum(DECIMAL).cast(double)
+    //   absent   = 0.0 — the old left-join coalesce
+    val spark = transitions.sparkSession
     val tr = transitions.select(col("from_state"), col("to_state"),
-        col("p_ppm"))
-      .localCheckpoint(true) // bounded |states|² rows
-    val states = tr.select(col("from_state").as("state"))
-      .union(tr.select(col("to_state").as("state")))
-      .distinct()
-      .localCheckpoint(true)
-    val nStates = states.count()
-    require(nStates >= 1, "no states")
-    val p0 = 1.0 / nStates
-    var pi = states.withColumn("pi", lit(p0))
-    val fold = DecimalType(18, 9)
-    for (i <- 1 to iters) {
-      val next = tr
-        .join(pi.withColumnRenamed("state", "from_state"),
-          Seq("from_state"))
-        .select(col("to_state").as("state"),
-          round(col("pi") * (col("p_ppm").cast(DoubleType) / 1000000.0),
-            9).cast(fold).as("__m"))
-        .groupBy(col("state"))
-        .agg(sum(col("__m")).cast(DoubleType).as("pi"))
-      pi = states.join(next, Seq("state"), "left")
-        .select(col("state"), coalesce(col("pi"), lit(0.0)).as("pi"))
-      // Lineage cut every 4th round, not every round: the matrix is
-      // control-plane (≤ |states|² rows), so each eager checkpoint was
-      // a ~fixed-cost job — 20 of them dominated the operator's
-      // wall-clock. A 4-round lazy chain keeps the plan shallow enough
-      // to analyze cheaply while paying a quarter of the job overhead;
-      // values are untouched (same per-round arithmetic, same order).
-      if (i % 4 == 0 || i == iters) pi = pi.localCheckpoint(true)
+      col("p_ppm").cast(LongType).as("p_ppm"))
+    val stType = tr.schema("from_state").dataType
+    val maxRows = Guards.MaxSeriesRows
+    val rows = tr.limit(maxRows.toInt + 1).collect()
+    require(rows.length <= maxRows,
+      s"markovSteadyState: transition matrix exceeds the $maxRows-row " +
+        "control-plane bound — partition the chain instead")
+    require(rows.nonEmpty, "no states")
+    val from = rows.map(_.get(0))
+    val to = rows.map(_.get(1))
+    val p = rows.map(r => r.getLong(2).toDouble / 1000000.0)
+    val states: Array[Any] = (from ++ to).distinct
+    val idx = states.zipWithIndex.toMap
+    val fi = from.map(idx)
+    val ti = to.map(idx)
+    val rm = java.math.RoundingMode.HALF_UP
+    var pi = Array.fill(states.length)(1.0 / states.length)
+    for (_ <- 1 to iters) {
+      val acc = Array.fill[java.math.BigDecimal](states.length)(null)
+      var r = 0
+      while (r < rows.length) {
+        val t = pi(fi(r)) * p(r)
+        val d9 = java.math.BigDecimal.valueOf(t).setScale(9, rm)
+          .doubleValue
+        val term = java.math.BigDecimal.valueOf(d9).setScale(9, rm)
+        val i = ti(r)
+        acc(i) = if (acc(i) == null) term else acc(i).add(term)
+        r += 1
+      }
+      pi = Array.tabulate(states.length)(i =>
+        if (acc(i) == null) 0.0 else acc(i).doubleValue)
     }
-    pi.select(col("state"), round(col("pi"), 6).as("pi"))
+    val out = states.zip(pi).map { case (s, v) =>
+      org.apache.spark.sql.Row(s, v) }
+    spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(out: _*)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("state", stType),
+          org.apache.spark.sql.types.StructField(
+            "pi", DoubleType))))
+      .select(col("state"), round(col("pi"), 6).as("pi"))
   }
 
   /** Deterministic per-group mode: the most frequent value, ties

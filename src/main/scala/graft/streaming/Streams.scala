@@ -47,6 +47,11 @@ object Streams {
     eventsSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = LongType) else f))
 
+  /** Footer-probe memo keyed by (dir, glob) — see [[eventsStream]]. */
+  private val probeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      StructType]()
+
   /** Streaming read of an events directory (the driver testdata file
     * works as a one-file stream); emits the same shape as
     * `Tables.events`: micro-truncated `ts` + exact `ts_ns`. Both
@@ -62,7 +67,10 @@ object Streams {
     // misread at runtime — ADVICE r7.) The probe also surfaces the
     // legacy-NANOS-without-RequiredConf misconfiguration as an
     // actionable error instead of a mid-stream reader failure.
-    val probed =
+    // memoized per (dir, glob): 41 stream twins each probed the same
+    // immutable footer — listing + schema read per query for a fact
+    // that cannot change within a run (the Tables.load memo rationale)
+    val probed = probeMemo.computeIfAbsent((dir, glob), _ =>
       try spark.read.option("pathGlobFilter", glob).parquet(dir).schema
       catch {
         case e: Throwable
@@ -71,7 +79,7 @@ object Streams {
             s"$dir/$glob uses the legacy TIMESTAMP(NANOS) layout; " +
               "build the session with graft.core.Tables.RequiredConf " +
               "(spark.sql.legacy.parquet.nanosAsLong=true)", e)
-      }
+      })
     val nanosLayout = probed("ts").dataType == LongType
     val r = spark.readStream
       .schema(if (nanosLayout) eventsSchemaNanos else eventsSchema)
@@ -879,7 +887,8 @@ object Streams {
       dir: String,
       glob: String = "documents.parquet",
       maxFilesPerTrigger: Int = 0): DataFrame = {
-    val probed = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val probed = probeMemo.computeIfAbsent((dir, glob), _ =>
+      spark.read.option("pathGlobFilter", glob).parquet(dir).schema)
     require(Seq("doc_id", "text").forall(probed.fieldNames.contains),
       s"$dir/$glob lacks doc_id/text: ${probed.fieldNames.mkString(",")}")
     val r = spark.readStream.schema(probed).option("pathGlobFilter", glob)
@@ -895,7 +904,8 @@ object Streams {
       dir: String,
       glob: String = "embeddings.parquet",
       maxFilesPerTrigger: Int = 0): DataFrame = {
-    val probed = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val probed = probeMemo.computeIfAbsent((dir, glob), _ =>
+      spark.read.option("pathGlobFilter", glob).parquet(dir).schema)
     require(Seq("vec_id", "embedding", "label")
       .forall(probed.fieldNames.contains),
       s"$dir/$glob lacks vec_id/embedding/label: " +
@@ -1944,6 +1954,18 @@ object Streams {
     val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
     val prevCk = spark.conf.getOption(ckKey)
     spark.conf.set(ckKey, "false")
+    // Skip the trailing NO-DATA micro-batch: its purpose is firing
+    // watermark-driven work — append-mode aggregate flushes and state
+    // TIMEOUT callbacks. Every gated twin drains in UPDATE mode (or
+    // Append only for the inner stream-stream join, which emits on
+    // match during the data batch) and runs NoTimeout state, so the
+    // extra batch re-plans and re-executes the full incremental plan
+    // to emit nothing. Set/restored around the drain like the other
+    // two; the DuckDB oracle gates that every drained value is
+    // unchanged.
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNd = spark.conf.getOption(ndKey)
+    spark.conf.set(ndKey, "false")
     try {
       val q = df.writeStream
         .format("memory")
@@ -1958,6 +1980,10 @@ object Streams {
       prevCk match {
         case Some(v) => spark.conf.set(ckKey, v)
         case None => spark.conf.unset(ckKey)
+      }
+      prevNd match {
+        case Some(v) => spark.conf.set(ndKey, v)
+        case None => spark.conf.unset(ndKey)
       }
     }
     spark.table(queryName)
