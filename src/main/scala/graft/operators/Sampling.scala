@@ -202,8 +202,8 @@ object Sampling {
         when(col("__taupri").isNull, wD) // population fits in k
           .otherwise(greatest(wD, tauW)).as("__est"))
       .agg(count(lit(1)).as("k_used"),
-        coalesce(sum(round(col("__est"), 6)
-          .cast(org.apache.spark.sql.types.DecimalType(28, 6))),
+        coalesce(sum(Guards.fastRoundDec(col("__est"), 6,
+          org.apache.spark.sql.types.DecimalType(28, 6))),
           lit(0).cast(org.apache.spark.sql.types.DecimalType(28, 6)))
           .as("__sum"))
       .select(col("k_used"),

@@ -566,8 +566,9 @@ object Similarity {
         when(col("__cap1") >= 2L, col("__c1")).otherwise(col("__c2x")))
     val used = per.filter(col("__c2").isNotNull && col("__c1") < 1.0)
     val s = used.agg(count(lit(1)).as("n_used"),
-      coalesce(sum(round(log((lit(1.0) - col("__c2")) /
-          (lit(1.0) - col("__c1"))), 9).cast(DecimalType(18, 9))),
+      coalesce(sum(Guards.fastRoundDec(
+          log((lit(1.0) - col("__c2")) /
+          (lit(1.0) - col("__c1"))), 9, DecimalType(18, 9))),
         lit(0).cast(DecimalType(18, 9))).as("__s"))
     val nv = corpus.agg(count(lit(1)).as("n_vectors"))
     nv.crossJoin(broadcast(s))
@@ -654,7 +655,8 @@ object Similarity {
         .select(col("cid"), posexplode(col("__v")).as(Seq("d", "x")))
         .groupBy(col("cid"), col("d"))
         .agg(round(
-          sum(col("x").cast(DecimalType(27, 12))).cast(DoubleType) /
+          sum(Guards.fastCastDec(col("x"), DecimalType(27, 12)))
+            .cast(DoubleType) /
             count(lit(1)), 9).as("m"))
         .groupBy(col("cid"))
         .agg(transform(
@@ -728,7 +730,8 @@ object Similarity {
       }
       base.agg(count(lit(1)).as("n"),
           countDistinct(col("cid")).as("cells_used"),
-          round(sum(round(col("__d"), 9).cast(DecimalType(18, 9)))
+          round(sum(Guards.fastRoundDec(col("__d"), 9,
+            DecimalType(18, 9)))
             .cast(DoubleType) / count(lit(1)), 6).as("mean_cos"),
           sum(col("__mv")).as("n_moved"))
         .select(lit(it).as("iter"), col("n"), col("cells_used"),
@@ -743,7 +746,8 @@ object Similarity {
         .select(col("cid"), posexplode(col("__v")).as(Seq("d", "x")))
         .groupBy(col("cid"), col("d"))
         .agg(round(
-          sum(col("x").cast(DecimalType(27, 12))).cast(DoubleType) /
+          sum(Guards.fastCastDec(col("x"), DecimalType(27, 12)))
+            .cast(DoubleType) /
             count(lit(1)), 9).as("m"))
         .groupBy(col("cid"))
         .agg(transform(
@@ -1183,8 +1187,8 @@ object Similarity {
     pqSubbed(queries, idCol, embCol, "query", m, subDim)
       .join(broadcast(cb), Seq("sub"))
       .select(col("query_id"), col("sub"), col("cbid"),
-        round(pqD2(col("query_sv"), col("cv")), 9)
-          .cast(DecimalType(28, 9)).as("__dq"))
+        Guards.fastRoundDec(pqD2(col("query_sv"), col("cv")), 9,
+          DecimalType(28, 9)).as("__dq"))
 
   /** Rank (query, corpus) pairs by the exact-decimal ADC sum; emit
     * top-k with adc rounded at the edge. */
@@ -1757,10 +1761,11 @@ object Similarity {
     emb.select(col(labelCol), dot.as("__dt"), nrm.as("__n2"))
       .groupBy(col(labelCol))
       .agg(count(lit(1)).as("n"),
-        round(sum(round(col("__dt") * col("__dt"), 6)
-          .cast(DecimalType(18, 6))).cast(DoubleType) / lit(vvD), 6)
+        round(sum(Guards.fastRoundDec(col("__dt") * col("__dt"), 6,
+          DecimalType(18, 6))).cast(DoubleType) / lit(vvD), 6)
           .as("energy_removed"),
-        round(sum(round(col("__n2"), 6).cast(DecimalType(18, 6)))
+        round(sum(Guards.fastRoundDec(col("__n2"), 6,
+          DecimalType(18, 6)))
           .cast(DoubleType), 6).as("energy_total"))
   }
 

@@ -336,10 +336,11 @@ object Stats {
       count(lit(1)).as("n_periods"),
       max(col("slope")).as("slope"), max(col("intercept")).as("intercept"),
       coalesce(sum(when(col("__ep").isNotNull,
-        round((col("__e") - col("__ep")) * (col("__e") - col("__ep")),
-          9).cast(fold))), lit(0).cast(fold)).as("__num"),
-      coalesce(sum(round(col("__e") * col("__e"), 9).cast(fold)),
-        lit(0).cast(fold)).as("__den"))
+        Guards.fastRoundDec(
+          (col("__e") - col("__ep")) * (col("__e") - col("__ep")),
+          9, fold))), lit(0).cast(fold)).as("__num"),
+      coalesce(sum(Guards.fastRoundDec(col("__e") * col("__e"), 9,
+        fold)), lit(0).cast(fold)).as("__den"))
     val dw = when(col("n_periods") >= 3 &&
       col("__den").cast(DoubleType) > 0.0,
       round(col("__num").cast(DoubleType) /
@@ -884,9 +885,10 @@ object Stats {
         round(col("n_events").cast(DoubleType) /
           safe(col("n_at_risk").cast(DoubleType)), 6))
       .withColumn("cum_hazard",
-        round(sum(round(col("n_events").cast(DoubleType) /
-          safe(col("n_at_risk").cast(DoubleType)), 9)
-          .cast(DecimalType(28, 9))).over(wAsc).cast(DoubleType), 6))
+        round(sum(Guards.fastRoundDec(
+          col("n_events").cast(DoubleType) /
+          safe(col("n_at_risk").cast(DoubleType)), 9,
+          DecimalType(28, 9))).over(wAsc).cast(DoubleType), 6))
       .select(col("t_days"), col("n_at_risk"), col("n_events"),
         col("n_censored"), col("hazard"), col("cum_hazard"))
   }
@@ -1051,10 +1053,10 @@ object Stats {
     val agg = curves
       .filter(dTot > 0 && nTot > 1)
       .agg(count(lit(1)).as("n_times"),
-        coalesce(sum(round(d(col("__da")) - e1, 9).cast(fold)),
-          lit(0).cast(fold)).as("__oe"),
-        coalesce(sum(round(v, 9).cast(fold)), lit(0).cast(fold))
-          .as("__v"))
+        coalesce(sum(Guards.fastRoundDec(d(col("__da")) - e1, 9,
+          fold)), lit(0).cast(fold)).as("__oe"),
+        coalesce(sum(Guards.fastRoundDec(v, 9, fold)),
+          lit(0).cast(fold)).as("__v"))
     val sizes = marked.groupBy()
       .agg(coalesce(sum(when(col("__g") === groupA, 1L)), lit(0L))
         .as("n_a"),
@@ -1295,8 +1297,8 @@ object Stats {
       max(col("__nr")).as("__nu"),
       coalesce(sum(when(col("__n0") < 2 || col("__n1") < 2, 1L)
         .otherwise(0L)), lit(0L)).as("__small"),
-      coalesce(sum(round(w * diff, 9).cast(fold)), lit(0).cast(fold))
-        .as("__sa"),
+      coalesce(sum(Guards.fastRoundDec(w * diff, 9, fold)),
+        lit(0).cast(fold)).as("__sa"),
       coalesce(sum(termV.cast(fold)), lit(0).cast(fold)).as("__sv"))
     val naive = per.agg(
       coalesce(sum(arm(variantA, lit(1L))), lit(0L)).as("__tn0"),
@@ -2352,10 +2354,11 @@ object Stats {
         col("__c").cast(DoubleType) / col("__n").cast(DoubleType))
       .groupBy(col(groupCol))
       .agg(max(col("__n")).as("n"), max(col("__k")).as("n_labels"),
-        round(sum(round(-col("__p") * log(col("__p")), 9)
-          .cast(DecimalType(18, 9))).cast(DoubleType), 6).as("entropy"),
-        round(lit(1.0) - sum(round(col("__p") * col("__p"), 9)
-          .cast(DecimalType(18, 9))).cast(DoubleType), 6).as("gini"))
+        round(sum(Guards.fastRoundDec(-col("__p") * log(col("__p")),
+          9, DecimalType(18, 9))).cast(DoubleType), 6).as("entropy"),
+        round(lit(1.0) - sum(Guards.fastRoundDec(
+          col("__p") * col("__p"), 9,
+          DecimalType(18, 9))).cast(DoubleType), 6).as("gini"))
   }
 
   /** Mutual information between two categorical columns, in nats,
@@ -2387,8 +2390,9 @@ object Stats {
       m.crossJoin(broadcast(nRow.select(col("__n"))))
         .withColumn("__p",
           col("__c").cast(DoubleType) / col("__n").cast(DoubleType))
-        .agg(round(sum(round(-col("__p") * log(col("__p")), 9)
-          .cast(DecimalType(18, 9))).cast(DoubleType), 6).as(out))
+        .agg(round(sum(Guards.fastRoundDec(
+          -col("__p") * log(col("__p")), 9,
+          DecimalType(18, 9))).cast(DoubleType), 6).as(out))
     }
     val ha = marginalEntropy(aCol, "h_a")
     val hb = marginalEntropy(bCol, "h_b")
@@ -2402,8 +2406,8 @@ object Stats {
         (col("__cab").cast(DoubleType) / col("__n").cast(DoubleType)) *
           log(col("__cab").cast(DoubleType) * col("__n").cast(DoubleType) /
             (col("__ca").cast(DoubleType) * col("__cb").cast(DoubleType))))
-      .agg(round(sum(round(col("__t"), 9).cast(DecimalType(18, 9)))
-        .cast(DoubleType), 6).as("mi"))
+      .agg(round(sum(Guards.fastRoundDec(col("__t"), 9,
+        DecimalType(18, 9))).cast(DoubleType), 6).as("mi"))
     // materialize the 1-row result, then release the joint frame —
     // without this the MEMORY_AND_DISK partitions outlive the call and
     // accumulate across a 216-query catalog run (ADVICE r8)
@@ -2459,12 +2463,20 @@ object Stats {
     val coarse =
       if (hi > lo) binExpr(valueCol, lo, hi, nRanges) else lit(0)
     val withR = df.withColumn("__r", coarse)
-    val totals = withR.groupBy(col("__r")).agg(count(lit(1)).as("__t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = totals.map { case (r, t) => val o = (r, acc); acc += t; o }
-    val offDf = df.sparkSession.createDataFrame(offsets.toSeq)
-      .toDF("__r", "__off")
+    // Per-range offsets = exclusive running sum of the bin counts,
+    // computed LAZILY in-plan (round 17): the former driver collect
+    // was one extra eager job per call (~19 call sites across the
+    // catalog), for an offsets table the consumer's own job can
+    // derive. The running-sum window runs over the AGGREGATED bin
+    // frame — ≤ nRanges rows by construction (binExpr clamps to
+    // 0..nRanges−1), a bounded control-plane frame per the
+    // seriesWindow contract.
+    val offDf = withR.groupBy(col("__r")).agg(count(lit(1)).as("__t"))
+      .withColumn("__off",
+        coalesce(sum(col("__t")).over(
+          Guards.seriesWindow(col("__r").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__r"), col("__off"))
     val w = Window.partitionBy(col("__r"))
       .orderBy(v.asc, col(tieCol).asc)
     val ranked = withR.join(broadcast(offDf), Seq("__r"))
@@ -2505,53 +2517,101 @@ object Stats {
       nRanges: Int = 256, maxLocal: Int = 1 << 20): Double = {
     val cur = df.select(col(valueCol).cast(DoubleType).as("__kv"))
       .filter(col("__kv").isNotNull && !isnan(col("__kv")))
-    kthLoop(cur, kOf, nRanges, maxLocal, known = None, rounds = 0)
+    val b = cur.agg(min(col("__kv")).as("lo"),
+      max(col("__kv")).as("hi"), count(lit(1)).as("n")).collect()(0)
+    val n = b.getLong(2)
+    val kk = kOf(n)
+    require(kk >= 1 && kk <= n,
+      s"kthValue: k=$kk out of range for $n surviving rows")
+    kthPairLoop(cur, b.getDouble(0), b.getDouble(1), n, kk, kk,
+      nRanges, maxLocal, rounds = 0)._1
   }
 
-  /** `known`: the exact surviving-row count when the caller already
-    * has it (the picked histogram bin's count) — skips the bounds
-    * re-scan a refinement round would otherwise pay. `kOf` resolves
-    * the target rank from the measured count on the FIRST round
-    * (recursions pass a constant). */
+  /** TWO adjacent order statistics (kHi ∈ {kLo, kLo+1}) resolved in
+    * SHARED refinement sweeps — the two-middle-ranks median
+    * (theilSen, Siegel outer) used to pay two independent multi-round
+    * selections over the same persisted pair frame (VERDICT r16 item
+    * 3 / "What's wrong" #1). While both ranks sit in the same bin
+    * (the common case for adjacent ranks) every round serves both;
+    * when they straddle a bin boundary BOTH answers are already in
+    * the histogram (kLo is its bin's max, kHi the next nonempty
+    * bin's min — the fused per-bin min/max below), so the split
+    * terminates the loop for free. NULL/NaN excluded as in
+    * [[kthValue]]. */
+  private[operators] def kthValuePair(
+      df: DataFrame, valueCol: String, kLo: Long, kHi: Long,
+      nRanges: Int = 256, maxLocal: Int = 1 << 20): (Double, Double) = {
+    require(kHi == kLo || kHi == kLo + 1,
+      s"kthValuePair serves adjacent ranks only, got ($kLo, $kHi)")
+    val cur = df.select(col(valueCol).cast(DoubleType).as("__kv"))
+      .filter(col("__kv").isNotNull && !isnan(col("__kv")))
+    val b = cur.agg(min(col("__kv")).as("lo"),
+      max(col("__kv")).as("hi"), count(lit(1)).as("n")).collect()(0)
+    val n = b.getLong(2)
+    require(kLo >= 1 && kHi <= n,
+      s"kthValuePair: ranks ($kLo, $kHi) out of range for $n rows")
+    kthPairLoop(cur, b.getDouble(0), b.getDouble(1), n, kLo, kHi,
+      nRanges, maxLocal, rounds = 0)
+  }
+
+  /** One refinement round = ONE scan: per-bin (count, min, max) in a
+    * single bounded-collect histogram. Round 16's loop paid TWO full
+    * scans per round (a bounds re-scan, then the counts), and its
+    * next-round range was the picked bin's NOMINAL equal-width
+    * boundaries — on a heavy-tailed distribution the mass
+    * concentrates in one bin and the count barely shrinks while the
+    * empty range contracts 256× per scan (the q_trend_theilsen
+    * 8-core pathology: 22.7 s for ~10 near-full scans of the pair
+    * frame). The fused per-bin min/max makes the next range the
+    * picked bin's ACTUAL value span, so concentrated mass collapses
+    * to its true spread in one round and a bin of duplicates
+    * (min == max) resolves immediately; bin shape affects only the
+    * scan count, never the selected values. */
   @annotation.tailrec
-  private def kthLoop(cur: DataFrame, kOf: Long => Long, nRanges: Int,
-      maxLocal: Int, known: Option[Long], rounds: Int): Double = {
+  private def kthPairLoop(cur: DataFrame, lo: Double, hi: Double,
+      n: Long, kLo: Long, kHi: Long, nRanges: Int, maxLocal: Int,
+      rounds: Int): (Double, Double) = {
     require(rounds < 64, "kthValue failed to converge")
-    if (known.exists(_ <= maxLocal)) {
+    if (lo == hi) (lo, lo)
+    else if (n <= maxLocal) {
       val arr = cur.collect().map(_.getDouble(0))
-      val kk = kOf(arr.length.toLong)
-      require(kk >= 1 && kk <= arr.length,
-        s"kthValue: k=$kk out of range for ${arr.length} rows")
+      require(arr.length == n,
+        s"kthValue: surviving count changed ($n -> ${arr.length}) — " +
+          "input must be immutable across refinement scans")
       java.util.Arrays.sort(arr)
-      arr((kk - 1).toInt)
+      (arr((kLo - 1).toInt), arr((kHi - 1).toInt))
     } else {
-      val b = cur.agg(min(col("__kv")).as("lo"),
-        max(col("__kv")).as("hi"), count(lit(1)).as("n")).collect()(0)
-      val n = b.getLong(2)
-      val kk = kOf(n)
-      require(kk >= 1 && kk <= n,
-        s"kthValue: k=$kk out of range for $n surviving rows")
-      val (lo, hi) = (b.getDouble(0), b.getDouble(1))
-      if (lo == hi) lo
-      else if (n <= maxLocal) {
-        val arr = cur.collect().map(_.getDouble(0))
-        java.util.Arrays.sort(arr)
-        arr((kk - 1).toInt)
+      val hist = cur
+        .groupBy(binExpr("__kv", lo, hi, nRanges).as("__kb"))
+        .agg(count(lit(1)).as("__t"), min(col("__kv")).as("__mn"),
+          max(col("__kv")).as("__mx"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3)))
+        .sortBy(_._1)
+      var acc = 0L
+      var iLo = -1
+      var iHi = -1
+      for (i <- hist.indices) {
+        val t = hist(i)._2
+        if (iLo < 0 && acc + t >= kLo) iLo = i
+        if (iHi < 0 && acc + t >= kHi) iHi = i
+        if (iHi < 0) acc = acc + t
+      }
+      require(iLo >= 0 && iHi >= 0,
+        "kthValue: histogram lost the target rank")
+      if (iLo == iHi) {
+        val (pick, t, mn, mx) = hist(iLo)
+        // acc here = rows before bin iHi == rows before bin iLo
+        kthPairLoop(
+          cur.filter(binExpr("__kv", lo, hi, nRanges) === pick),
+          mn, mx, t, kLo - acc, kHi - acc, nRanges, maxLocal,
+          rounds + 1)
       } else {
-        val counts = cur
-          .groupBy(binExpr("__kv", lo, hi, nRanges).as("__kb"))
-          .agg(count(lit(1)).as("__t"))
-          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-        var acc = 0L
-        var pick = -1
-        var tPick = 0L
-        for ((r, t) <- counts if pick < 0) {
-          if (acc + t >= kk) { pick = r; tPick = t } else acc += t
-        }
-        require(pick >= 0, "kthValue: histogram lost the target rank")
-        val kNext = kk - acc
-        kthLoop(cur.filter(binExpr("__kv", lo, hi, nRanges) === pick),
-          _ => kNext, nRanges, maxLocal, Some(tPick), rounds + 1)
+        // adjacent ranks straddling a bin boundary: kLo is the LAST
+        // value of bin iLo (its max), kHi the FIRST of the next
+        // nonempty bin (its min) — both already collected
+        (hist(iLo)._4, hist(iHi)._3)
       }
     }
   }
@@ -3118,9 +3178,9 @@ object Stats {
         (col("__cab").cast(DoubleType) - col("__e")) *
           (col("__cab").cast(DoubleType) - col("__e")) / col("__e"))
       .agg(
-        sum(round(col("__t"), 6).cast(DecimalType(18, 6)))
+        sum(Guards.fastRoundDec(col("__t"), 6, DecimalType(18, 6)))
           .cast(DoubleType).as("__a"),
-        sum(round(col("__e"), 6).cast(DecimalType(18, 6)))
+        sum(Guards.fastRoundDec(col("__e"), 6, DecimalType(18, 6)))
           .cast(DoubleType).as("__b"),
         max(col("__n")).as("__nn"))
       .select(round(col("__a") + col("__nn").cast(DoubleType) -
@@ -3640,7 +3700,7 @@ object Stats {
     val wd = col("__ng").cast(DoubleType) / nd
     val fold = DecimalType(28, 9)
     val folded = perGroup.agg(count(lit(1)).as("k_groups"),
-      sum(round(wd * ud * ud, 9).cast(fold)).as("__s"))
+      sum(Guards.fastRoundDec(wd * ud * ud, 9, fold)).as("__s"))
     val n3 = (lit(n).cast(dec) * n * n - n).cast(DoubleType)
     val hRaw = (nd + 1.0) * (lit(12.0) * col("__s").cast(DoubleType) - 3.0)
     val corr = lit(1.0) - col("__tt").cast(DoubleType) / n3
@@ -3782,9 +3842,9 @@ object Stats {
       max(col("__nt")).as("__n"),
       max(col("__syt")).as("__syg"),
       max(col("__sqt")).as("__sqg"),
-      sum(round(nkD * (pk - yk) * (pk - yk), 9).cast(fold))
+      sum(Guards.fastRoundDec(nkD * (pk - yk) * (pk - yk), 9, fold))
         .as("__rel"),
-      sum(round(nkD * (yk - ybar) * (yk - ybar), 9).cast(fold))
+      sum(Guards.fastRoundDec(nkD * (yk - ybar) * (yk - ybar), 9, fold))
         .as("__res"))
     val nD = col("__n").cast(DoubleType)
     val yb = col("__syg").cast(DoubleType) / nD
@@ -4040,8 +4100,8 @@ object Stats {
     val folded = perGroup
       .crossJoin(broadcast(tot)) // 1-row control plane
       .agg(min(col("__k")).as("k"), min(col("__nt")).as("n"),
-        sum(round(termB, 9).cast(fold)).as("__ssb"),
-        sum(round(termW, 9).cast(fold)).as("__ssw"))
+        sum(Guards.fastRoundDec(termB, 9, fold)).as("__ssb"),
+        sum(Guards.fastRoundDec(termW, 9, fold)).as("__ssw"))
     val ssb = col("__ssb").cast(DoubleType)
     val ssw = col("__ssw").cast(DoubleType)
     val df1 = col("k") - 1L
@@ -4158,8 +4218,8 @@ object Stats {
     val folded = ra.join(cb, Seq("__cat"))
       .crossJoin(broadcast(tot)) // 1-row control plane
       .agg(min(col("__n")).as("n"), min(col("__agree")).as("__ag"),
-        sum(round(col("__ra").cast(DoubleType) / nD *
-          (col("__cb").cast(DoubleType) / nD), 12).cast(dec))
+        sum(Guards.fastRoundDec(col("__ra").cast(DoubleType) / nD *
+          (col("__cb").cast(DoubleType) / nD), 12, dec))
           .as("__pe"))
     val po = col("__ag").cast(DoubleType) / col("n").cast(DoubleType)
     val pe = col("__pe").cast(DoubleType)
@@ -5088,13 +5148,14 @@ object Stats {
     // 1-row control-plane collect — the exact double the oracle's
     // tbar column computes, used as a literal in the deviation fold
     val tbar = th.agg(
-      (sum(round(col("__t"), 12).cast(fold)).cast(DoubleType) /
+      (sum(Guards.fastRoundDec(col("__t"), 12, fold))
+        .cast(DoubleType) /
         count(lit(1))).as("__tbar")).collect()(0).getDouble(0)
     val ss = th
       .agg(max(col("__N")).as("__N"), max(col("__D")).as("__D"),
         max(col("__cnt")).as("__cnt"),
-        sum(round((col("__t") - lit(tbar)) *
-          (col("__t") - lit(tbar)), 12).cast(fold))
+        sum(Guards.fastRoundDec((col("__t") - lit(tbar)) *
+          (col("__t") - lit(tbar)), 12, fold))
           .cast(DoubleType).as("__ss"))
     val nD = col("__N").cast(DoubleType)
     val dD = col("__D").cast(DoubleType)
@@ -5408,7 +5469,8 @@ object Stats {
         col("__v").cast(DoubleType) - col("trend"))
     val dowMeans = base.filter(col("trend").isNotNull)
       .groupBy(col("dow"))
-      .agg((sum(round(col("__det"), 9).cast(DecimalType(28, 9)))
+      .agg((sum(Guards.fastRoundDec(col("__det"), 9,
+        DecimalType(28, 9)))
         .cast(DoubleType) / count(lit(1))).as("__raw"))
     val grand = dowMeans.agg(
       (sum(round(col("__raw"), 9).cast(DecimalType(28, 9)))
@@ -5798,7 +5860,8 @@ object Stats {
     val mn = rk.filter(col("__r") === k + 1)
       .select(col("__x").as("x_min"))
     val sl = rk.filter(col("__r") <= k)
-      .agg(sum(round(log(col("__x")), 6).cast(dec)).as("__sl"))
+      .agg(sum(Guards.fastRoundDec(log(col("__x")), 6, dec))
+        .as("__sl"))
     def safe(c: Column) = when(c =!= 0.0, c).otherwise(lit(1.0))
     val kD = lit(k.toDouble)
     val aInv = (col("__sl").cast(DoubleType) -
@@ -6040,14 +6103,16 @@ object Stats {
       .withColumn("__e", col("__x") - col("__f"))
     e.agg(
       count(lit(1)).as("n_forecasts"),
-      round(sum(round(abs(col("__e")), 4).cast(DecimalType(28, 4)))
+      round(sum(Guards.fastRoundDec(abs(col("__e")), 4,
+        DecimalType(28, 4)))
         .cast(DoubleType) / count(lit(1)), 6).as("mae"),
       round(sum(when(col("__x") =!= 0,
         round(abs(col("__e")) / abs(col("__x")), 9))
         .cast(DecimalType(28, 9))).cast(DoubleType) /
         sum(when(col("__x") =!= 0, 1L).otherwise(0L)), 6).as("mape"),
       round(sqrt(
-        sum(round(col("__e") * col("__e"), 4).cast(DecimalType(28, 4)))
+        sum(Guards.fastRoundDec(col("__e") * col("__e"), 4,
+          DecimalType(28, 4)))
           .cast(DoubleType) / count(lit(1))), 6).as("rmse"))
   }
 
@@ -6126,11 +6191,24 @@ object Stats {
     // pair frame, no shuffle, no sort (its own scaladoc prescribes
     // this exact swap). The k-th VALUE under the (value, tie) total
     // order is the k-th smallest value, so the median is unchanged.
-    val n = slopes.count()
+    // count + NaN census in ONE scan (ADVICE r16: kthValue excludes
+    // NaN before ranking, so a NaN slope would silently skew the
+    // midLo/midHi ranks derived from the raw count — require NaN-free
+    // input loudly at the operator boundary instead; slopes are NaN
+    // only when the series itself carries NaN values)
+    val cnt = slopes.agg(count(lit(1)).as("n"),
+      coalesce(sum(when(isnan(col("__s")), 1L).otherwise(0L)),
+        lit(0L)).as("nan")).collect()(0)
+    val n = cnt.getLong(0)
+    require(cnt.getLong(1) == 0L,
+      s"theilSen: ${cnt.getLong(1)} NaN pairwise slopes — the input " +
+        "series carries NaN values; clean or filter them first")
     val midLo = (n + 1) / 2
     val midHi = (n + 2) / 2
-    val vLo = kthValue(slopes, "__s", midLo)
-    val vHi = if (midHi == midLo) vLo else kthValue(slopes, "__s", midHi)
+    // both middle ranks in ONE shared refinement sweep (VERDICT r16
+    // item 3: two independent kthValue selections re-scanned the
+    // persisted pair frame once per round EACH)
+    val (vLo, vHi) = kthValuePair(slopes, "__s", midLo, midHi)
     slopes.unpersist(false)
     // the 6-dp round runs IN Catalyst on the same (a+b)/2 expression
     // the ranked median used — bit-identical emitted slope
@@ -6206,11 +6284,24 @@ object Stats {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // two order statistics via [[kthValue]] instead of a full rank —
     // the [[theilSenTrend]] swap (same median, no shuffle/sort)
-    val n = slopes.count()
+    // count + NaN census in ONE scan (ADVICE r16: kthValue excludes
+    // NaN before ranking, so a NaN slope would silently skew the
+    // midLo/midHi ranks derived from the raw count — require NaN-free
+    // input loudly at the operator boundary instead; slopes are NaN
+    // only when the series itself carries NaN values)
+    val cnt = slopes.agg(count(lit(1)).as("n"),
+      coalesce(sum(when(isnan(col("__s")), 1L).otherwise(0L)),
+        lit(0L)).as("nan")).collect()(0)
+    val n = cnt.getLong(0)
+    require(cnt.getLong(1) == 0L,
+      s"theilSen: ${cnt.getLong(1)} NaN pairwise slopes — the input " +
+        "series carries NaN values; clean or filter them first")
     val midLo = (n + 1) / 2
     val midHi = (n + 2) / 2
-    val vLo = kthValue(slopes, "__s", midLo)
-    val vHi = if (midHi == midLo) vLo else kthValue(slopes, "__s", midHi)
+    // both middle ranks in ONE shared refinement sweep (VERDICT r16
+    // item 3: two independent kthValue selections re-scanned the
+    // persisted pair frame once per round EACH)
+    val (vLo, vHi) = kthValuePair(slopes, "__s", midLo, midHi)
     slopes.unpersist(false)
     val med = series.sparkSession.range(1)
       .select(round((lit(vLo) + lit(vHi)) / 2.0, 6).as("slope"))

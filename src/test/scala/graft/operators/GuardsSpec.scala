@@ -25,6 +25,34 @@ class GuardsSpec extends SparkSpecBase {
     assert(exchanges <= 1, s"guard added an exchange:\n$plan")
   }
 
+  test("parallelized widens a single-partition frame, is a no-op on " +
+    "an already-parallel or exchange-bearing one, and rejects streams") {
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    // single partition -> widened to defaultParallelism
+    val narrow = (1 to 1000).map(i => (i.toLong, i * 2.0))
+      .toDF("i", "v").coalesce(1)
+    val widened = Guards.parallelized(narrow)
+    assert(widened.rdd.getNumPartitions == par,
+      s"expected $par partitions, got ${widened.rdd.getNumPartitions}")
+    assert(widened.collect().map(_.getLong(0)).sorted.toSeq ==
+      (1 to 1000).map(_.toLong))
+    // already parallel -> the SAME frame, no exchange added
+    val wide = (1 to 1000).map(i => (i.toLong, i * 2.0))
+      .toDF("i", "v").repartition(par + 1)
+    assert(Guards.parallelized(wide) eq wide)
+    // exchange-bearing plan -> returned unchanged (the probe must not
+    // build an executed plan that would run the upstream stages)
+    val agg = narrow.groupBy(col("i")).agg(sum(col("v")).as("s"))
+    assert(Guards.parallelized(agg) eq agg)
+    // streaming frames have no partition count to probe -> loud
+    val stream = spark.readStream.format("rate").load()
+    val e = intercept[IllegalArgumentException] {
+      Guards.parallelized(stream)
+    }
+    assert(e.getMessage.contains("batch frames only"))
+  }
+
   test("boundedSeries fails loudly when the frame exceeds the bound") {
     import spark.implicits._
     val df = (1 to 50).map(i => (i.toLong, i * 2.0)).toDF("i", "v")

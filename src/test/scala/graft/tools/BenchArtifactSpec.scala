@@ -87,7 +87,11 @@ class BenchArtifactSpec extends AnyFunSuite {
       // dump this build produced.
       if (p == fresh)
         requireKeys(p.toString, d,
-          Seq("cpu_busy_per_pass", "load_q", "busy_q"))
+          Seq("cpu_busy_per_pass", "load_q", "busy_q",
+            // round-17: contention-aware tie-break record (queries
+            // whose published min earned an extra rep because its
+            // busy-CPU fraction exceeded 3x the run median)
+            "busy_retried"))
     }
   }
 }
