@@ -94,7 +94,7 @@ object Bench {
     * measurement: busy fraction ≈ cores-in-use / cores, sampled over
     * exactly the interval being timed, so a slow rep under external
     * contention carries its own evidence in the artifact. */
-  private def cpuJiffies(): (Long, Long) =
+  private def cpuJiffies(): (Long, Long, Long) =
     try {
       val cols = Files.readString(Paths.get("/proc/stat"))
         .linesIterator.next().trim.split("\\s+")
@@ -102,8 +102,15 @@ object Bench {
       val v = cols.drop(1).map(_.toLong)
       val busy = v(0) + v(1) + v(2)
       val total = v.take(8).sum
-      (busy, total)
-    } catch { case _: Throwable => (-1L, -1L) }
+      // STEAL (round 17): on a virtualized box the hypervisor can
+      // starve the guest — wall-clock stretches while the guest's
+      // busy fraction COLLAPSES (the r17 W1 run: a query at 3% busy
+      // for 11.8 s that runs in 0.9 s on the same box minutes later).
+      // The steal delta over a rep's own window makes that poisoning
+      // self-evident in the artifact instead of needing a re-run.
+      val steal = if (v.length > 7) v(7) else -1L
+      (busy, steal, total)
+    } catch { case _: Throwable => (-1L, -1L, -1L) }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -153,9 +160,10 @@ object Bench {
     // loadavg sampled at rep start, machine busy-CPU fraction over
     // the rep's own wall-clock window).
     def runRep(fn: (SparkSession, String) => DataFrame):
-        (Double, Option[String], (Long, Long), Double, Double) = {
+        (Double, Option[String], (Long, Long), Double, Double,
+            Double) = {
       val load = loadAvg()
-      val (cb0, ct0) = cpuJiffies()
+      val (cb0, cs0, ct0) = cpuJiffies()
       val (sw0, sp0) = bytes.snapshot
       val t0 = System.nanoTime()
       val err =
@@ -164,13 +172,16 @@ object Bench {
           Some(Option(e.getMessage).getOrElse(e.getClass.getName))
         }
       val sec = (System.nanoTime() - t0) / 1e9
-      val (cb1, ct1) = cpuJiffies()
+      val (cb1, cs1, ct1) = cpuJiffies()
       flushListeners(spark.sparkContext)
       val (sw1, sp1) = bytes.snapshot
       val busy =
         if (cb0 < 0 || cb1 < 0 || ct1 <= ct0) -1.0
         else (cb1 - cb0).toDouble / (ct1 - ct0)
-      (sec, err, (sw1 - sw0, sp1 - sp0), load, busy)
+      val steal =
+        if (cs0 < 0 || cs1 < 0 || ct1 <= ct0) -1.0
+        else (cs1 - cs0).toDouble / (ct1 - ct0)
+      (sec, err, (sw1 - sw0, sp1 - sp0), load, busy, steal)
     }
     val timedPasses = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
@@ -181,7 +192,7 @@ object Bench {
         // published minimum is a min-of-3, not a coin flip between a
         // clean and a poisoned measurement.
         if (repeat >= 2) {
-          val ok = reps.collect { case (t, None, _, _, _) => t }
+          val ok = reps.collect { case (t, None, _, _, _, _) => t }
           if (ok.size >= 2 && ok.max > 3.0 * ok.min) reps :+= runRep(fn)
         }
         (name, reps)
@@ -203,7 +214,7 @@ object Bench {
     // successful reps.
     val timed = if (repeat < 2) timedPasses else {
       val minOk = timedPasses.flatMap { case (_, reps) =>
-        reps.collect { case r @ (_, None, _, _, _) => r }
+        reps.collect { case r @ (_, None, _, _, _, _) => r }
           .sortBy(_._1).headOption
       }
       val busies = minOk.map(_._5).filter(_ >= 0).sorted
@@ -211,13 +222,13 @@ object Bench {
       else {
         val med = busies(busies.size / 2)
         val suspect = timedPasses.filter { case (_, reps) =>
-          val ok = reps.collect { case r @ (_, None, _, _, _) => r }
+          val ok = reps.collect { case r @ (_, None, _, _, _, _) => r }
           ok.nonEmpty && {
             val best = ok.minBy(_._1)
             best._5 >= 0 && med >= 0 && best._5 > 3.0 * med
           }
         }.sortBy { case (_, reps) =>
-          -reps.collect { case (t, None, _, _, _) => t }.min
+          -reps.collect { case (t, None, _, _, _, _) => t }.min
         }.take(15).map(_._1).toSet
         timedPasses.map { case (name, reps) =>
           if (suspect(name)) (name, reps :+ runRep(selected(name)))
@@ -245,13 +256,13 @@ object Bench {
       // (VERDICT r15 item 1): the published total is the sum of
       // minima, so a contended minimum — the case where even the best
       // rep was poisoned — is self-evident per query in the artifact.
-      val ok = reps.collect { case r @ (_, None, _, _, _) => r }
+      val ok = reps.collect { case r @ (_, None, _, _, _, _) => r }
       if (ok.nonEmpty) {
         val best = ok.minBy(_._1)
-        (name, best._1, None, reps.last._3, best._4, best._5)
+        (name, best._1, None, reps.last._3, best._4, best._5, best._6)
       } else
         (name, reps.map(_._1).min, reps.flatMap(_._2).headOption,
-          reps.last._3, reps.head._4, reps.head._5)
+          reps.last._3, reps.head._4, reps.head._5, reps.head._6)
     }
     // Per-pass totals: pass k = sum of every query's k-th rep. Under
     // external load the passes disagree (and both exceed the minima
@@ -283,6 +294,15 @@ object Bench {
       val w = rs.map(_._1).sum
       if (w <= 0) -1.0 else rs.map(r => r._1 * r._5).sum / w
     }
+    // Per-pass time-weighted STEAL fraction (round 17): hypervisor
+    // CPU theft over each pass — the direct signature of a starved
+    // guest (wall stretches, busy collapses, steal spikes).
+    val passSteal = (0 until repeat).map { k =>
+      val rs = timed.map { case (_, reps) => reps(k) }
+        .filter(_._6 >= 0)
+      val w = rs.map(_._1).sum
+      if (w <= 0) -1.0 else rs.map(r => r._1 * r._6).sum / w
+    }
     // Queries that earned a third (tie-break) rep this run.
     val retried = timed.collect {
       case (name, reps) if reps.size > repeat => name
@@ -303,17 +323,18 @@ object Bench {
 
     def jstr(s: String): String = graft.core.Jsons.str(s)
     val qs = results
-      .map { case (k, v, _, _, _, _) =>
+      .map { case (k, v, _, _, _, _, _) =>
         s"${jstr(k)}:${fmt("%.4f", v)}" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e), _, _, _) =>
+    val errs = results.collect { case (k, _, Some(e), _, _, _, _) =>
       s"${jstr(k)}:${jstr(e.take(300))}"
     }.mkString("{", ",", "}")
     // Load-invariant per-query data movement (MB, steady-state rep):
     // the numbers to regress on when wall-clock is suspect.
     def mb(b: Long): String = fmt("%.2f", b / 1e6)
     def byteMap(pick: ((Long, Long)) => Long): String = results
-      .map { case (k, _, _, d, _, _) => s"${jstr(k)}:${mb(pick(d))}" }
+      .map { case (k, _, _, d, _, _, _) =>
+        s"${jstr(k)}:${mb(pick(d))}" }
       .mkString("{", ",", "}")
     val shuffleMb = byteMap(_._1)
     val spillMb = byteMap(_._2)
@@ -323,10 +344,16 @@ object Bench {
     // cross-round per-query regression whose busy_q also jumped is
     // environment; one whose busy_q held steady is a plan change.
     val loadQ = results
-      .map { case (k, _, _, _, l, _) => s"${jstr(k)}:${fmt("%.2f", l)}" }
+      .map { case (k, _, _, _, l, _, _) =>
+        s"${jstr(k)}:${fmt("%.2f", l)}" }
       .mkString("{", ",", "}")
     val busyQ = results
-      .map { case (k, _, _, _, _, b) => s"${jstr(k)}:${fmt("%.3f", b)}" }
+      .map { case (k, _, _, _, _, b, _) =>
+        s"${jstr(k)}:${fmt("%.3f", b)}" }
+      .mkString("{", ",", "}")
+    val stealQ = results
+      .map { case (k, _, _, _, _, _, st) =>
+        s"${jstr(k)}:${fmt("%.3f", st)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val shuffleTotalMb = results.map(_._4._1).sum / 1e6
@@ -334,6 +361,7 @@ object Bench {
     val passes = passTotals.map(fmt("%.2f", _)).mkString("[", ",", "]")
     val loads = passLoads.map(fmt("%.2f", _)).mkString("[", ",", "]")
     val busies = passBusy.map(fmt("%.3f", _)).mkString("[", ",", "]")
+    val steals = passSteal.map(fmt("%.3f", _)).mkString("[", ",", "]")
     val retr = retried.map(jstr).mkString("[", ",", "]")
     val busyRetr = busyRetried.map(jstr).mkString("[", ",", "]")
     val memo = memoTagged.map(jstr).mkString("[", ",", "]")
@@ -343,12 +371,13 @@ object Bench {
         s""""loadavg_per_pass":$loads,""" +
         s""""loadavg_max":${fmt("%.2f", loadMax)},""" +
         s""""cpu_busy_per_pass":$busies,""" +
+        s""""cpu_steal_per_pass":$steals,""" +
         s""""retried_queries":$retr,"busy_retried":$busyRetr,""" +
         s""""memo_queries":$memo,""" +
         s""""shuffle_total_mb":${fmt("%.2f", shuffleTotalMb)},""" +
         s""""spill_total_mb":${fmt("%.2f", spillTotalMb)},""" +
         s""""shuffle_mb":$shuffleMb,"spill_mb":$spillMb,""" +
-        s""""load_q":$loadQ,"busy_q":$busyQ,""" +
+        s""""load_q":$loadQ,"busy_q":$busyQ,"steal_q":$stealQ,""" +
         s""""queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
 
     // Always land the artifact at a well-known repo path (the driver
@@ -383,12 +412,13 @@ object Bench {
       // round-7 families
       "q_graph_pagerank", "q_mixture_divergence", "q_sample_temperature",
       "q_cdc_apply", "q_join_scd2", "q_shard_order", "q_agg_incremental")
-    val byName = results.map { case (k, v, _, _, _, _) => k -> v }.toMap
+    val byName =
+      results.map { case (k, v, _, _, _, _, _) => k -> v }.toMap
     def compactLine(nHead: Int): String = {
       val hq = headline.take(nHead)
         .flatMap(k => byName.get(k).map(v => s"${jstr(k)}:${fmt("%.2f", v)}"))
         .mkString("{", ",", "}")
-      val cerrs = results.collect { case (k, _, Some(e), _, _, _) =>
+      val cerrs = results.collect { case (k, _, Some(e), _, _, _, _) =>
         s"${jstr(k)}:${jstr(e.take(80))}"
       }.take(3).mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt("%.2f", total)},"unit":"sec",""" +
@@ -396,6 +426,7 @@ object Bench {
         s""""loadavg_per_pass":$loads,""" +
         s""""loadavg_max":${fmt("%.2f", loadMax)},""" +
         s""""cpu_busy_per_pass":$busies,""" +
+        s""""cpu_steal_per_pass":$steals,""" +
         s""""n_retried":${retried.size},""" +
         s""""shuffle_total_mb":${fmt("%.2f", shuffleTotalMb)},""" +
         s""""spill_total_mb":${fmt("%.2f", spillTotalMb)},""" +

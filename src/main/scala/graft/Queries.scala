@@ -3726,7 +3726,12 @@ object Queries {
         graft.streaming.Streams.clickPurchaseJoin(
           graft.streaming.Streams.eventsStream(s, dir)), name,
         org.apache.spark.sql.streaming.OutputMode.Append(),
-        shufflePartitions = Some(8))
+        shufflePartitions = Some(8),
+        // opt-in (see runAvailableNow): an INNER stream-stream join
+        // emits on match during the data batch; the trailing no-data
+        // batch would only advance watermarks to evict state this
+        // bounded drain is about to discard (~1 s/run measured)
+        dropNoDataBatch = true)
         .groupBy((col("user_id") % 25).as("user_mod"))
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("click_id")).as("n_clicks"),

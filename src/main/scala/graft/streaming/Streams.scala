@@ -1944,7 +1944,8 @@ object Streams {
       df: DataFrame,
       queryName: String,
       mode: OutputMode = OutputMode.Update(),
-      shufflePartitions: Option[Int] = None): DataFrame = {
+      shufflePartitions: Option[Int] = None,
+      dropNoDataBatch: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     // A streaming query's STATE STORE count is pinned to the shuffle
     // partition number at first checkpoint — for a stateful operator
@@ -1985,9 +1986,15 @@ object Streams {
     // current Append-mode caller (the inner stream-stream join, which
     // emits on match during the data batch) keeps the default — one
     // trailing batch of fixed cost buys the mode-safety invariant.
+    // Non-Update drains keep the trailing batch UNLESS the caller
+    // opts in with `dropNoDataBatch` — the explicit contract that its
+    // Append plan emits during the data batch (an inner stream-stream
+    // join) and runs no watermark-flushed aggregate or event-time
+    // timeout. A future watermarked-Append caller gets the safe
+    // default instead of silently losing its final flush.
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevNd =
-      if (mode == OutputMode.Update()) {
+      if (mode == OutputMode.Update() || dropNoDataBatch) {
         val p = spark.conf.getOption(ndKey)
         spark.conf.set(ndKey, "false")
         Some(p)

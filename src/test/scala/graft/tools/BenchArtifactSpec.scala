@@ -90,8 +90,9 @@ class BenchArtifactSpec extends AnyFunSuite {
           Seq("cpu_busy_per_pass", "load_q", "busy_q",
             // round-17: contention-aware tie-break record (queries
             // whose published min earned an extra rep because its
-            // busy-CPU fraction exceeded 3x the run median)
-            "busy_retried"))
+            // busy-CPU fraction exceeded 3x the run median) and the
+            // hypervisor-steal record (per query + per pass)
+            "busy_retried", "steal_q", "cpu_steal_per_pass"))
     }
   }
 }
